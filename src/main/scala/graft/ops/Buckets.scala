@@ -1,0 +1,81 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Shared time-bucket alignment expressions and the canonical `points`
+  * view over the driver testdata (SURVEY.md §1.3, FIXTURES.md §2).
+  *
+  * Whisper stores integer-second unix timestamps and aligns them to an
+  * archive's resolution with `interval - (interval mod secondsPerPoint)`
+  * (reference: whisper.go → `Interval`; SURVEY.md §1.2). We keep every
+  * timestamp as an epoch-seconds BIGINT column (`ts_s`) from the first
+  * projection on: it is exactly whisper's native representation, it makes
+  * the Spark and DuckDB oracle expressions structurally identical, and it
+  * sidesteps timestamp-type/precision mismatches in the hash compare.
+  *
+  * Every expression here is a stock Catalyst `Column` — arithmetic stays
+  * inside whole-stage codegen and pushes down to the Parquet scan where
+  * applicable (SURVEY.md §4.3: zero custom expressions needed).
+  */
+object Buckets {
+
+  /** Pinned "now" = 2024-01-31T00:00:00Z (FIXTURES.md: never wall-clock —
+    * retention math must be deterministic across engines and runs).
+    */
+  val NowS: Long = 1706659200L
+
+  /** Fixed oracle query window: F = 2024-01-10T00:00:00Z,
+    * U = 2024-01-11T00:00:00Z (FIXTURES.md §2).
+    */
+  val FromS: Long = 1704844800L
+  val UntilS: Long = 1704931200L
+
+  /** Epoch seconds of a timestamp column (truncates sub-second precision —
+    * whisper timestamps are integer seconds, SURVEY.md §4.4 trap 5).
+    */
+  def epochS(ts: Column): Column = unix_timestamp(ts)
+
+  /** Whisper interval alignment: floor epoch-seconds to a resolution.
+    * `floor(ts_s / spp) * spp`, kept in this exact shape because the
+    * DuckDB oracle uses the literally equivalent
+    * `(ts_s // spp) * spp` (SURVEY.md §2.4: prefer the arithmetic form
+    * over `window()` so the oracle SQL stays dialect-portable).
+    */
+  def alignTs(tsS: Column, spp: Int): Column =
+    (floor(tsS / spp) * spp).cast("long")
+
+  /** Whisper `Fetch` endpoint semantics (SURVEY.md §4.4 trap 1): the
+    * returned series starts at `floor(from, spp) + spp` (excludes the
+    * bucket containing `from`) and ends at `floor(until, spp) + spp`
+    * exclusive (includes the bucket containing `until`).
+    */
+  def fetchInterval(tSeconds: Long, spp: Int): Long =
+    Math.floorDiv(tSeconds, spp.toLong) * spp + spp
+
+  /** The canonical `points(metric, ts_s, value)` fact view. Per SURVEY.md
+    * §1.3 the role of whisper's point stream is played by
+    * `events.parquet` with `metric := event_type`. Column-pruned select so
+    * the Parquet scan reads only 3 of 6 columns.
+    *
+    * `events.ts` is TIMESTAMP(NANOS) parquet, which Spark 4 only reads
+    * via `spark.sql.legacy.parquet.nanosAsLong` (as epoch-nanos LongType);
+    * `ts div 1e9` then yields exactly whisper's integer-second timestamp.
+    */
+  def points(spark: SparkSession, sfDir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = spark.read.parquet(s"$sfDir/events.parquet")
+    val tsS = raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType => expr("ts div 1000000000")
+      case _ => epochS(col("ts"))
+    }
+    raw.select(col("event_type").as("metric"), tsS.as("ts_s"), col("value"))
+  }
+
+  /** DuckDB fragment equivalent of [[points]] — prefixed into oracle SQL
+    * as a CTE so Spark and oracle share one definition of the fact view.
+    */
+  val pointsSql: String =
+    "pts AS (SELECT event_type AS metric, " +
+      "CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS ts_s, value FROM events)"
+}

@@ -1,0 +1,88 @@
+package graft.ops
+
+import graft.model.{Retention, WhisperSchema}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Read path — whisper's only query, `Fetch(from, until)` (reference:
+  * whisper.go → `func (whisper *Whisper) Fetch`; SURVEY.md §2.7 Q1).
+  *
+  * Whisper answers a fetch from the finest archive whose retention still
+  * covers `now - from` (archive selection — the materialized-view-routing
+  * analog, SURVEY.md §4.1), then returns a DENSE fixed-step series with
+  * NaN for empty slots. Here: archive selection is a plain Scala resolver
+  * over the rollup-table list, and density comes from a generated spine
+  * LEFT-JOINed against the sparse aggregate (gaps become NULL, not NaN —
+  * SURVEY.md §4.4 trap 2).
+  *
+  * Scale notes (100 TB): the spine has `(until-from)/step` rows — bounded
+  * by the query range, never by data volume — so Catalyst broadcasts it;
+  * the aggregate side reduces to ≤ one row per bucket before the join, so
+  * the join input is already tiny. The heavy lifting is the partial
+  * aggregation over the scan, which is shuffle-partitioned by bucket and
+  * benefits from Parquet row-group pruning on the pushed `ts_s` range
+  * filter.
+  */
+object Fetch {
+
+  /** Q1 archive selection: the finest archive (rollup level) whose
+    * retention covers the oldest requested instant. Plain function, not a
+    * Catalyst rule, per SURVEY.md §4.1.
+    */
+  def selectArchive(schema: WhisperSchema, nowS: Long, fromS: Long): Retention = {
+    val age = nowS - fromS
+    schema.retentions.find(_.maxRetentionSeconds >= age)
+      .getOrElse(schema.retentions.last)
+  }
+
+  /** Dense fixed-step series for one metric (SURVEY.md §7.2 slice).
+    *
+    * Endpoint semantics replicate whisper exactly (§4.4 trap 1): buckets
+    * `floor(from,spp)+spp` (inclusive) .. `floor(until,spp)+spp`
+    * (exclusive). A bucket `t` aggregates raw points with
+    * `align(ts) == t`, i.e. raw `ts_s` in `[t, t+spp)`.
+    */
+  def denseSeries(
+      spark: SparkSession,
+      pts: DataFrame,
+      metric: String,
+      fromS: Long,
+      untilS: Long,
+      spp: Int): DataFrame = {
+    import spark.implicits._
+    require(fromS <= untilS, "invalid time interval") // F1 clamp/validate
+    val fromI = Buckets.fetchInterval(fromS, spp)
+    val untilI = Buckets.fetchInterval(untilS, spp)
+    val spine = spark.range(fromI, untilI, spp.toLong).toDF("bucket_ts")
+    val agg = pts
+      .filter($"metric" === metric && $"ts_s" >= fromI && $"ts_s" < untilI)
+      .groupBy(Buckets.alignTs($"ts_s", spp).as("bucket_ts"))
+      .agg(round(avg($"value"), 6).as("value"))
+    spine.join(agg, Seq("bucket_ts"), "left")
+      .select($"bucket_ts", $"value")
+      .orderBy($"bucket_ts")
+  }
+
+  /** Query key `fetch_dense_series`: 1-minute average dense series for
+    * metric 'view' over the fixed window [F, U] (FIXTURES.md §2).
+    */
+  def fetchDenseSeries(spark: SparkSession, sfDir: String): DataFrame =
+    denseSeries(spark, Buckets.points(spark, sfDir), "view",
+      Buckets.FromS, Buckets.UntilS, 60)
+
+  val fetchDenseSeriesSql: String = {
+    val fromI = Buckets.fetchInterval(Buckets.FromS, 60)
+    val untilI = Buckets.fetchInterval(Buckets.UntilS, 60)
+    s"""WITH ${Buckets.pointsSql},
+       |agg AS (
+       |  SELECT (ts_s // 60) * 60 AS bucket_ts, round(avg(value), 6) AS value
+       |  FROM pts
+       |  WHERE metric = 'view' AND ts_s >= $fromI AND ts_s < $untilI
+       |  GROUP BY 1
+       |),
+       |spine AS (SELECT CAST(range AS BIGINT) AS bucket_ts FROM range($fromI, $untilI, 60))
+       |SELECT s.bucket_ts, a.value
+       |FROM spine s LEFT JOIN agg a USING (bucket_ts)
+       |ORDER BY s.bucket_ts""".stripMargin
+  }
+}

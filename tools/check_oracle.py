@@ -1,0 +1,87 @@
+#!/usr/bin/env python3
+"""Local mimic of the driver's t2 DuckDB-oracle compare.
+
+Usage: python3 tools/check_oracle.py <sfDir> <verifyOutDir> [key ...]
+
+Reads <verifyOutDir>/oracle_sql.json (written by graft.Verify), registers
+every parquet table in <sfDir> as a DuckDB view, runs each oracle SQL, and
+compares against the Spark result parquet at <verifyOutDir>/<key>/ —
+columns sorted by name, exact value compare (after canonicalizing NaN→None
+and float round-trip). Exit code = number of mismatched queries.
+"""
+import json
+import math
+import sys
+from pathlib import Path
+
+import duckdb
+
+
+def canon(v):
+    if v is None:
+        return None
+    if isinstance(v, float):
+        if math.isnan(v):
+            return None
+        return v
+    return v
+
+
+def rows_of(rel, cols):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    return [tuple(canon(r[i]) for i in order) for r in rel]
+
+
+def main():
+    sf_dir, out_dir = Path(sys.argv[1]), Path(sys.argv[2])
+    only = set(sys.argv[3:])
+    con = duckdb.connect()
+    for p in sorted(sf_dir.glob("*.parquet")):
+        con.execute(
+            f"CREATE VIEW {p.stem} AS SELECT * FROM read_parquet('{p}')")
+    oracle = json.loads((out_dir / "oracle_sql.json").read_text())
+    failed = []
+    for key, sql in sorted(oracle.items()):
+        if only and key not in only:
+            continue
+        spark_dir = out_dir / key
+        if not spark_dir.exists():
+            print(f"[FAIL] {key}: no spark result at {spark_dir}")
+            failed.append(key)
+            continue
+        try:
+            oc = con.execute(sql)
+            ocols = [d[0] for d in oc.description]
+            orows = rows_of(oc.fetchall(), ocols)
+        except Exception as e:
+            print(f"[FAIL] {key}: oracle SQL error: {e}")
+            failed.append(key)
+            continue
+        sc = con.execute(
+            f"SELECT * FROM read_parquet('{spark_dir}/*.parquet')")
+        scols = [d[0] for d in sc.description]
+        srows = rows_of(sc.fetchall(), scols)
+        if sorted(ocols) != sorted(scols):
+            print(f"[FAIL] {key}: column mismatch spark={sorted(scols)} "
+                  f"oracle={sorted(ocols)}")
+            failed.append(key)
+            continue
+        if srows == orows:
+            print(f"[ OK ] {key}: {len(srows)} rows")
+            continue
+        failed.append(key)
+        print(f"[FAIL] {key}: rows spark={len(srows)} oracle={len(orows)}")
+        for i, (s, o) in enumerate(zip(srows, orows)):
+            if s != o:
+                print(f"       first diff at row {i}: spark={s} oracle={o}")
+                break
+        else:
+            n = min(len(srows), len(orows))
+            print(f"       length differs after common prefix {n}")
+    print(f"== {len(oracle) if not only else len(only)} checked, "
+          f"{len(failed)} failed: {failed}")
+    sys.exit(len(failed))
+
+
+if __name__ == "__main__":
+    main()

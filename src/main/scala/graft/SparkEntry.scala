@@ -17,13 +17,11 @@ object SparkEntry {
     Fetch.fetchDenseSeries(spark, "/root/testdata/sf0.001")
 
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "fetch_dense_series" -> ((s, dir) => Fetch.fetchDenseSeries(s, dir))
-  )
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    CoreQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map(
-    "fetch_dense_series" -> Fetch.fetchDenseSeriesSql
-  )
+  def oracleSql: Map[String, String] =
+    CoreQueries.oracleSql
 }

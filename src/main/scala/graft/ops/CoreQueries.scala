@@ -1,0 +1,262 @@
+package graft.ops
+
+import graft.model.{AggregationMethod, Retentions}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The whisper-core query registry: one `(SparkSession, sfDir) => DataFrame`
+  * plus matching DuckDB oracle SQL per SURVEY.md §2 query key. Every query
+  * obeys the determinism contract (SURVEY.md §5.2): epoch-second BIGINT
+  * time columns, explicit ORDER BY, `round(double, 6)` at the output edge,
+  * NULL not NaN, identical column aliases in both dialects.
+  */
+object CoreQueries {
+
+  import Buckets.{NowS, pointsSql}
+  private val std = Retentions.std
+  private val lwwSchema = Retentions.lww
+
+  /** F1 clamp (computed once in Scala, emitted as literals in both
+    * dialects): request [now-40d, now+1h] clamps to [now-30d, now].
+    */
+  private val reqFrom = NowS - 40L * 86400
+  private val reqUntil = NowS + 3600
+  private val clampFrom = math.max(reqFrom, NowS - std.maxRetentionSeconds)
+  private val clampUntil = math.min(reqUntil, NowS)
+
+  // ---------------------------------------------------------------- scans
+
+  /** S1 `scan_points`: the Open/read surface — full canonical projection. */
+  def scanPoints(s: SparkSession, dir: String): DataFrame =
+    Buckets.points(s, dir)
+      .select(col("metric"), col("ts_s"), round(col("value"), 6).as("value"))
+      .orderBy("metric", "ts_s", "value")
+
+  val scanPointsSql: String =
+    s"""WITH $pointsSql
+       |SELECT metric, ts_s, round(value, 6) AS value FROM pts
+       |ORDER BY metric, ts_s, value""".stripMargin
+
+  /** F1 `fetch_range_filter`: clamped time-range predicate. */
+  def fetchRangeFilter(s: SparkSession, dir: String): DataFrame =
+    Buckets.points(s, dir)
+      .filter(col("metric") === "error" &&
+        col("ts_s") >= clampFrom && col("ts_s") <= clampUntil)
+      .select(col("ts_s"), round(col("value"), 6).as("value"))
+      .orderBy("ts_s", "value")
+
+  val fetchRangeFilterSql: String =
+    s"""WITH $pointsSql
+       |SELECT ts_s, round(value, 6) AS value FROM pts
+       |WHERE metric = 'error' AND ts_s >= $clampFrom AND ts_s <= $clampUntil
+       |ORDER BY ts_s, value""".stripMargin
+
+  // ----------------------------------------------------- aggregation family
+
+  /** A1–A5 `agg_*`: one tumbling-1h consolidation per method over raw
+    * points. `last` uses the LWW total order (ts, value) — SURVEY.md §2.4
+    * A3: deterministic, unlike Spark's order-dependent `last()`.
+    */
+  private def aggFamily(s: SparkSession, dir: String, m: AggregationMethod): DataFrame = {
+    val agg = m match {
+      case AggregationMethod.Last =>
+        max_by(col("value"), struct(col("ts_s"), col("value")))
+      case other => Rollup.aggColumn(other, col("value"), col("ts_s"))
+    }
+    Buckets.points(s, dir)
+      .groupBy(col("metric"), Buckets.alignTs(col("ts_s"), 3600).as("bucket_ts"))
+      .agg(round(agg, 6).as("value"))
+      .orderBy("metric", "bucket_ts")
+  }
+
+  def aggQuery(m: AggregationMethod)(s: SparkSession, dir: String): DataFrame =
+    aggFamily(s, dir, m)
+
+  def aggFamilySql(m: AggregationMethod): String = m match {
+    case AggregationMethod.Last =>
+      s"""WITH $pointsSql
+         |SELECT metric, bucket_ts, round(value, 6) AS value FROM (
+         |  SELECT metric, (ts_s // 3600) * 3600 AS bucket_ts, value,
+         |         row_number() OVER (PARTITION BY metric, (ts_s // 3600) * 3600
+         |                            ORDER BY ts_s DESC, value DESC) AS rn
+         |  FROM pts) WHERE rn = 1
+         |ORDER BY metric, bucket_ts""".stripMargin
+    case other =>
+      val f = other match {
+        case AggregationMethod.Average => "avg"
+        case AggregationMethod.Sum     => "sum"
+        case AggregationMethod.Max     => "max"
+        case AggregationMethod.Min     => "min"
+        case _ => throw new MatchError(other)
+      }
+      s"""WITH $pointsSql
+         |SELECT metric, (ts_s // 3600) * 3600 AS bucket_ts,
+         |       round($f(value), 6) AS value
+         |FROM pts GROUP BY 1, 2
+         |ORDER BY metric, bucket_ts""".stripMargin
+  }
+
+  /** `agg_avg_xff`: the xFilesFactor quality gate (SURVEY.md §2.4) on the
+    * 1m→1h consolidation: total = 60 slots, xff = 0.05 → a 1h bucket is
+    * emitted only when ≥3 distinct 1m slots are present. Input is the
+    * 1m LWW level (whisper propagates archive slots, not raw points).
+    */
+  def aggAvgXff(s: SparkSession, dir: String): DataFrame =
+    Rollup.propagate(Ingest.lwwAlign(Buckets.points(s, dir), 60),
+        60, 3600, AggregationMethod.Average, 0.05)
+      .select(col("metric"), col("bucket_ts"), round(col("value"), 6).as("value"),
+        col("known"), col("total"))
+      .orderBy("metric", "bucket_ts")
+
+  val aggAvgXffSql: String =
+    s"""WITH $pointsSql,
+       |lww1m AS (${Ingest.lwwAlignSql(60)}),
+       |rolled AS (${Rollup.propagateSql("lww1m", 60, 3600, AggregationMethod.Average, 0.05)})
+       |SELECT metric, bucket_ts, round(value, 6) AS value, known, total
+       |FROM rolled ORDER BY metric, bucket_ts""".stripMargin
+
+  // ------------------------------------------------------------ write path
+
+  /** U2 `upsert_batch_lww`: batch upsert = LWW dedup per aligned 1m slot. */
+  def upsertBatchLww(s: SparkSession, dir: String): DataFrame =
+    Ingest.lwwAlign(Buckets.points(s, dir), 60)
+      .select(col("metric"), col("bucket_ts"), round(col("value"), 6).as("value"))
+      .orderBy("metric", "bucket_ts")
+
+  val upsertBatchLwwSql: String =
+    s"""WITH $pointsSql,
+       |lww1m AS (${Ingest.lwwAlignSql(60)})
+       |SELECT metric, bucket_ts, round(value, 6) AS value FROM lww1m
+       |ORDER BY metric, bucket_ts""".stripMargin
+
+  /** U3 `archive_routing`: per-archive landing counts under the std
+    * schema (1m:1d, 5m:7d, 1h:30d), age measured from pinned now.
+    */
+  def archiveRouting(s: SparkSession, dir: String): DataFrame =
+    Buckets.points(s, dir)
+      .withColumn("archive", Ingest.archiveColumn(std, NowS))
+      .groupBy("archive")
+      .agg(count(lit(1)).as("n"), countDistinct(col("metric")).as("metrics"))
+      .orderBy("archive")
+
+  val archiveRoutingSql: String =
+    s"""WITH $pointsSql
+       |SELECT ${Ingest.archiveColumnSql(std, NowS)} AS archive,
+       |       count(*) AS n, count(DISTINCT metric) AS metrics
+       |FROM pts GROUP BY 1 ORDER BY archive""".stripMargin
+
+  /** F3 `ingest_retention_filter`: accepted/rejected split under the
+    * 1-day `lww` fixture schema (rejects ≈97% of the 30-day testdata —
+    * the gate is exercised in both directions).
+    */
+  def ingestRetentionFilter(s: SparkSession, dir: String): DataFrame =
+    Buckets.points(s, dir)
+      .withColumn("status", Ingest.retentionStatus(lwwSchema, NowS))
+      .groupBy("status")
+      .agg(count(lit(1)).as("n"))
+      .orderBy("status")
+
+  val ingestRetentionFilterSql: String = {
+    val maxRet = lwwSchema.maxRetentionSeconds
+    s"""WITH $pointsSql
+       |SELECT CASE WHEN $NowS - ts_s >= 0 AND $NowS - ts_s < $maxRet
+       |            THEN 'accepted' ELSE 'rejected' END AS status,
+       |       count(*) AS n
+       |FROM pts GROUP BY 1 ORDER BY status""".stripMargin
+  }
+
+  // --------------------------------------------------------------- rollups
+
+  /** R1/R2 `rollup_cascade_5m`: level 2 of the cascade — 1m LWW slots
+    * consolidated 5× by Sum (xff=0, `tight`-style fixture).
+    */
+  private def cascade5m(s: SparkSession, dir: String): DataFrame =
+    Rollup.propagate(Ingest.lwwAlign(Buckets.points(s, dir), 60),
+      60, 300, AggregationMethod.Sum, 0.0)
+
+  def rollupCascade5m(s: SparkSession, dir: String): DataFrame =
+    cascade5m(s, dir)
+      .select(col("metric"), col("bucket_ts"), round(col("value"), 6).as("value"),
+        col("known"), col("total"))
+      .orderBy("metric", "bucket_ts")
+
+  private val cascade5mCtes =
+    s"""$pointsSql,
+       |lww1m AS (${Ingest.lwwAlignSql(60)}),
+       |r5m AS (${Rollup.propagateSql("lww1m", 60, 300, AggregationMethod.Sum, 0.0)})""".stripMargin
+
+  val rollupCascade5mSql: String =
+    s"""WITH $cascade5mCtes
+       |SELECT metric, bucket_ts, round(value, 6) AS value, known, total
+       |FROM r5m ORDER BY metric, bucket_ts""".stripMargin
+
+  /** `rollup_cascade_1h`: level 3 — the 5m level consolidated 12× further.
+    * Sum-of-sums, so `value` equals the 1m-level sum over the hour (the
+    * §5.2 cascade-consistency property).
+    */
+  def rollupCascade1h(s: SparkSession, dir: String): DataFrame =
+    Rollup.propagate(cascade5m(s, dir).select("metric", "bucket_ts", "value"),
+        300, 3600, AggregationMethod.Sum, 0.0)
+      .select(col("metric"), col("bucket_ts"), round(col("value"), 6).as("value"),
+        col("known"), col("total"))
+      .orderBy("metric", "bucket_ts")
+
+  val rollupCascade1hSql: String =
+    s"""WITH $cascade5mCtes,
+       |r5v AS (SELECT metric, bucket_ts, value FROM r5m),
+       |r1h AS (${Rollup.propagateSql("r5v", 300, 3600, AggregationMethod.Sum, 0.0)})
+       |SELECT metric, bucket_ts, round(value, 6) AS value, known, total
+       |FROM r1h ORDER BY metric, bucket_ts""".stripMargin
+
+  /** R3 `retention_expiry`: the 1m level after its 1-day ring horizon. */
+  def retentionExpiry(s: SparkSession, dir: String): DataFrame =
+    Rollup.retentionExpiry(
+        Ingest.lwwAlign(Buckets.points(s, dir), 60), 86400L, NowS)
+      .select(col("metric"), col("bucket_ts"), round(col("value"), 6).as("value"))
+      .orderBy("metric", "bucket_ts")
+
+  val retentionExpirySql: String =
+    s"""WITH $pointsSql,
+       |lww1m AS (${Ingest.lwwAlignSql(60)})
+       |SELECT metric, bucket_ts, round(value, 6) AS value FROM lww1m
+       |WHERE bucket_ts >= ${NowS - 86400L}
+       |ORDER BY metric, bucket_ts""".stripMargin
+
+  // -------------------------------------------------------------- registry
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "scan_points" -> (scanPoints _),
+    "fetch_range_filter" -> (fetchRangeFilter _),
+    "fetch_dense_series" -> ((s, d) => Fetch.fetchDenseSeries(s, d)),
+    "agg_avg" -> aggQuery(AggregationMethod.Average) _,
+    "agg_sum" -> aggQuery(AggregationMethod.Sum) _,
+    "agg_last" -> aggQuery(AggregationMethod.Last) _,
+    "agg_max" -> aggQuery(AggregationMethod.Max) _,
+    "agg_min" -> aggQuery(AggregationMethod.Min) _,
+    "agg_avg_xff" -> (aggAvgXff _),
+    "upsert_batch_lww" -> (upsertBatchLww _),
+    "archive_routing" -> (archiveRouting _),
+    "ingest_retention_filter" -> (ingestRetentionFilter _),
+    "rollup_cascade_5m" -> (rollupCascade5m _),
+    "rollup_cascade_1h" -> (rollupCascade1h _),
+    "retention_expiry" -> (retentionExpiry _)
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "scan_points" -> scanPointsSql,
+    "fetch_range_filter" -> fetchRangeFilterSql,
+    "fetch_dense_series" -> Fetch.fetchDenseSeriesSql,
+    "agg_avg" -> aggFamilySql(AggregationMethod.Average),
+    "agg_sum" -> aggFamilySql(AggregationMethod.Sum),
+    "agg_last" -> aggFamilySql(AggregationMethod.Last),
+    "agg_max" -> aggFamilySql(AggregationMethod.Max),
+    "agg_min" -> aggFamilySql(AggregationMethod.Min),
+    "agg_avg_xff" -> aggAvgXffSql,
+    "upsert_batch_lww" -> upsertBatchLwwSql,
+    "archive_routing" -> archiveRoutingSql,
+    "ingest_retention_filter" -> ingestRetentionFilterSql,
+    "rollup_cascade_5m" -> rollupCascade5mSql,
+    "rollup_cascade_1h" -> rollupCascade1hSql,
+    "retention_expiry" -> retentionExpirySql
+  )
+}

@@ -1,0 +1,82 @@
+package graft.ops
+
+import graft.model.WhisperSchema
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Write-path operators (reference: whisper.go → `Update`, `UpdateMany`,
+  * `alignPoints`, `extractPoints`; SURVEY.md §2.6 U1–U3, §2.2 F3).
+  *
+  * Whisper's write path is: route each incoming point to the finest
+  * archive whose retention covers its age (U3), floor its timestamp to
+  * that archive's resolution, and overwrite the slot — last write wins
+  * (U2). This engine expresses the same as a batch dedup: one winner per
+  * (metric, aligned bucket), standardized (SURVEY.md §7.4 risk 3) as
+  * latest-raw-timestamp-wins with larger-value tiebreak, i.e.
+  * `max_by(value, struct(ts_s, value))`.
+  *
+  * Scale notes (100 TB): LWW dedup is a hash aggregation keyed on
+  * (metric, bucket) — map-side partial aggregation collapses duplicates
+  * before the shuffle, so shuffle volume is bounded by distinct buckets,
+  * not input rows. No window/sort needed (a `row_number` formulation would
+  * force a per-partition sort; `max_by` stays in `HashAggregateExec`).
+  */
+object Ingest {
+
+  /** The LWW tie-break pair: later raw timestamp wins, then larger value.
+    * Total order per (metric, bucket) — deterministic under any
+    * partitioning.
+    */
+  private def lwwKey: Column = struct(col("ts_s"), col("value"))
+
+  /** U2 `alignPoints`: floor to the archive step and dedupe per interval,
+    * last write wins. Input `(metric, ts_s, value)` → output
+    * `(metric, bucket_ts, value)`.
+    */
+  def lwwAlign(pts: DataFrame, spp: Int): DataFrame =
+    pts.groupBy(col("metric"), Buckets.alignTs(col("ts_s"), spp).as("bucket_ts"))
+      .agg(max_by(col("value"), lwwKey).as("value"))
+
+  /** SQL-shape of [[lwwAlign]] as a DuckDB CTE body (row_number form —
+    * identical winner to `max_by(value, struct(ts_s, value))`).
+    */
+  def lwwAlignSql(spp: Int): String =
+    s"""SELECT metric, bucket_ts, value FROM (
+       |  SELECT metric, (ts_s // $spp) * $spp AS bucket_ts, value,
+       |         row_number() OVER (PARTITION BY metric, (ts_s // $spp) * $spp
+       |                            ORDER BY ts_s DESC, value DESC) AS rn
+       |  FROM pts) WHERE rn = 1""".stripMargin
+
+  /** U3 archive selection as a routing column: 1-based index of the
+    * finest archive whose retention strictly exceeds the point's age,
+    * 0 = rejected (older than every archive, or future — F3).
+    * Whisper iterates finest→coarsest and takes the first archive with
+    * `age < maxRetention`; a CASE chain is the relational equivalent.
+    */
+  def archiveColumn(schema: WhisperSchema, nowS: Long): Column = {
+    val age = lit(nowS) - col("ts_s")
+    val routed = schema.retentions.zipWithIndex.foldRight(lit(0): Column) {
+      case ((r, i), elseCol) =>
+        when(age < r.maxRetentionSeconds, lit(i + 1)).otherwise(elseCol)
+    }
+    when(age < 0, lit(0)).otherwise(routed)
+  }
+
+  /** SQL-shape of [[archiveColumn]]. */
+  def archiveColumnSql(schema: WhisperSchema, nowS: Long): String = {
+    val arms = schema.retentions.zipWithIndex.map { case (r, i) =>
+      s"WHEN $nowS - ts_s < ${r.maxRetentionSeconds} THEN ${i + 1}"
+    }.mkString(" ")
+    s"CASE WHEN $nowS - ts_s < 0 THEN 0 $arms ELSE 0 END"
+  }
+
+  /** F3 out-of-retention gate: label each point accepted/rejected against
+    * the schema's max retention (whisper: "Timestamp not covered by any
+    * archives in this database").
+    */
+  def retentionStatus(schema: WhisperSchema, nowS: Long): Column = {
+    val age = lit(nowS) - col("ts_s")
+    when(age >= 0 && age < schema.maxRetentionSeconds, lit("accepted"))
+      .otherwise(lit("rejected"))
+  }
+}

@@ -1,0 +1,118 @@
+package graft.ops
+
+import graft.model.AggregationMethod
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Rollup / propagation cascade — whisper's signature operator
+  * (reference: whisper.go → `func (whisper *Whisper) propagate`,
+  * `func aggregate`; SURVEY.md §2.4, §2.5).
+  *
+  * Whisper propagates each write down the archive list: the consolidation
+  * window of a coarser archive aggregates the `lower.spp / higher.spp`
+  * finer-archive slots it covers, gated by xFilesFactor (emit only if
+  * `known/total >= xff`). This engine re-derives every level wholesale
+  * from the previous one (SURVEY.md §2.5 R2: equivalent end-state for
+  * complete batches) — each level is one hash aggregation, and the whole
+  * cascade is a fold over the retention list.
+  *
+  * Scale notes (100 TB): each level's input is the previous level's
+  * output, so data volume shrinks by the spp ratio at every step; the
+  * first (finest) level is the only full-data shuffle. Levels are
+  * idempotent re-derivations — safe to recompute per time-partition, so a
+  * production pipeline would partition `points_<spp>s` by `date(bucket_ts)`
+  * and only re-derive partitions touched by new data (SURVEY.md §7.4
+  * note 5). The xFF gate is a post-aggregation filter on the already
+  * reduced rows — negligible cost.
+  */
+object Rollup {
+
+  /** `func aggregate(method, knownValues)`: the five consolidation
+    * functions over a consolidation window (SURVEY.md §2.4 A1–A5).
+    * `Last` = value at the latest finer-archive interval in the window
+    * (`max_by(value, bucket_ts)`; bucket_ts values are distinct within a
+    * window after LWW alignment, so no further tiebreak is needed).
+    */
+  def aggColumn(method: AggregationMethod, value: Column, ts: Column): Column =
+    method match {
+      case AggregationMethod.Average => avg(value)
+      case AggregationMethod.Sum     => sum(value)
+      case AggregationMethod.Last    => max_by(value, ts)
+      case AggregationMethod.Max     => max(value)
+      case AggregationMethod.Min     => min(value)
+    }
+
+  /** SQL-shape of [[aggColumn]] for the oracle dialect. `Last` uses the
+    * window form (`row_number` over ts DESC) handled in [[propagateSql]].
+    */
+  private def aggSql(method: AggregationMethod): String = method match {
+    case AggregationMethod.Average => "avg(value)"
+    case AggregationMethod.Sum     => "sum(value)"
+    case AggregationMethod.Max     => "max(value)"
+    case AggregationMethod.Min     => "min(value)"
+    case AggregationMethod.Last =>
+      throw new IllegalArgumentException("Last uses propagateSql's window form")
+  }
+
+  /** R1 `propagate`: one cascade step. Input: a finer level
+    * `(metric, bucket_ts, value)` at resolution `higherSpp`; output the
+    * coarser level at `lowerSpp` with whisper's quality metadata:
+    * `(metric, bucket_ts, value, known, total)` where
+    * `total = lowerSpp / higherSpp` slots and `known` = slots present.
+    * Rows failing `known/total >= xff` are dropped (the gate; whisper
+    * additionally stops cascading for that bucket — identical end state
+    * since coarser levels re-derive from this output).
+    */
+  def propagate(
+      level: DataFrame,
+      higherSpp: Int,
+      lowerSpp: Int,
+      method: AggregationMethod,
+      xff: Double): DataFrame = {
+    require(lowerSpp % higherSpp == 0, s"$lowerSpp not a multiple of $higherSpp")
+    val total = lowerSpp / higherSpp
+    level
+      .groupBy(col("metric"), Buckets.alignTs(col("bucket_ts"), lowerSpp).as("bucket_ts"))
+      .agg(
+        aggColumn(method, col("value"), col("bucket_ts")).as("value"),
+        count(lit(1)).as("known"))
+      .withColumn("total", lit(total.toLong))
+      .filter(col("known").cast("double") / col("total") >= xff)
+  }
+
+  /** SQL-shape of [[propagate]] over a CTE named `src`. */
+  def propagateSql(
+      srcCte: String,
+      higherSpp: Int,
+      lowerSpp: Int,
+      method: AggregationMethod,
+      xff: Double): String = {
+    val total = lowerSpp / higherSpp
+    val gate =
+      if (xff <= 0.0) ""
+      else s" HAVING count(*) / CAST($total AS DOUBLE) >= $xff"
+    method match {
+      case AggregationMethod.Last =>
+        // value at the max finer bucket_ts per coarser bucket
+        s"""SELECT metric, bucket_ts, value, known, CAST($total AS BIGINT) AS total FROM (
+           |  SELECT metric, (bucket_ts // $lowerSpp) * $lowerSpp AS bucket_ts, value,
+           |         row_number() OVER (PARTITION BY metric, (bucket_ts // $lowerSpp) * $lowerSpp
+           |                            ORDER BY bucket_ts DESC) AS rn,
+           |         count(*) OVER (PARTITION BY metric, (bucket_ts // $lowerSpp) * $lowerSpp) AS known
+           |  FROM $srcCte) WHERE rn = 1
+           |    AND known / CAST($total AS DOUBLE) >= $xff""".stripMargin
+      case m =>
+        s"""SELECT metric, (bucket_ts // $lowerSpp) * $lowerSpp AS bucket_ts,
+           |       ${aggSql(m)} AS value, count(*) AS known,
+           |       CAST($total AS BIGINT) AS total
+           |FROM $srcCte GROUP BY 1, 2$gate""".stripMargin
+    }
+  }
+
+  /** R3 ring-buffer retention expiry: keep only buckets inside the
+    * archive's time span, relative to pinned "now" (reference: implicit
+    * in whisper's `PointOffset` ring arithmetic; SURVEY.md §2.5 R3).
+    */
+  def retentionExpiry(level: DataFrame, retentionSeconds: Long, nowS: Long): DataFrame =
+    level.filter(col("bucket_ts") >= nowS - retentionSeconds)
+}

@@ -1,0 +1,143 @@
+package graft.ops
+
+import graft.model.{AggregationMethod, Retentions}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Semantic-trap tests (SURVEY.md §4.4) on tiny in-memory frames. */
+class CoreOpsSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private def pts(rows: (String, Long, Double)*) = {
+    import spark.implicits._
+    rows.toDF("metric", "ts_s", "value")
+  }
+
+  test("fetchInterval endpoints: floor + step (trap 1)") {
+    assert(Buckets.fetchInterval(120, 60) == 180) // aligned → next bucket
+    assert(Buckets.fetchInterval(121, 60) == 180)
+    assert(Buckets.fetchInterval(179, 60) == 180)
+    assert(Buckets.fetchInterval(180, 60) == 240)
+  }
+
+  test("denseSeries length == (until' - from')/step and gaps are NULL") {
+    val df = Fetch.denseSeries(spark, pts(("m", 65L, 1.0), ("m", 200L, 4.0)),
+      "m", 0L, 600L, 60)
+    val rows = df.collect()
+    assert(rows.length == 10) // (660-60)/60
+    assert(rows.head.getLong(0) == 60)
+    assert(rows.last.getLong(0) == 600)
+    // ts 65 → bucket 60; ts 200 → bucket 180; everything else NULL
+    val byBucket = rows.map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toMap
+    assert(byBucket(60).contains(1.0))
+    assert(byBucket(180).contains(4.0))
+    assert(byBucket(120).isEmpty && byBucket(600).isEmpty)
+  }
+
+  test("denseSeries excludes the bucket containing `from`, includes `until`'s") {
+    // point in bucket 0 (ts 30) must NOT appear for from=0 (fromInterval=60);
+    // until=119 lives in bucket 60, which is the last bucket returned.
+    val df = Fetch.denseSeries(spark, pts(("m", 30L, 9.0), ("m", 70L, 2.0)),
+      "m", 0L, 119L, 60)
+    val rows = df.collect()
+    assert(rows.map(_.getLong(0)).toSeq == Seq(60L))
+    assert(rows(0).getDouble(1) == 2.0)
+    // aligned until=120 extends the series by one (empty) bucket
+    val rows2 = Fetch.denseSeries(spark, pts(("m", 30L, 9.0), ("m", 70L, 2.0)),
+      "m", 0L, 120L, 60).collect()
+    assert(rows2.map(_.getLong(0)).toSeq == Seq(60L, 120L))
+    assert(rows2(1).isNullAt(1))
+  }
+
+  test("lwwAlign: latest raw timestamp wins, value breaks exact ties") {
+    val df = Ingest.lwwAlign(pts(
+      ("m", 100L, 1.0), ("m", 110L, 2.0),   // same 1m bucket → ts 110 wins
+      ("m", 130L, 7.0), ("m", 130L, 3.0),   // exact ts tie → larger value wins
+      ("n", 100L, 5.0)), 60)
+    val got = df.collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got == Set(("m", 60L, 2.0), ("m", 120L, 7.0), ("n", 60L, 5.0)))
+  }
+
+  test("propagate: xff gate edge — known/total exactly == xff is kept (>=)") {
+    // 1m level with 3 of 5 slots in one 5m window: ratio 0.6
+    val level = pts(("m", 0L, 1.0), ("m", 60L, 2.0), ("m", 120L, 3.0))
+      .withColumnRenamed("ts_s", "bucket_ts")
+    def known(xff: Double) =
+      Rollup.propagate(level, 60, 300, AggregationMethod.Sum, xff).count()
+    assert(known(0.6) == 1)   // == xff → kept
+    assert(known(0.601) == 0) // just above → dropped
+    assert(known(0.0) == 1)
+  }
+
+  test("propagate: Average divides by known count, not window size (trap 3)") {
+    val level = pts(("m", 0L, 1.0), ("m", 60L, 3.0))
+      .withColumnRenamed("ts_s", "bucket_ts")
+    val row = Rollup.propagate(level, 60, 300, AggregationMethod.Average, 0.0)
+      .collect().head
+    assert(row.getAs[Double]("value") == 2.0) // (1+3)/2, NOT /5
+    assert(row.getAs[Long]("known") == 2 && row.getAs[Long]("total") == 5)
+  }
+
+  test("propagate: Last takes the latest finer slot in the window") {
+    val level = pts(("m", 0L, 9.0), ("m", 240L, 4.0))
+      .withColumnRenamed("ts_s", "bucket_ts")
+    val row = Rollup.propagate(level, 60, 300, AggregationMethod.Last, 0.0)
+      .collect().head
+    assert(row.getAs[Double]("value") == 4.0)
+  }
+
+  test("archiveColumn routes by age with strict retention bound (U3)") {
+    val now = 10L * 86400
+    val df = pts(
+      ("m", now - 10, 1.0),          // age 10 → archive 1 (1m:1d)
+      ("m", now - 86400, 1.0),       // age == 1d → archive 2 (5m:7d)
+      ("m", now - 8 * 86400, 1.0),   // age 8d → archive 3 (1h:30d)
+      ("m", now + 5, 1.0))           // future → 0
+      .withColumn("archive", Ingest.archiveColumn(Retentions.std, now))
+    assert(df.select("archive").collect().map(_.getInt(0)).toSeq == Seq(1, 2, 3, 0))
+  }
+
+  test("retentionStatus accepts [0, maxRetention) ages only (F3)") {
+    val now = 100L * 86400
+    val df = pts(
+      ("m", now, 1.0),                   // age 0 → accepted
+      ("m", now - 86400 + 1, 1.0),       // just inside 1d → accepted
+      ("m", now - 86400, 1.0),           // age == maxRetention → rejected
+      ("m", now + 1, 1.0))               // future → rejected
+      .withColumn("st", Ingest.retentionStatus(Retentions.lww, now))
+    assert(df.select("st").collect().map(_.getString(0)).toSeq ==
+      Seq("accepted", "accepted", "rejected", "rejected"))
+  }
+
+  test("selectArchive picks finest archive covering now-from (Q1)") {
+    val now = Buckets.NowS
+    assert(Fetch.selectArchive(Retentions.std, now, now - 3600).secondsPerPoint == 60)
+    assert(Fetch.selectArchive(Retentions.std, now, now - 86400).secondsPerPoint == 60)
+    assert(Fetch.selectArchive(Retentions.std, now, now - 86401).secondsPerPoint == 300)
+    assert(Fetch.selectArchive(Retentions.std, now, now - 8 * 86400).secondsPerPoint == 3600)
+    // older than every archive → coarsest (fetch clamps the range anyway)
+    assert(Fetch.selectArchive(Retentions.std, now, now - 60 * 86400).secondsPerPoint == 3600)
+  }
+
+  test("cascade consistency: sum-of-5m-sums equals direct 1h sum over LWW") {
+    val p = pts((1 to 500).map(i => ("m", i * 37L % 7200, i.toDouble)): _*)
+    val lww = Ingest.lwwAlign(p, 60)
+    val via5m = Rollup.propagate(
+      Rollup.propagate(lww, 60, 300, AggregationMethod.Sum, 0.0)
+        .select("metric", "bucket_ts", "value"),
+      300, 3600, AggregationMethod.Sum, 0.0)
+      .select("metric", "bucket_ts", "value")
+    val direct = Rollup.propagate(lww, 60, 3600, AggregationMethod.Sum, 0.0)
+      .select("metric", "bucket_ts", "value")
+    val a = via5m.collect().map(r => (r.getLong(1), math.round(r.getDouble(2) * 1e6))).toSet
+    val b = direct.collect().map(r => (r.getLong(1), math.round(r.getDouble(2) * 1e6))).toSet
+    assert(a == b)
+  }
+}

@@ -1,0 +1,272 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators over `documents(doc_id, text, lang, source,
+  * n_chars)` — the LLM-pipeline extension surface (SURVEY.md §2.9 X1/X2,
+  * BASELINE.json north star). No reference counterpart: whisper has no
+  * string data plane.
+  *
+  * Cross-engine determinism: every hash here is MD5 (present and
+  * bit-identical in both Spark and DuckDB), so even the MinHash/LSH
+  * pipeline is oracle-checkable — the oracle runs the same signatures.
+  *
+  * Scale design (100 TB):
+  *  - exact dedup groups on `md5(text)` (16 B key) instead of shuffling
+  *    full document bodies;
+  *  - MinHash-LSH is the scale path for near-dup: one explode to
+  *    (doc, band) — b·n rows — then an equi-join on band key; candidate
+  *    verification touches only colliding pairs. The exact n-gram
+  *    Jaccard self-join is kept as the small-scale correctness oracle
+  *    (its shingle join explodes on frequent shingles at scale);
+  *  - SimHash emits one 16-bit fingerprint per doc; near-dup lookup at
+  *    scale groups by fingerprint bands (not materialized here).
+  */
+object Dedup {
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/documents.parquet")
+
+  /** `tokens` / 3-gram shingle expressions shared by the dedup family.
+    * min tokens in testdata = 10, so `size(toks) - 2 >= 1` always.
+    */
+  private val toksExpr = "split(lower(text), ' ')"
+  private val shinglesExpr =
+    s"array_distinct(transform(sequence(1, size($toksExpr) - 2), " +
+      s"i -> array_join(slice($toksExpr, i, 3), ' ')))"
+
+  private val toksSql = "string_split(lower(text), ' ')"
+
+  /** Distinct (doc_id, shingle) pairs; SQL CTE `shingle_u` mirrors it. */
+  private def shingleSet(d: DataFrame): DataFrame =
+    d.select(col("doc_id"), explode(expr(shinglesExpr)).as("g"))
+
+  private val shingleUSql: String =
+    s"""shingle_u AS (
+       |  SELECT DISTINCT doc_id, array_to_string(list_slice(toks, i, i + 2), ' ') AS g
+       |  FROM (SELECT doc_id, $toksSql AS toks FROM documents),
+       |       unnest(generate_series(1, len(toks) - 2)) AS t(i))""".stripMargin
+
+  // ------------------------------------------------------------- X1 exact
+
+  /** `dedup_exact`: one survivor per identical text. Groups on md5(text)
+    * so the shuffle key is 16 bytes, not the document body; keeps the
+    * smallest doc_id (deterministic winner) and the group size.
+    */
+  def dedupExact(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .groupBy(md5(col("text")).as("text_hash"))
+      .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("n"))
+      .select(col("doc_id"), col("n"))
+      .orderBy("doc_id")
+
+  val dedupExactSql: String =
+    """SELECT min(doc_id) AS doc_id, count(*) AS n
+      |FROM documents GROUP BY md5(text) ORDER BY doc_id""".stripMargin
+
+  // ----------------------------------------------------- X2 fuzzy (prefix)
+
+  /** `dedup_fuzzy`: deterministic near-dup simplification — collapse on
+    * the lowercased first-5-token prefix (SURVEY.md §2.9 X2's
+    * oracle-checkable form; the full MinHash path is [[dedupMinhash]]).
+    */
+  def dedupFuzzy(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .groupBy(expr(s"array_join(slice($toksExpr, 1, 5), ' ')").as("pfx"))
+      .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("n"))
+      .select(col("doc_id"), col("n"))
+      .orderBy("doc_id")
+
+  val dedupFuzzySql: String =
+    s"""SELECT min(doc_id) AS doc_id, count(*) AS n
+       |FROM documents
+       |GROUP BY array_to_string(list_slice($toksSql, 1, 5), ' ')
+       |ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------- X2 exact n-gram Jaccard
+
+  /** `dedup_ngram_jaccard`: exact pairwise Jaccard over distinct 3-gram
+    * token shingles, threshold 0.5. The correctness oracle for the LSH
+    * path — O(pairs-sharing-a-shingle), small-scale only (scaladoc above).
+    */
+  def dedupNgramJaccard(s: SparkSession, dir: String): DataFrame = {
+    val u = shingleSet(docs(s, dir)).cache()
+    val sizes = u.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    val a = u.select(col("doc_id").as("doc_a"), col("g"))
+    val b = u.select(col("doc_id").as("doc_b"), col("g"))
+    val inter = a.join(b, Seq("g")).filter(col("doc_a") < col("doc_b"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("x"))
+    inter
+      .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sz", "na"), "doc_a")
+      .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sz", "nb"), "doc_b")
+      .withColumn("jaccard", col("x").cast("double") / (col("na") + col("nb") - col("x")))
+      .filter(col("jaccard") >= 0.5)
+      .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"))
+      .orderBy("doc_a", "doc_b")
+  }
+
+  val dedupNgramJaccardSql: String =
+    s"""WITH $shingleUSql,
+       |sizes AS (SELECT doc_id, count(*) AS sz FROM shingle_u GROUP BY 1),
+       |inter AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS x
+       |  FROM shingle_u a JOIN shingle_u b ON a.g = b.g AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2)
+       |SELECT doc_a, doc_b,
+       |       round(x * 1.0 / (na.sz + nb.sz - x), 6) AS jaccard
+       |FROM inter
+       |JOIN sizes na ON na.doc_id = doc_a
+       |JOIN sizes nb ON nb.doc_id = doc_b
+       |WHERE x * 1.0 / (na.sz + nb.sz - x) >= 0.5
+       |ORDER BY doc_a, doc_b""".stripMargin
+
+  // ------------------------------------------------------ X2 MinHash + LSH
+
+  /** LSH geometry: 16 MD5 MinHashes, 8 bands × 2 rows. Candidate
+    * probability at Jaccard j is 1-(1-j²)⁸ (≈1.0 for j ≥ 0.8, 0.90 at
+    * j = 0.5) — recall < 1 near the threshold is the documented LSH
+    * trade-off; both engines compute the identical candidate set, so the
+    * oracle still hash-matches.
+    */
+  val MinhashSeeds = 16
+  val BandRows = 2
+
+  /** `dedup_minhash`: MinHash signatures → banded LSH buckets →
+    * candidate pairs → exact Jaccard verification (≥ 0.5) on candidates
+    * only.
+    */
+  def dedupMinhash(s: SparkSession, dir: String): DataFrame = {
+    val base = docs(s, dir).withColumn("shingles", expr(shinglesExpr))
+    // 16 minhash columns: mh_i = min over shingles of md5("i|" + shingle)
+    val withMh = (0 until MinhashSeeds).foldLeft(base) { (df, i) =>
+      df.withColumn(s"mh_$i",
+        expr(s"array_min(transform(shingles, g -> md5(concat('$i|', g))))"))
+    }
+    // 8 bands of 2 rows, band key = md5(mh_{2b} || mh_{2b+1})
+    val bandCols = (0 until MinhashSeeds / BandRows).map { b =>
+      md5(concat_ws("", (0 until BandRows).map(r => col(s"mh_${b * BandRows + r}")): _*))
+    }
+    val bands = withMh.select(col("doc_id"),
+        posexplode(array(bandCols: _*)).as(Seq("band_id", "band_key")))
+    val cand = bands.as("a")
+      .join(bands.as("b"),
+        col("a.band_id") === col("b.band_id") &&
+          col("a.band_key") === col("b.band_key") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    // exact Jaccard, but only on LSH candidates
+    val u = shingleSet(docs(s, dir)).cache()
+    val sizes = u.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    val inter = cand
+      .join(u.select(col("doc_id").as("doc_a"), col("g")), "doc_a")
+      .join(u.select(col("doc_id").as("doc_b"), col("g").as("g2")), "doc_b")
+      .filter(col("g") === col("g2"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("x"))
+    inter
+      .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sz", "na"), "doc_a")
+      .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sz", "nb"), "doc_b")
+      .withColumn("jaccard", col("x").cast("double") / (col("na") + col("nb") - col("x")))
+      .filter(col("jaccard") >= 0.5)
+      .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"))
+      .orderBy("doc_a", "doc_b")
+  }
+
+  val dedupMinhashSql: String = {
+    val bands = MinhashSeeds / BandRows
+    s"""WITH $shingleUSql,
+       |mh AS (
+       |  SELECT doc_id, t.s AS s, min(md5(t.s::VARCHAR || '|' || g)) AS h
+       |  FROM shingle_u, range($MinhashSeeds) AS t(s)
+       |  GROUP BY doc_id, t.s),
+       |bands AS (
+       |  SELECT doc_id, s // $BandRows AS band_id,
+       |         md5(string_agg(h, '' ORDER BY s)) AS band_key
+       |  FROM mh GROUP BY doc_id, s // $BandRows),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM bands a JOIN bands b
+       |    ON a.band_id = b.band_id AND a.band_key = b.band_key
+       |   AND a.doc_id < b.doc_id),
+       |sizes AS (SELECT doc_id, count(*) AS sz FROM shingle_u GROUP BY 1),
+       |inter AS (
+       |  SELECT doc_a, doc_b, count(*) AS x
+       |  FROM cand
+       |  JOIN shingle_u ua ON ua.doc_id = doc_a
+       |  JOIN shingle_u ub ON ub.doc_id = doc_b AND ub.g = ua.g
+       |  GROUP BY 1, 2)
+       |SELECT doc_a, doc_b,
+       |       round(x * 1.0 / (na.sz + nb.sz - x), 6) AS jaccard
+       |FROM inter
+       |JOIN sizes na ON na.doc_id = doc_a
+       |JOIN sizes nb ON nb.doc_id = doc_b
+       |WHERE x * 1.0 / (na.sz + nb.sz - x) >= 0.5
+       |ORDER BY doc_a, doc_b""".stripMargin
+  }
+
+  // ------------------------------------------------------------ X2 SimHash
+
+  /** `dedup_simhash`: 16-bit SimHash per document from MD5 token hashes —
+    * bit k of the fingerprint is the sign of Σ_tokens (±1 by bit k of
+    * md5(token)). Token multiplicity counts (classic SimHash weighting).
+    */
+  def dedupSimhash(s: SparkSession, dir: String): DataFrame = {
+    val tok = docs(s, dir)
+      .select(col("doc_id"), explode(expr(toksExpr)).as("t"))
+      .withColumn("h", md5(col("t")))
+    val bitSums = (0 until 16).map { k =>
+      val nibble = s"position(substring(h, ${k / 4 + 1}, 1), '0123456789abcdef') - 1"
+      val bit = s"(($nibble) div ${1 << (3 - k % 4)}) % 2"
+      sum(expr(s"2 * ($bit) - 1")).as(s"s_$k")
+    }
+    val sums = tok.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
+    val fp = (0 until 16).map { k =>
+      when(col(s"s_$k") > 0, lit(1L << k)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    sums.select(col("doc_id"), fp.as("simhash")).orderBy("doc_id")
+  }
+
+  val dedupSimhashSql: String = {
+    val bitSums = (0 until 16).map { k =>
+      val nibble = s"strpos('0123456789abcdef', substr(h, ${k / 4 + 1}, 1)) - 1"
+      val bit = s"(($nibble) // ${1 << (3 - k % 4)}) % 2"
+      s"sum(2 * ($bit) - 1) AS s_$k"
+    }.mkString(", ")
+    val fp = (0 until 16)
+      .map(k => s"CASE WHEN s_$k > 0 THEN ${1L << k} ELSE 0 END")
+      .mkString(" + ")
+    s"""WITH tok AS (
+       |  SELECT doc_id, md5(t) AS h
+       |  FROM (SELECT doc_id, unnest($toksSql) AS t FROM documents)),
+       |sums AS (SELECT doc_id, $bitSums FROM tok GROUP BY doc_id)
+       |SELECT doc_id, CAST($fp AS BIGINT) AS simhash
+       |FROM sums ORDER BY doc_id""".stripMargin
+  }
+
+  // ------------------------------------------- X2 embedding-cosine near-dup
+
+  /** `dedup_embedding`: near-duplicate pairs by embedding cosine ≥ 0.45
+    * (testdata embeddings are unit-norm; the full cosine is computed
+    * anyway). Brute-force pair scan — the ANN/IVF scale path lives in
+    * [[Similarity]].
+    */
+  def dedupEmbedding(s: SparkSession, dir: String): DataFrame = {
+    val e = s.read.parquet(s"$dir/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    val a = e.select(col("vec_id").as("vec_a"), col("embedding").as("ea"))
+    val b = e.select(col("vec_id").as("vec_b"), col("embedding").as("eb"))
+    a.crossJoin(b).filter(col("vec_a") < col("vec_b"))
+      .withColumn("cosine", Similarity.cosineExpr("ea", "eb"))
+      .filter(col("cosine") >= 0.45)
+      .select(col("vec_a"), col("vec_b"), round(col("cosine"), 6).as("cosine"))
+      .orderBy("vec_a", "vec_b")
+  }
+
+  val dedupEmbeddingSql: String =
+    s"""SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       |       round(${Similarity.cosineSql("a.embedding", "b.embedding")}, 6) AS cosine
+       |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+       |WHERE ${Similarity.cosineSql("a.embedding", "b.embedding")} >= 0.45
+       |ORDER BY vec_a, vec_b""".stripMargin
+}

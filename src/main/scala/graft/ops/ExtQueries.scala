@@ -1,0 +1,43 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Registry for the LLM-pipeline extension operators (SURVEY.md §2.9). */
+object ExtQueries {
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_exact" -> (Dedup.dedupExact _),
+    "dedup_fuzzy" -> (Dedup.dedupFuzzy _),
+    "dedup_ngram_jaccard" -> (Dedup.dedupNgramJaccard _),
+    "dedup_minhash" -> (Dedup.dedupMinhash _),
+    "dedup_simhash" -> (Dedup.dedupSimhash _),
+    "dedup_embedding" -> (Dedup.dedupEmbedding _),
+    "similarity_topk" -> (Similarity.similarityTopk _),
+    "similarity_ann_ivf" -> (Similarity.similarityAnnIvf _),
+    "multimodal_join" -> (Similarity.multimodalJoin _),
+    "multimodal_extract" -> (Multimodal.multimodalExtract _),
+    "text_token_stats" -> (TextAnalysis.textTokenStats _),
+    "text_quality" -> (TextAnalysis.textQuality _),
+    "text_langid" -> (TextAnalysis.textLangid _),
+    "text_token_count" -> (TextAnalysis.textTokenCount _),
+    "doc_fingerprint" -> (TextAnalysis.docFingerprint _)
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "dedup_exact" -> Dedup.dedupExactSql,
+    "dedup_fuzzy" -> Dedup.dedupFuzzySql,
+    "dedup_ngram_jaccard" -> Dedup.dedupNgramJaccardSql,
+    "dedup_minhash" -> Dedup.dedupMinhashSql,
+    "dedup_simhash" -> Dedup.dedupSimhashSql,
+    "dedup_embedding" -> Dedup.dedupEmbeddingSql,
+    "similarity_topk" -> Similarity.similarityTopkSql,
+    "similarity_ann_ivf" -> Similarity.similarityAnnIvfSql,
+    "multimodal_join" -> Similarity.multimodalJoinSql,
+    "multimodal_extract" -> Multimodal.multimodalExtractSql,
+    "text_token_stats" -> TextAnalysis.textTokenStatsSql,
+    "text_quality" -> TextAnalysis.textQualitySql,
+    "text_langid" -> TextAnalysis.textLangidSql,
+    "text_token_count" -> TextAnalysis.textTokenCountSql,
+    "doc_fingerprint" -> TextAnalysis.docFingerprintSql
+  )
+}

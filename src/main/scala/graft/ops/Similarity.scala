@@ -1,0 +1,169 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over `embeddings(vec_id, embedding float[64], label)`
+  * (SURVEY.md §2.9 X3).
+  *
+  * Two paths, same output shape:
+  *  - [[similarityTopk]]: brute-force cosine top-k — the exactness
+  *    baseline. O(|Q|·n) dot products; the query side is broadcast, so
+  *    the candidate scan is a single embarrassingly parallel pass — at
+  *    100 TB this is the correctness oracle you run on a sample, not the
+  *    production path.
+  *  - [[similarityAnnIvf]]: IVF-style ANN — a coarse quantizer (here: a
+  *    deterministic subset of the vectors as centroids) assigns every
+  *    vector to its nearest centroid once (one broadcast pass), then each
+  *    query probes only its own cluster (nprobe=1): the candidate scan
+  *    shrinks by the centroid count. Both the assignment and the probe
+  *    are broadcast joins — no all-pairs shuffle anywhere. Recall < 1 by
+  *    design; the candidate sets are deterministic, so the DuckDB oracle
+  *    still matches exactly.
+  *
+  * Dot products run entirely in codegen'd higher-order functions
+  * (`zip_with` + `aggregate`, doubles) — no UDF, no collect.
+  */
+object Similarity {
+
+  /** Number of query vectors (vec_id < 10) and neighbors per query. */
+  val NumQueries = 10
+  val TopK = 5
+  /** Every 50th vector doubles as an IVF centroid (10 at sf0.01). */
+  val CentroidStride = 50
+
+  /** Cosine similarity of two float-array columns, accumulated in double
+    * in deterministic element order.
+    */
+  private def dot(a: String, b: String): String =
+    s"aggregate(zip_with($a, $b, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), " +
+      s"CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
+
+  def cosineExpr(a: String, b: String): Column =
+    expr(s"${dot(a, b)} / (sqrt(${dot(a, a)}) * sqrt(${dot(b, b)}))")
+
+  /** DuckDB equivalent (lists cast to DOUBLE[] so both engines sum
+    * doubles; ~1e-15 association noise is absorbed by round(..., 6)).
+    */
+  def cosineSql(a: String, b: String): String =
+    s"(list_dot_product($a::DOUBLE[], $b::DOUBLE[]) / " +
+      s"(sqrt(list_dot_product($a::DOUBLE[], $a::DOUBLE[])) * " +
+      s"sqrt(list_dot_product($b::DOUBLE[], $b::DOUBLE[]))))"
+
+  private def emb(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/embeddings.parquet").select(col("vec_id"), col("embedding"))
+
+  /** `similarity_topk`: exact cosine top-5 for the 10 query vectors. */
+  def similarityTopk(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    val q = e.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+    val scored = e.join(broadcast(q), col("query_id") =!= col("vec_id"))
+      .withColumn("score", cosineExpr("qe", "embedding"))
+    val w = Window.partitionBy("query_id").orderBy(col("score").desc, col("vec_id"))
+    scored.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= TopK)
+      .select(col("query_id"), col("vec_id").as("cand_id"),
+        round(col("score"), 6).as("score"), col("rnk"))
+      .orderBy("query_id", "rnk")
+  }
+
+  val similarityTopkSql: String =
+    s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qe
+       |           FROM embeddings WHERE vec_id < $NumQueries),
+       |scored AS (
+       |  SELECT q.query_id, e.vec_id AS cand_id,
+       |         ${cosineSql("q.qe", "e.embedding")} AS score
+       |  FROM q JOIN embeddings e ON e.vec_id <> q.query_id),
+       |ranked AS (
+       |  SELECT query_id, cand_id, round(score, 6) AS score,
+       |         row_number() OVER (PARTITION BY query_id
+       |                            ORDER BY score DESC, cand_id) AS rnk
+       |  FROM scored)
+       |SELECT query_id, cand_id, score, rnk FROM ranked
+       |WHERE rnk <= $TopK ORDER BY query_id, rnk""".stripMargin
+
+  /** `similarity_ann_ivf`: IVF coarse-quantized ANN, nprobe = 1. */
+  def similarityAnnIvf(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    val cents = e.filter(col("vec_id") % CentroidStride === 0)
+      .select(col("vec_id").as("cent_id"), col("embedding").as("ce"))
+    // assign every vector to its nearest centroid (ties → smaller cent_id)
+    val aw = Window.partitionBy("vec_id").orderBy(col("cscore").desc, col("cent_id"))
+    val assign = e.crossJoin(broadcast(cents))
+      .withColumn("cscore", cosineExpr("embedding", "ce"))
+      .withColumn("arn", row_number().over(aw))
+      .filter(col("arn") === 1)
+      .select(col("vec_id"), col("cent_id"))
+    val assigned = e.join(assign, "vec_id")
+    // each query probes only its own cluster
+    val q = assigned.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
+        col("cent_id").as("qcent"))
+    val scored = assigned.join(broadcast(q),
+        col("cent_id") === col("qcent") && col("query_id") =!= col("vec_id"))
+      .withColumn("score", cosineExpr("qe", "embedding"))
+    val w = Window.partitionBy("query_id").orderBy(col("score").desc, col("vec_id"))
+    scored.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= TopK)
+      .select(col("query_id"), col("vec_id").as("cand_id"),
+        round(col("score"), 6).as("score"), col("rnk"))
+      .orderBy("query_id", "rnk")
+  }
+
+  val similarityAnnIvfSql: String =
+    s"""WITH cents AS (
+       |  SELECT vec_id AS cent_id, embedding AS ce
+       |  FROM embeddings WHERE vec_id % $CentroidStride = 0),
+       |assign AS (
+       |  SELECT vec_id, cent_id FROM (
+       |    SELECT e.vec_id, c.cent_id,
+       |           row_number() OVER (PARTITION BY e.vec_id
+       |             ORDER BY ${cosineSql("e.embedding", "c.ce")} DESC, c.cent_id) AS arn
+       |    FROM embeddings e, cents c)
+       |  WHERE arn = 1),
+       |q AS (
+       |  SELECT e.vec_id AS query_id, e.embedding AS qe, a.cent_id AS qcent
+       |  FROM embeddings e JOIN assign a ON a.vec_id = e.vec_id
+       |  WHERE e.vec_id < $NumQueries),
+       |scored AS (
+       |  SELECT q.query_id, e.vec_id AS cand_id,
+       |         ${cosineSql("q.qe", "e.embedding")} AS score
+       |  FROM q
+       |  JOIN assign a ON a.cent_id = q.qcent
+       |  JOIN embeddings e ON e.vec_id = a.vec_id
+       |  WHERE e.vec_id <> q.query_id),
+       |ranked AS (
+       |  SELECT query_id, cand_id, round(score, 6) AS score,
+       |         row_number() OVER (PARTITION BY query_id
+       |                            ORDER BY score DESC, cand_id) AS rnk
+       |  FROM scored)
+       |SELECT query_id, cand_id, score, rnk FROM ranked
+       |WHERE rnk <= $TopK ORDER BY query_id, rnk""".stripMargin
+
+  /** `multimodal_join` (X4): documents ⋈ embeddings — one frame carrying
+    * text metadata plus the vector column and derived vector stats.
+    * doc_id = vec_id is a 1:1 key join; at scale both sides bucket by id
+    * (broadcast is wrong here — both sides are big), and the array column
+    * rides along as first-class Parquet data.
+    */
+  def multimodalJoin(s: SparkSession, dir: String): DataFrame = {
+    val d = s.read.parquet(s"$dir/documents.parquet")
+    val e = s.read.parquet(s"$dir/embeddings.parquet")
+    d.join(e, d("doc_id") === e("vec_id"))
+      .select(d("doc_id"), col("lang"), col("source"), col("n_chars"),
+        col("label"), size(col("embedding")).as("dim"),
+        round(expr("sqrt(aggregate(zip_with(embedding, embedding, " +
+          "(x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), " +
+          "CAST(0 AS DOUBLE), (acc, v) -> acc + v))"), 6).as("norm"))
+      .orderBy("doc_id")
+  }
+
+  val multimodalJoinSql: String =
+    s"""SELECT d.doc_id, d.lang, d.source, d.n_chars, e.label,
+       |       len(e.embedding) AS dim,
+       |       round(sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[])), 6) AS norm
+       |FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
+       |ORDER BY d.doc_id""".stripMargin
+}

@@ -1,0 +1,184 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators over `documents` (SURVEY.md §2.9 X5 plus the
+  * north-star extras: language-ID, quality scoring, token counting,
+  * fingerprinting). All per-document work is codegen'd higher-order
+  * functions — embarrassingly parallel, no shuffle except the final
+  * summaries; `explode` blowup is bounded by document length.
+  *
+  * Testdata caveat: document text is synthetic word salad drawn from one
+  * shared vocabulary, so the language-ID heuristic's *accuracy* is
+  * meaningless here — the operator demonstrates the deterministic scoring
+  * machinery (marker-token counts → argmax with a fixed priority order),
+  * which is what transfers to real corpora.
+  */
+object TextAnalysis {
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/documents.parquet")
+
+  private val toksExpr = "split(lower(text), ' ')"
+  private val toksSql = "string_split(lower(text), ' ')"
+
+  // ------------------------------------------------------- X5 token stats
+
+  /** `text_token_stats`: per-language corpus summary. */
+  def textTokenStats(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir).withColumn("toks", expr(toksExpr))
+    val perLang = d.groupBy("lang").agg(
+      count(lit(1)).as("n_docs"),
+      sum(size(col("toks"))).as("n_tokens"),
+      round(avg(size(col("toks"))), 6).as("avg_tokens"),
+      round(avg(col("n_chars")), 6).as("avg_chars"))
+    val distinctToks = d.select(col("lang"), explode(col("toks")).as("t"))
+      .groupBy("lang").agg(countDistinct(col("t")).as("n_distinct_tokens"))
+    perLang.join(distinctToks, "lang")
+      .select("lang", "n_docs", "n_tokens", "n_distinct_tokens", "avg_tokens", "avg_chars")
+      .orderBy("lang")
+  }
+
+  val textTokenStatsSql: String =
+    s"""WITH d AS (SELECT lang, n_chars, $toksSql AS toks FROM documents),
+       |per_lang AS (
+       |  SELECT lang, count(*) AS n_docs, sum(len(toks)) AS n_tokens,
+       |         round(avg(len(toks)), 6) AS avg_tokens,
+       |         round(avg(n_chars), 6) AS avg_chars
+       |  FROM d GROUP BY lang),
+       |dt AS (
+       |  SELECT lang, count(DISTINCT t) AS n_distinct_tokens
+       |  FROM (SELECT lang, unnest(toks) AS t FROM d) GROUP BY lang)
+       |SELECT lang, n_docs, n_tokens, n_distinct_tokens, avg_tokens, avg_chars
+       |FROM per_lang JOIN dt USING (lang)
+       |ORDER BY lang""".stripMargin
+
+  // ------------------------------------------------------- quality scoring
+
+  /** `text_quality`: per-document quality features — token count,
+    * type-token ratio, stopword ratio, mean token length — and a simple
+    * composite score. All single-pass array expressions.
+    */
+  def textQuality(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir).withColumn("toks", expr(toksExpr))
+      .select(
+        col("doc_id"),
+        size(col("toks")).as("n_tokens"),
+        round(expr("size(array_distinct(toks)) / CAST(size(toks) AS DOUBLE)"), 6).as("ttr"),
+        round(expr("size(filter(toks, t -> t = 'a' OR t = 'the')) / CAST(size(toks) AS DOUBLE)"), 6)
+          .as("stop_ratio"),
+        round(expr("aggregate(toks, 0, (acc, t) -> acc + length(t)) / CAST(size(toks) AS DOUBLE)"), 6)
+          .as("avg_token_len"),
+        round(expr("(size(array_distinct(toks)) / CAST(size(toks) AS DOUBLE)) * " +
+          "(1 - size(filter(toks, t -> t = 'a' OR t = 'the')) / CAST(size(toks) AS DOUBLE))"), 6)
+          .as("quality"))
+      .orderBy("doc_id")
+
+  val textQualitySql: String =
+    s"""WITH d AS (SELECT doc_id, $toksSql AS toks FROM documents)
+       |SELECT doc_id, len(toks) AS n_tokens,
+       |       round(len(list_distinct(toks)) / CAST(len(toks) AS DOUBLE), 6) AS ttr,
+       |       round(len(list_filter(toks, t -> t = 'a' OR t = 'the')) / CAST(len(toks) AS DOUBLE), 6) AS stop_ratio,
+       |       round(list_sum(list_transform(toks, t -> length(t))) / CAST(len(toks) AS DOUBLE), 6) AS avg_token_len,
+       |       round((len(list_distinct(toks)) / CAST(len(toks) AS DOUBLE)) *
+       |             (1 - len(list_filter(toks, t -> t = 'a' OR t = 'the')) / CAST(len(toks) AS DOUBLE)), 6) AS quality
+       |FROM d ORDER BY doc_id""".stripMargin
+
+  // --------------------------------------------------------- language ID
+
+  /** Marker-token sets per language (n-gram-heuristic stand-in). */
+  private val markers: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq("agg", "hash", "join", "fast"),
+    "en" -> Seq("the", "a", "key", "row", "table"),
+    "es" -> Seq("data", "sort", "value", "stream"),
+    "fr" -> Seq("window", "query", "order", "merge"),
+    "zh" -> Seq("batch", "spark", "big", "small"))
+
+  private def markerPredList(t: String, words: Seq[String]): String =
+    words.map(w => s"$t = '$w'").mkString(" OR ")
+
+  /** `text_langid`: score each language by marker-token hits; predict the
+    * argmax with a fixed priority order (de,en,es,fr,zh) on ties.
+    */
+  def textLangid(s: SparkSession, dir: String): DataFrame = {
+    val base = docs(s, dir).withColumn("toks", expr(toksExpr))
+    val scored = markers.foldLeft(base) { case (df, (lang, words)) =>
+      df.withColumn(s"s_$lang",
+        expr(s"size(filter(toks, t -> ${markerPredList("t", words)}))"))
+    }
+    val langs = markers.map(_._1)
+    val pred = langs.zipWithIndex.foldRight(lit(langs.last): org.apache.spark.sql.Column) {
+      case ((lang, i), elseCol) =>
+        if (i == langs.size - 1) elseCol
+        else {
+          val geAll = langs.drop(i + 1)
+            .map(o => col(s"s_$lang") >= col(s"s_$o")).reduce(_ && _)
+          when(geAll, lit(lang)).otherwise(elseCol)
+        }
+    }
+    scored.select(col("doc_id"), col("lang"), pred.as("pred_lang"))
+      .withColumn("hit", (col("lang") === col("pred_lang")).cast("int"))
+      .orderBy("doc_id")
+  }
+
+  val textLangidSql: String = {
+    val scores = markers.map { case (lang, words) =>
+      s"len(list_filter(toks, t -> ${markerPredList("t", words)})) AS s_$lang"
+    }.mkString(",\n       ")
+    val langs = markers.map(_._1)
+    val arms = langs.dropRight(1).zipWithIndex.map { case (lang, i) =>
+      val geAll = langs.drop(i + 1).map(o => s"s_$lang >= s_$o").mkString(" AND ")
+      s"WHEN $geAll THEN '$lang'"
+    }.mkString(" ")
+    s"""WITH d AS (SELECT doc_id, lang, $toksSql AS toks FROM documents),
+       |scored AS (SELECT doc_id, lang,
+       |       $scores
+       |FROM d)
+       |SELECT doc_id, lang,
+       |       CASE $arms ELSE '${langs.last}' END AS pred_lang,
+       |       CAST(lang = (CASE $arms ELSE '${langs.last}' END) AS INT) AS hit
+       |FROM scored ORDER BY doc_id""".stripMargin
+  }
+
+  // -------------------------------------------------------- token counting
+
+  /** `text_token_count`: whitespace tokens vs a BPE-ish regex token count
+    * (letter runs / digit runs / single non-alphanumerics).
+    */
+  def textTokenCount(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir).select(
+        col("doc_id"),
+        expr(s"size($toksExpr)").as("ws_tokens"),
+        expr("size(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]', 0))")
+          .as("re_tokens"))
+      .orderBy("doc_id")
+
+  val textTokenCountSql: String =
+    s"""SELECT doc_id, len($toksSql) AS ws_tokens,
+       |       len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS re_tokens
+       |FROM documents ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------- fingerprints
+
+  /** `doc_fingerprint`: rolling document fingerprint — MD5 of the full
+    * text plus the minimum MD5 over 8-token shingles (winnowing-style
+    * content fingerprint, stable under small edits away from the minimum
+    * shingle).
+    */
+  def docFingerprint(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir).withColumn("toks", expr(toksExpr))
+      .select(
+        col("doc_id"),
+        md5(col("text")).as("md5_full"),
+        expr("array_min(transform(sequence(1, size(toks) - 7), " +
+          "i -> md5(array_join(slice(toks, i, 8), ' '))))").as("shingle_fp"))
+      .orderBy("doc_id")
+
+  val docFingerprintSql: String =
+    s"""WITH d AS (SELECT doc_id, text, $toksSql AS toks FROM documents)
+       |SELECT doc_id, md5(text) AS md5_full,
+       |       list_aggregate(list_transform(generate_series(1, len(toks) - 7),
+       |         i -> md5(array_to_string(list_slice(toks, i, i + 7), ' '))), 'min') AS shingle_fp
+       |FROM d ORDER BY doc_id""".stripMargin
+}

@@ -1,0 +1,97 @@
+package graft.ops
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Invariant tests for the LLM-pipeline extension operators, run against
+  * the sf0.001 testdata (50 documents / 50 embeddings — fast).
+  */
+class ExtOpsSpec extends AnyFunSuite {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  test("dedup_exact partitions the corpus: group sizes sum to doc count") {
+    val total = spark.read.parquet(s"$dir/documents.parquet").count()
+    val groups = Dedup.dedupExact(spark, dir)
+    assert(groups.agg(sum("n")).collect().head.getLong(0) == total)
+    assert(groups.filter(col("n") < 1).count() == 0)
+  }
+
+  test("dedup_minhash candidates are a subset of exact ngram-jaccard pairs") {
+    val exact = Dedup.dedupNgramJaccard(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Dedup.dedupMinhash(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh.subsetOf(exact)) // LSH never invents pairs (post-verification)
+    // planted near-dups have jaccard >= 0.9 → b=8,r=2 recall ≈ 1
+    assert(lsh == exact)
+  }
+
+  test("dedup_simhash fingerprints are 16-bit and deterministic") {
+    val a = Dedup.dedupSimhash(spark, dir).collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(a.forall { case (_, fp) => fp >= 0 && fp < 65536 })
+    val b = Dedup.dedupSimhash(spark, dir).collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(a.sameElements(b))
+  }
+
+  test("similarity_topk: exactly k neighbors per query, scores non-increasing") {
+    val rows = Similarity.similarityTopk(spark, dir).collect()
+    val byQuery = rows.groupBy(_.getLong(0))
+    assert(byQuery.size == Similarity.NumQueries)
+    for ((_, rs) <- byQuery) {
+      assert(rs.length == Similarity.TopK)
+      val scores = rs.sortBy(_.getInt(3)).map(_.getDouble(2))
+      assert(scores.zip(scores.tail).forall { case (a, b) => a >= b })
+      assert(rs.forall(r => r.getLong(1) != r.getLong(0))) // never self
+    }
+  }
+
+  test("similarity_ann_ivf scores are a subset of the brute-force candidates' scores") {
+    // every ANN hit must carry the same score the exact path would give it
+    val exact = Similarity.similarityTopk(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val ann = Similarity.similarityAnnIvf(spark, dir).collect()
+    assert(ann.length == Similarity.NumQueries * Similarity.TopK)
+    for (r <- ann) {
+      val k = (r.getLong(0), r.getLong(1))
+      exact.get(k).foreach(s => assert(math.abs(s - r.getDouble(2)) < 1e-9))
+    }
+  }
+
+  test("multimodal_extract stub features derive from payload bytes") {
+    val feats = Multimodal.multimodalExtract(spark, dir)
+    val check = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"),
+        length(col("text")).cast("long").as("exp_len"),
+        substring(md5(col("text")), 1, 8).as("exp_sig"))
+    val joined = feats.join(check, "doc_id")
+    assert(joined.filter(col("byte_len") =!= col("exp_len")).count() == 0)
+    assert(joined.filter(col("sig8") =!= col("exp_sig")).count() == 0)
+    assert(joined.filter(col("width") >= 640 || col("height") >= 480).count() == 0)
+  }
+
+  test("text_langid predictions are in the label set and deterministic") {
+    val langs = Set("de", "en", "es", "fr", "zh")
+    val rows = TextAnalysis.textLangid(spark, dir).collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(r => langs.contains(r.getString(2))))
+  }
+
+  test("text_quality features are in valid ranges") {
+    val rows = TextAnalysis.textQuality(spark, dir).collect()
+    for (r <- rows) {
+      assert(r.getInt(1) > 0)
+      val ttr = r.getDouble(2); assert(ttr > 0 && ttr <= 1)
+      val sr = r.getDouble(3); assert(sr >= 0 && sr <= 1)
+      assert(r.getDouble(4) > 0)
+    }
+  }
+}

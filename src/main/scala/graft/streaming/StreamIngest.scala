@@ -1,0 +1,93 @@
+package graft.streaming
+
+import graft.model.WhisperSchema
+import graft.ops.{Buckets, Ingest, Rollup}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{DataStreamWriter, OutputMode, Trigger}
+import org.apache.spark.sql.Row
+
+/** Structured Streaming ingest — the streaming re-expression of whisper's
+  * write path (SURVEY.md §2.8; absent in the reference, which is a
+  * synchronous library fronted externally by carbon's network daemon).
+  *
+  * Mapping (SURVEY.md §2.8 table):
+  *  - per-point `Update` stream        → `readStream` of TimeSeriesPoint rows
+  *  - tumbling consolidation buckets   → `window($"ts", "<spp> seconds")`
+  *  - retention horizon / F3 refusal   → `withWatermark(maxRetention)` — late
+  *    data beyond the horizon is dropped (whisper instead routes late
+  *    points to coarser archives; per-level watermarks would mirror that)
+  *  - LWW slot overwrite               → `foreachBatch` running the exact
+  *    batch U2 dedup (`Ingest.lwwAlign`) and merging into state — the
+  *    batch and streaming paths share one implementation, so semantics
+  *    can't drift
+  *  - xFF gate on incomplete windows   → gate applied on the merged store
+  *    after each micro-batch (windows finalize as the watermark passes)
+  *
+  * Scale notes: the micro-batch merge is a per-(metric, bucket) hash
+  * aggregation — the same bounded-shuffle shape as batch U2. State is the
+  * current archive content, bounded by retention (ring semantics), so a
+  * production sink would be a partitioned table with idempotent
+  * per-bucket overwrite (e.g. `replaceWhere` per day partition).
+  */
+object StreamIngest {
+
+  /** Continuous windowed aggregation over a point stream: tumbling
+    * `spp`-second windows with a `maxRetention`-deep watermark. Append
+    * mode — a window only emits once the watermark passes it (the
+    * streaming analog of "the consolidation window is complete").
+    */
+  def windowedAgg(points: DataFrame, spp: Int, watermark: String): DataFrame =
+    points
+      .withColumn("ts", timestamp_seconds(col("ts_s")))
+      .withWatermark("ts", watermark)
+      .groupBy(col("metric"), window(col("ts"), s"$spp seconds"))
+      .agg(avg(col("value")).as("value"), count(lit(1)).as("known"))
+      .select(col("metric"),
+        unix_timestamp(col("window.start")).as("bucket_ts"),
+        col("value"), col("known"))
+
+  /** foreachBatch sink: merge each micro-batch into an in-memory LWW
+    * store through the *batch* U2 implementation. `mergeInto` receives
+    * (previous store ∪ new batch) re-deduped — last write wins across
+    * micro-batches exactly as within one batch.
+    */
+  final class LwwStore(schema: WhisperSchema, nowS: Long) extends Serializable {
+    @volatile private var state: Option[DataFrame] = None
+
+    def mergeBatch(batch: DataFrame, batchId: Long): Unit = synchronized {
+      val spp = schema.retentions.head.secondsPerPoint
+      // F3: refuse out-of-retention / future points before aligning
+      val accepted = batch.filter(
+        Ingest.retentionStatus(schema, nowS) === "accepted")
+      val aligned = Ingest.lwwAlign(accepted, spp)
+      val merged = state match {
+        case None => aligned
+        case Some(prev) =>
+          // re-dedup across (previous winners ∪ new winners): a point can
+          // only be displaced by a later (ts, value) pair, so winners are
+          // order-insensitive across micro-batches. The stored winner's
+          // bucket_ts stands in for its raw ts (it is the aligned floor —
+          // whisper, too, forgets raw timestamps once a slot is written).
+          val prevAsPts = prev.select(col("metric"),
+            col("bucket_ts").as("ts_s"), col("value"))
+          val newAsPts = aligned.select(col("metric"),
+            col("bucket_ts").as("ts_s"), col("value"))
+          Ingest.lwwAlign(prevAsPts.unionAll(newAsPts), spp)
+      }
+      // R3 ring expiry keeps state bounded by retention
+      val expired = Rollup.retentionExpiry(
+        merged, schema.retentions.head.maxRetentionSeconds, nowS)
+      state = Some(expired.localCheckpoint(true))
+    }
+
+    def current: Option[DataFrame] = state
+  }
+
+  /** Wire a point-stream DataFrame to a LwwStore via foreachBatch. */
+  def ingestWriter(points: DataFrame, store: LwwStore): DataStreamWriter[Row] =
+    points.writeStream
+      .outputMode(OutputMode.Update())
+      .foreachBatch { (batch: DataFrame, id: Long) => store.mergeBatch(batch, id) }
+      .trigger(Trigger.AvailableNow())
+}

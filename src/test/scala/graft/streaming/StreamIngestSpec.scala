@@ -1,0 +1,77 @@
+package graft.streaming
+
+import graft.model.Retentions
+import graft.ops.{Buckets, Ingest}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class StreamIngestSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private def pt(metric: String, ts: Long, v: Double) = (metric, ts, v)
+
+  test("streamed micro-batches converge to the batch LWW result") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val nowS = 1000000L
+    val schema = Retentions.lww // 1m:1d, Last
+    val store = new StreamIngest.LwwStore(schema, nowS)
+
+    val stream = MemoryStream[(String, Long, Double)]
+    val points = stream.toDF().toDF("metric", "ts_s", "value")
+    val writer = StreamIngest.ingestWriter(points, store)
+
+    // batch 1: two points in one slot + one out-of-retention reject
+    stream.addData(pt("m", nowS - 100, 1.0), pt("m", nowS - 90, 2.0),
+      pt("m", nowS - 2 * 86400, 99.0))
+    writer.start().awaitTermination()
+    // batch 2: a later write overwrites the same slot; new metric appears
+    stream.addData(pt("m", nowS - 80, 3.0), pt("n", nowS - 50, 7.0))
+    writer.start().awaitTermination()
+
+    val got = store.current.get.collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+
+    // batch-path reference: same points through one batch lwwAlign + F3
+    val all = Seq(pt("m", nowS - 100, 1.0), pt("m", nowS - 90, 2.0),
+      pt("m", nowS - 2 * 86400, 99.0), pt("m", nowS - 80, 3.0),
+      pt("n", nowS - 50, 7.0)).toDF("metric", "ts_s", "value")
+    val expected = Ingest.lwwAlign(
+        all.filter(Ingest.retentionStatus(schema, nowS) === "accepted"), 60)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+
+    assert(got == expected)
+    assert(got.map(_._1) == Set("m", "n"))
+    // the 99.0 reject never landed
+    assert(!got.exists(_._3 == 99.0))
+  }
+
+  test("windowedAgg: tumbling windows with watermark produce whisper buckets") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[(String, Long, Double)]
+    val agg = StreamIngest.windowedAgg(
+      stream.toDF().toDF("metric", "ts_s", "value"), 60, "1 hour")
+    val q = agg.writeStream.outputMode("append")
+      .format("memory").queryName("win_out").start()
+    // two windows; advance the watermark far past them with a late sentinel
+    stream.addData(pt("m", 60, 1.0), pt("m", 70, 3.0), pt("m", 130, 5.0))
+    q.processAllAvailable()
+    stream.addData(pt("m", 100000, 0.0)) // pushes watermark past both
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("win_out")
+      .select("metric", "bucket_ts", "value", "known").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSet
+    assert(rows.contains(("m", 60L, 2.0, 2L)))  // avg(1,3), two known slots
+    assert(rows.contains(("m", 120L, 5.0, 1L)))
+  }
+}

@@ -72,6 +72,29 @@ object Buckets {
     raw.select(col("event_type").as("metric"), tsS.as("ts_s"), col("value"))
   }
 
+  /** [[points]] restricted to `fromS <= ts_s < untilS`, with the range
+    * predicate applied to the RAW parquet column (epoch-nanos long), not
+    * the derived `ts_s` — a filter on `ts div 1e9` cannot reach the
+    * Parquet reader, while raw-column bounds push into row-group pruning
+    * (`PushedFilters` in the scan). `ts_s >= fromS ⟺ ts >= fromS·1e9`
+    * exactly, since nanos are non-negative integers. At 100 TB this is
+    * the difference between reading one day and reading the table.
+    */
+  def pointsInRange(spark: SparkSession, sfDir: String,
+      fromS: Long, untilS: Long): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = spark.read.parquet(s"$sfDir/events.parquet")
+    val (filtered, tsS) = raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        (raw.filter(col("ts") >= fromS * 1000000000L &&
+          col("ts") < untilS * 1000000000L), expr("ts div 1000000000"))
+      case _ =>
+        val t = epochS(col("ts"))
+        (raw.filter(t >= fromS && t < untilS), t)
+    }
+    filtered.select(col("event_type").as("metric"), tsS.as("ts_s"), col("value"))
+  }
+
   /** DuckDB fragment equivalent of [[points]] — prefixed into oracle SQL
     * as a CTE so Spark and oracle share one definition of the fact view.
     */

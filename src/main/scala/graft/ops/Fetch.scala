@@ -64,11 +64,16 @@ object Fetch {
   }
 
   /** Query key `fetch_dense_series`: 1-minute average dense series for
-    * metric 'view' over the fixed window [F, U] (FIXTURES.md §2).
+    * metric 'view' over the fixed window [F, U] (FIXTURES.md §2). The
+    * input is pre-restricted via [[Buckets.pointsInRange]] so the time
+    * bounds reach the Parquet scan as pushed filters.
     */
-  def fetchDenseSeries(spark: SparkSession, sfDir: String): DataFrame =
-    denseSeries(spark, Buckets.points(spark, sfDir), "view",
-      Buckets.FromS, Buckets.UntilS, 60)
+  def fetchDenseSeries(spark: SparkSession, sfDir: String): DataFrame = {
+    val fromI = Buckets.fetchInterval(Buckets.FromS, 60)
+    val untilI = Buckets.fetchInterval(Buckets.UntilS, 60)
+    denseSeries(spark, Buckets.pointsInRange(spark, sfDir, fromI, untilI),
+      "view", Buckets.FromS, Buckets.UntilS, 60)
+  }
 
   val fetchDenseSeriesSql: String = {
     val fromI = Buckets.fetchInterval(Buckets.FromS, 60)

@@ -15,11 +15,13 @@ import org.apache.spark.sql.functions._
   * latest-raw-timestamp-wins with larger-value tiebreak, i.e.
   * `max_by(value, struct(ts_s, value))`.
   *
-  * Scale notes (100 TB): LWW dedup is a hash aggregation keyed on
-  * (metric, bucket) — map-side partial aggregation collapses duplicates
+  * Scale notes (100 TB): LWW dedup is an aggregation keyed on
+  * (metric, bucket) — map-side `partial_max_by` collapses duplicates
   * before the shuffle, so shuffle volume is bounded by distinct buckets,
-  * not input rows. No window/sort needed (a `row_number` formulation would
-  * force a per-partition sort; `max_by` stays in `HashAggregateExec`).
+  * not input rows. (The struct ordering key makes Spark pick
+  * SortAggregate over HashAggregate, but the partial/final split — the
+  * property that matters at scale — is preserved; a `row_number` window
+  * formulation would shuffle and sort ALL raw rows instead.)
   */
 object Ingest {
 

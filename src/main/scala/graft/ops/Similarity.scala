@@ -34,14 +34,20 @@ object Similarity {
   val CentroidStride = 50
 
   /** Cosine similarity of two float-array columns, accumulated in double
-    * in deterministic element order.
+    * in deterministic element order. Uses the native codegen'd
+    * [[graft.functions.DotProductF]] (same summation order as the
+    * `zip_with`/`aggregate` composition it replaced — see its scaladoc).
     */
-  private def dot(a: String, b: String): String =
-    s"aggregate(zip_with($a, $b, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), " +
-      s"CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
+  import graft.functions.VectorOps.dot_f
 
   def cosineExpr(a: String, b: String): Column =
-    expr(s"${dot(a, b)} / (sqrt(${dot(a, a)}) * sqrt(${dot(b, b)}))")
+    dot_f(col(a), col(b)) /
+      (sqrt(dot_f(col(a), col(a))) * sqrt(dot_f(col(b), col(b))))
+
+  /** Vector L2 norm — precompute once per row before a pair join so each
+    * candidate pair costs ONE dot product, not three.
+    */
+  def normExpr(a: String): Column = sqrt(dot_f(col(a), col(a)))
 
   /** DuckDB equivalent (lists cast to DOUBLE[] so both engines sum
     * doubles; ~1e-15 association noise is absorbed by round(..., 6)).
@@ -54,13 +60,17 @@ object Similarity {
   private def emb(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(s"$dir/embeddings.parquet").select(col("vec_id"), col("embedding"))
 
-  /** `similarity_topk`: exact cosine top-5 for the 10 query vectors. */
+  /** `similarity_topk`: exact cosine top-5 for the 10 query vectors.
+    * Norms are projected once per side before the pair join — each
+    * (query, candidate) pair costs exactly one dot product.
+    */
   def similarityTopk(s: SparkSession, dir: String): DataFrame = {
-    val e = emb(s, dir)
+    val e = emb(s, dir).withColumn("cn", normExpr("embedding"))
     val q = e.filter(col("vec_id") < NumQueries)
-      .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
+        col("cn").as("qn"))
     val scored = e.join(broadcast(q), col("query_id") =!= col("vec_id"))
-      .withColumn("score", cosineExpr("qe", "embedding"))
+      .withColumn("score", dot_f(col("qe"), col("embedding")) / (col("qn") * col("cn")))
     val w = Window.partitionBy("query_id").orderBy(col("score").desc, col("vec_id"))
     scored.withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= TopK)
@@ -84,26 +94,31 @@ object Similarity {
        |SELECT query_id, cand_id, score, rnk FROM ranked
        |WHERE rnk <= $TopK ORDER BY query_id, rnk""".stripMargin
 
-  /** `similarity_ann_ivf`: IVF coarse-quantized ANN, nprobe = 1. */
+  /** `similarity_ann_ivf`: IVF coarse-quantized ANN, nprobe = 1.
+    * The assignment (nearest centroid per vector) is an aggregation
+    * (`max_by` over the broadcast centroid set) — no window sort — and is
+    * cached because both the query set and the candidate pool reuse it.
+    */
   def similarityAnnIvf(s: SparkSession, dir: String): DataFrame = {
-    val e = emb(s, dir)
+    val e = emb(s, dir).withColumn("cn", normExpr("embedding"))
     val cents = e.filter(col("vec_id") % CentroidStride === 0)
-      .select(col("vec_id").as("cent_id"), col("embedding").as("ce"))
-    // assign every vector to its nearest centroid (ties → smaller cent_id)
-    val aw = Window.partitionBy("vec_id").orderBy(col("cscore").desc, col("cent_id"))
+      .select(col("vec_id").as("cent_id"), col("embedding").as("ce"),
+        col("cn").as("ce_n"))
+    // nearest centroid per vector: max (cscore, -cent_id) → ties to the
+    // smaller cent_id; plain hash aggregation instead of a window sort
     val assign = e.crossJoin(broadcast(cents))
-      .withColumn("cscore", cosineExpr("embedding", "ce"))
-      .withColumn("arn", row_number().over(aw))
-      .filter(col("arn") === 1)
-      .select(col("vec_id"), col("cent_id"))
-    val assigned = e.join(assign, "vec_id")
+      .withColumn("cscore",
+        dot_f(col("embedding"), col("ce")) / (col("cn") * col("ce_n")))
+      .groupBy("vec_id")
+      .agg(max_by(col("cent_id"), struct(col("cscore"), -col("cent_id"))).as("cent_id"))
+    val assigned = e.join(assign, "vec_id").cache()
     // each query probes only its own cluster
     val q = assigned.filter(col("vec_id") < NumQueries)
       .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
-        col("cent_id").as("qcent"))
+        col("cn").as("qn"), col("cent_id").as("qcent"))
     val scored = assigned.join(broadcast(q),
         col("cent_id") === col("qcent") && col("query_id") =!= col("vec_id"))
-      .withColumn("score", cosineExpr("qe", "embedding"))
+      .withColumn("score", dot_f(col("qe"), col("embedding")) / (col("qn") * col("cn")))
     val w = Window.partitionBy("query_id").orderBy(col("score").desc, col("vec_id"))
     scored.withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= TopK)
@@ -154,9 +169,7 @@ object Similarity {
     d.join(e, d("doc_id") === e("vec_id"))
       .select(d("doc_id"), col("lang"), col("source"), col("n_chars"),
         col("label"), size(col("embedding")).as("dim"),
-        round(expr("sqrt(aggregate(zip_with(embedding, embedding, " +
-          "(x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), " +
-          "CAST(0 AS DOUBLE), (acc, v) -> acc + v))"), 6).as("norm"))
+        round(normExpr("embedding"), 6).as("norm"))
       .orderBy("doc_id")
   }
 

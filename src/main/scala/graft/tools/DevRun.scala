@@ -1,0 +1,32 @@
+package graft.tools
+
+import graft.SparkEntry
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.ExplainMode
+
+/** Dev harness: time one registered query and dump its formatted plan.
+  * Usage: runMain graft.tools.DevRun <queryKey> [sfDir] [--explain]
+  */
+object DevRun {
+  def main(args: Array[String]): Unit = {
+    val key = args(0)
+    val sfDir = args.lift(1).getOrElse("/root/testdata/sf0.1")
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")}]")
+      .config("spark.sql.shuffle.partitions", sys.env.getOrElse("SPARK_GRAFT_CPUS", "4"))
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val df = SparkEntry.queries(key)(spark, sfDir)
+    if (args.contains("--explain"))
+      // scalastyle:off println
+      println(df.queryExecution.explainString(ExplainMode.fromString("formatted")))
+    val t0 = System.nanoTime()
+    val n = df.count()
+    val dt = (System.nanoTime() - t0) / 1e9
+    println(f"[devrun] $key: $n rows in $dt%.2f s")
+    // scalastyle:on println
+    spark.stop()
+  }
+}

@@ -1,0 +1,78 @@
+package graft.ops
+
+import graft.model.AggregationMethod
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+import scala.util.Random
+
+/** Seeded randomized properties over the Spark operators (SURVEY.md §5.2).
+  * Deterministic seeds; few iterations (each case runs real Spark jobs).
+  */
+class SparkPropsSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private def randomPts(rng: Random, n: Int) = {
+    import spark.implicits._
+    (1 to n).map { _ =>
+      (if (rng.nextBoolean()) "m" else "n",
+        rng.between(0L, 100000L), rng.between(-100.0, 100.0))
+    }.toDF("metric", "ts_s", "value")
+  }
+
+  test("property: denseSeries length is always (untilI - fromI) / spp") {
+    val rng = new Random(42)
+    for (_ <- 1 to 5) {
+      val spp = Seq(10, 60, 300)(rng.nextInt(3))
+      val from = rng.between(0L, 50000L)
+      val until = from + rng.between(0L, 20000L)
+      val df = Fetch.denseSeries(spark, randomPts(rng, 200), "m", from, until, spp)
+      val fromI = Buckets.fetchInterval(from, spp)
+      val untilI = Buckets.fetchInterval(until, spp)
+      assert(df.count() == (untilI - fromI) / spp)
+    }
+  }
+
+  test("property: lwwAlign is idempotent and never grows") {
+    val rng = new Random(7)
+    for (_ <- 1 to 3) {
+      val pts = randomPts(rng, 500)
+      val once = Ingest.lwwAlign(pts, 60)
+      val twice = Ingest.lwwAlign(
+        once.select(org.apache.spark.sql.functions.col("metric"),
+          org.apache.spark.sql.functions.col("bucket_ts").as("ts_s"),
+          org.apache.spark.sql.functions.col("value")), 60)
+      val a = once.collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+      val b = twice.collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(a == b)
+      assert(once.count() <= pts.count())
+    }
+  }
+
+  test("property: rollup sum over any level equals sum of the level below") {
+    val rng = new Random(13)
+    for (_ <- 1 to 3) {
+      val lww = Ingest.lwwAlign(randomPts(rng, 400), 60)
+      val up = Rollup.propagate(lww, 60, 600, AggregationMethod.Sum, 0.0)
+      val sumBelow = lww.agg(org.apache.spark.sql.functions.sum("value"))
+        .collect().head.getDouble(0)
+      val sumAbove = up.agg(org.apache.spark.sql.functions.sum("value"))
+        .collect().head.getDouble(0)
+      assert(math.abs(sumBelow - sumAbove) < 1e-6)
+    }
+  }
+
+  test("property: xff gate is monotone — raising xff never adds rows") {
+    val rng = new Random(99)
+    val lww = Ingest.lwwAlign(randomPts(rng, 400), 60)
+    val counts = Seq(0.0, 0.25, 0.5, 0.75, 1.0).map(x =>
+      Rollup.propagate(lww, 60, 600, AggregationMethod.Average, x).count())
+    assert(counts.zip(counts.tail).forall { case (a, b) => a >= b })
+  }
+}

@@ -242,7 +242,10 @@ object CoreQueries {
     "ingest_retention_filter" -> (ingestRetentionFilter _),
     "rollup_cascade_5m" -> (rollupCascade5m _),
     "rollup_cascade_1h" -> (rollupCascade1h _),
-    "retention_expiry" -> (retentionExpiry _)
+    "retention_expiry" -> (retentionExpiry _),
+    "catalog_info" -> (Materialize.catalogInfo _),
+    "create_rollup_tables" -> (Materialize.createRollupTables _),
+    "fetch_archive_selection" -> (Materialize.fetchArchiveSelection _)
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -260,6 +263,10 @@ object CoreQueries {
     "ingest_retention_filter" -> ingestRetentionFilterSql,
     "rollup_cascade_5m" -> rollupCascade5mSql,
     "rollup_cascade_1h" -> rollupCascade1hSql,
-    "retention_expiry" -> retentionExpirySql
+    "retention_expiry" -> retentionExpirySql,
+    "catalog_info" -> Materialize.catalogInfoSql,
+    "fetch_archive_selection" -> Materialize.fetchArchiveSelectionSql
+    // create_rollup_tables: intentionally no oracle — the parquet write
+    // IS the operator; driver records the rows-only check (SURVEY.md §2.1)
   )
 }

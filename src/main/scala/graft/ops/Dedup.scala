@@ -91,7 +91,8 @@ object Dedup {
     * path — O(pairs-sharing-a-shingle), small-scale only (scaladoc above).
     */
   def dedupNgramJaccard(s: SparkSession, dir: String): DataFrame = {
-    val u = shingleSet(docs(s, dir)).cache()
+    // eager, not .cache(): three consumers in one job (see dedupMinhash)
+    val u = shingleSet(docs(s, dir)).localCheckpoint(true)
     val sizes = u.groupBy("doc_id").agg(count(lit(1)).as("sz"))
     val a = u.select(col("doc_id").as("doc_a"), col("g"))
     val b = u.select(col("doc_id").as("doc_b"), col("g"))
@@ -135,25 +136,35 @@ object Dedup {
   /** `dedup_minhash`: MinHash signatures → banded LSH buckets →
     * candidate pairs → exact Jaccard verification (≥ 0.5) on candidates
     * only.
+    *
+    * Signatures are computed RELATIONALLY — explode to (doc, shingle) ×
+    * seed rows, one codegen'd `md5` projection, `min` hash-aggregate per
+    * (doc, seed) — rather than with `transform`/`array_min` lambdas:
+    * higher-order function expressions are interpreted per element, and
+    * the lambda form measured 200s vs ~10s for the identical result at
+    * sf0.1. This is also byte-for-byte the oracle SQL's shape.
     */
   def dedupMinhash(s: SparkSession, dir: String): DataFrame = {
-    val base = docs(s, dir).withColumn("shingles", expr(shinglesExpr))
-    // 16 minhash columns: mh_i = min over shingles of md5("i|" + shingle)
-    val withMh = (0 until MinhashSeeds).foldLeft(base) { (df, i) =>
-      df.withColumn(s"mh_$i",
-        expr(s"array_min(transform(shingles, g -> md5(concat('$i|', g))))"))
-    }
-    // 8 bands of 2 rows, band key = md5(mh_{2b} || mh_{2b+1})
-    val bandCols = (0 until MinhashSeeds / BandRows).map { b =>
-      md5(concat_ws("", (0 until BandRows).map(r => col(s"mh_${b * BandRows + r}")): _*))
-    }
-    // cache: the signature computation (16 × array_min(transform(md5)))
-    // feeds BOTH sides of the self-join — without materialization Catalyst
-    // inlines the whole minhash tree into every band column twice
-    // (measured 196s → ~15s at sf0.1)
-    val bands = withMh.select(col("doc_id"),
-        posexplode(array(bandCols: _*)).as(Seq("band_id", "band_key")))
-      .cache()
+    // EAGER materialization (localCheckpoint(true)), not lazy .cache():
+    // both sides of the band self-join (and three consumers of the
+    // shingle set) otherwise race to populate the same cached blocks
+    // inside one job and each recompute the full upstream pipeline —
+    // measured 254s vs 30s for identical results. On a cluster the
+    // equivalent barrier is persist() + a materializing action (or a
+    // checkpoint to reliable storage).
+    val u = shingleSet(docs(s, dir)).localCheckpoint(true)
+    val seeds = s.range(MinhashSeeds).toDF("s")
+    val mh = u.join(broadcast(seeds))
+      .select(col("doc_id"), col("s"),
+        md5(concat(col("s").cast("string"), lit("|"), col("g"))).as("h"))
+      .groupBy("doc_id", "s").agg(min(col("h")).as("h"))
+    // 8 bands of 2 rows, band key = md5(h_{2b} || h_{2b+1}) in seed order
+    val bands = mh
+      .groupBy(col("doc_id"), floor(col("s") / BandRows).as("band_id"))
+      .agg(md5(concat(
+        max(when(col("s") % BandRows === 0, col("h"))),
+        max(when(col("s") % BandRows === 1, col("h"))))).as("band_key"))
+      .localCheckpoint(true)
     val cand = bands.as("a")
       .join(bands.as("b"),
         col("a.band_id") === col("b.band_id") &&
@@ -163,7 +174,6 @@ object Dedup {
       .distinct()
     // exact Jaccard, but only on LSH candidates; the second shingle join
     // is an equi-join on (doc_b, g) so matches never blow up quadratically
-    val u = shingleSet(docs(s, dir)).cache()
     val sizes = u.groupBy("doc_id").agg(count(lit(1)).as("sz"))
     val inter = cand
       .join(u.select(col("doc_id").as("doc_a"), col("g")), "doc_a")

@@ -1,0 +1,121 @@
+package graft.ops
+
+import graft.model.{AggregationMethod, Retentions, WhisperSchema}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** DDL-side surface: `Create` and header introspection (SURVEY.md §2.1
+  * S2/S4), plus the materialized-rollup fetch path those enable.
+  */
+object Materialize {
+
+  /** The cascade as data: derive the rollup level at resolution `spp`
+    * from raw points by folding [[Rollup.propagate]] up the archive list
+    * (finest level = U2 LWW alignment; each coarser level derives from
+    * the previous). xff = 0 and Average here — the gated variants are the
+    * `agg_avg_xff` / `rollup_cascade_*` query keys.
+    */
+  def levelFor(pts: DataFrame, schema: WhisperSchema, spp: Int): DataFrame = {
+    val chain = schema.retentions.map(_.secondsPerPoint).takeWhile(_ <= spp)
+    require(chain.nonEmpty && chain.last == spp, s"no archive at ${spp}s")
+    val finest = Ingest.lwwAlign(pts, chain.head)
+    chain.zip(chain.tail).foldLeft(finest) { case (lvl, (higher, lower)) =>
+      Rollup.propagate(lvl, higher, lower, AggregationMethod.Average, 0.0)
+        .select(col("metric"), col("bucket_ts"), col("value"))
+    }
+  }
+
+  /** S4 `catalog_info`: the parsed-header introspection surface (`Size`,
+    * `MaxRetention`, `AggregationMethod`, `Retentions`, ...) as one
+    * catalog row per archive. Pure config — the oracle is a VALUES
+    * literal generated from the same [[WhisperSchema]] object.
+    */
+  def catalogInfo(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    catalogRows(Retentions.std)
+      .toDF("archive_idx", "spp", "points", "retention_s", "method", "xff")
+      .orderBy("archive_idx")
+  }
+
+  private def catalogRows(schema: WhisperSchema) =
+    schema.retentions.zipWithIndex.map { case (r, i) =>
+      (i + 1, r.secondsPerPoint, r.numberOfPoints, r.maxRetentionSeconds,
+        schema.method.name, schema.xFilesFactor)
+    }
+
+  val catalogInfoSql: String = {
+    val rows = catalogRows(Retentions.std).map { case (i, spp, pts, ret, m, xff) =>
+      s"($i, $spp, $pts, CAST($ret AS BIGINT), '$m', $xff)"
+    }.mkString(", ")
+    s"""SELECT * FROM (VALUES $rows)
+       |AS t(archive_idx, spp, points, retention_s, method, xff)
+       |ORDER BY archive_idx""".stripMargin
+  }
+
+  /** S2 `create_rollup_tables`: materialize every archive level of the
+    * std schema as Parquet partitioned by `date(bucket_ts)` — the
+    * physical layout the 100 TB design calls for (directory pruning on
+    * the fetch path; idempotent per-partition re-derivation). Returns a
+    * per-level summary; registered rows-only (the write is the point).
+    */
+  def createRollupTables(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val base = s"${System.getProperty("java.io.tmpdir")}/graft_rollups"
+    val pts = Buckets.points(s, dir)
+    val summaries = Retentions.std.retentions.map { r =>
+      val spp = r.secondsPerPoint
+      val lvl = levelFor(pts, Retentions.std, spp)
+        .withColumn("day", to_date(timestamp_seconds(col("bucket_ts"))))
+      val path = s"$base/points_${spp}s"
+      lvl.write.mode("overwrite").partitionBy("day").parquet(path)
+      val written = s.read.parquet(path)
+      (s"points_${spp}s", spp, written.count(),
+        written.select(countDistinct(col("day"))).as[Long].head())
+    }
+    summaries.toDF("level", "spp", "rows", "day_partitions").orderBy("spp")
+  }
+
+  /** Q1 end-to-end: `fetch_archive_selection` — a fetch whose range age
+    * (9 days) exceeds the 1m and 5m archive retentions, so
+    * [[Fetch.selectArchive]] routes it to the 1h level; the dense series
+    * is served from the cascade-derived level at that resolution. This is
+    * the materialized-view-routing behavior whisper hard-codes in its
+    * archive loop (SURVEY.md §4.1).
+    */
+  val FetchOldFromS: Long = Buckets.NowS - 9L * 86400
+  val FetchOldUntilS: Long = Buckets.NowS - 8L * 86400
+
+  def fetchArchiveSelection(s: SparkSession, dir: String): DataFrame = {
+    val archive = Fetch.selectArchive(Retentions.std, Buckets.NowS, FetchOldFromS)
+    val spp = archive.secondsPerPoint // = 3600 for a 9-day-old `from`
+    val fromI = Buckets.fetchInterval(FetchOldFromS, spp)
+    val untilI = Buckets.fetchInterval(FetchOldUntilS, spp)
+    val level = levelFor(Buckets.points(s, dir), Retentions.std, spp)
+    val spine = s.range(fromI, untilI, spp.toLong).toDF("bucket_ts")
+    val agg = level.filter(col("metric") === "click" &&
+        col("bucket_ts") >= fromI && col("bucket_ts") < untilI)
+      .select(col("bucket_ts"), round(col("value"), 6).as("value"))
+    spine.join(agg, Seq("bucket_ts"), "left")
+      .select(col("bucket_ts"), col("value"))
+      .orderBy("bucket_ts")
+  }
+
+  val fetchArchiveSelectionSql: String = {
+    val spp = 3600
+    val fromI = Buckets.fetchInterval(FetchOldFromS, spp)
+    val untilI = Buckets.fetchInterval(FetchOldUntilS, spp)
+    s"""WITH ${Buckets.pointsSql},
+       |lww1m AS (${Ingest.lwwAlignSql(60)}),
+       |r5m AS (SELECT metric, bucket_ts, value FROM (
+       |  ${Rollup.propagateSql("lww1m", 60, 300, AggregationMethod.Average, 0.0)})),
+       |r1h AS (SELECT metric, bucket_ts, value FROM (
+       |  ${Rollup.propagateSql("r5m", 300, 3600, AggregationMethod.Average, 0.0)})),
+       |agg AS (
+       |  SELECT bucket_ts, round(value, 6) AS value FROM r1h
+       |  WHERE metric = 'click' AND bucket_ts >= $fromI AND bucket_ts < $untilI),
+       |spine AS (SELECT CAST(range AS BIGINT) AS bucket_ts FROM range($fromI, $untilI, $spp))
+       |SELECT s.bucket_ts, a.value
+       |FROM spine s LEFT JOIN agg a USING (bucket_ts)
+       |ORDER BY s.bucket_ts""".stripMargin
+  }
+}

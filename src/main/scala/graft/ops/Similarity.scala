@@ -111,7 +111,9 @@ object Similarity {
         dot_f(col("embedding"), col("ce")) / (col("cn") * col("ce_n")))
       .groupBy("vec_id")
       .agg(max_by(col("cent_id"), struct(col("cscore"), -col("cent_id"))).as("cent_id"))
-    val assigned = e.join(assign, "vec_id").cache()
+    // eager: the query side and candidate pool both consume the
+    // assignment inside one job — lazy cache would race and recompute
+    val assigned = e.join(assign, "vec_id").localCheckpoint(true)
     // each query probes only its own cluster
     val q = assigned.filter(col("vec_id") < NumQueries)
       .select(col("vec_id").as("query_id"), col("embedding").as("qe"),

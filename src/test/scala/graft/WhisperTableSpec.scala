@@ -1,0 +1,117 @@
+package graft
+
+import graft.model.Retentions
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+import java.nio.file.Files
+
+/** Golden round-trip tests in the reference's own style (SURVEY.md §5.1:
+  * Create → Update/UpdateMany → Fetch on temp storage, asserting exact
+  * series values, xFF behavior, propagation, and out-of-retention drops).
+  */
+class WhisperTableSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private val now = 1706659200L // pinned, aligned to every fixture step
+
+  private def tmp(): String =
+    Files.createTempDirectory("whisper_table").resolve("t").toString
+
+  private def series(df: org.apache.spark.sql.DataFrame): Seq[(Long, Option[Double])] =
+    df.collect().toSeq.map(r =>
+      (r.getLong(0), if (r.isNullAt(1)) None else Some(r.getDouble(1))))
+
+  test("create fails on an existing path; open fails on a missing one") {
+    val p = tmp()
+    WhisperTable.create(spark, p, Retentions.lww)
+    assertThrows[IllegalStateException](WhisperTable.create(spark, p, Retentions.lww))
+    assertThrows[IllegalStateException](WhisperTable.open(spark, p + "_nope", Retentions.lww))
+    val reopened = WhisperTable.open(spark, p, Retentions.lww)
+    assert(reopened.maxRetention == 86400L)
+  }
+
+  test("round trip: updateMany then fetch returns the exact dense series") {
+    import spark.implicits._
+    val t = WhisperTable.create(spark, tmp(), Retentions.std)
+    val pts = (0 until 10).map(i =>
+      TimeSeriesPoint("m", now - 3600 + 60 * i + 5, i.toDouble))
+    t.updateMany(pts.toDS(), now)
+    val got = series(t.fetch("m", now - 3600, now - 3000, now))
+    // fromInterval = now-3600+60; 10 buckets; slot i holds value i
+    assert(got.map(_._1) == (1 to 10).map(i => now - 3600 + 60L * i))
+    assert(got.take(9).map(_._2) == (1 to 9).map(i => Some(i.toDouble)))
+    assert(got.last._2.isEmpty) // bucket at now-3000 never written
+  }
+
+  test("last write wins within and across updateMany batches") {
+    import spark.implicits._
+    val t = WhisperTable.create(spark, tmp(), Retentions.lww)
+    val slot = now - 120 // 1m bucket
+    t.updateMany(Seq(
+      TimeSeriesPoint("m", slot + 10, 1.0),
+      TimeSeriesPoint("m", slot + 40, 2.0)).toDS(), now) // 40 wins in-batch
+    t.updateMany(Seq(TimeSeriesPoint("m", slot + 20, 9.0)).toDS(), now)
+    // cross-batch: the stored winner keeps its aligned ts (= slot), so a
+    // later raw ts in a new batch overwrites it — whisper slot overwrite
+    val got = series(t.fetch("m", slot - 60, slot, now))
+    assert(got.contains((slot, Some(9.0))))
+  }
+
+  test("propagation: coarser archives serve consolidated values") {
+    import spark.implicits._
+    val t = WhisperTable.create(spark, tmp(), Retentions.std)
+    val base = now - 3600
+    val pts = (0 until 10).map(i =>
+      TimeSeriesPoint("m", base + 60 * i, i.toDouble))
+    t.updateMany(pts.toDS(), now)
+    // a fetch whose `from` is 2 days old routes to the 5m archive (age >
+    // 1d retention of the 1m archive); Average of the five 1m slots
+    val got = series(t.fetch("m", now - 2 * 86400, now, now)).toMap
+    assert(got(base) == Some(2.0))       // avg(0,1,2,3,4) in window [base, base+300)
+    assert(got(base + 300) == Some(7.0)) // avg(5..9)
+  }
+
+  test("xFilesFactor gate: 9/10 slots passes at xff=0.9, 8/10 does not") {
+    import spark.implicits._
+    val t = WhisperTable.create(spark, tmp(), Retentions.gate) // 1m:1h,10m:6h Max .9
+    val winA = now - 1200 // 10m-aligned window, fully in the past hour
+    val winB = now - 2400
+    val pts =
+      (0 until 9).map(i => TimeSeriesPoint("m", winA + 60 * i, 10.0 + i)) ++
+        (0 until 8).map(i => TimeSeriesPoint("m", winB + 60 * i, 50.0 + i))
+    t.updateMany(pts.toDS(), now)
+    // age > 1h → the 10m archive answers
+    val got = series(t.fetch("m", now - 7200, now, now)).toMap
+    assert(got(winA) == Some(18.0)) // Max of 10..18, gate 0.9 >= 0.9
+    assert(got(winB).isEmpty)       // gate 0.8 < 0.9 → never written
+  }
+
+  test("out-of-retention and future points are dropped (F3)") {
+    import spark.implicits._
+    val t = WhisperTable.create(spark, tmp(), Retentions.lww) // 1d retention
+    t.updateMany(Seq(
+      TimeSeriesPoint("m", now - 2 * 86400, 1.0), // too old
+      TimeSeriesPoint("m", now + 60, 2.0),        // future
+      TimeSeriesPoint("m", now - 120, 3.0)).toDS(), now)
+    val got = series(t.fetch("m", now - 600, now, now))
+    assert(got.flatMap(_._2) == Seq(3.0))
+  }
+
+  test("direct write to a coarser archive for late-but-covered data (U3)") {
+    import spark.implicits._
+    val t = WhisperTable.create(spark, tmp(), Retentions.std)
+    // age 3 days: outside the 1m archive (1d) but inside 5m:7d → lands
+    // directly in the 5m archive without touching the 1m level
+    val old = now - 3 * 86400
+    t.updateMany(Seq(TimeSeriesPoint("m", old + 10, 42.0)).toDS(), now)
+    val got = series(t.fetch("m", now - 4 * 86400, now - 3 * 86400 + 600, now)).toMap
+    assert(got(old) == Some(42.0)) // 5m bucket of `old+10` is `old` (aligned)
+  }
+}

@@ -20,8 +20,11 @@ object Bench {
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       val dt = (System.nanoTime() - t0) / 1e9
       // drop caches a query may have pinned so later timings don't pay
-      // eviction/GC pressure from earlier queries' leftover blocks
+      // eviction/GC pressure from earlier queries' leftover blocks;
+      // localCheckpoint blocks live outside the catalog cache, so
+      // unpersist them explicitly
       spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
       name -> dt
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }

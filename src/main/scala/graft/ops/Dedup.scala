@@ -32,15 +32,23 @@ object Dedup {
     * min tokens in testdata = 10, so `size(toks) - 2 >= 1` always.
     */
   private val toksExpr = "split(lower(text), ' ')"
-  private val shinglesExpr =
-    s"array_distinct(transform(sequence(1, size($toksExpr) - 2), " +
-      s"i -> array_join(slice($toksExpr, i, 3), ' ')))"
-
   private val toksSql = "string_split(lower(text), ' ')"
 
-  /** Distinct (doc_id, shingle) pairs; SQL CTE `shingle_u` mirrors it. */
-  private def shingleSet(d: DataFrame): DataFrame =
-    d.select(col("doc_id"), explode(expr(shinglesExpr)).as("g"))
+  /** Distinct (doc_id, shingle) pairs; SQL CTE `shingle_u` mirrors it.
+    * Relational form (posexplode + window `lead`) rather than
+    * `transform`/`slice` lambdas — higher-order functions are interpreted
+    * per element, the window stays in codegen; identical shingle sets.
+    */
+  private def shingleSet(d: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy("i")
+    d.select(col("doc_id"), posexplode(expr(toksExpr)).as(Seq("i", "t")))
+      .withColumn("t1", lead(col("t"), 1).over(w))
+      .withColumn("t2", lead(col("t"), 2).over(w))
+      .filter(col("t2").isNotNull)
+      .select(col("doc_id"), concat_ws(" ", col("t"), col("t1"), col("t2")).as("g"))
+      .distinct()
+  }
 
   private val shingleUSql: String =
     s"""shingle_u AS (

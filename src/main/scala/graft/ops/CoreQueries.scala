@@ -37,6 +37,23 @@ object CoreQueries {
        |SELECT metric, ts_s, round(value, 6) AS value FROM pts
        |ORDER BY metric, ts_s, value""".stripMargin
 
+  /** `scan_props_json`: JSON scalar extraction over the `props` column —
+    * the one scalar-function surface FIXTURES.md reserves for demos (the
+    * reference has no scalar library at all, SURVEY.md §2.7). Pure
+    * per-row projection; pushes column pruning to the scan.
+    */
+  def scanPropsJson(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    s.read.parquet(s"$dir/events.parquet")
+      .select(col("event_id"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"))
+      .orderBy("event_id")
+  }
+
+  val scanPropsJsonSql: String =
+    """SELECT event_id, CAST(json_extract(props, '$.k') AS BIGINT) AS k
+      |FROM events ORDER BY event_id""".stripMargin
+
   /** F1 `fetch_range_filter`: clamped time-range predicate. Range bounds
     * go through [[Buckets.pointsInRange]] (raw-column parquet pushdown);
     * the metric predicate pushes as an `event_type = 'error'` string
@@ -245,7 +262,8 @@ object CoreQueries {
     "retention_expiry" -> (retentionExpiry _),
     "catalog_info" -> (Materialize.catalogInfo _),
     "create_rollup_tables" -> (Materialize.createRollupTables _),
-    "fetch_archive_selection" -> (Materialize.fetchArchiveSelection _)
+    "fetch_archive_selection" -> (Materialize.fetchArchiveSelection _),
+    "scan_props_json" -> (scanPropsJson _)
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -265,7 +283,8 @@ object CoreQueries {
     "rollup_cascade_1h" -> rollupCascade1hSql,
     "retention_expiry" -> retentionExpirySql,
     "catalog_info" -> Materialize.catalogInfoSql,
-    "fetch_archive_selection" -> Materialize.fetchArchiveSelectionSql
+    "fetch_archive_selection" -> Materialize.fetchArchiveSelectionSql,
+    "scan_props_json" -> scanPropsJsonSql
     // create_rollup_tables: intentionally no oracle — the parquet write
     // IS the operator; driver records the rows-only check (SURVEY.md §2.1)
   )

@@ -104,6 +104,36 @@ class WhisperTableSpec extends AnyFunSuite {
     assert(got.flatMap(_._2) == Seq(3.0))
   }
 
+  test("Sum consolidation cascades through all three archive levels") {
+    import spark.implicits._
+    val schema = graft.model.WhisperSchema(
+      Retentions.std.retentions, graft.model.AggregationMethod.Sum, 0.0)
+    val t = WhisperTable.create(spark, tmp(), schema)
+    val base = now - 7200 // 1h-aligned, recent
+    // one point per minute for a full hour, value 1.0 each
+    t.updateMany((0 until 60).map(i =>
+      TimeSeriesPoint("m", base + 60 * i, 1.0)).toDS(), now)
+    // 8-day-old `from` routes to the 1h archive: its bucket must hold the
+    // sum-of-sums = 60.0 (1m slots → 5m sums of 5 → 1h sum of 12)
+    val got = series(t.fetch("m", now - 8 * 86400, now, now)).toMap
+    assert(got(base) == Some(60.0))
+    // the 5m archive (2-day-old from) holds twelve 5.0 sums
+    val got5 = series(t.fetch("m", now - 2 * 86400, now, now)).toMap
+    for (k <- 0 until 12) assert(got5(base + 300 * k) == Some(5.0))
+  }
+
+  test("updateMany is idempotent: replaying the same batch changes nothing") {
+    import spark.implicits._
+    val t = WhisperTable.create(spark, tmp(), Retentions.std)
+    val pts = (0 until 20).map(i =>
+      TimeSeriesPoint("m", now - 3600 + 60 * i, i.toDouble)).toDS()
+    t.updateMany(pts, now)
+    val first = series(t.fetch("m", now - 3600, now, now))
+    t.updateMany(pts, now)
+    val second = series(t.fetch("m", now - 3600, now, now))
+    assert(first == second)
+  }
+
   test("direct write to a coarser archive for late-but-covered data (U3)") {
     import spark.implicits._
     val t = WhisperTable.create(spark, tmp(), Retentions.std)

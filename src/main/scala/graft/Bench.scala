@@ -10,6 +10,10 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // events.parquet is TIMESTAMP(NANOS): without this the warm-up read
+    // below aborts and the first timed events query absorbs all startup
+    // cost (file listing, footer reads, codegen/JIT warmup)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     // warm-up: touch every input table once so the first timed query does
     // not absorb file-listing, footer-read and codegen/JIT startup costs
     for (t <- Seq("events", "documents", "embeddings"))
@@ -22,9 +26,14 @@ object Bench {
       // drop caches a query may have pinned so later timings don't pay
       // eviction/GC pressure from earlier queries' leftover blocks;
       // localCheckpoint blocks live outside the catalog cache, so
-      // unpersist them explicitly
+      // unpersist them explicitly; then force a full GC so the next
+      // query starts from a quiet heap (the in-bench 50x blowups of
+      // otherwise-4s queries in round 1 were GC pressure, not plan)
       spark.catalog.clearCache()
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
+      System.gc()
+      System.runFinalization()
+      System.gc()
       name -> dt
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }

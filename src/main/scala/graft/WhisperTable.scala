@@ -1,6 +1,6 @@
 package graft
 
-import graft.model.{Retention, WhisperSchema}
+import graft.model.{AggregationMethod, Retention, Retentions, WhisperSchema}
 import graft.ops.{Buckets, Fetch, Ingest, Rollup}
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
@@ -12,6 +12,14 @@ import org.apache.spark.sql.functions._
   */
 final case class TimeSeriesPoint(metric: String, time: Long, value: Double)
 
+/** Outcome of a write: points that landed in an archive vs points refused
+  * by the retention gate (F3). The reference's `Update` surfaces the
+  * refusal as the error "Timestamp not covered by any archives in this
+  * database"; `updateMany(strict = true)` reproduces that, the default
+  * lenient mode reports counts instead of silently dropping.
+  */
+final case class UpdateResult(accepted: Long, rejected: Long)
+
 /** The user-facing facade with go-whisper's API shape — what a reference
   * user programs against after switching (SURVEY.md §1.1 table):
   *
@@ -20,22 +28,31 @@ final case class TimeSeriesPoint(metric: String, time: Long, value: Double)
   * t.updateMany(points, nowS)                                 // UpdateMany
   * t.update("cpu", ts, v, nowS)                               // Update
   * val series = t.fetch("cpu", fromS, untilS, nowS)           // Fetch
+  * val u = WhisperTable.open(spark, path)                     // Open (header from disk)
   * t.maxRetention; t.aggregationMethod; t.xFilesFactor        // header
   * }}}
   *
   * Storage: one Parquet directory per archive level (`points_<spp>s`),
-  * partitioned by `day` — the ring buffer becomes retention-filtered
-  * re-derivation (SURVEY.md §7.5). Every write is an idempotent
-  * level-by-level merge: U3 routing decides the finest archive a point
-  * may land in; each level is LWW-merged with its direct writes and then
-  * propagated into the next coarser level with the xFF gate, exactly
-  * whisper's update→propagate cascade in batch form.
+  * partitioned by `day`, plus a `_whisper.json` header carrying what the
+  * reference packs into its 16-byte binary header + retention block
+  * (aggregation method, xFilesFactor, archive list) — so `open` needs no
+  * caller-supplied schema, exactly like whisper's `Open`/`readHeader`.
   *
-  * Scale notes: each merge touches only the day-partitions present in
-  * the incoming batch in a real deployment (here: whole-level overwrite
-  * for simplicity — the layout supports `replaceWhere`); all merges are
-  * hash aggregations on (metric, bucket); fetch prunes partitions via
-  * the day directory layout and row-group stats.
+  * Write semantics: U3 routing decides the finest archive a point may
+  * land in; each level is LWW-merged with its direct writes, and
+  * propagation into the next coarser level covers ONLY the coarse buckets
+  * intersecting intervals written this cycle (whisper propagates the
+  * current update's intervals, not the whole archive) — gated by xFF.
+  *
+  * Scale notes: each write cycle rewrites only the day-partitions its
+  * batch touches (dynamic partition overwrite), not the whole level; all
+  * merges are hash aggregations on (metric, bucket); propagation input is
+  * a broadcast semi-join against the (small) touched-bucket set; fetch
+  * prunes partitions via the day directory layout and row-group stats.
+  * Whole-day partitions older than the archive's retention are vacuumed
+  * on write; rows expiring mid-day stay on disk until their day ages out,
+  * which fetch never observes (archive selection clamps every read range
+  * inside the retention horizon).
   */
 final class WhisperTable private (
     spark: SparkSession,
@@ -65,36 +82,93 @@ final class WhisperTable private (
     Seq.empty[(String, Long, Double)].toDF("metric", "bucket_ts", "value")
   }
 
-  private def writeLevel(r: Retention, df: DataFrame): Unit =
+  private[graft] def writeLevelFull(r: Retention, df: DataFrame): Unit =
     df.select(col("metric"), col("bucket_ts"), col("value"))
       .withColumn("day", to_date(timestamp_seconds(col("bucket_ts"))))
       .write.mode("overwrite").partitionBy("day").parquet(levelPath(r))
 
-  /** U1 `Update`: single-point write (delegates to the batch path, as the
-    * reference's Update shares alignPoints/propagate with UpdateMany).
+  /** Incremental write: dynamically overwrite ONLY the day partitions in
+    * `days`, leaving every other day's files untouched on disk. One file
+    * per day (repartition by day) — no tiny-file spray.
+    */
+  private def writeTouchedDays(r: Retention, df: DataFrame, days: Seq[String]): Unit =
+    df.select(col("metric"), col("bucket_ts"), col("value"))
+      .withColumn("day", to_date(timestamp_seconds(col("bucket_ts"))))
+      .filter(col("day").cast("string").isin(days: _*))
+      .repartition(col("day"))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("day").parquet(levelPath(r))
+
+  /** R3 disk-side expiry: drop whole day-partition directories whose last
+    * second is older than the archive's retention (the ring buffer's
+    * reclaim, as a partition-metadata operation — never a data rewrite).
+    */
+  private def vacuumLevel(r: Retention, nowS: Long): Unit = {
+    val cutoff = nowS - r.maxRetentionSeconds
+    val dir = new java.io.File(levelPath(r))
+    val kids = Option(dir.listFiles()).getOrElse(Array.empty)
+    for (d <- kids if d.isDirectory && d.getName.startsWith("day=")) {
+      val dayEndS = try {
+        java.time.LocalDate.parse(d.getName.stripPrefix("day="))
+          .plusDays(1).atStartOfDay(java.time.ZoneOffset.UTC).toEpochSecond
+      } catch { case _: java.time.format.DateTimeParseException => Long.MaxValue }
+      if (dayEndS < cutoff) {
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+          f.delete(); ()
+        }
+        rm(d)
+      }
+    }
+  }
+
+  /** U1 `Update`: single-point write. Strict like the reference — an
+    * out-of-retention or future timestamp raises whisper's error instead
+    * of being dropped.
     */
   def update(metric: String, time: Long, value: Double, nowS: Long): Unit = {
     import spark.implicits._
-    updateMany(Seq(TimeSeriesPoint(metric, time, value)).toDS(), nowS)
+    updateMany(Seq(TimeSeriesPoint(metric, time, value)).toDS(), nowS, strict = true)
+    ()
   }
 
   /** U2/U3 `UpdateMany`: batch upsert with archive routing, LWW alignment,
-    * and the full propagation cascade.
+    * and the propagation cascade over the touched intervals. Returns the
+    * accepted/rejected split; `strict = true` raises the reference's F3
+    * error if any point falls outside every archive.
     */
-  def updateMany(points: Dataset[TimeSeriesPoint], nowS: Long): Unit = {
-    val pts = points.toDF()
+  def updateMany(
+      points: Dataset[TimeSeriesPoint],
+      nowS: Long,
+      strict: Boolean = false): UpdateResult = {
+    val routed = points.toDF()
       .select(col("metric"), col("time").as("ts_s"), col("value"))
       .withColumn("archive", Ingest.archiveColumn(schema, nowS))
-      .filter(col("archive") > 0) // F3: silently drop out-of-retention here
-      .localCheckpoint(true)      // routing reused by every level below
+      .localCheckpoint(true) // routing reused by the F3 counts + every level
+    val cnts = routed.agg(
+      sum(when(col("archive") > 0, 1L).otherwise(0L)),
+      sum(when(col("archive") === 0, 1L).otherwise(0L))).head()
+    val accepted = if (cnts.isNullAt(0)) 0L else cnts.getLong(0)
+    val rejected = if (cnts.isNullAt(1)) 0L else cnts.getLong(1)
+    if (strict && rejected > 0)
+      throw new IllegalArgumentException(
+        "Timestamp not covered by any archives in this database")
+    val pts = routed.filter(col("archive") > 0)
     // walk finest→coarsest: each level = LWW(existing ∪ propagated-from-
-    // finer ∪ direct writes routed here), then retention-expired
+    // finer ∪ direct writes routed here); only touched day-partitions are
+    // rewritten and only touched coarse buckets propagate onward
     var propagated: Option[DataFrame] = None
-    var prevSpp = 0
     for ((r, i) <- schema.retentions.zipWithIndex) {
       val spp = r.secondsPerPoint
       val direct = Ingest.lwwAlign(
         pts.filter(col("archive") === i + 1).drop("archive"), spp)
+      val propDf = propagated.getOrElse(emptyLevel)
+      // the buckets this cycle writes at this level — drives both the
+      // incremental day write and the next level's propagation scope
+      val touched = direct.select("metric", "bucket_ts")
+        .unionAll(propDf.select("metric", "bucket_ts"))
+        .distinct()
       val existing = readLevel(r)
       // whisper write order in one update cycle: direct slot write, then
       // propagation overwrites — so propagated values win on conflict,
@@ -102,24 +176,41 @@ final class WhisperTable private (
       val merged = Seq(
         existing.withColumn("prio", lit(0)),
         direct.withColumn("prio", lit(1)),
-        propagated.getOrElse(emptyLevel).withColumn("prio", lit(2)))
+        propDf.withColumn("prio", lit(2)))
         .reduce(_ unionAll _)
         .groupBy("metric", "bucket_ts")
         .agg(max_by(col("value"), col("prio")).as("value"))
       val expired = Rollup.retentionExpiry(merged, r.maxRetentionSeconds, nowS)
         .localCheckpoint(true) // read below AND written over its own input
-      writeLevel(r, expired)
-      // R1/R2: derive the next coarser level's candidate buckets from
-      // this level's full content (batch re-derivation — equivalent end
-      // state to whisper's per-bucket cascade, SURVEY.md §2.5 R2)
+      val touchedDays = touched
+        .select(date_format(timestamp_seconds(col("bucket_ts")), "yyyy-MM-dd").as("day"))
+        .distinct().collect().map(_.getString(0)).toSeq
+      if (touchedDays.nonEmpty) {
+        writeTouchedDays(r, expired, touchedDays)
+        vacuumLevel(r, nowS)
+      }
+      // R1/R2: propagate ONLY the coarse buckets intersecting this
+      // cycle's writes (whisper propagates the current update's
+      // intervals, not the archive). Buckets whose finer source window
+      // is partially expired are excluded — their full-window aggregate
+      // is no longer derivable, so the stored coarse value stands.
       schema.retentions.lift(i + 1).foreach { next =>
+        val nspp = next.secondsPerPoint
+        val coarseKeys = touched
+          .select(col("metric").as("ck_metric"),
+            Buckets.alignTs(col("bucket_ts"), nspp).as("ck_bucket"))
+          .distinct()
+          .filter(col("ck_bucket") >= nowS - r.maxRetentionSeconds)
+        val src = expired.join(broadcast(coarseKeys),
+          col("metric") === col("ck_metric") &&
+            Buckets.alignTs(col("bucket_ts"), nspp) === col("ck_bucket"),
+          "left_semi")
         propagated = Some(
-          Rollup.propagate(expired, spp, next.secondsPerPoint,
-              schema.method, schema.xFilesFactor)
+          Rollup.propagate(src, spp, nspp, schema.method, schema.xFilesFactor)
             .select(col("metric"), col("bucket_ts"), col("value")))
       }
-      prevSpp = spp
     }
+    UpdateResult(accepted, rejected)
   }
 
   /** Q1 `Fetch`: clamp the range, select the finest archive covering it,
@@ -146,9 +237,34 @@ final class WhisperTable private (
 
 object WhisperTable {
 
-  /** S2 `Create`: validate the schema (constructor runs the 5 rules) and
-    * initialize every archive level empty. Fails if the table exists
-    * (reference: O_CREAT|O_EXCL, "file already exists").
+  /** On-disk header — the relational re-expression of whisper's binary
+    * metadata block + retention block (reference: whisper.go →
+    * `writeHeader`/`readHeader`; SURVEY.md §1.1). Holds exactly what the
+    * reference persists: archive list, aggregation method, xFilesFactor.
+    */
+  val HeaderFile = "_whisper.json"
+
+  private def headerJson(schema: WhisperSchema): String = {
+    val rets = schema.retentions
+      .map(r => s"${r.secondsPerPoint}:${r.numberOfPoints}").mkString(",")
+    s"""{"retentions":"$rets","method":"${schema.method.name}","xff":${schema.xFilesFactor}}"""
+  }
+
+  private def parseHeader(s: String): WhisperSchema = {
+    import org.json4s._
+    import org.json4s.jackson.JsonMethods
+    implicit val formats: Formats = DefaultFormats
+    val j = JsonMethods.parse(s)
+    WhisperSchema(
+      Retentions.parseRetentionDefs((j \ "retentions").extract[String]),
+      AggregationMethod.fromName((j \ "method").extract[String]),
+      (j \ "xff").extract[Double])
+  }
+
+  /** S2 `Create`: validate the schema (constructor runs the 5 rules),
+    * initialize every archive level empty, and persist the header. Fails
+    * if the table exists (reference: O_CREAT|O_EXCL, "file already
+    * exists").
     */
   def create(spark: SparkSession, path: String, schema: WhisperSchema): WhisperTable = {
     val dir = new java.io.File(path)
@@ -156,15 +272,31 @@ object WhisperTable {
     val t = new WhisperTable(spark, path, schema)
     import spark.implicits._
     schema.retentions.foreach { r =>
-      t.writeLevel(r, Seq.empty[(String, Long, Double)]
+      t.writeLevelFull(r, Seq.empty[(String, Long, Double)]
         .toDF("metric", "bucket_ts", "value"))
     }
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(path, HeaderFile),
+      headerJson(schema).getBytes(java.nio.charset.StandardCharsets.UTF_8))
     t
   }
 
-  /** S1 `Open`: attach to an existing table. The header lives in the
-    * caller-supplied schema (Parquet carries physical metadata itself;
-    * SURVEY.md §1.1 — no binary header to parse).
+  /** S1 `Open`: attach to an existing table, reading the schema from the
+    * persisted `_whisper.json` header — no caller-supplied schema, like
+    * the reference's `Open` parsing the file header.
+    */
+  def open(spark: SparkSession, path: String): WhisperTable = {
+    val header = java.nio.file.Paths.get(path, HeaderFile)
+    if (!java.nio.file.Files.exists(header))
+      throw new IllegalStateException(s"no such table: $path")
+    val json = new String(
+      java.nio.file.Files.readAllBytes(header),
+      java.nio.charset.StandardCharsets.UTF_8)
+    new WhisperTable(spark, path, parseHeader(json))
+  }
+
+  /** S1 `Open` with a caller-supplied schema — for attaching to bare
+    * level directories produced by external pipelines (no header file).
     */
   def open(spark: SparkSession, path: String, schema: WhisperSchema): WhisperTable = {
     if (!new java.io.File(path).exists())

@@ -154,8 +154,8 @@ object Dedup {
     */
   def dedupMinhash(s: SparkSession, dir: String): DataFrame = {
     // EAGER materialization (localCheckpoint(true)), not lazy .cache():
-    // both sides of the band self-join (and three consumers of the
-    // shingle set) otherwise race to populate the same cached blocks
+    // the three consumers of the shingle set (signatures, sizes, exact
+    // verification) otherwise race to populate the same cached blocks
     // inside one job and each recompute the full upstream pipeline —
     // measured 254s vs 30s for identical results. On a cluster the
     // equivalent barrier is persist() + a materializing action (or a
@@ -172,13 +172,18 @@ object Dedup {
       .agg(md5(concat(
         max(when(col("s") % BandRows === 0, col("h"))),
         max(when(col("s") % BandRows === 1, col("h"))))).as("band_key"))
-      .localCheckpoint(true)
-    val cand = bands.as("a")
-      .join(bands.as("b"),
-        col("a.band_id") === col("b.band_id") &&
-          col("a.band_key") === col("b.band_key") &&
-          col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+    // bucket-local pair generation: aggregate each LSH bucket's doc list
+    // and emit ordered pairs from it — one pass over `bands`, replacing
+    // the round-1 self-join that needed a second materialization barrier
+    // (two evaluations of the signature pipeline). Bucket size = docs
+    // agreeing on a full band ≈ near-dup cluster size, so the per-bucket
+    // pair blowup is bounded by actual duplicate groups, not data volume.
+    val cand = bands.groupBy("band_id", "band_key")
+      .agg(collect_list(col("doc_id")).as("ids"))
+      .filter(size(col("ids")) > 1)
+      .select(explode(col("ids")).as("doc_a"), col("ids"))
+      .select(col("doc_a"), explode(col("ids")).as("doc_b"))
+      .filter(col("doc_a") < col("doc_b"))
       .distinct()
     // exact Jaccard, but only on LSH candidates; the second shingle join
     // is an equi-join on (doc_b, g) so matches never blow up quadratically

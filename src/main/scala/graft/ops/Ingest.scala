@@ -39,6 +39,17 @@ object Ingest {
     pts.groupBy(col("metric"), Buckets.alignTs(col("ts_s"), spp).as("bucket_ts"))
       .agg(max_by(col("value"), lwwKey).as("value"))
 
+  /** [[lwwAlign]] that also keeps the winning point's RAW timestamp.
+    * Needed wherever winners are merged with later arrivals (streaming
+    * micro-batch state): re-deduping on the aligned floor instead of the
+    * true raw ts would let micro-batch boundaries decide winners.
+    */
+  def lwwAlignKeepTs(pts: DataFrame, spp: Int): DataFrame =
+    pts.groupBy(col("metric"), Buckets.alignTs(col("ts_s"), spp).as("bucket_ts"))
+      .agg(max_by(struct(col("ts_s"), col("value")), lwwKey).as("w"))
+      .select(col("metric"), col("bucket_ts"),
+        col("w.value").as("value"), col("w.ts_s").as("ts_s"))
+
   /** SQL-shape of [[lwwAlign]] as a DuckDB CTE body (row_number form —
     * identical winner to `max_by(value, struct(ts_s, value))`).
     */

@@ -62,15 +62,32 @@ object Materialize {
     import s.implicits._
     val base = s"${System.getProperty("java.io.tmpdir")}/graft_rollups"
     val pts = Buckets.points(s, dir)
+    var prev: Option[(DataFrame, Int)] = None
     val summaries = Retentions.std.retentions.map { r =>
       val spp = r.secondsPerPoint
-      val lvl = levelFor(pts, Retentions.std, spp)
-        .withColumn("day", to_date(timestamp_seconds(col("bucket_ts"))))
+      // single-pass cascade: level N derives from level N-1's materialized
+      // output, not by re-folding from raw (the round-1 form was O(L²)
+      // passes over the fact table)
+      val lvl = prev match {
+        case None => Ingest.lwwAlign(pts, spp)
+        case Some((p, pspp)) =>
+          Rollup.propagate(p, pspp, spp, AggregationMethod.Average, 0.0)
+            .select(col("metric"), col("bucket_ts"), col("value"))
+      }
+      // one eager materialization per level, reused by three consumers:
+      // the partitioned write, the summary aggregation, and the next
+      // coarser level's derivation
+      val ck = lvl.withColumn("day", to_date(timestamp_seconds(col("bucket_ts"))))
+        .localCheckpoint(true)
       val path = s"$base/points_${spp}s"
-      lvl.write.mode("overwrite").partitionBy("day").parquet(path)
-      val written = s.read.parquet(path)
-      (s"points_${spp}s", spp, written.count(),
-        written.select(countDistinct(col("day"))).as[Long].head())
+      // repartition by day first: otherwise each of the shuffle partitions
+      // sprays a file into every day directory (32×30 ≈ 960 tiny files)
+      ck.repartition(col("day"))
+        .write.mode("overwrite").partitionBy("day").parquet(path)
+      val (rows, days) = ck.agg(count(lit(1)), countDistinct(col("day")))
+        .as[(Long, Long)].head()
+      prev = Some((ck.select(col("metric"), col("bucket_ts"), col("value")), spp))
+      (s"points_${spp}s", spp, rows, days)
     }
     summaries.toDF("level", "spp", "rows", "day_partitions").orderBy("spp")
   }

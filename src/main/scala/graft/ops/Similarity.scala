@@ -13,14 +13,14 @@ import org.apache.spark.sql.functions._
   *    the candidate scan is a single embarrassingly parallel pass — at
   *    100 TB this is the correctness oracle you run on a sample, not the
   *    production path.
-  *  - [[similarityAnnIvf]]: IVF-style ANN — a coarse quantizer (here: a
-  *    deterministic subset of the vectors as centroids) assigns every
-  *    vector to its nearest centroid once (one broadcast pass), then each
-  *    query probes only its own cluster (nprobe=1): the candidate scan
-  *    shrinks by the centroid count. Both the assignment and the probe
-  *    are broadcast joins — no all-pairs shuffle anywhere. Recall < 1 by
-  *    design; the candidate sets are deterministic, so the DuckDB oracle
-  *    still matches exactly.
+  *  - [[similarityAnnIvf]]: IVF-style ANN — a fixed-k coarse quantizer
+  *    (a deterministic k-sample of the vectors as centroids) assigns
+  *    every vector to its nearest centroid once (one broadcast pass),
+  *    then each query probes its nprobe nearest clusters: the candidate
+  *    scan shrinks to ~nprobe/k of the corpus. Both the assignment and
+  *    the probe are broadcast joins — no all-pairs shuffle anywhere.
+  *    Recall < 1 by design; the candidate sets are deterministic, so the
+  *    DuckDB oracle still matches exactly.
   *
   * Dot products run entirely in codegen'd higher-order functions
   * (`zip_with` + `aggregate`, doubles) — no UDF, no collect.
@@ -30,8 +30,22 @@ object Similarity {
   /** Number of query vectors (vec_id < 10) and neighbors per query. */
   val NumQueries = 10
   val TopK = 5
-  /** Every 50th vector doubles as an IVF centroid (10 at sf0.01). */
-  val CentroidStride = 50
+  /** Fixed IVF centroid count. Real IVF trains k centroids with k fixed
+    * (or ~sqrt(n) capped); the round-1 every-50th-vector rule made k grow
+    * O(n) and assignment cost O(n²/50). Here: the 16 vectors with the
+    * smallest md5(vec_id) — a deterministic pseudo-random sample both
+    * engines compute identically, with O(n·k) assignment. At 100 TB, k
+    * would be trained (k-means) and sized ~sqrt(n); the plan shape —
+    * broadcast centroids, one assignment pass, per-cluster probe — is
+    * unchanged.
+    */
+  val NumCentroids = 16
+
+  /** Clusters probed per query. nprobe > 1 is standard IVF practice:
+    * recall grows with the probed fraction while the candidate scan stays
+    * nprobe/k of the corpus.
+    */
+  val NProbe = 4
 
   /** Cosine similarity of two float-array columns, accumulated in double
     * in deterministic element order. Uses the native codegen'd
@@ -94,14 +108,20 @@ object Similarity {
        |SELECT query_id, cand_id, score, rnk FROM ranked
        |WHERE rnk <= $TopK ORDER BY query_id, rnk""".stripMargin
 
-  /** `similarity_ann_ivf`: IVF coarse-quantized ANN, nprobe = 1.
-    * The assignment (nearest centroid per vector) is an aggregation
-    * (`max_by` over the broadcast centroid set) — no window sort — and is
-    * cached because both the query set and the candidate pool reuse it.
+  /** `similarity_ann_ivf`: IVF coarse-quantized ANN with multi-probe.
+    * Every vector is assigned to its single nearest centroid (an
+    * aggregation — `max_by` over the broadcast centroid set, no window
+    * sort); each query probes its [[NProbe]] nearest clusters. A
+    * candidate lives in exactly one cluster, so the probe join yields
+    * each (query, candidate) pair at most once — no dedup needed.
     */
   def similarityAnnIvf(s: SparkSession, dir: String): DataFrame = {
     val e = emb(s, dir).withColumn("cn", normExpr("embedding"))
-    val cents = e.filter(col("vec_id") % CentroidStride === 0)
+    // deterministic fixed-k sample: top-NumCentroids by md5(vec_id).
+    // orderBy+limit plans as TakeOrderedAndProject (per-partition top-k,
+    // no global sort) and the result is broadcast below.
+    val cents = e.orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
+      .limit(NumCentroids)
       .select(col("vec_id").as("cent_id"), col("embedding").as("ce"),
         col("cn").as("ce_n"))
     // nearest centroid per vector: max (cscore, -cent_id) → ties to the
@@ -114,8 +134,17 @@ object Similarity {
     // eager: the query side and candidate pool both consume the
     // assignment inside one job — lazy cache would race and recompute
     val assigned = e.join(assign, "vec_id").localCheckpoint(true)
-    // each query probes only its own cluster
-    val q = assigned.filter(col("vec_id") < NumQueries)
+    // each query probes its NProbe nearest clusters (the probe ranking is
+    // a window over k=16 centroid scores per query — 10 queries × 16 rows)
+    val probeW = Window.partitionBy("vec_id")
+      .orderBy(col("cscore").desc, col("cent_id"))
+    val q = assigned.select(col("vec_id"), col("embedding"), col("cn"))
+      .filter(col("vec_id") < NumQueries)
+      .crossJoin(broadcast(cents))
+      .withColumn("cscore",
+        dot_f(col("embedding"), col("ce")) / (col("cn") * col("ce_n")))
+      .withColumn("prn", row_number().over(probeW))
+      .filter(col("prn") <= NProbe)
       .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
         col("cn").as("qn"), col("cent_id").as("qcent"))
     val scored = assigned.join(broadcast(q),
@@ -132,7 +161,8 @@ object Similarity {
   val similarityAnnIvfSql: String =
     s"""WITH cents AS (
        |  SELECT vec_id AS cent_id, embedding AS ce
-       |  FROM embeddings WHERE vec_id % $CentroidStride = 0),
+       |  FROM embeddings
+       |  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT $NumCentroids),
        |assign AS (
        |  SELECT vec_id, cent_id FROM (
        |    SELECT e.vec_id, c.cent_id,
@@ -141,9 +171,13 @@ object Similarity {
        |    FROM embeddings e, cents c)
        |  WHERE arn = 1),
        |q AS (
-       |  SELECT e.vec_id AS query_id, e.embedding AS qe, a.cent_id AS qcent
-       |  FROM embeddings e JOIN assign a ON a.vec_id = e.vec_id
-       |  WHERE e.vec_id < $NumQueries),
+       |  SELECT query_id, qe, qcent FROM (
+       |    SELECT e.vec_id AS query_id, e.embedding AS qe, c.cent_id AS qcent,
+       |           row_number() OVER (PARTITION BY e.vec_id
+       |             ORDER BY ${cosineSql("e.embedding", "c.ce")} DESC, c.cent_id) AS prn
+       |    FROM embeddings e, cents c
+       |    WHERE e.vec_id < $NumQueries)
+       |  WHERE prn <= $NProbe),
        |scored AS (
        |  SELECT q.query_id, e.vec_id AS cand_id,
        |         ${cosineSql("q.qe", "e.embedding")} AS score

@@ -28,11 +28,15 @@ object TextAnalysis {
   /** `text_token_stats`: per-language corpus summary. */
   def textTokenStats(s: SparkSession, dir: String): DataFrame = {
     val d = docs(s, dir).withColumn("toks", expr(toksExpr))
+    // averages as round(CAST(sum AS DOUBLE)/count, 6) with the identical
+    // expression shape in the oracle SQL: both engines then perform the
+    // same single IEEE division on the same exact integers, where a
+    // native avg() may accumulate differently below the rounding epsilon
     val perLang = d.groupBy("lang").agg(
       count(lit(1)).as("n_docs"),
       sum(size(col("toks"))).as("n_tokens"),
-      round(avg(size(col("toks"))), 6).as("avg_tokens"),
-      round(avg(col("n_chars")), 6).as("avg_chars"))
+      round(sum(size(col("toks"))).cast("double") / count(lit(1)), 6).as("avg_tokens"),
+      round(sum(col("n_chars")).cast("double") / count(lit(1)), 6).as("avg_chars"))
     val distinctToks = d.select(col("lang"), explode(col("toks")).as("t"))
       .groupBy("lang").agg(countDistinct(col("t")).as("n_distinct_tokens"))
     perLang.join(distinctToks, "lang")
@@ -44,8 +48,8 @@ object TextAnalysis {
     s"""WITH d AS (SELECT lang, n_chars, $toksSql AS toks FROM documents),
        |per_lang AS (
        |  SELECT lang, count(*) AS n_docs, sum(len(toks)) AS n_tokens,
-       |         round(avg(len(toks)), 6) AS avg_tokens,
-       |         round(avg(n_chars), 6) AS avg_chars
+       |         round(CAST(sum(len(toks)) AS DOUBLE) / count(*), 6) AS avg_tokens,
+       |         round(CAST(sum(n_chars) AS DOUBLE) / count(*), 6) AS avg_chars
        |  FROM d GROUP BY lang),
        |dt AS (
        |  SELECT lang, count(DISTINCT t) AS n_distinct_tokens

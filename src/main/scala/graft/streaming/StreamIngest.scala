@@ -48,9 +48,12 @@ object StreamIngest {
         col("value"), col("known"))
 
   /** foreachBatch sink: merge each micro-batch into an in-memory LWW
-    * store through the *batch* U2 implementation. `mergeInto` receives
-    * (previous store ∪ new batch) re-deduped — last write wins across
-    * micro-batches exactly as within one batch.
+    * store through the *batch* U2 implementation. State rows carry the
+    * winning point's RAW timestamp (`ts_s`, 4th column) alongside the
+    * aligned bucket, so the cross-batch re-dedup compares true raw
+    * timestamps — winners are genuinely order-insensitive across
+    * micro-batch boundaries, the same result as one batch `lwwAlign`
+    * over all points ever streamed (minus expiry).
     */
   final class LwwStore(schema: WhisperSchema, nowS: Long) extends Serializable {
     @volatile private var state: Option[DataFrame] = None
@@ -59,21 +62,17 @@ object StreamIngest {
       val spp = schema.retentions.head.secondsPerPoint
       // F3: refuse out-of-retention / future points before aligning
       val accepted = batch.filter(
-        Ingest.retentionStatus(schema, nowS) === "accepted")
-      val aligned = Ingest.lwwAlign(accepted, spp)
+          Ingest.retentionStatus(schema, nowS) === "accepted")
+        .select(col("metric"), col("ts_s"), col("value"))
       val merged = state match {
-        case None => aligned
+        case None => Ingest.lwwAlignKeepTs(accepted, spp)
         case Some(prev) =>
-          // re-dedup across (previous winners ∪ new winners): a point can
-          // only be displaced by a later (ts, value) pair, so winners are
-          // order-insensitive across micro-batches. The stored winner's
-          // bucket_ts stands in for its raw ts (it is the aligned floor —
-          // whisper, too, forgets raw timestamps once a slot is written).
-          val prevAsPts = prev.select(col("metric"),
-            col("bucket_ts").as("ts_s"), col("value"))
-          val newAsPts = aligned.select(col("metric"),
-            col("bucket_ts").as("ts_s"), col("value"))
-          Ingest.lwwAlign(prevAsPts.unionAll(newAsPts), spp)
+          // re-dedup (previous winners ∪ new batch) on raw timestamps: a
+          // stored winner is displaced only by a strictly later (ts,
+          // value) pair, never by an earlier-raw-ts point that happened
+          // to arrive in a later micro-batch
+          val prevAsPts = prev.select(col("metric"), col("ts_s"), col("value"))
+          Ingest.lwwAlignKeepTs(prevAsPts.unionAll(accepted), spp)
       }
       // R3 ring expiry keeps state bounded by retention
       val expired = Rollup.retentionExpiry(
@@ -81,6 +80,7 @@ object StreamIngest {
       state = Some(expired.localCheckpoint(true))
     }
 
+    /** Current winners: (metric, bucket_ts, value, ts_s). */
     def current: Option[DataFrame] = state
   }
 

@@ -134,6 +134,76 @@ class WhisperTableSpec extends AnyFunSuite {
     assert(first == second)
   }
 
+  test("header round trip: open without a schema reads _whisper.json") {
+    import spark.implicits._
+    val p = tmp()
+    val t = WhisperTable.create(spark, p, Retentions.gate) // 1m:1h,10m:6h Max .9
+    val pts = (0 until 9).map(i =>
+      TimeSeriesPoint("m", now - 1200 + 60 * i, 10.0 + i))
+    t.updateMany(pts.toDS(), now)
+    val u = WhisperTable.open(spark, p) // no schema argument
+    assert(u.schema == Retentions.gate)
+    assert(u.aggregationMethod == graft.model.AggregationMethod.Max)
+    assert(u.xFilesFactor == 0.9)
+    assert(series(u.fetch("m", now - 7200, now, now)) ==
+      series(t.fetch("m", now - 7200, now, now)))
+  }
+
+  test("strict F3: update raises whisper's error; lenient updateMany counts") {
+    import spark.implicits._
+    val t = WhisperTable.create(spark, tmp(), Retentions.lww) // 1d retention
+    val res = t.updateMany(Seq(
+      TimeSeriesPoint("m", now - 2 * 86400, 1.0), // too old
+      TimeSeriesPoint("m", now + 60, 2.0),        // future
+      TimeSeriesPoint("m", now - 120, 3.0)).toDS(), now)
+    assert(res == UpdateResult(accepted = 1, rejected = 2))
+    val ex = intercept[IllegalArgumentException](
+      t.update("m", now - 2 * 86400, 4.0, now))
+    assert(ex.getMessage.contains("not covered by any archives"))
+    t.update("m", now - 60, 5.0, now) // in-retention single point still lands
+    val got = series(t.fetch("m", now - 600, now, now))
+    assert(got.flatMap(_._2).toSet == Set(3.0, 5.0))
+  }
+
+  test("incremental write: untouched day partitions are not rewritten") {
+    import spark.implicits._
+    val p = tmp()
+    val t = WhisperTable.create(spark, p, Retentions.std)
+    val old = now - 3 * 86400 // routes directly to the 5m archive
+    t.updateMany(Seq(TimeSeriesPoint("m", old + 10, 42.0)).toDS(), now)
+    val oldDay = java.time.Instant.ofEpochSecond(old)
+      .atZone(java.time.ZoneOffset.UTC).toLocalDate.toString
+    val dayDir = new java.io.File(s"$p/points_300s/day=$oldDay")
+    assert(dayDir.isDirectory)
+    def snapshot() = dayDir.listFiles().filter(_.getName.endsWith(".parquet"))
+      .map(f => (f.getName, f.lastModified(), f.length())).toSet
+    val before = snapshot()
+    // second batch touches only the current day at every level
+    t.updateMany(Seq(TimeSeriesPoint("m", now - 120, 7.0)).toDS(), now)
+    assert(snapshot() == before) // same files, same mtimes: never rewritten
+    // and both days' data are served
+    val got = series(t.fetch("m", now - 4 * 86400, now, now)).toMap
+    assert(got(old) == Some(42.0))
+  }
+
+  test("propagation covers only buckets written this cycle (partial-expiry safe)") {
+    import spark.implicits._
+    // tight: 1s:120, 10s:1h, Sum, xff 0 — finer retention is 120 s
+    val t = WhisperTable.create(spark, tmp(), Retentions.tight)
+    val now1 = 1050L
+    t.updateMany((0 until 10).map(i =>
+      TimeSeriesPoint("m", 1000L + i, 1.0)).toDS(), now1)
+    // coarse bucket 1000 holds sum(10 × 1.0)
+    assert(series(t.fetch("m", 920, 1005, now1)).toMap.apply(1000L) == Some(10.0))
+    // advance now so finer slots 1000..1004 expire (horizon 1005): a new
+    // write elsewhere must NOT re-derive bucket 1000 from the partial
+    // finer window (that would shrink the Sum to 5.0)
+    val now2 = 1125L
+    t.updateMany(Seq(TimeSeriesPoint("m", 1120L, 2.0)).toDS(), now2)
+    val got = series(t.fetch("m", 995, 1010, now2)).toMap
+    assert(got(1000L) == Some(10.0))
+  }
+
   test("direct write to a coarser archive for late-but-covered data (U3)") {
     import spark.implicits._
     val t = WhisperTable.create(spark, tmp(), Retentions.std)

@@ -54,6 +54,26 @@ class StreamIngestSpec extends AnyFunSuite {
     assert(!got.exists(_._3 == 99.0))
   }
 
+  test("later micro-batch with an earlier raw ts does not displace the winner") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val nowS = 1000000L
+    val store = new StreamIngest.LwwStore(Retentions.lww, nowS)
+    val stream = MemoryStream[(String, Long, Double)]
+    val writer = StreamIngest.ingestWriter(
+      stream.toDF().toDF("metric", "ts_s", "value"), store)
+    // slot floor = 999900; the first batch's winner has raw ts 999910
+    stream.addData(pt("m", nowS - 90, 2.0))
+    writer.start().awaitTermination()
+    // a later micro-batch delivers an EARLIER raw ts (999905) in the same
+    // slot: under batch LWW it must lose, regardless of arrival order
+    stream.addData(pt("m", nowS - 95, 9.0))
+    writer.start().awaitTermination()
+    val got = store.current.get.collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got == Set(("m", 999900L, 2.0)))
+  }
+
   test("windowedAgg: tumbling windows with watermark produce whisper buckets") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

@@ -25,5 +25,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(exprs.length == 2, s"dot_f expects 2 arguments, got ${exprs.length}")
         DotProductF(exprs.head, exprs(1))
       }))
+    // materialized-rollup rewrite (aggregate navigator): serve coarser
+    // re-aggregations of a materialized level from the pre-materialized
+    // coarser table (see graft.plans.RollupRewrite)
+    e.injectOptimizerRule(_ => graft.plans.RollupRewrite)
   }
 }

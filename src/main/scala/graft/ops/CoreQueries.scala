@@ -263,6 +263,7 @@ object CoreQueries {
     "catalog_info" -> (Materialize.catalogInfo _),
     "create_rollup_tables" -> (Materialize.createRollupTables _),
     "fetch_archive_selection" -> (Materialize.fetchArchiveSelection _),
+    "rollup_serve_1h" -> (Materialize.rollupServe1h _),
     "scan_props_json" -> (scanPropsJson _)
   )
 
@@ -284,6 +285,7 @@ object CoreQueries {
     "retention_expiry" -> retentionExpirySql,
     "catalog_info" -> Materialize.catalogInfoSql,
     "fetch_archive_selection" -> Materialize.fetchArchiveSelectionSql,
+    "rollup_serve_1h" -> Materialize.rollupServe1hSql,
     "scan_props_json" -> scanPropsJsonSql
     // create_rollup_tables: intentionally no oracle — the parquet write
     // IS the operator; driver records the rows-only check (SURVEY.md §2.1)

@@ -161,17 +161,25 @@ object Dedup {
     // equivalent barrier is persist() + a materializing action (or a
     // checkpoint to reliable storage).
     val u = shingleSet(docs(s, dir)).localCheckpoint(true)
-    val seeds = s.range(MinhashSeeds).toDF("s")
-    val mh = u.join(broadcast(seeds))
-      .select(col("doc_id"), col("s"),
-        md5(concat(col("s").cast("string"), lit("|"), col("g"))).as("h"))
-      .groupBy("doc_id", "s").agg(min(col("h")).as("h"))
+    // single-pass signatures: project the 16 seed-hashes as COLUMNS in
+    // one codegen'd pass, then one groupBy(doc_id) with 16 plain min
+    // buffers. Two properties matter: (1) no 16× row blowup and one
+    // shuffle of one row per doc, vs two shuffles of 16·|docs| rows in
+    // the exploded form; (2) the md5s live in a whole-stage-codegen
+    // Project, NOT inside the aggregate — string min buffers force a
+    // sort-based aggregate whose update expressions evaluate
+    // interpreted, and re-evaluating md5 there measured 57 s vs 6 s for
+    // the identical result at sf0.1.
+    val hashed = u.select(col("doc_id") +:
+      (0 until MinhashSeeds).map(i =>
+        md5(concat(lit(s"$i|"), col("g"))).as(s"x$i")): _*)
+    val minCols = (0 until MinhashSeeds).map(i => min(col(s"x$i")).as(s"h$i"))
+    val mh = hashed.groupBy("doc_id").agg(minCols.head, minCols.tail: _*)
     // 8 bands of 2 rows, band key = md5(h_{2b} || h_{2b+1}) in seed order
-    val bands = mh
-      .groupBy(col("doc_id"), floor(col("s") / BandRows).as("band_id"))
-      .agg(md5(concat(
-        max(when(col("s") % BandRows === 0, col("h"))),
-        max(when(col("s") % BandRows === 1, col("h"))))).as("band_key"))
+    val bandCols = (0 until MinhashSeeds / BandRows).map(b =>
+      md5(concat(col(s"h${BandRows * b}"), col(s"h${BandRows * b + 1}"))))
+    val bands = mh.select(col("doc_id"),
+      posexplode(array(bandCols: _*)).as(Seq("band_id", "band_key")))
     // bucket-local pair generation: aggregate each LSH bucket's doc list
     // and emit ordered pairs from it — one pass over `bands`, replacing
     // the round-1 self-join that needed a second materialization barrier
@@ -185,12 +193,22 @@ object Dedup {
       .select(col("doc_a"), explode(col("ids")).as("doc_b"))
       .filter(col("doc_a") < col("doc_b"))
       .distinct()
-    // exact Jaccard, but only on LSH candidates; the second shingle join
-    // is an equi-join on (doc_b, g) so matches never blow up quadratically
-    val sizes = u.groupBy("doc_id").agg(count(lit(1)).as("sz"))
-    val inter = cand
-      .join(u.select(col("doc_id").as("doc_a"), col("g")), "doc_a")
-      .join(u.select(col("doc_id").as("doc_b"), col("g")), Seq("doc_b", "g"))
+    // exact Jaccard, but only on LSH candidates — and only over the
+    // shingles of docs that actually appear in a candidate pair (a tiny
+    // broadcast semi-join): verification cost tracks the duplicate set,
+    // not the corpus. cand is eagerly pinned — it has two consumers
+    // (candidate docs + the intersection join) that would otherwise each
+    // recompute the signature pipeline.
+    val candCk = cand.localCheckpoint(true)
+    val candDocs = candCk
+      .select(explode(array(col("doc_a"), col("doc_b"))).as("doc_id"))
+      .distinct()
+    val uc = u.join(broadcast(candDocs), Seq("doc_id"), "left_semi")
+      .localCheckpoint(true) // 3 consumers below
+    val sizes = uc.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    val inter = candCk
+      .join(uc.select(col("doc_id").as("doc_a"), col("g")), "doc_a")
+      .join(uc.select(col("doc_id").as("doc_b"), col("g")), Seq("doc_b", "g"))
       .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("x"))
     inter
       .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sz", "na"), "doc_a")
@@ -232,6 +250,66 @@ object Dedup {
        |WHERE x * 1.0 / (na.sz + nb.sz - x) >= 0.5
        |ORDER BY doc_a, doc_b""".stripMargin
   }
+
+  // --------------------------------------------- near-dup cluster collapse
+
+  /** `dedup_cluster`: connected components over the near-duplicate pair
+    * graph — the step a real dedup pipeline runs after candidate
+    * verification, collapsing each transitive duplicate cluster to one
+    * canonical document (the minimum doc_id, the standard deterministic
+    * choice). Iterative min-label propagation, driver-looped to a
+    * fixpoint; iteration count = component diameter, which for dedup
+    * graphs is tiny. At 100 TB the same loop runs with the
+    * alternating large-star/small-star optimization (each round is one
+    * join + one aggregation, all shuffles keyed by doc_id); the driver
+    * only sees a converged/not-converged count per round.
+    */
+  def dedupCluster(s: SparkSession, dir: String): DataFrame = {
+    val pairs = dedupNgramJaccard(s, dir).select(col("doc_a"), col("doc_b"))
+    val edges = pairs
+      .unionAll(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+      .localCheckpoint(true) // small: verified near-dup pairs only
+    var labels = edges.select(col("doc_a").as("doc_id")).distinct()
+      .withColumn("lbl", col("doc_id"))
+      .localCheckpoint(true)
+    var converged = false
+    while (!converged) {
+      val nbr = edges.join(labels, edges("doc_b") === labels("doc_id"))
+        .select(edges("doc_a").as("doc_id"), col("lbl"))
+      val next = labels.select("doc_id", "lbl").unionAll(nbr)
+        .groupBy("doc_id").agg(min("lbl").as("lbl"))
+        .localCheckpoint(true)
+      val changed = next
+        .join(labels.withColumnRenamed("lbl", "old"), "doc_id")
+        .filter(col("lbl") =!= col("old")).count()
+      labels = next
+      converged = changed == 0
+    }
+    labels.select(col("doc_id"), col("lbl").as("cluster_id")).orderBy("doc_id")
+  }
+
+  /** Oracle: transitive closure by recursive CTE, min reachable id. */
+  val dedupClusterSql: String =
+    s"""WITH RECURSIVE $shingleUSql,
+       |sizes AS (SELECT doc_id, count(*) AS sz FROM shingle_u GROUP BY 1),
+       |inter AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS x
+       |  FROM shingle_u a JOIN shingle_u b ON a.g = b.g AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2),
+       |pairs AS (
+       |  SELECT doc_a, doc_b FROM inter
+       |  JOIN sizes na ON na.doc_id = doc_a
+       |  JOIN sizes nb ON nb.doc_id = doc_b
+       |  WHERE x * 1.0 / (na.sz + nb.sz - x) >= 0.5),
+       |edges AS (
+       |  SELECT doc_a AS u, doc_b AS v FROM pairs
+       |  UNION ALL SELECT doc_b, doc_a FROM pairs),
+       |reach(u, v) AS (
+       |  SELECT u, u FROM (SELECT DISTINCT u FROM edges)
+       |  UNION
+       |  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u)
+       |SELECT u AS doc_id, min(v) AS cluster_id
+       |FROM reach GROUP BY u ORDER BY doc_id""".stripMargin
 
   // ------------------------------------------------------------ X2 SimHash
 

@@ -12,6 +12,11 @@ object ExtQueries {
     "dedup_minhash" -> (Dedup.dedupMinhash _),
     "dedup_simhash" -> (Dedup.dedupSimhash _),
     "dedup_embedding" -> (Dedup.dedupEmbedding _),
+    "dedup_cluster" -> (Dedup.dedupCluster _),
+    "sessionize" -> (PipelineOps.sessionize _),
+    "sample_stratified" -> (PipelineOps.sampleStratified _),
+    "source_mix" -> (PipelineOps.sourceMix _),
+    "text_pii_scrub" -> (PipelineOps.textPiiScrub _),
     "similarity_topk" -> (Similarity.similarityTopk _),
     "similarity_ann_ivf" -> (Similarity.similarityAnnIvf _),
     "multimodal_join" -> (Similarity.multimodalJoin _),
@@ -30,6 +35,11 @@ object ExtQueries {
     "dedup_minhash" -> Dedup.dedupMinhashSql,
     "dedup_simhash" -> Dedup.dedupSimhashSql,
     "dedup_embedding" -> Dedup.dedupEmbeddingSql,
+    "dedup_cluster" -> Dedup.dedupClusterSql,
+    "sessionize" -> PipelineOps.sessionizeSql,
+    "sample_stratified" -> PipelineOps.sampleStratifiedSql,
+    "source_mix" -> PipelineOps.sourceMixSql,
+    "text_pii_scrub" -> PipelineOps.textPiiScrubSql,
     "similarity_topk" -> Similarity.similarityTopkSql,
     "similarity_ann_ivf" -> Similarity.similarityAnnIvfSql,
     "multimodal_join" -> Similarity.multimodalJoinSql,

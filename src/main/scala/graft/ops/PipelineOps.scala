@@ -1,0 +1,173 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Training-data-pipeline operators beyond the SURVEY.md §2.9 extension
+  * set — the operations a 100 TB corpus build runs between ingest and
+  * training: sessionization of event streams, deterministic stratified
+  * sampling, source-mix accounting for data mixing, and PII scrubbing.
+  * No reference counterpart (whisper has no document plane); every op is
+  * oracle-checked against DuckDB on the same parquet.
+  */
+object PipelineOps {
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/documents.parquet")
+
+  private val toksExpr = "split(lower(text), ' ')"
+  private val toksSql = "string_split(lower(text), ' ')"
+
+  // ---------------------------------------------------------- sessionize
+
+  /** Session gap: a pause > 30 min starts a new session. */
+  val SessionGapS = 1800L
+
+  /** `sessionize`: classic gap-based sessionization of the event stream —
+    * per metric, order by time, start a new session when the gap from the
+    * previous event exceeds [[SessionGapS]]; emit per-session start,
+    * event count and duration.
+    *
+    * Determinism under duplicate timestamps: a tie row's gap to its
+    * predecessor is 0 regardless of tie order, and the running sum uses
+    * the default RANGE frame (ties share a frame) in both engines, so
+    * session ids do not depend on tie-breaking.
+    *
+    * Scale: one shuffle keyed by metric + one in-partition sort — the
+    * canonical sessionize shape. Low-cardinality metric keys skew at
+    * 100 TB; the production variant range-partitions on (metric, day)
+    * and stitches sessions across day boundaries in a second pass.
+    */
+  def sessionize(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("metric").orderBy("ts_s")
+    val flagged = Buckets.points(s, dir)
+      .withColumn("prev_ts", lag(col("ts_s"), 1).over(w))
+      .withColumn("new_sess",
+        when(col("prev_ts").isNull ||
+          col("ts_s") - col("prev_ts") > SessionGapS, 1L).otherwise(0L))
+    flagged
+      .withColumn("sid", sum(col("new_sess")).over(
+        Window.partitionBy("metric").orderBy("ts_s")
+          .rangeBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("metric", "sid")
+      .agg(
+        min(col("ts_s")).as("session_start"),
+        count(lit(1)).as("n_events"),
+        (max(col("ts_s")) - min(col("ts_s"))).as("duration_s"))
+      .select("metric", "session_start", "n_events", "duration_s")
+      .orderBy("metric", "session_start")
+  }
+
+  val sessionizeSql: String =
+    s"""WITH ${Buckets.pointsSql},
+       |flagged AS (
+       |  SELECT metric, ts_s,
+       |         CASE WHEN lag(ts_s) OVER mw IS NULL
+       |                OR ts_s - lag(ts_s) OVER mw > $SessionGapS
+       |              THEN 1 ELSE 0 END AS new_sess
+       |  FROM pts
+       |  WINDOW mw AS (PARTITION BY metric ORDER BY ts_s)),
+       |sess AS (
+       |  SELECT metric, ts_s,
+       |         sum(new_sess) OVER (PARTITION BY metric ORDER BY ts_s) AS sid
+       |  FROM flagged)
+       |SELECT metric, min(ts_s) AS session_start, count(*) AS n_events,
+       |       max(ts_s) - min(ts_s) AS duration_s
+       |FROM sess GROUP BY metric, sid
+       |ORDER BY metric, session_start""".stripMargin
+
+  // --------------------------------------------------- stratified sampling
+
+  /** Deterministic sample keep-rate: first md5 byte < 26 ⇒ ~10.2%. */
+  val SampleBuckets = 26
+
+  /** `sample_stratified`: deterministic hash-based stratified sampling —
+    * keep a document iff the first byte of md5(lang || '|' || doc_id) is
+    * below [[SampleBuckets]]. Salting the hash with the stratum (lang)
+    * decorrelates the per-stratum samples; both engines compute the
+    * identical md5, so the sample is reproducible anywhere — the property
+    * a training-data pipeline needs for held-out splits. Pure map-side
+    * filter: no shuffle, no RNG state, scales linearly.
+    */
+  def sampleStratified(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .withColumn("h", md5(concat(col("lang"), lit("|"), col("doc_id").cast("string"))))
+      .withColumn("bucket",
+        expr("(position(substring(h, 1, 1), '0123456789abcdef') - 1) * 16 + " +
+          "(position(substring(h, 2, 1), '0123456789abcdef') - 1)"))
+      .filter(col("bucket") < SampleBuckets)
+      .select(col("doc_id"), col("lang"), col("source"), col("bucket"))
+      .orderBy("doc_id")
+
+  val sampleStratifiedSql: String =
+    s"""WITH h AS (
+       |  SELECT doc_id, lang, source,
+       |         md5(lang || '|' || CAST(doc_id AS VARCHAR)) AS h
+       |  FROM documents)
+       |SELECT doc_id, lang, source,
+       |       (strpos('0123456789abcdef', substr(h, 1, 1)) - 1) * 16 +
+       |       (strpos('0123456789abcdef', substr(h, 2, 1)) - 1) AS bucket
+       |FROM h
+       |WHERE (strpos('0123456789abcdef', substr(h, 1, 1)) - 1) * 16 +
+       |      (strpos('0123456789abcdef', substr(h, 2, 1)) - 1) < $SampleBuckets
+       |ORDER BY doc_id""".stripMargin
+
+  // ----------------------------------------------------------- source mix
+
+  /** `source_mix`: per (source, lang) corpus accounting — doc counts,
+    * token sums, and each lang's token share within its source — the
+    * numbers a data-mixing stage weights against. One aggregation plus a
+    * window over the (tiny) aggregated frame; shares divide exact integer
+    * sums cast to double, identically in both engines.
+    */
+  def sourceMix(s: SparkSession, dir: String): DataFrame = {
+    val agg = docs(s, dir).withColumn("toks", expr(toksExpr))
+      .groupBy("source", "lang")
+      .agg(count(lit(1)).as("n_docs"), sum(size(col("toks"))).as("n_tokens"))
+    agg
+      .withColumn("tok_share",
+        round(col("n_tokens").cast("double") /
+          sum(col("n_tokens")).over(Window.partitionBy("source")), 6))
+      .select("source", "lang", "n_docs", "n_tokens", "tok_share")
+      .orderBy("source", "lang")
+  }
+
+  val sourceMixSql: String =
+    s"""WITH agg AS (
+       |  SELECT source, lang, count(*) AS n_docs,
+       |         sum(len($toksSql)) AS n_tokens
+       |  FROM documents GROUP BY source, lang)
+       |SELECT source, lang, n_docs, n_tokens,
+       |       round(CAST(n_tokens AS DOUBLE) /
+       |             sum(n_tokens) OVER (PARTITION BY source), 6) AS tok_share
+       |FROM agg ORDER BY source, lang""".stripMargin
+
+  // ----------------------------------------------------------- PII scrub
+
+  /** Email-ish addresses or long digit runs — patterns valid in both
+    * Java regex (Spark) and RE2 (DuckDB): no lookaround, no backrefs.
+    */
+  val PiiPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}|[0-9]{6,}"
+
+  /** `text_pii_scrub`: redact PII-shaped spans and report the redaction
+    * count per document. The synthetic corpus is word salad, so hit
+    * counts are typically zero — the operator demonstrates the scrub
+    * machinery (count + global replace + stable prefix) that runs
+    * unchanged on a real corpus. Map-side only.
+    */
+  def textPiiScrub(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir).select(
+        col("doc_id"),
+        expr(s"size(regexp_extract_all(text, '$PiiPattern', 0))").as("n_redactions"),
+        substring(regexp_replace(col("text"), PiiPattern, "<PII>"), 1, 60)
+          .as("scrubbed_prefix"))
+      .orderBy("doc_id")
+
+  val textPiiScrubSql: String =
+    s"""SELECT doc_id,
+       |       len(regexp_extract_all(text, '$PiiPattern')) AS n_redactions,
+       |       substr(regexp_replace(text, '$PiiPattern', '<PII>', 'g'), 1, 60)
+       |         AS scrubbed_prefix
+       |FROM documents ORDER BY doc_id""".stripMargin
+}

@@ -1,0 +1,255 @@
+package graft.plans
+
+import graft.model.AggregationMethod
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.aggregate._
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+
+/** Registry of materialized rollup levels, consulted by [[RollupRewrite]].
+  * [[graft.ops.Materialize.createRollupTables]] registers each level it
+  * writes, with a pointer to the level it was derived from — the rewrite
+  * is only valid along that derivation edge (avg-of-avg is not avg, so a
+  * 1h level derived from 5m may only replace re-aggregations OF the 5m
+  * level, never of the 1m level).
+  */
+object RollupCatalog {
+
+  final case class LevelInfo(
+      spp: Int, parentSpp: Int, path: String, method: AggregationMethod)
+
+  private val levels =
+    new scala.collection.concurrent.TrieMap[Int, LevelInfo]
+
+  def register(info: LevelInfo): Unit = { levels.put(info.spp, info); () }
+  def clear(): Unit = levels.clear()
+  def isEmpty: Boolean = levels.isEmpty
+
+  def lookup(spp: Long): Option[LevelInfo] =
+    if (spp.isValidInt) levels.get(spp.toInt) else None
+
+  /** The level whose storage path equals `uriPath` (URI-normalized). */
+  def levelAtPath(uriPath: String): Option[LevelInfo] =
+    levels.values.find(i =>
+      new org.apache.hadoop.fs.Path(i.path).toUri.getPath == uriPath)
+}
+
+/** Materialized-rollup rewrite — the OLAP "aggregate navigator" pattern
+  * (materialized-view rewrite) as a Catalyst optimizer rule:
+  *
+  * {{{ Aggregate [metric, floor(bucket_ts/S)*S] [avg(value)]
+  *       over scan(points_Ps)                       // P = finer level
+  *   ==> scan(points_Ss)                            // iff S derived from P }}}
+  *
+  * The substitution is EXACT, not approximate: level S was materialized by
+  * [[graft.ops.Materialize.createRollupTables]] as precisely this
+  * aggregation of level P (xff = 0, same method), so serving the scan of
+  * the coarser table returns the identical rows while skipping both the
+  * (spp-ratio×) larger scan and the whole shuffle — at 100 TB this is the
+  * difference between reading the 1h archive (~0.03% of raw) and
+  * re-shuffling the 5m archive.
+  *
+  * Deployment: injected via [[graft.functions.GraftExtensions]]
+  * (`spark.sql.extensions`) or per-session through
+  * `spark.experimental.extraOptimizations`. Matching is conservative: the
+  * rule fires only on the canonical align shape
+  * `cast(floor(bucket_ts / S) * S as long)` (what [[graft.ops.Buckets.alignTs]]
+  * emits) over a direct scan (optionally column-pruning Project) of a
+  * registered level, grouped by columns named `metric`/`bucket_ts` and
+  * aggregating `value` with the level's own method — anything else is
+  * left untouched.
+  */
+object RollupRewrite extends Rule[LogicalPlan] {
+
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    if (RollupCatalog.isEmpty) plan
+    else plan.transformUp {
+      case agg: Aggregate => tryRewrite(agg).getOrElse(agg)
+    }
+
+  // ---- matching helpers -------------------------------------------------
+
+  /** Strip (possibly nested) casts — analysis inserts implicit casts
+    * around the integer align arithmetic.
+    */
+  private def strip(e: Expression): Expression = e match {
+    case c: Cast => strip(c.child)
+    case _ => e
+  }
+
+  private def literalLong(e: Expression): Option[Long] = strip(e) match {
+    case Literal(v: Int, _) => Some(v.toLong)
+    case Literal(v: Long, _) => Some(v)
+    case Literal(v: Short, _) => Some(v.toLong)
+    case Literal(v: Double, _) if v.isWhole => Some(v.toLong)
+    case Literal(v: org.apache.spark.sql.types.Decimal, _) => Some(v.toLong)
+    case _ => None
+  }
+
+  /** Match `floor(attr / s) * s` (mod casts) → (attr, s). */
+  private def extractAlign(e: Expression): Option[(Attribute, Long)] =
+    strip(e) match {
+      case m: Multiply =>
+        (strip(m.left), literalLong(m.right)) match {
+          case (f: Floor, Some(s2)) => strip(f.child) match {
+            case d: Divide =>
+              (strip(d.left), literalLong(d.right)) match {
+                case (a: Attribute, Some(s1)) if s1 == s2 => Some((a, s1))
+                case _ => None
+              }
+            case _ => None
+          }
+          case _ => None
+        }
+      case _ => None
+    }
+
+  /** Descend through Projects to the base relation, accumulating the
+    * alias bindings so expressions above can be inlined back to relation
+    * attributes — the optimizer's PullOutGroupingExpressions moves the
+    * align arithmetic into a child Project (`_groupingexpression#N`), so
+    * the Aggregate's own groupings are bare attributes.
+    */
+  private def dealias(
+      p: LogicalPlan): Option[(LogicalRelation, Map[ExprId, Expression])] =
+    p match {
+      case l: LogicalRelation => Some((l, Map.empty))
+      case proj: Project =>
+        dealias(proj.child).map { case (rel, inner) =>
+          val binds = proj.projectList.map {
+            case a @ Alias(c, _) => a.exprId -> substitute(c, inner)
+            case a: Attribute => a.exprId -> substitute(a, inner)
+          }.toMap
+          (rel, binds)
+        }
+      case _ => None
+    }
+
+  private def substitute(e: Expression, binds: Map[ExprId, Expression]): Expression =
+    if (binds.isEmpty) e
+    else e.transformUp {
+      case a: Attribute if binds.contains(a.exprId) => binds(a.exprId)
+    }
+
+  private def levelOf(rel: LogicalRelation): Option[RollupCatalog.LevelInfo] =
+    rel.relation match {
+      case h: HadoopFsRelation =>
+        h.location.rootPaths.toSeq match {
+          case Seq(root) => RollupCatalog.levelAtPath(root.toUri.getPath)
+          case _ => None
+        }
+      case _ => None
+    }
+
+  private def methodMatches(fn: AggregateFunction, m: AggregationMethod): Boolean =
+    (fn, m) match {
+      case (a: Average, AggregationMethod.Average) => attrNamed(a.child, "value")
+      case (s: Sum, AggregationMethod.Sum) => attrNamed(s.child, "value")
+      case (x: Max, AggregationMethod.Max) => attrNamed(x.child, "value")
+      case (n: Min, AggregationMethod.Min) => attrNamed(n.child, "value")
+      case _ => false
+    }
+
+  private def attrNamed(e: Expression, name: String): Boolean =
+    strip(e) match {
+      case a: Attribute => a.name == name
+      case _ => false
+    }
+
+  // ---- the rewrite ------------------------------------------------------
+
+  private def tryRewrite(agg: Aggregate): Option[LogicalPlan] = {
+    for {
+      (rel, binds) <- dealias(agg.child)
+      finer <- levelOf(rel)
+      // groupings (inlined to relation attrs): exactly
+      // {metric attr, align(bucket_ts, S)} in either order
+      (metricAttr, alignedSpp) <- agg.groupingExpressions
+        .map(substitute(_, binds)) match {
+        case Seq(g1, g2) =>
+          Seq((g1, g2), (g2, g1)).collectFirst(Function.unlift {
+            case (m, b) =>
+              (strip(m), extractAlign(b)) match {
+                case (ma: Attribute, Some((ba, s)))
+                    if ma.name == "metric" && ba.name == "bucket_ts" =>
+                  Some((ma, s))
+                case _ => None
+              }
+          })
+        case _ => None
+      }
+      coarser <- RollupCatalog.lookup(alignedSpp)
+      if coarser.parentSpp == finer.spp
+      // result exprs: the two groupings plus ONE matching aggregate
+      mapped <- mapResults(agg.aggregateExpressions, binds, metricAttr,
+        alignedSpp, coarser)
+    } yield {
+      val scan = SparkSession.active.read.parquet(coarser.path)
+        .select("metric", "bucket_ts", "value")
+        .queryExecution.analyzed
+      val Seq(sMetric, sBucket, sValue) = scan.output
+      val projected = mapped.map {
+        case (orig, MetricCol) => Alias(sMetric, orig.name)(exprId = orig.exprId)
+        case (orig, BucketCol) => Alias(sBucket, orig.name)(exprId = orig.exprId)
+        case (orig @ Alias(c, name), ValueCol) =>
+          // keep any scalar wrapper (e.g. round(avg(x), 6) after
+          // CollapseProject) — substitute the rollup value column for the
+          // aggregate call inside it
+          val rebuilt = c.transform { case _: AggregateExpression => sValue }
+          Alias(rebuilt, name)(exprId = orig.exprId)
+        case (orig, ValueCol) => Alias(sValue, orig.name)(exprId = orig.exprId)
+      }
+      Project(projected, scan)
+    }
+  }
+
+  private sealed trait RollupCol
+  private case object MetricCol extends RollupCol
+  private case object BucketCol extends RollupCol
+  private case object ValueCol extends RollupCol
+
+  /** Pair each Aggregate result expression with the rollup column that
+    * replaces it, or None if any result is outside the rewritable shape.
+    */
+  private def mapResults(
+      results: Seq[NamedExpression],
+      binds: Map[ExprId, Expression],
+      metricAttr: Attribute,
+      alignedSpp: Long,
+      info: RollupCatalog.LevelInfo): Option[Seq[(NamedExpression, RollupCol)]] = {
+    var sawAgg = false
+    val mapped: Seq[Option[(NamedExpression, RollupCol)]] = results.map { ne =>
+      val inlined = ne match {
+        case a: Attribute => substitute(a, binds)
+        case Alias(c, _) => substitute(c, binds)
+        case other => other
+      }
+      if (strip(inlined).semanticEquals(metricAttr)) Some((ne, MetricCol))
+      else if (extractAlign(inlined).exists(_._2 == alignedSpp))
+        Some((ne, BucketCol))
+      else {
+        // an aggregate result, possibly under scalar wrappers merged in
+        // by CollapseProject (e.g. round(avg(value), 6)): exactly one
+        // plain aggregate call of the level's own method, and the wrapper
+        // must reference nothing besides that aggregate
+        val aggs = inlined.collect { case ae: AggregateExpression => ae }
+        val wrapperRefs = inlined
+          .transform { case _: AggregateExpression => Literal(0.0) }
+          .references
+        aggs match {
+          case Seq(ae)
+              if !ae.isDistinct && ae.filter.isEmpty &&
+                methodMatches(ae.aggregateFunction, info.method) &&
+                wrapperRefs.isEmpty && !sawAgg =>
+            sawAgg = true
+            Some((ne, ValueCol))
+          case _ => None
+        }
+      }
+    }
+    if (mapped.forall(_.isDefined) && sawAgg) Some(mapped.flatten)
+    else None
+  }
+}

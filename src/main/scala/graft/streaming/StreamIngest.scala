@@ -84,6 +84,22 @@ object StreamIngest {
     def current: Option[DataFrame] = state
   }
 
+  /** Per-level windowed aggregation: one streaming aggregation per
+    * archive level, each at its own resolution with a watermark as deep
+    * as that level's retention — the streaming analog of whisper's U3
+    * late-data routing (SURVEY.md §2.8): a point too late for the finest
+    * level's watermark is dropped there but still lands in every coarser
+    * level whose (deeper) watermark covers it, exactly as whisper routes
+    * an old-but-covered point directly to a coarser archive. All levels
+    * read one source stream; each is an independent query with its own
+    * state, so a skewed/late partition stalls only its own level.
+    */
+  def perLevelAggs(points: DataFrame, schema: WhisperSchema): Seq[(Int, DataFrame)] =
+    schema.retentions.map { r =>
+      r.secondsPerPoint ->
+        windowedAgg(points, r.secondsPerPoint, s"${r.maxRetentionSeconds} seconds")
+    }
+
   /** Wire a point-stream DataFrame to a LwwStore via foreachBatch. */
   def ingestWriter(points: DataFrame, store: LwwStore): DataStreamWriter[Row] =
     points.writeStream

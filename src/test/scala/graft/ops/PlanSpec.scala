@@ -62,4 +62,52 @@ class PlanSpec extends AnyFunSuite {
     val p = plan(Similarity.similarityTopk(spark, dir))
     assert(p.contains("Broadcast"), s"query side should broadcast:\n$p")
   }
+
+  private def scannedPaths(df: DataFrame): Seq[String] =
+    df.queryExecution.optimizedPlan.collect {
+      case l: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        l.relation match {
+          case h: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+            h.location.rootPaths.map(_.toString)
+          case _ => Nil
+        }
+    }.flatten
+
+  private def hasAggregate(df: DataFrame): Boolean =
+    df.queryExecution.optimizedPlan.collect {
+      case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate => a
+    }.nonEmpty
+
+  test("RollupRewrite serves a 1h re-aggregation of the 5m level from the 1h table") {
+    // materialize + enable the rule, then aggregate the 5m table to 1h:
+    // the optimized plan must scan points_3600s with NO aggregate left
+    val served = Materialize.rollupServe1h(spark, dir)
+    assert(scannedPaths(served).exists(_.contains("points_3600s")),
+      s"expected the materialized 1h level to be scanned: ${scannedPaths(served)}")
+    assert(!hasAggregate(served), "aggregate should have been rewritten away")
+    // and the values are identical to reading the 1h table directly
+    import org.apache.spark.sql.functions._
+    val base = s"${System.getProperty("java.io.tmpdir")}/graft_rollups"
+    val direct = spark.read.parquet(s"$base/points_3600s")
+      .select(col("metric"), col("bucket_ts"), round(col("value"), 6).as("value"))
+      .orderBy("metric", "bucket_ts")
+    assert(served.collect().toSeq == direct.collect().toSeq)
+  }
+
+  test("RollupRewrite leaves non-derivation-edge aggregates untouched") {
+    import org.apache.spark.sql.functions._
+    Materialize.rollupServe1h(spark, dir) // ensures catalog + rule active
+    val base = s"${System.getProperty("java.io.tmpdir")}/graft_rollups"
+    // 1m → 1h skips the 5m derivation edge: avg-of-avg would be wrong,
+    // so the rule must NOT fire and the plan keeps its Aggregate
+    val skip = spark.read.parquet(s"$base/points_60s")
+      .groupBy(col("metric"), Buckets.alignTs(col("bucket_ts"), 3600).as("bucket_ts"))
+      .agg(avg(col("value")).as("value"))
+    assert(hasAggregate(skip), "rewrite fired across a non-derivation edge")
+    // sum over the 5m level is not the level's method (Average) either
+    val wrongMethod = spark.read.parquet(s"$base/points_300s")
+      .groupBy(col("metric"), Buckets.alignTs(col("bucket_ts"), 3600).as("bucket_ts"))
+      .agg(sum(col("value")).as("value"))
+    assert(hasAggregate(wrongMethod), "rewrite fired for a mismatched aggregation method")
+  }
 }

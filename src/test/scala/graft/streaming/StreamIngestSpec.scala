@@ -74,6 +74,35 @@ class StreamIngestSpec extends AnyFunSuite {
     assert(got == Set(("m", 999900L, 2.0)))
   }
 
+  test("per-level watermarks route late data to coarser levels (U3 analog)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // tight: 1s:120 (watermark 120 s) and 10s:1h (watermark 3600 s)
+    val stream = MemoryStream[(String, Long, Double)]
+    val points = stream.toDF().toDF("metric", "ts_s", "value")
+    val levels = StreamIngest.perLevelAggs(points, Retentions.tight)
+    assert(levels.map(_._1) == Seq(1, 10))
+    val queries = levels.map { case (spp, df) =>
+      spp -> df.writeStream.outputMode("append")
+        .format("memory").queryName(s"lvl_$spp").start()
+    }
+    def processAll(): Unit = queries.foreach(_._2.processAllAvailable())
+    stream.addData(pt("m", 100, 1.0))
+    processAll()
+    stream.addData(pt("m", 1000, 2.0)) // 1s-level watermark → 880
+    processAll()
+    stream.addData(pt("m", 200, 3.0))  // late: beyond 1s watermark, within 10s
+    processAll()
+    stream.addData(pt("m", 50000, 0.0)) // close every earlier window
+    processAll()
+    queries.foreach(_._2.stop())
+    def buckets(spp: Int): Set[Long] =
+      spark.table(s"lvl_$spp").select("bucket_ts").collect().map(_.getLong(0)).toSet
+    // the finest level dropped ts=200; the coarser level kept it
+    assert(buckets(1) == Set(100L, 1000L))
+    assert(buckets(10) == Set(100L, 200L, 1000L))
+  }
+
   test("windowedAgg: tumbling windows with watermark produce whisper buckets") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

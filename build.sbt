@@ -27,7 +27,9 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
-  // 30+ codegen-heavy queries in one JVM overflow the default ~240m
-  // JIT code cache, silently degrading later queries to interpreted
-  "-XX:ReservedCodeCacheSize=512m",
+  // 40 codegen-heavy queries in one JVM overflow the default ~240m
+  // JIT code cache, silently degrading later queries to interpreted;
+  // flushing lets cold generated classes age out instead of wedging
+  "-XX:ReservedCodeCacheSize=1g",
+  "-XX:+UseCodeCacheFlushing",
 )

@@ -269,16 +269,22 @@ object Dedup {
     val edges = pairs
       .unionAll(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
       .localCheckpoint(true) // small: verified near-dup pairs only
+    // one propagation round: each node takes the min label over itself
+    // and its neighbors. The label frame is bounded by docs-in-pairs
+    // (rare), so it broadcasts — each round is map-side + a small agg.
+    def step(l: DataFrame): DataFrame =
+      edges.join(broadcast(l), edges("doc_b") === l("doc_id"))
+        .select(edges("doc_a").as("doc_id"), col("lbl"))
+        .unionAll(l.select("doc_id", "lbl"))
+        .groupBy("doc_id").agg(min("lbl").as("lbl"))
     var labels = edges.select(col("doc_a").as("doc_id")).distinct()
       .withColumn("lbl", col("doc_id"))
       .localCheckpoint(true)
     var converged = false
     while (!converged) {
-      val nbr = edges.join(labels, edges("doc_b") === labels("doc_id"))
-        .select(edges("doc_a").as("doc_id"), col("lbl"))
-      val next = labels.select("doc_id", "lbl").unionAll(nbr)
-        .groupBy("doc_id").agg(min("lbl").as("lbl"))
-        .localCheckpoint(true)
+      // 3 rounds per materialization/convergence check: the data is tiny,
+      // so per-job overhead dominates — batching rounds cuts it 3×
+      val next = step(step(step(labels))).localCheckpoint(true)
       val changed = next
         .join(labels.withColumnRenamed("lbl", "old"), "doc_id")
         .filter(col("lbl") =!= col("old")).count()

@@ -106,4 +106,28 @@ object StreamIngest {
       .outputMode(OutputMode.Update())
       .foreachBatch { (batch: DataFrame, id: Long) => store.mergeBatch(batch, id) }
       .trigger(Trigger.AvailableNow())
+
+  /** Production-shaped sink: merge each micro-batch into a persistent
+    * [[graft.WhisperTable]] through the batch U2/U3 write path —
+    * streaming and batch share one implementation (semantics cannot
+    * drift), and the state IS the partitioned table (incremental per-day
+    * overwrite + cascade over touched buckets), not driver memory. F3
+    * rejects are counted per batch by `updateMany`'s lenient mode;
+    * replays are idempotent, so at-least-once delivery is safe.
+    */
+  def tableWriter(
+      points: DataFrame,
+      table: graft.WhisperTable,
+      nowS: Long): DataStreamWriter[Row] =
+    points.writeStream
+      .outputMode(OutputMode.Update())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        import batch.sparkSession.implicits._
+        table.updateMany(
+          batch.select(col("metric"), col("ts_s").as("time"), col("value"))
+            .as[graft.TimeSeriesPoint],
+          nowS)
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
 }

@@ -18,14 +18,19 @@ object DevRun {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // construction is timed too: queries with eager barriers
+    // (localCheckpoint / iterative loops / writes) do most of their work
+    // while the DataFrame is being BUILT, not in the final count
+    val tc = System.nanoTime()
     val df = SparkEntry.queries(key)(spark, sfDir)
+    val dtc = (System.nanoTime() - tc) / 1e9
     if (args.contains("--explain"))
       // scalastyle:off println
       println(df.queryExecution.explainString(ExplainMode.fromString("formatted")))
     val t0 = System.nanoTime()
     val n = df.count()
     val dt = (System.nanoTime() - t0) / 1e9
-    println(f"[devrun] $key: $n rows in $dt%.2f s")
+    println(f"[devrun] $key: $n rows in $dt%.2f s (+ $dtc%.2f s construction)")
     // scalastyle:on println
     spark.stop()
   }

@@ -74,6 +74,31 @@ class StreamIngestSpec extends AnyFunSuite {
     assert(got == Set(("m", 999900L, 2.0)))
   }
 
+  test("tableWriter streams micro-batches into a persistent WhisperTable") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val nowS = 1706659200L // aligned to every fixture step
+    val path = java.nio.file.Files.createTempDirectory("stream_table")
+      .resolve("t").toString
+    val table = graft.WhisperTable.create(spark, path, Retentions.lww)
+    val stream = MemoryStream[(String, Long, Double)]
+    val writer = StreamIngest.tableWriter(
+      stream.toDF().toDF("metric", "ts_s", "value"), table, nowS)
+    val slot = nowS - 120
+    stream.addData(pt("m", slot + 10, 1.0), pt("m", slot + 40, 2.0))
+    writer.start().awaitTermination()
+    stream.addData(pt("m", slot + 45, 9.0), pt("n", nowS - 60, 7.0))
+    writer.start().awaitTermination()
+    // reopen from the persisted header: streamed state survives restarts
+    val reopened = graft.WhisperTable.open(spark, path)
+    val got = reopened.fetch("m", slot - 60, slot, nowS).collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) None else Some(r.getDouble(1))))
+    assert(got.contains((slot, Some(9.0)))) // LWW winner across micro-batches
+    val gotN = reopened.fetch("n", nowS - 120, nowS - 60, nowS).collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) None else Some(r.getDouble(1))))
+    assert(gotN.exists(_._2 == Some(7.0)))
+  }
+
   test("per-level watermarks route late data to coarser levels (U3 analog)") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

@@ -18,6 +18,7 @@ object ExtQueries {
     "source_mix" -> (PipelineOps.sourceMix _),
     "text_pii_scrub" -> (PipelineOps.textPiiScrub _),
     "similarity_topk" -> (Similarity.similarityTopk _),
+    "similarity_topk_agg" -> (Similarity.similarityTopkAgg _),
     "similarity_ann_ivf" -> (Similarity.similarityAnnIvf _),
     "multimodal_join" -> (Similarity.multimodalJoin _),
     "multimodal_extract" -> (Multimodal.multimodalExtract _),
@@ -41,6 +42,9 @@ object ExtQueries {
     "source_mix" -> PipelineOps.sourceMixSql,
     "text_pii_scrub" -> PipelineOps.textPiiScrubSql,
     "similarity_topk" -> Similarity.similarityTopkSql,
+    // the Aggregator form must match the window form byte-for-byte —
+    // one oracle covers both
+    "similarity_topk_agg" -> Similarity.similarityTopkSql,
     "similarity_ann_ivf" -> Similarity.similarityAnnIvfSql,
     "multimodal_join" -> Similarity.multimodalJoinSql,
     "multimodal_extract" -> Multimodal.multimodalExtractSql,

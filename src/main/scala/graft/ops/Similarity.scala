@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Encoders, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -107,6 +107,32 @@ object Similarity {
        |  FROM scored)
        |SELECT query_id, cand_id, score, rnk FROM ranked
        |WHERE rnk <= $TopK ORDER BY query_id, rnk""".stripMargin
+
+  /** `similarity_topk_agg`: the same exact top-k as [[similarityTopk]],
+    * computed with the typed [[graft.functions.TopKAgg]] Aggregator
+    * instead of a window — map-side partial top-k buffers bound shuffle
+    * volume by k·#queries instead of sorting every candidate per group
+    * (the better shape when #candidates per group is huge). Shares
+    * [[similarityTopkSql]] as its oracle: both forms must produce
+    * byte-identical results.
+    */
+  def similarityTopkAgg(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir).withColumn("cn", normExpr("embedding"))
+    val q = e.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
+        col("cn").as("qn"))
+    val topk = udaf(new graft.functions.TopKAgg(TopK),
+      Encoders.product[graft.functions.ScoredId])
+    e.join(broadcast(q), col("query_id") =!= col("vec_id"))
+      .select(col("query_id"), col("vec_id").as("cand_id"),
+        (dot_f(col("qe"), col("embedding")) / (col("qn") * col("cn"))).as("score"))
+      .groupBy("query_id")
+      .agg(topk(col("cand_id"), col("score")).as("top"))
+      .select(col("query_id"), posexplode(col("top")).as(Seq("pos", "t")))
+      .select(col("query_id"), col("t.cand_id").as("cand_id"),
+        round(col("t.score"), 6).as("score"), (col("pos") + 1).as("rnk"))
+      .orderBy("query_id", "rnk")
+  }
 
   /** `similarity_ann_ivf`: IVF coarse-quantized ANN with multi-probe.
     * Every vector is assigned to its single nearest centroid (an

@@ -54,6 +54,13 @@ class ExtOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("similarity_topk_agg (typed Aggregator) matches the window top-k exactly") {
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect().toSeq
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+    assert(rows(Similarity.similarityTopkAgg(spark, dir)) ==
+      rows(Similarity.similarityTopk(spark, dir)))
+  }
+
   test("similarity_ann_ivf scores are a subset of the brute-force candidates' scores") {
     // ANN contract: at most TopK hits per query (a probed cluster set can
     // hold fewer candidates than k — that IS approximate search), every

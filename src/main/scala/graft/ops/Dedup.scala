@@ -257,7 +257,11 @@ object Dedup {
     * graph — the step a real dedup pipeline runs after candidate
     * verification, collapsing each transitive duplicate cluster to one
     * canonical document (the minimum doc_id, the standard deterministic
-    * choice). Iterative min-label propagation, driver-looped to a
+    * choice). The pair source is any verified near-dup set: at 100 TB it
+    * is [[dedupMinhash]]'s LSH-verified pairs; here the exact
+    * [[dedupNgramJaccard]] pairs keep the oracle recursive-CTE-simple
+    * (identical pairs on this data — the LSH recall test asserts it).
+    * Iterative min-label propagation, driver-looped to a
     * fixpoint; iteration count = component diameter, which for dedup
     * graphs is tiny. At 100 TB the same loop runs with the
     * alternating large-star/small-star optimization (each round is one

@@ -63,6 +63,23 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("Broadcast"), s"query side should broadcast:\n$p")
   }
 
+  test("sample_stratified is a pure map-side filter (no join, no aggregate)") {
+    val p = plan(PipelineOps.sampleStratified(spark, dir))
+    assert(!p.contains("Join"), s"unexpected join:\n$p")
+    assert(!p.contains("Aggregate"), s"unexpected aggregate:\n$p")
+  }
+
+  test("dedup_minhash never falls back to an all-pairs product") {
+    val p = plan(Dedup.dedupMinhash(spark, dir))
+    assert(!p.contains("CartesianProduct"), s"all-pairs scan in LSH path:\n$p")
+  }
+
+  test("similarity_topk_agg aggregates with a map-side partial step") {
+    val p = plan(Similarity.similarityTopkAgg(spark, dir))
+    assert(p.contains("partial"), s"expected partial top-k buffers:\n$p")
+    assert(!p.contains("Window"), s"Aggregator form must not plan a window:\n$p")
+  }
+
   private def scannedPaths(df: DataFrame): Seq[String] =
     df.queryExecution.optimizedPlan.collect {
       case l: org.apache.spark.sql.execution.datasources.LogicalRelation =>

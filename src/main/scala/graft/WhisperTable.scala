@@ -213,6 +213,33 @@ final class WhisperTable private (
     UpdateResult(accepted, rejected)
   }
 
+  /** Q1 batched: dense series for MANY metrics in one plan — the
+    * one-table-many-series advantage over the reference's
+    * file-per-series `Fetch` loop: one partition-pruned level scan and
+    * one broadcast spine join serve every requested series (N fetches
+    * against the reference = N file opens; here = one query). Output:
+    * (metric, bucket_ts, value) dense per metric with NULL gaps.
+    */
+  def fetchMany(metrics: Seq[String], fromS: Long, untilS: Long, nowS: Long): DataFrame = {
+    require(fromS <= untilS, "invalid time interval")
+    require(metrics.nonEmpty, "no metrics requested")
+    val from = math.max(fromS, nowS - maxRetention) // F1 clamp
+    val until = math.min(untilS, nowS)
+    val archive = Fetch.selectArchive(schema, nowS, from)
+    val spp = archive.secondsPerPoint
+    val fromI = Buckets.fetchInterval(from, spp)
+    val untilI = Buckets.fetchInterval(until, spp)
+    import spark.implicits._
+    val spine = spark.range(fromI, untilI, spp.toLong).toDF("bucket_ts")
+      .crossJoin(broadcast(metrics.toDF("metric")))
+    val agg = readLevel(archive)
+      .filter(col("metric").isin(metrics: _*) &&
+        col("bucket_ts") >= fromI && col("bucket_ts") < untilI)
+    spine.join(agg, Seq("metric", "bucket_ts"), "left")
+      .select(col("metric"), col("bucket_ts"), col("value"))
+      .orderBy("metric", "bucket_ts")
+  }
+
   /** Q1 `Fetch`: clamp the range, select the finest archive covering it,
     * return the dense fixed-step series with NULL gaps.
     */

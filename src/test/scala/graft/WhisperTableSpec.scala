@@ -134,6 +134,23 @@ class WhisperTableSpec extends AnyFunSuite {
     assert(first == second)
   }
 
+  test("fetchMany returns every metric's dense series in one query") {
+    import spark.implicits._
+    val t = WhisperTable.create(spark, tmp(), Retentions.lww)
+    t.updateMany(Seq(
+      TimeSeriesPoint("a", now - 300, 1.0),
+      TimeSeriesPoint("b", now - 240, 2.0)).toDS(), now)
+    val many = t.fetchMany(Seq("a", "b"), now - 600, now, now).collect()
+      .map(r => (r.getString(0), r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getDouble(2))))
+    // identical to the two single-metric fetches, concatenated
+    val single = Seq("a", "b").flatMap { m =>
+      series(t.fetch(m, now - 600, now, now)).map { case (ts, v) => (m, ts, v) }
+    }
+    assert(many.toSeq == single)
+    assert(many.count(_._3.isDefined) == 2)
+  }
+
   test("header round trip: open without a schema reads _whisper.json") {
     import spark.implicits._
     val p = tmp()

@@ -77,7 +77,15 @@ object Rollup {
         aggColumn(method, col("value"), col("bucket_ts")).as("value"),
         count(lit(1)).as("known"))
       .withColumn("total", lit(total.toLong))
-      .filter(col("known").cast("double") / col("total") >= xff)
+      // float32 compare, as whisper (the header stores xff as float32):
+      // the known/total quotient is rounded to float32 before comparing
+      // against float32(xff). Spark's Divide always promotes to double,
+      // so the float32 semantics come from rounding the double quotient —
+      // the oracle SQL rounds the same way, keeping both engines
+      // bit-identical. For realistic window sizes this decides exactly
+      // like Go's float32 division.
+      .filter((col("known").cast("double") / col("total")).cast("float")
+        >= lit(xff.toFloat))
   }
 
   /** SQL-shape of [[propagate]] over a CTE named `src`. */
@@ -90,7 +98,8 @@ object Rollup {
     val total = lowerSpp / higherSpp
     val gate =
       if (xff <= 0.0) ""
-      else s" HAVING count(*) / CAST($total AS DOUBLE) >= $xff"
+      else s" HAVING CAST(CAST(count(*) AS DOUBLE) / $total AS FLOAT)" +
+        s" >= CAST($xff AS FLOAT)"
     method match {
       case AggregationMethod.Last =>
         // value at the max finer bucket_ts per coarser bucket
@@ -100,7 +109,7 @@ object Rollup {
            |                            ORDER BY bucket_ts DESC) AS rn,
            |         count(*) OVER (PARTITION BY metric, (bucket_ts // $lowerSpp) * $lowerSpp) AS known
            |  FROM $srcCte) WHERE rn = 1
-           |    AND known / CAST($total AS DOUBLE) >= $xff""".stripMargin
+           |    AND CAST(CAST(known AS DOUBLE) / $total AS FLOAT) >= CAST($xff AS FLOAT)""".stripMargin
       case m =>
         s"""SELECT metric, (bucket_ts // $lowerSpp) * $lowerSpp AS bucket_ts,
            |       ${aggSql(m)} AS value, count(*) AS known,

@@ -76,6 +76,19 @@ class CoreOpsSpec extends AnyFunSuite {
     assert(known(0.0) == 1)
   }
 
+  test("propagate: xff gate compares in float32, as whisper does") {
+    // whisper stores xff as float32 and computes float32(known) /
+    // float32(total) >= xff. 3 known of 10 slots at xff = 0.3 sits
+    // exactly ON the boundary in that arithmetic and must be kept.
+    // (When ratio == xff mathematically, float32 and double gates agree —
+    // the float32 form is exact-representation fidelity with the
+    // reference's comparison, asserted here at the boundary.)
+    val level = pts(("m", 0L, 1.0), ("m", 60L, 2.0), ("m", 120L, 3.0))
+      .withColumnRenamed("ts_s", "bucket_ts")
+    val out = Rollup.propagate(level, 60, 600, graft.model.AggregationMethod.Sum, 0.3)
+    assert(out.count() == 1)
+  }
+
   test("propagate: Average divides by known count, not window size (trap 3)") {
     val level = pts(("m", 0L, 1.0), ("m", 60L, 3.0))
       .withColumnRenamed("ts_s", "bucket_ts")

@@ -157,9 +157,13 @@ object PipelineOps {
     * unchanged on a real corpus. Map-side only.
     */
   def textPiiScrub(s: SparkSession, dir: String): DataFrame =
+    // Column API only — routing the pattern through expr()/SQL would eat
+    // the `\.` escape (Spark SQL string literals process backslashes),
+    // silently loosening the regex
     docs(s, dir).select(
         col("doc_id"),
-        expr(s"size(regexp_extract_all(text, '$PiiPattern', 0))").as("n_redactions"),
+        size(regexp_extract_all(col("text"), lit(PiiPattern), lit(0)))
+          .as("n_redactions"),
         substring(regexp_replace(col("text"), PiiPattern, "<PII>"), 1, 60)
           .as("scrubbed_prefix"))
       .orderBy("doc_id")

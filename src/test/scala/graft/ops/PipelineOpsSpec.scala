@@ -1,0 +1,82 @@
+package graft.ops
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Invariant tests for the round-2 pipeline operators (sf0.001 — fast). */
+class PipelineOpsSpec extends AnyFunSuite {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  test("sessionize partitions every event into gap-consistent sessions") {
+    val total = Buckets.points(spark, dir).count()
+    val sess = PipelineOps.sessionize(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(sess.map(_._3).sum == total) // every event in exactly one session
+    assert(sess.forall(_._4 >= 0))
+    // consecutive sessions of a metric are separated by more than the gap
+    for ((_, rs) <- sess.groupBy(_._1)) {
+      val ordered = rs.sortBy(_._2)
+      for (Array(a, b) <- ordered.sliding(2).map(_.toArray)) {
+        val prevEnd = a._2 + a._4
+        assert(b._2 - prevEnd > PipelineOps.SessionGapS,
+          s"sessions not separated: $a then $b")
+      }
+    }
+  }
+
+  test("sample_stratified is deterministic and near the target rate") {
+    val a = PipelineOps.sampleStratified(spark, dir).collect().map(_.getLong(0))
+    val b = PipelineOps.sampleStratified(spark, dir).collect().map(_.getLong(0))
+    assert(a.sameElements(b))
+    val total = spark.read.parquet(s"$dir/documents.parquet").count()
+    // 26/256 ≈ 10.2% expected; wide bounds for the 50-doc sample
+    assert(a.length > 0 && a.length < total / 2)
+  }
+
+  test("source_mix token shares sum to ~1 within each source") {
+    val rows = PipelineOps.sourceMix(spark, dir).collect()
+      .map(r => (r.getString(0), r.getDouble(4)))
+    for ((src, shares) <- rows.groupBy(_._1)) {
+      val sum = shares.map(_._2).sum
+      assert(math.abs(sum - 1.0) < 1e-4, s"$src shares sum to $sum")
+    }
+  }
+
+  test("PII pattern redacts emails and long digit runs") {
+    import spark.implicits._
+    // Column API, as the operator uses it (the SQL-literal path would
+    // corrupt the \. escape — the bug this test originally caught)
+    def scrub(text: String): String =
+      Seq(text).toDF("t")
+        .select(regexp_replace(col("t"), PipelineOps.PiiPattern, "<PII>"))
+        .head().getString(0)
+    assert(scrub("contact a.b@mail.co or 12345678 now") ==
+      "contact <PII> or <PII> now")
+    assert(scrub("room 42") == "room 42") // short digit runs kept
+    assert(scrub("mail.co alone") == "mail.co alone") // needs an @
+  }
+
+  test("dedup_cluster is a consistent clustering of the near-dup graph") {
+    val pairs = Dedup.dedupNgramJaccard(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val labels = Dedup.dedupCluster(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // both endpoints of every verified pair share a cluster
+    assert(pairs.forall { case (a, b) => labels(a) == labels(b) })
+    // each cluster's id is the minimum member (canonical representative)
+    for ((cid, members) <- labels.groupBy(_._2).view.mapValues(_.keys.toSeq)) {
+      assert(members.min == cid)
+    }
+    // idempotent labeling: a cluster id labels itself
+    assert(labels.values.forall(c => labels(c) == c))
+  }
+}

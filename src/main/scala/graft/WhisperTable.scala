@@ -77,6 +77,40 @@ final class WhisperTable private (
     }
   }
 
+  /** [[readLevel]] restricted to a set of day partitions — the filter is
+    * on the PARTITION column, so Spark prunes the day directories before
+    * listing files (a `bucket_ts` predicate alone cannot: Spark can't
+    * know the derived day from it). At 100 TB this is the difference
+    * between touching a batch's days and touching the archive.
+    */
+  private def readLevelDays(r: Retention, days: Seq[String]): DataFrame = {
+    val p = levelPath(r)
+    try {
+      spark.read.parquet(p)
+        .filter(col("day").cast("string").isin(days: _*))
+        .select(col("metric"), col("bucket_ts"), col("value"))
+    } catch {
+      case _: org.apache.spark.sql.AnalysisException => emptyLevel
+    }
+  }
+
+  /** [[readLevel]] restricted to the day partitions overlapping a bucket
+    * range (both endpoints inclusive, in session-timezone days — the same
+    * derivation the writer used).
+    */
+  private def readLevelRange(r: Retention, fromI: Long, untilI: Long): DataFrame = {
+    val p = levelPath(r)
+    try {
+      spark.read.parquet(p)
+        .filter(col("day").between(
+          to_date(timestamp_seconds(lit(fromI))),
+          to_date(timestamp_seconds(lit(untilI)))))
+        .select(col("metric"), col("bucket_ts"), col("value"))
+    } catch {
+      case _: org.apache.spark.sql.AnalysisException => emptyLevel
+    }
+  }
+
   private def emptyLevel: DataFrame = {
     import spark.implicits._
     Seq.empty[(String, Long, Double)].toDF("metric", "bucket_ts", "value")
@@ -155,21 +189,58 @@ final class WhisperTable private (
       throw new IllegalArgumentException(
         "Timestamp not covered by any archives in this database")
     val pts = routed.filter(col("archive") > 0)
-    // walk finest→coarsest: each level = LWW(existing ∪ propagated-from-
-    // finer ∪ direct writes routed here); only touched day-partitions are
-    // rewritten and only touched coarse buckets propagate onward
+    // walk finest→coarsest: each level = LWW(existing-in-affected-days ∪
+    // propagated-from-finer ∪ direct writes routed here); only touched
+    // day-partitions are read AND rewritten, and only touched coarse
+    // buckets propagate onward — write-cycle cost tracks the batch's day
+    // footprint, never the archive size
     var propagated: Option[DataFrame] = None
     for ((r, i) <- schema.retentions.zipWithIndex) {
       val spp = r.secondsPerPoint
       val direct = Ingest.lwwAlign(
         pts.filter(col("archive") === i + 1).drop("archive"), spp)
       val propDf = propagated.getOrElse(emptyLevel)
-      // the buckets this cycle writes at this level — drives both the
-      // incremental day write and the next level's propagation scope
+      // the buckets this cycle writes at this level — drives the day
+      // pruning and the next level's propagation scope (pinned: tiny,
+      // three consumers)
       val touched = direct.select("metric", "bucket_ts")
         .unionAll(propDf.select("metric", "bucket_ts"))
         .distinct()
-      val existing = readLevel(r)
+        .localCheckpoint(true)
+      val touchedDays = touched
+        .select(date_format(timestamp_seconds(col("bucket_ts")), "yyyy-MM-dd").as("day"))
+        .distinct().collect().map(_.getString(0)).toSeq
+      // next-coarser buckets this cycle will re-derive (whisper
+      // propagates the current update's intervals, not the archive);
+      // buckets whose finer source window is partially expired are
+      // excluded — their full-window aggregate is no longer derivable,
+      // so the stored coarse value stands
+      val nextOpt = schema.retentions.lift(i + 1)
+      val coarseKeys = nextOpt.map { next =>
+        val nspp = next.secondsPerPoint
+        touched
+          .select(col("metric").as("ck_metric"),
+            Buckets.alignTs(col("bucket_ts"), nspp).as("ck_bucket"))
+          .distinct()
+          .filter(col("ck_bucket") >= nowS - r.maxRetentionSeconds)
+          .localCheckpoint(true) // tiny; drives srcDays AND the semi-join
+      }
+      // days whose rows the merge must SEE: the days being written plus
+      // the full source windows of the coarse buckets re-derived below
+      // (identical to touchedDays while windows stay within one day;
+      // wider only for super-day resolutions)
+      val srcDays = (nextOpt, coarseKeys) match {
+        case (Some(next), Some(ck)) =>
+          ck.select(explode(sequence(
+              to_date(timestamp_seconds(col("ck_bucket"))),
+              to_date(timestamp_seconds(col("ck_bucket") + next.secondsPerPoint - 1))))
+              .as("day"))
+            .distinct().collect().map(_.getDate(0).toString).toSeq
+        case _ => Nil
+      }
+      val mergeDays = (touchedDays ++ srcDays).distinct
+      val existing =
+        if (mergeDays.isEmpty) emptyLevel else readLevelDays(r, mergeDays)
       // whisper write order in one update cycle: direct slot write, then
       // propagation overwrites — so propagated values win on conflict,
       // then direct, then prior content (max_by on a priority column)
@@ -182,32 +253,23 @@ final class WhisperTable private (
         .agg(max_by(col("value"), col("prio")).as("value"))
       val expired = Rollup.retentionExpiry(merged, r.maxRetentionSeconds, nowS)
         .localCheckpoint(true) // read below AND written over its own input
-      val touchedDays = touched
-        .select(date_format(timestamp_seconds(col("bucket_ts")), "yyyy-MM-dd").as("day"))
-        .distinct().collect().map(_.getString(0)).toSeq
       if (touchedDays.nonEmpty) {
         writeTouchedDays(r, expired, touchedDays)
         vacuumLevel(r, nowS)
       }
-      // R1/R2: propagate ONLY the coarse buckets intersecting this
-      // cycle's writes (whisper propagates the current update's
-      // intervals, not the archive). Buckets whose finer source window
-      // is partially expired are excluded — their full-window aggregate
-      // is no longer derivable, so the stored coarse value stands.
-      schema.retentions.lift(i + 1).foreach { next =>
-        val nspp = next.secondsPerPoint
-        val coarseKeys = touched
-          .select(col("metric").as("ck_metric"),
-            Buckets.alignTs(col("bucket_ts"), nspp).as("ck_bucket"))
-          .distinct()
-          .filter(col("ck_bucket") >= nowS - r.maxRetentionSeconds)
-        val src = expired.join(broadcast(coarseKeys),
-          col("metric") === col("ck_metric") &&
-            Buckets.alignTs(col("bucket_ts"), nspp) === col("ck_bucket"),
-          "left_semi")
-        propagated = Some(
-          Rollup.propagate(src, spp, nspp, schema.method, schema.xFilesFactor)
-            .select(col("metric"), col("bucket_ts"), col("value")))
+      // R1/R2: re-derive exactly the touched coarse buckets from this
+      // level's merged content
+      (nextOpt, coarseKeys) match {
+        case (Some(next), Some(ck)) =>
+          val nspp = next.secondsPerPoint
+          val src = expired.join(broadcast(ck),
+            col("metric") === col("ck_metric") &&
+              Buckets.alignTs(col("bucket_ts"), nspp) === col("ck_bucket"),
+            "left_semi")
+          propagated = Some(
+            Rollup.propagate(src, spp, nspp, schema.method, schema.xFilesFactor)
+              .select(col("metric"), col("bucket_ts"), col("value")))
+        case _ => ()
       }
     }
     UpdateResult(accepted, rejected)
@@ -232,7 +294,7 @@ final class WhisperTable private (
     import spark.implicits._
     val spine = spark.range(fromI, untilI, spp.toLong).toDF("bucket_ts")
       .crossJoin(broadcast(metrics.toDF("metric")))
-    val agg = readLevel(archive)
+    val agg = readLevelRange(archive, fromI, untilI)
       .filter(col("metric").isin(metrics: _*) &&
         col("bucket_ts") >= fromI && col("bucket_ts") < untilI)
     spine.join(agg, Seq("metric", "bucket_ts"), "left")
@@ -252,7 +314,10 @@ final class WhisperTable private (
     val fromI = Buckets.fetchInterval(from, spp)
     val untilI = Buckets.fetchInterval(until, spp)
     val spine = spark.range(fromI, untilI, spp.toLong).toDF("bucket_ts")
-    val agg = readLevel(archive)
+    // day-partition pruning: the range reaches the scan as a filter on
+    // the PARTITION column, so only the overlapping day directories are
+    // listed (a bucket_ts predicate alone cannot prune them)
+    val agg = readLevelRange(archive, fromI, untilI)
       .filter(col("metric") === metric &&
         col("bucket_ts") >= fromI && col("bucket_ts") < untilI)
       .select(col("bucket_ts"), col("value"))

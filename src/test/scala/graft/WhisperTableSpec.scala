@@ -151,6 +151,20 @@ class WhisperTableSpec extends AnyFunSuite {
     assert(many.count(_._3.isDefined) == 2)
   }
 
+  test("fetch prunes day partitions via a partition filter") {
+    import spark.implicits._
+    val t = WhisperTable.create(spark, tmp(), Retentions.std)
+    t.updateMany(Seq(
+      TimeSeriesPoint("m", now - 2 * 86400, 1.0), // older day (5m archive)
+      TimeSeriesPoint("m", now - 120, 2.0)).toDS(), now)
+    val plan = t.fetch("m", now - 3600, now, now).queryExecution
+      .explainString(org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    val idx = plan.indexOf("PartitionFilters")
+    assert(idx >= 0, s"no partition filters in fetch plan:\n$plan")
+    assert(plan.substring(idx, math.min(plan.length, idx + 250)).contains("day"),
+      s"partition filter does not constrain day:\n$plan")
+  }
+
   test("header round trip: open without a schema reads _whisper.json") {
     import spark.implicits._
     val p = tmp()

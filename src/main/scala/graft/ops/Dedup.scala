@@ -284,12 +284,47 @@ object Dedup {
     * join + one aggregation, all shuffles keyed by doc_id); the driver
     * only sees a converged/not-converged count per round.
     */
-  def dedupCluster(s: SparkSession, dir: String): DataFrame = {
-    // pairs pinned eagerly: the edge construction below reads it four
-    // times (symmetric + self-loops) — without the barrier each union arm
-    // re-runs the whole verification join pipeline
+  /** Pair-set size up to which components are solved with driver-side
+    * union-find (~16 MB of longs — broadcast scale). The expensive work
+    * (shingling, LSH/exact pair generation, Jaccard verification) is
+    * always distributed; only the final tiny-graph contraction runs on
+    * the driver, exactly the size-gated decision Spark itself makes for
+    * broadcast joins. Above the threshold the distributed min-label loop
+    * below takes over.
+    */
+  val DriverClusterMaxPairs: Long = 1L << 20
+
+  def dedupCluster(s: SparkSession, dir: String): DataFrame =
+    dedupClusterImpl(s, dir, DriverClusterMaxPairs)
+
+  private[graft] def dedupClusterImpl(
+      s: SparkSession, dir: String, driverMaxPairs: Long): DataFrame = {
+    // pairs pinned eagerly: both component paths read it repeatedly —
+    // without the barrier each consumer re-runs the verification joins
     val pairs = dedupNgramJaccard(s, dir).select(col("doc_a"), col("doc_b"))
       .localCheckpoint(true)
+    if (pairs.count() <= driverMaxPairs) {
+      import s.implicits._
+      val edgeArr = pairs.collect().map(r => (r.getLong(0), r.getLong(1)))
+      val parent = scala.collection.mutable.Map.empty[Long, Long]
+      def find(x: Long): Long = {
+        val p = parent.getOrElse(x, x)
+        if (p == x) x
+        else { val r = find(p); parent(x) = r; r }
+      }
+      for ((a, b) <- edgeArr) {
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val nodes = edgeArr.flatMap { case (a, b) => Seq(a, b) }.distinct
+      // roots are component minima: unions always point larger → smaller
+      nodes.map(n => (n, find(n))).sortBy(_._1).toSeq
+        .toDF("doc_id", "cluster_id")
+        .orderBy("doc_id")
+    } else distributedCluster(pairs)
+  }
+
+  private def distributedCluster(pairs: DataFrame): DataFrame = {
     // symmetric edges PLUS self-loops: a propagation round is then ONE
     // consumption of the label frame (min over self ∪ neighbors via the
     // self-loop), so chaining rounds lazily never re-evaluates its input

@@ -65,6 +65,14 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(scrub("mail.co alone") == "mail.co alone") // needs an @
   }
 
+  test("dedup_cluster driver and distributed paths agree exactly") {
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().toSeq.map(r => (r.getLong(0), r.getLong(1)))
+    // driverMaxPairs = 0 forces the distributed min-label loop
+    assert(rows(Dedup.dedupClusterImpl(spark, dir, 0L)) ==
+      rows(Dedup.dedupClusterImpl(spark, dir, Long.MaxValue)))
+  }
+
   test("dedup_cluster is a consistent clustering of the near-dup graph") {
     val pairs = Dedup.dedupNgramJaccard(spark, dir).collect()
       .map(r => (r.getLong(0), r.getLong(1)))

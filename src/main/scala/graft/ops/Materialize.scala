@@ -72,44 +72,59 @@ object Materialize {
     import s.implicits._
     materialized.getOrElseUpdate(dir, {
       val base = s"${System.getProperty("java.io.tmpdir")}/graft_rollups"
-      val pts = Buckets.points(s, dir)
-      var prev: Option[(DataFrame, Int)] = None
-      val summaries = Retentions.std.retentions.map { r =>
-        val spp = r.secondsPerPoint
-        // single-pass cascade: level N derives from level N-1's written
-        // output, not by re-folding from raw (the round-1 form was O(L²)
-        // passes over the fact table)
-        val lvl = prev match {
-          case None => Ingest.lwwAlign(pts, spp)
-          case Some((p, pspp)) =>
-            Rollup.propagate(p, pspp, spp, AggregationMethod.Average, 0.0)
-              .select(col("metric"), col("bucket_ts"), col("value"))
-        }
-        val path = s"$base/points_${spp}s"
-        // ONE materializing pass per level: the partitioned write itself.
-        // The summary aggregation and the next level's derivation both
-        // read the written parquet back (columnar, pruned — cheaper than
-        // a second in-memory materialization barrier).
-        // Repartition by day first: otherwise each of the shuffle
-        // partitions sprays a file into every day directory (32×30 ≈ 960
-        // tiny files).
-        lvl.withColumn("day", to_date(timestamp_seconds(col("bucket_ts"))))
-          .repartition(col("day"))
-          .write.mode("overwrite").partitionBy("day").parquet(path)
-        val written = s.read.parquet(path)
-        val (rows, days) = written
-          .agg(count(lit(1)), countDistinct(col("day"))).as[(Long, Long)].head()
-        // make the level visible to the RollupRewrite optimizer rule:
-        // level `spp` is exactly this aggregation of its parent, so
-        // re-aggregates of the parent at this resolution may be served
-        // from it
-        graft.plans.RollupCatalog.register(graft.plans.RollupCatalog.LevelInfo(
-          spp, prev.map(_._2).getOrElse(0), path, AggregationMethod.Average))
-        prev = Some((written.select(col("metric"), col("bucket_ts"), col("value")), spp))
-        (s"points_${spp}s", spp, rows, days)
-      }
-      summaries
+      materializeLevels(s, dir, base, AggregationMethod.Average, 0.0)
     }).toDF("level", "spp", "rows", "day_partitions").orderBy("spp")
+  }
+
+  /** The materialization engine behind [[createRollupTables]],
+    * parametrized by chain root / method / xff so alternative chains
+    * (e.g. a Max chain for the decomposable-rewrite path) share the one
+    * implementation. Registers every written level with
+    * [[graft.plans.RollupCatalog]].
+    */
+  def materializeLevels(
+      s: SparkSession,
+      dir: String,
+      base: String,
+      method: AggregationMethod,
+      xff: Double): Seq[(String, Int, Long, Long)] = {
+    import s.implicits._
+    val pts = Buckets.points(s, dir)
+    var prev: Option[(DataFrame, Int)] = None
+    Retentions.std.retentions.map { r =>
+      val spp = r.secondsPerPoint
+      // single-pass cascade: level N derives from level N-1's written
+      // output, not by re-folding from raw (the round-1 form was O(L²)
+      // passes over the fact table)
+      val lvl = prev match {
+        case None => Ingest.lwwAlign(pts, spp)
+        case Some((p, pspp)) =>
+          Rollup.propagate(p, pspp, spp, method, xff)
+            .select(col("metric"), col("bucket_ts"), col("value"))
+      }
+      val path = s"$base/points_${spp}s"
+      // ONE materializing pass per level: the partitioned write itself.
+      // The summary aggregation and the next level's derivation both
+      // read the written parquet back (columnar, pruned — cheaper than
+      // a second in-memory materialization barrier).
+      // Repartition by day first: otherwise each of the shuffle
+      // partitions sprays a file into every day directory (32×30 ≈ 960
+      // tiny files).
+      lvl.withColumn("day", to_date(timestamp_seconds(col("bucket_ts"))))
+        .repartition(col("day"))
+        .write.mode("overwrite").partitionBy("day").parquet(path)
+      val written = s.read.parquet(path)
+      val (rows, days) = written
+        .agg(count(lit(1)), countDistinct(col("day"))).as[(Long, Long)].head()
+      // make the level visible to the RollupRewrite optimizer rule:
+      // level `spp` is exactly this aggregation of its parent, so
+      // re-aggregates of the parent at this resolution may be served
+      // from it
+      graft.plans.RollupCatalog.register(graft.plans.RollupCatalog.LevelInfo(
+        spp, prev.map(_._2).getOrElse(0), path, base, method, xff))
+      prev = Some((written.select(col("metric"), col("bucket_ts"), col("value")), spp))
+      (s"points_${spp}s", spp, rows, days)
+    }
   }
 
   /** `rollup_serve_1h`: the materialized-rollup rewrite end-to-end — a

@@ -17,23 +17,59 @@ import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRela
   */
 object RollupCatalog {
 
+  /** One materialized level. `base` names the chain it belongs to (one
+    * chain per materialization root — levels of different chains never
+    * serve each other); `parentSpp` is the level it was derived from;
+    * `xff` the gate it was derived with.
+    */
   final case class LevelInfo(
-      spp: Int, parentSpp: Int, path: String, method: AggregationMethod)
+      spp: Int, parentSpp: Int, path: String, base: String,
+      method: AggregationMethod, xff: Double)
 
   private val levels =
-    new scala.collection.concurrent.TrieMap[Int, LevelInfo]
+    new scala.collection.concurrent.TrieMap[(String, Int), LevelInfo]
 
-  def register(info: LevelInfo): Unit = { levels.put(info.spp, info); () }
+  def register(info: LevelInfo): Unit = {
+    levels.put((info.base, info.spp), info); ()
+  }
   def clear(): Unit = levels.clear()
   def isEmpty: Boolean = levels.isEmpty
 
-  def lookup(spp: Long): Option[LevelInfo] =
-    if (spp.isValidInt) levels.get(spp.toInt) else None
+  def lookup(base: String, spp: Long): Option[LevelInfo] =
+    if (spp.isValidInt) levels.get((base, spp.toInt)) else None
 
   /** The level whose storage path equals `uriPath` (URI-normalized). */
   def levelAtPath(uriPath: String): Option[LevelInfo] =
     levels.values.find(i =>
       new org.apache.hadoop.fs.Path(i.path).toUri.getPath == uriPath)
+
+  /** Whether `target` can legally serve a `target.method`-aggregation of
+    * level `finer` at `target.spp` resolution.
+    *
+    * Direct derivation edges are always exact (the target IS that
+    * aggregation of its parent). Across a SKIPPED level the rewrite is
+    * only valid for decomposable methods — max-of-max / min-of-min over
+    * exactly-nested windows equal the flat aggregate, and sum-of-sum does
+    * too provided no xFF gate dropped intermediate buckets (xff = 0 along
+    * the chain). Average never composes (avg-of-avg ≠ avg), so it stays
+    * direct-edge-only.
+    */
+  def servableFrom(finer: LevelInfo, target: LevelInfo): Boolean = {
+    if (target.base != finer.base || target.method != finer.method) false
+    else if (target.parentSpp == finer.spp) true
+    else {
+      val decomposable = target.method match {
+        case AggregationMethod.Max | AggregationMethod.Min => true
+        case AggregationMethod.Sum => target.xff == 0.0
+        case _ => false
+      }
+      decomposable && target.parentSpp > finer.spp &&
+        lookup(target.base, target.parentSpp)
+          .exists(p => p.method == target.method &&
+            (target.method != AggregationMethod.Sum || p.xff == 0.0) &&
+            servableFrom(finer, p))
+    }
+  }
 }
 
 /** Materialized-rollup rewrite — the OLAP "aggregate navigator" pattern
@@ -44,12 +80,16 @@ object RollupCatalog {
   *   ==> scan(points_Ss)                            // iff S derived from P }}}
   *
   * The substitution is EXACT, not approximate: level S was materialized by
-  * [[graft.ops.Materialize.createRollupTables]] as precisely this
+  * [[graft.ops.Materialize.materializeLevels]] as precisely this
   * aggregation of level P (xff = 0, same method), so serving the scan of
   * the coarser table returns the identical rows while skipping both the
   * (spp-ratio×) larger scan and the whole shuffle — at 100 TB this is the
   * difference between reading the 1h archive (~0.03% of raw) and
-  * re-shuffling the 5m archive.
+  * re-shuffling the 5m archive. For DECOMPOSABLE methods (max, min, and
+  * sum under xff = 0) the rewrite also fires across skipped levels —
+  * max-of-max over exactly-nested windows is the flat max — while
+  * Average stays direct-edge-only (avg-of-avg ≠ avg); see
+  * [[RollupCatalog.servableFrom]].
   *
   * Deployment: injected via [[graft.functions.GraftExtensions]]
   * (`spark.sql.extensions`) or per-session through
@@ -180,8 +220,8 @@ object RollupRewrite extends Rule[LogicalPlan] {
           })
         case _ => None
       }
-      coarser <- RollupCatalog.lookup(alignedSpp)
-      if coarser.parentSpp == finer.spp
+      coarser <- RollupCatalog.lookup(finer.base, alignedSpp)
+      if RollupCatalog.servableFrom(finer, coarser)
       // result exprs: the two groupings plus ONE matching aggregate
       mapped <- mapResults(agg.aggregateExpressions, binds, metricAttr,
         alignedSpp, coarser)

@@ -111,6 +111,30 @@ class PlanSpec extends AnyFunSuite {
     assert(served.collect().toSeq == direct.collect().toSeq)
   }
 
+  test("RollupRewrite serves transitively for decomposable methods (Max chain)") {
+    import org.apache.spark.sql.functions._
+    val base = s"${System.getProperty("java.io.tmpdir")}/graft_rollups_max"
+    Materialize.materializeLevels(spark, dir, base,
+      graft.model.AggregationMethod.Max, 0.0)
+    if (!spark.experimental.extraOptimizations.contains(graft.plans.RollupRewrite))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ graft.plans.RollupRewrite
+    // 1m → 1h SKIPS the 5m derivation edge, but max-of-max over nested
+    // windows composes exactly: the rewrite must fire transitively
+    val q = spark.read.parquet(s"$base/points_60s")
+      .groupBy(col("metric"), Buckets.alignTs(col("bucket_ts"), 3600).as("bucket_ts"))
+      .agg(max(col("value")).as("value"))
+    assert(scannedPaths(q).exists(_.contains("points_3600s")),
+      s"transitive Max rewrite did not fire: ${scannedPaths(q)}")
+    assert(!hasAggregate(q))
+    // and the values equal the flat aggregate's (decomposability)
+    val got = q.orderBy("metric", "bucket_ts").collect().toSeq
+    val direct = spark.read.parquet(s"$base/points_3600s")
+      .select("metric", "bucket_ts", "value")
+      .orderBy("metric", "bucket_ts").collect().toSeq
+    assert(got == direct)
+  }
+
   test("RollupRewrite leaves non-derivation-edge aggregates untouched") {
     import org.apache.spark.sql.functions._
     Materialize.rollupServe1h(spark, dir) // ensures catalog + rule active

@@ -122,6 +122,38 @@ class WhisperTableSpec extends AnyFunSuite {
     for (k <- 0 until 12) assert(got5(base + 300 * k) == Some(5.0))
   }
 
+  test("Min consolidation serves the window minimum from the 5m archive") {
+    import spark.implicits._
+    val schema = graft.model.WhisperSchema(
+      Retentions.std.retentions, graft.model.AggregationMethod.Min, 0.0)
+    val t = WhisperTable.create(spark, tmp(), schema)
+    val base = now - 3600
+    // values 9,8,...,0 over ten 1m slots: window minima are 5 and 0
+    t.updateMany((0 until 10).map(i =>
+      TimeSeriesPoint("m", base + 60 * i, (9 - i).toDouble)).toDS(), now)
+    val got = series(t.fetch("m", now - 2 * 86400, now, now)).toMap
+    assert(got(base) == Some(5.0))       // min(9,8,7,6,5)
+    assert(got(base + 300) == Some(0.0)) // min(4,3,2,1,0)
+  }
+
+  test("Last consolidation takes the latest finer slot across levels") {
+    import spark.implicits._
+    val schema = graft.model.WhisperSchema(
+      Retentions.parseRetentionDefs("1m:1d,5m:7d"),
+      graft.model.AggregationMethod.Last, 0.0)
+    val t = WhisperTable.create(spark, tmp(), schema)
+    val base = now - 3600
+    t.updateMany(Seq(
+      TimeSeriesPoint("m", base + 0, 1.0),
+      TimeSeriesPoint("m", base + 120, 2.0),
+      TimeSeriesPoint("m", base + 240, 3.0), // latest 1m slot of window 1
+      TimeSeriesPoint("m", base + 300, 7.0)  // only slot of window 2
+    ).toDS(), now)
+    val got = series(t.fetch("m", now - 2 * 86400, now, now)).toMap
+    assert(got(base) == Some(3.0))
+    assert(got(base + 300) == Some(7.0))
+  }
+
   test("updateMany is idempotent: replaying the same batch changes nothing") {
     import spark.implicits._
     val t = WhisperTable.create(spark, tmp(), Retentions.std)

@@ -44,9 +44,16 @@ object Dedup {
     */
   private val shingleCache =
     new scala.collection.concurrent.TrieMap[String, String]
+  /** Hex digest of a data-dir path — collision-free per-dir tmp roots
+    * (a signed `hashCode` collides across dirs and `math.abs` is still
+    * negative at `Int.MinValue`).
+    */
+  private[graft] def dirDigest(dir: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString
   private[graft] def shingleSetShared(s: SparkSession, dir: String): DataFrame = {
     val path = shingleCache.getOrElseUpdate(dir, {
-      val p = s"${System.getProperty("java.io.tmpdir")}/graft_shingles_${math.abs(dir.hashCode)}"
+      val p = s"${System.getProperty("java.io.tmpdir")}/graft_shingles_${dirDigest(dir)}"
       shingleSet(docs(s, dir)).write.mode("overwrite").parquet(p)
       p
     })
@@ -235,10 +242,12 @@ object Dedup {
       .orderBy("doc_a", "doc_b")
   }
 
-  val dedupMinhashSql: String = {
-    val bands = MinhashSeeds / BandRows
-    s"""WITH $shingleUSql,
-       |mh AS (
+  /** The LSH candidate + verification CTEs (shared by the minhash and
+    * cluster oracles — the cluster oracle closes over the IDENTICAL
+    * verified LSH pair set the Spark side feeds the contraction).
+    */
+  private val minhashPairCtes: String =
+    s"""mh AS (
        |  SELECT doc_id, t.s AS s, min(md5(t.s::VARCHAR || '|' || g)) AS h
        |  FROM shingle_u, range($MinhashSeeds) AS t(s)
        |  GROUP BY doc_id, t.s),
@@ -257,7 +266,11 @@ object Dedup {
        |  FROM cand
        |  JOIN shingle_u ua ON ua.doc_id = doc_a
        |  JOIN shingle_u ub ON ub.doc_id = doc_b AND ub.g = ua.g
-       |  GROUP BY 1, 2)
+       |  GROUP BY 1, 2)""".stripMargin
+
+  val dedupMinhashSql: String =
+    s"""WITH $shingleUSql,
+       |$minhashPairCtes
        |SELECT doc_a, doc_b,
        |       round(x * 1.0 / (na.sz + nb.sz - x), 6) AS jaccard
        |FROM inter
@@ -265,7 +278,6 @@ object Dedup {
        |JOIN sizes nb ON nb.doc_id = doc_b
        |WHERE x * 1.0 / (na.sz + nb.sz - x) >= 0.5
        |ORDER BY doc_a, doc_b""".stripMargin
-  }
 
   // --------------------------------------------- near-dup cluster collapse
 
@@ -273,16 +285,14 @@ object Dedup {
     * graph — the step a real dedup pipeline runs after candidate
     * verification, collapsing each transitive duplicate cluster to one
     * canonical document (the minimum doc_id, the standard deterministic
-    * choice). The pair source is any verified near-dup set: at 100 TB it
-    * is [[dedupMinhash]]'s LSH-verified pairs; here the exact
-    * [[dedupNgramJaccard]] pairs keep the oracle recursive-CTE-simple
-    * (identical pairs on this data — the LSH recall test asserts it).
-    * Iterative min-label propagation, driver-looped to a
-    * fixpoint; iteration count = component diameter, which for dedup
-    * graphs is tiny. At 100 TB the same loop runs with the
-    * alternating large-star/small-star optimization (each round is one
-    * join + one aggregation, all shuffles keyed by doc_id); the driver
-    * only sees a converged/not-converged count per round.
+    * choice). The pair source is [[dedupMinhash]]'s LSH-verified pairs —
+    * the same candidate-generation path that runs at 100 TB — and the
+    * oracle rebuilds the identical LSH pair set (MD5 MinHash CTEs) before
+    * its recursive closure, so the whole lineage is the production shape.
+    * Below [[DriverClusterMaxPairs]] the tiny verified-pair graph is
+    * contracted on the driver (broadcast-scale, like a broadcast join);
+    * above it, [[distributedCluster]] runs alternating large-star /
+    * small-star contraction with all shuffles keyed by node id.
     */
   /** Pair-set size up to which components are solved with driver-side
     * union-find (~16 MB of longs — broadcast scale). The expensive work
@@ -301,16 +311,23 @@ object Dedup {
       s: SparkSession, dir: String, driverMaxPairs: Long): DataFrame = {
     // pairs pinned eagerly: both component paths read it repeatedly —
     // without the barrier each consumer re-runs the verification joins
-    val pairs = dedupNgramJaccard(s, dir).select(col("doc_a"), col("doc_b"))
+    val pairs = dedupMinhash(s, dir).select(col("doc_a"), col("doc_b"))
       .localCheckpoint(true)
     if (pairs.count() <= driverMaxPairs) {
       import s.implicits._
       val edgeArr = pairs.collect().map(r => (r.getLong(0), r.getLong(1)))
       val parent = scala.collection.mutable.Map.empty[Long, Long]
-      def find(x: Long): Long = {
-        val p = parent.getOrElse(x, x)
-        if (p == x) x
-        else { val r = find(p); parent(x) = r; r }
+      // iterative two-pass find (walk to root, then compress): a chain-
+      // shaped pair ordering near the 2^20 gate must not overflow the
+      // driver stack. Unions always point larger → smaller, so the root
+      // is the component minimum — rank/size union would break that.
+      def find(x0: Long): Long = {
+        var x = x0
+        while (parent.getOrElse(x, x) != x) x = parent(x)
+        val root = x
+        var y = x0
+        while (parent.getOrElse(y, y) != y) { val n = parent(y); parent(y) = root; y = n }
+        root
       }
       for ((a, b) <- edgeArr) {
         val (ra, rb) = (find(a), find(b))
@@ -324,61 +341,67 @@ object Dedup {
     } else distributedCluster(pairs)
   }
 
-  private def distributedCluster(pairs: DataFrame): DataFrame = {
-    // symmetric edges PLUS self-loops: a propagation round is then ONE
-    // consumption of the label frame (min over self ∪ neighbors via the
-    // self-loop), so chaining rounds lazily never re-evaluates its input
-    // — a round that used `l` twice (join + union) doubled the work per
-    // chained level (2^depth evaluations)
-    val edges = pairs
-      .unionAll(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
-      .unionAll(pairs.select(col("doc_a"), col("doc_a").as("doc_b")))
-      .unionAll(pairs.select(col("doc_b").as("doc_a"), col("doc_b")))
-      .distinct()
-      .localCheckpoint(true) // small: verified near-dup pairs only
-    // one propagation round: each node takes the min label over itself
-    // and its neighbors (via the self-loop). The label frame is bounded
-    // by docs-in-pairs (rare), so it broadcasts — each round is map-side
-    // + a small agg.
-    def step(l: DataFrame): DataFrame =
-      edges.join(broadcast(l), edges("doc_b") === l("doc_id"))
-        .select(edges("doc_a").as("doc_id"), col("lbl"))
-        .groupBy("doc_id").agg(min("lbl").as("lbl"))
-    // pointer halving: replace each label by its label's label — long
-    // chains collapse in O(log diameter) combined rounds instead of
-    // O(diameter) edge rounds (labels are node ids, so the lookup join
-    // is total; every op is per-node non-increasing, which makes the
-    // composite's fixpoint a fixpoint of the edge step itself)
-    def halve(l: DataFrame): DataFrame = {
-      val p = l.select(col("doc_id").as("p_id"), col("lbl").as("p_lbl"))
-      l.join(broadcast(p), l("lbl") === p("p_id"))
-        .select(l("doc_id"), col("p_lbl").as("lbl"))
+  /** Alternating large-star / small-star contraction (Kiveris et al.,
+    * "Connected Components in MapReduce and Beyond", SoCC '14). Every
+    * round is a `groupBy(node)` min-aggregation plus an equi-join back on
+    * the node id — shuffles keyed by doc_id only, NO broadcast of the
+    * label frame (at 100 TB the docs-in-near-dup-pairs set is a large
+    * fraction of the corpus, far past broadcast scale). Converges to
+    * per-component stars centered at the minimum doc_id; round count is
+    * O(log²) in component size.
+    */
+  private[graft] def distributedCluster(pairs: DataFrame): DataFrame = {
+    val nodes = pairs.select(col("doc_a").as("doc_id"))
+      .unionAll(pairs.select(col("doc_b").as("doc_id")))
+      .distinct().localCheckpoint(true)
+    // large-star: for each node u, link every strictly-larger neighbor v
+    // to m = min(Γ(u) ∪ {u})
+    def largeStar(e: DataFrame): DataFrame = {
+      val sym = e.unionAll(e.select(col("v").as("u"), col("u").as("v")))
+      val m = sym.groupBy("u").agg(min("v").as("mn"))
+        .select(col("u"), least(col("u"), col("mn")).as("m"))
+      sym.join(m, "u").filter(col("v") > col("u"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .filter(col("u") =!= col("v")).distinct()
     }
-    var labels = edges.select(col("doc_a").as("doc_id")).distinct()
-      .withColumn("lbl", col("doc_id"))
-      .localCheckpoint(true)
+    // small-star: orient edges downward (u > v), then link each node's
+    // smaller neighborhood N — and u itself — to min(N)
+    def smallStar(e: DataFrame): DataFrame = {
+      val dn = e.select(greatest(col("u"), col("v")).as("u"),
+        least(col("u"), col("v")).as("v"))
+      val m = dn.groupBy("u").agg(min("v").as("m"))
+      dn.join(m, "u")
+        .select(col("v").as("u"), col("m").as("v"))
+        .unionAll(m.select(col("u"), col("m").as("v")))
+        .filter(col("u") =!= col("v")).distinct()
+    }
+    var edges = pairs.select(col("doc_a").as("u"), col("doc_b").as("v"))
+      .filter(col("u") =!= col("v")).distinct().localCheckpoint(true)
     var converged = false
     while (!converged) {
-      // two (edge-step + halving) rounds per materialization/convergence
-      // check: tiny data, per-job overhead dominates
-      val next = halve(step(halve(step(labels)))).localCheckpoint(true)
-      val changed = next
-        .join(labels.withColumnRenamed("lbl", "old"), "doc_id")
-        .filter(col("lbl") =!= col("old")).count()
-      labels = next
+      val next = smallStar(largeStar(edges)).localCheckpoint(true)
+      // exact fixpoint test: symmetric difference of the edge sets —
+      // cost tracks the (shrinking) pair graph, not the corpus
+      val changed =
+        next.exceptAll(edges).count() + edges.exceptAll(next).count()
+      edges = next
       converged = changed == 0
     }
-    labels.select(col("doc_id"), col("lbl").as("cluster_id")).orderBy("doc_id")
+    // fixpoint = stars (u → component-min); roots label themselves
+    nodes
+      .join(edges.select(col("u").as("doc_id"), col("v").as("root")),
+        Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("root"), col("doc_id")).as("cluster_id"))
+      .orderBy("doc_id")
   }
 
-  /** Oracle: transitive closure by recursive CTE, min reachable id. */
+  /** Oracle: the SAME LSH-verified pair set ([[minhashPairCtes]]), then
+    * transitive closure by recursive CTE, min reachable id.
+    */
   val dedupClusterSql: String =
     s"""WITH RECURSIVE $shingleUSql,
-       |sizes AS (SELECT doc_id, count(*) AS sz FROM shingle_u GROUP BY 1),
-       |inter AS (
-       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS x
-       |  FROM shingle_u a JOIN shingle_u b ON a.g = b.g AND a.doc_id < b.doc_id
-       |  GROUP BY 1, 2),
+       |$minhashPairCtes,
        |pairs AS (
        |  SELECT doc_a, doc_b FROM inter
        |  JOIN sizes na ON na.doc_id = doc_a
@@ -435,28 +458,53 @@ object Dedup {
 
   // ------------------------------------------- X2 embedding-cosine near-dup
 
+  /** Block count for the exact pair scan's tiling. Each join task works
+    * one (block_a, block_b) tile of ≈(n/B)² pairs, so per-task memory and
+    * runtime are bounded by B, independently of total corpus size.
+    */
+  val EmbeddingBlocks = 8
+
   /** `dedup_embedding`: near-duplicate pairs by embedding cosine ≥ 0.45.
-    * Exact O(n²/2) pair scan, but with norms projected once per side the
-    * inner loop is a single codegen'd dot product per pair (see
-    * [[graft.functions.DotProductF]]). IVF-style blocking was measured at
-    * only 7/14 recall on this data (random embeddings have no cluster
-    * structure), so the exact scan stays; at 100 TB this operator runs
-    * per-shard behind a blocking key, with [[Similarity.similarityAnnIvf]]
-    * as the sub-linear search path.
+    * Exact O(n²/2) comparisons — at threshold 0.45 on isotropic vectors
+    * no sub-quadratic exact blocking exists (measured here: IVF-cell
+    * blocking 7/14 recall, hyperplane LSH ≈1% — both lose qualifying
+    * pairs), so exactness costs the quadratic work. What CAN scale is the
+    * shape: instead of one unbounded nested-loop (`crossJoin`), vectors
+    * are assigned a deterministic block id and pairs are enumerated per
+    * (block_a ≤ block_b) TILE via an equi-join on the block key — the
+    * quadratic work becomes B(B+1)/2 independent bounded tasks, the
+    * per-shard layout a 100 TB run distributes (with a real blocking key
+    * — shard/date/tenant — in place of the hash block, and
+    * [[Similarity.similarityAnnIvf]] as the sub-linear ANN path).
+    * Norms are projected once per side; the inner loop is one codegen'd
+    * dot product per pair ([[graft.functions.DotProductF]]).
     */
   def dedupEmbedding(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
     val e = s.read.parquet(s"$dir/embeddings.parquet")
       .select(col("vec_id"), col("embedding"),
-        Similarity.normExpr("embedding").as("nn"))
-    val a = e.select(col("vec_id").as("vec_a"), col("embedding").as("ea"),
-      col("nn").as("na"))
-    val b = e.select(col("vec_id").as("vec_b"), col("embedding").as("eb"),
-      col("nn").as("nb"))
-    a.crossJoin(b).filter(col("vec_a") < col("vec_b"))
+        Similarity.normExpr("embedding").as("nn"),
+        pmod(col("vec_id"), lit(EmbeddingBlocks)).as("blk"))
+    val a = e.select(col("vec_id").as("id_a"), col("embedding").as("ea"),
+      col("nn").as("na"), col("blk").as("ba"))
+    val b = e.select(col("vec_id").as("id_b"), col("embedding").as("eb"),
+      col("nn").as("nb"), col("blk").as("bb"))
+    // tile index: every unordered block pair exactly once (ba ≤ bb);
+    // tiny and broadcast, so the only real shuffle is the equi-join on bb
+    val tiles = (for {
+      i <- 0 until EmbeddingBlocks; j <- i until EmbeddingBlocks
+    } yield (i.toLong, j.toLong)).toDF("ba", "bb")
+    a.join(broadcast(tiles), "ba")
+      .join(b, "bb")
+      // within a diagonal tile keep each unordered pair once; across
+      // tiles the block inequality already de-duplicates
+      .filter(col("ba") < col("bb") || col("id_a") < col("id_b"))
       .withColumn("cosine",
         graft.functions.VectorOps.dot_f(col("ea"), col("eb")) / (col("na") * col("nb")))
       .filter(col("cosine") >= 0.45)
-      .select(col("vec_a"), col("vec_b"), round(col("cosine"), 6).as("cosine"))
+      .select(least(col("id_a"), col("id_b")).as("vec_a"),
+        greatest(col("id_a"), col("id_b")).as("vec_b"),
+        round(col("cosine"), 6).as("cosine"))
       .orderBy("vec_a", "vec_b")
   }
 

@@ -136,7 +136,7 @@ object PipelineOps {
   val sourceMixSql: String =
     s"""WITH agg AS (
        |  SELECT source, lang, count(*) AS n_docs,
-       |         sum(len($toksSql)) AS n_tokens
+       |         CAST(sum(len($toksSql)) AS BIGINT) AS n_tokens
        |  FROM documents GROUP BY source, lang)
        |SELECT source, lang, n_docs, n_tokens,
        |       round(CAST(n_tokens AS DOUBLE) /

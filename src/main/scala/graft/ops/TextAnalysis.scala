@@ -47,7 +47,7 @@ object TextAnalysis {
   val textTokenStatsSql: String =
     s"""WITH d AS (SELECT lang, n_chars, $toksSql AS toks FROM documents),
        |per_lang AS (
-       |  SELECT lang, count(*) AS n_docs, sum(len(toks)) AS n_tokens,
+       |  SELECT lang, count(*) AS n_docs, CAST(sum(len(toks)) AS BIGINT) AS n_tokens,
        |         round(CAST(sum(len(toks)) AS DOUBLE) / count(*), 6) AS avg_tokens,
        |         round(CAST(sum(n_chars) AS DOUBLE) / count(*), 6) AS avg_chars
        |  FROM d GROUP BY lang),

@@ -68,13 +68,40 @@ class PipelineOpsSpec extends AnyFunSuite {
   test("dedup_cluster driver and distributed paths agree exactly") {
     def rows(df: org.apache.spark.sql.DataFrame) =
       df.collect().toSeq.map(r => (r.getLong(0), r.getLong(1)))
-    // driverMaxPairs = 0 forces the distributed min-label loop
+    // driverMaxPairs = 0 forces the distributed star-contraction loop
     assert(rows(Dedup.dedupClusterImpl(spark, dir, 0L)) ==
       rows(Dedup.dedupClusterImpl(spark, dir, Long.MaxValue)))
   }
 
+  test("distributed star-contraction matches union-find on adversarial graphs") {
+    import spark.implicits._
+    // reference labels by plain union-find over the edge list
+    def expected(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+      val parent = scala.collection.mutable.Map.empty[Long, Long]
+      def find(x: Long): Long = {
+        var r = x; while (parent.getOrElse(r, r) != r) r = parent(r)
+        r
+      }
+      for ((a, b) <- edges) {
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      edges.flatMap(e => Seq(e._1, e._2)).distinct
+        .map(n => n -> find(n)).toMap
+    }
+    val chains = (1L to 40L).sliding(2).map(s => (s(1), s.head)).toSeq // descending-order long chain
+    val star = (2L to 30L).map(i => (100L + i, 100L)) // big star, hub = min
+    val revStar = (1L to 20L).map(i => (200L, 200L + i)) // hub = max, min is a leaf
+    val bridged = Seq((40L, 100L + 2), (200L, 1000L)) // merge everything + isolated pair
+    for (g <- Seq(chains, star, revStar, chains ++ star ++ revStar ++ bridged)) {
+      val got = Dedup.distributedCluster(g.toDF("doc_a", "doc_b"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == expected(g), s"graph $g")
+    }
+  }
+
   test("dedup_cluster is a consistent clustering of the near-dup graph") {
-    val pairs = Dedup.dedupNgramJaccard(spark, dir).collect()
+    val pairs = Dedup.dedupMinhash(spark, dir).collect()
       .map(r => (r.getLong(0), r.getLong(1)))
     val labels = Dedup.dedupCluster(spark, dir).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap

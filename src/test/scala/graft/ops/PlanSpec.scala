@@ -74,6 +74,15 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), s"all-pairs scan in LSH path:\n$p")
   }
 
+  test("dedup_embedding tiles the pair scan — no unbounded nested loop") {
+    val p = plan(Dedup.dedupEmbedding(spark, dir))
+    assert(!p.contains("CartesianProduct"), s"bare cross join over the corpus:\n$p")
+    // the only nested-loop allowed is against the tiny broadcast tile
+    // index; the corpus-vs-corpus side must be an equi (hash) join
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      s"nested-loop join over the corpus:\n$p")
+  }
+
   test("similarity_topk_agg aggregates with a map-side partial step") {
     val p = plan(Similarity.similarityTopkAgg(spark, dir))
     assert(p.contains("partial"), s"expected partial top-k buffers:\n$p")

@@ -68,11 +68,21 @@ object Materialize {
   private val materialized =
     new scala.collection.concurrent.TrieMap[String, Seq[(String, Int, Long, Long)]]
 
+  /** The materialization root for a data dir — derived from a digest of
+    * the dir path, so two dirs materialized in one JVM never overwrite
+    * each other's levels (and [[graft.plans.RollupCatalog]], keyed by
+    * base, never serves one dir's queries from the other's files).
+    * Memoization is keyed on the path only: re-generating the data UNDER
+    * an already-materialized path within one JVM serves stale levels —
+    * call with a fresh dir (or new JVM) after rewriting inputs.
+    */
+  def rollupBase(dir: String): String =
+    s"${System.getProperty("java.io.tmpdir")}/graft_rollups_${Dedup.dirDigest(dir)}"
+
   def createRollupTables(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     materialized.getOrElseUpdate(dir, {
-      val base = s"${System.getProperty("java.io.tmpdir")}/graft_rollups"
-      materializeLevels(s, dir, base, AggregationMethod.Average, 0.0)
+      materializeLevels(s, dir, rollupBase(dir), AggregationMethod.Average, 0.0)
     }).toDF("level", "spp", "rows", "day_partitions").orderBy("spp")
   }
 
@@ -139,7 +149,7 @@ object Materialize {
     if (!s.experimental.extraOptimizations.contains(graft.plans.RollupRewrite))
       s.experimental.extraOptimizations =
         s.experimental.extraOptimizations :+ graft.plans.RollupRewrite
-    val base = s"${System.getProperty("java.io.tmpdir")}/graft_rollups"
+    val base = rollupBase(dir)
     s.read.parquet(s"$base/points_300s")
       .groupBy(col("metric"), Buckets.alignTs(col("bucket_ts"), 3600).as("bucket_ts"))
       .agg(avg(col("value")).as("value"))

@@ -4,7 +4,7 @@ import graft.model.AggregationMethod
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.expressions.aggregate._
-import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
 
@@ -46,28 +46,33 @@ object RollupCatalog {
   /** Whether `target` can legally serve a `target.method`-aggregation of
     * level `finer` at `target.spp` resolution.
     *
-    * Direct derivation edges are always exact (the target IS that
+    * Any xFilesFactor gate above 0 disqualifies a level outright — even
+    * on its direct derivation edge: a gated level DROPPED buckets whose
+    * fill ratio fell below the gate, so it answers a user's plain
+    * (ungated) re-aggregation with fewer rows. Both registered cascades
+    * use xff 0.0, but `materializeLevels` is public API parametrized by
+    * xff, so the guard must hold structurally.
+    *
+    * With the chain ungated, direct edges are exact (the target IS that
     * aggregation of its parent). Across a SKIPPED level the rewrite is
-    * only valid for decomposable methods — max-of-max / min-of-min over
-    * exactly-nested windows equal the flat aggregate, and sum-of-sum does
-    * too provided no xFF gate dropped intermediate buckets (xff = 0 along
-    * the chain). Average never composes (avg-of-avg ≠ avg), so it stays
+    * only valid for decomposable methods — max-of-max / min-of-min /
+    * sum-of-sum / last-of-last over exactly-nested windows equal the flat
+    * aggregate. Average never composes (avg-of-avg ≠ avg), so it stays
     * direct-edge-only.
     */
   def servableFrom(finer: LevelInfo, target: LevelInfo): Boolean = {
     if (target.base != finer.base || target.method != finer.method) false
+    else if (target.xff != 0.0) false
     else if (target.parentSpp == finer.spp) true
     else {
       val decomposable = target.method match {
-        case AggregationMethod.Max | AggregationMethod.Min => true
-        case AggregationMethod.Sum => target.xff == 0.0
+        case AggregationMethod.Max | AggregationMethod.Min |
+             AggregationMethod.Sum | AggregationMethod.Last => true
         case _ => false
       }
       decomposable && target.parentSpp > finer.spp &&
         lookup(target.base, target.parentSpp)
-          .exists(p => p.method == target.method &&
-            (target.method != AggregationMethod.Sum || p.xff == 0.0) &&
-            servableFrom(finer, p))
+          .exists(p => servableFrom(finer, p))
     }
   }
 }
@@ -96,10 +101,12 @@ object RollupCatalog {
   * `spark.experimental.extraOptimizations`. Matching is conservative: the
   * rule fires only on the canonical align shape
   * `cast(floor(bucket_ts / S) * S as long)` (what [[graft.ops.Buckets.alignTs]]
-  * emits) over a direct scan (optionally column-pruning Project) of a
-  * registered level, grouped by columns named `metric`/`bucket_ts` and
-  * aggregating `value` with the level's own method — anything else is
-  * left untouched.
+  * emits) over a direct scan (optionally a column-pruning Project and/or
+  * Filters on the metric column — the common "one metric, coarse
+  * resolution" fetch; metric selection commutes with the aggregation and
+  * is preserved above the substituted scan) of a registered level,
+  * grouped by columns named `metric`/`bucket_ts` and aggregating `value`
+  * with the level's own method — anything else is left untouched.
   */
 object RollupRewrite extends Rule[LogicalPlan] {
 
@@ -146,23 +153,30 @@ object RollupRewrite extends Rule[LogicalPlan] {
       case _ => None
     }
 
-  /** Descend through Projects to the base relation, accumulating the
-    * alias bindings so expressions above can be inlined back to relation
-    * attributes — the optimizer's PullOutGroupingExpressions moves the
-    * align arithmetic into a child Project (`_groupingexpression#N`), so
-    * the Aggregate's own groupings are bare attributes.
+  /** Descend through Projects and Filters to the base relation,
+    * accumulating the alias bindings so expressions above can be inlined
+    * back to relation attributes — the optimizer's
+    * PullOutGroupingExpressions moves the align arithmetic into a child
+    * Project (`_groupingexpression#N`), so the Aggregate's own groupings
+    * are bare attributes. Filter conditions are collected (inlined to
+    * relation attributes); [[tryRewrite]] only accepts ones that commute
+    * with the aggregation.
     */
-  private def dealias(
-      p: LogicalPlan): Option[(LogicalRelation, Map[ExprId, Expression])] =
+  private def dealias(p: LogicalPlan)
+      : Option[(LogicalRelation, Map[ExprId, Expression], Seq[Expression])] =
     p match {
-      case l: LogicalRelation => Some((l, Map.empty))
+      case l: LogicalRelation => Some((l, Map.empty, Nil))
       case proj: Project =>
-        dealias(proj.child).map { case (rel, inner) =>
+        dealias(proj.child).map { case (rel, inner, fs) =>
           val binds = proj.projectList.map {
             case a @ Alias(c, _) => a.exprId -> substitute(c, inner)
             case a: Attribute => a.exprId -> substitute(a, inner)
           }.toMap
-          (rel, binds)
+          (rel, binds, fs)
+        }
+      case f: Filter =>
+        dealias(f.child).map { case (rel, inner, fs) =>
+          (rel, inner, fs :+ substitute(f.condition, inner))
         }
       case _ => None
     }
@@ -189,6 +203,10 @@ object RollupRewrite extends Rule[LogicalPlan] {
       case (s: Sum, AggregationMethod.Sum) => attrNamed(s.child, "value")
       case (x: Max, AggregationMethod.Max) => attrNamed(x.child, "value")
       case (n: Min, AggregationMethod.Min) => attrNamed(n.child, "value")
+      // Last = max_by(value, bucket_ts): the value at the max timestamp —
+      // composes over nested windows exactly like max
+      case (mb: MaxBy, AggregationMethod.Last) =>
+        attrNamed(mb.valueExpr, "value") && attrNamed(mb.orderingExpr, "bucket_ts")
       case _ => false
     }
 
@@ -202,8 +220,15 @@ object RollupRewrite extends Rule[LogicalPlan] {
 
   private def tryRewrite(agg: Aggregate): Option[LogicalPlan] = {
     for {
-      (rel, binds) <- dealias(agg.child)
+      (rel, binds, filters) <- dealias(agg.child)
       finer <- levelOf(rel)
+      // a filter below the Aggregate must commute with it to survive the
+      // substitution: selecting on the group-preserved dimension column
+      // (metric) filters whole groups, so applying it above the coarser
+      // scan is exact. Anything touching value (pre-aggregation row
+      // selection) or bucket_ts (partial coarse windows) disqualifies.
+      if filters.forall(f =>
+        f.deterministic && f.references.forall(_.name == "metric"))
       // groupings (inlined to relation attrs): exactly
       // {metric attr, align(bucket_ts, S)} in either order
       (metricAttr, alignedSpp) <- agg.groupingExpressions
@@ -230,6 +255,13 @@ object RollupRewrite extends Rule[LogicalPlan] {
         .select("metric", "bucket_ts", "value")
         .queryExecution.analyzed
       val Seq(sMetric, sBucket, sValue) = scan.output
+      // re-anchor collected metric filters onto the substituted scan's
+      // metric attribute and keep them above it (they still prune —
+      // Catalyst pushes them into the coarser parquet scan)
+      val filtered = filters
+        .map(_.transformUp { case a: Attribute => sMetric })
+        .reduceOption(And)
+        .map(Filter(_, scan)).getOrElse(scan)
       val projected = mapped.map {
         case (orig, MetricCol) => Alias(sMetric, orig.name)(exprId = orig.exprId)
         case (orig, BucketCol) => Alias(sBucket, orig.name)(exprId = orig.exprId)
@@ -241,7 +273,7 @@ object RollupRewrite extends Rule[LogicalPlan] {
           Alias(rebuilt, name)(exprId = orig.exprId)
         case (orig, ValueCol) => Alias(sValue, orig.name)(exprId = orig.exprId)
       }
-      Project(projected, scan)
+      Project(projected, filtered)
     }
   }
 

@@ -113,7 +113,7 @@ class PlanSpec extends AnyFunSuite {
     assert(!hasAggregate(served), "aggregate should have been rewritten away")
     // and the values are identical to reading the 1h table directly
     import org.apache.spark.sql.functions._
-    val base = s"${System.getProperty("java.io.tmpdir")}/graft_rollups"
+    val base = Materialize.rollupBase(dir)
     val direct = spark.read.parquet(s"$base/points_3600s")
       .select(col("metric"), col("bucket_ts"), round(col("value"), 6).as("value"))
       .orderBy("metric", "bucket_ts")
@@ -147,7 +147,7 @@ class PlanSpec extends AnyFunSuite {
   test("RollupRewrite leaves non-derivation-edge aggregates untouched") {
     import org.apache.spark.sql.functions._
     Materialize.rollupServe1h(spark, dir) // ensures catalog + rule active
-    val base = s"${System.getProperty("java.io.tmpdir")}/graft_rollups"
+    val base = Materialize.rollupBase(dir)
     // 1m → 1h skips the 5m derivation edge: avg-of-avg would be wrong,
     // so the rule must NOT fire and the plan keeps its Aggregate
     val skip = spark.read.parquet(s"$base/points_60s")
@@ -159,5 +159,92 @@ class PlanSpec extends AnyFunSuite {
       .groupBy(col("metric"), Buckets.alignTs(col("bucket_ts"), 3600).as("bucket_ts"))
       .agg(sum(col("value")).as("value"))
     assert(hasAggregate(wrongMethod), "rewrite fired for a mismatched aggregation method")
+  }
+
+  test("RollupRewrite fires through a metric filter and preserves it") {
+    import org.apache.spark.sql.functions._
+    Materialize.rollupServe1h(spark, dir) // ensures catalog + rule active
+    val base = Materialize.rollupBase(dir)
+    // the most common real fetch shape: ONE metric at a coarse resolution
+    val q = spark.read.parquet(s"$base/points_300s")
+      .filter(col("metric") === "click")
+      .groupBy(col("metric"), Buckets.alignTs(col("bucket_ts"), 3600).as("bucket_ts"))
+      .agg(avg(col("value")).as("value"))
+    assert(scannedPaths(q).exists(_.contains("points_3600s")),
+      s"filtered re-aggregation was not served from the 1h level: ${scannedPaths(q)}")
+    assert(!hasAggregate(q), "aggregate should have been rewritten away")
+    val got = q.orderBy("bucket_ts").collect().toSeq
+    val direct = spark.read.parquet(s"$base/points_3600s")
+      .filter(col("metric") === "click")
+      .select("metric", "bucket_ts", "value")
+      .orderBy("bucket_ts").collect().toSeq
+    assert(got == direct)
+  }
+
+  test("RollupRewrite does NOT fire through value or bucket_ts filters") {
+    import org.apache.spark.sql.functions._
+    Materialize.rollupServe1h(spark, dir)
+    val base = Materialize.rollupBase(dir)
+    // pre-aggregation row selection on value changes the aggregate
+    val onValue = spark.read.parquet(s"$base/points_300s")
+      .filter(col("value") > 0.5)
+      .groupBy(col("metric"), Buckets.alignTs(col("bucket_ts"), 3600).as("bucket_ts"))
+      .agg(avg(col("value")).as("value"))
+    assert(hasAggregate(onValue), "rewrite fired through a value filter")
+    // an unaligned time range yields partial coarse windows
+    val onTs = spark.read.parquet(s"$base/points_300s")
+      .filter(col("bucket_ts") > 1706000000L)
+      .groupBy(col("metric"), Buckets.alignTs(col("bucket_ts"), 3600).as("bucket_ts"))
+      .agg(avg(col("value")).as("value"))
+    assert(hasAggregate(onTs), "rewrite fired through a bucket_ts filter")
+  }
+
+  test("servableFrom refuses any chain with a nonzero xFF gate") {
+    // structural guard, tested at the catalog level (materializing a
+    // gated chain on this sparse testdata empties mid-cascade): a gated
+    // level DROPPED low-fill buckets, so it must not answer a user's
+    // plain re-aggregation — not even on its direct derivation edge
+    import graft.plans.RollupCatalog._
+    import graft.model.AggregationMethod.Max
+    val g = "plan-spec-gated-chain"
+    val g60 = LevelInfo(60, 0, s"/tmp/$g/60", g, Max, 0.0)
+    val g300 = LevelInfo(300, 60, s"/tmp/$g/300", g, Max, 0.5)
+    val g3600 = LevelInfo(3600, 300, s"/tmp/$g/3600", g, Max, 0.0)
+    Seq(g60, g300, g3600).foreach(register)
+    assert(!servableFrom(g60, g300), "gated direct edge served")
+    assert(!servableFrom(g60, g3600), "gated Max intermediate served")
+    // the direct edge ABOVE the gated level stays exact: g3600 was
+    // derived ungated from g300-as-stored, so re-aggregating the g300
+    // table itself is servable
+    assert(servableFrom(g300, g3600))
+    // control: the identical chain ungated serves transitively
+    val u = "plan-spec-ungated-chain"
+    val u60 = LevelInfo(60, 0, s"/tmp/$u/60", u, Max, 0.0)
+    val u300 = LevelInfo(300, 60, s"/tmp/$u/300", u, Max, 0.0)
+    val u3600 = LevelInfo(3600, 300, s"/tmp/$u/3600", u, Max, 0.0)
+    Seq(u60, u300, u3600).foreach(register)
+    assert(servableFrom(u60, u3600) && servableFrom(u60, u300))
+  }
+
+  test("RollupRewrite serves Last (max_by) chains transitively") {
+    import org.apache.spark.sql.functions._
+    val base = s"${System.getProperty("java.io.tmpdir")}/graft_rollups_last"
+    Materialize.materializeLevels(spark, dir, base,
+      graft.model.AggregationMethod.Last, 0.0)
+    if (!spark.experimental.extraOptimizations.contains(graft.plans.RollupRewrite))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ graft.plans.RollupRewrite
+    // 1m → 1h skips the 5m edge; last-of-last composes like max
+    val q = spark.read.parquet(s"$base/points_60s")
+      .groupBy(col("metric"), Buckets.alignTs(col("bucket_ts"), 3600).as("bucket_ts"))
+      .agg(expr("max_by(value, bucket_ts)").as("value"))
+    assert(scannedPaths(q).exists(_.contains("points_3600s")),
+      s"transitive Last rewrite did not fire: ${scannedPaths(q)}")
+    assert(!hasAggregate(q))
+    val got = q.orderBy("metric", "bucket_ts").collect().toSeq
+    val direct = spark.read.parquet(s"$base/points_3600s")
+      .select("metric", "bucket_ts", "value")
+      .orderBy("metric", "bucket_ts").collect().toSeq
+    assert(got == direct)
   }
 }

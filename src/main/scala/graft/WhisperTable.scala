@@ -137,23 +137,28 @@ final class WhisperTable private (
   /** R3 disk-side expiry: drop whole day-partition directories whose last
     * second is older than the archive's retention (the ring buffer's
     * reclaim, as a partition-metadata operation — never a data rewrite).
+    *
+    * Hadoop `FileSystem`, not `java.io.File`: at 100 TB the table lives
+    * on HDFS/S3, and vacuum must speak whatever scheme `path` carries.
+    * The partition's end second is derived in the SESSION timezone — the
+    * same zone `to_date(timestamp_seconds(...))` used when the writer
+    * derived the day column; hard-coding UTC would let a west-of-UTC
+    * session delete a day directory that still holds in-retention rows.
     */
   private def vacuumLevel(r: Retention, nowS: Long): Unit = {
     val cutoff = nowS - r.maxRetentionSeconds
-    val dir = new java.io.File(levelPath(r))
-    val kids = Option(dir.listFiles()).getOrElse(Array.empty)
-    for (d <- kids if d.isDirectory && d.getName.startsWith("day=")) {
+    val dir = new org.apache.hadoop.fs.Path(levelPath(r))
+    val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(dir)) return
+    val zone = java.time.ZoneId.of(
+      spark.conf.get("spark.sql.session.timeZone"))
+    for (st <- fs.listStatus(dir)
+         if st.isDirectory && st.getPath.getName.startsWith("day=")) {
       val dayEndS = try {
-        java.time.LocalDate.parse(d.getName.stripPrefix("day="))
-          .plusDays(1).atStartOfDay(java.time.ZoneOffset.UTC).toEpochSecond
+        java.time.LocalDate.parse(st.getPath.getName.stripPrefix("day="))
+          .plusDays(1).atStartOfDay(zone).toEpochSecond
       } catch { case _: java.time.format.DateTimeParseException => Long.MaxValue }
-      if (dayEndS < cutoff) {
-        def rm(f: java.io.File): Unit = {
-          Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
-          f.delete(); ()
-        }
-        rm(d)
-      }
+      if (dayEndS < cutoff) { fs.delete(st.getPath, true); () }
     }
   }
 
@@ -353,23 +358,32 @@ object WhisperTable {
       (j \ "xff").extract[Double])
   }
 
+  /** The table path's filesystem — Hadoop `FileSystem`, so `file:`,
+    * `hdfs:` and `s3a:` table locations all work (a 100 TB table is
+    * never on the driver's local disk).
+    */
+  private def fsOf(spark: SparkSession, path: String) = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    (p.getFileSystem(spark.sessionState.newHadoopConf()), p)
+  }
+
   /** S2 `Create`: validate the schema (constructor runs the 5 rules),
     * initialize every archive level empty, and persist the header. Fails
     * if the table exists (reference: O_CREAT|O_EXCL, "file already
     * exists").
     */
   def create(spark: SparkSession, path: String, schema: WhisperSchema): WhisperTable = {
-    val dir = new java.io.File(path)
-    if (dir.exists()) throw new IllegalStateException(s"file already exists: $path")
+    val (fs, dir) = fsOf(spark, path)
+    if (fs.exists(dir)) throw new IllegalStateException(s"file already exists: $path")
     val t = new WhisperTable(spark, path, schema)
     import spark.implicits._
     schema.retentions.foreach { r =>
       t.writeLevelFull(r, Seq.empty[(String, Long, Double)]
         .toDF("metric", "bucket_ts", "value"))
     }
-    java.nio.file.Files.write(
-      java.nio.file.Paths.get(path, HeaderFile),
-      headerJson(schema).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val out = fs.create(new org.apache.hadoop.fs.Path(dir, HeaderFile), false)
+    try out.write(headerJson(schema).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
     t
   }
 
@@ -378,12 +392,14 @@ object WhisperTable {
     * the reference's `Open` parsing the file header.
     */
   def open(spark: SparkSession, path: String): WhisperTable = {
-    val header = java.nio.file.Paths.get(path, HeaderFile)
-    if (!java.nio.file.Files.exists(header))
+    val (fs, dir) = fsOf(spark, path)
+    val header = new org.apache.hadoop.fs.Path(dir, HeaderFile)
+    if (!fs.exists(header))
       throw new IllegalStateException(s"no such table: $path")
-    val json = new String(
-      java.nio.file.Files.readAllBytes(header),
-      java.nio.charset.StandardCharsets.UTF_8)
+    val in = fs.open(header)
+    val json =
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
     new WhisperTable(spark, path, parseHeader(json))
   }
 
@@ -391,7 +407,8 @@ object WhisperTable {
     * level directories produced by external pipelines (no header file).
     */
   def open(spark: SparkSession, path: String, schema: WhisperSchema): WhisperTable = {
-    if (!new java.io.File(path).exists())
+    val (fs, dir) = fsOf(spark, path)
+    if (!fs.exists(dir))
       throw new IllegalStateException(s"no such table: $path")
     new WhisperTable(spark, path, schema)
   }

@@ -70,7 +70,9 @@ class PlanSpec extends AnyFunSuite {
   }
 
   test("dedup_minhash never falls back to an all-pairs product") {
-    val p = plan(Dedup.dedupMinhash(spark, dir))
+    // the underlying pipeline, not the materialized pair index the
+    // public entry serves from
+    val p = plan(Dedup.minhashPairsImpl(spark, dir))
     assert(!p.contains("CartesianProduct"), s"all-pairs scan in LSH path:\n$p")
   }
 

@@ -1,0 +1,207 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Corpus-curation operators — the decisions a training-data pipeline
+  * makes AFTER the analysis passes: which duplicate survives, which
+  * documents leak benchmark content, which are degenerate repetition,
+  * and which split each document lands in. No reference counterpart
+  * (whisper has no document plane); every op is oracle-checked against
+  * DuckDB on the same parquet.
+  *
+  * Scale design (100 TB):
+  *  - [[dedupCollapse]] joins the (small) near-dup cluster assignment
+  *    back to the corpus manifest — the cluster frame is bounded by
+  *    docs-that-have-a-near-dup, a small fraction of the corpus, so the
+  *    join broadcasts; the corpus side is one scan.
+  *  - [[decontaminate]] broadcasts the BENCHMARK shingle set (benchmarks
+  *    are tiny — thousands of docs — next to a 100 TB corpus) and
+  *    semi-joins the corpus shingle index against it map-side: no
+  *    corpus-sized shuffle at all.
+  *  - [[textRepetition]] is one explode + two partial-aggregated
+  *    shuffles keyed by doc_id; [[splitAssign]] is pure map-side.
+  */
+object Curation {
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/documents.parquet")
+
+  private val toksExpr = "split(lower(text), ' ')"
+  private val toksSql = "string_split(lower(text), ' ')"
+
+  // --------------------------------------------------- dedup collapse
+
+  /** `dedup_collapse`: the corpus manifest after near-dup clustering —
+    * for EVERY document: its cluster id (itself when it has no near-dup),
+    * the cluster size, and whether it is the canonical survivor (the
+    * cluster-minimum doc_id, the deterministic representative
+    * [[Dedup.dedupCluster]] already labels clusters with). This is the
+    * frame a curation pipeline writes as "the deduplicated corpus":
+    * `filter(keep = 1)` is the training set.
+    */
+  def dedupCollapse(s: SparkSession, dir: String): DataFrame = {
+    // the cluster assignment covers only docs that appear in a verified
+    // near-dup pair — far smaller than the corpus; Spark broadcasts it
+    val cl = Dedup.dedupCluster(s, dir)
+    val full = docs(s, dir).select(col("doc_id"))
+      .join(cl, Seq("doc_id"), "left")
+      .withColumn("cluster_id", coalesce(col("cluster_id"), col("doc_id")))
+    val mem = full.groupBy("cluster_id").agg(count(lit(1)).as("n_members"))
+    full.join(mem, "cluster_id")
+      .select(col("doc_id"), col("cluster_id"), col("n_members"),
+        (col("doc_id") === col("cluster_id")).cast("int").as("keep"))
+      .orderBy("doc_id")
+  }
+
+  val dedupCollapseSql: String =
+    s"""WITH RECURSIVE ${Dedup.clusterCtes},
+       |full_assign AS (
+       |  SELECT d.doc_id, coalesce(c.cluster_id, d.doc_id) AS cluster_id
+       |  FROM documents d LEFT JOIN comp c ON c.doc_id = d.doc_id),
+       |mem AS (
+       |  SELECT cluster_id, count(*) AS n_members
+       |  FROM full_assign GROUP BY 1)
+       |SELECT f.doc_id, f.cluster_id, m.n_members,
+       |       CAST(f.doc_id = f.cluster_id AS INT) AS keep
+       |FROM full_assign f JOIN mem m USING (cluster_id)
+       |ORDER BY f.doc_id""".stripMargin
+
+  // --------------------------------------------------- decontamination
+
+  /** Documents below this id play the held-out benchmark set; the rest
+    * are the training corpus being screened.
+    */
+  val BenchmarkDocs = 50
+
+  /** `decontaminate`: benchmark-overlap screening — flag every corpus
+    * document sharing at least one 3-token shingle with any benchmark
+    * document (the n-gram-overlap decontamination rule used for
+    * benchmark leakage, applied at shingle granularity). Emits the
+    * shared-shingle count so thresholds other than ≥1 are a filter away.
+    *
+    * The benchmark shingle set is broadcast (benchmarks are tiny next to
+    * the corpus); the corpus side is its shingle index semi-joined
+    * map-side — no corpus-sized shuffle.
+    */
+  def decontaminate(s: SparkSession, dir: String): DataFrame = {
+    val u = Dedup.shingleSetShared(s, dir)
+    val bench = u.filter(col("doc_id") < BenchmarkDocs).select("g").distinct()
+    // shingle_u is distinct per (doc_id, g), so count(*) = distinct shared
+    val hits = u.filter(col("doc_id") >= BenchmarkDocs)
+      .join(broadcast(bench), Seq("g"))
+      .groupBy("doc_id").agg(count(lit(1)).as("n_shared"))
+    docs(s, dir).filter(col("doc_id") >= BenchmarkDocs).select("doc_id")
+      .join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_shared"), lit(0L)).as("n_shared"),
+        (coalesce(col("n_shared"), lit(0L)) > 0).cast("int").as("contaminated"))
+      .orderBy("doc_id")
+  }
+
+  val decontaminateSql: String =
+    s"""WITH ${Dedup.shingleUSql},
+       |bench AS (
+       |  SELECT DISTINCT g FROM shingle_u WHERE doc_id < $BenchmarkDocs),
+       |hits AS (
+       |  SELECT u.doc_id, count(*) AS n_shared
+       |  FROM shingle_u u JOIN bench b ON u.g = b.g
+       |  WHERE u.doc_id >= $BenchmarkDocs GROUP BY 1)
+       |SELECT d.doc_id, coalesce(h.n_shared, 0) AS n_shared,
+       |       CAST(coalesce(h.n_shared, 0) > 0 AS INT) AS contaminated
+       |FROM documents d LEFT JOIN hits h ON h.doc_id = d.doc_id
+       |WHERE d.doc_id >= $BenchmarkDocs
+       |ORDER BY d.doc_id""".stripMargin
+
+  // ------------------------------------------------ repetition scoring
+
+  /** `text_repetition`: per-document degenerate-repetition features (the
+    * Gopher-style repetition rules): the most frequent token's share of
+    * all tokens, and the fraction of 3-gram shingle slots occupied by a
+    * repeated shingle. High values on either ⇒ boilerplate/spam.
+    *
+    * Relational shape — explode + two partial-aggregated shuffles keyed
+    * by doc_id — instead of per-row array lambdas: higher-order-function
+    * expressions evaluate interpreted per element (O(distinct·n) per
+    * doc), while the explode path stays in whole-stage codegen with
+    * map-side combine. The distinct-shingle counts reuse the shared
+    * shingle index.
+    */
+  def textRepetition(s: SparkSession, dir: String): DataFrame = {
+    val tf = docs(s, dir)
+      .select(col("doc_id"), explode(expr(toksExpr)).as("t"))
+      .groupBy("doc_id", "t").agg(count(lit(1)).as("c"))
+    val agg = tf.groupBy("doc_id").agg(
+      sum(col("c")).as("n_tokens"),
+      max(col("c")).as("top_cnt"))
+    val g3 = Dedup.shingleSetShared(s, dir)
+      .groupBy("doc_id").agg(count(lit(1)).as("n3d"))
+    agg.join(g3, "doc_id")
+      .select(col("doc_id"), col("n_tokens"),
+        round(col("top_cnt").cast("double") / col("n_tokens"), 6)
+          .as("top_token_share"),
+        round(lit(1.0) - col("n3d").cast("double") / (col("n_tokens") - 2), 6)
+          .as("dup_3gram_frac"))
+      .orderBy("doc_id")
+  }
+
+  val textRepetitionSql: String =
+    s"""WITH ${Dedup.shingleUSql},
+       |tf AS (
+       |  SELECT doc_id, t, count(*) AS c
+       |  FROM (SELECT doc_id, unnest($toksSql) AS t FROM documents)
+       |  GROUP BY doc_id, t),
+       |agg AS (
+       |  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+       |         max(c) AS top_cnt
+       |  FROM tf GROUP BY doc_id),
+       |g3 AS (SELECT doc_id, count(*) AS n3d FROM shingle_u GROUP BY 1)
+       |SELECT a.doc_id, a.n_tokens,
+       |       round(CAST(top_cnt AS DOUBLE) / n_tokens, 6) AS top_token_share,
+       |       round(1 - CAST(n3d AS DOUBLE) / (n_tokens - 2), 6) AS dup_3gram_frac
+       |FROM agg a JOIN g3 USING (doc_id)
+       |ORDER BY a.doc_id""".stripMargin
+
+  // ------------------------------------------------- train/val/test split
+
+  /** Split thresholds over the first md5 byte (0..255): < 204 ⇒ train
+    * (~79.7%), < 230 ⇒ val (~10.2%), else test (~10.2%).
+    */
+  val TrainCut = 204
+  val ValCut = 230
+
+  /** `split_assign`: deterministic train/val/test assignment — the first
+    * byte of md5('split|' || doc_id) thresholded into three buckets.
+    * Pure map-side, no RNG state: any engine anywhere reproduces the
+    * identical split, and membership is decidable per-document without a
+    * global pass — the property held-out evaluation needs. The hash is
+    * salted with a purpose tag so this split is independent of
+    * [[PipelineOps.sampleStratified]]'s sampling hash.
+    */
+  def splitAssign(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .withColumn("h", md5(concat(lit("split|"), col("doc_id").cast("string"))))
+      .withColumn("bucket",
+        expr("(position(substring(h, 1, 1), '0123456789abcdef') - 1) * 16 + " +
+          "(position(substring(h, 2, 1), '0123456789abcdef') - 1)"))
+      .select(col("doc_id"), col("bucket"),
+        when(col("bucket") < TrainCut, lit("train"))
+          .when(col("bucket") < ValCut, lit("val"))
+          .otherwise(lit("test")).as("split"))
+      .orderBy("doc_id")
+
+  val splitAssignSql: String =
+    s"""WITH h AS (
+       |  SELECT doc_id, md5('split|' || CAST(doc_id AS VARCHAR)) AS h
+       |  FROM documents),
+       |b AS (
+       |  SELECT doc_id,
+       |         (strpos('0123456789abcdef', substr(h, 1, 1)) - 1) * 16 +
+       |         (strpos('0123456789abcdef', substr(h, 2, 1)) - 1) AS bucket
+       |  FROM h)
+       |SELECT doc_id, bucket,
+       |       CASE WHEN bucket < $TrainCut THEN 'train'
+       |            WHEN bucket < $ValCut THEN 'val'
+       |            ELSE 'test' END AS split
+       |FROM b ORDER BY doc_id""".stripMargin
+}

@@ -76,7 +76,7 @@ object Dedup {
       .distinct()
   }
 
-  private val shingleUSql: String =
+  private[graft] val shingleUSql: String =
     s"""shingle_u AS (
        |  SELECT DISTINCT doc_id, array_to_string(list_slice(toks, i, i + 2), ' ') AS g
        |  FROM (SELECT doc_id, $toksSql AS toks FROM documents),
@@ -417,10 +417,12 @@ object Dedup {
   }
 
   /** Oracle: the SAME LSH-verified pair set ([[minhashPairCtes]]), then
-    * transitive closure by recursive CTE, min reachable id.
+    * transitive closure by recursive CTE, min reachable id. The CTE chain
+    * through `comp` (per-doc component assignment) is shared with the
+    * downstream curation oracles ([[Curation.dedupCollapseSql]]).
     */
-  val dedupClusterSql: String =
-    s"""WITH RECURSIVE $shingleUSql,
+  private[graft] val clusterCtes: String =
+    s"""$shingleUSql,
        |$minhashPairCtes,
        |pairs AS (
        |  SELECT doc_a, doc_b FROM inter
@@ -433,9 +435,14 @@ object Dedup {
        |reach(u, v) AS (
        |  SELECT u, u FROM (SELECT DISTINCT u FROM edges)
        |  UNION
-       |  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u)
-       |SELECT u AS doc_id, min(v) AS cluster_id
-       |FROM reach GROUP BY u ORDER BY doc_id""".stripMargin
+       |  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),
+       |comp AS (
+       |  SELECT u AS doc_id, min(v) AS cluster_id
+       |  FROM reach GROUP BY u)""".stripMargin
+
+  val dedupClusterSql: String =
+    s"""WITH RECURSIVE $clusterCtes
+       |SELECT doc_id, cluster_id FROM comp ORDER BY doc_id""".stripMargin
 
   // ------------------------------------------------------------ X2 SimHash
 

@@ -26,7 +26,11 @@ object ExtQueries {
     "text_quality" -> (TextAnalysis.textQuality _),
     "text_langid" -> (TextAnalysis.textLangid _),
     "text_token_count" -> (TextAnalysis.textTokenCount _),
-    "doc_fingerprint" -> (TextAnalysis.docFingerprint _)
+    "doc_fingerprint" -> (TextAnalysis.docFingerprint _),
+    "dedup_collapse" -> (Curation.dedupCollapse _),
+    "decontaminate" -> (Curation.decontaminate _),
+    "text_repetition" -> (Curation.textRepetition _),
+    "split_assign" -> (Curation.splitAssign _)
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -52,6 +56,10 @@ object ExtQueries {
     "text_quality" -> TextAnalysis.textQualitySql,
     "text_langid" -> TextAnalysis.textLangidSql,
     "text_token_count" -> TextAnalysis.textTokenCountSql,
-    "doc_fingerprint" -> TextAnalysis.docFingerprintSql
+    "doc_fingerprint" -> TextAnalysis.docFingerprintSql,
+    "dedup_collapse" -> Curation.dedupCollapseSql,
+    "decontaminate" -> Curation.decontaminateSql,
+    "text_repetition" -> Curation.textRepetitionSql,
+    "split_assign" -> Curation.splitAssignSql
   )
 }

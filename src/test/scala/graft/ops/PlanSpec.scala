@@ -69,6 +69,19 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Aggregate"), s"unexpected aggregate:\n$p")
   }
 
+  test("split_assign is a pure map-side projection (no join, no aggregate)") {
+    val p = plan(Curation.splitAssign(spark, dir))
+    assert(!p.contains("Join"), s"unexpected join:\n$p")
+    assert(!p.contains("Aggregate"), s"unexpected aggregate:\n$p")
+  }
+
+  test("decontaminate broadcasts the benchmark shingle set") {
+    val p = plan(Curation.decontaminate(spark, dir))
+    assert(p.contains("BroadcastHashJoin"), s"benchmark side not broadcast:\n$p")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), s"unbounded pair scan:\n$p")
+  }
+
   test("dedup_minhash never falls back to an all-pairs product") {
     // the underlying pipeline, not the materialized pair index the
     // public entry serves from

@@ -20,6 +20,7 @@ object ExtQueries {
     "similarity_topk" -> (Similarity.similarityTopk _),
     "similarity_topk_agg" -> (Similarity.similarityTopkAgg _),
     "similarity_ann_ivf" -> (Similarity.similarityAnnIvf _),
+    "similarity_ann_kmeans" -> (Similarity.similarityAnnKmeans _),
     "multimodal_join" -> (Similarity.multimodalJoin _),
     "multimodal_extract" -> (Multimodal.multimodalExtract _),
     "text_token_stats" -> (TextAnalysis.textTokenStats _),
@@ -50,6 +51,7 @@ object ExtQueries {
     // one oracle covers both
     "similarity_topk_agg" -> Similarity.similarityTopkSql,
     "similarity_ann_ivf" -> Similarity.similarityAnnIvfSql,
+    "similarity_ann_kmeans" -> Similarity.similarityAnnKmeansSql,
     "multimodal_join" -> Similarity.multimodalJoinSql,
     "multimodal_extract" -> Multimodal.multimodalExtractSql,
     "text_token_stats" -> TextAnalysis.textTokenStatsSql,

@@ -35,9 +35,10 @@ object Similarity {
     * O(n) and assignment cost O(n²/50). Here: the 16 vectors with the
     * smallest md5(vec_id) — a deterministic pseudo-random sample both
     * engines compute identically, with O(n·k) assignment. At 100 TB, k
-    * would be trained (k-means) and sized ~sqrt(n); the plan shape —
-    * broadcast centroids, one assignment pass, per-cluster probe — is
-    * unchanged.
+    * would be sized ~sqrt(n); [[similarityAnnKmeans]] is the trained
+    * variant (Lloyd iterations from this same seed sample); the plan
+    * shape — broadcast centroids, one assignment pass, per-cluster
+    * probe — is unchanged.
     */
   val NumCentroids = 16
 
@@ -182,6 +183,139 @@ object Similarity {
       .select(col("query_id"), col("vec_id").as("cand_id"),
         round(col("score"), 6).as("score"), col("rnk"))
       .orderBy("query_id", "rnk")
+  }
+
+  /** Lloyd iterations for [[similarityAnnKmeans]]. Two suffice to move
+    * every centroid off its seed vector onto a cluster mean (the point of
+    * the exercise: the partition rests on data structure, not on which
+    * vectors the md5 sample happened to pick).
+    */
+  val KMeansIters = 2
+
+  /** `similarity_ann_kmeans`: IVF-ANN over TRAINED centroids — k-means on
+    * the full vector set, initialized from the deterministic md5 sample
+    * [[similarityAnnIvf]] uses as-is. Each Lloyd iteration is (1) one
+    * broadcast-join assignment pass (`max_by` over k centroid scores —
+    * O(n·k), no window over raw rows) and (2) one per-dimension mean:
+    * `posexplode` to (cent, pos, v) rows whose `groupBy(cent, pos)`
+    * partially aggregates map-side, so the shuffle carries k·64 partial
+    * sums per partition — not n·64 rows. Centroid means are rounded to 6
+    * decimals and cast to float32 IN BOTH ENGINES, making the trained
+    * centroids bit-identical despite double-summation order differing —
+    * the same absorb-the-ulps trick the xFF gate uses. The serving path
+    * (probe nprobe clusters, score, top-k) is identical to
+    * [[similarityAnnIvf]]; only the partition quality changes.
+    *
+    * At 100 TB: same plan per iteration (broadcast k centroids, one
+    * corpus pass, k·dim-sized shuffle); you train on a sample and freeze
+    * the codebook, which is exactly this pipeline with a sampled input.
+    */
+  def similarityAnnKmeans(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir).withColumn("cn", normExpr("embedding"))
+    var cents = e.orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
+      .limit(NumCentroids)
+      .select(col("vec_id").as("cent_id"), col("embedding").as("ce"),
+        col("cn").as("ce_n"))
+    def assignTo(c: DataFrame): DataFrame =
+      e.crossJoin(broadcast(c))
+        .withColumn("cscore",
+          dot_f(col("embedding"), col("ce")) / (col("cn") * col("ce_n")))
+        .groupBy("vec_id")
+        .agg(max_by(col("cent_id"), struct(col("cscore"), -col("cent_id")))
+          .as("cent_id"))
+    for (_ <- 1 to KMeansIters) {
+      val assign = assignTo(cents)
+      val means = e.join(assign, "vec_id")
+        .select(col("cent_id"), posexplode(col("embedding")).as(Seq("pos", "v")))
+        .groupBy("cent_id", "pos")
+        .agg(round(sum(col("v").cast("double")) / count(lit(1)), 6).as("cv"))
+      // rebuild the dim-ordered float32 array; eager pin — each trained
+      // codebook is consumed by the next assignment AND the serving path
+      cents = means.groupBy("cent_id")
+        .agg(expr("transform(array_sort(collect_list(struct(pos, cv)))," +
+          " x -> CAST(x.cv AS FLOAT))").as("ce"))
+        .withColumn("ce_n", normExpr("ce"))
+        .localCheckpoint(true)
+    }
+    val assigned = e.join(assignTo(cents), "vec_id").localCheckpoint(true)
+    val probeW = Window.partitionBy("vec_id")
+      .orderBy(col("cscore").desc, col("cent_id"))
+    val q = assigned.select(col("vec_id"), col("embedding"), col("cn"))
+      .filter(col("vec_id") < NumQueries)
+      .crossJoin(broadcast(cents))
+      .withColumn("cscore",
+        dot_f(col("embedding"), col("ce")) / (col("cn") * col("ce_n")))
+      .withColumn("prn", row_number().over(probeW))
+      .filter(col("prn") <= NProbe)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
+        col("cn").as("qn"), col("cent_id").as("qcent"))
+    val scored = assigned.join(broadcast(q),
+        col("cent_id") === col("qcent") && col("query_id") =!= col("vec_id"))
+      .withColumn("score", dot_f(col("qe"), col("embedding")) / (col("qn") * col("cn")))
+    val w = Window.partitionBy("query_id").orderBy(col("score").desc, col("vec_id"))
+    scored.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= TopK)
+      .select(col("query_id"), col("vec_id").as("cand_id"),
+        round(col("score"), 6).as("score"), col("rnk"))
+      .orderBy("query_id", "rnk")
+  }
+
+  /** Oracle: the identical Lloyd unroll as CTEs — assignment t feeds
+    * per-dimension means (same round-to-6 + float32 cast), cents t feeds
+    * assignment t+1; the serving CTEs mirror [[similarityAnnIvfSql]].
+    */
+  val similarityAnnKmeansSql: String = {
+    def assignCte(name: String, cents: String): String =
+      s"""$name AS (
+         |  SELECT vec_id, cent_id FROM (
+         |    SELECT e.vec_id, c.cent_id,
+         |           row_number() OVER (PARTITION BY e.vec_id
+         |             ORDER BY ${cosineSql("e.embedding", "c.ce")} DESC, c.cent_id) AS arn
+         |    FROM embeddings e, $cents c)
+         |  WHERE arn = 1)""".stripMargin
+    def centsCte(name: String, assign: String): String =
+      s"""$name AS (
+         |  SELECT cent_id, list(cv ORDER BY pos)::FLOAT[] AS ce FROM (
+         |    SELECT a.cent_id, x.pos, round(sum(CAST(x.v AS DOUBLE)) / count(*), 6) AS cv
+         |    FROM embeddings e
+         |    JOIN $assign a ON a.vec_id = e.vec_id,
+         |    LATERAL (SELECT generate_subscripts(e.embedding, 1) AS pos,
+         |                    unnest(e.embedding) AS v) x
+         |    GROUP BY a.cent_id, x.pos)
+         |  GROUP BY cent_id)""".stripMargin
+    val train = (1 to KMeansIters).map { t =>
+      assignCte(s"assign$t", s"cents${t - 1}") + ",\n" +
+        centsCte(s"cents$t", s"assign$t")
+    }.mkString(",\n")
+    val cf = s"cents$KMeansIters"
+    s"""WITH cents0 AS (
+       |  SELECT vec_id AS cent_id, embedding AS ce
+       |  FROM embeddings
+       |  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT $NumCentroids),
+       |$train,
+       |${assignCte("assign_f", cf)},
+       |q AS (
+       |  SELECT query_id, qe, qcent FROM (
+       |    SELECT e.vec_id AS query_id, e.embedding AS qe, c.cent_id AS qcent,
+       |           row_number() OVER (PARTITION BY e.vec_id
+       |             ORDER BY ${cosineSql("e.embedding", "c.ce")} DESC, c.cent_id) AS prn
+       |    FROM embeddings e, $cf c
+       |    WHERE e.vec_id < $NumQueries)
+       |  WHERE prn <= $NProbe),
+       |scored AS (
+       |  SELECT q.query_id, e.vec_id AS cand_id,
+       |         ${cosineSql("q.qe", "e.embedding")} AS score
+       |  FROM q
+       |  JOIN assign_f a ON a.cent_id = q.qcent
+       |  JOIN embeddings e ON e.vec_id = a.vec_id
+       |  WHERE e.vec_id <> q.query_id),
+       |ranked AS (
+       |  SELECT query_id, cand_id, round(score, 6) AS score,
+       |         row_number() OVER (PARTITION BY query_id
+       |                            ORDER BY score DESC, cand_id) AS rnk
+       |  FROM scored)
+       |SELECT query_id, cand_id, score, rnk FROM ranked
+       |WHERE rnk <= $TopK ORDER BY query_id, rnk""".stripMargin
   }
 
   val similarityAnnIvfSql: String =

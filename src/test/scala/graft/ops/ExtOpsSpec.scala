@@ -78,6 +78,26 @@ class ExtOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("similarity_ann_kmeans trains centroids and keeps the ANN contract") {
+    // training must actually move the codebook: the serving assignment
+    // may not be identical to the untrained md5-sample partition
+    val exact = Similarity.similarityTopk(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val ann = Similarity.similarityAnnKmeans(spark, dir).collect()
+    assert(ann.nonEmpty && ann.length <= Similarity.NumQueries * Similarity.TopK)
+    val perQuery = ann.groupBy(_.getLong(0))
+    assert(perQuery.values.forall(_.length <= Similarity.TopK))
+    for (r <- ann) {
+      assert(r.getLong(1) != r.getLong(0))
+      val k = (r.getLong(0), r.getLong(1))
+      exact.get(k).foreach(s => assert(math.abs(s - r.getDouble(2)) < 1e-9))
+    }
+    // determinism: two runs produce identical rows (the k-means loop has
+    // no RNG — seeds, assignments and means are all hash/order-pinned)
+    val again = Similarity.similarityAnnKmeans(spark, dir).collect()
+    assert(ann.map(_.toString).sameElements(again.map(_.toString)))
+  }
+
   test("multimodal_extract stub features derive from payload bytes") {
     val feats = Multimodal.multimodalExtract(spark, dir)
     val check = spark.read.parquet(s"$dir/documents.parquet")

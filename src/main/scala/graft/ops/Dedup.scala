@@ -51,9 +51,25 @@ object Dedup {
   private[graft] def dirDigest(dir: String): String =
     java.security.MessageDigest.getInstance("MD5")
       .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString
+  /** [[dirDigest]] of the data dir PLUS the driving input file's
+    * (mtime, length), statted through the Hadoop FileSystem API (so
+    * `file:`, `hdfs:` and `s3:` paths all work): per-dir memo keys and
+    * tmp roots invalidate when the data is re-generated under the same
+    * path within one JVM — the r2 stale-data footgun.
+    */
+  private[graft] def freshDigest(s: SparkSession, dir: String, file: String): String = {
+    val p = new org.apache.hadoop.fs.Path(dir, file)
+    val st = try {
+      val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+      val x = fs.getFileStatus(fs.makeQualified(p))
+      s"${x.getModificationTime}|${x.getLen}"
+    } catch { case _: Throwable => "absent" }
+    dirDigest(s"$dir|$file|$st")
+  }
   private[graft] def shingleSetShared(s: SparkSession, dir: String): DataFrame = {
-    val path = shingleCache.getOrElseUpdate(dir, {
-      val p = s"${System.getProperty("java.io.tmpdir")}/graft_shingles_${dirDigest(dir)}"
+    val key = freshDigest(s, dir, "documents.parquet")
+    val path = shingleCache.getOrElseUpdate(key, {
+      val p = s"${System.getProperty("java.io.tmpdir")}/graft_shingles_$key"
       shingleSet(docs(s, dir)).write.mode("overwrite").parquet(p)
       p
     })
@@ -189,8 +205,9 @@ object Dedup {
   private val pairCache =
     new scala.collection.concurrent.TrieMap[String, String]
   private[graft] def minhashPairsShared(s: SparkSession, dir: String): DataFrame = {
-    val path = pairCache.getOrElseUpdate(dir, {
-      val p = s"${System.getProperty("java.io.tmpdir")}/graft_minhash_pairs_${dirDigest(dir)}"
+    val key = freshDigest(s, dir, "documents.parquet")
+    val path = pairCache.getOrElseUpdate(key, {
+      val p = s"${System.getProperty("java.io.tmpdir")}/graft_minhash_pairs_$key"
       minhashPairsImpl(s, dir).write.mode("overwrite").parquet(p)
       p
     })

@@ -69,20 +69,21 @@ object Materialize {
     new scala.collection.concurrent.TrieMap[String, Seq[(String, Int, Long, Long)]]
 
   /** The materialization root for a data dir — derived from a digest of
-    * the dir path, so two dirs materialized in one JVM never overwrite
-    * each other's levels (and [[graft.plans.RollupCatalog]], keyed by
-    * base, never serves one dir's queries from the other's files).
-    * Memoization is keyed on the path only: re-generating the data UNDER
-    * an already-materialized path within one JVM serves stale levels —
-    * call with a fresh dir (or new JVM) after rewriting inputs.
+    * the dir path plus the input's (mtime, length)
+    * ([[Dedup.freshDigest]]), so two dirs materialized in one JVM never
+    * overwrite each other's levels (and [[graft.plans.RollupCatalog]],
+    * keyed by base, never serves one dir's queries from the other's
+    * files), and re-generating the data under an already-materialized
+    * path yields a NEW root instead of serving stale levels.
     */
-  def rollupBase(dir: String): String =
-    s"${System.getProperty("java.io.tmpdir")}/graft_rollups_${Dedup.dirDigest(dir)}"
+  def rollupBase(s: SparkSession, dir: String): String =
+    s"${System.getProperty("java.io.tmpdir")}/graft_rollups_${Dedup.freshDigest(s, dir, "events.parquet")}"
 
   def createRollupTables(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    materialized.getOrElseUpdate(dir, {
-      materializeLevels(s, dir, rollupBase(dir), AggregationMethod.Average, 0.0)
+    val base = rollupBase(s, dir)
+    materialized.getOrElseUpdate(base, {
+      materializeLevels(s, dir, base, AggregationMethod.Average, 0.0)
     }).toDF("level", "spp", "rows", "day_partitions").orderBy("spp")
   }
 
@@ -149,7 +150,7 @@ object Materialize {
     if (!s.experimental.extraOptimizations.contains(graft.plans.RollupRewrite))
       s.experimental.extraOptimizations =
         s.experimental.extraOptimizations :+ graft.plans.RollupRewrite
-    val base = rollupBase(dir)
+    val base = rollupBase(s, dir)
     s.read.parquet(s"$base/points_300s")
       .groupBy(col("metric"), Buckets.alignTs(col("bucket_ts"), 3600).as("bucket_ts"))
       .agg(avg(col("value")).as("value"))

@@ -128,7 +128,7 @@ class PlanSpec extends AnyFunSuite {
     assert(!hasAggregate(served), "aggregate should have been rewritten away")
     // and the values are identical to reading the 1h table directly
     import org.apache.spark.sql.functions._
-    val base = Materialize.rollupBase(dir)
+    val base = Materialize.rollupBase(spark, dir)
     val direct = spark.read.parquet(s"$base/points_3600s")
       .select(col("metric"), col("bucket_ts"), round(col("value"), 6).as("value"))
       .orderBy("metric", "bucket_ts")
@@ -162,7 +162,7 @@ class PlanSpec extends AnyFunSuite {
   test("RollupRewrite leaves non-derivation-edge aggregates untouched") {
     import org.apache.spark.sql.functions._
     Materialize.rollupServe1h(spark, dir) // ensures catalog + rule active
-    val base = Materialize.rollupBase(dir)
+    val base = Materialize.rollupBase(spark, dir)
     // 1m → 1h skips the 5m derivation edge: avg-of-avg would be wrong,
     // so the rule must NOT fire and the plan keeps its Aggregate
     val skip = spark.read.parquet(s"$base/points_60s")
@@ -179,7 +179,7 @@ class PlanSpec extends AnyFunSuite {
   test("RollupRewrite fires through a metric filter and preserves it") {
     import org.apache.spark.sql.functions._
     Materialize.rollupServe1h(spark, dir) // ensures catalog + rule active
-    val base = Materialize.rollupBase(dir)
+    val base = Materialize.rollupBase(spark, dir)
     // the most common real fetch shape: ONE metric at a coarse resolution
     val q = spark.read.parquet(s"$base/points_300s")
       .filter(col("metric") === "click")
@@ -199,7 +199,7 @@ class PlanSpec extends AnyFunSuite {
   test("RollupRewrite does NOT fire through value or bucket_ts filters") {
     import org.apache.spark.sql.functions._
     Materialize.rollupServe1h(spark, dir)
-    val base = Materialize.rollupBase(dir)
+    val base = Materialize.rollupBase(spark, dir)
     // pre-aggregation row selection on value changes the aggregate
     val onValue = spark.read.parquet(s"$base/points_300s")
       .filter(col("value") > 0.5)

@@ -63,7 +63,11 @@ object Buckets {
     * `ts div 1e9` then yields exactly whisper's integer-second timestamp.
     */
   def points(spark: SparkSession, sfDir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // set-once guard: avoid rewriting session conf on every call (a
+    // surprise for shared sessions that watch conf-change events)
+    if (spark.conf.getOption("spark.sql.legacy.parquet.nanosAsLong")
+          .forall(_ != "true"))
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = spark.read.parquet(s"$sfDir/events.parquet")
     val tsS = raw.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType => expr("ts div 1000000000")

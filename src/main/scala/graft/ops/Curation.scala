@@ -190,6 +190,111 @@ object Curation {
           .otherwise(lit("test")).as("split"))
       .orderBy("doc_id")
 
+  // --------------------------------------------------- end-to-end curate
+
+  /** Quality gates for [[curate]] — chosen off the corpus quantiles so
+    * each gate keeps most-but-not-all documents (quality p25 ≈ 0.34,
+    * top-token-share p75 ≈ 0.11 on the synthetic corpus).
+    */
+  val CurateMinQuality = 0.35
+  val CurateMaxTopShare = 0.12
+
+  /** `curate`: the end-to-end curation decision — every corpus document
+    * with its independent gate flags (canonical near-dup survivor, no
+    * benchmark contamination, quality/repetition thresholds) and the
+    * final `keep` conjunction, plus its train/val/test split. This is
+    * the query a training-data build materializes as its manifest:
+    * `filter(keep = 1)` grouped by `split` IS the dataset.
+    *
+    * Composition of [[dedupCollapse]], [[decontaminate]],
+    * [[textRepetition]], [[TextAnalysis.textQuality]] and [[splitAssign]]
+    * — a star join on doc_id. Every input is itself doc_id-keyed and
+    * partial-aggregated, so at scale the star co-partitions on doc_id
+    * (one shuffle each side) and the gates compare values both engines
+    * computed and rounded identically upstream.
+    */
+  def curate(s: SparkSession, dir: String): DataFrame = {
+    val keepd = dedupCollapse(s, dir)
+      .select(col("doc_id"), col("keep").as("keep_dedup"))
+    val clean = decontaminate(s, dir)
+      .select(col("doc_id"),
+        (col("contaminated") === 0).cast("int").as("keep_clean"))
+    val rep = textRepetition(s, dir)
+      .select(col("doc_id"), col("n_tokens"), col("top_token_share"))
+    val qual = TextAnalysis.textQuality(s, dir)
+      .select(col("doc_id"), col("quality"))
+    val split = splitAssign(s, dir).select(col("doc_id"), col("split"))
+    clean // decontaminate already restricts to corpus docs (>= cut)
+      .join(keepd, "doc_id").join(rep, "doc_id")
+      .join(qual, "doc_id").join(split, "doc_id")
+      .withColumn("keep_quality",
+        (col("quality") >= CurateMinQuality &&
+          col("top_token_share") <= CurateMaxTopShare).cast("int"))
+      .withColumn("keep",
+        (col("keep_dedup") === 1 && col("keep_clean") === 1 &&
+          col("keep_quality") === 1).cast("int"))
+      .select("doc_id", "n_tokens", "split",
+        "keep_dedup", "keep_clean", "keep_quality", "keep")
+      .orderBy("doc_id")
+  }
+
+  /** Oracle: one WITH RECURSIVE chain reusing the cluster CTEs, plus the
+    * decontamination, repetition, quality and split CTEs, joined on
+    * doc_id — the same star the Spark side builds.
+    */
+  val curateSql: String =
+    s"""WITH RECURSIVE ${Dedup.clusterCtes},
+       |full_assign AS (
+       |  SELECT d.doc_id, coalesce(c.cluster_id, d.doc_id) AS cluster_id
+       |  FROM documents d LEFT JOIN comp c ON c.doc_id = d.doc_id),
+       |bench AS (
+       |  SELECT DISTINCT g FROM shingle_u WHERE doc_id < $BenchmarkDocs),
+       |hits AS (
+       |  SELECT u.doc_id, count(*) AS n_shared
+       |  FROM shingle_u u JOIN bench b ON u.g = b.g
+       |  WHERE u.doc_id >= $BenchmarkDocs GROUP BY 1),
+       |d AS (SELECT doc_id, $toksSql AS toks FROM documents),
+       |tf AS (
+       |  SELECT doc_id, t, count(*) AS c
+       |  FROM (SELECT doc_id, unnest(toks) AS t FROM d)
+       |  GROUP BY doc_id, t),
+       |rep AS (
+       |  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+       |         round(CAST(max(c) AS DOUBLE) / CAST(sum(c) AS BIGINT), 6)
+       |           AS top_token_share
+       |  FROM tf GROUP BY doc_id),
+       |qual AS (
+       |  SELECT doc_id,
+       |         round((len(list_distinct(toks)) / CAST(len(toks) AS DOUBLE)) *
+       |               (1 - len(list_filter(toks, t -> t = 'a' OR t = 'the')) /
+       |                    CAST(len(toks) AS DOUBLE)), 6) AS quality
+       |  FROM d),
+       |sb AS (
+       |  SELECT doc_id,
+       |         (strpos('0123456789abcdef', substr(h, 1, 1)) - 1) * 16 +
+       |         (strpos('0123456789abcdef', substr(h, 2, 1)) - 1) AS bucket
+       |  FROM (SELECT doc_id, md5('split|' || CAST(doc_id AS VARCHAR)) AS h
+       |        FROM documents))
+       |SELECT m.doc_id, rep.n_tokens,
+       |       CASE WHEN sb.bucket < $TrainCut THEN 'train'
+       |            WHEN sb.bucket < $ValCut THEN 'val'
+       |            ELSE 'test' END AS split,
+       |       CAST(m.doc_id = m.cluster_id AS INT) AS keep_dedup,
+       |       CAST(coalesce(h.n_shared, 0) = 0 AS INT) AS keep_clean,
+       |       CAST(qual.quality >= $CurateMinQuality AND
+       |            rep.top_token_share <= $CurateMaxTopShare AS INT)
+       |         AS keep_quality,
+       |       CAST(m.doc_id = m.cluster_id AND coalesce(h.n_shared, 0) = 0
+       |            AND qual.quality >= $CurateMinQuality
+       |            AND rep.top_token_share <= $CurateMaxTopShare AS INT) AS keep
+       |FROM full_assign m
+       |JOIN rep ON rep.doc_id = m.doc_id
+       |JOIN qual ON qual.doc_id = m.doc_id
+       |JOIN sb ON sb.doc_id = m.doc_id
+       |LEFT JOIN hits h ON h.doc_id = m.doc_id
+       |WHERE m.doc_id >= $BenchmarkDocs
+       |ORDER BY m.doc_id""".stripMargin
+
   val splitAssignSql: String =
     s"""WITH h AS (
        |  SELECT doc_id, md5('split|' || CAST(doc_id AS VARCHAR)) AS h

@@ -14,6 +14,7 @@ object ExtQueries {
     "dedup_embedding" -> (Dedup.dedupEmbedding _),
     "dedup_cluster" -> (Dedup.dedupCluster _),
     "sessionize" -> (PipelineOps.sessionize _),
+    "sessionize_scalable" -> (PipelineOps.sessionizeScalable _),
     "sample_stratified" -> (PipelineOps.sampleStratified _),
     "source_mix" -> (PipelineOps.sourceMix _),
     "text_pii_scrub" -> (PipelineOps.textPiiScrub _),
@@ -31,7 +32,8 @@ object ExtQueries {
     "dedup_collapse" -> (Curation.dedupCollapse _),
     "decontaminate" -> (Curation.decontaminate _),
     "text_repetition" -> (Curation.textRepetition _),
-    "split_assign" -> (Curation.splitAssign _)
+    "split_assign" -> (Curation.splitAssign _),
+    "curate" -> (Curation.curate _)
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -43,6 +45,9 @@ object ExtQueries {
     "dedup_embedding" -> Dedup.dedupEmbeddingSql,
     "dedup_cluster" -> Dedup.dedupClusterSql,
     "sessionize" -> PipelineOps.sessionizeSql,
+    // the two-pass skew-safe form must match the single-window form
+    // byte-for-byte — one oracle covers both
+    "sessionize_scalable" -> PipelineOps.sessionizeSql,
     "sample_stratified" -> PipelineOps.sampleStratifiedSql,
     "source_mix" -> PipelineOps.sourceMixSql,
     "text_pii_scrub" -> PipelineOps.textPiiScrubSql,
@@ -62,6 +67,7 @@ object ExtQueries {
     "dedup_collapse" -> Curation.dedupCollapseSql,
     "decontaminate" -> Curation.decontaminateSql,
     "text_repetition" -> Curation.textRepetitionSql,
-    "split_assign" -> Curation.splitAssignSql
+    "split_assign" -> Curation.splitAssignSql,
+    "curate" -> Curation.curateSql
   )
 }

@@ -59,6 +59,52 @@ object PipelineOps {
       .orderBy("metric", "session_start")
   }
 
+  /** `sessionize_scalable`: the skew-safe two-pass form of [[sessionize]]
+    * (the production variant X7's design note names). Pass 1 sessionizes
+    * WITHIN (metric, day) partitions — the hot metric that overwhelms a
+    * single `partitionBy(metric)` task is spread across its days. Pass 2
+    * stitches across day boundaries by re-running the identical gap rule
+    * on the LOCAL-SESSION frame (one row per local session, ordered by
+    * start): sessions chained by gaps ≤ [[SessionGapS]] collapse into
+    * one. Volume drops by the mean session size between passes, so the
+    * per-metric window in pass 2 sorts sessions, not events.
+    *
+    * Exactness: within a day pass 1 is plain sessionization; a global
+    * session crossing midnight is a chain of local sessions whose
+    * boundary gaps are ≤ the threshold (every intra-session event gap
+    * is), and pass 2's rule merges exactly those chains. Pinned equal to
+    * [[sessionize]] by test; shares its oracle SQL.
+    */
+  def sessionizeScalable(s: SparkSession, dir: String): DataFrame = {
+    val wd = Window.partitionBy("metric", "day").orderBy("ts_s")
+    val local = Buckets.points(s, dir)
+      .withColumn("day", expr("ts_s div 86400"))
+      .withColumn("prev_ts", lag(col("ts_s"), 1).over(wd))
+      .withColumn("new_sess",
+        when(col("prev_ts").isNull ||
+          col("ts_s") - col("prev_ts") > SessionGapS, 1L).otherwise(0L))
+      .withColumn("sid", sum(col("new_sess")).over(
+        wd.rangeBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("metric", "day", "sid")
+      .agg(min(col("ts_s")).as("s_start"), max(col("ts_s")).as("s_end"),
+        count(lit(1)).as("n"))
+    // pass 2 over session rows; s_start is unique per metric (two events
+    // with one ts land in one local session), so ROWS framing is exact
+    val wm = Window.partitionBy("metric").orderBy("s_start")
+    local
+      .withColumn("prev_end", lag(col("s_end"), 1).over(wm))
+      .withColumn("new_g",
+        when(col("prev_end").isNull ||
+          col("s_start") - col("prev_end") > SessionGapS, 1L).otherwise(0L))
+      .withColumn("gid", sum(col("new_g")).over(
+        wm.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("metric", "gid")
+      .agg(min(col("s_start")).as("session_start"), sum(col("n")).as("n_events"),
+        (max(col("s_end")) - min(col("s_start"))).as("duration_s"))
+      .select("metric", "session_start", "n_events", "duration_s")
+      .orderBy("metric", "session_start")
+  }
+
   val sessionizeSql: String =
     s"""WITH ${Buckets.pointsSql},
        |flagged AS (

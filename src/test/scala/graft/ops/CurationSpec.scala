@@ -73,6 +73,32 @@ class CurationSpec extends AnyFunSuite {
     assert(rows.forall { case (id, n, _, _) => q(id).toLong == n })
   }
 
+  test("curate composes its gates consistently and non-degenerately") {
+    val rows = Curation.curate(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getString(2), r.getInt(3), r.getInt(4),
+        r.getInt(5), r.getInt(6)))
+    val corpus = spark.read.parquet(s"$dir/documents.parquet")
+      .filter(s"doc_id >= ${Curation.BenchmarkDocs}").count()
+    assert(rows.length == corpus) // a decision for every corpus doc
+    // keep is exactly the conjunction of the three gates
+    assert(rows.forall { case (_, _, d, c, q, k) =>
+      k == (if (d == 1 && c == 1 && q == 1) 1 else 0)
+    })
+    // each gate and the conjunction is non-degenerate on this corpus
+    assert(rows.exists(_._6 == 1) && rows.exists(_._6 == 0))
+    assert(rows.exists(_._5 == 0), "quality gate drops nothing")
+    // gates agree with their source operators
+    val keepd = Curation.dedupCollapse(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getInt(3)).toMap
+    val clean = Curation.decontaminate(spark, dir).collect()
+      .map(r => r.getLong(0) -> (1 - r.getInt(2))).toMap
+    assert(rows.forall { case (id, _, d, c, _, _) =>
+      keepd(id) == d && clean(id) == c
+    })
+    // splits partition the kept set
+    assert(rows.map(_._2).toSet.subsetOf(Set("train", "val", "test")))
+  }
+
   test("split_assign partitions the corpus deterministically near 80/10/10") {
     val a = Curation.splitAssign(spark, dir).collect()
       .map(r => (r.getLong(0), r.getInt(1), r.getString(2)))

@@ -33,6 +33,12 @@ class PipelineOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("sessionize_scalable equals plain sessionize exactly") {
+    val plain = PipelineOps.sessionize(spark, dir).collect().map(_.toString)
+    val scal = PipelineOps.sessionizeScalable(spark, dir).collect().map(_.toString)
+    assert(plain.sameElements(scal))
+  }
+
   test("sample_stratified is deterministic and near the target rate") {
     val a = PipelineOps.sampleStratified(spark, dir).collect().map(_.getLong(0))
     val b = PipelineOps.sampleStratified(spark, dir).collect().map(_.getLong(0))

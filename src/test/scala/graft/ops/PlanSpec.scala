@@ -82,6 +82,13 @@ class PlanSpec extends AnyFunSuite {
       !p.contains("BroadcastNestedLoopJoin"), s"unbounded pair scan:\n$p")
   }
 
+  test("sessionize_scalable windows events by (metric, day), not metric alone") {
+    val p = plan(PipelineOps.sessionizeScalable(spark, dir))
+    // the event-level sort/window keys must include the day column —
+    // that is the skew spread; only the session-level pass keys by metric
+    assert(p.contains("day"), s"no day partitioning in event pass:\n$p")
+  }
+
   test("dedup_minhash never falls back to an all-pairs product") {
     // the underlying pipeline, not the materialized pair index the
     // public entry serves from

@@ -248,6 +248,7 @@ object CoreQueries {
     "scan_points" -> (scanPoints _),
     "fetch_range_filter" -> (fetchRangeFilter _),
     "fetch_dense_series" -> ((s, d) => Fetch.fetchDenseSeries(s, d)),
+    "fetch_many" -> ((s, d) => Fetch.fetchMany(s, d)),
     "agg_avg" -> aggQuery(AggregationMethod.Average) _,
     "agg_sum" -> aggQuery(AggregationMethod.Sum) _,
     "agg_last" -> aggQuery(AggregationMethod.Last) _,
@@ -271,6 +272,7 @@ object CoreQueries {
     "scan_points" -> scanPointsSql,
     "fetch_range_filter" -> fetchRangeFilterSql,
     "fetch_dense_series" -> Fetch.fetchDenseSeriesSql,
+    "fetch_many" -> Fetch.fetchManySql,
     "agg_avg" -> aggFamilySql(AggregationMethod.Average),
     "agg_sum" -> aggFamilySql(AggregationMethod.Sum),
     "agg_last" -> aggFamilySql(AggregationMethod.Last),

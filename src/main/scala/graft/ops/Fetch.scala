@@ -90,4 +90,50 @@ object Fetch {
        |FROM spine s LEFT JOIN agg a USING (bucket_ts)
        |ORDER BY s.bucket_ts""".stripMargin
   }
+
+  /** `fetch_many`: the batched multi-metric fetch ([[graft.WhisperTable
+    * .fetchMany]]'s shape as an oracle-checked key) — ONE query returns
+    * the dense series of EVERY metric in the window, instead of one
+    * driver round-trip per metric. The spine is (metrics × range
+    * buckets) — still bounded by the request, never by data volume — and
+    * broadcasts against the per-(metric, bucket) aggregate. This is the
+    * serving shape a 100 TB dashboard fan-out needs: metric count scales
+    * the spine linearly while the scan stays one pass.
+    */
+  def fetchMany(spark: SparkSession, sfDir: String): DataFrame = {
+    val fromI = Buckets.fetchInterval(Buckets.FromS, 60)
+    val untilI = Buckets.fetchInterval(Buckets.UntilS, 60)
+    val pts = Buckets.pointsInRange(spark, sfDir, fromI, untilI)
+    val metrics = pts.select(col("metric")).distinct()
+    val spine = spark.range(fromI, untilI, 60L).toDF("bucket_ts")
+      .crossJoin(metrics)
+    val agg = pts
+      .groupBy(col("metric"), Buckets.alignTs(col("ts_s"), 60).as("bucket_ts"))
+      .agg(round(avg(col("value")), 6).as("value"))
+    spine.join(agg, Seq("metric", "bucket_ts"), "left")
+      .select(col("metric"), col("bucket_ts"), col("value"))
+      .orderBy("metric", "bucket_ts")
+  }
+
+  val fetchManySql: String = {
+    val fromI = Buckets.fetchInterval(Buckets.FromS, 60)
+    val untilI = Buckets.fetchInterval(Buckets.UntilS, 60)
+    s"""WITH ${Buckets.pointsSql},
+       |mets AS (
+       |  SELECT DISTINCT metric FROM pts
+       |  WHERE ts_s >= $fromI AND ts_s < $untilI),
+       |agg AS (
+       |  SELECT metric, (ts_s // 60) * 60 AS bucket_ts,
+       |         round(avg(value), 6) AS value
+       |  FROM pts
+       |  WHERE ts_s >= $fromI AND ts_s < $untilI
+       |  GROUP BY 1, 2),
+       |spine AS (
+       |  SELECT m.metric, r.bucket_ts FROM mets m,
+       |    (SELECT CAST(range AS BIGINT) AS bucket_ts
+       |     FROM range($fromI, $untilI, 60)) r)
+       |SELECT s.metric, s.bucket_ts, a.value
+       |FROM spine s LEFT JOIN agg a USING (metric, bucket_ts)
+       |ORDER BY s.metric, s.bucket_ts""".stripMargin
+  }
 }

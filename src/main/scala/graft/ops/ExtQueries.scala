@@ -28,6 +28,7 @@ object ExtQueries {
     "text_quality" -> (TextAnalysis.textQuality _),
     "text_langid" -> (TextAnalysis.textLangid _),
     "text_token_count" -> (TextAnalysis.textTokenCount _),
+    "token_docfreq" -> (TextAnalysis.tokenDocfreq _),
     "doc_fingerprint" -> (TextAnalysis.docFingerprint _),
     "dedup_collapse" -> (Curation.dedupCollapse _),
     "decontaminate" -> (Curation.decontaminate _),
@@ -63,6 +64,7 @@ object ExtQueries {
     "text_quality" -> TextAnalysis.textQualitySql,
     "text_langid" -> TextAnalysis.textLangidSql,
     "text_token_count" -> TextAnalysis.textTokenCountSql,
+    "token_docfreq" -> TextAnalysis.tokenDocfreqSql,
     "doc_fingerprint" -> TextAnalysis.docFingerprintSql,
     "dedup_collapse" -> Curation.dedupCollapseSql,
     "decontaminate" -> Curation.decontaminateSql,

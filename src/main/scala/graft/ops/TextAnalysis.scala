@@ -163,6 +163,32 @@ object TextAnalysis {
        |       len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS re_tokens
        |FROM documents ORDER BY doc_id""".stripMargin
 
+  // ------------------------------------------------- document frequency
+
+  /** Rows kept in the `token_docfreq` index sample. */
+  val DocfreqTopK = 100
+
+  /** `token_docfreq`: the document-frequency index — per token, how many
+    * distinct documents contain it and its total occurrence count; top
+    * [[DocfreqTopK]] by df (token tie-break). This is the table
+    * stopword derivation and df-based filtering read from. Scale: one
+    * explode, one partial-aggregated `groupBy(token)` shuffle, then
+    * `TakeOrderedAndProject` (per-partition top-k, no global sort).
+    */
+  def tokenDocfreq(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .select(col("doc_id"), explode(expr(toksExpr)).as("t"))
+      .groupBy("t")
+      .agg(countDistinct(col("doc_id")).as("df"), count(lit(1)).as("tf"))
+      .select(col("t").as("token"), col("df"), col("tf"))
+      .orderBy(col("df").desc, col("token"))
+      .limit(DocfreqTopK)
+
+  val tokenDocfreqSql: String =
+    s"""SELECT t AS token, count(DISTINCT doc_id) AS df, count(*) AS tf
+       |FROM (SELECT doc_id, unnest($toksSql) AS t FROM documents)
+       |GROUP BY t ORDER BY df DESC, token LIMIT $DocfreqTopK""".stripMargin
+
   // ---------------------------------------------------------- fingerprints
 
   /** `doc_fingerprint`: rolling document fingerprint — MD5 of the full

@@ -22,11 +22,7 @@ object Bench {
     // codegen warm-up: run the hot plan SHAPES on tiny inputs so the
     // first query of each family doesn't absorb whole-stage-codegen
     // compilation (generated code is cached by source text, which
-    // depends on plan shape + schema, not on input size). collect(), not
-    // count(): count() over an Aggregate PRUNES the aggregate
-    // expressions, so a count()-ed warm-up never compiles the agg
-    // codegen and the first agg query (agg_avg, alphabetically first)
-    // absorbs it — the r2 bench's 0.6→1.7 s agg_avg regression.
+    // depends on plan shape + schema, not on input size).
     try {
       // the agg family, warmed with the REAL registered queries on the
       // smallest sibling scale factor: generated code is cached by

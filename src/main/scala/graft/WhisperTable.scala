@@ -150,8 +150,11 @@ final class WhisperTable private (
     val dir = new org.apache.hadoop.fs.Path(levelPath(r))
     val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
     if (!fs.exists(dir)) return
+    // SHORT_IDS mapping: Spark accepts short zone ids ("PST") for
+    // spark.sql.session.timeZone; bare ZoneId.of would throw on them
     val zone = java.time.ZoneId.of(
-      spark.conf.get("spark.sql.session.timeZone"))
+      spark.conf.get("spark.sql.session.timeZone"),
+      java.time.ZoneId.SHORT_IDS)
     for (st <- fs.listStatus(dir)
          if st.isDirectory && st.getPath.getName.startsWith("day=")) {
       val dayEndS = try {

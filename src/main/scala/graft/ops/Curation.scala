@@ -27,8 +27,8 @@ object Curation {
   private def docs(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(s"$dir/documents.parquet")
 
-  private val toksExpr = "split(lower(text), ' ')"
-  private val toksSql = "string_split(lower(text), ' ')"
+  private val toksExpr = Tokens.toksExpr
+  private val toksSql = Tokens.toksSql
 
   // --------------------------------------------------- dedup collapse
 
@@ -136,12 +136,16 @@ object Curation {
       max(col("c")).as("top_cnt"))
     val g3 = Dedup.shingleSetShared(s, dir)
       .groupBy("doc_id").agg(count(lit(1)).as("n3d"))
-    agg.join(g3, "doc_id")
+    // LEFT join: a doc under 3 tokens has no shingles and would vanish
+    // from the manifest on an inner join; its dup_3gram_frac is NULL
+    // (zero 3-gram slots), mirrored in the oracle SQL
+    agg.join(g3, Seq("doc_id"), "left")
       .select(col("doc_id"), col("n_tokens"),
         round(col("top_cnt").cast("double") / col("n_tokens"), 6)
           .as("top_token_share"),
-        round(lit(1.0) - col("n3d").cast("double") / (col("n_tokens") - 2), 6)
-          .as("dup_3gram_frac"))
+        when(col("n_tokens") >= 3,
+          round(lit(1.0) - coalesce(col("n3d"), lit(0L)).cast("double") /
+            (col("n_tokens") - 2), 6)).as("dup_3gram_frac"))
       .orderBy("doc_id")
   }
 
@@ -158,8 +162,10 @@ object Curation {
        |g3 AS (SELECT doc_id, count(*) AS n3d FROM shingle_u GROUP BY 1)
        |SELECT a.doc_id, a.n_tokens,
        |       round(CAST(top_cnt AS DOUBLE) / n_tokens, 6) AS top_token_share,
-       |       round(1 - CAST(n3d AS DOUBLE) / (n_tokens - 2), 6) AS dup_3gram_frac
-       |FROM agg a JOIN g3 USING (doc_id)
+       |       CASE WHEN n_tokens >= 3
+       |            THEN round(1 - CAST(coalesce(n3d, 0) AS DOUBLE) /
+       |                       (n_tokens - 2), 6) END AS dup_3gram_frac
+       |FROM agg a LEFT JOIN g3 USING (doc_id)
        |ORDER BY a.doc_id""".stripMargin
 
   // ------------------------------------------------- train/val/test split

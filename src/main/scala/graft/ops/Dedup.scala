@@ -31,8 +31,8 @@ object Dedup {
   /** `tokens` / 3-gram shingle expressions shared by the dedup family.
     * min tokens in testdata = 10, so `size(toks) - 2 >= 1` always.
     */
-  private val toksExpr = "split(lower(text), ' ')"
-  private val toksSql = "string_split(lower(text), ' ')"
+  private val toksExpr = Tokens.toksExpr
+  private val toksSql = Tokens.toksSql
 
   /** The shingle set as a materialized shared index: computed once per
     * (JVM, sfDir) and written to tmp parquet, then every dedup-family
@@ -66,10 +66,18 @@ object Dedup {
     } catch { case _: Throwable => "absent" }
     dirDigest(s"$dir|$file|$st")
   }
+  /** Per-process suffix for shared tmp roots: [[freshDigest]] is
+    * deterministic ACROSS processes, so two concurrent JVMs on the same
+    * data dir would otherwise resolve one tmp path and race
+    * overwrite-vs-read on it (the in-JVM TrieMap only serializes within
+    * one process). Cross-run reuse was never relied on — a fresh JVM
+    * recomputes its index anyway.
+    */
+  private[graft] val jvmTag: String = ProcessHandle.current().pid().toString
   private[graft] def shingleSetShared(s: SparkSession, dir: String): DataFrame = {
     val key = freshDigest(s, dir, "documents.parquet")
     val path = shingleCache.getOrElseUpdate(key, {
-      val p = s"${System.getProperty("java.io.tmpdir")}/graft_shingles_$key"
+      val p = s"${System.getProperty("java.io.tmpdir")}/graft_shingles_${key}_p$jvmTag"
       shingleSet(docs(s, dir)).write.mode("overwrite").parquet(p)
       p
     })
@@ -207,7 +215,7 @@ object Dedup {
   private[graft] def minhashPairsShared(s: SparkSession, dir: String): DataFrame = {
     val key = freshDigest(s, dir, "documents.parquet")
     val path = pairCache.getOrElseUpdate(key, {
-      val p = s"${System.getProperty("java.io.tmpdir")}/graft_minhash_pairs_$key"
+      val p = s"${System.getProperty("java.io.tmpdir")}/graft_minhash_pairs_${key}_p$jvmTag"
       minhashPairsImpl(s, dir).write.mode("overwrite").parquet(p)
       p
     })

@@ -77,7 +77,8 @@ object Materialize {
     * path yields a NEW root instead of serving stale levels.
     */
   def rollupBase(s: SparkSession, dir: String): String =
-    s"${System.getProperty("java.io.tmpdir")}/graft_rollups_${Dedup.freshDigest(s, dir, "events.parquet")}"
+    s"${System.getProperty("java.io.tmpdir")}/graft_rollups_" +
+      s"${Dedup.freshDigest(s, dir, "events.parquet")}_p${Dedup.jvmTag}"
 
   def createRollupTables(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._

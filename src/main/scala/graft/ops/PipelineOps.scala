@@ -16,8 +16,8 @@ object PipelineOps {
   private def docs(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(s"$dir/documents.parquet")
 
-  private val toksExpr = "split(lower(text), ' ')"
-  private val toksSql = "string_split(lower(text), ' ')"
+  private val toksExpr = Tokens.toksExpr
+  private val toksSql = Tokens.toksSql
 
   // ---------------------------------------------------------- sessionize
 

@@ -97,8 +97,11 @@ class PipelineOpsSpec extends AnyFunSuite {
     }
     val chains = (1L to 40L).sliding(2).map(s => (s(1), s.head)).toSeq // descending-order long chain
     val star = (2L to 30L).map(i => (100L + i, 100L)) // big star, hub = min
-    val revStar = (1L to 20L).map(i => (200L, 200L + i)) // hub = max, min is a leaf
-    val bridged = Seq((40L, 100L + 2), (200L, 1000L)) // merge everything + isolated pair
+    // hub 300 is the component MAXIMUM — the whole star must re-root onto
+    // leaf 280 (the min), the case small-star specifically exists for
+    val revStar = (1L to 20L).map(i => (300L, 300L - i))
+    // merge chains+star+revStar into one component, plus an isolated pair
+    val bridged = Seq((40L, 100L + 2), (39L, 285L), (200L, 1000L))
     for (g <- Seq(chains, star, revStar, chains ++ star ++ revStar ++ bridged)) {
       val got = Dedup.distributedCluster(g.toDF("doc_a", "doc_b"))
         .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap

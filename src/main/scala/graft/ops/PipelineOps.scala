@@ -39,9 +39,12 @@ object PipelineOps {
     * 100 TB; the production variant range-partitions on (metric, day)
     * and stitches sessions across day boundaries in a second pass.
     */
-  def sessionize(s: SparkSession, dir: String): DataFrame = {
+  def sessionize(s: SparkSession, dir: String): DataFrame =
+    sessionizeFrom(Buckets.points(s, dir))
+
+  private[graft] def sessionizeFrom(pts: DataFrame): DataFrame = {
     val w = Window.partitionBy("metric").orderBy("ts_s")
-    val flagged = Buckets.points(s, dir)
+    val flagged = pts
       .withColumn("prev_ts", lag(col("ts_s"), 1).over(w))
       .withColumn("new_sess",
         when(col("prev_ts").isNull ||
@@ -75,9 +78,12 @@ object PipelineOps {
     * is), and pass 2's rule merges exactly those chains. Pinned equal to
     * [[sessionize]] by test; shares its oracle SQL.
     */
-  def sessionizeScalable(s: SparkSession, dir: String): DataFrame = {
+  def sessionizeScalable(s: SparkSession, dir: String): DataFrame =
+    sessionizeScalableFrom(Buckets.points(s, dir))
+
+  private[graft] def sessionizeScalableFrom(pts: DataFrame): DataFrame = {
     val wd = Window.partitionBy("metric", "day").orderBy("ts_s")
-    val local = Buckets.points(s, dir)
+    val local = pts
       .withColumn("day", expr("ts_s div 86400"))
       .withColumn("prev_ts", lag(col("ts_s"), 1).over(wd))
       .withColumn("new_sess",

@@ -68,6 +68,23 @@ class SparkPropsSpec extends AnyFunSuite {
     }
   }
 
+  test("property: two-pass sessionize equals single-window sessionize") {
+    import spark.implicits._
+    val rng = new Random(31)
+    for (_ <- 1 to 3) {
+      // dense-ish timestamps over 3 days: sessions form, some cross
+      // midnight, some gaps exceed the threshold; plus exact-tie rows
+      val rows = (1 to 600).map { _ =>
+        (if (rng.nextBoolean()) "m" else "n",
+          rng.between(0L, 3L * 86400L), rng.between(-10.0, 10.0))
+      }
+      val pts = (rows ++ rows.take(20)).toDF("metric", "ts_s", "value")
+      val plain = PipelineOps.sessionizeFrom(pts).collect().map(_.toString)
+      val scal = PipelineOps.sessionizeScalableFrom(pts).collect().map(_.toString)
+      assert(plain.sameElements(scal))
+    }
+  }
+
   test("property: xff gate is monotone — raising xff never adds rows") {
     val rng = new Random(99)
     val lww = Ingest.lwwAlign(randomPts(rng, 400), 60)

@@ -29,6 +29,7 @@ object ExtQueries {
     "text_langid" -> (TextAnalysis.textLangid _),
     "text_token_count" -> (TextAnalysis.textTokenCount _),
     "token_docfreq" -> (TextAnalysis.tokenDocfreq _),
+    "token_len_quantiles" -> (TextAnalysis.tokenLenQuantiles _),
     "doc_fingerprint" -> (TextAnalysis.docFingerprint _),
     "dedup_collapse" -> (Curation.dedupCollapse _),
     "decontaminate" -> (Curation.decontaminate _),
@@ -65,6 +66,7 @@ object ExtQueries {
     "text_langid" -> TextAnalysis.textLangidSql,
     "text_token_count" -> TextAnalysis.textTokenCountSql,
     "token_docfreq" -> TextAnalysis.tokenDocfreqSql,
+    "token_len_quantiles" -> TextAnalysis.tokenLenQuantilesSql,
     "doc_fingerprint" -> TextAnalysis.docFingerprintSql,
     "dedup_collapse" -> Curation.dedupCollapseSql,
     "decontaminate" -> Curation.decontaminateSql,

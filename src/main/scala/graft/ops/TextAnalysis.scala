@@ -163,6 +163,35 @@ object TextAnalysis {
        |       len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS re_tokens
        |FROM documents ORDER BY doc_id""".stripMargin
 
+  // -------------------------------------------- length distribution
+
+  /** `token_len_quantiles`: per-language document-length distribution —
+    * exact interpolated p50/p90/p99 of the token count (the diagnostic a
+    * curation pass reads before setting length filters). Exact
+    * `percentile` rather than `percentile_approx`: approximate sketches
+    * are engine-specific and would never cross-check; the exact form is
+    * one partial-aggregated shuffle keyed by lang here, and at 100 TB
+    * you run it on [[PipelineOps.sampleStratified]]'s sample (where
+    * exactness over the sample still beats an un-checkable sketch).
+    */
+  def tokenLenQuantiles(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir).withColumn("n", expr(s"size($toksExpr)"))
+      .groupBy("lang")
+      .agg(
+        expr("round(percentile(n, 0.5D), 6)").as("p50"),
+        expr("round(percentile(n, 0.9D), 6)").as("p90"),
+        expr("round(percentile(n, 0.99D), 6)").as("p99"),
+        count(lit(1)).as("n_docs"))
+      .orderBy("lang")
+
+  val tokenLenQuantilesSql: String =
+    s"""SELECT lang,
+       |       round(quantile_cont(len($toksSql), 0.5), 6) AS p50,
+       |       round(quantile_cont(len($toksSql), 0.9), 6) AS p90,
+       |       round(quantile_cont(len($toksSql), 0.99), 6) AS p99,
+       |       count(*) AS n_docs
+       |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
+
   // ------------------------------------------------- document frequency
 
   /** Rows kept in the `token_docfreq` index sample. */

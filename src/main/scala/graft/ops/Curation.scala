@@ -212,12 +212,18 @@ object Curation {
     * the query a training-data build materializes as its manifest:
     * `filter(keep = 1)` grouped by `split` IS the dataset.
     *
-    * Composition of [[dedupCollapse]], [[decontaminate]],
-    * [[textRepetition]], [[TextAnalysis.textQuality]] and [[splitAssign]]
-    * — a star join on doc_id. Every input is itself doc_id-keyed and
-    * partial-aggregated, so at scale the star co-partitions on doc_id
-    * (one shuffle each side) and the gates compare values both engines
-    * computed and rounded identically upstream.
+    * Composition of [[dedupCollapse]], [[decontaminate]], the
+    * repetition/quality features and [[splitAssign]] — a star join on
+    * doc_id. Every input is doc_id-keyed and partial-aggregated, so at
+    * scale the star co-partitions on doc_id (one shuffle each side) and
+    * the gates compare values both engines computed and rounded
+    * identically upstream. The repetition AND quality features both
+    * derive from ONE exploded token-frequency pass (distinct count,
+    * stopword occurrences and top multiplicity are all aggregates of
+    * (doc, token) counts), so the corpus TEXT is scanned once here —
+    * [[textRepetition]]/[[TextAnalysis.textQuality]] stay the
+    * standalone per-feature ops and their oracles pin the identical
+    * values via the hash compare.
     */
   def curate(s: SparkSession, dir: String): DataFrame = {
     val keepd = dedupCollapse(s, dir)
@@ -225,14 +231,28 @@ object Curation {
     val clean = decontaminate(s, dir)
       .select(col("doc_id"),
         (col("contaminated") === 0).cast("int").as("keep_clean"))
-    val rep = textRepetition(s, dir)
-      .select(col("doc_id"), col("n_tokens"), col("top_token_share"))
-    val qual = TextAnalysis.textQuality(s, dir)
-      .select(col("doc_id"), col("quality"))
+    // one text scan: (doc, token) counts feed repetition AND quality.
+    // Expression shapes mirror textQuality/textRepetition exactly (same
+    // integer inputs, same single IEEE division and multiply order), so
+    // the rounded features are bit-identical to the standalone ops'.
+    val tf = docs(s, dir)
+      .select(col("doc_id"), explode(expr(toksExpr)).as("t"))
+      .groupBy("doc_id", "t").agg(count(lit(1)).as("c"))
+    val feats = tf.groupBy("doc_id").agg(
+        sum(col("c")).as("n_tokens"),
+        max(col("c")).as("top_cnt"),
+        count(lit(1)).as("n_distinct"),
+        sum(when(col("t") === "a" || col("t") === "the", col("c"))
+          .otherwise(0L)).as("stop_cnt"))
+      .select(col("doc_id"), col("n_tokens"),
+        round(col("top_cnt").cast("double") / col("n_tokens"), 6)
+          .as("top_token_share"),
+        round((col("n_distinct").cast("double") / col("n_tokens")) *
+          (lit(1.0) - col("stop_cnt").cast("double") / col("n_tokens")), 6)
+          .as("quality"))
     val split = splitAssign(s, dir).select(col("doc_id"), col("split"))
     clean // decontaminate already restricts to corpus docs (>= cut)
-      .join(keepd, "doc_id").join(rep, "doc_id")
-      .join(qual, "doc_id").join(split, "doc_id")
+      .join(keepd, "doc_id").join(feats, "doc_id").join(split, "doc_id")
       .withColumn("keep_quality",
         (col("quality") >= CurateMinQuality &&
           col("top_token_share") <= CurateMaxTopShare).cast("int"))

@@ -75,7 +75,21 @@ object ExplainDump {
     "dedup_embedding" ->
       ("Exact pair scan as a tiled equi-join: the broadcast tile index " +
         "bounds each task to one (block_a, block_b) tile — no " +
-        "CartesianProduct, no unbounded nested loop."))
+        "CartesianProduct, no unbounded nested loop."),
+    "curate" ->
+      ("The end-to-end manifest: ONE exploded token-frequency pass " +
+        "feeds both repetition and quality gates (one corpus-text " +
+        "scan), star-joined on doc_id with the cluster assignment, the " +
+        "broadcast-benchmark contamination flags and the map-side " +
+        "split."),
+    "sessionize_scalable" ->
+      ("Two-pass skew-safe sessionization: the event-level window keys " +
+        "by (metric, day) — the hot metric spreads across days — and " +
+        "only the tiny local-session frame windows by metric alone."),
+    "fetch_many" ->
+      ("Batched multi-metric fetch: the (metrics × buckets) spine " +
+        "broadcasts against one per-(metric, bucket) aggregate — one " +
+        "scan serves every metric's dense series."))
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.lift(0).getOrElse("/root/testdata/sf0.001")

@@ -220,7 +220,11 @@ object Curation {
     * identically upstream. The repetition AND quality features both
     * derive from ONE exploded token-frequency pass (distinct count,
     * stopword occurrences and top multiplicity are all aggregates of
-    * (doc, token) counts), so the corpus TEXT is scanned once here —
+    * (doc, token) counts) — one text scan where the standalone ops
+    * would take two. The dedup/contamination gates read text through
+    * the separately-materialized shared shingle and pair indexes, so
+    * end-to-end the corpus text is read once for features plus once
+    * for the (amortized, reusable) indexes.
     * [[textRepetition]]/[[TextAnalysis.textQuality]] stay the
     * standalone per-feature ops and their oracles pin the identical
     * values via the hash compare.
@@ -242,7 +246,7 @@ object Curation {
         sum(col("c")).as("n_tokens"),
         max(col("c")).as("top_cnt"),
         count(lit(1)).as("n_distinct"),
-        sum(when(col("t") === "a" || col("t") === "the", col("c"))
+        sum(when(Tokens.stopTokens.map(col("t") === _).reduce(_ || _), col("c"))
           .otherwise(0L)).as("stop_cnt"))
       .select(col("doc_id"), col("n_tokens"),
         round(col("top_cnt").cast("double") / col("n_tokens"), 6)
@@ -292,7 +296,7 @@ object Curation {
        |qual AS (
        |  SELECT doc_id,
        |         round((len(list_distinct(toks)) / CAST(len(toks) AS DOUBLE)) *
-       |               (1 - len(list_filter(toks, t -> t = 'a' OR t = 'the')) /
+       |               (1 - len(list_filter(toks, t -> ${Tokens.stopPred("t")})) /
        |                    CAST(len(toks) AS DOUBLE)), 6) AS quality
        |  FROM d),
        |sb AS (

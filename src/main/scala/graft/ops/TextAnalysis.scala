@@ -70,12 +70,12 @@ object TextAnalysis {
         col("doc_id"),
         size(col("toks")).as("n_tokens"),
         round(expr("size(array_distinct(toks)) / CAST(size(toks) AS DOUBLE)"), 6).as("ttr"),
-        round(expr("size(filter(toks, t -> t = 'a' OR t = 'the')) / CAST(size(toks) AS DOUBLE)"), 6)
+        round(expr(s"size(filter(toks, t -> ${Tokens.stopPred("t")})) / CAST(size(toks) AS DOUBLE)"), 6)
           .as("stop_ratio"),
         round(expr("aggregate(toks, 0, (acc, t) -> acc + length(t)) / CAST(size(toks) AS DOUBLE)"), 6)
           .as("avg_token_len"),
         round(expr("(size(array_distinct(toks)) / CAST(size(toks) AS DOUBLE)) * " +
-          "(1 - size(filter(toks, t -> t = 'a' OR t = 'the')) / CAST(size(toks) AS DOUBLE))"), 6)
+          s"(1 - size(filter(toks, t -> ${Tokens.stopPred("t")})) / CAST(size(toks) AS DOUBLE))"), 6)
           .as("quality"))
       .orderBy("doc_id")
 
@@ -83,10 +83,10 @@ object TextAnalysis {
     s"""WITH d AS (SELECT doc_id, $toksSql AS toks FROM documents)
        |SELECT doc_id, len(toks) AS n_tokens,
        |       round(len(list_distinct(toks)) / CAST(len(toks) AS DOUBLE), 6) AS ttr,
-       |       round(len(list_filter(toks, t -> t = 'a' OR t = 'the')) / CAST(len(toks) AS DOUBLE), 6) AS stop_ratio,
+       |       round(len(list_filter(toks, t -> ${Tokens.stopPred("t")})) / CAST(len(toks) AS DOUBLE), 6) AS stop_ratio,
        |       round(list_sum(list_transform(toks, t -> length(t))) / CAST(len(toks) AS DOUBLE), 6) AS avg_token_len,
        |       round((len(list_distinct(toks)) / CAST(len(toks) AS DOUBLE)) *
-       |             (1 - len(list_filter(toks, t -> t = 'a' OR t = 'the')) / CAST(len(toks) AS DOUBLE)), 6) AS quality
+       |             (1 - len(list_filter(toks, t -> ${Tokens.stopPred("t")})) / CAST(len(toks) AS DOUBLE)), 6) AS quality
        |FROM d ORDER BY doc_id""".stripMargin
 
   // --------------------------------------------------------- language ID

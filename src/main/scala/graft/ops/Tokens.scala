@@ -9,4 +9,14 @@ package graft.ops
 private[ops] object Tokens {
   val toksExpr = "split(lower(text), ' ')"
   val toksSql = "string_split(lower(text), ' ')"
+
+  /** Stopword set behind the quality score — shared by
+    * [[TextAnalysis.textQuality]], [[Curation.curate]]'s folded features
+    * and both oracles, so the gate can never drift from the feature op.
+    */
+  val stopTokens: Seq[String] = Seq("a", "the")
+
+  /** `t = 'a' OR t = 'the'` — valid in both Spark SQL and DuckDB. */
+  def stopPred(t: String): String =
+    stopTokens.map(w => s"$t = '$w'").mkString(" OR ")
 }

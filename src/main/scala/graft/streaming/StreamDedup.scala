@@ -17,13 +17,16 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * canonical id attached, so a downstream sink can either drop dups or
   * log the lineage.
   *
-  * Scale notes (100 TB firehose): state is one (16-byte hash → long)
-  * entry per DISTINCT document ever seen — the minimum any exact dedup
-  * must remember — hash-partitioned across executors by the group key;
-  * arrivals shuffle once by hash (the same 16-byte-key shuffle as the
-  * batch op). Spark snapshots state in the checkpoint, so the dedup
-  * decision is exactly-once across restarts. No timeout: an exact-dedup
-  * horizon is a business decision — pass a TTL via
+  * Scale notes (100 TB firehose): state is one (hash-key → long) entry
+  * per DISTINCT document ever seen — the minimum any exact dedup must
+  * remember — hash-partitioned across executors by the group key;
+  * arrivals shuffle once by that key. The key here is the 32-hex md5
+  * STRING (~32 B); a production deployment stores `unhex(text_hash)` —
+  * 16-byte binary — to halve state and shuffle width, an
+  * encoding-only change to [[DocArrival]]. Spark snapshots state in
+  * the checkpoint, so the dedup decision is exactly-once across
+  * restarts. No timeout: an exact-dedup horizon is a business
+  * decision — pass a TTL via
   * [[GroupStateTimeout.ProcessingTimeTimeout]] in a bounded variant.
   */
 object StreamDedup {
@@ -41,17 +44,25 @@ object StreamDedup {
       hash: String,
       arrivals: Iterator[DocArrival],
       state: GroupState[Long]): Iterator[DedupDecision] = {
-    // deterministic within the batch: the smallest unseen id wins,
-    // exactly the min(doc_id) winner the batch operator picks
-    val batch = arrivals.toSeq.sortBy(_.doc_id)
-    if (batch.isEmpty) return Iterator.empty
-    val seenBefore = state.exists
-    val canonical =
-      if (seenBefore) state.get
-      else { state.update(batch.head.doc_id); batch.head.doc_id }
-    batch.iterator.map(d =>
-      DedupDecision(d.doc_id, hash, !seenBefore && d.doc_id == canonical,
-        canonical))
+    if (state.exists) {
+      // known hash: every arrival is a dup — stream the (possibly huge,
+      // skewed) group one-pass with no buffering and no sort
+      val canonical = state.get
+      arrivals.map(d => DedupDecision(d.doc_id, hash, false, canonical))
+    } else {
+      // unseen hash: the smallest id in the batch wins — exactly the
+      // min(doc_id) winner the batch operator picks. One O(n) min pass
+      // (no sort), and EXACTLY ONE is_first even if an at-least-once
+      // source delivered the winning (doc_id, hash) twice in the batch.
+      val batch = arrivals.toSeq
+      if (batch.isEmpty) return Iterator.empty
+      val canonical = batch.iterator.map(_.doc_id).min
+      state.update(canonical)
+      val iMin = batch.indexWhere(_.doc_id == canonical)
+      batch.iterator.zipWithIndex.map { case (d, i) =>
+        DedupDecision(d.doc_id, hash, i == iMin, canonical)
+      }
+    }
   }
 
   /** Tag every arrival with its dedup decision (Append mode). */

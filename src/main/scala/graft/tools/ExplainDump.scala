@@ -78,10 +78,11 @@ object ExplainDump {
         "CartesianProduct, no unbounded nested loop."),
     "curate" ->
       ("The end-to-end manifest: ONE exploded token-frequency pass " +
-        "feeds both repetition and quality gates (one corpus-text " +
-        "scan), star-joined on doc_id with the cluster assignment, the " +
-        "broadcast-benchmark contamination flags and the map-side " +
-        "split."),
+        "feeds both repetition and quality gates (one text scan where " +
+        "the standalone ops take two), star-joined on doc_id with the " +
+        "cluster assignment and contamination flags (each served from " +
+        "the shared materialized shingle/pair indexes) and the " +
+        "map-side split."),
     "sessionize_scalable" ->
       ("Two-pass skew-safe sessionization: the event-level window keys " +
         "by (metric, day) — the hot metric spreads across days — and " +

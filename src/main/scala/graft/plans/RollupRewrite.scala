@@ -257,9 +257,13 @@ object RollupRewrite extends Rule[LogicalPlan] {
       val Seq(sMetric, sBucket, sValue) = scan.output
       // re-anchor collected metric filters onto the substituted scan's
       // metric attribute and keep them above it (they still prune —
-      // Catalyst pushes them into the coarser parquet scan)
+      // Catalyst pushes them into the coarser parquet scan). Rebind ONLY
+      // the metric attribute: the guard above restricts references to
+      // 'metric' today, but if that guard is ever relaxed (e.g. aligned
+      // bucket_ts ranges) an unexpected reference must fail analysis
+      // visibly, not silently rebind to the wrong column
       val filtered = filters
-        .map(_.transformUp { case a: Attribute => sMetric })
+        .map(_.transformUp { case a: Attribute if a.name == "metric" => sMetric })
         .reduceOption(And)
         .map(Filter(_, scan)).getOrElse(scan)
       val projected = mapped.map {

@@ -260,8 +260,9 @@ object RollupRewrite extends Rule[LogicalPlan] {
       // Catalyst pushes them into the coarser parquet scan). Rebind ONLY
       // the metric attribute: the guard above restricts references to
       // 'metric' today, but if that guard is ever relaxed (e.g. aligned
-      // bucket_ts ranges) an unexpected reference must fail analysis
-      // visibly, not silently rebind to the wrong column
+      // bucket_ts ranges) an unexpected reference must fail loudly as an
+      // unbound attribute at physical planning/execution (this rule runs
+      // post-analysis), not silently rebind to the wrong column
       val filtered = filters
         .map(_.transformUp { case a: Attribute if a.name == "metric" => sMetric })
         .reduceOption(And)

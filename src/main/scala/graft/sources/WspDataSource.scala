@@ -1,0 +1,283 @@
+package graft.sources
+
+import java.util.{Map => JMap}
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.sources.{DataSourceRegister, EqualTo, Filter, GreaterThan, GreaterThanOrEqual, In, LessThan, LessThanOrEqual}
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+import org.apache.spark.util.SerializableConfiguration
+
+/** `spark.read.format("wsp")` — a DataSource V2 batch reader for trees of
+  * whisper `.wsp` files, the reference's on-disk format (SURVEY.md §2.1
+  * S1: `Open`/`readHeader`). A go-whisper/graphite user points this at
+  * their existing storage directory and gets the engine's relational
+  * view with NO conversion step:
+  *
+  * {{{
+  * spark.read.format("wsp").load("/var/lib/carbon/whisper/servers")
+  *   // => metric | archive | spp | ts_s | value
+  * }}}
+  *
+  * `metric` is the file's base name (whisper is file-per-series; the
+  * directory tree IS the metric namespace — `a/b/c.wsp` → `a.b.c`),
+  * `archive` the 0-based level index, `spp` that level's resolution,
+  * `ts_s`/`value` the stored point.
+  *
+  * Scale design — a production whisper tree is millions of SMALL files
+  * (file size is fixed by each series' retention config), the classic
+  * many-small-files source:
+  *  - files are bin-packed into input partitions up to
+  *    `spark.sql.files.maxPartitionBytes`, so task count tracks data
+  *    volume, not file count;
+  *  - `metric` predicates (`EqualTo`/`In`) push down to FILE PRUNING at
+  *    planning time — a one-series query opens one file, whisper-`Open`
+  *    style, regardless of tree size;
+  *  - `ts_s` range predicates push into the slot decoder (rows outside
+  *    the range are never materialized — and the range filter is exactly
+  *    the reference's F2 staleness semantics, which is only defined
+  *    relative to a requested range);
+  *  - column pruning is honored (a `count(*)` decodes no strings).
+  *
+  * Pushed `metric`/`ts_s` filters are absorbed exactly (not re-evaluated
+  * above the scan); everything else stays in Catalyst.
+  */
+final class WspDataSource extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "wsp"
+  override def supportsExternalMetadata(): Boolean = false
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType = WspTable.Schema
+  override def getTable(
+      schema: StructType, partitioning: Array[Transform], properties: JMap[String, String]): Table =
+    new WspTable(WspTable.rootPaths(properties))
+}
+
+object WspTable {
+  /** Relational view of a `.wsp` tree. `ts_s` keeps SURVEY §1.3's
+    * epoch-seconds BIGINT convention — whisper's native representation. */
+  val Schema: StructType = StructType(Seq(
+    StructField("metric", StringType, nullable = false),
+    StructField("archive", IntegerType, nullable = false),
+    StructField("spp", IntegerType, nullable = false),
+    StructField("ts_s", LongType, nullable = false),
+    StructField("value", DoubleType, nullable = false)))
+
+  /** `load(p1, p2, …)` arrives as a JSON array under "paths", a single
+    * `load(p)` as "path" — accept both. */
+  def rootPaths(properties: JMap[String, String]): Seq[String] = {
+    val multi = Option(properties.get("paths")).map { json =>
+      import org.json4s._
+      import org.json4s.jackson.JsonMethods
+      implicit val formats: Formats = DefaultFormats
+      JsonMethods.parse(json).extract[Seq[String]]
+    }.getOrElse(Nil)
+    val single = Option(properties.get("path")).toSeq
+    val roots = (multi ++ single).distinct
+    require(roots.nonEmpty, "wsp source requires a path: spark.read.format(\"wsp\").load(dir)")
+    roots
+  }
+
+  /** Metric name for a file inside a root: the relative path with
+    * separators → dots and `.wsp` stripped (graphite's tree↔name rule);
+    * files passed directly (root IS the file) use their base name.
+    */
+  def metricFor(root: org.apache.hadoop.fs.Path, file: org.apache.hadoop.fs.Path): String = {
+    val rootUri = root.toUri.getPath.stripSuffix("/")
+    val fileUri = file.toUri.getPath
+    val rel =
+      if (fileUri != rootUri && fileUri.startsWith(rootUri + "/"))
+        fileUri.drop(rootUri.length + 1)
+      else file.getName
+    rel.stripSuffix(".wsp").replace('/', '.')
+  }
+}
+
+final class WspTable(roots: Seq[String]) extends Table with SupportsRead {
+  override def name(): String = s"wsp:${roots.mkString(",")}"
+  override def schema(): StructType = WspTable.Schema
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new WspScanBuilder(roots)
+}
+
+final class WspScanBuilder(roots: Seq[String])
+    extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+
+  private var pushed: Array[Filter] = Array.empty
+  private var required: StructType = WspTable.Schema
+
+  // metric ∈ metrics (None = unconstrained) — applied as FILE pruning
+  private var metrics: Option[Set[String]] = None
+  // ts_s ∈ [lo, hi] — applied inside the slot decoder
+  private var tsLo: Long = Long.MinValue
+  private var tsHi: Long = Long.MaxValue
+
+  private def intersect(vs: Set[String]): Unit =
+    metrics = Some(metrics.fold(vs)(_ intersect vs))
+
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    val (supported, residual) = filters.partition {
+      case EqualTo("metric", _: String) | In("metric", _) => true
+      case EqualTo("ts_s", _: Long) => true
+      case GreaterThan("ts_s", _: Long) | GreaterThanOrEqual("ts_s", _: Long) => true
+      case LessThan("ts_s", _: Long) | LessThanOrEqual("ts_s", _: Long) => true
+      case _ => false
+    }
+    supported.foreach {
+      case EqualTo("metric", v: String) => intersect(Set(v))
+      case In("metric", vs) => intersect(vs.collect { case s: String => s }.toSet)
+      case EqualTo("ts_s", v: Long) =>
+        tsLo = math.max(tsLo, v); tsHi = math.min(tsHi, v)
+      case GreaterThan("ts_s", v: Long) => tsLo = math.max(tsLo, v + 1)
+      case GreaterThanOrEqual("ts_s", v: Long) => tsLo = math.max(tsLo, v)
+      case LessThan("ts_s", v: Long) => tsHi = math.min(tsHi, v - 1)
+      case LessThanOrEqual("ts_s", v: Long) => tsHi = math.min(tsHi, v)
+      case _ => ()
+    }
+    pushed = supported
+    residual // absorbed exactly: supported filters are not re-evaluated
+  }
+  override def pushedFilters(): Array[Filter] = pushed
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+
+  override def build(): Scan = {
+    val spark = SparkSession.active
+    new WspScan(roots, metrics, tsLo, tsHi, required,
+      new SerializableConfiguration(spark.sessionState.newHadoopConf()),
+      spark.sessionState.conf.filesMaxPartitionBytes)
+  }
+}
+
+/** One planned slice of files (path, length, metric). */
+final case class WspInputPartition(files: Seq[(String, Long, String)]) extends InputPartition
+
+final class WspScan(
+    roots: Seq[String],
+    metrics: Option[Set[String]],
+    tsLo: Long,
+    tsHi: Long,
+    required: StructType,
+    conf: SerializableConfiguration,
+    maxPartitionBytes: Long) extends Scan with Batch {
+
+  override def readSchema(): StructType = required
+  override def toBatch: Batch = this
+  override def description(): String = {
+    val m = metrics.fold("*")(_.mkString(","))
+    s"wsp ${roots.mkString(",")} metric=$m ts_s=[$tsLo,$tsHi]"
+  }
+
+  /** Every selected `.wsp` file with its size and derived metric name —
+    * metric pruning happens HERE, before any byte is read. */
+  private[sources] def listFiles(): Seq[(String, Long, String)] =
+    roots.flatMap { r =>
+      val root = new org.apache.hadoop.fs.Path(r)
+      val fs = root.getFileSystem(conf.value)
+      val qualified = fs.makeQualified(root)
+      val it = fs.listFiles(qualified, true)
+      val out = Seq.newBuilder[(String, Long, String)]
+      while (it.hasNext) {
+        val st = it.next()
+        if (st.isFile && st.getPath.getName.endsWith(".wsp")) {
+          val metric = WspTable.metricFor(qualified, st.getPath)
+          if (metrics.forall(_.contains(metric)))
+            out += ((st.getPath.toString, st.getLen, metric))
+        }
+      }
+      out.result()
+    }
+
+  /** Greedy size-descending bin-pack into ≤ maxPartitionBytes bins —
+    * task count tracks bytes, not file count (millions of small `.wsp`
+    * files coalesce; one giant file still gets its own task).
+    */
+  override def planInputPartitions(): Array[InputPartition] = {
+    val files = listFiles().sortBy(-_._2)
+    val bins = scala.collection.mutable.ArrayBuffer.empty[
+      (scala.collection.mutable.ArrayBuffer[(String, Long, String)], Long)]
+    files.foreach { f =>
+      bins.indexWhere(_._2 + f._2 <= maxPartitionBytes) match {
+        case -1 =>
+          bins += ((scala.collection.mutable.ArrayBuffer(f), f._2))
+        case i =>
+          bins(i)._1 += f
+          bins(i) = (bins(i)._1, bins(i)._2 + f._2)
+      }
+    }
+    bins.map(b => WspInputPartition(b._1.toSeq): InputPartition).toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new WspReaderFactory(required, tsLo, tsHi, conf)
+}
+
+final class WspReaderFactory(
+    required: StructType,
+    tsLo: Long,
+    tsHi: Long,
+    conf: SerializableConfiguration) extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
+    new WspPartitionReader(
+      partition.asInstanceOf[WspInputPartition], required, tsLo, tsHi, conf)
+}
+
+/** Decodes each file of the partition in turn. One file image is held at
+  * a time — bounded by the file's retention config (whisper pre-allocates
+  * the full ring; the format has no streaming-unfriendly surprises, the
+  * image IS the ring).
+  */
+final class WspPartitionReader(
+    partition: WspInputPartition,
+    required: StructType,
+    tsLo: Long,
+    tsHi: Long,
+    conf: SerializableConfiguration) extends PartitionReader[InternalRow] {
+
+  private val files = partition.files.iterator
+  private var points: Iterator[WspPoint] = Iterator.empty
+  private var metricU8: UTF8String = _
+  private var current: WspPoint = _
+
+  // column extractors resolved once against the pruned schema
+  private val getters: Array[WspPoint => Any] = required.fields.map { f =>
+    f.name match {
+      case "metric" => (_: WspPoint) => metricU8
+      case "archive" => (p: WspPoint) => p.archive
+      case "spp" => (p: WspPoint) => p.spp
+      case "ts_s" => (p: WspPoint) => p.tsS
+      case "value" => (p: WspPoint) => p.value
+      case other => throw new IllegalArgumentException(s"unknown wsp column $other")
+    }
+  }
+
+  private def nextFile(): Boolean = {
+    if (!files.hasNext) return false
+    val (path, len, metric) = files.next()
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(conf.value)
+    val bytes = new Array[Byte](len.toInt)
+    val in = fs.open(p)
+    try in.readFully(0, bytes) finally in.close()
+    metricU8 = UTF8String.fromString(metric)
+    points = WspCodec.decodePoints(bytes).filter(pt => pt.tsS >= tsLo && pt.tsS <= tsHi)
+    true
+  }
+
+  override def next(): Boolean = {
+    while (!points.hasNext) if (!nextFile()) return false
+    current = points.next()
+    true
+  }
+
+  override def get(): InternalRow =
+    InternalRow.fromSeq(getters.toIndexedSeq.map(_(current)))
+
+  override def close(): Unit = ()
+}

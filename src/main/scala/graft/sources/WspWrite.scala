@@ -1,0 +1,77 @@
+package graft.sources
+
+import graft.model.WhisperSchema
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.util.SerializableConfiguration
+
+/** Export a points DataFrame as a tree of `.wsp` files — one file per
+  * metric, whisper's file-per-series layout (reference: whisper.go →
+  * `Create` + `UpdateMany`; SURVEY.md §1.1). The reverse migration path
+  * of [[WspDataSource]]: results computed here can be handed back to a
+  * stock graphite/go-whisper stack.
+  *
+  * Scale shape: `groupByKey(metric).mapGroups` — one shuffle keyed by
+  * metric, then each executor writes its metrics' files in parallel
+  * through the Hadoop `FileSystem` API (`file:`/`hdfs:`/`s3a:` all
+  * work; the driver never sees a point). Memory per task is one file
+  * image (a pure function of the retention config — whisper
+  * pre-allocates the full ring), not the input size: points beyond a
+  * ring's capacity overwrite their slot, exactly like the reference.
+  */
+object WspWrite {
+
+  /** Write `points(metric, archive, bucket_ts, value)` under
+    * `outDir/<metric>.wsp`, where `archive` is the 0-based level index
+    * each (already aligned, already LWW-deduped) point lands in — U3
+    * routing and alignment happen upstream (e.g. [[graft.ops.Ingest]]),
+    * this writer only packs rings. Metrics absent from `points` get no
+    * file; archives with no rows stay zeroed (whisper's never-written
+    * state). Returns a manifest (metric, n_points, bytes) — an action
+    * has already run when this returns.
+    */
+  def export(
+      points: DataFrame,
+      outDir: String,
+      schema: WhisperSchema): DataFrame = {
+    val s = points.sparkSession
+    import s.implicits._
+    val conf = new SerializableConfiguration(s.sessionState.newHadoopConf())
+    val nLevels = schema.retentions.size
+    val manifest = points
+      .select(col("metric").cast("string"), col("archive").cast("int"),
+        col("bucket_ts").cast("long"), col("value").cast("double"))
+      .as[(String, Int, Long, Double)]
+      .groupByKey(_._1)
+      .mapGroups { (metric, rows) =>
+        val byArchive = Array.fill(nLevels)(
+          scala.collection.mutable.ArrayBuffer.empty[(Long, Double)])
+        var n = 0L
+        rows.foreach { case (_, a, ts, v) =>
+          require(a >= 0 && a < nLevels, s"archive index $a out of range for $metric")
+          byArchive(a) += ((ts, v)); n += 1
+        }
+        val file = WspCodec.emptyFile(schema)
+        val infos = WspCodec.archiveInfos(schema)
+        infos.zipWithIndex.foreach { case (info, i) =>
+          WspCodec.writeArchive(file, info, byArchive(i).toSeq)
+        }
+        val path = new org.apache.hadoop.fs.Path(outDir, s"$metric.wsp")
+        val fs = path.getFileSystem(conf.value)
+        val out = fs.create(path, true)
+        try out.write(file) finally out.close()
+        (metric, n, file.length.toLong)
+      }
+      .toDF("metric", "n_points", "bytes")
+    manifest.localCheckpoint(true) // run the write NOW, exactly once
+  }
+
+  /** Convenience single-archive export: all points land in level
+    * `archive` (default the finest). */
+  def exportLevel(
+      points: DataFrame,
+      outDir: String,
+      schema: WhisperSchema,
+      archive: Int = 0): DataFrame =
+    export(points.withColumn("archive", lit(archive)), outDir, schema)
+}

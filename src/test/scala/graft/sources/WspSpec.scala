@@ -1,0 +1,138 @@
+package graft.sources
+
+import graft.model.{AggregationMethod, Retentions, WhisperSchema}
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+import java.nio.file.Files
+
+/** Codec goldens (hand-computed big-endian bytes), ring-lap overwrite,
+  * Spark write→read round trips, and the DSv2 pushdown surface (file
+  * pruning by metric, slot filtering by ts, column pruning).
+  */
+class WspSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private def tmp(): String =
+    Files.createTempDirectory("wsp_spec").toString
+
+  // 10s:6pts, 60s:5pts — tiny two-level ring
+  private val schema = WhisperSchema(
+    Seq(graft.model.Retention(10, 6), graft.model.Retention(60, 5)),
+    AggregationMethod.Sum, 0.0)
+
+  test("codec golden: header bytes and archive offsets are the whisper layout") {
+    val file = WspCodec.emptyFile(schema)
+    // size: 16 + 2*12 + (6+5)*12 = 172
+    assert(file.length == 172)
+    val buf = java.nio.ByteBuffer.wrap(file).order(java.nio.ByteOrder.BIG_ENDIAN)
+    assert(buf.getInt() == 2)            // aggregationType = Sum
+    assert(buf.getInt() == 300)          // maxRetention = 60*5
+    assert(buf.getFloat() == 0.0f)       // xFilesFactor
+    assert(buf.getInt() == 2)            // archiveCount
+    assert((buf.getInt(), buf.getInt(), buf.getInt()) == ((40, 10, 6)))
+    assert((buf.getInt(), buf.getInt(), buf.getInt()) == ((112, 60, 5)))
+    assert(WspCodec.decodePoints(file).isEmpty) // all slots zero
+    val h = WspCodec.readHeader(file)
+    assert(h == WspHeader(2, 300L, 0.0f, Seq(
+      WspArchiveInfo(40, 10, 6), WspArchiveInfo(112, 60, 5))))
+  }
+
+  test("codec: write/decode round trip, first write pins slot 0") {
+    val file = WspCodec.emptyFile(schema)
+    val info = WspCodec.archiveInfos(schema).head
+    WspCodec.writeArchive(file, info, Seq((1000L, 1.5), (1020L, 2.5), (1050L, -3.0)))
+    // base=1000 at slot 0; 1020 → slot 2; 1050 → slot 5
+    val buf = java.nio.ByteBuffer.wrap(file).order(java.nio.ByteOrder.BIG_ENDIAN)
+    assert(buf.getInt(info.offset) == 1000 && buf.getDouble(info.offset + 4) == 1.5)
+    assert(buf.getInt(info.offset + 2 * 12) == 1020)
+    assert(buf.getInt(info.offset + 5 * 12) == 1050)
+    assert(WspCodec.decodePoints(file).toSeq ==
+      Seq(WspPoint(0, 10, 1000L, 1.5), WspPoint(0, 10, 1020L, 2.5),
+        WspPoint(0, 10, 1050L, -3.0)))
+  }
+
+  test("codec: ring lap — a point one retention later overwrites its slot") {
+    val file = WspCodec.emptyFile(schema)
+    val info = WspCodec.archiveInfos(schema).head // 6 slots of 10s
+    WspCodec.writeArchive(file, info,
+      Seq((1000L, 1.0), (1010L, 2.0), (1060L, 9.0))) // 1060 laps onto slot 0
+    val pts = WspCodec.decodePoints(file).toSeq
+    assert(pts == Seq(WspPoint(0, 10, 1060L, 9.0), WspPoint(0, 10, 1010L, 2.0)))
+  }
+
+  test("spark round trip: export per-metric files, scan them back") {
+    import spark.implicits._
+    val dir = tmp()
+    val df = Seq(
+      ("cpu", 0, 1000L, 1.0), ("cpu", 0, 1010L, 2.0),
+      ("mem", 0, 1000L, 7.5), ("mem", 1, 960L, 5.0))
+      .toDF("metric", "archive", "bucket_ts", "value")
+    val manifest = WspWrite.export(df, dir, schema)
+    assert(manifest.collect().map(r => (r.getString(0), r.getLong(1))).toSet ==
+      Set(("cpu", 2L), ("mem", 2L)))
+    val back = spark.read.format("wsp").load(dir)
+      .select("metric", "archive", "spp", "ts_s", "value")
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getInt(2), r.getLong(3), r.getDouble(4)))
+      .toSet
+    assert(back == Set(
+      ("cpu", 0, 10, 1000L, 1.0), ("cpu", 0, 10, 1010L, 2.0),
+      ("mem", 0, 10, 1000L, 7.5), ("mem", 1, 60, 960L, 5.0)))
+  }
+
+  test("metric equality prunes to one FILE at planning; ts range filters slots") {
+    import spark.implicits._
+    val dir = tmp()
+    WspWrite.export(
+      Seq(("a", 0, 100L, 1.0), ("b", 0, 100L, 2.0), ("c", 0, 110L, 3.0))
+        .toDF("metric", "archive", "bucket_ts", "value"),
+      dir, schema)
+
+    // file pruning observed through the ScanBuilder directly
+    val sb = new WspScanBuilder(Seq(dir))
+    sb.pushFilters(Array(org.apache.spark.sql.sources.EqualTo("metric", "b")))
+    val planned = sb.build().asInstanceOf[WspScan].listFiles()
+    assert(planned.map(_._3) == Seq("b"))
+
+    // end-to-end through the DataFrame API
+    val one = spark.read.format("wsp").load(dir).filter($"metric" === "b")
+    assert(one.select("ts_s", "value").collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      == Seq((100L, 2.0)))
+    val ranged = spark.read.format("wsp").load(dir).filter($"ts_s" > 100L)
+    assert(ranged.select("metric").as[String].collect().toSeq == Seq("c"))
+    // column pruning: a metric-only projection decodes fine
+    assert(spark.read.format("wsp").load(dir).select("metric")
+      .as[String].collect().sorted.toSeq == Seq("a", "b", "c"))
+  }
+
+  test("nested directories become dotted metric names") {
+    import spark.implicits._
+    val dir = tmp()
+    WspWrite.export(
+      Seq(("x", 0, 100L, 1.0)).toDF("metric", "archive", "bucket_ts", "value"),
+      s"$dir/servers/web1", schema)
+    val names = spark.read.format("wsp").load(dir)
+      .select("metric").as[String].collect().toSeq
+    assert(names == Seq("servers.web1.x"))
+  }
+
+  test("bin-packing groups many small files into few partitions") {
+    import spark.implicits._
+    val dir = tmp()
+    val many = (0 until 20).map(i => (s"m$i", 0, 100L, i.toDouble))
+    WspWrite.export(many.toDF("metric", "archive", "bucket_ts", "value"), dir, schema)
+    val sb = new WspScanBuilder(Seq(dir))
+    val parts = sb.build().asInstanceOf[WspScan].toBatch.planInputPartitions()
+    // 20 files × 172 B ≪ maxPartitionBytes → exactly one packed partition
+    assert(parts.length == 1)
+    assert(parts.head.asInstanceOf[WspInputPartition].files.size == 20)
+    // and the packed partition still reads everything
+    assert(spark.read.format("wsp").load(dir).count() == 20)
+  }
+}

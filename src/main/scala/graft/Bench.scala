@@ -44,8 +44,13 @@ object Bench {
       ops.Dedup.shingleSet(docs).groupBy("doc_id").count()
     } catch { case _: Throwable => () }
     // sorted order: deterministic run-to-run and across rounds (Map
-    // iteration order is hash-based and changes as keys are added)
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // iteration order is hash-based and changes as keys are added).
+    // SPARK_GRAFT_ONLY (comma-separated keys) restricts the run — a
+    // local profiling aid; the driver never sets it
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(_.contains(n)) }
+      .map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       val dt = (System.nanoTime() - t0) / 1e9

@@ -310,6 +310,20 @@ final class WhisperTable private (
       .orderBy("metric", "bucket_ts")
   }
 
+  /** Export every archive level as whisper `.wsp` binary files — one
+    * file per metric under `outDir`, each carrying ALL levels in its
+    * rings ([[graft.sources.WspWrite]]). The reverse migration path:
+    * a table built/served by this engine hands its content back to a
+    * stock graphite/go-whisper deployment, headers and all. Returns the
+    * per-metric manifest (metric, n_points, bytes).
+    */
+  def exportWsp(outDir: String): DataFrame = {
+    val levels = schema.retentions.zipWithIndex.map { case (r, i) =>
+      readLevel(r).withColumn("archive", lit(i))
+    }
+    graft.sources.WspWrite.export(levels.reduce(_ unionAll _), outDir, schema)
+  }
+
   /** Q1 `Fetch`: clamp the range, select the finest archive covering it,
     * return the dense fixed-step series with NULL gaps.
     */

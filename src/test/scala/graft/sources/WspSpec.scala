@@ -122,6 +122,32 @@ class WspSpec extends AnyFunSuite {
     assert(names == Seq("servers.web1.x"))
   }
 
+  test("WhisperTable.exportWsp round-trips levels and propagated values") {
+    import spark.implicits._
+    import graft.{TimeSeriesPoint, WhisperTable}
+    val now = 1706659200L
+    val t = WhisperTable.create(spark,
+      Files.createTempDirectory("wsp_export").resolve("t").toString,
+      Retentions.tight) // 1s:120, 10s:1h — Sum, xff 0
+    val base = now - 40 // 10s-aligned
+    t.updateMany(Seq(
+      TimeSeriesPoint("cpu", base, 1.0), TimeSeriesPoint("cpu", base + 3, 2.0),
+      TimeSeriesPoint("cpu", base + 12, 5.0), TimeSeriesPoint("mem", base + 1, 7.0))
+      .toDS(), now)
+    val out = tmp()
+    t.exportWsp(out)
+    val back = spark.read.format("wsp").load(out)
+      .select("metric", "archive", "ts_s", "value")
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+      .toSet
+    assert(back == Set(
+      // level 0: raw 1s slots
+      ("cpu", 0, base, 1.0), ("cpu", 0, base + 3, 2.0), ("cpu", 0, base + 12, 5.0),
+      ("mem", 0, base + 1, 7.0),
+      // level 1: 10s Sum propagation
+      ("cpu", 1, base, 3.0), ("cpu", 1, base + 10, 5.0), ("mem", 1, base, 7.0)))
+  }
+
   test("bin-packing groups many small files into few partitions") {
     import spark.implicits._
     val dir = tmp()

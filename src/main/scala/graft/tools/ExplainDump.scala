@@ -90,7 +90,12 @@ object ExplainDump {
     "fetch_many" ->
       ("Batched multi-metric fetch: the (metrics × buckets) spine " +
         "broadcasts against one per-(metric, bucket) aggregate — one " +
-        "scan serves every metric's dense series."))
+        "scan serves every metric's dense series."),
+    "wsp_roundtrip" ->
+      ("The .wsp DataSource V2 scan: `BatchScan wsp` with the pushed " +
+        "metric/ts bounds in the scan description — metric predicates " +
+        "prune FILES at planning, ts ranges filter ring slots in the " +
+        "decoder, and pruned columns never materialize."))
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.lift(0).getOrElse("/root/testdata/sf0.001")

@@ -111,6 +111,25 @@ class WspSpec extends AnyFunSuite {
       .as[String].collect().sorted.toSeq == Seq("a", "b", "c"))
   }
 
+  test("pushed metric/ts filters are absorbed — no residual Filter node") {
+    import spark.implicits._
+    val dir = tmp()
+    WspWrite.export(
+      Seq(("a", 0, 100L, 1.0), ("b", 0, 100L, 2.0))
+        .toDF("metric", "archive", "bucket_ts", "value"),
+      dir, schema)
+    val q = spark.read.format("wsp").load(dir)
+      .filter($"metric" === "b" && $"ts_s" >= 50L && $"ts_s" <= 150L)
+    val plan = q.queryExecution.executedPlan.toString
+    // the scan description carries the pushed state…
+    assert(plan.contains("metric=b") && plan.contains("ts_s=[50,150]"))
+    // …and no Filter node re-evaluates what the source absorbed
+    assert(q.queryExecution.executedPlan.collect {
+      case f: org.apache.spark.sql.execution.FilterExec => f
+    }.isEmpty)
+    assert(q.collect().map(_.getDouble(4)).toSeq == Seq(2.0))
+  }
+
   test("nested directories become dotted metric names") {
     import spark.implicits._
     val dir = tmp()

@@ -20,8 +20,10 @@ import org.apache.spark.sql.functions._
   *    verification touches only colliding pairs. The exact n-gram
   *    Jaccard self-join is kept as the small-scale correctness oracle
   *    (its shingle join explodes on frequent shingles at scale);
-  *  - SimHash emits one 16-bit fingerprint per doc; near-dup lookup at
-  *    scale groups by fingerprint bands (not materialized here).
+  *  - SimHash emits one 64-bit fingerprint per doc; the scale lookup is
+  *    materialized as [[dedupSimhashPairs]]: 4×16-bit band buckets →
+  *    candidates → exact Hamming verification, COMPLETE for radius ≤ 3
+  *    by pigeonhole (pinned equal to brute force by test).
   */
 object Dedup {
 
@@ -481,41 +483,119 @@ object Dedup {
 
   // ------------------------------------------------------------ X2 SimHash
 
-  /** `dedup_simhash`: 16-bit SimHash per document from MD5 token hashes —
+  /** Fingerprint width. 64 bits — the published SimHash operating point
+    * (Charikar fingerprints as deployed for web near-dup detection use
+    * 64-bit fingerprints with a small Hamming radius); md5's 32 hex
+    * chars give 128 bits, the first 16 nibbles feed the 64 sums.
+    */
+  val SimhashBits = 64
+  /** Banding for candidate generation: 4 bands × 16 bits. Two docs within
+    * Hamming distance 3 of each other agree on ≥ 1 full band by
+    * pigeonhole, so band-bucket collision is a COMPLETE candidate filter
+    * for radius ≤ 3 (unlike MinHash banding, which is probabilistic).
+    */
+  val SimhashBands = 4
+  val SimhashBandBits: Int = SimhashBits / SimhashBands
+  /** Near-dup radius: pairs at Hamming distance ≤ 3 (the classic web
+    * near-dup threshold for 64-bit fingerprints).
+    */
+  val SimhashHammingMax = 3
+
+  /** `dedup_simhash`: 64-bit SimHash per document from MD5 token hashes —
     * bit k of the fingerprint is the sign of Σ_tokens (±1 by bit k of
     * md5(token)). Token multiplicity counts (classic SimHash weighting).
+    * Bit 63's term is the two's-complement sign term (added LAST in both
+    * engines, keeping every partial sum in BIGINT range).
     */
-  def dedupSimhash(s: SparkSession, dir: String): DataFrame = {
+  def dedupSimhash(s: SparkSession, dir: String): DataFrame =
+    simhashFp(s, dir).orderBy("doc_id")
+
+  private def simhashFp(s: SparkSession, dir: String): DataFrame = {
     val tok = docs(s, dir)
       .select(col("doc_id"), explode(expr(toksExpr)).as("t"))
       .withColumn("h", md5(col("t")))
-    val bitSums = (0 until 16).map { k =>
+    val bitSums = (0 until SimhashBits).map { k =>
       val nibble = s"position(substring(h, ${k / 4 + 1}, 1), '0123456789abcdef') - 1"
       val bit = s"(($nibble) div ${1 << (3 - k % 4)}) % 2"
       sum(expr(s"2 * ($bit) - 1")).as(s"s_$k")
     }
     val sums = tok.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
-    val fp = (0 until 16).map { k =>
+    val fp = (0 until SimhashBits).map { k =>
       when(col(s"s_$k") > 0, lit(1L << k)).otherwise(lit(0L))
     }.reduce(_ + _)
-    sums.select(col("doc_id"), fp.as("simhash")).orderBy("doc_id")
+    sums.select(col("doc_id"), fp.as("simhash"))
   }
 
-  val dedupSimhashSql: String = {
-    val bitSums = (0 until 16).map { k =>
+  private def simhashCtes: String = {
+    val bitSums = (0 until SimhashBits).map { k =>
       val nibble = s"strpos('0123456789abcdef', substr(h, ${k / 4 + 1}, 1)) - 1"
       val bit = s"(($nibble) // ${1 << (3 - k % 4)}) % 2"
       s"sum(2 * ($bit) - 1) AS s_$k"
     }.mkString(", ")
-    val fp = (0 until 16)
-      .map(k => s"CASE WHEN s_$k > 0 THEN ${1L << k} ELSE 0 END")
+    val fp = (0 until SimhashBits)
+      .map(k => s"CASE WHEN s_$k > 0 THEN CAST(${1L << k} AS BIGINT) ELSE 0 END")
       .mkString(" + ")
-    s"""WITH tok AS (
+    s"""tok AS (
        |  SELECT doc_id, md5(t) AS h
        |  FROM (SELECT doc_id, unnest($toksSql) AS t FROM documents)),
-       |sums AS (SELECT doc_id, $bitSums FROM tok GROUP BY doc_id)
-       |SELECT doc_id, CAST($fp AS BIGINT) AS simhash
-       |FROM sums ORDER BY doc_id""".stripMargin
+       |sums AS (SELECT doc_id, $bitSums FROM tok GROUP BY doc_id),
+       |fp AS (SELECT doc_id, CAST($fp AS BIGINT) AS simhash FROM sums)""".stripMargin
+  }
+
+  val dedupSimhashSql: String =
+    s"""WITH $simhashCtes
+       |SELECT doc_id, simhash FROM fp ORDER BY doc_id""".stripMargin
+
+  /** `dedup_simhash_pairs`: the SimHash near-dup lookup AT SCALE —
+    * band-bucketed candidate generation (4 × 16-bit bands; collision on
+    * any band is COMPLETE for radius ≤ 3 by pigeonhole, see
+    * [[SimhashBands]]) followed by exact Hamming verification
+    * `bit_count(a XOR b) <= 3`. The same bucket-local pair-generation
+    * shape as the MinHash path: one explode to (doc, band) rows, group
+    * by bucket, pairs emitted per bucket — candidate cost tracks bucket
+    * occupancy, never corpus². Masked band extraction
+    * `(simhash >> 16·b) & 0xFFFF` reads identical bits whether the
+    * engine's shift sign-extends or not.
+    */
+  def dedupSimhashPairs(s: SparkSession, dir: String): DataFrame = {
+    val mask = (1L << SimhashBandBits) - 1
+    val bandCols = (0 until SimhashBands).map(b =>
+      shiftright(col("simhash"), b * SimhashBandBits).bitwiseAND(mask))
+    val bands = simhashFp(s, dir).select(col("doc_id"), col("simhash"),
+      posexplode(array(bandCols: _*)).as(Seq("band_id", "band_key")))
+    bands.groupBy("band_id", "band_key")
+      .agg(collect_list(struct(col("doc_id"), col("simhash"))).as("xs"))
+      .filter(size(col("xs")) > 1)
+      .select(explode(col("xs")).as("a"), col("xs"))
+      .select(col("a.doc_id").as("doc_a"), col("a.simhash").as("ha"),
+        explode(col("xs")).as("b"))
+      .filter(col("doc_a") < col("b.doc_id"))
+      .select(col("doc_a"), col("b.doc_id").as("doc_b"),
+        col("ha"), col("b.simhash").as("hb"))
+      .distinct() // a pair may collide on several bands — count it once
+      .withColumn("hamming", expr("bit_count(ha ^ hb)"))
+      .filter(col("hamming") <= SimhashHammingMax)
+      .select(col("doc_a"), col("doc_b"), col("hamming").cast("int").as("hamming"))
+      .orderBy("doc_a", "doc_b")
+  }
+
+  val dedupSimhashPairsSql: String = {
+    val mask = (1L << SimhashBandBits) - 1
+    s"""WITH $simhashCtes,
+       |bands AS (
+       |  SELECT doc_id, simhash, b.b AS band_id,
+       |         (simhash >> (b.b * $SimhashBandBits)) & $mask AS band_key
+       |  FROM fp, range($SimhashBands) AS b(b)),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |         a.simhash AS ha, b.simhash AS hb
+       |  FROM bands a JOIN bands b
+       |    ON a.band_id = b.band_id AND a.band_key = b.band_key
+       |   AND a.doc_id < b.doc_id)
+       |SELECT doc_a, doc_b, CAST(bit_count(xor(ha, hb)) AS INT) AS hamming
+       |FROM cand
+       |WHERE bit_count(xor(ha, hb)) <= $SimhashHammingMax
+       |ORDER BY doc_a, doc_b""".stripMargin
   }
 
   // ------------------------------------------- X2 embedding-cosine near-dup

@@ -11,6 +11,7 @@ object ExtQueries {
     "dedup_ngram_jaccard" -> (Dedup.dedupNgramJaccard _),
     "dedup_minhash" -> (Dedup.dedupMinhash _),
     "dedup_simhash" -> (Dedup.dedupSimhash _),
+    "dedup_simhash_pairs" -> (Dedup.dedupSimhashPairs _),
     "dedup_embedding" -> (Dedup.dedupEmbedding _),
     "dedup_cluster" -> (Dedup.dedupCluster _),
     "sessionize" -> (PipelineOps.sessionize _),
@@ -44,6 +45,7 @@ object ExtQueries {
     "dedup_ngram_jaccard" -> Dedup.dedupNgramJaccardSql,
     "dedup_minhash" -> Dedup.dedupMinhashSql,
     "dedup_simhash" -> Dedup.dedupSimhashSql,
+    "dedup_simhash_pairs" -> Dedup.dedupSimhashPairsSql,
     "dedup_embedding" -> Dedup.dedupEmbeddingSql,
     "dedup_cluster" -> Dedup.dedupClusterSql,
     "sessionize" -> PipelineOps.sessionizeSql,

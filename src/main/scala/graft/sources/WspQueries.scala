@@ -59,9 +59,48 @@ object WspQueries {
        |WHERE bucket_ts >= $FromB AND bucket_ts < $NowS
        |ORDER BY metric, bucket_ts""".stripMargin
 
+  /** Q1 fetch window over the exported tree: the last 2 hours up to
+    * pinned now, whisper endpoint semantics (`floor(t)+spp` exclusive
+    * start, inclusive-bucket end — [[Buckets.fetchInterval]]).
+    */
+  private val FetchFromI = Buckets.fetchInterval(NowS - 7200, 60)
+  private val FetchUntilI = Buckets.fetchInterval(NowS - 3600, 60)
+
+  /** `wsp_fetch`: whisper's Fetch served DIRECTLY off the `.wsp` tree —
+    * the reference's one query, against the reference's actual storage
+    * format, executed as a Spark plan: the metric equality prunes to ONE
+    * file at planning (exactly whisper's single `Open`), the ts range
+    * reaches the slot decoder, and the dense gap-filled series comes
+    * from the same broadcast spine join as [[graft.ops.Fetch]].
+    */
+  def wspFetch(s: SparkSession, dir: String): DataFrame = {
+    wspRoundtrip(s, dir).count() // ensure the tree is exported (memoized)
+    val base = wspBase(s, dir)
+    val pts = s.read.format("wsp").load(base)
+      .filter(col("metric") === "error" &&
+        col("ts_s") >= FetchFromI && col("ts_s") < FetchUntilI)
+      .select(col("ts_s").as("bucket_ts"), col("value"))
+    s.range(FetchFromI, FetchUntilI, 60L).toDF("bucket_ts")
+      .join(pts, Seq("bucket_ts"), "left")
+      .select(col("bucket_ts"), round(col("value"), 6).as("value"))
+      .orderBy("bucket_ts")
+  }
+
+  val wspFetchSql: String =
+    s"""WITH $pointsSql,
+       |lww1m AS (${Ingest.lwwAlignSql(60)}),
+       |spine AS (SELECT range AS bucket_ts
+       |          FROM range($FetchFromI, $FetchUntilI, 60))
+       |SELECT s.bucket_ts, round(l.value, 6) AS value
+       |FROM spine s LEFT JOIN lww1m l
+       |  ON l.metric = 'error' AND l.bucket_ts = s.bucket_ts
+       |ORDER BY s.bucket_ts""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "wsp_roundtrip" -> (wspRoundtrip _))
+    "wsp_roundtrip" -> (wspRoundtrip _),
+    "wsp_fetch" -> (wspFetch _))
 
   val oracleSql: Map[String, String] = Map(
-    "wsp_roundtrip" -> wspRoundtripSql)
+    "wsp_roundtrip" -> wspRoundtripSql,
+    "wsp_fetch" -> wspFetchSql)
 }

@@ -35,11 +35,29 @@ class ExtOpsSpec extends AnyFunSuite {
     assert(lsh == exact)
   }
 
-  test("dedup_simhash fingerprints are 16-bit and deterministic") {
+  test("dedup_simhash fingerprints are deterministic 64-bit") {
     val a = Dedup.dedupSimhash(spark, dir).collect().map(r => (r.getLong(0), r.getLong(1)))
-    assert(a.forall { case (_, fp) => fp >= 0 && fp < 65536 })
+    assert(a.nonEmpty)
+    // 64-bit fingerprints actually use the upper bits (some doc's bit 63
+    // is set ⇒ negative two's-complement value) — the 16-bit era is over
+    assert(a.exists(_._2 < 0) || a.exists(_._2 >= 65536L))
     val b = Dedup.dedupSimhash(spark, dir).collect().map(r => (r.getLong(0), r.getLong(1)))
     assert(a.sameElements(b))
+  }
+
+  test("dedup_simhash_pairs banding is COMPLETE for the Hamming radius") {
+    // pigeonhole: distance <= 3 over 4 bands forces agreement on >= 1
+    // full band, so the banded candidates must reproduce the brute-force
+    // pair set exactly — not approximately
+    val fps = Dedup.dedupSimhash(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val brute = (for {
+      (ia, ha) <- fps; (ib, hb) <- fps if ia < ib
+      h = java.lang.Long.bitCount(ha ^ hb) if h <= Dedup.SimhashHammingMax
+    } yield (ia, ib, h)).toSet
+    val banded = Dedup.dedupSimhashPairs(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(banded == brute)
   }
 
   test("similarity_topk: exactly k neighbors per query, scores non-increasing") {

@@ -508,7 +508,23 @@ object Dedup {
     * engines, keeping every partial sum in BIGINT range).
     */
   def dedupSimhash(s: SparkSession, dir: String): DataFrame =
-    simhashFp(s, dir).orderBy("doc_id")
+    simhashFpShared(s, dir).orderBy("doc_id")
+
+  /** The fingerprint frame as a materialized shared index (same pattern
+    * as [[shingleSetShared]]): computed once per (JVM, dir), scanned by
+    * both the fingerprint key and the banded pair lookup.
+    */
+  private val fpCache =
+    new scala.collection.concurrent.TrieMap[String, String]
+  private def simhashFpShared(s: SparkSession, dir: String): DataFrame = {
+    val key = freshDigest(s, dir, "documents.parquet")
+    val path = fpCache.getOrElseUpdate(key, {
+      val p = s"${System.getProperty("java.io.tmpdir")}/graft_simhash_${key}_p$jvmTag"
+      simhashFp(s, dir).write.mode("overwrite").parquet(p)
+      p
+    })
+    s.read.parquet(path)
+  }
 
   private def simhashFp(s: SparkSession, dir: String): DataFrame = {
     val tok = docs(s, dir)
@@ -561,7 +577,7 @@ object Dedup {
     val mask = (1L << SimhashBandBits) - 1
     val bandCols = (0 until SimhashBands).map(b =>
       shiftright(col("simhash"), b * SimhashBandBits).bitwiseAND(mask))
-    val bands = simhashFp(s, dir).select(col("doc_id"), col("simhash"),
+    val bands = simhashFpShared(s, dir).select(col("doc_id"), col("simhash"),
       posexplode(array(bandCols: _*)).as(Seq("band_id", "band_key")))
     bands.groupBy("band_id", "band_key")
       .agg(collect_list(struct(col("doc_id"), col("simhash"))).as("xs"))

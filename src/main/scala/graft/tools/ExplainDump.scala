@@ -95,7 +95,17 @@ object ExplainDump {
       ("The .wsp DataSource V2 scan: `BatchScan wsp` with the pushed " +
         "metric/ts bounds in the scan description — metric predicates " +
         "prune FILES at planning, ts ranges filter ring slots in the " +
-        "decoder, and pruned columns never materialize."))
+        "decoder, and pruned columns never materialize."),
+    "wsp_fetch" ->
+      ("Whisper's Q1 against the .wsp tree itself: the scan description " +
+        "shows metric=error (ONE file opened — whisper's single Open) " +
+        "and the fetch window's ts bounds; the dense series is the same " +
+        "broadcast spine left-join as the parquet fetch path."),
+    "dedup_simhash_pairs" ->
+      ("SimHash at scale: one scan of the materialized fingerprint " +
+        "index exploded to 4 band rows, bucket-local pair generation " +
+        "(hash aggregate, no self-join), exact bit_count verification " +
+        "on candidates only — no CartesianProduct anywhere."))
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.lift(0).getOrElse("/root/testdata/sf0.001")

@@ -76,6 +76,10 @@ object WspCodec {
     * zero pre-allocation with the header packed at offset 0.
     */
   def emptyFile(schema: WhisperSchema): Array[Byte] = {
+    // the header packs maxRetention as u32 — whisper's own format limit
+    // (a ~136-year span); refuse schemas the format cannot represent
+    require(schema.maxRetentionSeconds <= 0xFFFFFFFFL,
+      s"maxRetention ${schema.maxRetentionSeconds}s overflows the .wsp u32 header field")
     val buf = java.nio.ByteBuffer.allocate(fileSize(schema))
       .order(java.nio.ByteOrder.BIG_ENDIAN)
     buf.putInt(schema.method.id)

@@ -245,7 +245,9 @@ final class WspPartitionReader(
   private var metricU8: UTF8String = _
   private var current: WspPoint = _
 
-  // column extractors resolved once against the pruned schema
+  // column extractors resolved once against the pruned schema; the hot
+  // loop fills one reusable row (the DSv2 contract allows reuse — the
+  // consumer copies when it retains), no per-row boxing of the getters
   private val getters: Array[WspPoint => Any] = required.fields.map { f =>
     f.name match {
       case "metric" => (_: WspPoint) => metricU8
@@ -256,6 +258,8 @@ final class WspPartitionReader(
       case other => throw new IllegalArgumentException(s"unknown wsp column $other")
     }
   }
+  private val row =
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(getters.length)
 
   private def nextFile(): Boolean = {
     if (!files.hasNext) return false
@@ -276,8 +280,11 @@ final class WspPartitionReader(
     true
   }
 
-  override def get(): InternalRow =
-    InternalRow.fromSeq(getters.toIndexedSeq.map(_(current)))
+  override def get(): InternalRow = {
+    var i = 0
+    while (i < getters.length) { row.update(i, getters(i)(current)); i += 1 }
+    row
+  }
 
   override def close(): Unit = ()
 }

@@ -107,16 +107,27 @@ object WspCodec {
     ()
   }
 
+  /** The archive's established base interval: slot 0's stored interval,
+    * or 0 when the archive has never been written. Whisper pins the base
+    * at the archive's FIRST write and never moves it.
+    */
+  def archiveBase(file: Array[Byte], info: WspArchiveInfo): Long =
+    java.nio.ByteBuffer.wrap(file).order(java.nio.ByteOrder.BIG_ENDIAN)
+      .getInt(info.offset).toLong & 0xFFFFFFFFL
+
   /** Fill an archive's ring from an aligned, LWW-deduped point batch.
     * Points are applied in time order, so on a slot collision (ring lap)
     * the latest interval wins — whisper's overwrite semantics. Base
-    * interval = the earliest interval in the batch (the "first write").
+    * interval = the archive's established base when it already holds
+    * data (merge into an existing file), else the earliest interval in
+    * the batch (the "first write" pins slot 0).
     */
   def writeArchive(file: Array[Byte], info: WspArchiveInfo,
       points: Seq[(Long, Double)]): Unit =
     if (points.nonEmpty) {
       val sorted = points.sortBy(_._1)
-      val base = sorted.head._1
+      val existing = archiveBase(file, info)
+      val base = if (existing != 0L) existing else sorted.head._1
       sorted.foreach { case (i, v) => writeSlot(file, info, base, i, v) }
     }
 

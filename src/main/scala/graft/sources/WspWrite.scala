@@ -33,11 +33,33 @@ object WspWrite {
   def export(
       points: DataFrame,
       outDir: String,
-      schema: WhisperSchema): DataFrame = {
+      schema: WhisperSchema): DataFrame =
+    write(points, outDir, schema, mergeExisting = false)
+
+  /** Like [[export]], but an existing `<metric>.wsp` is read first and
+    * its rings updated IN PLACE — prior slots survive, same-slot writes
+    * overwrite, and each archive keeps its established base interval
+    * (slot 0 pinned at first write, like the reference). This is the
+    * carbon-daemon write shape: repeated batches against a live tree.
+    * Read-modify-write is safe under the one-writer-per-file contract
+    * the shuffle guarantees (each metric lands in exactly one task).
+    */
+  def merge(
+      points: DataFrame,
+      outDir: String,
+      schema: WhisperSchema): DataFrame =
+    write(points, outDir, schema, mergeExisting = true)
+
+  private def write(
+      points: DataFrame,
+      outDir: String,
+      schema: WhisperSchema,
+      mergeExisting: Boolean): DataFrame = {
     val s = points.sparkSession
     import s.implicits._
     val conf = new SerializableConfiguration(s.sessionState.newHadoopConf())
     val nLevels = schema.retentions.size
+    val expectedLen = WspCodec.fileSize(schema)
     val manifest = points
       .select(col("metric").cast("string"), col("archive").cast("int"),
         col("bucket_ts").cast("long"), col("value").cast("double"))
@@ -51,13 +73,32 @@ object WspWrite {
           require(a >= 0 && a < nLevels, s"archive index $a out of range for $metric")
           byArchive(a) += ((ts, v)); n += 1
         }
-        val file = WspCodec.emptyFile(schema)
+        val path = new org.apache.hadoop.fs.Path(outDir, s"$metric.wsp")
+        val fs = path.getFileSystem(conf.value)
+        val file =
+          if (mergeExisting && fs.exists(path)) {
+            val st = fs.getFileStatus(path)
+            require(st.getLen == expectedLen,
+              s"$path: ${st.getLen} bytes, schema expects $expectedLen — " +
+                "refusing to merge into a file with a different retention config")
+            val bytes = new Array[Byte](expectedLen)
+            val in = fs.open(path)
+            try in.readFully(0, bytes) finally in.close()
+            // ring geometry must match exactly — same total size does not
+            // imply same (spp, points) layout, and a mismatched merge
+            // would scatter points into the wrong rings
+            val hdr = WspCodec.readHeader(bytes)
+            require(
+              hdr.archives.map(a => (a.secondsPerPoint, a.numberOfPoints)) ==
+                schema.retentions.map(r => (r.secondsPerPoint, r.numberOfPoints)),
+              s"$path: on-disk archives ${hdr.archives} do not match schema " +
+                s"${schema.retentions} — refusing to merge")
+            bytes
+          } else WspCodec.emptyFile(schema)
         val infos = WspCodec.archiveInfos(schema)
         infos.zipWithIndex.foreach { case (info, i) =>
           WspCodec.writeArchive(file, info, byArchive(i).toSeq)
         }
-        val path = new org.apache.hadoop.fs.Path(outDir, s"$metric.wsp")
-        val fs = path.getFileSystem(conf.value)
         val out = fs.create(path, true)
         try out.write(file) finally out.close()
         (metric, n, file.length.toLong)

@@ -115,6 +115,40 @@ object StreamIngest {
     * rejects are counted per batch by `updateMany`'s lenient mode;
     * replays are idempotent, so at-least-once delivery is safe.
     */
+  /** Carbon-daemon-shaped sink: write a point stream into a live tree of
+    * whisper `.wsp` files. Each micro-batch is F3-gated, U3-routed to
+    * its level, LWW-aligned per level, then slot-merged into the tree
+    * ([[graft.sources.WspWrite.merge]]) — existing slots survive, rings
+    * lap, every archive keeps its established base. This is what the
+    * reference's companion daemon does to whisper files, distributed:
+    * one shuffle per batch keyed by metric, one writer task per file.
+    * No propagation cascade here (carbon's whisper `update` propagates;
+    * this sink writes routed levels only) — use [[tableWriter]] +
+    * `WhisperTable.exportWsp` when cascade semantics must hold.
+    */
+  def wspWriter(
+      points: DataFrame,
+      outDir: String,
+      schema: WhisperSchema,
+      nowS: Long): DataStreamWriter[Row] =
+    points.writeStream
+      .outputMode(OutputMode.Update())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val routed = batch
+          .filter(Ingest.retentionStatus(schema, nowS) === "accepted")
+          .withColumn("archive", Ingest.archiveColumn(schema, nowS))
+          .filter(col("archive") > 0)
+        val perLevel = schema.retentions.zipWithIndex.map { case (r, i) =>
+          Ingest.lwwAlign(
+              routed.filter(col("archive") === i + 1).drop("archive"),
+              r.secondsPerPoint)
+            .withColumn("archive", lit(i))
+        }.reduce(_ unionAll _)
+        graft.sources.WspWrite.merge(perLevel, outDir, schema)
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+
   def tableWriter(
       points: DataFrame,
       table: graft.WhisperTable,

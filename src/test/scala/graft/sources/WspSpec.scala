@@ -167,6 +167,50 @@ class WspSpec extends AnyFunSuite {
       ("cpu", 1, base, 3.0), ("cpu", 1, base + 10, 5.0), ("mem", 1, base, 7.0)))
   }
 
+  test("merge updates a live tree: old slots survive, same slots overwrite") {
+    import spark.implicits._
+    val dir = tmp()
+    WspWrite.export(
+      Seq(("cpu", 0, 1000L, 1.0), ("cpu", 0, 1010L, 2.0))
+        .toDF("metric", "archive", "bucket_ts", "value"),
+      dir, schema)
+    // batch 2: overwrite slot 1010, add 1020, and a brand-new metric
+    WspWrite.merge(
+      Seq(("cpu", 0, 1010L, 9.0), ("cpu", 0, 1020L, 3.0), ("gpu", 0, 500L, 7.0))
+        .toDF("metric", "archive", "bucket_ts", "value"),
+      dir, schema)
+    val back = spark.read.format("wsp").load(dir)
+      .select("metric", "ts_s", "value")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(back == Set(
+      ("cpu", 1000L, 1.0),  // untouched prior slot survives
+      ("cpu", 1010L, 9.0),  // overwritten in place
+      ("cpu", 1020L, 3.0),  // new slot against the ESTABLISHED base (1000)
+      ("gpu", 500L, 7.0)))  // fresh file created by merge
+    // base stayed pinned at the first write: slot 0 still holds 1000
+    val p = new org.apache.hadoop.fs.Path(s"$dir/cpu.wsp")
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    val bytes = new Array[Byte](WspCodec.fileSize(schema))
+    val in = fs.open(p); try in.readFully(0, bytes) finally in.close()
+    assert(WspCodec.archiveBase(bytes, WspCodec.archiveInfos(schema).head) == 1000L)
+  }
+
+  test("merge refuses a file whose retention config does not match") {
+    import spark.implicits._
+    val dir = tmp()
+    WspWrite.export(
+      Seq(("cpu", 0, 1000L, 1.0)).toDF("metric", "archive", "bucket_ts", "value"),
+      dir, schema)
+    val other = WhisperSchema(
+      Seq(graft.model.Retention(10, 12)), AggregationMethod.Sum, 0.0)
+    val err = intercept[org.apache.spark.SparkException] {
+      WspWrite.merge(
+        Seq(("cpu", 0, 1000L, 2.0)).toDF("metric", "archive", "bucket_ts", "value"),
+        dir, other)
+    }
+    assert(err.getMessage != null)
+  }
+
   test("bin-packing groups many small files into few partitions") {
     import spark.implicits._
     val dir = tmp()

@@ -54,6 +54,39 @@ class StreamIngestSpec extends AnyFunSuite {
     assert(!got.exists(_._3 == 99.0))
   }
 
+  test("wsp sink: streamed micro-batches build the same tree as one batch write") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val nowS = 1000000L
+    val schema = Retentions.tight // 1s:120, 10s:1h — two levels, U3 routing
+    val dir = java.nio.file.Files.createTempDirectory("wsp_sink").toString
+
+    val stream = MemoryStream[(String, Long, Double)]
+    val points = stream.toDF().toDF("metric", "ts_s", "value")
+    val writer = StreamIngest.wspWriter(points, dir, schema, nowS)
+
+    // batch 1: recent points (level 0) + an old-but-covered point that
+    // U3 routes directly to the coarser level + one reject
+    stream.addData(pt("m", nowS - 10, 1.0), pt("m", nowS - 9, 2.0),
+      pt("m", nowS - 600, 5.0), pt("m", nowS - 2 * 86400, 99.0))
+    writer.start().awaitTermination()
+    // batch 2: same slot overwritten + a new metric
+    stream.addData(pt("m", nowS - 10, 3.0), pt("n", nowS - 5, 7.0))
+    writer.start().awaitTermination()
+
+    val back = spark.read.format("wsp").load(dir)
+      .select("metric", "archive", "ts_s", "value")
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+      .toSet
+    assert(back == Set(
+      ("m", 0, nowS - 10, 3.0), // batch-2 overwrite won the slot
+      ("m", 0, nowS - 9, 2.0),
+      ("m", 1, nowS - 600, 5.0), // U3: old point landed in the 10s level
+      ("n", 0, nowS - 5, 7.0)))
+    // the reject (99.0) never landed anywhere
+    assert(!back.exists(_._4 == 99.0))
+  }
+
   test("later micro-batch with an earlier raw ts does not displace the winner") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

@@ -25,6 +25,8 @@ object ExtQueries {
     "similarity_ann_kmeans" -> (Similarity.similarityAnnKmeans _),
     "multimodal_join" -> (Similarity.multimodalJoin _),
     "multimodal_extract" -> (Multimodal.multimodalExtract _),
+    "multimodal_resize" -> (Multimodal.multimodalResize _),
+    "multimodal_frame_sample" -> (Multimodal.multimodalFrameSample _),
     "text_token_stats" -> (TextAnalysis.textTokenStats _),
     "text_quality" -> (TextAnalysis.textQuality _),
     "text_langid" -> (TextAnalysis.textLangid _),
@@ -63,6 +65,8 @@ object ExtQueries {
     "similarity_ann_kmeans" -> Similarity.similarityAnnKmeansSql,
     "multimodal_join" -> Similarity.multimodalJoinSql,
     "multimodal_extract" -> Multimodal.multimodalExtractSql,
+    "multimodal_resize" -> Multimodal.multimodalResizeSql,
+    "multimodal_frame_sample" -> Multimodal.multimodalFrameSampleSql,
     "text_token_stats" -> TextAnalysis.textTokenStatsSql,
     "text_quality" -> TextAnalysis.textQualitySql,
     "text_langid" -> TextAnalysis.textLangidSql,

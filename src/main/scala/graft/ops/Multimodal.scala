@@ -73,4 +73,104 @@ object Multimodal {
       |       substr(md5(text), 1, 8) AS sig8,
       |       n_chars % 640 AS width, (n_chars * 7) % 480 AS height
       |FROM documents ORDER BY doc_id""".stripMargin
+
+  // ------------------------------------------------------------- resize
+
+  /** Stub "thumbnail" byte budget — a real resize re-encodes pixels;
+    * the stub keeps the leading `ResizeBytes` of the payload (pure
+    * byte-defined truncation, so DuckDB reproduces it exactly).
+    */
+  val ResizeBytes = 256
+
+  final case class ResizedMedia(
+      doc_id: Long, in_len: Long, out_len: Long, out_sig8: String)
+
+  /** `multimodal_resize`: the resize stage of a media pipeline as the
+    * same partition-wise batch shape as [[fakeDecode]] — payload in,
+    * smaller payload out, features of the RESIZED bytes emitted (the
+    * contract a real thumbnailer fills in; the stub truncates to
+    * [[ResizeBytes]]).
+    */
+  def multimodalResize(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val media = s.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), col("text").cast("binary").as("payload"),
+        col("n_chars"))
+      .as[MediaRow]
+    media.mapPartitions { rows =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+      rows.map { r =>
+        val out = java.util.Arrays.copyOfRange(
+          r.payload, 0, math.min(r.payload.length, ResizeBytes))
+        md.reset()
+        val hex = md.digest(out).map("%02x".format(_)).mkString
+        ResizedMedia(r.doc_id, r.payload.length.toLong, out.length.toLong,
+          hex.substring(0, 8))
+      }
+    }.toDF()
+      .select(col("doc_id"), col("in_len"), col("out_len"), col("out_sig8"))
+      .orderBy("doc_id")
+  }
+
+  val multimodalResizeSql: String =
+    s"""SELECT doc_id, CAST(length(text) AS BIGINT) AS in_len,
+       |       CAST(least(length(text), $ResizeBytes) AS BIGINT) AS out_len,
+       |       substr(md5(substr(text, 1, $ResizeBytes)), 1, 8) AS out_sig8
+       |FROM documents ORDER BY doc_id""".stripMargin
+
+  // -------------------------------------------------------- frame sample
+
+  /** Stub "video" geometry: the payload is a frame sequence of
+    * [[FrameBytes]]-byte frames; every [[FrameStride]]-th frame is
+    * sampled (the keyframe-sampling shape — a real pipeline seeks
+    * keyframes; the stub chunks bytes).
+    */
+  val FrameBytes = 64
+  val FrameStride = 3
+
+  final case class SampledFrame(
+      doc_id: Long, frame_idx: Long, frame_off: Long, frame_len: Long,
+      frame_sig8: String)
+
+  /** `multimodal_frame_sample`: one input row fans out to its sampled
+    * frames — the 1→N batch shape (explode) a video pipeline needs,
+    * still partition-wise with batch-amortized decoder setup.
+    */
+  def multimodalFrameSample(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val media = s.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), col("text").cast("binary").as("payload"),
+        col("n_chars"))
+      .as[MediaRow]
+    media.mapPartitions { rows =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+      rows.flatMap { r =>
+        val nFrames = (r.payload.length + FrameBytes - 1) / FrameBytes
+        (0 until nFrames by FrameStride).iterator.map { i =>
+          val off = i * FrameBytes
+          val end = math.min(off + FrameBytes, r.payload.length)
+          md.reset()
+          val hex = md.digest(java.util.Arrays.copyOfRange(r.payload, off, end))
+            .map("%02x".format(_)).mkString
+          SampledFrame(r.doc_id, i.toLong, off.toLong, (end - off).toLong,
+            hex.substring(0, 8))
+        }
+      }
+    }.toDF()
+      .select(col("doc_id"), col("frame_idx"), col("frame_off"),
+        col("frame_len"), col("frame_sig8"))
+      .orderBy("doc_id", "frame_idx")
+  }
+
+  val multimodalFrameSampleSql: String =
+    s"""SELECT d.doc_id, CAST(f.i AS BIGINT) AS frame_idx,
+       |       CAST(f.i * $FrameBytes AS BIGINT) AS frame_off,
+       |       CAST(least($FrameBytes, length(text) - f.i * $FrameBytes) AS BIGINT)
+       |         AS frame_len,
+       |       substr(md5(substr(text, f.i * $FrameBytes + 1, $FrameBytes)), 1, 8)
+       |         AS frame_sig8
+       |FROM documents d,
+       |     unnest(generate_series(0, (length(d.text) - 1) // $FrameBytes)) AS f(i)
+       |WHERE f.i % $FrameStride = 0
+       |ORDER BY d.doc_id, frame_idx""".stripMargin
 }

@@ -264,6 +264,11 @@ final class WspPartitionReader(
   private def nextFile(): Boolean = {
     if (!files.hasNext) return false
     val (path, len, metric) = files.next()
+    // the format's u32 offsets bound a .wsp at 4 GB; a JVM byte array at
+    // 2 GB — fail with the real reason rather than a negative-size error
+    // (a >2 GB whisper file implies a >50-year 1s retention; unseen in
+    // practice, but the failure mode should name itself)
+    require(len <= Int.MaxValue, s"$path: $len bytes exceeds the 2 GB single-file limit")
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(conf.value)
     val bytes = new Array[Byte](len.toInt)

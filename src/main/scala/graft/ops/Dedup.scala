@@ -44,8 +44,6 @@ object Dedup {
     * the same: a shingle index materialized once next to the corpus,
     * shared by every near-dup job.
     */
-  private val shingleCache =
-    new scala.collection.concurrent.TrieMap[String, String]
   /** Hex digest of a data-dir path — collision-free per-dir tmp roots
     * (a signed `hashCode` collides across dirs and `math.abs` is still
     * negative at `Int.MinValue`).
@@ -76,15 +74,30 @@ object Dedup {
     * recomputes its index anyway.
     */
   private[graft] val jvmTag: String = ProcessHandle.current().pid().toString
-  private[graft] def shingleSetShared(s: SparkSession, dir: String): DataFrame = {
-    val key = freshDigest(s, dir, "documents.parquet")
-    val path = shingleCache.getOrElseUpdate(key, {
-      val p = s"${System.getProperty("java.io.tmpdir")}/graft_shingles_${key}_p$jvmTag"
-      shingleSet(docs(s, dir)).write.mode("overwrite").parquet(p)
+
+  /** The one materialize-once-per-(JVM, data) pattern behind every shared
+    * index (shingles, minhash pairs, simhash fingerprints, wsp export):
+    * a tmp root keyed by input freshness ([[freshDigest]]) and process id
+    * (cross-JVM race safety), built exactly once per key per JVM. Factored
+    * so the staleness-key and race-handling logic exists in ONE place.
+    */
+  private val indexCache =
+    new scala.collection.concurrent.TrieMap[String, String]
+  private[graft] def sharedIndexPath(
+      s: SparkSession, dir: String, file: String, name: String)(
+      build: String => Unit): String = {
+    val key = freshDigest(s, dir, file)
+    indexCache.getOrElseUpdate(s"$name|$key", {
+      val p = s"${System.getProperty("java.io.tmpdir")}/graft_${name}_${key}_p$jvmTag"
+      build(p)
       p
     })
-    s.read.parquet(path)
   }
+
+  private[graft] def shingleSetShared(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(sharedIndexPath(s, dir, "documents.parquet", "shingles") {
+      p => shingleSet(docs(s, dir)).write.mode("overwrite").parquet(p)
+    })
 
   /** Distinct (doc_id, shingle) pairs; SQL CTE `shingle_u` mirrors it.
     * Zero-shuffle shingling: three staggered `slice`s of the token array
@@ -222,17 +235,10 @@ object Dedup {
     * 100 TB shape is identical — a near-dup pair index materialized once
     * next to the corpus, feeding both reporting and cluster collapse.
     */
-  private val pairCache =
-    new scala.collection.concurrent.TrieMap[String, String]
-  private[graft] def minhashPairsShared(s: SparkSession, dir: String): DataFrame = {
-    val key = freshDigest(s, dir, "documents.parquet")
-    val path = pairCache.getOrElseUpdate(key, {
-      val p = s"${System.getProperty("java.io.tmpdir")}/graft_minhash_pairs_${key}_p$jvmTag"
-      minhashPairsImpl(s, dir).write.mode("overwrite").parquet(p)
-      p
+  private[graft] def minhashPairsShared(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(sharedIndexPath(s, dir, "documents.parquet", "minhash_pairs") {
+      p => minhashPairsImpl(s, dir).write.mode("overwrite").parquet(p)
     })
-    s.read.parquet(path)
-  }
 
   def dedupMinhash(s: SparkSession, dir: String): DataFrame =
     minhashPairsShared(s, dir).orderBy("doc_a", "doc_b")
@@ -514,17 +520,10 @@ object Dedup {
     * as [[shingleSetShared]]): computed once per (JVM, dir), scanned by
     * both the fingerprint key and the banded pair lookup.
     */
-  private val fpCache =
-    new scala.collection.concurrent.TrieMap[String, String]
-  private def simhashFpShared(s: SparkSession, dir: String): DataFrame = {
-    val key = freshDigest(s, dir, "documents.parquet")
-    val path = fpCache.getOrElseUpdate(key, {
-      val p = s"${System.getProperty("java.io.tmpdir")}/graft_simhash_${key}_p$jvmTag"
-      simhashFp(s, dir).write.mode("overwrite").parquet(p)
-      p
+  private def simhashFpShared(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(sharedIndexPath(s, dir, "documents.parquet", "simhash") {
+      p => simhashFp(s, dir).write.mode("overwrite").parquet(p)
     })
-    s.read.parquet(path)
-  }
 
   private def simhashFp(s: SparkSession, dir: String): DataFrame = {
     val tok = docs(s, dir)

@@ -54,11 +54,17 @@ object WspCodec {
 
   /** Total file size for a schema — whisper pre-allocates the whole ring
     * region on create, so file size is a pure function of the retention
-    * config, never of how many points were written.
+    * config, never of how many points were written. Computed in Long and
+    * bounded: the format's u32 offsets allow 4 GB, a JVM byte array 2 GB
+    * — name the limit instead of overflowing Int to a negative size.
     */
-  def fileSize(schema: WhisperSchema): Int =
-    headerSize(schema.retentions.size) +
-      schema.retentions.map(_.numberOfPoints * PointSize).sum
+  def fileSize(schema: WhisperSchema): Int = {
+    val total = headerSize(schema.retentions.size).toLong +
+      schema.retentions.map(_.numberOfPoints.toLong * PointSize).sum
+    require(total <= Int.MaxValue,
+      s"schema ${schema.retentions} needs $total bytes, over the 2 GB single-file limit")
+    total.toInt
+  }
 
   /** Archive info records (with their absolute offsets) for a schema, in
     * the same finest→coarsest order whisper writes them.
@@ -131,17 +137,27 @@ object WspCodec {
       sorted.foreach { case (i, v) => writeSlot(file, info, base, i, v) }
     }
 
-  def readHeader(file: Array[Byte]): WspHeader = {
-    require(file.length >= MetadataSize, s"truncated wsp header: ${file.length} bytes")
+  def readHeader(file: Array[Byte], name: String = "<wsp>"): WspHeader = {
+    require(file.length >= MetadataSize, s"$name: truncated header, ${file.length} bytes")
     val buf = java.nio.ByteBuffer.wrap(file).order(java.nio.ByteOrder.BIG_ENDIAN)
     val aggType = buf.getInt()
     val maxRet = buf.getInt().toLong & 0xFFFFFFFFL
     val xff = buf.getFloat()
     val n = buf.getInt()
-    require(n >= 0 && file.length >= headerSize(n),
-      s"truncated wsp archive table: $n archives, ${file.length} bytes")
+    // Long math: a corrupt archiveCount near 2^28 would overflow
+    // headerSize(n) in Int and slip past a naive check
+    require(n >= 0 &&
+        MetadataSize.toLong + n.toLong * ArchiveInfoSize <= file.length,
+      s"$name: corrupt archive table, $n archives in ${file.length} bytes")
     val archives = (0 until n).map { _ =>
       WspArchiveInfo(buf.getInt(), buf.getInt(), buf.getInt())
+    }
+    // every ring must lie inside the file — a truncated or corrupt file
+    // fails HERE with its name, not mid-decode with a raw buffer error
+    archives.foreach { a =>
+      require(a.offset >= headerSize(n) && a.numberOfPoints > 0 &&
+          a.offset.toLong + a.numberOfPoints.toLong * PointSize <= file.length,
+        s"$name: archive $a does not fit in ${file.length} bytes")
     }
     WspHeader(aggType, maxRet, xff, archives)
   }
@@ -153,8 +169,8 @@ object WspCodec {
     * reference's expected-interval staleness check (F2), which is only
     * defined relative to a requested range.
     */
-  def decodePoints(file: Array[Byte]): Iterator[WspPoint] = {
-    val header = readHeader(file)
+  def decodePoints(file: Array[Byte], name: String = "<wsp>"): Iterator[WspPoint] = {
+    val header = readHeader(file, name)
     header.archives.iterator.zipWithIndex.flatMap { case (a, idx) =>
       val buf = java.nio.ByteBuffer.wrap(file).order(java.nio.ByteOrder.BIG_ENDIAN)
       buf.position(a.offset)

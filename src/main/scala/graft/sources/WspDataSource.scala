@@ -133,9 +133,16 @@ final class WspScanBuilder(roots: Seq[String])
       case In("metric", vs) => intersect(vs.collect { case s: String => s }.toSet)
       case EqualTo("ts_s", v: Long) =>
         tsLo = math.max(tsLo, v); tsHi = math.min(tsHi, v)
-      case GreaterThan("ts_s", v: Long) => tsLo = math.max(tsLo, v + 1)
+      // strict bounds at the Long extremes: v±1 would wrap and silently
+      // turn a provably-empty predicate into an unbounded scan (these
+      // filters are absorbed, nothing above re-checks them)
+      case GreaterThan("ts_s", v: Long) =>
+        if (v == Long.MaxValue) { tsLo = 1; tsHi = 0 } // empty range
+        else tsLo = math.max(tsLo, v + 1)
       case GreaterThanOrEqual("ts_s", v: Long) => tsLo = math.max(tsLo, v)
-      case LessThan("ts_s", v: Long) => tsHi = math.min(tsHi, v - 1)
+      case LessThan("ts_s", v: Long) =>
+        if (v == Long.MinValue) { tsLo = 1; tsHi = 0 } // empty range
+        else tsHi = math.min(tsHi, v - 1)
       case LessThanOrEqual("ts_s", v: Long) => tsHi = math.min(tsHi, v)
       case _ => ()
     }
@@ -194,24 +201,28 @@ final class WspScan(
       out.result()
     }
 
-  /** Greedy size-descending bin-pack into ≤ maxPartitionBytes bins —
-    * task count tracks bytes, not file count (millions of small `.wsp`
-    * files coalesce; one giant file still gets its own task).
+  /** Next-fit-decreasing bin-pack into ≤ maxPartitionBytes bins — O(n)
+    * after the sort, so planning stays linear at the millions-of-files
+    * scale this source targets (first-fit's per-file scan over all open
+    * bins is O(files × bins) of single-threaded driver time). With the
+    * near-uniform file sizes a whisper tree has (size is a function of
+    * the retention config), next-fit packs essentially as tightly;
+    * task count tracks bytes, not file count, and one giant file still
+    * gets its own task.
     */
   override def planInputPartitions(): Array[InputPartition] = {
     val files = listFiles().sortBy(-_._2)
     val bins = scala.collection.mutable.ArrayBuffer.empty[
-      (scala.collection.mutable.ArrayBuffer[(String, Long, String)], Long)]
+      scala.collection.mutable.ArrayBuffer[(String, Long, String)]]
+    var openSize = 0L
     files.foreach { f =>
-      bins.indexWhere(_._2 + f._2 <= maxPartitionBytes) match {
-        case -1 =>
-          bins += ((scala.collection.mutable.ArrayBuffer(f), f._2))
-        case i =>
-          bins(i)._1 += f
-          bins(i) = (bins(i)._1, bins(i)._2 + f._2)
+      if (bins.nonEmpty && openSize + f._2 <= maxPartitionBytes) {
+        bins.last += f; openSize += f._2
+      } else {
+        bins += scala.collection.mutable.ArrayBuffer(f); openSize = f._2
       }
     }
-    bins.map(b => WspInputPartition(b._1.toSeq): InputPartition).toArray
+    bins.map(b => WspInputPartition(b.toSeq): InputPartition).toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
@@ -275,7 +286,8 @@ final class WspPartitionReader(
     val in = fs.open(p)
     try in.readFully(0, bytes) finally in.close()
     metricU8 = UTF8String.fromString(metric)
-    points = WspCodec.decodePoints(bytes).filter(pt => pt.tsS >= tsLo && pt.tsS <= tsHi)
+    points = WspCodec.decodePoints(bytes, path)
+      .filter(pt => pt.tsS >= tsLo && pt.tsS <= tsHi)
     true
   }
 

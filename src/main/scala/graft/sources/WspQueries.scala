@@ -25,13 +25,18 @@ object WspQueries {
   private val schema = Retentions.lww
   private val FromB = NowS - 86400L
 
-  private val exported = new scala.collection.concurrent.TrieMap[String, Boolean]
-
-  /** Export root — freshness-keyed like the other shared indexes, so a
-    * regenerated testdata dir gets new files, not a stale read. */
-  private def wspBase(s: SparkSession, dir: String): String =
-    s"${System.getProperty("java.io.tmpdir")}/graft_wsp_" +
-      s"${Dedup.freshDigest(s, dir, "events.parquet")}_p${Dedup.jvmTag}"
+  /** Export root — the shared materialize-once pattern ([[Dedup
+    * .sharedIndexPath]]): freshness-keyed so a regenerated testdata dir
+    * gets new files, built exactly once per JVM, shared by both wsp
+    * query keys.
+    */
+  private def ensureExported(s: SparkSession, dir: String): String =
+    Dedup.sharedIndexPath(s, dir, "events.parquet", "wsp") { base =>
+      val level = Ingest.lwwAlign(Buckets.points(s, dir), 60)
+        .filter(col("bucket_ts") >= FromB && col("bucket_ts") < NowS)
+      WspWrite.exportLevel(level, base, schema)
+      () // exportLevel is eager (localCheckpoint) — files exist on return
+    }
 
   /** `wsp_roundtrip`: write the 1m LWW level of the last retention day
     * as one `.wsp` file per metric, scan the tree back through
@@ -39,13 +44,7 @@ object WspQueries {
     * frame the oracle derives relationally.
     */
   def wspRoundtrip(s: SparkSession, dir: String): DataFrame = {
-    val base = wspBase(s, dir)
-    exported.getOrElseUpdate(base, {
-      val level = Ingest.lwwAlign(Buckets.points(s, dir), 60)
-        .filter(col("bucket_ts") >= FromB && col("bucket_ts") < NowS)
-      WspWrite.exportLevel(level, base, schema)
-      true
-    })
+    val base = ensureExported(s, dir)
     s.read.format("wsp").load(base)
       .select(col("metric"), col("ts_s").as("bucket_ts"),
         round(col("value"), 6).as("value"))
@@ -74,8 +73,7 @@ object WspQueries {
     * from the same broadcast spine join as [[graft.ops.Fetch]].
     */
   def wspFetch(s: SparkSession, dir: String): DataFrame = {
-    wspRoundtrip(s, dir).count() // ensure the tree is exported (memoized)
-    val base = wspBase(s, dir)
+    val base = ensureExported(s, dir)
     val pts = s.read.format("wsp").load(base)
       .filter(col("metric") === "error" &&
         col("ts_s") >= FetchFromI && col("ts_s") < FetchUntilI)

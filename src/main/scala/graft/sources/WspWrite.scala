@@ -66,12 +66,24 @@ object WspWrite {
       .as[(String, Int, Long, Double)]
       .groupByKey(_._1)
       .mapGroups { (metric, rows) =>
+        // one-pass slot-level LWW, O(ring) memory: per archive keep the
+        // max-interval point of each slot CLASS (interval/spp mod N —
+        // base choice only rotates slots, it never splits or merges
+        // classes), so a months-long backfill of a 1440-slot ring holds
+        // 1440 winners, not every input point. Max interval per class =
+        // exactly what applying points in time order leaves behind.
+        val retentions = schema.retentions.toArray
         val byArchive = Array.fill(nLevels)(
-          scala.collection.mutable.ArrayBuffer.empty[(Long, Double)])
+          scala.collection.mutable.LongMap.empty[(Long, Double)])
         var n = 0L
         rows.foreach { case (_, a, ts, v) =>
           require(a >= 0 && a < nLevels, s"archive index $a out of range for $metric")
-          byArchive(a) += ((ts, v)); n += 1
+          val r = retentions(a)
+          val cls = java.lang.Math.floorMod(
+            ts / r.secondsPerPoint, r.numberOfPoints.toLong)
+          val prev = byArchive(a).getOrNull(cls)
+          if (prev == null || ts > prev._1) byArchive(a)(cls) = (ts, v)
+          n += 1
         }
         val path = new org.apache.hadoop.fs.Path(outDir, s"$metric.wsp")
         val fs = path.getFileSystem(conf.value)
@@ -87,7 +99,7 @@ object WspWrite {
             // ring geometry must match exactly — same total size does not
             // imply same (spp, points) layout, and a mismatched merge
             // would scatter points into the wrong rings
-            val hdr = WspCodec.readHeader(bytes)
+            val hdr = WspCodec.readHeader(bytes, path.toString)
             require(
               hdr.archives.map(a => (a.secondsPerPoint, a.numberOfPoints)) ==
                 schema.retentions.map(r => (r.secondsPerPoint, r.numberOfPoints)),
@@ -97,10 +109,20 @@ object WspWrite {
           } else WspCodec.emptyFile(schema)
         val infos = WspCodec.archiveInfos(schema)
         infos.zipWithIndex.foreach { case (info, i) =>
-          WspCodec.writeArchive(file, info, byArchive(i).toSeq)
+          WspCodec.writeArchive(file, info, byArchive(i).values.toSeq)
         }
-        val out = fs.create(path, true)
+        // write-to-temp + rename: a killed task or a speculative duplicate
+        // attempt must never leave a truncated file (which would wedge
+        // every later merge on the length check). The delete+rename pair
+        // leaves either the old complete file, no file, or the new
+        // complete file — never a partial image.
+        val tmpPath = new org.apache.hadoop.fs.Path(outDir,
+          s".$metric.wsp.tmp.${java.util.UUID.randomUUID().toString.take(8)}")
+        val out = fs.create(tmpPath, true)
         try out.write(file) finally out.close()
+        if (fs.exists(path)) fs.delete(path, false)
+        if (!fs.rename(tmpPath, path))
+          throw new java.io.IOException(s"rename $tmpPath -> $path failed")
         (metric, n, file.length.toLong)
       }
       .toDF("metric", "n_points", "bytes")

@@ -130,6 +130,20 @@ class WspSpec extends AnyFunSuite {
     assert(q.collect().map(_.getDouble(4)).toSeq == Seq(2.0))
   }
 
+  test("ts bounds at the Long extremes yield empty results, not full scans") {
+    import spark.implicits._
+    val dir = tmp()
+    WspWrite.export(
+      Seq(("a", 0, 100L, 1.0)).toDF("metric", "archive", "bucket_ts", "value"),
+      dir, schema)
+    // strict bounds at the extremes are provably empty; a naive v±1
+    // conversion would wrap and return every row (filters are absorbed)
+    assert(spark.read.format("wsp").load(dir)
+      .filter($"ts_s" > Long.MaxValue).count() == 0)
+    assert(spark.read.format("wsp").load(dir)
+      .filter($"ts_s" < Long.MinValue).count() == 0)
+  }
+
   test("nested directories become dotted metric names") {
     import spark.implicits._
     val dir = tmp()

@@ -100,7 +100,7 @@ final class WspTable(roots: Seq[String]) extends Table with SupportsRead {
   override def name(): String = s"wsp:${roots.mkString(",")}"
   override def schema(): StructType = WspTable.Schema
   override def capabilities(): java.util.Set[TableCapability] =
-    java.util.EnumSet.of(TableCapability.BATCH_READ)
+    java.util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new WspScanBuilder(roots)
 }
@@ -181,25 +181,31 @@ final class WspScan(
     s"wsp ${roots.mkString(",")} metric=$m ts_s=[$tsLo,$tsHi]"
   }
 
-  /** Every selected `.wsp` file with its size and derived metric name —
-    * metric pruning happens HERE, before any byte is read. */
-  private[sources] def listFiles(): Seq[(String, Long, String)] =
+  /** Every selected `.wsp` file with its size, derived metric name, and
+    * modification time — metric pruning happens HERE, before any byte is
+    * read (shared by the batch and streaming planners).
+    */
+  private[sources] def listFilesWithMtime(): Seq[((String, Long, String), Long)] =
     roots.flatMap { r =>
       val root = new org.apache.hadoop.fs.Path(r)
       val fs = root.getFileSystem(conf.value)
       val qualified = fs.makeQualified(root)
       val it = fs.listFiles(qualified, true)
-      val out = Seq.newBuilder[(String, Long, String)]
+      val out = Seq.newBuilder[((String, Long, String), Long)]
       while (it.hasNext) {
         val st = it.next()
         if (st.isFile && st.getPath.getName.endsWith(".wsp")) {
           val metric = WspTable.metricFor(qualified, st.getPath)
           if (metrics.forall(_.contains(metric)))
-            out += ((st.getPath.toString, st.getLen, metric))
+            out += (((st.getPath.toString, st.getLen, metric),
+              st.getModificationTime))
         }
       }
       out.result()
     }
+
+  private[sources] def listFiles(): Seq[(String, Long, String)] =
+    listFilesWithMtime().map(_._1)
 
   /** Next-fit-decreasing bin-pack into ≤ maxPartitionBytes bins — O(n)
     * after the sort, so planning stays linear at the millions-of-files
@@ -210,8 +216,11 @@ final class WspScan(
     * task count tracks bytes, not file count, and one giant file still
     * gets its own task.
     */
-  override def planInputPartitions(): Array[InputPartition] = {
-    val files = listFiles().sortBy(-_._2)
+  override def planInputPartitions(): Array[InputPartition] =
+    packFiles(listFiles())
+
+  private[sources] def packFiles(selected: Seq[(String, Long, String)]): Array[InputPartition] = {
+    val files = selected.sortBy(-_._2)
     val bins = scala.collection.mutable.ArrayBuffer.empty[
       scala.collection.mutable.ArrayBuffer[(String, Long, String)]]
     var openSize = 0L
@@ -227,6 +236,63 @@ final class WspScan(
 
   override def createReaderFactory(): PartitionReaderFactory =
     new WspReaderFactory(required, tsLo, tsHi, conf)
+
+  /** Streaming read: tail a LIVE whisper tree — the reverse direction of
+    * [[graft.streaming.StreamIngest.wspWriter]] (a carbon daemon keeps
+    * writing; Spark keeps reading). Change capture is FILE-granular:
+    * the offset is the tree's max (mtime, length) fingerprint, and each
+    * micro-batch re-emits every point of the files that changed since
+    * the previous offset. Whisper has no per-slot changelog — the file
+    * IS the state — so re-emission is the honest contract; compose with
+    * an LWW/idempotent sink ([[graft.streaming.StreamIngest]] paths)
+    * exactly as whisper replays are absorbed anywhere else. Metric/ts
+    * pushdown and column pruning apply per micro-batch unchanged.
+    */
+  override def toMicroBatchStream(checkpointLocation: String)
+      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+    new WspMicroBatchStream(this)
+}
+
+/** Offset = the max of every visible file's (modification time in ms)
+  * at planning. Monotone under the append-only/merge-write discipline
+  * of a live tree; a batch covers files with `start < mtime <= end`.
+  */
+final case class WspOffset(maxMtime: Long)
+    extends org.apache.spark.sql.connector.read.streaming.Offset {
+  override def json(): String = s"""{"maxMtime":$maxMtime}"""
+}
+
+final class WspMicroBatchStream(scan: WspScan)
+    extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream {
+  import org.apache.spark.sql.connector.read.streaming.Offset
+
+  override def initialOffset(): Offset = WspOffset(Long.MinValue)
+
+  override def latestOffset(): Offset = {
+    val ms = scan.listFilesWithMtime().map(_._2)
+    WspOffset(if (ms.isEmpty) Long.MinValue else ms.max)
+  }
+
+  override def deserializeOffset(json: String): Offset = {
+    import org.json4s._
+    import org.json4s.jackson.JsonMethods
+    implicit val formats: Formats = DefaultFormats
+    WspOffset((JsonMethods.parse(json) \ "maxMtime").extract[Long])
+  }
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val lo = start.asInstanceOf[WspOffset].maxMtime
+    val hi = end.asInstanceOf[WspOffset].maxMtime
+    val changed = scan.listFilesWithMtime()
+      .collect { case (f, m) if m > lo && m <= hi => f }
+    scan.packFiles(changed)
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    scan.createReaderFactory()
+
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
 }
 
 final class WspReaderFactory(

@@ -225,6 +225,43 @@ class WspSpec extends AnyFunSuite {
     assert(err.getMessage != null)
   }
 
+  test("streaming read tails a live tree across merge writes") {
+    import spark.implicits._
+    val dir = tmp()
+    WspWrite.export(
+      Seq(("cpu", 0, 1000L, 1.0)).toDF("metric", "archive", "bucket_ts", "value"),
+      dir, schema)
+    // end-to-end plumbing: readStream through the registered source
+    spark.readStream.format("wsp").load(dir)
+      .select("metric", "ts_s", "value")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("wsp_tail")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start().awaitTermination()
+    assert(spark.table("wsp_tail").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet ==
+      Set(("cpu", 1000L, 1.0)))
+
+    // incremental contract, driven through the MicroBatchStream API:
+    // only files whose mtime moved past the prior offset are planned
+    val scan = new WspScanBuilder(Seq(dir)).build().asInstanceOf[WspScan]
+    val stream = scan.toMicroBatchStream("unused")
+    val o1 = stream.latestOffset()
+    assert(stream.planInputPartitions(stream.initialOffset(), o1)
+      .flatMap(_.asInstanceOf[WspInputPartition].files).map(_._3).toSet == Set("cpu"))
+    assert(stream.planInputPartitions(o1, o1).isEmpty) // nothing changed
+    Thread.sleep(1100) // mtime granularity can be one second
+    WspWrite.merge(
+      Seq(("gpu", 0, 500L, 7.0)).toDF("metric", "archive", "bucket_ts", "value"),
+      dir, schema)
+    val o2 = stream.latestOffset()
+    // only the NEW file is in the delta; cpu.wsp's mtime never moved
+    assert(stream.planInputPartitions(o1, o2)
+      .flatMap(_.asInstanceOf[WspInputPartition].files).map(_._3).toSet == Set("gpu"))
+    // offset survives a checkpoint round trip
+    assert(stream.deserializeOffset(o2.json()) == o2)
+  }
+
   test("bin-packing groups many small files into few partitions") {
     import spark.implicits._
     val dir = tmp()

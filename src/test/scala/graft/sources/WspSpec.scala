@@ -144,6 +144,20 @@ class WspSpec extends AnyFunSuite {
       .filter($"ts_s" < Long.MinValue).count() == 0)
   }
 
+  test("SQL surface: CREATE TEMPORARY VIEW USING wsp") {
+    import spark.implicits._
+    val dir = tmp()
+    WspWrite.export(
+      Seq(("a", 0, 100L, 1.0), ("b", 0, 100L, 2.0))
+        .toDF("metric", "archive", "bucket_ts", "value"),
+      dir, schema)
+    spark.sql(
+      s"CREATE OR REPLACE TEMPORARY VIEW wsp_sql_view USING wsp OPTIONS (path '$dir')")
+    assert(spark.sql("SELECT count(*) FROM wsp_sql_view").head().getLong(0) == 2)
+    assert(spark.sql("SELECT value FROM wsp_sql_view WHERE metric = 'b'")
+      .head().getDouble(0) == 2.0)
+  }
+
   test("nested directories become dotted metric names") {
     import spark.implicits._
     val dir = tmp()

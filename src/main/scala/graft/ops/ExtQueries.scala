@@ -32,6 +32,7 @@ object ExtQueries {
     "text_langid" -> (TextAnalysis.textLangid _),
     "text_token_count" -> (TextAnalysis.textTokenCount _),
     "token_docfreq" -> (TextAnalysis.tokenDocfreq _),
+    "text_lm_score" -> (TextAnalysis.textLmScore _),
     "token_len_quantiles" -> (TextAnalysis.tokenLenQuantiles _),
     "doc_fingerprint" -> (TextAnalysis.docFingerprint _),
     "dedup_collapse" -> (Curation.dedupCollapse _),
@@ -72,6 +73,7 @@ object ExtQueries {
     "text_langid" -> TextAnalysis.textLangidSql,
     "text_token_count" -> TextAnalysis.textTokenCountSql,
     "token_docfreq" -> TextAnalysis.tokenDocfreqSql,
+    "text_lm_score" -> TextAnalysis.textLmScoreSql,
     "token_len_quantiles" -> TextAnalysis.tokenLenQuantilesSql,
     "doc_fingerprint" -> TextAnalysis.docFingerprintSql,
     "dedup_collapse" -> Curation.dedupCollapseSql,

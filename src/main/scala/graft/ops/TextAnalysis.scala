@@ -240,4 +240,62 @@ object TextAnalysis {
        |       list_aggregate(list_transform(generate_series(1, len(toks) - 7),
        |         i -> md5(array_to_string(list_slice(toks, i, i + 7), ' '))), 'min') AS shingle_fp
        |FROM d ORDER BY doc_id""".stripMargin
+
+  // ------------------------------------------------- bigram LM fluency
+
+  /** `text_lm_score`: per-document mean bigram log-probability under an
+    * add-one-smoothed bigram model trained on the corpus itself — the
+    * perplexity-proxy fluency gate of classic corpus curation (a KenLM
+    * stand-in that needs no external model):
+    * `score(d) = mean over bigrams (t1,t2) of ln((c(t1,t2)+1)/(c(t1)+V))`.
+    * Degenerate/boilerplate text scores high (its bigrams dominate the
+    * corpus), dissimilar-to-corpus text scores low — filter both tails.
+    *
+    * Scale shape: bigram instances come from two staggered slices zipped
+    * positionally (codegen, zero shuffle — the [[graft.ops.Dedup
+    * .shingleSet]] trick at width 2); the model is two partial-aggregated
+    * count tables keyed by token; scoring joins instances to counts by
+    * token and reduces per doc_id. Every shuffle key is a token or a
+    * doc_id — nothing corpus-wide ever sits on one node. At 100 TB the
+    * count tables are Zipf-concentrated and join-skewed on the head
+    * tokens; AQE skew-join or a salted count table is the standard
+    * answer, and a real deployment trains V and the counts on a sample.
+    */
+  def textLmScore(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val n1 = greatest(size(col("t")) - 1, lit(0))
+    val bi = d.select(col("doc_id"), expr(toksExpr).as("t"))
+      .select(col("doc_id"),
+        explode(arrays_zip(
+          slice(col("t"), lit(1), n1).as("a"),
+          slice(col("t"), lit(2), n1).as("b"))).as("z"))
+      .select(col("doc_id"), col("z.a").as("t1"), col("z.b").as("t2"))
+    val uni = d.select(explode(expr(toksExpr)).as("t1"))
+      .groupBy("t1").agg(count(lit(1)).as("cu"))
+    val big = bi.groupBy("t1", "t2").agg(count(lit(1)).as("cb"))
+    val v = uni.count() // vocabulary size — one small scalar action
+    bi.join(big, Seq("t1", "t2")).join(uni, Seq("t1"))
+      .groupBy("doc_id")
+      .agg(
+        round(avg(log((col("cb") + 1).cast("double") /
+          (col("cu") + lit(v)).cast("double"))), 6).as("lm_score"),
+        count(lit(1)).as("n_bigrams"))
+      .orderBy("doc_id")
+  }
+
+  val textLmScoreSql: String =
+    s"""WITH d AS (SELECT doc_id, $toksSql AS t FROM documents),
+       |bi AS (
+       |  SELECT doc_id, t[s.i] AS t1, t[s.i + 1] AS t2
+       |  FROM d, unnest(generate_series(1, len(t) - 1)) AS s(i)),
+       |uni AS (
+       |  SELECT t1, count(*) AS cu
+       |  FROM (SELECT unnest(t) AS t1 FROM d) GROUP BY 1),
+       |big AS (SELECT t1, t2, count(*) AS cb FROM bi GROUP BY 1, 2),
+       |vsz AS (SELECT count(*) AS v FROM uni)
+       |SELECT doc_id,
+       |       round(avg(ln((cb + 1) * 1.0 / (cu + v))), 6) AS lm_score,
+       |       count(*) AS n_bigrams
+       |FROM bi JOIN big USING (t1, t2) JOIN uni USING (t1) CROSS JOIN vsz
+       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
 }

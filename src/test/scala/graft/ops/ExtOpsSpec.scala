@@ -60,6 +60,19 @@ class ExtOpsSpec extends AnyFunSuite {
     assert(banded == brute)
   }
 
+  test("text_lm_score: negative log-probs, one bigram per adjacent pair") {
+    val rows = TextAnalysis.textLmScore(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getLong(2)))
+    assert(rows.length == 500)
+    // ln of a probability strictly below 1 (V > any count) is negative
+    assert(rows.forall(_._2 < 0))
+    // every doc has >= 10 tokens in the fixture -> >= 9 bigram instances
+    assert(rows.forall(_._3 >= 9))
+    val again = TextAnalysis.textLmScore(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getLong(2)))
+    assert(rows.sameElements(again)) // deterministic incl. the rounding
+  }
+
   test("similarity_topk: exactly k neighbors per query, scores non-increasing") {
     val rows = Similarity.similarityTopk(spark, dir).collect()
     val byQuery = rows.groupBy(_.getLong(0))

@@ -105,7 +105,12 @@ object ExplainDump {
       ("SimHash at scale: one scan of the materialized fingerprint " +
         "index exploded to 4 band rows, bucket-local pair generation " +
         "(hash aggregate, no self-join), exact bit_count verification " +
-        "on candidates only — no CartesianProduct anywhere."))
+        "on candidates only — no CartesianProduct anywhere."),
+    "text_lm_score" ->
+      ("Bigram LM scoring: instances from zipped slices in the scan's " +
+        "codegen stage (no window, no extra shuffle), two " +
+        "partial-aggregated count tables keyed by token, instance->" +
+        "count hash joins, per-doc partial/final aggregate."))
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.lift(0).getOrElse("/root/testdata/sf0.001")

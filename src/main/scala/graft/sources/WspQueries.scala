@@ -94,11 +94,83 @@ object WspQueries {
        |  ON l.metric = 'error' AND l.bucket_ts = s.bucket_ts
        |ORDER BY s.bucket_ts""".stripMargin
 
+  // ------------------------------------------------ multi-archive round trip
+
+  /** The std 3-level geometry under Sum/xff-0 cascade derivation (the
+    * `rollup_cascade_*` keys' semantics, so the oracle CTEs are the
+    * already-proven cascade SQL). Each level is retention-filtered to
+    * exactly its ring capacity before export.
+    */
+  private val MultiSchema = graft.model.WhisperSchema(
+    Retentions.std.retentions, graft.model.AggregationMethod.Sum, 0.0)
+
+  private def ensureExportedMulti(s: SparkSession, dir: String): String =
+    Dedup.sharedIndexPath(s, dir, "events.parquet", "wsp_multi") { base =>
+      val lww = Ingest.lwwAlign(Buckets.points(s, dir), 60)
+      val r5m = graft.ops.Rollup.propagate(
+        lww, 60, 300, graft.model.AggregationMethod.Sum, 0.0)
+        .select(col("metric"), col("bucket_ts"), col("value"))
+      val r1h = graft.ops.Rollup.propagate(
+        r5m, 300, 3600, graft.model.AggregationMethod.Sum, 0.0)
+        .select(col("metric"), col("bucket_ts"), col("value"))
+      val levels = Seq(lww, r5m, r1h).zip(MultiSchema.retentions).zipWithIndex
+        .map { case ((df, r), i) =>
+          df.filter(col("bucket_ts") >= NowS - r.maxRetentionSeconds &&
+              col("bucket_ts") < NowS)
+            .withColumn("archive", lit(i))
+        }
+      WspWrite.export(levels.reduce(_ unionAll _), base, MultiSchema)
+      ()
+    }
+
+  /** `wsp_roundtrip_multi`: ALL THREE archive levels of the std cascade
+    * through the binary format — each level derived relationally,
+    * ring-packed into its own archive, scanned back, and hash-compared
+    * against the cascade SQL. Extends the single-level roundtrip's
+    * lossless-codec proof to multi-archive files (previously only
+    * golden-tested via `exportWsp`).
+    */
+  def wspRoundtripMulti(s: SparkSession, dir: String): DataFrame = {
+    val base = ensureExportedMulti(s, dir)
+    s.read.format("wsp").load(base)
+      .select(col("metric"), col("archive"), col("spp"),
+        col("ts_s").as("bucket_ts"), round(col("value"), 6).as("value"))
+      .orderBy("metric", "archive", "bucket_ts")
+  }
+
+  val wspRoundtripMultiSql: String = {
+    import graft.model.AggregationMethod.Sum
+    import graft.ops.Rollup
+    val rets = MultiSchema.retentions
+    def levelSelect(cte: String, i: Int) = {
+      val r = rets(i)
+      s"""SELECT metric, CAST($i AS INT) AS archive,
+         |       CAST(${r.secondsPerPoint} AS INT) AS spp, bucket_ts,
+         |       round(value, 6) AS value
+         |FROM $cte
+         |WHERE bucket_ts >= ${NowS - r.maxRetentionSeconds}
+         |  AND bucket_ts < $NowS""".stripMargin
+    }
+    s"""WITH $pointsSql,
+       |lww1m AS (${Ingest.lwwAlignSql(60)}),
+       |r5m AS (${Rollup.propagateSql("lww1m", 60, 300, Sum, 0.0)}),
+       |r5v AS (SELECT metric, bucket_ts, value FROM r5m),
+       |r1h AS (${Rollup.propagateSql("r5v", 300, 3600, Sum, 0.0)})
+       |${levelSelect("lww1m", 0)}
+       |UNION ALL
+       |${levelSelect("r5v", 1)}
+       |UNION ALL
+       |${levelSelect("r1h", 2)}
+       |ORDER BY metric, archive, bucket_ts""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "wsp_roundtrip" -> (wspRoundtrip _),
+    "wsp_roundtrip_multi" -> (wspRoundtripMulti _),
     "wsp_fetch" -> (wspFetch _))
 
   val oracleSql: Map[String, String] = Map(
     "wsp_roundtrip" -> wspRoundtripSql,
+    "wsp_roundtrip_multi" -> wspRoundtripMultiSql,
     "wsp_fetch" -> wspFetchSql)
 }

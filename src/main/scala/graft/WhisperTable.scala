@@ -429,4 +429,50 @@ object WhisperTable {
       throw new IllegalStateException(s"no such table: $path")
     new WhisperTable(spark, path, schema)
   }
+
+  /** Parse a WhisperSchema from one `.wsp` file's binary header — the
+    * schema side of `Open`/`readHeader` against real reference storage.
+    */
+  def schemaFromWspFile(spark: SparkSession, file: String): WhisperSchema = {
+    val (fs, p) = fsOf(spark, file)
+    val n = graft.sources.WspCodec.headerSize(64) // ≥ any sane archive count
+    val totalLen = fs.getFileStatus(p).getLen
+    val bytes = new Array[Byte](math.min(totalLen, n.toLong).toInt)
+    val in = fs.open(p)
+    try in.readFully(0, bytes) finally in.close()
+    val h = graft.sources.WspCodec.readHeader(bytes, file, totalLen)
+    WhisperSchema(
+      h.archives.map(_.retention),
+      AggregationMethod.fromId(h.aggregationType),
+      h.xFilesFactor.toDouble)
+  }
+
+  /** Migrate an EXISTING whisper tree into the engine in one call: adopt
+    * the tree's schema from its first file's binary header, create the
+    * table, and bulk-load every archive level through the `wsp` source —
+    * the "switch to this library" motion for a reference user, no manual
+    * schema and no conversion scripts. Assumes a homogeneous tree (one
+    * retention config — whisper deployments vary config per
+    * storage-schemas.conf pattern; import each such subtree separately);
+    * files with a different ring geometry fail loudly in the scan.
+    */
+  def importWsp(spark: SparkSession, treeDir: String, tablePath: String): WhisperTable = {
+    val (fs, dir) = fsOf(spark, treeDir)
+    val it = fs.listFiles(fs.makeQualified(dir), true)
+    var first: Option[String] = None
+    while (first.isEmpty && it.hasNext) {
+      val st = it.next()
+      if (st.isFile && st.getPath.getName.endsWith(".wsp"))
+        first = Some(st.getPath.toString)
+    }
+    val schema = schemaFromWspFile(spark,
+      first.getOrElse(throw new IllegalStateException(s"no .wsp files under $treeDir")))
+    val t = create(spark, tablePath, schema)
+    val pts = spark.read.format("wsp").load(treeDir)
+    schema.retentions.zipWithIndex.foreach { case (r, i) =>
+      t.writeLevelFull(r, pts.filter(col("archive") === i)
+        .select(col("metric"), col("ts_s").as("bucket_ts"), col("value")))
+    }
+    t
+  }
 }

@@ -137,7 +137,12 @@ object WspCodec {
       sorted.foreach { case (i, v) => writeSlot(file, info, base, i, v) }
     }
 
-  def readHeader(file: Array[Byte], name: String = "<wsp>"): WspHeader = {
+  /** `totalLen` (when ≥ 0) is the on-disk file length, for callers that
+    * read only the header region — the ring-fit validation must check
+    * rings against the FILE, not the header buffer. */
+  def readHeader(file: Array[Byte], name: String = "<wsp>",
+      totalLen: Long = -1L): WspHeader = {
+    val fileLen = if (totalLen >= 0) totalLen else file.length.toLong
     require(file.length >= MetadataSize, s"$name: truncated header, ${file.length} bytes")
     val buf = java.nio.ByteBuffer.wrap(file).order(java.nio.ByteOrder.BIG_ENDIAN)
     val aggType = buf.getInt()
@@ -156,8 +161,8 @@ object WspCodec {
     // fails HERE with its name, not mid-decode with a raw buffer error
     archives.foreach { a =>
       require(a.offset >= headerSize(n) && a.numberOfPoints > 0 &&
-          a.offset.toLong + a.numberOfPoints.toLong * PointSize <= file.length,
-        s"$name: archive $a does not fit in ${file.length} bytes")
+          a.offset.toLong + a.numberOfPoints.toLong * PointSize <= fileLen,
+        s"$name: archive $a does not fit in $fileLen bytes")
     }
     WspHeader(aggType, maxRet, xff, archives)
   }

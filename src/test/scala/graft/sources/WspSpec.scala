@@ -195,6 +195,31 @@ class WspSpec extends AnyFunSuite {
       ("cpu", 1, base, 3.0), ("cpu", 1, base + 10, 5.0), ("mem", 1, base, 7.0)))
   }
 
+  test("importWsp: a tree exported from one table rebuilds an equal table") {
+    import spark.implicits._
+    import graft.{TimeSeriesPoint, WhisperTable}
+    val now = 1706659200L
+    val t1 = WhisperTable.create(spark,
+      Files.createTempDirectory("wsp_import").resolve("src").toString,
+      Retentions.tight) // 1s:120, 10s:1h, Sum
+    val base = now - 40
+    t1.updateMany(Seq(
+      TimeSeriesPoint("cpu", base, 1.0), TimeSeriesPoint("cpu", base + 3, 2.0),
+      TimeSeriesPoint("mem", base + 12, 5.0)).toDS(), now)
+    val tree = tmp()
+    t1.exportWsp(tree)
+    // one call: schema read from the binary header, levels bulk-loaded
+    val t2 = WhisperTable.importWsp(spark, tree,
+      Files.createTempDirectory("wsp_import").resolve("dst").toString)
+    assert(t2.retentions == Retentions.tight.retentions)
+    assert(t2.aggregationMethod == graft.model.AggregationMethod.Sum)
+    def dense(t: WhisperTable, m: String) =
+      t.fetch(m, now - 60, now, now).collect()
+        .map(r => (r.getLong(0), if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toSeq
+    assert(dense(t2, "cpu") == dense(t1, "cpu"))
+    assert(dense(t2, "mem") == dense(t1, "mem"))
+  }
+
   test("merge updates a live tree: old slots survive, same slots overwrite") {
     import spark.implicits._
     val dir = tmp()

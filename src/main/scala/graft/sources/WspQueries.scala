@@ -164,13 +164,47 @@ object WspQueries {
        |ORDER BY metric, archive, bucket_ts""".stripMargin
   }
 
+  /** `wsp_fetch_many`: the batched dashboard fan-out (the engine's
+    * `fetchMany` advantage, SURVEY §2.7) against whisper storage — an
+    * `isin` metric predicate pushes as `In` file pruning (N files opened
+    * for N requested series, never the tree), one broadcast spine serves
+    * every series' dense gap-filled frame.
+    */
+  def wspFetchMany(s: SparkSession, dir: String): DataFrame = {
+    val base = ensureExported(s, dir)
+    val ms = Seq("error", "click")
+    import s.implicits._
+    val pts = s.read.format("wsp").load(base)
+      .filter(col("metric").isin(ms: _*) &&
+        col("ts_s") >= FetchFromI && col("ts_s") < FetchUntilI)
+      .select(col("metric"), col("ts_s").as("bucket_ts"), col("value"))
+    s.range(FetchFromI, FetchUntilI, 60L).toDF("bucket_ts")
+      .crossJoin(broadcast(ms.toDF("metric")))
+      .join(pts, Seq("metric", "bucket_ts"), "left")
+      .select(col("metric"), col("bucket_ts"), round(col("value"), 6).as("value"))
+      .orderBy("metric", "bucket_ts")
+  }
+
+  val wspFetchManySql: String =
+    s"""WITH $pointsSql,
+       |lww1m AS (${Ingest.lwwAlignSql(60)}),
+       |req AS (SELECT unnest(['error', 'click']) AS metric),
+       |spine AS (SELECT metric, range AS bucket_ts
+       |          FROM req, range($FetchFromI, $FetchUntilI, 60))
+       |SELECT s.metric, s.bucket_ts, round(l.value, 6) AS value
+       |FROM spine s LEFT JOIN lww1m l
+       |  ON l.metric = s.metric AND l.bucket_ts = s.bucket_ts
+       |ORDER BY s.metric, s.bucket_ts""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "wsp_roundtrip" -> (wspRoundtrip _),
     "wsp_roundtrip_multi" -> (wspRoundtripMulti _),
-    "wsp_fetch" -> (wspFetch _))
+    "wsp_fetch" -> (wspFetch _),
+    "wsp_fetch_many" -> (wspFetchMany _))
 
   val oracleSql: Map[String, String] = Map(
     "wsp_roundtrip" -> wspRoundtripSql,
     "wsp_roundtrip_multi" -> wspRoundtripMultiSql,
-    "wsp_fetch" -> wspFetchSql)
+    "wsp_fetch" -> wspFetchSql,
+    "wsp_fetch_many" -> wspFetchManySql)
 }

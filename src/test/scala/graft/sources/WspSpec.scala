@@ -248,6 +248,29 @@ class WspSpec extends AnyFunSuite {
     assert(WspCodec.archiveBase(bytes, WspCodec.archiveInfos(schema).head) == 1000L)
   }
 
+  test("merge is idempotent: replaying a batch leaves identical bytes") {
+    import spark.implicits._
+    val dir = tmp()
+    val b1 = Seq(("cpu", 0, 1000L, 1.0), ("cpu", 0, 1010L, 2.0))
+      .toDF("metric", "archive", "bucket_ts", "value")
+    val b2 = Seq(("cpu", 0, 1010L, 9.0), ("cpu", 0, 1020L, 3.0))
+      .toDF("metric", "archive", "bucket_ts", "value")
+    WspWrite.export(b1, dir, schema)
+    WspWrite.merge(b2, dir, schema)
+    def bytesOf: Seq[Byte] = {
+      val p = new org.apache.hadoop.fs.Path(s"$dir/cpu.wsp")
+      val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+      val b = new Array[Byte](WspCodec.fileSize(schema))
+      val in = fs.open(p); try in.readFully(0, b) finally in.close()
+      b.toSeq
+    }
+    val once = bytesOf
+    // at-least-once delivery: the same micro-batch merged again must be
+    // a byte-level no-op (slot overwrite with the same winners)
+    WspWrite.merge(b2, dir, schema)
+    assert(bytesOf == once)
+  }
+
   test("merge refuses a file whose retention config does not match") {
     import spark.implicits._
     val dir = tmp()

@@ -36,8 +36,15 @@ object Bench {
         val sib = new java.io.File(new java.io.File(sfDir).getParent, "sf0.001")
         if (sib.isDirectory) sib.getPath else sfDir
       }
+      // dedup_simhash{,_pairs} join the list for the same reason: their
+      // timed cost was 2/3 cold codegen of the md5-token pipeline plus
+      // first-touch parquet-writer JIT for the tiny fingerprint index —
+      // fixed JVM costs, not plan work (the sf0.001 warm-up builds
+      // sf0.001's OWN index; the timed sf dir still builds its index
+      // inside the timed region, exactly as before)
       for (k <- Seq("agg_avg", "agg_avg_xff", "agg_last", "agg_max",
-                    "agg_min", "agg_sum"))
+                    "agg_min", "agg_sum", "dedup_simhash",
+                    "dedup_simhash_pairs"))
         try { SparkEntry.queries(k)(spark, warmDir).count(); () }
         catch { case _: Throwable => () }
       val docs = spark.read.parquet(s"$sfDir/documents.parquet").limit(64)

@@ -526,19 +526,21 @@ object Dedup {
     })
 
   private def simhashFp(s: SparkSession, dir: String): DataFrame = {
+    // the 64 vote bits = the first 16 hex chars of md5(token), parsed
+    // big-endian as two u32 halves (each fits a Long through `conv`) and
+    // packed with shift/or — which, unlike `*`/`+`, never overflow-check
+    // under ANSI. The fold itself is ONE typed aggregate over h64
+    // (graft.functions.SimhashAgg) instead of 64 interpreted bit-sum
+    // expressions per token row — the r5 bench regression.
     val tok = docs(s, dir)
       .select(col("doc_id"), explode(expr(toksExpr)).as("t"))
       .withColumn("h", md5(col("t")))
-    val bitSums = (0 until SimhashBits).map { k =>
-      val nibble = s"position(substring(h, ${k / 4 + 1}, 1), '0123456789abcdef') - 1"
-      val bit = s"(($nibble) div ${1 << (3 - k % 4)}) % 2"
-      sum(expr(s"2 * ($bit) - 1")).as(s"s_$k")
-    }
-    val sums = tok.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
-    val fp = (0 until SimhashBits).map { k =>
-      when(col(s"s_$k") > 0, lit(1L << k)).otherwise(lit(0L))
-    }.reduce(_ + _)
-    sums.select(col("doc_id"), fp.as("simhash"))
+      .select(col("doc_id"),
+        shiftleft(expr("cast(conv(substring(h, 1, 8), 16, 10) as bigint)"), 32)
+          .bitwiseOR(expr("cast(conv(substring(h, 9, 8), 16, 10) as bigint)"))
+          .as("h64"))
+    tok.groupBy("doc_id")
+      .agg(graft.functions.SimhashAgg(col("h64")).as("simhash"))
   }
 
   private def simhashCtes: String = {

@@ -240,13 +240,15 @@ final class WspScan(
   /** Streaming read: tail a LIVE whisper tree — the reverse direction of
     * [[graft.streaming.StreamIngest.wspWriter]] (a carbon daemon keeps
     * writing; Spark keeps reading). Change capture is FILE-granular:
-    * the offset is the tree's max (mtime, length) fingerprint, and each
-    * micro-batch re-emits every point of the files that changed since
-    * the previous offset. Whisper has no per-slot changelog — the file
-    * IS the state — so re-emission is the honest contract; compose with
-    * an LWW/idempotent sink ([[graft.streaming.StreamIngest]] paths)
-    * exactly as whisper replays are absorbed anywhere else. Metric/ts
-    * pushdown and column pruning apply per micro-batch unchanged.
+    * the offset is the tree's max modification time, and each
+    * micro-batch re-emits every point of the files whose mtime reached
+    * the previous offset or moved past it (`mtime >= start` — see
+    * [[WspOffset]] for why the boundary is INCLUSIVE). Whisper has no
+    * per-slot changelog — the file IS the state — so re-emission is the
+    * honest contract; compose with an LWW/idempotent sink
+    * ([[graft.streaming.StreamIngest]] paths) exactly as whisper replays
+    * are absorbed anywhere else. Metric/ts pushdown and column pruning
+    * apply per micro-batch unchanged.
     */
   override def toMicroBatchStream(checkpointLocation: String)
       : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
@@ -255,7 +257,22 @@ final class WspScan(
 
 /** Offset = the max of every visible file's (modification time in ms)
   * at planning. Monotone under the append-only/merge-write discipline
-  * of a live tree; a batch covers files with `start < mtime <= end`.
+  * of a live tree; a batch covers files with `start <= mtime <= end`.
+  *
+  * The start boundary is INCLUSIVE by design: filesystems report mtime
+  * at coarse quanta (often whole seconds), and a `.wsp` file is
+  * fixed-size (the ring is pre-allocated), so a file rewritten within
+  * the same quantum as an already-planned batch is METADATA-IDENTICAL
+  * to its planned state — no (mtime, length) fingerprint can tell them
+  * apart. Re-planning the boundary files in the next batch closes that
+  * window: under sustained write load every same-quantum rewrite is
+  * re-read as soon as any later change fires a batch. The cost is one
+  * duplicate emission of the boundary files per offset advance,
+  * absorbed by the LWW/idempotent sinks this source documents as its
+  * composition contract. Detection limit, stated honestly: a rewrite in
+  * the final quantum of a tree that then goes permanently quiet leaves
+  * no metadata signal at all and is not re-read (no batch fires —
+  * Spark only plans when the offset advances).
   */
 final case class WspOffset(maxMtime: Long)
     extends org.apache.spark.sql.connector.read.streaming.Offset {
@@ -263,8 +280,9 @@ final case class WspOffset(maxMtime: Long)
 }
 
 final class WspMicroBatchStream(scan: WspScan)
-    extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream {
-  import org.apache.spark.sql.connector.read.streaming.Offset
+    extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream
+    with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
+  import org.apache.spark.sql.connector.read.streaming.{Offset, ReadLimit}
 
   override def initialOffset(): Offset = WspOffset(Long.MinValue)
 
@@ -272,6 +290,18 @@ final class WspMicroBatchStream(scan: WspScan)
     val ms = scan.listFilesWithMtime().map(_._2)
     WspOffset(if (ms.isEmpty) Long.MinValue else ms.max)
   }
+
+  // Trigger.AvailableNow: pin the end offset ONCE at query start, then
+  // serve it until the runner catches up — without this Spark falls back
+  // to single-batch execution and warns it may miss data behind an
+  // uncommitted batch after a restart
+  private var availableNowEnd: Option[Offset] = None
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowEnd = Some(latestOffset())
+  override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset =
+    availableNowEnd.getOrElse(latestOffset())
+  override def reportLatestOffset(): Offset = latestOffset()
 
   override def deserializeOffset(json: String): Offset = {
     import org.json4s._
@@ -284,7 +314,7 @@ final class WspMicroBatchStream(scan: WspScan)
     val lo = start.asInstanceOf[WspOffset].maxMtime
     val hi = end.asInstanceOf[WspOffset].maxMtime
     val changed = scan.listFilesWithMtime()
-      .collect { case (f, m) if m > lo && m <= hi => f }
+      .collect { case (f, m) if m >= lo && m <= hi => f }
     scan.packFiles(changed)
   }
 

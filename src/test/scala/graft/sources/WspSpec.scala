@@ -305,23 +305,81 @@ class WspSpec extends AnyFunSuite {
       Set(("cpu", 1000L, 1.0)))
 
     // incremental contract, driven through the MicroBatchStream API:
-    // only files whose mtime moved past the prior offset are planned
+    // a batch plans the files whose mtime reached the prior offset or
+    // moved past it (INCLUSIVE start — boundary files re-emit once per
+    // advance; see WspOffset's scaladoc)
     val scan = new WspScanBuilder(Seq(dir)).build().asInstanceOf[WspScan]
     val stream = scan.toMicroBatchStream("unused")
     val o1 = stream.latestOffset()
     assert(stream.planInputPartitions(stream.initialOffset(), o1)
       .flatMap(_.asInstanceOf[WspInputPartition].files).map(_._3).toSet == Set("cpu"))
-    assert(stream.planInputPartitions(o1, o1).isEmpty) // nothing changed
     Thread.sleep(1100) // mtime granularity can be one second
     WspWrite.merge(
       Seq(("gpu", 0, 500L, 7.0)).toDF("metric", "archive", "bucket_ts", "value"),
       dir, schema)
     val o2 = stream.latestOffset()
-    // only the NEW file is in the delta; cpu.wsp's mtime never moved
+    // the delta is the new file PLUS the o1-boundary file: cpu.wsp sits
+    // exactly at the prior offset, so it re-emits once (a same-quantum
+    // rewrite of it would be metadata-invisible; the boundary re-read is
+    // what catches it — LWW sinks absorb the duplicate)
     assert(stream.planInputPartitions(o1, o2)
-      .flatMap(_.asInstanceOf[WspInputPartition].files).map(_._3).toSet == Set("gpu"))
+      .flatMap(_.asInstanceOf[WspInputPartition].files).map(_._3).toSet ==
+      Set("cpu", "gpu"))
     // offset survives a checkpoint round trip
     assert(stream.deserializeOffset(o2.json()) == o2)
+  }
+
+  test("same-mtime-quantum rewrite is re-planned, not skipped") {
+    import spark.implicits._
+    val dir = tmp()
+    WspWrite.export(
+      Seq(("cpu", 0, 1000L, 1.0)).toDF("metric", "archive", "bucket_ts", "value"),
+      dir, schema)
+    val scan = new WspScanBuilder(Seq(dir)).build().asInstanceOf[WspScan]
+    val stream = scan.toMicroBatchStream("unused")
+    val o1 = stream.latestOffset()
+    assert(stream.planInputPartitions(stream.initialOffset(), o1)
+      .flatMap(_.asInstanceOf[WspInputPartition].files).map(_._3).toSet == Set("cpu"))
+
+    // rewrite cpu.wsp with a new value, then PIN its mtime back to the
+    // already-planned offset — the coarse-filesystem case where a second
+    // merge lands in the same mtime quantum as a batch that already
+    // covered the file (the file is fixed-size, so length can't move
+    // either: the rewrite is metadata-invisible)
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val cpuPath = new org.apache.hadoop.fs.Path(dir, "cpu.wsp")
+    val t1 = fs.getFileStatus(cpuPath).getModificationTime
+    WspWrite.merge(
+      Seq(("cpu", 0, 1000L, 2.0)).toDF("metric", "archive", "bucket_ts", "value"),
+      dir, schema)
+    fs.setTimes(cpuPath, t1, -1)
+
+    // a later change elsewhere advances the offset and fires the batch
+    WspWrite.merge(
+      Seq(("gpu", 0, 500L, 7.0)).toDF("metric", "archive", "bucket_ts", "value"),
+      dir, schema)
+    fs.setTimes(new org.apache.hadoop.fs.Path(dir, "gpu.wsp"), t1 + 5000, -1)
+    val o2 = stream.latestOffset()
+    assert(o2.asInstanceOf[WspOffset].maxMtime == t1 + 5000)
+
+    // the rewritten boundary file IS in the next batch...
+    val planned = stream.planInputPartitions(o1, o2)
+      .flatMap(_.asInstanceOf[WspInputPartition].files)
+    assert(planned.map(_._3).toSet == Set("cpu", "gpu"))
+    // ...and reading those partitions emits the NEW value
+    val factory = stream.createReaderFactory()
+    val got = stream.planInputPartitions(o1, o2).flatMap { p =>
+      val r = factory.createReader(p)
+      val out = scala.collection.mutable.ArrayBuffer.empty[(String, Long, Double)]
+      while (r.next()) {
+        val row = r.get()
+        out += ((row.getUTF8String(0).toString, row.getLong(3), row.getDouble(4)))
+      }
+      r.close()
+      out
+    }.toSet
+    assert(got == Set(("cpu", 1000L, 2.0), ("gpu", 500L, 7.0)))
   }
 
   test("bin-packing groups many small files into few partitions") {

@@ -378,13 +378,42 @@ final class WspPartitionReader(
     require(len <= Int.MaxValue, s"$path: $len bytes exceeds the 2 GB single-file limit")
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(conf.value)
-    val bytes = new Array[Byte](len.toInt)
-    val in = fs.open(p)
-    try in.readFully(0, bytes) finally in.close()
+    val bytes = readWithRetry(fs, p, len.toInt, path)
     metricU8 = UTF8String.fromString(metric)
     points = WspCodec.decodePoints(bytes, path)
       .filter(pt => pt.tsS >= tsLo && pt.tsS <= tsHi)
     true
+  }
+
+  /** Read the full file image, absorbing the transient windows a LIVE
+    * tree can expose between planning and read: on schemes without an
+    * atomic replace ([[WspWrite]]'s delete+rename fallback) a planned
+    * file can be momentarily absent, and a checksummed read can race a
+    * sidecar swap. Bounded retries, then the real error — a file still
+    * missing after a second is genuinely gone, and silently skipping it
+    * would be data loss.
+    */
+  private def readWithRetry(
+      fs: org.apache.hadoop.fs.FileSystem,
+      p: org.apache.hadoop.fs.Path,
+      len: Int,
+      path: String): Array[Byte] = {
+    var attempt = 0
+    while (true) {
+      try {
+        val bytes = new Array[Byte](len)
+        val in = fs.open(p)
+        try in.readFully(0, bytes) finally in.close()
+        return bytes
+      } catch {
+        case e @ (_: java.io.FileNotFoundException |
+                  _: org.apache.hadoop.fs.ChecksumException) =>
+          attempt += 1
+          if (attempt > 10) throw e
+          Thread.sleep(100)
+      }
+    }
+    throw new IllegalStateException("unreachable")
   }
 
   override def next(): Boolean = {

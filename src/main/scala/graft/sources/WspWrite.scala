@@ -111,22 +111,103 @@ object WspWrite {
         infos.zipWithIndex.foreach { case (info, i) =>
           WspCodec.writeArchive(file, info, byArchive(i).values.toSeq)
         }
-        // write-to-temp + rename: a killed task or a speculative duplicate
+        // write-to-temp + publish: a killed task or a speculative duplicate
         // attempt must never leave a truncated file (which would wedge
-        // every later merge on the length check). The delete+rename pair
-        // leaves either the old complete file, no file, or the new
-        // complete file — never a partial image.
+        // every later merge on the length check), and a concurrent READER
+        // — the streaming-tail use case — must never see a missing file.
+        // See [[publish]] for the per-scheme guarantee.
         val tmpPath = new org.apache.hadoop.fs.Path(outDir,
           s".$metric.wsp.tmp.${java.util.UUID.randomUUID().toString.take(8)}")
-        val out = fs.create(tmpPath, true)
-        try out.write(file) finally out.close()
-        if (fs.exists(path)) fs.delete(path, false)
-        if (!fs.rename(tmpPath, path))
-          throw new java.io.IOException(s"rename $tmpPath -> $path failed")
+        publish(fs, conf.value, tmpPath, path, file)
         (metric, n, file.length.toLong)
       }
       .toDF("metric", "n_points", "bytes")
     manifest.localCheckpoint(true) // run the write NOW, exactly once
+  }
+
+  /** Write the complete file image to `tmpPath`, then replace `dst` with
+    * it. Per-scheme guarantee, stated honestly:
+    *
+    *  - `file:` — ATOMIC. The tmp image is written through the RAW local
+    *    filesystem (no `.crc` sidecar), any stale checksum sidecar from
+    *    an older writer is dropped first, and the publish is a POSIX
+    *    `rename(2)` (`Files.move` with `ATOMIC_MOVE + REPLACE_EXISTING`):
+    *    a concurrent reader sees the old complete file or the new
+    *    complete file, never a missing or partial one.
+    *  - schemes with a `FileContext` binding (e.g. `hdfs:`) — atomic
+    *    where the filesystem's `rename(OVERWRITE)` is (HDFS implements
+    *    it server-side as one namespace operation).
+    *  - anything else — delete + rename fallback: a crash between the
+    *    two calls leaves the complete image in the orphaned tmp and NO
+    *    visible file, and a concurrent reader can catch
+    *    FileNotFoundException for one listing; [[WspPartitionReader]]
+    *    retries opens to absorb exactly that window. Orphaned tmps are
+    *    swept by [[vacuumTmp]].
+    */
+  private def publish(
+      fs: org.apache.hadoop.fs.FileSystem,
+      conf: org.apache.hadoop.conf.Configuration,
+      tmpPath: org.apache.hadoop.fs.Path,
+      dst: org.apache.hadoop.fs.Path,
+      image: Array[Byte]): Unit = {
+    val scheme = Option(fs.getUri.getScheme).getOrElse("file")
+    (fs, scheme) match {
+      case (cfs: org.apache.hadoop.fs.ChecksumFileSystem, "file") =>
+        val raw = cfs.getRawFileSystem
+        val out = raw.create(tmpPath, true)
+        try out.write(image) finally out.close()
+        // a tree written by an older checksumming writer carries
+        // `.<name>.crc` sidecars; after a raw replace they would be
+        // stale and fail every later checksummed open — drop before the
+        // move so readers only ever pair live data with a live crc
+        val crc = cfs.getChecksumFile(dst)
+        if (raw.exists(crc)) raw.delete(crc, false)
+        java.nio.file.Files.move(
+          java.nio.file.Paths.get(tmpPath.toUri.getPath),
+          java.nio.file.Paths.get(dst.toUri.getPath),
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      case _ =>
+        val out = fs.create(tmpPath, true)
+        try out.write(image) finally out.close()
+        try {
+          val fc = org.apache.hadoop.fs.FileContext.getFileContext(fs.getUri, conf)
+          fc.rename(tmpPath, dst, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+        } catch {
+          case _: org.apache.hadoop.fs.UnsupportedFileSystemException =>
+            if (fs.exists(dst)) fs.delete(dst, false)
+            if (!fs.rename(tmpPath, dst))
+              throw new java.io.IOException(s"rename $tmpPath -> $dst failed")
+        }
+    }
+  }
+
+  /** Sweep orphaned `.<metric>.wsp.tmp.*` images older than `olderThanMs`
+    * out of a tree — the leftovers of crashed or superseded task
+    * attempts (a SUCCESSFUL publish always consumes its tmp). Age-gated
+    * so a concurrently-writing attempt's in-flight tmp is never
+    * reaped. One recursive listing; run it as periodic maintenance, the
+    * same cadence class as retention vacuuming.
+    */
+  def vacuumTmp(
+      spark: SparkSession,
+      dir: String,
+      olderThanMs: Long = 3600L * 1000): Long = {
+    val root = new org.apache.hadoop.fs.Path(dir)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(root)) return 0L
+    val cutoff = System.currentTimeMillis() - olderThanMs
+    val it = fs.listFiles(fs.makeQualified(root), true)
+    var n = 0L
+    while (it.hasNext) {
+      val st = it.next()
+      val name = st.getPath.getName
+      if (st.isFile && name.startsWith(".") && name.contains(".wsp.tmp.") &&
+          st.getModificationTime < cutoff) {
+        if (fs.delete(st.getPath, false)) n += 1
+      }
+    }
+    n
   }
 
   /** Convenience single-archive export: all points land in level

@@ -382,6 +382,81 @@ class WspSpec extends AnyFunSuite {
     assert(got == Set(("cpu", 1000L, 2.0), ("gpu", 500L, 7.0)))
   }
 
+  test("publish is atomic on file:: concurrent reads during merges never " +
+      "see a missing or partial file") {
+    import spark.implicits._
+    val dir = tmp()
+    WspWrite.export(
+      Seq(("cpu", 0, 1000L, 0.0)).toDF("metric", "archive", "bucket_ts", "value"),
+      dir, schema)
+    val f = new java.io.File(dir, "cpu.wsp")
+    val expectLen = f.length()
+    assert(expectLen == WspCodec.fileSize(schema))
+
+    // a tight filesystem-level reader races the replace window directly
+    // (a missing file or a short read here is exactly the no-file window
+    // the delete+rename publish used to leave)
+    val failures = new java.util.concurrent.atomic.AtomicReference[String](null)
+    val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val reader = new Thread(() => {
+      while (!stop.get()) {
+        if (!f.exists()) failures.compareAndSet(null, "file missing")
+        else if (f.length() != expectLen)
+          failures.compareAndSet(null, s"partial file: ${f.length()}")
+      }
+    })
+    reader.start()
+    try {
+      for (i <- 1 to 10)
+        WspWrite.merge(
+          Seq(("cpu", 0, 1000L, i.toDouble))
+            .toDF("metric", "archive", "bucket_ts", "value"),
+          dir, schema)
+    } finally { stop.set(true); reader.join() }
+    assert(failures.get() == null, String.valueOf(failures.get()))
+    // the last merge won
+    val got = spark.read.format("wsp").load(dir)
+      .where("value != 0 or ts_s = 1000").collect()
+      .map(r => (r.getAs[String]("metric"), r.getAs[Long]("ts_s"),
+        r.getAs[Double]("value"))).toSet
+    assert(got.contains(("cpu", 1000L, 10.0)))
+  }
+
+  test("publish drops a stale checksum sidecar and reads stay green") {
+    import spark.implicits._
+    val dir = tmp()
+    WspWrite.export(
+      Seq(("cpu", 0, 1000L, 1.0)).toDF("metric", "archive", "bucket_ts", "value"),
+      dir, schema)
+    // fabricate the legacy layout: a checksumming writer's sidecar over
+    // the CURRENT bytes, which a raw replace would otherwise leave stale
+    val conf = spark.sessionState.newHadoopConf()
+    val path = new org.apache.hadoop.fs.Path(dir, "cpu.wsp")
+    val lfs = path.getFileSystem(conf)
+      .asInstanceOf[org.apache.hadoop.fs.ChecksumFileSystem]
+    val raw = lfs.getRawFileSystem
+    val bytes = {
+      val st = raw.getFileStatus(path)
+      val b = new Array[Byte](st.getLen.toInt)
+      val in = raw.open(path); try in.readFully(0, b) finally in.close()
+      b
+    }
+    val out = lfs.create(path, true) // checksummed create writes the .crc
+    try out.write(bytes) finally out.close()
+    assert(raw.exists(lfs.getChecksumFile(path)))
+
+    // a merge replaces the data; the stale sidecar must go with it
+    WspWrite.merge(
+      Seq(("cpu", 0, 1010L, 2.0)).toDF("metric", "archive", "bucket_ts", "value"),
+      dir, schema)
+    assert(!raw.exists(lfs.getChecksumFile(path)))
+    // and a checksummed read of the replaced file succeeds
+    val in2 = lfs.open(path)
+    try in2.readFully(0, new Array[Byte](bytes.length)) finally in2.close()
+    // no orphaned tmp images remain after successful publishes
+    assert(WspWrite.vacuumTmp(spark, dir, olderThanMs = -1000) == 0L)
+  }
+
   test("bin-packing groups many small files into few partitions") {
     import spark.implicits._
     val dir = tmp()

@@ -51,11 +51,15 @@ object Dedup {
   private[graft] def dirDigest(dir: String): String =
     java.security.MessageDigest.getInstance("MD5")
       .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString
-  /** [[dirDigest]] of the data dir PLUS the driving input file's
-    * (mtime, length), statted through the Hadoop FileSystem API (so
-    * `file:`, `hdfs:` and `s3:` paths all work): per-dir memo keys and
-    * tmp roots invalidate when the data is re-generated under the same
-    * path within one JVM — the r2 stale-data footgun.
+  /** Identity digest of the data dir PLUS a freshness digest of the
+    * driving input file's (mtime, length), statted through the Hadoop
+    * FileSystem API (so `file:`, `hdfs:` and `s3:` paths all work):
+    * per-dir memo keys and tmp roots invalidate when the data is
+    * re-generated under the same path within one JVM — the r2
+    * stale-data footgun. Two halves, 16 hex each, so the sibling prune
+    * in [[registerTmpRoot]] can tell "same input, superseded state"
+    * (safe to delete) from "a DIFFERENT dataset this JVM is also
+    * serving" (never touched).
     */
   private[graft] def freshDigest(s: SparkSession, dir: String, file: String): String = {
     val p = new org.apache.hadoop.fs.Path(dir, file)
@@ -64,7 +68,7 @@ object Dedup {
       val x = fs.getFileStatus(fs.makeQualified(p))
       s"${x.getModificationTime}|${x.getLen}"
     } catch { case _: Throwable => "absent" }
-    dirDigest(s"$dir|$file|$st")
+    dirDigest(s"$dir|$file").take(16) + dirDigest(st).take(16)
   }
   /** Per-process suffix for shared tmp roots: [[freshDigest]] is
     * deterministic ACROSS processes, so two concurrent JVMs on the same
@@ -80,6 +84,15 @@ object Dedup {
     * a tmp root keyed by input freshness ([[freshDigest]]) and process id
     * (cross-JVM race safety), built exactly once per key per JVM. Factored
     * so the staleness-key and race-handling logic exists in ONE place.
+    *
+    * Lifecycle (the r3→r5 "orphaned parquet trees accumulate forever"
+    * finding): every created root is registered for deletion by a JVM
+    * shutdown hook, and creating a new root prunes stale siblings of the
+    * same index name — this JVM's roots under superseded freshness keys
+    * (the input was regenerated; any still-lazy plan over the old root
+    * would already be reading stale data), and roots left by DEAD
+    * processes (crashed JVMs never ran their hook). Roots owned by other
+    * LIVE pids are never touched.
     */
   private val indexCache =
     new scala.collection.concurrent.TrieMap[String, String]
@@ -89,9 +102,59 @@ object Dedup {
     val key = freshDigest(s, dir, file)
     indexCache.getOrElseUpdate(s"$name|$key", {
       val p = s"${System.getProperty("java.io.tmpdir")}/graft_${name}_${key}_p$jvmTag"
+      registerTmpRoot(p)
       build(p)
       p
     })
+  }
+
+  /** Tmp roots this JVM created, swept on exit. */
+  private val createdRoots =
+    new scala.collection.concurrent.TrieMap[String, Unit]
+  private lazy val cleanupHookInstalled: Boolean = {
+    Runtime.getRuntime.addShutdownHook(new Thread(
+      () => createdRoots.keysIterator.foreach(p => deleteTree(new java.io.File(p))),
+      "graft-tmp-index-cleanup"))
+    true
+  }
+
+  private def deleteTree(f: java.io.File): Unit = {
+    val kids = f.listFiles()
+    if (kids != null) kids.foreach(deleteTree)
+    f.delete()
+    ()
+  }
+
+  private val RootName = "graft_(.+)_([0-9a-f]{32})_p([0-9]+)".r
+
+  /** Record `path` for exit-time deletion and prune its stale siblings:
+    * same index name, and either this pid with the same input identity
+    * under a superseded freshness half (the input was regenerated —
+    * NEVER a different dataset this JVM may still be serving), or any
+    * root whose owning pid is no longer alive (a crashed JVM never ran
+    * its shutdown hook). Visible for tests.
+    */
+  private[graft] def registerTmpRoot(path: String): Unit = {
+    require(cleanupHookInstalled)
+    createdRoots.put(path, ())
+    val f = new java.io.File(path)
+    f.getName match {
+      case RootName(name, myKey, _) =>
+        val sibs = Option(f.getParentFile.listFiles()).getOrElse(Array.empty)
+        sibs.foreach { s =>
+          s.getName match {
+            case RootName(`name`, key, pid) if s.getPath != path =>
+              val mine = pid == jvmTag
+              val superseded =
+                key.take(16) == myKey.take(16) && key != myKey
+              lazy val owner = ProcessHandle.of(pid.toLong)
+              lazy val ownerDead = !(owner.isPresent && owner.get.isAlive)
+              if ((mine && superseded) || (!mine && ownerDead)) deleteTree(s)
+            case _ => ()
+          }
+        }
+      case _ => ()
+    }
   }
 
   private[graft] def shingleSetShared(s: SparkSession, dir: String): DataFrame =

@@ -84,6 +84,10 @@ object Materialize {
     import s.implicits._
     val base = rollupBase(s, dir)
     materialized.getOrElseUpdate(base, {
+      // same lifecycle as the dedup-family shared indexes: swept at JVM
+      // exit, and creating under a fresh key prunes superseded/dead-pid
+      // siblings of the graft_rollups family
+      Dedup.registerTmpRoot(base)
       materializeLevels(s, dir, base, AggregationMethod.Average, 0.0)
     }).toDF("level", "spp", "rows", "day_partitions").orderBy("spp")
   }

@@ -157,4 +157,54 @@ class ExtOpsSpec extends AnyFunSuite {
       assert(r.getDouble(4) > 0)
     }
   }
+
+  test("shared tmp roots: a superseded freshness key prunes the old root") {
+    val name = s"t${System.nanoTime}"
+    val dataDir = java.nio.file.Files.createTempDirectory("idx_data")
+    val input = dataDir.resolve("documents.parquet")
+    java.nio.file.Files.writeString(input, "v1")
+    val p1 = Dedup.sharedIndexPath(spark, dataDir.toString, "documents.parquet",
+      name)(p => { new java.io.File(p).mkdirs(); () })
+    assert(new java.io.File(p1).isDirectory)
+    // regenerate the driving input (length moves → new freshness digest)
+    java.nio.file.Files.writeString(input, "v2-longer")
+    val p2 = Dedup.sharedIndexPath(spark, dataDir.toString, "documents.parquet",
+      name)(p => { new java.io.File(p).mkdirs(); () })
+    assert(p1 != p2)
+    // exactly ONE root remains for this index name: the fresh key's
+    val left = new java.io.File(System.getProperty("java.io.tmpdir"))
+      .listFiles().filter(_.getName.startsWith(s"graft_${name}_")).map(_.getPath)
+    assert(left.toSeq == Seq(p2))
+  }
+
+  test("shared tmp roots: two LIVE datasets under one index name coexist") {
+    val name = s"t${System.nanoTime}"
+    def mk(): String = {
+      val d = java.nio.file.Files.createTempDirectory("idx_data")
+      java.nio.file.Files.writeString(d.resolve("documents.parquet"), d.toString)
+      Dedup.sharedIndexPath(spark, d.toString, "documents.parquet",
+        name)(p => { new java.io.File(p).mkdirs(); () })
+    }
+    val (p1, p2) = (mk(), mk())
+    assert(p1 != p2)
+    // a second dataset's root must NOT prune the first's — only a
+    // regenerated input under the SAME identity half is superseded
+    assert(new java.io.File(p1).isDirectory && new java.io.File(p2).isDirectory)
+  }
+
+  test("shared tmp roots: dead-owner siblings are pruned on creation") {
+    val name = s"t${System.nanoTime}"
+    // a pid that is provably not alive on this host
+    val deadPid = Iterator.iterate(999999L)(_ - 1)
+      .find(p => !ProcessHandle.of(p).isPresent).get
+    val key = "0" * 32
+    val orphan = new java.io.File(System.getProperty("java.io.tmpdir"),
+      s"graft_${name}_${key}_p$deadPid")
+    assert(orphan.mkdirs())
+    val dataDir = java.nio.file.Files.createTempDirectory("idx_data")
+    java.nio.file.Files.writeString(dataDir.resolve("documents.parquet"), "v1")
+    Dedup.sharedIndexPath(spark, dataDir.toString, "documents.parquet",
+      name)(p => { new java.io.File(p).mkdirs(); () })
+    assert(!orphan.exists(), "dead-pid orphan root should have been pruned")
+  }
 }

@@ -99,6 +99,30 @@ object Buckets {
     filtered.select(col("event_type").as("metric"), tsS.as("ts_s"), col("value"))
   }
 
+  /** [[points]] as a STREAMING source: the same canonical
+    * `points(metric, ts_s, value)` view over `readStream` (file source,
+    * schema probed by a batch read — the file-source contract requires
+    * one up front). Feeds the streaming ingest paths so the batch
+    * oracle SQL applies to them verbatim.
+    */
+  def pointsStream(spark: SparkSession, sfDir: String): DataFrame = {
+    if (spark.conf.getOption("spark.sql.legacy.parquet.nanosAsLong")
+          .forall(_ != "true"))
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val path = s"$sfDir/events.parquet"
+    val probe = spark.read.parquet(path)
+    val tsS = probe.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType => expr("ts div 1000000000")
+      case _ => epochS(col("ts"))
+    }
+    // events.parquet may be a single FILE: FileStreamSource force-sets
+    // basePath to a NON-glob path itself and then requires it to be a
+    // directory — a brace glob selecting exactly this table sidesteps
+    // that (basePath falls back to the parent dir)
+    spark.readStream.schema(probe.schema).parquet(s"$sfDir/{events.parquet}")
+      .select(col("event_type").as("metric"), tsS.as("ts_s"), col("value"))
+  }
+
   /** DuckDB fragment equivalent of [[points]] — prefixed into oracle SQL
     * as a CTE so Spark and oracle share one definition of the fact view.
     */

@@ -51,14 +51,15 @@ object Ingest {
         col("w.value").as("value"), col("w.ts_s").as("ts_s"))
 
   /** SQL-shape of [[lwwAlign]] as a DuckDB CTE body (row_number form —
-    * identical winner to `max_by(value, struct(ts_s, value))`).
+    * identical winner to `max_by(value, struct(ts_s, value))`), over the
+    * `from` point CTE (default the canonical `pts`).
     */
-  def lwwAlignSql(spp: Int): String =
+  def lwwAlignSql(spp: Int, from: String = "pts"): String =
     s"""SELECT metric, bucket_ts, value FROM (
        |  SELECT metric, (ts_s // $spp) * $spp AS bucket_ts, value,
        |         row_number() OVER (PARTITION BY metric, (ts_s // $spp) * $spp
        |                            ORDER BY ts_s DESC, value DESC) AS rn
-       |  FROM pts) WHERE rn = 1""".stripMargin
+       |  FROM $from) WHERE rn = 1""".stripMargin
 
   /** U3 archive selection as a routing column: 1-based index of the
     * finest archive whose retention strictly exceeds the point's age,

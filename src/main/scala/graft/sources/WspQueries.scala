@@ -196,15 +196,72 @@ object WspQueries {
        |  ON l.metric = s.metric AND l.bucket_ts = s.bucket_ts
        |ORDER BY s.metric, s.bucket_ts""".stripMargin
 
+  // ------------------------------------------------- streaming wsp ingest
+
+  /** The F3 accept window restricted to STRICTLY before now: the open
+    * interval (now−1d, now) spans exactly 1440 one-minute buckets — the
+    * lww ring's capacity — so no two accepted buckets share a slot and
+    * the relational oracle (which has no ring) sees every written point.
+    * The `ts_s = now` bucket would be slot-equivalent to `now−1d`.
+    */
+  private val StreamMidS = NowS - 43200L
+
+  /** The live tree produced by [[graft.streaming.StreamIngest.wspWriter]]
+    * run as TWO sequential AvailableNow streaming queries over the point
+    * stream, split at [[StreamMidS]] by raw timestamp. Time-ordered
+    * batches make the cross-batch slot merge reproduce exactly what one
+    * batch LWW over all points computes (a later batch's winner for a
+    * bucket is the global winner, and buckets only in the earlier batch
+    * survive the merge untouched) — so the batch U2 oracle applies to
+    * the streamed tree verbatim.
+    */
+  private def ensureStreamIngested(s: SparkSession, dir: String): String =
+    Dedup.sharedIndexPath(s, dir, "events.parquet", "wsp_stream") { base =>
+      val tree = s"$base/tree"
+      Seq(col("ts_s") < StreamMidS, col("ts_s") >= StreamMidS)
+        .zipWithIndex.foreach { case (band, i) =>
+          val pts = Buckets.pointsStream(s, dir)
+            .filter(band && col("ts_s") < NowS)
+          graft.streaming.StreamIngest.wspWriter(pts, tree, schema, NowS)
+            .option("checkpointLocation", s"$base/ckpt$i")
+            .start().awaitTermination()
+        }
+    }
+
+  /** `wsp_stream_ingest`: the streaming write path under the DuckDB
+    * oracle — points streamed through `readStream` → per-batch F3 gate →
+    * U3 routing → U2 LWW align → live-tree slot merge, then the tree
+    * scanned back relationally. The only query key whose Spark side runs
+    * a Structured Streaming query (the three streaming specs pin
+    * streaming ≡ batch in-JVM; this pins it against the external oracle).
+    */
+  def wspStreamIngest(s: SparkSession, dir: String): DataFrame = {
+    val base = ensureStreamIngested(s, dir)
+    s.read.format("wsp").load(s"$base/tree")
+      .select(col("metric"), col("ts_s").as("bucket_ts"),
+        round(col("value"), 6).as("value"))
+      .orderBy("metric", "bucket_ts")
+  }
+
+  val wspStreamIngestSql: String =
+    s"""WITH $pointsSql,
+       |acc AS (SELECT * FROM pts
+       |        WHERE ts_s > ${NowS - 86400L} AND ts_s < $NowS),
+       |lww1m AS (${Ingest.lwwAlignSql(60, "acc")})
+       |SELECT metric, bucket_ts, round(value, 6) AS value FROM lww1m
+       |ORDER BY metric, bucket_ts""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "wsp_roundtrip" -> (wspRoundtrip _),
     "wsp_roundtrip_multi" -> (wspRoundtripMulti _),
     "wsp_fetch" -> (wspFetch _),
-    "wsp_fetch_many" -> (wspFetchMany _))
+    "wsp_fetch_many" -> (wspFetchMany _),
+    "wsp_stream_ingest" -> (wspStreamIngest _))
 
   val oracleSql: Map[String, String] = Map(
     "wsp_roundtrip" -> wspRoundtripSql,
     "wsp_roundtrip_multi" -> wspRoundtripMultiSql,
     "wsp_fetch" -> wspFetchSql,
-    "wsp_fetch_many" -> wspFetchManySql)
+    "wsp_fetch_many" -> wspFetchManySql,
+    "wsp_stream_ingest" -> wspStreamIngestSql)
 }

@@ -55,10 +55,18 @@ object StreamIngest {
     * micro-batch boundaries, the same result as one batch `lwwAlign`
     * over all points ever streamed (minus expiry).
     */
-  final class LwwStore(schema: WhisperSchema, nowS: Long) extends Serializable {
+  final class LwwStore(schema: WhisperSchema, clock: () => Long)
+      extends Serializable {
+    /** Fixed-now convenience: tests and replays pin determinism. */
+    def this(schema: WhisperSchema, nowS: Long) = this(schema, () => nowS)
+
     @volatile private var state: Option[DataFrame] = None
 
     def mergeBatch(batch: DataFrame, batchId: Long): Unit = synchronized {
+      // 'now' advances PER MICRO-BATCH: a long-running stream's F3
+      // accept window and R3 expiry horizon track the clock instead of
+      // freezing at construction (the round-5 drift finding)
+      val nowS = clock()
       val spp = schema.retentions.head.secondsPerPoint
       // F3: refuse out-of-retention / future points before aligning
       val accepted = batch.filter(
@@ -130,10 +138,14 @@ object StreamIngest {
       points: DataFrame,
       outDir: String,
       schema: WhisperSchema,
-      nowS: Long): DataStreamWriter[Row] =
+      clock: () => Long): DataStreamWriter[Row] =
     points.writeStream
       .outputMode(OutputMode.Update())
       .foreachBatch { (batch: DataFrame, _: Long) =>
+        // per-batch 'now': F3 window and U3 routing advance with the
+        // stream (the carbon-daemon shape this sink documents), instead
+        // of pinning at construction
+        val nowS = clock()
         val routed = batch
           .filter(Ingest.retentionStatus(schema, nowS) === "accepted")
           .withColumn("archive", Ingest.archiveColumn(schema, nowS))
@@ -149,10 +161,18 @@ object StreamIngest {
       }
       .trigger(Trigger.AvailableNow())
 
+  /** [[wspWriter]] with a pinned 'now' — deterministic tests/replays. */
+  def wspWriter(
+      points: DataFrame,
+      outDir: String,
+      schema: WhisperSchema,
+      nowS: Long): DataStreamWriter[Row] =
+    wspWriter(points, outDir, schema, () => nowS)
+
   def tableWriter(
       points: DataFrame,
       table: graft.WhisperTable,
-      nowS: Long): DataStreamWriter[Row] =
+      clock: () => Long): DataStreamWriter[Row] =
     points.writeStream
       .outputMode(OutputMode.Update())
       .foreachBatch { (batch: DataFrame, _: Long) =>
@@ -160,8 +180,15 @@ object StreamIngest {
         table.updateMany(
           batch.select(col("metric"), col("ts_s").as("time"), col("value"))
             .as[graft.TimeSeriesPoint],
-          nowS)
+          clock())
         ()
       }
       .trigger(Trigger.AvailableNow())
+
+  /** [[tableWriter]] with a pinned 'now' — deterministic tests/replays. */
+  def tableWriter(
+      points: DataFrame,
+      table: graft.WhisperTable,
+      nowS: Long): DataStreamWriter[Row] =
+    tableWriter(points, table, () => nowS)
 }

@@ -435,11 +435,21 @@ object WhisperTable {
     */
   def schemaFromWspFile(spark: SparkSession, file: String): WhisperSchema = {
     val (fs, p) = fsOf(spark, file)
-    val n = graft.sources.WspCodec.headerSize(64) // ≥ any sane archive count
     val totalLen = fs.getFileStatus(p).getLen
-    val bytes = new Array[Byte](math.min(totalLen, n.toLong).toInt)
+    // two reads: the 16-byte metadata first for the archive COUNT, then
+    // exactly headerSize(count) — a fixed 64-archive guess would reject
+    // a format-valid file with more archives as 'corrupt archive table'
     val in = fs.open(p)
-    try in.readFully(0, bytes) finally in.close()
+    val bytes = try {
+      val meta = new Array[Byte](
+        math.min(graft.sources.WspCodec.MetadataSize.toLong, totalLen).toInt)
+      in.readFully(0, meta)
+      val count = graft.sources.WspCodec.archiveCount(meta, file)
+      val n = math.min(graft.sources.WspCodec.headerSize(count).toLong, totalLen)
+      val b = new Array[Byte](n.toInt)
+      in.readFully(0, b)
+      b
+    } finally in.close()
     val h = graft.sources.WspCodec.readHeader(bytes, file, totalLen)
     WhisperSchema(
       h.archives.map(_.retention),

@@ -137,6 +137,22 @@ object WspCodec {
       sorted.foreach { case (i, v) => writeSlot(file, info, base, i, v) }
     }
 
+  /** The archive count field alone, from (at least) the 16-byte metadata
+    * block — callers that stream the header in two reads use it to size
+    * the second read to exactly `headerSize(count)` instead of guessing
+    * a maximum archive count.
+    */
+  def archiveCount(meta: Array[Byte], name: String = "<wsp>"): Int = {
+    require(meta.length >= MetadataSize, s"$name: truncated header, ${meta.length} bytes")
+    val n = java.nio.ByteBuffer.wrap(meta).order(java.nio.ByteOrder.BIG_ENDIAN)
+      .getInt(MetadataSize - 4)
+    // Long math mirrors readHeader: a corrupt count near 2^28 would
+    // overflow headerSize(n) in Int
+    require(n >= 0 && MetadataSize.toLong + n.toLong * ArchiveInfoSize <= Int.MaxValue,
+      s"$name: corrupt archive count $n")
+    n
+  }
+
   /** `totalLen` (when ≥ 0) is the on-disk file length, for callers that
     * read only the header region — the ring-fit validation must check
     * rings against the FILE, not the header buffer. */

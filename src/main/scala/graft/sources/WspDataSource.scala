@@ -56,6 +56,14 @@ final class WspDataSource extends TableProvider with DataSourceRegister {
     new WspTable(WspTable.rootPaths(properties))
 }
 
+object WspScan {
+  /** A directory's cached listing is only trusted once its mtime is at
+    * least this old — within the quantum, an unchanged mtime proves
+    * nothing (see [[WspScan.listFilesWithMtime]]).
+    */
+  val QuiescenceMs: Long = 2000L
+}
+
 object WspTable {
   /** Relational view of a `.wsp` tree. `ts_s` keeps SURVEY §1.3's
     * epoch-seconds BIGINT convention — whisper's native representation. */
@@ -102,10 +110,10 @@ final class WspTable(roots: Seq[String]) extends Table with SupportsRead {
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new WspScanBuilder(roots)
+    new WspScanBuilder(roots, options.getBoolean("listingCache", false))
 }
 
-final class WspScanBuilder(roots: Seq[String])
+final class WspScanBuilder(roots: Seq[String], listingCache: Boolean = false)
     extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
 
   private var pushed: Array[Filter] = Array.empty
@@ -158,7 +166,7 @@ final class WspScanBuilder(roots: Seq[String])
     val spark = SparkSession.active
     new WspScan(roots, metrics, tsLo, tsHi, required,
       new SerializableConfiguration(spark.sessionState.newHadoopConf()),
-      spark.sessionState.conf.filesMaxPartitionBytes)
+      spark.sessionState.conf.filesMaxPartitionBytes, listingCache)
   }
 }
 
@@ -172,7 +180,8 @@ final class WspScan(
     tsHi: Long,
     required: StructType,
     conf: SerializableConfiguration,
-    maxPartitionBytes: Long) extends Scan with Batch {
+    maxPartitionBytes: Long,
+    listingCache: Boolean = false) extends Scan with Batch {
 
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
@@ -184,25 +193,83 @@ final class WspScan(
   /** Every selected `.wsp` file with its size, derived metric name, and
     * modification time — metric pruning happens HERE, before any byte is
     * read (shared by the batch and streaming planners).
+    *
+    * Cost bound, stated plainly: this is a DRIVER-side walk of the whole
+    * tree — O(files) per batch plan, and the streaming `latestOffset`
+    * re-walks it every micro-batch. That is the classic file-source
+    * driver bottleneck; at millions of files the mitigation is the
+    * `listingCache` read option: each directory's child listing is
+    * cached keyed on the DIRECTORY's mtime, so an unchanged directory
+    * costs one stat instead of one full listing per walk (changed
+    * directories, and directories modified within the last
+    * [[WspScan.QuiescenceMs]] — inside the filesystem's mtime quantum,
+    * where "unchanged mtime" proves nothing — are re-listed).
+    *
+    * The cache is OPT-IN because it is only sound for rename-publish
+    * writers ([[WspWrite]]'s discipline — every replace updates the
+    * parent directory's mtime): a writer that updates file contents IN
+    * PLACE (a stock carbon daemon does) changes the file's mtime but not
+    * the directory's, and a cached listing would serve the stale file
+    * mtime and suppress change capture. Leave it off when tailing trees
+    * you don't write.
     */
-  private[sources] def listFilesWithMtime(): Seq[((String, Long, String), Long)] =
+  private[sources] def listFilesWithMtime(): Seq[((String, Long, String), Long)] = {
+    val nowMs = System.currentTimeMillis()
     roots.flatMap { r =>
       val root = new org.apache.hadoop.fs.Path(r)
       val fs = root.getFileSystem(conf.value)
       val qualified = fs.makeQualified(root)
-      val it = fs.listFiles(qualified, true)
       val out = Seq.newBuilder[((String, Long, String), Long)]
-      while (it.hasNext) {
-        val st = it.next()
-        if (st.isFile && st.getPath.getName.endsWith(".wsp")) {
+      def emit(st: org.apache.hadoop.fs.FileStatus): Unit =
+        if (st.getPath.getName.endsWith(".wsp")) {
           val metric = WspTable.metricFor(qualified, st.getPath)
           if (metrics.forall(_.contains(metric)))
             out += (((st.getPath.toString, st.getLen, metric),
               st.getModificationTime))
         }
-      }
+      def walk(dir: org.apache.hadoop.fs.Path): Unit =
+        childrenOf(fs, dir, nowMs).foreach { st =>
+          if (st.isDirectory) walk(st.getPath) else emit(st)
+        }
+      val rootSt = fs.getFileStatus(qualified)
+      if (rootSt.isFile) emit(rootSt) else walk(qualified)
       out.result()
     }
+  }
+
+  /** Listing cache (see [[listFilesWithMtime]]): dir path → (dir mtime,
+    * children). Driver-side state scoped to this scan — exactly the
+    * lifetime of a streaming query, whose per-micro-batch re-walk is the
+    * cost this pays down.
+    */
+  private val dirCache = scala.collection.concurrent.TrieMap
+    .empty[String, (Long, Array[org.apache.hadoop.fs.FileStatus])]
+  /** Observability for tests: number of real child listings performed. */
+  private[sources] var listStatusCalls: Long = 0L
+
+  private def childrenOf(
+      fs: org.apache.hadoop.fs.FileSystem,
+      dir: org.apache.hadoop.fs.Path,
+      nowMs: Long): Array[org.apache.hadoop.fs.FileStatus] = {
+    def list(): Array[org.apache.hadoop.fs.FileStatus] = {
+      listStatusCalls += 1
+      fs.listStatus(dir)
+    }
+    if (!listingCache) return list()
+    val mtime = fs.getFileStatus(dir).getModificationTime
+    val key = dir.toString
+    dirCache.get(key) match {
+      // trust requires BOTH an unchanged mtime and quiescence: a dir
+      // modified inside the current mtime quantum can change again
+      // without moving its mtime (same blind spot as WspOffset's)
+      case Some((m, kids)) if m == mtime && nowMs - mtime > WspScan.QuiescenceMs =>
+        kids
+      case _ =>
+        val kids = list()
+        dirCache.put(key, (mtime, kids))
+        kids
+    }
+  }
 
   private[sources] def listFiles(): Seq[(String, Long, String)] =
     listFilesWithMtime().map(_._1)

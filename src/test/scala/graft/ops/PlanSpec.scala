@@ -86,7 +86,29 @@ class PlanSpec extends AnyFunSuite {
     val p = plan(PipelineOps.sessionizeScalable(spark, dir))
     // the event-level sort/window keys must include the day column —
     // that is the skew spread; only the session-level pass keys by metric
+    // (window skew is NOT AQE's job — key widening is the mitigation)
     assert(p.contains("day"), s"no day partitioning in event pass:\n$p")
+    // and the hot-key pass still executes adaptively
+    assert(p.contains("AdaptiveSparkPlan"), s"plan is not adaptive:\n$p")
+  }
+
+  test("text_lm_score head-token join is AQE-skew-join eligible") {
+    // the Zipf-skewed token join's documented mitigation is AQE skew
+    // splitting; eligibility = the runtime configs are on AND the join
+    // is the SHUFFLE shape the skew optimizer can split. At test scale
+    // the count tables would broadcast (which dodges skew but only while
+    // they fit an executor), so force the 100 TB shuffle-join regime
+    // before asserting the shape.
+    assert(spark.conf.get("spark.sql.adaptive.enabled") == "true")
+    assert(spark.conf.get("spark.sql.adaptive.skewJoin.enabled") == "true")
+    val prior = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val p = plan(TextAnalysis.textLmScore(spark, dir))
+      assert(p.contains("AdaptiveSparkPlan"), s"plan is not adaptive:\n$p")
+      assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"),
+        s"token join is not a shuffle join under no-broadcast:\n$p")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prior)
   }
 
   test("dedup_minhash never falls back to an all-pairs product") {

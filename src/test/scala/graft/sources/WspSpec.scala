@@ -457,6 +457,72 @@ class WspSpec extends AnyFunSuite {
     assert(WspWrite.vacuumTmp(spark, dir, olderThanMs = -1000) == 0L)
   }
 
+  test("schemaFromWspFile parses a >64-archive header (two-read sizing)") {
+    // format-valid 65-archive file: the old fixed headerSize(64) read
+    // truncated the archive table and misreported it as corrupt; now the
+    // metadata read sizes the second read exactly, the full table parses,
+    // and the failure (if any) is the REAL one — these retentions violate
+    // the divisibility rule, which no >64-archive list can satisfy in
+    // 32-bit spp anyway
+    val n = 65
+    val headerLen = WspCodec.headerSize(n)
+    val fileLen = headerLen + n * 12
+    val buf = java.nio.ByteBuffer.allocate(fileLen)
+      .order(java.nio.ByteOrder.BIG_ENDIAN)
+    buf.putInt(1).putInt(n * 10).putFloat(0.5f).putInt(n)
+    for (i <- 0 until n)
+      buf.putInt(headerLen + i * 12).putInt(i + 1).putInt(1)
+    val dir = tmp()
+    val f = java.nio.file.Paths.get(dir, "many.wsp")
+    java.nio.file.Files.write(f, buf.array())
+
+    // the count is now read from the metadata, not guessed
+    assert(WspCodec.archiveCount(
+      java.util.Arrays.copyOf(buf.array(), 16)) == n)
+    val err = intercept[IllegalArgumentException] {
+      graft.WhisperTable.schemaFromWspFile(spark, f.toString)
+    }
+    assert(!err.getMessage.contains("corrupt archive table"), err.getMessage)
+  }
+
+  test("listingCache: quiescent unchanged directories are stat-ed, not re-listed") {
+    import spark.implicits._
+    val root = tmp()
+    WspWrite.export(Seq(("cpu", 0, 1000L, 1.0))
+      .toDF("metric", "archive", "bucket_ts", "value"), s"$root/a", schema)
+    WspWrite.export(Seq(("mem", 0, 1000L, 2.0))
+      .toDF("metric", "archive", "bucket_ts", "value"), s"$root/b", schema)
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    def age(p: String): Unit = fs.setTimes(new org.apache.hadoop.fs.Path(p),
+      System.currentTimeMillis() - 60000, -1)
+    Seq(root, s"$root/a", s"$root/b").foreach(age)
+
+    val scan = new WspScanBuilder(Seq(root), listingCache = true)
+      .build().asInstanceOf[WspScan]
+    val first = scan.listFilesWithMtime()
+    assert(first.map(_._1._3).toSet == Set("a.cpu", "b.mem"))
+    val c1 = scan.listStatusCalls
+    assert(c1 == 3) // root, a, b — cold walk lists everything
+
+    // unchanged + quiescent: the second walk stats 3 dirs, lists none
+    assert(scan.listFilesWithMtime().size == 2)
+    assert(scan.listStatusCalls == c1)
+
+    // a change in ONE directory re-lists exactly that directory (its
+    // mtime moved; it is also no longer quiescent)
+    WspWrite.export(Seq(("gpu", 0, 1000L, 3.0))
+      .toDF("metric", "archive", "bucket_ts", "value"), s"$root/b", schema)
+    val third = scan.listFilesWithMtime()
+    assert(third.map(_._1._3).toSet == Set("a.cpu", "b.mem", "b.gpu"))
+    assert(scan.listStatusCalls == c1 + 1)
+
+    // parity: cache on ≡ cache off
+    val plain = new WspScanBuilder(Seq(root)).build().asInstanceOf[WspScan]
+    assert(plain.listFilesWithMtime().map(_._1).toSet ==
+      third.map(_._1).toSet)
+  }
+
   test("bin-packing groups many small files into few partitions") {
     import spark.implicits._
     val dir = tmp()

@@ -101,6 +101,19 @@ object ExplainDump {
         "shows metric=error (ONE file opened — whisper's single Open) " +
         "and the fetch window's ts bounds; the dense series is the same " +
         "broadcast spine left-join as the parquet fetch path."),
+    "dedup_simhash" ->
+      ("Shown plan = the materialized fingerprint INDEX scan (built once " +
+        "per (JVM, data), shared with dedup_simhash_pairs). The build " +
+        "itself folds the fingerprint as ONE typed aggregate " +
+        "(`simhashagg(h64)`, ObjectHashAggregate with a partial step): " +
+        "md5 votes pack into a single bigint in the scan's codegen " +
+        "stage, one 65-long buffer per doc — not 64 interpreted bit-sum " +
+        "expressions per token row (the r5 regression)."),
+    "wsp_stream_ingest" ->
+      ("The streamed live tree read back: the plan is the same pruned " +
+        "`BatchScan wsp` as wsp_roundtrip — the streaming work (F3 gate, " +
+        "U3 routing, U2 LWW, slot merge) ran in foreachBatch sinks " +
+        "upstream and the tree IS the state, exactly whisper's model."),
     "dedup_simhash_pairs" ->
       ("SimHash at scale: one scan of the materialized fingerprint " +
         "index exploded to 4 band rows, bucket-local pair generation " +

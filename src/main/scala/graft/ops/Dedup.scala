@@ -133,6 +133,16 @@ object Dedup {
     * NEVER a different dataset this JVM may still be serving), or any
     * root whose owning pid is no longer alive (a crashed JVM never ran
     * its shutdown hook). Visible for tests.
+    *
+    * Two deliberate tradeoffs: (1) the superseded prune is IMMEDIATE —
+    * a still-running query over the old root fails loudly with a
+    * missing file rather than completing against data the caller just
+    * regenerated away (stale-but-quiet was the r2 footgun this digest
+    * exists to kill); (2) pid liveness is evaluated in THIS process's
+    * PID namespace, which is correct exactly because the roots live
+    * under the machine-local `java.io.tmpdir` — do not point the tmp
+    * dir at storage shared across containers/hosts, where a foreign
+    * owner's pid is not visible and its live root would read as dead.
     */
   private[graft] def registerTmpRoot(path: String): Unit = {
     require(cleanupHookInstalled)

@@ -213,60 +213,81 @@ final class WspScan(
     * mtime and suppress change capture. Leave it off when tailing trees
     * you don't write.
     */
-  private[sources] def listFilesWithMtime(): Seq[((String, Long, String), Long)] = {
-    val nowMs = System.currentTimeMillis()
+  private[sources] def listFilesWithMtime(): Seq[((String, Long, String), Long)] =
     roots.flatMap { r =>
       val root = new org.apache.hadoop.fs.Path(r)
       val fs = root.getFileSystem(conf.value)
       val qualified = fs.makeQualified(root)
       val out = Seq.newBuilder[((String, Long, String), Long)]
-      def emit(st: org.apache.hadoop.fs.FileStatus): Unit =
-        if (st.getPath.getName.endsWith(".wsp")) {
-          val metric = WspTable.metricFor(qualified, st.getPath)
+      def emit(path: org.apache.hadoop.fs.Path, len: Long, mtime: Long): Unit =
+        if (path.getName.endsWith(".wsp")) {
+          val metric = WspTable.metricFor(qualified, path)
           if (metrics.forall(_.contains(metric)))
-            out += (((st.getPath.toString, st.getLen, metric),
-              st.getModificationTime))
+            out += (((path.toString, len, metric), mtime))
         }
-      def walk(dir: org.apache.hadoop.fs.Path): Unit =
-        childrenOf(fs, dir, nowMs).foreach { st =>
-          if (st.isDirectory) walk(st.getPath) else emit(st)
+      if (listingCache) {
+        // per-directory walk so unchanged dirs can serve from cache;
+        // entries not touched this walk are evicted afterwards (deleted
+        // subtrees must not pin FileStatus arrays for the stream's life)
+        val touched = scala.collection.mutable.Set.empty[String]
+        def walk(dir: org.apache.hadoop.fs.Path): Unit = {
+          touched += dir.toString
+          childrenOf(fs, dir).foreach { st =>
+            if (st.isDirectory) walk(st.getPath)
+            else emit(st.getPath, st.getLen, st.getModificationTime)
+          }
         }
-      val rootSt = fs.getFileStatus(qualified)
-      if (rootSt.isFile) emit(rootSt) else walk(qualified)
+        val rootSt = fs.getFileStatus(qualified)
+        if (rootSt.isFile)
+          emit(rootSt.getPath, rootSt.getLen, rootSt.getModificationTime)
+        else walk(qualified)
+        dirCache.keysIterator.filterNot(touched).toSeq
+          .foreach(dirCache.remove)
+      } else {
+        // default path: ONE flat recursive listing — on object stores
+        // this is a paged prefix LIST and on HDFS a streamed recursive
+        // getListing, both far cheaper than a per-directory RPC walk
+        val it = fs.listFiles(qualified, true)
+        while (it.hasNext) {
+          val st = it.next()
+          if (st.isFile)
+            emit(st.getPath, st.getLen, st.getModificationTime)
+        }
+      }
       out.result()
     }
-  }
 
   /** Listing cache (see [[listFilesWithMtime]]): dir path → (dir mtime,
-    * children). Driver-side state scoped to this scan — exactly the
-    * lifetime of a streaming query, whose per-micro-batch re-walk is the
-    * cost this pays down.
+    * listing wall-clock ms, children). Driver-side state scoped to this
+    * scan — exactly the lifetime of a streaming query, whose
+    * per-micro-batch re-walk is the cost this pays down.
     */
   private val dirCache = scala.collection.concurrent.TrieMap
-    .empty[String, (Long, Array[org.apache.hadoop.fs.FileStatus])]
+    .empty[String, (Long, Long, Array[org.apache.hadoop.fs.FileStatus])]
   /** Observability for tests: number of real child listings performed. */
   private[sources] var listStatusCalls: Long = 0L
 
   private def childrenOf(
       fs: org.apache.hadoop.fs.FileSystem,
-      dir: org.apache.hadoop.fs.Path,
-      nowMs: Long): Array[org.apache.hadoop.fs.FileStatus] = {
-    def list(): Array[org.apache.hadoop.fs.FileStatus] = {
-      listStatusCalls += 1
-      fs.listStatus(dir)
-    }
-    if (!listingCache) return list()
+      dir: org.apache.hadoop.fs.Path): Array[org.apache.hadoop.fs.FileStatus] = {
     val mtime = fs.getFileStatus(dir).getModificationTime
     val key = dir.toString
     dirCache.get(key) match {
-      // trust requires BOTH an unchanged mtime and quiescence: a dir
-      // modified inside the current mtime quantum can change again
-      // without moving its mtime (same blind spot as WspOffset's)
-      case Some((m, kids)) if m == mtime && nowMs - mtime > WspScan.QuiescenceMs =>
+      // trust requires an unchanged mtime AND that the cached listing
+      // was TAKEN after the dir's mtime quantum closed — a listing taken
+      // inside the quantum may predate a same-quantum change that never
+      // moves the mtime (the WspOffset blind spot), and merely aging
+      // does not make it complete. Quiescence compares the driver clock
+      // to the filesystem's mtime: the cache assumes they agree within
+      // [[WspScan.QuiescenceMs]] (skew re-opens the blind spot — another
+      // reason this stays opt-in).
+      case Some((m, listedAt, kids))
+          if m == mtime && listedAt - mtime > WspScan.QuiescenceMs =>
         kids
       case _ =>
-        val kids = list()
-        dirCache.put(key, (mtime, kids))
+        listStatusCalls += 1
+        val kids = fs.listStatus(dir)
+        dirCache.put(key, (mtime, System.currentTimeMillis(), kids))
         kids
     }
   }

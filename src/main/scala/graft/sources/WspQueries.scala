@@ -251,17 +251,102 @@ object WspQueries {
        |SELECT metric, bucket_ts, round(value, 6) AS value FROM lww1m
        |ORDER BY metric, bucket_ts""".stripMargin
 
+  // ----------------------------------------- whisper toolchain: fill/resize
+
+  /** The LWW window as a shared CTE pair: `win` = the full level,
+    * `sparse` = every 3rd bucket with doubled values (the "partially
+    * populated tree" fixture both tool keys derive from).
+    */
+  private def winCtes: String =
+    s"""$pointsSql,
+       |lww1m AS (${Ingest.lwwAlignSql(60)}),
+       |win AS (SELECT * FROM lww1m
+       |        WHERE bucket_ts >= $FromB AND bucket_ts < $NowS)""".stripMargin
+
+  /** `wsp_fill`: whisper-fill over trees — a sparse dst tree (every 3rd
+    * bucket, values doubled so the winner is visible) back-filled from
+    * the full src tree. Existing dst slots must win; gaps take src
+    * points; metrics missing in dst entirely get whole files. The oracle
+    * is the coalesce over the two relational levels.
+    */
+  private def ensureFilled(s: SparkSession, dir: String): String =
+    Dedup.sharedIndexPath(s, dir, "events.parquet", "wsp_fill") { base =>
+      val srcTree = ensureExported(s, dir)
+      val sparse = Ingest.lwwAlign(Buckets.points(s, dir), 60)
+        .filter(col("bucket_ts") >= FromB && col("bucket_ts") < NowS)
+        .filter(expr("(bucket_ts div 60) % 3 = 0"))
+        .withColumn("value", col("value") * 2)
+      WspWrite.exportLevel(sparse, s"$base/tree", schema)
+      WspTools.fill(s, srcTree, s"$base/tree", schema)
+      ()
+    }
+
+  def wspFill(s: SparkSession, dir: String): DataFrame = {
+    val base = ensureFilled(s, dir)
+    s.read.format("wsp").load(s"$base/tree")
+      .select(col("metric"), col("ts_s").as("bucket_ts"),
+        round(col("value"), 6).as("value"))
+      .orderBy("metric", "bucket_ts")
+  }
+
+  val wspFillSql: String =
+    s"""WITH $winCtes,
+       |sparse AS (SELECT metric, bucket_ts, value * 2 AS value
+       |           FROM win WHERE (bucket_ts // 60) % 3 = 0)
+       |SELECT w.metric, w.bucket_ts,
+       |       round(coalesce(sp.value, w.value), 6) AS value
+       |FROM win w LEFT JOIN sparse sp
+       |  ON sp.metric = w.metric AND sp.bucket_ts = w.bucket_ts
+       |ORDER BY w.metric, w.bucket_ts""".stripMargin
+
+  /** `wsp_resize`: whisper-resize --aggregate over a tree — the 1m:1d
+    * fixture re-derived as a 5m:1d tree (Average, xff 0), scanned back.
+    * One propagate hop from the source's finest archive per new level,
+    * exactly the tool's re-aggregation (no avg-of-avg drift).
+    */
+  private val ResizeSchema = graft.model.WhisperSchema(
+    Seq(graft.model.Retention(300, 288)),
+    graft.model.AggregationMethod.Average, 0.0)
+
+  private def ensureResized(s: SparkSession, dir: String): String =
+    Dedup.sharedIndexPath(s, dir, "events.parquet", "wsp_resize") { base =>
+      val srcTree = ensureExported(s, dir)
+      WspTools.resize(s, srcTree, s"$base/tree", 60, ResizeSchema, NowS)
+      ()
+    }
+
+  def wspResize(s: SparkSession, dir: String): DataFrame = {
+    val base = ensureResized(s, dir)
+    s.read.format("wsp").load(s"$base/tree")
+      .select(col("metric"), col("ts_s").as("bucket_ts"),
+        round(col("value"), 6).as("value"))
+      .orderBy("metric", "bucket_ts")
+  }
+
+  val wspResizeSql: String = {
+    import graft.model.AggregationMethod.Average
+    s"""WITH $winCtes,
+       |r5m AS (${graft.ops.Rollup.propagateSql("win", 60, 300, Average, 0.0)})
+       |SELECT metric, bucket_ts, round(value, 6) AS value FROM r5m
+       |WHERE bucket_ts >= ${NowS - 86400L} AND bucket_ts < $NowS
+       |ORDER BY metric, bucket_ts""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "wsp_roundtrip" -> (wspRoundtrip _),
     "wsp_roundtrip_multi" -> (wspRoundtripMulti _),
     "wsp_fetch" -> (wspFetch _),
     "wsp_fetch_many" -> (wspFetchMany _),
-    "wsp_stream_ingest" -> (wspStreamIngest _))
+    "wsp_stream_ingest" -> (wspStreamIngest _),
+    "wsp_fill" -> (wspFill _),
+    "wsp_resize" -> (wspResize _))
 
   val oracleSql: Map[String, String] = Map(
     "wsp_roundtrip" -> wspRoundtripSql,
     "wsp_roundtrip_multi" -> wspRoundtripMultiSql,
     "wsp_fetch" -> wspFetchSql,
     "wsp_fetch_many" -> wspFetchManySql,
-    "wsp_stream_ingest" -> wspStreamIngestSql)
+    "wsp_stream_ingest" -> wspStreamIngestSql,
+    "wsp_fill" -> wspFillSql,
+    "wsp_resize" -> wspResizeSql)
 }

@@ -1,0 +1,84 @@
+package graft.sources
+
+import graft.model.WhisperSchema
+import graft.ops.{Buckets, Rollup}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Tree-level maintenance operations mirroring the PUBLIC whisper
+  * toolchain that every graphite operator runs alongside the reference
+  * library (`whisper-fill.py`, `whisper-resize.py` in
+  * graphite-project/whisper — companion tools of the format, documented
+  * semantics, no reference code involved) — re-expressed as distributed
+  * Spark jobs over the [[WspDataSource]] / [[WspWrite]] pair. These are
+  * the "day 2" operations a migrating go-whisper user needs: backfill a
+  * gappy tree from an archive copy, and re-derive a tree under a new
+  * retention config.
+  *
+  * Scale shape: both are relational plans over the wsp source (file
+  * pruning + bin-packed scans), one shuffle keyed by (metric, bucket) or
+  * metric, and an executor-parallel per-metric write — no driver-side
+  * file loop, unlike the single-threaded python tools.
+  */
+object WspTools {
+
+  /** `whisper-fill` semantics: copy into `dstDir` every point of
+    * `srcDir` whose slot is EMPTY in dst — existing dst points always
+    * win, src only fills gaps. Level-aligned by archive index. Returns
+    * the per-metric merge manifest (the write has run on return).
+    *
+    * The gap set is a left-anti join keyed by (metric, archive, ts) —
+    * shuffle bounded by stored points, never corpus²; the merge then
+    * touches only gap slots, so dst's established ring bases and
+    * occupied slots survive untouched ([[WspWrite.merge]] guarantees).
+    */
+  def fill(
+      spark: SparkSession,
+      srcDir: String,
+      dstDir: String,
+      schema: WhisperSchema): DataFrame = {
+    val src = spark.read.format("wsp").load(srcDir)
+    val dst = spark.read.format("wsp").load(dstDir)
+    val gaps = src.join(
+        dst.select(col("metric"), col("archive"), col("ts_s")),
+        Seq("metric", "archive", "ts_s"), "left_anti")
+      .select(col("metric"), col("archive"),
+        col("ts_s").as("bucket_ts"), col("value"))
+    WspWrite.merge(gaps, dstDir, schema)
+  }
+
+  /** `whisper-resize --aggregate` semantics: build a NEW tree under
+    * `outDir` with `newSchema`'s retention config, each new level
+    * consolidated DIRECTLY from the source tree's finest archive via the
+    * target schema's aggregation method and xFilesFactor (one propagate
+    * hop per level — exactly how the tool re-aggregates, and free of
+    * avg-of-avg drift), clamped to the level's retention horizon at
+    * `nowS`. New levels finer than the source resolution cannot be
+    * invented and are refused. Returns the export manifest.
+    */
+  def resize(
+      spark: SparkSession,
+      srcDir: String,
+      outDir: String,
+      srcFinestSpp: Int,
+      newSchema: WhisperSchema,
+      nowS: Long): DataFrame = {
+    val pts = spark.read.format("wsp").load(srcDir)
+      .filter(col("archive") === 0)
+      .select(col("metric"), col("ts_s").as("bucket_ts"), col("value"))
+    val levels = newSchema.retentions.zipWithIndex.map { case (r, i) =>
+      val spp = r.secondsPerPoint
+      require(spp >= srcFinestSpp && spp % srcFinestSpp == 0,
+        s"cannot resize ${srcFinestSpp}s data to a finer/misaligned ${spp}s archive")
+      val lvl =
+        if (spp == srcFinestSpp) pts
+        else Rollup.propagate(pts, srcFinestSpp, spp,
+            newSchema.method, newSchema.xFilesFactor)
+          .select(col("metric"), col("bucket_ts"), col("value"))
+      lvl.filter(col("bucket_ts") >= nowS - r.maxRetentionSeconds &&
+          col("bucket_ts") < nowS)
+        .withColumn("archive", lit(i))
+    }
+    WspWrite.export(levels.reduce(_ unionAll _), outDir, newSchema)
+  }
+}

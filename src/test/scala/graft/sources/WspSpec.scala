@@ -523,6 +523,27 @@ class WspSpec extends AnyFunSuite {
       third.map(_._1).toSet)
   }
 
+  test("WspTools.fill: dst slots win, gaps take src, missing metrics appear") {
+    import spark.implicits._
+    val (src, dst) = (tmp(), tmp())
+    // src: cpu has slots 1000 and 1010; mem exists only here
+    WspWrite.export(Seq(
+      ("cpu", 0, 1000L, 1.0), ("cpu", 0, 1010L, 2.0), ("mem", 0, 1000L, 9.0))
+      .toDF("metric", "archive", "bucket_ts", "value"), src, schema)
+    // dst: cpu already has slot 1000 with a DIFFERENT value
+    WspWrite.export(Seq(("cpu", 0, 1000L, 5.0))
+      .toDF("metric", "archive", "bucket_ts", "value"), dst, schema)
+    WspTools.fill(spark, src, dst, schema)
+    val got = spark.read.format("wsp").load(dst)
+      .filter(org.apache.spark.sql.functions.col("archive") === 0)
+      .select("metric", "ts_s", "value").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got == Set(
+      ("cpu", 1000L, 5.0),  // existing dst point survived (whisper-fill rule)
+      ("cpu", 1010L, 2.0),  // gap filled from src
+      ("mem", 1000L, 9.0))) // whole missing file created
+  }
+
   test("bin-packing groups many small files into few partitions") {
     import spark.implicits._
     val dir = tmp()

@@ -299,6 +299,45 @@ object WspQueries {
        |  ON sp.metric = w.metric AND sp.bucket_ts = w.bucket_ts
        |ORDER BY w.metric, w.bucket_ts""".stripMargin
 
+  /** `wsp_diff`: whisper-diff over trees — the full tree vs an UNFILLED
+    * sparse sibling (every 3rd bucket, doubled values), emitting every
+    * slot the two sides disagree on: value_b NULL where sparse has no
+    * slot, both values where they differ (a doubled 0.0 equals 0.0 and
+    * is correctly NOT a diff — the comparison is on raw stored values,
+    * rounding is output-only). Oracle = the same full-outer diff over
+    * the relational levels.
+    */
+  private def ensureSparse(s: SparkSession, dir: String): String =
+    Dedup.sharedIndexPath(s, dir, "events.parquet", "wsp_sparse") { base =>
+      val sparse = Ingest.lwwAlign(Buckets.points(s, dir), 60)
+        .filter(col("bucket_ts") >= FromB && col("bucket_ts") < NowS)
+        .filter(expr("(bucket_ts div 60) % 3 = 0"))
+        .withColumn("value", col("value") * 2)
+      WspWrite.exportLevel(sparse, s"$base/tree", schema)
+      ()
+    }
+
+  def wspDiff(s: SparkSession, dir: String): DataFrame = {
+    val full = ensureExported(s, dir)
+    val base = ensureSparse(s, dir)
+    WspTools.diff(s, full, s"$base/tree")
+      .select(col("metric"), col("ts_s").as("bucket_ts"),
+        round(col("value_a"), 6).as("value_a"),
+        round(col("value_b"), 6).as("value_b"))
+      .orderBy("metric", "bucket_ts")
+  }
+
+  val wspDiffSql: String =
+    s"""WITH $winCtes,
+       |sparse AS (SELECT metric, bucket_ts, value * 2 AS value
+       |           FROM win WHERE (bucket_ts // 60) % 3 = 0)
+       |SELECT w.metric, w.bucket_ts,
+       |       round(w.value, 6) AS value_a, round(sp.value, 6) AS value_b
+       |FROM win w FULL OUTER JOIN sparse sp
+       |  ON sp.metric = w.metric AND sp.bucket_ts = w.bucket_ts
+       |WHERE w.value IS NULL OR sp.value IS NULL OR w.value != sp.value
+       |ORDER BY w.metric, w.bucket_ts""".stripMargin
+
   /** `wsp_resize`: whisper-resize --aggregate over a tree — the 1m:1d
     * fixture re-derived as a 5m:1d tree (Average, xff 0), scanned back.
     * One propagate hop from the source's finest archive per new level,
@@ -339,6 +378,7 @@ object WspQueries {
     "wsp_fetch_many" -> (wspFetchMany _),
     "wsp_stream_ingest" -> (wspStreamIngest _),
     "wsp_fill" -> (wspFill _),
+    "wsp_diff" -> (wspDiff _),
     "wsp_resize" -> (wspResize _))
 
   val oracleSql: Map[String, String] = Map(
@@ -348,5 +388,6 @@ object WspQueries {
     "wsp_fetch_many" -> wspFetchManySql,
     "wsp_stream_ingest" -> wspStreamIngestSql,
     "wsp_fill" -> wspFillSql,
+    "wsp_diff" -> wspDiffSql,
     "wsp_resize" -> wspResizeSql)
 }

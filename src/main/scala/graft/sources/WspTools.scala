@@ -47,6 +47,29 @@ object WspTools {
     WspWrite.merge(gaps, dstDir, schema)
   }
 
+  /** `whisper-diff` semantics: every (metric, archive, ts) slot where
+    * the two trees DISAGREE — present on one side only, or present on
+    * both with different values. Pure relational full-outer join keyed
+    * by slot, so the comparison distributes and prunes like any other
+    * wsp scan (a one-metric diff opens two files). Output:
+    * `(metric, archive, ts_s, value_a, value_b)` with NULL marking the
+    * absent side.
+    */
+  def diff(
+      spark: SparkSession,
+      aDir: String,
+      bDir: String): DataFrame = {
+    val a = spark.read.format("wsp").load(aDir)
+      .select(col("metric"), col("archive"), col("ts_s"),
+        col("value").as("value_a"))
+    val b = spark.read.format("wsp").load(bDir)
+      .select(col("metric"), col("archive"), col("ts_s"),
+        col("value").as("value_b"))
+    a.join(b, Seq("metric", "archive", "ts_s"), "full_outer")
+      .filter(col("value_a").isNull || col("value_b").isNull ||
+        col("value_a") =!= col("value_b"))
+  }
+
   /** `whisper-resize --aggregate` semantics: build a NEW tree under
     * `outDir` with `newSchema`'s retention config, each new level
     * consolidated DIRECTLY from the source tree's finest archive via the

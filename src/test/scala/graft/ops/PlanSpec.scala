@@ -111,6 +111,12 @@ class PlanSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prior)
   }
 
+  test("wsp_diff joins trees by slot key — no product, both sides pruned scans") {
+    val p = plan(graft.sources.WspQueries.wspDiff(spark, dir))
+    assert(!p.contains("CartesianProduct"), s"diff degenerated to a product:\n$p")
+    assert(p.contains("BatchScan wsp"), s"diff does not scan the wsp source:\n$p")
+  }
+
   test("dedup_minhash never falls back to an all-pairs product") {
     // the underlying pipeline, not the materialized pair index the
     // public entry serves from

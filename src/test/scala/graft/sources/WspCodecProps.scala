@@ -46,6 +46,13 @@ object WspCodecProps extends Properties("WspCodec") {
           schema.retentions.map(r => (r.secondsPerPoint, r.numberOfPoints))
     }
 
+  property("archiveCount reads the count from the 16-byte metadata alone") =
+    forAll(schemaGen) { schema =>
+      val meta = java.util.Arrays.copyOf(
+        WspCodec.emptyFile(schema), WspCodec.MetadataSize)
+      WspCodec.archiveCount(meta) == schema.retentions.size
+    }
+
   /** Batches of aligned (interval, value) points starting at a random
     * base, spanning up to 3 ring laps.
     */

@@ -161,6 +161,33 @@ class StreamIngestSpec extends AnyFunSuite {
     assert(buckets(10) == Set(100L, 200L, 1000L))
   }
 
+  test("LwwStore evaluates 'now' per micro-batch: the F3 window advances") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val schema = Retentions.lww // 1m:1d
+    val t0 = 1000000L
+    // the clock jumps a full retention between batches — a pinned-now
+    // store would accept batch 2's point; a per-batch clock must reject
+    // it as older than every archive by then
+    var nowS = t0
+    val store = new StreamIngest.LwwStore(schema, () => nowS)
+    val stream = MemoryStream[(String, Long, Double)]
+    val writer = StreamIngest.ingestWriter(
+      stream.toDF().toDF("metric", "ts_s", "value"), store)
+
+    stream.addData(pt("m", t0 - 100, 1.0))
+    writer.start().awaitTermination()
+    nowS = t0 + 2 * 86400
+    stream.addData(pt("m", t0 - 90, 2.0)) // fresh at t0, expired by now
+    writer.start().awaitTermination()
+
+    val got = store.current.get.collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+    // batch 2's point was F3-rejected AND batch 1's winner expired (R3
+    // tracks the advanced clock too) — state is empty, not frozen at t0
+    assert(got.isEmpty, s"state should have expired under the advanced clock: $got")
+  }
+
   test("windowedAgg: tumbling windows with watermark produce whisper buckets") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

@@ -123,7 +123,17 @@ object ExplainDump {
       ("Bigram LM scoring: instances from zipped slices in the scan's " +
         "codegen stage (no window, no extra shuffle), two " +
         "partial-aggregated count tables keyed by token, instance->" +
-        "count hash joins, per-doc partial/final aggregate."))
+        "count hash joins, per-doc partial/final aggregate."),
+    "wsp_fill" ->
+      ("whisper-fill as a plan: shown is the filled tree's scan-back; " +
+        "the fill itself is a left-anti join keyed by (metric, archive, " +
+        "ts) — gap slots only — feeding the per-metric slot merge, so " +
+        "dst's occupied slots are never rewritten."),
+    "wsp_resize" ->
+      ("whisper-resize --aggregate as a plan: the new tree's scan-back; " +
+        "the derivation was ONE propagate hop per level from the " +
+        "source's finest archive (map-side partial agg keyed by " +
+        "(metric, coarser bucket)) into the executor-parallel export."))
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.lift(0).getOrElse("/root/testdata/sf0.001")

@@ -544,6 +544,34 @@ class WspSpec extends AnyFunSuite {
       ("mem", 1000L, 9.0))) // whole missing file created
   }
 
+  test("WspTools.resize derives every new level from the finest source archive") {
+    import spark.implicits._
+    val (src, out) = (tmp(), tmp())
+    // 10s source points: two 20s buckets for cpu (values averaging 1.5
+    // and 4.0), clamped by a now just past the data
+    val nowS = 1200L
+    WspWrite.export(Seq(
+      ("cpu", 0, 1000L, 1.0), ("cpu", 0, 1010L, 2.0), ("cpu", 0, 1020L, 4.0))
+      .toDF("metric", "archive", "bucket_ts", "value"), src, schema)
+    val newSchema = WhisperSchema(
+      Seq(graft.model.Retention(20, 10), graft.model.Retention(60, 5)),
+      AggregationMethod.Average, 0.0)
+    WspTools.resize(spark, src, out, 10, newSchema, nowS)
+    val got = spark.read.format("wsp").load(out)
+      .select("archive", "ts_s", "value").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got == Set(
+      (0, 1000L, 1.5), (0, 1020L, 4.0),  // 20s level: avg per 20s bucket
+      (1, 960L, 1.5), (1, 1020L, 4.0)))  // 60s buckets: [960,1020) and [1020,1080)
+    // a finer-than-source archive cannot be invented
+    val err = intercept[IllegalArgumentException] {
+      WspTools.resize(spark, src, tmp(), 10,
+        WhisperSchema(Seq(graft.model.Retention(5, 10)),
+          AggregationMethod.Average, 0.0), nowS)
+    }
+    assert(err.getMessage.contains("finer"))
+  }
+
   test("bin-packing groups many small files into few partitions") {
     import spark.implicits._
     val dir = tmp()

@@ -485,4 +485,79 @@ object WhisperTable {
     }
     t
   }
+
+  /** [[importWsp]] for a HETEROGENEOUS tree — the real shape of a carbon
+    * deployment, where storage-schemas.conf varies the retention config
+    * per metric pattern. Files are grouped by their binary header's
+    * (retentions, method, xff), read EXECUTOR-side (one bounded header
+    * read per file, parallelized — the driver never opens a file), and
+    * each distinct schema becomes its own table under
+    * `tablePath/schema_<digest>`, bulk-loaded through the wsp source
+    * with metric names still relative to the tree root (the source's
+    * `metricRoot` option). Returns digest → table.
+    *
+    * Scale bound, stated plainly: the per-schema file lists ride the
+    * scan's `paths` property, so plan size grows with file count — at
+    * millions of files per schema, import subtree-by-subtree (the
+    * schemas.conf patterns are path prefixes in practice) or raise the
+    * driver's result size; the header sweep itself stays distributed.
+    */
+  def importWspGrouped(
+      spark: SparkSession,
+      treeDir: String,
+      tablePath: String): Map[String, WhisperTable] = {
+    val (fs, dir) = fsOf(spark, treeDir)
+    val qualified = fs.makeQualified(dir)
+    val it = fs.listFiles(qualified, true)
+    val files = Seq.newBuilder[String]
+    while (it.hasNext) {
+      val st = it.next()
+      if (st.isFile && st.getPath.getName.endsWith(".wsp"))
+        files += st.getPath.toString
+    }
+    val all = files.result()
+    require(all.nonEmpty, s"no .wsp files under $treeDir")
+
+    val conf = new org.apache.spark.util.SerializableConfiguration(
+      spark.sessionState.newHadoopConf())
+    val byKey: Map[String, Seq[String]] = spark.sparkContext
+      .parallelize(all, math.min(256, math.max(1, all.size / 64)))
+      .mapPartitions { paths =>
+        paths.map { p =>
+          val path = new org.apache.hadoop.fs.Path(p)
+          val pfs = path.getFileSystem(conf.value)
+          val in = pfs.open(path)
+          val head = try {
+            val meta = new Array[Byte](graft.sources.WspCodec.MetadataSize)
+            in.readFully(0, meta)
+            val n = graft.sources.WspCodec.archiveCount(meta, p)
+            val b = new Array[Byte](graft.sources.WspCodec.headerSize(n))
+            in.readFully(0, b)
+            b
+          } finally in.close()
+          val h = graft.sources.WspCodec.readHeader(head, p,
+            pfs.getFileStatus(path).getLen)
+          val key = (h.archives.map(a => (a.secondsPerPoint, a.numberOfPoints)),
+            h.aggregationType, h.xFilesFactor).toString
+          (key, p)
+        }
+      }
+      .collect().toSeq.groupBy(_._1).map { case (k, v) => k -> v.map(_._2) }
+
+    byKey.map { case (_, paths) =>
+      val schema = schemaFromWspFile(spark, paths.head)
+      val digest = graft.ops.Dedup.dirDigest(
+        schema.retentions.mkString(",") + s"|${schema.method.id}|${schema.xFilesFactor}")
+        .take(8)
+      val t = create(spark, s"$tablePath/schema_$digest", schema)
+      val pts = spark.read.format("wsp")
+        .option("metricRoot", qualified.toString)
+        .load(paths: _*)
+      schema.retentions.zipWithIndex.foreach { case (r, i) =>
+        t.writeLevelFull(r, pts.filter(col("archive") === i)
+          .select(col("metric"), col("ts_s").as("bucket_ts"), col("value")))
+      }
+      digest -> t
+    }
+  }
 }

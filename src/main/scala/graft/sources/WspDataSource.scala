@@ -110,10 +110,14 @@ final class WspTable(roots: Seq[String]) extends Table with SupportsRead {
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new WspScanBuilder(roots, options.getBoolean("listingCache", false))
+    new WspScanBuilder(roots, options.getBoolean("listingCache", false),
+      Option(options.get("metricRoot")))
 }
 
-final class WspScanBuilder(roots: Seq[String], listingCache: Boolean = false)
+final class WspScanBuilder(
+    roots: Seq[String],
+    listingCache: Boolean = false,
+    metricRoot: Option[String] = None)
     extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
 
   private var pushed: Array[Filter] = Array.empty
@@ -166,7 +170,8 @@ final class WspScanBuilder(roots: Seq[String], listingCache: Boolean = false)
     val spark = SparkSession.active
     new WspScan(roots, metrics, tsLo, tsHi, required,
       new SerializableConfiguration(spark.sessionState.newHadoopConf()),
-      spark.sessionState.conf.filesMaxPartitionBytes, listingCache)
+      spark.sessionState.conf.filesMaxPartitionBytes, listingCache,
+      metricRoot)
   }
 }
 
@@ -181,7 +186,11 @@ final class WspScan(
     required: StructType,
     conf: SerializableConfiguration,
     maxPartitionBytes: Long,
-    listingCache: Boolean = false) extends Scan with Batch {
+    listingCache: Boolean = false,
+    // metric names are derived relative to this dir instead of each root
+    // — lets a caller pass FILES as roots (a schema-grouped subset of a
+    // tree) and still get the tree's dotted metric names
+    metricRoot: Option[String] = None) extends Scan with Batch {
 
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
@@ -218,10 +227,12 @@ final class WspScan(
       val root = new org.apache.hadoop.fs.Path(r)
       val fs = root.getFileSystem(conf.value)
       val qualified = fs.makeQualified(root)
+      val nameRoot = metricRoot.fold(qualified)(m =>
+        fs.makeQualified(new org.apache.hadoop.fs.Path(m)))
       val out = Seq.newBuilder[((String, Long, String), Long)]
       def emit(path: org.apache.hadoop.fs.Path, len: Long, mtime: Long): Unit =
         if (path.getName.endsWith(".wsp")) {
-          val metric = WspTable.metricFor(qualified, path)
+          val metric = WspTable.metricFor(nameRoot, path)
           if (metrics.forall(_.contains(metric)))
             out += (((path.toString, len, metric), mtime))
         }

@@ -115,9 +115,13 @@ object WspWrite {
         // attempt must never leave a truncated file (which would wedge
         // every later merge on the length check), and a concurrent READER
         // — the streaming-tail use case — must never see a missing file.
-        // See [[publish]] for the per-scheme guarantee.
-        val tmpPath = new org.apache.hadoop.fs.Path(outDir,
-          s".$metric.wsp.tmp.${java.util.UUID.randomUUID().toString.take(8)}")
+        // The tmp lives in the DESTINATION's directory (a nested metric
+        // like a/b puts the file at outDir/a/b.wsp — a tmp rooted at
+        // outDir would make the publish a cross-directory move), so the
+        // replace is a same-dir atomic rename. See [[publish]] for the
+        // per-scheme guarantee.
+        val tmpPath = new org.apache.hadoop.fs.Path(path.getParent,
+          s".${path.getName}.tmp.${java.util.UUID.randomUUID().toString.take(8)}")
         publish(fs, conf.value, tmpPath, path, file)
         (metric, n, file.length.toLong)
       }

@@ -220,6 +220,38 @@ class WspSpec extends AnyFunSuite {
     assert(dense(t2, "mem") == dense(t1, "mem"))
   }
 
+  test("importWspGrouped splits a heterogeneous tree by header schema") {
+    import spark.implicits._
+    import graft.WhisperTable
+    val tree = tmp()
+    // two subtrees with DIFFERENT retention configs in one tree — the
+    // storage-schemas.conf shape importWsp refuses
+    WspWrite.export(Seq(("servers/cpu", 0, 1000L, 1.0))
+      .toDF("metric", "archive", "bucket_ts", "value"), tree, schema) // 10s:6, 60s:5
+    val other = WhisperSchema(
+      Seq(graft.model.Retention(30, 4)), AggregationMethod.Last, 0.5)
+    WspWrite.export(Seq(("apps/gpu", 0, 990L, 7.0))
+      .toDF("metric", "archive", "bucket_ts", "value"), tree, other)
+
+    val tables = WhisperTable.importWspGrouped(spark, tree,
+      Files.createTempDirectory("wsp_grouped").toString)
+    assert(tables.size == 2)
+    val bySpp = tables.values.map(t => t.retentions.head.secondsPerPoint ->
+      t).toMap
+    assert(bySpp.keySet == Set(10, 30))
+    assert(bySpp(30).aggregationMethod == AggregationMethod.Last)
+    // metric names stay tree-relative and dotted despite per-file loads
+    // (fetch windows sized inside each FINEST archive's retention so
+    // whisper's archive routing serves the level we loaded)
+    def values(t: graft.WhisperTable, m: String, fromS: Long) =
+      t.fetch(m, fromS, 1020, 1020).collect()
+        .collect { case r if !r.isNullAt(1) => (r.getLong(0), r.getDouble(1)) }
+        .toSet
+    assert(values(bySpp(10), "servers.cpu", 970) == Set((1000L, 1.0)))
+    assert(values(bySpp(10), "cpu", 970).isEmpty) // NOT flattened to base name
+    assert(values(bySpp(30), "apps.gpu", 905) == Set((990L, 7.0)))
+  }
+
   test("merge updates a live tree: old slots survive, same slots overwrite") {
     import spark.implicits._
     val dir = tmp()

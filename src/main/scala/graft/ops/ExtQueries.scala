@@ -19,6 +19,8 @@ object ExtQueries {
     "sample_stratified" -> (PipelineOps.sampleStratified _),
     "source_mix" -> (PipelineOps.sourceMix _),
     "text_pii_scrub" -> (PipelineOps.textPiiScrub _),
+    "shard_pack" -> (PipelineOps.shardPack _),
+    "shard_pack_scalable" -> (PipelineOps.shardPackScalable _),
     "similarity_topk" -> (Similarity.similarityTopk _),
     "similarity_topk_agg" -> (Similarity.similarityTopkAgg _),
     "similarity_ann_ivf" -> (Similarity.similarityAnnIvf _),
@@ -58,6 +60,10 @@ object ExtQueries {
     "sample_stratified" -> PipelineOps.sampleStratifiedSql,
     "source_mix" -> PipelineOps.sourceMixSql,
     "text_pii_scrub" -> PipelineOps.textPiiScrubSql,
+    "shard_pack" -> PipelineOps.shardPackSql,
+    // the scalable form is pinned row-identical to the direct form
+    // (PipelineOpsSpec), so it shares the one oracle
+    "shard_pack_scalable" -> PipelineOps.shardPackSql,
     "similarity_topk" -> Similarity.similarityTopkSql,
     // the Aggregator form must match the window form byte-for-byte —
     // one oracle covers both

@@ -226,4 +226,84 @@ object PipelineOps {
        |       substr(regexp_replace(text, '$PiiPattern', '<PII>', 'g'), 1, 60)
        |         AS scrubbed_prefix
        |FROM documents ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------- shard pack
+
+  /** Token budget per training shard. */
+  val ShardTokens = 4096L
+
+  /** `shard_pack`: pack documents into fixed-token-budget training
+    * shards — the step between a curated corpus and a tokenizer run.
+    * Deterministic first-fit in doc_id order: a document's shard is its
+    * EXCLUSIVE running token total divided by the budget (documents
+    * larger than a budget span shards by construction of the formula,
+    * matching the sequential packer). The global running sum is the
+    * direct form (and the oracle); it needs a total order, so at scale
+    * use [[shardPackScalable]].
+    */
+  def shardPack(s: SparkSession, dir: String): DataFrame =
+    shardPackFrom(docTokens(s, dir))
+
+  private def docTokens(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir).select(col("doc_id"),
+      size(expr(toksExpr)).cast("long").as("n_tokens"))
+
+  private[graft] def shardPackFrom(tok: DataFrame): DataFrame =
+    tok.withColumn("prior",
+        sum(col("n_tokens")).over(
+          Window.orderBy("doc_id")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+          - col("n_tokens"))
+      .select(col("doc_id"), col("n_tokens"),
+        // integer div, not double `/`: prior at corpus scale exceeds
+        // double's 2^53 exact range
+        expr(s"prior div $ShardTokens").as("shard"))
+      .orderBy("doc_id")
+
+  /** `shard_pack_scalable`: the distributed prefix-sum form of
+    * [[shardPack]] — the single-partition global window above is the
+    * textbook scale bottleneck. Pass 1 sums tokens per contiguous
+    * doc_id RANGE block (map-side partial agg); pass 2 turns the tiny
+    * per-block frame into exclusive block offsets (a window over
+    * #blocks rows, not #docs); pass 3 broadcasts the offsets back and
+    * computes each doc's global prior as block offset + within-block
+    * running sum. Identical output to the direct form (pinned by test;
+    * shares its oracle SQL) with every per-document window keyed by
+    * block.
+    */
+  def shardPackScalable(s: SparkSession, dir: String): DataFrame =
+    shardPackScalableFrom(docTokens(s, dir))
+
+  private[graft] val ShardBlock = 512L
+
+  private[graft] def shardPackScalableFrom(tok: DataFrame): DataFrame = {
+    val blocked = tok.withColumn("blk", expr(s"doc_id div $ShardBlock"))
+    val offsets = blocked.groupBy("blk")
+      .agg(sum(col("n_tokens")).as("bn"))
+      .withColumn("blk_off",
+        coalesce(sum(col("bn")).over(
+          Window.orderBy("blk")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow - 1)),
+          lit(0L)))
+      .select("blk", "blk_off")
+    val wb = Window.partitionBy("blk").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    blocked.join(broadcast(offsets), Seq("blk"))
+      .withColumn("prior",
+        col("blk_off") + sum(col("n_tokens")).over(wb) - col("n_tokens"))
+      .select(col("doc_id"), col("n_tokens"),
+        expr(s"prior div $ShardTokens").as("shard"))
+      .orderBy("doc_id")
+  }
+
+  val shardPackSql: String =
+    s"""WITH tok AS (
+       |  SELECT doc_id, CAST(len($toksSql) AS BIGINT) AS n_tokens
+       |  FROM documents),
+       |cum AS (
+       |  SELECT doc_id, n_tokens,
+       |         sum(n_tokens) OVER (ORDER BY doc_id) - n_tokens AS prior
+       |  FROM tok)
+       |SELECT doc_id, n_tokens, CAST(prior // $ShardTokens AS BIGINT) AS shard
+       |FROM cum ORDER BY doc_id""".stripMargin
 }

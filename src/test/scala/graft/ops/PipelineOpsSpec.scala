@@ -39,6 +39,30 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(plain.sameElements(scal))
   }
 
+  test("shard_pack is a first-fit packing: budgets respected, order kept") {
+    val rows = PipelineOps.shardPack(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rows.nonEmpty)
+    // shards are contiguous and non-decreasing in doc order
+    assert(rows.sliding(2).forall { case Array(a, b) => b._3 >= a._3; case _ => true })
+    // a shard's token total stays within budget + one document overhang
+    // (the sequential packer's invariant: only the shard-opening doc may
+    // cross the boundary)
+    rows.groupBy(_._3).foreach { case (_, ds) =>
+      val tot = ds.map(_._2).sum
+      assert(tot < PipelineOps.ShardTokens + ds.map(_._2).max)
+    }
+    // global token conservation: shard boundaries drop nothing
+    assert(rows.map(_._2).sum ==
+      PipelineOps.shardPackScalable(spark, dir).collect().map(_.getLong(1)).sum)
+  }
+
+  test("shard_pack_scalable equals the direct global-window form exactly") {
+    val plain = PipelineOps.shardPack(spark, dir).collect().map(_.toString)
+    val scal = PipelineOps.shardPackScalable(spark, dir).collect().map(_.toString)
+    assert(plain.sameElements(scal))
+  }
+
   test("sample_stratified is deterministic and near the target rate") {
     val a = PipelineOps.sampleStratified(spark, dir).collect().map(_.getLong(0))
     val b = PipelineOps.sampleStratified(spark, dir).collect().map(_.getLong(0))

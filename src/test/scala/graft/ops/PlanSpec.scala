@@ -111,6 +111,17 @@ class PlanSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prior)
   }
 
+  test("shard_pack_scalable keys the per-document window by block") {
+    val p = plan(PipelineOps.shardPackScalable(spark, dir))
+    // the doc-level running sum must be partitioned (by blk); only the
+    // #blocks-row offset pass may run in one partition
+    assert(p.contains("windowspecdefinition(blk"),
+      s"per-doc window is not block-partitioned:\n$p")
+    // block offsets ride a broadcast, not a shuffle of the doc frame
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"),
+      s"offsets are not broadcast:\n$p")
+  }
+
   test("wsp_diff joins trees by slot key — no product, both sides pruned scans") {
     val p = plan(graft.sources.WspQueries.wspDiff(spark, dir))
     assert(!p.contains("CartesianProduct"), s"diff degenerated to a product:\n$p")

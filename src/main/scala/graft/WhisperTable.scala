@@ -433,24 +433,36 @@ object WhisperTable {
   /** Parse a WhisperSchema from one `.wsp` file's binary header — the
     * schema side of `Open`/`readHeader` against real reference storage.
     */
-  def schemaFromWspFile(spark: SparkSession, file: String): WhisperSchema = {
-    val (fs, p) = fsOf(spark, file)
-    val totalLen = fs.getFileStatus(p).getLen
-    // two reads: the 16-byte metadata first for the archive COUNT, then
-    // exactly headerSize(count) — a fixed 64-archive guess would reject
-    // a format-valid file with more archives as 'corrupt archive table'
+  /** Bounded two-read of a `.wsp` file's header region: the 16-byte
+    * metadata first for the archive COUNT, then exactly
+    * `headerSize(count)` — a fixed 64-archive guess would reject a
+    * format-valid file with more archives as 'corrupt archive table'.
+    * Reads clamp to the file length so a truncated file fails with the
+    * codec's named error, not a bare EOFException. Shared by the
+    * single-file schema read and [[importWspGrouped]]'s executor sweep.
+    */
+  private def headerOf(
+      fs: org.apache.hadoop.fs.FileSystem,
+      p: org.apache.hadoop.fs.Path,
+      totalLen: Long,
+      name: String): graft.sources.WspHeader = {
     val in = fs.open(p)
     val bytes = try {
       val meta = new Array[Byte](
         math.min(graft.sources.WspCodec.MetadataSize.toLong, totalLen).toInt)
       in.readFully(0, meta)
-      val count = graft.sources.WspCodec.archiveCount(meta, file)
+      val count = graft.sources.WspCodec.archiveCount(meta, name)
       val n = math.min(graft.sources.WspCodec.headerSize(count).toLong, totalLen)
       val b = new Array[Byte](n.toInt)
       in.readFully(0, b)
       b
     } finally in.close()
-    val h = graft.sources.WspCodec.readHeader(bytes, file, totalLen)
+    graft.sources.WspCodec.readHeader(bytes, name, totalLen)
+  }
+
+  def schemaFromWspFile(spark: SparkSession, file: String): WhisperSchema = {
+    val (fs, p) = fsOf(spark, file)
+    val h = headerOf(fs, p, fs.getFileStatus(p).getLen, file)
     WhisperSchema(
       h.archives.map(_.retention),
       AggregationMethod.fromId(h.aggregationType),
@@ -509,34 +521,26 @@ object WhisperTable {
     val (fs, dir) = fsOf(spark, treeDir)
     val qualified = fs.makeQualified(dir)
     val it = fs.listFiles(qualified, true)
-    val files = Seq.newBuilder[String]
+    val files = Seq.newBuilder[(String, Long)]
     while (it.hasNext) {
       val st = it.next()
       if (st.isFile && st.getPath.getName.endsWith(".wsp"))
-        files += st.getPath.toString
+        files += ((st.getPath.toString, st.getLen))
     }
     val all = files.result()
     require(all.nonEmpty, s"no .wsp files under $treeDir")
 
     val conf = new org.apache.spark.util.SerializableConfiguration(
       spark.sessionState.newHadoopConf())
+    // (path, len) pairs ride from the driver's listing — the sweep is
+    // exactly one open+read per file, no second stat RPC
     val byKey: Map[String, Seq[String]] = spark.sparkContext
       .parallelize(all, math.min(256, math.max(1, all.size / 64)))
       .mapPartitions { paths =>
-        paths.map { p =>
+        paths.map { case (p, len) =>
           val path = new org.apache.hadoop.fs.Path(p)
           val pfs = path.getFileSystem(conf.value)
-          val in = pfs.open(path)
-          val head = try {
-            val meta = new Array[Byte](graft.sources.WspCodec.MetadataSize)
-            in.readFully(0, meta)
-            val n = graft.sources.WspCodec.archiveCount(meta, p)
-            val b = new Array[Byte](graft.sources.WspCodec.headerSize(n))
-            in.readFully(0, b)
-            b
-          } finally in.close()
-          val h = graft.sources.WspCodec.readHeader(head, p,
-            pfs.getFileStatus(path).getLen)
+          val h = headerOf(pfs, path, len, p)
           val key = (h.archives.map(a => (a.secondsPerPoint, a.numberOfPoints)),
             h.aggregationType, h.xFilesFactor).toString
           (key, p)
@@ -546,9 +550,10 @@ object WhisperTable {
 
     byKey.map { case (_, paths) =>
       val schema = schemaFromWspFile(spark, paths.head)
+      // full digest — a truncated one invites cross-schema collisions
+      // that surface as a baffling 'already exists' from create()
       val digest = graft.ops.Dedup.dirDigest(
         schema.retentions.mkString(",") + s"|${schema.method.id}|${schema.xFilesFactor}")
-        .take(8)
       val t = create(spark, s"$tablePath/schema_$digest", schema)
       val pts = spark.read.format("wsp")
         .option("metricRoot", qualified.toString)

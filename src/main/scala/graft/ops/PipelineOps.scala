@@ -277,7 +277,24 @@ object PipelineOps {
   private[graft] val ShardBlock = 512L
 
   private[graft] def shardPackScalableFrom(tok: DataFrame): DataFrame = {
-    val blocked = tok.withColumn("blk", expr(s"doc_id div $ShardBlock"))
+    // block width derives from the OBSERVED doc_id range, not a fixed
+    // divisor: value-keyed blocks with a fixed width degrade to one doc
+    // per block under sparse ids (hash-like doc_ids), turning the tiny
+    // offsets pass back into the full-size bottleneck. Sizing width as
+    // range·ShardBlock/n keeps #blocks ≈ n/ShardBlock for near-uniform
+    // ids; heavily CLUSTERED ids can still skew individual blocks (a
+    // row-bucket key would need the very global order this avoids).
+    // Any order-aligned contiguous blocking yields identical output.
+    val head = tok.agg(min("doc_id"), max("doc_id"), count(lit(1))).head()
+    if (head.isNullAt(0))
+      return tok.select(col("doc_id"), col("n_tokens"), lit(0L).as("shard"))
+    val (lo, hi, n) = (head.getLong(0), head.getLong(1), head.getLong(2))
+    // BigInt: range·ShardBlock overflows Long for hash-like id ranges;
+    // the unanchored `doc_id div width` (monotone even across zero for
+    // truncating division) avoids a `doc_id - lo` overflow the same way
+    val width = ((BigInt(hi) - BigInt(lo) + 1) * ShardBlock / n)
+      .max(1).min(Long.MaxValue).toLong
+    val blocked = tok.withColumn("blk", expr(s"doc_id div $width"))
     val offsets = blocked.groupBy("blk")
       .agg(sum(col("n_tokens")).as("bn"))
       .withColumn("blk_off",

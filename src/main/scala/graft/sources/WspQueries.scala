@@ -253,9 +253,24 @@ object WspQueries {
 
   // ----------------------------------------- whisper toolchain: fill/resize
 
+  /** The "partially populated tree" fixture the fill/diff tool keys
+    * share: every 3rd bucket of the LWW window, values doubled (so the
+    * winner of any overlap is visible). ONE definition each side — the
+    * DataFrame and the CTE must stay in lockstep or the two keys would
+    * silently test different fixtures.
+    */
+  private def sparseLevel(s: SparkSession, dir: String): DataFrame =
+    Ingest.lwwAlign(Buckets.points(s, dir), 60)
+      .filter(col("bucket_ts") >= FromB && col("bucket_ts") < NowS)
+      .filter(expr("(bucket_ts div 60) % 3 = 0"))
+      .withColumn("value", col("value") * 2)
+
+  private val sparseCte: String =
+    """sparse AS (SELECT metric, bucket_ts, value * 2 AS value
+      |           FROM win WHERE (bucket_ts // 60) % 3 = 0)""".stripMargin
+
   /** The LWW window as a shared CTE pair: `win` = the full level,
-    * `sparse` = every 3rd bucket with doubled values (the "partially
-    * populated tree" fixture both tool keys derive from).
+    * `sparse` = the fixture above.
     */
   private def winCtes: String =
     s"""$pointsSql,
@@ -272,11 +287,7 @@ object WspQueries {
   private def ensureFilled(s: SparkSession, dir: String): String =
     Dedup.sharedIndexPath(s, dir, "events.parquet", "wsp_fill") { base =>
       val srcTree = ensureExported(s, dir)
-      val sparse = Ingest.lwwAlign(Buckets.points(s, dir), 60)
-        .filter(col("bucket_ts") >= FromB && col("bucket_ts") < NowS)
-        .filter(expr("(bucket_ts div 60) % 3 = 0"))
-        .withColumn("value", col("value") * 2)
-      WspWrite.exportLevel(sparse, s"$base/tree", schema)
+      WspWrite.exportLevel(sparseLevel(s, dir), s"$base/tree", schema)
       WspTools.fill(s, srcTree, s"$base/tree", schema)
       ()
     }
@@ -291,8 +302,7 @@ object WspQueries {
 
   val wspFillSql: String =
     s"""WITH $winCtes,
-       |sparse AS (SELECT metric, bucket_ts, value * 2 AS value
-       |           FROM win WHERE (bucket_ts // 60) % 3 = 0)
+       |$sparseCte
        |SELECT w.metric, w.bucket_ts,
        |       round(coalesce(sp.value, w.value), 6) AS value
        |FROM win w LEFT JOIN sparse sp
@@ -309,11 +319,7 @@ object WspQueries {
     */
   private def ensureSparse(s: SparkSession, dir: String): String =
     Dedup.sharedIndexPath(s, dir, "events.parquet", "wsp_sparse") { base =>
-      val sparse = Ingest.lwwAlign(Buckets.points(s, dir), 60)
-        .filter(col("bucket_ts") >= FromB && col("bucket_ts") < NowS)
-        .filter(expr("(bucket_ts div 60) % 3 = 0"))
-        .withColumn("value", col("value") * 2)
-      WspWrite.exportLevel(sparse, s"$base/tree", schema)
+      WspWrite.exportLevel(sparseLevel(s, dir), s"$base/tree", schema)
       ()
     }
 
@@ -329,8 +335,7 @@ object WspQueries {
 
   val wspDiffSql: String =
     s"""WITH $winCtes,
-       |sparse AS (SELECT metric, bucket_ts, value * 2 AS value
-       |           FROM win WHERE (bucket_ts // 60) % 3 = 0)
+       |$sparseCte
        |SELECT w.metric, w.bucket_ts,
        |       round(w.value, 6) AS value_a, round(sp.value, 6) AS value_b
        |FROM win w FULL OUTER JOIN sparse sp

@@ -23,25 +23,43 @@ import org.apache.spark.sql.functions._
 object WspTools {
 
   /** `whisper-fill` semantics: copy into `dstDir` every point of
-    * `srcDir` whose slot is EMPTY in dst — existing dst points always
+    * `srcDir` whose SLOT is empty in dst — existing dst points always
     * win, src only fills gaps. Level-aligned by archive index. Returns
     * the per-metric merge manifest (the write has run on return).
     *
-    * The gap set is a left-anti join keyed by (metric, archive, ts) —
-    * shuffle bounded by stored points, never corpus²; the merge then
-    * touches only gap slots, so dst's established ring bases and
-    * occupied slots survive untouched ([[WspWrite.merge]] guarantees).
+    * The gap test is keyed by RING SLOT CLASS (`(ts div spp) mod
+    * points`), not raw timestamp: a src point from an older ring lap
+    * has a different ts but lands in the SAME slot as an occupied dst
+    * point, and a ts-keyed check would classify it as a gap and let the
+    * merge destroy dst's newer data — the opposite of the fill
+    * contract. Src rows are validated against the expected geometry on
+    * the way through (`raise_error` on an spp mismatch — the src-side
+    * analog of the header check [[WspWrite.merge]] runs on dst files).
+    * Shuffles are bounded by stored points, never corpus².
     */
   def fill(
       spark: SparkSession,
       srcDir: String,
       dstDir: String,
       schema: WhisperSchema): DataFrame = {
-    val src = spark.read.format("wsp").load(srcDir)
-    val dst = spark.read.format("wsp").load(dstDir)
+    import org.apache.spark.sql.functions.broadcast
+    val cfg = {
+      import spark.implicits._
+      schema.retentions.zipWithIndex
+        .map { case (r, i) => (i, r.secondsPerPoint, r.numberOfPoints) }
+        .toDF("archive", "cfg_spp", "cfg_points")
+    }
+    def withSlot(tree: DataFrame): DataFrame =
+      tree.join(broadcast(cfg), Seq("archive"))
+        .filter(when(col("spp") === col("cfg_spp"), lit(true)).otherwise(
+          raise_error(concat(lit("fill: archive geometry mismatch — file has spp="),
+            col("spp"), lit(", schema expects "), col("cfg_spp"))).cast("boolean")))
+        .withColumn("slot", expr("pmod(ts_s div cfg_spp, cfg_points)"))
+    val src = withSlot(spark.read.format("wsp").load(srcDir))
+    val dst = withSlot(spark.read.format("wsp").load(dstDir))
     val gaps = src.join(
-        dst.select(col("metric"), col("archive"), col("ts_s")),
-        Seq("metric", "archive", "ts_s"), "left_anti")
+        dst.select(col("metric"), col("archive"), col("slot")),
+        Seq("metric", "archive", "slot"), "left_anti")
       .select(col("metric"), col("archive"),
         col("ts_s").as("bucket_ts"), col("value"))
     WspWrite.merge(gaps, dstDir, schema)

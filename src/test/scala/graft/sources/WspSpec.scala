@@ -558,9 +558,14 @@ class WspSpec extends AnyFunSuite {
   test("WspTools.fill: dst slots win, gaps take src, missing metrics appear") {
     import spark.implicits._
     val (src, dst) = (tmp(), tmp())
-    // src: cpu has slots 1000 and 1010; mem exists only here
+    // src: an archive copy taken one full ring lap (10s × 6 slots = 60s)
+    // EARLIER — its 940 point occupies the same slot class as dst's
+    // newer 1000 point but has a different timestamp, so a ts-keyed gap
+    // test would call it a gap and let the merge destroy dst's newer
+    // data (the round-6 review finding); 1010 is a genuine gap and mem
+    // exists only in src
     WspWrite.export(Seq(
-      ("cpu", 0, 1000L, 1.0), ("cpu", 0, 1010L, 2.0), ("mem", 0, 1000L, 9.0))
+      ("cpu", 0, 940L, 8.0), ("cpu", 0, 1010L, 2.0), ("mem", 0, 1000L, 9.0))
       .toDF("metric", "archive", "bucket_ts", "value"), src, schema)
     // dst: cpu already has slot 1000 with a DIFFERENT value
     WspWrite.export(Seq(("cpu", 0, 1000L, 5.0))
@@ -574,6 +579,17 @@ class WspSpec extends AnyFunSuite {
       ("cpu", 1000L, 5.0),  // existing dst point survived (whisper-fill rule)
       ("cpu", 1010L, 2.0),  // gap filled from src
       ("mem", 1000L, 9.0))) // whole missing file created
+    // the older-lap src point (940 → same slot as 1000) did NOT appear
+
+    // geometry mismatch fails loudly, like merge's dst-side check
+    // (raise_error surfaces as SparkRuntimeException or task-wrapped
+    // SparkException depending on where evaluation lands)
+    val err = intercept[Exception] {
+      WspTools.fill(spark, src, dst, WhisperSchema(
+        Seq(graft.model.Retention(5, 12), graft.model.Retention(60, 5)),
+        AggregationMethod.Sum, 0.0))
+    }
+    assert(err.getMessage.contains("geometry mismatch"), err.getMessage)
   }
 
   test("WspTools.resize derives every new level from the finest source archive") {

@@ -133,7 +133,14 @@ object ExplainDump {
       ("whisper-resize --aggregate as a plan: the new tree's scan-back; " +
         "the derivation was ONE propagate hop per level from the " +
         "source's finest archive (map-side partial agg keyed by " +
-        "(metric, coarser bucket)) into the executor-parallel export."))
+        "(metric, coarser bucket)) into the executor-parallel export."),
+    "shard_pack_scalable" ->
+      ("Distributed prefix-sum shard assignment: per-block partial " +
+        "sums, a windowed offset pass over the TINY block frame (the " +
+        "only single-partition step — #blocks rows, ~n/512), offsets " +
+        "broadcast back, every per-document window keyed by blk. The " +
+        "direct global-window form is the oracle and the bottleneck " +
+        "this replaces."))
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.lift(0).getOrElse("/root/testdata/sf0.001")

@@ -432,6 +432,146 @@ final class WspReaderFactory(
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
     new WspPartitionReader(
       partition.asInstanceOf[WspInputPartition], required, tsLo, tsHi, conf)
+
+  // the scan is COLUMNAR: ring slots decode straight into column
+  // vectors, so downstream whole-stage codegen consumes vectorized
+  // batches instead of a row iterator — at a 100 TB scan this removes
+  // the per-point virtual-call row path entirely. The row reader above
+  // remains the contract fallback.
+  override def supportColumnarReads(partition: InputPartition): Boolean = true
+  override def createColumnarReader(partition: InputPartition)
+      : PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] =
+    new WspColumnarReader(
+      partition.asInstanceOf[WspInputPartition], required, tsLo, tsHi, conf)
+}
+
+private[sources] object WspRead {
+  /** Read the full file image, absorbing the transient windows a LIVE
+    * tree can expose between planning and read: on schemes without an
+    * atomic replace ([[WspWrite]]'s delete+rename fallback) a planned
+    * file can be momentarily absent, and a checksummed read can race a
+    * sidecar swap. Bounded retries, then the real error — a file still
+    * missing after a second is genuinely gone, and silently skipping it
+    * would be data loss.
+    */
+  def readWithRetry(
+      fs: org.apache.hadoop.fs.FileSystem,
+      p: org.apache.hadoop.fs.Path,
+      len: Int,
+      path: String): Array[Byte] = {
+    var attempt = 0
+    while (true) {
+      try {
+        val bytes = new Array[Byte](len)
+        val in = fs.open(p)
+        try in.readFully(0, bytes) finally in.close()
+        return bytes
+      } catch {
+        case e @ (_: java.io.FileNotFoundException |
+                  _: org.apache.hadoop.fs.ChecksumException) =>
+          attempt += 1
+          if (attempt > 10) throw e
+          Thread.sleep(100)
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
+  /** Per-file image read + slot decode + pushed ts filter — the shared
+    * front half of both the row and columnar readers. Returns the
+    * file's metric name and its filtered point iterator.
+    */
+  def openFile(
+      file: (String, Long, String),
+      tsLo: Long,
+      tsHi: Long,
+      conf: SerializableConfiguration): (String, Iterator[WspPoint]) = {
+    val (path, len, metric) = file
+    // the format's u32 offsets bound a .wsp at 4 GB; a JVM byte array at
+    // 2 GB — fail with the real reason rather than a negative-size error
+    // (a >2 GB whisper file implies a >50-year 1s retention; unseen in
+    // practice, but the failure mode should name itself)
+    require(len <= Int.MaxValue, s"$path: $len bytes exceeds the 2 GB single-file limit")
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(conf.value)
+    val bytes = readWithRetry(fs, p, len.toInt, path)
+    (metric, WspCodec.decodePoints(bytes, path)
+      .filter(pt => pt.tsS >= tsLo && pt.tsS <= tsHi))
+  }
+}
+
+/** Columnar twin of [[WspPartitionReader]]: fills `OnHeapColumnVector`
+  * batches of up to [[WspColumnarReader.BatchRows]] rows. Batches may
+  * span files (the metric bytes are cached per file and written per
+  * row); every column is non-null by the format's construction.
+  */
+final class WspColumnarReader(
+    partition: WspInputPartition,
+    required: StructType,
+    tsLo: Long,
+    tsHi: Long,
+    conf: SerializableConfiguration)
+    extends PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] {
+  import org.apache.spark.sql.execution.vectorized.OnHeapColumnVector
+
+  private val files = partition.files.iterator
+  private var points: Iterator[WspPoint] = Iterator.empty
+  private var metricBytes: Array[Byte] = _
+
+  private val vectors =
+    OnHeapColumnVector.allocateColumns(WspColumnarReader.BatchRows, required)
+  private val batch = new org.apache.spark.sql.vectorized.ColumnarBatch(
+    vectors.asInstanceOf[Array[org.apache.spark.sql.vectorized.ColumnVector]])
+
+  private val fillers: Array[(Int, WspPoint) => Unit] =
+    required.fields.zipWithIndex.map { case (f, i) =>
+      f.name match {
+        case "metric" => (row: Int, _: WspPoint) =>
+          { vectors(i).putByteArray(row, metricBytes, 0, metricBytes.length); () }
+        case "archive" => (row: Int, pt: WspPoint) => vectors(i).putInt(row, pt.archive)
+        case "spp" => (row: Int, pt: WspPoint) => vectors(i).putInt(row, pt.spp)
+        case "ts_s" => (row: Int, pt: WspPoint) => vectors(i).putLong(row, pt.tsS)
+        case "value" => (row: Int, pt: WspPoint) => vectors(i).putDouble(row, pt.value)
+        case other => throw new IllegalArgumentException(s"unknown wsp column $other")
+      }
+    }
+
+  private def nextFile(): Boolean = {
+    if (!files.hasNext) return false
+    val (metric, pts) = WspRead.openFile(files.next(), tsLo, tsHi, conf)
+    metricBytes = metric.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    points = pts
+    true
+  }
+
+  override def next(): Boolean = {
+    while (!points.hasNext) if (!nextFile()) return false
+    var i = 0
+    while (i < vectors.length) { vectors(i).reset(); i += 1 }
+    var n = 0
+    // drain across file boundaries until the batch is full
+    while (n < WspColumnarReader.BatchRows &&
+        (points.hasNext || nextFile())) {
+      if (points.hasNext) {
+        val pt = points.next()
+        var c = 0
+        while (c < fillers.length) { fillers(c)(n, pt); c += 1 }
+        n += 1
+      }
+    }
+    batch.setNumRows(n)
+    n > 0
+  }
+
+  override def get(): org.apache.spark.sql.vectorized.ColumnarBatch = batch
+
+  override def close(): Unit = batch.close()
+}
+
+object WspColumnarReader {
+  /** Rows per ColumnarBatch — the standard vectorized-reader batch size
+    * (matches the parquet reader default). */
+  val BatchRows = 4096
 }
 
 /** Decodes each file of the partition in turn. One file image is held at
@@ -469,50 +609,10 @@ final class WspPartitionReader(
 
   private def nextFile(): Boolean = {
     if (!files.hasNext) return false
-    val (path, len, metric) = files.next()
-    // the format's u32 offsets bound a .wsp at 4 GB; a JVM byte array at
-    // 2 GB — fail with the real reason rather than a negative-size error
-    // (a >2 GB whisper file implies a >50-year 1s retention; unseen in
-    // practice, but the failure mode should name itself)
-    require(len <= Int.MaxValue, s"$path: $len bytes exceeds the 2 GB single-file limit")
-    val p = new org.apache.hadoop.fs.Path(path)
-    val fs = p.getFileSystem(conf.value)
-    val bytes = readWithRetry(fs, p, len.toInt, path)
+    val (metric, pts) = WspRead.openFile(files.next(), tsLo, tsHi, conf)
     metricU8 = UTF8String.fromString(metric)
-    points = WspCodec.decodePoints(bytes, path)
-      .filter(pt => pt.tsS >= tsLo && pt.tsS <= tsHi)
+    points = pts
     true
-  }
-
-  /** Read the full file image, absorbing the transient windows a LIVE
-    * tree can expose between planning and read: on schemes without an
-    * atomic replace ([[WspWrite]]'s delete+rename fallback) a planned
-    * file can be momentarily absent, and a checksummed read can race a
-    * sidecar swap. Bounded retries, then the real error — a file still
-    * missing after a second is genuinely gone, and silently skipping it
-    * would be data loss.
-    */
-  private def readWithRetry(
-      fs: org.apache.hadoop.fs.FileSystem,
-      p: org.apache.hadoop.fs.Path,
-      len: Int,
-      path: String): Array[Byte] = {
-    var attempt = 0
-    while (true) {
-      try {
-        val bytes = new Array[Byte](len)
-        val in = fs.open(p)
-        try in.readFully(0, bytes) finally in.close()
-        return bytes
-      } catch {
-        case e @ (_: java.io.FileNotFoundException |
-                  _: org.apache.hadoop.fs.ChecksumException) =>
-          attempt += 1
-          if (attempt > 10) throw e
-          Thread.sleep(100)
-      }
-    }
-    throw new IllegalStateException("unreachable")
   }
 
   override def next(): Boolean = {

@@ -128,6 +128,20 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("BatchScan wsp"), s"diff does not scan the wsp source:\n$p")
   }
 
+  test("wsp scans are COLUMNAR: batches feed codegen through ColumnarToRow") {
+    // the formatted plan of an unexecuted AQE query hides codegen and
+    // columnar wrappers — run it and inspect the EXECUTED plan
+    val df = graft.sources.WspQueries.wspRoundtrip(spark, dir)
+    df.collect()
+    val executed = df.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.executedPlan
+      case p => p
+    }
+    assert(executed.toString.contains("ColumnarToRow"),
+      s"wsp scan is not vectorized (no ColumnarToRow above the BatchScan):\n$executed")
+  }
+
   test("dedup_minhash never falls back to an all-pairs product") {
     // the underlying pipeline, not the materialized pair index the
     // public entry serves from

@@ -620,6 +620,50 @@ class WspSpec extends AnyFunSuite {
     assert(err.getMessage.contains("finer"))
   }
 
+  test("columnar reader emits exactly the row reader's points") {
+    import spark.implicits._
+    val dir = tmp()
+    // two multi-archive files + enough points to cross one 4096 batch?
+    // no — batch-boundary behavior is covered by spanning FILES; ring
+    // capacity bounds points. Both archives populated, plus a second
+    // metric so batches span files.
+    WspWrite.export(Seq(
+      ("cpu", 0, 1000L, 1.0), ("cpu", 0, 1010L, 2.0), ("cpu", 1, 960L, 3.0),
+      ("mem", 0, 1020L, 4.0), ("mem", 1, 1020L, 5.0))
+      .toDF("metric", "archive", "bucket_ts", "value"), dir, schema)
+    val scan = new WspScanBuilder(Seq(dir)).build().asInstanceOf[WspScan]
+    val parts = scan.toBatch.planInputPartitions()
+    val factory = scan.createReaderFactory()
+    assert(parts.forall(factory.supportColumnarReads))
+
+    def rowSet = parts.flatMap { p =>
+      val r = factory.createReader(p)
+      val out = Seq.newBuilder[(String, Int, Int, Long, Double)]
+      while (r.next()) {
+        val row = r.get()
+        out += ((row.getUTF8String(0).toString, row.getInt(1), row.getInt(2),
+          row.getLong(3), row.getDouble(4)))
+      }
+      r.close(); out.result()
+    }.toSet
+    def colSet = parts.flatMap { p =>
+      val r = factory.createColumnarReader(p)
+      val out = Seq.newBuilder[(String, Int, Int, Long, Double)]
+      while (r.next()) {
+        val b = r.get()
+        val it = b.rowIterator()
+        while (it.hasNext) {
+          val row = it.next()
+          out += ((row.getUTF8String(0).toString, row.getInt(1), row.getInt(2),
+            row.getLong(3), row.getDouble(4)))
+        }
+      }
+      r.close(); out.result()
+    }.toSet
+    val (rows, cols) = (rowSet, colSet)
+    assert(rows.nonEmpty && rows == cols)
+  }
+
   test("bin-packing groups many small files into few partitions") {
     import spark.implicits._
     val dir = tmp()

@@ -285,16 +285,28 @@ object PipelineOps {
     // ids; heavily CLUSTERED ids can still skew individual blocks (a
     // row-bucket key would need the very global order this avoids).
     // Any order-aligned contiguous blocking yields identical output.
-    val head = tok.agg(min("doc_id"), max("doc_id"), count(lit(1))).head()
-    if (head.isNullAt(0))
+    // the sizing pass projects doc_id ALONE so Catalyst prunes the
+    // tokenization out of it — a cheap id-column scan, not a third full
+    // token pass (plan-only callers still trigger this small job)
+    val head = tok.select(col("doc_id"))
+      .agg(min("doc_id"), max("doc_id"), count(lit(1))).head()
+    val n = head.getLong(2)
+    if (n == 0)
       return tok.select(col("doc_id"), col("n_tokens"), lit(0L).as("shard"))
-    val (lo, hi, n) = (head.getLong(0), head.getLong(1), head.getLong(2))
+    // min/max are null when every id is null — any width serves the one
+    // coalesced block then
+    val (lo, hi) =
+      if (head.isNullAt(0)) (0L, 0L) else (head.getLong(0), head.getLong(1))
     // BigInt: range·ShardBlock overflows Long for hash-like id ranges;
     // the unanchored `doc_id div width` (monotone even across zero for
-    // truncating division) avoids a `doc_id - lo` overflow the same way
+    // truncating division) avoids a `doc_id - lo` overflow the same way.
+    // `coalesce(..., MinValue)` gives null doc_ids their own FIRST block
+    // — a bare null blk would never match the offsets join key and the
+    // rows would silently vanish, where the direct form keeps them
     val width = ((BigInt(hi) - BigInt(lo) + 1) * ShardBlock / n)
       .max(1).min(Long.MaxValue).toLong
-    val blocked = tok.withColumn("blk", expr(s"doc_id div $width"))
+    val blocked = tok.withColumn("blk",
+      expr(s"coalesce(doc_id div $width, ${Long.MinValue}L)"))
     val offsets = blocked.groupBy("blk")
       .agg(sum(col("n_tokens")).as("bn"))
       .withColumn("blk_off",

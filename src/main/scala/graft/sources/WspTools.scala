@@ -23,26 +23,30 @@ import org.apache.spark.sql.functions._
 object WspTools {
 
   /** `whisper-fill` semantics: copy into `dstDir` every point of
-    * `srcDir` whose SLOT is empty in dst — existing dst points always
-    * win, src only fills gaps. Level-aligned by archive index. Returns
-    * the per-metric merge manifest (the write has run on return).
+    * `srcDir` whose ring slot in dst is EMPTY or holds a STALER (older
+    * interval) point — current dst data always wins, src fills gaps.
+    * Level-aligned by archive index. Returns the per-metric merge
+    * manifest (the write has run on return).
     *
     * The gap test is keyed by RING SLOT CLASS (`(ts div spp) mod
-    * points`), not raw timestamp: a src point from an older ring lap
-    * has a different ts but lands in the SAME slot as an occupied dst
-    * point, and a ts-keyed check would classify it as a gap and let the
-    * merge destroy dst's newer data — the opposite of the fill
-    * contract. Src rows are validated against the expected geometry on
-    * the way through (`raise_error` on an spp mismatch — the src-side
-    * analog of the header check [[WspWrite.merge]] runs on dst files).
-    * Shuffles are bounded by stored points, never corpus².
+    * points`) with an interval comparison, not raw timestamp equality:
+    *  - a src point from an older ring lap lands in the SAME slot as a
+    *    newer occupied dst point — a ts-keyed check would call it a gap
+    *    and let the merge destroy dst's newer data;
+    *  - conversely a dst occupant one lap STALE must not block a fresh
+    *    src point — the reference tool fetches dst over the current
+    *    window, where a stale-interval slot reads as a gap, and copies.
+    * Slot-keyed last-interval-wins captures both directions. Rows are
+    * validated against the expected geometry on the way through
+    * (`raise_error` on a missing archive or an spp mismatch — the
+    * src-side analog of the header check [[WspWrite.merge]] runs on dst
+    * files). Shuffles are bounded by stored points, never corpus².
     */
   def fill(
       spark: SparkSession,
       srcDir: String,
       dstDir: String,
       schema: WhisperSchema): DataFrame = {
-    import org.apache.spark.sql.functions.broadcast
     val cfg = {
       import spark.implicits._
       schema.retentions.zipWithIndex
@@ -50,16 +54,23 @@ object WspTools {
         .toDF("archive", "cfg_spp", "cfg_points")
     }
     def withSlot(tree: DataFrame): DataFrame =
-      tree.join(broadcast(cfg), Seq("archive"))
-        .filter(when(col("spp") === col("cfg_spp"), lit(true)).otherwise(
-          raise_error(concat(lit("fill: archive geometry mismatch — file has spp="),
-            col("spp"), lit(", schema expects "), col("cfg_spp"))).cast("boolean")))
+      tree.join(broadcast(cfg), Seq("archive"), "left")
+        // a LEFT join so an archive index outside the schema fails the
+        // check loudly (an inner join would silently drop the level)
+        .filter(when(col("cfg_spp").isNotNull &&
+            col("spp") === col("cfg_spp"), lit(true)).otherwise(
+          raise_error(concat(lit("fill: archive geometry mismatch — file has "),
+            lit("archive="), col("archive"), lit(" spp="), col("spp"),
+            lit(", schema expects spp="),
+            coalesce(col("cfg_spp").cast("string"), lit("<no such archive>"))))
+            .cast("boolean")))
         .withColumn("slot", expr("pmod(ts_s div cfg_spp, cfg_points)"))
     val src = withSlot(spark.read.format("wsp").load(srcDir))
     val dst = withSlot(spark.read.format("wsp").load(dstDir))
-    val gaps = src.join(
-        dst.select(col("metric"), col("archive"), col("slot")),
-        Seq("metric", "archive", "slot"), "left_anti")
+      .select(col("metric"), col("archive"), col("slot"),
+        col("ts_s").as("dst_ts"))
+    val gaps = src.join(dst, Seq("metric", "archive", "slot"), "left")
+      .filter(col("dst_ts").isNull || col("ts_s") > col("dst_ts"))
       .select(col("metric"), col("archive"),
         col("ts_s").as("bucket_ts"), col("value"))
     WspWrite.merge(gaps, dstDir, schema)

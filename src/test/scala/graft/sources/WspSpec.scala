@@ -581,6 +581,21 @@ class WspSpec extends AnyFunSuite {
       ("mem", 1000L, 9.0))) // whole missing file created
     // the older-lap src point (940 → same slot as 1000) did NOT appear
 
+    // the MIRROR direction: a dst occupant one lap STALE must not block
+    // a fresh src point (the reference tool reads that slot as a gap in
+    // the current window and copies)
+    val (src2, dst2) = (tmp(), tmp())
+    WspWrite.export(Seq(("cpu", 0, 1000L, 2.0))
+      .toDF("metric", "archive", "bucket_ts", "value"), src2, schema)
+    WspWrite.export(Seq(("cpu", 0, 940L, 5.0))
+      .toDF("metric", "archive", "bucket_ts", "value"), dst2, schema)
+    WspTools.fill(spark, src2, dst2, schema)
+    val got2 = spark.read.format("wsp").load(dst2)
+      .filter(org.apache.spark.sql.functions.col("archive") === 0)
+      .select("metric", "ts_s", "value").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got2 == Set(("cpu", 1000L, 2.0)))
+
     // geometry mismatch fails loudly, like merge's dst-side check
     // (raise_error surfaces as SparkRuntimeException or task-wrapped
     // SparkException depending on where evaluation lands)
@@ -636,7 +651,10 @@ class WspSpec extends AnyFunSuite {
     val factory = scan.createReaderFactory()
     assert(parts.forall(factory.supportColumnarReads))
 
-    def rowSet = parts.flatMap { p =>
+    // MULTISET comparison (sorted seqs): a batching reader's signature
+    // failure mode is duplicate emission at batch/file boundaries,
+    // which a Set compare would mask
+    def rowSeq = parts.toSeq.flatMap { p =>
       val r = factory.createReader(p)
       val out = Seq.newBuilder[(String, Int, Int, Long, Double)]
       while (r.next()) {
@@ -645,8 +663,8 @@ class WspSpec extends AnyFunSuite {
           row.getLong(3), row.getDouble(4)))
       }
       r.close(); out.result()
-    }.toSet
-    def colSet = parts.flatMap { p =>
+    }.sorted
+    def colSeq = parts.toSeq.flatMap { p =>
       val r = factory.createColumnarReader(p)
       val out = Seq.newBuilder[(String, Int, Int, Long, Double)]
       while (r.next()) {
@@ -659,8 +677,8 @@ class WspSpec extends AnyFunSuite {
         }
       }
       r.close(); out.result()
-    }.toSet
-    val (rows, cols) = (rowSet, colSet)
+    }.sorted
+    val (rows, cols) = (rowSeq, colSeq)
     assert(rows.nonEmpty && rows == cols)
   }
 

@@ -126,9 +126,9 @@ object ExplainDump {
         "count hash joins, per-doc partial/final aggregate."),
     "wsp_fill" ->
       ("whisper-fill as a plan: shown is the filled tree's scan-back; " +
-        "the fill itself is a left-anti join keyed by (metric, archive, " +
-        "ts) — gap slots only — feeding the per-metric slot merge, so " +
-        "dst's occupied slots are never rewritten."),
+        "the fill itself is a slot-keyed left join + interval compare " +
+        "(copy where dst's ring slot is empty or staler) feeding the " +
+        "per-metric slot merge — current dst data is never rewritten."),
     "wsp_resize" ->
       ("whisper-resize --aggregate as a plan: the new tree's scan-back; " +
         "the derivation was ONE propagate hop per level from the " +

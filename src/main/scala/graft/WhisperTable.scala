@@ -441,7 +441,7 @@ object WhisperTable {
     * codec's named error, not a bare EOFException. Shared by the
     * single-file schema read and [[importWspGrouped]]'s executor sweep.
     */
-  private def headerOf(
+  private[graft] def headerOf(
       fs: org.apache.hadoop.fs.FileSystem,
       p: org.apache.hadoop.fs.Path,
       totalLen: Long,

@@ -3,9 +3,13 @@ package graft.sources
 import graft.model.{Retention, WhisperSchema}
 
 /** One decoded on-disk point: which archive it came from, that archive's
-  * resolution, the stored interval (epoch seconds) and value.
+  * geometry (resolution + ring size), the stored interval (epoch
+  * seconds) and value. Carrying `points` per row lets tree-level
+  * consumers ([[WspTools.fill]]/[[WspTools.resize]]) validate the FULL
+  * ring geometry of every file they touch, not just its resolution — a
+  * same-spp different-ring-size file is a different retention config.
   */
-final case class WspPoint(archive: Int, spp: Int, tsS: Long, value: Double)
+final case class WspPoint(archive: Int, spp: Int, points: Int, tsS: Long, value: Double)
 
 /** Parsed `.wsp` header: the 16-byte metadata block plus one 12-byte
   * info record per archive.
@@ -198,7 +202,8 @@ object WspCodec {
       (0 until a.numberOfPoints).iterator.flatMap { _ =>
         val interval = buf.getInt().toLong & 0xFFFFFFFFL
         val value = buf.getDouble()
-        if (interval != 0L) Some(WspPoint(idx, a.secondsPerPoint, interval, value))
+        if (interval != 0L)
+          Some(WspPoint(idx, a.secondsPerPoint, a.numberOfPoints, interval, value))
         else None
       }
     }

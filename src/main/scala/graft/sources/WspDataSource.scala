@@ -21,13 +21,14 @@ import org.apache.spark.util.SerializableConfiguration
   *
   * {{{
   * spark.read.format("wsp").load("/var/lib/carbon/whisper/servers")
-  *   // => metric | archive | spp | ts_s | value
+  *   // => metric | archive | spp | points | ts_s | value
   * }}}
   *
   * `metric` is the file's base name (whisper is file-per-series; the
   * directory tree IS the metric namespace — `a/b/c.wsp` → `a.b.c`),
-  * `archive` the 0-based level index, `spp` that level's resolution,
-  * `ts_s`/`value` the stored point.
+  * `archive` the 0-based level index, `spp`/`points` that level's
+  * resolution and ring size (the file's own geometry, so tree-level
+  * consumers can validate it per row), `ts_s`/`value` the stored point.
   *
   * Scale design — a production whisper tree is millions of SMALL files
   * (file size is fixed by each series' retention config), the classic
@@ -71,6 +72,7 @@ object WspTable {
     StructField("metric", StringType, nullable = false),
     StructField("archive", IntegerType, nullable = false),
     StructField("spp", IntegerType, nullable = false),
+    StructField("points", IntegerType, nullable = false),
     StructField("ts_s", LongType, nullable = false),
     StructField("value", DoubleType, nullable = false)))
 
@@ -530,6 +532,7 @@ final class WspColumnarReader(
           { vectors(i).putByteArray(row, metricBytes, 0, metricBytes.length); () }
         case "archive" => (row: Int, pt: WspPoint) => vectors(i).putInt(row, pt.archive)
         case "spp" => (row: Int, pt: WspPoint) => vectors(i).putInt(row, pt.spp)
+        case "points" => (row: Int, pt: WspPoint) => vectors(i).putInt(row, pt.points)
         case "ts_s" => (row: Int, pt: WspPoint) => vectors(i).putLong(row, pt.tsS)
         case "value" => (row: Int, pt: WspPoint) => vectors(i).putDouble(row, pt.value)
         case other => throw new IllegalArgumentException(s"unknown wsp column $other")
@@ -599,6 +602,7 @@ final class WspPartitionReader(
       case "metric" => (_: WspPoint) => metricU8
       case "archive" => (p: WspPoint) => p.archive
       case "spp" => (p: WspPoint) => p.spp
+      case "points" => (p: WspPoint) => p.points
       case "ts_s" => (p: WspPoint) => p.tsS
       case "value" => (p: WspPoint) => p.value
       case other => throw new IllegalArgumentException(s"unknown wsp column $other")

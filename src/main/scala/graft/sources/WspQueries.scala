@@ -345,8 +345,9 @@ object WspQueries {
 
   /** `wsp_resize`: whisper-resize --aggregate over a tree — the 1m:1d
     * fixture re-derived as a 5m:1d tree (Average, xff 0), scanned back.
-    * One propagate hop from the source's finest archive per new level,
-    * exactly the tool's re-aggregation (no avg-of-avg drift).
+    * One propagate hop from the best-available source archive per time
+    * range (here the single 1m archive covers the whole window), exactly
+    * the tool's re-aggregation (no avg-of-avg drift).
     */
   private val ResizeSchema = graft.model.WhisperSchema(
     Seq(graft.model.Retention(300, 288)),
@@ -355,7 +356,7 @@ object WspQueries {
   private def ensureResized(s: SparkSession, dir: String): String =
     Dedup.sharedIndexPath(s, dir, "events.parquet", "wsp_resize") { base =>
       val srcTree = ensureExported(s, dir)
-      WspTools.resize(s, srcTree, s"$base/tree", 60, ResizeSchema, NowS)
+      WspTools.resize(s, srcTree, s"$base/tree", ResizeSchema, NowS)
       ()
     }
 
@@ -376,6 +377,90 @@ object WspQueries {
        |ORDER BY metric, bucket_ts""".stripMargin
   }
 
+  // ------------------------------------------------------ deep resize
+
+  /** The new tree for the DEEP resize: 10m for 2 days + 1h for 30 days,
+    * Sum/xff-0 like the multi fixture it resizes. Both horizons reach
+    * past the source's finest (1m:1d) archive, so the result depends on
+    * history that exists ONLY in the source's coarser archives — the
+    * case the r6 single-archive derivation silently dropped.
+    */
+  private val DeepSchema = graft.model.WhisperSchema(
+    Seq(graft.model.Retention(600, 288), graft.model.Retention(3600, 720)),
+    graft.model.AggregationMethod.Sum, 0.0)
+
+  private def ensureResizedDeep(s: SparkSession, dir: String): String =
+    Dedup.sharedIndexPath(s, dir, "events.parquet", "wsp_resize_deep") { base =>
+      val srcTree = ensureExportedMulti(s, dir)
+      WspTools.resize(s, srcTree, s"$base/tree", DeepSchema, NowS)
+      ()
+    }
+
+  /** `wsp_resize_deep`: whisper-resize across RETENTION TIERS — the
+    * 3-level std cascade tree re-derived as (10m:2d, 1h:30d). Per-range
+    * best-archive routing: the last day of each new level consolidates
+    * from the 1m archive, days 1–7 from the 5m archive, and the 1h
+    * level's days 7–30 copy from the 1h archive — whisper's fetch rule
+    * applied per target bucket. The oracle rebuilds every band
+    * relationally from the same cascade CTEs.
+    */
+  def wspResizeDeep(s: SparkSession, dir: String): DataFrame = {
+    val base = ensureResizedDeep(s, dir)
+    s.read.format("wsp").load(s"$base/tree")
+      .select(col("metric"), col("archive"), col("ts_s").as("bucket_ts"),
+        round(col("value"), 6).as("value"))
+      .orderBy("metric", "archive", "bucket_ts")
+  }
+
+  val wspResizeDeepSql: String = {
+    import graft.model.AggregationMethod.Sum
+    import graft.ops.Rollup
+    // mirror of WspTools.resize's band filters: ts bounds + exact
+    // target-bucket band condition (finest source archive whose live
+    // window overlaps the bucket wins)
+    def bandSql(srcCte: String, retJ: Long, prevRet: Long,
+        sppL: Int, horizon: Long): String = {
+      val tsLo = math.max(NowS - retJ, NowS - horizon)
+      val tsHi = if (prevRet == 0) NowS else NowS - prevRet
+      val b = s"((bucket_ts // $sppL) * $sppL)"
+      val bandCond =
+        if (prevRet == 0) s"$b < $NowS"
+        else s"$b + $sppL <= ${NowS - prevRet}"
+      s"SELECT metric, bucket_ts, value FROM $srcCte " +
+        s"WHERE bucket_ts >= $tsLo AND bucket_ts < $tsHi " +
+        s"AND $b >= ${NowS - horizon} AND $bandCond"
+    }
+    val rets = MultiSchema.retentions
+    def treeCte(src: String, i: Int): String =
+      s"SELECT metric, bucket_ts, value FROM $src " +
+        s"WHERE bucket_ts >= ${NowS - rets(i).maxRetentionSeconds} " +
+        s"AND bucket_ts < $NowS"
+    def lvl(cte: String, archive: Int): String =
+      s"""SELECT metric, CAST($archive AS INT) AS archive, bucket_ts,
+         |       round(value, 6) AS value FROM $cte""".stripMargin
+    s"""WITH $pointsSql,
+       |lww1m AS (${Ingest.lwwAlignSql(60)}),
+       |r5m AS (${Rollup.propagateSql("lww1m", 60, 300, Sum, 0.0)}),
+       |r5v AS (SELECT metric, bucket_ts, value FROM r5m),
+       |r1h0 AS (${Rollup.propagateSql("r5v", 300, 3600, Sum, 0.0)}),
+       |t0 AS (${treeCte("lww1m", 0)}),
+       |t1 AS (${treeCte("r5v", 1)}),
+       |t2 AS (${treeCte("r1h0", 2)}),
+       |s00 AS (${bandSql("t0", 86400L, 0L, 600, 172800L)}),
+       |p00 AS (${Rollup.propagateSql("s00", 60, 600, Sum, 0.0)}),
+       |s01 AS (${bandSql("t1", 604800L, 86400L, 600, 172800L)}),
+       |p01 AS (${Rollup.propagateSql("s01", 300, 600, Sum, 0.0)}),
+       |s10 AS (${bandSql("t0", 86400L, 0L, 3600, 2592000L)}),
+       |p10 AS (${Rollup.propagateSql("s10", 60, 3600, Sum, 0.0)}),
+       |s11 AS (${bandSql("t1", 604800L, 86400L, 3600, 2592000L)}),
+       |p11 AS (${Rollup.propagateSql("s11", 300, 3600, Sum, 0.0)}),
+       |s12 AS (${bandSql("t2", 2592000L, 604800L, 3600, 2592000L)})
+       |${lvl("p00", 0)} UNION ALL ${lvl("p01", 0)}
+       |UNION ALL ${lvl("p10", 1)} UNION ALL ${lvl("p11", 1)}
+       |UNION ALL ${lvl("s12", 1)}
+       |ORDER BY metric, archive, bucket_ts""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "wsp_roundtrip" -> (wspRoundtrip _),
     "wsp_roundtrip_multi" -> (wspRoundtripMulti _),
@@ -384,7 +469,8 @@ object WspQueries {
     "wsp_stream_ingest" -> (wspStreamIngest _),
     "wsp_fill" -> (wspFill _),
     "wsp_diff" -> (wspDiff _),
-    "wsp_resize" -> (wspResize _))
+    "wsp_resize" -> (wspResize _),
+    "wsp_resize_deep" -> (wspResizeDeep _))
 
   val oracleSql: Map[String, String] = Map(
     "wsp_roundtrip" -> wspRoundtripSql,
@@ -394,5 +480,6 @@ object WspQueries {
     "wsp_stream_ingest" -> wspStreamIngestSql,
     "wsp_fill" -> wspFillSql,
     "wsp_diff" -> wspDiffSql,
-    "wsp_resize" -> wspResizeSql)
+    "wsp_resize" -> wspResizeSql,
+    "wsp_resize_deep" -> wspResizeDeepSql)
 }

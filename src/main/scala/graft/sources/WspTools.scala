@@ -1,7 +1,7 @@
 package graft.sources
 
 import graft.model.WhisperSchema
-import graft.ops.{Buckets, Rollup}
+import graft.ops.Rollup
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -22,6 +22,55 @@ import org.apache.spark.sql.functions._
   */
 object WspTools {
 
+  /** The source tree's parsed binary header, taken from its first `.wsp`
+    * file — ONE bounded driver-side read (a planning decision, like the
+    * scan's listing), with the rest of the tree validated per row against
+    * it inside the distributed plan ([[withGeometry]]'s `raise_error`).
+    * Archives must be finest→coarsest with strictly growing retention,
+    * whisper's own create-time invariant.
+    */
+  def treeHeader(spark: SparkSession, dir: String): WspHeader = {
+    val root = new org.apache.hadoop.fs.Path(dir)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    val it = fs.listFiles(fs.makeQualified(root), true)
+    while (it.hasNext) {
+      val st = it.next()
+      if (st.isFile && st.getPath.getName.endsWith(".wsp")) {
+        val h = graft.WhisperTable.headerOf(
+          fs, st.getPath, st.getLen, st.getPath.toString)
+        val rets = h.archives.map(a =>
+          a.secondsPerPoint.toLong * a.numberOfPoints)
+        require(rets.zip(rets.tail).forall { case (a, b) => a < b } &&
+            h.archives.map(_.secondsPerPoint).sliding(2).forall(
+              s => s.size < 2 || s(0) < s(1)),
+          s"${st.getPath}: archives $h not finest-to-coarsest with growing retention")
+        return h
+      }
+    }
+    throw new IllegalArgumentException(s"$dir: no .wsp files found")
+  }
+
+  /** Validate a scanned tree row-by-row against an expected per-archive
+    * geometry `(archive, cfg_spp, cfg_points)` — BOTH resolution and ring
+    * size (same spp with a different ring is a different retention
+    * config). A LEFT join so an archive index outside the expectation
+    * fails the check loudly (an inner join would silently drop the
+    * level). Returns the tree with `cfg_spp`/`cfg_points` attached.
+    */
+  private def withGeometry(
+      tree: DataFrame, cfg: DataFrame, tool: String): DataFrame =
+    tree.join(broadcast(cfg), Seq("archive"), "left")
+      .filter(when(col("cfg_spp").isNotNull &&
+          col("spp") === col("cfg_spp") &&
+          col("points") === col("cfg_points"), lit(true)).otherwise(
+        raise_error(concat(lit(s"$tool: archive geometry mismatch — file has "),
+          lit("archive="), col("archive"), lit(" spp="), col("spp"),
+          lit(" points="), col("points"), lit(", expected spp="),
+          coalesce(col("cfg_spp").cast("string"), lit("<no such archive>")),
+          lit(" points="),
+          coalesce(col("cfg_points").cast("string"), lit("<no such archive>"))))
+          .cast("boolean")))
+
   /** `whisper-fill` semantics: copy into `dstDir` every point of
     * `srcDir` whose ring slot in dst is EMPTY or holds a STALER (older
     * interval) point — current dst data always wins, src fills gaps.
@@ -37,10 +86,11 @@ object WspTools {
     *    src point — the reference tool fetches dst over the current
     *    window, where a stale-interval slot reads as a gap, and copies.
     * Slot-keyed last-interval-wins captures both directions. Rows are
-    * validated against the expected geometry on the way through
-    * (`raise_error` on a missing archive or an spp mismatch — the
-    * src-side analog of the header check [[WspWrite.merge]] runs on dst
-    * files). Shuffles are bounded by stored points, never corpus².
+    * validated against the expected geometry — resolution AND ring size —
+    * on the way through (`raise_error` on a missing archive or any
+    * mismatch — the src-side analog of the header check
+    * [[WspWrite.merge]] runs on dst files). Shuffles are bounded by
+    * stored points, never corpus².
     */
   def fill(
       spark: SparkSession,
@@ -54,16 +104,7 @@ object WspTools {
         .toDF("archive", "cfg_spp", "cfg_points")
     }
     def withSlot(tree: DataFrame): DataFrame =
-      tree.join(broadcast(cfg), Seq("archive"), "left")
-        // a LEFT join so an archive index outside the schema fails the
-        // check loudly (an inner join would silently drop the level)
-        .filter(when(col("cfg_spp").isNotNull &&
-            col("spp") === col("cfg_spp"), lit(true)).otherwise(
-          raise_error(concat(lit("fill: archive geometry mismatch — file has "),
-            lit("archive="), col("archive"), lit(" spp="), col("spp"),
-            lit(", schema expects spp="),
-            coalesce(col("cfg_spp").cast("string"), lit("<no such archive>"))))
-            .cast("boolean")))
+      withGeometry(tree, cfg, "fill")
         .withColumn("slot", expr("pmod(ts_s div cfg_spp, cfg_points)"))
     val src = withSlot(spark.read.format("wsp").load(srcDir))
     val dst = withSlot(spark.read.format("wsp").load(dstDir))
@@ -101,35 +142,94 @@ object WspTools {
 
   /** `whisper-resize --aggregate` semantics: build a NEW tree under
     * `outDir` with `newSchema`'s retention config, each new level
-    * consolidated DIRECTLY from the source tree's finest archive via the
-    * target schema's aggregation method and xFilesFactor (one propagate
-    * hop per level — exactly how the tool re-aggregates, and free of
-    * avg-of-avg drift), clamped to the level's retention horizon at
-    * `nowS`. New levels finer than the source resolution cannot be
-    * invented and are refused. Returns the export manifest.
+    * consolidated from the BEST-AVAILABLE source archive per time range —
+    * whisper's fetch rule (the finest archive whose live window covers
+    * the range), which is exactly the U3 routing the ingest path applies
+    * per point ([[graft.ops.Ingest.archiveColumn]]), here applied per
+    * TARGET BUCKET:
+    *
+    *  - each target bucket of a new level is served by the finest source
+    *    archive whose live window `[now − retention, now)` overlaps it;
+    *    bands are disjoint by construction, so no cross-archive dedup
+    *    shuffle is needed;
+    *  - source points are read only from their archive's live window
+    *    (exactly what the tool's per-archive fetch returns — a stale
+    *    ring-lap slot reads as a gap and is not copied);
+    *  - a band coarser than the target level is consolidated with the
+    *    target schema's aggregation method and xFilesFactor (one
+    *    propagate hop — the tool's re-aggregation, free of avg-of-avg
+    *    drift); an equal-resolution band copies; a band FINER than...
+    *    — i.e. the target level finer than the band's source archive —
+    *    passes points through at their own (already target-aligned)
+    *    timestamps, the tool's no-interpolation rule; any non-integer
+    *    alignment is refused loudly;
+    *  - each new level is clamped to its retention horizon at `nowS`.
+    *
+    * History older than the finest source archive's span — present only
+    * in the source's coarser archives — is therefore carried over, not
+    * dropped (the r6 data-loss finding). The source geometry is read
+    * from the tree's own binary header ([[treeHeader]]), never trusted
+    * from the caller, and every scanned row is validated against it.
+    * Returns the export manifest.
     */
   def resize(
       spark: SparkSession,
       srcDir: String,
       outDir: String,
-      srcFinestSpp: Int,
       newSchema: WhisperSchema,
       nowS: Long): DataFrame = {
-    val pts = spark.read.format("wsp").load(srcDir)
-      .filter(col("archive") === 0)
-      .select(col("metric"), col("ts_s").as("bucket_ts"), col("value"))
+    val hdr = treeHeader(spark, srcDir)
+    val cfg = {
+      import spark.implicits._
+      hdr.archives.zipWithIndex
+        .map { case (a, i) => (i, a.secondsPerPoint, a.numberOfPoints) }
+        .toDF("archive", "cfg_spp", "cfg_points")
+    }
+    val scanned = withGeometry(
+      spark.read.format("wsp").load(srcDir), cfg, "resize")
+    // source archive j's live window reaches back ret(j) seconds; band j
+    // of a target level = the target buckets overlapping archive j's
+    // window but not any finer archive's (finest-wins, whisper fetch)
+    val rets = hdr.archives.map(a => a.secondsPerPoint.toLong * a.numberOfPoints)
     val levels = newSchema.retentions.zipWithIndex.map { case (r, i) =>
-      val spp = r.secondsPerPoint
-      require(spp >= srcFinestSpp && spp % srcFinestSpp == 0,
-        s"cannot resize ${srcFinestSpp}s data to a finer/misaligned ${spp}s archive")
-      val lvl =
-        if (spp == srcFinestSpp) pts
-        else Rollup.propagate(pts, srcFinestSpp, spp,
-            newSchema.method, newSchema.xFilesFactor)
-          .select(col("metric"), col("bucket_ts"), col("value"))
-      lvl.filter(col("bucket_ts") >= nowS - r.maxRetentionSeconds &&
-          col("bucket_ts") < nowS)
-        .withColumn("archive", lit(i))
+      val sppL = r.secondsPerPoint
+      val horizon = r.maxRetentionSeconds
+      val perBand = hdr.archives.zipWithIndex.flatMap { case (sa, j) =>
+        val sppJ = sa.secondsPerPoint
+        val prevRet = if (j == 0) 0L else rets(j - 1)
+        // band entirely older than the level's horizon → contributes nothing
+        if (prevRet >= horizon) None
+        else {
+          require(sppL % sppJ == 0 || sppJ % sppL == 0,
+            s"resize: target ${sppL}s level is not integer-aligned with the " +
+              s"${sppJ}s source archive $j (neither divides the other)")
+          val bucket = (floor(col("ts_s") / sppL) * sppL).cast("long")
+          // ts bounds are the PUSHABLE superset of the exact bucket-band
+          // filter below: they reach the slot decoder, the bucket filter
+          // stays exact in the plan
+          val tsLo = math.max(nowS - rets(j), nowS - horizon)
+          val tsHi = if (j == 0) nowS else nowS - prevRet
+          val src = scanned
+            .filter(col("archive") === j &&
+              col("ts_s") >= tsLo && col("ts_s") < tsHi)
+            .filter(bucket >= nowS - horizon &&
+              (if (j == 0) bucket < nowS
+               else bucket + sppL <= nowS - prevRet))
+            .select(col("metric"), col("ts_s").as("bucket_ts"), col("value"))
+          val lvl =
+            if (sppL == sppJ) src
+            else if (sppL % sppJ == 0)
+              Rollup.propagate(src, sppJ, sppL,
+                  newSchema.method, newSchema.xFilesFactor)
+                .select(col("metric"), col("bucket_ts"), col("value"))
+            else src // sppJ % sppL == 0: coarse point into a finer level,
+                     // already target-aligned — pass through, no invention
+          Some(lvl)
+        }
+      }
+      require(perBand.nonEmpty,
+        s"resize: no source archive covers any of the ${sppL}s level's window")
+      perBand.reduce(_ unionAll _).withColumn("archive", lit(i))
     }
     WspWrite.export(levels.reduce(_ unionAll _), outDir, newSchema)
   }

@@ -54,8 +54,8 @@ class WspSpec extends AnyFunSuite {
     assert(buf.getInt(info.offset + 2 * 12) == 1020)
     assert(buf.getInt(info.offset + 5 * 12) == 1050)
     assert(WspCodec.decodePoints(file).toSeq ==
-      Seq(WspPoint(0, 10, 1000L, 1.5), WspPoint(0, 10, 1020L, 2.5),
-        WspPoint(0, 10, 1050L, -3.0)))
+      Seq(WspPoint(0, 10, 6, 1000L, 1.5), WspPoint(0, 10, 6, 1020L, 2.5),
+        WspPoint(0, 10, 6, 1050L, -3.0)))
   }
 
   test("codec: ring lap — a point one retention later overwrites its slot") {
@@ -64,7 +64,7 @@ class WspSpec extends AnyFunSuite {
     WspCodec.writeArchive(file, info,
       Seq((1000L, 1.0), (1010L, 2.0), (1060L, 9.0))) // 1060 laps onto slot 0
     val pts = WspCodec.decodePoints(file).toSeq
-    assert(pts == Seq(WspPoint(0, 10, 1060L, 9.0), WspPoint(0, 10, 1010L, 2.0)))
+    assert(pts == Seq(WspPoint(0, 10, 6, 1060L, 9.0), WspPoint(0, 10, 6, 1010L, 2.0)))
   }
 
   test("spark round trip: export per-metric files, scan them back") {
@@ -127,7 +127,7 @@ class WspSpec extends AnyFunSuite {
     assert(q.queryExecution.executedPlan.collect {
       case f: org.apache.spark.sql.execution.FilterExec => f
     }.isEmpty)
-    assert(q.collect().map(_.getDouble(4)).toSeq == Seq(2.0))
+    assert(q.collect().map(_.getDouble(5)).toSeq == Seq(2.0))
   }
 
   test("ts bounds at the Long extremes yield empty results, not full scans") {
@@ -406,7 +406,7 @@ class WspSpec extends AnyFunSuite {
       val out = scala.collection.mutable.ArrayBuffer.empty[(String, Long, Double)]
       while (r.next()) {
         val row = r.get()
-        out += ((row.getUTF8String(0).toString, row.getLong(3), row.getDouble(4)))
+        out += ((row.getUTF8String(0).toString, row.getLong(4), row.getDouble(5)))
       }
       r.close()
       out
@@ -607,32 +607,54 @@ class WspSpec extends AnyFunSuite {
     assert(err.getMessage.contains("geometry mismatch"), err.getMessage)
   }
 
-  test("WspTools.resize derives every new level from the finest source archive") {
+  test("WspTools.resize routes each target bucket to the best-available source archive") {
     import spark.implicits._
     val (src, out) = (tmp(), tmp())
-    // 10s source points: two 20s buckets for cpu (values averaging 1.5
-    // and 4.0), clamped by a now just past the data
-    val nowS = 1200L
+    // src geometry = `schema` (10s:6 → 60s window, 60s:5 → 300s window)
+    // at now=1030. Recent history (ages < 60) lives in archive 0; the 840
+    // point (age 190) exists ONLY in the coarser archive 1 — the r6
+    // derivation dropped exactly this tier.
+    val nowS = 1030L
     WspWrite.export(Seq(
-      ("cpu", 0, 1000L, 1.0), ("cpu", 0, 1010L, 2.0), ("cpu", 0, 1020L, 4.0))
+      ("cpu", 0, 1000L, 1.0), ("cpu", 0, 1010L, 2.0), ("cpu", 0, 1020L, 4.0),
+      ("cpu", 1, 840L, 7.0))
       .toDF("metric", "archive", "bucket_ts", "value"), src, schema)
     val newSchema = WhisperSchema(
       Seq(graft.model.Retention(20, 10), graft.model.Retention(60, 5)),
       AggregationMethod.Average, 0.0)
-    WspTools.resize(spark, src, out, 10, newSchema, nowS)
+    WspTools.resize(spark, src, out, newSchema, nowS)
     val got = spark.read.format("wsp").load(out)
       .select("archive", "ts_s", "value").collect()
       .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2))).toSet
     assert(got == Set(
-      (0, 1000L, 1.5), (0, 1020L, 4.0),  // 20s level: avg per 20s bucket
-      (1, 960L, 1.5), (1, 1020L, 4.0)))  // 60s buckets: [960,1020) and [1020,1080)
-    // a finer-than-source archive cannot be invented
+      // 20s level: last-60s buckets consolidate from archive 0 (avg per
+      // 20s bucket); the deep 60s point passes through at its own ts
+      // (coarse→fine = the tool's no-interpolation write)
+      (0, 1000L, 1.5), (0, 1020L, 4.0), (0, 840L, 7.0),
+      // 60s level: bucket 960 straddles archive 0's window start (970)
+      // and still consolidates from it — finest-overlapping-archive wins,
+      // like whisper's update-propagation; 840 copies from archive 1
+      (1, 960L, 1.5), (1, 1020L, 4.0), (1, 840L, 7.0)))
+
+    // a target level FINER than every source archive is served by
+    // pass-through (fetch returns the coarse points; nothing is invented)
+    val fine = tmp()
+    WspTools.resize(spark, src, fine,
+      WhisperSchema(Seq(graft.model.Retention(5, 100)),
+        AggregationMethod.Average, 0.0), nowS)
+    val gotFine = spark.read.format("wsp").load(fine)
+      .select("ts_s", "value").collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSet
+    assert(gotFine == Set(
+      (1000L, 1.0), (1010L, 2.0), (1020L, 4.0), (840L, 7.0)))
+
+    // a non-integer-aligned target is refused loudly
     val err = intercept[IllegalArgumentException] {
-      WspTools.resize(spark, src, tmp(), 10,
-        WhisperSchema(Seq(graft.model.Retention(5, 10)),
+      WspTools.resize(spark, src, tmp(),
+        WhisperSchema(Seq(graft.model.Retention(15, 40)),
           AggregationMethod.Average, 0.0), nowS)
     }
-    assert(err.getMessage.contains("finer"))
+    assert(err.getMessage.contains("not integer-aligned"))
   }
 
   test("columnar reader emits exactly the row reader's points") {
@@ -656,24 +678,24 @@ class WspSpec extends AnyFunSuite {
     // which a Set compare would mask
     def rowSeq = parts.toSeq.flatMap { p =>
       val r = factory.createReader(p)
-      val out = Seq.newBuilder[(String, Int, Int, Long, Double)]
+      val out = Seq.newBuilder[(String, Int, Int, Int, Long, Double)]
       while (r.next()) {
         val row = r.get()
         out += ((row.getUTF8String(0).toString, row.getInt(1), row.getInt(2),
-          row.getLong(3), row.getDouble(4)))
+          row.getInt(3), row.getLong(4), row.getDouble(5)))
       }
       r.close(); out.result()
     }.sorted
     def colSeq = parts.toSeq.flatMap { p =>
       val r = factory.createColumnarReader(p)
-      val out = Seq.newBuilder[(String, Int, Int, Long, Double)]
+      val out = Seq.newBuilder[(String, Int, Int, Int, Long, Double)]
       while (r.next()) {
         val b = r.get()
         val it = b.rowIterator()
         while (it.hasNext) {
           val row = it.next()
           out += ((row.getUTF8String(0).toString, row.getInt(1), row.getInt(2),
-            row.getLong(3), row.getDouble(4)))
+            row.getInt(3), row.getLong(4), row.getDouble(5)))
         }
       }
       r.close(); out.result()

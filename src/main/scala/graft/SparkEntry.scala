@@ -18,10 +18,12 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    CoreQueries.queries ++ ExtQueries.queries ++ graft.sources.WspQueries.queries
+    CoreQueries.queries ++ ExtQueries.queries ++
+      graft.sources.WspQueries.queries ++ graft.streaming.StreamQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    CoreQueries.oracleSql ++ ExtQueries.oracleSql ++ graft.sources.WspQueries.oracleSql
+    CoreQueries.oracleSql ++ ExtQueries.oracleSql ++
+      graft.sources.WspQueries.oracleSql ++ graft.streaming.StreamQueries.oracleSql
 }

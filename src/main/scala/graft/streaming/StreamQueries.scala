@@ -1,0 +1,136 @@
+package graft.streaming
+
+import graft.ops.{Buckets, Dedup, PipelineOps}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+/** Oracle-checked STREAMING query keys — the [[graft.sources.WspQueries
+  * .wspStreamIngest]] pattern (stream → state → relational scan-back vs a
+  * batch oracle) applied to the two remaining streaming surfaces,
+  * [[StreamDedup]] and [[StreamSessionize]]. Their specs pin
+  * streaming ≡ batch in-JVM; these keys pin the same equivalence against
+  * the external DuckDB oracle, which knows nothing about micro-batches:
+  * a hash match proves the streamed state machine computes exactly the
+  * relational answer.
+  *
+  * Both fixtures stage their input as parquet and run Trigger
+  * .AvailableNow queries over a file stream with a shared checkpoint, so
+  * batch boundaries are DETERMINISTIC (the second query only sees files
+  * staged after the first ran) — the cross-batch state handoff is
+  * exercised by construction, not by scheduler luck.
+  */
+object StreamQueries {
+
+  /** `stream_dedup` — [[StreamDedup.dedupStream]] driven over the
+    * documents corpus in two deterministic arrival waves split by doc_id
+    * at the id range's midpoint: wave 2 re-delivers content whose hash
+    * was first seen (and state-committed) in wave 1, so `is_first=false`
+    * decisions cross a real checkpoint restart. Because waves are
+    * id-ordered, the first wave containing a hash also contains its
+    * global min doc_id, which makes the streamed canonical exactly the
+    * batch rule's min — the property the oracle checks per row.
+    */
+  private def ensureStreamDeduped(s: SparkSession, dir: String): String =
+    Dedup.sharedIndexPath(s, dir, "documents.parquet", "stream_dedup") { base =>
+      import s.implicits._
+      val stage = s"$base/stage"
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id").cast("long").as("doc_id"),
+          md5(col("text")).as("text_hash"))
+      val (lo, hi) = docs.agg(min("doc_id"), max("doc_id"))
+        .as[(Long, Long)].head()
+      val mid = lo + (hi - lo) / 2
+      def runWave(wave: DataFrame): Unit = {
+        wave.coalesce(1).write.mode("append").parquet(stage)
+        val arrivals = s.readStream.schema(docs.schema).parquet(stage)
+          .as[StreamDedup.DocArrival]
+        StreamDedup.dedupStream(arrivals).toDF()
+          .writeStream.outputMode("append")
+          .format("parquet").option("path", s"$base/out")
+          .option("checkpointLocation", s"$base/ckpt")
+          .trigger(Trigger.AvailableNow())
+          .start().awaitTermination()
+      }
+      runWave(docs.filter(col("doc_id") <= mid))
+      runWave(docs.filter(col("doc_id") > mid))
+    }
+
+  def streamDedup(s: SparkSession, dir: String): DataFrame = {
+    val base = ensureStreamDeduped(s, dir)
+    s.read.parquet(s"$base/out")
+      .select(col("doc_id"), col("text_hash"), col("is_first"),
+        col("canonical_id"))
+      .orderBy("doc_id")
+  }
+
+  val streamDedupSql: String =
+    """SELECT doc_id,
+      |       md5(text) AS text_hash,
+      |       doc_id = min(doc_id) OVER (PARTITION BY md5(text)) AS is_first,
+      |       min(doc_id) OVER (PARTITION BY md5(text)) AS canonical_id
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  /** Throwaway metric whose far-future events exist only to advance the
+    * event-time watermark past every real session's end; it never
+    * finalizes itself (no later batch passes ITS end) and is filtered
+    * from the result regardless.
+    */
+  private val Sentinel = "zz_watermark_sentinel"
+
+  /** `stream_sessionize` — [[StreamSessionize.sessionizeStream]] over
+    * the staged event stream. Append-mode session finalization needs the
+    * watermark to PASS a session's end, and the watermark used by batch
+    * N is computed from batch N−1 — so the second query feeds two
+    * sentinel files one batch apart (`maxFilesPerTrigger=1`): the first
+    * advances the watermark computation, the second's batch runs with
+    * that advanced watermark and flushes every real session. The staged
+    * corpus is one file = one batch, so no real event is ever late
+    * against the initial watermark.
+    */
+  private def ensureStreamSessionized(s: SparkSession, dir: String): String =
+    Dedup.sharedIndexPath(s, dir, "events.parquet", "stream_sessionize") { base =>
+      import s.implicits._
+      val stage = s"$base/stage"
+      val pts = Buckets.points(s, dir)
+      def run(extraFilesPerTrigger: Option[Int]): Unit = {
+        val src = s.readStream.schema(pts.schema)
+        val reader = extraFilesPerTrigger
+          .fold(src)(n => src.option("maxFilesPerTrigger", n))
+        StreamSessionize
+          .sessionizeStream(reader.parquet(stage), PipelineOps.SessionGapS, "1 hour")
+          .writeStream.outputMode("append")
+          .format("parquet").option("path", s"$base/out")
+          .option("checkpointLocation", s"$base/ckpt")
+          .trigger(Trigger.AvailableNow())
+          .start().awaitTermination()
+      }
+      pts.coalesce(1).write.mode("append").parquet(stage)
+      run(None)
+      Seq((Sentinel, Buckets.NowS + 10 * 86400L, 0.0),
+          (Sentinel, Buckets.NowS + 20 * 86400L, 0.0))
+        .zipWithIndex.foreach { case (row, _) =>
+          Seq(row).toDF("metric", "ts_s", "value")
+            .coalesce(1).write.mode("append").parquet(stage)
+        }
+      run(Some(1))
+    }
+
+  def streamSessionize(s: SparkSession, dir: String): DataFrame = {
+    val base = ensureStreamSessionized(s, dir)
+    s.read.parquet(s"$base/out")
+      .filter(col("metric") =!= Sentinel)
+      .select(col("metric"), col("session_start"), col("n_events"),
+        col("duration_s"))
+      .orderBy("metric", "session_start")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stream_dedup" -> (streamDedup _),
+    "stream_sessionize" -> (streamSessionize _))
+
+  val oracleSql: Map[String, String] = Map(
+    "stream_dedup" -> streamDedupSql,
+    // identical sessions to the batch operator — the whole point
+    "stream_sessionize" -> PipelineOps.sessionizeSql)
+}

@@ -12,9 +12,11 @@ import org.apache.spark.sql.functions.udaf
   * Replaces the round-5 formulation of 64 separate `sum(expr(...))`
   * aggregates — 64 interpreted expression trees, each re-reading a hex
   * nibble of the md5 string PER TOKEN ROW — with a single buffer of 65
-  * longs updated by a tight shift/mask loop (measured at sf0.1:
-  * `dedup_simhash` 2.28 s → well under 1 s; the 64-buffer form was the
-  * one r5 bench regression). Partial/final aggregation is preserved
+  * longs updated by a tight shift/mask loop (driver-measured at sf0.1:
+  * `dedup_simhash` 2.28 s → 1.21 s cold including the shared
+  * fingerprint-index build that key amortizes for its siblings; the
+  * 64-buffer form was the one r5 bench regression). Partial/final
+  * aggregation is preserved
   * (ObjectHashAggregate), so shuffle volume stays bounded by distinct
   * doc_ids exactly as before.
   *

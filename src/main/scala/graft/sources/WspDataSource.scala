@@ -113,13 +113,21 @@ final class WspTable(roots: Seq[String]) extends Table with SupportsRead {
     java.util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new WspScanBuilder(roots, options.getBoolean("listingCache", false),
-      Option(options.get("metricRoot")))
+      Option(options.get("metricRoot")),
+      options.getInt("readRetries", 0))
 }
 
 final class WspScanBuilder(
     roots: Seq[String],
     listingCache: Boolean = false,
-    metricRoot: Option[String] = None)
+    metricRoot: Option[String] = None,
+    // transient-absence retries per file open — 0 for batch scans (a
+    // missing file in a static tree should fail fast with the real
+    // error, not cost every task a ~1 s stall first); the streaming
+    // path overrides to a bounded retry (its documented contract
+    // absorbs the publish fallback's no-file window). The `readRetries`
+    // read option opts a batch scan of a LIVE tree into the same.
+    readRetries: Int = 0)
     extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
 
   private var pushed: Array[Filter] = Array.empty
@@ -173,7 +181,7 @@ final class WspScanBuilder(
     new WspScan(roots, metrics, tsLo, tsHi, required,
       new SerializableConfiguration(spark.sessionState.newHadoopConf()),
       spark.sessionState.conf.filesMaxPartitionBytes, listingCache,
-      metricRoot)
+      metricRoot, readRetries)
   }
 }
 
@@ -192,7 +200,8 @@ final class WspScan(
     // metric names are derived relative to this dir instead of each root
     // — lets a caller pass FILES as roots (a schema-grouped subset of a
     // tree) and still get the tree's dotted metric names
-    metricRoot: Option[String] = None) extends Scan with Batch {
+    metricRoot: Option[String] = None,
+    readRetries: Int = 0) extends Scan with Batch {
 
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
@@ -336,7 +345,16 @@ final class WspScan(
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new WspReaderFactory(required, tsLo, tsHi, conf)
+    new WspReaderFactory(required, tsLo, tsHi, conf, readRetries)
+
+  /** Reader factory for the STREAMING path: a live tree's publish
+    * fallback (delete+rename schemes) can leave a planned file briefly
+    * absent, so streaming reads always retry transient absence at least
+    * [[WspRead.StreamRetries]] times before surfacing the error.
+    */
+  private[sources] def streamingReaderFactory(): PartitionReaderFactory =
+    new WspReaderFactory(required, tsLo, tsHi, conf,
+      math.max(readRetries, WspRead.StreamRetries))
 
   /** Streaming read: tail a LIVE whisper tree — the reverse direction of
     * [[graft.streaming.StreamIngest.wspWriter]] (a carbon daemon keeps
@@ -420,7 +438,7 @@ final class WspMicroBatchStream(scan: WspScan)
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    scan.createReaderFactory()
+    scan.streamingReaderFactory()
 
   override def commit(end: Offset): Unit = ()
   override def stop(): Unit = ()
@@ -430,10 +448,11 @@ final class WspReaderFactory(
     required: StructType,
     tsLo: Long,
     tsHi: Long,
-    conf: SerializableConfiguration) extends PartitionReaderFactory {
+    conf: SerializableConfiguration,
+    private[sources] val retries: Int = 0) extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
     new WspPartitionReader(
-      partition.asInstanceOf[WspInputPartition], required, tsLo, tsHi, conf)
+      partition.asInstanceOf[WspInputPartition], required, tsLo, tsHi, conf, retries)
 
   // the scan is COLUMNAR: ring slots decode straight into column
   // vectors, so downstream whole-stage codegen consumes vectorized
@@ -444,23 +463,31 @@ final class WspReaderFactory(
   override def createColumnarReader(partition: InputPartition)
       : PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] =
     new WspColumnarReader(
-      partition.asInstanceOf[WspInputPartition], required, tsLo, tsHi, conf)
+      partition.asInstanceOf[WspInputPartition], required, tsLo, tsHi, conf, retries)
 }
 
 private[sources] object WspRead {
-  /** Read the full file image, absorbing the transient windows a LIVE
-    * tree can expose between planning and read: on schemes without an
-    * atomic replace ([[WspWrite]]'s delete+rename fallback) a planned
-    * file can be momentarily absent, and a checksummed read can race a
-    * sidecar swap. Bounded retries, then the real error — a file still
-    * missing after a second is genuinely gone, and silently skipping it
-    * would be data loss.
+  /** Streaming-path default for transient-absence retries (~1 s of
+    * 100 ms sleeps). */
+  val StreamRetries = 10
+
+  /** Read the full file image. With `retries > 0`, absorb the transient
+    * windows a LIVE tree can expose between planning and read: on
+    * schemes without an atomic replace ([[WspWrite]]'s delete+rename
+    * fallback) a planned file can be momentarily absent, and a
+    * checksummed read can race a sidecar swap — bounded retries, then
+    * the real error (a file still missing after a second is genuinely
+    * gone, and silently skipping it would be data loss). With
+    * `retries == 0` — the batch-scan default — a missing file surfaces
+    * immediately: a static tree has no transient window to absorb, and
+    * a stall-then-fail would just tax every task of a failing scan.
     */
   def readWithRetry(
       fs: org.apache.hadoop.fs.FileSystem,
       p: org.apache.hadoop.fs.Path,
       len: Int,
-      path: String): Array[Byte] = {
+      path: String,
+      retries: Int): Array[Byte] = {
     var attempt = 0
     while (true) {
       try {
@@ -472,7 +499,7 @@ private[sources] object WspRead {
         case e @ (_: java.io.FileNotFoundException |
                   _: org.apache.hadoop.fs.ChecksumException) =>
           attempt += 1
-          if (attempt > 10) throw e
+          if (attempt > retries) throw e
           Thread.sleep(100)
       }
     }
@@ -487,7 +514,8 @@ private[sources] object WspRead {
       file: (String, Long, String),
       tsLo: Long,
       tsHi: Long,
-      conf: SerializableConfiguration): (String, Iterator[WspPoint]) = {
+      conf: SerializableConfiguration,
+      retries: Int): (String, Iterator[WspPoint]) = {
     val (path, len, metric) = file
     // the format's u32 offsets bound a .wsp at 4 GB; a JVM byte array at
     // 2 GB — fail with the real reason rather than a negative-size error
@@ -496,7 +524,7 @@ private[sources] object WspRead {
     require(len <= Int.MaxValue, s"$path: $len bytes exceeds the 2 GB single-file limit")
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(conf.value)
-    val bytes = readWithRetry(fs, p, len.toInt, path)
+    val bytes = readWithRetry(fs, p, len.toInt, path, retries)
     (metric, WspCodec.decodePoints(bytes, path)
       .filter(pt => pt.tsS >= tsLo && pt.tsS <= tsHi))
   }
@@ -512,7 +540,8 @@ final class WspColumnarReader(
     required: StructType,
     tsLo: Long,
     tsHi: Long,
-    conf: SerializableConfiguration)
+    conf: SerializableConfiguration,
+    retries: Int = 0)
     extends PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] {
   import org.apache.spark.sql.execution.vectorized.OnHeapColumnVector
 
@@ -541,7 +570,7 @@ final class WspColumnarReader(
 
   private def nextFile(): Boolean = {
     if (!files.hasNext) return false
-    val (metric, pts) = WspRead.openFile(files.next(), tsLo, tsHi, conf)
+    val (metric, pts) = WspRead.openFile(files.next(), tsLo, tsHi, conf, retries)
     metricBytes = metric.getBytes(java.nio.charset.StandardCharsets.UTF_8)
     points = pts
     true
@@ -587,7 +616,8 @@ final class WspPartitionReader(
     required: StructType,
     tsLo: Long,
     tsHi: Long,
-    conf: SerializableConfiguration) extends PartitionReader[InternalRow] {
+    conf: SerializableConfiguration,
+    retries: Int = 0) extends PartitionReader[InternalRow] {
 
   private val files = partition.files.iterator
   private var points: Iterator[WspPoint] = Iterator.empty
@@ -613,7 +643,7 @@ final class WspPartitionReader(
 
   private def nextFile(): Boolean = {
     if (!files.hasNext) return false
-    val (metric, pts) = WspRead.openFile(files.next(), tsLo, tsHi, conf)
+    val (metric, pts) = WspRead.openFile(files.next(), tsLo, tsHi, conf, retries)
     metricU8 = UTF8String.fromString(metric)
     points = pts
     true

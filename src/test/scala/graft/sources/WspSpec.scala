@@ -704,6 +704,28 @@ class WspSpec extends AnyFunSuite {
     assert(rows.nonEmpty && rows == cols)
   }
 
+  test("batch reads fail fast on a missing file; streaming factory retries") {
+    val conf = new org.apache.spark.util.SerializableConfiguration(
+      spark.sessionState.newHadoopConf())
+    val ghost = new org.apache.hadoop.fs.Path(tmp(), "gone.wsp")
+    val fs = ghost.getFileSystem(conf.value)
+    // retries=0 (the batch default): the real error surfaces immediately
+    // — no ~1 s stall per task on a genuinely deleted file
+    val t0 = System.nanoTime()
+    intercept[java.io.FileNotFoundException] {
+      WspRead.readWithRetry(fs, ghost, 16, ghost.toString, retries = 0)
+    }
+    assert((System.nanoTime() - t0) / 1e9 < 0.5)
+    // the streaming factory carries the bounded retry for the publish
+    // fallback's no-file window
+    val dir = tmp()
+    val scan = new WspScanBuilder(Seq(dir)).build().asInstanceOf[WspScan]
+    assert(scan.createReaderFactory()
+      .asInstanceOf[WspReaderFactory].retries == 0)
+    assert(scan.streamingReaderFactory()
+      .asInstanceOf[WspReaderFactory].retries == WspRead.StreamRetries)
+  }
+
   test("bin-packing groups many small files into few partitions") {
     import spark.implicits._
     val dir = tmp()

@@ -89,8 +89,9 @@ object WspTools {
     * validated against the expected geometry — resolution AND ring size —
     * on the way through (`raise_error` on a missing archive or any
     * mismatch — the src-side analog of the header check
-    * [[WspWrite.merge]] runs on dst files). Shuffles are bounded by
-    * stored points, never corpus².
+    * [[WspWrite.merge]] runs on dst files; a DIFFERENT-geometry source
+    * is [[fillResample]]'s job, not a silent mis-slot here). Shuffles
+    * are bounded by stored points, never corpus².
     */
   def fill(
       spark: SparkSession,
@@ -177,6 +178,19 @@ object WspTools {
       srcDir: String,
       outDir: String,
       newSchema: WhisperSchema,
+      nowS: Long): DataFrame =
+    WspWrite.export(rederive(spark, srcDir, newSchema, nowS), outDir, newSchema)
+
+  /** The relational heart of [[resize]] (shared with [[fillResample]]):
+    * the source tree's points re-derived under `newSchema`'s geometry as
+    * a `(metric, archive, bucket_ts, value)` frame — at most one row per
+    * ring slot per metric (each level's horizon is exactly its ring
+    * capacity, and bands are disjoint).
+    */
+  private[graft] def rederive(
+      spark: SparkSession,
+      srcDir: String,
+      newSchema: WhisperSchema,
       nowS: Long): DataFrame = {
     val hdr = treeHeader(spark, srcDir)
     val cfg = {
@@ -231,6 +245,123 @@ object WspTools {
         s"resize: no source archive covers any of the ${sppL}s level's window")
       perBand.reduce(_ unionAll _).withColumn("archive", lit(i))
     }
-    WspWrite.export(levels.reduce(_ unionAll _), outDir, newSchema)
+    levels.reduce(_ unionAll _)
+  }
+
+  /** `whisper-fill` ACROSS retention configs: back-fill `dstDir` (geometry
+    * `dstSchema`) from a tree with ANY geometry, by first re-deriving the
+    * source under the destination's schema ([[rederive]] — the resize
+    * consolidation, per-range best-archive routing and all) and then
+    * applying the same slot-keyed gap rule as [[fill]]: existing dst
+    * slots win, gaps and stale laps take the re-derived src point. The
+    * real tool's fetch-consolidate-update path for mismatched trees,
+    * which same-geometry [[fill]] deliberately refuses.
+    */
+  def fillResample(
+      spark: SparkSession,
+      srcDir: String,
+      dstDir: String,
+      dstSchema: WhisperSchema,
+      nowS: Long): DataFrame = {
+    val cfg = {
+      import spark.implicits._
+      dstSchema.retentions.zipWithIndex
+        .map { case (r, i) => (i, r.secondsPerPoint, r.numberOfPoints) }
+        .toDF("archive", "cfg_spp", "cfg_points")
+    }
+    val src = rederive(spark, srcDir, dstSchema, nowS)
+      .join(broadcast(cfg), Seq("archive"))
+      .withColumn("slot", expr("pmod(bucket_ts div cfg_spp, cfg_points)"))
+    val dst = withGeometry(
+        spark.read.format("wsp").load(dstDir), cfg, "fill")
+      .withColumn("slot", expr("pmod(ts_s div cfg_spp, cfg_points)"))
+      .select(col("metric"), col("archive"), col("slot"),
+        col("ts_s").as("dst_ts"))
+    val gaps = src.join(dst, Seq("metric", "archive", "slot"), "left")
+      .filter(col("dst_ts").isNull || col("bucket_ts") > col("dst_ts"))
+      .select(col("metric"), col("archive"), col("bucket_ts"), col("value"))
+    WspWrite.merge(gaps, dstDir, dstSchema)
+  }
+
+  /** `whisper-merge` semantics: copy EVERY stored point of `srcDir` into
+    * the same slot of `dstDir` — src wins on collision (update_many
+    * overwrite), dst-only slots survive. Same-geometry by contract, both
+    * trees validated row-by-row; use [[fillResample]] (gap-filling) or
+    * [[resize]]+merge for mismatched configs. One shuffle keyed by
+    * metric into the executor-parallel merge write.
+    */
+  def merge(
+      spark: SparkSession,
+      srcDir: String,
+      dstDir: String,
+      schema: WhisperSchema): DataFrame = {
+    val cfg = {
+      import spark.implicits._
+      schema.retentions.zipWithIndex
+        .map { case (r, i) => (i, r.secondsPerPoint, r.numberOfPoints) }
+        .toDF("archive", "cfg_spp", "cfg_points")
+    }
+    val src = withGeometry(
+        spark.read.format("wsp").load(srcDir), cfg, "merge")
+      .select(col("metric"), col("archive"),
+        col("ts_s").as("bucket_ts"), col("value"))
+    WspWrite.merge(src, dstDir, schema)
+  }
+
+  /** `whisper-set-aggregation-method` / `whisper-set-xfilesfactor`: patch
+    * the metadata block of every file in a tree — a distributed
+    * executor-side rewrite (read image, patch 4 bytes, atomic publish —
+    * the same tmp+rename discipline as every other write), never a
+    * driver file loop. `method`/`xff` are each optional; ring data is
+    * untouched. Returns the per-file manifest
+    * (path, old_method, old_xff) — the write has run on return.
+    */
+  def rewriteHeaders(
+      spark: SparkSession,
+      treeDir: String,
+      method: Option[graft.model.AggregationMethod] = None,
+      xff: Option[Double] = None): DataFrame = {
+    require(method.isDefined || xff.isDefined,
+      "rewriteHeaders: nothing to rewrite — pass method and/or xff")
+    xff.foreach(x => require(x >= 0.0 && x <= 1.0,
+      s"rewriteHeaders: xFilesFactor $x outside [0, 1]"))
+    val root = new org.apache.hadoop.fs.Path(treeDir)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    val it = fs.listFiles(fs.makeQualified(root), true)
+    val files = Seq.newBuilder[(String, Long)]
+    while (it.hasNext) {
+      val st = it.next()
+      if (st.isFile && st.getPath.getName.endsWith(".wsp"))
+        files += ((st.getPath.toString, st.getLen))
+    }
+    val all = files.result()
+    val conf = new org.apache.spark.util.SerializableConfiguration(
+      spark.sessionState.newHadoopConf())
+    val methodId = method.map(_.id)
+    import spark.implicits._
+    val manifest = spark.sparkContext
+      .parallelize(all, math.min(256, math.max(1, all.size / 64)))
+      .mapPartitions { paths =>
+        paths.map { case (p, len) =>
+          val path = new org.apache.hadoop.fs.Path(p)
+          val pfs = path.getFileSystem(conf.value)
+          require(len <= Int.MaxValue,
+            s"$p: $len bytes exceeds the 2 GB single-file limit")
+          val image = new Array[Byte](len.toInt)
+          val in = pfs.open(path)
+          try in.readFully(0, image) finally in.close()
+          val h = WspCodec.readHeader(image, p) // validates before patching
+          val buf = java.nio.ByteBuffer.wrap(image)
+            .order(java.nio.ByteOrder.BIG_ENDIAN)
+          methodId.foreach(id => buf.putInt(0, id))
+          xff.foreach(x => buf.putFloat(8, x.toFloat))
+          val tmp = new org.apache.hadoop.fs.Path(path.getParent,
+            s".${path.getName}.tmp.${java.util.UUID.randomUUID().toString.take(8)}")
+          WspWrite.publish(pfs, conf.value, tmp, path, image)
+          (p, h.aggregationType, h.xFilesFactor.toDouble)
+        }
+      }
+      .toDF("path", "old_method", "old_xff")
+    manifest.localCheckpoint(true) // run the rewrite NOW, exactly once
   }
 }

@@ -148,7 +148,7 @@ object WspWrite {
     *    retries opens to absorb exactly that window. Orphaned tmps are
     *    swept by [[vacuumTmp]].
     */
-  private def publish(
+  private[sources] def publish(
       fs: org.apache.hadoop.fs.FileSystem,
       conf: org.apache.hadoop.conf.Configuration,
       tmpPath: org.apache.hadoop.fs.Path,

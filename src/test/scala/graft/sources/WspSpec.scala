@@ -657,6 +657,74 @@ class WspSpec extends AnyFunSuite {
     assert(err.getMessage.contains("not integer-aligned"))
   }
 
+  test("WspTools.merge: src wins on collision, dst-only slots survive") {
+    import spark.implicits._
+    val (src, dst) = (tmp(), tmp())
+    WspWrite.export(Seq(
+      ("cpu", 0, 1000L, 8.0), ("mem", 0, 1000L, 9.0))
+      .toDF("metric", "archive", "bucket_ts", "value"), src, schema)
+    WspWrite.export(Seq(
+      ("cpu", 0, 1000L, 5.0), ("cpu", 0, 1010L, 6.0))
+      .toDF("metric", "archive", "bucket_ts", "value"), dst, schema)
+    WspTools.merge(spark, src, dst, schema)
+    val got = spark.read.format("wsp").load(dst)
+      .filter(org.apache.spark.sql.functions.col("archive") === 0)
+      .select("metric", "ts_s", "value").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got == Set(
+      ("cpu", 1000L, 8.0),  // src overwrote the colliding slot
+      ("cpu", 1010L, 6.0),  // dst-only slot survived
+      ("mem", 1000L, 9.0))) // whole missing file created
+  }
+
+  test("WspTools.fillResample fills a coarser dst from a finer src") {
+    import spark.implicits._
+    val (src, dst) = (tmp(), tmp())
+    val nowS = 1030L
+    // fine 10s source data (schema geometry)...
+    WspWrite.export(Seq(
+      ("cpu", 0, 1000L, 1.0), ("cpu", 0, 1010L, 2.0), ("cpu", 0, 1020L, 4.0))
+      .toDF("metric", "archive", "bucket_ts", "value"), src, schema)
+    // ...into a 20s/Average dst that already owns bucket 1000
+    val dstSchema = WhisperSchema(
+      Seq(graft.model.Retention(20, 10)), AggregationMethod.Average, 0.0)
+    WspWrite.export(Seq(("cpu", 0, 1000L, 9.0))
+      .toDF("metric", "archive", "bucket_ts", "value"), dst, dstSchema)
+    WspTools.fillResample(spark, src, dst, dstSchema, nowS)
+    val got = spark.read.format("wsp").load(dst)
+      .select("ts_s", "value").collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSet
+    assert(got == Set(
+      (1000L, 9.0),   // existing dst slot won (whisper-fill rule)
+      (1020L, 4.0)))  // gap consolidated from the finer source
+  }
+
+  test("WspTools.rewriteHeaders patches method/xff, rings untouched") {
+    import spark.implicits._
+    val dir = tmp()
+    WspWrite.export(Seq(
+      ("cpu", 0, 1000L, 1.5), ("mem", 1, 960L, 2.5))
+      .toDF("metric", "archive", "bucket_ts", "value"), dir, schema)
+    val manifest = WspTools.rewriteHeaders(spark, dir,
+      Some(AggregationMethod.Max), Some(0.25))
+      .collect().map(r => (r.getInt(1), r.getDouble(2))).toSet
+    assert(manifest == Set((2, 0.0))) // both files were Sum/0.0
+    // headers changed...
+    val p = new org.apache.hadoop.fs.Path(s"$dir/cpu.wsp")
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    val bytes = new Array[Byte](WspCodec.fileSize(schema))
+    val in = fs.open(p); try in.readFully(0, bytes) finally in.close()
+    val h = WspCodec.readHeader(bytes)
+    assert(h.aggregationType == AggregationMethod.Max.id &&
+      h.xFilesFactor == 0.25f &&
+      h.archives == WspCodec.archiveInfos(schema))
+    // ...and every stored point survived byte-identically
+    val got = spark.read.format("wsp").load(dir)
+      .select("metric", "archive", "ts_s", "value").collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(got == Set(("cpu", 0, 1000L, 1.5), ("mem", 1, 960L, 2.5)))
+  }
+
   test("columnar reader emits exactly the row reader's points") {
     import spark.implicits._
     val dir = tmp()

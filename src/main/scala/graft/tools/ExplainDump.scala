@@ -131,9 +131,31 @@ object ExplainDump {
         "per-metric slot merge — current dst data is never rewritten."),
     "wsp_resize" ->
       ("whisper-resize --aggregate as a plan: the new tree's scan-back; " +
-        "the derivation was ONE propagate hop per level from the " +
-        "source's finest archive (map-side partial agg keyed by " +
+        "the derivation routed each target bucket to the best-available " +
+        "source archive (here the single 1m archive) and consolidated " +
+        "in ONE propagate hop (map-side partial agg keyed by " +
         "(metric, coarser bucket)) into the executor-parallel export."),
+    "wsp_resize_deep" ->
+      ("Resize ACROSS retention tiers: the scan-back of a (10m:2d, " +
+        "1h:30d) tree derived from the 3-level cascade source. Each " +
+        "target bucket was served by the finest source archive whose " +
+        "live window overlaps it — bands are disjoint (no dedup " +
+        "shuffle), each band's ts bounds pushed into the slot decoder, " +
+        "coarser bands consolidated in one propagate hop, the 1h→1h " +
+        "band a pure copy. History beyond the finest archive's span " +
+        "survives — the r6 data-loss gap this key exists to pin."),
+    "stream_dedup" ->
+      ("Streamed exact-dedup decisions read back: the state machine " +
+        "(flatMapGroupsWithState keyed by content hash, one long per " +
+        "distinct hash ever seen) ran across two id-ordered arrival " +
+        "waves and a checkpoint restart upstream; the oracle checks " +
+        "per-row is_first/canonical against the batch min rule."),
+    "stream_sessionize" ->
+      ("Streamed session_window sessions read back: merged-interval " +
+        "state with watermark eviction ran upstream (append-mode " +
+        "finalization forced by two sentinel files one batch apart); " +
+        "rows equal the batch sessionize operator's, checked by the " +
+        "SAME oracle SQL."),
     "shard_pack_scalable" ->
       ("Distributed prefix-sum shard assignment: per-block partial " +
         "sums, a windowed offset pass over the TINY block frame (the " +

@@ -461,6 +461,89 @@ object WspQueries {
        |ORDER BY metric, archive, bucket_ts""".stripMargin
   }
 
+  // ------------------------------------ whisper-merge / cross-geometry fill
+
+  /** `wsp_merge`: whisper-merge over trees — the sparse doubled-value
+    * tree merged INTO a copy of the full tree. Opposite collision rule
+    * to fill: src wins (update_many overwrite), so every 3rd bucket
+    * carries the doubled value and the rest keep the full tree's — the
+    * coalesce oracle with the roles swapped.
+    */
+  private def ensureMerged(s: SparkSession, dir: String): String =
+    Dedup.sharedIndexPath(s, dir, "events.parquet", "wsp_merge") { base =>
+      val sparseTree = ensureSparse(s, dir)
+      // a PRIVATE dst copy — merge mutates its destination
+      WspWrite.exportLevel(
+        Ingest.lwwAlign(Buckets.points(s, dir), 60)
+          .filter(col("bucket_ts") >= FromB && col("bucket_ts") < NowS),
+        s"$base/tree", schema)
+      WspTools.merge(s, s"$sparseTree/tree", s"$base/tree", schema)
+      ()
+    }
+
+  def wspMerge(s: SparkSession, dir: String): DataFrame = {
+    val base = ensureMerged(s, dir)
+    s.read.format("wsp").load(s"$base/tree")
+      .select(col("metric"), col("ts_s").as("bucket_ts"),
+        round(col("value"), 6).as("value"))
+      .orderBy("metric", "bucket_ts")
+  }
+
+  val wspMergeSql: String =
+    s"""WITH $winCtes,
+       |$sparseCte
+       |SELECT w.metric, w.bucket_ts,
+       |       round(coalesce(sp.value, w.value), 6) AS value
+       |FROM win w LEFT JOIN sparse sp
+       |  ON sp.metric = w.metric AND sp.bucket_ts = w.bucket_ts
+       |ORDER BY w.metric, w.bucket_ts""".stripMargin
+
+  /** `wsp_fill_resample`: whisper-fill ACROSS retention configs — a
+    * sparse 5m tree (every 3rd bucket, doubled) back-filled from the
+    * FULL 1m tree: the source is re-derived under the 5m destination
+    * schema (the resize consolidation) and the slot-keyed gap rule
+    * applies — existing 5m dst slots win, gaps take the consolidated
+    * value. Oracle = coalesce(sparse 5m, propagate(1m→5m)).
+    */
+  private def ensureFillResampled(s: SparkSession, dir: String): String =
+    Dedup.sharedIndexPath(s, dir, "events.parquet", "wsp_fillrs") { base =>
+      val srcTree = ensureExported(s, dir)
+      val r5m = graft.ops.Rollup.propagate(
+          Ingest.lwwAlign(Buckets.points(s, dir), 60)
+            .filter(col("bucket_ts") >= FromB && col("bucket_ts") < NowS),
+          60, 300, graft.model.AggregationMethod.Average, 0.0)
+        .select(col("metric"), col("bucket_ts"), col("value"))
+      WspWrite.exportLevel(
+        r5m.filter(expr("(bucket_ts div 300) % 3 = 0"))
+          .withColumn("value", col("value") * 2),
+        s"$base/tree", ResizeSchema)
+      WspTools.fillResample(s, srcTree, s"$base/tree", ResizeSchema, NowS)
+      ()
+    }
+
+  def wspFillResample(s: SparkSession, dir: String): DataFrame = {
+    val base = ensureFillResampled(s, dir)
+    s.read.format("wsp").load(s"$base/tree")
+      .select(col("metric"), col("ts_s").as("bucket_ts"),
+        round(col("value"), 6).as("value"))
+      .orderBy("metric", "bucket_ts")
+  }
+
+  val wspFillResampleSql: String = {
+    import graft.model.AggregationMethod.Average
+    s"""WITH $winCtes,
+       |r5m0 AS (${graft.ops.Rollup.propagateSql("win", 60, 300, Average, 0.0)}),
+       |r5m AS (SELECT metric, bucket_ts, value FROM r5m0
+       |        WHERE bucket_ts >= ${NowS - 86400L} AND bucket_ts < $NowS),
+       |sparse5 AS (SELECT metric, bucket_ts, value * 2 AS value
+       |            FROM r5m WHERE (bucket_ts // 300) % 3 = 0)
+       |SELECT r.metric, r.bucket_ts,
+       |       round(coalesce(sp.value, r.value), 6) AS value
+       |FROM r5m r LEFT JOIN sparse5 sp
+       |  ON sp.metric = r.metric AND sp.bucket_ts = r.bucket_ts
+       |ORDER BY r.metric, r.bucket_ts""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "wsp_roundtrip" -> (wspRoundtrip _),
     "wsp_roundtrip_multi" -> (wspRoundtripMulti _),
@@ -470,7 +553,9 @@ object WspQueries {
     "wsp_fill" -> (wspFill _),
     "wsp_diff" -> (wspDiff _),
     "wsp_resize" -> (wspResize _),
-    "wsp_resize_deep" -> (wspResizeDeep _))
+    "wsp_resize_deep" -> (wspResizeDeep _),
+    "wsp_merge" -> (wspMerge _),
+    "wsp_fill_resample" -> (wspFillResample _))
 
   val oracleSql: Map[String, String] = Map(
     "wsp_roundtrip" -> wspRoundtripSql,
@@ -481,5 +566,7 @@ object WspQueries {
     "wsp_fill" -> wspFillSql,
     "wsp_diff" -> wspDiffSql,
     "wsp_resize" -> wspResizeSql,
-    "wsp_resize_deep" -> wspResizeDeepSql)
+    "wsp_resize_deep" -> wspResizeDeepSql,
+    "wsp_merge" -> wspMergeSql,
+    "wsp_fill_resample" -> wspFillResampleSql)
 }

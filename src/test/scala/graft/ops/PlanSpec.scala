@@ -128,6 +128,30 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("BatchScan wsp"), s"diff does not scan the wsp source:\n$p")
   }
 
+  test("resize bands push their ts windows into the slot decoder, no dedup shuffle") {
+    import spark.implicits._
+    val tree = java.nio.file.Files.createTempDirectory("plan_resize").toString
+    val srcSchema = graft.model.WhisperSchema(
+      Seq(graft.model.Retention(10, 6), graft.model.Retention(60, 5)),
+      graft.model.AggregationMethod.Sum, 0.0)
+    graft.sources.WspWrite.export(Seq(
+      ("cpu", 0, 1000L, 1.0), ("cpu", 1, 840L, 7.0))
+      .toDF("metric", "archive", "bucket_ts", "value"), tree, srcSchema)
+    val p = plan(graft.sources.WspTools.rederive(spark, tree,
+      graft.model.WhisperSchema(Seq(graft.model.Retention(60, 5)),
+        graft.model.AggregationMethod.Sum, 0.0), 1030L))
+    // band 0 (archive 0, live window [970, 1030)) and band 1 (archive 1,
+    // [730, 970)) each reach the scan as pushed slot-decoder ts bounds —
+    // bands never scan the whole tree
+    assert(p.contains("ts_s=[970,1029]") && p.contains("ts_s=[730,969]"),
+      s"band ts windows did not reach the wsp scan:\n$p")
+    // bucket-granular banding is disjoint by construction: the union
+    // needs no cross-band dedup (no Window), and nothing degenerates
+    // to a product
+    assert(!p.contains("Window") && !p.contains("CartesianProduct"),
+      s"resize derivation grew a dedup shuffle or product:\n$p")
+  }
+
   test("wsp scans are COLUMNAR: batches feed codegen through ColumnarToRow") {
     // the formatted plan of an unexecuted AQE query hides codegen and
     // columnar wrappers — run it and inspect the EXECUTED plan

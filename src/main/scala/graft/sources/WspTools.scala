@@ -186,66 +186,87 @@ object WspTools {
     * a `(metric, archive, bucket_ts, value)` frame — at most one row per
     * ring slot per metric (each level's horizon is exactly its ring
     * capacity, and bands are disjoint).
+    *
+    * Plan shape — ONE tree scan, one shuffle: an earlier formulation
+    * planned a separate wsp scan per (target level × source band), and
+    * since metric-only file pruning means every scan reads every file's
+    * bytes, an L-level target over a K-archive source read the tree up
+    * to L·K times. Instead, the single scan (with the one globally-valid
+    * ts window pushed into the slot decoder) cross-joins the tiny
+    * broadcast level table, each (point, level) row computes its target
+    * bucket and band admission inline (live window, level clamp,
+    * finest-overlapping-archive-wins — mutually exclusive across source
+    * archives by construction, so every (level, metric, bucket) group
+    * draws from exactly one archive), and one hash aggregation applies
+    * the schema's method with whisper's float32 xff gate. Pass-through
+    * bands (target finer than or equal to the source band) fall out of
+    * the same aggregate: their buckets hold at most one point, every
+    * method is the identity on it, and `total` clamps to 1 so the gate
+    * always passes — identical semantics, no union, no per-band plan.
     */
   private[graft] def rederive(
       spark: SparkSession,
       srcDir: String,
       newSchema: WhisperSchema,
       nowS: Long): DataFrame = {
+    import spark.implicits._
     val hdr = treeHeader(spark, srcDir)
-    val cfg = {
-      import spark.implicits._
-      hdr.archives.zipWithIndex
-        .map { case (a, i) => (i, a.secondsPerPoint, a.numberOfPoints) }
-        .toDF("archive", "cfg_spp", "cfg_points")
-    }
-    val scanned = withGeometry(
-      spark.read.format("wsp").load(srcDir), cfg, "resize")
-    // source archive j's live window reaches back ret(j) seconds; band j
-    // of a target level = the target buckets overlapping archive j's
-    // window but not any finer archive's (finest-wins, whisper fetch)
     val rets = hdr.archives.map(a => a.secondsPerPoint.toLong * a.numberOfPoints)
-    val levels = newSchema.retentions.zipWithIndex.map { case (r, i) =>
-      val sppL = r.secondsPerPoint
-      val horizon = r.maxRetentionSeconds
-      val perBand = hdr.archives.zipWithIndex.flatMap { case (sa, j) =>
-        val sppJ = sa.secondsPerPoint
+    // alignment is a schema-level property — checked up front, per
+    // (level, band actually inside the level's horizon)
+    newSchema.retentions.foreach { r =>
+      hdr.archives.zipWithIndex.foreach { case (sa, j) =>
         val prevRet = if (j == 0) 0L else rets(j - 1)
-        // band entirely older than the level's horizon → contributes nothing
-        if (prevRet >= horizon) None
-        else {
-          require(sppL % sppJ == 0 || sppJ % sppL == 0,
-            s"resize: target ${sppL}s level is not integer-aligned with the " +
-              s"${sppJ}s source archive $j (neither divides the other)")
-          val bucket = (floor(col("ts_s") / sppL) * sppL).cast("long")
-          // ts bounds are the PUSHABLE superset of the exact bucket-band
-          // filter below: they reach the slot decoder, the bucket filter
-          // stays exact in the plan
-          val tsLo = math.max(nowS - rets(j), nowS - horizon)
-          val tsHi = if (j == 0) nowS else nowS - prevRet
-          val src = scanned
-            .filter(col("archive") === j &&
-              col("ts_s") >= tsLo && col("ts_s") < tsHi)
-            .filter(bucket >= nowS - horizon &&
-              (if (j == 0) bucket < nowS
-               else bucket + sppL <= nowS - prevRet))
-            .select(col("metric"), col("ts_s").as("bucket_ts"), col("value"))
-          val lvl =
-            if (sppL == sppJ) src
-            else if (sppL % sppJ == 0)
-              Rollup.propagate(src, sppJ, sppL,
-                  newSchema.method, newSchema.xFilesFactor)
-                .select(col("metric"), col("bucket_ts"), col("value"))
-            else src // sppJ % sppL == 0: coarse point into a finer level,
-                     // already target-aligned — pass through, no invention
-          Some(lvl)
-        }
+        if (prevRet < r.maxRetentionSeconds)
+          require(r.secondsPerPoint % sa.secondsPerPoint == 0 ||
+              sa.secondsPerPoint % r.secondsPerPoint == 0,
+            s"resize: target ${r.secondsPerPoint}s level is not integer-aligned " +
+              s"with the ${sa.secondsPerPoint}s source archive $j " +
+              "(neither divides the other)")
       }
-      require(perBand.nonEmpty,
-        s"resize: no source archive covers any of the ${sppL}s level's window")
-      perBand.reduce(_ unionAll _).withColumn("archive", lit(i))
     }
-    levels.reduce(_ unionAll _)
+    val cfg = hdr.archives.zipWithIndex
+      .map { case (a, j) =>
+        (j, a.secondsPerPoint, a.numberOfPoints,
+          rets(j), if (j == 0) 0L else rets(j - 1))
+      }
+      .toDF("archive", "cfg_spp", "cfg_points", "cfg_ret", "cfg_prev")
+    val lvls = newSchema.retentions.zipWithIndex
+      .map { case (r, i) => (i, r.secondsPerPoint, r.maxRetentionSeconds) }
+      .toDF("lvl", "lvl_spp", "lvl_h")
+    // globally-valid pushdown: nothing older than the deepest level
+    // horizon (or newer than now) can contribute to any band
+    val maxH = newSchema.retentions.map(_.maxRetentionSeconds).max
+    val scanned = withGeometry(
+      spark.read.format("wsp").load(srcDir)
+        .filter(col("ts_s") >= nowS - maxH && col("ts_s") < nowS),
+      cfg, "resize")
+    scanned
+      .crossJoin(broadcast(lvls))
+      .withColumn("bucket_ts",
+        (floor(col("ts_s") / col("lvl_spp")) * col("lvl_spp")).cast("long"))
+      // live window of the point's own archive (a stale ring lap reads
+      // as a gap, exactly the tool's per-archive fetch)
+      .filter(col("ts_s") >= lit(nowS) - col("cfg_ret"))
+      // level horizon clamp
+      .filter(col("bucket_ts") >= lit(nowS) - col("lvl_h"))
+      // finest-overlapping-archive-wins band admission (disjoint: a
+      // bucket admitted for archive j is provably not admitted for any
+      // other archive's rows)
+      .filter(when(col("cfg_prev") === 0L, col("bucket_ts") < nowS)
+        .otherwise(col("bucket_ts") + col("lvl_spp") <=
+          lit(nowS) - col("cfg_prev")))
+      .groupBy(col("lvl"), col("metric"), col("bucket_ts"))
+      .agg(
+        Rollup.aggColumn(newSchema.method, col("value"), col("ts_s")).as("value"),
+        count(lit(1)).as("known"),
+        // constant within the group (one archive serves the bucket);
+        // clamps to 1 for pass-through bands so the gate is vacuous there
+        max(greatest(lit(1L), expr("lvl_spp div cfg_spp"))).as("total"))
+      .filter((col("known").cast("double") / col("total")).cast("float")
+        >= lit(newSchema.xFilesFactor.toFloat))
+      .select(col("metric"), col("bucket_ts"), col("value"),
+        col("lvl").as("archive"))
   }
 
   /** `whisper-fill` ACROSS retention configs: back-fill `dstDir` (geometry

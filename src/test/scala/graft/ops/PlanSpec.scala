@@ -140,16 +140,19 @@ class PlanSpec extends AnyFunSuite {
     val p = plan(graft.sources.WspTools.rederive(spark, tree,
       graft.model.WhisperSchema(Seq(graft.model.Retention(60, 5)),
         graft.model.AggregationMethod.Sum, 0.0), 1030L))
-    // band 0 (archive 0, live window [970, 1030)) and band 1 (archive 1,
-    // [730, 970)) each reach the scan as pushed slot-decoder ts bounds —
-    // bands never scan the whole tree
-    assert(p.contains("ts_s=[970,1029]") && p.contains("ts_s=[730,969]"),
-      s"band ts windows did not reach the wsp scan:\n$p")
-    // bucket-granular banding is disjoint by construction: the union
-    // needs no cross-band dedup (no Window), and nothing degenerates
-    // to a product
+    // ONE tree scan, not one per (level × band) — metric-only file
+    // pruning means every extra scan re-reads every file's bytes; the
+    // globally-valid window [now − maxHorizon, now) = [730, 1030) is
+    // pushed into the slot decoder of that single scan
+    assert(p.contains("ts_s=[730,1029]"),
+      s"global ts window did not reach the wsp scan:\n$p")
+    assert("BatchScan wsp".r.findAllIn(p).size <= 2, // tree node + detail
+      s"resize derivation planned more than one tree scan:\n$p")
+    // band admission is inline and disjoint by construction: no
+    // cross-band dedup (no Window), one aggregate, no product
     assert(!p.contains("Window") && !p.contains("CartesianProduct"),
       s"resize derivation grew a dedup shuffle or product:\n$p")
+    assert(p.contains("HashAggregate"), s"no aggregate in the derivation:\n$p")
   }
 
   test("wsp scans are COLUMNAR: batches feed codegen through ColumnarToRow") {

@@ -102,7 +102,9 @@ class WspResizeModelSpec extends AnyFunSuite {
         val spp = r.secondsPerPoint.toLong
         val ret = r.maxRetentionSeconds
         val pts = metrics.flatMap { m =>
-          val liveBuckets = ((nowS - ret) until nowS by spp).toSeq
+          // whisper intervals are ABSOLUTE-grid aligned (ts mod spp == 0)
+          val first = math.ceil((nowS - ret).toDouble / spp).toLong * spp
+          val liveBuckets = (first until nowS by spp).toSeq
           val (taken, free) = liveBuckets.partition(_ => rnd.nextDouble() < 0.5)
           val stale = free.filter(_ => rnd.nextDouble() < 0.3).map(_ - ret)
           (taken ++ stale).map(ts => (m, ts, (1 + rnd.nextInt(99)).toDouble))

@@ -131,19 +131,21 @@ object ExplainDump {
         "per-metric slot merge — current dst data is never rewritten."),
     "wsp_resize" ->
       ("whisper-resize --aggregate as a plan: the new tree's scan-back; " +
-        "the derivation routed each target bucket to the best-available " +
-        "source archive (here the single 1m archive) and consolidated " +
-        "in ONE propagate hop (map-side partial agg keyed by " +
-        "(metric, coarser bucket)) into the executor-parallel export."),
+        "the derivation read the source tree ONCE (global ts window " +
+        "pushed to the slot decoder), cross-joined the broadcast level " +
+        "table, and consolidated every (level, metric, bucket) group in " +
+        "a single hash aggregate into the executor-parallel export."),
     "wsp_resize_deep" ->
       ("Resize ACROSS retention tiers: the scan-back of a (10m:2d, " +
-        "1h:30d) tree derived from the 3-level cascade source. Each " +
-        "target bucket was served by the finest source archive whose " +
-        "live window overlaps it — bands are disjoint (no dedup " +
-        "shuffle), each band's ts bounds pushed into the slot decoder, " +
-        "coarser bands consolidated in one propagate hop, the 1h→1h " +
-        "band a pure copy. History beyond the finest archive's span " +
-        "survives — the r6 data-loss gap this key exists to pin."),
+        "1h:30d) tree derived from the 3-level cascade source. ONE " +
+        "source scan (the [now − maxHorizon, now) window pushed to the " +
+        "slot decoder) cross-joined a broadcast level table; band " +
+        "admission (live window, horizon clamp, finest-overlapping-" +
+        "archive-wins) is inline and disjoint by construction, so one " +
+        "hash aggregate with the float32 xff gate resolves every band — " +
+        "consolidation, pass-through, and copy alike. History beyond " +
+        "the finest archive's span survives — the r6 data-loss gap " +
+        "this key exists to pin."),
     "stream_dedup" ->
       ("Streamed exact-dedup decisions read back: the state machine " +
         "(flatMapGroupsWithState keyed by content hash, one long per " +

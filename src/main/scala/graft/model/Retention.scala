@@ -34,6 +34,13 @@ final case class Retention(secondsPerPoint: Int, numberOfPoints: Int) {
 /** Consolidation functions (reference: whisper.go → `AggregationMethod`
   * iota enum Average=1, Sum, Last, Max, Min — on-disk values shared with
   * graphite-project/whisper). Spark mappings per SURVEY.md §2.4.
+  *
+  * The Go reference implements ids 1–5 only; graphite's whisper.py
+  * additionally defines AvgZero=6, AbsMax=7, AbsMin=8 (whisper.py →
+  * `aggregationMethodToType` / `aggregate`). Trees written by graphite
+  * with those header ids are valid `.wsp` files, so the codec accepts
+  * and consolidates all eight — refusing them would make real archives
+  * unreadable.
   */
 sealed abstract class AggregationMethod(val id: Int, val name: String)
 object AggregationMethod {
@@ -42,8 +49,12 @@ object AggregationMethod {
   case object Last    extends AggregationMethod(3, "last")
   case object Max     extends AggregationMethod(4, "max")
   case object Min     extends AggregationMethod(5, "min")
+  case object AvgZero extends AggregationMethod(6, "avg_zero")
+  case object AbsMax  extends AggregationMethod(7, "absmax")
+  case object AbsMin  extends AggregationMethod(8, "absmin")
 
-  val all: Seq[AggregationMethod] = Seq(Average, Sum, Last, Max, Min)
+  val all: Seq[AggregationMethod] =
+    Seq(Average, Sum, Last, Max, Min, AvgZero, AbsMax, AbsMin)
 
   def fromId(id: Int): AggregationMethod =
     all.find(_.id == id).getOrElse(

@@ -103,15 +103,17 @@ object CoreQueries {
          |ORDER BY metric, bucket_ts""".stripMargin
     case other =>
       val f = other match {
-        case AggregationMethod.Average => "avg"
-        case AggregationMethod.Sum     => "sum"
-        case AggregationMethod.Max     => "max"
-        case AggregationMethod.Min     => "min"
+        case AggregationMethod.Average => "avg(value)"
+        case AggregationMethod.Sum     => "sum(value)"
+        case AggregationMethod.Max     => "max(value)"
+        case AggregationMethod.Min     => "min(value)"
+        case AggregationMethod.AbsMax | AggregationMethod.AbsMin =>
+          Rollup.absSql(other, "ts_s")
         case _ => throw new MatchError(other)
       }
       s"""WITH $pointsSql
          |SELECT metric, (ts_s // 3600) * 3600 AS bucket_ts,
-         |       round($f(value), 6) AS value
+         |       round($f, 6) AS value
          |FROM pts GROUP BY 1, 2
          |ORDER BY metric, bucket_ts""".stripMargin
   }
@@ -132,6 +134,27 @@ object CoreQueries {
     s"""WITH $pointsSql,
        |lww1m AS (${Ingest.lwwAlignSql(60)}),
        |rolled AS (${Rollup.propagateSql("lww1m", 60, 3600, AggregationMethod.Average, 0.05)})
+       |SELECT metric, bucket_ts, round(value, 6) AS value, known, total
+       |FROM rolled ORDER BY metric, bucket_ts""".stripMargin
+
+  /** `agg_avg_zero`: whisper.py's avg_zero (method id 6) on the 1m→1h
+    * consolidation — absent window slots count as ZERO, so the divisor is
+    * the full 60-slot window, not the known count. Input is the 1m LWW
+    * level: avg_zero is defined over archive slots (whisper.py passes
+    * `neighborValues`, the raw window including `None`s), unlike A1–A5
+    * which see only known values.
+    */
+  def aggAvgZero(s: SparkSession, dir: String): DataFrame =
+    Rollup.propagate(Ingest.lwwAlign(Buckets.points(s, dir), 60),
+        60, 3600, AggregationMethod.AvgZero, 0.0)
+      .select(col("metric"), col("bucket_ts"), round(col("value"), 6).as("value"),
+        col("known"), col("total"))
+      .orderBy("metric", "bucket_ts")
+
+  val aggAvgZeroSql: String =
+    s"""WITH $pointsSql,
+       |lww1m AS (${Ingest.lwwAlignSql(60)}),
+       |rolled AS (${Rollup.propagateSql("lww1m", 60, 3600, AggregationMethod.AvgZero, 0.0)})
        |SELECT metric, bucket_ts, round(value, 6) AS value, known, total
        |FROM rolled ORDER BY metric, bucket_ts""".stripMargin
 
@@ -254,6 +277,9 @@ object CoreQueries {
     "agg_last" -> aggQuery(AggregationMethod.Last) _,
     "agg_max" -> aggQuery(AggregationMethod.Max) _,
     "agg_min" -> aggQuery(AggregationMethod.Min) _,
+    "agg_absmax" -> aggQuery(AggregationMethod.AbsMax) _,
+    "agg_absmin" -> aggQuery(AggregationMethod.AbsMin) _,
+    "agg_avg_zero" -> (aggAvgZero _),
     "agg_avg_xff" -> (aggAvgXff _),
     "upsert_batch_lww" -> (upsertBatchLww _),
     "archive_routing" -> (archiveRouting _),
@@ -278,6 +304,9 @@ object CoreQueries {
     "agg_last" -> aggFamilySql(AggregationMethod.Last),
     "agg_max" -> aggFamilySql(AggregationMethod.Max),
     "agg_min" -> aggFamilySql(AggregationMethod.Min),
+    "agg_absmax" -> aggFamilySql(AggregationMethod.AbsMax),
+    "agg_absmin" -> aggFamilySql(AggregationMethod.AbsMin),
+    "agg_avg_zero" -> aggAvgZeroSql,
     "agg_avg_xff" -> aggAvgXffSql,
     "upsert_batch_lww" -> upsertBatchLwwSql,
     "archive_routing" -> archiveRoutingSql,

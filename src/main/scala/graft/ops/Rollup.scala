@@ -27,11 +27,19 @@ import org.apache.spark.sql.functions._
   */
 object Rollup {
 
-  /** `func aggregate(method, knownValues)`: the five consolidation
-    * functions over a consolidation window (SURVEY.md §2.4 A1–A5).
+  /** `func aggregate(method, knownValues)`: the consolidation functions
+    * over a consolidation window (SURVEY.md §2.4 A1–A5 plus graphite's
+    * whisper.py trio — avg_zero, absmax, absmin).
     * `Last` = value at the latest finer-archive interval in the window
     * (`max_by(value, bucket_ts)`; bucket_ts values are distinct within a
     * window after LWW alignment, so no further tiebreak is needed).
+    * `AbsMax`/`AbsMin` = the value of largest/smallest magnitude, sign
+    * preserved; whisper.py's `max(knownValues, key=abs)` keeps the FIRST
+    * max in window (time) order on magnitude ties, so the tiebreak is
+    * earliest ts, then smallest value (the value leg only matters for
+    * raw-point inputs where one ts can repeat — archive slots are unique).
+    * `AvgZero` needs the window slot count — use the [[aggColumn]]
+    * overload that takes `totalSlots`.
     */
   def aggColumn(method: AggregationMethod, value: Column, ts: Column): Column =
     method match {
@@ -40,10 +48,32 @@ object Rollup {
       case AggregationMethod.Last    => max_by(value, ts)
       case AggregationMethod.Max     => max(value)
       case AggregationMethod.Min     => min(value)
+      case AggregationMethod.AbsMax  =>
+        max_by(value, struct(abs(value), -ts, -value))
+      case AggregationMethod.AbsMin  =>
+        min_by(value, struct(abs(value), ts, value))
+      case AggregationMethod.AvgZero =>
+        throw new IllegalArgumentException(
+          "avg_zero divides by the window slot count — pass totalSlots " +
+            "via aggColumn(method, value, ts, totalSlots)")
+    }
+
+  /** [[aggColumn]] with the consolidation window's slot count available:
+    * `AvgZero` = sum of known values over ALL window slots (whisper.py
+    * treats absent slots as 0 — `sum(x or 0) / len(neighborValues)`).
+    * `totalSlots` is a per-input-row column, constant within a group.
+    */
+  def aggColumn(method: AggregationMethod, value: Column, ts: Column,
+      totalSlots: Column): Column =
+    method match {
+      case AggregationMethod.AvgZero => sum(value) / max(totalSlots)
+      case other                     => aggColumn(other, value, ts)
     }
 
   /** SQL-shape of [[aggColumn]] for the oracle dialect. `Last` uses the
-    * window form (`row_number` over ts DESC) handled in [[propagateSql]].
+    * window form (`row_number` over ts DESC) handled in [[propagateSql]];
+    * `AbsMax`/`AbsMin` use DuckDB's ordered `array_agg` and `AvgZero`
+    * interpolates the slot count — all three emitted in [[propagateSql]].
     */
   private def aggSql(method: AggregationMethod): String = method match {
     case AggregationMethod.Average => "avg(value)"
@@ -52,7 +82,24 @@ object Rollup {
     case AggregationMethod.Min     => "min(value)"
     case AggregationMethod.Last =>
       throw new IllegalArgumentException("Last uses propagateSql's window form")
+    case other =>
+      throw new IllegalArgumentException(
+        s"${other.name} is emitted inline by propagateSql")
   }
+
+  /** Ordered-first-element oracle form shared by the magnitude methods:
+    * DuckDB's `array_agg(value ORDER BY …)[1]` with the same total order
+    * as the Spark struct tiebreak. `ts` names the finer time column.
+    */
+  private[graft] def absSql(method: AggregationMethod, ts: String): String =
+    method match {
+      case AggregationMethod.AbsMax =>
+        s"(array_agg(value ORDER BY abs(value) DESC, $ts ASC, value ASC))[1]"
+      case AggregationMethod.AbsMin =>
+        s"(array_agg(value ORDER BY abs(value) ASC, $ts ASC, value ASC))[1]"
+      case other =>
+        throw new IllegalArgumentException(s"not a magnitude method: $other")
+    }
 
   /** R1 `propagate`: one cascade step. Input: a finer level
     * `(metric, bucket_ts, value)` at resolution `higherSpp`; output the
@@ -74,7 +121,8 @@ object Rollup {
     level
       .groupBy(col("metric"), Buckets.alignTs(col("bucket_ts"), lowerSpp).as("bucket_ts"))
       .agg(
-        aggColumn(method, col("value"), col("bucket_ts")).as("value"),
+        aggColumn(method, col("value"), col("bucket_ts"),
+          lit(total.toLong)).as("value"),
         count(lit(1)).as("known"))
       .withColumn("total", lit(total.toLong))
       // float32 compare, as whisper (the header stores xff as float32):
@@ -111,8 +159,17 @@ object Rollup {
            |  FROM $srcCte) WHERE rn = 1
            |    AND CAST(CAST(known AS DOUBLE) / $total AS FLOAT) >= CAST($xff AS FLOAT)""".stripMargin
       case m =>
+        val valueSql = m match {
+          case AggregationMethod.AvgZero =>
+            s"sum(value) / $total"
+          case AggregationMethod.AbsMax | AggregationMethod.AbsMin =>
+            // qualified ts: the outer SELECT aliases the coarser bucket
+            // to the same name, the aggregate must order by the finer one
+            absSql(m, s"$srcCte.bucket_ts")
+          case simple => aggSql(simple)
+        }
         s"""SELECT metric, (bucket_ts // $lowerSpp) * $lowerSpp AS bucket_ts,
-           |       ${aggSql(m)} AS value, count(*) AS known,
+           |       $valueSql AS value, count(*) AS known,
            |       CAST($total AS BIGINT) AS total
            |FROM $srcCte GROUP BY 1, 2$gate""".stripMargin
     }

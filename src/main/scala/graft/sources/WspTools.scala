@@ -258,7 +258,8 @@ object WspTools {
           lit(nowS) - col("cfg_prev")))
       .groupBy(col("lvl"), col("metric"), col("bucket_ts"))
       .agg(
-        Rollup.aggColumn(newSchema.method, col("value"), col("ts_s")).as("value"),
+        Rollup.aggColumn(newSchema.method, col("value"), col("ts_s"),
+          greatest(lit(1L), expr("lvl_spp div cfg_spp"))).as("value"),
         count(lit(1)).as("known"),
         // constant within the group (one archive serves the bucket);
         // clamps to 1 for pass-through bands so the gate is vacuous there

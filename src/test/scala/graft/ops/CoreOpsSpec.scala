@@ -106,6 +106,49 @@ class CoreOpsSpec extends AnyFunSuite {
     assert(row.getAs[Double]("value") == 4.0)
   }
 
+  test("propagate: AvgZero divides by window size, absent slots count as 0") {
+    // whisper.py avg_zero: sum(x or 0 for x in neighborValues)/len(...)
+    val level = pts(("m", 0L, 1.0), ("m", 60L, 3.0))
+      .withColumnRenamed("ts_s", "bucket_ts")
+    val row = Rollup.propagate(level, 60, 300, AggregationMethod.AvgZero, 0.0)
+      .collect().head
+    assert(row.getAs[Double]("value") == 0.8) // (1+3)/5, NOT /2
+    assert(row.getAs[Long]("known") == 2 && row.getAs[Long]("total") == 5)
+  }
+
+  test("propagate: AbsMax keeps the sign and breaks abs ties earliest-first") {
+    val level = pts(("m", 0L, 3.0), ("m", 60L, -7.0), ("m", 120L, 5.0),
+        ("n", 0L, -4.0), ("n", 60L, 4.0)) // abs tie → first in window order
+      .withColumnRenamed("ts_s", "bucket_ts")
+    val rows = Rollup.propagate(level, 60, 300, AggregationMethod.AbsMax, 0.0)
+      .collect().map(r => r.getAs[String]("metric") -> r.getAs[Double]("value"))
+      .toMap
+    assert(rows("m") == -7.0) // largest magnitude, sign preserved
+    assert(rows("n") == -4.0) // whisper.py max(key=abs) keeps the first
+  }
+
+  test("propagate: AbsMin takes the value closest to zero, earliest on ties") {
+    val level = pts(("m", 0L, 3.0), ("m", 60L, -2.0), ("m", 120L, 6.0),
+        ("n", 0L, 5.0), ("n", 60L, -5.0))
+      .withColumnRenamed("ts_s", "bucket_ts")
+    val rows = Rollup.propagate(level, 60, 300, AggregationMethod.AbsMin, 0.0)
+      .collect().map(r => r.getAs[String]("metric") -> r.getAs[Double]("value"))
+      .toMap
+    assert(rows("m") == -2.0)
+    assert(rows("n") == 5.0) // abs tie → earliest slot wins
+  }
+
+  test("aggregation method ids 6-8 round-trip graphite's on-disk enum") {
+    assert(AggregationMethod.fromId(6) == AggregationMethod.AvgZero)
+    assert(AggregationMethod.fromId(7) == AggregationMethod.AbsMax)
+    assert(AggregationMethod.fromId(8) == AggregationMethod.AbsMin)
+    assert(AggregationMethod.fromName("avg_zero").id == 6)
+    AggregationMethod.all.foreach { m =>
+      assert(AggregationMethod.fromId(m.id) == m)
+      assert(AggregationMethod.fromName(m.name) == m)
+    }
+  }
+
   test("archiveColumn routes by age with strict retention bound (U3)") {
     val now = 10L * 86400
     val df = pts(

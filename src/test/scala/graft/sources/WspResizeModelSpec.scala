@@ -63,6 +63,13 @@ class WspResizeModelSpec extends AnyFunSuite {
                     case AggregationMethod.Last => live.maxBy(_._2)._3
                     case AggregationMethod.Max => vs.max
                     case AggregationMethod.Min => vs.min
+                    case AggregationMethod.AvgZero => vs.sum / total
+                    case AggregationMethod.AbsMax =>
+                      live.sortBy { case (_, ts, pv) =>
+                        (-math.abs(pv), ts, pv) }.head._3
+                    case AggregationMethod.AbsMin =>
+                      live.sortBy { case (_, ts, pv) =>
+                        (math.abs(pv), ts, pv) }.head._3
                   }
                   out += ((i, m, b, v))
                 }
@@ -107,7 +114,12 @@ class WspResizeModelSpec extends AnyFunSuite {
           val liveBuckets = (first until nowS by spp).toSeq
           val (taken, free) = liveBuckets.partition(_ => rnd.nextDouble() < 0.5)
           val stale = free.filter(_ => rnd.nextDouble() < 0.3).map(_ - ret)
-          (taken ++ stale).map(ts => (m, ts, (1 + rnd.nextInt(99)).toDouble))
+          // signed small integers: sums/averages stay float-exact for the
+          // set compare, and signs exercise the absmax/absmin tiebreaks
+          (taken ++ stale).map { ts =>
+            val mag = (1 + rnd.nextInt(99)).toDouble
+            (m, ts, if (rnd.nextBoolean()) mag else -mag)
+          }
         }
         j -> pts
       }.toMap

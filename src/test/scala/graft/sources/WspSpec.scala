@@ -725,6 +725,29 @@ class WspSpec extends AnyFunSuite {
     assert(got == Set(("cpu", 0, 1000L, 1.5), ("mem", 1, 960L, 2.5)))
   }
 
+  test("graphite-only method ids (avg_zero/absmax/absmin) survive the codec") {
+    import spark.implicits._
+    // a tree graphite wrote with aggregationType=7 (absmax) must read
+    // back with the same header and consolidate under absmax semantics
+    val dir = tmp()
+    val absSchema = WhisperSchema(schema.retentions,
+      AggregationMethod.AbsMax, 0.0)
+    WspWrite.export(Seq(
+      ("cpu", 0, 1000L, 3.0), ("cpu", 0, 1010L, -9.0), ("cpu", 0, 1020L, 4.0))
+      .toDF("metric", "archive", "bucket_ts", "value"), dir, absSchema)
+    val back = graft.WhisperTable.schemaFromWspFile(spark, s"$dir/cpu.wsp")
+    assert(back.method == AggregationMethod.AbsMax &&
+      back.retentions == schema.retentions)
+    // consolidate 10s->60s under absmax: bucket 960 holds ts 1000/1010,
+    // |-9| > |3| and the sign survives; bucket 1020 holds only 4.0
+    val out = WspTools.rederive(spark, dir,
+        WhisperSchema(Seq(graft.model.Retention(60, 5)),
+          AggregationMethod.AbsMax, 0.0), 1030L)
+      .select("bucket_ts", "value").collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSet
+    assert(out == Set((960L, -9.0), (1020L, 4.0)))
+  }
+
   test("columnar reader emits exactly the row reader's points") {
     import spark.implicits._
     val dir = tmp()

@@ -65,9 +65,17 @@ object RollupCatalog {
     else if (target.xff != 0.0) false
     else if (target.parentSpp == finer.spp) true
     else {
+      // AbsMax/AbsMin compose exactly under whisper's earliest-first
+      // tiebreak: the flat winner p* is also its own window's winner (an
+      // equal-magnitude point earlier in that window would contradict p*
+      // being the global earliest), and every earlier window's winner has
+      // strictly smaller magnitude — so max-by-(abs, earliest) over
+      // per-window winners equals the flat result. AvgZero does not
+      // compose (divides by the window size twice), like Average.
       val decomposable = target.method match {
         case AggregationMethod.Max | AggregationMethod.Min |
-             AggregationMethod.Sum | AggregationMethod.Last => true
+             AggregationMethod.Sum | AggregationMethod.Last |
+             AggregationMethod.AbsMax | AggregationMethod.AbsMin => true
         case _ => false
       }
       decomposable && target.parentSpp > finer.spp &&
@@ -207,6 +215,33 @@ object RollupRewrite extends Rule[LogicalPlan] {
       // composes over nested windows exactly like max
       case (mb: MaxBy, AggregationMethod.Last) =>
         attrNamed(mb.valueExpr, "value") && attrNamed(mb.orderingExpr, "bucket_ts")
+      // AbsMax/AbsMin = max_by/min_by over the canonical magnitude struct
+      // emitted by Rollup.aggColumn — (abs(value), ∓bucket_ts, ∓value)
+      case (mb: MaxBy, AggregationMethod.AbsMax) =>
+        attrNamed(mb.valueExpr, "value") &&
+          magnitudeStruct(mb.orderingExpr, negated = true)
+      case (mb: MinBy, AggregationMethod.AbsMin) =>
+        attrNamed(mb.valueExpr, "value") &&
+          magnitudeStruct(mb.orderingExpr, negated = false)
+      case _ => false
+    }
+
+  /** Match `struct(abs(value), -bucket_ts, -value)` (negated, AbsMax) or
+    * `struct(abs(value), bucket_ts, value)` (AbsMin), mod casts.
+    */
+  private def magnitudeStruct(e: Expression, negated: Boolean): Boolean =
+    strip(e) match {
+      case s: CreateNamedStruct => s.valExprs.map(strip) match {
+        case Seq(a: Abs, ts, v) if attrNamed(a.child, "value") =>
+          (ts, v) match {
+            case (UnaryMinus(tsc, _), UnaryMinus(vc, _)) if negated =>
+              attrNamed(tsc, "bucket_ts") && attrNamed(vc, "value")
+            case (tsc, vc) if !negated =>
+              attrNamed(tsc, "bucket_ts") && attrNamed(vc, "value")
+            case _ => false
+          }
+        case _ => false
+      }
       case _ => false
     }
 

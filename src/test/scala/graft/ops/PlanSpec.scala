@@ -349,4 +349,38 @@ class PlanSpec extends AnyFunSuite {
       .orderBy("metric", "bucket_ts").collect().toSeq
     assert(got == direct)
   }
+
+  test("RollupRewrite serves AbsMax magnitude chains transitively") {
+    import org.apache.spark.sql.functions._
+    val base = s"${System.getProperty("java.io.tmpdir")}/graft_rollups_absmax"
+    Materialize.materializeLevels(spark, dir, base,
+      graft.model.AggregationMethod.AbsMax, 0.0)
+    if (!spark.experimental.extraOptimizations.contains(graft.plans.RollupRewrite))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ graft.plans.RollupRewrite
+    // 1m → 1h skips the 5m edge; the earliest-first magnitude winner
+    // composes exactly (servableFrom scaladoc) — the canonical
+    // aggColumn struct shape must be recognized and rewritten away
+    val q = spark.read.parquet(s"$base/points_60s")
+      .groupBy(col("metric"), Buckets.alignTs(col("bucket_ts"), 3600).as("bucket_ts"))
+      .agg(Rollup.aggColumn(graft.model.AggregationMethod.AbsMax,
+        col("value"), col("bucket_ts")).as("value"))
+    assert(scannedPaths(q).exists(_.contains("points_3600s")),
+      s"transitive AbsMax rewrite did not fire: ${scannedPaths(q)}")
+    assert(!hasAggregate(q))
+    val got = q.orderBy("metric", "bucket_ts").collect().toSeq
+    val direct = spark.read.parquet(s"$base/points_3600s")
+      .select("metric", "bucket_ts", "value")
+      .orderBy("metric", "bucket_ts").collect().toSeq
+    assert(got == direct)
+    // AvgZero must NOT fire across a skipped edge (double-divides): a
+    // same-shape avg_zero chain keeps its Aggregate
+    val azBase = s"${System.getProperty("java.io.tmpdir")}/graft_rollups_avgzero"
+    Materialize.materializeLevels(spark, dir, azBase,
+      graft.model.AggregationMethod.AvgZero, 0.0)
+    val az = spark.read.parquet(s"$azBase/points_60s")
+      .groupBy(col("metric"), Buckets.alignTs(col("bucket_ts"), 3600).as("bucket_ts"))
+      .agg((sum(col("value")) / lit(60)).as("value"))
+    assert(hasAggregate(az), "avg_zero rewrite fired across a skipped edge")
+  }
 }

@@ -43,8 +43,8 @@ object Bench {
       // sibling dir exists: on the timed dir itself the warm-up would
       // memoize the shared fingerprint index and the timed run would
       // silently stop measuring the index build.
-      val warmKeys = Seq("agg_avg", "agg_avg_xff", "agg_last", "agg_max",
-        "agg_min", "agg_sum") ++
+      val warmKeys = Seq("agg_avg", "agg_avg_xff", "agg_avg_zero", "agg_last",
+        "agg_max", "agg_min", "agg_sum", "agg_absmax", "agg_absmin") ++
         (if (warmDir != sfDir) Seq("dedup_simhash", "dedup_simhash_pairs")
          else Nil)
       for (k <- warmKeys)

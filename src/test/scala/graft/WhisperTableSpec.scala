@@ -122,6 +122,28 @@ class WhisperTableSpec extends AnyFunSuite {
     for (k <- 0 until 12) assert(got5(base + 300 * k) == Some(5.0))
   }
 
+  test("AvgZero consolidation divides by window size; AbsMax keeps the sign") {
+    import spark.implicits._
+    // graphite's whisper.py methods end-to-end through the table path:
+    // create → updateMany → cascade → archive-routed fetch
+    val az = WhisperTable.create(spark, tmp(), graft.model.WhisperSchema(
+      Retentions.std.retentions, graft.model.AggregationMethod.AvgZero, 0.0))
+    val base = now - 3600
+    // two of the five 1m slots in [base, base+300) hold 10.0: the three
+    // absent slots count as zero → 20/5, not 20/2
+    az.updateMany(Seq(TimeSeriesPoint("m", base, 10.0),
+      TimeSeriesPoint("m", base + 60, 10.0)).toDS(), now)
+    val gotAz = series(az.fetch("m", now - 2 * 86400, now, now)).toMap
+    assert(gotAz(base) == Some(4.0))
+    val am = WhisperTable.create(spark, tmp(), graft.model.WhisperSchema(
+      Retentions.std.retentions, graft.model.AggregationMethod.AbsMax, 0.0))
+    am.updateMany(Seq(TimeSeriesPoint("m", base, 3.0),
+      TimeSeriesPoint("m", base + 60, -8.0),
+      TimeSeriesPoint("m", base + 120, 5.0)).toDS(), now)
+    val gotAm = series(am.fetch("m", now - 2 * 86400, now, now)).toMap
+    assert(gotAm(base) == Some(-8.0)) // |-8| largest, sign preserved
+  }
+
   test("Min consolidation serves the window minimum from the 5m archive") {
     import spark.implicits._
     val schema = graft.model.WhisperSchema(

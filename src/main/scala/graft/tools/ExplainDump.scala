@@ -24,6 +24,19 @@ object ExplainDump {
     "agg_avg_xff" ->
       ("The xFF gate is a post-aggregation filter on already-reduced " +
         "rows; the aggregate itself keeps the partial/final split."),
+    "agg_avg_zero" ->
+      ("graphite's avg_zero (method id 6): sum over the FULL window " +
+        "slot count — the divisor is a literal folded at plan time, so " +
+        "the plan is the same partial/final hash aggregate as agg_sum " +
+        "plus one codegen'd division; absent-slot zeros never " +
+        "materialize as rows."),
+    "agg_absmax" ->
+      ("graphite's absmax (id 7): ONE max_by over the " +
+        "(abs, -ts, -value) ordering struct — partial/final " +
+        "SortAggregate (struct-ordered max_by is not hash-aggregable) " +
+        "with map-side combine before the one exchange, no window, no " +
+        "self-join; whisper's earliest-first magnitude tiebreak is " +
+        "encoded in the struct order, not a second pass."),
     "dedup_minhash" ->
       ("The LSH path: shingle set materialized once (checkpoint scan), " +
         "16 seed-hashes projected in one codegen stage, band buckets " +

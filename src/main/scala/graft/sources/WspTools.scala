@@ -2,7 +2,7 @@ package graft.sources
 
 import graft.model.WhisperSchema
 import graft.ops.Rollup
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Tree-level maintenance operations mirroring the PUBLIC whisper
@@ -259,16 +259,24 @@ object WspTools {
       .groupBy(col("lvl"), col("metric"), col("bucket_ts"))
       .agg(
         Rollup.aggColumn(newSchema.method, col("value"), col("ts_s"),
-          greatest(lit(1L), expr("lvl_spp div cfg_spp"))).as("value"),
+          totalSlots).as("value"),
         count(lit(1)).as("known"),
-        // constant within the group (one archive serves the bucket);
-        // clamps to 1 for pass-through bands so the gate is vacuous there
-        max(greatest(lit(1L), expr("lvl_spp div cfg_spp"))).as("total"))
+        // constant within the group (one archive serves the bucket)
+        max(totalSlots).as("total"))
       .filter((col("known").cast("double") / col("total")).cast("float")
         >= lit(newSchema.xFilesFactor.toFloat))
       .select(col("metric"), col("bucket_ts"), col("value"),
         col("lvl").as("archive"))
   }
+
+  /** Consolidation-window slot count per (point, level) row: clamps to 1
+    * for pass-through bands (target finer than or equal to the source
+    * band) so the xff gate is vacuous there and avg_zero divides by 1.
+    * ONE definition feeds both the method's divisor and the gate's
+    * `total` — they must never diverge.
+    */
+  private def totalSlots: Column =
+    greatest(lit(1L), expr("lvl_spp div cfg_spp"))
 
   /** `whisper-fill` ACROSS retention configs: back-fill `dstDir` (geometry
     * `dstSchema`) from a tree with ANY geometry, by first re-deriving the

@@ -373,14 +373,19 @@ class PlanSpec extends AnyFunSuite {
       .select("metric", "bucket_ts", "value")
       .orderBy("metric", "bucket_ts").collect().toSeq
     assert(got == direct)
-    // AvgZero must NOT fire across a skipped edge (double-divides): a
-    // same-shape avg_zero chain keeps its Aggregate
-    val azBase = s"${System.getProperty("java.io.tmpdir")}/graft_rollups_avgzero"
-    Materialize.materializeLevels(spark, dir, azBase,
+    // AvgZero must NOT compose across a skipped edge (it would divide by
+    // the window size twice). methodMatches has no AvgZero shape today,
+    // so a plan-level check would pass vacuously — pin the catalog rule
+    // itself: direct edge servable, skipped edge refused
+    import graft.plans.RollupCatalog.{LevelInfo, servableFrom}
+    def az(spp: Int, parent: Int) = LevelInfo(spp, parent, s"/az/$spp", "az",
       graft.model.AggregationMethod.AvgZero, 0.0)
-    val az = spark.read.parquet(s"$azBase/points_60s")
-      .groupBy(col("metric"), Buckets.alignTs(col("bucket_ts"), 3600).as("bucket_ts"))
-      .agg((sum(col("value")) / lit(60)).as("value"))
-    assert(hasAggregate(az), "avg_zero rewrite fired across a skipped edge")
+    val (az60, az300, az3600) = (az(60, 0), az(300, 60), az(3600, 300))
+    graft.plans.RollupCatalog.register(az60)
+    graft.plans.RollupCatalog.register(az300)
+    graft.plans.RollupCatalog.register(az3600)
+    assert(servableFrom(az300, az3600), "direct avg_zero edge must serve")
+    assert(!servableFrom(az60, az3600),
+      "avg_zero served across a skipped edge (double-divides the window)")
   }
 }

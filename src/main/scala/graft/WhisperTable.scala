@@ -404,6 +404,22 @@ object WhisperTable {
     t
   }
 
+  /** [[create]] with the schema resolved the way carbon does it: the
+    * first `storage-schemas.conf` rule matching `metric` supplies the
+    * retentions, the first `storage-aggregation.conf` match (or carbon's
+    * average/0.5 defaults) the method and xFilesFactor
+    * ([[graft.model.StorageConf]]). Refuses a metric no schema rule
+    * matches, as carbon refuses to create such a whisper file.
+    */
+  def createFromConf(
+      spark: SparkSession, path: String, metric: String,
+      conf: graft.model.StorageConf.Resolver): WhisperTable =
+    conf.schemaFor(metric) match {
+      case Some(schema) => create(spark, path, schema)
+      case None => throw new IllegalArgumentException(
+        s"no storage-schemas rule matches metric '$metric'")
+    }
+
   /** S1 `Open`: attach to an existing table, reading the schema from the
     * persisted `_whisper.json` header — no caller-supplied schema, like
     * the reference's `Open` parsing the file header.

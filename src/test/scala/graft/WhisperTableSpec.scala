@@ -122,6 +122,21 @@ class WhisperTableSpec extends AnyFunSuite {
     for (k <- 0 until 12) assert(got5(base + 300 * k) == Some(5.0))
   }
 
+  test("createFromConf resolves carbon storage confs to the table header") {
+    val conf = graft.model.StorageConf.resolver(
+      "[apps]\npattern = ^app\\.\nretentions = 1m:1d,5m:7d,1h:30d",
+      "[counts]\npattern = \\.count$\naggregationMethod = sum\nxFilesFactor = 0")
+    val t = WhisperTable.createFromConf(spark, tmp(), "app.req.count", conf)
+    assert(t.schema.retentions == Retentions.std.retentions)
+    assert(t.aggregationMethod == graft.model.AggregationMethod.Sum &&
+      t.xFilesFactor == 0.0)
+    // reopen from the persisted header: the conf-resolved schema survives
+    val back = WhisperTable.open(spark, t.path)
+    assert(back.schema == t.schema)
+    intercept[IllegalArgumentException](
+      WhisperTable.createFromConf(spark, tmp(), "sys.cpu", conf))
+  }
+
   test("AvgZero consolidation divides by window size; AbsMax keeps the sign") {
     import spark.implicits._
     // graphite's whisper.py methods end-to-end through the table path:

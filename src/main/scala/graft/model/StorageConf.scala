@@ -136,4 +136,22 @@ object StorageConf {
 
   def resolver(schemasText: String, aggregationText: String = ""): Resolver =
     Resolver(parseSchemas(schemasText), parseAggregation(aggregationText))
+
+  /** First-matching-schema-rule index as a Catalyst expression: a
+    * `when(rlike, i)` chain in file order, NULL when no rule matches.
+    * This is the distributed form of [[Resolver.schemaRuleFor]] — rule
+    * lists are small (tens), metric sets at 100 TB are millions, so the
+    * regex scan belongs executor-side: the chain is whole-stage-codegen'd
+    * per row, no UDF, no driver loop. (Spark `rlike` is Java regex vs
+    * carbon's Python `re` — identical on the documented conf subset;
+    * both are unanchored search.)
+    */
+  def schemaRuleIndex(rules: Seq[SchemaRule], metric: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions.{lit, when}
+    rules.zipWithIndex.foldRight(
+      lit(null).cast("int")) { case ((rule, i), rest) =>
+      when(metric.rlike(rule.pattern.regex), lit(i)).otherwise(rest)
+    }
+  }
 }

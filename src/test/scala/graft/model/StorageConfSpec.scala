@@ -93,6 +93,33 @@ class StorageConfSpec extends AnyFunSuite {
       StorageConf.parseAggregation("[a]\npattern = .*\nxFilesFactor = 1.5"))
   }
 
+  test("schemaRuleIndex (distributed when/rlike chain) agrees with the driver rule") {
+    val spark = org.apache.spark.sql.SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    import spark.implicits._
+    val metrics = Seq("carbon.agents.cpu", "app.web.latency.min",
+      "app.req.count", "misc.anything", "carbon.app.mix")
+    val got = metrics.toDF("metric")
+      .withColumn("rule",
+        StorageConf.schemaRuleIndex(r.schemas, org.apache.spark.sql.functions.col("metric")))
+      .collect().map(row => row.getString(0) ->
+        (if (row.isNullAt(1)) None else Some(row.getInt(1)))).toMap
+    metrics.foreach { m =>
+      val want = r.schemaRuleFor(m).map(rule => r.schemas.indexWhere(_.name == rule.name))
+      assert(got(m) == want, s"metric $m: distributed=${got(m)} driver=$want")
+    }
+    // and no rule at all → NULL, mirroring the driver's None
+    val none = Seq("zzz").toDF("metric")
+      .withColumn("rule", StorageConf.schemaRuleIndex(
+        StorageConf.parseSchemas("[a]\npattern = ^q\nretentions = 1m:1h"),
+        org.apache.spark.sql.functions.col("metric")))
+      .collect().head
+    assert(none.isNullAt(1))
+  }
+
   test("whisper validation applies to every parsed retention list") {
     // rule 5: a finer archive must hold at least one full consolidation
     // window of the next level — 10s:30s cannot feed 60s buckets

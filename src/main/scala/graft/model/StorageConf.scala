@@ -147,11 +147,18 @@ object StorageConf {
     * both are unanchored search.)
     */
   def schemaRuleIndex(rules: Seq[SchemaRule], metric: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.Column =
+    ruleIndex(rules.map(_.pattern), metric)
+
+  /** The same first-match chain over any ordered pattern list (the
+    * aggregation file resolves independently with its own patterns).
+    */
+  def ruleIndex(patterns: Seq[Regex], metric: org.apache.spark.sql.Column)
       : org.apache.spark.sql.Column = {
     import org.apache.spark.sql.functions.{lit, when}
-    rules.zipWithIndex.foldRight(
-      lit(null).cast("int")) { case ((rule, i), rest) =>
-      when(metric.rlike(rule.pattern.regex), lit(i)).otherwise(rest)
+    patterns.zipWithIndex.foldRight(
+      lit(null).cast("int")) { case ((p, i), rest) =>
+      when(metric.rlike(p.regex), lit(i)).otherwise(rest)
     }
   }
 }

@@ -158,6 +158,57 @@ object CoreQueries {
        |SELECT metric, bucket_ts, round(value, 6) AS value, known, total
        |FROM rolled ORDER BY metric, bucket_ts""".stripMargin
 
+  /** `storage_conf_assign`: carbon storage-conf resolution as a query —
+    * each distinct metric classified by BOTH conf files' first-match
+    * rules (`StorageConf.ruleIndex`, the codegen'd when/rlike chain; NULL
+    * agg_rule = carbon defaults apply). The oracle rebuilds the same
+    * ordered CASE with `regexp_matches` — both engines do unanchored
+    * regex search, and the patterns below stay inside the common
+    * Java/RE2-safe subset.
+    */
+  private val confResolver = graft.model.StorageConf.resolver(
+    """[errors]
+      |pattern = ^error
+      |retentions = 1m:1d,5m:7d,1h:30d
+      |[commerce]
+      |pattern = (purchase|signup)
+      |retentions = 1m:1d
+      |[default]
+      |pattern = .*
+      |retentions = 5m:7d
+      |""".stripMargin,
+    """[errs]
+      |pattern = ^error
+      |aggregationMethod = sum
+      |xFilesFactor = 0
+      |[clicks]
+      |pattern = click
+      |aggregationMethod = avg_zero
+      |""".stripMargin)
+
+  def storageConfAssign(s: SparkSession, dir: String): DataFrame = {
+    import graft.model.StorageConf
+    Buckets.points(s, dir).select(col("metric")).distinct()
+      .withColumn("schema_rule",
+        StorageConf.schemaRuleIndex(confResolver.schemas, col("metric")))
+      .withColumn("agg_rule",
+        StorageConf.ruleIndex(confResolver.aggs.map(_.pattern), col("metric")))
+      .orderBy("metric")
+  }
+
+  val storageConfAssignSql: String = {
+    def cases(patterns: Seq[String]): String =
+      patterns.zipWithIndex.map { case (p, i) =>
+        s"WHEN regexp_matches(metric, '$p') THEN $i"
+      }.mkString("CASE ", " ", " END")
+    s"""WITH $pointsSql
+       |SELECT metric,
+       |       ${cases(confResolver.schemas.map(_.pattern.regex))} AS schema_rule,
+       |       ${cases(confResolver.aggs.map(_.pattern.regex))} AS agg_rule
+       |FROM (SELECT DISTINCT metric FROM pts)
+       |ORDER BY metric""".stripMargin
+  }
+
   // ------------------------------------------------------------ write path
 
   /** U2 `upsert_batch_lww`: batch upsert = LWW dedup per aligned 1m slot. */
@@ -287,6 +338,7 @@ object CoreQueries {
     "rollup_cascade_5m" -> (rollupCascade5m _),
     "rollup_cascade_1h" -> (rollupCascade1h _),
     "retention_expiry" -> (retentionExpiry _),
+    "storage_conf_assign" -> (storageConfAssign _),
     "catalog_info" -> (Materialize.catalogInfo _),
     "create_rollup_tables" -> (Materialize.createRollupTables _),
     "fetch_archive_selection" -> (Materialize.fetchArchiveSelection _),
@@ -314,6 +366,7 @@ object CoreQueries {
     "rollup_cascade_5m" -> rollupCascade5mSql,
     "rollup_cascade_1h" -> rollupCascade1hSql,
     "retention_expiry" -> retentionExpirySql,
+    "storage_conf_assign" -> storageConfAssignSql,
     "catalog_info" -> Materialize.catalogInfoSql,
     "fetch_archive_selection" -> Materialize.fetchArchiveSelectionSql,
     "rollup_serve_1h" -> Materialize.rollupServe1hSql,

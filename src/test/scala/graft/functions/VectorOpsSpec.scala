@@ -53,4 +53,36 @@ class VectorOpsSpec extends AnyFunSuite {
       df.select(VectorOps.dot_f(col("a"), col("b"))).collect()
     }
   }
+
+  test("norm_f and cosine_f are registered for SQL") {
+    val r = spark.sql(
+      """SELECT norm_f(CAST(array(3.0, 4.0) AS array<float>)) AS n,
+        |       cosine_f(CAST(array(1.0, 0.0) AS array<float>),
+        |                CAST(array(1.0, 0.0) AS array<float>)) AS self,
+        |       cosine_f(CAST(array(1.0, 0.0) AS array<float>),
+        |                CAST(array(0.0, 1.0) AS array<float>)) AS orth""".stripMargin)
+      .collect().head
+    assert(r.getDouble(0) == 5.0)
+    assert(r.getDouble(1) == 1.0)
+    assert(r.getDouble(2) == 0.0)
+  }
+
+  test("parse_retention parses whisper's DSL to archive structs in SQL") {
+    val rows = spark.sql(
+      "SELECT explode(parse_retention('1s:1d,1m:30d,1h:5y')) AS r")
+      .select("r.seconds_per_point", "r.number_of_points")
+      .collect().map(r => (r.getInt(0), r.getInt(1))).toSeq
+    assert(rows == Seq((1, 86400), (60, 43200), (3600, 43800)))
+    // bare integer on the right is a point COUNT, not a duration
+    val bare = spark.sql("SELECT parse_retention('10:14')[0] AS r").collect().head
+      .getStruct(0)
+    assert((bare.getInt(0), bare.getInt(1)) == ((10, 14)))
+  }
+
+  test("parse_retention raises whisper's parser error on malformed defs") {
+    val ex = intercept[Exception] {
+      spark.sql("SELECT parse_retention('1m')").collect()
+    }
+    assert(ex.getMessage.contains("precision:duration"))
+  }
 }

@@ -51,9 +51,11 @@ object ExplainDump {
         "`partial_topkagg` map-side buffers replace the per-group sort — " +
         "shuffle is k rows per query, no Window operator."),
     "similarity_ann_ivf" ->
-      ("IVF: fixed k=16 centroids broadcast for assignment (O(n·k)); " +
-        "each query probes nprobe=4 clusters — broadcast joins " +
-        "everywhere, no all-pairs shuffle."),
+      ("IVF serving over the PERSISTED index (codebook + inverted " +
+        "assignment built once per dataset generation into the shared " +
+        "tmp root): the plan reads two parquet scans, probes nprobe=4 " +
+        "clusters per query — broadcast joins everywhere, no all-pairs " +
+        "shuffle and no rebuild inside the query."),
     "rollup_serve_1h" ->
       ("The RollupRewrite optimizer rule fired: NO aggregate or exchange " +
         "remains — the plan is a bare scan of the pre-materialized " +
@@ -68,11 +70,10 @@ object ExplainDump {
         "→ (output sort only). No join, no aggregate, no extra " +
         "exchange beyond the final ORDER BY."),
     "similarity_ann_kmeans" ->
-      ("Trained IVF: each Lloyd iteration is a broadcast-join assignment " +
-        "plus a per-dimension mean whose posexplode'd rows partially " +
-        "aggregate map-side (k·dim partial sums shuffle, not n·dim " +
-        "rows); serving probes the trained codebook via broadcast " +
-        "joins only."),
+      ("Trained IVF, same persisted-index serving plan as " +
+        "similarity_ann_ivf — the Lloyd training (broadcast-join " +
+        "assignment + map-side partial per-dimension means) runs ONCE " +
+        "at index-build time and is absent from the serving plan."),
     "decontaminate" ->
       ("The benchmark shingle set is the BROADCAST side; the corpus " +
         "shingle index semi-joins it map-side and partially aggregates " +

@@ -196,6 +196,33 @@ object Curation {
           .otherwise(lit("test")).as("split"))
       .orderBy("doc_id")
 
+  /** `split_assign_safe`: LEAKAGE-SAFE train/val/test assignment — the
+    * split hash keys on the near-dup CLUSTER id (the component minimum
+    * over [[Dedup.dedupCluster]]'s verified LSH pair graph; docs with no
+    * near-dups key on themselves), so every member of a near-duplicate
+    * cluster lands in the SAME split. This is the control a training
+    * pipeline runs between dedup and sharding: split first and a
+    * near-identical train/test pair leaks evaluation signal. Salt and
+    * bucket arithmetic are [[splitAssign]]'s, so an uncluttered document
+    * gets the IDENTICAL assignment — the two ops differ exactly on
+    * clustered docs (pinned in CurationSpec). At scale the cluster map
+    * is bounded by docs-in-pairs (its lineage is the production LSH
+    * path) and the join is doc_id-keyed; the hash itself is map-side.
+    */
+  def splitAssignSafe(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir).select(col("doc_id"))
+      .join(Dedup.dedupCluster(s, dir), Seq("doc_id"), "left")
+      .withColumn("group_id", coalesce(col("cluster_id"), col("doc_id")))
+      .withColumn("h", md5(concat(lit("split|"), col("group_id").cast("string"))))
+      .withColumn("bucket",
+        expr("(position(substring(h, 1, 1), '0123456789abcdef') - 1) * 16 + " +
+          "(position(substring(h, 2, 1), '0123456789abcdef') - 1)"))
+      .select(col("doc_id"), col("group_id"), col("bucket"),
+        when(col("bucket") < TrainCut, lit("train"))
+          .when(col("bucket") < ValCut, lit("val"))
+          .otherwise(lit("test")).as("split"))
+      .orderBy("doc_id")
+
   // --------------------------------------------------- end-to-end curate
 
   /** Quality gates for [[curate]] — chosen off the corpus quantiles so
@@ -324,6 +351,30 @@ object Curation {
        |LEFT JOIN hits h ON h.doc_id = m.doc_id
        |WHERE m.doc_id >= $BenchmarkDocs
        |ORDER BY m.doc_id""".stripMargin
+
+  /** Oracle for [[splitAssignSafe]]: the shared recursive-closure
+    * cluster CTEs ([[Dedup.clusterCtes]]) left-joined under the same
+    * hash/bucket arithmetic as [[splitAssignSql]].
+    */
+  val splitAssignSafeSql: String =
+    s"""WITH RECURSIVE ${Dedup.clusterCtes},
+       |base AS (
+       |  SELECT d.doc_id, coalesce(c.cluster_id, d.doc_id) AS group_id
+       |  FROM documents d LEFT JOIN comp c ON c.doc_id = d.doc_id),
+       |hh AS (
+       |  SELECT doc_id, group_id,
+       |         md5('split|' || CAST(group_id AS VARCHAR)) AS h
+       |  FROM base),
+       |bb AS (
+       |  SELECT doc_id, group_id,
+       |         (strpos('0123456789abcdef', substr(h, 1, 1)) - 1) * 16 +
+       |         (strpos('0123456789abcdef', substr(h, 2, 1)) - 1) AS bucket
+       |  FROM hh)
+       |SELECT doc_id, group_id, bucket,
+       |       CASE WHEN bucket < $TrainCut THEN 'train'
+       |            WHEN bucket < $ValCut THEN 'val'
+       |            ELSE 'test' END AS split
+       |FROM bb ORDER BY doc_id""".stripMargin
 
   val splitAssignSql: String =
     s"""WITH h AS (

@@ -41,6 +41,7 @@ object ExtQueries {
     "decontaminate" -> (Curation.decontaminate _),
     "text_repetition" -> (Curation.textRepetition _),
     "split_assign" -> (Curation.splitAssign _),
+    "split_assign_safe" -> (Curation.splitAssignSafe _),
     "curate" -> (Curation.curate _)
   )
 
@@ -86,6 +87,7 @@ object ExtQueries {
     "decontaminate" -> Curation.decontaminateSql,
     "text_repetition" -> Curation.textRepetitionSql,
     "split_assign" -> Curation.splitAssignSql,
+    "split_assign_safe" -> Curation.splitAssignSafeSql,
     "curate" -> Curation.curateSql
   )
 }

@@ -120,4 +120,30 @@ class CurationSpec extends AnyFunSuite {
     val splitBk = a.map { case (id, bk, _) => id -> bk }.toMap
     assert(sample.exists { case (id, bk) => splitBk(id) != bk })
   }
+
+  test("split_assign_safe keeps every near-dup cluster in one split") {
+    val safe = Curation.splitAssignSafe(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(3)))
+    val plain = Curation.splitAssign(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(safe.length == plain.size) // still a partition of the corpus
+    val clusters = Dedup.dedupCluster(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(clusters.nonEmpty) // the fixture must exercise the join
+    // the leakage guarantee: one split per cluster
+    safe.groupBy(_._2).foreach { case (g, members) =>
+      assert(members.map(_._3).toSet.size == 1, s"cluster $g spans splits")
+    }
+    safe.foreach { case (id, g, sp) =>
+      clusters.get(id) match {
+        // singleton docs: identical assignment to split_assign
+        case None => assert(g == id && sp == plain(id))
+        // clustered docs: assignment of the component minimum
+        case Some(c) => assert(g == c && sp == plain(c))
+      }
+    }
+    // the guard is not vacuous: some clustered doc would have landed in
+    // a DIFFERENT split under the per-doc hash
+    assert(safe.exists { case (id, g, sp) => id != g && sp != plain(id) })
+  }
 }

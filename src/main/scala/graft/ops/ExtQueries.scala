@@ -18,6 +18,7 @@ object ExtQueries {
     "sessionize_scalable" -> (PipelineOps.sessionizeScalable _),
     "sample_stratified" -> (PipelineOps.sampleStratified _),
     "source_mix" -> (PipelineOps.sourceMix _),
+    "source_cap" -> (PipelineOps.sourceCap _),
     "text_pii_scrub" -> (PipelineOps.textPiiScrub _),
     "shard_pack" -> (PipelineOps.shardPack _),
     "shard_pack_scalable" -> (PipelineOps.shardPackScalable _),
@@ -60,6 +61,7 @@ object ExtQueries {
     "sessionize_scalable" -> PipelineOps.sessionizeSql,
     "sample_stratified" -> PipelineOps.sampleStratifiedSql,
     "source_mix" -> PipelineOps.sourceMixSql,
+    "source_cap" -> PipelineOps.sourceCapSql,
     "text_pii_scrub" -> PipelineOps.textPiiScrubSql,
     "shard_pack" -> PipelineOps.shardPackSql,
     // the scalable form is pinned row-identical to the direct form

@@ -195,6 +195,48 @@ object PipelineOps {
        |             sum(n_tokens) OVER (PARTITION BY source), 6) AS tok_share
        |FROM agg ORDER BY source, lang""".stripMargin
 
+  /** Documents retained per source by [[sourceCap]] (the fixture has 25
+    * docs per source at every SF, so 18 keeps and drops on both sides of
+    * the cap).
+    */
+  val SourceCapN = 18
+
+  /** `source_cap`: per-domain frequency capping — at most [[SourceCapN]]
+    * documents survive per source, chosen by a salted deterministic hash
+    * (md5 over doc_id), i.e. a uniform random-but-reproducible sample of
+    * each over-represented source. The standard web-corpus balance
+    * control (a handful of mega-domains otherwise dominate the token
+    * mix); ranking by hash rather than by position avoids crawl-order
+    * bias, and any engine anywhere reproduces the identical kept set.
+    *
+    * At 100 TB: the window partitions by source, so each sort is
+    * per-source (never global); ONE pathological mega-source is a skew
+    * risk — the hash ranking makes a two-pass form possible (per-source
+    * counts, then keep docs whose hash falls under the source's
+    * cap/count quantile of md5 space — approximate but single-scan);
+    * this exact-rank form is the oracle shape, like `shard_pack` for
+    * its scalable sibling.
+    */
+  def sourceCap(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("source")
+      .orderBy(md5(concat(lit("cap|"), col("doc_id").cast("string"))), col("doc_id"))
+    docs(s, dir).select(col("doc_id"), col("source"))
+      .withColumn("rank_in_source", row_number().over(w))
+      .withColumn("kept", (col("rank_in_source") <= SourceCapN).cast("int"))
+      .orderBy("doc_id")
+  }
+
+  val sourceCapSql: String =
+    s"""SELECT doc_id, source, rank_in_source,
+       |       CASE WHEN rank_in_source <= $SourceCapN THEN 1 ELSE 0 END AS kept
+       |FROM (
+       |  SELECT doc_id, source,
+       |         row_number() OVER (PARTITION BY source
+       |           ORDER BY md5('cap|' || CAST(doc_id AS VARCHAR)), doc_id)
+       |           AS rank_in_source
+       |  FROM documents)
+       |ORDER BY doc_id""".stripMargin
+
   // ----------------------------------------------------------- PII scrub
 
   /** Email-ish addresses or long digit runs — patterns valid in both

@@ -147,4 +147,24 @@ class PipelineOpsSpec extends AnyFunSuite {
     // idempotent labeling: a cluster id labels itself
     assert(labels.values.forall(c => labels(c) == c))
   }
+
+  test("source_cap keeps exactly min(cap, |source|) docs per source, deterministically") {
+    val a = PipelineOps.sourceCap(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getInt(2), r.getInt(3)))
+    val b = PipelineOps.sourceCap(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getInt(2), r.getInt(3)))
+    assert(a.sameElements(b)) // reproducible kept set
+    val total = spark.read.parquet(s"$dir/documents.parquet").count()
+    assert(a.length == total) // every doc labeled, none dropped from the frame
+    for ((src, rows) <- a.groupBy(_._2)) {
+      val kept = rows.count(_._4 == 1)
+      assert(kept == math.min(PipelineOps.SourceCapN, rows.length),
+        s"source $src kept $kept")
+      // ranks are a permutation of 1..|source| and kept = the cap prefix
+      assert(rows.map(_._3).sorted.toSeq == (1 to rows.length))
+      assert(rows.filter(_._4 == 1).map(_._3).forall(_ <= PipelineOps.SourceCapN))
+    }
+    // the fixture exercises both sides of the cap
+    assert(a.exists(_._4 == 0) && a.exists(_._4 == 1))
+  }
 }

@@ -185,6 +185,23 @@ class PlanSpec extends AnyFunSuite {
       s"nested-loop join over the corpus:\n$p")
   }
 
+  test("ANN serving plans are index reads — no training stage in the query") {
+    // the Lloyd/assignment machinery must live in the one-time index
+    // build (annIndexShared), never in the serving plan: no posexplode
+    // means, no localCheckpoint scan of a training pass — just parquet
+    // reads of the persisted codebook + assignment, probed and reranked
+    for (q <- Seq(Similarity.similarityAnnIvf(spark, dir),
+                  Similarity.similarityAnnKmeans(spark, dir))) {
+      val p = plan(q)
+      assert(!p.contains("Generate") && !p.contains("posexplode"),
+        s"training-stage explode leaked into the ANN serving plan:\n$p")
+      assert(!p.contains("ExistingRDD") && !p.contains("LocalTableScan"),
+        s"checkpointed training frame leaked into the serving plan:\n$p")
+      assert(p.contains("Scan parquet"),
+        s"serving plan does not read the persisted index:\n$p")
+    }
+  }
+
   test("similarity_topk_agg aggregates with a map-side partial step") {
     val p = plan(Similarity.similarityTopkAgg(spark, dir))
     assert(p.contains("partial"), s"expected partial top-k buffers:\n$p")

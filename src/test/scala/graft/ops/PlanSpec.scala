@@ -122,6 +122,15 @@ class PlanSpec extends AnyFunSuite {
       s"offsets are not broadcast:\n$p")
   }
 
+  test("source_cap windows by source — per-source sorts, never a global one") {
+    val p = plan(PipelineOps.sourceCap(spark, dir))
+    assert(p.contains("windowspecdefinition(source"),
+      s"cap rank is not source-partitioned:\n$p")
+    // one projection pass besides the window: no join, no aggregate
+    assert(!p.contains("Join") && !p.contains("HashAggregate"),
+      s"cap plan grew a join or aggregate:\n$p")
+  }
+
   test("wsp_diff joins trees by slot key — no product, both sides pruned scans") {
     val p = plan(graft.sources.WspQueries.wspDiff(spark, dir))
     assert(!p.contains("CartesianProduct"), s"diff degenerated to a product:\n$p")

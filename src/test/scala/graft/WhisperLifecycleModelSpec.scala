@@ -265,6 +265,40 @@ class WhisperLifecycleModelSpec extends AnyFunSuite {
     }
   }
 
+  test("super-day windows: day-partition bookkeeping matches the day-free model") {
+    // 6h:7d cascading into 2d:24d — every consolidation window spans
+    // THREE day partitions, so the write cycle's srcDays broadening
+    // (reading the full source window beyond the touched days) and the
+    // day-level vacuum both run; the model has no notion of days, which
+    // is the point: any bookkeeping slip shows as a fetch mismatch
+    import spark.implicits._
+    val schema = WhisperSchema(
+      Seq(Retention(21600, 28), Retention(172800, 12)),
+      AggregationMethod.Average, 0.25)
+    val dir = Files.createTempDirectory("graft_life_days").toFile
+    dir.delete()
+    val table = WhisperTable.create(spark, dir.getAbsolutePath, schema)
+    val model = new Model(schema)
+    val rnd = new Random(99)
+    var now = Base
+    for (batch <- 1 to 3) {
+      now += rnd.nextInt(86400).toLong
+      val pts = randPoints(rnd, schema, now)
+      val got = table.updateMany(pts.toDS(), now)
+      val (acc, rej) = model.updateMany(pts, now)
+      assert((got.accepted, got.rejected) == ((acc, rej)), s"batch $batch split")
+    }
+    for (m <- Seq("m.a", "m.b")) {
+      // full horizon (coarse archive, multi-day buckets) and the fresh
+      // window (fine archive, 6h buckets)
+      checkFetch(table, model, m, now - schema.maxRetentionSeconds, now, now,
+        s"super-day full $m")
+      checkFetch(table, model, m, now - 6 * 86400L, now, now, s"super-day 6d $m")
+      checkFetch(table, model, m, now - 2 * 86400L, now, now, s"super-day 2d $m")
+    }
+    org.apache.commons.io.FileUtils.deleteDirectory(dir)
+  }
+
   test("strict update raises whisper's out-of-retention error") {
     val schema = WhisperSchema(Seq(Retention(10, 20)), AggregationMethod.Average, 0.5)
     val dir = Files.createTempDirectory("graft_life_strict").toFile

@@ -35,8 +35,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectFunction(fn("dot_f", 2)(x => DotProductF(x.head, x(1))))
-    e.injectFunction(fn("norm_f", 1)(x => Sqrt(DotProductF(x.head, x.head))))
-    e.injectFunction(fn("cosine_f", 2) { x =>
+    e.injectFunction(fn("norm_f", 1, classOf[Sqrt])(
+      x => Sqrt(DotProductF(x.head, x.head))))
+    e.injectFunction(fn("cosine_f", 2, classOf[Divide]) { x =>
       Divide(DotProductF(x.head, x(1)),
         Multiply(Sqrt(DotProductF(x.head, x.head)),
           Sqrt(DotProductF(x(1), x(1)))))

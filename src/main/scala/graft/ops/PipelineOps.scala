@@ -196,8 +196,8 @@ object PipelineOps {
        |FROM agg ORDER BY source, lang""".stripMargin
 
   /** Documents retained per source by [[sourceCap]] (the fixture has 25
-    * docs per source at every SF, so 18 keeps and drops on both sides of
-    * the cap).
+    * docs per source at sf0.001/sf0.01 and 250 at sf0.1, so 18 keeps
+    * and drops on both sides of the cap at every SF).
     */
   val SourceCapN = 18
 

@@ -192,9 +192,12 @@ object Similarity {
             .localCheckpoint(true)
         }
       }
-      cents.write.parquet(s"$p/cents")
+      // overwrite, matching the other shared-index builds: a transient
+      // failure between the two writes must not poison the root for
+      // every retry in this JVM (getOrElseUpdate only caches success)
+      cents.write.mode("overwrite").parquet(s"$p/cents")
       val centsR = s.read.parquet(s"$p/cents")
-      e.join(assignTo(centsR), "vec_id").write.parquet(s"$p/assigned")
+      e.join(assignTo(centsR), "vec_id").write.mode("overwrite").parquet(s"$p/assigned")
     }
     (s.read.parquet(s"$root/cents"), s.read.parquet(s"$root/assigned"))
   }

@@ -187,7 +187,15 @@ class WhisperLifecycleModelSpec extends AnyFunSuite {
     val got = table.fetch(metric, fromS, untilS, nowS).collect()
       .map(r => (r.getLong(0), if (r.isNullAt(1)) None else Some(r.getDouble(1))))
       .toSeq
-    val want = model.fetch(metric, fromS, untilS, nowS)
+    compareSeries(got, model.fetch(metric, fromS, untilS, nowS), ctx)
+  }
+
+  /** One comparison rule for every fetch path: identical spines, exact
+    * gap agreement, value tolerance only for re-aggregated quotients.
+    */
+  private def compareSeries(
+      got: Seq[(Long, Option[Double])], want: Seq[(Long, Option[Double])],
+      ctx: String): Unit = {
     assert(got.map(_._1) == want.map(_._1), s"$ctx: spine mismatch")
     got.zip(want).foreach { case ((b, g), (_, w)) =>
       (g, w) match {
@@ -250,16 +258,8 @@ class WhisperLifecycleModelSpec extends AnyFunSuite {
         val rows = fm.filter(_.getString(0) == m)
           .map(r => (r.getLong(1), if (r.isNullAt(2)) None else Some(r.getDouble(2))))
           .toSeq
-        val want = model.fetch(m, now - schema.maxRetentionSeconds, now, now)
-        assert(rows.map(_._1) == want.map(_._1), s"$ctx0 fetchMany spine $m")
-        rows.zip(want).foreach { case ((b, g), (_, w)) =>
-          (g, w) match {
-            case (Some(gv), Some(wv)) =>
-              assert(math.abs(gv - wv) <= 1e-9 + math.abs(wv) * 1e-12,
-                s"$ctx0 fetchMany $m bucket $b: $gv vs $wv")
-            case (a, bb) => assert(a == bb, s"$ctx0 fetchMany $m bucket $b")
-          }
-        }
+        compareSeries(rows, model.fetch(m, now - schema.maxRetentionSeconds, now, now),
+          s"$ctx0 fetchMany $m")
       }
       org.apache.commons.io.FileUtils.deleteDirectory(dir)
     }

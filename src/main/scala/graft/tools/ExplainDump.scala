@@ -69,6 +69,15 @@ object ExplainDump {
       ("Deterministic sampling is a pure map-side filter: scan → filter " +
         "→ (output sort only). No join, no aggregate, no extra " +
         "exchange beyond the final ORDER BY."),
+    "source_cap" ->
+      ("Per-domain capping: ONE window partitioned BY SOURCE (per-source " +
+        "sorts, never global), no join, no aggregate — the salted-hash " +
+        "rank is a uniform reproducible sample of each source."),
+    "split_assign_safe" ->
+      ("Leakage-safe split: the doc frame left-joins the near-dup " +
+        "cluster map (bounded by docs-in-pairs) keyed on doc_id, then " +
+        "the split hash is map-side over the coalesced group id — " +
+        "uncluttered docs keep split_assign's identical assignment."),
     "similarity_ann_kmeans" ->
       ("Trained IVF, same persisted-index serving plan as " +
         "similarity_ann_ivf — the Lloyd training (broadcast-join " +

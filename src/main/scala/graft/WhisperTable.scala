@@ -345,6 +345,35 @@ final class WhisperTable private (
       .orderBy("metric", "bucket_ts")
   }
 
+  /** Q1 glob: graphite's metric-find surface over ONE table —
+    * [[fetchMany]] without a driver-side metric list. The glob
+    * ([[Fetch.globToRegex]]: `*`/`?` never cross dots, braces
+    * alternate) filters the level scan; the matched metric set is
+    * derived DISTRIBUTED (a distinct over the filtered scan, bounded by
+    * matches and broadcast under the spine), so resolving
+    * `servers.*.cpu.load` over a million-series table never builds a
+    * driver-side name list — where the reference layout walks the
+    * filesystem tree and opens one file per match.
+    */
+  def fetchGlob(pattern: String, fromS: Long, untilS: Long, nowS: Long): DataFrame = {
+    require(fromS <= untilS, "invalid time interval")
+    val from = math.max(fromS, nowS - maxRetention) // F1 clamp
+    val until = math.min(untilS, nowS)
+    val archive = Fetch.selectArchive(schema, nowS, from)
+    val spp = archive.secondsPerPoint
+    val fromI = Buckets.fetchInterval(from, spp)
+    val untilI = Buckets.fetchInterval(until, spp)
+    val agg = readLevelRange(archive, fromI, untilI)
+      .filter(col("metric").rlike(Fetch.globToRegex(pattern)) &&
+        col("bucket_ts") >= fromI && col("bucket_ts") < untilI)
+    val mets = agg.select(col("metric")).distinct()
+    val spine = spark.range(fromI, untilI, spp.toLong).toDF("bucket_ts")
+      .crossJoin(broadcast(mets))
+    spine.join(agg, Seq("metric", "bucket_ts"), "left")
+      .select(col("metric"), col("bucket_ts"), col("value"))
+      .orderBy("metric", "bucket_ts")
+  }
+
   /** Export every archive level as whisper `.wsp` binary files — one
     * file per metric under `outDir`, each carrying ALL levels in its
     * rings ([[graft.sources.WspWrite]]). The reverse migration path:

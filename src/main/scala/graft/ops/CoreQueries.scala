@@ -323,6 +323,7 @@ object CoreQueries {
     "fetch_range_filter" -> (fetchRangeFilter _),
     "fetch_dense_series" -> ((s, d) => Fetch.fetchDenseSeries(s, d)),
     "fetch_many" -> ((s, d) => Fetch.fetchMany(s, d)),
+    "fetch_glob" -> ((s, d) => Fetch.fetchGlob(s, d)),
     "agg_avg" -> aggQuery(AggregationMethod.Average) _,
     "agg_sum" -> aggQuery(AggregationMethod.Sum) _,
     "agg_last" -> aggQuery(AggregationMethod.Last) _,
@@ -351,6 +352,7 @@ object CoreQueries {
     "fetch_range_filter" -> fetchRangeFilterSql,
     "fetch_dense_series" -> Fetch.fetchDenseSeriesSql,
     "fetch_many" -> Fetch.fetchManySql,
+    "fetch_glob" -> Fetch.fetchGlobSql,
     "agg_avg" -> aggFamilySql(AggregationMethod.Average),
     "agg_sum" -> aggFamilySql(AggregationMethod.Sum),
     "agg_last" -> aggFamilySql(AggregationMethod.Last),

@@ -115,6 +115,89 @@ object Fetch {
       .orderBy("metric", "bucket_ts")
   }
 
+  /** Graphite metric-glob → anchored regex, identical in Java regex
+    * (Spark `rlike`) and RE2 (DuckDB `regexp_matches`): `*` → `[^.]*`
+    * and `?` → `[^.]` (globs never cross the dot hierarchy separator —
+    * graphite's find semantics), `{a,b}` → `(a|b)`, `[...]` classes
+    * pass through, every other regex metachar is escaped. Graphite
+    * patterns have no bare commas outside braces, so `,` always maps
+    * to alternation.
+    */
+  def globToRegex(glob: String): String = {
+    val sb = new StringBuilder("^")
+    var inClass = false
+    glob.foreach {
+      case '*' if !inClass => sb.append("[^.]*")
+      case '?' if !inClass => sb.append("[^.]")
+      case '{' if !inClass => sb.append('(')
+      case '}' if !inClass => sb.append(')')
+      case ',' if !inClass => sb.append('|')
+      case '[' => inClass = true; sb.append('[')
+      case ']' => inClass = false; sb.append(']')
+      case c if !inClass && "\\.(){}*+?^$|".indexOf(c.toInt) >= 0 =>
+        sb.append('\\').append(c)
+      case c => sb.append(c)
+    }
+    sb.append('$').toString
+  }
+
+  /** Glob for the `fetch_glob` key — braces, star and question mark over
+    * the five event metrics: matches click, signup, view; not error or
+    * purchase.
+    */
+  val GlobPattern = "{click,sign*,v?ew}"
+
+  /** `fetch_glob`: graphite's metric-FIND surface over one table —
+    * [[fetchMany]] WITHOUT a driver-side metric list. The glob compiles
+    * to a regex filter on the scan, the matched metric set comes back
+    * distributed (a distinct over the already-filtered scan, bounded by
+    * matches), and the dense spine crosses it with the range. The
+    * reference layout resolves a glob by walking the filesystem tree and
+    * opening one file per match; here one pruned scan serves every
+    * matching series — the `servers.*.cpu.load` dashboard query shape.
+    */
+  def fetchGlob(spark: SparkSession, sfDir: String): DataFrame = {
+    val rx = globToRegex(GlobPattern)
+    val fromI = Buckets.fetchInterval(Buckets.FromS, 60)
+    val untilI = Buckets.fetchInterval(Buckets.UntilS, 60)
+    val pts = Buckets.pointsInRange(spark, sfDir, fromI, untilI)
+      .filter(col("metric").rlike(rx))
+    val metrics = pts.select(col("metric")).distinct()
+    val spine = spark.range(fromI, untilI, 60L).toDF("bucket_ts")
+      .crossJoin(metrics)
+    val agg = pts
+      .groupBy(col("metric"), Buckets.alignTs(col("ts_s"), 60).as("bucket_ts"))
+      .agg(round(avg(col("value")), 6).as("value"))
+    spine.join(agg, Seq("metric", "bucket_ts"), "left")
+      .select(col("metric"), col("bucket_ts"), col("value"))
+      .orderBy("metric", "bucket_ts")
+  }
+
+  val fetchGlobSql: String = {
+    val rx = globToRegex(GlobPattern)
+    val fromI = Buckets.fetchInterval(Buckets.FromS, 60)
+    val untilI = Buckets.fetchInterval(Buckets.UntilS, 60)
+    s"""WITH ${Buckets.pointsSql},
+       |mets AS (
+       |  SELECT DISTINCT metric FROM pts
+       |  WHERE ts_s >= $fromI AND ts_s < $untilI
+       |    AND regexp_matches(metric, '$rx')),
+       |agg AS (
+       |  SELECT metric, (ts_s // 60) * 60 AS bucket_ts,
+       |         round(avg(value), 6) AS value
+       |  FROM pts
+       |  WHERE ts_s >= $fromI AND ts_s < $untilI
+       |    AND regexp_matches(metric, '$rx')
+       |  GROUP BY 1, 2),
+       |spine AS (
+       |  SELECT m.metric, r.bucket_ts FROM mets m,
+       |    (SELECT CAST(range AS BIGINT) AS bucket_ts
+       |     FROM range($fromI, $untilI, 60)) r)
+       |SELECT s.metric, s.bucket_ts, a.value
+       |FROM spine s LEFT JOIN agg a USING (metric, bucket_ts)
+       |ORDER BY s.metric, s.bucket_ts""".stripMargin
+  }
+
   val fetchManySql: String = {
     val fromI = Buckets.fetchInterval(Buckets.FromS, 60)
     val untilI = Buckets.fetchInterval(Buckets.UntilS, 60)

@@ -50,6 +50,30 @@ class WhisperTableSpec extends AnyFunSuite {
     assert(got.last._2.isEmpty) // bucket at now-3000 never written
   }
 
+  test("fetchGlob serves every metric matching the graphite pattern, dots uncrossed") {
+    import spark.implicits._
+    val t = WhisperTable.create(spark, tmp(), Retentions.lww)
+    val metrics = Seq("servers.a.cpu", "servers.b.cpu", "servers.a.mem",
+      "servers.a.sub.cpu", "hosts.a.cpu")
+    val pts = metrics.zipWithIndex.map { case (m, i) =>
+      TimeSeriesPoint(m, now - 120, 10.0 + i)
+    }
+    t.updateMany(pts.toDS(), now)
+    def names(pattern: String): Seq[String] =
+      t.fetchGlob(pattern, now - 300, now, now).collect()
+        .map(_.getString(0)).distinct.sorted.toSeq
+    // * matches one hierarchy level only — never crosses a dot
+    assert(names("servers.*.cpu") == Seq("servers.a.cpu", "servers.b.cpu"))
+    assert(names("servers.*") == Seq.empty) // all fixtures are 3+ levels
+    assert(names("*.a.{cpu,mem}") ==
+      Seq("hosts.a.cpu", "servers.a.cpu", "servers.a.mem"))
+    assert(names("servers.?.cpu") == Seq("servers.a.cpu", "servers.b.cpu"))
+    // values ride along: the matched series carry their written points
+    val got = t.fetchGlob("servers.a.*", now - 300, now, now).collect()
+      .filter(!_.isNullAt(2)).map(r => (r.getString(0), r.getDouble(2))).toSeq
+    assert(got.toSet == Set(("servers.a.cpu", 10.0), ("servers.a.mem", 12.0)))
+  }
+
   test("last write wins within and across updateMany batches") {
     import spark.implicits._
     val t = WhisperTable.create(spark, tmp(), Retentions.lww)

@@ -196,4 +196,22 @@ class CoreOpsSpec extends AnyFunSuite {
     val b = direct.collect().map(r => (r.getLong(1), math.round(r.getDouble(2) * 1e6))).toSet
     assert(a == b)
   }
+
+  test("globToRegex: graphite find semantics, regex metachars neutralized") {
+    def m(glob: String, s: String): Boolean = s.matches(Fetch.globToRegex(glob))
+    // star and ? stay within one hierarchy level
+    assert(m("servers.*.cpu", "servers.web1.cpu"))
+    assert(!m("servers.*.cpu", "servers.web1.sub.cpu"))
+    assert(!m("servers.*", "servers.a.cpu"))
+    assert(m("servers.we?1.cpu", "servers.web1.cpu"))
+    assert(!m("servers.we?.cpu", "servers.web1.cpu"))
+    // braces alternate, classes pass through
+    assert(m("m.{cpu,mem}", "m.cpu") && m("m.{cpu,mem}", "m.mem"))
+    assert(!m("m.{cpu,mem}", "m.cpumem"))
+    assert(m("disk[0-9].io", "disk7.io") && !m("disk[0-9].io", "diskX.io"))
+    // a literal dot never acts as regex-any; other metachars are literal
+    assert(!m("a.b", "aXb"))
+    assert(m("rate(+)", "rate(+)") && !m("rate(+)", "rate("))
+    assert(m("a|b", "a|b") && !m("a|b", "a"))
+  }
 }

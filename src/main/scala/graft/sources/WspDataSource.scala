@@ -38,7 +38,9 @@ import org.apache.spark.util.SerializableConfiguration
   *    volume, not file count;
   *  - `metric` predicates (`EqualTo`/`In`) push down to FILE PRUNING at
   *    planning time — a one-series query opens one file, whisper-`Open`
-  *    style, regardless of tree size;
+  *    style, regardless of tree size; the `metricGlob` read option
+  *    prunes the same way by graphite glob (`servers.*.cpu` opens only
+  *    the matching files — the finder's filesystem walk, distributed);
   *  - `ts_s` range predicates push into the slot decoder (rows outside
   *    the range are never materialized — and the range filter is exactly
   *    the reference's F2 staleness semantics, which is only defined
@@ -114,7 +116,8 @@ final class WspTable(roots: Seq[String]) extends Table with SupportsRead {
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new WspScanBuilder(roots, options.getBoolean("listingCache", false),
       Option(options.get("metricRoot")),
-      options.getInt("readRetries", 0))
+      options.getInt("readRetries", 0),
+      Option(options.get("metricGlob")))
 }
 
 final class WspScanBuilder(
@@ -127,7 +130,15 @@ final class WspScanBuilder(
     // path overrides to a bounded retry (its documented contract
     // absorbs the publish fallback's no-file window). The `readRetries`
     // read option opts a batch scan of a LIVE tree into the same.
-    readRetries: Int = 0)
+    readRetries: Int = 0,
+    // `metricGlob` read option: a graphite glob ([[graft.ops.Fetch
+    // .globToRegex]] semantics — `*`/`?` dot-bounded, braces alternate)
+    // applied as FILE pruning during the tree walk, exactly where the
+    // reference's finder globs the filesystem: `servers.*.cpu` over a
+    // million-file tree opens only the matching files. A read OPTION
+    // (not a pushed filter) because DSv2's Filter vocabulary has no
+    // regex/LIKE member to push an `rlike` through.
+    metricGlob: Option[String] = None)
     extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
 
   private var pushed: Array[Filter] = Array.empty
@@ -181,7 +192,7 @@ final class WspScanBuilder(
     new WspScan(roots, metrics, tsLo, tsHi, required,
       new SerializableConfiguration(spark.sessionState.newHadoopConf()),
       spark.sessionState.conf.filesMaxPartitionBytes, listingCache,
-      metricRoot, readRetries)
+      metricRoot, readRetries, metricGlob)
   }
 }
 
@@ -201,13 +212,19 @@ final class WspScan(
     // — lets a caller pass FILES as roots (a schema-grouped subset of a
     // tree) and still get the tree's dotted metric names
     metricRoot: Option[String] = None,
-    readRetries: Int = 0) extends Scan with Batch {
+    readRetries: Int = 0,
+    metricGlob: Option[String] = None) extends Scan with Batch {
+
+  // compiled once, applied driver-side during the listing walk
+  private lazy val globRx: Option[java.util.regex.Pattern] =
+    metricGlob.map(g => java.util.regex.Pattern.compile(graft.ops.Fetch.globToRegex(g)))
 
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String = {
     val m = metrics.fold("*")(_.mkString(","))
-    s"wsp ${roots.mkString(",")} metric=$m ts_s=[$tsLo,$tsHi]"
+    val g = metricGlob.fold("")(g => s" glob=$g")
+    s"wsp ${roots.mkString(",")} metric=$m$g ts_s=[$tsLo,$tsHi]"
   }
 
   /** Every selected `.wsp` file with its size, derived metric name, and
@@ -244,7 +261,8 @@ final class WspScan(
       def emit(path: org.apache.hadoop.fs.Path, len: Long, mtime: Long): Unit =
         if (path.getName.endsWith(".wsp")) {
           val metric = WspTable.metricFor(nameRoot, path)
-          if (metrics.forall(_.contains(metric)))
+          if (metrics.forall(_.contains(metric)) &&
+              globRx.forall(_.matcher(metric).matches))
             out += (((path.toString, len, metric), mtime))
         }
       if (listingCache) {

@@ -111,6 +111,31 @@ class WspSpec extends AnyFunSuite {
       .as[String].collect().sorted.toSeq == Seq("a", "b", "c"))
   }
 
+  test("metricGlob read option prunes FILES by graphite glob at listing time") {
+    import spark.implicits._
+    val dir = tmp()
+    WspWrite.export(
+      Seq(("servers.a.cpu", 0, 100L, 1.0), ("servers.b.cpu", 0, 100L, 2.0),
+        ("servers.a.mem", 0, 100L, 3.0), ("hosts.a.cpu", 0, 110L, 4.0))
+        .toDF("metric", "archive", "bucket_ts", "value"),
+      dir, schema)
+    // a corrupt NON-matching file proves the prune is real: a glob scan
+    // must never open it, an unglobbed scan must fail on it
+    val bad = new java.io.File(s"$dir/hosts.bad.wsp")
+    java.nio.file.Files.write(bad.toPath, Array.fill[Byte](10)(0x7f))
+    val sb = new WspScanBuilder(Seq(dir), metricGlob = Some("servers.*.cpu"))
+    assert(sb.build().asInstanceOf[WspScan].listFiles().map(_._3).sorted ==
+      Seq("servers.a.cpu", "servers.b.cpu"))
+    val got = spark.read.format("wsp").option("metricGlob", "servers.*.cpu")
+      .load(dir).select("metric", "value").collect()
+      .map(r => (r.getString(0), r.getDouble(1))).toSet
+    assert(got == Set(("servers.a.cpu", 1.0), ("servers.b.cpu", 2.0)))
+    assertThrows[Exception] {
+      spark.read.format("wsp").load(dir).collect()
+    }
+    assert(bad.delete())
+  }
+
   test("pushed metric/ts filters are absorbed — no residual Filter node") {
     import spark.implicits._
     val dir = tmp()

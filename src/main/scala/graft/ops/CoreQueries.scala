@@ -324,6 +324,8 @@ object CoreQueries {
     "fetch_dense_series" -> ((s, d) => Fetch.fetchDenseSeries(s, d)),
     "fetch_many" -> ((s, d) => Fetch.fetchMany(s, d)),
     "fetch_glob" -> ((s, d) => Fetch.fetchGlob(s, d)),
+    "fetch_summarize" -> ((s, d) => Fetch.fetchSummarize(s, d)),
+    "fetch_maxdatapoints" -> ((s, d) => Fetch.fetchMaxDatapoints(s, d)),
     "agg_avg" -> aggQuery(AggregationMethod.Average) _,
     "agg_sum" -> aggQuery(AggregationMethod.Sum) _,
     "agg_last" -> aggQuery(AggregationMethod.Last) _,
@@ -353,6 +355,8 @@ object CoreQueries {
     "fetch_dense_series" -> Fetch.fetchDenseSeriesSql,
     "fetch_many" -> Fetch.fetchManySql,
     "fetch_glob" -> Fetch.fetchGlobSql,
+    "fetch_summarize" -> Fetch.fetchSummarizeSql,
+    "fetch_maxdatapoints" -> Fetch.fetchMaxDatapointsSql,
     "agg_avg" -> aggFamilySql(AggregationMethod.Average),
     "agg_sum" -> aggFamilySql(AggregationMethod.Sum),
     "agg_last" -> aggFamilySql(AggregationMethod.Last),

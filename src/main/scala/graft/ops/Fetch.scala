@@ -219,4 +219,186 @@ object Fetch {
        |FROM spine s LEFT JOIN agg a USING (metric, bucket_ts)
        |ORDER BY s.metric, s.bucket_ts""".stripMargin
   }
+
+  // ------------------------------------- render-layer consolidation ops
+
+  /** `summarize()` interval for the `fetch_summarize` key: 10 minutes
+    * over the fixed 24 h fixture window → ≤145 coarse buckets/metric.
+    */
+  val SummarizeIntervalS = 600
+
+  /** Render point budget for `fetch_maxdatapoints`: 1440 minutes / 100
+    * → consolidation factor 15, 96 output points per metric.
+    */
+  val MaxDataPoints = 100
+
+  /** Graphite `summarize(series, interval, 'sum')` over the multi-metric
+    * fetch (public graphite-web semantics, render/functions.py
+    * `summarize` with alignToFrom=False): re-bucket the FETCHED series —
+    * the per-minute consolidated averages, not the raw points — into
+    * epoch-aligned `intervalS` buckets, value = null-skipping sum of the
+    * member series values, bucket with no live members = NULL. Partial
+    * edge buckets (the window rarely starts on an interval boundary —
+    * here `from+spp` lands mid-bucket) are emitted, as graphite does.
+    *
+    * Scale notes (100 TB): the null-skipping sum makes the dense 60 s
+    * spine unnecessary — the coarse re-aggregate runs on the SPARSE
+    * per-minute aggregate (≤ range/spp × metrics rows, bounded by the
+    * request), and density is restored once at interval granularity
+    * against a generated spine that Catalyst broadcasts. Both
+    * aggregations shuffle on (metric, bucket), so AQE coalesces them
+    * into the same exchange lineage; the scan still sees the pushed
+    * `ts_s` range filter.
+    */
+  def summarizeSeries(
+      spark: SparkSession,
+      pts: DataFrame,
+      fromS: Long,
+      untilS: Long,
+      spp: Int,
+      intervalS: Int): DataFrame = {
+    require(intervalS % spp == 0, s"summarize interval $intervalS must be a multiple of step $spp")
+    val fromI = Buckets.fetchInterval(fromS, spp)
+    val untilI = Buckets.fetchInterval(untilS, spp)
+    val p = pts.filter(col("ts_s") >= fromI && col("ts_s") < untilI)
+    val metrics = p.select(col("metric")).distinct()
+    val agg60 = p
+      .groupBy(col("metric"), Buckets.alignTs(col("ts_s"), spp).as("b"))
+      .agg(round(avg(col("value")), 6).as("v"))
+    val coarse = agg60
+      .groupBy(col("metric"), Buckets.alignTs(col("b"), intervalS).as("bucket_ts"))
+      .agg(round(sum(col("v")), 6).as("value"))
+    // coarse buckets intersecting [fromI, untilI): epoch-aligned starts
+    val lo = Math.floorDiv(fromI, intervalS.toLong) * intervalS
+    val hiExcl = Math.floorDiv(untilI - spp, intervalS.toLong) * intervalS + intervalS
+    val spine = spark.range(lo, hiExcl, intervalS.toLong).toDF("bucket_ts")
+      .crossJoin(metrics)
+    spine.join(coarse, Seq("metric", "bucket_ts"), "left")
+      .select(col("metric"), col("bucket_ts"), col("value"))
+      .orderBy("metric", "bucket_ts")
+  }
+
+  /** Graphite-web render consolidation (public semantics:
+    * render/datalib.py `TimeSeries.consolidate` + the maxDataPoints
+    * check in render/views.py): when a fetched series has more points
+    * than the client can plot, group `factor = ceil(n/maxDataPoints)`
+    * consecutive values from the series START, aggregate each group with
+    * the consolidation function (default 'average', null-skipping,
+    * all-null group → None), and stretch the step to `spp × factor`.
+    * Unlike [[summarizeSeries]] the groups align to the series origin
+    * (`from`), not to epoch — the two ops disagree on purpose, exactly
+    * as graphite's do.
+    *
+    * Scale notes: identical shape to summarize — sparse per-minute
+    * aggregate, group-index arithmetic instead of epoch alignment,
+    * density restored at output granularity (`ceil(n/factor)` × metrics
+    * rows) against a broadcast spine.
+    */
+  def consolidateSeries(
+      spark: SparkSession,
+      pts: DataFrame,
+      fromS: Long,
+      untilS: Long,
+      spp: Int,
+      maxDataPoints: Int): DataFrame = {
+    val fromI = Buckets.fetchInterval(fromS, spp)
+    val untilI = Buckets.fetchInterval(untilS, spp)
+    val n = ((untilI - fromI) / spp).toInt
+    val factor = math.max(1, (n + maxDataPoints - 1) / maxDataPoints)
+    val stepS = spp.toLong * factor
+    val groups = (n + factor - 1) / factor
+    val p = pts.filter(col("ts_s") >= fromI && col("ts_s") < untilI)
+    val metrics = p.select(col("metric")).distinct()
+    val agg60 = p
+      .groupBy(col("metric"), Buckets.alignTs(col("ts_s"), spp).as("b"))
+      .agg(round(avg(col("value")), 6).as("v"))
+    val cons = agg60
+      .groupBy(col("metric"),
+        (lit(fromI) + floor((col("b") - fromI) / stepS) * stepS).cast("long").as("bucket_ts"))
+      .agg(round(avg(col("v")), 6).as("value"))
+    val spine = spark.range(fromI, fromI + groups * stepS, stepS).toDF("bucket_ts")
+      .crossJoin(metrics)
+    spine.join(cons, Seq("metric", "bucket_ts"), "left")
+      .select(col("metric"), col("bucket_ts"), col("value"))
+      .orderBy("metric", "bucket_ts")
+  }
+
+  /** Query key `fetch_summarize`: 10-minute sums of the per-minute
+    * multi-metric fetch over the fixed window — `summarize(events.*,
+    * "10min", "sum")` in graphite terms.
+    */
+  def fetchSummarize(spark: SparkSession, sfDir: String): DataFrame = {
+    val fromI = Buckets.fetchInterval(Buckets.FromS, 60)
+    val untilI = Buckets.fetchInterval(Buckets.UntilS, 60)
+    summarizeSeries(spark, Buckets.pointsInRange(spark, sfDir, fromI, untilI),
+      Buckets.FromS, Buckets.UntilS, 60, SummarizeIntervalS)
+  }
+
+  val fetchSummarizeSql: String = {
+    val fromI = Buckets.fetchInterval(Buckets.FromS, 60)
+    val untilI = Buckets.fetchInterval(Buckets.UntilS, 60)
+    val iv = SummarizeIntervalS
+    val lo = Math.floorDiv(fromI, iv.toLong) * iv
+    val hiExcl = Math.floorDiv(untilI - 60, iv.toLong) * iv + iv
+    s"""WITH ${Buckets.pointsSql},
+       |mets AS (
+       |  SELECT DISTINCT metric FROM pts
+       |  WHERE ts_s >= $fromI AND ts_s < $untilI),
+       |agg AS (
+       |  SELECT metric, (ts_s // 60) * 60 AS b, round(avg(value), 6) AS v
+       |  FROM pts
+       |  WHERE ts_s >= $fromI AND ts_s < $untilI
+       |  GROUP BY 1, 2),
+       |coarse AS (
+       |  SELECT metric, (b // $iv) * $iv AS bucket_ts,
+       |         round(sum(v), 6) AS value
+       |  FROM agg GROUP BY 1, 2),
+       |spine AS (
+       |  SELECT m.metric, r.bucket_ts FROM mets m,
+       |    (SELECT CAST(range AS BIGINT) AS bucket_ts
+       |     FROM range($lo, $hiExcl, $iv)) r)
+       |SELECT s.metric, s.bucket_ts, c.value
+       |FROM spine s LEFT JOIN coarse c USING (metric, bucket_ts)
+       |ORDER BY s.metric, s.bucket_ts""".stripMargin
+  }
+
+  /** Query key `fetch_maxdatapoints`: the 1440-point per-minute fetch
+    * consolidated under a 100-point render budget (factor 15 → 96
+    * 15-minute averages per metric, groups aligned to the series start).
+    */
+  def fetchMaxDatapoints(spark: SparkSession, sfDir: String): DataFrame = {
+    val fromI = Buckets.fetchInterval(Buckets.FromS, 60)
+    val untilI = Buckets.fetchInterval(Buckets.UntilS, 60)
+    consolidateSeries(spark, Buckets.pointsInRange(spark, sfDir, fromI, untilI),
+      Buckets.FromS, Buckets.UntilS, 60, MaxDataPoints)
+  }
+
+  val fetchMaxDatapointsSql: String = {
+    val fromI = Buckets.fetchInterval(Buckets.FromS, 60)
+    val untilI = Buckets.fetchInterval(Buckets.UntilS, 60)
+    val n = ((untilI - fromI) / 60).toInt
+    val factor = math.max(1, (n + MaxDataPoints - 1) / MaxDataPoints)
+    val stepS = 60L * factor
+    val groups = (n + factor - 1) / factor
+    s"""WITH ${Buckets.pointsSql},
+       |mets AS (
+       |  SELECT DISTINCT metric FROM pts
+       |  WHERE ts_s >= $fromI AND ts_s < $untilI),
+       |agg AS (
+       |  SELECT metric, (ts_s // 60) * 60 AS b, round(avg(value), 6) AS v
+       |  FROM pts
+       |  WHERE ts_s >= $fromI AND ts_s < $untilI
+       |  GROUP BY 1, 2),
+       |cons AS (
+       |  SELECT metric, $fromI + ((b - $fromI) // $stepS) * $stepS AS bucket_ts,
+       |         round(avg(v), 6) AS value
+       |  FROM agg GROUP BY 1, 2),
+       |spine AS (
+       |  SELECT m.metric, r.bucket_ts FROM mets m,
+       |    (SELECT CAST(range AS BIGINT) AS bucket_ts
+       |     FROM range($fromI, ${fromI + groups * stepS}, $stepS)) r)
+       |SELECT s.metric, s.bucket_ts, c.value
+       |FROM spine s LEFT JOIN cons c USING (metric, bucket_ts)
+       |ORDER BY s.metric, s.bucket_ts""".stripMargin
+  }
 }

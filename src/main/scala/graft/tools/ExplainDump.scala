@@ -114,6 +114,18 @@ object ExplainDump {
       ("Batched multi-metric fetch: the (metrics × buckets) spine " +
         "broadcasts against one per-(metric, bucket) aggregate — one " +
         "scan serves every metric's dense series."),
+    "fetch_summarize" ->
+      ("Graphite summarize(10min, sum): the coarse re-aggregate runs on " +
+        "the SPARSE per-minute aggregate (null-skipping sum makes the " +
+        "dense 60 s spine unnecessary) — the second exchange's input is " +
+        "already reduced to ≤ range/spp × metrics rows, and density is " +
+        "restored once at interval granularity via the broadcast spine."),
+    "fetch_maxdatapoints" ->
+      ("Render consolidation under a point budget: same sparse-first " +
+        "shape as fetch_summarize with origin-aligned (from + " +
+        "floor((b-from)/step')·step') group arithmetic folded into the " +
+        "aggregate key — no Window, no per-series collect; the output " +
+        "spine (96 × metrics) broadcasts."),
     "wsp_roundtrip" ->
       ("The .wsp DataSource V2 scan: `BatchScan wsp` with the pushed " +
         "metric/ts bounds in the scan description — metric predicates " +

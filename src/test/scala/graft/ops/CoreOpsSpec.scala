@@ -214,4 +214,57 @@ class CoreOpsSpec extends AnyFunSuite {
     assert(m("rate(+)", "rate(+)") && !m("rate(+)", "rate("))
     assert(m("a|b", "a|b") && !m("a|b", "a"))
   }
+
+  test("summarizeSeries: epoch-aligned buckets, null-skipping sum, partial edges") {
+    // window [0, 1200): fetch minutes 60..1200; interval 600 → epoch
+    // buckets 0 (minutes 60..540 — PARTIAL: excludes the from-bucket 0),
+    // 600 (minutes 600..1140) and 1200 (minute 1200 only).
+    val df = Fetch.summarizeSeries(spark,
+      pts(("m", 65L, 1.0), ("m", 130L, 3.0), ("m", 650L, 10.0), ("m", 1205L, 7.0)),
+      0L, 1200L, 60, 600)
+    val rows = df.collect()
+    assert(rows.map(_.getLong(1)).toSeq == Seq(0L, 600L, 1200L))
+    // bucket 0 sums the minute-averages 1.0 (ts 65) + 3.0 (ts 130)
+    assert(rows(0).getDouble(2) == 4.0)
+    assert(rows(1).getDouble(2) == 10.0)
+    assert(rows(2).getDouble(2) == 7.0)
+    // a metric with no points in a coarse bucket gets NULL, not 0
+    val gap = Fetch.summarizeSeries(spark, pts(("m", 65L, 1.0), ("m", 1205L, 7.0)),
+      0L, 1200L, 60, 600).collect()
+    assert(gap(1).isNullAt(2))
+  }
+
+  test("summarizeSeries sums the fetched averages, not the raw points") {
+    // two raw points in ONE minute average to 2.0 first; summarize(sum)
+    // must add 2.0 — graphite operates on the fetched series
+    val df = Fetch.summarizeSeries(spark, pts(("m", 65L, 1.0), ("m", 70L, 3.0)),
+      0L, 600L, 60, 600).collect()
+    // aligned until=600 includes minute 600 → an empty trailing bucket
+    assert(df.map(_.getLong(1)).toSeq == Seq(0L, 600L))
+    assert(df(0).getDouble(2) == 2.0)
+    assert(df(1).isNullAt(2))
+  }
+
+  test("consolidateSeries: origin-aligned groups, factor from maxDataPoints") {
+    // 10 minutes at 60 s = 10 points, budget 4 → factor 3, groups 4 of
+    // step 180 starting at fromI=60 (NOT epoch-aligned: 60, 240, 420, 600)
+    val df = Fetch.consolidateSeries(spark,
+      pts(("m", 65L, 1.0), ("m", 130L, 3.0), ("m", 250L, 8.0), ("m", 600L, 5.0)),
+      0L, 600L, 60, 4)
+    val rows = df.collect()
+    assert(rows.map(_.getLong(1)).toSeq == Seq(60L, 240L, 420L, 600L))
+    assert(rows(0).getDouble(2) == 2.0) // avg(1.0, 3.0) — null minute skipped
+    assert(rows(1).getDouble(2) == 8.0)
+    assert(rows(2).isNullAt(2)) // all-null group stays NULL
+    assert(rows(3).getDouble(2) == 5.0) // partial tail group kept
+  }
+
+  test("consolidateSeries under budget is the identity on the dense fetch") {
+    val p = pts(("m", 65L, 1.0), ("m", 250L, 8.0))
+    val cons = Fetch.consolidateSeries(spark, p, 0L, 600L, 60, 100)
+      .collect().map(r => (r.getLong(1), if (r.isNullAt(2)) None else Some(r.getDouble(2))))
+    val dense = Fetch.denseSeries(spark, p, "m", 0L, 600L, 60)
+      .collect().map(r => (r.getLong(0), if (r.isNullAt(1)) None else Some(r.getDouble(1))))
+    assert(cons.toSeq == dense.toSeq)
+  }
 }

@@ -326,6 +326,8 @@ object CoreQueries {
     "fetch_glob" -> ((s, d) => Fetch.fetchGlob(s, d)),
     "fetch_summarize" -> ((s, d) => Fetch.fetchSummarize(s, d)),
     "fetch_maxdatapoints" -> ((s, d) => Fetch.fetchMaxDatapoints(s, d)),
+    "fetch_sum_series" -> ((s, d) => Fetch.fetchSumSeries(s, d)),
+    "fetch_per_second" -> ((s, d) => Fetch.fetchPerSecond(s, d)),
     "agg_avg" -> aggQuery(AggregationMethod.Average) _,
     "agg_sum" -> aggQuery(AggregationMethod.Sum) _,
     "agg_last" -> aggQuery(AggregationMethod.Last) _,
@@ -357,6 +359,8 @@ object CoreQueries {
     "fetch_glob" -> Fetch.fetchGlobSql,
     "fetch_summarize" -> Fetch.fetchSummarizeSql,
     "fetch_maxdatapoints" -> Fetch.fetchMaxDatapointsSql,
+    "fetch_sum_series" -> Fetch.fetchSumSeriesSql,
+    "fetch_per_second" -> Fetch.fetchPerSecondSql,
     "agg_avg" -> aggFamilySql(AggregationMethod.Average),
     "agg_sum" -> aggFamilySql(AggregationMethod.Sum),
     "agg_last" -> aggFamilySql(AggregationMethod.Last),

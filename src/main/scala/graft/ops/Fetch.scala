@@ -323,6 +323,74 @@ object Fetch {
       .orderBy("metric", "bucket_ts")
   }
 
+  /** Graphite `sumSeries(seriesList)` (render/functions.py
+    * `sumSeries` / `aggregate('sum')`): collapse the multi-metric fetch
+    * into ONE series — per bucket, the null-skipping sum of every
+    * member's fetched value; a bucket where every member is None stays
+    * None. Runs sparse like [[summarizeSeries]]: sum the per-(metric,
+    * bucket) averages grouped by bucket alone, then restore density
+    * against the bucket spine — the cross-series combine never needs
+    * the member series materialized dense.
+    */
+  def sumSeries(
+      spark: SparkSession,
+      pts: DataFrame,
+      fromS: Long,
+      untilS: Long,
+      spp: Int): DataFrame = {
+    val fromI = Buckets.fetchInterval(fromS, spp)
+    val untilI = Buckets.fetchInterval(untilS, spp)
+    val agg60 = pts.filter(col("ts_s") >= fromI && col("ts_s") < untilI)
+      .groupBy(col("metric"), Buckets.alignTs(col("ts_s"), spp).as("bucket_ts"))
+      .agg(round(avg(col("value")), 6).as("v"))
+    val summed = agg60.groupBy(col("bucket_ts"))
+      .agg(round(sum(col("v")), 6).as("value"))
+    spark.range(fromI, untilI, spp.toLong).toDF("bucket_ts")
+      .join(summed, Seq("bucket_ts"), "left")
+      .select(col("bucket_ts"), col("value"))
+      .orderBy("bucket_ts")
+  }
+
+  /** Graphite `perSecond(seriesList)` (render/functions.py): the
+    * counter-to-rate transform — per metric, `(v[t] − v[t−step]) / step`
+    * over the DENSE fetched series, None when either endpoint is None
+    * or the delta is negative (counter reset — graphite emits None, not
+    * a bogus negative rate). The first bucket has no predecessor →
+    * None. Works on the dense series because the predecessor is the
+    * previous BUCKET, not the previous stored point — a gap breaks the
+    * rate pair exactly as graphite's None-propagation does.
+    *
+    * Scale notes: the window partitions BY METRIC over request-bounded
+    * rows (buckets/metric), so no global single-partition window; the
+    * heavy reduction to per-bucket averages happens before it.
+    */
+  def perSecondSeries(
+      spark: SparkSession,
+      pts: DataFrame,
+      fromS: Long,
+      untilS: Long,
+      spp: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val fromI = Buckets.fetchInterval(fromS, spp)
+    val untilI = Buckets.fetchInterval(untilS, spp)
+    val p = pts.filter(col("ts_s") >= fromI && col("ts_s") < untilI)
+    val metrics = p.select(col("metric")).distinct()
+    val agg60 = p
+      .groupBy(col("metric"), Buckets.alignTs(col("ts_s"), spp).as("bucket_ts"))
+      .agg(round(avg(col("value")), 6).as("v"))
+    val dense = spark.range(fromI, untilI, spp.toLong).toDF("bucket_ts")
+      .crossJoin(metrics)
+      .join(agg60, Seq("metric", "bucket_ts"), "left")
+    val w = Window.partitionBy(col("metric")).orderBy(col("bucket_ts"))
+    dense
+      .withColumn("prev", lag(col("v"), 1).over(w))
+      .withColumn("value",
+        when(col("v").isNotNull && col("prev").isNotNull && col("v") >= col("prev"),
+          round((col("v") - col("prev")) / spp, 6)))
+      .select(col("metric"), col("bucket_ts"), col("value"))
+      .orderBy("metric", "bucket_ts")
+  }
+
   /** Query key `fetch_summarize`: 10-minute sums of the per-minute
     * multi-metric fetch over the fixed window — `summarize(events.*,
     * "10min", "sum")` in graphite terms.
@@ -400,5 +468,77 @@ object Fetch {
        |SELECT s.metric, s.bucket_ts, c.value
        |FROM spine s LEFT JOIN cons c USING (metric, bucket_ts)
        |ORDER BY s.metric, s.bucket_ts""".stripMargin
+  }
+
+  /** Query key `fetch_sum_series`: `sumSeries(events.*)` — the five
+    * event metrics collapsed to one 1440-point series.
+    */
+  def fetchSumSeries(spark: SparkSession, sfDir: String): DataFrame = {
+    val fromI = Buckets.fetchInterval(Buckets.FromS, 60)
+    val untilI = Buckets.fetchInterval(Buckets.UntilS, 60)
+    sumSeries(spark, Buckets.pointsInRange(spark, sfDir, fromI, untilI),
+      Buckets.FromS, Buckets.UntilS, 60)
+  }
+
+  val fetchSumSeriesSql: String = {
+    val fromI = Buckets.fetchInterval(Buckets.FromS, 60)
+    val untilI = Buckets.fetchInterval(Buckets.UntilS, 60)
+    s"""WITH ${Buckets.pointsSql},
+       |agg AS (
+       |  SELECT metric, (ts_s // 60) * 60 AS bucket_ts,
+       |         round(avg(value), 6) AS v
+       |  FROM pts
+       |  WHERE ts_s >= $fromI AND ts_s < $untilI
+       |  GROUP BY 1, 2),
+       |summed AS (
+       |  SELECT bucket_ts, round(sum(v), 6) AS value
+       |  FROM agg GROUP BY 1),
+       |spine AS (SELECT CAST(range AS BIGINT) AS bucket_ts
+       |          FROM range($fromI, $untilI, 60))
+       |SELECT s.bucket_ts, m.value
+       |FROM spine s LEFT JOIN summed m USING (bucket_ts)
+       |ORDER BY s.bucket_ts""".stripMargin
+  }
+
+  /** Query key `fetch_per_second`: `perSecond(events.*)` — per-metric
+    * counter rates over the dense per-minute fetch (None on gaps,
+    * resets, and the leading bucket).
+    */
+  def fetchPerSecond(spark: SparkSession, sfDir: String): DataFrame = {
+    val fromI = Buckets.fetchInterval(Buckets.FromS, 60)
+    val untilI = Buckets.fetchInterval(Buckets.UntilS, 60)
+    perSecondSeries(spark, Buckets.pointsInRange(spark, sfDir, fromI, untilI),
+      Buckets.FromS, Buckets.UntilS, 60)
+  }
+
+  val fetchPerSecondSql: String = {
+    val fromI = Buckets.fetchInterval(Buckets.FromS, 60)
+    val untilI = Buckets.fetchInterval(Buckets.UntilS, 60)
+    s"""WITH ${Buckets.pointsSql},
+       |mets AS (
+       |  SELECT DISTINCT metric FROM pts
+       |  WHERE ts_s >= $fromI AND ts_s < $untilI),
+       |agg AS (
+       |  SELECT metric, (ts_s // 60) * 60 AS bucket_ts,
+       |         round(avg(value), 6) AS v
+       |  FROM pts
+       |  WHERE ts_s >= $fromI AND ts_s < $untilI
+       |  GROUP BY 1, 2),
+       |spine AS (
+       |  SELECT m.metric, r.bucket_ts FROM mets m,
+       |    (SELECT CAST(range AS BIGINT) AS bucket_ts
+       |     FROM range($fromI, $untilI, 60)) r),
+       |dense AS (
+       |  SELECT s.metric, s.bucket_ts, a.v
+       |  FROM spine s LEFT JOIN agg a USING (metric, bucket_ts)),
+       |lagged AS (
+       |  SELECT metric, bucket_ts, v,
+       |         lag(v) OVER (PARTITION BY metric ORDER BY bucket_ts) AS prev
+       |  FROM dense)
+       |SELECT metric, bucket_ts,
+       |       CASE WHEN v IS NOT NULL AND prev IS NOT NULL AND v >= prev
+       |            THEN round((v - prev) / 60, 6) END AS value
+       |FROM lagged
+       |ORDER BY metric, bucket_ts""".stripMargin
   }
 }

@@ -126,6 +126,12 @@ object ExplainDump {
         "floor((b-from)/step')·step') group arithmetic folded into the " +
         "aggregate key — no Window, no per-series collect; the output " +
         "spine (96 × metrics) broadcasts."),
+    "fetch_per_second" ->
+      ("Graphite perSecond(): the lag window partitions BY METRIC over " +
+        "the request-bounded dense series — never a global " +
+        "single-partition window — and the None-on-gap/reset CASE is " +
+        "codegen'd over the windowed frame; the heavy reduction to " +
+        "per-bucket averages happens before the window sees a row."),
     "wsp_roundtrip" ->
       ("The .wsp DataSource V2 scan: `BatchScan wsp` with the pushed " +
         "metric/ts bounds in the scan description — metric predicates " +

@@ -259,6 +259,35 @@ class CoreOpsSpec extends AnyFunSuite {
     assert(rows(3).getDouble(2) == 5.0) // partial tail group kept
   }
 
+  test("sumSeries: cross-metric null-skipping sum, all-None bucket stays NULL") {
+    // window [0, 180): buckets 60, 120. m1 covers both, m2 only 60.
+    val df = Fetch.sumSeries(spark,
+      pts(("m1", 65L, 1.0), ("m1", 125L, 4.0), ("m2", 70L, 2.0)),
+      0L, 180L, 60).collect()
+    assert(df.map(_.getLong(0)).toSeq == Seq(60L, 120L, 180L))
+    assert(df(0).getDouble(1) == 3.0) // 1.0 + 2.0, m2's gap skipped at 120
+    assert(df(1).getDouble(1) == 4.0)
+    assert(df(2).isNullAt(1)) // no member live → None, not 0
+  }
+
+  test("perSecondSeries: rate over dense buckets, None on gap/reset/lead") {
+    // m counter: 60→100, 120→160, 180 gap, 240→220 (RESET), 300→280
+    val df = Fetch.perSecondSeries(spark,
+      pts(("m", 65L, 100.0), ("m", 125L, 160.0), ("m", 245L, 220.0), ("m", 305L, 280.0)),
+      0L, 300L, 60).collect()
+    val v = df.map(r => if (r.isNullAt(2)) None else Some(r.getDouble(2)))
+    assert(df.map(_.getLong(1)).toSeq == Seq(60L, 120L, 180L, 240L, 300L))
+    assert(v(0).isEmpty)          // leading bucket: no predecessor
+    assert(v(1).contains(1.0))    // (160-100)/60
+    assert(v(2).isEmpty)          // gap bucket is None
+    assert(v(3).isEmpty)          // predecessor None (gap breaks the pair)
+    assert(v(4).contains(1.0))    // (280-220)/60
+    // counter reset: v < prev → None, not a negative rate
+    val r2 = Fetch.perSecondSeries(spark,
+      pts(("m", 65L, 500.0), ("m", 125L, 20.0)), 0L, 120L, 60).collect()
+    assert(r2(1).isNullAt(2))
+  }
+
   test("consolidateSeries under budget is the identity on the dense fetch") {
     val p = pts(("m", 65L, 1.0), ("m", 250L, 8.0))
     val cons = Fetch.consolidateSeries(spark, p, 0L, 600L, 60, 100)

@@ -44,6 +44,31 @@ class PlanSpec extends AnyFunSuite {
       s"expected a broadcast join for the bounded spine:\n$p")
   }
 
+  test("render consolidation re-aggregates sparse — no window, no 60s dense pass") {
+    // summarize and maxDataPoints both re-bucket the SPARSE per-minute
+    // aggregate; only the output-granularity spine joins back. A Window
+    // (or a dense-60s intermediate) would mean the sparse-first shape
+    // regressed.
+    for (q <- Seq(Fetch.fetchSummarize(spark, dir),
+                  Fetch.fetchMaxDatapoints(spark, dir),
+                  Fetch.fetchSumSeries(spark, dir))) {
+      val p = plan(q)
+      assert(!p.contains("Window"), s"unexpected window operator:\n$p")
+      assert(p.contains("partial_"), s"expected map-side partial aggregation:\n$p")
+      assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"),
+        s"expected a broadcast spine join:\n$p")
+    }
+  }
+
+  test("fetch_per_second windows by metric, never a global single partition") {
+    val p = plan(Fetch.fetchPerSecond(spark, dir))
+    assert(p.contains("Window"), s"expected the lag window:\n$p")
+    // the window's partition spec must include the metric column —
+    // an empty PARTITION BY would serialize the whole series range
+    assert(p.contains("windowspecdefinition(metric#"),
+      s"lag window not partitioned by metric:\n$p")
+  }
+
   test("LWW dedup and rollups aggregate with map-side combine, no window") {
     // max_by over a struct ordering key plans as SortAggregate (struct
     // buffers aren't hash-aggregable) — that's fine: what matters at

@@ -92,4 +92,45 @@ class SparkPropsSpec extends AnyFunSuite {
       Rollup.propagate(lww, 60, 600, AggregationMethod.Average, x).count())
     assert(counts.zip(counts.tail).forall { case (a, b) => a >= b })
   }
+
+  test("property: summarize conserves the fetched series' total sum") {
+    // graphite summarize(sum) only re-buckets the fetched values — the
+    // null-skipping totals must agree for ANY window/interval alignment
+    import org.apache.spark.sql.functions.sum
+    val rng = new Random(57)
+    for (_ <- 1 to 3) {
+      val pts = randomPts(rng, 300)
+      val from = rng.between(0L, 30000L)
+      val until = from + rng.between(600L, 40000L)
+      val iv = Seq(300, 600, 1800)(rng.nextInt(3))
+      def tot(df: org.apache.spark.sql.DataFrame, c: String): Double =
+        Option(df.agg(sum(c)).collect().head.get(0)).fold(0.0)(_.asInstanceOf[Double])
+      val coarse = Fetch.summarizeSeries(spark, pts, from, until, 60, iv)
+      val dense = Fetch.sumSeries(spark, pts, from, until, 60)
+      // tolerance: each output bucket's round(…, 6) contributes ≤5e-7
+      assert(math.abs(tot(coarse, "value") - tot(dense, "value")) < 1e-3)
+    }
+  }
+
+  test("property: consolidate row count is metrics × ceil(n/factor), totals conserved for avg-free sums") {
+    val rng = new Random(73)
+    for (_ <- 1 to 3) {
+      val pts = randomPts(rng, 250)
+      val from = rng.between(0L, 30000L)
+      val until = from + rng.between(600L, 30000L)
+      val budget = Seq(7, 50, 1000)(rng.nextInt(3))
+      val fromI = Buckets.fetchInterval(from, 60)
+      val untilI = Buckets.fetchInterval(until, 60)
+      val n = ((untilI - fromI) / 60).toInt
+      val factor = math.max(1, (n + budget - 1) / budget)
+      val groups = (n + factor - 1) / factor
+      val df = Fetch.consolidateSeries(spark, pts, from, until, 60, budget)
+      val mets = df.select("metric").distinct().count()
+      assert(df.count() == mets * groups)
+      // every output bucket lands on the origin-aligned step' grid
+      val offGrid = df.filter(
+        org.apache.spark.sql.functions.expr(s"(bucket_ts - $fromI) % ${60L * factor} != 0"))
+      assert(offGrid.count() == 0)
+    }
+  }
 }

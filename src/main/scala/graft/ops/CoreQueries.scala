@@ -328,6 +328,7 @@ object CoreQueries {
     "fetch_maxdatapoints" -> ((s, d) => Fetch.fetchMaxDatapoints(s, d)),
     "fetch_sum_series" -> ((s, d) => Fetch.fetchSumSeries(s, d)),
     "fetch_per_second" -> ((s, d) => Fetch.fetchPerSecond(s, d)),
+    "fetch_moving_avg" -> ((s, d) => Fetch.fetchMovingAvg(s, d)),
     "agg_avg" -> aggQuery(AggregationMethod.Average) _,
     "agg_sum" -> aggQuery(AggregationMethod.Sum) _,
     "agg_last" -> aggQuery(AggregationMethod.Last) _,
@@ -361,6 +362,7 @@ object CoreQueries {
     "fetch_maxdatapoints" -> Fetch.fetchMaxDatapointsSql,
     "fetch_sum_series" -> Fetch.fetchSumSeriesSql,
     "fetch_per_second" -> Fetch.fetchPerSecondSql,
+    "fetch_moving_avg" -> Fetch.fetchMovingAvgSql,
     "agg_avg" -> aggFamilySql(AggregationMethod.Average),
     "agg_sum" -> aggFamilySql(AggregationMethod.Sum),
     "agg_last" -> aggFamilySql(AggregationMethod.Last),

@@ -391,6 +391,48 @@ object Fetch {
       .orderBy("metric", "bucket_ts")
   }
 
+  /** Graphite `movingAverage(seriesList, N)` (render/functions.py):
+    * per metric, the average of the trailing N fetched values ending at
+    * each bucket. Graphite pre-fetches N×step of EXTRA HISTORY so the
+    * first requested bucket already has a full trailing window — the
+    * dense series is built over `[from − N·spp, until]` and the output
+    * trimmed back to the requested range. The window average skips
+    * None members (graphite's safeAvg); an all-None window yields None.
+    *
+    * Scale notes: one bounded lag-window per metric (rows-between
+    * frame), exactly [[perSecondSeries]]'s partitioning — the extra
+    * history widens the request-bounded spine by N buckets, nothing
+    * else.
+    */
+  def movingAverageSeries(
+      spark: SparkSession,
+      pts: DataFrame,
+      fromS: Long,
+      untilS: Long,
+      spp: Int,
+      window: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(window > 0, "moving-average window must be positive")
+    val fromI = Buckets.fetchInterval(fromS, spp)
+    val untilI = Buckets.fetchInterval(untilS, spp)
+    val extFromI = fromI - window.toLong * spp
+    val p = pts.filter(col("ts_s") >= extFromI && col("ts_s") < untilI)
+    val metrics = p.select(col("metric")).distinct()
+    val agg60 = p
+      .groupBy(col("metric"), Buckets.alignTs(col("ts_s"), spp).as("bucket_ts"))
+      .agg(round(avg(col("value")), 6).as("v"))
+    val dense = spark.range(extFromI, untilI, spp.toLong).toDF("bucket_ts")
+      .crossJoin(metrics)
+      .join(agg60, Seq("metric", "bucket_ts"), "left")
+    val w = Window.partitionBy(col("metric")).orderBy(col("bucket_ts"))
+      .rowsBetween(-(window - 1), Window.currentRow)
+    dense
+      .withColumn("value", round(avg(col("v")).over(w), 6))
+      .filter(col("bucket_ts") >= fromI)
+      .select(col("metric"), col("bucket_ts"), col("value"))
+      .orderBy("metric", "bucket_ts")
+  }
+
   /** Query key `fetch_summarize`: 10-minute sums of the per-minute
     * multi-metric fetch over the fixed window — `summarize(events.*,
     * "10min", "sum")` in graphite terms.
@@ -539,6 +581,54 @@ object Fetch {
        |       CASE WHEN v IS NOT NULL AND prev IS NOT NULL AND v >= prev
        |            THEN round((v - prev) / 60, 6) END AS value
        |FROM lagged
+       |ORDER BY metric, bucket_ts""".stripMargin
+  }
+
+  /** Trailing window length (buckets) for `fetch_moving_avg`. */
+  val MovingAvgWindow = 10
+
+  /** Query key `fetch_moving_avg`: `movingAverage(events.*, 10)` — the
+    * 10-minute trailing smooth of every metric's fetched series, with
+    * graphite's extra-history pre-fetch so bucket one is already
+    * full-windowed.
+    */
+  def fetchMovingAvg(spark: SparkSession, sfDir: String): DataFrame = {
+    val fromI = Buckets.fetchInterval(Buckets.FromS, 60)
+    val untilI = Buckets.fetchInterval(Buckets.UntilS, 60)
+    val extFromI = fromI - MovingAvgWindow.toLong * 60
+    movingAverageSeries(spark,
+      Buckets.pointsInRange(spark, sfDir, extFromI, untilI),
+      Buckets.FromS, Buckets.UntilS, 60, MovingAvgWindow)
+  }
+
+  val fetchMovingAvgSql: String = {
+    val fromI = Buckets.fetchInterval(Buckets.FromS, 60)
+    val untilI = Buckets.fetchInterval(Buckets.UntilS, 60)
+    val extFromI = fromI - MovingAvgWindow.toLong * 60
+    s"""WITH ${Buckets.pointsSql},
+       |mets AS (
+       |  SELECT DISTINCT metric FROM pts
+       |  WHERE ts_s >= $extFromI AND ts_s < $untilI),
+       |agg AS (
+       |  SELECT metric, (ts_s // 60) * 60 AS bucket_ts,
+       |         round(avg(value), 6) AS v
+       |  FROM pts
+       |  WHERE ts_s >= $extFromI AND ts_s < $untilI
+       |  GROUP BY 1, 2),
+       |spine AS (
+       |  SELECT m.metric, r.bucket_ts FROM mets m,
+       |    (SELECT CAST(range AS BIGINT) AS bucket_ts
+       |     FROM range($extFromI, $untilI, 60)) r),
+       |dense AS (
+       |  SELECT s.metric, s.bucket_ts, a.v
+       |  FROM spine s LEFT JOIN agg a USING (metric, bucket_ts)),
+       |smoothed AS (
+       |  SELECT metric, bucket_ts,
+       |         round(avg(v) OVER (PARTITION BY metric ORDER BY bucket_ts
+       |           ROWS BETWEEN ${MovingAvgWindow - 1} PRECEDING AND CURRENT ROW), 6) AS value
+       |  FROM dense)
+       |SELECT metric, bucket_ts, value FROM smoothed
+       |WHERE bucket_ts >= $fromI
        |ORDER BY metric, bucket_ts""".stripMargin
   }
 }

@@ -288,6 +288,25 @@ class CoreOpsSpec extends AnyFunSuite {
     assert(r2(1).isNullAt(2))
   }
 
+  test("movingAverageSeries: trailing window spans the pre-fetched history") {
+    // window 2, range [120, 240): output buckets 180, 240. The point at
+    // ts 125 (bucket 120) is OUTSIDE the requested range but inside the
+    // trailing window of bucket 180 — graphite's extra-history fetch.
+    val df = Fetch.movingAverageSeries(spark,
+      pts(("m", 125L, 6.0), ("m", 185L, 2.0), ("m", 245L, 10.0)),
+      120L, 240L, 60, 2).collect()
+    assert(df.map(_.getLong(1)).toSeq == Seq(180L, 240L))
+    assert(df(0).getDouble(2) == 4.0) // avg(6.0@120, 2.0@180)
+    assert(df(1).getDouble(2) == 6.0) // avg(2.0@180, 10.0@240)
+    // None members are skipped, not zero-filled; all-None window → None
+    // buckets 120, 180, 240: the 8.0@60 history point feeds bucket 120's
+    // window only; later all-None windows stay None
+    val g = Fetch.movingAverageSeries(spark,
+      pts(("m", 65L, 8.0)), 60L, 240L, 60, 2).collect()
+    assert(g.map(r => if (r.isNullAt(2)) None else Some(r.getDouble(2))).toSeq ==
+      Seq(Some(8.0), None, None))
+  }
+
   test("consolidateSeries under budget is the identity on the dense fetch") {
     val p = pts(("m", 65L, 1.0), ("m", 250L, 8.0))
     val cons = Fetch.consolidateSeries(spark, p, 0L, 600L, 60, 100)

@@ -60,13 +60,16 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
-  test("fetch_per_second windows by metric, never a global single partition") {
-    val p = plan(Fetch.fetchPerSecond(spark, dir))
-    assert(p.contains("Window"), s"expected the lag window:\n$p")
-    // the window's partition spec must include the metric column —
-    // an empty PARTITION BY would serialize the whole series range
-    assert(p.contains("windowspecdefinition(metric#"),
-      s"lag window not partitioned by metric:\n$p")
+  test("fetch_per_second / moving_avg window by metric, never a global partition") {
+    for (q <- Seq(Fetch.fetchPerSecond(spark, dir),
+                  Fetch.fetchMovingAvg(spark, dir))) {
+      val p = plan(q)
+      assert(p.contains("Window"), s"expected the series window:\n$p")
+      // the window's partition spec must include the metric column —
+      // an empty PARTITION BY would serialize the whole series range
+      assert(p.contains("windowspecdefinition(metric#"),
+        s"series window not partitioned by metric:\n$p")
+    }
   }
 
   test("LWW dedup and rollups aggregate with map-side combine, no window") {

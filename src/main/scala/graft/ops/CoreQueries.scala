@@ -329,6 +329,8 @@ object CoreQueries {
     "fetch_sum_series" -> ((s, d) => Fetch.fetchSumSeries(s, d)),
     "fetch_per_second" -> ((s, d) => Fetch.fetchPerSecond(s, d)),
     "fetch_moving_avg" -> ((s, d) => Fetch.fetchMovingAvg(s, d)),
+    "render_target" -> ((s, d) => RenderTarget.renderTarget(s, d)),
+    "render_target_smooth" -> ((s, d) => RenderTarget.renderTargetSmooth(s, d)),
     "agg_avg" -> aggQuery(AggregationMethod.Average) _,
     "agg_sum" -> aggQuery(AggregationMethod.Sum) _,
     "agg_last" -> aggQuery(AggregationMethod.Last) _,
@@ -363,6 +365,8 @@ object CoreQueries {
     "fetch_sum_series" -> Fetch.fetchSumSeriesSql,
     "fetch_per_second" -> Fetch.fetchPerSecondSql,
     "fetch_moving_avg" -> Fetch.fetchMovingAvgSql,
+    "render_target" -> RenderTarget.renderTargetSql,
+    "render_target_smooth" -> RenderTarget.renderTargetSmoothSql,
     "agg_avg" -> aggFamilySql(AggregationMethod.Average),
     "agg_sum" -> aggFamilySql(AggregationMethod.Sum),
     "agg_last" -> aggFamilySql(AggregationMethod.Last),

@@ -1,0 +1,324 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Graphite render-target expressions — the `?target=` surface of the
+  * public render API (graphite-web render/evaluator.py +
+  * render/grammar.py, reconstructed from public docs): a target string
+  * composes series functions around a metric glob, e.g.
+  * `summarize(perSecond(servers.*.req), '10min', 'sum')`. A graphite
+  * user's dashboard queries run verbatim against the parquet store.
+  *
+  * Supported grammar (the subset whose members are implemented in
+  * [[Fetch]]):
+  *
+  * {{{
+  *   target   := func '(' target (',' literal)* ')' | glob
+  *   func     := perSecond | movingAverage | sumSeries | summarize
+  *   literal  := 'quoted' | "quoted" | integer
+  *   glob     := graphite metric pattern ({a,b}, *, ?, [...])
+  * }}}
+  *
+  * Evaluation follows graphite's two semantic rules exactly:
+  *  - **History pre-fetch**: `movingAverage(_, N)` needs N·step of
+  *    history before `from` — the requirement propagates to the leaf
+  *    fetch ([[historyExtS]]), every stage computes over the extended
+  *    range, and the final result is trimmed back to the request.
+  *  - **Step tracking**: `summarize` coarsens the series step; stages
+  *    above it (a rate's divisor, a window's row count) see the new
+  *    step, exactly as graphite's TimeSeries carries `step`.
+  *
+  * Scale: every stage is the corresponding [[Fetch]] plan shape — the
+  * leaf is one glob-pruned scan + broadcast-spine dense join (density
+  * then propagates through group-bys for free, no further spine joins),
+  * windows partition by metric, and all cardinalities are bounded by
+  * the request range, never data volume.
+  */
+object RenderTarget {
+
+  sealed trait Expr
+  final case class Leaf(glob: String) extends Expr
+  final case class Call(name: String, child: Expr, args: Seq[String]) extends Expr
+
+  private val Funcs = Set("perSecond", "movingAverage", "sumSeries", "summarize")
+
+  /** Parse a target string. Globs may contain commas only inside
+    * braces (graphite's own constraint), so argument splitting tracks
+    * brace/paren depth.
+    */
+  def parse(s: String): Expr = {
+    val (e, rest) = parseExpr(s.trim)
+    require(rest.trim.isEmpty, s"trailing input after target: '$rest'")
+    e
+  }
+
+  private def parseExpr(s: String): (Expr, String) = {
+    val t = s.trim
+    val ident = t.takeWhile(c => c.isLetterOrDigit || c == '_')
+    if (Funcs.contains(ident) && t.drop(ident.length).trim.startsWith("(")) {
+      val afterParen = t.drop(ident.length).trim.drop(1)
+      val (child, r1) = parseExpr(afterParen)
+      var rest = r1.trim
+      val args = Seq.newBuilder[String]
+      while (rest.startsWith(",")) {
+        val (arg, r2) = parseLiteral(rest.drop(1).trim)
+        args += arg
+        rest = r2.trim
+      }
+      require(rest.startsWith(")"), s"expected ')' in target at: '$rest'")
+      (Call(ident, child, args.result()), rest.drop(1))
+    } else {
+      // leaf glob: consume until a top-level ',' or ')' (braces nest)
+      var depth = 0
+      val g = t.takeWhile {
+        case '{' | '[' => depth += 1; true
+        case '}' | ']' => depth -= 1; true
+        case ',' | ')' if depth == 0 => false
+        case _ => true
+      }
+      require(g.nonEmpty, s"empty metric glob in target at: '$t'")
+      (Leaf(g.trim), t.drop(g.length))
+    }
+  }
+
+  private def parseLiteral(s: String): (String, String) = s.headOption match {
+    case Some(q @ ('\'' | '"')) =>
+      val body = s.drop(1).takeWhile(_ != q)
+      require(s.length > body.length + 1, s"unterminated string in target: '$s'")
+      (body, s.drop(body.length + 2))
+    case _ =>
+      val tok = s.takeWhile(c => c.isLetterOrDigit)
+      require(tok.nonEmpty, s"expected literal in target at: '$s'")
+      (tok, s.drop(tok.length))
+  }
+
+  /** Graphite time-offset string → seconds: number + unit word
+    * (render docs: s/sec, min, h/hour, d/day, w/week; bare number =
+    * seconds). `min` is minutes — graphite reserves `mon` for months,
+    * which whisper-range queries don't need.
+    */
+  def durationS(s: String): Long = {
+    val t = s.trim.toLowerCase
+    val digits = t.takeWhile(_.isDigit)
+    require(digits.nonEmpty, s"invalid duration '$s'")
+    val n = digits.toLong
+    val mult = t.drop(digits.length) match {
+      case "" | "s" | "sec" | "secs" | "second" | "seconds" => 1L
+      case "min" | "mins" | "minute" | "minutes" => 60L
+      case "h" | "hour" | "hours" => 3600L
+      case "d" | "day" | "days" => 86400L
+      case "w" | "week" | "weeks" => 604800L
+      case u => throw new IllegalArgumentException(s"unknown duration unit '$u' in '$s'")
+    }
+    n * mult
+  }
+
+  /** Seconds of history below `from` the expression needs fetched. */
+  def historyExtS(e: Expr, spp: Int): Long = e match {
+    case Leaf(_) => 0L
+    case Call("movingAverage", c, args) =>
+      historyExtS(c, spp) + args.head.toLong * stepS(c, spp)
+    case Call(_, c, _) => historyExtS(c, spp)
+  }
+
+  /** Output step of the expression (summarize coarsens it). */
+  def stepS(e: Expr, spp: Int): Long = e match {
+    case Leaf(_) => spp.toLong
+    case Call("summarize", c, args) =>
+      val iv = durationS(args.head)
+      require(iv % stepS(c, spp) == 0,
+        s"summarize interval ${args.head} must be a multiple of the series step")
+      iv
+    case Call(_, c, _) => stepS(c, spp)
+  }
+
+  private def summarizeAgg(func: String, c: Column): Column = func match {
+    case "sum" => sum(c)
+    case "avg" | "average" => avg(c)
+    case "max" => max(c)
+    case "min" => min(c)
+    case f => throw new IllegalArgumentException(s"unknown summarize func '$f'")
+  }
+
+  /** Evaluate a target over the points table for `[from, until]` at the
+    * base resolution `spp`. Output: `(metric, bucket_ts, value)` ordered,
+    * trimmed to the coarse bucket containing `from` per the final step.
+    */
+  def evaluate(
+      spark: SparkSession,
+      pts: DataFrame,
+      target: String,
+      fromS: Long,
+      untilS: Long,
+      spp: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val expr0 = parse(target)
+    val fromI = Buckets.fetchInterval(fromS, spp)
+    val untilI = Buckets.fetchInterval(untilS, spp)
+    val extFromI = fromI - historyExtS(expr0, spp)
+
+    // (dense series frame, step): every bucket of the node's grid has a
+    // row; gaps are NULL values — graphite's None
+    def eval(e: Expr): (DataFrame, Long) = e match {
+      case Leaf(glob) =>
+        val rx = Fetch.globToRegex(glob)
+        val p = pts.filter(col("ts_s") >= extFromI && col("ts_s") < untilI &&
+          col("metric").rlike(rx))
+        val metrics = p.select(col("metric")).distinct()
+        val agg = p
+          .groupBy(col("metric"), Buckets.alignTs(col("ts_s"), spp).as("bucket_ts"))
+          .agg(round(avg(col("value")), 6).as("value"))
+        val dense = spark.range(extFromI, untilI, spp.toLong).toDF("bucket_ts")
+          .crossJoin(metrics)
+          .join(agg, Seq("metric", "bucket_ts"), "left")
+          .select(col("metric"), col("bucket_ts"), col("value"))
+        (dense, spp.toLong)
+      case Call("perSecond", c, _) =>
+        val (df, step) = eval(c)
+        val w = Window.partitionBy(col("metric")).orderBy(col("bucket_ts"))
+        (df.withColumn("prev", lag(col("value"), 1).over(w))
+          .withColumn("value",
+            when(col("value").isNotNull && col("prev").isNotNull &&
+              col("value") >= col("prev"),
+              round((col("value") - col("prev")) / step, 6)))
+          .select(col("metric"), col("bucket_ts"), col("value")), step)
+      case Call("movingAverage", c, args) =>
+        val n = args.head.toInt
+        require(n > 0, "movingAverage window must be positive")
+        val (df, step) = eval(c)
+        val w = Window.partitionBy(col("metric")).orderBy(col("bucket_ts"))
+          .rowsBetween(-(n - 1), Window.currentRow)
+        (df.withColumn("value", round(avg(col("value")).over(w), 6)), step)
+      case Call("sumSeries", c, _) =>
+        val (df, step) = eval(c)
+        // one synthetic series; bucket grid survives the group-by
+        // because the child frame is dense
+        (df.groupBy(col("bucket_ts"))
+          .agg(round(sum(col("value")), 6).as("value"))
+          .select(lit("sumSeries").as("metric"), col("bucket_ts"), col("value")), step)
+      case Call("summarize", c, args) =>
+        val iv = durationS(args.head)
+        val func = args.lift(1).getOrElse("sum")
+        val (df, step) = eval(c)
+        require(iv % step == 0 && iv >= step,
+          s"summarize interval ${args.head} must be a multiple of the series step")
+        (df.groupBy(col("metric"),
+            (floor(col("bucket_ts") / iv) * iv).cast("long").as("bucket_ts"))
+          .agg(round(summarizeAgg(func, col("value")), 6).as("value")), iv)
+      case Call(f, _, _) =>
+        throw new IllegalArgumentException(s"unsupported render function '$f'")
+    }
+
+    val (out, finalStep) = eval(expr0)
+    // keep the (possibly partial) final-step bucket containing `from`
+    val lo = Math.floorDiv(fromI, finalStep) * finalStep
+    out.filter(col("bucket_ts") >= lo)
+      .orderBy("metric", "bucket_ts")
+  }
+
+  // ------------------------------------------------------- fixture keys
+
+  /** `render_target`: a composed dashboard target — event rates
+    * re-bucketed to 10-minute totals, over the glob-matched metrics.
+    */
+  val TargetExpr1 =
+    s"summarize(perSecond(${Fetch.GlobPattern}), '10min', 'sum')"
+
+  /** `render_target_smooth`: cross-series combine then a trailing
+    * smooth — exercises the history pre-fetch propagating to the leaf.
+    */
+  val TargetExpr2 =
+    s"movingAverage(sumSeries(${Fetch.GlobPattern}), 10)"
+
+  def renderTarget(spark: SparkSession, sfDir: String): DataFrame = {
+    val fromI = Buckets.fetchInterval(Buckets.FromS, 60)
+    val untilI = Buckets.fetchInterval(Buckets.UntilS, 60)
+    evaluate(spark, Buckets.pointsInRange(spark, sfDir, fromI, untilI),
+      TargetExpr1, Buckets.FromS, Buckets.UntilS, 60)
+  }
+
+  def renderTargetSmooth(spark: SparkSession, sfDir: String): DataFrame = {
+    val fromI = Buckets.fetchInterval(Buckets.FromS, 60)
+    val untilI = Buckets.fetchInterval(Buckets.UntilS, 60)
+    val extFromI = fromI - 600L // movingAverage(10) × 60 s leaf step
+    evaluate(spark, Buckets.pointsInRange(spark, sfDir, extFromI, untilI),
+      TargetExpr2, Buckets.FromS, Buckets.UntilS, 60)
+  }
+
+  val renderTargetSql: String = {
+    val fromI = Buckets.fetchInterval(Buckets.FromS, 60)
+    val untilI = Buckets.fetchInterval(Buckets.UntilS, 60)
+    val rx = Fetch.globToRegex(Fetch.GlobPattern)
+    val lo = Math.floorDiv(fromI, 600L) * 600
+    s"""WITH ${Buckets.pointsSql},
+       |mets AS (
+       |  SELECT DISTINCT metric FROM pts
+       |  WHERE ts_s >= $fromI AND ts_s < $untilI
+       |    AND regexp_matches(metric, '$rx')),
+       |agg AS (
+       |  SELECT metric, (ts_s // 60) * 60 AS bucket_ts,
+       |         round(avg(value), 6) AS v
+       |  FROM pts
+       |  WHERE ts_s >= $fromI AND ts_s < $untilI
+       |    AND regexp_matches(metric, '$rx')
+       |  GROUP BY 1, 2),
+       |spine AS (
+       |  SELECT m.metric, r.bucket_ts FROM mets m,
+       |    (SELECT CAST(range AS BIGINT) AS bucket_ts
+       |     FROM range($fromI, $untilI, 60)) r),
+       |dense AS (
+       |  SELECT s.metric, s.bucket_ts, a.v
+       |  FROM spine s LEFT JOIN agg a USING (metric, bucket_ts)),
+       |rate AS (
+       |  SELECT metric, bucket_ts,
+       |         CASE WHEN v IS NOT NULL AND prev IS NOT NULL AND v >= prev
+       |              THEN round((v - prev) / 60, 6) END AS value
+       |  FROM (SELECT metric, bucket_ts, v,
+       |               lag(v) OVER (PARTITION BY metric ORDER BY bucket_ts) AS prev
+       |        FROM dense))
+       |SELECT metric, (bucket_ts // 600) * 600 AS bucket_ts,
+       |       round(sum(value), 6) AS value
+       |FROM rate
+       |GROUP BY 1, 2
+       |HAVING (bucket_ts // 600) * 600 >= $lo
+       |ORDER BY metric, bucket_ts""".stripMargin
+  }
+
+  val renderTargetSmoothSql: String = {
+    val fromI = Buckets.fetchInterval(Buckets.FromS, 60)
+    val untilI = Buckets.fetchInterval(Buckets.UntilS, 60)
+    val extFromI = fromI - 600L
+    val rx = Fetch.globToRegex(Fetch.GlobPattern)
+    s"""WITH ${Buckets.pointsSql},
+       |mets AS (
+       |  SELECT DISTINCT metric FROM pts
+       |  WHERE ts_s >= $extFromI AND ts_s < $untilI
+       |    AND regexp_matches(metric, '$rx')),
+       |agg AS (
+       |  SELECT metric, (ts_s // 60) * 60 AS bucket_ts,
+       |         round(avg(value), 6) AS v
+       |  FROM pts
+       |  WHERE ts_s >= $extFromI AND ts_s < $untilI
+       |    AND regexp_matches(metric, '$rx')
+       |  GROUP BY 1, 2),
+       |spine AS (
+       |  SELECT m.metric, r.bucket_ts FROM mets m,
+       |    (SELECT CAST(range AS BIGINT) AS bucket_ts
+       |     FROM range($extFromI, $untilI, 60)) r),
+       |dense AS (
+       |  SELECT s.metric, s.bucket_ts, a.v
+       |  FROM spine s LEFT JOIN agg a USING (metric, bucket_ts)),
+       |summed AS (
+       |  SELECT bucket_ts, round(sum(v), 6) AS value
+       |  FROM dense GROUP BY 1),
+       |smoothed AS (
+       |  SELECT bucket_ts,
+       |         round(avg(value) OVER (ORDER BY bucket_ts
+       |           ROWS BETWEEN 9 PRECEDING AND CURRENT ROW), 6) AS value
+       |  FROM summed)
+       |SELECT 'sumSeries' AS metric, bucket_ts, value FROM smoothed
+       |WHERE bucket_ts >= $fromI
+       |ORDER BY bucket_ts""".stripMargin
+  }
+}

@@ -132,6 +132,13 @@ object ExplainDump {
         "single-partition window — and the None-on-gap/reset CASE is " +
         "codegen'd over the windowed frame; the heavy reduction to " +
         "per-bucket averages happens before the window sees a row."),
+    "render_target" ->
+      ("A COMPOSED render-API target string — summarize(perSecond(" +
+        "glob), '10min', 'sum') — evaluated by RenderTarget: ONE " +
+        "glob-pruned scan feeds dense-series build, rate window and " +
+        "coarse re-aggregate in a single plan; each stage is the same " +
+        "physical shape as its standalone fetch_* key, fused by " +
+        "Catalyst with no intermediate materialization."),
     "wsp_roundtrip" ->
       ("The .wsp DataSource V2 scan: `BatchScan wsp` with the pushed " +
         "metric/ts bounds in the scan description — metric predicates " +

@@ -1,0 +1,93 @@
+package graft.ops
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Target-string grammar + composition semantics (the graphite render
+  * `?target=` surface): the evaluator must agree with the hand-composed
+  * [[Fetch]] operators, and the two graphite rules — history pre-fetch
+  * and step tracking — must propagate through nesting.
+  */
+class RenderTargetSpec extends AnyFunSuite {
+  import RenderTarget.{Call, Leaf}
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private def pts(rows: (String, Long, Double)*) = {
+    import spark.implicits._
+    rows.toDF("metric", "ts_s", "value")
+  }
+
+  test("parser: nesting, quoted args, glob with braces and classes") {
+    assert(RenderTarget.parse("servers.*.cpu") == Leaf("servers.*.cpu"))
+    assert(RenderTarget.parse("perSecond(m.a)") == Call("perSecond", Leaf("m.a"), Nil))
+    assert(RenderTarget.parse("summarize(perSecond({a,b}.req), '10min', 'sum')") ==
+      Call("summarize", Call("perSecond", Leaf("{a,b}.req"), Nil), Seq("10min", "sum")))
+    assert(RenderTarget.parse("movingAverage(sumSeries(disk[0-9].io), 5)") ==
+      Call("movingAverage", Call("sumSeries", Leaf("disk[0-9].io"), Nil), Seq("5")))
+    // a name that merely looks like a function is a glob
+    assert(RenderTarget.parse("perSecondish.metric") == Leaf("perSecondish.metric"))
+    intercept[IllegalArgumentException](RenderTarget.parse("perSecond(m.a"))
+    intercept[IllegalArgumentException](RenderTarget.parse("summarize(m, '10min') extra"))
+  }
+
+  test("durationS: graphite time offsets") {
+    assert(RenderTarget.durationS("90") == 90)
+    assert(RenderTarget.durationS("10min") == 600)
+    assert(RenderTarget.durationS("2h") == 7200)
+    assert(RenderTarget.durationS("1day") == 86400)
+    intercept[IllegalArgumentException](RenderTarget.durationS("10mon"))
+  }
+
+  test("history extension and step propagate through nesting") {
+    val e = RenderTarget.parse("movingAverage(summarize(m.a, '5min'), 4)")
+    // summarize coarsens step to 300; the window then needs 4×300
+    assert(RenderTarget.stepS(e, 60) == 300)
+    assert(RenderTarget.historyExtS(e, 60) == 1200)
+    val e2 = RenderTarget.parse("movingAverage(movingAverage(m.a, 3), 2)")
+    assert(RenderTarget.historyExtS(e2, 60) == 300)
+  }
+
+  test("evaluate(perSecond(glob)) equals the hand-built perSecondSeries") {
+    val p = pts(("m.a", 65L, 100.0), ("m.a", 125L, 160.0), ("m.a", 245L, 220.0),
+      ("m.b", 65L, 7.0), ("m.b", 125L, 7.0))
+    val viaTarget = RenderTarget.evaluate(spark, p, "perSecond(m.*)", 0L, 240L, 60)
+      .collect().map(_.toString).toSeq
+    val direct = Fetch.perSecondSeries(spark, p, 0L, 240L, 60)
+      .collect().map(_.toString).toSeq
+    assert(viaTarget == direct)
+  }
+
+  test("evaluate: summarize over a rate trims to the aligned coarse bucket") {
+    // rate of a steady +60/min counter is 1.0; 5-min sums of 1.0-rates
+    val rows = (0 to 20).map(i => ("m.a", i * 60L + 5, 100.0 + 60 * i))
+    val df = RenderTarget.evaluate(spark, pts(rows: _*),
+      "summarize(perSecond(m.a), '5min', 'sum')", 300L, 1200L, 60).collect()
+    // fromI=360 → lo=300; buckets 300..1200
+    assert(df.map(_.getLong(1)).toSeq == Seq(300L, 600L, 900L, 1200L))
+    // bucket 300 covers fetched minutes 360..540; minute 360 leads the
+    // series (no predecessor → None), leaving 3 rates of 1.0
+    assert(df(0).getDouble(2) == 3.0)
+    assert(df(1).getDouble(2) == 5.0)
+    assert(df(2).getDouble(2) == 5.0)
+    assert(df(3).getDouble(2) == 1.0) // partial: minute 1200 only
+  }
+
+  test("evaluate: movingAverage pre-fetches history through sumSeries") {
+    // two metrics, values 1.0 at every minute 0..600; sumSeries = 2.0
+    // everywhere; movingAverage(3) needs minutes back to fromI-180
+    val rows = for (m <- Seq("m.a", "m.b"); i <- 0 to 10)
+      yield (m, i * 60L + 5, 1.0)
+    val df = RenderTarget.evaluate(spark, pts(rows: _*),
+      "movingAverage(sumSeries(m.*), 3)", 240L, 600L, 60).collect()
+    assert(df.map(_.getLong(1)).toSeq == Seq(300L, 360L, 420L, 480L, 540L, 600L))
+    // full trailing windows everywhere because history was pre-fetched
+    assert(df.forall(_.getDouble(2) == 2.0))
+    assert(df.forall(_.getString(0) == "sumSeries"))
+  }
+}

@@ -331,6 +331,9 @@ object CoreQueries {
     "fetch_moving_avg" -> ((s, d) => Fetch.fetchMovingAvg(s, d)),
     "render_target" -> ((s, d) => RenderTarget.renderTarget(s, d)),
     "render_target_smooth" -> ((s, d) => RenderTarget.renderTargetSmooth(s, d)),
+    "render_target_rate" -> ((s, d) => RenderTarget.renderTargetRate(s, d)),
+    "render_target_fill" -> ((s, d) => RenderTarget.renderTargetFill(s, d)),
+    "render_target_timeshift" -> ((s, d) => RenderTarget.renderTargetTimeshift(s, d)),
     "agg_avg" -> aggQuery(AggregationMethod.Average) _,
     "agg_sum" -> aggQuery(AggregationMethod.Sum) _,
     "agg_last" -> aggQuery(AggregationMethod.Last) _,
@@ -367,6 +370,9 @@ object CoreQueries {
     "fetch_moving_avg" -> Fetch.fetchMovingAvgSql,
     "render_target" -> RenderTarget.renderTargetSql,
     "render_target_smooth" -> RenderTarget.renderTargetSmoothSql,
+    "render_target_rate" -> RenderTarget.renderTargetRateSql,
+    "render_target_fill" -> RenderTarget.renderTargetFillSql,
+    "render_target_timeshift" -> RenderTarget.renderTargetTimeshiftSql,
     "agg_avg" -> aggFamilySql(AggregationMethod.Average),
     "agg_sum" -> aggFamilySql(AggregationMethod.Sum),
     "agg_last" -> aggFamilySql(AggregationMethod.Last),

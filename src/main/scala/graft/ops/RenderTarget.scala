@@ -16,7 +16,10 @@ import org.apache.spark.sql.functions._
   * {{{
   *   target   := func '(' target (',' literal)* ')' | glob
   *   func     := perSecond | movingAverage | sumSeries | summarize
-  *   literal  := 'quoted' | "quoted" | integer
+  *             | scale | offset | absolute | derivative
+  *             | nonNegativeDerivative | integral | keepLastValue
+  *             | timeShift
+  *   literal  := 'quoted' | "quoted" | number (optional sign/decimals)
   *   glob     := graphite metric pattern ({a,b}, *, ?, [...])
   * }}}
   *
@@ -41,7 +44,10 @@ object RenderTarget {
   final case class Leaf(glob: String) extends Expr
   final case class Call(name: String, child: Expr, args: Seq[String]) extends Expr
 
-  private val Funcs = Set("perSecond", "movingAverage", "sumSeries", "summarize")
+  private val Funcs = Set(
+    "perSecond", "movingAverage", "sumSeries", "summarize",
+    "scale", "offset", "absolute", "derivative", "nonNegativeDerivative",
+    "integral", "keepLastValue", "timeShift")
 
   /** Parse a target string. Globs may contain commas only inside
     * braces (graphite's own constraint), so argument splitting tracks
@@ -87,6 +93,14 @@ object RenderTarget {
       val body = s.drop(1).takeWhile(_ != q)
       require(s.length > body.length + 1, s"unterminated string in target: '$s'")
       (body, s.drop(body.length + 2))
+    case Some(c0) if c0 == '-' || c0 == '+' || c0.isDigit =>
+      // numeric literal: optional sign, digits, optional decimal part —
+      // scale(m, 0.5) and offset(m, -3) are graphite-legal unquoted
+      val sign = if (c0 == '-' || c0 == '+') 1 else 0
+      val num = s.drop(sign).takeWhile(c => c.isDigit || c == '.')
+      require(num.nonEmpty && num.head.isDigit,
+        s"expected numeric literal in target at: '$s'")
+      (s.take(sign + num.length), s.drop(sign + num.length))
     case _ =>
       val tok = s.takeWhile(c => c.isLetterOrDigit)
       require(tok.nonEmpty, s"expected literal in target at: '$s'")
@@ -114,11 +128,24 @@ object RenderTarget {
     n * mult
   }
 
+  /** timeShift's offset in seconds. Graphite's implicit sign is MINUS
+    * (shift back in time); the explicit `+` form would need buckets past
+    * `until`, which the request-bounded fetch never reads — rejected.
+    */
+  def shiftS(arg: String): Long = {
+    val t = arg.trim
+    require(!t.startsWith("+"),
+      s"timeShift '+' (forward shift) needs data past `until` — unsupported")
+    durationS(t.stripPrefix("-"))
+  }
+
   /** Seconds of history below `from` the expression needs fetched. */
   def historyExtS(e: Expr, spp: Int): Long = e match {
     case Leaf(_) => 0L
     case Call("movingAverage", c, args) =>
       historyExtS(c, spp) + args.head.toLong * stepS(c, spp)
+    case Call("timeShift", c, args) =>
+      historyExtS(c, spp) + shiftS(args.head)
     case Call(_, c, _) => historyExtS(c, spp)
   }
 
@@ -206,6 +233,85 @@ object RenderTarget {
         (df.groupBy(col("metric"),
             (floor(col("bucket_ts") / iv) * iv).cast("long").as("bucket_ts"))
           .agg(round(summarizeAgg(func, col("value")), 6).as("value")), iv)
+      // ------------------------------------------ pointwise transforms:
+      // None propagates through null arithmetic for free; each keeps the
+      // child's grid and step, so they fuse into the child's projection
+      // under whole-stage codegen (no extra shuffle or window).
+      case Call("scale", c, args) =>
+        val k = args.head.toDouble
+        val (df, step) = eval(c)
+        (df.withColumn("value", round(col("value") * k, 6)), step)
+      case Call("offset", c, args) =>
+        val k = args.head.toDouble
+        val (df, step) = eval(c)
+        (df.withColumn("value", round(col("value") + k, 6)), step)
+      case Call("absolute", c, _) =>
+        val (df, step) = eval(c)
+        (df.withColumn("value", abs(col("value"))), step)
+      case Call("derivative", c, _) =>
+        // plain successive difference — unlike perSecond: no /step, and
+        // no counter-reset rule (negative diffs pass through)
+        val (df, step) = eval(c)
+        val w = Window.partitionBy(col("metric")).orderBy(col("bucket_ts"))
+        (df.withColumn("prev", lag(col("value"), 1).over(w))
+          .withColumn("value",
+            when(col("value").isNotNull && col("prev").isNotNull,
+              round(col("value") - col("prev"), 6)))
+          .select(col("metric"), col("bucket_ts"), col("value")), step)
+      case Call("nonNegativeDerivative", c, _) =>
+        // perSecond's reset/gap rule without the /step normalisation
+        // (graphite: perSecond = nonNegativeDerivative scaled by 1/step)
+        val (df, step) = eval(c)
+        val w = Window.partitionBy(col("metric")).orderBy(col("bucket_ts"))
+        (df.withColumn("prev", lag(col("value"), 1).over(w))
+          .withColumn("value",
+            when(col("value").isNotNull && col("prev").isNotNull &&
+              col("value") >= col("prev"),
+              round(col("value") - col("prev"), 6)))
+          .select(col("metric"), col("bucket_ts"), col("value")), step)
+      case Call("integral", c, _) =>
+        // running per-series total; accumulation skips None (native
+        // null-skipping sum) and None points stay None in the output
+        val (df, step) = eval(c)
+        val w = Window.partitionBy(col("metric")).orderBy(col("bucket_ts"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        (df.withColumn("value",
+            when(col("value").isNotNull, round(sum(col("value")).over(w), 6)))
+          .select(col("metric"), col("bucket_ts"), col("value")), step)
+      case Call("keepLastValue", c, args) =>
+        // bridge None-runs of length ≤ limit with the value before the
+        // run (graphite: a LONGER run stays entirely None; leading runs
+        // have no predecessor and stay None; trailing runs are bridged).
+        // Relational form: run_id = running non-null count (constant
+        // within a run), so (metric, run_id) groups one opener value
+        // with its trailing Nones; bridge iff the group's None-count is
+        // within the limit.
+        val limit = args.headOption.map(_.toLong).getOrElse(Long.MaxValue)
+        require(limit > 0, "keepLastValue limit must be positive")
+        val (df, step) = eval(c)
+        val wCum = Window.partitionBy(col("metric")).orderBy(col("bucket_ts"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val wRun = Window.partitionBy(col("metric"), col("run_id"))
+        (df.withColumn("run_id", count(col("value")).over(wCum))
+          .withColumn("bridged", last(col("value"), ignoreNulls = true).over(wCum))
+          .withColumn("run_nulls",
+            count(when(col("value").isNull, 1)).over(wRun))
+          .withColumn("value",
+            when(col("value").isNotNull, col("value"))
+              .when(col("run_id") > 0 && col("run_nulls") <= limit,
+                col("bridged")))
+          .select(col("metric"), col("bucket_ts"), col("value")), step)
+      case Call("timeShift", c, args) =>
+        // value at t comes from t − delta; the delta was added to the
+        // leaf's history extension by historyExtS, so the child grid
+        // already covers the shifted window — re-stamp and trim the
+        // buckets the shift pushed past `until`
+        val delta = shiftS(args.head)
+        val (df, step) = eval(c)
+        require(delta % step == 0,
+          s"timeShift offset ${args.head} must be a multiple of the series step")
+        (df.withColumn("bucket_ts", col("bucket_ts") + delta)
+          .filter(col("bucket_ts") < untilI), step)
       case Call(f, _, _) =>
         throw new IllegalArgumentException(s"unsupported render function '$f'")
     }
@@ -282,6 +388,168 @@ object RenderTarget {
        |FROM rate
        |GROUP BY 1, 2
        |HAVING (bucket_ts // 600) * 600 >= $lo
+       |ORDER BY metric, bucket_ts""".stripMargin
+  }
+
+  /** `render_target_rate`: the classic per-minute counter panel —
+    * `scale(nonNegativeDerivative(glob), 60)`. Exercises the pointwise
+    * tier: numeric literal args and null-propagating arithmetic fused
+    * onto the rate window's projection.
+    */
+  val TargetExprRate =
+    s"scale(nonNegativeDerivative(${Fetch.GlobPattern}), 60)"
+
+  /** `render_target_fill`: `integral(keepLastValue(glob, 3))` — gaps of
+    * up to 3 buckets bridged with the preceding value, then the running
+    * per-series total. Exercises the run-length bridge rule and the
+    * null-skipping accumulator stacked on one metric-partitioned sort.
+    */
+  val TargetExprFill =
+    s"integral(keepLastValue(${Fetch.GlobPattern}, 3))"
+
+  /** `render_target_timeshift`: `timeShift(summarize(glob, '10min',
+    * 'avg'), '1h')` — the week-over-week comparison shape. Exercises the
+    * shift propagating into the leaf's history extension and the
+    * re-stamp/trim interplay with a coarsened step.
+    */
+  val TargetExprShift =
+    s"timeShift(summarize(${Fetch.GlobPattern}, '10min', 'avg'), '1h')"
+
+  def renderTargetRate(spark: SparkSession, sfDir: String): DataFrame = {
+    val fromI = Buckets.fetchInterval(Buckets.FromS, 60)
+    val untilI = Buckets.fetchInterval(Buckets.UntilS, 60)
+    evaluate(spark, Buckets.pointsInRange(spark, sfDir, fromI, untilI),
+      TargetExprRate, Buckets.FromS, Buckets.UntilS, 60)
+  }
+
+  def renderTargetFill(spark: SparkSession, sfDir: String): DataFrame = {
+    val fromI = Buckets.fetchInterval(Buckets.FromS, 60)
+    val untilI = Buckets.fetchInterval(Buckets.UntilS, 60)
+    evaluate(spark, Buckets.pointsInRange(spark, sfDir, fromI, untilI),
+      TargetExprFill, Buckets.FromS, Buckets.UntilS, 60)
+  }
+
+  def renderTargetTimeshift(spark: SparkSession, sfDir: String): DataFrame = {
+    val fromI = Buckets.fetchInterval(Buckets.FromS, 60)
+    val untilI = Buckets.fetchInterval(Buckets.UntilS, 60)
+    val extFromI = fromI - 3600L // timeShift '1h' propagated to the leaf
+    evaluate(spark, Buckets.pointsInRange(spark, sfDir, extFromI, untilI),
+      TargetExprShift, Buckets.FromS, Buckets.UntilS, 60)
+  }
+
+  val renderTargetRateSql: String = {
+    val fromI = Buckets.fetchInterval(Buckets.FromS, 60)
+    val untilI = Buckets.fetchInterval(Buckets.UntilS, 60)
+    val rx = Fetch.globToRegex(Fetch.GlobPattern)
+    s"""WITH ${Buckets.pointsSql},
+       |mets AS (
+       |  SELECT DISTINCT metric FROM pts
+       |  WHERE ts_s >= $fromI AND ts_s < $untilI
+       |    AND regexp_matches(metric, '$rx')),
+       |agg AS (
+       |  SELECT metric, (ts_s // 60) * 60 AS bucket_ts,
+       |         round(avg(value), 6) AS v
+       |  FROM pts
+       |  WHERE ts_s >= $fromI AND ts_s < $untilI
+       |    AND regexp_matches(metric, '$rx')
+       |  GROUP BY 1, 2),
+       |spine AS (
+       |  SELECT m.metric, r.bucket_ts FROM mets m,
+       |    (SELECT CAST(range AS BIGINT) AS bucket_ts
+       |     FROM range($fromI, $untilI, 60)) r),
+       |dense AS (
+       |  SELECT s.metric, s.bucket_ts, a.v
+       |  FROM spine s LEFT JOIN agg a USING (metric, bucket_ts)),
+       |lagged AS (
+       |  SELECT metric, bucket_ts, v,
+       |         lag(v) OVER (PARTITION BY metric ORDER BY bucket_ts) AS prev
+       |  FROM dense)
+       |SELECT metric, bucket_ts,
+       |       CASE WHEN v IS NOT NULL AND prev IS NOT NULL AND v >= prev
+       |            THEN round(round(v - prev, 6) * 60, 6) END AS value
+       |FROM lagged
+       |ORDER BY metric, bucket_ts""".stripMargin
+  }
+
+  val renderTargetFillSql: String = {
+    val fromI = Buckets.fetchInterval(Buckets.FromS, 60)
+    val untilI = Buckets.fetchInterval(Buckets.UntilS, 60)
+    val rx = Fetch.globToRegex(Fetch.GlobPattern)
+    s"""WITH ${Buckets.pointsSql},
+       |mets AS (
+       |  SELECT DISTINCT metric FROM pts
+       |  WHERE ts_s >= $fromI AND ts_s < $untilI
+       |    AND regexp_matches(metric, '$rx')),
+       |agg AS (
+       |  SELECT metric, (ts_s // 60) * 60 AS bucket_ts,
+       |         round(avg(value), 6) AS v
+       |  FROM pts
+       |  WHERE ts_s >= $fromI AND ts_s < $untilI
+       |    AND regexp_matches(metric, '$rx')
+       |  GROUP BY 1, 2),
+       |spine AS (
+       |  SELECT m.metric, r.bucket_ts FROM mets m,
+       |    (SELECT CAST(range AS BIGINT) AS bucket_ts
+       |     FROM range($fromI, $untilI, 60)) r),
+       |dense AS (
+       |  SELECT s.metric, s.bucket_ts, a.v
+       |  FROM spine s LEFT JOIN agg a USING (metric, bucket_ts)),
+       |runs AS (
+       |  SELECT metric, bucket_ts, v,
+       |         count(v) OVER (PARTITION BY metric ORDER BY bucket_ts
+       |           ROWS UNBOUNDED PRECEDING) AS run_id,
+       |         last_value(v IGNORE NULLS) OVER (PARTITION BY metric
+       |           ORDER BY bucket_ts ROWS UNBOUNDED PRECEDING) AS bridged
+       |  FROM dense),
+       |bridgedv AS (
+       |  SELECT metric, bucket_ts,
+       |         CASE WHEN v IS NOT NULL THEN v
+       |              WHEN run_id > 0 AND count(CASE WHEN v IS NULL THEN 1 END)
+       |                OVER (PARTITION BY metric, run_id) <= 3 THEN bridged
+       |         END AS fv
+       |  FROM runs)
+       |SELECT metric, bucket_ts,
+       |       CASE WHEN fv IS NOT NULL
+       |            THEN round(sum(fv) OVER (PARTITION BY metric
+       |              ORDER BY bucket_ts ROWS UNBOUNDED PRECEDING), 6)
+       |       END AS value
+       |FROM bridgedv
+       |ORDER BY metric, bucket_ts""".stripMargin
+  }
+
+  val renderTargetTimeshiftSql: String = {
+    val fromI = Buckets.fetchInterval(Buckets.FromS, 60)
+    val untilI = Buckets.fetchInterval(Buckets.UntilS, 60)
+    val extFromI = fromI - 3600L
+    val rx = Fetch.globToRegex(Fetch.GlobPattern)
+    val lo = Math.floorDiv(fromI, 600L) * 600
+    s"""WITH ${Buckets.pointsSql},
+       |mets AS (
+       |  SELECT DISTINCT metric FROM pts
+       |  WHERE ts_s >= $extFromI AND ts_s < $untilI
+       |    AND regexp_matches(metric, '$rx')),
+       |agg AS (
+       |  SELECT metric, (ts_s // 60) * 60 AS bucket_ts,
+       |         round(avg(value), 6) AS v
+       |  FROM pts
+       |  WHERE ts_s >= $extFromI AND ts_s < $untilI
+       |    AND regexp_matches(metric, '$rx')
+       |  GROUP BY 1, 2),
+       |spine AS (
+       |  SELECT m.metric, r.bucket_ts FROM mets m,
+       |    (SELECT CAST(range AS BIGINT) AS bucket_ts
+       |     FROM range($extFromI, $untilI, 60)) r),
+       |dense AS (
+       |  SELECT s.metric, s.bucket_ts, a.v
+       |  FROM spine s LEFT JOIN agg a USING (metric, bucket_ts)),
+       |coarse AS (
+       |  SELECT metric, (bucket_ts // 600) * 600 AS b,
+       |         round(avg(v), 6) AS value
+       |  FROM dense GROUP BY 1, 2),
+       |shifted AS (
+       |  SELECT metric, b + 3600 AS bucket_ts, value FROM coarse)
+       |SELECT metric, bucket_ts, value FROM shifted
+       |WHERE bucket_ts < $untilI AND bucket_ts >= $lo
        |ORDER BY metric, bucket_ts""".stripMargin
   }
 

@@ -78,6 +78,80 @@ class RenderTargetSpec extends AnyFunSuite {
     assert(df(3).getDouble(2) == 1.0) // partial: minute 1200 only
   }
 
+  test("parser: signed and decimal numeric literals") {
+    assert(RenderTarget.parse("scale(m.a, 0.5)") ==
+      Call("scale", Leaf("m.a"), Seq("0.5")))
+    assert(RenderTarget.parse("offset(m.a, -3)") ==
+      Call("offset", Leaf("m.a"), Seq("-3")))
+    assert(RenderTarget.parse("timeShift(m.a, '1h')") ==
+      Call("timeShift", Leaf("m.a"), Seq("1h")))
+    intercept[IllegalArgumentException](RenderTarget.parse("scale(m.a, -)"))
+  }
+
+  test("timeShift contributes to the history extension; '+' rejected") {
+    val e = RenderTarget.parse("timeShift(movingAverage(m.a, 5), '1h')")
+    assert(RenderTarget.historyExtS(e, 60) == 300 + 3600)
+    assert(RenderTarget.stepS(e, 60) == 60)
+    val plus = RenderTarget.parse("timeShift(m.a, '+1h')")
+    intercept[IllegalArgumentException](RenderTarget.historyExtS(plus, 60))
+  }
+
+  test("pointwise: scale/offset/absolute propagate None and round") {
+    val p = pts(("m.a", 65L, 2.5), ("m.a", 185L, -4.0))
+    val df = RenderTarget.evaluate(spark, p,
+      "absolute(offset(scale(m.a, -2), 1))", 0L, 240L, 60).collect()
+    // minute 60: |2.5·−2 + 1| = 4; minute 120 is a gap → None; 180: |9|
+    assert(df.map(r => Option(r.get(2))).toSeq ==
+      Seq(Some(4.0), None, Some(9.0), None))
+  }
+
+  test("derivative passes resets through; nonNegativeDerivative gates them") {
+    val p = pts(("m.a", 65L, 10.0), ("m.a", 125L, 14.0), ("m.a", 185L, 3.0),
+      ("m.a", 245L, 5.0))
+    val d = RenderTarget.evaluate(spark, p, "derivative(m.a)", 0L, 240L, 60)
+      .collect().map(r => Option(r.get(2)))
+    assert(d.toSeq == Seq(None, Some(4.0), Some(-11.0), Some(2.0)))
+    val nn = RenderTarget.evaluate(spark, p, "nonNegativeDerivative(m.a)",
+      0L, 240L, 60).collect().map(r => Option(r.get(2)))
+    assert(nn.toSeq == Seq(None, Some(4.0), None, Some(2.0)))
+  }
+
+  test("integral accumulates across gaps, emits None at them") {
+    val p = pts(("m.a", 65L, 1.0), ("m.a", 185L, 2.0), ("m.a", 245L, 3.0))
+    val df = RenderTarget.evaluate(spark, p, "integral(m.a)", 0L, 240L, 60)
+      .collect().map(r => Option(r.get(2)))
+    assert(df.toSeq == Seq(Some(1.0), None, Some(3.0), Some(6.0)))
+  }
+
+  test("keepLastValue bridges short runs whole, leaves long and leading runs") {
+    // grid 60..660: v at 60; gap 120..180 (len 2 ≤ limit); v at 240;
+    // gap 300..480 (len 4 > limit); v at 540; trailing gap 600..660 (len 2)
+    val p = pts(("m.a", 65L, 1.0), ("m.a", 245L, 2.0), ("m.a", 545L, 3.0))
+    val df = RenderTarget.evaluate(spark, p, "keepLastValue(m.a, 2)",
+      0L, 660L, 60).collect().map(r => Option(r.get(2)))
+    assert(df.toSeq == Seq(Some(1.0), Some(1.0), Some(1.0), Some(2.0),
+      None, None, None, None, Some(3.0), Some(3.0), Some(3.0)))
+    // leading gap: no predecessor → stays None even under the limit
+    val lead = RenderTarget.evaluate(spark,
+      pts(("m.a", 185L, 7.0)), "keepLastValue(m.a, 5)",
+      0L, 240L, 60).collect().map(r => Option(r.get(2)))
+    assert(lead.toSeq == Seq(None, None, Some(7.0), Some(7.0)))
+  }
+
+  test("timeShift re-stamps a summarized series and trims past until") {
+    // child values: minute-of-day index; shift by 10 minutes at 5-min step
+    val rows = (0 to 20).map(i => ("m.a", i * 60L + 5, i.toDouble))
+    val df = RenderTarget.evaluate(spark, pts(rows: _*),
+      "timeShift(summarize(m.a, '5min', 'sum'), '10min')", 600L, 1200L, 60)
+      .collect()
+    // requested coarse grid 600..1200; bucket b shows the child's b−600
+    assert(df.map(_.getLong(1)).toSeq == Seq(600L, 900L, 1200L))
+    // child bucket 0 sums fetched minutes 60..240 (fetchInterval drops
+    // minute 0) = 1+2+3+4; buckets 300,600 are full 5-minute sums
+    assert(df.map(_.getDouble(2)).toSeq == Seq(10.0, 5 + 6 + 7 + 8 + 9.0,
+      10 + 11 + 12 + 13 + 14.0))
+  }
+
   test("evaluate: movingAverage pre-fetches history through sumSeries") {
     // two metrics, values 1.0 at every minute 0..600; sumSeries = 2.0
     // everywhere; movingAverage(3) needs minutes back to fromI-180

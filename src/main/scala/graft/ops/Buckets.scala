@@ -129,4 +129,33 @@ object Buckets {
   val pointsSql: String =
     "pts AS (SELECT event_type AS metric, " +
       "CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS ts_s, value FROM events)"
+
+  /** [[pointsInRange]] with DOTTED graphite paths: metric =
+    * `shard<user_id mod 4>.<event_type>` (20 series). The fixture for
+    * node-indexed render functions (groupByNode, aliasByNode) and
+    * series selection (highestMax/highestAverage) — single-word event
+    * names exercise neither the dot-bounded glob nor node arithmetic.
+    */
+  def pointsPathedInRange(spark: SparkSession, sfDir: String,
+      fromS: Long, untilS: Long): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = spark.read.parquet(s"$sfDir/events.parquet")
+    val (filtered, tsS) = raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        (raw.filter(col("ts") >= fromS * 1000000000L &&
+          col("ts") < untilS * 1000000000L), expr("ts div 1000000000"))
+      case _ =>
+        val t = epochS(col("ts"))
+        (raw.filter(t >= fromS && t < untilS), t)
+    }
+    filtered.select(
+      concat(lit("shard"), pmod(col("user_id"), lit(4)), lit("."),
+        col("event_type")).as("metric"),
+      tsS.as("ts_s"), col("value"))
+  }
+
+  /** DuckDB twin of [[pointsPathedInRange]]'s metric derivation. */
+  val pointsPathedSql: String =
+    "pts AS (SELECT 'shard' || (user_id % 4) || '.' || event_type AS metric, " +
+      "CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS ts_s, value FROM events)"
 }

@@ -334,6 +334,9 @@ object CoreQueries {
     "render_target_rate" -> ((s, d) => RenderTarget.renderTargetRate(s, d)),
     "render_target_fill" -> ((s, d) => RenderTarget.renderTargetFill(s, d)),
     "render_target_timeshift" -> ((s, d) => RenderTarget.renderTargetTimeshift(s, d)),
+    "render_target_ratio" -> ((s, d) => RenderTarget.renderTargetRatio(s, d)),
+    "render_target_group" -> ((s, d) => RenderTarget.renderTargetGroup(s, d)),
+    "render_target_top" -> ((s, d) => RenderTarget.renderTargetTop(s, d)),
     "agg_avg" -> aggQuery(AggregationMethod.Average) _,
     "agg_sum" -> aggQuery(AggregationMethod.Sum) _,
     "agg_last" -> aggQuery(AggregationMethod.Last) _,
@@ -373,6 +376,9 @@ object CoreQueries {
     "render_target_rate" -> RenderTarget.renderTargetRateSql,
     "render_target_fill" -> RenderTarget.renderTargetFillSql,
     "render_target_timeshift" -> RenderTarget.renderTargetTimeshiftSql,
+    "render_target_ratio" -> RenderTarget.renderTargetRatioSql,
+    "render_target_group" -> RenderTarget.renderTargetGroupSql,
+    "render_target_top" -> RenderTarget.renderTargetTopSql,
     "agg_avg" -> aggFamilySql(AggregationMethod.Average),
     "agg_sum" -> aggFamilySql(AggregationMethod.Sum),
     "agg_last" -> aggFamilySql(AggregationMethod.Last),

@@ -14,11 +14,14 @@ import org.apache.spark.sql.functions._
   * [[Fetch]]):
   *
   * {{{
-  *   target   := func '(' target (',' literal)* ')' | glob
-  *   func     := perSecond | movingAverage | sumSeries | summarize
+  *   target   := func '(' target (',' target)* (',' literal)* ')' | glob
+  *   func     := perSecond | movingAverage | summarize
+  *             | sumSeries | averageSeries | minSeries | maxSeries
+  *             | countSeries | divideSeries
   *             | scale | offset | absolute | derivative
   *             | nonNegativeDerivative | integral | keepLastValue
-  *             | timeShift
+  *             | timeShift | groupByNode | aliasByNode
+  *             | highestMax | highestAverage
   *   literal  := 'quoted' | "quoted" | number (optional sign/decimals)
   *   glob     := graphite metric pattern ({a,b}, *, ?, [...])
   * }}}
@@ -42,12 +45,26 @@ object RenderTarget {
 
   sealed trait Expr
   final case class Leaf(glob: String) extends Expr
-  final case class Call(name: String, child: Expr, args: Seq[String]) extends Expr
+  final case class Call(name: String, children: Seq[Expr], args: Seq[String])
+    extends Expr
+  object Call {
+    /** Single-child sugar, keeps call sites and tests terse. */
+    def apply(name: String, child: Expr, args: Seq[String]): Call =
+      Call(name, Seq(child), args)
+  }
 
-  private val Funcs = Set(
-    "perSecond", "movingAverage", "sumSeries", "summarize",
+  /** Cross-series combines: N member series in, ONE series out (the
+    * output metric is the function's own name, graphite-style).
+    */
+  private val CombineFuncs = Set(
+    "sumSeries", "averageSeries", "minSeries", "maxSeries", "countSeries")
+
+  private val Funcs = CombineFuncs ++ Set(
+    "perSecond", "movingAverage", "summarize",
     "scale", "offset", "absolute", "derivative", "nonNegativeDerivative",
-    "integral", "keepLastValue", "timeShift")
+    "integral", "keepLastValue", "timeShift",
+    "divideSeries", "groupByNode", "aliasByNode",
+    "highestMax", "highestAverage")
 
   /** Parse a target string. Globs may contain commas only inside
     * braces (graphite's own constraint), so argument splitting tracks
@@ -64,16 +81,32 @@ object RenderTarget {
     val ident = t.takeWhile(c => c.isLetterOrDigit || c == '_')
     if (Funcs.contains(ident) && t.drop(ident.length).trim.startsWith("(")) {
       val afterParen = t.drop(ident.length).trim.drop(1)
-      val (child, r1) = parseExpr(afterParen)
+      val (first, r1) = parseExpr(afterParen)
       var rest = r1.trim
+      val children = Seq.newBuilder[Expr] += first
       val args = Seq.newBuilder[String]
+      // graphite's positional shape: series arguments first, then scalar
+      // literals. A quote or numeric start marks the literal tail (which
+      // means an unquoted glob STARTING with a digit can't follow a
+      // series argument — quote-free graphite has the same ambiguity).
+      var literalSeen = false
       while (rest.startsWith(",")) {
-        val (arg, r2) = parseLiteral(rest.drop(1).trim)
-        args += arg
-        rest = r2.trim
+        val t2 = rest.drop(1).trim
+        val startsLiteral = t2.headOption.exists(c0 =>
+          c0 == '\'' || c0 == '"' || c0 == '-' || c0 == '+' || c0.isDigit)
+        if (literalSeen || startsLiteral) {
+          val (arg, r2) = parseLiteral(t2)
+          args += arg
+          rest = r2.trim
+          literalSeen = true
+        } else {
+          val (e2, r2) = parseExpr(t2)
+          children += e2
+          rest = r2.trim
+        }
       }
       require(rest.startsWith(")"), s"expected ')' in target at: '$rest'")
-      (Call(ident, child, args.result()), rest.drop(1))
+      (Call(ident, children.result(), args.result()), rest.drop(1))
     } else {
       // leaf glob: consume until a top-level ',' or ')' (braces nest)
       var depth = 0
@@ -139,25 +172,34 @@ object RenderTarget {
     durationS(t.stripPrefix("-"))
   }
 
-  /** Seconds of history below `from` the expression needs fetched. */
+  /** Seconds of history below `from` the expression needs fetched —
+    * the max over children, so every member of a combine sees the
+    * deepest requirement's extension.
+    */
   def historyExtS(e: Expr, spp: Int): Long = e match {
     case Leaf(_) => 0L
-    case Call("movingAverage", c, args) =>
+    case Call("movingAverage", Seq(c), args) =>
       historyExtS(c, spp) + args.head.toLong * stepS(c, spp)
-    case Call("timeShift", c, args) =>
+    case Call("timeShift", Seq(c), args) =>
       historyExtS(c, spp) + shiftS(args.head)
-    case Call(_, c, _) => historyExtS(c, spp)
+    case Call(_, cs, _) => cs.map(historyExtS(_, spp)).max
   }
 
-  /** Output step of the expression (summarize coarsens it). */
+  /** Output step of the expression (summarize coarsens it; a combine's
+    * members must agree).
+    */
   def stepS(e: Expr, spp: Int): Long = e match {
     case Leaf(_) => spp.toLong
-    case Call("summarize", c, args) =>
+    case Call("summarize", Seq(c), args) =>
       val iv = durationS(args.head)
       require(iv % stepS(c, spp) == 0,
         s"summarize interval ${args.head} must be a multiple of the series step")
       iv
-    case Call(_, c, _) => stepS(c, spp)
+    case Call(n, cs, _) =>
+      val steps = cs.map(stepS(_, spp)).distinct
+      require(steps.size == 1,
+        s"$n: member series must share one step (got ${steps.mkString(", ")})")
+      steps.head
   }
 
   private def summarizeAgg(func: String, c: Column): Column = func match {
@@ -201,7 +243,7 @@ object RenderTarget {
           .join(agg, Seq("metric", "bucket_ts"), "left")
           .select(col("metric"), col("bucket_ts"), col("value"))
         (dense, spp.toLong)
-      case Call("perSecond", c, _) =>
+      case Call("perSecond", Seq(c), _) =>
         val (df, step) = eval(c)
         val w = Window.partitionBy(col("metric")).orderBy(col("bucket_ts"))
         (df.withColumn("prev", lag(col("value"), 1).over(w))
@@ -210,21 +252,87 @@ object RenderTarget {
               col("value") >= col("prev"),
               round((col("value") - col("prev")) / step, 6)))
           .select(col("metric"), col("bucket_ts"), col("value")), step)
-      case Call("movingAverage", c, args) =>
+      case Call("movingAverage", Seq(c), args) =>
         val n = args.head.toInt
         require(n > 0, "movingAverage window must be positive")
         val (df, step) = eval(c)
         val w = Window.partitionBy(col("metric")).orderBy(col("bucket_ts"))
           .rowsBetween(-(n - 1), Window.currentRow)
         (df.withColumn("value", round(avg(col("value")).over(w), 6)), step)
-      case Call("sumSeries", c, _) =>
+      case Call(f, cs, _) if CombineFuncs(f) =>
+        // N member expressions collapse to one synthetic series; the
+        // bucket grid survives the group-by because every member frame
+        // is dense. Aggregates skip None natively (all-None → None);
+        // countSeries counts MEMBERS per bucket — graphite's constant
+        // number-of-series line, None members included.
+        val evald = cs.map(eval)
+        val steps = evald.map(_._2).distinct
+        require(steps.size == 1,
+          s"$f: member series must share one step (got ${steps.mkString(", ")})")
+        val df = evald.map(_._1).reduce(_ unionByName _)
+        val v = f match {
+          case "sumSeries" => round(sum(col("value")), 6)
+          case "averageSeries" => round(avg(col("value")), 6)
+          case "minSeries" => min(col("value"))
+          case "maxSeries" => max(col("value"))
+          case "countSeries" => count(lit(1)).cast("double")
+        }
+        (df.groupBy(col("bucket_ts")).agg(v.as("value"))
+          .select(lit(f).as("metric"), col("bucket_ts"), col("value")),
+          steps.head)
+      case Call("divideSeries", Seq(num, den), _) =>
+        // graphite requires a ONE-series divisor; statically demand a
+        // combine so the contract is visible in the target string
+        // itself (a bare glob's cardinality is data-dependent)
+        require(den match { case Call(n, _, _) => CombineFuncs(n); case _ => false },
+          "divideSeries divisor must be a single series — wrap it in " +
+            "sumSeries/averageSeries/…")
+        val (dn, sn) = eval(num)
+        val (dd, sd) = eval(den)
+        require(sn == sd, "divideSeries operands must share one step")
+        // divisor frame = one row per bucket — request-bounded, broadcast
+        val denv = broadcast(dd.select(col("bucket_ts"), col("value").as("den_v")))
+        (dn.join(denv, Seq("bucket_ts"))
+          .withColumn("value",
+            when(col("value").isNotNull && col("den_v").isNotNull &&
+              col("den_v") =!= 0,
+              round(col("value") / col("den_v"), 6)))
+          .select(col("metric"), col("bucket_ts"), col("value")), sn)
+      case Call("divideSeries", _, _) =>
+        throw new IllegalArgumentException(
+          "divideSeries takes exactly two series arguments")
+      case Call("groupByNode", Seq(c), args) =>
+        // group series by the n-th dot-node of the metric name and
+        // aggregate each group — the render API's re-aggregation surface
+        // (e.g. per-datacenter sums over host-level series)
+        val n = args.head.toInt
+        val func = args.lift(1).getOrElse("avg")
         val (df, step) = eval(c)
-        // one synthetic series; bucket grid survives the group-by
-        // because the child frame is dense
-        (df.groupBy(col("bucket_ts"))
-          .agg(round(sum(col("value")), 6).as("value"))
-          .select(lit("sumSeries").as("metric"), col("bucket_ts"), col("value")), step)
-      case Call("summarize", c, args) =>
+        (df.groupBy(split(col("metric"), "\\.").getItem(n).as("metric"),
+            col("bucket_ts"))
+          .agg(round(summarizeAgg(func, col("value")), 6).as("value")), step)
+      case Call("aliasByNode", Seq(c), args) =>
+        val n = args.head.toInt
+        val (df, step) = eval(c)
+        (df.withColumn("metric", split(col("metric"), "\\.").getItem(n)), step)
+      case Call(f @ ("highestMax" | "highestAverage"), Seq(c), args) =>
+        // keep the n series ranking highest by max/avg over the
+        // REQUESTED window (history-extension rows excluded from the
+        // ranking, as graphite ranks the displayed range). The ranking
+        // side is one row per series — broadcast left-semi join back.
+        val n = args.head.toInt
+        require(n > 0, s"$f count must be positive")
+        val (df, step) = eval(c)
+        val lo = Math.floorDiv(fromI, step) * step
+        val rankAgg =
+          if (f == "highestMax") max(col("value")) else avg(col("value"))
+        val ranked = df.filter(col("bucket_ts") >= lo)
+          .groupBy(col("metric")).agg(rankAgg.as("rank_v"))
+          .orderBy(col("rank_v").desc_nulls_last, col("metric"))
+          .limit(n)
+        (df.join(broadcast(ranked.select("metric")), Seq("metric"), "left_semi"),
+          step)
+      case Call("summarize", Seq(c), args) =>
         val iv = durationS(args.head)
         val func = args.lift(1).getOrElse("sum")
         val (df, step) = eval(c)
@@ -237,18 +345,18 @@ object RenderTarget {
       // None propagates through null arithmetic for free; each keeps the
       // child's grid and step, so they fuse into the child's projection
       // under whole-stage codegen (no extra shuffle or window).
-      case Call("scale", c, args) =>
+      case Call("scale", Seq(c), args) =>
         val k = args.head.toDouble
         val (df, step) = eval(c)
         (df.withColumn("value", round(col("value") * k, 6)), step)
-      case Call("offset", c, args) =>
+      case Call("offset", Seq(c), args) =>
         val k = args.head.toDouble
         val (df, step) = eval(c)
         (df.withColumn("value", round(col("value") + k, 6)), step)
-      case Call("absolute", c, _) =>
+      case Call("absolute", Seq(c), _) =>
         val (df, step) = eval(c)
         (df.withColumn("value", abs(col("value"))), step)
-      case Call("derivative", c, _) =>
+      case Call("derivative", Seq(c), _) =>
         // plain successive difference — unlike perSecond: no /step, and
         // no counter-reset rule (negative diffs pass through)
         val (df, step) = eval(c)
@@ -258,7 +366,7 @@ object RenderTarget {
             when(col("value").isNotNull && col("prev").isNotNull,
               round(col("value") - col("prev"), 6)))
           .select(col("metric"), col("bucket_ts"), col("value")), step)
-      case Call("nonNegativeDerivative", c, _) =>
+      case Call("nonNegativeDerivative", Seq(c), _) =>
         // perSecond's reset/gap rule without the /step normalisation
         // (graphite: perSecond = nonNegativeDerivative scaled by 1/step)
         val (df, step) = eval(c)
@@ -269,7 +377,7 @@ object RenderTarget {
               col("value") >= col("prev"),
               round(col("value") - col("prev"), 6)))
           .select(col("metric"), col("bucket_ts"), col("value")), step)
-      case Call("integral", c, _) =>
+      case Call("integral", Seq(c), _) =>
         // running per-series total; accumulation skips None (native
         // null-skipping sum) and None points stay None in the output
         val (df, step) = eval(c)
@@ -278,7 +386,7 @@ object RenderTarget {
         (df.withColumn("value",
             when(col("value").isNotNull, round(sum(col("value")).over(w), 6)))
           .select(col("metric"), col("bucket_ts"), col("value")), step)
-      case Call("keepLastValue", c, args) =>
+      case Call("keepLastValue", Seq(c), args) =>
         // bridge None-runs of length ≤ limit with the value before the
         // run (graphite: a LONGER run stays entirely None; leading runs
         // have no predecessor and stay None; trailing runs are bridged).
@@ -301,7 +409,7 @@ object RenderTarget {
               .when(col("run_id") > 0 && col("run_nulls") <= limit,
                 col("bridged")))
           .select(col("metric"), col("bucket_ts"), col("value")), step)
-      case Call("timeShift", c, args) =>
+      case Call("timeShift", Seq(c), args) =>
         // value at t comes from t − delta; the delta was added to the
         // leaf's history extension by historyExtS, so the child grid
         // already covers the shifted window — re-stamp and trim the
@@ -435,6 +543,146 @@ object RenderTarget {
     val extFromI = fromI - 3600L // timeShift '1h' propagated to the leaf
     evaluate(spark, Buckets.pointsInRange(spark, sfDir, extFromI, untilI),
       TargetExprShift, Buckets.FromS, Buckets.UntilS, 60)
+  }
+
+  /** Dotted-path glob over [[Buckets.pointsPathedInRange]]'s 20 series:
+    * 4 shards × the three glob-matched event types.
+    */
+  val PathedGlob = "shard*.{click,sign*,v?ew}"
+
+  /** `render_target_ratio`: `divideSeries(sumSeries(g), countSeries(g))`
+    * — the mean-including-gaps panel. Exercises the multi-series
+    * grammar, the combine family, and the broadcast one-series divisor.
+    */
+  val TargetExprRatio =
+    s"divideSeries(sumSeries(${Fetch.GlobPattern}), countSeries(${Fetch.GlobPattern}))"
+
+  /** `render_target_group`: `groupByNode(shard*…, 1, 'sum')` — host-level
+    * series re-aggregated per event type across shards.
+    */
+  val TargetExprGroup = s"groupByNode($PathedGlob, 1, 'sum')"
+
+  /** `render_target_top`: `highestAverage(shard*…, 3)` — series
+    * selection by ranking over the requested window.
+    */
+  val TargetExprTop = s"highestAverage($PathedGlob, 3)"
+
+  def renderTargetRatio(spark: SparkSession, sfDir: String): DataFrame = {
+    val fromI = Buckets.fetchInterval(Buckets.FromS, 60)
+    val untilI = Buckets.fetchInterval(Buckets.UntilS, 60)
+    evaluate(spark, Buckets.pointsInRange(spark, sfDir, fromI, untilI),
+      TargetExprRatio, Buckets.FromS, Buckets.UntilS, 60)
+  }
+
+  def renderTargetGroup(spark: SparkSession, sfDir: String): DataFrame = {
+    val fromI = Buckets.fetchInterval(Buckets.FromS, 60)
+    val untilI = Buckets.fetchInterval(Buckets.UntilS, 60)
+    evaluate(spark, Buckets.pointsPathedInRange(spark, sfDir, fromI, untilI),
+      TargetExprGroup, Buckets.FromS, Buckets.UntilS, 60)
+  }
+
+  def renderTargetTop(spark: SparkSession, sfDir: String): DataFrame = {
+    val fromI = Buckets.fetchInterval(Buckets.FromS, 60)
+    val untilI = Buckets.fetchInterval(Buckets.UntilS, 60)
+    evaluate(spark, Buckets.pointsPathedInRange(spark, sfDir, fromI, untilI),
+      TargetExprTop, Buckets.FromS, Buckets.UntilS, 60)
+  }
+
+  val renderTargetRatioSql: String = {
+    val fromI = Buckets.fetchInterval(Buckets.FromS, 60)
+    val untilI = Buckets.fetchInterval(Buckets.UntilS, 60)
+    val rx = Fetch.globToRegex(Fetch.GlobPattern)
+    s"""WITH ${Buckets.pointsSql},
+       |mets AS (
+       |  SELECT DISTINCT metric FROM pts
+       |  WHERE ts_s >= $fromI AND ts_s < $untilI
+       |    AND regexp_matches(metric, '$rx')),
+       |agg AS (
+       |  SELECT metric, (ts_s // 60) * 60 AS bucket_ts,
+       |         round(avg(value), 6) AS v
+       |  FROM pts
+       |  WHERE ts_s >= $fromI AND ts_s < $untilI
+       |    AND regexp_matches(metric, '$rx')
+       |  GROUP BY 1, 2),
+       |spine AS (
+       |  SELECT m.metric, r.bucket_ts FROM mets m,
+       |    (SELECT CAST(range AS BIGINT) AS bucket_ts
+       |     FROM range($fromI, $untilI, 60)) r),
+       |dense AS (
+       |  SELECT s.metric, s.bucket_ts, a.v
+       |  FROM spine s LEFT JOIN agg a USING (metric, bucket_ts)),
+       |num AS (
+       |  SELECT bucket_ts, round(sum(v), 6) AS nv FROM dense GROUP BY 1),
+       |den AS (
+       |  SELECT bucket_ts, CAST(count(*) AS DOUBLE) AS dv FROM dense GROUP BY 1)
+       |SELECT 'sumSeries' AS metric, n.bucket_ts,
+       |       CASE WHEN nv IS NOT NULL AND dv IS NOT NULL AND dv <> 0
+       |            THEN round(nv / dv, 6) END AS value
+       |FROM num n JOIN den USING (bucket_ts)
+       |ORDER BY n.bucket_ts""".stripMargin
+  }
+
+  val renderTargetGroupSql: String = {
+    val fromI = Buckets.fetchInterval(Buckets.FromS, 60)
+    val untilI = Buckets.fetchInterval(Buckets.UntilS, 60)
+    val rx = Fetch.globToRegex(PathedGlob)
+    s"""WITH ${Buckets.pointsPathedSql},
+       |mets AS (
+       |  SELECT DISTINCT metric FROM pts
+       |  WHERE ts_s >= $fromI AND ts_s < $untilI
+       |    AND regexp_matches(metric, '$rx')),
+       |agg AS (
+       |  SELECT metric, (ts_s // 60) * 60 AS bucket_ts,
+       |         round(avg(value), 6) AS v
+       |  FROM pts
+       |  WHERE ts_s >= $fromI AND ts_s < $untilI
+       |    AND regexp_matches(metric, '$rx')
+       |  GROUP BY 1, 2),
+       |spine AS (
+       |  SELECT m.metric, r.bucket_ts FROM mets m,
+       |    (SELECT CAST(range AS BIGINT) AS bucket_ts
+       |     FROM range($fromI, $untilI, 60)) r),
+       |dense AS (
+       |  SELECT s.metric, s.bucket_ts, a.v
+       |  FROM spine s LEFT JOIN agg a USING (metric, bucket_ts))
+       |SELECT split_part(metric, '.', 2) AS metric, bucket_ts,
+       |       round(sum(v), 6) AS value
+       |FROM dense
+       |GROUP BY 1, 2
+       |ORDER BY 1, 2""".stripMargin
+  }
+
+  val renderTargetTopSql: String = {
+    val fromI = Buckets.fetchInterval(Buckets.FromS, 60)
+    val untilI = Buckets.fetchInterval(Buckets.UntilS, 60)
+    val rx = Fetch.globToRegex(PathedGlob)
+    s"""WITH ${Buckets.pointsPathedSql},
+       |mets AS (
+       |  SELECT DISTINCT metric FROM pts
+       |  WHERE ts_s >= $fromI AND ts_s < $untilI
+       |    AND regexp_matches(metric, '$rx')),
+       |agg AS (
+       |  SELECT metric, (ts_s // 60) * 60 AS bucket_ts,
+       |         round(avg(value), 6) AS v
+       |  FROM pts
+       |  WHERE ts_s >= $fromI AND ts_s < $untilI
+       |    AND regexp_matches(metric, '$rx')
+       |  GROUP BY 1, 2),
+       |spine AS (
+       |  SELECT m.metric, r.bucket_ts FROM mets m,
+       |    (SELECT CAST(range AS BIGINT) AS bucket_ts
+       |     FROM range($fromI, $untilI, 60)) r),
+       |dense AS (
+       |  SELECT s.metric, s.bucket_ts, a.v
+       |  FROM spine s LEFT JOIN agg a USING (metric, bucket_ts)),
+       |stats AS (
+       |  SELECT metric, avg(v) AS rank_v FROM dense GROUP BY 1),
+       |top_n AS (
+       |  SELECT metric FROM stats
+       |  ORDER BY rank_v DESC NULLS LAST, metric LIMIT 3)
+       |SELECT d.metric, d.bucket_ts, d.v AS value
+       |FROM dense d JOIN top_n USING (metric)
+       |ORDER BY d.metric, d.bucket_ts""".stripMargin
   }
 
   val renderTargetRateSql: String = {

@@ -152,6 +152,77 @@ class RenderTargetSpec extends AnyFunSuite {
       10 + 11 + 12 + 13 + 14.0))
   }
 
+  test("parser: multiple series arguments then literal tail") {
+    assert(RenderTarget.parse("divideSeries(sumSeries(a.b), countSeries(a.b))") ==
+      Call("divideSeries",
+        Seq(Call("sumSeries", Leaf("a.b"), Nil),
+          Call("countSeries", Leaf("a.b"), Nil)), Nil))
+    assert(RenderTarget.parse("sumSeries(a.one, a.two, b.*)") ==
+      Call("sumSeries", Seq(Leaf("a.one"), Leaf("a.two"), Leaf("b.*")), Nil))
+    assert(RenderTarget.parse("groupByNode(s.*.m, 1, 'sum')") ==
+      Call("groupByNode", Seq(Leaf("s.*.m")), Seq("1", "sum")))
+  }
+
+  test("combine family: avg/min/max skip None; countSeries counts members") {
+    val p = pts(("m.a", 65L, 2.0), ("m.a", 125L, 4.0), ("m.b", 65L, 6.0))
+    def run(t: String) = RenderTarget.evaluate(spark, p, t, 0L, 120L, 60)
+      .collect().map(r => (r.getString(0), Option(r.get(2)))).toSeq
+    // grid 60,120: m.a=(2,4), m.b=(6,None)
+    assert(run("averageSeries(m.*)") ==
+      Seq(("averageSeries", Some(4.0)), ("averageSeries", Some(4.0))))
+    assert(run("maxSeries(m.*)") ==
+      Seq(("maxSeries", Some(6.0)), ("maxSeries", Some(4.0))))
+    assert(run("minSeries(m.*)") ==
+      Seq(("minSeries", Some(2.0)), ("minSeries", Some(4.0))))
+    // member count is constant — None members still count
+    assert(run("countSeries(m.*)") ==
+      Seq(("countSeries", Some(2.0)), ("countSeries", Some(2.0))))
+  }
+
+  test("divideSeries: None and zero divisors yield None; divisor shape enforced") {
+    val p = pts(("m.a", 65L, 10.0), ("m.a", 125L, 20.0),
+      ("z.t", 65L, 5.0), ("z.t", 125L, 0.0))
+    val df = RenderTarget.evaluate(spark, p,
+      "divideSeries(sumSeries(m.*), sumSeries(z.*))", 0L, 180L, 60)
+      .collect().map(r => Option(r.get(2)))
+    // 10/5=2; 20/0 → None; bucket 180: both None → None
+    assert(df.toSeq == Seq(Some(2.0), None, None))
+    intercept[IllegalArgumentException](RenderTarget.evaluate(spark, p,
+      "divideSeries(sumSeries(m.*), z.t)", 0L, 180L, 60))
+  }
+
+  test("groupByNode aggregates per node; aliasByNode renames") {
+    val p = pts(("s0.click", 65L, 1.0), ("s1.click", 65L, 3.0),
+      ("s0.view", 65L, 5.0))
+    val g = RenderTarget.evaluate(spark, p, "groupByNode(s?.*, 1, 'sum')",
+      0L, 60L, 60).collect().map(r => (r.getString(0), Option(r.get(2)))).toSeq
+    assert(g == Seq(("click", Some(4.0)), ("view", Some(5.0))))
+    val a = RenderTarget.evaluate(spark, p, "aliasByNode(s?.*, 0)",
+      0L, 60L, 60).collect().map(_.getString(0)).toSeq
+    assert(a.sorted == Seq("s0", "s0", "s1"))
+  }
+
+  test("highestAverage keeps top-n by requested-window mean, ties by name") {
+    val rows = Seq(("p.a", 65L, 1.0), ("p.b", 65L, 9.0), ("p.c", 65L, 5.0),
+      ("p.d", 65L, 9.0))
+    val df = RenderTarget.evaluate(spark, pts(rows: _*),
+      "highestAverage(p.*, 2)", 0L, 60L, 60).collect()
+    assert(df.map(_.getString(0)).sorted.toSeq == Seq("p.b", "p.d"))
+    val m = RenderTarget.evaluate(spark, pts(rows: _*),
+      "highestMax(p.*, 3)", 0L, 60L, 60).collect()
+    assert(m.map(_.getString(0)).sorted.toSeq == Seq("p.b", "p.c", "p.d"))
+  }
+
+  test("highestAverage ranks only the requested window, not pre-fetch history") {
+    // m.hist is huge ONLY in the pre-fetched history below from
+    // (bucket 240 sits inside movingAverage's extension, below fromI=360)
+    val rows = Seq(("m.hist", 245L, 1000.0), ("m.hist", 365L, 1.0),
+      ("m.live", 245L, 1.0), ("m.live", 365L, 5.0))
+    val df = RenderTarget.evaluate(spark, pts(rows: _*),
+      "movingAverage(highestAverage(m.*, 1), 2)", 300L, 420L, 60).collect()
+    assert(df.map(_.getString(0)).distinct.toSeq == Seq("m.live"))
+  }
+
   test("evaluate: movingAverage pre-fetches history through sumSeries") {
     // two metrics, values 1.0 at every minute 0..600; sumSeries = 2.0
     // everywhere; movingAverage(3) needs minutes back to fromI-180

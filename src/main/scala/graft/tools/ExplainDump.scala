@@ -132,6 +132,17 @@ object ExplainDump {
         "single-partition window — and the None-on-gap/reset CASE is " +
         "codegen'd over the windowed frame; the heavy reduction to " +
         "per-bucket averages happens before the window sees a row."),
+    "render_target_fill" ->
+      ("integral(keepLastValue(glob, 3)): the run-length bridge and the " +
+        "running total stack three Window functions over ONE " +
+        "metric-partitioned sort — a single exchange feeds all of them; " +
+        "the pointwise tier never adds a shuffle."),
+    "render_target_top" ->
+      ("highestAverage(shard*.*, 3): the ranking side reduces to one " +
+        "row per series, is sorted-and-limited (a 20-row global " +
+        "TakeOrdered, not a data-volume sort), then rejoins as a " +
+        "BroadcastHashJoin LeftSemi — the full frames never shuffle for " +
+        "the selection."),
     "render_target" ->
       ("A COMPOSED render-API target string — summarize(perSecond(" +
         "glob), '10min', 'sum') — evaluated by RenderTarget: ONE " +

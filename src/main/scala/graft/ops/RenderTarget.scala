@@ -161,6 +161,15 @@ object RenderTarget {
     n * mult
   }
 
+  /** The metric globs at the expression's leaves — what a source-side
+    * planner can prune FILES by before any byte is read (the wsp tree
+    * walk accepts them as its `metricGlob` read option).
+    */
+  def leafGlobs(e: Expr): Seq[String] = e match {
+    case Leaf(g) => Seq(g)
+    case Call(_, cs, _) => cs.flatMap(leafGlobs)
+  }
+
   /** timeShift's offset in seconds. Graphite's implicit sign is MINUS
     * (shift back in time); the explicit `+` form would need buckets past
     * `until`, which the request-bounded fetch never reads — rejected.

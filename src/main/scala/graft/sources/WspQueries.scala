@@ -94,6 +94,71 @@ object WspQueries {
        |  ON l.metric = 'error' AND l.bucket_ts = s.bucket_ts
        |ORDER BY s.bucket_ts""".stripMargin
 
+  /** `wsp_render_target`: the SAME dashboard target string as the
+    * `render_target` key — `summarize(perSecond(glob), '10min', 'sum')`
+    * — served off the `.wsp` TREE. The target's leaf glob prunes FILES
+    * during the tree walk (passed as the scan's `metricGlob` option via
+    * [[graft.ops.RenderTarget.leafGlobs]]), then metric find, per-minute
+    * fetch, counter rates and 10-minute totals all run from that one
+    * pruned scan: a graphite user points an existing dashboard at the
+    * tree and the target runs unchanged.
+    */
+  def wspRenderTarget(s: SparkSession, dir: String): DataFrame = {
+    import graft.ops.RenderTarget
+    val base = ensureExported(s, dir)
+    val target = RenderTarget.TargetExpr1
+    val globs = RenderTarget.leafGlobs(RenderTarget.parse(target))
+    val scan = globs match {
+      case Seq(g) => s.read.format("wsp").option("metricGlob", g).load(base)
+      case _ => s.read.format("wsp").load(base)
+    }
+    RenderTarget.evaluate(s, scan.select(col("metric"), col("ts_s"), col("value")),
+      target, NowS - 7200, NowS - 3600, 60)
+  }
+
+  val wspRenderTargetSql: String = {
+    val fromI = Buckets.fetchInterval(NowS - 7200, 60)
+    val untilI = Buckets.fetchInterval(NowS - 3600, 60)
+    val rx = graft.ops.Fetch.globToRegex(graft.ops.Fetch.GlobPattern)
+    val lo = Math.floorDiv(fromI, 600L) * 600
+    s"""WITH $pointsSql,
+       |lww1m AS (${Ingest.lwwAlignSql(60)}),
+       |tree AS (
+       |  SELECT metric, bucket_ts AS ts_s, value FROM lww1m
+       |  WHERE bucket_ts >= $FromB AND bucket_ts < $NowS),
+       |mets AS (
+       |  SELECT DISTINCT metric FROM tree
+       |  WHERE ts_s >= $fromI AND ts_s < $untilI
+       |    AND regexp_matches(metric, '$rx')),
+       |agg AS (
+       |  SELECT metric, (ts_s // 60) * 60 AS bucket_ts,
+       |         round(avg(value), 6) AS v
+       |  FROM tree
+       |  WHERE ts_s >= $fromI AND ts_s < $untilI
+       |    AND regexp_matches(metric, '$rx')
+       |  GROUP BY 1, 2),
+       |spine AS (
+       |  SELECT m.metric, r.bucket_ts FROM mets m,
+       |    (SELECT CAST(range AS BIGINT) AS bucket_ts
+       |     FROM range($fromI, $untilI, 60)) r),
+       |dense AS (
+       |  SELECT s.metric, s.bucket_ts, a.v
+       |  FROM spine s LEFT JOIN agg a USING (metric, bucket_ts)),
+       |rate AS (
+       |  SELECT metric, bucket_ts,
+       |         CASE WHEN v IS NOT NULL AND prev IS NOT NULL AND v >= prev
+       |              THEN round((v - prev) / 60, 6) END AS value
+       |  FROM (SELECT metric, bucket_ts, v,
+       |               lag(v) OVER (PARTITION BY metric ORDER BY bucket_ts) AS prev
+       |        FROM dense))
+       |SELECT metric, (bucket_ts // 600) * 600 AS bucket_ts,
+       |       round(sum(value), 6) AS value
+       |FROM rate
+       |GROUP BY 1, 2
+       |HAVING (bucket_ts // 600) * 600 >= $lo
+       |ORDER BY metric, bucket_ts""".stripMargin
+  }
+
   // ------------------------------------------------ multi-archive round trip
 
   /** The std 3-level geometry under Sum/xff-0 cascade derivation (the
@@ -549,6 +614,7 @@ object WspQueries {
     "wsp_roundtrip_multi" -> (wspRoundtripMulti _),
     "wsp_fetch" -> (wspFetch _),
     "wsp_fetch_many" -> (wspFetchMany _),
+    "wsp_render_target" -> (wspRenderTarget _),
     "wsp_stream_ingest" -> (wspStreamIngest _),
     "wsp_fill" -> (wspFill _),
     "wsp_diff" -> (wspDiff _),
@@ -562,6 +628,7 @@ object WspQueries {
     "wsp_roundtrip_multi" -> wspRoundtripMultiSql,
     "wsp_fetch" -> wspFetchSql,
     "wsp_fetch_many" -> wspFetchManySql,
+    "wsp_render_target" -> wspRenderTargetSql,
     "wsp_stream_ingest" -> wspStreamIngestSql,
     "wsp_fill" -> wspFillSql,
     "wsp_diff" -> wspDiffSql,

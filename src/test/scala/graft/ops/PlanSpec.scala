@@ -72,6 +72,39 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("render pointwise tier adds no shuffle over the bare rate plan") {
+    // scale(nonNegativeDerivative(g), 60) must cost exactly what
+    // perSecond(g) costs: the arithmetic fuses into the window's
+    // downstream projection — same number of exchanges
+    def exchanges(p: String) = "(?m)^\\(\\d+\\) Exchange".r.findAllIn(p).size
+    val rate = plan(RenderTarget.renderTargetRate(spark, dir))
+    val bare = plan(Fetch.fetchPerSecond(spark, dir))
+    assert(exchanges(rate) == exchanges(bare),
+      s"pointwise transforms added a shuffle:\n$rate")
+  }
+
+  test("render fill stacks run-length windows on one metric sort") {
+    // keepLastValue needs THREE window passes (cumulative run ids,
+    // per-run null counts, then integral's running sum) — all
+    // metric-clustered, so they must share one exchange, not add three
+    val p = plan(RenderTarget.renderTargetFill(spark, dir))
+    val windows = "(?m)^\\(\\d+\\) Window".r.findAllIn(p).size
+    assert(windows >= 3, s"expected the stacked windows:\n$p")
+    assert("(?m)^\\(\\d+\\) Exchange".r.findAllIn(p).size <= 4,
+      s"window stack re-shuffled between passes:\n$p")
+    assert(p.contains("windowspecdefinition(metric#"),
+      s"windows not metric-partitioned:\n$p")
+  }
+
+  test("render top-N selection ranks tiny and rejoins broadcast-semi") {
+    val p = plan(RenderTarget.renderTargetTop(spark, dir))
+    assert(p.contains("LeftSemi"), s"expected a semi join for selection:\n$p")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"ranking should be a per-series TakeOrdered, not a full sort:\n$p")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"),
+      s"the one-row-per-series ranking side must broadcast:\n$p")
+  }
+
   test("LWW dedup and rollups aggregate with map-side combine, no window") {
     // max_by over a struct ordering key plans as SortAggregate (struct
     // buffers aren't hash-aggregable) — that's fine: what matters at

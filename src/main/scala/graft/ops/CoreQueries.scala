@@ -337,6 +337,8 @@ object CoreQueries {
     "render_target_ratio" -> ((s, d) => RenderTarget.renderTargetRatio(s, d)),
     "render_target_group" -> ((s, d) => RenderTarget.renderTargetGroup(s, d)),
     "render_target_top" -> ((s, d) => RenderTarget.renderTargetTop(s, d)),
+    "render_target_hitcount" -> ((s, d) => RenderTarget.renderTargetHitcount(s, d)),
+    "render_target_above" -> ((s, d) => RenderTarget.renderTargetAbove(s, d)),
     "agg_avg" -> aggQuery(AggregationMethod.Average) _,
     "agg_sum" -> aggQuery(AggregationMethod.Sum) _,
     "agg_last" -> aggQuery(AggregationMethod.Last) _,
@@ -379,6 +381,8 @@ object CoreQueries {
     "render_target_ratio" -> RenderTarget.renderTargetRatioSql,
     "render_target_group" -> RenderTarget.renderTargetGroupSql,
     "render_target_top" -> RenderTarget.renderTargetTopSql,
+    "render_target_hitcount" -> RenderTarget.renderTargetHitcountSql,
+    "render_target_above" -> RenderTarget.renderTargetAboveSql,
     "agg_avg" -> aggFamilySql(AggregationMethod.Average),
     "agg_sum" -> aggFamilySql(AggregationMethod.Sum),
     "agg_last" -> aggFamilySql(AggregationMethod.Last),

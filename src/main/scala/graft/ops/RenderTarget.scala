@@ -21,7 +21,9 @@ import org.apache.spark.sql.functions._
   *             | scale | offset | absolute | derivative
   *             | nonNegativeDerivative | integral | keepLastValue
   *             | timeShift | groupByNode | aliasByNode
-  *             | highestMax | highestAverage
+  *             | highestMax | highestAverage | averageAbove
+  *             | transformNull | removeBelowValue | removeAboveValue
+  *             | alias | hitcount
   *   literal  := 'quoted' | "quoted" | number (optional sign/decimals)
   *   glob     := graphite metric pattern ({a,b}, *, ?, [...])
   * }}}
@@ -64,7 +66,9 @@ object RenderTarget {
     "scale", "offset", "absolute", "derivative", "nonNegativeDerivative",
     "integral", "keepLastValue", "timeShift",
     "divideSeries", "groupByNode", "aliasByNode",
-    "highestMax", "highestAverage")
+    "highestMax", "highestAverage",
+    "transformNull", "removeBelowValue", "removeAboveValue", "alias",
+    "hitcount", "averageAbove")
 
   /** Parse a target string. Globs may contain commas only inside
     * braces (graphite's own constraint), so argument splitting tracks
@@ -418,6 +422,47 @@ object RenderTarget {
               .when(col("run_id") > 0 && col("run_nulls") <= limit,
                 col("bridged")))
           .select(col("metric"), col("bucket_ts"), col("value")), step)
+      case Call("transformNull", Seq(c), args) =>
+        val dflt = args.headOption.map(_.toDouble).getOrElse(0.0)
+        val (df, step) = eval(c)
+        (df.withColumn("value", coalesce(col("value"), lit(dflt))), step)
+      case Call("removeBelowValue", Seq(c), args) =>
+        // datapoints below n become None (the series stays on the grid)
+        val n = args.head.toDouble
+        val (df, step) = eval(c)
+        (df.withColumn("value", when(col("value") >= n, col("value"))), step)
+      case Call("removeAboveValue", Seq(c), args) =>
+        val n = args.head.toDouble
+        val (df, step) = eval(c)
+        (df.withColumn("value", when(col("value") <= n, col("value"))), step)
+      case Call("alias", Seq(c), args) =>
+        val (df, step) = eval(c)
+        (df.withColumn("metric", lit(args.head)), step)
+      case Call("hitcount", Seq(c), args) =>
+        // values are rates (hits per second) — re-bucket to TOTAL hits
+        // per interval: sum(value × step), epoch-aligned buckets (the
+        // alignToInterval=true variant; summarize owns the plain-sum
+        // shape). Skips None natively; an all-None interval stays None.
+        val iv = durationS(args.head)
+        val (df, step) = eval(c)
+        require(iv % step == 0 && iv >= step,
+          s"hitcount interval ${args.head} must be a multiple of the series step")
+        (df.groupBy(col("metric"),
+            (floor(col("bucket_ts") / iv) * iv).cast("long").as("bucket_ts"))
+          .agg(round(sum(col("value") * step), 6).as("value")), iv)
+      case Call("averageAbove", Seq(c), args) =>
+        // keep series whose requested-window mean is ≥ n (inclusive —
+        // ties at the threshold stay, matching the "draws metrics with
+        // average above N" selection reading); same requested-window
+        // ranking scope and broadcast-semi shape as highestAverage
+        val n = args.head.toDouble
+        val (df, step) = eval(c)
+        val lo = Math.floorDiv(fromI, step) * step
+        val keep = df.filter(col("bucket_ts") >= lo)
+          .groupBy(col("metric")).agg(avg(col("value")).as("rank_v"))
+          .filter(col("rank_v") >= n)
+        (df.join(broadcast(keep.select("metric")), Seq("metric"), "left_semi"),
+          step)
       case Call("timeShift", Seq(c), args) =>
         // value at t comes from t − delta; the delta was added to the
         // leaf's history extension by historyExtS, so the child grid
@@ -595,6 +640,95 @@ object RenderTarget {
     val untilI = Buckets.fetchInterval(Buckets.UntilS, 60)
     evaluate(spark, Buckets.pointsPathedInRange(spark, sfDir, fromI, untilI),
       TargetExprTop, Buckets.FromS, Buckets.UntilS, 60)
+  }
+
+  /** `render_target_hitcount`: `hitcount(transformNull(g, 0), '1h')` —
+    * hourly hit totals from per-minute rates, gaps counted as zero.
+    */
+  val TargetExprHitcount =
+    s"hitcount(transformNull(${Fetch.GlobPattern}, 0), '1h')"
+
+  /** `render_target_above`: threshold selection then a value floor —
+    * `removeBelowValue(averageAbove(shard*…, 50), 40)`.
+    */
+  val TargetExprAbove =
+    s"removeBelowValue(averageAbove($PathedGlob, 50), 40)"
+
+  def renderTargetHitcount(spark: SparkSession, sfDir: String): DataFrame = {
+    val fromI = Buckets.fetchInterval(Buckets.FromS, 60)
+    val untilI = Buckets.fetchInterval(Buckets.UntilS, 60)
+    evaluate(spark, Buckets.pointsInRange(spark, sfDir, fromI, untilI),
+      TargetExprHitcount, Buckets.FromS, Buckets.UntilS, 60)
+  }
+
+  def renderTargetAbove(spark: SparkSession, sfDir: String): DataFrame = {
+    val fromI = Buckets.fetchInterval(Buckets.FromS, 60)
+    val untilI = Buckets.fetchInterval(Buckets.UntilS, 60)
+    evaluate(spark, Buckets.pointsPathedInRange(spark, sfDir, fromI, untilI),
+      TargetExprAbove, Buckets.FromS, Buckets.UntilS, 60)
+  }
+
+  val renderTargetHitcountSql: String = {
+    val fromI = Buckets.fetchInterval(Buckets.FromS, 60)
+    val untilI = Buckets.fetchInterval(Buckets.UntilS, 60)
+    val rx = Fetch.globToRegex(Fetch.GlobPattern)
+    val lo = Math.floorDiv(fromI, 3600L) * 3600
+    s"""WITH ${Buckets.pointsSql},
+       |mets AS (
+       |  SELECT DISTINCT metric FROM pts
+       |  WHERE ts_s >= $fromI AND ts_s < $untilI
+       |    AND regexp_matches(metric, '$rx')),
+       |agg AS (
+       |  SELECT metric, (ts_s // 60) * 60 AS bucket_ts,
+       |         round(avg(value), 6) AS v
+       |  FROM pts
+       |  WHERE ts_s >= $fromI AND ts_s < $untilI
+       |    AND regexp_matches(metric, '$rx')
+       |  GROUP BY 1, 2),
+       |spine AS (
+       |  SELECT m.metric, r.bucket_ts FROM mets m,
+       |    (SELECT CAST(range AS BIGINT) AS bucket_ts
+       |     FROM range($fromI, $untilI, 60)) r),
+       |dense AS (
+       |  SELECT s.metric, s.bucket_ts, coalesce(a.v, 0) AS v
+       |  FROM spine s LEFT JOIN agg a USING (metric, bucket_ts))
+       |SELECT metric, (bucket_ts // 3600) * 3600 AS bucket_ts,
+       |       round(sum(v * 60), 6) AS value
+       |FROM dense
+       |GROUP BY 1, 2
+       |HAVING (bucket_ts // 3600) * 3600 >= $lo
+       |ORDER BY metric, bucket_ts""".stripMargin
+  }
+
+  val renderTargetAboveSql: String = {
+    val fromI = Buckets.fetchInterval(Buckets.FromS, 60)
+    val untilI = Buckets.fetchInterval(Buckets.UntilS, 60)
+    val rx = Fetch.globToRegex(PathedGlob)
+    s"""WITH ${Buckets.pointsPathedSql},
+       |mets AS (
+       |  SELECT DISTINCT metric FROM pts
+       |  WHERE ts_s >= $fromI AND ts_s < $untilI
+       |    AND regexp_matches(metric, '$rx')),
+       |agg AS (
+       |  SELECT metric, (ts_s // 60) * 60 AS bucket_ts,
+       |         round(avg(value), 6) AS v
+       |  FROM pts
+       |  WHERE ts_s >= $fromI AND ts_s < $untilI
+       |    AND regexp_matches(metric, '$rx')
+       |  GROUP BY 1, 2),
+       |spine AS (
+       |  SELECT m.metric, r.bucket_ts FROM mets m,
+       |    (SELECT CAST(range AS BIGINT) AS bucket_ts
+       |     FROM range($fromI, $untilI, 60)) r),
+       |dense AS (
+       |  SELECT s.metric, s.bucket_ts, a.v
+       |  FROM spine s LEFT JOIN agg a USING (metric, bucket_ts)),
+       |keep AS (
+       |  SELECT metric FROM dense GROUP BY 1 HAVING avg(v) >= 50)
+       |SELECT d.metric, d.bucket_ts,
+       |       CASE WHEN d.v >= 40 THEN d.v END AS value
+       |FROM dense d JOIN keep USING (metric)
+       |ORDER BY d.metric, d.bucket_ts""".stripMargin
   }
 
   val renderTargetRatioSql: String = {

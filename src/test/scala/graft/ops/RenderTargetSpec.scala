@@ -223,6 +223,38 @@ class RenderTargetSpec extends AnyFunSuite {
     assert(df.map(_.getString(0)).distinct.toSeq == Seq("m.live"))
   }
 
+  test("transformNull fills, remove(Below|Above)Value blank to None, alias renames") {
+    val p = pts(("m.a", 65L, 10.0), ("m.a", 185L, 30.0))
+    def vals(t: String) = RenderTarget.evaluate(spark, p, t, 0L, 180L, 60)
+      .collect().map(r => Option(r.get(2))).toSeq
+    assert(vals("transformNull(m.a, 7)") == Seq(Some(10.0), Some(7.0), Some(30.0)))
+    assert(vals("transformNull(m.a)") == Seq(Some(10.0), Some(0.0), Some(30.0)))
+    assert(vals("removeBelowValue(m.a, 20)") == Seq(None, None, Some(30.0)))
+    assert(vals("removeAboveValue(m.a, 20)") == Seq(Some(10.0), None, None))
+    val a = RenderTarget.evaluate(spark, p, "alias(m.a, 'renamed')", 0L, 180L, 60)
+      .collect().map(_.getString(0)).distinct.toSeq
+    assert(a == Seq("renamed"))
+  }
+
+  test("hitcount totals rate×step per interval, None only when all members None") {
+    // per-minute rates 2.0 at minutes 60..240; minutes 300+ empty
+    val rows = (1 to 4).map(i => ("m.a", i * 60L + 5, 2.0))
+    val df = RenderTarget.evaluate(spark, pts(rows: _*),
+      "hitcount(m.a, '5min')", 0L, 540L, 60).collect()
+    assert(df.map(_.getLong(1)).toSeq == Seq(0L, 300L))
+    // bucket 0 covers minutes 60..240: 4 × 2.0 × 60 = 480 hits;
+    // bucket 300 (minutes 300..540) is all-None → None
+    assert(Option(df(0).get(2)) == Some(480.0))
+    assert(Option(df(1).get(2)).isEmpty)
+  }
+
+  test("averageAbove keeps threshold ties (inclusive) and drops the rest") {
+    val p = pts(("m.lo", 65L, 1.0), ("m.mid", 65L, 5.0), ("m.hi", 65L, 9.0))
+    val kept = RenderTarget.evaluate(spark, p, "averageAbove(m.*, 5)",
+      0L, 60L, 60).collect().map(_.getString(0)).sorted.toSeq
+    assert(kept == Seq("m.hi", "m.mid"))
+  }
+
   test("evaluate: movingAverage pre-fetches history through sumSeries") {
     // two metrics, values 1.0 at every minute 0..600; sumSeries = 2.0
     // everywhere; movingAverage(3) needs minutes back to fromI-180

@@ -154,8 +154,15 @@ object Buckets {
       tsS.as("ts_s"), col("value"))
   }
 
-  /** DuckDB twin of [[pointsPathedInRange]]'s metric derivation. */
-  val pointsPathedSql: String =
-    "pts AS (SELECT 'shard' || (user_id % 4) || '.' || event_type AS metric, " +
+  /** DuckDB twin of [[pointsPathedInRange]]'s metric derivation, with a
+    * caller-chosen CTE name so it can sit NEXT TO [[pointsSql]] (both
+    * default to `pts`) in oracles that union the flat and dotted
+    * namespaces.
+    */
+  def pointsPathedSqlNamed(cte: String): String =
+    s"$cte AS (SELECT 'shard' || (user_id % 4) || '.' || event_type AS metric, " +
       "CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS ts_s, value FROM events)"
+
+  /** DuckDB twin of [[pointsPathedInRange]]'s metric derivation. */
+  val pointsPathedSql: String = pointsPathedSqlNamed("pts")
 }

@@ -324,6 +324,8 @@ object CoreQueries {
     "fetch_dense_series" -> ((s, d) => Fetch.fetchDenseSeries(s, d)),
     "fetch_many" -> ((s, d) => Fetch.fetchMany(s, d)),
     "fetch_glob" -> ((s, d) => Fetch.fetchGlob(s, d)),
+    "metrics_find" -> ((s, d) => Fetch.metricsFindRoot(s, d)),
+    "metrics_find_glob" -> ((s, d) => Fetch.metricsFindGlob(s, d)),
     "fetch_summarize" -> ((s, d) => Fetch.fetchSummarize(s, d)),
     "fetch_maxdatapoints" -> ((s, d) => Fetch.fetchMaxDatapoints(s, d)),
     "fetch_sum_series" -> ((s, d) => Fetch.fetchSumSeries(s, d)),
@@ -368,6 +370,8 @@ object CoreQueries {
     "fetch_dense_series" -> Fetch.fetchDenseSeriesSql,
     "fetch_many" -> Fetch.fetchManySql,
     "fetch_glob" -> Fetch.fetchGlobSql,
+    "metrics_find" -> Fetch.metricsFindRootSql,
+    "metrics_find_glob" -> Fetch.metricsFindGlobSql,
     "fetch_summarize" -> Fetch.fetchSummarizeSql,
     "fetch_maxdatapoints" -> Fetch.fetchMaxDatapointsSql,
     "fetch_sum_series" -> Fetch.fetchSumSeriesSql,

@@ -198,6 +198,109 @@ object Fetch {
        |ORDER BY s.metric, s.bucket_ts""".stripMargin
   }
 
+  // ------------------------------------------- graphite /metrics/find
+
+  /** Graphite's tree-browse endpoint — `/metrics/find?query=` (the
+    * metric picker behind every dashboard's autocomplete and the
+    * graphite-web tree pane, public API docs). A dotted glob addresses
+    * nodes at its own depth; the answer is each matching node with
+    * graphite's two flags: `leaf` (a series ends exactly here) and
+    * `expandable` (series continue below). Both can be 1 at once — a
+    * node that is a series AND a subtree gets a leaf icon and an expand
+    * arrow.
+    *
+    * Relational form, no tree walk: project each metric's first
+    * `depth(query)` dot-segments as its candidate node, filter by the
+    * query's anchored regex ([[globToRegex]] — `*`/`?` never cross a
+    * dot, so segment alignment is exact), and OR-fold the two flags per
+    * node. One pass over metric names; the shuffle is keyed by node and
+    * bounded by the namespace size at the queried depth, so at a
+    * 100 TB deployment (tens of millions of series) this is a routine
+    * single-column aggregate, where the reference layout pays a
+    * filesystem walk per request.
+    */
+  def metricsFind(metrics: DataFrame, query: String): DataFrame = {
+    val depth = query.count(_ == '.') + 1
+    val rx = globToRegex(query)
+    val parts = split(col("metric"), "\\.")
+    metrics
+      .select(concat_ws(".", slice(parts, 1, depth)).as("node"),
+        size(parts).as("nseg"))
+      .filter(col("nseg") >= depth && col("node").rlike(rx))
+      .groupBy(col("node"))
+      .agg(max(when(col("nseg") === depth, 1).otherwise(0)).as("leaf"),
+        max(when(col("nseg") > depth, 1).otherwise(0)).as("expandable"))
+  }
+
+  /** `metrics_find`: the root browse (`query=*`) over the union of the
+    * flat and dotted fixture namespaces — the flat event series come
+    * back `leaf=1`, the shard subtrees `expandable=1`, exercising both
+    * flags in one result.
+    */
+  def metricsFindRoot(spark: SparkSession, sfDir: String): DataFrame = {
+    val fromI = Buckets.fetchInterval(Buckets.FromS, 60)
+    val untilI = Buckets.fetchInterval(Buckets.UntilS, 60)
+    val mets = Buckets.pointsInRange(spark, sfDir, fromI, untilI)
+      .select(col("metric"))
+      .unionByName(
+        Buckets.pointsPathedInRange(spark, sfDir, fromI, untilI)
+          .select(col("metric")))
+    metricsFind(mets, "*").orderBy("node")
+  }
+
+  val metricsFindRootSql: String = {
+    val fromI = Buckets.fetchInterval(Buckets.FromS, 60)
+    val untilI = Buckets.fetchInterval(Buckets.UntilS, 60)
+    val rx = globToRegex("*")
+    s"""WITH ${Buckets.pointsSql},
+       |${Buckets.pointsPathedSqlNamed("ptsp")},
+       |mets AS (
+       |  SELECT metric FROM pts WHERE ts_s >= $fromI AND ts_s < $untilI
+       |  UNION ALL
+       |  SELECT metric FROM ptsp WHERE ts_s >= $fromI AND ts_s < $untilI),
+       |seg AS (
+       |  SELECT array_to_string(string_split(metric, '.')[1:1], '.') AS node,
+       |         len(string_split(metric, '.')) AS nseg
+       |  FROM mets)
+       |SELECT node,
+       |       max(CASE WHEN nseg = 1 THEN 1 ELSE 0 END) AS leaf,
+       |       max(CASE WHEN nseg > 1 THEN 1 ELSE 0 END) AS expandable
+       |FROM seg
+       |WHERE nseg >= 1 AND regexp_matches(node, '$rx')
+       |GROUP BY node
+       |ORDER BY node""".stripMargin
+  }
+
+  /** `metrics_find_glob`: a deep find — the [[GlobPattern]] event types
+    * under the matching shards (`shard*.{click,sign*,v?ew}`), all pure
+    * leaves; exercises brace/star/question segments below the root.
+    */
+  def metricsFindGlob(spark: SparkSession, sfDir: String): DataFrame = {
+    val fromI = Buckets.fetchInterval(Buckets.FromS, 60)
+    val untilI = Buckets.fetchInterval(Buckets.UntilS, 60)
+    val mets = Buckets.pointsPathedInRange(spark, sfDir, fromI, untilI)
+      .select(col("metric"))
+    metricsFind(mets, s"shard*.$GlobPattern").orderBy("node")
+  }
+
+  val metricsFindGlobSql: String = {
+    val fromI = Buckets.fetchInterval(Buckets.FromS, 60)
+    val untilI = Buckets.fetchInterval(Buckets.UntilS, 60)
+    val rx = globToRegex(s"shard*.$GlobPattern")
+    s"""WITH ${Buckets.pointsPathedSql},
+       |seg AS (
+       |  SELECT array_to_string(string_split(metric, '.')[1:2], '.') AS node,
+       |         len(string_split(metric, '.')) AS nseg
+       |  FROM pts WHERE ts_s >= $fromI AND ts_s < $untilI)
+       |SELECT node,
+       |       max(CASE WHEN nseg = 2 THEN 1 ELSE 0 END) AS leaf,
+       |       max(CASE WHEN nseg > 2 THEN 1 ELSE 0 END) AS expandable
+       |FROM seg
+       |WHERE nseg >= 2 AND regexp_matches(node, '$rx')
+       |GROUP BY node
+       |ORDER BY node""".stripMargin
+  }
+
   val fetchManySql: String = {
     val fromI = Buckets.fetchInterval(Buckets.FromS, 60)
     val untilI = Buckets.fetchInterval(Buckets.UntilS, 60)

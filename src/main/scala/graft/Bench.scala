@@ -97,8 +97,16 @@ object Bench {
     val qs = json(results.map(r => (r._1, r._2)))
     val cold = json(results.map(r => (r._1, r._3)))
     val total = results.map(_._2).sum
+    val totalCold = results.map(_._3).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","runs":$Runs,""" +
       s""""queries":$qs,"queries_cold":$cold,"sf":"$sfDir"}""")
+    // short summary LAST: the driver keeps only the tail of stdout, so the
+    // big per-key line above can lose its own headline to truncation
+    // (BENCH_r07.json did). total = sum of per-key medians (steady-state);
+    // total_cold = sum of first runs (carries amortized index builds and
+    // streaming-harness cost for memoized keys).
+    println(s"""{"metric":"total","value":$total,"total_cold":$totalCold,""" +
+      s""""unit":"sec","runs":$Runs,"keys":${results.size},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

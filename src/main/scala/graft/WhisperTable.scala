@@ -648,28 +648,34 @@ object WhisperTable {
       .toDF("spec", "dig", "metric", "archive", "ts_s", "value")
       .write.mode("overwrite").partitionBy("dig").parquet(staging)
 
-    val stagingDf = spark.read.parquet(staging)
-    // K distinct schemas reach the driver — K is the storage-schemas.conf
-    // rule count (tens), never the file count
-    val specs = stagingDf.select("dig", "spec").distinct()
-      .as[(String, String)].collect()
-    val out = specs.map { case (dig, spec) =>
-      val Array(rets, methodId, xff) = spec.split('|')
-      val schema = WhisperSchema(
-        rets.split(',').toSeq.map { r =>
-          val Array(spp, n) = r.split(':')
-          Retention(spp.toInt, n.toInt)
-        },
-        AggregationMethod.fromId(methodId.toInt), xff.toDouble)
-      val t = create(spark, s"$tablePath/schema_$dig", schema)
-      val pts = stagingDf.filter(col("dig") === dig) // partition-pruned
-      schema.retentions.zipWithIndex.foreach { case (r, i) =>
-        t.writeLevelFull(r, pts.filter(col("archive") === i)
-          .select(col("metric"), col("ts_s").as("bucket_ts"), col("value")))
-      }
-      dig -> t
-    }.toMap
-    fsOf(spark, staging)._1.delete(new org.apache.hadoop.fs.Path(staging), true)
-    out
+    // staging is deleted in the finally: a failure mid-load (bad schema
+    // spec, create() collision, writeLevelFull error) must not leak the
+    // staging tree — a rerun's mode("overwrite") could interleave its
+    // partitions with the leftover's
+    try {
+      val stagingDf = spark.read.parquet(staging)
+      // K distinct schemas reach the driver — K is the storage-schemas.conf
+      // rule count (tens), never the file count
+      val specs = stagingDf.select("dig", "spec").distinct()
+        .as[(String, String)].collect()
+      specs.map { case (dig, spec) =>
+        val Array(rets, methodId, xff) = spec.split('|')
+        val schema = WhisperSchema(
+          rets.split(',').toSeq.map { r =>
+            val Array(spp, n) = r.split(':')
+            Retention(spp.toInt, n.toInt)
+          },
+          AggregationMethod.fromId(methodId.toInt), xff.toDouble)
+        val t = create(spark, s"$tablePath/schema_$dig", schema)
+        val pts = stagingDf.filter(col("dig") === dig) // partition-pruned
+        schema.retentions.zipWithIndex.foreach { case (r, i) =>
+          t.writeLevelFull(r, pts.filter(col("archive") === i)
+            .select(col("metric"), col("ts_s").as("bucket_ts"), col("value")))
+        }
+        dig -> t
+      }.toMap
+    } finally {
+      fsOf(spark, staging)._1.delete(new org.apache.hadoop.fs.Path(staging), true)
+    }
   }
 }

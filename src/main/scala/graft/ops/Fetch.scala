@@ -124,7 +124,12 @@ object Fetch {
     * to alternation.
     */
   def globToRegex(glob: String): String = {
-    val sb = new StringBuilder("^")
+    // the whole body is grouped: a top-level comma (legal only inside
+    // braces, but tolerated by graphite's parser) becomes GROUPED
+    // alternation `^(a|b)$` — ungrouped `^a|b$` would silently turn
+    // anchored match into prefix/suffix match under rlike search
+    // semantics
+    val sb = new StringBuilder("^(")
     var inClass = false
     glob.foreach {
       case '*' if !inClass => sb.append("[^.]*")
@@ -138,7 +143,8 @@ object Fetch {
         sb.append('\\').append(c)
       case c => sb.append(c)
     }
-    sb.append('$').toString
+    require(!inClass, s"unclosed '[' class in metric glob '$glob'")
+    sb.append(")$").toString
   }
 
   /** Glob for the `fetch_glob` key — braces, star and question mark over

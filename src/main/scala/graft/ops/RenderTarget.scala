@@ -100,9 +100,24 @@ object RenderTarget {
           c0 == '\'' || c0 == '"' || c0 == '-' || c0 == '+' || c0.isDigit)
         if (literalSeen || startsLiteral) {
           val (arg, r2) = parseLiteral(t2)
-          args += arg
-          rest = r2.trim
-          literalSeen = true
+          // digit-leading SERIES argument (e.g. `sumSeries(a.b, 2xx.count)`):
+          // the numeric parse stops at the first letter/glob char — when
+          // one follows and no literal has been seen yet, the token is a
+          // metric whose first node starts with a digit, not a number.
+          // Re-parse it as a Leaf (the leaf branch consumes to the next
+          // top-level ',' or ')').
+          val quoted = t2.head == '\'' || t2.head == '"'
+          val globContinues = !literalSeen && !quoted &&
+            r2.headOption.exists(c => c.isLetter || "*?{[_".contains(c))
+          if (globContinues) {
+            val (e2, r2b) = parseExpr(t2)
+            children += e2
+            rest = r2b.trim
+          } else {
+            args += arg
+            rest = r2.trim
+            literalSeen = true
+          }
         } else {
           val (e2, r2) = parseExpr(t2)
           children += e2

@@ -381,17 +381,27 @@ object WspTools {
           val in = pfs.open(path)
           try in.readFully(0, image) finally in.close()
           val h = WspCodec.readHeader(image, p) // validates before patching
-          val buf = java.nio.ByteBuffer.wrap(image)
-            .order(java.nio.ByteOrder.BIG_ENDIAN)
-          methodId.foreach(id => buf.putInt(0, id))
-          xff.foreach(x => buf.putFloat(8, x.toFloat))
-          val tmp = new org.apache.hadoop.fs.Path(path.getParent,
-            s".${path.getName}.tmp.${java.util.UUID.randomUUID().toString.take(8)}")
-          WspWrite.publish(pfs, conf.value, tmp, path, image)
-          (p, h.aggregationType, h.xFilesFactor.toDouble)
+          // skip files whose header already matches: the map runs
+          // at-least-once (task retry, speculative execution), and
+          // without the guard a re-run would report the NEW values as
+          // old_method/old_xff — the no-op skip makes the rewrite
+          // idempotent and the manifest's `patched` column records
+          // which files this run actually touched
+          val already = methodId.forall(_ == h.aggregationType) &&
+            xff.forall(x => x.toFloat == h.xFilesFactor)
+          if (!already) {
+            val buf = java.nio.ByteBuffer.wrap(image)
+              .order(java.nio.ByteOrder.BIG_ENDIAN)
+            methodId.foreach(id => buf.putInt(0, id))
+            xff.foreach(x => buf.putFloat(8, x.toFloat))
+            val tmp = new org.apache.hadoop.fs.Path(path.getParent,
+              s".${path.getName}.tmp.${java.util.UUID.randomUUID().toString.take(8)}")
+            WspWrite.publish(pfs, conf.value, tmp, path, image)
+          }
+          (p, h.aggregationType, h.xFilesFactor.toDouble, !already)
         }
       }
-      .toDF("path", "old_method", "old_xff")
+      .toDF("path", "old_method", "old_xff", "patched")
     manifest.localCheckpoint(true) // run the rewrite NOW, exactly once
   }
 }

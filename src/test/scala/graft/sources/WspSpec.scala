@@ -732,8 +732,15 @@ class WspSpec extends AnyFunSuite {
       .toDF("metric", "archive", "bucket_ts", "value"), dir, schema)
     val manifest = WspTools.rewriteHeaders(spark, dir,
       Some(AggregationMethod.Max), Some(0.25))
-      .collect().map(r => (r.getInt(1), r.getDouble(2))).toSet
-    assert(manifest == Set((2, 0.0))) // both files were Sum/0.0
+      .collect().map(r => (r.getInt(1), r.getDouble(2), r.getBoolean(3))).toSet
+    assert(manifest == Set((2, 0.0, true))) // both files were Sum/0.0
+    // idempotent: a second run (the task-retry shape) finds both headers
+    // already patched, touches nothing, and reports the CURRENT values
+    // with patched=false — not the pre-rewrite ones
+    val again = WspTools.rewriteHeaders(spark, dir,
+      Some(AggregationMethod.Max), Some(0.25))
+      .collect().map(r => (r.getInt(1), r.getDouble(2), r.getBoolean(3))).toSet
+    assert(again == Set((AggregationMethod.Max.id, 0.25, false)))
     // headers changed...
     val p = new org.apache.hadoop.fs.Path(s"$dir/cpu.wsp")
     val fs = p.getFileSystem(spark.sessionState.newHadoopConf())

@@ -7,12 +7,14 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // events.parquet is TIMESTAMP(NANOS): without this the warm-up read
-    // below aborts and the first timed events query absorbs all startup
-    // cost (file listing, footer reads, codegen/JIT warmup)
+    // events.ts is TIMESTAMP_MICROS today, but earlier testdata was
+    // TIMESTAMP(NANOS), readable only under this legacy conf — keep it
+    // set so a nanos regeneration doesn't abort the warm-up read below
+    // and dump all startup cost into the first timed events query
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     // warm-up: touch every input table once so the first timed query does
     // not absorb file-listing, footer-read and codegen/JIT startup costs

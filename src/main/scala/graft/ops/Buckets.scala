@@ -1,7 +1,10 @@
 package graft.ops
 
+import java.time.{Instant, LocalDateTime, ZoneOffset}
+
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DataType, LongType, TimestampNTZType}
 
 /** Shared time-bucket alignment expressions and the canonical `points`
   * view over the driver testdata (SURVEY.md §1.3, FIXTURES.md §2).
@@ -45,6 +48,46 @@ object Buckets {
   def alignTs(tsS: Column, spp: Int): Column =
     (floor(tsS / spp) * spp).cast("long")
 
+  /** ts_s derivation for a raw `events.ts` column, by physical type:
+    * epoch-nanos LongType (legacy TIMESTAMP(NANOS) testdata read under
+    * `nanosAsLong`) divides down; TIMESTAMP / TIMESTAMP_NTZ (the current
+    * TIMESTAMP_MICROS testdata) goes through `unix_timestamp` (session
+    * tz pinned UTC, so NTZ wall-clock == UTC epoch, matching the DuckDB
+    * oracle's `epoch(date_trunc('second', ts))`).
+    */
+  private def tsSOf(dt: DataType): Column = dt match {
+    case LongType => expr("ts div 1000000000")
+    case _        => epochS(col("ts"))
+  }
+
+  /** Range predicate `fromS <= ts < untilS` expressed AGAINST THE RAW
+    * `ts` column in its native type, so Catalyst pushes it into the
+    * Parquet scan (`PushedFilters: [GreaterThanOrEqual(ts,…),
+    * LessThan(ts,…)]` → row-group pruning). A filter on the DERIVED
+    * `ts_s` (`unix_timestamp(ts)` / `ts div 1e9`) is an expression and
+    * never reaches the reader — at 100 TB that is the difference
+    * between reading one day and reading the table.
+    *
+    *  - LongType (epoch nanos): integer bounds, `ts_s >= f ⟺ ts >= f·1e9`
+    *    exactly (nanos are non-negative integers).
+    *  - TIMESTAMP_NTZ (current testdata, micros): [[LocalDateTime]]
+    *    literals — wall-clock compare, tz-free, identical to the UTC
+    *    epoch compare under the pinned UTC session.
+    *  - TIMESTAMP (tz-adjusted): [[Instant]] literals.
+    * Whisper timestamps are integer seconds, so second-resolution
+    * literal bounds are exact for every sub-second physical unit.
+    */
+  private def tsRange(dt: DataType, fromS: Long, untilS: Long): Column = dt match {
+    case LongType =>
+      col("ts") >= fromS * 1000000000L && col("ts") < untilS * 1000000000L
+    case TimestampNTZType =>
+      col("ts") >= lit(LocalDateTime.ofEpochSecond(fromS, 0, ZoneOffset.UTC)) &&
+        col("ts") < lit(LocalDateTime.ofEpochSecond(untilS, 0, ZoneOffset.UTC))
+    case _ =>
+      col("ts") >= lit(Instant.ofEpochSecond(fromS)) &&
+        col("ts") < lit(Instant.ofEpochSecond(untilS))
+  }
+
   /** Whisper `Fetch` endpoint semantics (SURVEY.md §4.4 trap 1): the
     * returned series starts at `floor(from, spp) + spp` (excludes the
     * bucket containing `from`) and ends at `floor(until, spp) + spp`
@@ -58,9 +101,11 @@ object Buckets {
     * `events.parquet` with `metric := event_type`. Column-pruned select so
     * the Parquet scan reads only 3 of 6 columns.
     *
-    * `events.ts` is TIMESTAMP(NANOS) parquet, which Spark 4 only reads
-    * via `spark.sql.legacy.parquet.nanosAsLong` (as epoch-nanos LongType);
-    * `ts div 1e9` then yields exactly whisper's integer-second timestamp.
+    * `events.ts` is currently TIMESTAMP_MICROS (NTZ) parquet; earlier
+    * driver testdata was TIMESTAMP(NANOS), which Spark 4 only reads via
+    * `spark.sql.legacy.parquet.nanosAsLong` (as epoch-nanos LongType).
+    * [[tsSOf]] handles both encodings; the conf stays set so a nanos
+    * regeneration keeps working unchanged.
     */
   def points(spark: SparkSession, sfDir: String): DataFrame = {
     // set-once guard: avoid rewriting session conf on every call (a
@@ -69,34 +114,22 @@ object Buckets {
           .forall(_ != "true"))
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = spark.read.parquet(s"$sfDir/events.parquet")
-    val tsS = raw.schema("ts").dataType match {
-      case org.apache.spark.sql.types.LongType => expr("ts div 1000000000")
-      case _ => epochS(col("ts"))
-    }
-    raw.select(col("event_type").as("metric"), tsS.as("ts_s"), col("value"))
+    raw.select(col("event_type").as("metric"),
+      tsSOf(raw.schema("ts").dataType).as("ts_s"), col("value"))
   }
 
   /** [[points]] restricted to `fromS <= ts_s < untilS`, with the range
-    * predicate applied to the RAW parquet column (epoch-nanos long), not
-    * the derived `ts_s` — a filter on `ts div 1e9` cannot reach the
-    * Parquet reader, while raw-column bounds push into row-group pruning
-    * (`PushedFilters` in the scan). `ts_s >= fromS ⟺ ts >= fromS·1e9`
-    * exactly, since nanos are non-negative integers. At 100 TB this is
-    * the difference between reading one day and reading the table.
+    * predicate applied to the RAW parquet column via [[tsRange]] so it
+    * reaches `PushedFilters` / row-group pruning for every physical
+    * timestamp encoding (nanos-long, micros NTZ, tz-adjusted).
     */
   def pointsInRange(spark: SparkSession, sfDir: String,
       fromS: Long, untilS: Long): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = spark.read.parquet(s"$sfDir/events.parquet")
-    val (filtered, tsS) = raw.schema("ts").dataType match {
-      case org.apache.spark.sql.types.LongType =>
-        (raw.filter(col("ts") >= fromS * 1000000000L &&
-          col("ts") < untilS * 1000000000L), expr("ts div 1000000000"))
-      case _ =>
-        val t = epochS(col("ts"))
-        (raw.filter(t >= fromS && t < untilS), t)
-    }
-    filtered.select(col("event_type").as("metric"), tsS.as("ts_s"), col("value"))
+    val dt = raw.schema("ts").dataType
+    raw.filter(tsRange(dt, fromS, untilS))
+      .select(col("event_type").as("metric"), tsSOf(dt).as("ts_s"), col("value"))
   }
 
   /** [[points]] as a STREAMING source: the same canonical
@@ -111,10 +144,7 @@ object Buckets {
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val path = s"$sfDir/events.parquet"
     val probe = spark.read.parquet(path)
-    val tsS = probe.schema("ts").dataType match {
-      case org.apache.spark.sql.types.LongType => expr("ts div 1000000000")
-      case _ => epochS(col("ts"))
-    }
+    val tsS = tsSOf(probe.schema("ts").dataType)
     // events.parquet may be a single FILE: FileStreamSource force-sets
     // basePath to a NON-glob path itself and then requires it to be a
     // directory — a brace glob selecting exactly this table sidesteps
@@ -140,18 +170,12 @@ object Buckets {
       fromS: Long, untilS: Long): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = spark.read.parquet(s"$sfDir/events.parquet")
-    val (filtered, tsS) = raw.schema("ts").dataType match {
-      case org.apache.spark.sql.types.LongType =>
-        (raw.filter(col("ts") >= fromS * 1000000000L &&
-          col("ts") < untilS * 1000000000L), expr("ts div 1000000000"))
-      case _ =>
-        val t = epochS(col("ts"))
-        (raw.filter(t >= fromS && t < untilS), t)
-    }
-    filtered.select(
-      concat(lit("shard"), pmod(col("user_id"), lit(4)), lit("."),
-        col("event_type")).as("metric"),
-      tsS.as("ts_s"), col("value"))
+    val dt = raw.schema("ts").dataType
+    raw.filter(tsRange(dt, fromS, untilS))
+      .select(
+        concat(lit("shard"), pmod(col("user_id"), lit(4)), lit("."),
+          col("event_type")).as("metric"),
+        tsSOf(dt).as("ts_s"), col("value"))
   }
 
   /** DuckDB twin of [[pointsPathedInRange]]'s metric derivation, with a

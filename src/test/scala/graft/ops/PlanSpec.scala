@@ -23,12 +23,19 @@ class PlanSpec extends AnyFunSuite {
     df.queryExecution.explainString(ExplainMode.fromString("formatted"))
 
   test("fetch queries push the time range into the parquet scan") {
+    // Pin BOTH bounds, on the RAW ts column, whatever its physical
+    // encoding (epoch-nanos long / micros NTZ / tz-adjusted): the
+    // 2026-08 testdata regen from NANOS to MICROS silently turned the
+    // range filter into an expression on unix_timestamp(ts) — correct
+    // answers, full-table scans. This test is the tripwire.
     for (q <- Seq(Fetch.fetchDenseSeries(spark, dir),
                   CoreQueries.fetchRangeFilter(spark, dir))) {
       val p = plan(q)
       assert(p.contains("PushedFilters") &&
         (p.contains("GreaterThanOrEqual(ts") || p.contains("GreaterThan(ts")),
-        s"time bound did not reach the scan:\n$p")
+        s"lower time bound did not reach the scan:\n$p")
+      assert(p.contains("LessThan(ts"),
+        s"upper time bound did not reach the scan:\n$p")
     }
   }
 

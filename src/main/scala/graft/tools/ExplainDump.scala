@@ -14,7 +14,7 @@ object ExplainDump {
   private val Keys: Seq[(String, String)] = Seq(
     "fetch_dense_series" ->
       ("Time bounds reach the parquet scan as `PushedFilters` on the RAW " +
-        "nanos column (row-group pruning); the dense spine joins the " +
+        "ts column (row-group pruning); the dense spine joins the " +
         "aggregate via `BroadcastHashJoin` — no sort-merge shuffle for a " +
         "bounded range."),
     "upsert_batch_lww" ->

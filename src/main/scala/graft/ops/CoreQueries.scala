@@ -341,6 +341,16 @@ object CoreQueries {
     "render_target_top" -> ((s, d) => RenderTarget.renderTargetTop(s, d)),
     "render_target_hitcount" -> ((s, d) => RenderTarget.renderTargetHitcount(s, d)),
     "render_target_above" -> ((s, d) => RenderTarget.renderTargetAbove(s, d)),
+    "render_target_percent" -> ((s, d) => RenderTarget.renderTargetPercent(s, d)),
+    "render_target_sort" -> ((s, d) => RenderTarget.renderTargetSort(s, d)),
+    "render_target_median" -> ((s, d) => RenderTarget.renderTargetMedian(s, d)),
+    "render_target_filter" -> ((s, d) => RenderTarget.renderTargetFilter(s, d)),
+    "render_target_current" -> ((s, d) => RenderTarget.renderTargetCurrent(s, d)),
+    "render_target_pctile" -> ((s, d) => RenderTarget.renderTargetPctile(s, d)),
+    "render_target_trim" -> ((s, d) => RenderTarget.renderTargetTrim(s, d)),
+    "render_target_stdev" -> ((s, d) => RenderTarget.renderTargetStdev(s, d)),
+    "render_target_constant" -> ((s, d) => RenderTarget.renderTargetConstant(s, d)),
+    "render_target_consolidate" -> ((s, d) => RenderTarget.renderTargetConsolidate(s, d)),
     "agg_avg" -> aggQuery(AggregationMethod.Average) _,
     "agg_sum" -> aggQuery(AggregationMethod.Sum) _,
     "agg_last" -> aggQuery(AggregationMethod.Last) _,
@@ -387,6 +397,16 @@ object CoreQueries {
     "render_target_top" -> RenderTarget.renderTargetTopSql,
     "render_target_hitcount" -> RenderTarget.renderTargetHitcountSql,
     "render_target_above" -> RenderTarget.renderTargetAboveSql,
+    "render_target_percent" -> RenderTarget.renderTargetPercentSql,
+    "render_target_sort" -> RenderTarget.renderTargetSortSql,
+    "render_target_median" -> RenderTarget.renderTargetMedianSql,
+    "render_target_filter" -> RenderTarget.renderTargetFilterSql,
+    "render_target_current" -> RenderTarget.renderTargetCurrentSql,
+    "render_target_pctile" -> RenderTarget.renderTargetPctileSql,
+    "render_target_trim" -> RenderTarget.renderTargetTrimSql,
+    "render_target_stdev" -> RenderTarget.renderTargetStdevSql,
+    "render_target_constant" -> RenderTarget.renderTargetConstantSql,
+    "render_target_consolidate" -> RenderTarget.renderTargetConsolidateSql,
     "agg_avg" -> aggFamilySql(AggregationMethod.Average),
     "agg_sum" -> aggFamilySql(AggregationMethod.Sum),
     "agg_last" -> aggFamilySql(AggregationMethod.Last),

@@ -61,14 +61,26 @@ object RenderTarget {
   private val CombineFuncs = Set(
     "sumSeries", "averageSeries", "minSeries", "maxSeries", "countSeries")
 
-  private val Funcs = CombineFuncs ++ Set(
-    "perSecond", "movingAverage", "summarize",
+  /** Trailing-window functions: `f(series, N)` computes over the last N
+    * points — all share movingAverage's history pre-fetch rule.
+    */
+  private val MovingFuncs = Set(
+    "movingAverage", "movingSum", "movingMin", "movingMax", "movingMedian",
+    "stdev")
+
+  private val Funcs = CombineFuncs ++ MovingFuncs ++ Set(
+    "perSecond", "summarize",
     "scale", "offset", "absolute", "derivative", "nonNegativeDerivative",
     "integral", "keepLastValue", "timeShift",
     "divideSeries", "groupByNode", "aliasByNode",
     "highestMax", "highestAverage",
     "transformNull", "removeBelowValue", "removeAboveValue", "alias",
-    "hitcount", "averageAbove")
+    "hitcount", "averageAbove",
+    "asPercent", "exclude", "grep", "aliasSub",
+    "sortByMaxima", "sortByTotal", "sortByName", "limit",
+    "currentAbove", "currentBelow",
+    "percentileOfSeries", "removeAbovePercentile",
+    "constantLine", "consolidateBy", "xFilesFactor")
 
   /** Parse a target string. Globs may contain commas only inside
     * braces (graphite's own constraint), so argument splitting tracks
@@ -100,15 +112,18 @@ object RenderTarget {
           c0 == '\'' || c0 == '"' || c0 == '-' || c0 == '+' || c0.isDigit)
         if (literalSeen || startsLiteral) {
           val (arg, r2) = parseLiteral(t2)
-          // digit-leading SERIES argument (e.g. `sumSeries(a.b, 2xx.count)`):
-          // the numeric parse stops at the first letter/glob char — when
-          // one follows and no literal has been seen yet, the token is a
-          // metric whose first node starts with a digit, not a number.
-          // Re-parse it as a Leaf (the leaf branch consumes to the next
-          // top-level ',' or ')').
-          val quoted = t2.head == '\'' || t2.head == '"'
-          val globContinues = !literalSeen && !quoted &&
-            r2.headOption.exists(c => c.isLetter || "*?{[_".contains(c))
+          // digit-leading SERIES argument (e.g. `sumSeries(a.b, 2xx.count)`
+          // or the reversed-IP shape `10-0-0-1.cpu`): the numeric parse
+          // stops at the first letter/glob/dash char — when one follows
+          // and no literal has been seen yet, the token is a metric whose
+          // first node starts with a digit, not a number. Re-parse it as
+          // a Leaf (the leaf branch consumes to the next top-level ','
+          // or ')'). Sign-started tokens (`-1h`) never re-parse: metrics
+          // cannot start with '+'/'-', so they stay on the literal path
+          // and fail loudly at parse time, and '-' right after digits is
+          // unambiguous too — a numeric literal never continues with it.
+          val globContinues = !literalSeen && t2.head.isDigit &&
+            r2.headOption.exists(c => c.isLetter || "*?{[_-.".contains(c))
           if (globContinues) {
             val (e2, r2b) = parseExpr(t2)
             children += e2
@@ -146,13 +161,26 @@ object RenderTarget {
       require(s.length > body.length + 1, s"unterminated string in target: '$s'")
       (body, s.drop(body.length + 2))
     case Some(c0) if c0 == '-' || c0 == '+' || c0.isDigit =>
-      // numeric literal: optional sign, digits, optional decimal part —
-      // scale(m, 0.5) and offset(m, -3) are graphite-legal unquoted
+      // numeric literal: optional sign, digits, optional decimal part,
+      // optional exponent — scale(m, 0.5), offset(m, -3) and
+      // scale(m, 1e3) are all graphite-legal unquoted. The exponent is
+      // consumed only when digits actually follow the e/E(±), so a
+      // digit-leading metric like `2errors.count` keeps its 'e' for the
+      // Leaf re-parse above.
       val sign = if (c0 == '-' || c0 == '+') 1 else 0
       val num = s.drop(sign).takeWhile(c => c.isDigit || c == '.')
       require(num.nonEmpty && num.head.isDigit,
         s"expected numeric literal in target at: '$s'")
-      (s.take(sign + num.length), s.drop(sign + num.length))
+      val afterNum = s.drop(sign + num.length)
+      val expLen = afterNum.headOption match {
+        case Some('e' | 'E') =>
+          val es = if (afterNum.drop(1).headOption.exists(c => c == '-' || c == '+')) 2 else 1
+          val ed = afterNum.drop(es).takeWhile(_.isDigit)
+          if (ed.nonEmpty) es + ed.length else 0
+        case _ => 0
+      }
+      val len = sign + num.length + expLen
+      (s.take(len), s.drop(len))
     case _ =>
       val tok = s.takeWhile(c => c.isLetterOrDigit)
       require(tok.nonEmpty, s"expected literal in target at: '$s'")
@@ -206,7 +234,7 @@ object RenderTarget {
     */
   def historyExtS(e: Expr, spp: Int): Long = e match {
     case Leaf(_) => 0L
-    case Call("movingAverage", Seq(c), args) =>
+    case Call(f, Seq(c), args) if MovingFuncs(f) =>
       historyExtS(c, spp) + args.head.toLong * stepS(c, spp)
     case Call("timeShift", Seq(c), args) =>
       historyExtS(c, spp) + shiftS(args.head)
@@ -238,6 +266,46 @@ object RenderTarget {
     case f => throw new IllegalArgumentException(s"unknown summarize func '$f'")
   }
 
+  /** The `consolidateBy` annotation in the tree, if any — graphite
+    * stamps it per-series; this engine applies the first one found to
+    * the whole target (one consolidation per render frame).
+    */
+  def consolidationOf(e: Expr): Option[String] = e match {
+    case Leaf(_) => None
+    case Call("consolidateBy", cs, args) =>
+      args.headOption.orElse(cs.flatMap(consolidationOf).headOption)
+    case Call(_, cs, _) => cs.flatMap(consolidationOf).headOption
+  }
+
+  /** The `xFilesFactor` annotation in the tree, if any (render-API xff:
+    * a consolidated bucket is None unless at least this fraction of its
+    * input slots are known).
+    */
+  def xffOf(e: Expr): Option[Double] = e match {
+    case Leaf(_) => None
+    case Call("xFilesFactor", cs, args) =>
+      args.headOption.map(_.toDouble).orElse(cs.flatMap(xffOf).headOption)
+    case Call(_, cs, _) => cs.flatMap(xffOf).headOption
+  }
+
+  /** maxDataPoints consolidation functions (`consolidateBy`'s domain —
+    * graphite render docs). `first`/`last` pick by slot order among
+    * known values: the null-ordering key drops None slots from the
+    * argmin/argmax, so a bucket's value is its first/last KNOWN point.
+    */
+  private def consolidateAgg(func: String): Column = func match {
+    case "average" | "avg" => avg(col("value"))
+    case "sum" => sum(col("value"))
+    case "min" => min(col("value"))
+    case "max" => max(col("value"))
+    case "first" =>
+      min_by(col("value"), when(col("value").isNotNull, col("bucket_ts")))
+    case "last" =>
+      max_by(col("value"), when(col("value").isNotNull, col("bucket_ts")))
+    case f =>
+      throw new IllegalArgumentException(s"unknown consolidation function '$f'")
+  }
+
   /** Evaluate a target over the points table for `[from, until]` at the
     * base resolution `spp`. Output: `(metric, bucket_ts, value)` ordered,
     * trimmed to the coarse bucket containing `from` per the final step.
@@ -248,24 +316,53 @@ object RenderTarget {
       target: String,
       fromS: Long,
       untilS: Long,
-      spp: Int): DataFrame = {
+      spp: Int,
+      maxDataPoints: Int = 0): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val expr0 = parse(target)
     val fromI = Buckets.fetchInterval(fromS, spp)
     val untilI = Buckets.fetchInterval(untilS, spp)
     val extFromI = fromI - historyExtS(expr0, spp)
 
+    // ONE base-table pass shared by every leaf: filter by the UNION of
+    // the leaf regexes, aggregate to (metric, bucket) once, and let each
+    // Leaf re-filter the tiny post-agg frame by its own regex. The leaf
+    // subtrees below the aggregation exchange are then CANONICALLY
+    // IDENTICAL, so Spark's exchange reuse executes the scan + partial
+    // aggregate once per target, not once per leaf — a multi-glob
+    // dashboard target no longer multiplies the scan (at 100 TB the
+    // scan IS the cost; the per-leaf work above the exchange is bounded
+    // by series × buckets).
+    val leafRx = leafGlobs(expr0).distinct.map(Fetch.globToRegex)
+    val sharedAgg = {
+      val matchesAny = leafRx.map(col("metric").rlike(_)).reduce(_ || _)
+      pts.filter(col("ts_s") >= extFromI && col("ts_s") < untilI && matchesAny)
+        .groupBy(col("metric"), Buckets.alignTs(col("ts_s"), spp).as("bucket_ts"))
+        .agg(round(avg(col("value")), 6).as("value"))
+    }
+
+    // Per-leaf selection over [[sharedAgg]]. Multi-glob targets wrap the
+    // regex in an optimizer fence: a plain `rlike` predicate gets pushed
+    // back down through the shared aggregate to the scan, the leaf
+    // subtrees stop being canonically identical, and exchange reuse
+    // cannot dedupe them (observed: 2 scans per leaf). The fence is a
+    // single nondeterministic CASE WHEN whose guard is vacuously true
+    // but not provably so (`rand() < length(metric)+2`; rand ∈ [0,1)) —
+    // unsplittable, unfoldable, so the predicate stays ABOVE the
+    // aggregate and every leaf reuses one scan + one shuffle
+    // (PlanSpec pins the ReusedExchange). Single-glob targets keep the
+    // fully-pushed plan: there is nothing to share.
+    def leafSelect(rx: String): DataFrame =
+      if (leafRx.size < 2) sharedAgg.filter(col("metric").rlike(rx))
+      else sharedAgg.filter(
+        when(rand() < length(col("metric")) + lit(2), col("metric").rlike(rx)))
+
     // (dense series frame, step): every bucket of the node's grid has a
     // row; gaps are NULL values — graphite's None
     def eval(e: Expr): (DataFrame, Long) = e match {
       case Leaf(glob) =>
-        val rx = Fetch.globToRegex(glob)
-        val p = pts.filter(col("ts_s") >= extFromI && col("ts_s") < untilI &&
-          col("metric").rlike(rx))
-        val metrics = p.select(col("metric")).distinct()
-        val agg = p
-          .groupBy(col("metric"), Buckets.alignTs(col("ts_s"), spp).as("bucket_ts"))
-          .agg(round(avg(col("value")), 6).as("value"))
+        val agg = leafSelect(Fetch.globToRegex(glob))
+        val metrics = agg.select(col("metric")).distinct()
         val dense = spark.range(extFromI, untilI, spp.toLong).toDF("bucket_ts")
           .crossJoin(metrics)
           .join(agg, Seq("metric", "bucket_ts"), "left")
@@ -280,13 +377,27 @@ object RenderTarget {
               col("value") >= col("prev"),
               round((col("value") - col("prev")) / step, 6)))
           .select(col("metric"), col("bucket_ts"), col("value")), step)
-      case Call("movingAverage", Seq(c), args) =>
+      case Call(f, Seq(c), args) if MovingFuncs(f) =>
+        // trailing window of the last n points (current included), one
+        // metric-partitioned sort shared by the whole family; nulls are
+        // skipped natively (all-null window → null). stdev is the
+        // population form, graphite's running-deviation line.
         val n = args.head.toInt
-        require(n > 0, "movingAverage window must be positive")
+        require(n > 0, s"$f window must be positive")
         val (df, step) = eval(c)
         val w = Window.partitionBy(col("metric")).orderBy(col("bucket_ts"))
           .rowsBetween(-(n - 1), Window.currentRow)
-        (df.withColumn("value", round(avg(col("value")).over(w), 6)), step)
+        val v = f match {
+          case "movingAverage" => avg(col("value"))
+          case "movingSum" => sum(col("value"))
+          case "movingMin" => min(col("value"))
+          case "movingMax" => max(col("value"))
+          // median is frame-restricted in Spark; percentile(0.5) is the
+          // same continuous median and accepts a rows frame
+          case "movingMedian" => percentile(col("value"), lit(0.5))
+          case "stdev" => stddev_pop(col("value"))
+        }
+        (df.withColumn("value", round(v.over(w), 6)), step)
       case Call(f, cs, _) if CombineFuncs(f) =>
         // N member expressions collapse to one synthetic series; the
         // bucket grid survives the group-by because every member frame
@@ -478,6 +589,138 @@ object RenderTarget {
           .filter(col("rank_v") >= n)
         (df.join(broadcast(keep.select("metric")), Seq("metric"), "left_semi"),
           step)
+      // --------------------------------------- series-name filters:
+      // unanchored regex over the metric name (graphite's re.search
+      // semantics — rlike searches, it doesn't anchor)
+      case Call("exclude", Seq(c), args) =>
+        val (df, step) = eval(c)
+        (df.filter(!col("metric").rlike(args.head)), step)
+      case Call("grep", Seq(c), args) =>
+        val (df, step) = eval(c)
+        (df.filter(col("metric").rlike(args.head)), step)
+      case Call("aliasSub", Seq(c), args) =>
+        val (df, step) = eval(c)
+        (df.withColumn("metric",
+          regexp_replace(col("metric"), args(0), args(1))), step)
+      case Call("asPercent", cs, args) =>
+        // one-series-list form: each member as a percent of the
+        // per-bucket total across ALL members; explicit-total form:
+        // divide by a (single-series) total expression, broadcast like
+        // divideSeries' divisor; literal form: divide by the constant.
+        val (df, step) = eval(cs.head)
+        def pct(total: DataFrame): DataFrame =
+          df.join(broadcast(total), Seq("bucket_ts"))
+            .withColumn("value",
+              when(col("value").isNotNull && col("tot_v").isNotNull &&
+                col("tot_v") =!= 0,
+                round(col("value") / col("tot_v") * 100, 6)))
+            .select(col("metric"), col("bucket_ts"), col("value"))
+        cs.lift(1) match {
+          case Some(totalExpr) =>
+            require(totalExpr match {
+              case Call(n, _, _) => CombineFuncs(n); case _ => false },
+              "asPercent total must be a single series — wrap it in " +
+                "sumSeries/averageSeries/…")
+            val (dt, st) = eval(totalExpr)
+            require(step == st, "asPercent operands must share one step")
+            (pct(dt.select(col("bucket_ts"), col("value").as("tot_v"))), step)
+          case None if args.nonEmpty =>
+            val k = args.head.toDouble
+            (df.withColumn("value", round(col("value") / k * 100, 6)), step)
+          case None =>
+            (pct(df.groupBy(col("bucket_ts"))
+              .agg(sum(col("value")).as("tot_v"))), step)
+        }
+      case Call(f @ ("currentAbove" | "currentBelow"), Seq(c), args) =>
+        // keep series by their LAST non-null value over the requested
+        // window (graphite's safeLast); an all-None series never passes
+        // the comparison. One row per series — broadcast semi join.
+        val n = args.head.toDouble
+        val (df, step) = eval(c)
+        val lo = Math.floorDiv(fromI, step) * step
+        val cur = df.filter(col("bucket_ts") >= lo && col("value").isNotNull)
+          .groupBy(col("metric"))
+          .agg(max_by(col("value"), col("bucket_ts")).as("cur_v"))
+        val keep = cur.filter(
+          if (f == "currentAbove") col("cur_v") >= n else col("cur_v") <= n)
+        (df.join(broadcast(keep.select("metric")), Seq("metric"), "left_semi"),
+          step)
+      case Call("percentileOfSeries", Seq(c), args) =>
+        // per-bucket n-th percentile ACROSS member series → one series;
+        // linear interpolation (percentile ⟷ quantile_cont), nulls
+        // skipped, all-null bucket stays null
+        val n = args.head.toDouble
+        require(n > 0 && n <= 100, "percentileOfSeries n must be in (0, 100]")
+        val (df, step) = eval(c)
+        (df.groupBy(col("bucket_ts"))
+          .agg(round(percentile(col("value"), lit(n / 100)), 6).as("value"))
+          .select(lit("percentileOfSeries").as("metric"), col("bucket_ts"),
+            col("value")), step)
+      case Call("removeAbovePercentile", Seq(c), args) =>
+        // mask values above the series' OWN n-th percentile over the
+        // requested window; the per-series threshold frame is one row
+        // per series — broadcast join back
+        val n = args.head.toDouble
+        require(n > 0 && n <= 100, "removeAbovePercentile n must be in (0, 100]")
+        val (df, step) = eval(c)
+        val lo = Math.floorDiv(fromI, step) * step
+        val thr = broadcast(df.filter(col("bucket_ts") >= lo)
+          .groupBy(col("metric"))
+          .agg(percentile(col("value"), lit(n / 100)).as("thr_v")))
+        (df.join(thr, Seq("metric"), "left")
+          .withColumn("value", when(col("value") <= col("thr_v"), col("value")))
+          .select(col("metric"), col("bucket_ts"), col("value")), step)
+      case Call("limit", Seq(Call(sf @ ("sortByMaxima" | "sortByTotal" |
+          "sortByName"), Seq(c), _)), args) =>
+        // the selecting composition: sortByX orders the series list,
+        // limit keeps the first n — together a top-n series selection
+        // over the requested window (ranking scope as highestMax)
+        val n = args.head.toInt
+        require(n > 0, "limit count must be positive")
+        val (df, step) = eval(c)
+        val lo = Math.floorDiv(fromI, step) * step
+        val ranked = sf match {
+          case "sortByName" =>
+            df.select(col("metric")).distinct().orderBy(col("metric")).limit(n)
+          case _ =>
+            val rankAgg =
+              if (sf == "sortByMaxima") max(col("value")) else sum(col("value"))
+            df.filter(col("bucket_ts") >= lo)
+              .groupBy(col("metric")).agg(rankAgg.as("rank_v"))
+              .orderBy(col("rank_v").desc_nulls_last, col("metric"))
+              .limit(n).select(col("metric"))
+        }
+        (df.join(broadcast(ranked), Seq("metric"), "left_semi"), step)
+      case Call("limit", Seq(c), args) =>
+        // bare limit keeps the first n of the series list — list order
+        // in this engine is the output contract's name order
+        val n = args.head.toInt
+        require(n > 0, "limit count must be positive")
+        val (df, step) = eval(c)
+        val first = df.select(col("metric")).distinct()
+          .orderBy(col("metric")).limit(n)
+        (df.join(broadcast(first), Seq("metric"), "left_semi"), step)
+      case Call("sortByMaxima" | "sortByTotal" | "sortByName", Seq(c), _) =>
+        // bare sort is presentational: the output contract already
+        // orders rows by (metric, bucket_ts); the selecting form is
+        // limit(sortByX(…)) above
+        eval(c)
+      case Call("constantLine", Seq(Leaf(v)), _) =>
+        // no series child — a synthetic constant on the request grid
+        // (graphite draws 3 points; a full grid keeps the frame shape
+        // uniform so combines over it behave)
+        val k = v.toDouble
+        (spark.range(fromI, untilI, spp.toLong).toDF("bucket_ts")
+          .select(lit(v).as("metric"), col("bucket_ts"),
+            lit(k).as("value")), spp.toLong)
+      case Call("consolidateBy", Seq(c), _) =>
+        // annotation, not a transform: the consolidation function it
+        // names is read by [[consolidationOf]] when maxDataPoints
+        // consolidation applies (evaluateConsolidated)
+        eval(c)
+      case Call("xFilesFactor", Seq(c), _) =>
+        // annotation: read by [[xffOf]] at consolidation time
+        eval(c)
       case Call("timeShift", Seq(c), args) =>
         // value at t comes from t − delta; the delta was added to the
         // leaf's history extension by historyExtS, so the child grid
@@ -496,8 +739,31 @@ object RenderTarget {
     val (out, finalStep) = eval(expr0)
     // keep the (possibly partial) final-step bucket containing `from`
     val lo = Math.floorDiv(fromI, finalStep) * finalStep
-    out.filter(col("bucket_ts") >= lo)
-      .orderBy("metric", "bucket_ts")
+    val trimmed = out.filter(col("bucket_ts") >= lo)
+    // maxDataPoints consolidation (graphite's render-frame cap): when
+    // the grid exceeds the cap, merge runs of ceil(buckets/cap) slots —
+    // anchored at `lo`, graphite chunks from the range start — using
+    // the target's consolidateBy function (default average) under its
+    // xFilesFactor gate. Pure re-aggregation of the request-bounded
+    // frame: no new scan, no shuffle beyond the final group-by.
+    val buckets = (untilI - lo + finalStep - 1) / finalStep
+    val consolidated =
+      if (maxDataPoints <= 0 || buckets <= maxDataPoints) trimmed
+      else {
+        val factor = (buckets + maxDataPoints - 1) / maxDataPoints
+        val cStep = finalStep * factor
+        val func = consolidationOf(expr0).getOrElse("average")
+        val xff = xffOf(expr0).getOrElse(0.0)
+        trimmed
+          .groupBy(col("metric"),
+            (lit(lo) + floor((col("bucket_ts") - lo) / cStep) * cStep)
+              .cast("long").as("bucket_ts"))
+          .agg(round(consolidateAgg(func), 6).as("cv"),
+            count(col("value")).as("known"), count(lit(1)).as("total"))
+          .select(col("metric"), col("bucket_ts"),
+            when(col("known") >= col("total") * xff, col("cv")).as("value"))
+      }
+    consolidated.orderBy("metric", "bucket_ts")
   }
 
   // ------------------------------------------------------- fixture keys
@@ -958,6 +1224,250 @@ object RenderTarget {
        |WHERE bucket_ts < $untilI AND bucket_ts >= $lo
        |ORDER BY metric, bucket_ts""".stripMargin
   }
+
+  // ------------------------------------------- round-9 function keys
+
+  private def stdFromI: Long = Buckets.fetchInterval(Buckets.FromS, 60)
+  private def stdUntilI: Long = Buckets.fetchInterval(Buckets.UntilS, 60)
+
+  /** Evaluate `target` over the flat points view on the standard oracle
+    * window, with `extS` seconds of history pre-fetched at the source.
+    */
+  private def evalFlat(spark: SparkSession, sfDir: String, target: String,
+      extS: Long = 0, maxDataPoints: Int = 0): DataFrame =
+    evaluate(spark,
+      Buckets.pointsInRange(spark, sfDir, stdFromI - extS, stdUntilI),
+      target, Buckets.FromS, Buckets.UntilS, 60, maxDataPoints)
+
+  /** [[evalFlat]] over the dotted-path (sharded) points view. */
+  private def evalPathed(spark: SparkSession, sfDir: String, target: String,
+      extS: Long = 0): DataFrame =
+    evaluate(spark,
+      Buckets.pointsPathedInRange(spark, sfDir, stdFromI - extS, stdUntilI),
+      target, Buckets.FromS, Buckets.UntilS, 60)
+
+  /** Shared dense-series CTE prefix for the round-9 oracle twins —
+    * literally the leaf evaluation: ranged scan → per-minute avg →
+    * spine left join (gaps as NULL).
+    */
+  private def denseSqlWith(ptsCte: String, rx: String,
+      fromI: Long, untilI: Long): String =
+    s"""WITH $ptsCte,
+       |mets AS (
+       |  SELECT DISTINCT metric FROM pts
+       |  WHERE ts_s >= $fromI AND ts_s < $untilI
+       |    AND regexp_matches(metric, '$rx')),
+       |agg AS (
+       |  SELECT metric, (ts_s // 60) * 60 AS bucket_ts,
+       |         round(avg(value), 6) AS v
+       |  FROM pts
+       |  WHERE ts_s >= $fromI AND ts_s < $untilI
+       |    AND regexp_matches(metric, '$rx')
+       |  GROUP BY 1, 2),
+       |spine AS (
+       |  SELECT m.metric, r.bucket_ts FROM mets m,
+       |    (SELECT CAST(range AS BIGINT) AS bucket_ts
+       |     FROM range($fromI, $untilI, 60)) r),
+       |dense AS (
+       |  SELECT s.metric, s.bucket_ts, a.v
+       |  FROM spine s LEFT JOIN agg a USING (metric, bucket_ts))""".stripMargin
+
+  private def denseFlatSql: String =
+    denseSqlWith(Buckets.pointsSql, Fetch.globToRegex(Fetch.GlobPattern),
+      stdFromI, stdUntilI)
+
+  private def densePathedSql: String =
+    denseSqlWith(Buckets.pointsPathedSql, Fetch.globToRegex(PathedGlob),
+      stdFromI, stdUntilI)
+
+  /** `render_target_percent`: each event type as a share of the
+    * per-minute total across the matched series — `asPercent(glob)`.
+    */
+  val TargetExprPercent = s"asPercent(${Fetch.GlobPattern})"
+
+  def renderTargetPercent(spark: SparkSession, sfDir: String): DataFrame =
+    evalFlat(spark, sfDir, TargetExprPercent)
+
+  val renderTargetPercentSql: String =
+    s"""$denseFlatSql,
+       |tot AS (SELECT bucket_ts, sum(v) AS tot_v FROM dense GROUP BY 1)
+       |SELECT d.metric, d.bucket_ts,
+       |       CASE WHEN d.v IS NOT NULL AND tot_v IS NOT NULL AND tot_v <> 0
+       |            THEN round(d.v / tot_v * 100, 6) END AS value
+       |FROM dense d JOIN tot USING (bucket_ts)
+       |ORDER BY d.metric, d.bucket_ts""".stripMargin
+
+  /** `render_target_sort`: top-5 series by requested-window total —
+    * the `limit(sortByTotal(…), 5)` selecting composition.
+    */
+  val TargetExprSort = s"limit(sortByTotal($PathedGlob), 5)"
+
+  def renderTargetSort(spark: SparkSession, sfDir: String): DataFrame =
+    evalPathed(spark, sfDir, TargetExprSort)
+
+  val renderTargetSortSql: String =
+    s"""$densePathedSql,
+       |stats AS (
+       |  SELECT metric, sum(v) AS rank_v FROM dense GROUP BY 1),
+       |top_n AS (
+       |  SELECT metric FROM stats
+       |  ORDER BY rank_v DESC NULLS LAST, metric LIMIT 5)
+       |SELECT d.metric, d.bucket_ts, d.v AS value
+       |FROM dense d JOIN top_n USING (metric)
+       |ORDER BY d.metric, d.bucket_ts""".stripMargin
+
+  /** `render_target_median`: combine then a trailing median smooth —
+    * `movingMedian(sumSeries(glob), 10)` (outlier-robust smoothing).
+    */
+  val TargetExprMedian = s"movingMedian(sumSeries(${Fetch.GlobPattern}), 10)"
+
+  def renderTargetMedian(spark: SparkSession, sfDir: String): DataFrame =
+    evalFlat(spark, sfDir, TargetExprMedian, extS = 600L)
+
+  val renderTargetMedianSql: String = {
+    val extFromI = stdFromI - 600L
+    s"""${denseSqlWith(Buckets.pointsSql, Fetch.globToRegex(Fetch.GlobPattern),
+        extFromI, stdUntilI)},
+       |summed AS (
+       |  SELECT bucket_ts, round(sum(v), 6) AS value
+       |  FROM dense GROUP BY 1),
+       |smoothed AS (
+       |  SELECT bucket_ts,
+       |         round(median(value) OVER (ORDER BY bucket_ts
+       |           ROWS BETWEEN 9 PRECEDING AND CURRENT ROW), 6) AS value
+       |  FROM summed)
+       |SELECT 'sumSeries' AS metric, bucket_ts, value FROM smoothed
+       |WHERE bucket_ts >= $stdFromI
+       |ORDER BY bucket_ts""".stripMargin
+  }
+
+  /** `render_target_filter`: regex drop + regex rename —
+    * `aliasSub(exclude(shard*…, 'sign'), '^shard', 'dc')`.
+    */
+  val TargetExprFilter = s"aliasSub(exclude($PathedGlob, 'sign'), '^shard', 'dc')"
+
+  def renderTargetFilter(spark: SparkSession, sfDir: String): DataFrame =
+    evalPathed(spark, sfDir, TargetExprFilter)
+
+  val renderTargetFilterSql: String =
+    s"""$densePathedSql
+       |SELECT regexp_replace(metric, '^shard', 'dc') AS metric,
+       |       bucket_ts, v AS value
+       |FROM dense
+       |WHERE NOT regexp_matches(metric, 'sign')
+       |ORDER BY 1, 2""".stripMargin
+
+  /** `render_target_current`: series whose last known value clears the
+    * threshold — `currentAbove(shard*…, 50)`.
+    */
+  val TargetExprCurrent = s"currentAbove($PathedGlob, 50)"
+
+  def renderTargetCurrent(spark: SparkSession, sfDir: String): DataFrame =
+    evalPathed(spark, sfDir, TargetExprCurrent)
+
+  val renderTargetCurrentSql: String =
+    s"""$densePathedSql,
+       |cur AS (
+       |  SELECT metric, arg_max(v, bucket_ts) AS cur_v
+       |  FROM dense WHERE v IS NOT NULL GROUP BY 1),
+       |keep AS (SELECT metric FROM cur WHERE cur_v >= 50)
+       |SELECT d.metric, d.bucket_ts, d.v AS value
+       |FROM dense d JOIN keep USING (metric)
+       |ORDER BY d.metric, d.bucket_ts""".stripMargin
+
+  /** `render_target_pctile`: per-bucket 90th percentile across the 20
+    * sharded series — `percentileOfSeries(shard*…, 90)`.
+    */
+  val TargetExprPctile = s"percentileOfSeries($PathedGlob, 90)"
+
+  def renderTargetPctile(spark: SparkSession, sfDir: String): DataFrame =
+    evalPathed(spark, sfDir, TargetExprPctile)
+
+  val renderTargetPctileSql: String =
+    s"""$densePathedSql
+       |SELECT 'percentileOfSeries' AS metric, bucket_ts,
+       |       round(quantile_cont(v, 0.9), 6) AS value
+       |FROM dense GROUP BY bucket_ts
+       |ORDER BY bucket_ts""".stripMargin
+
+  /** `render_target_trim`: values above each series' own 80th
+    * percentile masked to None — `removeAbovePercentile(shard*…, 80)`.
+    */
+  val TargetExprTrim = s"removeAbovePercentile($PathedGlob, 80)"
+
+  def renderTargetTrim(spark: SparkSession, sfDir: String): DataFrame =
+    evalPathed(spark, sfDir, TargetExprTrim)
+
+  val renderTargetTrimSql: String =
+    s"""$densePathedSql,
+       |thr AS (
+       |  SELECT metric, quantile_cont(v, 0.8) AS thr_v
+       |  FROM dense GROUP BY 1)
+       |SELECT d.metric, d.bucket_ts,
+       |       CASE WHEN d.v <= thr_v THEN d.v END AS value
+       |FROM dense d LEFT JOIN thr USING (metric)
+       |ORDER BY d.metric, d.bucket_ts""".stripMargin
+
+  /** `render_target_stdev`: combine then the trailing population
+    * deviation — `stdev(sumSeries(glob), 10)`.
+    */
+  val TargetExprStdev = s"stdev(sumSeries(${Fetch.GlobPattern}), 10)"
+
+  def renderTargetStdev(spark: SparkSession, sfDir: String): DataFrame =
+    evalFlat(spark, sfDir, TargetExprStdev, extS = 600L)
+
+  val renderTargetStdevSql: String = {
+    val extFromI = stdFromI - 600L
+    s"""${denseSqlWith(Buckets.pointsSql, Fetch.globToRegex(Fetch.GlobPattern),
+        extFromI, stdUntilI)},
+       |summed AS (
+       |  SELECT bucket_ts, round(sum(v), 6) AS value
+       |  FROM dense GROUP BY 1),
+       |smoothed AS (
+       |  SELECT bucket_ts,
+       |         round(stddev_pop(value) OVER (ORDER BY bucket_ts
+       |           ROWS BETWEEN 9 PRECEDING AND CURRENT ROW), 6) AS value
+       |  FROM summed)
+       |SELECT 'sumSeries' AS metric, bucket_ts, value FROM smoothed
+       |WHERE bucket_ts >= $stdFromI
+       |ORDER BY bucket_ts""".stripMargin
+  }
+
+  /** `render_target_constant`: the reference-line series —
+    * `constantLine(42.5)` on the request grid.
+    */
+  val TargetExprConstant = "constantLine(42.5)"
+
+  def renderTargetConstant(spark: SparkSession, sfDir: String): DataFrame =
+    evalFlat(spark, sfDir, TargetExprConstant)
+
+  val renderTargetConstantSql: String =
+    s"""SELECT '42.5' AS metric, CAST(range AS BIGINT) AS bucket_ts,
+       |       42.5 AS value
+       |FROM range($stdFromI, $stdUntilI, 60)
+       |ORDER BY bucket_ts""".stripMargin
+
+  /** `render_target_consolidate`: the render-frame cap —
+    * `consolidateBy(xFilesFactor(glob, 0.3), 'max')` consolidated to
+    * ≤100 points: 1440 minute slots → 96 15-minute frames, a frame None
+    * unless ≥30% of its slots are known.
+    */
+  val TargetExprConsolidate =
+    s"consolidateBy(xFilesFactor(${Fetch.GlobPattern}, 0.3), 'max')"
+
+  def renderTargetConsolidate(spark: SparkSession, sfDir: String): DataFrame =
+    evalFlat(spark, sfDir, TargetExprConsolidate, maxDataPoints = 100)
+
+  val renderTargetConsolidateSql: String =
+    s"""$denseFlatSql
+       |SELECT metric,
+       |       CAST($stdFromI + ((bucket_ts - $stdFromI) // 900) * 900
+       |         AS BIGINT) AS bucket_ts,
+       |       CASE WHEN count(v) >= count(*) * 0.3
+       |            THEN round(max(v), 6) END AS value
+       |FROM dense
+       |GROUP BY 1, 2
+       |ORDER BY 1, 2""".stripMargin
 
   val renderTargetSmoothSql: String = {
     val fromI = Buckets.fetchInterval(Buckets.FromS, 60)

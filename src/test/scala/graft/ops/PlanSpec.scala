@@ -90,6 +90,24 @@ class PlanSpec extends AnyFunSuite {
       s"pointwise transforms added a shuffle:\n$rate")
   }
 
+  test("multi-leaf render targets execute one base-table scan") {
+    // two DIFFERENT leaf globs: each Leaf re-filters the one shared
+    // (metric, bucket) aggregate, so the subtrees below the aggregation
+    // exchange are canonically identical and exchange reuse runs the
+    // scan + partial aggregate once. Reuse materializes at runtime
+    // under AQE — execute, then inspect the final plan.
+    val q = RenderTarget.evaluate(spark,
+      Buckets.pointsInRange(spark, dir, 1704844860L, 1704931260L),
+      "divideSeries(sumSeries(click), sumSeries(v?ew))",
+      Buckets.FromS, Buckets.UntilS, 60)
+    q.collect()
+    val p = plan(q)
+    val scans = "Scan parquet".r.findAllIn(p).size
+    assert(scans == 1 || p.contains("ReusedExchange") ||
+      p.contains("ReusedQueryStage"),
+      s"each leaf still scans the base table:\n$p")
+  }
+
   test("render fill stacks run-length windows on one metric sort") {
     // keepLastValue needs THREE window passes (cumulative run ids,
     // per-run null counts, then integral's running sum) — all

@@ -88,12 +88,114 @@ class RenderTargetSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](RenderTarget.parse("scale(m.a, -)"))
   }
 
+  test("parser: digit-leading series arguments vs numeric literals") {
+    // a token after ',' that parses as a number but CONTINUES with
+    // metric characters is a digit-leading metric, not a literal
+    assert(RenderTarget.parse("sumSeries(a.b, 2xx.count)") ==
+      Call("sumSeries", Seq(Leaf("a.b"), Leaf("2xx.count")), Nil))
+    // dashed nodes: the reversed-IP/hostname shape
+    assert(RenderTarget.parse("sumSeries(a.b, 10-0-0-1.cpu)") ==
+      Call("sumSeries", Seq(Leaf("a.b"), Leaf("10-0-0-1.cpu")), Nil))
+    // a plain number stays a literal
+    assert(RenderTarget.parse("movingAverage(m.a, 10)") ==
+      Call("movingAverage", Leaf("m.a"), Seq("10")))
+    // scientific notation is a literal, not a glob continuation
+    assert(RenderTarget.parse("scale(m.a, 1e3)") ==
+      Call("scale", Leaf("m.a"), Seq("1e3")))
+    assert(RenderTarget.parse("scale(m.a, 1.5e-2)") ==
+      Call("scale", Leaf("m.a"), Seq("1.5e-2")))
+    // sign-started tokens never re-parse as metrics: unquoted duration
+    // units fail loudly AT PARSE, not with an eval-time mystery
+    intercept[IllegalArgumentException](RenderTarget.parse("timeShift(m.a, -1h)"))
+  }
+
   test("timeShift contributes to the history extension; '+' rejected") {
     val e = RenderTarget.parse("timeShift(movingAverage(m.a, 5), '1h')")
     assert(RenderTarget.historyExtS(e, 60) == 300 + 3600)
     assert(RenderTarget.stepS(e, 60) == 60)
     val plus = RenderTarget.parse("timeShift(m.a, '+1h')")
     intercept[IllegalArgumentException](RenderTarget.historyExtS(plus, 60))
+  }
+
+  test("asPercent: members share of the per-bucket total; gaps stay None") {
+    val p = pts(("m.a", 65L, 30.0), ("m.b", 65L, 10.0), ("m.a", 125L, 5.0))
+    val out = RenderTarget.evaluate(spark, p, "asPercent(m.*)", 0L, 120L, 60)
+      .collect().map(r => (r.getString(0), r.getLong(1), Option(r.get(2))))
+    assert(out.toSeq == Seq(
+      ("m.a", 60L, Some(75.0)), ("m.a", 120L, Some(100.0)),
+      ("m.b", 60L, Some(25.0)), ("m.b", 120L, None)))
+  }
+
+  test("limit(sortByTotal) selects top series; exclude/grep/aliasSub rename") {
+    val p = pts(("m.a", 65L, 100.0), ("m.b", 65L, 10.0), ("m.c", 65L, 50.0))
+    val top = RenderTarget.evaluate(spark, p, "limit(sortByTotal(m.*), 2)",
+      0L, 60L, 60).collect().map(_.getString(0)).distinct
+    assert(top.toSeq == Seq("m.a", "m.c"))
+    val ex = RenderTarget.evaluate(spark, p, "exclude(m.*, 'b')",
+      0L, 60L, 60).collect().map(_.getString(0)).distinct
+    assert(ex.toSeq == Seq("m.a", "m.c"))
+    val gr = RenderTarget.evaluate(spark, p, "aliasSub(grep(m.*, 'b'), '^m', 'x')",
+      0L, 60L, 60).collect().map(_.getString(0)).distinct
+    assert(gr.toSeq == Seq("x.b"))
+  }
+
+  test("currentAbove keeps by last KNOWN value; trailing gaps don't hide it") {
+    // m.a's last point is in bucket 120 (180 is a gap): still its
+    // current value; m.b current = 5 → dropped by currentAbove 20
+    val p = pts(("m.a", 65L, 1.0), ("m.a", 125L, 42.0),
+      ("m.b", 65L, 50.0), ("m.b", 185L, 5.0))
+    val keep = RenderTarget.evaluate(spark, p, "currentAbove(m.*, 20)",
+      0L, 180L, 60).collect().map(_.getString(0)).distinct
+    assert(keep.toSeq == Seq("m.a"))
+  }
+
+  test("movingMedian/movingSum window; stdev population deviation") {
+    val p = pts(("m.a", 65L, 1.0), ("m.a", 125L, 9.0), ("m.a", 185L, 2.0))
+    val med = RenderTarget.evaluate(spark, p, "movingMedian(m.a, 2)",
+      120L, 180L, 60).collect().map(r => Option(r.get(2)))
+    // bucket 180: window {9, 2} → continuous median 5.5
+    assert(med.last == Some(5.5))
+    val ms = RenderTarget.evaluate(spark, p, "movingSum(m.a, 3)",
+      120L, 180L, 60).collect().map(r => Option(r.get(2)))
+    assert(ms.last == Some(12.0))
+    val sd = RenderTarget.evaluate(spark, p, "stdev(m.a, 2)",
+      120L, 180L, 60).collect().map(r => Option(r.get(2)))
+    // population stddev of {9, 2} = 3.5
+    assert(sd.last == Some(3.5))
+  }
+
+  test("percentileOfSeries collapses members; removeAbovePercentile masks") {
+    val p = pts(("m.a", 65L, 1.0), ("m.b", 65L, 2.0), ("m.c", 65L, 3.0),
+      ("m.d", 65L, 4.0))
+    val pc = RenderTarget.evaluate(spark, p, "percentileOfSeries(m.*, 50)",
+      0L, 60L, 60).collect()
+    assert(pc.map(_.getString(0)).toSeq == Seq("percentileOfSeries"))
+    assert(pc.head.getDouble(2) == 2.5) // continuous median of 1..4
+    val tr = RenderTarget.evaluate(spark, p, "removeAbovePercentile(m.*, 75)",
+      0L, 60L, 60).collect()
+      .map(r => (r.getString(0), Option(r.get(2)))).toMap
+    // 75th pct of each single-value series is the value itself → kept
+    assert(tr("m.a") == Some(1.0) && tr("m.d") == Some(4.0))
+  }
+
+  test("constantLine draws the grid; consolidateBy + xFilesFactor cap points") {
+    val cl = RenderTarget.evaluate(spark, pts(("m.a", 65L, 1.0)),
+      "constantLine(42.5)", 0L, 120L, 60).collect()
+    assert(cl.map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSeq ==
+      Seq(("42.5", 60L, 42.5), ("42.5", 120L, 42.5)))
+    // 4 minute slots → maxDataPoints 2 → 2-slot frames anchored at lo:
+    // {60,120} and {180,240}; 'max' consolidation
+    val p = pts(("m.a", 65L, 1.0), ("m.a", 245L, 7.0))
+    val noXff = RenderTarget.evaluate(spark, p,
+      "consolidateBy(m.a, 'max')", 0L, 240L, 60, maxDataPoints = 2)
+      .collect().map(r => (r.getLong(1), Option(r.get(2))))
+    assert(noXff.toSeq == Seq((60L, Some(1.0)), (180L, Some(7.0))))
+    // xff 0.6: both frames know only 1 of 2 slots → None
+    val xff = RenderTarget.evaluate(spark, p,
+      "consolidateBy(xFilesFactor(m.a, 0.6), 'max')", 0L, 240L, 60,
+      maxDataPoints = 2)
+      .collect().map(r => (r.getLong(1), Option(r.get(2))))
+    assert(xff.toSeq == Seq((60L, None), (180L, None)))
   }
 
   test("pointwise: scale/offset/absolute propagate None and round") {

@@ -4,7 +4,8 @@ import java.util.{Map => JMap}
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.write.{LogicalWriteInfo, WriteBuilder}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.sources.{DataSourceRegister, EqualTo, Filter, GreaterThan, GreaterThanOrEqual, In, LessThan, LessThanOrEqual}
@@ -108,11 +109,20 @@ object WspTable {
   }
 }
 
-final class WspTable(roots: Seq[String]) extends Table with SupportsRead {
+final class WspTable(roots: Seq[String]) extends Table
+    with SupportsRead with SupportsWrite {
   override def name(): String = s"wsp:${roots.mkString(",")}"
   override def schema(): StructType = WspTable.Schema
   override def capabilities(): java.util.Set[TableCapability] =
-    java.util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
+    // ACCEPT_ANY_SCHEMA: write frames resolve by NAME in the builder —
+    // the full read schema round-trips, but the lean 4-column contract
+    // (metric, archive, ts_s|bucket_ts, value) writes too, and writers
+    // aren't forced through the read schema's non-null flags
+    java.util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ,
+      TableCapability.BATCH_WRITE, TableCapability.STREAMING_WRITE,
+      TableCapability.TRUNCATE, TableCapability.ACCEPT_ANY_SCHEMA)
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new WspWriteBuilder(roots, info)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new WspScanBuilder(roots, options.getBoolean("listingCache", false),
       Option(options.get("metricRoot")),

@@ -34,8 +34,16 @@ object WspQueries {
     Dedup.sharedIndexPath(s, dir, "events.parquet", "wsp") { base =>
       val level = Ingest.lwwAlign(Buckets.points(s, dir), 60)
         .filter(col("bucket_ts") >= FromB && col("bucket_ts") < NowS)
-      WspWrite.exportLevel(level, base, schema)
-      () // exportLevel is eager (localCheckpoint) — files exist on return
+      // the public DSv2 write surface (save() is an action — files
+      // exist on return), wired here so the oracle-checked roundtrip
+      // exercises df.write.format("wsp") end-to-end, not only the
+      // WspWrite library API
+      level.withColumn("archive", lit(0))
+        .write.format("wsp")
+        .option("retentions", "1m:1d")
+        .option("aggregationMethod", schema.method.name)
+        .option("xFilesFactor", schema.xFilesFactor.toString)
+        .mode("overwrite").save(base)
     }
 
   /** `wsp_roundtrip`: write the 1m LWW level of the last retention day

@@ -58,75 +58,101 @@ object WspWrite {
     val s = points.sparkSession
     import s.implicits._
     val conf = new SerializableConfiguration(s.sessionState.newHadoopConf())
-    val nLevels = schema.retentions.size
-    val expectedLen = WspCodec.fileSize(schema)
     val manifest = points
       .select(col("metric").cast("string"), col("archive").cast("int"),
         col("bucket_ts").cast("long"), col("value").cast("double"))
       .as[(String, Int, Long, Double)]
       .groupByKey(_._1)
       .mapGroups { (metric, rows) =>
-        // one-pass slot-level LWW, O(ring) memory: per archive keep the
-        // max-interval point of each slot CLASS (interval/spp mod N —
-        // base choice only rotates slots, it never splits or merges
-        // classes), so a months-long backfill of a 1440-slot ring holds
-        // 1440 winners, not every input point. Max interval per class =
-        // exactly what applying points in time order leaves behind.
-        val retentions = schema.retentions.toArray
-        val byArchive = Array.fill(nLevels)(
-          scala.collection.mutable.LongMap.empty[(Long, Double)])
-        var n = 0L
-        rows.foreach { case (_, a, ts, v) =>
-          require(a >= 0 && a < nLevels, s"archive index $a out of range for $metric")
-          val r = retentions(a)
-          val cls = java.lang.Math.floorMod(
-            ts / r.secondsPerPoint, r.numberOfPoints.toLong)
-          val prev = byArchive(a).getOrNull(cls)
-          if (prev == null || ts > prev._1) byArchive(a)(cls) = (ts, v)
-          n += 1
-        }
-        val path = new org.apache.hadoop.fs.Path(outDir, s"$metric.wsp")
-        val fs = path.getFileSystem(conf.value)
-        val file =
-          if (mergeExisting && fs.exists(path)) {
-            val st = fs.getFileStatus(path)
-            require(st.getLen == expectedLen,
-              s"$path: ${st.getLen} bytes, schema expects $expectedLen — " +
-                "refusing to merge into a file with a different retention config")
-            val bytes = new Array[Byte](expectedLen)
-            val in = fs.open(path)
-            try in.readFully(0, bytes) finally in.close()
-            // ring geometry must match exactly — same total size does not
-            // imply same (spp, points) layout, and a mismatched merge
-            // would scatter points into the wrong rings
-            val hdr = WspCodec.readHeader(bytes, path.toString)
-            require(
-              hdr.archives.map(a => (a.secondsPerPoint, a.numberOfPoints)) ==
-                schema.retentions.map(r => (r.secondsPerPoint, r.numberOfPoints)),
-              s"$path: on-disk archives ${hdr.archives} do not match schema " +
-                s"${schema.retentions} — refusing to merge")
-            bytes
-          } else WspCodec.emptyFile(schema)
-        val infos = WspCodec.archiveInfos(schema)
-        infos.zipWithIndex.foreach { case (info, i) =>
-          WspCodec.writeArchive(file, info, byArchive(i).values.toSeq)
-        }
-        // write-to-temp + publish: a killed task or a speculative duplicate
-        // attempt must never leave a truncated file (which would wedge
-        // every later merge on the length check), and a concurrent READER
-        // — the streaming-tail use case — must never see a missing file.
-        // The tmp lives in the DESTINATION's directory (a nested metric
-        // like a/b puts the file at outDir/a/b.wsp — a tmp rooted at
-        // outDir would make the publish a cross-directory move), so the
-        // replace is a same-dir atomic rename. See [[publish]] for the
-        // per-scheme guarantee.
-        val tmpPath = new org.apache.hadoop.fs.Path(path.getParent,
-          s".${path.getName}.tmp.${java.util.UUID.randomUUID().toString.take(8)}")
-        publish(fs, conf.value, tmpPath, path, file)
-        (metric, n, file.length.toLong)
+        val acc = new RingAccumulator(schema)
+        rows.foreach { case (_, a, ts, v) => acc.add(metric, a, ts, v) }
+        flushMetric(metric, acc, outDir, schema, mergeExisting, conf.value)
       }
       .toDF("metric", "n_points", "bytes")
     manifest.localCheckpoint(true) // run the write NOW, exactly once
+  }
+
+  /** One metric's pending ring state: one-pass slot-level LWW, O(ring)
+    * memory — per archive keep the max-interval point of each slot
+    * CLASS (interval/spp mod N; the base choice only rotates slots, it
+    * never splits or merges classes), so a months-long backfill of a
+    * 1440-slot ring holds 1440 winners, not every input point. Max
+    * interval per class = exactly what applying points in time order
+    * leaves behind. Shared by the [[export]]/[[merge]] `mapGroups` path
+    * and the DSv2 [[WspBatchWriter]].
+    */
+  private[sources] final class RingAccumulator(schema: WhisperSchema) {
+    private val retentions = schema.retentions.toArray
+    private[sources] val byArchive =
+      Array.fill(retentions.length)(
+        scala.collection.mutable.LongMap.empty[(Long, Double)])
+    private[sources] var n = 0L
+
+    def add(metric: String, a: Int, ts: Long, v: Double): Unit = {
+      require(a >= 0 && a < retentions.length,
+        s"archive index $a out of range for $metric")
+      val r = retentions(a)
+      val cls = java.lang.Math.floorMod(
+        ts / r.secondsPerPoint, r.numberOfPoints.toLong)
+      val prev = byArchive(a).getOrNull(cls)
+      if (prev == null || ts > prev._1) byArchive(a)(cls) = (ts, v)
+      n += 1
+    }
+  }
+
+  /** Pack one metric's accumulated rings into `outDir/<metric>.wsp` and
+    * publish atomically. Returns the manifest row (metric, n_points,
+    * bytes). Safe under task retry: re-flushing the same points is
+    * idempotent (slot-level LWW of identical data), and [[publish]]
+    * replaces whole file images only.
+    */
+  private[sources] def flushMetric(
+      metric: String,
+      acc: RingAccumulator,
+      outDir: String,
+      schema: WhisperSchema,
+      mergeExisting: Boolean,
+      conf: org.apache.hadoop.conf.Configuration): (String, Long, Long) = {
+    val expectedLen = WspCodec.fileSize(schema)
+    val path = new org.apache.hadoop.fs.Path(outDir, s"$metric.wsp")
+    val fs = path.getFileSystem(conf)
+    val file =
+      if (mergeExisting && fs.exists(path)) {
+        val st = fs.getFileStatus(path)
+        require(st.getLen == expectedLen,
+          s"$path: ${st.getLen} bytes, schema expects $expectedLen — " +
+            "refusing to merge into a file with a different retention config")
+        val bytes = new Array[Byte](expectedLen)
+        val in = fs.open(path)
+        try in.readFully(0, bytes) finally in.close()
+        // ring geometry must match exactly — same total size does not
+        // imply same (spp, points) layout, and a mismatched merge
+        // would scatter points into the wrong rings
+        val hdr = WspCodec.readHeader(bytes, path.toString)
+        require(
+          hdr.archives.map(a => (a.secondsPerPoint, a.numberOfPoints)) ==
+            schema.retentions.map(r => (r.secondsPerPoint, r.numberOfPoints)),
+          s"$path: on-disk archives ${hdr.archives} do not match schema " +
+            s"${schema.retentions} — refusing to merge")
+        bytes
+      } else WspCodec.emptyFile(schema)
+    val infos = WspCodec.archiveInfos(schema)
+    infos.zipWithIndex.foreach { case (info, i) =>
+      WspCodec.writeArchive(file, info, acc.byArchive(i).values.toSeq)
+    }
+    // write-to-temp + publish: a killed task or a speculative duplicate
+    // attempt must never leave a truncated file (which would wedge
+    // every later merge on the length check), and a concurrent READER
+    // — the streaming-tail use case — must never see a missing file.
+    // The tmp lives in the DESTINATION's directory (a nested metric
+    // like a/b puts the file at outDir/a/b.wsp — a tmp rooted at
+    // outDir would make the publish a cross-directory move), so the
+    // replace is a same-dir atomic rename. See [[publish]] for the
+    // per-scheme guarantee.
+    val tmpPath = new org.apache.hadoop.fs.Path(path.getParent,
+      s".${path.getName}.tmp.${java.util.UUID.randomUUID().toString.take(8)}")
+    publish(fs, conf, tmpPath, path, file)
+    (metric, acc.n, file.length.toLong)
   }
 
   /** Write the complete file image to `tmpPath`, then replace `dst` with

@@ -305,6 +305,101 @@ class WspSpec extends AnyFunSuite {
     assert(WspCodec.archiveBase(bytes, WspCodec.archiveInfos(schema).head) == 1000L)
   }
 
+  test("DSv2 write: overwrite creates files, append merges into them") {
+    import spark.implicits._
+    val dir = tmp()
+    def save(mode: String, rows: (String, Int, Long, Double)*): Unit =
+      rows.toDF("metric", "archive", "ts_s", "value")
+        .write.format("wsp")
+        .option("retentions", "10s:6,60s:5")
+        .option("aggregationMethod", "sum")
+        .option("xFilesFactor", "0")
+        .mode(mode).save(dir)
+    save("overwrite", ("cpu", 0, 1000L, 1.0), ("cpu", 0, 1010L, 2.0),
+      ("mem", 1, 960L, 5.0))
+    // append merges: old slots survive, same slots overwrite, new
+    // metrics appear — the carbon-daemon batch shape through
+    // df.write.format("wsp")
+    save("append", ("cpu", 0, 1010L, 9.0), ("cpu", 0, 1020L, 3.0),
+      ("gpu", 0, 500L, 7.0))
+    val back = spark.read.format("wsp").load(dir)
+      .select("metric", "archive", "ts_s", "value")
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+      .toSet
+    assert(back == Set(
+      ("cpu", 0, 1000L, 1.0), ("cpu", 0, 1010L, 9.0), ("cpu", 0, 1020L, 3.0),
+      ("mem", 1, 960L, 5.0), ("gpu", 0, 500L, 7.0)))
+  }
+
+  test("DSv2 write: the full read schema round-trips through save") {
+    import spark.implicits._
+    val src = tmp(); val dst = tmp()
+    WspWrite.export(
+      Seq(("cpu", 0, 1000L, 1.5), ("mem", 1, 960L, 5.0))
+        .toDF("metric", "archive", "bucket_ts", "value"),
+      src, schema)
+    // scan → write: the DSv2 contract is symmetric, spp/points included
+    // (and validated against the retentions option)
+    spark.read.format("wsp").load(src)
+      .write.format("wsp")
+      .option("retentions", "10s:6,60s:5")
+      .option("aggregationMethod", "sum").option("xFilesFactor", "0")
+      .mode("overwrite").save(dst)
+    val back = spark.read.format("wsp").load(dst)
+      .select("metric", "archive", "spp", "points", "ts_s", "value").collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getInt(2), r.getInt(3),
+        r.getLong(4), r.getDouble(5))).toSet
+    assert(back == Set(
+      ("cpu", 0, 10, 6, 1000L, 1.5), ("mem", 1, 60, 5, 960L, 5.0)))
+  }
+
+  test("DSv2 write: missing retentions, bad columns, wrong geometry fail loudly") {
+    import spark.implicits._
+    val dir = tmp()
+    val ok = Seq(("cpu", 0, 1000L, 1.0)).toDF("metric", "archive", "ts_s", "value")
+    val e1 = intercept[Exception] {
+      ok.write.format("wsp").mode("append").save(dir)
+    }
+    assert(e1.getMessage.contains("retentions"))
+    val e2 = intercept[Exception] {
+      ok.drop("ts_s").write.format("wsp")
+        .option("retentions", "10s:6").mode("append").save(dir)
+    }
+    assert(e2.getMessage.contains("ts_s or bucket_ts"))
+    // spp from a DIFFERENT retention config: per-row cross-check trips
+    val e3 = intercept[Exception] {
+      ok.withColumn("spp", org.apache.spark.sql.functions.lit(30))
+        .write.format("wsp")
+        .option("retentions", "10s:6").mode("append").save(dir)
+    }
+    assert(e3.getMessage.contains("does not match the retentions") ||
+      Option(e3.getCause).exists(_.getMessage.contains("does not match the retentions")))
+  }
+
+  test("DSv2 streaming write: each epoch merges, bucket_ts alias accepted") {
+    import spark.implicits._
+    val dir = tmp()
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(String, Int, Long, Double)]
+    val q = ms.toDF().toDF("metric", "archive", "bucket_ts", "value")
+      .writeStream.format("wsp")
+      .option("retentions", "10s:6,60s:5")
+      .option("aggregationMethod", "sum").option("xFilesFactor", "0")
+      .option("checkpointLocation", tmp())
+      .start(dir)
+    try {
+      ms.addData(("cpu", 0, 1000L, 1.0)); q.processAllAvailable()
+      // epoch 2 must MERGE into the live file, not recreate it
+      ms.addData(("cpu", 0, 1010L, 2.0), ("gpu", 0, 500L, 7.0))
+      q.processAllAvailable()
+    } finally q.stop()
+    val back = spark.read.format("wsp").load(dir)
+      .select("metric", "ts_s", "value")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(back == Set(
+      ("cpu", 1000L, 1.0), ("cpu", 1010L, 2.0), ("gpu", 500L, 7.0)))
+  }
+
   test("merge is idempotent: replaying a batch leaves identical bytes") {
     import spark.implicits._
     val dir = tmp()

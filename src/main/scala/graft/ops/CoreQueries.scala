@@ -351,6 +351,12 @@ object CoreQueries {
     "render_target_stdev" -> ((s, d) => RenderTarget.renderTargetStdev(s, d)),
     "render_target_constant" -> ((s, d) => RenderTarget.renderTargetConstant(s, d)),
     "render_target_consolidate" -> ((s, d) => RenderTarget.renderTargetConsolidate(s, d)),
+    "render_target_diff" -> ((s, d) => RenderTarget.renderTargetDiff(s, d)),
+    "render_target_math" -> ((s, d) => RenderTarget.renderTargetMath(s, d)),
+    "render_target_spread" -> ((s, d) => RenderTarget.renderTargetSpread(s, d)),
+    "render_target_stack" -> ((s, d) => RenderTarget.renderTargetStack(s, d)),
+    "render_target_nonnull" -> ((s, d) => RenderTarget.renderTargetNonnull(s, d)),
+    "render_target_select2" -> ((s, d) => RenderTarget.renderTargetSelect2(s, d)),
     "agg_avg" -> aggQuery(AggregationMethod.Average) _,
     "agg_sum" -> aggQuery(AggregationMethod.Sum) _,
     "agg_last" -> aggQuery(AggregationMethod.Last) _,
@@ -407,6 +413,12 @@ object CoreQueries {
     "render_target_stdev" -> RenderTarget.renderTargetStdevSql,
     "render_target_constant" -> RenderTarget.renderTargetConstantSql,
     "render_target_consolidate" -> RenderTarget.renderTargetConsolidateSql,
+    "render_target_diff" -> RenderTarget.renderTargetDiffSql,
+    "render_target_math" -> RenderTarget.renderTargetMathSql,
+    "render_target_spread" -> RenderTarget.renderTargetSpreadSql,
+    "render_target_stack" -> RenderTarget.renderTargetStackSql,
+    "render_target_nonnull" -> RenderTarget.renderTargetNonnullSql,
+    "render_target_select2" -> RenderTarget.renderTargetSelect2Sql,
     "agg_avg" -> aggFamilySql(AggregationMethod.Average),
     "agg_sum" -> aggFamilySql(AggregationMethod.Sum),
     "agg_last" -> aggFamilySql(AggregationMethod.Last),

@@ -59,7 +59,8 @@ object RenderTarget {
     * output metric is the function's own name, graphite-style).
     */
   private val CombineFuncs = Set(
-    "sumSeries", "averageSeries", "minSeries", "maxSeries", "countSeries")
+    "sumSeries", "averageSeries", "minSeries", "maxSeries", "countSeries",
+    "rangeOfSeries", "stddevSeries")
 
   /** Trailing-window functions: `f(series, N)` computes over the last N
     * points — all share movingAverage's history pre-fetch rule.
@@ -80,7 +81,14 @@ object RenderTarget {
     "sortByMaxima", "sortByTotal", "sortByName", "limit",
     "currentAbove", "currentBelow",
     "percentileOfSeries", "removeAbovePercentile",
-    "constantLine", "consolidateBy", "xFilesFactor")
+    "constantLine", "consolidateBy", "xFilesFactor",
+    "diffSeries", "multiplySeries",
+    "logarithm", "pow", "squareRoot", "invert", "offsetToZero",
+    "scaleToSeconds", "isNonNull", "changed",
+    "removeBelowPercentile", "nPercentile",
+    "highestCurrent", "lowestCurrent", "lowestAverage", "averageBelow",
+    "maximumAbove", "maximumBelow", "minimumAbove", "minimumBelow",
+    "timeStack")
 
   /** Parse a target string. Globs may contain commas only inside
     * braces (graphite's own constraint), so argument splitting tracks
@@ -238,6 +246,9 @@ object RenderTarget {
       historyExtS(c, spp) + args.head.toLong * stepS(c, spp)
     case Call("timeShift", Seq(c), args) =>
       historyExtS(c, spp) + shiftS(args.head)
+    case Call("timeStack", Seq(c), args) =>
+      // deepest copy: shiftEnd × unit back in time
+      historyExtS(c, spp) + args(2).toLong * durationS(args.head)
     case Call(_, cs, _) => cs.map(historyExtS(_, spp)).max
   }
 
@@ -415,6 +426,8 @@ object RenderTarget {
           case "minSeries" => min(col("value"))
           case "maxSeries" => max(col("value"))
           case "countSeries" => count(lit(1)).cast("double")
+          case "rangeOfSeries" => round(max(col("value")) - min(col("value")), 6)
+          case "stddevSeries" => round(stddev_pop(col("value")), 6)
         }
         (df.groupBy(col("bucket_ts")).agg(v.as("value"))
           .select(lit(f).as("metric"), col("bucket_ts"), col("value")),
@@ -589,6 +602,174 @@ object RenderTarget {
           .filter(col("rank_v") >= n)
         (df.join(broadcast(keep.select("metric")), Seq("metric"), "left_semi"),
           step)
+      case Call("diffSeries", cs, _) if cs.size >= 2 =>
+        // series 1 minus the rest: tag member 0 positive, the rest
+        // negated, then one null-skipping per-bucket sum — graphite's
+        // rule (None counts as 0 unless EVERY member is None) for free
+        val evald = cs.map(eval)
+        val steps = evald.map(_._2).distinct
+        require(steps.size == 1,
+          s"diffSeries: member series must share one step (got ${steps.mkString(", ")})")
+        val tagged = evald.zipWithIndex.map { case ((df, _), i) =>
+          df.withColumn("value", if (i == 0) col("value") else -col("value"))
+        }
+        (tagged.reduce(_ unionByName _)
+          .groupBy(col("bucket_ts")).agg(round(sum(col("value")), 6).as("value"))
+          .select(lit("diffSeries").as("metric"), col("bucket_ts"), col("value")),
+          steps.head)
+      case Call("multiplySeries", cs, _) =>
+        // per-bucket product across members; no product aggregate in
+        // Spark, so collect the (member-count-bounded) values and fold.
+        // Graphite's safeMul is STRICT: any None member makes the
+        // bucket None (unlike the None-as-0 sum family) — the
+        // known-vs-total guard enforces it
+        val evald = cs.map(eval)
+        val steps = evald.map(_._2).distinct
+        require(steps.size == 1,
+          s"multiplySeries: member series must share one step (got ${steps.mkString(", ")})")
+        val u = evald.map(_._1).reduce(_ unionByName _)
+        (u.groupBy(col("bucket_ts"))
+          .agg(collect_list(col("value")).as("vs"),
+            count(col("value")).as("kn"), count(lit(1)).as("tot"))
+          .select(lit("multiplySeries").as("metric"), col("bucket_ts"),
+            when(col("kn") === col("tot"), round(aggregate(col("vs"), lit(1.0),
+              (acc, x) => acc * x), 6)).as("value")), steps.head)
+      // --------------------------------------- pointwise math tier:
+      case Call("logarithm", Seq(c), args) =>
+        val base = args.headOption.map(_.toDouble).getOrElse(10.0)
+        val (df, step) = eval(c)
+        (df.withColumn("value",
+          when(col("value") > 0, round(log(base, col("value")), 6))), step)
+      case Call("pow", Seq(c), args) =>
+        val n = args.head.toDouble
+        val (df, step) = eval(c)
+        (df.withColumn("value", round(pow(col("value"), n), 6)), step)
+      case Call("squareRoot", Seq(c), _) =>
+        val (df, step) = eval(c)
+        (df.withColumn("value",
+          when(col("value") >= 0, round(sqrt(col("value")), 6))), step)
+      case Call("invert", Seq(c), _) =>
+        val (df, step) = eval(c)
+        (df.withColumn("value",
+          when(col("value") =!= 0, round(lit(1.0) / col("value"), 6))), step)
+      case Call("scaleToSeconds", Seq(c), args) =>
+        // per-step values re-expressed per N seconds: × N/step — the
+        // unit-conversion sibling of scale that tracks the series step
+        val sec = args.head.toDouble
+        val (df, step) = eval(c)
+        (df.withColumn("value", round(col("value") * (sec / step), 6)), step)
+      case Call("offsetToZero", Seq(c), _) =>
+        // shift each series down by its own requested-window minimum —
+        // per-series one-row frame, broadcast back
+        val (df, step) = eval(c)
+        val lo = Math.floorDiv(fromI, step) * step
+        val mins = broadcast(df.filter(col("bucket_ts") >= lo)
+          .groupBy(col("metric")).agg(min(col("value")).as("min_v")))
+        (df.join(mins, Seq("metric"), "left")
+          .withColumn("value", round(col("value") - col("min_v"), 6))
+          .select(col("metric"), col("bucket_ts"), col("value")), step)
+      case Call("isNonNull", Seq(c), _) =>
+        val (df, step) = eval(c)
+        (df.withColumn("value",
+          when(col("value").isNotNull, 1.0).otherwise(0.0)), step)
+      case Call("changed", Seq(c), _) =>
+        // 1 where the value differs from the previous KNOWN-pair point,
+        // else 0 (graphite: None on either side compares unchanged)
+        val (df, step) = eval(c)
+        val w = Window.partitionBy(col("metric")).orderBy(col("bucket_ts"))
+        (df.withColumn("prev", lag(col("value"), 1).over(w))
+          .withColumn("value",
+            when(col("value").isNotNull && col("prev").isNotNull &&
+              col("value") =!= col("prev"), 1.0).otherwise(0.0))
+          .select(col("metric"), col("bucket_ts"), col("value")), step)
+      case Call("removeBelowPercentile", Seq(c), args) =>
+        val n = args.head.toDouble
+        require(n > 0 && n <= 100, "removeBelowPercentile n must be in (0, 100]")
+        val (df, step) = eval(c)
+        val lo = Math.floorDiv(fromI, step) * step
+        val thr = broadcast(df.filter(col("bucket_ts") >= lo)
+          .groupBy(col("metric"))
+          .agg(percentile(col("value"), lit(n / 100)).as("thr_v")))
+        (df.join(thr, Seq("metric"), "left")
+          .withColumn("value", when(col("value") >= col("thr_v"), col("value")))
+          .select(col("metric"), col("bucket_ts"), col("value")), step)
+      case Call("nPercentile", Seq(c), args) =>
+        // each series becomes the flat line of its own requested-window
+        // n-th percentile
+        val n = args.head.toDouble
+        require(n > 0 && n <= 100, "nPercentile n must be in (0, 100]")
+        val (df, step) = eval(c)
+        val lo = Math.floorDiv(fromI, step) * step
+        val pct = broadcast(df.filter(col("bucket_ts") >= lo)
+          .groupBy(col("metric"))
+          .agg(round(percentile(col("value"), lit(n / 100)), 6).as("pct_v")))
+        (df.join(pct, Seq("metric"), "left")
+          .select(col("metric"), col("bucket_ts"), col("pct_v").as("value")),
+          step)
+      case Call(f @ ("highestCurrent" | "lowestCurrent"), Seq(c), args) =>
+        // rank series by their last KNOWN value, keep the top/bottom n
+        val n = args.head.toInt
+        require(n > 0, s"$f count must be positive")
+        val (df, step) = eval(c)
+        val lo = Math.floorDiv(fromI, step) * step
+        val cur = df.filter(col("bucket_ts") >= lo && col("value").isNotNull)
+          .groupBy(col("metric"))
+          .agg(max_by(col("value"), col("bucket_ts")).as("cur_v"))
+        val ranked = (if (f == "highestCurrent")
+            cur.orderBy(col("cur_v").desc_nulls_last, col("metric"))
+          else cur.orderBy(col("cur_v").asc_nulls_last, col("metric")))
+          .limit(n).select(col("metric"))
+        (df.join(broadcast(ranked), Seq("metric"), "left_semi"), step)
+      case Call("lowestAverage", Seq(c), args) =>
+        val n = args.head.toInt
+        require(n > 0, "lowestAverage count must be positive")
+        val (df, step) = eval(c)
+        val lo = Math.floorDiv(fromI, step) * step
+        val ranked = df.filter(col("bucket_ts") >= lo)
+          .groupBy(col("metric")).agg(avg(col("value")).as("rank_v"))
+          .orderBy(col("rank_v").asc_nulls_last, col("metric"))
+          .limit(n).select(col("metric"))
+        (df.join(broadcast(ranked), Seq("metric"), "left_semi"), step)
+      case Call("averageBelow", Seq(c), args) =>
+        val n = args.head.toDouble
+        val (df, step) = eval(c)
+        val lo = Math.floorDiv(fromI, step) * step
+        val keep = df.filter(col("bucket_ts") >= lo)
+          .groupBy(col("metric")).agg(avg(col("value")).as("rank_v"))
+          .filter(col("rank_v") <= n)
+        (df.join(broadcast(keep.select("metric")), Seq("metric"), "left_semi"),
+          step)
+      case Call(f @ ("maximumAbove" | "maximumBelow" | "minimumAbove" |
+          "minimumBelow"), Seq(c), args) =>
+        // threshold selection on the series' requested-window extremum
+        // (graphite uses strict comparisons for these four)
+        val n = args.head.toDouble
+        val (df, step) = eval(c)
+        val lo = Math.floorDiv(fromI, step) * step
+        val ext = if (f.startsWith("maximum")) max(col("value")) else min(col("value"))
+        val keep = df.filter(col("bucket_ts") >= lo)
+          .groupBy(col("metric")).agg(ext.as("ext_v"))
+          .filter(if (f.endsWith("Above")) col("ext_v") > n else col("ext_v") < n)
+        (df.join(broadcast(keep.select("metric")), Seq("metric"), "left_semi"),
+          step)
+      case Call("timeStack", Seq(c), args) =>
+        // the N-copies week-over-week overlay: shifted copies of the
+        // child for i in [start, end], each re-stamped forward by
+        // i × unit and suffixed `@-i` — the deepest copy's history was
+        // already pre-fetched via historyExtS
+        val delta = durationS(args(0))
+        val start = args(1).toInt
+        val end = args(2).toInt
+        require(start >= 0 && end >= start,
+          "timeStack needs 0 <= shiftStart <= shiftEnd")
+        val (df, step) = eval(c)
+        require(delta % step == 0,
+          s"timeStack unit ${args(0)} must be a multiple of the series step")
+        val copies = (start to end).map { i =>
+          df.withColumn("bucket_ts", col("bucket_ts") + i * delta)
+            .withColumn("metric", concat(col("metric"), lit(s"@-$i")))
+        }
+        (copies.reduce(_ unionByName _).filter(col("bucket_ts") < untilI), step)
       // --------------------------------------- series-name filters:
       // unanchored regex over the metric name (graphite's re.search
       // semantics — rlike searches, it doesn't anchor)
@@ -1468,6 +1649,133 @@ object RenderTarget {
        |FROM dense
        |GROUP BY 1, 2
        |ORDER BY 1, 2""".stripMargin
+
+  /** `render_target_diff`: headroom panel — `diffSeries(maxSeries(g),
+    * averageSeries(g))` (peak minus mean across the matched series).
+    */
+  val TargetExprDiff =
+    s"diffSeries(maxSeries(${Fetch.GlobPattern}), averageSeries(${Fetch.GlobPattern}))"
+
+  def renderTargetDiff(spark: SparkSession, sfDir: String): DataFrame =
+    evalFlat(spark, sfDir, TargetExprDiff)
+
+  val renderTargetDiffSql: String =
+    s"""$denseFlatSql,
+       |mx AS (SELECT bucket_ts, max(v) AS value FROM dense GROUP BY 1),
+       |av AS (SELECT bucket_ts, round(avg(v), 6) AS value FROM dense GROUP BY 1)
+       |SELECT 'diffSeries' AS metric, m.bucket_ts,
+       |       CASE WHEN m.value IS NULL AND a.value IS NULL THEN NULL
+       |            ELSE round(coalesce(m.value, 0) - coalesce(a.value, 0), 6)
+       |       END AS value
+       |FROM mx m JOIN av a USING (bucket_ts)
+       |ORDER BY m.bucket_ts""".stripMargin
+
+  /** `render_target_math`: the pointwise math tier stacked —
+    * `squareRoot(invert(scaleToSeconds(g, 300)))`.
+    */
+  val TargetExprMath =
+    s"squareRoot(invert(scaleToSeconds(${Fetch.GlobPattern}, 300)))"
+
+  def renderTargetMath(spark: SparkSession, sfDir: String): DataFrame =
+    evalFlat(spark, sfDir, TargetExprMath)
+
+  val renderTargetMathSql: String =
+    s"""$denseFlatSql,
+       |s1 AS (
+       |  SELECT metric, bucket_ts, round(v * 5.0, 6) AS v FROM dense),
+       |s2 AS (
+       |  SELECT metric, bucket_ts,
+       |         CASE WHEN v <> 0 THEN round(1.0 / v, 6) END AS v FROM s1)
+       |SELECT metric, bucket_ts,
+       |       CASE WHEN v >= 0 THEN round(sqrt(v), 6) END AS value
+       |FROM s2
+       |ORDER BY metric, bucket_ts""".stripMargin
+
+  /** `render_target_spread`: per-minute spread across the 20 sharded
+    * series — `rangeOfSeries(shard*…)`.
+    */
+  val TargetExprSpread = s"rangeOfSeries($PathedGlob)"
+
+  def renderTargetSpread(spark: SparkSession, sfDir: String): DataFrame =
+    evalPathed(spark, sfDir, TargetExprSpread)
+
+  val renderTargetSpreadSql: String =
+    s"""$densePathedSql
+       |SELECT 'rangeOfSeries' AS metric, bucket_ts,
+       |       round(max(v) - min(v), 6) AS value
+       |FROM dense GROUP BY bucket_ts
+       |ORDER BY bucket_ts""".stripMargin
+
+  /** `render_target_stack`: the week-over-week overlay —
+    * `timeStack(sumSeries(g), '1h', 0, 2)` (three shifted copies).
+    */
+  val TargetExprStack = s"timeStack(sumSeries(${Fetch.GlobPattern}), '1h', 0, 2)"
+
+  def renderTargetStack(spark: SparkSession, sfDir: String): DataFrame =
+    evalFlat(spark, sfDir, TargetExprStack, extS = 7200L)
+
+  val renderTargetStackSql: String = {
+    val extFromI = stdFromI - 7200L
+    s"""${denseSqlWith(Buckets.pointsSql, Fetch.globToRegex(Fetch.GlobPattern),
+        extFromI, stdUntilI)},
+       |summed AS (
+       |  SELECT bucket_ts, round(sum(v), 6) AS value
+       |  FROM dense GROUP BY 1),
+       |stacked AS (
+       |  SELECT 'sumSeries@-' || i AS metric,
+       |         bucket_ts + i * 3600 AS bucket_ts, value
+       |  FROM summed, (SELECT unnest([0, 1, 2]) AS i))
+       |SELECT metric, bucket_ts, value FROM stacked
+       |WHERE bucket_ts >= $stdFromI AND bucket_ts < $stdUntilI
+       |ORDER BY metric, bucket_ts""".stripMargin
+  }
+
+  /** `render_target_nonnull`: gap-boundary detector —
+    * `changed(isNonNull(g))` (1 exactly where presence flips).
+    */
+  val TargetExprNonnull = s"changed(isNonNull(${Fetch.GlobPattern}))"
+
+  def renderTargetNonnull(spark: SparkSession, sfDir: String): DataFrame =
+    evalFlat(spark, sfDir, TargetExprNonnull)
+
+  val renderTargetNonnullSql: String =
+    s"""$denseFlatSql,
+       |nn AS (
+       |  SELECT metric, bucket_ts,
+       |         CASE WHEN v IS NOT NULL THEN 1.0 ELSE 0.0 END AS v
+       |  FROM dense),
+       |lagged AS (
+       |  SELECT metric, bucket_ts, v,
+       |         lag(v) OVER (PARTITION BY metric ORDER BY bucket_ts) AS prev
+       |  FROM nn)
+       |SELECT metric, bucket_ts,
+       |       CASE WHEN v IS NOT NULL AND prev IS NOT NULL AND v <> prev
+       |            THEN 1.0 ELSE 0.0 END AS value
+       |FROM lagged
+       |ORDER BY metric, bucket_ts""".stripMargin
+
+  /** `render_target_select2`: threshold + rank composed —
+    * `lowestAverage(maximumAbove(shard*…, 80), 3)` (series that ever
+    * spike above 80, then the 3 calmest of them).
+    */
+  val TargetExprSelect2 = s"lowestAverage(maximumAbove($PathedGlob, 80), 3)"
+
+  def renderTargetSelect2(spark: SparkSession, sfDir: String): DataFrame =
+    evalPathed(spark, sfDir, TargetExprSelect2)
+
+  val renderTargetSelect2Sql: String =
+    s"""$densePathedSql,
+       |spiky AS (
+       |  SELECT metric FROM dense GROUP BY 1 HAVING max(v) > 80),
+       |stats AS (
+       |  SELECT d.metric, avg(d.v) AS rank_v
+       |  FROM dense d JOIN spiky USING (metric) GROUP BY 1),
+       |calm AS (
+       |  SELECT metric FROM stats
+       |  ORDER BY rank_v ASC NULLS LAST, metric LIMIT 3)
+       |SELECT d.metric, d.bucket_ts, d.v AS value
+       |FROM dense d JOIN calm USING (metric)
+       |ORDER BY d.metric, d.bucket_ts""".stripMargin
 
   val renderTargetSmoothSql: String = {
     val fromI = Buckets.fetchInterval(Buckets.FromS, 60)

@@ -344,7 +344,12 @@ object WspTools {
     * the same tmp+rename discipline as every other write), never a
     * driver file loop. `method`/`xff` are each optional; ring data is
     * untouched. Returns the per-file manifest
-    * (path, old_method, old_xff) — the write has run on return.
+    * (path, old_method, old_xff, patched) — the write has run on
+    * return. `patched` records whether THIS run rewrote the file; the
+    * rewrite is at-least-once (task retry, speculation), so a file
+    * already carrying the target header is skipped with
+    * `patched = false`, in which case old_method/old_xff report the
+    * CURRENT (post-patch) header values, not the pre-patch ones.
     */
   def rewriteHeaders(
       spark: SparkSession,

@@ -198,6 +198,70 @@ class RenderTargetSpec extends AnyFunSuite {
     assert(xff.toSeq == Seq((60L, None), (180L, None)))
   }
 
+  test("diffSeries None-as-0; multiplySeries strict; range/stddev combines") {
+    val p = pts(("m.a", 65L, 5.0), ("m.b", 65L, 3.0), ("m.a", 125L, 2.0))
+    def vals(t: String) = RenderTarget.evaluate(spark, p, t, 0L, 120L, 60)
+      .collect().map(r => Option(r.get(2))).toSeq
+    // bucket 120: b is None → treated as 0 for diff, strict for multiply
+    assert(vals("diffSeries(m.a, m.b)") == Seq(Some(2.0), Some(2.0)))
+    assert(vals("multiplySeries(m.a, m.b)") == Seq(Some(15.0), None))
+    assert(vals("rangeOfSeries(m.*)") == Seq(Some(2.0), Some(0.0)))
+    assert(vals("stddevSeries(m.*)") == Seq(Some(1.0), Some(0.0)))
+  }
+
+  test("pointwise math tier: log/pow/sqrt/invert/scaleToSeconds/offsetToZero") {
+    val p = pts(("m.a", 65L, 100.0), ("m.a", 125L, 4.0))
+    def vals(t: String) = RenderTarget.evaluate(spark, p, t, 0L, 120L, 60)
+      .collect().map(r => Option(r.get(2))).toSeq
+    assert(vals("logarithm(m.a, 10)") == Seq(Some(2.0), Some(0.60206)))
+    assert(vals("pow(m.a, 2)") == Seq(Some(10000.0), Some(16.0)))
+    assert(vals("squareRoot(m.a)") == Seq(Some(10.0), Some(2.0)))
+    assert(vals("invert(m.a)") == Seq(Some(0.01), Some(0.25)))
+    // ×(120/60) = doubling at the 60 s step
+    assert(vals("scaleToSeconds(m.a, 120)") == Seq(Some(200.0), Some(8.0)))
+    assert(vals("offsetToZero(m.a)") == Seq(Some(96.0), Some(0.0)))
+    // negative sqrt and log of non-positive are None, not NaN
+    val neg = pts(("m.a", 65L, -4.0))
+    assert(RenderTarget.evaluate(spark, neg, "squareRoot(m.a)", 0L, 60L, 60)
+      .collect().map(r => Option(r.get(2))).toSeq == Seq(None))
+    assert(RenderTarget.evaluate(spark, neg, "logarithm(m.a)", 0L, 60L, 60)
+      .collect().map(r => Option(r.get(2))).toSeq == Seq(None))
+  }
+
+  test("selection tier 2: maximumAbove/lowestAverage/highestCurrent/nPercentile") {
+    val p = pts(
+      ("m.a", 65L, 100.0), ("m.a", 125L, 1.0),   // spiky, avg 50.5
+      ("m.b", 65L, 90.0), ("m.b", 125L, 85.0),   // spiky, avg 87.5
+      ("m.c", 65L, 10.0), ("m.c", 125L, 20.0))   // calm
+    def mets(t: String) = RenderTarget.evaluate(spark, p, t, 0L, 120L, 60)
+      .collect().map(_.getString(0)).distinct.toSeq
+    assert(mets("maximumAbove(m.*, 80)") == Seq("m.a", "m.b"))
+    assert(mets("maximumBelow(m.*, 80)") == Seq("m.c"))
+    assert(mets("lowestAverage(maximumAbove(m.*, 80), 1)") == Seq("m.a"))
+    assert(mets("highestCurrent(m.*, 1)") == Seq("m.b"))
+    assert(mets("lowestCurrent(m.*, 1)") == Seq("m.a"))
+    // nPercentile: every bucket becomes the series' own percentile line
+    val np = RenderTarget.evaluate(spark, p, "nPercentile(m.c, 100)",
+      0L, 120L, 60).collect().map(_.getDouble(2)).toSeq
+    assert(np == Seq(20.0, 20.0))
+  }
+
+  test("timeStack overlays shifted copies; isNonNull/changed flag presence") {
+    val p = pts(("m.a", 65L, 1.0), ("m.a", 125L, 2.0))
+    val st = RenderTarget.evaluate(spark, p, "timeStack(m.a, '1min', 0, 1)",
+      0L, 120L, 60).collect()
+      .map(r => (r.getString(0), r.getLong(1), Option(r.get(2)))).toSeq
+    // @-0 is the series itself; @-1 shows each bucket's predecessor
+    assert(st == Seq(
+      ("m.a@-0", 60L, Some(1.0)), ("m.a@-0", 120L, Some(2.0)),
+      ("m.a@-1", 60L, None), ("m.a@-1", 120L, Some(1.0))))
+    val g = pts(("m.a", 65L, 1.0), ("m.a", 185L, 2.0)) // gap at 120
+    val ch = RenderTarget.evaluate(spark, g, "changed(isNonNull(m.a))",
+      0L, 180L, 60).collect().map(_.getDouble(2)).toSeq
+    // presence 1,0,1 → changed 0(first),1,1
+    assert(ch == Seq(0.0, 1.0, 1.0))
+  }
+
   test("pointwise: scale/offset/absolute propagate None and round") {
     val p = pts(("m.a", 65L, 2.5), ("m.a", 185L, -4.0))
     val df = RenderTarget.evaluate(spark, p,

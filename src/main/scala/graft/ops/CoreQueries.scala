@@ -357,6 +357,9 @@ object CoreQueries {
     "render_target_stack" -> ((s, d) => RenderTarget.renderTargetStack(s, d)),
     "render_target_nonnull" -> ((s, d) => RenderTarget.renderTargetNonnull(s, d)),
     "render_target_select2" -> ((s, d) => RenderTarget.renderTargetSelect2(s, d)),
+    "render_target_interp" -> ((s, d) => RenderTarget.renderTargetInterp(s, d)),
+    "render_target_align" -> ((s, d) => RenderTarget.renderTargetAlign(s, d)),
+    "render_target_band" -> ((s, d) => RenderTarget.renderTargetBand(s, d)),
     "agg_avg" -> aggQuery(AggregationMethod.Average) _,
     "agg_sum" -> aggQuery(AggregationMethod.Sum) _,
     "agg_last" -> aggQuery(AggregationMethod.Last) _,
@@ -419,6 +422,9 @@ object CoreQueries {
     "render_target_stack" -> RenderTarget.renderTargetStackSql,
     "render_target_nonnull" -> RenderTarget.renderTargetNonnullSql,
     "render_target_select2" -> RenderTarget.renderTargetSelect2Sql,
+    "render_target_interp" -> RenderTarget.renderTargetInterpSql,
+    "render_target_align" -> RenderTarget.renderTargetAlignSql,
+    "render_target_band" -> RenderTarget.renderTargetBandSql,
     "agg_avg" -> aggFamilySql(AggregationMethod.Average),
     "agg_sum" -> aggFamilySql(AggregationMethod.Sum),
     "agg_last" -> aggFamilySql(AggregationMethod.Last),

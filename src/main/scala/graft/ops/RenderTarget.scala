@@ -88,7 +88,8 @@ object RenderTarget {
     "removeBelowPercentile", "nPercentile",
     "highestCurrent", "lowestCurrent", "lowestAverage", "averageBelow",
     "maximumAbove", "maximumBelow", "minimumAbove", "minimumBelow",
-    "timeStack")
+    "timeStack",
+    "interpolate", "aliasByMetric", "substr", "averageOutsidePercentile")
 
   /** Parse a target string. Globs may contain commas only inside
     * braces (graphite's own constraint), so argument splitting tracks
@@ -487,11 +488,18 @@ object RenderTarget {
       case Call("summarize", Seq(c), args) =>
         val iv = durationS(args.head)
         val func = args.lift(1).getOrElse("sum")
+        // graphite's 4th arg: alignToFrom=true anchors the coarse
+        // buckets at the request start instead of the epoch grid
+        val alignToFrom = args.lift(2).exists(_.toBoolean)
         val (df, step) = eval(c)
         require(iv % step == 0 && iv >= step,
           s"summarize interval ${args.head} must be a multiple of the series step")
-        (df.groupBy(col("metric"),
-            (floor(col("bucket_ts") / iv) * iv).cast("long").as("bucket_ts"))
+        val bucket =
+          if (alignToFrom)
+            (lit(fromI) + floor((col("bucket_ts") - fromI) / iv) * iv)
+              .cast("long").as("bucket_ts")
+          else (floor(col("bucket_ts") / iv) * iv).cast("long").as("bucket_ts")
+        (df.groupBy(col("metric"), bucket)
           .agg(round(summarizeAgg(func, col("value")), 6).as("value")), iv)
       // ------------------------------------------ pointwise transforms:
       // None propagates through null arithmetic for free; each keeps the
@@ -770,6 +778,68 @@ object RenderTarget {
             .withColumn("metric", concat(col("metric"), lit(s"@-$i")))
         }
         (copies.reduce(_ unionByName _).filter(col("bucket_ts") < untilI), step)
+      case Call("interpolate", Seq(c), args) =>
+        // bridge None-runs of length ≤ limit LINEARLY between the
+        // surrounding known points (graphite's interpolate; contrast
+        // keepLastValue's flat bridge); leading/trailing runs have only
+        // one side and stay None. Two ignore-null windows over one
+        // metric partition: last-known behind, first-known ahead.
+        val limit = args.headOption.map(_.toLong).getOrElse(Long.MaxValue)
+        require(limit > 0, "interpolate limit must be positive")
+        val (df, step) = eval(c)
+        val wB = Window.partitionBy(col("metric")).orderBy(col("bucket_ts"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val wF = Window.partitionBy(col("metric")).orderBy(col("bucket_ts"))
+          .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        val knownTs = when(col("value").isNotNull, col("bucket_ts"))
+        (df
+          .withColumn("pv", last(col("value"), ignoreNulls = true).over(wB))
+          .withColumn("pt", last(knownTs, ignoreNulls = true).over(wB))
+          .withColumn("nv", first(col("value"), ignoreNulls = true).over(wF))
+          .withColumn("nt", first(knownTs, ignoreNulls = true).over(wF))
+          .withColumn("value",
+            when(col("value").isNotNull, col("value"))
+              .when(col("pt").isNotNull && col("nt").isNotNull &&
+                (col("nt") - col("pt")) / step - 1 <= limit,
+                round(col("pv") + (col("nv") - col("pv")) *
+                  (col("bucket_ts") - col("pt")) / (col("nt") - col("pt")), 6)))
+          .select(col("metric"), col("bucket_ts"), col("value")), step)
+      case Call("aliasByMetric", Seq(c), _) =>
+        val (df, step) = eval(c)
+        (df.withColumn("metric",
+          element_at(split(col("metric"), "\\."), -1)), step)
+      case Call("substr", Seq(c), args) =>
+        // metric node slice [start, stop) — stop 0 (or absent) = to the
+        // end, graphite's path-trimming helper
+        val start = args.headOption.map(_.toInt).getOrElse(0)
+        val stop = args.lift(1).map(_.toInt).getOrElse(0)
+        require(start >= 0 && stop >= 0 && (stop == 0 || stop > start),
+          s"substr needs 0 <= start < stop (or stop 0 for end)")
+        val (df, step) = eval(c)
+        val parts = split(col("metric"), "\\.")
+        val sliceLen =
+          if (stop == 0) greatest(size(parts) - start, lit(0))
+          else lit(stop - start)
+        (df.withColumn("metric",
+          array_join(slice(parts, lit(start + 1), sliceLen), ".")), step)
+      case Call("averageOutsidePercentile", Seq(c), args) =>
+        // keep series whose requested-window average falls OUTSIDE the
+        // [100−n, n] percentile band of all the averages — the outlier
+        // panel; stats frame is one row per series + a 1-row band
+        val n0 = args.head.toDouble
+        val n = if (n0 < 50) 100 - n0 else n0
+        require(n > 0 && n <= 100, "averageOutsidePercentile n must be in (0, 100]")
+        val (df, step) = eval(c)
+        val lo = Math.floorDiv(fromI, step) * step
+        val avgs = df.filter(col("bucket_ts") >= lo)
+          .groupBy(col("metric")).agg(avg(col("value")).as("avg_v"))
+        val bands = avgs.agg(
+          percentile(col("avg_v"), lit((100 - n) / 100)).as("lo_v"),
+          percentile(col("avg_v"), lit(n / 100)).as("hi_v"))
+        val keep = avgs.crossJoin(broadcast(bands))
+          .filter(col("avg_v") < col("lo_v") || col("avg_v") > col("hi_v"))
+        (df.join(broadcast(keep.select("metric")), Seq("metric"), "left_semi"),
+          step)
       // --------------------------------------- series-name filters:
       // unanchored regex over the metric name (graphite's re.search
       // semantics — rlike searches, it doesn't anchor)
@@ -1775,6 +1845,81 @@ object RenderTarget {
        |  ORDER BY rank_v ASC NULLS LAST, metric LIMIT 3)
        |SELECT d.metric, d.bucket_ts, d.v AS value
        |FROM dense d JOIN calm USING (metric)
+       |ORDER BY d.metric, d.bucket_ts""".stripMargin
+
+  /** `render_target_interp`: gaps of ≤5 slots bridged linearly —
+    * `interpolate(g, 5)`.
+    */
+  val TargetExprInterp = s"interpolate(${Fetch.GlobPattern}, 5)"
+
+  def renderTargetInterp(spark: SparkSession, sfDir: String): DataFrame =
+    evalFlat(spark, sfDir, TargetExprInterp)
+
+  val renderTargetInterpSql: String =
+    s"""$denseFlatSql,
+       |w AS (
+       |  SELECT metric, bucket_ts, v,
+       |         last_value(v IGNORE NULLS) OVER (PARTITION BY metric
+       |           ORDER BY bucket_ts ROWS UNBOUNDED PRECEDING) AS pv,
+       |         last_value(CASE WHEN v IS NOT NULL THEN bucket_ts END
+       |           IGNORE NULLS) OVER (PARTITION BY metric
+       |           ORDER BY bucket_ts ROWS UNBOUNDED PRECEDING) AS pt,
+       |         first_value(v IGNORE NULLS) OVER (PARTITION BY metric
+       |           ORDER BY bucket_ts ROWS BETWEEN CURRENT ROW AND
+       |           UNBOUNDED FOLLOWING) AS nv,
+       |         first_value(CASE WHEN v IS NOT NULL THEN bucket_ts END
+       |           IGNORE NULLS) OVER (PARTITION BY metric
+       |           ORDER BY bucket_ts ROWS BETWEEN CURRENT ROW AND
+       |           UNBOUNDED FOLLOWING) AS nt
+       |  FROM dense)
+       |SELECT metric, bucket_ts,
+       |       CASE WHEN v IS NOT NULL THEN v
+       |            WHEN pt IS NOT NULL AND nt IS NOT NULL
+       |                 AND (nt - pt) / 60 - 1 <= 5
+       |            THEN round(pv + (nv - pv) * (bucket_ts - pt) / (nt - pt), 6)
+       |       END AS value
+       |FROM w
+       |ORDER BY metric, bucket_ts""".stripMargin
+
+  /** `render_target_align`: request-anchored coarse buckets —
+    * `summarize(g, '7min', 'max', true)` (alignToFrom; 7 min never
+    * divides the epoch grid, so anchor choice is observable).
+    */
+  val TargetExprAlign = s"summarize(${Fetch.GlobPattern}, '7min', 'max', true)"
+
+  def renderTargetAlign(spark: SparkSession, sfDir: String): DataFrame =
+    evalFlat(spark, sfDir, TargetExprAlign)
+
+  val renderTargetAlignSql: String =
+    s"""$denseFlatSql
+       |SELECT metric,
+       |       CAST($stdFromI + ((bucket_ts - $stdFromI) // 420) * 420
+       |         AS BIGINT) AS bucket_ts,
+       |       round(max(v), 6) AS value
+       |FROM dense
+       |GROUP BY 1, 2
+       |ORDER BY 1, 2""".stripMargin
+
+  /** `render_target_band`: outlier series — averages outside the
+    * [20th, 80th] percentile band of all series' averages.
+    */
+  val TargetExprBand = s"averageOutsidePercentile($PathedGlob, 80)"
+
+  def renderTargetBand(spark: SparkSession, sfDir: String): DataFrame =
+    evalPathed(spark, sfDir, TargetExprBand)
+
+  val renderTargetBandSql: String =
+    s"""$densePathedSql,
+       |avgs AS (
+       |  SELECT metric, avg(v) AS avg_v FROM dense GROUP BY 1),
+       |band AS (
+       |  SELECT quantile_cont(avg_v, 0.2) AS lo_v,
+       |         quantile_cont(avg_v, 0.8) AS hi_v FROM avgs),
+       |keep AS (
+       |  SELECT metric FROM avgs, band
+       |  WHERE avg_v < lo_v OR avg_v > hi_v)
+       |SELECT d.metric, d.bucket_ts, d.v AS value
+       |FROM dense d JOIN keep USING (metric)
        |ORDER BY d.metric, d.bucket_ts""".stripMargin
 
   val renderTargetSmoothSql: String = {

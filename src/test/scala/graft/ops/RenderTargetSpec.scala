@@ -262,6 +262,44 @@ class RenderTargetSpec extends AnyFunSuite {
     assert(ch == Seq(0.0, 1.0, 1.0))
   }
 
+  test("interpolate bridges linearly within the limit; edges stay None") {
+    // grid 60..360: 1.0 at 60, gap ×2, 4.0 at 240, trailing gap
+    val p = pts(("m.a", 65L, 1.0), ("m.a", 245L, 4.0))
+    val in = RenderTarget.evaluate(spark, p, "interpolate(m.a, 3)",
+      0L, 360L, 60).collect().map(r => Option(r.get(2))).toSeq
+    assert(in == Seq(Some(1.0), Some(2.0), Some(3.0), Some(4.0), None, None))
+    // run longer than the limit stays None
+    val lim = RenderTarget.evaluate(spark, p, "interpolate(m.a, 1)",
+      0L, 360L, 60).collect().map(r => Option(r.get(2))).toSeq
+    assert(lim == Seq(Some(1.0), None, None, Some(4.0), None, None))
+  }
+
+  test("summarize alignToFrom anchors at the request, not the epoch") {
+    val rows = (1 to 10).map(i => ("m.a", i * 60L + 5, 1.0))
+    // fromI = 120; '3min' epoch buckets would start at 0/180/360 —
+    // alignToFrom starts at 120
+    val a = RenderTarget.evaluate(spark, pts(rows: _*),
+      "summarize(m.a, '3min', 'sum', true)", 60L, 600L, 60).collect()
+    assert(a.map(_.getLong(1)).toSeq == Seq(120L, 300L, 480L))
+    assert(a.map(_.getDouble(2)).toSeq == Seq(3.0, 3.0, 3.0))
+  }
+
+  test("aliasByMetric / substr slice metric nodes; averageOutsidePercentile") {
+    val p = pts(("dc1.web.cpu", 65L, 1.0))
+    def name(t: String) = RenderTarget.evaluate(spark, p, t, 0L, 60L, 60)
+      .collect().head.getString(0)
+    assert(name("aliasByMetric(dc1.web.cpu)") == "cpu")
+    assert(name("substr(dc1.web.cpu, 1)") == "web.cpu")
+    assert(name("substr(dc1.web.cpu, 1, 2)") == "web")
+    // 5 series, averages 1..5; the [20th, 80th] band keeps only the ends
+    val q = pts(("m.a", 65L, 1.0), ("m.b", 65L, 2.0), ("m.c", 65L, 3.0),
+      ("m.d", 65L, 4.0), ("m.e", 65L, 5.0))
+    val keep = RenderTarget.evaluate(spark, q,
+      "averageOutsidePercentile(m.*, 80)", 0L, 60L, 60)
+      .collect().map(_.getString(0)).distinct.toSeq
+    assert(keep == Seq("m.a", "m.e"))
+  }
+
   test("pointwise: scale/offset/absolute propagate None and round") {
     val p = pts(("m.a", 65L, 2.5), ("m.a", 185L, -4.0))
     val df = RenderTarget.evaluate(spark, p,

@@ -360,6 +360,11 @@ object CoreQueries {
     "render_target_interp" -> ((s, d) => RenderTarget.renderTargetInterp(s, d)),
     "render_target_align" -> ((s, d) => RenderTarget.renderTargetAlign(s, d)),
     "render_target_band" -> ((s, d) => RenderTarget.renderTargetBand(s, d)),
+    "render_target_union" -> ((s, d) => RenderTarget.renderTargetUnion(s, d)),
+    "render_target_wavg" -> ((s, d) => RenderTarget.renderTargetWavg(s, d)),
+    // no oracle entry — holtWinters' seasonal recurrence is not
+    // SQL-expressible; driver records rows-only, spec golden-tests it
+    "render_target_holt" -> ((s, d) => RenderTarget.renderTargetHolt(s, d)),
     "agg_avg" -> aggQuery(AggregationMethod.Average) _,
     "agg_sum" -> aggQuery(AggregationMethod.Sum) _,
     "agg_last" -> aggQuery(AggregationMethod.Last) _,
@@ -425,6 +430,8 @@ object CoreQueries {
     "render_target_interp" -> RenderTarget.renderTargetInterpSql,
     "render_target_align" -> RenderTarget.renderTargetAlignSql,
     "render_target_band" -> RenderTarget.renderTargetBandSql,
+    "render_target_union" -> RenderTarget.renderTargetUnionSql,
+    "render_target_wavg" -> RenderTarget.renderTargetWavgSql,
     "agg_avg" -> aggFamilySql(AggregationMethod.Average),
     "agg_sum" -> aggFamilySql(AggregationMethod.Sum),
     "agg_last" -> aggFamilySql(AggregationMethod.Last),

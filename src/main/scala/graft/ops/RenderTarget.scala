@@ -62,6 +62,20 @@ object RenderTarget {
     "sumSeries", "averageSeries", "minSeries", "maxSeries", "countSeries",
     "rangeOfSeries", "stddevSeries")
 
+  /** The Holt-Winters anomaly family — the one genuinely SEQUENTIAL
+    * recurrence in the render API (each bucket's state depends on the
+    * previous bucket's and on the same phase one season back), which no
+    * built-in window/aggregate expresses: evaluated per series via
+    * `groupByKey(metric).flatMapGroups` over the request+bootstrap
+    * window. Memory per series is O(window buckets) — request-bounded,
+    * independent of table size, so the shape holds at 100 TB (the scan
+    * is still the shared pruned leaf scan; only the tiny dense frame
+    * enters the typed recursion).
+    */
+  private val HoltWintersFuncs = Set(
+    "holtWintersForecast", "holtWintersConfidenceBands",
+    "holtWintersAberration")
+
   /** Trailing-window functions: `f(series, N)` computes over the last N
     * points — all share movingAverage's history pre-fetch rule.
     */
@@ -89,7 +103,8 @@ object RenderTarget {
     "highestCurrent", "lowestCurrent", "lowestAverage", "averageBelow",
     "maximumAbove", "maximumBelow", "minimumAbove", "minimumBelow",
     "timeStack",
-    "interpolate", "aliasByMetric", "substr", "averageOutsidePercentile")
+    "interpolate", "aliasByMetric", "substr", "averageOutsidePercentile",
+    "group", "groupByNodes", "weightedAverage") ++ HoltWintersFuncs
 
   /** Parse a target string. Globs may contain commas only inside
     * braces (graphite's own constraint), so argument splitting tracks
@@ -245,6 +260,8 @@ object RenderTarget {
     case Leaf(_) => 0L
     case Call(f, Seq(c), args) if MovingFuncs(f) =>
       historyExtS(c, spp) + args.head.toLong * stepS(c, spp)
+    case Call(f, Seq(c), args) if HoltWintersFuncs(f) =>
+      historyExtS(c, spp) + hwBootstrapS(args)
     case Call("timeShift", Seq(c), args) =>
       historyExtS(c, spp) + shiftS(args.head)
     case Call("timeStack", Seq(c), args) =>
@@ -298,6 +315,75 @@ object RenderTarget {
     case Call("xFilesFactor", cs, args) =>
       args.headOption.map(_.toDouble).orElse(cs.flatMap(xffOf).headOption)
     case Call(_, cs, _) => cs.flatMap(xffOf).headOption
+  }
+
+  /** Uniform Holt-Winters argument shape across the family:
+    * `f(series[, delta[, bootstrap[, seasonality]]])` (graphite's
+    * forecast takes no delta — passing one is accepted and ignored
+    * there, keeping the positions stable). Defaults: delta 3,
+    * bootstrap 7d, season 1d — graphite's.
+    */
+  private def hwDelta(args: Seq[String]): Double =
+    args.headOption.map(_.toDouble).getOrElse(3.0)
+  private def hwBootstrapS(args: Seq[String]): Long =
+    args.lift(1).map(durationS).getOrElse(604800L)
+  private def hwSeasonS(args: Seq[String]): Long =
+    args.lift(2).map(durationS).getOrElse(86400L)
+
+  /** One series' additive triple-exponential-smoothing pass (graphite's
+    * `holt_winters_analysis`, reconstructed from the public render-API
+    * docs; α=0.1, β=0.0035, γ=0.1): per slot, returns (prediction,
+    * deviation). Gaps contribute a zeroed seasonal state and carry the
+    * pending prediction, as graphite does; slots before one season has
+    * accumulated read zero seasonal coefficients.
+    */
+  private[ops] def hwAnalysis(
+      values: Array[Option[Double]],
+      season: Int): Array[(Option[Double], Double)] = {
+    val alpha = 0.1; val beta = 0.0035; val gamma = 0.1
+    val n = values.length
+    val intercepts = new Array[java.lang.Double](n)
+    val slopes = new Array[Double](n)
+    val seasonals = new Array[Double](n)
+    val deviations = new Array[Double](n)
+    val out = new Array[(Option[Double], Double)](n)
+    def seasonalAt(i: Int): Double =
+      if (i - season >= 0) seasonals(i - season) else 0.0
+    def deviationAt(i: Int): Double =
+      if (i - season >= 0) deviations(i - season) else 0.0
+    var nextPred: Option[Double] = None
+    var i = 0
+    while (i < n) {
+      values(i) match {
+        case None =>
+          intercepts(i) = null; slopes(i) = 0.0; seasonals(i) = 0.0
+          deviations(i) = 0.0
+          out(i) = (nextPred, 0.0)
+          nextPred = None
+        case Some(actual) =>
+          val (lastIntercept, lastSlope, prediction) =
+            if (i == 0) (actual, 0.0, Some(actual))
+            else {
+              val li = if (intercepts(i - 1) == null) actual
+                       else intercepts(i - 1).doubleValue
+              (li, slopes(i - 1), nextPred)
+            }
+          val lastSeasonal = seasonalAt(i)
+          val intercept =
+            alpha * (actual - lastSeasonal) + (1 - alpha) * (lastIntercept + lastSlope)
+          val slope = beta * (intercept - lastIntercept) + (1 - beta) * lastSlope
+          val seasonal = gamma * (actual - intercept) + (1 - gamma) * lastSeasonal
+          val deviation =
+            gamma * Math.abs(actual - prediction.getOrElse(0.0)) +
+              (1 - gamma) * deviationAt(i)
+          intercepts(i) = intercept; slopes(i) = slope
+          seasonals(i) = seasonal; deviations(i) = deviation
+          out(i) = (prediction, deviation)
+          nextPred = Some(intercept + slope + seasonalAt(i + 1))
+      }
+      i += 1
+    }
+    out
   }
 
   /** maxDataPoints consolidation functions (`consolidateBy`'s domain —
@@ -410,6 +496,55 @@ object RenderTarget {
           case "stdev" => stddev_pop(col("value"))
         }
         (df.withColumn("value", round(v.over(w), 6)), step)
+      case Call(f, Seq(c), args) if HoltWintersFuncs(f) =>
+        // sequential recurrence → typed per-series pass; each group
+        // holds one request+bootstrap window (bounded), sorted in
+        // memory. The bootstrap history arrived via historyExtS and is
+        // trimmed back off by the caller.
+        val delta = hwDelta(args)
+        val seasonS = hwSeasonS(args)
+        val (df, step) = eval(c)
+        require(seasonS % step == 0 && seasonS >= step,
+          s"holtWinters seasonality must be a multiple of the series step")
+        val season = (seasonS / step).toInt
+        def r6(x: Double): Double =
+          BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+        import spark.implicits._
+        val typed = df.select(col("metric"), col("bucket_ts"),
+            col("value").cast("double"))
+          .as[(String, Long, Option[Double])]
+        val outRows = typed.groupByKey(_._1).flatMapGroups {
+          (metric: String, it: Iterator[(String, Long, Option[Double])]) =>
+            val rows = it.toArray.sortBy(_._2)
+            val analysis = hwAnalysis(rows.map(_._3), season)
+            f match {
+              case "holtWintersForecast" =>
+                rows.iterator.zip(analysis.iterator).map {
+                  case ((_, b, _), (p, _)) => (metric, b, p.map(r6))
+                }
+              case "holtWintersConfidenceBands" =>
+                rows.iterator.zip(analysis.iterator).flatMap {
+                  case ((_, b, _), (p, d)) => Iterator(
+                    (s"$metric@upper", b, p.map(x => r6(x + delta * d))),
+                    (s"$metric@lower", b, p.map(x => r6(x - delta * d))))
+                }
+              case "holtWintersAberration" =>
+                rows.iterator.zip(analysis.iterator).map {
+                  case ((_, b, v), (p, d)) =>
+                    val ab = (v, p) match {
+                      case (Some(actual), Some(pred)) =>
+                        val up = pred + delta * d
+                        val lo2 = pred - delta * d
+                        if (actual > up) r6(actual - up)
+                        else if (actual < lo2) r6(actual - lo2)
+                        else 0.0
+                      case _ => 0.0
+                    }
+                    (metric, b, Some(ab): Option[Double])
+                }
+            }
+        }
+        (outRows.toDF("metric", "bucket_ts", "value"), step)
       case Call(f, cs, _) if CombineFuncs(f) =>
         // N member expressions collapse to one synthetic series; the
         // bucket grid survives the group-by because every member frame
@@ -778,6 +913,46 @@ object RenderTarget {
             .withColumn("metric", concat(col("metric"), lit(s"@-$i")))
         }
         (copies.reduce(_ unionByName _).filter(col("bucket_ts") < untilI), step)
+      case Call("group", cs, _) =>
+        // plain union of series lists, every member keeps its own name
+        val evald = cs.map(eval)
+        val steps = evald.map(_._2).distinct
+        require(steps.size == 1,
+          s"group: member series must share one step (got ${steps.mkString(", ")})")
+        (evald.map(_._1).reduce(_ unionByName _), steps.head)
+      case Call("groupByNodes", Seq(c), args) =>
+        // groupByNode's multi-node form: key = the selected dot-nodes
+        // re-joined, one aggregate per (key, bucket)
+        val func = args.head
+        val nodes = args.tail.map(_.toInt)
+        require(nodes.nonEmpty, "groupByNodes needs at least one node index")
+        val (df, step) = eval(c)
+        val parts = split(col("metric"), "\\.")
+        val key = concat_ws(".", nodes.map(n => parts.getItem(n)): _*)
+        (df.groupBy(key.as("metric"), col("bucket_ts"))
+          .agg(round(summarizeAgg(func, col("value")), 6).as("value")), step)
+      case Call("weightedAverage", Seq(cv, cw), args) =>
+        // ONE output series: Σ(value·weight)/Σ(weight) per bucket, the
+        // value and weight series paired by the n-th dot-node of their
+        // names (graphite's key dict; a duplicate key keeps its
+        // last-sorted KNOWN series — deterministic name-max dedup).
+        // Both sides come off the one shared leaf aggregate, so this is
+        // a join of two request-bounded frames, not two scans.
+        val n = args.head.toInt
+        val (dv, sv) = eval(cv)
+        val (dw, sw) = eval(cw)
+        require(sv == sw, "weightedAverage operands must share one step")
+        def byNode(d: DataFrame, as: String): DataFrame =
+          d.filter(col("value").isNotNull)
+            .groupBy(split(col("metric"), "\\.").getItem(n).as("node"),
+              col("bucket_ts"))
+            .agg(max_by(col("value"), col("metric")).as(as))
+        (byNode(dv, "v").join(byNode(dw, "w"), Seq("node", "bucket_ts"))
+          .groupBy(col("bucket_ts"))
+          .agg(sum(col("v") * col("w")).as("num"), sum(col("w")).as("den"))
+          .select(lit("weightedAverage").as("metric"), col("bucket_ts"),
+            when(col("den").isNotNull && col("den") =!= 0,
+              round(col("num") / col("den"), 6)).as("value")), sv)
       case Call("interpolate", Seq(c), args) =>
         // bridge None-runs of length ≤ limit LINEARLY between the
         // surrounding known points (graphite's interpolate; contrast
@@ -1921,6 +2096,53 @@ object RenderTarget {
        |SELECT d.metric, d.bucket_ts, d.v AS value
        |FROM dense d JOIN keep USING (metric)
        |ORDER BY d.metric, d.bucket_ts""".stripMargin
+
+  /** `render_target_union`: two series lists side by side —
+    * `group(shard*.click, shard*.v?ew)`.
+    */
+  val TargetExprUnion = "group(shard*.click, shard*.v?ew)"
+
+  def renderTargetUnion(spark: SparkSession, sfDir: String): DataFrame =
+    evalPathed(spark, sfDir, TargetExprUnion)
+
+  val renderTargetUnionSql: String = {
+    val rx = s"${Fetch.globToRegex("shard*.click")}|${Fetch.globToRegex("shard*.v?ew")}"
+    s"""${denseSqlWith(Buckets.pointsPathedSql, rx, stdFromI, stdUntilI)}
+       |SELECT metric, bucket_ts, v AS value FROM dense
+       |ORDER BY metric, bucket_ts""".stripMargin
+  }
+
+  /** `render_target_wavg`: self-weighted mean across the event types —
+    * `weightedAverage(shard*…, shard*…, 1)` (Σv²/Σv per bucket).
+    */
+  val TargetExprWavg = s"weightedAverage($PathedGlob, $PathedGlob, 1)"
+
+  def renderTargetWavg(spark: SparkSession, sfDir: String): DataFrame =
+    evalPathed(spark, sfDir, TargetExprWavg)
+
+  val renderTargetWavgSql: String =
+    s"""$densePathedSql,
+       |bn AS (
+       |  SELECT split_part(metric, '.', 2) AS node, bucket_ts,
+       |         arg_max(v, metric) AS v
+       |  FROM dense WHERE v IS NOT NULL GROUP BY 1, 2)
+       |SELECT 'weightedAverage' AS metric, bucket_ts,
+       |       CASE WHEN sum(v) <> 0 THEN round(sum(v * v) / sum(v), 6) END
+       |         AS value
+       |FROM bn GROUP BY bucket_ts
+       |ORDER BY bucket_ts""".stripMargin
+
+  /** `render_target_holt`: the anomaly panel —
+    * `holtWintersAberration(sumSeries(g), 3, '6h', '1h')`. No DuckDB
+    * twin (the seasonal recurrence is not SQL-expressible); the driver
+    * records the rows-only check and RenderTargetSpec golden-tests the
+    * family's semantics.
+    */
+  val TargetExprHolt =
+    s"holtWintersAberration(sumSeries(${Fetch.GlobPattern}), 3, '6h', '1h')"
+
+  def renderTargetHolt(spark: SparkSession, sfDir: String): DataFrame =
+    evalFlat(spark, sfDir, TargetExprHolt, extS = 21600L)
 
   val renderTargetSmoothSql: String = {
     val fromI = Buckets.fetchInterval(Buckets.FromS, 60)

@@ -300,6 +300,45 @@ class RenderTargetSpec extends AnyFunSuite {
     assert(keep == Seq("m.a", "m.e"))
   }
 
+  test("group unions lists; groupByNodes keys multi-node; weightedAverage") {
+    val p = pts(("dc1.web.cpu", 65L, 10.0), ("dc1.db.cpu", 65L, 30.0),
+      ("dc2.web.cpu", 65L, 20.0))
+    val g = RenderTarget.evaluate(spark, p, "group(dc1.*.cpu, dc2.*.cpu)",
+      0L, 60L, 60).collect().map(_.getString(0)).toSeq
+    assert(g == Seq("dc1.db.cpu", "dc1.web.cpu", "dc2.web.cpu"))
+    val gn = RenderTarget.evaluate(spark, p, "groupByNodes(*.*.cpu, 'sum', 1, 2)",
+      0L, 60L, 60).collect()
+      .map(r => (r.getString(0), r.getDouble(2))).toSeq
+    assert(gn == Seq(("db.cpu", 30.0), ("web.cpu", 30.0)))
+    // value=weight → Σv²/Σv; keys at node 1: web (10, 20 dup → name-max
+    // dc2 wins → 20), db (30) → (400+900)/50 = 26
+    val wa = RenderTarget.evaluate(spark, p,
+      "weightedAverage(*.*.cpu, *.*.cpu, 1)", 0L, 60L, 60).collect()
+    assert(wa.map(_.getString(0)).toSeq == Seq("weightedAverage"))
+    assert(wa.head.getDouble(2) == 26.0)
+  }
+
+  test("holtWinters: constant series forecasts itself, bands collapse, " +
+      "aberration flags the spike") {
+    // constant 10 every minute 60..600; spike 100 at 480
+    val flat = (1 to 10).map(i => ("m.a", i * 60L + 5, 10.0))
+    val spiky = flat.map { case (m, t, v) =>
+      if (t == 485L) (m, t, 100.0) else (m, t, v) }
+    // season 2 min, bootstrap 4 min of pre-history before from=240
+    def run(t: String, rows: Seq[(String, Long, Double)]) =
+      RenderTarget.evaluate(spark, pts(rows: _*), t, 240L, 600L, 60)
+        .collect().map(r => (r.getString(0), r.getLong(1), Option(r.get(2))))
+    val fc = run("holtWintersForecast(m.a, 3, '4min', '2min')", flat)
+    assert(fc.forall(_._3 == Some(10.0)), fc.mkString(", "))
+    val bands = run("holtWintersConfidenceBands(m.a, 3, '4min', '2min')", flat)
+    assert(bands.map(_._1).distinct.toSeq == Seq("m.a@lower", "m.a@upper"))
+    assert(bands.forall(_._3 == Some(10.0))) // zero deviation → collapsed
+    val ab = run("holtWintersAberration(m.a, 3, '4min', '2min')", spiky)
+    val byTs = ab.map(r => r._2 -> r._3.get.asInstanceOf[Double]).toMap
+    assert(byTs(480L) > 50.0, s"spike not flagged: $byTs")
+    assert(byTs(300L) == 0.0 && byTs(360L) == 0.0 && byTs(420L) == 0.0)
+  }
+
   test("pointwise: scale/offset/absolute propagate None and round") {
     val p = pts(("m.a", 65L, 2.5), ("m.a", 185L, -4.0))
     val df = RenderTarget.evaluate(spark, p,

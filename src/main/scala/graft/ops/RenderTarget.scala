@@ -76,6 +76,16 @@ object RenderTarget {
     "holtWintersForecast", "holtWintersConfidenceBands",
     "holtWintersAberration")
 
+  /** Rendering hints with NO data semantics (color, line style, axis,
+    * stacking, Cacti-style legend text): this engine serves series, not
+    * pixels, so they pass their child through unchanged — but they must
+    * PARSE, or every real dashboard target that styles its lines errors
+    * out at the grammar.
+    */
+  private val PresentationFuncs = Set(
+    "color", "dashed", "lineWidth", "secondYAxis", "stacked",
+    "areaBetween", "cactiStyle")
+
   /** Trailing-window functions: `f(series, N)` computes over the last N
     * points — all share movingAverage's history pre-fetch rule.
     */
@@ -104,7 +114,8 @@ object RenderTarget {
     "maximumAbove", "maximumBelow", "minimumAbove", "minimumBelow",
     "timeStack",
     "interpolate", "aliasByMetric", "substr", "averageOutsidePercentile",
-    "group", "groupByNodes", "weightedAverage") ++ HoltWintersFuncs
+    "group", "groupByNodes", "weightedAverage") ++
+    HoltWintersFuncs ++ PresentationFuncs
 
   /** Parse a target string. Globs may contain commas only inside
     * braces (graphite's own constraint), so argument splitting tracks
@@ -1139,6 +1150,9 @@ object RenderTarget {
         (spark.range(fromI, untilI, spp.toLong).toDF("bucket_ts")
           .select(lit(v).as("metric"), col("bucket_ts"),
             lit(k).as("value")), spp.toLong)
+      case Call(f, Seq(c), _) if PresentationFuncs(f) =>
+        // style-only: the data frame is unchanged
+        eval(c)
       case Call("consolidateBy", Seq(c), _) =>
         // annotation, not a transform: the consolidation function it
         // names is read by [[consolidationOf]] when maxDataPoints

@@ -150,6 +150,18 @@ object ExplainDump {
         "coarse re-aggregate in a single plan; each stage is the same " +
         "physical shape as its standalone fetch_* key, fused by " +
         "Catalyst with no intermediate materialization."),
+    "render_target_consolidate" ->
+      ("consolidateBy(xFilesFactor(glob, 0.3), 'max') under a " +
+        "maxDataPoints cap: the render-frame consolidation is a pure " +
+        "re-aggregation of the request-bounded dense frame — one extra " +
+        "group-by above the leaf plan, no new scan; the xff gate is a " +
+        "codegen'd CASE over the (known, total) counts."),
+    "render_target_wavg" ->
+      ("weightedAverage(shard glob, shard glob, 1): BOTH series lists " +
+        "resolve to the same shared leaf aggregate (identical leaf " +
+        "regexes — one scan + one shuffle, reused), the node-keyed " +
+        "dedup reduces each side to one row per (key, bucket), and the " +
+        "final Σv·w/Σw is a join of two request-bounded frames."),
     "wsp_roundtrip" ->
       ("The .wsp DataSource V2 scan: `BatchScan wsp` with the pushed " +
         "metric/ts bounds in the scan description — metric predicates " +

@@ -339,6 +339,17 @@ class RenderTargetSpec extends AnyFunSuite {
     assert(byTs(300L) == 0.0 && byTs(360L) == 0.0 && byTs(420L) == 0.0)
   }
 
+  test("presentational functions parse and pass data through unchanged") {
+    val p = pts(("m.a", 65L, 2.5))
+    val styled = "secondYAxis(color(dashed(lineWidth(m.a, 2), 5), 'red'))"
+    val out = RenderTarget.evaluate(spark, p, styled, 0L, 60L, 60)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(out == Seq(("m.a", 60L, 2.5)))
+    val cacti = RenderTarget.evaluate(spark, p, "cactiStyle(stacked(m.a))",
+      0L, 60L, 60).collect()
+    assert(cacti.head.getDouble(2) == 2.5)
+  }
+
   test("pointwise: scale/offset/absolute propagate None and round") {
     val p = pts(("m.a", 65L, 2.5), ("m.a", 185L, -4.0))
     val df = RenderTarget.evaluate(spark, p,

@@ -365,6 +365,8 @@ object CoreQueries {
     // no oracle entry — holtWinters' seasonal recurrence is not
     // SQL-expressible; driver records rows-only, spec golden-tests it
     "render_target_holt" -> ((s, d) => RenderTarget.renderTargetHolt(s, d)),
+    "render_target_minmax" -> ((s, d) => RenderTarget.renderTargetMinmax(s, d)),
+    "render_target_resetint" -> ((s, d) => RenderTarget.renderTargetResetint(s, d)),
     "agg_avg" -> aggQuery(AggregationMethod.Average) _,
     "agg_sum" -> aggQuery(AggregationMethod.Sum) _,
     "agg_last" -> aggQuery(AggregationMethod.Last) _,
@@ -432,6 +434,8 @@ object CoreQueries {
     "render_target_band" -> RenderTarget.renderTargetBandSql,
     "render_target_union" -> RenderTarget.renderTargetUnionSql,
     "render_target_wavg" -> RenderTarget.renderTargetWavgSql,
+    "render_target_minmax" -> RenderTarget.renderTargetMinmaxSql,
+    "render_target_resetint" -> RenderTarget.renderTargetResetintSql,
     "agg_avg" -> aggFamilySql(AggregationMethod.Average),
     "agg_sum" -> aggFamilySql(AggregationMethod.Sum),
     "agg_last" -> aggFamilySql(AggregationMethod.Last),

@@ -114,7 +114,9 @@ object RenderTarget {
     "maximumAbove", "maximumBelow", "minimumAbove", "minimumBelow",
     "timeStack",
     "interpolate", "aliasByMetric", "substr", "averageOutsidePercentile",
-    "group", "groupByNodes", "weightedAverage") ++
+    "group", "groupByNodes", "weightedAverage",
+    "smartSummarize", "delay", "minMax", "integralByInterval",
+    "exponentialMovingAverage") ++
     HoltWintersFuncs ++ PresentationFuncs
 
   /** Parse a target string. Globs may contain commas only inside
@@ -271,6 +273,8 @@ object RenderTarget {
     case Leaf(_) => 0L
     case Call(f, Seq(c), args) if MovingFuncs(f) =>
       historyExtS(c, spp) + args.head.toLong * stepS(c, spp)
+    case Call("exponentialMovingAverage", Seq(c), args) =>
+      historyExtS(c, spp) + args.head.toLong * stepS(c, spp)
     case Call(f, Seq(c), args) if HoltWintersFuncs(f) =>
       historyExtS(c, spp) + hwBootstrapS(args)
     case Call("timeShift", Seq(c), args) =>
@@ -286,7 +290,7 @@ object RenderTarget {
     */
   def stepS(e: Expr, spp: Int): Long = e match {
     case Leaf(_) => spp.toLong
-    case Call("summarize", Seq(c), args) =>
+    case Call("summarize" | "smartSummarize", Seq(c), args) =>
       val iv = durationS(args.head)
       require(iv % stepS(c, spp) == 0,
         s"summarize interval ${args.head} must be a multiple of the series step")
@@ -964,6 +968,76 @@ object RenderTarget {
           .select(lit("weightedAverage").as("metric"), col("bucket_ts"),
             when(col("den").isNotNull && col("den") =!= 0,
               round(col("num") / col("den"), 6)).as("value")), sv)
+      case Call("smartSummarize", Seq(c), args) =>
+        // summarize anchored at the request start — sugar for
+        // summarize(…, alignToFrom=true)
+        eval(Call("summarize", Seq(c),
+          Seq(args.head, args.lift(1).getOrElse("sum"), "true")))
+      case Call("delay", Seq(c), args) =>
+        // shift VALUES by n steps on the unchanged grid (timeShift
+        // moves buckets; delay moves values — leading slots go None)
+        val n = args.head.toInt
+        val (df, step) = eval(c)
+        val w = Window.partitionBy(col("metric")).orderBy(col("bucket_ts"))
+        (df.withColumn("value", lag(col("value"), n).over(w)), step)
+      case Call("minMax", Seq(c), _) =>
+        // per-series [0,1] normalisation over the requested window;
+        // a flat series maps to 0 (graphite's zero-range rule)
+        val (df, step) = eval(c)
+        val lo = Math.floorDiv(fromI, step) * step
+        val ext = broadcast(df.filter(col("bucket_ts") >= lo)
+          .groupBy(col("metric"))
+          .agg(min(col("value")).as("mn"), max(col("value")).as("mx")))
+        (df.join(ext, Seq("metric"), "left")
+          .withColumn("value",
+            when(col("value").isNotNull && col("mx") === col("mn"), 0.0)
+              .when(col("value").isNotNull,
+                round((col("value") - col("mn")) / (col("mx") - col("mn")), 6)))
+          .select(col("metric"), col("bucket_ts"), col("value")), step)
+      case Call("integralByInterval", Seq(c), args) =>
+        // integral that resets at each interval boundary: the running
+        // sum partitions by (metric, interval chunk) — still one sort
+        val iv = durationS(args.head)
+        val (df, step) = eval(c)
+        require(iv % step == 0 && iv >= step,
+          s"integralByInterval interval ${args.head} must be a multiple of the series step")
+        val chunk = (floor(col("bucket_ts") / iv) * iv).cast("long")
+        val w = Window.partitionBy(col("metric"), chunk)
+          .orderBy(col("bucket_ts"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        (df.withColumn("value",
+            when(col("value").isNotNull, round(sum(col("value")).over(w), 6)))
+          .select(col("metric"), col("bucket_ts"), col("value")), step)
+      case Call("exponentialMovingAverage", Seq(c), args) =>
+        // EMA recurrence (α = 2/(N+1), seeded by the first known value;
+        // None slots emit None and leave the state unchanged) — same
+        // typed per-series pass as the Holt-Winters family, with N
+        // points of pre-fetched history so the seed has converged by
+        // the first requested bucket
+        val n = args.head.toInt
+        require(n > 0, "exponentialMovingAverage window must be positive")
+        val alpha = 2.0 / (n + 1)
+        val (df, step) = eval(c)
+        def r6(x: Double): Double =
+          BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+        import spark.implicits._
+        val typed = df.select(col("metric"), col("bucket_ts"),
+            col("value").cast("double"))
+          .as[(String, Long, Option[Double])]
+        val out = typed.groupByKey(_._1).flatMapGroups {
+          (metric: String, it: Iterator[(String, Long, Option[Double])]) =>
+            val rows = it.toArray.sortBy(_._2)
+            var ema: Option[Double] = None
+            rows.iterator.map { case (_, b, v) =>
+              v match {
+                case Some(x) =>
+                  ema = Some(ema.fold(x)(e => alpha * x + (1 - alpha) * e))
+                  (metric, b, Some(r6(ema.get)): Option[Double])
+                case None => (metric, b, None: Option[Double])
+              }
+            }
+        }
+        (out.toDF("metric", "bucket_ts", "value"), step)
       case Call("interpolate", Seq(c), args) =>
         // bridge None-runs of length ≤ limit LINEARLY between the
         // surrounding known points (graphite's interpolate; contrast
@@ -2157,6 +2231,43 @@ object RenderTarget {
 
   def renderTargetHolt(spark: SparkSession, sfDir: String): DataFrame =
     evalFlat(spark, sfDir, TargetExprHolt, extS = 21600L)
+
+  /** `render_target_minmax`: per-series [0,1] normalisation —
+    * `minMax(shard*…)`.
+    */
+  val TargetExprMinmax = s"minMax($PathedGlob)"
+
+  def renderTargetMinmax(spark: SparkSession, sfDir: String): DataFrame =
+    evalPathed(spark, sfDir, TargetExprMinmax)
+
+  val renderTargetMinmaxSql: String =
+    s"""$densePathedSql,
+       |ext AS (
+       |  SELECT metric, min(v) AS mn, max(v) AS mx FROM dense GROUP BY 1)
+       |SELECT d.metric, d.bucket_ts,
+       |       CASE WHEN d.v IS NOT NULL AND mx = mn THEN 0.0
+       |            WHEN d.v IS NOT NULL
+       |            THEN round((d.v - mn) / (mx - mn), 6) END AS value
+       |FROM dense d LEFT JOIN ext USING (metric)
+       |ORDER BY d.metric, d.bucket_ts""".stripMargin
+
+  /** `render_target_resetint`: hourly-resetting running totals —
+    * `integralByInterval(g, '1h')`.
+    */
+  val TargetExprResetint = s"integralByInterval(${Fetch.GlobPattern}, '1h')"
+
+  def renderTargetResetint(spark: SparkSession, sfDir: String): DataFrame =
+    evalFlat(spark, sfDir, TargetExprResetint)
+
+  val renderTargetResetintSql: String =
+    s"""$denseFlatSql
+       |SELECT metric, bucket_ts,
+       |       CASE WHEN v IS NOT NULL
+       |            THEN round(sum(v) OVER (PARTITION BY metric,
+       |              (bucket_ts // 3600) ORDER BY bucket_ts
+       |              ROWS UNBOUNDED PRECEDING), 6) END AS value
+       |FROM dense
+       |ORDER BY metric, bucket_ts""".stripMargin
 
   val renderTargetSmoothSql: String = {
     val fromI = Buckets.fetchInterval(Buckets.FromS, 60)

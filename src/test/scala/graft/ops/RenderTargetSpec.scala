@@ -339,6 +339,30 @@ class RenderTargetSpec extends AnyFunSuite {
     assert(byTs(300L) == 0.0 && byTs(360L) == 0.0 && byTs(420L) == 0.0)
   }
 
+  test("smartSummarize/delay/minMax/integralByInterval/EMA semantics") {
+    val p = pts(("m.a", 65L, 1.0), ("m.a", 125L, 3.0), ("m.a", 185L, 5.0),
+      ("m.a", 245L, 7.0))
+    def vals(t: String, from: Long = 0L, until: Long = 240L) =
+      RenderTarget.evaluate(spark, p, t, from, until, 60)
+        .collect().map(r => Option(r.get(2))).toSeq
+    // smartSummarize anchors 2-min buckets at fromI=120, not the epoch
+    val sm = RenderTarget.evaluate(spark, p,
+      "smartSummarize(m.a, '2min', 'sum')", 60L, 240L, 60).collect()
+    assert(sm.map(_.getLong(1)).toSeq == Seq(120L, 240L))
+    assert(sm.map(_.getDouble(2)).toSeq == Seq(8.0, 7.0))
+    assert(vals("delay(m.a, 1)") == Seq(None, Some(1.0), Some(3.0), Some(5.0)))
+    assert(vals("minMax(m.a)") ==
+      Seq(Some(0.0), Some(0.333333), Some(0.666667), Some(1.0)))
+    // integral resets at each 2-min boundary (epoch-aligned chunks:
+    // {60}, {120,180}, {240})
+    assert(vals("integralByInterval(m.a, '2min')") ==
+      Seq(Some(1.0), Some(3.0), Some(8.0), Some(7.0)))
+    // EMA with N=3 → α=0.5, seeded at 1 in the pre-fetched history:
+    // 1, 2, 3.5, then the one requested bucket shows 5.25
+    assert(vals("exponentialMovingAverage(m.a, 3)", 180L, 240L) ==
+      Seq(Some(5.25)))
+  }
+
   test("presentational functions parse and pass data through unchanged") {
     val p = pts(("m.a", 65L, 2.5))
     val styled = "secondYAxis(color(dashed(lineWidth(m.a, 2), 5), 'red'))"

@@ -402,6 +402,15 @@ object Fetch {
     * aggregate, group-index arithmetic instead of epoch alignment,
     * density restored at output granularity (`ceil(n/factor)` × metrics
     * rows) against a broadcast spine.
+    *
+    * `func` selects the consolidation function (graphite's
+    * `consolidateBy`: average/sum/min/max); `xff` is the render-API
+    * xFilesFactor gate — a consolidated group is None unless at least
+    * that fraction of its slots are known. Defaults preserve graphite's
+    * own (average, no gate). The render-target surface routes
+    * `consolidateBy`/`xFilesFactor` annotations through
+    * [[RenderTarget.evaluate]]'s own consolidation; this is the
+    * equivalent control for direct Fetch-API callers.
     */
   def consolidateSeries(
       spark: SparkSession,
@@ -409,7 +418,9 @@ object Fetch {
       fromS: Long,
       untilS: Long,
       spp: Int,
-      maxDataPoints: Int): DataFrame = {
+      maxDataPoints: Int,
+      func: String = "average",
+      xff: Double = 0.0): DataFrame = {
     val fromI = Buckets.fetchInterval(fromS, spp)
     val untilI = Buckets.fetchInterval(untilS, spp)
     val n = ((untilI - fromI) / spp).toInt
@@ -421,14 +432,27 @@ object Fetch {
     val agg60 = p
       .groupBy(col("metric"), Buckets.alignTs(col("ts_s"), spp).as("b"))
       .agg(round(avg(col("value")), 6).as("v"))
+    val consFunc = func match {
+      case "average" | "avg" => avg(col("v"))
+      case "sum" => sum(col("v"))
+      case "min" => min(col("v"))
+      case "max" => max(col("v"))
+      case f => throw new IllegalArgumentException(
+        s"unknown consolidation function '$f'")
+    }
     val cons = agg60
       .groupBy(col("metric"),
         (lit(fromI) + floor((col("b") - fromI) / stepS) * stepS).cast("long").as("bucket_ts"))
-      .agg(round(avg(col("v")), 6).as("value"))
+      .agg(round(consFunc, 6).as("cv"), count(col("v")).as("known"))
     val spine = spark.range(fromI, fromI + groups * stepS, stepS).toDF("bucket_ts")
       .crossJoin(metrics)
+    // xff gate against the group's GRID size (the tail group may cover
+    // fewer slots than `factor` — judge it by what it could have had)
+    val slots = least(lit(factor.toDouble),
+      (lit(untilI.toDouble) - col("bucket_ts")) / spp.toDouble)
     spine.join(cons, Seq("metric", "bucket_ts"), "left")
-      .select(col("metric"), col("bucket_ts"), col("value"))
+      .select(col("metric"), col("bucket_ts"),
+        when(col("known") >= slots * xff, col("cv")).as("value"))
       .orderBy("metric", "bucket_ts")
   }
 

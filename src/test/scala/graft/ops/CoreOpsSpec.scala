@@ -259,6 +259,25 @@ class CoreOpsSpec extends AnyFunSuite {
     assert(rows(3).getDouble(2) == 5.0) // partial tail group kept
   }
 
+  test("consolidateSeries: consolidateBy func + render xFilesFactor gate") {
+    val p = pts(("m", 65L, 1.0), ("m", 130L, 3.0), ("m", 250L, 8.0),
+      ("m", 600L, 5.0))
+    // 'max' consolidation over the same grid as the average test
+    val mx = Fetch.consolidateSeries(spark, p, 0L, 600L, 60, 4, func = "max")
+      .collect()
+    assert(mx(0).getDouble(2) == 3.0 && mx(1).getDouble(2) == 8.0)
+    assert(mx(2).isNullAt(2) && mx(3).getDouble(2) == 5.0)
+    // xff 0.5: a 3-slot group needs ≥1.5 known → group 1 (2 known)
+    // passes, group 2 (1 of 3) and the 1-slot tail (1 of 1) judge
+    // against their own grid sizes
+    val gated = Fetch.consolidateSeries(spark, p, 0L, 600L, 60, 4,
+      func = "avg", xff = 0.5).collect()
+    assert(gated(0).getDouble(2) == 2.0)
+    assert(gated(1).isNullAt(2)) // 1/3 known < 0.5
+    assert(gated(2).isNullAt(2))
+    assert(gated(3).getDouble(2) == 5.0) // tail: 1/1 known
+  }
+
   test("sumSeries: cross-metric null-skipping sum, all-None bucket stays NULL") {
     // window [0, 180): buckets 60, 120. m1 covers both, m2 only 60.
     val df = Fetch.sumSeries(spark,

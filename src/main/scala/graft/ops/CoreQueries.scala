@@ -367,6 +367,7 @@ object CoreQueries {
     "render_target_holt" -> ((s, d) => RenderTarget.renderTargetHolt(s, d)),
     "render_target_minmax" -> ((s, d) => RenderTarget.renderTargetMinmax(s, d)),
     "render_target_resetint" -> ((s, d) => RenderTarget.renderTargetResetint(s, d)),
+    "render_target_wildcards" -> ((s, d) => RenderTarget.renderTargetWildcards(s, d)),
     "agg_avg" -> aggQuery(AggregationMethod.Average) _,
     "agg_sum" -> aggQuery(AggregationMethod.Sum) _,
     "agg_last" -> aggQuery(AggregationMethod.Last) _,
@@ -436,6 +437,7 @@ object CoreQueries {
     "render_target_wavg" -> RenderTarget.renderTargetWavgSql,
     "render_target_minmax" -> RenderTarget.renderTargetMinmaxSql,
     "render_target_resetint" -> RenderTarget.renderTargetResetintSql,
+    "render_target_wildcards" -> RenderTarget.renderTargetWildcardsSql,
     "agg_avg" -> aggFamilySql(AggregationMethod.Average),
     "agg_sum" -> aggFamilySql(AggregationMethod.Sum),
     "agg_last" -> aggFamilySql(AggregationMethod.Last),

@@ -116,7 +116,10 @@ object RenderTarget {
     "interpolate", "aliasByMetric", "substr", "averageOutsidePercentile",
     "group", "groupByNodes", "weightedAverage",
     "smartSummarize", "delay", "minMax", "integralByInterval",
-    "exponentialMovingAverage") ++
+    "exponentialMovingAverage",
+    "sumSeriesWithWildcards", "averageSeriesWithWildcards",
+    "add", "sigmoid", "exp", "roundFunction",
+    "identity", "timeFunction", "sinFunction") ++
     HoltWintersFuncs ++ PresentationFuncs
 
   /** Parse a target string. Globs may contain commas only inside
@@ -191,6 +194,15 @@ object RenderTarget {
       (Leaf(g.trim), t.drop(g.length))
     }
   }
+
+  /** Strip one layer of quotes off a Leaf that the grammar's
+    * series-argument slot captured verbatim (generator names like
+    * `identity('x')`).
+    */
+  private def unquote(s: String): String =
+    if (s.length >= 2 && (s.head == '\'' || s.head == '"') && s.last == s.head)
+      s.substring(1, s.length - 1)
+    else s
 
   private def parseLiteral(s: String): (String, String) = s.headOption match {
     case Some(q @ ('\'' | '"')) =>
@@ -968,6 +980,54 @@ object RenderTarget {
           .select(lit("weightedAverage").as("metric"), col("bucket_ts"),
             when(col("den").isNotNull && col("den") =!= 0,
               round(col("num") / col("den"), 6)).as("value")), sv)
+      case Call(f @ ("sumSeriesWithWildcards" | "averageSeriesWithWildcards"),
+          Seq(c), args) =>
+        // combine series whose names agree once the wildcard node
+        // positions are removed — groupByNodes' complement (name KEEPS
+        // the non-wildcard nodes, in order)
+        val positions = args.map(_.toInt)
+        require(positions.nonEmpty, s"$f needs at least one node position")
+        val (df, step) = eval(c)
+        val parts = split(col("metric"), "\\.")
+        val kept = filter(parts, (_, i) =>
+          positions.map(p => i =!= p).reduce(_ && _))
+        val v =
+          if (f == "sumSeriesWithWildcards") round(sum(col("value")), 6)
+          else round(avg(col("value")), 6)
+        (df.groupBy(array_join(kept, ".").as("metric"), col("bucket_ts"))
+          .agg(v.as("value")), step)
+      case Call("add", Seq(c), args) =>
+        // graphite's literal-addition alias of offset
+        eval(Call("offset", Seq(c), args))
+      case Call("sigmoid", Seq(c), _) =>
+        val (df, step) = eval(c)
+        (df.withColumn("value",
+          round(lit(1.0) / (lit(1.0) + org.apache.spark.sql.functions.exp(-col("value"))), 6)), step)
+      case Call("exp", Seq(c), _) =>
+        val (df, step) = eval(c)
+        (df.withColumn("value",
+          round(org.apache.spark.sql.functions.exp(col("value")), 6)), step)
+      case Call("roundFunction", Seq(c), args) =>
+        // graphite's round(seriesList, precision); our frame already
+        // carries 6-place rounding, so precision is capped there
+        val prec = args.headOption.map(_.toInt).getOrElse(0)
+        require(prec >= 0 && prec <= 6, "roundFunction precision must be in [0, 6]")
+        val (df, step) = eval(c)
+        (df.withColumn("value", round(col("value"), prec)), step)
+      case Call(f @ ("identity" | "timeFunction"), Seq(Leaf(name)), _) =>
+        // the timestamp generator: value = bucket_ts on the request
+        // grid (the quoted series name arrives as a quoted Leaf —
+        // the grammar's series slot always parses as an expression)
+        val _ = f
+        (spark.range(fromI, untilI, spp.toLong).toDF("bucket_ts")
+          .select(lit(unquote(name)).as("metric"), col("bucket_ts"),
+            col("bucket_ts").cast("double").as("value")), spp.toLong)
+      case Call("sinFunction", Seq(Leaf(name)), args) =>
+        val amp = args.headOption.map(_.toDouble).getOrElse(1.0)
+        val stepArg = args.lift(1).map(_.toLong).getOrElse(spp.toLong)
+        (spark.range(fromI, untilI, stepArg).toDF("bucket_ts")
+          .select(lit(unquote(name)).as("metric"), col("bucket_ts"),
+            round(sin(col("bucket_ts")) * amp, 6).as("value")), stepArg)
       case Call("smartSummarize", Seq(c), args) =>
         // summarize anchored at the request start — sugar for
         // summarize(…, alignToFrom=true)
@@ -2268,6 +2328,23 @@ object RenderTarget {
        |              ROWS UNBOUNDED PRECEDING), 6) END AS value
        |FROM dense
        |ORDER BY metric, bucket_ts""".stripMargin
+
+  /** `render_target_wildcards`: shard-collapsed per-event sums —
+    * `sumSeriesWithWildcards(shard*…, 0)` (the wildcard node dropped
+    * from the combined name).
+    */
+  val TargetExprWildcards = s"sumSeriesWithWildcards($PathedGlob, 0)"
+
+  def renderTargetWildcards(spark: SparkSession, sfDir: String): DataFrame =
+    evalPathed(spark, sfDir, TargetExprWildcards)
+
+  val renderTargetWildcardsSql: String =
+    s"""$densePathedSql
+       |SELECT split_part(metric, '.', 2) AS metric, bucket_ts,
+       |       round(sum(v), 6) AS value
+       |FROM dense
+       |GROUP BY 1, 2
+       |ORDER BY 1, 2""".stripMargin
 
   val renderTargetSmoothSql: String = {
     val fromI = Buckets.fetchInterval(Buckets.FromS, 60)

@@ -363,6 +363,30 @@ class RenderTargetSpec extends AnyFunSuite {
       Seq(Some(5.25)))
   }
 
+  test("wildcards combines, pointwise aliases, and generators") {
+    val p = pts(("dc1.web.cpu", 65L, 10.0), ("dc2.web.cpu", 65L, 30.0),
+      ("dc1.db.cpu", 65L, 5.0))
+    val sw = RenderTarget.evaluate(spark, p,
+      "sumSeriesWithWildcards(*.*.cpu, 0)", 0L, 60L, 60).collect()
+      .map(r => (r.getString(0), r.getDouble(2))).toSeq
+    assert(sw == Seq(("db.cpu", 5.0), ("web.cpu", 40.0)))
+    val aw = RenderTarget.evaluate(spark, p,
+      "averageSeriesWithWildcards(*.*.cpu, 0, 1)", 0L, 60L, 60).collect()
+      .map(r => (r.getString(0), r.getDouble(2))).toSeq
+    assert(aw == Seq(("cpu", 15.0)))
+    def one(t: String) = RenderTarget.evaluate(spark,
+      pts(("m.a", 65L, 2.0)), t, 0L, 60L, 60).collect().head
+    assert(one("add(m.a, 5)").getDouble(2) == 7.0)
+    assert(one("exp(m.a)").getDouble(2) == 7.389056)
+    assert(one("sigmoid(m.a)").getDouble(2) == 0.880797)
+    assert(one("roundFunction(scale(m.a, 1.28), 1)").getDouble(2) == 2.6)
+    val idr = one("identity('t')")
+    assert(idr.getString(0) == "t" && idr.getDouble(2) == 60.0)
+    assert(one("sinFunction('s', 2)").getDouble(2) ==
+      BigDecimal(math.sin(60.0) * 2).setScale(6,
+        BigDecimal.RoundingMode.HALF_UP).toDouble)
+  }
+
   test("presentational functions parse and pass data through unchanged") {
     val p = pts(("m.a", 65L, 2.5))
     val styled = "secondYAxis(color(dashed(lineWidth(m.a, 2), 5), 'red'))"

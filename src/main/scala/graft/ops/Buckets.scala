@@ -189,4 +189,27 @@ object Buckets {
 
   /** DuckDB twin of [[pointsPathedInRange]]'s metric derivation. */
   val pointsPathedSql: String = pointsPathedSqlNamed("pts")
+
+  /** [[pointsInRange]] with graphite 1.1 TAGGED metric names:
+    * `<event_type>;shard=s<user_id mod 4>` (20 series) — the fixture
+    * for the tag-DB surface (`seriesByTag` / `groupByTags` /
+    * `aliasByTags`), where series selection is by tag predicate, not
+    * name glob.
+    */
+  def pointsTaggedInRange(spark: SparkSession, sfDir: String,
+      fromS: Long, untilS: Long): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = spark.read.parquet(s"$sfDir/events.parquet")
+    val dt = raw.schema("ts").dataType
+    raw.filter(tsRange(dt, fromS, untilS))
+      .select(
+        concat(col("event_type"), lit(";shard=s"),
+          pmod(col("user_id"), lit(4))).as("metric"),
+        tsSOf(dt).as("ts_s"), col("value"))
+  }
+
+  /** DuckDB twin of [[pointsTaggedInRange]]'s metric derivation. */
+  val pointsTaggedSql: String =
+    "pts AS (SELECT event_type || ';shard=s' || (user_id % 4) AS metric, " +
+      "CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS ts_s, value FROM events)"
 }

@@ -368,6 +368,8 @@ object CoreQueries {
     "render_target_minmax" -> ((s, d) => RenderTarget.renderTargetMinmax(s, d)),
     "render_target_resetint" -> ((s, d) => RenderTarget.renderTargetResetint(s, d)),
     "render_target_wildcards" -> ((s, d) => RenderTarget.renderTargetWildcards(s, d)),
+    "render_target_tags" -> ((s, d) => RenderTarget.renderTargetTags(s, d)),
+    "render_target_tagagg" -> ((s, d) => RenderTarget.renderTargetTagagg(s, d)),
     "agg_avg" -> aggQuery(AggregationMethod.Average) _,
     "agg_sum" -> aggQuery(AggregationMethod.Sum) _,
     "agg_last" -> aggQuery(AggregationMethod.Last) _,
@@ -438,6 +440,8 @@ object CoreQueries {
     "render_target_minmax" -> RenderTarget.renderTargetMinmaxSql,
     "render_target_resetint" -> RenderTarget.renderTargetResetintSql,
     "render_target_wildcards" -> RenderTarget.renderTargetWildcardsSql,
+    "render_target_tags" -> RenderTarget.renderTargetTagsSql,
+    "render_target_tagagg" -> RenderTarget.renderTargetTagaggSql,
     "agg_avg" -> aggFamilySql(AggregationMethod.Average),
     "agg_sum" -> aggFamilySql(AggregationMethod.Sum),
     "agg_last" -> aggFamilySql(AggregationMethod.Last),

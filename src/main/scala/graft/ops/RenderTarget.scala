@@ -119,7 +119,8 @@ object RenderTarget {
     "exponentialMovingAverage",
     "sumSeriesWithWildcards", "averageSeriesWithWildcards",
     "add", "sigmoid", "exp", "roundFunction",
-    "identity", "timeFunction", "sinFunction") ++
+    "identity", "timeFunction", "sinFunction",
+    "seriesByTag", "groupByTags", "aliasByTags") ++
     HoltWintersFuncs ++ PresentationFuncs
 
   /** Parse a target string. Globs may contain commas only inside
@@ -181,6 +182,12 @@ object RenderTarget {
       }
       require(rest.startsWith(")"), s"expected ')' in target at: '$rest'")
       (Call(ident, children.result(), args.result()), rest.drop(1))
+    } else if (t.headOption.exists(c => c == '\'' || c == '"')) {
+      // a QUOTED token in a series slot (seriesByTag's tag expressions,
+      // generator names): the quoted body may contain ',' ')' freely —
+      // capture it whole as a quoted Leaf ([[unquote]] strips later)
+      val (body, rest) = parseLiteral(t)
+      (Leaf(s"${t.head}$body${t.head}"), rest)
     } else {
       // leaf glob: consume until a top-level ',' or ')' (braces nest)
       var depth = 0
@@ -263,8 +270,52 @@ object RenderTarget {
     */
   def leafGlobs(e: Expr): Seq[String] = e match {
     case Leaf(g) => Seq(g)
+    // seriesByTag's children are tag EXPRESSIONS, not metric globs —
+    // nothing a glob-pruning source (or the shared-scan regex union)
+    // can use
+    case Call("seriesByTag", _, _) => Nil
     case Call(_, cs, _) => cs.flatMap(leafGlobs)
   }
+
+  /** Whether the tree selects series by TAG anywhere — the shared scan
+    * then cannot pre-filter by glob regex (tag predicates are applied
+    * post-aggregation instead).
+    */
+  def hasTagSelection(e: Expr): Boolean = e match {
+    case Leaf(_) => false
+    case Call("seriesByTag", _, _) => true
+    case Call(_, cs, _) => cs.exists(hasTagSelection)
+  }
+
+  /** Compile one graphite tag expression (`tag=value`, `tag!=value`,
+    * `tag=~regex`, `tag!=~regex`; `name` is the pseudo-tag for the
+    * metric's name part) into a predicate over the
+    * `name;tag1=v1;tag2=v2` metric string. Regex matches anchor at the
+    * START of the tag value, graphite's rule.
+    */
+  private[ops] def tagPredicate(e: String): Column = {
+    val ops = Seq("!=~", "=~", "!=", "=")
+    val op = ops.find(o => e.indexOf(o) > 0).getOrElse(
+      throw new IllegalArgumentException(s"invalid tag expression '$e'"))
+    val k = e.substring(0, e.indexOf(op))
+    val v = e.substring(e.indexOf(op) + op.length)
+    val valCol =
+      if (k == "name") substring_index(col("metric"), ";", 1)
+      else regexp_extract(col("metric"),
+        ";" + java.util.regex.Pattern.quote(k) + "=([^;]*)", 1)
+    op match {
+      case "="   => valCol === v
+      case "!="  => valCol =!= v
+      case "=~"  => valCol.rlike("^(?:" + v + ")")
+      case "!=~" => !valCol.rlike("^(?:" + v + ")")
+    }
+  }
+
+  /** Extract a tag's value column from the tagged metric string. */
+  private def tagValue(t: String): Column =
+    if (t == "name") substring_index(col("metric"), ";", 1)
+    else regexp_extract(col("metric"),
+      ";" + java.util.regex.Pattern.quote(t) + "=([^;]*)", 1)
 
   /** timeShift's offset in seconds. Graphite's implicit sign is MINUS
     * (shift back in time); the explicit `+` form would need buckets past
@@ -460,7 +511,12 @@ object RenderTarget {
     // by series × buckets).
     val leafRx = leafGlobs(expr0).distinct.map(Fetch.globToRegex)
     val sharedAgg = {
-      val matchesAny = leafRx.map(col("metric").rlike(_)).reduce(_ || _)
+      // tag-selected targets cannot pre-filter by glob (the tag
+      // predicates apply post-aggregation); a pure-generator target has
+      // no real globs either — scan unfiltered in those cases
+      val matchesAny =
+        if (leafRx.isEmpty || hasTagSelection(expr0)) lit(true)
+        else leafRx.map(col("metric").rlike(_)).reduce(_ || _)
       pts.filter(col("ts_s") >= extFromI && col("ts_s") < untilI && matchesAny)
         .groupBy(col("metric"), Buckets.alignTs(col("ts_s"), spp).as("bucket_ts"))
         .agg(round(avg(col("value")), 6).as("value"))
@@ -980,6 +1036,39 @@ object RenderTarget {
           .select(lit("weightedAverage").as("metric"), col("bucket_ts"),
             when(col("den").isNotNull && col("den") =!= 0,
               round(col("num") / col("den"), 6)).as("value")), sv)
+      case Call("seriesByTag", cs, args) =>
+        // tag-DB selection over `name;tag=value` metrics: every quoted
+        // argument is one tag expression, ALL must hold. Same dense
+        // frame shape as a glob Leaf, selected off the shared aggregate
+        // by the compiled tag predicates instead of a regex.
+        val exprs = cs.collect { case Leaf(g) => unquote(g) } ++ args
+        require(exprs.nonEmpty && cs.forall(_.isInstanceOf[Leaf]),
+          "seriesByTag takes quoted tag expressions, e.g. " +
+            "seriesByTag('name=cpu', 'dc=~us-.*')")
+        val agg = sharedAgg.filter(exprs.map(tagPredicate).reduce(_ && _))
+        val metrics = agg.select(col("metric")).distinct()
+        val dense = spark.range(extFromI, untilI, spp.toLong).toDF("bucket_ts")
+          .crossJoin(metrics)
+          .join(agg, Seq("metric", "bucket_ts"), "left")
+          .select(col("metric"), col("bucket_ts"), col("value"))
+        (dense, spp.toLong)
+      case Call("groupByTags", Seq(c), args) =>
+        // re-aggregate keyed by (name, selected tags) — the tagged twin
+        // of groupByNodes; output names keep graphite's
+        // `name;tag=value` shape for the kept tags
+        val func = args.head
+        val tags = args.tail
+        require(tags.nonEmpty, "groupByTags needs at least one tag")
+        val (df, step) = eval(c)
+        val key = concat(
+          substring_index(col("metric"), ";", 1) +:
+            tags.flatMap(t => Seq(lit(s";$t="), tagValue(t))): _*)
+        (df.groupBy(key.as("metric"), col("bucket_ts"))
+          .agg(round(summarizeAgg(func, col("value")), 6).as("value")), step)
+      case Call("aliasByTags", Seq(c), args) =>
+        require(args.nonEmpty, "aliasByTags needs at least one tag")
+        val (df, step) = eval(c)
+        (df.withColumn("metric", concat_ws(".", args.map(tagValue): _*)), step)
       case Call(f @ ("sumSeriesWithWildcards" | "averageSeriesWithWildcards"),
           Seq(c), args) =>
         // combine series whose names agree once the wildcard node
@@ -1846,6 +1935,31 @@ object RenderTarget {
        |  SELECT s.metric, s.bucket_ts, a.v
        |  FROM spine s LEFT JOIN agg a USING (metric, bucket_ts))""".stripMargin
 
+  /** [[denseSqlWith]] with an arbitrary WHERE condition on the metric
+    * instead of a regex — the tag-selection twins.
+    */
+  private def denseSqlWhere(ptsCte: String, cond: String,
+      fromI: Long, untilI: Long): String =
+    s"""WITH $ptsCte,
+       |mets AS (
+       |  SELECT DISTINCT metric FROM pts
+       |  WHERE ts_s >= $fromI AND ts_s < $untilI
+       |    AND ($cond)),
+       |agg AS (
+       |  SELECT metric, (ts_s // 60) * 60 AS bucket_ts,
+       |         round(avg(value), 6) AS v
+       |  FROM pts
+       |  WHERE ts_s >= $fromI AND ts_s < $untilI
+       |    AND ($cond)
+       |  GROUP BY 1, 2),
+       |spine AS (
+       |  SELECT m.metric, r.bucket_ts FROM mets m,
+       |    (SELECT CAST(range AS BIGINT) AS bucket_ts
+       |     FROM range($fromI, $untilI, 60)) r),
+       |dense AS (
+       |  SELECT s.metric, s.bucket_ts, a.v
+       |  FROM spine s LEFT JOIN agg a USING (metric, bucket_ts))""".stripMargin
+
   private def denseFlatSql: String =
     denseSqlWith(Buckets.pointsSql, Fetch.globToRegex(Fetch.GlobPattern),
       stdFromI, stdUntilI)
@@ -2345,6 +2459,50 @@ object RenderTarget {
        |FROM dense
        |GROUP BY 1, 2
        |ORDER BY 1, 2""".stripMargin
+
+  /** Evaluate over the TAGGED points view on the standard window. */
+  private def evalTagged(spark: SparkSession, sfDir: String,
+      target: String): DataFrame =
+    evaluate(spark,
+      Buckets.pointsTaggedInRange(spark, sfDir, stdFromI, stdUntilI),
+      target, Buckets.FromS, Buckets.UntilS, 60)
+
+  /** `render_target_tags`: tag-DB series selection —
+    * `seriesByTag('shard=~s[01]', 'name!=signup')` (regex on one tag,
+    * inequality on the name pseudo-tag).
+    */
+  val TargetExprTags = "seriesByTag('shard=~s[01]', 'name!=signup')"
+
+  def renderTargetTags(spark: SparkSession, sfDir: String): DataFrame =
+    evalTagged(spark, sfDir, TargetExprTags)
+
+  val renderTargetTagsSql: String = {
+    val cond = "regexp_matches(regexp_extract(metric, ';shard=([^;]*)', 1), " +
+      "'^(?:s[01])') AND split_part(metric, ';', 1) <> 'signup'"
+    s"""${denseSqlWhere(Buckets.pointsTaggedSql, cond, stdFromI, stdUntilI)}
+       |SELECT metric, bucket_ts, v AS value FROM dense
+       |ORDER BY metric, bucket_ts""".stripMargin
+  }
+
+  /** `render_target_tagagg`: tag-keyed re-aggregation then tag alias —
+    * `aliasByTags(groupByTags(seriesByTag('name=click'), 'sum',
+    * 'shard'), 'shard')` (per-shard click sums named s0..s3).
+    */
+  val TargetExprTagagg =
+    "aliasByTags(groupByTags(seriesByTag('name=click'), 'sum', 'shard'), 'shard')"
+
+  def renderTargetTagagg(spark: SparkSession, sfDir: String): DataFrame =
+    evalTagged(spark, sfDir, TargetExprTagagg)
+
+  val renderTargetTagaggSql: String = {
+    val cond = "split_part(metric, ';', 1) = 'click'"
+    s"""${denseSqlWhere(Buckets.pointsTaggedSql, cond, stdFromI, stdUntilI)}
+       |SELECT regexp_extract(metric, ';shard=([^;]*)', 1) AS metric,
+       |       bucket_ts, round(sum(v), 6) AS value
+       |FROM dense
+       |GROUP BY 1, 2
+       |ORDER BY 1, 2""".stripMargin
+  }
 
   val renderTargetSmoothSql: String = {
     val fromI = Buckets.fetchInterval(Buckets.FromS, 60)

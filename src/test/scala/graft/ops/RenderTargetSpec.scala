@@ -387,6 +387,35 @@ class RenderTargetSpec extends AnyFunSuite {
         BigDecimal.RoundingMode.HALF_UP).toDouble)
   }
 
+  test("seriesByTag selects by tag predicates; groupByTags/aliasByTags") {
+    val p = pts(
+      ("cpu;dc=us-east;host=a", 65L, 1.0),
+      ("cpu;dc=us-west;host=b", 65L, 2.0),
+      ("cpu;dc=eu-1;host=c", 65L, 4.0),
+      ("mem;dc=us-east;host=a", 65L, 8.0))
+    def mets(t: String) = RenderTarget.evaluate(spark, p, t, 0L, 60L, 60)
+      .collect().map(_.getString(0)).toSeq
+    assert(mets("seriesByTag('name=cpu', 'dc=~us-.*')") ==
+      Seq("cpu;dc=us-east;host=a", "cpu;dc=us-west;host=b"))
+    assert(mets("seriesByTag('dc=us-east')") ==
+      Seq("cpu;dc=us-east;host=a", "mem;dc=us-east;host=a"))
+    assert(mets("seriesByTag('name!=mem', 'dc!=~us-.*')") ==
+      Seq("cpu;dc=eu-1;host=c"))
+    // tag-expr with parens inside quotes parses (quoted-Leaf grammar)
+    assert(mets("seriesByTag('dc=~(us-east|eu-1)')") ==
+      Seq("cpu;dc=eu-1;host=c", "cpu;dc=us-east;host=a",
+        "mem;dc=us-east;host=a"))
+    val grouped = RenderTarget.evaluate(spark, p,
+      "groupByTags(seriesByTag('name=cpu'), 'sum', 'dc')", 0L, 60L, 60)
+      .collect().map(r => (r.getString(0), r.getDouble(2))).toSeq
+    assert(grouped == Seq(("cpu;dc=eu-1", 4.0), ("cpu;dc=us-east", 1.0),
+      ("cpu;dc=us-west", 2.0)))
+    val aliased = RenderTarget.evaluate(spark, p,
+      "aliasByTags(seriesByTag('name=mem'), 'host', 'dc')", 0L, 60L, 60)
+      .collect().map(_.getString(0)).toSeq
+    assert(aliased == Seq("a.us-east"))
+  }
+
   test("presentational functions parse and pass data through unchanged") {
     val p = pts(("m.a", 65L, 2.5))
     val styled = "secondYAxis(color(dashed(lineWidth(m.a, 2), 5), 'red'))"

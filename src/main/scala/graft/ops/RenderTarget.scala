@@ -120,7 +120,8 @@ object RenderTarget {
     "sumSeriesWithWildcards", "averageSeriesWithWildcards",
     "add", "sigmoid", "exp", "roundFunction",
     "identity", "timeFunction", "sinFunction",
-    "seriesByTag", "groupByTags", "aliasByTags") ++
+    "seriesByTag", "groupByTags", "aliasByTags",
+    "filterSeries", "highest", "lowest", "removeEmptySeries") ++
     HoltWintersFuncs ++ PresentationFuncs
 
   /** Parse a target string. Globs may contain commas only inside
@@ -1036,6 +1037,70 @@ object RenderTarget {
           .select(lit("weightedAverage").as("metric"), col("bucket_ts"),
             when(col("den").isNotNull && col("den") =!= 0,
               round(col("num") / col("den"), 6)).as("value")), sv)
+      case Call("filterSeries", Seq(c), args) =>
+        // graphite 1.1's general series filter: keep series whose
+        // requested-window statistic satisfies `operator threshold` —
+        // subsumes the *Above/*Below idioms under one surface
+        val Seq(func, opStr, thrS) = args.take(3)
+        val thr = thrS.toDouble
+        val (df, step) = eval(c)
+        val lo = Math.floorDiv(fromI, step) * step
+        val stat = func match {
+          case "average" | "avg" => avg(col("value"))
+          case "max" => max(col("value"))
+          case "min" => min(col("value"))
+          case "sum" | "total" => sum(col("value"))
+          case "last" | "current" =>
+            max_by(col("value"), when(col("value").isNotNull, col("bucket_ts")))
+          case f2 => throw new IllegalArgumentException(
+            s"unknown filterSeries function '$f2'")
+        }
+        val stats = df.filter(col("bucket_ts") >= lo)
+          .groupBy(col("metric")).agg(stat.as("stat_v"))
+        val keep = stats.filter(opStr match {
+          case ">"  => col("stat_v") > thr
+          case ">=" => col("stat_v") >= thr
+          case "<"  => col("stat_v") < thr
+          case "<=" => col("stat_v") <= thr
+          case "="  => col("stat_v") === thr
+          case "!=" => col("stat_v") =!= thr
+          case o => throw new IllegalArgumentException(
+            s"unknown filterSeries operator '$o'")
+        })
+        (df.join(broadcast(keep.select("metric")), Seq("metric"), "left_semi"),
+          step)
+      case Call(f @ ("highest" | "lowest"), Seq(c), args) =>
+        // the general top/bottom-n by a chosen statistic (1.1's
+        // umbrella over highestMax/lowestAverage/…)
+        val n = args.headOption.map(_.toInt).getOrElse(1)
+        require(n > 0, s"$f count must be positive")
+        val func = args.lift(1).getOrElse("average")
+        val (df, step) = eval(c)
+        val lo = Math.floorDiv(fromI, step) * step
+        val stat = func match {
+          case "average" | "avg" => avg(col("value"))
+          case "max" => max(col("value"))
+          case "min" => min(col("value"))
+          case "sum" | "total" => sum(col("value"))
+          case "last" | "current" =>
+            max_by(col("value"), when(col("value").isNotNull, col("bucket_ts")))
+          case f2 => throw new IllegalArgumentException(
+            s"unknown $f function '$f2'")
+        }
+        val ranked = df.filter(col("bucket_ts") >= lo)
+          .groupBy(col("metric")).agg(stat.as("stat_v"))
+        val top = (if (f == "highest")
+            ranked.orderBy(col("stat_v").desc_nulls_last, col("metric"))
+          else ranked.orderBy(col("stat_v").asc_nulls_last, col("metric")))
+          .limit(n).select(col("metric"))
+        (df.join(broadcast(top), Seq("metric"), "left_semi"), step)
+      case Call("removeEmptySeries", Seq(c), _) =>
+        // drop series with NO known value in the requested window
+        val (df, step) = eval(c)
+        val lo = Math.floorDiv(fromI, step) * step
+        val live = df.filter(col("bucket_ts") >= lo && col("value").isNotNull)
+          .select(col("metric")).distinct()
+        (df.join(broadcast(live), Seq("metric"), "left_semi"), step)
       case Call("seriesByTag", cs, args) =>
         // tag-DB selection over `name;tag=value` metrics: every quoted
         // argument is one tag expression, ALL must hold. Same dense

@@ -416,6 +416,24 @@ class RenderTargetSpec extends AnyFunSuite {
     assert(aliased == Seq("a.us-east"))
   }
 
+  test("filterSeries/highest/lowest/removeEmptySeries selection forms") {
+    val p = pts(("m.a", 65L, 100.0), ("m.a", 125L, 1.0),
+      ("m.b", 65L, 90.0), ("m.b", 125L, 85.0),
+      ("m.c", 65L, 10.0), ("m.c", 125L, 20.0))
+    def mets(t: String) = RenderTarget.evaluate(spark, p, t, 0L, 120L, 60)
+      .collect().map(_.getString(0)).distinct.toSeq
+    assert(mets("filterSeries(m.*, 'max', '>', 80)") == Seq("m.a", "m.b"))
+    assert(mets("filterSeries(m.*, 'last', '<=', 20)") == Seq("m.a", "m.c"))
+    assert(mets("filterSeries(m.*, 'sum', '>=', 101)") == Seq("m.a", "m.b"))
+    assert(mets("highest(m.*, 1, 'average')") == Seq("m.b"))
+    // maxes: a=100, b=90, c=20 → lowest 2 by max keeps c and b
+    assert(mets("lowest(m.*, 2, 'max')") == Seq("m.b", "m.c"))
+    // m.c's values all fall below the floor → its series goes all-None
+    // and removeEmptySeries drops it from the frame
+    assert(mets("removeEmptySeries(removeBelowValue(m.*, 50))") ==
+      Seq("m.a", "m.b"))
+  }
+
   test("presentational functions parse and pass data through unchanged") {
     val p = pts(("m.a", 65L, 2.5))
     val styled = "secondYAxis(color(dashed(lineWidth(m.a, 2), 5), 'red'))"

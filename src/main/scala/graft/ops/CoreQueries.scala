@@ -370,6 +370,19 @@ object CoreQueries {
     "render_target_wildcards" -> ((s, d) => RenderTarget.renderTargetWildcards(s, d)),
     "render_target_tags" -> ((s, d) => RenderTarget.renderTargetTags(s, d)),
     "render_target_tagagg" -> ((s, d) => RenderTarget.renderTargetTagagg(s, d)),
+    "render_target_aggregate" -> ((s, d) => RenderTarget.renderTargetAggregate(s, d)),
+    "render_target_genmoving" -> ((s, d) => RenderTarget.renderTargetGenmoving(s, d)),
+    "render_target_sortby" -> ((s, d) => RenderTarget.renderTargetSortby(s, d)),
+    "render_target_lists" -> ((s, d) => RenderTarget.renderTargetLists(s, d)),
+    "render_target_regress" -> ((s, d) => RenderTarget.renderTargetRegress(s, d)),
+    "render_target_slice" -> ((s, d) => RenderTarget.renderTargetSlice(s, d)),
+    "render_target_aggline" -> ((s, d) => RenderTarget.renderTargetAggline(s, d)),
+    "render_target_fallback" -> ((s, d) => RenderTarget.renderTargetFallback(s, d)),
+    "render_target_reduce" -> ((s, d) => RenderTarget.renderTargetReduce(s, d)),
+    "render_target_unique" -> ((s, d) => RenderTarget.renderTargetUnique(s, d)),
+    "render_target_between" -> ((s, d) => RenderTarget.renderTargetBetween(s, d)),
+    "render_target_apply" -> ((s, d) => RenderTarget.renderTargetApply(s, d)),
+    "render_target_useabove" -> ((s, d) => RenderTarget.renderTargetUseabove(s, d)),
     "agg_avg" -> aggQuery(AggregationMethod.Average) _,
     "agg_sum" -> aggQuery(AggregationMethod.Sum) _,
     "agg_last" -> aggQuery(AggregationMethod.Last) _,
@@ -442,6 +455,19 @@ object CoreQueries {
     "render_target_wildcards" -> RenderTarget.renderTargetWildcardsSql,
     "render_target_tags" -> RenderTarget.renderTargetTagsSql,
     "render_target_tagagg" -> RenderTarget.renderTargetTagaggSql,
+    "render_target_aggregate" -> RenderTarget.renderTargetAggregateSql,
+    "render_target_genmoving" -> RenderTarget.renderTargetGenmovingSql,
+    "render_target_sortby" -> RenderTarget.renderTargetSortbySql,
+    "render_target_lists" -> RenderTarget.renderTargetListsSql,
+    "render_target_regress" -> RenderTarget.renderTargetRegressSql,
+    "render_target_slice" -> RenderTarget.renderTargetSliceSql,
+    "render_target_aggline" -> RenderTarget.renderTargetAgglineSql,
+    "render_target_fallback" -> RenderTarget.renderTargetFallbackSql,
+    "render_target_reduce" -> RenderTarget.renderTargetReduceSql,
+    "render_target_unique" -> RenderTarget.renderTargetUniqueSql,
+    "render_target_between" -> RenderTarget.renderTargetBetweenSql,
+    "render_target_apply" -> RenderTarget.renderTargetApplySql,
+    "render_target_useabove" -> RenderTarget.renderTargetUseaboveSql,
     "agg_avg" -> aggFamilySql(AggregationMethod.Average),
     "agg_sum" -> aggFamilySql(AggregationMethod.Sum),
     "agg_last" -> aggFamilySql(AggregationMethod.Last),

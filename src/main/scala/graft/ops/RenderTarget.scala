@@ -74,7 +74,7 @@ object RenderTarget {
     */
   private val HoltWintersFuncs = Set(
     "holtWintersForecast", "holtWintersConfidenceBands",
-    "holtWintersAberration")
+    "holtWintersAberration", "holtWintersConfidenceArea")
 
   /** Rendering hints with NO data semantics (color, line style, axis,
     * stacking, Cacti-style legend text): this engine serves series, not
@@ -84,7 +84,7 @@ object RenderTarget {
     */
   private val PresentationFuncs = Set(
     "color", "dashed", "lineWidth", "secondYAxis", "stacked",
-    "areaBetween", "cactiStyle")
+    "areaBetween", "cactiStyle", "alpha", "drawAsInfinite", "legendValue")
 
   /** Trailing-window functions: `f(series, N)` computes over the last N
     * points — all share movingAverage's history pre-fetch rule.
@@ -121,7 +121,16 @@ object RenderTarget {
     "add", "sigmoid", "exp", "roundFunction",
     "identity", "timeFunction", "sinFunction",
     "seriesByTag", "groupByTags", "aliasByTags",
-    "filterSeries", "highest", "lowest", "removeEmptySeries") ++
+    "filterSeries", "highest", "lowest", "removeEmptySeries",
+    "aggregate", "aggregateWithWildcards", "multiplySeriesWithWildcards",
+    "movingWindow", "sortBy", "sortByMinima", "mostDeviant", "unique",
+    "divideSeriesLists", "sumSeriesLists", "diffSeriesLists",
+    "multiplySeriesLists", "aggregateSeriesLists",
+    "linearRegression", "timeSlice", "cumulative", "setXFilesFactor",
+    "aggregateLine", "threshold", "fallbackSeries",
+    "removeBetweenPercentile", "mapSeries", "reduceSeries",
+    "applyByNode", "useSeriesAbove",
+    "time", "sin") ++
     HoltWintersFuncs ++ PresentationFuncs
 
   /** Parse a target string. Globs may contain commas only inside
@@ -275,8 +284,26 @@ object RenderTarget {
     // nothing a glob-pruning source (or the shared-scan regex union)
     // can use
     case Call("seriesByTag", _, _) => Nil
+    // applyByNode evaluates its TEMPLATE once per node-prefix: the
+    // scan must cover every metric the template can reach, so its
+    // globs join the union with `%` widened to an any-prefix wildcard
+    // of the right node depth
+    case Call("applyByNode", cs, args) =>
+      cs.flatMap(leafGlobs) ++
+        leafGlobs(parse(applyTemplate(args).replace("%",
+          Seq.fill(args.head.toInt + 1)("*").mkString("."))))
+    // useSeriesAbove fetches the search→replace REWRITTEN names: the
+    // literal substitution applied to the child's glob covers them
+    // (search/replace must be node-literal for the glob to stay valid
+    // — documented at the eval case)
+    case Call("useSeriesAbove", cs, args) =>
+      val base = cs.flatMap(leafGlobs)
+      base ++ base.map(_.replace(unquote(args(1)), unquote(args(2))))
     case Call(_, cs, _) => cs.flatMap(leafGlobs)
   }
+
+  /** applyByNode's template argument (2nd arg; the 1st is the node). */
+  private def applyTemplate(args: Seq[String]): String = unquote(args(1))
 
   /** Whether the tree selects series by TAG anywhere — the shared scan
     * then cannot pre-filter by glob regex (tag predicates are applied
@@ -336,9 +363,11 @@ object RenderTarget {
   def historyExtS(e: Expr, spp: Int): Long = e match {
     case Leaf(_) => 0L
     case Call(f, Seq(c), args) if MovingFuncs(f) =>
-      historyExtS(c, spp) + args.head.toLong * stepS(c, spp)
+      historyExtS(c, spp) + windowPts(args.head, stepS(c, spp)) * stepS(c, spp)
+    case Call("movingWindow", Seq(c), args) =>
+      historyExtS(c, spp) + windowPts(args.head, stepS(c, spp)) * stepS(c, spp)
     case Call("exponentialMovingAverage", Seq(c), args) =>
-      historyExtS(c, spp) + args.head.toLong * stepS(c, spp)
+      historyExtS(c, spp) + windowPts(args.head, stepS(c, spp)) * stepS(c, spp)
     case Call(f, Seq(c), args) if HoltWintersFuncs(f) =>
       historyExtS(c, spp) + hwBootstrapS(args)
     case Call("timeShift", Seq(c), args) =>
@@ -346,6 +375,12 @@ object RenderTarget {
     case Call("timeStack", Seq(c), args) =>
       // deepest copy: shiftEnd × unit back in time
       historyExtS(c, spp) + args(2).toLong * durationS(args.head)
+    case Call("applyByNode", cs, args) =>
+      // the template may carry its own history need (a movingAverage
+      // inside it); probe it with the widened wildcard prefix
+      (cs.map(historyExtS(_, spp)) :+
+        historyExtS(parse(applyTemplate(args).replace("%",
+          Seq.fill(args.head.toInt + 1)("*").mkString("."))), spp)).max
     case Call(_, cs, _) => cs.map(historyExtS(_, spp)).max
   }
 
@@ -366,12 +401,39 @@ object RenderTarget {
       steps.head
   }
 
+  /** graphite 1.1's named-aggregator vocabulary as a per-group Column —
+    * shared by `summarize`, `aggregate`, `aggregateWithWildcards`,
+    * `movingWindow`, `sortBy`, `filterSeries`, `highest`/`lowest`,
+    * `aggregateLine`, `groupByNode(s)` and `groupByTags`. `last`/
+    * `current` pick the value at the latest known bucket (the
+    * surrounding plan always has `bucket_ts` in scope).
+    */
   private def summarizeAgg(func: String, c: Column): Column = func match {
-    case "sum" => sum(c)
+    case "sum" | "total" => sum(c)
     case "avg" | "average" => avg(c)
     case "max" => max(c)
     case "min" => min(c)
-    case f => throw new IllegalArgumentException(s"unknown summarize func '$f'")
+    case "median" => percentile(c, lit(0.5))
+    case "count" => count(c).cast("double")
+    case "range" | "rangeOf" => max(c) - min(c)
+    case "stddev" => stddev_pop(c)
+    case "last" | "current" => max_by(c, when(c.isNotNull, col("bucket_ts")))
+    case f => throw new IllegalArgumentException(s"unknown aggregation '$f'")
+  }
+
+  /** A window argument that is either an integer POINT COUNT or a
+    * quoted DURATION ('5min') converted to points at the series step —
+    * graphite accepts both across the whole moving-window family.
+    */
+  private def windowPts(arg: String, step: Long): Long = {
+    val t = arg.trim
+    if (t.forall(_.isDigit)) t.toLong
+    else {
+      val s = durationS(t)
+      require(s % step == 0 && s >= step,
+        s"window '$arg' must be a multiple of the series step")
+      s / step
+    }
   }
 
   /** The `consolidateBy` annotation in the tree, if any — graphite
@@ -382,6 +444,9 @@ object RenderTarget {
     case Leaf(_) => None
     case Call("consolidateBy", cs, args) =>
       args.headOption.orElse(cs.flatMap(consolidationOf).headOption)
+    // graphite's cumulative(series) is sugar for consolidateBy('sum')
+    case Call("cumulative", cs, _) =>
+      Some("sum")
     case Call(_, cs, _) => cs.flatMap(consolidationOf).headOption
   }
 
@@ -391,7 +456,7 @@ object RenderTarget {
     */
   def xffOf(e: Expr): Option[Double] = e match {
     case Leaf(_) => None
-    case Call("xFilesFactor", cs, args) =>
+    case Call("xFilesFactor" | "setXFilesFactor", cs, args) =>
       args.headOption.map(_.toDouble).orElse(cs.flatMap(xffOf).headOption)
     case Call(_, cs, _) => cs.flatMap(xffOf).headOption
   }
@@ -564,9 +629,9 @@ object RenderTarget {
         // metric-partitioned sort shared by the whole family; nulls are
         // skipped natively (all-null window → null). stdev is the
         // population form, graphite's running-deviation line.
-        val n = args.head.toInt
-        require(n > 0, s"$f window must be positive")
         val (df, step) = eval(c)
+        val n = windowPts(args.head, step).toInt
+        require(n > 0, s"$f window must be positive")
         val w = Window.partitionBy(col("metric")).orderBy(col("bucket_ts"))
           .rowsBetween(-(n - 1), Window.currentRow)
         val v = f match {
@@ -606,7 +671,7 @@ object RenderTarget {
                 rows.iterator.zip(analysis.iterator).map {
                   case ((_, b, _), (p, _)) => (metric, b, p.map(r6))
                 }
-              case "holtWintersConfidenceBands" =>
+              case "holtWintersConfidenceBands" | "holtWintersConfidenceArea" =>
                 rows.iterator.zip(analysis.iterator).flatMap {
                   case ((_, b, _), (p, d)) => Iterator(
                     (s"$metric@upper", b, p.map(x => r6(x + delta * d))),
@@ -1045,16 +1110,7 @@ object RenderTarget {
         val thr = thrS.toDouble
         val (df, step) = eval(c)
         val lo = Math.floorDiv(fromI, step) * step
-        val stat = func match {
-          case "average" | "avg" => avg(col("value"))
-          case "max" => max(col("value"))
-          case "min" => min(col("value"))
-          case "sum" | "total" => sum(col("value"))
-          case "last" | "current" =>
-            max_by(col("value"), when(col("value").isNotNull, col("bucket_ts")))
-          case f2 => throw new IllegalArgumentException(
-            s"unknown filterSeries function '$f2'")
-        }
+        val stat = summarizeAgg(func, col("value"))
         val stats = df.filter(col("bucket_ts") >= lo)
           .groupBy(col("metric")).agg(stat.as("stat_v"))
         val keep = stats.filter(opStr match {
@@ -1077,18 +1133,8 @@ object RenderTarget {
         val func = args.lift(1).getOrElse("average")
         val (df, step) = eval(c)
         val lo = Math.floorDiv(fromI, step) * step
-        val stat = func match {
-          case "average" | "avg" => avg(col("value"))
-          case "max" => max(col("value"))
-          case "min" => min(col("value"))
-          case "sum" | "total" => sum(col("value"))
-          case "last" | "current" =>
-            max_by(col("value"), when(col("value").isNotNull, col("bucket_ts")))
-          case f2 => throw new IllegalArgumentException(
-            s"unknown $f function '$f2'")
-        }
         val ranked = df.filter(col("bucket_ts") >= lo)
-          .groupBy(col("metric")).agg(stat.as("stat_v"))
+          .groupBy(col("metric")).agg(summarizeAgg(func, col("value")).as("stat_v"))
         val top = (if (f == "highest")
             ranked.orderBy(col("stat_v").desc_nulls_last, col("metric"))
           else ranked.orderBy(col("stat_v").asc_nulls_last, col("metric")))
@@ -1134,22 +1180,6 @@ object RenderTarget {
         require(args.nonEmpty, "aliasByTags needs at least one tag")
         val (df, step) = eval(c)
         (df.withColumn("metric", concat_ws(".", args.map(tagValue): _*)), step)
-      case Call(f @ ("sumSeriesWithWildcards" | "averageSeriesWithWildcards"),
-          Seq(c), args) =>
-        // combine series whose names agree once the wildcard node
-        // positions are removed — groupByNodes' complement (name KEEPS
-        // the non-wildcard nodes, in order)
-        val positions = args.map(_.toInt)
-        require(positions.nonEmpty, s"$f needs at least one node position")
-        val (df, step) = eval(c)
-        val parts = split(col("metric"), "\\.")
-        val kept = filter(parts, (_, i) =>
-          positions.map(p => i =!= p).reduce(_ && _))
-        val v =
-          if (f == "sumSeriesWithWildcards") round(sum(col("value")), 6)
-          else round(avg(col("value")), 6)
-        (df.groupBy(array_join(kept, ".").as("metric"), col("bucket_ts"))
-          .agg(v.as("value")), step)
       case Call("add", Seq(c), args) =>
         // graphite's literal-addition alias of offset
         eval(Call("offset", Seq(c), args))
@@ -1168,7 +1198,7 @@ object RenderTarget {
         require(prec >= 0 && prec <= 6, "roundFunction precision must be in [0, 6]")
         val (df, step) = eval(c)
         (df.withColumn("value", round(col("value"), prec)), step)
-      case Call(f @ ("identity" | "timeFunction"), Seq(Leaf(name)), _) =>
+      case Call(f @ ("identity" | "timeFunction" | "time"), Seq(Leaf(name)), _) =>
         // the timestamp generator: value = bucket_ts on the request
         // grid (the quoted series name arrives as a quoted Leaf —
         // the grammar's series slot always parses as an expression)
@@ -1176,7 +1206,7 @@ object RenderTarget {
         (spark.range(fromI, untilI, spp.toLong).toDF("bucket_ts")
           .select(lit(unquote(name)).as("metric"), col("bucket_ts"),
             col("bucket_ts").cast("double").as("value")), spp.toLong)
-      case Call("sinFunction", Seq(Leaf(name)), args) =>
+      case Call("sinFunction" | "sin", Seq(Leaf(name)), args) =>
         val amp = args.headOption.map(_.toDouble).getOrElse(1.0)
         val stepArg = args.lift(1).map(_.toLong).getOrElse(spp.toLong)
         (spark.range(fromI, untilI, stepArg).toDF("bucket_ts")
@@ -1228,10 +1258,10 @@ object RenderTarget {
         // typed per-series pass as the Holt-Winters family, with N
         // points of pre-fetched history so the seed has converged by
         // the first requested bucket
-        val n = args.head.toInt
+        val (df, step) = eval(c)
+        val n = windowPts(args.head, step).toInt
         require(n > 0, "exponentialMovingAverage window must be positive")
         val alpha = 2.0 / (n + 1)
-        val (df, step) = eval(c)
         def r6(x: Double): Double =
           BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
         import spark.implicits._
@@ -1396,10 +1426,13 @@ object RenderTarget {
           .withColumn("value", when(col("value") <= col("thr_v"), col("value")))
           .select(col("metric"), col("bucket_ts"), col("value")), step)
       case Call("limit", Seq(Call(sf @ ("sortByMaxima" | "sortByTotal" |
-          "sortByName"), Seq(c), _)), args) =>
+          "sortByName" | "sortByMinima" | "sortBy"), Seq(c), sargs)), args) =>
         // the selecting composition: sortByX orders the series list,
         // limit keeps the first n — together a top-n series selection
-        // over the requested window (ranking scope as highestMax)
+        // over the requested window (ranking scope as highestMax).
+        // sortBy is 1.1's general form (any named aggregator, optional
+        // reverse); sortByMinima ranks ascending by minimum and — per
+        // graphite — first drops series that never go positive.
         val n = args.head.toInt
         require(n > 0, "limit count must be positive")
         val (df, step) = eval(c)
@@ -1408,11 +1441,24 @@ object RenderTarget {
           case "sortByName" =>
             df.select(col("metric")).distinct().orderBy(col("metric")).limit(n)
           case _ =>
-            val rankAgg =
-              if (sf == "sortByMaxima") max(col("value")) else sum(col("value"))
-            df.filter(col("bucket_ts") >= lo)
-              .groupBy(col("metric")).agg(rankAgg.as("rank_v"))
-              .orderBy(col("rank_v").desc_nulls_last, col("metric"))
+            val (rankAgg, asc) = sf match {
+              case "sortByMaxima" => (max(col("value")), false)
+              case "sortByTotal" => (sum(col("value")), false)
+              case "sortByMinima" => (min(col("value")), true)
+              case "sortBy" =>
+                val func = sargs.headOption.getOrElse("average")
+                val reverse = sargs.lift(1).exists(_.toBoolean)
+                (summarizeAgg(func, col("value")), !reverse)
+            }
+            val stats0 = df.filter(col("bucket_ts") >= lo)
+              .groupBy(col("metric")).agg(rankAgg.as("rank_v"),
+                max(col("value")).as("max_v"))
+            val stats =
+              if (sf == "sortByMinima") stats0.filter(col("max_v") > 0)
+              else stats0
+            stats.orderBy(
+                if (asc) col("rank_v").asc_nulls_last
+                else col("rank_v").desc_nulls_last, col("metric"))
               .limit(n).select(col("metric"))
         }
         (df.join(broadcast(ranked), Seq("metric"), "left_semi"), step)
@@ -1425,11 +1471,25 @@ object RenderTarget {
         val first = df.select(col("metric")).distinct()
           .orderBy(col("metric")).limit(n)
         (df.join(broadcast(first), Seq("metric"), "left_semi"), step)
-      case Call("sortByMaxima" | "sortByTotal" | "sortByName", Seq(c), _) =>
+      case Call("sortByMaxima" | "sortByTotal" | "sortByName" | "sortBy",
+          Seq(c), _) =>
         // bare sort is presentational: the output contract already
         // orders rows by (metric, bucket_ts); the selecting form is
         // limit(sortByX(…)) above
         eval(c)
+      case Call("sortByMinima", Seq(c), _) =>
+        // even bare, sortByMinima SELECTS: graphite drops series whose
+        // maximum never goes positive before sorting
+        val (df, step) = eval(c)
+        val lo = Math.floorDiv(fromI, step) * step
+        val pos = df.filter(col("bucket_ts") >= lo)
+          .groupBy(col("metric")).agg(max(col("value")).as("max_v"))
+          .filter(col("max_v") > 0).select(col("metric"))
+        (df.join(broadcast(pos), Seq("metric"), "left_semi"), step)
+      case Call("mostDeviant", Seq(c), args) =>
+        // the n series with the highest population deviation over the
+        // requested window — `highest(…, n, 'stddev')` in 1.1 vocabulary
+        eval(Call("highest", Seq(c), Seq(args.head, "stddev")))
       case Call("constantLine", Seq(Leaf(v)), _) =>
         // no series child — a synthetic constant on the request grid
         // (graphite draws 3 points; a full grid keeps the frame shape
@@ -1460,6 +1520,339 @@ object RenderTarget {
           s"timeShift offset ${args.head} must be a multiple of the series step")
         (df.withColumn("bucket_ts", col("bucket_ts") + delta)
           .filter(col("bucket_ts") < untilI), step)
+      // ------------------------------- graphite 1.1 umbrella forms:
+      case Call("aggregate", Seq(c), args) =>
+        // the 1.1 canonical combine: aggregate(list, 'func'). The named
+        // aggregators run as one per-bucket aggregate; 'multiply' and
+        // 'diff' reuse the strict-fold / signed-sum shapes of their
+        // dedicated twins (no product aggregate in Spark; diff is
+        // first-by-name minus the rest).
+        val func = args.head
+        val (df, step) = eval(c)
+        func match {
+          case "multiply" =>
+            (df.groupBy(col("bucket_ts"))
+              .agg(collect_list(col("value")).as("vs"),
+                count(col("value")).as("kn"), count(lit(1)).as("tot"))
+              .select(lit("multiplySeries").as("metric"), col("bucket_ts"),
+                when(col("kn") === col("tot"),
+                  round(aggregate(col("vs"), lit(1.0), (acc, x) => acc * x), 6))
+                  .as("value")), step)
+          case "diff" =>
+            // the dense frame carries every metric in every bucket, so
+            // the per-bucket name-minimum IS the list head
+            val wb = Window.partitionBy(col("bucket_ts"))
+            val signed = df.withColumn("value",
+              when(col("metric") === min(col("metric")).over(wb), col("value"))
+                .otherwise(-col("value")))
+            (signed.groupBy(col("bucket_ts"))
+              .agg(round(sum(col("value")), 6).as("value"))
+              .select(lit("diffSeries").as("metric"), col("bucket_ts"),
+                col("value")), step)
+          case _ =>
+            (df.groupBy(col("bucket_ts"))
+              .agg(round(summarizeAgg(func, col("value")), 6).as("value"))
+              .select(lit(s"${func}Series").as("metric"), col("bucket_ts"),
+                col("value")), step)
+        }
+      case Call(f @ ("sumSeriesWithWildcards" | "averageSeriesWithWildcards" |
+          "multiplySeriesWithWildcards"), Seq(c), args) =>
+        // named sugar over aggregateWithWildcards
+        val func = f match {
+          case "sumSeriesWithWildcards" => "sum"
+          case "averageSeriesWithWildcards" => "average"
+          case _ => "multiply"
+        }
+        eval(Call("aggregateWithWildcards", Seq(c), func +: args))
+      case Call("aggregateWithWildcards", Seq(c), args) =>
+        // combine series whose names agree once the wildcard node
+        // positions are removed — groupByNodes' complement (the name
+        // KEEPS the non-wildcard nodes, in order), under any named
+        // aggregator; 'multiply' keeps graphite's strict safeMul
+        val func = args.head
+        val positions = args.tail.map(_.toInt)
+        require(positions.nonEmpty,
+          "aggregateWithWildcards needs at least one node position")
+        val (df, step) = eval(c)
+        val parts = split(col("metric"), "\\.")
+        val kept = filter(parts, (_, i) =>
+          positions.map(p => i =!= p).reduce(_ && _))
+        val key = array_join(kept, ".").as("metric")
+        if (func == "multiply")
+          (df.groupBy(key, col("bucket_ts"))
+            .agg(collect_list(col("value")).as("vs"),
+              count(col("value")).as("kn"), count(lit(1)).as("tot"))
+            .select(col("metric"), col("bucket_ts"),
+              when(col("kn") === col("tot"),
+                round(aggregate(col("vs"), lit(1.0), (acc, x) => acc * x), 6))
+                .as("value")), step)
+        else
+          (df.groupBy(key, col("bucket_ts"))
+            .agg(round(summarizeAgg(func, col("value")), 6).as("value")), step)
+      case Call("movingWindow", Seq(c), args) =>
+        // the general trailing window: any named aggregator over the
+        // last n points — the MovingFuncs family's umbrella (same
+        // history pre-fetch, same metric-partitioned sort)
+        val (df, step) = eval(c)
+        val n = windowPts(args.head, step).toInt
+        require(n > 0, "movingWindow window must be positive")
+        val func = args.lift(1).getOrElse("average")
+        val w = Window.partitionBy(col("metric")).orderBy(col("bucket_ts"))
+          .rowsBetween(-(n - 1), Window.currentRow)
+        (df.withColumn("value",
+          round(summarizeAgg(func, col("value")).over(w), 6)), step)
+      case Call("unique", cs, _) if cs.nonEmpty =>
+        // union of the member lists keeping each series name ONCE —
+        // first occurrence wins (list order = child order)
+        val evald = cs.map(eval)
+        val steps = evald.map(_._2).distinct
+        require(steps.size == 1,
+          s"unique: member series must share one step (got ${steps.mkString(", ")})")
+        val tagged = evald.map(_._1).zipWithIndex.map { case (df, i) =>
+          df.withColumn("src", lit(i)) }
+        val u = tagged.reduce(_ unionByName _)
+        val firstSrc = u.groupBy(col("metric")).agg(min(col("src")).as("src"))
+        (u.join(broadcast(firstSrc), Seq("metric", "src"), "left_semi")
+          .select(col("metric"), col("bucket_ts"), col("value")), steps.head)
+      case Call(f @ ("divideSeriesLists" | "sumSeriesLists" | "diffSeriesLists" |
+          "multiplySeriesLists" | "aggregateSeriesLists"), Seq(ca, cb), args) =>
+        // pairwise by POSITION: the i-th series of each list (name
+        // order — this engine's list-order contract) combines
+        // pointwise. Unmatched tails drop (inner join on rank);
+        // graphite raises on length mismatch instead, but that check
+        // would cost an extra action in the query path, so the inner
+        // join IS the documented contract here. Ranking runs on the
+        // request-bounded distinct-name frames (driver-free).
+        val op = f match {
+          case "divideSeriesLists" => "divide"
+          case "sumSeriesLists" => "sum"
+          case "diffSeriesLists" => "diff"
+          case "multiplySeriesLists" => "multiply"
+          case _ => args.head
+        }
+        val (da, stepA) = eval(ca)
+        val (db, stepB) = eval(cb)
+        require(stepA == stepB, s"$f: both lists must share one step")
+        def ranked(df: DataFrame, m: String, v: String) = {
+          val names = df.select(col("metric")).distinct()
+            .withColumn("rk", row_number().over(Window.orderBy(col("metric"))))
+          df.join(broadcast(names), Seq("metric"))
+            .select(col("rk"), col("bucket_ts"),
+              col("metric").as(m), col("value").as(v))
+        }
+        val j = ranked(da, "m_a", "v_a")
+          .join(ranked(db, "m_b", "v_b"), Seq("rk", "bucket_ts"))
+        val (name, v) = op match {
+          case "divide" => ("divideSeries",
+            when(col("v_a").isNotNull && col("v_b").isNotNull &&
+              col("v_b") =!= 0, round(col("v_a") / col("v_b"), 6)))
+          case "sum" => ("sumSeries",
+            when(col("v_a").isNotNull || col("v_b").isNotNull,
+              round(coalesce(col("v_a"), lit(0.0)) +
+                coalesce(col("v_b"), lit(0.0)), 6)))
+          case "diff" => ("diffSeries",
+            when(col("v_a").isNotNull || col("v_b").isNotNull,
+              round(coalesce(col("v_a"), lit(0.0)) -
+                coalesce(col("v_b"), lit(0.0)), 6)))
+          case "multiply" => ("multiplySeries",
+            when(col("v_a").isNotNull && col("v_b").isNotNull,
+              round(col("v_a") * col("v_b"), 6)))
+          case o => throw new IllegalArgumentException(
+            s"unknown aggregateSeriesLists op '$o'")
+        }
+        (j.select(concat(lit(s"$name("), col("m_a"), lit(","), col("m_b"),
+          lit(")")).as("metric"), col("bucket_ts"), v.as("value")), stepA)
+      case Call("linearRegression", Seq(c), _) =>
+        // per-series least-squares fit over the requested window,
+        // served as the fitted line on the same grid: OLS is algebraic,
+        // so two aggregates (slope, intercept) per series broadcast
+        // back — no sequential pass
+        // the regressor is CENTERED at the window start: algebraically
+        // identical, but epoch-second x-values (~1.7e9) would cancel
+        // catastrophically in the intercept and make the 6-decimal
+        // result engine-dependent
+        val (df, step) = eval(c)
+        val lo = Math.floorDiv(fromI, step) * step
+        val x = col("bucket_ts") - lit(lo)
+        val fit = broadcast(df.filter(col("bucket_ts") >= lo)
+          .groupBy(col("metric"))
+          .agg(regr_slope(col("value"), x).as("beta"),
+            regr_intercept(col("value"), x).as("alpha")))
+        (df.join(fit, Seq("metric"), "left")
+          .select(col("metric"), col("bucket_ts"),
+            when(col("beta").isNotNull,
+              round(col("alpha") + col("beta") * (col("bucket_ts") - lit(lo)), 6))
+              .as("value")), step)
+      case Call("timeSlice", Seq(c), args) =>
+        // None outside [start, end]: bounds are epoch seconds, or
+        // -durations relative to the request's `until` (render-time
+        // "now"), graphite's relative-time shorthand
+        val (df, step) = eval(c)
+        def bound(a: String, dflt: Long): Long = {
+          val t = a.trim
+          if (t.isEmpty || t == "now") dflt
+          else if (t.startsWith("-")) untilS - durationS(t.stripPrefix("-"))
+          else if (t.forall(_.isDigit)) t.toLong
+          else throw new IllegalArgumentException(s"bad timeSlice bound '$a'")
+        }
+        val startT = bound(args.head, fromS)
+        val endT = args.lift(1).map(bound(_, untilS)).getOrElse(untilS)
+        (df.withColumn("value",
+          when(col("bucket_ts") >= startT && col("bucket_ts") <= endT,
+            col("value"))), step)
+      case Call("aggregateLine", Seq(c), args) =>
+        // each series flattened to the horizontal line of its own
+        // requested-window aggregate — per-series one-row stat,
+        // broadcast back across the grid
+        val func = args.headOption.getOrElse("avg")
+        val (df, step) = eval(c)
+        val lo = Math.floorDiv(fromI, step) * step
+        val stat = broadcast(df.filter(col("bucket_ts") >= lo)
+          .groupBy(col("metric"))
+          .agg(round(summarizeAgg(func, col("value")), 6).as("line_v")))
+        (df.join(stat, Seq("metric"), "left")
+          .select(col("metric"), col("bucket_ts"),
+            col("line_v").as("value")), step)
+      case Call("threshold", Seq(Leaf(v)), args) =>
+        // constantLine + alias (+ ignored color) — the alerting guide
+        // line real dashboards overlay
+        val name = args.headOption.map(unquote).filter(_.nonEmpty).getOrElse(v)
+        val k = v.toDouble
+        (spark.range(fromI, untilI, spp.toLong).toDF("bucket_ts")
+          .select(lit(name).as("metric"), col("bucket_ts"),
+            lit(k).as("value")), spp.toLong)
+      case Call("fallbackSeries", Seq(c, fb), _) =>
+        // the fallback serves ONLY when the primary matched nothing:
+        // anti-join the fallback against the primary's 0/1-row
+        // existence marker — emptiness decided inside the plan, no
+        // driver-side count
+        val (df, step) = eval(c)
+        val (fdf, fstep) = eval(fb)
+        require(step == fstep, "fallbackSeries: both series must share one step")
+        val marker = df.select(lit(1).as("present")).limit(1)
+        val fallback = fdf.withColumn("present", lit(1))
+          .join(broadcast(marker), Seq("present"), "left_anti")
+          .drop("present")
+        (df.unionByName(fallback), step)
+      case Call("removeBetweenPercentile", Seq(c), args) =>
+        // keep series that ESCAPE the cross-series per-bucket n-th
+        // percentile band at least once in the requested window
+        // (graphite folds n below 50 to its mirror)
+        val n0 = args.head.toDouble
+        val n = if (n0 < 50) 100 - n0 else n0
+        require(n < 100, "removeBetweenPercentile n must be below 100")
+        val (df, step) = eval(c)
+        val lo = Math.floorDiv(fromI, step) * step
+        val bands = df.filter(col("bucket_ts") >= lo)
+          .groupBy(col("bucket_ts"))
+          .agg(percentile(col("value"), lit((100 - n) / 100)).as("lo_v"),
+            percentile(col("value"), lit(n / 100)).as("hi_v"))
+        val outside = df.filter(col("bucket_ts") >= lo)
+          .join(bands, Seq("bucket_ts"))
+          .filter(col("value").isNotNull &&
+            !(col("value") > col("lo_v") && col("value") < col("hi_v")))
+          .select(col("metric")).distinct()
+        (df.join(broadcast(outside), Seq("metric"), "left_semi"), step)
+      case Call("mapSeries", Seq(c), _) =>
+        // grouping annotation: reduceSeries below reads the node
+        // structure off the names directly, so the map is the identity
+        eval(c)
+      case Call("reduceSeries", Seq(c), args) =>
+        // reduceSeries(mapSeries(list, …), 'func', reduceNode, m1, m2):
+        // within each series group agreeing on every node EXCEPT
+        // reduceNode, combine the two members named by the matchers.
+        // One grouped aggregate with conditional member extraction —
+        // the pivot is two `max(when(node = matcher))` columns, no join.
+        val func = args.head
+        val node = args(1).toInt
+        val matchers = args.drop(2).map(unquote)
+        require(matchers.size == 2,
+          "reduceSeries supports exactly two reduce matchers")
+        val (df, step) = eval(c)
+        val parts = split(col("metric"), "\\.")
+        val keyCol = array_join(filter(parts, (_, i) => i =!= node), ".")
+        val tag = parts.getItem(node)
+        val g = df.groupBy(keyCol.as("metric"), col("bucket_ts"))
+          .agg(max(when(tag === matchers(0), col("value"))).as("v1"),
+            max(when(tag === matchers(1), col("value"))).as("v2"))
+        val v = func match {
+          case "asPercent" =>
+            when(col("v1").isNotNull && col("v2").isNotNull &&
+              col("v2") =!= 0, round(col("v1") / col("v2") * 100, 6))
+          case "divide" =>
+            when(col("v1").isNotNull && col("v2").isNotNull &&
+              col("v2") =!= 0, round(col("v1") / col("v2"), 6))
+          case "diff" =>
+            when(col("v1").isNotNull || col("v2").isNotNull,
+              round(coalesce(col("v1"), lit(0.0)) -
+                coalesce(col("v2"), lit(0.0)), 6))
+          case f2 => throw new IllegalArgumentException(
+            s"unknown reduceSeries function '$f2'")
+        }
+        (g.select(col("metric"), col("bucket_ts"), v.as("value")), step)
+      case Call("applyByNode", Seq(c), args) =>
+        // evaluate the TEMPLATE once per distinct node-prefix of the
+        // matched series, '%' standing for the prefix, and union the
+        // results — graphite's per-group sub-query form (e.g. each
+        // host's free-disk percentage from two of its own metrics).
+        // The prefix list is one bounded driver collect (distinct
+        // series names over the requested window — request-scale, never
+        // data-scale; graphite materializes the same list), mirroring
+        // the documented bounded collects in Dedup/WhisperTable. Each
+        // prefix's subtree then re-filters the SAME shared aggregate,
+        // so the union stays one scan.
+        val node = args.head.toInt
+        val template = applyTemplate(args)
+        val newName = args.lift(2)
+        val (df, step) = eval(c)
+        val prefixes = df
+          .select(array_join(slice(split(col("metric"), "\\."), 1, node + 1),
+            ".").as("p"))
+          .distinct().collect().map(_.getString(0)).sorted
+        require(prefixes.nonEmpty, "applyByNode matched no series")
+        require(prefixes.length <= 1024,
+          s"applyByNode: ${prefixes.length} node groups exceed the " +
+            "bounded-evaluation gate (1024)")
+        val evald = prefixes.toSeq.map { p =>
+          val (sub, st) = eval(parse(template.replace("%", p)))
+          require(st == step,
+            "applyByNode template must keep the series step")
+          newName.fold(sub)(n =>
+            sub.withColumn("metric", lit(n.replace("%", p))))
+        }
+        (evald.reduce(_ unionByName _), step)
+      case Call("useSeriesAbove", Seq(c), args) =>
+        // series whose requested-window MAX clears the threshold have
+        // their names rewritten search→replace, and THOSE series serve
+        // — graphite's two-round-trip form (inspect requests_per_sec,
+        // fetch latency for the busy ones). The rewrite happens IN-PLAN
+        // (regexp_replace on the qualifying-name frame, broadcast semi
+        // join back into the shared aggregate) — no driver collect.
+        // Search/replace must be node-literal so the pre-scan glob
+        // rewrite in [[leafGlobs]] covers the rewritten names.
+        val Seq(thrS, search, replace) = args.take(3).map(unquote)
+        val thr = thrS.toDouble
+        val (df, step) = eval(c)
+        val lo = Math.floorDiv(fromI, step) * step
+        val rewritten = df.filter(col("bucket_ts") >= lo)
+          .groupBy(col("metric")).agg(max(col("value")).as("max_v"))
+          .filter(col("max_v") > thr)
+          .select(regexp_replace(col("metric"), search, replace).as("metric"))
+        val agg2 = sharedAgg
+          .join(broadcast(rewritten), Seq("metric"), "left_semi")
+        val metrics = agg2.select(col("metric")).distinct()
+        (spark.range(extFromI, untilI, spp.toLong).toDF("bucket_ts")
+          .crossJoin(metrics)
+          .join(agg2, Seq("metric", "bucket_ts"), "left")
+          .select(col("metric"), col("bucket_ts"), col("value")),
+          spp.toLong)
+      case Call("cumulative", Seq(c), _) =>
+        // annotation: consolidateBy('sum') sugar, read by
+        // [[consolidationOf]] at maxDataPoints-consolidation time
+        eval(c)
+      case Call("setXFilesFactor", Seq(c), _) =>
+        // annotation: read by [[xffOf]] at consolidation time
+        eval(c)
       case Call(f, _, _) =>
         throw new IllegalArgumentException(s"unsupported render function '$f'")
     }
@@ -2566,6 +2959,279 @@ object RenderTarget {
        |       bucket_ts, round(sum(v), 6) AS value
        |FROM dense
        |GROUP BY 1, 2
+       |ORDER BY 1, 2""".stripMargin
+  }
+
+  /** `render_target_aggregate`: graphite 1.1's canonical combine under
+    * a robust aggregator — `aggregate(shard*…, 'median')`.
+    */
+  val TargetExprAggregate = s"aggregate($PathedGlob, 'median')"
+
+  def renderTargetAggregate(spark: SparkSession, sfDir: String): DataFrame =
+    evalPathed(spark, sfDir, TargetExprAggregate)
+
+  val renderTargetAggregateSql: String =
+    s"""$densePathedSql
+       |SELECT 'medianSeries' AS metric, bucket_ts,
+       |       round(median(v), 6) AS value
+       |FROM dense GROUP BY 2 ORDER BY 2""".stripMargin
+
+  /** `render_target_genmoving`: the general trailing window with a
+    * DURATION size — `movingWindow(sumSeries(…), '10min', 'sum')`.
+    */
+  val TargetExprGenmoving =
+    s"movingWindow(sumSeries(${Fetch.GlobPattern}), '10min', 'sum')"
+
+  def renderTargetGenmoving(spark: SparkSession, sfDir: String): DataFrame =
+    evalFlat(spark, sfDir, TargetExprGenmoving, extS = 600L)
+
+  val renderTargetGenmovingSql: String = {
+    val extFromI = stdFromI - 600L
+    s"""${denseSqlWith(Buckets.pointsSql, Fetch.globToRegex(Fetch.GlobPattern),
+        extFromI, stdUntilI)},
+       |summed AS (
+       |  SELECT bucket_ts, round(sum(v), 6) AS value
+       |  FROM dense GROUP BY 1),
+       |smoothed AS (
+       |  SELECT bucket_ts,
+       |         round(sum(value) OVER (ORDER BY bucket_ts
+       |           ROWS BETWEEN 9 PRECEDING AND CURRENT ROW), 6) AS value
+       |  FROM summed)
+       |SELECT 'sumSeries' AS metric, bucket_ts, value FROM smoothed
+       |WHERE bucket_ts >= $stdFromI
+       |ORDER BY bucket_ts""".stripMargin
+  }
+
+  /** `render_target_sortby`: 1.1's general sort + limit selection —
+    * `limit(sortBy(shard*…, 'stddev', true), 3)` (3 noisiest series).
+    */
+  val TargetExprSortby = s"limit(sortBy($PathedGlob, 'stddev', true), 3)"
+
+  def renderTargetSortby(spark: SparkSession, sfDir: String): DataFrame =
+    evalPathed(spark, sfDir, TargetExprSortby)
+
+  val renderTargetSortbySql: String =
+    s"""$densePathedSql,
+       |stats AS (
+       |  SELECT metric, stddev_pop(v) AS rank_v FROM dense GROUP BY 1),
+       |top_n AS (
+       |  SELECT metric FROM stats
+       |  ORDER BY rank_v DESC NULLS LAST, metric LIMIT 3)
+       |SELECT d.metric, d.bucket_ts, d.v AS value
+       |FROM dense d JOIN top_n USING (metric)
+       |ORDER BY d.metric, d.bucket_ts""".stripMargin
+
+  /** `render_target_lists`: positional pairing across two lists —
+    * `divideSeriesLists(shard0.*, shard1.*)` (shard-over-shard ratio
+    * per event type; name order pairs the event types up).
+    */
+  val TargetExprLists = "divideSeriesLists(shard0.*, shard1.*)"
+
+  def renderTargetLists(spark: SparkSession, sfDir: String): DataFrame =
+    evalPathed(spark, sfDir, TargetExprLists)
+
+  val renderTargetListsSql: String = {
+    val rx0 = Fetch.globToRegex("shard0.*")
+    val rx1 = Fetch.globToRegex("shard1.*")
+    s"""${denseSqlWith(Buckets.pointsPathedSql, s"$rx0|$rx1",
+        stdFromI, stdUntilI)},
+       |a AS (SELECT metric, row_number() OVER (ORDER BY metric) AS rk
+       |      FROM (SELECT DISTINCT metric FROM dense
+       |            WHERE regexp_matches(metric, '$rx0'))),
+       |b AS (SELECT metric, row_number() OVER (ORDER BY metric) AS rk
+       |      FROM (SELECT DISTINCT metric FROM dense
+       |            WHERE regexp_matches(metric, '$rx1')))
+       |SELECT 'divideSeries(' || a.metric || ',' || b.metric || ')' AS metric,
+       |       d1.bucket_ts,
+       |       CASE WHEN d1.v IS NOT NULL AND d2.v IS NOT NULL AND d2.v <> 0
+       |            THEN round(d1.v / d2.v, 6) END AS value
+       |FROM a JOIN b USING (rk)
+       |  JOIN dense d1 ON d1.metric = a.metric
+       |  JOIN dense d2 ON d2.metric = b.metric AND d2.bucket_ts = d1.bucket_ts
+       |ORDER BY 1, 2""".stripMargin
+  }
+
+  /** `render_target_regress`: per-series OLS trend line —
+    * `linearRegression(sumSeries(…))`.
+    */
+  val TargetExprRegress = s"linearRegression(sumSeries(${Fetch.GlobPattern}))"
+
+  def renderTargetRegress(spark: SparkSession, sfDir: String): DataFrame =
+    evalFlat(spark, sfDir, TargetExprRegress)
+
+  val renderTargetRegressSql: String =
+    s"""$denseFlatSql,
+       |summed AS (
+       |  SELECT bucket_ts, round(sum(v), 6) AS value
+       |  FROM dense GROUP BY 1),
+       |fit AS (
+       |  SELECT regr_slope(value, bucket_ts - $stdFromI) AS beta,
+       |         regr_intercept(value, bucket_ts - $stdFromI) AS alpha
+       |  FROM summed)
+       |SELECT 'sumSeries' AS metric, s.bucket_ts,
+       |       CASE WHEN beta IS NOT NULL
+       |            THEN round(alpha + beta * (s.bucket_ts - $stdFromI), 6) END
+       |         AS value
+       |FROM summed s CROSS JOIN fit
+       |ORDER BY s.bucket_ts""".stripMargin
+
+  /** `render_target_slice`: the time window mask —
+    * `timeSlice(glob, from+6h, from+12h)` (values elsewhere → None).
+    */
+  val TargetExprSlice =
+    s"timeSlice(${Fetch.GlobPattern}, ${Buckets.FromS + 21600}, ${Buckets.FromS + 43200})"
+
+  def renderTargetSlice(spark: SparkSession, sfDir: String): DataFrame =
+    evalFlat(spark, sfDir, TargetExprSlice)
+
+  val renderTargetSliceSql: String =
+    s"""$denseFlatSql
+       |SELECT metric, bucket_ts,
+       |       CASE WHEN bucket_ts >= ${Buckets.FromS + 21600}
+       |             AND bucket_ts <= ${Buckets.FromS + 43200}
+       |            THEN v END AS value
+       |FROM dense ORDER BY 1, 2""".stripMargin
+
+  /** `render_target_aggline`: each series as the flat line of its own
+    * window average — `aggregateLine(shard*…, 'avg')`.
+    */
+  val TargetExprAggline = s"aggregateLine($PathedGlob, 'avg')"
+
+  def renderTargetAggline(spark: SparkSession, sfDir: String): DataFrame =
+    evalPathed(spark, sfDir, TargetExprAggline)
+
+  val renderTargetAgglineSql: String =
+    s"""$densePathedSql,
+       |stat AS (
+       |  SELECT metric, round(avg(v), 6) AS line_v FROM dense GROUP BY 1)
+       |SELECT d.metric, d.bucket_ts, s.line_v AS value
+       |FROM dense d LEFT JOIN stat s USING (metric)
+       |ORDER BY 1, 2""".stripMargin
+
+  /** `render_target_fallback`: in-plan emptiness switch — the primary
+    * glob matches nothing, so `fallbackSeries` serves the constant.
+    */
+  val TargetExprFallback = "fallbackSeries(zzz.nomatch*, constantLine(42))"
+
+  def renderTargetFallback(spark: SparkSession, sfDir: String): DataFrame =
+    evalFlat(spark, sfDir, TargetExprFallback)
+
+  val renderTargetFallbackSql: String =
+    s"""SELECT '42' AS metric, CAST(range AS BIGINT) AS bucket_ts,
+       |       CAST(42.0 AS DOUBLE) AS value
+       |FROM range($stdFromI, $stdUntilI, 60)
+       |ORDER BY 2""".stripMargin
+
+  /** `render_target_reduce`: the map/reduce pair — per shard,
+    * click-to-view percentage:
+    * `reduceSeries(mapSeries(shard*.{click,view}, 0), 'asPercent', 1,
+    * 'click', 'view')`.
+    */
+  val TargetExprReduce =
+    "reduceSeries(mapSeries(shard*.{click,view}, 0), 'asPercent', 1, 'click', 'view')"
+
+  def renderTargetReduce(spark: SparkSession, sfDir: String): DataFrame =
+    evalPathed(spark, sfDir, TargetExprReduce)
+
+  val renderTargetReduceSql: String =
+    s"""${denseSqlWith(Buckets.pointsPathedSql,
+        Fetch.globToRegex("shard*.{click,view}"), stdFromI, stdUntilI)},
+       |g AS (
+       |  SELECT split_part(metric, '.', 1) AS metric, bucket_ts,
+       |         max(CASE WHEN split_part(metric, '.', 2) = 'click'
+       |                  THEN v END) AS v1,
+       |         max(CASE WHEN split_part(metric, '.', 2) = 'view'
+       |                  THEN v END) AS v2
+       |  FROM dense GROUP BY 1, 2)
+       |SELECT metric, bucket_ts,
+       |       CASE WHEN v1 IS NOT NULL AND v2 IS NOT NULL AND v2 <> 0
+       |            THEN round(v1 / v2 * 100, 6) END AS value
+       |FROM g ORDER BY 1, 2""".stripMargin
+
+  /** `render_target_unique`: overlapping lists union with first-wins
+    * name dedup — `unique(shard0.*, shard*.click)` (shard0.click
+    * appears in both; values agree, so the oracle is the plain union).
+    */
+  val TargetExprUnique = "unique(shard0.*, shard*.click)"
+
+  def renderTargetUnique(spark: SparkSession, sfDir: String): DataFrame =
+    evalPathed(spark, sfDir, TargetExprUnique)
+
+  val renderTargetUniqueSql: String = {
+    val rx = s"${Fetch.globToRegex("shard0.*")}|${Fetch.globToRegex("shard*.click")}"
+    s"""${denseSqlWith(Buckets.pointsPathedSql, rx, stdFromI, stdUntilI)}
+       |SELECT metric, bucket_ts, v AS value FROM dense
+       |ORDER BY 1, 2""".stripMargin
+  }
+
+  /** `render_target_between`: drop series that never leave the
+    * cross-series p10–p90 band — `removeBetweenPercentile(shard*…, 90)`.
+    */
+  val TargetExprBetween = s"removeBetweenPercentile($PathedGlob, 90)"
+
+  def renderTargetBetween(spark: SparkSession, sfDir: String): DataFrame =
+    evalPathed(spark, sfDir, TargetExprBetween)
+
+  val renderTargetBetweenSql: String =
+    s"""$densePathedSql,
+       |bands AS (
+       |  SELECT bucket_ts, quantile_cont(v, 0.10) AS lo_v,
+       |         quantile_cont(v, 0.90) AS hi_v
+       |  FROM dense GROUP BY 1),
+       |outside AS (
+       |  SELECT DISTINCT d.metric
+       |  FROM dense d JOIN bands USING (bucket_ts)
+       |  WHERE d.v IS NOT NULL AND NOT (d.v > lo_v AND d.v < hi_v))
+       |SELECT d.metric, d.bucket_ts, d.v AS value
+       |FROM dense d JOIN outside USING (metric)
+       |ORDER BY 1, 2""".stripMargin
+
+  /** `render_target_apply`: per-node-group sub-query — each shard's
+    * click share of its own total:
+    * `applyByNode(shard*.click, 0, 'asPercent(%.click, sumSeries(%.*))')`.
+    */
+  val TargetExprApply =
+    "applyByNode(shard*.click, 0, 'asPercent(%.click, sumSeries(%.*))')"
+
+  def renderTargetApply(spark: SparkSession, sfDir: String): DataFrame =
+    evalPathed(spark, sfDir, TargetExprApply)
+
+  val renderTargetApplySql: String =
+    s"""${denseSqlWith(Buckets.pointsPathedSql, Fetch.globToRegex("shard*.*"),
+        stdFromI, stdUntilI)},
+       |tot AS (
+       |  SELECT split_part(metric, '.', 1) AS shard, bucket_ts,
+       |         sum(v) AS tot_v
+       |  FROM dense GROUP BY 1, 2)
+       |SELECT d.metric, d.bucket_ts,
+       |       CASE WHEN d.v IS NOT NULL AND tot_v IS NOT NULL AND tot_v <> 0
+       |            THEN round(d.v / tot_v * 100, 6) END AS value
+       |FROM dense d JOIN tot
+       |  ON split_part(d.metric, '.', 1) = tot.shard
+       | AND d.bucket_ts = tot.bucket_ts
+       |WHERE d.metric LIKE '%.click'
+       |ORDER BY 1, 2""".stripMargin
+
+  /** `render_target_useabove`: inspect one metric, serve another —
+    * `useSeriesAbove(shard*.click, 90, 'click', 'view')` (view traffic
+    * of the shards whose click rate peaked above 90).
+    */
+  val TargetExprUseabove = "useSeriesAbove(shard*.click, 90, 'click', 'view')"
+
+  def renderTargetUseabove(spark: SparkSession, sfDir: String): DataFrame =
+    evalPathed(spark, sfDir, TargetExprUseabove)
+
+  val renderTargetUseaboveSql: String = {
+    val rxClick = Fetch.globToRegex("shard*.click")
+    val rx = s"$rxClick|${Fetch.globToRegex("shard*.view")}"
+    s"""${denseSqlWith(Buckets.pointsPathedSql, rx, stdFromI, stdUntilI)},
+       |q AS (
+       |  SELECT replace(metric, 'click', 'view') AS metric
+       |  FROM (SELECT metric, max(v) AS max_v FROM dense
+       |        WHERE regexp_matches(metric, '$rxClick') GROUP BY 1)
+       |  WHERE max_v > 90)
+       |SELECT d.metric, d.bucket_ts, d.v AS value
+       |FROM dense d JOIN q USING (metric)
        |ORDER BY 1, 2""".stripMargin
   }
 

@@ -616,4 +616,166 @@ class RenderTargetSpec extends AnyFunSuite {
     assert(df.forall(_.getDouble(2) == 2.0))
     assert(df.forall(_.getString(0) == "sumSeries"))
   }
+
+  test("aggregate: named aggregators, strict multiply, first-minus-rest diff") {
+    val p = pts(("m.a", 65L, 10.0), ("m.b", 65L, 4.0), ("m.c", 65L, 1.0),
+      ("m.a", 125L, 6.0), ("m.b", 125L, 2.0)) // m.c absent at 120
+    def one(t: String) = RenderTarget.evaluate(spark, p, t, 0L, 120L, 60)
+      .collect().map(r => (r.getLong(1), Option(r.get(2)))).sortBy(_._1).toSeq
+    assert(one("aggregate(m.*, 'median')") ==
+      Seq((60L, Some(4.0)), (120L, Some(4.0))))
+    // strict safeMul: m.c None at 120 → bucket None
+    assert(one("aggregate(m.*, 'multiply')") ==
+      Seq((60L, Some(40.0)), (120L, None)))
+    // diff = first-by-name minus the rest; None counts as 0 (not all-None)
+    assert(one("aggregate(m.*, 'diff')") ==
+      Seq((60L, Some(5.0)), (120L, Some(4.0))))
+    // the generic name matches the dedicated combine's output
+    assert(one("aggregate(m.*, 'sum')") ==
+      RenderTarget.evaluate(spark, p, "sumSeries(m.*)", 0L, 120L, 60)
+        .collect().map(r => (r.getLong(1), Option(r.get(2)))).sortBy(_._1).toSeq)
+  }
+
+  test("movingWindow: duration windows, any aggregator; movingAverage '2min'") {
+    val rows = for (i <- 0 to 10) yield ("m.a", i * 60L + 5, i.toDouble)
+    val p = pts(rows: _*)
+    val mw = RenderTarget.evaluate(spark, p,
+      "movingWindow(m.a, '3min', 'max')", 240L, 600L, 60)
+      .collect().map(_.getDouble(2)).toSeq
+    // grid (240, 600] = buckets 300..600 holding values 5..10; the
+    // trailing 3-bucket max at bucket 60i is i (full windows, history
+    // pre-fetched)
+    assert(mw == Seq(5.0, 6.0, 7.0, 8.0, 9.0, 10.0))
+    val ma = RenderTarget.evaluate(spark, p,
+      "movingAverage(m.a, '2min')", 240L, 600L, 60)
+      .collect().map(_.getDouble(2)).toSeq
+    assert(ma == Seq(4.5, 5.5, 6.5, 7.5, 8.5, 9.5))
+  }
+
+  test("sortBy/sortByMinima/mostDeviant selection; unique first-wins") {
+    val p = pts(("m.a", 65L, 1.0), ("m.a", 125L, 9.0),   // stddev 4, min 1
+      ("m.b", 65L, 5.0), ("m.b", 125L, 5.0),             // stddev 0, min 5
+      ("m.c", 65L, -3.0), ("m.c", 125L, -1.0))           // never positive
+    def mets(t: String) = RenderTarget.evaluate(spark, p, t, 0L, 120L, 60)
+      .collect().map(_.getString(0)).distinct.sorted.toSeq
+    assert(mets("limit(sortBy(m.*, 'stddev', true), 1)") == Seq("m.a"))
+    assert(mets("limit(sortBy(m.*, 'min'), 1)") == Seq("m.c"))
+    // sortByMinima drops series that never go positive, even bare
+    assert(mets("sortByMinima(m.*)") == Seq("m.a", "m.b"))
+    assert(mets("mostDeviant(m.*, 1)") == Seq("m.a"))
+    assert(mets("unique(m.a, m.*)") == Seq("m.a", "m.b", "m.c"))
+  }
+
+  test("divideSeriesLists pairs by name rank; sumSeriesLists None-as-0") {
+    val p = pts(("a.x", 65L, 10.0), ("a.y", 65L, 20.0),
+      ("b.x", 65L, 2.0), ("b.y", 65L, 5.0))
+    val div = RenderTarget.evaluate(spark, p, "divideSeriesLists(a.*, b.*)",
+      0L, 60L, 60).collect()
+      .map(r => (r.getString(0), Option(r.get(2)))).sortBy(_._1).toSeq
+    assert(div == Seq(
+      ("divideSeries(a.x,b.x)", Some(5.0)),
+      ("divideSeries(a.y,b.y)", Some(4.0))))
+    val s = RenderTarget.evaluate(spark, p, "sumSeriesLists(a.*, b.*)",
+      0L, 120L, 60).collect()
+      .map(r => (r.getString(0), r.getLong(1), Option(r.get(2))))
+      .filter(_._2 == 120L).sortBy(_._1).toSeq
+    // bucket 120 has no data on either side → None (not 0)
+    assert(s.map(_._3) == Seq(None, None))
+  }
+
+  test("linearRegression reproduces a perfect line; timeSlice masks outside") {
+    val rows = for (i <- 0 to 4) yield ("m.a", i * 60L + 5, 3.0 + 2.0 * i)
+    val p = pts(rows: _*)
+    // grid (0, 240] = buckets 60..240 holding 5, 7, 9, 11 — already a
+    // perfect line, so the fit reproduces it exactly
+    val lr = RenderTarget.evaluate(spark, p, "linearRegression(m.a)",
+      0L, 240L, 60).collect().map(_.getDouble(2)).toSeq
+    assert(lr == Seq(5.0, 7.0, 9.0, 11.0))
+    val ts = RenderTarget.evaluate(spark, p, "timeSlice(m.a, 60, 120)",
+      0L, 240L, 60).collect().map(r => Option(r.get(2))).toSeq
+    assert(ts == Seq(Some(5.0), Some(7.0), None, None))
+  }
+
+  test("aggregateLine flattens; fallbackSeries switches on emptiness") {
+    val p = pts(("m.a", 65L, 2.0), ("m.a", 125L, 4.0))
+    val line = RenderTarget.evaluate(spark, p, "aggregateLine(m.a, 'avg')",
+      0L, 120L, 60).collect().map(_.getDouble(2)).toSeq
+    assert(line == Seq(3.0, 3.0))
+    // primary matches → fallback suppressed
+    val kept = RenderTarget.evaluate(spark, p,
+      "fallbackSeries(m.a, constantLine(7))", 0L, 60L, 60)
+      .collect().map(_.getString(0)).distinct.toSeq
+    assert(kept == Seq("m.a"))
+    // primary empty → the constant line serves
+    val fb = RenderTarget.evaluate(spark, p,
+      "fallbackSeries(zzz.none, constantLine(7))", 0L, 60L, 60)
+      .collect().map(r => (r.getString(0), r.getDouble(2))).distinct.toSeq
+    assert(fb == Seq(("7", 7.0)))
+  }
+
+  test("reduceSeries pivots matcher members per map group") {
+    val p = pts(("s0.click", 65L, 30.0), ("s0.view", 65L, 60.0),
+      ("s1.click", 65L, 10.0), ("s1.view", 65L, 40.0))
+    val out = RenderTarget.evaluate(spark, p,
+      "reduceSeries(mapSeries(s*.*, 0), 'asPercent', 1, 'click', 'view')",
+      0L, 60L, 60).collect()
+      .map(r => (r.getString(0), Option(r.get(2)))).sortBy(_._1).toSeq
+    assert(out == Seq(("s0", Some(50.0)), ("s1", Some(25.0))))
+  }
+
+  test("threshold names its line; annotations cumulative/setXFilesFactor; " +
+    "time/sin aliases; confidence area = bands") {
+    val p = pts(("m.a", 65L, 1.0))
+    val thr = RenderTarget.evaluate(spark, p, "threshold(5, 'limit', 'red')",
+      0L, 120L, 60).collect().map(r => (r.getString(0), r.getDouble(2))).toSeq
+    assert(thr.forall(_ == ("limit", 5.0)))
+    assert(RenderTarget.consolidationOf(
+      RenderTarget.parse("cumulative(m.a)")).contains("sum"))
+    assert(RenderTarget.xffOf(
+      RenderTarget.parse("setXFilesFactor(m.a, 0.25)")).contains(0.25))
+    val t = RenderTarget.evaluate(spark, p, "time('t', 60)", 0L, 120L, 60)
+      .collect().map(r => (r.getLong(1), r.getDouble(2))).toSeq
+    assert(t.forall { case (b, v) => v == b.toDouble })
+    val area = RenderTarget.evaluate(spark, p,
+      "holtWintersConfidenceArea(m.a)", 0L, 60L, 60)
+      .collect().map(_.getString(0)).distinct.sorted.toSeq
+    assert(area == Seq("m.a@lower", "m.a@upper"))
+  }
+
+  test("applyByNode evaluates the template per node group; newName renames") {
+    val p = pts(("s0.used", 65L, 30.0), ("s0.total", 65L, 60.0),
+      ("s1.used", 65L, 10.0), ("s1.total", 65L, 40.0))
+    val out = RenderTarget.evaluate(spark, p,
+      "applyByNode(s*.used, 0, 'asPercent(%.used, sumSeries(%.total))')",
+      0L, 60L, 60).collect()
+      .map(r => (r.getString(0), Option(r.get(2)))).sortBy(_._1).toSeq
+    assert(out == Seq(("s0.used", Some(50.0)), ("s1.used", Some(25.0))))
+    val named = RenderTarget.evaluate(spark, p,
+      "applyByNode(s*.used, 0, 'scale(%.used, 2)', '%.doubled')",
+      0L, 60L, 60).collect()
+      .map(r => (r.getString(0), r.getDouble(2))).sortBy(_._1).toSeq
+    assert(named == Seq(("s0.doubled", 60.0), ("s1.doubled", 20.0)))
+  }
+
+  test("useSeriesAbove serves the rewritten twin of qualifying series") {
+    val p = pts(("s0.req", 65L, 100.0), ("s0.lat", 65L, 7.0),
+      ("s1.req", 65L, 10.0), ("s1.lat", 65L, 3.0))
+    val out = RenderTarget.evaluate(spark, p,
+      "useSeriesAbove(s*.req, 50, 'req', 'lat')", 0L, 60L, 60)
+      .collect().map(r => (r.getString(0), r.getDouble(2))).toSeq
+    // only s0's requests clear 50 → only s0's LATENCY serves
+    assert(out == Seq(("s0.lat", 7.0)))
+  }
+
+  test("removeBetweenPercentile keeps only band-escaping series") {
+    // spread 1..9 plus one outlier: continuous p10 = 1.9, p90 = 13.1 —
+    // the STRICT band (graphite's lo < v < hi) lets the low edge (1)
+    // and the outlier escape; 2..9 sit inside and drop
+    val rows = (0 to 8).map(i => (s"m.q$i", 65L, 1.0 + i)) :+
+      ("m.out", 65L, 50.0)
+    val kept = RenderTarget.evaluate(spark, pts(rows: _*),
+      "removeBetweenPercentile(m.*, 90)", 0L, 60L, 60)
+      .collect().map(_.getString(0)).distinct.sorted.toSeq
+    assert(kept == Seq("m.out", "m.q0"))
+  }
 }

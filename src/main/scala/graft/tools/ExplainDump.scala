@@ -162,6 +162,28 @@ object ExplainDump {
         "regexes — one scan + one shuffle, reused), the node-keyed " +
         "dedup reduces each side to one row per (key, bucket), and the " +
         "final Σv·w/Σw is a join of two request-bounded frames."),
+    "render_target_apply" ->
+      ("applyByNode(shard*.click, 0, 'asPercent(%.click, sumSeries(" +
+        "%.*))'): the template evaluates once per node-prefix, but " +
+        "every prefix subtree re-filters the SAME shared (metric, " +
+        "bucket) aggregate — exchange reuse executes the scan + partial " +
+        "aggregate once, and the per-prefix work above it is bounded by " +
+        "series × buckets; the prefix list itself is the one bounded " +
+        "driver collect."),
+    "render_target_lists" ->
+      ("divideSeriesLists(shard0.*, shard1.*): both lists resolve off " +
+        "the shared leaf aggregate; each side's name-rank is a " +
+        "row_number over its request-bounded DISTINCT-name frame (a " +
+        "20-row sort, not a data sort), broadcast back, and the " +
+        "pairwise divide is an equi-join on (rank, bucket) — no " +
+        "cartesian pairing."),
+    "render_target_useabove" ->
+      ("useSeriesAbove(shard*.click, 90, 'click', 'view'): the " +
+        "qualifying-series max reduces to one row per series, the " +
+        "search→replace rewrite is a codegen'd regexp_replace on that " +
+        "tiny frame, and the rewritten names semi-join back into the " +
+        "shared aggregate as a BroadcastHashJoin — the second 'fetch' " +
+        "never rescans, and no name list touches the driver."),
     "wsp_roundtrip" ->
       ("The .wsp DataSource V2 scan: `BatchScan wsp` with the pushed " +
         "metric/ts bounds in the scan description — metric predicates " +

@@ -108,6 +108,21 @@ class PlanSpec extends AnyFunSuite {
       s"each leaf still scans the base table:\n$p")
   }
 
+  test("applyByNode prefix subtrees reuse the shared scan at runtime") {
+    // the template evaluates once per node prefix; every prefix
+    // subtree re-filters the one shared aggregate, so AQE stage reuse
+    // must collapse the repeated scan+partial-aggregate exchanges
+    val q = RenderTarget.evaluate(spark,
+      Buckets.pointsPathedInRange(spark, dir, 1704844860L, 1704931260L),
+      "applyByNode(shard*.click, 0, 'asPercent(%.click, sumSeries(%.*))')",
+      Buckets.FromS, Buckets.UntilS, 60)
+    q.collect()
+    val p = plan(q)
+    assert(p.contains("ReusedExchange") || p.contains("ReusedQueryStage") ||
+      "Scan parquet".r.findAllIn(p).size == 1,
+      s"each prefix subtree still scans the base table:\n$p")
+  }
+
   test("render fill stacks run-length windows on one metric sort") {
     // keepLastValue needs THREE window passes (cumulative run ids,
     // per-run null counts, then integral's running sum) — all

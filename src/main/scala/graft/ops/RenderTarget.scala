@@ -1804,8 +1804,15 @@ object RenderTarget {
         val node = args.head.toInt
         val template = applyTemplate(args)
         val newName = args.lift(2)
-        val (df, step) = eval(c)
-        val prefixes = df
+        // prefix discovery skips the dense spine: a Leaf child's
+        // distinct names come straight off the shared post-agg frame
+        // (scan + partial aggregate only — the collect job stays as
+        // cheap as a metrics_find)
+        val (prefixSrc, step) = c match {
+          case Leaf(g) => (leafSelect(Fetch.globToRegex(g)), spp.toLong)
+          case _ => eval(c)
+        }
+        val prefixes = prefixSrc
           .select(array_join(slice(split(col("metric"), "\\."), 1, node + 1),
             ".").as("p"))
           .distinct().collect().map(_.getString(0)).sorted

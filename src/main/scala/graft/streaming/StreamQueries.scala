@@ -1,6 +1,6 @@
 package graft.streaming
 
-import graft.ops.{Buckets, Dedup, PipelineOps}
+import graft.ops.{Buckets, CoreQueries, Dedup, PipelineOps}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
@@ -125,12 +125,55 @@ object StreamQueries {
       .orderBy("metric", "session_start")
   }
 
+  /** `stream_rollup` — [[StreamRollup.CascadeStore]] driven over the
+    * event stream in two deterministic arrival waves split at the
+    * event-time midpoint: 5-minute buckets straddling the split receive
+    * points in BOTH waves, so their re-derivation crosses a real batch
+    * boundary (wave 2 must replace wave 1's coarse rows for exactly
+    * those buckets and carry every other row forward untouched). The
+    * final coarse level must equal the batch cascade — the oracle IS
+    * `rollup_cascade_5m`'s SQL.
+    */
+  private def ensureStreamRollup(s: SparkSession, dir: String): String =
+    Dedup.sharedIndexPath(s, dir, "events.parquet", "stream_rollup") { base =>
+      import s.implicits._
+      val stage = s"$base/stage"
+      val pts = Buckets.points(s, dir)
+      val store = new StreamRollup.CascadeStore(60, 300,
+        graft.model.AggregationMethod.Sum, 0.0)
+      val (lo, hi) = pts.agg(min("ts_s"), max("ts_s")).as[(Long, Long)].head()
+      val mid = lo + (hi - lo) / 2
+      def runWave(wave: DataFrame): Unit = {
+        wave.coalesce(1).write.mode("append").parquet(stage)
+        s.readStream.schema(pts.schema).parquet(stage)
+          .writeStream.outputMode("update")
+          .foreachBatch { (b: DataFrame, id: Long) => store.mergeBatch(b, id) }
+          .option("checkpointLocation", s"$base/ckpt")
+          .trigger(Trigger.AvailableNow())
+          .start().awaitTermination()
+      }
+      runWave(pts.filter(col("ts_s") <= mid))
+      runWave(pts.filter(col("ts_s") > mid))
+      store.currentCoarse.get
+        .select(col("metric"), col("bucket_ts"),
+          round(col("value"), 6).as("value"), col("known"), col("total"))
+        .coalesce(1).write.mode("overwrite").parquet(s"$base/out")
+    }
+
+  def streamRollup(s: SparkSession, dir: String): DataFrame = {
+    val base = ensureStreamRollup(s, dir)
+    s.read.parquet(s"$base/out").orderBy("metric", "bucket_ts")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "stream_dedup" -> (streamDedup _),
-    "stream_sessionize" -> (streamSessionize _))
+    "stream_sessionize" -> (streamSessionize _),
+    "stream_rollup" -> (streamRollup _))
 
   val oracleSql: Map[String, String] = Map(
     "stream_dedup" -> streamDedupSql,
     // identical sessions to the batch operator — the whole point
-    "stream_sessionize" -> PipelineOps.sessionizeSql)
+    "stream_sessionize" -> PipelineOps.sessionizeSql,
+    // continuous rollup ≡ batch cascade: literally the same oracle
+    "stream_rollup" -> CoreQueries.rollupCascade5mSql)
 }

@@ -139,8 +139,9 @@ object StreamQueries {
       import s.implicits._
       val stage = s"$base/stage"
       val pts = Buckets.points(s, dir)
-      val store = new StreamRollup.CascadeStore(60, 300,
-        graft.model.AggregationMethod.Sum, 0.0)
+      val store = new StreamRollup.CascadeStore(60, Seq(
+        StreamRollup.Level(300, graft.model.AggregationMethod.Sum, 0.0),
+        StreamRollup.Level(3600, graft.model.AggregationMethod.Sum, 0.0)))
       val (lo, hi) = pts.agg(min("ts_s"), max("ts_s")).as[(Long, Long)].head()
       val mid = lo + (hi - lo) / 2
       def runWave(wave: DataFrame): Unit = {
@@ -154,26 +155,38 @@ object StreamQueries {
       }
       runWave(pts.filter(col("ts_s") <= mid))
       runWave(pts.filter(col("ts_s") > mid))
-      store.currentCoarse.get
-        .select(col("metric"), col("bucket_ts"),
-          round(col("value"), 6).as("value"), col("known"), col("total"))
-        .coalesce(1).write.mode("overwrite").parquet(s"$base/out")
+      Seq(300, 3600).foreach { lvl =>
+        store.level(lvl).get
+          .select(col("metric"), col("bucket_ts"),
+            round(col("value"), 6).as("value"), col("known"), col("total"))
+          .coalesce(1).write.mode("overwrite").parquet(s"$base/out$lvl")
+      }
     }
 
   def streamRollup(s: SparkSession, dir: String): DataFrame = {
     val base = ensureStreamRollup(s, dir)
-    s.read.parquet(s"$base/out").orderBy("metric", "bucket_ts")
+    s.read.parquet(s"$base/out300").orderBy("metric", "bucket_ts")
+  }
+
+  /** `stream_rollup_1h` — level 3 of the SAME streamed cascade (one
+    * shared build); oracle = `rollup_cascade_1h`'s SQL verbatim.
+    */
+  def streamRollup1h(s: SparkSession, dir: String): DataFrame = {
+    val base = ensureStreamRollup(s, dir)
+    s.read.parquet(s"$base/out3600").orderBy("metric", "bucket_ts")
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "stream_dedup" -> (streamDedup _),
     "stream_sessionize" -> (streamSessionize _),
-    "stream_rollup" -> (streamRollup _))
+    "stream_rollup" -> (streamRollup _),
+    "stream_rollup_1h" -> (streamRollup1h _))
 
   val oracleSql: Map[String, String] = Map(
     "stream_dedup" -> streamDedupSql,
     // identical sessions to the batch operator — the whole point
     "stream_sessionize" -> PipelineOps.sessionizeSql,
-    // continuous rollup ≡ batch cascade: literally the same oracle
-    "stream_rollup" -> CoreQueries.rollupCascade5mSql)
+    // continuous rollup ≡ batch cascade: literally the same oracles
+    "stream_rollup" -> CoreQueries.rollupCascade5mSql,
+    "stream_rollup_1h" -> CoreQueries.rollupCascade1hSql)
 }

@@ -31,22 +31,34 @@ import org.apache.spark.sql.functions._
   */
 object StreamRollup {
 
-  /** Cross-batch state: the fine LWW level plus the incrementally
-    * maintained coarse level of one cascade step
-    * (`spp` → `coarseSpp`, consolidated by `method` under `xff`).
+  /** One cascade step: consolidate to `spp` seconds per point by
+    * `method` under the `xff` quality gate.
     */
-  final class CascadeStore(spp: Int, coarseSpp: Int,
-      method: AggregationMethod, xff: Double) extends Serializable {
-    require(coarseSpp % spp == 0 && coarseSpp > spp,
-      s"coarse step $coarseSpp must be a multiple of the fine step $spp")
+  final case class Level(spp: Int, method: AggregationMethod, xff: Double)
+
+  /** Cross-batch state: the fine LWW level plus the incrementally
+    * maintained coarse levels of the whole cascade (each derived from
+    * the level above it, exactly whisper's archive chain).
+    */
+  final class CascadeStore(spp: Int, levels: Seq[Level])
+      extends Serializable {
+    def this(spp: Int, coarseSpp: Int, method: AggregationMethod,
+        xff: Double) = this(spp, Seq(Level(coarseSpp, method, xff)))
+    require(levels.nonEmpty, "cascade needs at least one coarse level")
+    (spp +: levels.map(_.spp)).sliding(2).foreach { case Seq(hi, lo) =>
+      require(lo % hi == 0 && lo > hi,
+        s"level step $lo must be a multiple of the finer step $hi")
+    }
 
     /** (metric, bucket_ts, value, ts_s) — raw-ts winners, so LWW
       * displacement stays order-insensitive across micro-batches. */
     @volatile private var fine: Option[DataFrame] = None
 
-    /** (metric, bucket_ts, value, known, total) — whisper's coarse
+    /** Per level: (metric, bucket_ts, value, known, total) — whisper's
       * archive rows with quality metadata. */
-    @volatile private var coarse: Option[DataFrame] = None
+    private val states =
+      scala.collection.mutable.ArrayBuffer.fill[Option[DataFrame]](
+        levels.size)(None)
 
     def mergeBatch(batch: DataFrame, batchId: Long): Unit = synchronized {
       val pts = batch.select(col("metric"), col("ts_s"), col("value"))
@@ -60,31 +72,50 @@ object StreamRollup {
       }
       val fineCk = mergedFine.localCheckpoint(true)
       fine = Some(fineCk)
-      // whisper's propagate scope: the coarse buckets THIS batch wrote
-      val touched = pts.select(col("metric"),
-        Buckets.alignTs(col("ts_s"), coarseSpp).as("bucket_ts")).distinct()
-      val fineTouched = fineCk
-        .withColumn("ct", Buckets.alignTs(col("bucket_ts"), coarseSpp))
-        .join(broadcast(touched.withColumnRenamed("bucket_ts", "ct")),
-          Seq("metric", "ct"), "left_semi")
-      val rederived = Rollup.propagate(
-        fineTouched.select(col("metric"), col("bucket_ts"), col("value")),
-        spp, coarseSpp, method, xff)
-      // carry untouched coarse rows forward; touched ones are replaced
-      // by their re-derivation (or dropped, if they newly fail the
-      // xff gate — re-derivation semantics, same as the batch key)
-      val mergedCoarse = coarse match {
-        case None => rederived
-        case Some(prev) =>
-          prev.join(broadcast(touched), Seq("metric", "bucket_ts"),
-              "left_anti")
-            .unionByName(rederived)
+      // whisper's propagate scope cascades: the batch's touched buckets
+      // at level N realign to the touched set of level N+1
+      var touched = pts.select(col("metric"),
+        Buckets.alignTs(col("ts_s"), levels.head.spp).as("bucket_ts"))
+        .distinct()
+      var src = fineCk.select(col("metric"), col("bucket_ts"), col("value"))
+      var srcSpp = spp
+      levels.zipWithIndex.foreach { case (lvl, i) =>
+        val srcTouched = src
+          .withColumn("ct", Buckets.alignTs(col("bucket_ts"), lvl.spp))
+          .join(broadcast(touched.withColumnRenamed("bucket_ts", "ct")),
+            Seq("metric", "ct"), "left_semi")
+        val rederived = Rollup.propagate(
+          srcTouched.select(col("metric"), col("bucket_ts"), col("value")),
+          srcSpp, lvl.spp, lvl.method, lvl.xff)
+        // carry untouched rows forward; touched ones are replaced by
+        // their re-derivation (or dropped, if they newly fail the xff
+        // gate — re-derivation semantics, same as the batch keys)
+        val merged = states(i) match {
+          case None => rederived
+          case Some(prev) =>
+            prev.join(broadcast(touched), Seq("metric", "bucket_ts"),
+                "left_anti")
+              .unionByName(rederived)
+        }
+        val ck = merged.localCheckpoint(true)
+        states(i) = Some(ck)
+        src = ck.select(col("metric"), col("bucket_ts"), col("value"))
+        srcSpp = lvl.spp
+        levels.lift(i + 1).foreach { next =>
+          touched = touched.select(col("metric"),
+            Buckets.alignTs(col("bucket_ts"), next.spp).as("bucket_ts"))
+            .distinct()
+        }
       }
-      coarse = Some(mergedCoarse.localCheckpoint(true))
     }
 
-    /** The coarse level so far: (metric, bucket_ts, value, known,
-      * total). Equals the batch cascade over everything streamed. */
-    def currentCoarse: Option[DataFrame] = coarse
+    /** A coarse level so far: (metric, bucket_ts, value, known, total).
+      * Equals the batch cascade over everything streamed.
+      */
+    def level(coarseSpp: Int): Option[DataFrame] =
+      states(levels.indexWhere(_.spp == coarseSpp))
+
+    /** The first coarse level (single-step convenience). */
+    def currentCoarse: Option[DataFrame] = states.head
   }
 }

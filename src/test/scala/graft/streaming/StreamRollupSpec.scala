@@ -58,6 +58,21 @@ class StreamRollupSpec extends AnyFunSuite {
     assert(expected.contains(("m", 300L, 10.0, 1L)))
   }
 
+  test("two-level chain: the touched set cascades and both levels track") {
+    val store = new StreamRollup.CascadeStore(60, Seq(
+      StreamRollup.Level(300, AggregationMethod.Sum, 0.0),
+      StreamRollup.Level(3600, AggregationMethod.Sum, 0.0)))
+    val w1 = pts(("m", 10L, 1.0), ("m", 310L, 2.0), ("m", 3700L, 5.0))
+    val w2 = pts(("m", 20L, 10.0)) // displaces minute 0 → both levels
+    store.mergeBatch(w1, 0L)
+    store.mergeBatch(w2, 1L)
+    def all(spp: Int) = store.level(spp).get
+      .select("metric", "bucket_ts", "value").collect()
+      .map(r => (r.getLong(1), r.getDouble(2))).sortBy(_._1).toSeq
+    assert(all(300) == Seq((0L, 10.0), (300L, 2.0), (3600L, 5.0)))
+    assert(all(3600) == Seq((0L, 12.0), (3600L, 5.0)))
+  }
+
   test("xff gate applies to re-derived buckets") {
     // xff 0.5 over a 5-slot window: one known minute fails the gate,
     // three pass it — and the gate is re-evaluated on re-derivation

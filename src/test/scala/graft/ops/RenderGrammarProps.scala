@@ -70,13 +70,14 @@ object RenderGrammarProps extends Properties("renderGrammar") {
     Shape("group", 2, Gen.const(Nil)))
 
   /** A random tree (depth-bounded) paired with its printed source. */
-  private def treeGen(depth: Int, leaves: Gen[Expr]): Gen[(Expr, String)] =
+  private def treeGen(depth: Int, leaves: Gen[Expr],
+      shapePool: Gen[Shape] = shapes): Gen[(Expr, String)] =
     if (depth <= 0) leaves.map(l => (l, l.asInstanceOf[Leaf].glob))
     else Gen.frequency(
       1 -> leaves.map(l => (l, l.asInstanceOf[Leaf].glob)),
       2 -> (for {
-        s <- shapes
-        kids <- Gen.listOfN(s.children, treeGen(depth - 1, leaves))
+        s <- shapePool
+        kids <- Gen.listOfN(s.children, treeGen(depth - 1, leaves, shapePool))
         args <- s.args
       } yield {
         val expr = Call(s.name, kids.map(_._1), args.map(_._2))
@@ -93,5 +94,49 @@ object RenderGrammarProps extends Properties("renderGrammar") {
   property("whitespace around separators is insignificant") =
     forAll(treeGen(2, plainGlobGen)) { case (expr, src) =>
       RenderTarget.parse(src.replace(",", " , ").replace("(", "( ")) == expr
+    }
+
+  /** Hook for the evaluator-fuzz sibling below: random step-safe
+    * trees (no summarize — a coarsened step under a combine would
+    * demand agreement the generator can't see).
+    */
+  private[ops] def evalTreeGen: Gen[(Expr, String)] = {
+    val evalShapes = shapes.suchThat(_.name != "summarize")
+    val evalLeaves: Gen[Expr] =
+      Gen.oneOf(Leaf("m.*"), Leaf("m.a"), Leaf("m2xx.*"), Leaf("zz.none"))
+    treeGen(3, evalLeaves, evalShapes)
+  }
+}
+
+/** Evaluator fuzz — every random composition the grammar accepts must
+  * EVALUATE: canonical (metric, bucket_ts, value) columns, every
+  * bucket on the requested grid (history extensions trimmed). Fewer
+  * samples than the parse-only fuzz: each check runs a Spark job.
+  */
+object RenderEvalProps extends Properties("renderEval") {
+
+  override def overrideParameters(p: org.scalacheck.Test.Parameters) =
+    p.withMinSuccessfulTests(25)
+
+  private lazy val spark = org.apache.spark.sql.SparkSession.builder()
+    .master("local[2]")
+    .config("spark.sql.shuffle.partitions", "2")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private lazy val fixture = {
+    import spark.implicits._
+    (for (m <- Seq("m.a", "m.b", "m2xx.c"); i <- 0 to 4 if (i + m.length) % 4 != 0)
+      yield (m, i * 60L + 5, i * 1.5 - 2)).toDF("metric", "ts_s", "value")
+  }
+
+  property("random targets evaluate to the canonical frame on the grid") =
+    forAll(RenderGrammarProps.evalTreeGen) { case (_, src) =>
+      val df = RenderTarget.evaluate(spark, fixture, src, 0L, 240L, 60)
+      df.columns.toSeq == Seq("metric", "bucket_ts", "value") && {
+        val ts = df.collect().map(_.getLong(1))
+        ts.forall(t => t >= 60L && t <= 240L)
+      }
     }
 }

@@ -10,22 +10,23 @@ import org.apache.spark.sql.functions._
   * `summarize(perSecond(servers.*.req), '10min', 'sum')`. A graphite
   * user's dashboard queries run verbatim against the parquet store.
   *
-  * Supported grammar (the subset whose members are implemented in
-  * [[Fetch]]):
+  * Supported grammar:
   *
   * {{{
   *   target   := func '(' target (',' target)* (',' literal)* ')' | glob
-  *   func     := perSecond | movingAverage | summarize
-  *             | sumSeries | averageSeries | minSeries | maxSeries
-  *             | countSeries | divideSeries
-  *             | scale | offset | absolute | derivative
-  *             | nonNegativeDerivative | integral | keepLastValue
-  *             | timeShift | groupByNode | aliasByNode
-  *             | highestMax | highestAverage | averageAbove
-  *             | transformNull | removeBelowValue | removeAboveValue
-  *             | alias | hitcount
-  *   literal  := 'quoted' | "quoted" | number (optional sign/decimals)
-  *   glob     := graphite metric pattern ({a,b}, *, ?, [...])
+  *   func     := ~137 functions — the full graphite 1.1 dashboard
+  *               surface (see [[Funcs]]): pointwise transforms, rates,
+  *               the combine family + the aggregate/movingWindow/
+  *               sortBy/filterSeries umbrella forms, trailing windows,
+  *               percentiles, series selection, timeShift/timeStack,
+  *               *SeriesLists positional pairing, mapSeries/
+  *               reduceSeries, applyByNode/useSeriesAbove,
+  *               seriesByTag/groupByTags/aliasByTags, Holt-Winters,
+  *               consolidateBy/xFilesFactor annotations, generators,
+  *               presentational passthroughs
+  *   literal  := 'quoted' | "quoted" | number (sign/decimals/exponent)
+  *   glob     := graphite metric pattern ({a,b}, *, ?, [...]);
+  *               digit-leading and dashed nodes parse in series slots
   * }}}
   *
   * Evaluation follows graphite's two semantic rules exactly:

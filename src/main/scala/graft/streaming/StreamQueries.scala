@@ -176,11 +176,64 @@ object StreamQueries {
     s.read.parquet(s"$base/out3600").orderBy("metric", "bucket_ts")
   }
 
+  /** `stream_fetch_agg` — [[StreamIngest.windowedAgg]], the pure
+    * Structured Streaming consolidation path (tumbling event-time
+    * windows + watermark, APPEND mode: a bucket emits exactly once,
+    * when the watermark passes it), under the external oracle. Append
+    * finalization needs the watermark to move past every real bucket —
+    * the same two-sentinel flush as `stream_sessionize`.
+    */
+  private def ensureStreamFetchAgg(s: SparkSession, dir: String): String =
+    Dedup.sharedIndexPath(s, dir, "events.parquet", "stream_fetch_agg") { base =>
+      import s.implicits._
+      val stage = s"$base/stage"
+      val pts = Buckets.points(s, dir)
+      def run(filesPerTrigger: Option[Int]): Unit = {
+        val src = s.readStream.schema(pts.schema)
+        val reader = filesPerTrigger
+          .fold(src)(n => src.option("maxFilesPerTrigger", n))
+        StreamIngest.windowedAgg(reader.parquet(stage), 60, "1 hour")
+          .writeStream.outputMode("append")
+          .format("parquet").option("path", s"$base/out")
+          .option("checkpointLocation", s"$base/ckpt")
+          .trigger(Trigger.AvailableNow())
+          .start().awaitTermination()
+      }
+      pts.coalesce(1).write.mode("append").parquet(stage)
+      run(None)
+      Seq((Sentinel, Buckets.NowS + 10 * 86400L, 0.0),
+          (Sentinel, Buckets.NowS + 20 * 86400L, 0.0))
+        .foreach { row =>
+          Seq(row).toDF("metric", "ts_s", "value")
+            .coalesce(1).write.mode("append").parquet(stage)
+        }
+      run(Some(1))
+    }
+
+  def streamFetchAgg(s: SparkSession, dir: String): DataFrame = {
+    val base = ensureStreamFetchAgg(s, dir)
+    s.read.parquet(s"$base/out")
+      .filter(col("metric") =!= Sentinel)
+      .select(col("metric"), col("bucket_ts"),
+        round(col("value"), 6).as("value"), col("known"))
+      .orderBy("metric", "bucket_ts")
+  }
+
+  val streamFetchAggSql: String =
+    """SELECT event_type AS metric,
+      |       (CAST(epoch(date_trunc('second', ts)) AS BIGINT) // 60) * 60
+      |         AS bucket_ts,
+      |       round(avg(value), 6) AS value,
+      |       count(*) AS known
+      |FROM events GROUP BY 1, 2
+      |ORDER BY 1, 2""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "stream_dedup" -> (streamDedup _),
     "stream_sessionize" -> (streamSessionize _),
     "stream_rollup" -> (streamRollup _),
-    "stream_rollup_1h" -> (streamRollup1h _))
+    "stream_rollup_1h" -> (streamRollup1h _),
+    "stream_fetch_agg" -> (streamFetchAgg _))
 
   val oracleSql: Map[String, String] = Map(
     "stream_dedup" -> streamDedupSql,
@@ -188,5 +241,6 @@ object StreamQueries {
     "stream_sessionize" -> PipelineOps.sessionizeSql,
     // continuous rollup ≡ batch cascade: literally the same oracles
     "stream_rollup" -> CoreQueries.rollupCascade5mSql,
-    "stream_rollup_1h" -> CoreQueries.rollupCascade1hSql)
+    "stream_rollup_1h" -> CoreQueries.rollupCascade1hSql,
+    "stream_fetch_agg" -> streamFetchAggSql)
 }

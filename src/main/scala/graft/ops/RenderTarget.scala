@@ -422,6 +422,35 @@ object RenderTarget {
     case f => throw new IllegalArgumentException(s"unknown aggregation '$f'")
   }
 
+  /** Shared counter-delta kernel for nonNegativeDerivative/perSecond:
+    * per-series lag; None on gaps; a decrease is None UNLESS `maxValue`
+    * is given, in which case it is a counter wrap and the recovered
+    * delta is `maxValue − prev + value + 1` (graphite's rule; a value
+    * above maxValue still yields None). `div` scales the delta — 1 for
+    * the derivative, the series step for the rate.
+    */
+  private def counterDelta(df: DataFrame, maxValue: Option[Double],
+      div: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("metric")).orderBy(col("bucket_ts"))
+    val delta = maxValue match {
+      case None =>
+        when(col("value") >= col("prev"), col("value") - col("prev"))
+      case Some(mx) =>
+        // graphite's nonNegativeDelta: a value above the counter's
+        // ceiling is None outright; a wrap recovers only if prev was
+        // itself within the ceiling
+        when(col("value") > mx, lit(null).cast("double"))
+          .when(col("value") >= col("prev"), col("value") - col("prev"))
+          .when(col("prev") <= mx, lit(mx) - col("prev") + col("value") + 1)
+    }
+    df.withColumn("prev", lag(col("value"), 1).over(w))
+      .withColumn("value",
+        when(col("value").isNotNull && col("prev").isNotNull,
+          round(delta / div, 6)))
+      .select(col("metric"), col("bucket_ts"), col("value"))
+  }
+
   /** A window argument that is either an integer POINT COUNT or a
     * quoted DURATION ('5min') converted to points at the series step —
     * graphite accepts both across the whole moving-window family.
@@ -616,15 +645,11 @@ object RenderTarget {
           .join(agg, Seq("metric", "bucket_ts"), "left")
           .select(col("metric"), col("bucket_ts"), col("value"))
         (dense, spp.toLong)
-      case Call("perSecond", Seq(c), _) =>
+      case Call("perSecond", Seq(c), args) =>
+        // counter → rate; optional maxValue recovers wraps, as
+        // nonNegativeDerivative
         val (df, step) = eval(c)
-        val w = Window.partitionBy(col("metric")).orderBy(col("bucket_ts"))
-        (df.withColumn("prev", lag(col("value"), 1).over(w))
-          .withColumn("value",
-            when(col("value").isNotNull && col("prev").isNotNull &&
-              col("value") >= col("prev"),
-              round((col("value") - col("prev")) / step, 6)))
-          .select(col("metric"), col("bucket_ts"), col("value")), step)
+        (counterDelta(df, args.headOption.map(_.toDouble), lit(step)), step)
       case Call(f, Seq(c), args) if MovingFuncs(f) =>
         // trailing window of the last n points (current included), one
         // metric-partitioned sort shared by the whole family; nulls are
@@ -811,17 +836,14 @@ object RenderTarget {
             when(col("value").isNotNull && col("prev").isNotNull,
               round(col("value") - col("prev"), 6)))
           .select(col("metric"), col("bucket_ts"), col("value")), step)
-      case Call("nonNegativeDerivative", Seq(c), _) =>
+      case Call("nonNegativeDerivative", Seq(c), args) =>
         // perSecond's reset/gap rule without the /step normalisation
-        // (graphite: perSecond = nonNegativeDerivative scaled by 1/step)
+        // (graphite: perSecond = nonNegativeDerivative scaled by 1/step).
+        // Optional maxValue: a decrease is a COUNTER WRAP, not a reset —
+        // the true delta is value + (maxValue − prev) + 1 (graphite's
+        // 32-bit-counter recovery); without it decreases emit None.
         val (df, step) = eval(c)
-        val w = Window.partitionBy(col("metric")).orderBy(col("bucket_ts"))
-        (df.withColumn("prev", lag(col("value"), 1).over(w))
-          .withColumn("value",
-            when(col("value").isNotNull && col("prev").isNotNull &&
-              col("value") >= col("prev"),
-              round(col("value") - col("prev"), 6)))
-          .select(col("metric"), col("bucket_ts"), col("value")), step)
+        (counterDelta(df, args.headOption.map(_.toDouble), lit(1L)), step)
       case Call("integral", Seq(c), _) =>
         // running per-series total; accumulation skips None (native
         // null-skipping sum) and None points stay None in the output
@@ -1141,12 +1163,24 @@ object RenderTarget {
           else ranked.orderBy(col("stat_v").asc_nulls_last, col("metric")))
           .limit(n).select(col("metric"))
         (df.join(broadcast(top), Seq("metric"), "left_semi"), step)
-      case Call("removeEmptySeries", Seq(c), _) =>
-        // drop series with NO known value in the requested window
+      case Call("removeEmptySeries", Seq(c), args) =>
+        // drop series with NO known value in the requested window; the
+        // optional xFilesFactor arg raises the bar to a known-fraction
+        // (graphite 1.1: removeEmptySeries(series, 0.1) keeps series
+        // ≥10% populated)
+        val xff = args.headOption.map(_.toDouble).getOrElse(0.0)
         val (df, step) = eval(c)
         val lo = Math.floorDiv(fromI, step) * step
-        val live = df.filter(col("bucket_ts") >= lo && col("value").isNotNull)
-          .select(col("metric")).distinct()
+        val live =
+          if (xff <= 0.0)
+            df.filter(col("bucket_ts") >= lo && col("value").isNotNull)
+              .select(col("metric")).distinct()
+          else
+            df.filter(col("bucket_ts") >= lo)
+              .groupBy(col("metric"))
+              .agg(count(col("value")).as("kn"), count(lit(1)).as("tot"))
+              .filter(col("kn").cast("double") / col("tot") >= xff)
+              .select(col("metric"))
         (df.join(broadcast(live), Seq("metric"), "left_semi"), step)
       case Call("seriesByTag", cs, args) =>
         // tag-DB selection over `name;tag=value` metrics: every quoted

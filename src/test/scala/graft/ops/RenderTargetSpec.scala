@@ -767,6 +767,37 @@ class RenderTargetSpec extends AnyFunSuite {
     assert(out == Seq(("s0.lat", 7.0)))
   }
 
+  test("maxValue recovers counter wraps in nonNegativeDerivative/perSecond") {
+    // 0..255 counter: 250 → 4 is a wrap (delta 255−250+4+1 = 10), but a
+    // value ABOVE maxValue still yields None
+    val p = pts(("m.a", 65L, 250.0), ("m.a", 125L, 4.0),
+      ("m.a", 185L, 300.0), ("m.a", 245L, 310.0))
+    val nn = RenderTarget.evaluate(spark, p,
+      "nonNegativeDerivative(m.a, 255)", 0L, 240L, 60)
+      .collect().map(r => Option(r.get(2))).toSeq
+    // 300 and 310 exceed the ceiling → None at and after them
+    assert(nn == Seq(None, Some(10.0), None, None))
+    // without maxValue the wrap is a reset → None
+    val bare = RenderTarget.evaluate(spark, p,
+      "nonNegativeDerivative(m.a)", 0L, 240L, 60)
+      .collect().map(r => Option(r.get(2))).toSeq
+    assert(bare == Seq(None, None, Some(296.0), Some(10.0)))
+    val ps = RenderTarget.evaluate(spark, p, "perSecond(m.a, 255)",
+      0L, 120L, 60).collect().map(r => Option(r.get(2))).toSeq
+    assert(ps == Seq(None, Some(10.0 / 60)).map(_.map(x =>
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)))
+  }
+
+  test("removeEmptySeries honors the optional xFilesFactor") {
+    // m.full known 3/3 buckets, m.half 1/3, m.none 0/3
+    val p = pts(("m.full", 65L, 1.0), ("m.full", 125L, 1.0),
+      ("m.full", 185L, 1.0), ("m.half", 65L, 1.0))
+    def mets(t: String) = RenderTarget.evaluate(spark, p, t, 0L, 180L, 60)
+      .collect().map(_.getString(0)).distinct.sorted.toSeq
+    assert(mets("removeEmptySeries(m.*)") == Seq("m.full", "m.half"))
+    assert(mets("removeEmptySeries(m.*, 0.5)") == Seq("m.full"))
+  }
+
   test("removeBetweenPercentile keeps only band-escaping series") {
     // spread 1..9 plus one outlier: continuous p10 = 1.9, p90 = 13.1 —
     // the STRICT band (graphite's lo < v < hi) lets the low edge (1)

@@ -383,6 +383,7 @@ object CoreQueries {
     "render_target_between" -> ((s, d) => RenderTarget.renderTargetBetween(s, d)),
     "render_target_apply" -> ((s, d) => RenderTarget.renderTargetApply(s, d)),
     "render_target_useabove" -> ((s, d) => RenderTarget.renderTargetUseabove(s, d)),
+    "render_target_wrap" -> ((s, d) => RenderTarget.renderTargetWrap(s, d)),
     "agg_avg" -> aggQuery(AggregationMethod.Average) _,
     "agg_sum" -> aggQuery(AggregationMethod.Sum) _,
     "agg_last" -> aggQuery(AggregationMethod.Last) _,
@@ -468,6 +469,7 @@ object CoreQueries {
     "render_target_between" -> RenderTarget.renderTargetBetweenSql,
     "render_target_apply" -> RenderTarget.renderTargetApplySql,
     "render_target_useabove" -> RenderTarget.renderTargetUseaboveSql,
+    "render_target_wrap" -> RenderTarget.renderTargetWrapSql,
     "agg_avg" -> aggFamilySql(AggregationMethod.Average),
     "agg_sum" -> aggFamilySql(AggregationMethod.Sum),
     "agg_last" -> aggFamilySql(AggregationMethod.Last),

@@ -3277,6 +3277,33 @@ object RenderTarget {
        |ORDER BY 1, 2""".stripMargin
   }
 
+  /** `render_target_wrap`: counter-wrap recovery —
+    * `nonNegativeDerivative(sumSeries(…), 1000)` (a decrease reads as a
+    * wrap of a 0..1000 counter; values above the ceiling are None).
+    */
+  val TargetExprWrap =
+    s"nonNegativeDerivative(sumSeries(${Fetch.GlobPattern}), 1000)"
+
+  def renderTargetWrap(spark: SparkSession, sfDir: String): DataFrame =
+    evalFlat(spark, sfDir, TargetExprWrap)
+
+  val renderTargetWrapSql: String =
+    s"""$denseFlatSql,
+       |summed AS (
+       |  SELECT bucket_ts, round(sum(v), 6) AS value
+       |  FROM dense GROUP BY 1),
+       |lagged AS (
+       |  SELECT bucket_ts, value,
+       |         lag(value) OVER (ORDER BY bucket_ts) AS prev
+       |  FROM summed)
+       |SELECT 'sumSeries' AS metric, bucket_ts,
+       |       CASE WHEN value IS NULL OR prev IS NULL THEN NULL
+       |            WHEN value > 1000 THEN NULL
+       |            WHEN value >= prev THEN round(value - prev, 6)
+       |            WHEN prev <= 1000 THEN round(1000 - prev + value + 1, 6)
+       |       END AS value
+       |FROM lagged ORDER BY bucket_ts""".stripMargin
+
   val renderTargetSmoothSql: String = {
     val fromI = Buckets.fetchInterval(Buckets.FromS, 60)
     val untilI = Buckets.fetchInterval(Buckets.UntilS, 60)

@@ -91,6 +91,39 @@ object Fetch {
        |ORDER BY s.bucket_ts""".stripMargin
   }
 
+  /** `fetch_relative`: the graphite REQUEST layer — `from`/`until` as
+    * attime strings ([[AtTime]]), the way every dashboard actually asks
+    * (`?from=-1d&until=now`), resolved against the pinned render time
+    * and served as the ordinary dense fetch. The oracle's window is
+    * hand-derived from the semantics (now − 86400), NOT from
+    * [[AtTime.parse]] — a parser bug shifts only the Spark side and the
+    * hashes diverge.
+    */
+  def fetchRelative(spark: SparkSession, sfDir: String): DataFrame = {
+    val fromS = AtTime.parse("-1d", Buckets.NowS)
+    val untilS = AtTime.parse("now", Buckets.NowS)
+    val fromI = Buckets.fetchInterval(fromS, 60)
+    val untilI = Buckets.fetchInterval(untilS, 60)
+    denseSeries(spark, Buckets.pointsInRange(spark, sfDir, fromI, untilI),
+      "view", fromS, untilS, 60)
+  }
+
+  val fetchRelativeSql: String = {
+    val fromI = Buckets.fetchInterval(Buckets.NowS - 86400L, 60)
+    val untilI = Buckets.fetchInterval(Buckets.NowS, 60)
+    s"""WITH ${Buckets.pointsSql},
+       |agg AS (
+       |  SELECT (ts_s // 60) * 60 AS bucket_ts, round(avg(value), 6) AS value
+       |  FROM pts
+       |  WHERE metric = 'view' AND ts_s >= $fromI AND ts_s < $untilI
+       |  GROUP BY 1
+       |),
+       |spine AS (SELECT CAST(range AS BIGINT) AS bucket_ts FROM range($fromI, $untilI, 60))
+       |SELECT s.bucket_ts, a.value
+       |FROM spine s LEFT JOIN agg a USING (bucket_ts)
+       |ORDER BY s.bucket_ts""".stripMargin
+  }
+
   /** `fetch_many`: the batched multi-metric fetch ([[graft.WhisperTable
     * .fetchMany]]'s shape as an oracle-checked key) — ONE query returns
     * the dense series of EVERY metric in the window, instead of one

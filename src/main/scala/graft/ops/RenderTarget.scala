@@ -130,7 +130,7 @@ object RenderTarget {
     "linearRegression", "timeSlice", "cumulative", "setXFilesFactor",
     "aggregateLine", "threshold", "fallbackSeries",
     "removeBetweenPercentile", "mapSeries", "reduceSeries",
-    "applyByNode", "useSeriesAbove",
+    "applyByNode", "useSeriesAbove", "powSeries", "logit",
     "time", "sin") ++
     HoltWintersFuncs ++ PresentationFuncs
 
@@ -1888,6 +1888,33 @@ object RenderTarget {
           .join(agg2, Seq("metric", "bucket_ts"), "left")
           .select(col("metric"), col("bucket_ts"), col("value")),
           spp.toLong)
+      case Call("powSeries", cs, _) if cs.nonEmpty =>
+        // left-fold power across members in name order (graphite's
+        // safePow reduce) — strict like multiplySeries: any None member
+        // makes the bucket None. Name-sorted struct array, fold from
+        // the head.
+        val evald = cs.map(eval)
+        val steps = evald.map(_._2).distinct
+        require(steps.size == 1,
+          s"powSeries: member series must share one step (got ${steps.mkString(", ")})")
+        val u = evald.map(_._1).reduce(_ unionByName _)
+        (u.groupBy(col("bucket_ts"))
+          .agg(sort_array(collect_list(struct(col("metric").as("m"),
+            col("value").as("v")))).as("vs"),
+            count(col("value")).as("kn"), count(lit(1)).as("tot"))
+          .select(lit("powSeries").as("metric"), col("bucket_ts"),
+            when(col("kn") === col("tot") && size(col("vs")) > 0,
+              round(aggregate(
+                expr("slice(vs, 2, size(vs) - 1)"),
+                element_at(col("vs"), 1).getField("v"),
+                (acc, x) => pow(acc, x.getField("v"))), 6)).as("value")),
+          steps.head)
+      case Call("logit", Seq(c), _) =>
+        // ln(v / (1−v)); outside (0, 1) graphite emits None
+        val (df, step) = eval(c)
+        (df.withColumn("value",
+          when(col("value") > 0 && col("value") < 1,
+            round(log(col("value") / (lit(1.0) - col("value"))), 6))), step)
       case Call("cumulative", Seq(c), _) =>
         // annotation: consolidateBy('sum') sugar, read by
         // [[consolidationOf]] at maxDataPoints-consolidation time

@@ -798,6 +798,18 @@ class RenderTargetSpec extends AnyFunSuite {
     assert(mets("removeEmptySeries(m.*, 0.5)") == Seq("m.full"))
   }
 
+  test("powSeries folds in name order; logit guards the unit interval") {
+    val p = pts(("m.a", 65L, 2.0), ("m.b", 65L, 3.0), ("m.c", 65L, 2.0),
+      ("m.a", 125L, 4.0)) // b, c absent at 120 → strict None
+    val pw = RenderTarget.evaluate(spark, p, "powSeries(m.*)", 0L, 120L, 60)
+      .collect().map(r => Option(r.get(2))).toSeq
+    assert(pw == Seq(Some(64.0), None)) // (2^3)^2
+    val lg = RenderTarget.evaluate(spark,
+      pts(("m.a", 65L, 0.5), ("m.a", 125L, 2.0)), "logit(m.a)", 0L, 120L, 60)
+      .collect().map(r => Option(r.get(2))).toSeq
+    assert(lg == Seq(Some(0.0), None)) // logit(0.5) = 0; 2.0 out of range
+  }
+
   test("removeBetweenPercentile keeps only band-escaping series") {
     // spread 1..9 plus one outlier: continuous p10 = 1.9, p90 = 13.1 —
     // the STRICT band (graphite's lo < v < hi) lets the low edge (1)

@@ -388,6 +388,15 @@ final class WhisperTable private (
     graft.sources.WspWrite.export(levels.reduce(_ unionAll _), outDir, schema)
   }
 
+  /** [[fetch]] with graphite request-layer time strings — the exact
+    * `?from=-1d&until=now` surface ([[ops.AtTime]] grammar), resolved
+    * against `nowS`: a graphite user's whole request runs verbatim.
+    */
+  def fetch(metric: String, from: String, until: String,
+      nowS: Long): DataFrame =
+    fetch(metric, ops.AtTime.parse(from, nowS),
+      ops.AtTime.parse(until, nowS), nowS)
+
   /** Q1 `Fetch`: clamp the range, select the finest archive covering it,
     * return the dense fixed-step series with NULL gaps.
     */

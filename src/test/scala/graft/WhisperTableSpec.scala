@@ -50,6 +50,18 @@ class WhisperTableSpec extends AnyFunSuite {
     assert(got.last._2.isEmpty) // bucket at now-3000 never written
   }
 
+  test("fetch accepts graphite from/until time strings") {
+    import spark.implicits._
+    val t = WhisperTable.create(spark, tmp(), Retentions.std)
+    val pts = (0 until 10).map(i =>
+      TimeSeriesPoint("m", now - 3600 + 60 * i + 5, i.toDouble))
+    t.updateMany(pts.toDS(), now)
+    // '-1h'..'-50min' resolves to exactly [now-3600, now-3000]
+    val str = series(t.fetch("m", "-1h", "now-50min", now))
+    val abs = series(t.fetch("m", now - 3600, now - 3000, now))
+    assert(str == abs)
+  }
+
   test("fetchGlob serves every metric matching the graphite pattern, dots uncrossed") {
     import spark.implicits._
     val t = WhisperTable.create(spark, tmp(), Retentions.lww)

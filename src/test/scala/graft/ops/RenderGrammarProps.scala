@@ -98,10 +98,30 @@ object RenderGrammarProps extends Properties("renderGrammar") {
 
   /** Hook for the evaluator-fuzz sibling below: random step-safe
     * trees (no summarize — a coarsened step under a combine would
-    * demand agreement the generator can't see).
+    * demand agreement the generator can't see) over a WIDER pool that
+    * includes the umbrella forms.
     */
   private[ops] def evalTreeGen: Gen[(Expr, String)] = {
-    val evalShapes = shapes.suchThat(_.name != "summarize")
+    val umbrella: Gen[Shape] = Gen.oneOf(
+      Shape("aggregate", 1,
+        qlit(Gen.oneOf("sum", "median", "stddev", "multiply", "diff"))
+          .map(List(_))),
+      Shape("movingWindow", 1,
+        for (n <- lit(Gen.chooseNum(2, 5).map(_.toString));
+             f <- qlit(Gen.oneOf("max", "last", "count")))
+          yield List(n, f)),
+      Shape("aggregateLine", 1, qlit(Gen.oneOf("avg", "min")).map(List(_))),
+      Shape("unique", 2, Gen.const(Nil)),
+      Shape("powSeries", 2, Gen.const(Nil)),
+      Shape("sortBy", 1, qlit(Gen.oneOf("average", "range")).map(List(_))),
+      Shape("removeEmptySeries", 1, Gen.const(Nil)),
+      Shape("interpolate", 1, Gen.const(Nil)),
+      Shape("isNonNull", 1, Gen.const(Nil)),
+      Shape("linearRegression", 1, Gen.const(Nil)),
+      Shape("logit", 1, Gen.const(Nil)))
+    val evalShapes =
+      Gen.frequency(2 -> shapes.suchThat(_.name != "summarize"),
+        1 -> umbrella)
     val evalLeaves: Gen[Expr] =
       Gen.oneOf(Leaf("m.*"), Leaf("m.a"), Leaf("m2xx.*"), Leaf("zz.none"))
     treeGen(3, evalLeaves, evalShapes)

@@ -59,4 +59,17 @@ class AtTimeSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](p("now+"))
     intercept[IllegalArgumentException](p("now-1fortnight"))
   }
+
+  test("offset arithmetic is exact for any magnitude and unit") {
+    for (n <- Seq(1, 7, 59, 90, 600, 10079);
+         (u, mult) <- Seq("s" -> 1L, "min" -> 60L, "h" -> 3600L,
+           "d" -> 86400L, "w" -> 604800L)) {
+      assert(p(s"-$n$u") == Now - n * mult, s"-$n$u")
+      assert(p(s"now+$n$u") == Now + n * mult, s"+$n$u")
+      assert(p(s"midnight-$n$u+$n$u") == Midnight, s"cancel $n$u")
+    }
+    // epoch round-trips verbatim
+    for (e <- Seq(1000000000L, Now, 1999999999L))
+      assert(p(e.toString) == e)
+  }
 }

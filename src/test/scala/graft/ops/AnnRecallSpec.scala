@@ -1,0 +1,41 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Approximation QUALITY gate for the ANN serving path: the oracle keys
+  * prove the IVF plans compute their own definition correctly, but a
+  * coarse quantizer can be correct and useless — this spec pins
+  * recall@k against the brute-force ground truth, so a regression in
+  * cell assignment or probe selection fails loudly even though every
+  * hash still matches.
+  */
+class AnnRecallSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def pairs(df: DataFrame): Set[(Long, Long)] =
+    df.select("query_id", "cand_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+
+  test("IVF and trained-kmeans ANN keep usable recall@k vs brute force") {
+    val exact = pairs(Similarity.similarityTopk(spark, dir))
+    assert(exact.nonEmpty)
+    val ivf = pairs(Similarity.similarityAnnIvf(spark, dir))
+    val km = pairs(Similarity.similarityAnnKmeans(spark, dir))
+    val rIvf = (ivf intersect exact).size.toDouble / exact.size
+    val rKm = (km intersect exact).size.toDouble / exact.size
+    info(f"recall@k ivf=$rIvf%.3f kmeans=$rKm%.3f")
+    // measured 0.58 / 0.58 at sf0.001 with nprobe=4 — gate well below
+    // the measurement but far above what a broken quantizer produces
+    assert(rIvf >= 0.45, f"seed-codebook IVF recall degraded: $rIvf%.3f")
+    assert(rKm >= 0.45, f"trained IVF recall degraded: $rKm%.3f")
+  }
+}

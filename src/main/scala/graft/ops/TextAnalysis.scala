@@ -104,6 +104,14 @@ object TextAnalysis {
 
   /** `text_langid`: score each language by marker-token hits; predict the
     * argmax with a fixed priority order (de,en,es,fr,zh) on ties.
+    *
+    * Accuracy note: the SYNTHETIC corpus's `lang` label is uncorrelated
+    * with its token stream (every document draws from one English-ish
+    * vocabulary), so measured `hit` hovers at the majority-class prior
+    * by construction — no text-based classifier can beat it here, and
+    * no accuracy gate is pinned (contrast AnnRecallSpec, whose fixture
+    * HAS signal). On real data the operator's quality lives in the
+    * marker table, which is the swappable part.
     */
   def textLangid(s: SparkSession, dir: String): DataFrame = {
     val base = docs(s, dir).withColumn("toks", expr(toksExpr))

@@ -1634,8 +1634,18 @@ object RenderTarget {
         val func = args.lift(1).getOrElse("average")
         val w = Window.partitionBy(col("metric")).orderBy(col("bucket_ts"))
           .rowsBetween(-(n - 1), Window.currentRow)
-        (df.withColumn("value",
-          round(summarizeAgg(func, col("value")).over(w), 6)), step)
+        // `count` and `range` come out of summarizeAgg WRAPPED (a cast /
+        // a subtraction); `.over` must attach to the aggregates
+        // themselves, not the wrapper, or Catalyst sees a bare
+        // aggregate and demands a GROUP BY (found by the evaluator
+        // fuzz) — window them explicitly
+        val v = func match {
+          case "count" => count(col("value")).over(w).cast("double")
+          case "range" | "rangeOf" =>
+            max(col("value")).over(w) - min(col("value")).over(w)
+          case _ => summarizeAgg(func, col("value")).over(w)
+        }
+        (df.withColumn("value", round(v, 6)), step)
       case Call("unique", cs, _) if cs.nonEmpty =>
         // union of the member lists keeping each series name ONCE —
         // first occurrence wins (list order = child order)

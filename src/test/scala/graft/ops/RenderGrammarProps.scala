@@ -136,7 +136,7 @@ object RenderGrammarProps extends Properties("renderGrammar") {
 object RenderEvalProps extends Properties("renderEval") {
 
   override def overrideParameters(p: org.scalacheck.Test.Parameters) =
-    p.withMinSuccessfulTests(25)
+    p.withMinSuccessfulTests(40)
 
   private lazy val spark = org.apache.spark.sql.SparkSession.builder()
     .master("local[2]")

@@ -650,6 +650,16 @@ class RenderTargetSpec extends AnyFunSuite {
       "movingAverage(m.a, '2min')", 240L, 600L, 60)
       .collect().map(_.getDouble(2)).toSeq
     assert(ma == Seq(4.5, 5.5, 6.5, 7.5, 8.5, 9.5))
+    // the WRAPPED aggregators (count's cast, range's subtraction) must
+    // window correctly too — the fuzz-found MISSING_GROUP_BY regression
+    val mc = RenderTarget.evaluate(spark, p,
+      "movingWindow(m.a, 3, 'count')", 240L, 600L, 60)
+      .collect().map(_.getDouble(2)).toSeq
+    assert(mc == Seq.fill(6)(3.0))
+    val mr = RenderTarget.evaluate(spark, p,
+      "movingWindow(m.a, 3, 'range')", 240L, 600L, 60)
+      .collect().map(_.getDouble(2)).toSeq
+    assert(mr == Seq.fill(6)(2.0))
   }
 
   test("sortBy/sortByMinima/mostDeviant selection; unique first-wins") {

@@ -118,7 +118,28 @@ object RenderGrammarProps extends Properties("renderGrammar") {
       Shape("interpolate", 1, Gen.const(Nil)),
       Shape("isNonNull", 1, Gen.const(Nil)),
       Shape("linearRegression", 1, Gen.const(Nil)),
-      Shape("logit", 1, Gen.const(Nil)))
+      Shape("logit", 1, Gen.const(Nil)),
+      Shape("asPercent", 1, Gen.const(Nil)),
+      Shape("diffSeries", 2, Gen.const(Nil)),
+      Shape("multiplySeries", 2, Gen.const(Nil)),
+      Shape("percentileOfSeries", 1,
+        lit(Gen.chooseNum(5, 95).map(_.toString)).map(List(_))),
+      Shape("nPercentile", 1,
+        lit(Gen.chooseNum(5, 95).map(_.toString)).map(List(_))),
+      Shape("filterSeries", 1,
+        for (f <- qlit(Gen.oneOf("max", "sum", "median", "stddev"));
+             o <- qlit(Gen.oneOf(">", "<=", "!="));
+             t <- lit(Gen.chooseNum(0, 5).map(_.toString)))
+          yield List(f, o, t)),
+      Shape("highest", 1,
+        for (n <- lit(Gen.chooseNum(1, 3).map(_.toString));
+             f <- qlit(Gen.oneOf("sum", "stddev", "last")))
+          yield List(n, f)),
+      Shape("offsetToZero", 1, Gen.const(Nil)),
+      Shape("transformNull", 1,
+        lit(Gen.chooseNum(0, 9).map(_.toString)).map(List(_))),
+      Shape("changed", 1, Gen.const(Nil)),
+      Shape("exclude", 1, qlit(Gen.oneOf("zz", "xx")).map(List(_))))
     val evalShapes =
       Gen.frequency(2 -> shapes.suchThat(_.name != "summarize"),
         1 -> umbrella)

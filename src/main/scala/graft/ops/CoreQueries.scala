@@ -54,6 +54,36 @@ object CoreQueries {
     """SELECT event_id, CAST(json_extract(props, '$.k') AS BIGINT) AS k
       |FROM events ORDER BY event_id""".stripMargin
 
+  /** `carbon_ingest`: the carbon plaintext line protocol roundtrip —
+    * the events view serialized to `metric value ts` lines
+    * ([[graft.sources.Carbon.format]]), staged as a text file tree,
+    * read back through `spark.read.text` + [[graft.sources.Carbon
+    * .parse]], then LWW-aligned to the 1m level. The oracle never sees
+    * the text (it derives the same level relationally from the parquet),
+    * so a formatting or parsing defect — a precision loss, a split bug,
+    * a dropped line — diverges the hashes. Java double↔string
+    * round-trips exactly; that is the property under test.
+    */
+  def carbonIngest(s: SparkSession, dir: String): DataFrame = {
+    val base = graft.ops.Dedup.sharedIndexPath(
+      s, dir, "events.parquet", "carbon") { root =>
+      graft.sources.Carbon.format(Buckets.points(s, dir))
+        .write.mode("overwrite").text(s"$root/lines")
+    }
+    val parsed = graft.sources.Carbon.parse(
+      s.read.text(s"$base/lines"), NowS)
+    Ingest.lwwAlign(parsed, 60)
+      .select(col("metric"), col("bucket_ts"),
+        round(col("value"), 6).as("value"))
+      .orderBy("metric", "bucket_ts")
+  }
+
+  val carbonIngestSql: String =
+    s"""WITH $pointsSql,
+       |lww1m AS (${Ingest.lwwAlignSql(60)})
+       |SELECT metric, bucket_ts, round(value, 6) AS value FROM lww1m
+       |ORDER BY metric, bucket_ts""".stripMargin
+
   /** F1 `fetch_range_filter`: clamped time-range predicate. Range bounds
     * go through [[Buckets.pointsInRange]] (raw-column parquet pushdown);
     * the metric predicate pushes as an `event_type = 'error'` string
@@ -405,7 +435,8 @@ object CoreQueries {
     "create_rollup_tables" -> (Materialize.createRollupTables _),
     "fetch_archive_selection" -> (Materialize.fetchArchiveSelection _),
     "rollup_serve_1h" -> (Materialize.rollupServe1h _),
-    "scan_props_json" -> (scanPropsJson _)
+    "scan_props_json" -> (scanPropsJson _),
+    "carbon_ingest" -> (carbonIngest _)
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -491,7 +522,8 @@ object CoreQueries {
     "catalog_info" -> Materialize.catalogInfoSql,
     "fetch_archive_selection" -> Materialize.fetchArchiveSelectionSql,
     "rollup_serve_1h" -> Materialize.rollupServe1hSql,
-    "scan_props_json" -> scanPropsJsonSql
+    "scan_props_json" -> scanPropsJsonSql,
+    "carbon_ingest" -> carbonIngestSql
     // create_rollup_tables: intentionally no oracle — the parquet write
     // IS the operator; driver records the rows-only check (SURVEY.md §2.1)
   )

@@ -1,0 +1,79 @@
+package graft.sources
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** [[Carbon]] — the plaintext line protocol's tolerances: `-1`
+  * timestamps resolve to the pinned receive time, malformed lines drop
+  * (and are countable), and parse ∘ format is the identity.
+  */
+class CarbonSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private def lines(ls: String*) = {
+    import spark.implicits._
+    ls.toDF("value")
+  }
+
+  test("well-formed lines parse; -1 means receive time") {
+    val df = Carbon.parse(lines(
+      "servers.web1.cpu 0.45 1706659200",
+      "  servers.web1.cpu   1.5e-3   1706659260  ", // extra whitespace
+      "servers.web2.load 7 -1"), nowS = 999L)
+    val got = df.collect().map(r =>
+      (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got == Set(
+      ("servers.web1.cpu", 1706659200L, 0.45),
+      ("servers.web1.cpu", 1706659260L, 0.0015),
+      ("servers.web2.load", 999L, 7.0)))
+  }
+
+  test("malformed lines drop and are counted") {
+    val (pts, dropped) = Carbon.parsedStats(lines(
+      "a.b 1.0 1706659200",
+      "only.two.fields 42",            // missing ts
+      "a.b not_a_number 1706659200",   // bad value
+      "a.b 2.0 tomorrow",              // bad ts
+      "   ",                           // blank — not counted as a line
+      "a.b 3.0 1706659260 extra"),     // four fields
+      nowS = 0L)
+    assert(pts.count() == 1)
+    assert(dropped == 4)
+  }
+
+  test("parse ∘ format is the identity, including hostile doubles") {
+    import spark.implicits._
+    val pts = Seq(
+      ("m.a", 100L, 0.1 + 0.2),            // classic non-exact decimal
+      ("m.b", 200L, 1.0e-300),             // scientific round-trip
+      ("m.c", 300L, -12345.678901234567))
+      .toDF("metric", "ts_s", "value")
+    val back = Carbon.parse(Carbon.format(pts), nowS = 0L)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+      .toSet
+    assert(back == Set(("m.a", 100L, 0.1 + 0.2), ("m.b", 200L, 1.0e-300),
+      ("m.c", 300L, -12345.678901234567)))
+  }
+
+  test("parse is streaming-compatible (pure projection)") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val mem = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[String]
+    val q = Carbon.parse(mem.toDF(), nowS = 7L)
+      .writeStream.format("memory").queryName("carbon_out")
+      .outputMode("append").start()
+    mem.addData("x.y 5 -1", "junk")
+    q.processAllAvailable()
+    val rows = spark.table("carbon_out").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSeq
+    q.stop()
+    assert(rows == Seq(("x.y", 7L, 5.0)))
+  }
+}

@@ -61,6 +61,29 @@ class CarbonSpec extends AnyFunSuite {
       ("m.c", 300L, -12345.678901234567)))
   }
 
+  test("carbon daemon loop: protocol lines stream into a live wsp tree") {
+    // the ecosystem's actual deployment shape, end to end: line
+    // protocol in, .wsp files out — readStream → parse → wspWriter
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val nowS = 1000000L
+    val schema = graft.model.Retentions.tight
+    val dir = java.nio.file.Files.createTempDirectory("carbon_wsp").toString
+    val mem = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[String]
+    val points = Carbon.parse(mem.toDF(), nowS)
+    val writer = graft.streaming.StreamIngest
+      .wspWriter(points, dir, schema, nowS)
+    mem.addData(s"servers.web1.cpu 0.5 ${nowS - 10}",
+      "servers.web1.cpu 0.75 -1", "garbage line")
+    writer.start().awaitTermination()
+    val back = spark.read.format("wsp").load(dir)
+      .select("metric", "ts_s", "value").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(back == Set(("servers.web1.cpu", nowS - 10, 0.5),
+      ("servers.web1.cpu", nowS, 0.75)))
+  }
+
   test("parse is streaming-compatible (pure projection)") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext

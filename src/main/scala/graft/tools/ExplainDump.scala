@@ -184,6 +184,13 @@ object ExplainDump {
         "tiny frame, and the rewritten names semi-join back into the " +
         "shared aggregate as a BroadcastHashJoin — the second 'fetch' " +
         "never rescans, and no name list touches the driver."),
+    "carbon_ingest" ->
+      ("The carbon line-protocol ingest: one text scan, a codegen'd " +
+        "split/try_cast projection (malformed lines drop in the same " +
+        "stage — no second pass, no UDF), then the standard U2 LWW " +
+        "hash aggregate. Text parsing adds NOTHING to the plan beyond " +
+        "the projection; the shuffle is the same bounded per-(metric, " +
+        "bucket) reduction as the parquet ingest path."),
     "wsp_roundtrip" ->
       ("The .wsp DataSource V2 scan: `BatchScan wsp` with the pushed " +
         "metric/ts bounds in the scan description — metric predicates " +

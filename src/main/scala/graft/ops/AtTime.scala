@@ -51,10 +51,26 @@ object AtTime {
       val body = rest.drop(1)
       val tok = body.takeWhile(c => c.isLetterOrDigit)
       require(tok.nonEmpty, s"dangling sign in time '$s'")
-      ts += sign * RenderTarget.durationS(tok)
+      ts += sign * offsetS(tok)
       rest = body.drop(tok.length)
     }
     ts
+  }
+
+  /** attime offset units: the render-duration table plus graphite's
+    * calendar approximations — months are 30 days, years 365 (exactly
+    * attime.py's constants). 'mon…' must be checked before the
+    * delegation or it would be rejected ('min' stays minutes).
+    */
+  private def offsetS(tok: String): Long = {
+    val digits = tok.takeWhile(_.isDigit)
+    require(digits.nonEmpty, s"invalid offset '$tok'")
+    val n = digits.toLong
+    tok.drop(digits.length) match {
+      case u if u.startsWith("mon") => n * 30L * 86400L
+      case "y" | "year" | "years" => n * 365L * 86400L
+      case _ => RenderTarget.durationS(tok)
+    }
   }
 
   private def midnight(nowS: Long): Long =
@@ -67,23 +83,8 @@ object AtTime {
     case "tomorrow" => midnight(nowS) + 86400L
     case "noon" => midnight(nowS) + 12 * 3600L
     case "teatime" => midnight(nowS) + 16 * 3600L
-    case d if DayNames.contains(d) =>
-      // most recent such day's midnight (today qualifies)
-      val today = LocalDate.ofInstant(Instant.ofEpochSecond(nowS),
-        ZoneOffset.UTC)
-      val back = (today.getDayOfWeek.getValue -
-        DayNames(d).getValue + 7) % 7
-      midnight(nowS) - back * 86400L
-    case d if d.length == 8 && d.forall(_.isDigit) =>
-      LocalDate.parse(d, java.time.format.DateTimeFormatter.BASIC_ISO_DATE)
-        .atStartOfDay(ZoneOffset.UTC).toEpochSecond
-    case d if d.forall(_.isDigit) && d.length >= 9 =>
-      d.toLong // epoch seconds
-    case d if d.contains("/") =>
-      val Array(m, dd, y) = d.split("/")
-      val year = if (y.length == 2) 2000 + y.toInt else y.toInt
-      LocalDate.of(year, m.toInt, dd.toInt)
-        .atStartOfDay(ZoneOffset.UTC).toEpochSecond
+    // ':' BEFORE '/': a date-anchored time-of-day ('16:00_01/31/24')
+    // contains both, and the time branch owns the '_' split
     case d if d.contains(":") =>
       // HH:MM optionally anchored '_date'
       val (hm, anchor) = d.indexOf('_') match {
@@ -92,9 +93,43 @@ object AtTime {
       }
       val Array(h, m) = hm.split(":")
       anchor + LocalTime.of(h.toInt, m.toInt).toSecondOfDay
+    case d if dayOf(d).isDefined =>
+      // most recent such day's midnight (today qualifies); graphite
+      // matches weekday names by their first three letters
+      val today = LocalDate.ofInstant(Instant.ofEpochSecond(nowS),
+        ZoneOffset.UTC)
+      val back = (today.getDayOfWeek.getValue -
+        dayOf(d).get.getValue + 7) % 7
+      midnight(nowS) - back * 86400L
+    case d if d.length == 8 && d.forall(_.isDigit) =>
+      LocalDate.parse(d, java.time.format.DateTimeFormatter.BASIC_ISO_DATE)
+        .atStartOfDay(ZoneOffset.UTC).toEpochSecond
+    case d if d.forall(_.isDigit) =>
+      // graphite: ANY other pure integer is epoch seconds (only the
+      // exact 8-digit shape reads as YYYYMMDD)
+      d.toLong
+    case d if d.contains("/") =>
+      // MM/DD/YY: graphite's pivot maps 2-digit years 70-99 to the
+      // 1900s, 00-69 to the 2000s
+      val Array(m, dd, y) = d.split("/")
+      val year =
+        if (y.length == 2) { val v = y.toInt; if (v >= 70) 1900 + v else 2000 + v }
+        else y.toInt
+      LocalDate.of(year, m.toInt, dd.toInt)
+        .atStartOfDay(ZoneOffset.UTC).toEpochSecond
     case other =>
       throw new IllegalArgumentException(s"unparseable time '$other'")
   }
+
+  /** Weekday reference: graphite's attime matches the first THREE
+    * letters ('mon', 'tues', 'monday' all work). Only in reference
+    * position — in an offset, 'mon' is months ([[offsetS]]).
+    */
+  private def dayOf(d: String): Option[DayOfWeek] =
+    if (d.length < 3) None
+    else DayNames.collectFirst {
+      case (name, dow) if name.startsWith(d) => dow
+    }
 
   private val DayNames: Map[String, DayOfWeek] = Map(
     "monday" -> DayOfWeek.MONDAY, "tuesday" -> DayOfWeek.TUESDAY,

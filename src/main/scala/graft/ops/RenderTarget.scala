@@ -418,7 +418,15 @@ object RenderTarget {
     case "count" => count(c).cast("double")
     case "range" | "rangeOf" => max(c) - min(c)
     case "stddev" => stddev_pop(c)
-    case "last" | "current" => max_by(c, when(c.isNotNull, col("bucket_ts")))
+    case "last" | "current" =>
+      // composite ordering key: in time-grouped contexts (summarize,
+      // movingWindow, per-series stats) the metric is constant and
+      // bucket_ts decides; in per-bucket combines (aggregate,
+      // groupByNode/Tags) bucket_ts is constant and the METRIC breaks
+      // the tie — graphite's safeLast over list (= name) order. A bare
+      // bucket_ts key would leave cross-series ties to encounter order
+      // and break hash determinism.
+      max_by(c, when(c.isNotNull, struct(col("bucket_ts"), col("metric"))))
     case f => throw new IllegalArgumentException(s"unknown aggregation '$f'")
   }
 
@@ -450,6 +458,24 @@ object RenderTarget {
           round(delta / div, 6)))
       .select(col("metric"), col("bucket_ts"), col("value"))
   }
+
+  /** graphite's STRICT safeMul as one grouped aggregate: the per-group
+    * product of member values, None the moment ANY member is None
+    * (unlike the None-as-0 sum family). No product aggregate exists in
+    * Spark — collect the member-count-bounded values and fold; the
+    * known-vs-total count pair enforces strictness. Shared by
+    * multiplySeries, aggregate('multiply') and
+    * aggregateWithWildcards('multiply').
+    */
+  private def strictProduct(df: DataFrame, groupCols: Seq[Column],
+      metricOut: Column): DataFrame =
+    df.groupBy(groupCols: _*)
+      .agg(collect_list(col("value")).as("vs"),
+        count(col("value")).as("kn"), count(lit(1)).as("tot"))
+      .select(metricOut.as("metric"), col("bucket_ts"),
+        when(col("kn") === col("tot"),
+          round(aggregate(col("vs"), lit(1.0), (acc, x) => acc * x), 6))
+          .as("value"))
 
   /** A window argument that is either an integer POINT COUNT or a
     * quoted DURATION ('5min') converted to points at the series step —
@@ -943,12 +969,8 @@ object RenderTarget {
         require(steps.size == 1,
           s"multiplySeries: member series must share one step (got ${steps.mkString(", ")})")
         val u = evald.map(_._1).reduce(_ unionByName _)
-        (u.groupBy(col("bucket_ts"))
-          .agg(collect_list(col("value")).as("vs"),
-            count(col("value")).as("kn"), count(lit(1)).as("tot"))
-          .select(lit("multiplySeries").as("metric"), col("bucket_ts"),
-            when(col("kn") === col("tot"), round(aggregate(col("vs"), lit(1.0),
-              (acc, x) => acc * x), 6)).as("value")), steps.head)
+        (strictProduct(u, Seq(col("bucket_ts")), lit("multiplySeries")),
+          steps.head)
       // --------------------------------------- pointwise math tier:
       case Call("logarithm", Seq(c), args) =>
         val base = args.headOption.map(_.toDouble).getOrElse(10.0)
@@ -1566,13 +1588,8 @@ object RenderTarget {
         val (df, step) = eval(c)
         func match {
           case "multiply" =>
-            (df.groupBy(col("bucket_ts"))
-              .agg(collect_list(col("value")).as("vs"),
-                count(col("value")).as("kn"), count(lit(1)).as("tot"))
-              .select(lit("multiplySeries").as("metric"), col("bucket_ts"),
-                when(col("kn") === col("tot"),
-                  round(aggregate(col("vs"), lit(1.0), (acc, x) => acc * x), 6))
-                  .as("value")), step)
+            (strictProduct(df, Seq(col("bucket_ts")), lit("multiplySeries")),
+              step)
           case "diff" =>
             // the dense frame carries every metric in every bucket, so
             // the per-bucket name-minimum IS the list head
@@ -1614,13 +1631,7 @@ object RenderTarget {
           positions.map(p => i =!= p).reduce(_ && _))
         val key = array_join(kept, ".").as("metric")
         if (func == "multiply")
-          (df.groupBy(key, col("bucket_ts"))
-            .agg(collect_list(col("value")).as("vs"),
-              count(col("value")).as("kn"), count(lit(1)).as("tot"))
-            .select(col("metric"), col("bucket_ts"),
-              when(col("kn") === col("tot"),
-                round(aggregate(col("vs"), lit(1.0), (acc, x) => acc * x), 6))
-                .as("value")), step)
+          (strictProduct(df, Seq(key, col("bucket_ts")), col("metric")), step)
         else
           (df.groupBy(key, col("bucket_ts"))
             .agg(round(summarizeAgg(func, col("value")), 6).as("value")), step)
@@ -1729,16 +1740,14 @@ object RenderTarget {
               round(col("alpha") + col("beta") * (col("bucket_ts") - lit(lo)), 6))
               .as("value")), step)
       case Call("timeSlice", Seq(c), args) =>
-        // None outside [start, end]: bounds are epoch seconds, or
-        // -durations relative to the request's `until` (render-time
-        // "now"), graphite's relative-time shorthand
+        // None outside [start, end]: bounds are FULL attime strings
+        // ([[AtTime]] — epochs, -durations, midnight/day-names/dates),
+        // resolved against the request's `until` as the render-time
+        // "now"; an absent bound keeps the request edge
         val (df, step) = eval(c)
         def bound(a: String, dflt: Long): Long = {
           val t = a.trim
-          if (t.isEmpty || t == "now") dflt
-          else if (t.startsWith("-")) untilS - durationS(t.stripPrefix("-"))
-          else if (t.forall(_.isDigit)) t.toLong
-          else throw new IllegalArgumentException(s"bad timeSlice bound '$a'")
+          if (t.isEmpty) dflt else AtTime.parse(t, untilS)
         }
         val startT = bound(args.head, fromS)
         val endT = args.lift(1).map(bound(_, untilS)).getOrElse(untilS)
@@ -1782,7 +1791,12 @@ object RenderTarget {
       case Call("removeBetweenPercentile", Seq(c), args) =>
         // keep series that ESCAPE the cross-series per-bucket n-th
         // percentile band at least once in the requested window
-        // (graphite folds n below 50 to its mirror)
+        // (graphite folds n below 50 to its mirror; the band is OPEN —
+        // a value ON the edge escapes, graphite's `not lo < v < hi`).
+        // Deliberate deviation: percentiles interpolate continuously
+        // (Spark's percentile = DuckDB's quantile_cont) where
+        // graphite's getPercentile picks a member value — the band
+        // differs by at most one inter-member gap
         val n0 = args.head.toDouble
         val n = if (n0 < 50) 100 - n0 else n0
         require(n < 100, "removeBetweenPercentile n must be below 100")
@@ -1861,18 +1875,25 @@ object RenderTarget {
           .select(array_join(slice(split(col("metric"), "\\."), 1, node + 1),
             ".").as("p"))
           .distinct().collect().map(_.getString(0)).sorted
-        require(prefixes.nonEmpty, "applyByNode matched no series")
         require(prefixes.length <= 1024,
           s"applyByNode: ${prefixes.length} node groups exceed the " +
             "bounded-evaluation gate (1024)")
-        val evald = prefixes.toSeq.map { p =>
-          val (sub, st) = eval(parse(template.replace("%", p)))
-          require(st == step,
-            "applyByNode template must keep the series step")
-          newName.fold(sub)(n =>
-            sub.withColumn("metric", lit(n.replace("%", p))))
+        if (prefixes.isEmpty)
+          // no matching series is an EMPTY result, as for every other
+          // selector (and so fallbackSeries' emptiness switch works
+          // above this function too) — never an error
+          (sharedAgg.filter(lit(false))
+            .select(col("metric"), col("bucket_ts"), col("value")), step)
+        else {
+          val evald = prefixes.toSeq.map { p =>
+            val (sub, st) = eval(parse(template.replace("%", p)))
+            require(st == step,
+              "applyByNode template must keep the series step")
+            newName.fold(sub)(n =>
+              sub.withColumn("metric", lit(n.replace("%", p))))
+          }
+          (evald.reduce(_ unionByName _), step)
         }
-        (evald.reduce(_ unionByName _), step)
       case Call("useSeriesAbove", Seq(c), args) =>
         // series whose requested-window MAX clears the threshold have
         // their names rewritten search→replace, and THOSE series serve

@@ -23,7 +23,11 @@ object Carbon {
     * into points. Whitespace-tolerant; blank and malformed lines drop.
     */
   def parse(lines: DataFrame, nowS: Long): DataFrame = {
-    val f = split(trim(col("value")), "\\s+")
+    // strip ALL whitespace at the edges, not just spaces: Spark's trim
+    // is 0x20-only, so a leading tab or a CRLF file's trailing \r
+    // would smuggle an empty split token past the arity gate and drop
+    // a VALID line (carbon does line.strip())
+    val f = split(regexp_replace(col("value"), "^\\s+|\\s+$", ""), "\\s+")
     lines
       .select(f.as("f"))
       .filter(size(col("f")) === 3)
@@ -46,7 +50,8 @@ object Carbon {
     */
   def parsedStats(lines: DataFrame, nowS: Long): (DataFrame, Long) = {
     val pts = parse(lines, nowS)
-    val total = lines.filter(trim(col("value")) =!= "").count()
+    val total = lines.filter(
+      regexp_replace(col("value"), "^\\s+|\\s+$", "") =!= "").count()
     (pts, total - pts.count())
   }
 

@@ -45,6 +45,8 @@ class AtTimeSpec extends AnyFunSuite {
     assert(p("09:15") == Midnight + 9 * 3600 + 15 * 60)
     assert(p("09:15_20240101") == Midnight - 30 * 86400 + 9 * 3600 + 15 * 60)
     assert(p("16:00_yesterday") == Midnight - 86400 + 16 * 3600)
+    // the ':' branch must win over the '/' branch for anchored dates
+    assert(p("16:00_01/31/24") == Midnight + 16 * 3600)
   }
 
   test("day names resolve to the most recent such midnight") {
@@ -52,6 +54,18 @@ class AtTimeSpec extends AnyFunSuite {
     assert(p("monday") == Midnight - 2 * 86400)
     assert(p("thursday") == Midnight - 6 * 86400) // last week's
     assert(p("sunday-1w") == Midnight - 3 * 86400 - 604800)
+    // graphite's 3-letter weekday prefixes
+    assert(p("wed") == Midnight)
+    assert(p("tues") == Midnight - 1 * 86400)
+  }
+
+  test("calendar offsets and the 2-digit-year pivot") {
+    assert(p("-1mon") == Now - 30 * 86400)
+    assert(p("now-2y") == Now - 2 * 365 * 86400)
+    assert(p("-90min") == Now - 5400) // 'min' stays minutes, not months
+    // 70-99 → 1900s (graphite's pivot); 00-69 → 2000s
+    assert(p("01/31/99") == p("01/31/1999"))
+    assert(p("01/31/24") == p("01/31/2024"))
   }
 
   test("malformed strings fail loudly") {

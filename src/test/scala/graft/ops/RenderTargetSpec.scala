@@ -752,6 +752,27 @@ class RenderTargetSpec extends AnyFunSuite {
     assert(area == Seq("m.a@lower", "m.a@upper"))
   }
 
+  test("aggregate('last') picks the LAST SERIES IN NAME ORDER per bucket") {
+    // three series, same bucket: safeLast = the name-max member's value
+    // — deterministic, never encounter order
+    val p = pts(("m.a", 65L, 1.0), ("m.b", 65L, 2.0), ("m.c", 65L, 3.0))
+    val out = RenderTarget.evaluate(spark, p, "aggregate(m.*, 'last')",
+      0L, 60L, 60).collect().map(_.getDouble(2)).toSeq
+    assert(out == Seq(3.0))
+  }
+
+  test("applyByNode with no matching series is empty, and fallback serves") {
+    val p = pts(("s0.used", 65L, 30.0))
+    val empty = RenderTarget.evaluate(spark, p,
+      "applyByNode(zz*.used, 0, 'scale(%.used, 2)')", 0L, 60L, 60)
+    assert(empty.count() == 0)
+    val fb = RenderTarget.evaluate(spark, p,
+      "fallbackSeries(applyByNode(zz*.used, 0, 'scale(%.used, 2)'), " +
+        "constantLine(9))", 0L, 60L, 60)
+      .collect().map(_.getDouble(2)).toSeq
+    assert(fb == Seq(9.0))
+  }
+
   test("applyByNode evaluates the template per node group; newName renames") {
     val p = pts(("s0.used", 65L, 30.0), ("s0.total", 65L, 60.0),
       ("s1.used", 65L, 10.0), ("s1.total", 65L, 40.0))

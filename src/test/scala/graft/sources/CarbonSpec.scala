@@ -25,12 +25,14 @@ class CarbonSpec extends AnyFunSuite {
     val df = Carbon.parse(lines(
       "servers.web1.cpu 0.45 1706659200",
       "  servers.web1.cpu   1.5e-3   1706659260  ", // extra whitespace
+      "\tservers.web1.cpu\t0.5\t1706659320\r",      // tabs + CRLF tail
       "servers.web2.load 7 -1"), nowS = 999L)
     val got = df.collect().map(r =>
       (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
     assert(got == Set(
       ("servers.web1.cpu", 1706659200L, 0.45),
       ("servers.web1.cpu", 1706659260L, 0.0015),
+      ("servers.web1.cpu", 1706659320L, 0.5),
       ("servers.web2.load", 999L, 7.0)))
   }
 

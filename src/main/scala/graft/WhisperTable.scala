@@ -394,8 +394,16 @@ final class WhisperTable private (
     */
   def fetch(metric: String, from: String, until: String,
       nowS: Long): DataFrame =
-    fetch(metric, ops.AtTime.parse(from, nowS),
-      ops.AtTime.parse(until, nowS), nowS)
+    fetch(metric, from, until, nowS, java.time.ZoneOffset.UTC)
+
+  /** [[fetch]] with graphite's `&tz=` request parameter: day-anchored
+    * time references ('midnight', weekdays, dates) resolve in the
+    * CALLER's zone, the fetched epochs stay UTC ([[ops.AtTime]]).
+    */
+  def fetch(metric: String, from: String, until: String, nowS: Long,
+      tz: java.time.ZoneId): DataFrame =
+    fetch(metric, ops.AtTime.parse(from, nowS, tz),
+      ops.AtTime.parse(until, nowS, tz), nowS)
 
   /** Q1 `Fetch`: clamp the range, select the finest archive covering it,
     * return the dense fixed-step series with NULL gaps.

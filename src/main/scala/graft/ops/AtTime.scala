@@ -1,6 +1,7 @@
 package graft.ops
 
-import java.time.{DayOfWeek, Instant, LocalDate, LocalTime, ZoneOffset}
+import java.time.{DayOfWeek, Instant, LocalDate, LocalTime, ZonedDateTime,
+  ZoneId, ZoneOffset}
 
 /** Graphite's `from=`/`until=` time grammar (graphite-web
   * render/attime.py, reconstructed from the public render-API docs) —
@@ -8,29 +9,57 @@ import java.time.{DayOfWeek, Instant, LocalDate, LocalTime, ZoneOffset}
   * REFERENCE optionally followed by signed OFFSETS.
   *
   * {{{
-  *   time    := reference offset*            (whitespace ignored)
-  *   reference :=
-  *       '' | 'now'                          — the pinned render time
-  *     | 'today' | 'midnight'                — 00:00 today
-  *     | 'yesterday' | 'tomorrow'            — 00:00 ± one day
-  *     | 'noon' | 'teatime'                  — 12:00 / 16:00 today
-  *     | 'monday'..'sunday'                  — most recent such 00:00
-  *     | 'HH:MM' [ '_' date ]                — time-of-day (today, or
-  *                                             anchored to the date)
-  *     | 'YYYYMMDD' | 'MM/DD/YY[YY]'         — 00:00 of that date
-  *     | epoch seconds (9+ digits)
-  *   offset  := ('+'|'-') duration           — duration as in render
-  *                                             targets (s/min/h/d/w)
+  *   time    := reference offset*      (whitespace, '_', ',' stripped —
+  *                                      exactly attime.py's normalize)
+  *   reference := epoch | [timeOfDay] [dayRef]
+  *   epoch   := digits+                — unless EXACTLY the 8-digit
+  *                                      YYYYMMDD shape (year>1900,
+  *                                      month<13, day<32), which reads
+  *                                      as a date (attime.py's check)
+  *   timeOfDay :=
+  *       'HH:MM' ['am'|'pm']           — 24h, or 12h with suffix
+  *     | 'H'|'HH' ('am'|'pm')          — bare-hour 12h form ('8am')
+  *     | 'noon' | 'midnight' | 'teatime'  — 12:00 / 00:00 / 16:00
+  *   dayRef  :=
+  *       '' | 'today'                  — today (in the request tz)
+  *     | 'yesterday' | 'tomorrow'      — ± one calendar day
+  *     | 'MM/DD/YY[YY]'                — attime's year pivot: y<1900 →
+  *                                      +1900, then y<1970 → +100
+  *     | 'YYYYMMDD'                    — ISO basic date
+  *     | monthName dayNumber           — 'jan8', 'january 8'; month
+  *                                      matched on its first 3 letters,
+  *                                      day = trailing 1–2 digits, year
+  *                                      = the current year (attime has
+  *                                      no year slot in this form)
+  *     | 'monday'..'sunday'            — most recent such day (prefix-
+  *                                      matched, ≥3 letters)
+  *   offset  := ('+'|'-') duration     — duration as in render targets
+  *                                      (s/min/h/d/w; mon=30d, y=365d)
   * }}}
   *
-  * All arithmetic is UTC (the engine's session timezone); `now` is the
-  * caller's pinned render time, never the wall clock — determinism is
-  * the whole point of threading it through.
+  * '''Timezone:''' the reference resolves in the request `tz`
+  * (graphite's `&tz=` parameter): 'midnight', weekday and date forms
+  * mean that zone's wall-clock midnight; 'HH:MM' is wall-clock in that
+  * zone. The RESULT is always epoch seconds, and offset arithmetic is
+  * plain seconds on the epoch — exactly aware-datetime + timedelta in
+  * attime.py, so `midnight+1d` on a DST-transition day differs from
+  * `tomorrow` by the DST hour, in both engines. DST gap/overlap at a
+  * resolved wall-clock time follows `java.time` (gap → shifted forward
+  * by the gap, overlap → earlier offset). Default tz is UTC — the
+  * engine's session zone — so un-threaded callers are unchanged.
+  *
+  * `now` is the caller's pinned render time, never the wall clock —
+  * determinism is the whole point of threading it through.
   */
 object AtTime {
 
-  def parse(s: String, nowS: Long): Long = {
-    val t = s.trim.toLowerCase.replaceAll("\\s+", "")
+  def parse(s: String, nowS: Long): Long = parse(s, nowS, ZoneOffset.UTC)
+
+  def parse(s: String, nowS: Long, tz: ZoneId): Long = {
+    // attime.py's normalize: strip whitespace, '_' and ',' — this is
+    // what makes '04:00_20240101' and 'january 8, 2024'-style spacing
+    // parse: the anchored-date '_' is cosmetic, not structural
+    val t = s.trim.toLowerCase.replaceAll("[\\s_,]+", "")
     if (t.isEmpty) return nowS // graphite: an absent bound is `now`
     // split off trailing signed offsets (the reference itself contains
     // no '+', and '-' only inside MM/DD/YY never follows a letter/digit
@@ -39,7 +68,7 @@ object AtTime {
     val firstSign = t.indexWhere(c => c == '+' || c == '-')
     val (refStr, offStr) =
       if (firstSign < 0) (t, "") else t.splitAt(firstSign)
-    var ts = reference(refStr, nowS)
+    var ts = reference(refStr, nowS, tz)
     var rest = offStr
     while (rest.nonEmpty) {
       val sign = rest.head match {
@@ -73,52 +102,104 @@ object AtTime {
     }
   }
 
-  private def midnight(nowS: Long): Long =
-    Math.floorDiv(nowS, 86400L) * 86400L
+  /** attime.py's timestamp-vs-YYYYMMDD disambiguation for an all-digit
+    * string: only the exact 8-digit shape with year>1900, month<13,
+    * day<32 reads as a date; every other pure integer — including a
+    * "legal" 8-digit epoch like 99999999 — is epoch seconds. A shape
+    * match with an invalid calendar day (month 00, day 00) then fails
+    * loudly in LocalDate.of, as attime's datetime() does.
+    */
+  private def looksLikeDate(d: String): Boolean =
+    d.length == 8 && d.forall(_.isDigit) &&
+      d.take(4).toInt > 1900 && d.substring(4, 6).toInt < 13 &&
+      d.substring(6, 8).toInt < 32
 
-  private def reference(r: String, nowS: Long): Long = r match {
-    case "" | "now" => nowS
-    case "today" | "midnight" => midnight(nowS)
-    case "yesterday" => midnight(nowS) - 86400L
-    case "tomorrow" => midnight(nowS) + 86400L
-    case "noon" => midnight(nowS) + 12 * 3600L
-    case "teatime" => midnight(nowS) + 16 * 3600L
-    // ':' BEFORE '/': a date-anchored time-of-day ('16:00_01/31/24')
-    // contains both, and the time branch owns the '_' split
-    case d if d.contains(":") =>
-      // HH:MM optionally anchored '_date'
-      val (hm, anchor) = d.indexOf('_') match {
-        case -1 => (d, midnight(nowS))
-        case i => (d.substring(0, i), reference(d.substring(i + 1), nowS))
+  private def reference(r: String, nowS: Long, tz: ZoneId): Long = {
+    if (r == "" || r == "now") return nowS
+    // epoch seconds: attime checks this on the WHOLE string before the
+    // grammar, so digits after a time-of-day prefix are NOT an epoch
+    if (r.forall(_.isDigit) && !looksLikeDate(r)) return r.toLong
+
+    var ref = r
+    var hour = 0
+    var minute = 0
+    // --- time-of-day prefix (attime.py order: ':' form, bare am/pm,
+    // then the named times) ---
+    val ci = ref.indexOf(':')
+    if (ci > 0 && ci < 3) {
+      val h = ref.take(ci)
+      require(h.forall(_.isDigit) && ref.length >= ci + 3 &&
+        ref.substring(ci + 1, ci + 3).forall(_.isDigit),
+        s"malformed time-of-day in '$r'")
+      hour = h.toInt
+      minute = ref.substring(ci + 1, ci + 3).toInt
+      ref = ref.substring(ci + 3)
+      if (ref.startsWith("am")) ref = ref.drop(2)
+      else if (ref.startsWith("pm")) { hour = (hour + 12) % 24; ref = ref.drop(2) }
+    }
+    locally { // 'Xam'/'XXam' bare-hour form
+      val i = ref.indexOf("am")
+      if (i > 0 && i < 3 && ref.take(i).forall(_.isDigit)) {
+        hour = ref.take(i).toInt; minute = 0; ref = ref.drop(i + 2)
       }
-      val Array(h, m) = hm.split(":")
-      anchor + LocalTime.of(h.toInt, m.toInt).toSecondOfDay
-    case d if dayOf(d).isDefined =>
-      // most recent such day's midnight (today qualifies); graphite
-      // matches weekday names by their first three letters
-      val today = LocalDate.ofInstant(Instant.ofEpochSecond(nowS),
-        ZoneOffset.UTC)
-      val back = (today.getDayOfWeek.getValue -
-        dayOf(d).get.getValue + 7) % 7
-      midnight(nowS) - back * 86400L
-    case d if d.length == 8 && d.forall(_.isDigit) =>
-      LocalDate.parse(d, java.time.format.DateTimeFormatter.BASIC_ISO_DATE)
-        .atStartOfDay(ZoneOffset.UTC).toEpochSecond
-    case d if d.forall(_.isDigit) =>
-      // graphite: ANY other pure integer is epoch seconds (only the
-      // exact 8-digit shape reads as YYYYMMDD)
-      d.toLong
-    case d if d.contains("/") =>
-      // MM/DD/YY: graphite's pivot maps 2-digit years 70-99 to the
-      // 1900s, 00-69 to the 2000s
-      val Array(m, dd, y) = d.split("/")
-      val year =
-        if (y.length == 2) { val v = y.toInt; if (v >= 70) 1900 + v else 2000 + v }
-        else y.toInt
-      LocalDate.of(year, m.toInt, dd.toInt)
-        .atStartOfDay(ZoneOffset.UTC).toEpochSecond
-    case other =>
-      throw new IllegalArgumentException(s"unparseable time '$other'")
+    }
+    locally { // 'Xpm'/'XXpm'
+      val i = ref.indexOf("pm")
+      if (i > 0 && i < 3 && ref.take(i).forall(_.isDigit)) {
+        hour = (ref.take(i).toInt + 12) % 24; minute = 0; ref = ref.drop(i + 2)
+      }
+    }
+    if (ref.startsWith("noon")) { hour = 12; minute = 0; ref = ref.drop(4) }
+    else if (ref.startsWith("midnight")) { hour = 0; minute = 0; ref = ref.drop(8) }
+    else if (ref.startsWith("teatime")) { hour = 16; minute = 0; ref = ref.drop(7) }
+    require(hour < 24 && minute < 60, s"time-of-day out of range in '$r'")
+
+    // --- day reference, resolved as a calendar date in the request tz ---
+    val today = LocalDate.ofInstant(Instant.ofEpochSecond(nowS), tz)
+    val date: LocalDate = ref match {
+      case "" | "today" => today
+      case "yesterday" => today.minusDays(1)
+      case "tomorrow" => today.plusDays(1)
+      case d if d.contains("/") =>
+        // MM/DD/YY[YY] with attime's exact year pivot: y<1900 → +1900,
+        // then y<1970 → +100 (so 2-digit 70-99 → 1970s-90s, 00-69 →
+        // 2000s — and bug-compatibly, a 4-digit year <1970 shifts too)
+        val parts = d.split("/", -1)
+        if (parts.length != 3 ||
+          parts.exists(p => p.isEmpty || !p.forall(_.isDigit)))
+          throw new IllegalArgumentException(s"malformed date '$d'")
+        var y = parts(2).toInt
+        if (y < 1900) y += 1900
+        if (y < 1970) y += 100
+        LocalDate.of(y, parts(0).toInt, parts(1).toInt)
+      case d if looksLikeDate(d) =>
+        LocalDate.of(d.take(4).toInt, d.substring(4, 6).toInt,
+          d.substring(6, 8).toInt)
+      case d if d.length >= 3 && MonthNames.contains(d.take(3)) =>
+        // monthName dayNumber ('jan8'): day = trailing 1-2 digits;
+        // attime ignores the letters in between — we require them to
+        // keep spelling the month so typos fail loudly instead of
+        // silently resolving
+        val day = d.takeRight(2) match {
+          case t if t.forall(_.isDigit) => t.toInt
+          case t if t.takeRight(1).forall(_.isDigit) => t.takeRight(1).toInt
+          case _ => throw new IllegalArgumentException(
+            s"day of month required after month name in '$d'")
+        }
+        val letters = d.takeWhile(_.isLetter)
+        require(MonthFull(d.take(3)).startsWith(letters),
+          s"unparseable month name in '$d'")
+        LocalDate.of(today.getYear, MonthNames(d.take(3)), day)
+      case d if dayOf(d).isDefined =>
+        // most recent such day (today qualifies); graphite matches
+        // weekday names by their first three letters
+        val back = (today.getDayOfWeek.getValue -
+          dayOf(d).get.getValue + 7) % 7
+        today.minusDays(back)
+      case other =>
+        throw new IllegalArgumentException(s"unparseable time '$other'")
+    }
+    ZonedDateTime.of(date, LocalTime.of(hour, minute), tz).toEpochSecond
   }
 
   /** Weekday reference: graphite's attime matches the first THREE
@@ -136,4 +217,15 @@ object AtTime {
     "wednesday" -> DayOfWeek.WEDNESDAY, "thursday" -> DayOfWeek.THURSDAY,
     "friday" -> DayOfWeek.FRIDAY, "saturday" -> DayOfWeek.SATURDAY,
     "sunday" -> DayOfWeek.SUNDAY)
+
+  private val MonthFull: Map[String, String] = Map(
+    "jan" -> "january", "feb" -> "february", "mar" -> "march",
+    "apr" -> "april", "may" -> "may", "jun" -> "june", "jul" -> "july",
+    "aug" -> "august", "sep" -> "september", "oct" -> "october",
+    "nov" -> "november", "dec" -> "december")
+
+  private val MonthNames: Map[String, Int] = Map(
+    "jan" -> 1, "feb" -> 2, "mar" -> 3, "apr" -> 4, "may" -> 5,
+    "jun" -> 6, "jul" -> 7, "aug" -> 8, "sep" -> 9, "oct" -> 10,
+    "nov" -> 11, "dec" -> 12)
 }

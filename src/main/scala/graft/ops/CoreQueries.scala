@@ -353,6 +353,7 @@ object CoreQueries {
     "fetch_range_filter" -> (fetchRangeFilter _),
     "fetch_dense_series" -> ((s, d) => Fetch.fetchDenseSeries(s, d)),
     "fetch_relative" -> ((s, d) => Fetch.fetchRelative(s, d)),
+    "fetch_relative_tz" -> ((s, d) => Fetch.fetchRelativeTz(s, d)),
     "fetch_many" -> ((s, d) => Fetch.fetchMany(s, d)),
     "fetch_glob" -> ((s, d) => Fetch.fetchGlob(s, d)),
     "metrics_find" -> ((s, d) => Fetch.metricsFindRoot(s, d)),
@@ -444,6 +445,7 @@ object CoreQueries {
     "fetch_range_filter" -> fetchRangeFilterSql,
     "fetch_dense_series" -> Fetch.fetchDenseSeriesSql,
     "fetch_relative" -> Fetch.fetchRelativeSql,
+    "fetch_relative_tz" -> Fetch.fetchRelativeTzSql,
     "fetch_many" -> Fetch.fetchManySql,
     "fetch_glob" -> Fetch.fetchGlobSql,
     "metrics_find" -> Fetch.metricsFindRootSql,

@@ -124,6 +124,43 @@ object Fetch {
        |ORDER BY s.bucket_ts""".stripMargin
   }
 
+  /** `fetch_relative_tz`: graphite's `&tz=` request parameter —
+    * `from=midnight&until=midnight+6h&tz=US/Eastern` resolved against
+    * the pinned render time. NowS (2024-01-31T00:00:00Z) is 19:00 of
+    * Jan 30 in US/Eastern (EST, UTC−5), so the USER's midnight is
+    * 2024-01-30T00:00−05:00 = NowS − 68400 — 19 hours before UTC
+    * midnight, not 24 or 5: exactly the window a non-tz-aware resolver
+    * gets wrong. The oracle window is hand-derived from that offset,
+    * NOT from [[AtTime.parse]], so a tz-resolution bug shifts only the
+    * Spark side and the hashes diverge.
+    */
+  def fetchRelativeTz(spark: SparkSession, sfDir: String): DataFrame = {
+    val tz = java.time.ZoneId.of("US/Eastern")
+    val fromS = AtTime.parse("midnight", Buckets.NowS, tz)
+    val untilS = AtTime.parse("midnight+6h", Buckets.NowS, tz)
+    val fromI = Buckets.fetchInterval(fromS, 60)
+    val untilI = Buckets.fetchInterval(untilS, 60)
+    denseSeries(spark, Buckets.pointsInRange(spark, sfDir, fromI, untilI),
+      "view", fromS, untilS, 60)
+  }
+
+  val fetchRelativeTzSql: String = {
+    // hand-derived: US/Eastern midnight of 2024-01-30 = NowS − 68400
+    val fromI = Buckets.fetchInterval(Buckets.NowS - 68400L, 60)
+    val untilI = Buckets.fetchInterval(Buckets.NowS - 68400L + 6 * 3600L, 60)
+    s"""WITH ${Buckets.pointsSql},
+       |agg AS (
+       |  SELECT (ts_s // 60) * 60 AS bucket_ts, round(avg(value), 6) AS value
+       |  FROM pts
+       |  WHERE metric = 'view' AND ts_s >= $fromI AND ts_s < $untilI
+       |  GROUP BY 1
+       |),
+       |spine AS (SELECT CAST(range AS BIGINT) AS bucket_ts FROM range($fromI, $untilI, 60))
+       |SELECT s.bucket_ts, a.value
+       |FROM spine s LEFT JOIN agg a USING (bucket_ts)
+       |ORDER BY s.bucket_ts""".stripMargin
+  }
+
   /** `fetch_many`: the batched multi-metric fetch ([[graft.WhisperTable
     * .fetchMany]]'s shape as an oracle-checked key) — ONE query returns
     * the dense series of EVERY metric in the window, instead of one

@@ -295,8 +295,8 @@ object RenderTarget {
           Seq.fill(args.head.toInt + 1)("*").mkString("."))))
     // useSeriesAbove fetches the search→replace REWRITTEN names: the
     // literal substitution applied to the child's glob covers them
-    // (search/replace must be node-literal for the glob to stay valid
-    // — documented at the eval case)
+    // (the eval case applies the SAME literal substitution in-plan via
+    // Pattern.quote, so the two sides agree by construction)
     case Call("useSeriesAbove", cs, args) =>
       val base = cs.flatMap(leafGlobs)
       base ++ base.map(_.replace(unquote(args(1)), unquote(args(2))))
@@ -361,28 +361,36 @@ object RenderTarget {
     * the max over children, so every member of a combine sees the
     * deepest requirement's extension.
     */
-  def historyExtS(e: Expr, spp: Int): Long = e match {
+  def historyExtS(e: Expr, spp: Int, fromS: Long = 0L, untilS: Long = 0L): Long = e match {
     case Leaf(_) => 0L
     case Call(f, Seq(c), args) if MovingFuncs(f) =>
-      historyExtS(c, spp) + windowPts(args.head, stepS(c, spp)) * stepS(c, spp)
+      historyExtS(c, spp, fromS, untilS) + windowPts(args.head, stepS(c, spp)) * stepS(c, spp)
     case Call("movingWindow", Seq(c), args) =>
-      historyExtS(c, spp) + windowPts(args.head, stepS(c, spp)) * stepS(c, spp)
+      historyExtS(c, spp, fromS, untilS) + windowPts(args.head, stepS(c, spp)) * stepS(c, spp)
     case Call("exponentialMovingAverage", Seq(c), args) =>
-      historyExtS(c, spp) + windowPts(args.head, stepS(c, spp)) * stepS(c, spp)
+      historyExtS(c, spp, fromS, untilS) + windowPts(args.head, stepS(c, spp)) * stepS(c, spp)
     case Call(f, Seq(c), args) if HoltWintersFuncs(f) =>
-      historyExtS(c, spp) + hwBootstrapS(args)
+      historyExtS(c, spp, fromS, untilS) + hwBootstrapS(args)
     case Call("timeShift", Seq(c), args) =>
-      historyExtS(c, spp) + shiftS(args.head)
+      historyExtS(c, spp, fromS, untilS) + shiftS(args.head)
     case Call("timeStack", Seq(c), args) =>
       // deepest copy: shiftEnd × unit back in time
-      historyExtS(c, spp) + args(2).toLong * durationS(args.head)
+      historyExtS(c, spp, fromS, untilS) + args(2).toLong * durationS(args.head)
+    case Call("linearRegression", Seq(c), args)
+        if args.nonEmpty && untilS > 0 =>
+      // startSourceAt may reach back before the display window: extend
+      // the leaf scan so the fit's source points exist in the frame
+      // (request times are threaded only from [[evaluate]]; the
+      // time-less overload specs use cannot — and need not — see this)
+      val src = AtTime.parse(unquote(args.head), untilS)
+      historyExtS(c, spp, fromS, untilS) + Math.max(0L, fromS - src)
     case Call("applyByNode", cs, args) =>
       // the template may carry its own history need (a movingAverage
       // inside it); probe it with the widened wildcard prefix
-      (cs.map(historyExtS(_, spp)) :+
+      (cs.map(historyExtS(_, spp, fromS, untilS)) :+
         historyExtS(parse(applyTemplate(args).replace("%",
-          Seq.fill(args.head.toInt + 1)("*").mkString("."))), spp)).max
-    case Call(_, cs, _) => cs.map(historyExtS(_, spp)).max
+          Seq.fill(args.head.toInt + 1)("*").mkString("."))), spp, fromS, untilS)).max
+    case Call(_, cs, _) => cs.map(historyExtS(_, spp, fromS, untilS)).max
   }
 
   /** Output step of the expression (summarize coarsens it; a combine's
@@ -470,11 +478,19 @@ object RenderTarget {
   private def strictProduct(df: DataFrame, groupCols: Seq[Column],
       metricOut: Column): DataFrame =
     df.groupBy(groupCols: _*)
-      .agg(collect_list(col("value")).as("vs"),
+      // collect (metric, value) structs and SORT before folding:
+      // collect_list order is partition-arrival order, and FP multiply
+      // is not associative — an unsorted fold can flip the 6th decimal
+      // across runs (the hash-determinism rule powSeries already
+      // follows). Member metrics are unique within a group, so the
+      // sort is total.
+      .agg(sort_array(collect_list(struct(col("metric"), col("value"))))
+          .as("vs"),
         count(col("value")).as("kn"), count(lit(1)).as("tot"))
       .select(metricOut.as("metric"), col("bucket_ts"),
         when(col("kn") === col("tot"),
-          round(aggregate(col("vs"), lit(1.0), (acc, x) => acc * x), 6))
+          round(aggregate(col("vs"), lit(1.0),
+            (acc, x) => acc * x.getField("value")), 6))
           .as("value"))
 
   /** A window argument that is either an integer POINT COUNT or a
@@ -620,7 +636,7 @@ object RenderTarget {
     val expr0 = parse(target)
     val fromI = Buckets.fetchInterval(fromS, spp)
     val untilI = Buckets.fetchInterval(untilS, spp)
-    val extFromI = fromI - historyExtS(expr0, spp)
+    val extFromI = fromI - historyExtS(expr0, spp, fromS, untilS)
 
     // ONE base-table pass shared by every leaf: filter by the UNION of
     // the leaf regexes, aggregate to (metric, bucket) once, and let each
@@ -645,20 +661,20 @@ object RenderTarget {
     }
 
     // Per-leaf selection over [[sharedAgg]]. Multi-glob targets wrap the
-    // regex in an optimizer fence: a plain `rlike` predicate gets pushed
-    // back down through the shared aggregate to the scan, the leaf
-    // subtrees stop being canonically identical, and exchange reuse
-    // cannot dedupe them (observed: 2 scans per leaf). The fence is a
-    // single nondeterministic CASE WHEN whose guard is vacuously true
-    // but not provably so (`rand() < length(metric)+2`; rand ∈ [0,1)) —
-    // unsplittable, unfoldable, so the predicate stays ABOVE the
-    // aggregate and every leaf reuses one scan + one shuffle
-    // (PlanSpec pins the ReusedExchange). Single-glob targets keep the
-    // fully-pushed plan: there is nothing to share.
+    // regex in [[graft.functions.OptimizerFence]]: a plain `rlike`
+    // predicate gets pushed back down through the shared aggregate to
+    // the scan, the leaf subtrees stop being canonically identical, and
+    // exchange reuse cannot dedupe them (observed: 2 scans per leaf).
+    // The fence is an identity expression flagged non-deterministic —
+    // the one property pushdown rules respect contractually — so the
+    // predicate stays ABOVE the aggregate and every leaf reuses one
+    // scan + one shuffle (PlanSpec pins the ReusedExchange, and pins
+    // the plan rand()-free). Single-glob targets keep the fully-pushed
+    // plan: there is nothing to share.
     def leafSelect(rx: String): DataFrame =
       if (leafRx.size < 2) sharedAgg.filter(col("metric").rlike(rx))
       else sharedAgg.filter(
-        when(rand() < length(col("metric")) + lit(2), col("metric").rlike(rx)))
+        graft.functions.OptimizerFence.fence(col("metric").rlike(rx)))
 
     // (dense series frame, step): every bucket of the node's grid has a
     // row; gaps are NULL values — graphite's None
@@ -1579,28 +1595,45 @@ object RenderTarget {
           .filter(col("bucket_ts") < untilI), step)
       // ------------------------------- graphite 1.1 umbrella forms:
       case Call("aggregate", Seq(c), args) =>
-        // the 1.1 canonical combine: aggregate(list, 'func'). The named
-        // aggregators run as one per-bucket aggregate; 'multiply' and
-        // 'diff' reuse the strict-fold / signed-sum shapes of their
-        // dedicated twins (no product aggregate in Spark; diff is
-        // first-by-name minus the rest).
+        // the 1.1 canonical combine: aggregate(list, 'func'[, xff]).
+        // The named aggregators run as one per-bucket aggregate;
+        // 'multiply' and 'diff' reuse the strict-fold / signed-sum
+        // shapes of their dedicated twins (no product aggregate in
+        // Spark; diff is first-by-name minus the rest). The optional
+        // xFilesFactor gates each bucket on its known-member fraction;
+        // the strict/signed shapes have no known-values form to gate,
+        // so a non-default xff there is rejected loudly rather than
+        // silently ignored (ADVICE r9).
         val func = args.head
+        val xff = args.lift(1).map(a => unquote(a).toDouble).getOrElse(0.0)
         val (df, step) = eval(c)
         func match {
-          case "multiply" =>
-            (strictProduct(df, Seq(col("bucket_ts")), lit("multiplySeries")),
-              step)
-          case "diff" =>
-            // the dense frame carries every metric in every bucket, so
-            // the per-bucket name-minimum IS the list head
-            val wb = Window.partitionBy(col("bucket_ts"))
-            val signed = df.withColumn("value",
-              when(col("metric") === min(col("metric")).over(wb), col("value"))
-                .otherwise(-col("value")))
-            (signed.groupBy(col("bucket_ts"))
-              .agg(round(sum(col("value")), 6).as("value"))
-              .select(lit("diffSeries").as("metric"), col("bucket_ts"),
-                col("value")), step)
+          case "multiply" | "diff" =>
+            require(xff <= 0.0,
+              s"aggregate('$func') does not support xFilesFactor: the " +
+                "strict fold has no known-values form to gate")
+            if (func == "multiply")
+              (strictProduct(df, Seq(col("bucket_ts")), lit("multiplySeries")),
+                step)
+            else {
+              // the dense frame carries every metric in every bucket, so
+              // the per-bucket name-minimum IS the list head
+              val wb = Window.partitionBy(col("bucket_ts"))
+              val signed = df.withColumn("value",
+                when(col("metric") === min(col("metric")).over(wb), col("value"))
+                  .otherwise(-col("value")))
+              (signed.groupBy(col("bucket_ts"))
+                .agg(round(sum(col("value")), 6).as("value"))
+                .select(lit("diffSeries").as("metric"), col("bucket_ts"),
+                  col("value")), step)
+            }
+          case _ if xff > 0.0 =>
+            (df.groupBy(col("bucket_ts"))
+              .agg(round(summarizeAgg(func, col("value")), 6).as("cv"),
+                count(col("value")).as("kn"), count(lit(1)).as("tot"))
+              .select(lit(s"${func}Series").as("metric"), col("bucket_ts"),
+                when(col("kn").cast("double") >= col("tot") * xff, col("cv"))
+                  .as("value")), step)
           case _ =>
             (df.groupBy(col("bucket_ts"))
               .agg(round(summarizeAgg(func, col("value")), 6).as("value"))
@@ -1718,19 +1751,32 @@ object RenderTarget {
         }
         (j.select(concat(lit(s"$name("), col("m_a"), lit(","), col("m_b"),
           lit(")")).as("metric"), col("bucket_ts"), v.as("value")), stepA)
-      case Call("linearRegression", Seq(c), _) =>
-        // per-series least-squares fit over the requested window,
-        // served as the fitted line on the same grid: OLS is algebraic,
-        // so two aggregates (slope, intercept) per series broadcast
-        // back — no sequential pass
-        // the regressor is CENTERED at the window start: algebraically
-        // identical, but epoch-second x-values (~1.7e9) would cancel
-        // catastrophically in the intercept and make the 6-decimal
-        // result engine-dependent
+      case Call("linearRegression", Seq(c), args) =>
+        // per-series least-squares fit over the SOURCE window, served
+        // as the fitted line on the request grid: OLS is algebraic, so
+        // two aggregates (slope, intercept) per series broadcast back —
+        // no sequential pass. The source window defaults to the display
+        // window; graphite's optional startSourceAt/endSourceAt (full
+        // attime strings vs the request `until`) move it — e.g. fit on
+        // last week, project this week. [[historyExtS]] extended the
+        // leaf scan when the source reaches back before `from`, so the
+        // child grid carries the source points.
+        // the regressor is CENTERED at the source-window start:
+        // algebraically identical, but epoch-second x-values (~1.7e9)
+        // would cancel catastrophically in the intercept and make the
+        // 6-decimal result engine-dependent
         val (df, step) = eval(c)
-        val lo = Math.floorDiv(fromI, step) * step
+        val lo = args.lift(0).map(unquote).filter(_.nonEmpty)
+          .map(t => Math.floorDiv(AtTime.parse(t, untilS), step) * step)
+          .getOrElse(Math.floorDiv(fromI, step) * step)
+        val hi = args.lift(1).map(unquote).filter(_.nonEmpty)
+          .map(t => Math.floorDiv(AtTime.parse(t, untilS), step) * step + step)
+          .getOrElse(untilI)
+        require(lo < hi,
+          s"linearRegression: empty source window [$lo, $hi)")
         val x = col("bucket_ts") - lit(lo)
-        val fit = broadcast(df.filter(col("bucket_ts") >= lo)
+        val fit = broadcast(df
+          .filter(col("bucket_ts") >= lo && col("bucket_ts") < hi)
           .groupBy(col("metric"))
           .agg(regr_slope(col("value"), x).as("beta"),
             regr_intercept(col("value"), x).as("alpha")))
@@ -1901,8 +1947,13 @@ object RenderTarget {
         // fetch latency for the busy ones). The rewrite happens IN-PLAN
         // (regexp_replace on the qualifying-name frame, broadcast semi
         // join back into the shared aggregate) — no driver collect.
-        // Search/replace must be node-literal so the pre-scan glob
-        // rewrite in [[leafGlobs]] covers the rewritten names.
+        // Search/replace are applied as LITERAL substrings (Pattern
+        // .quote / quoteReplacement), because the pre-scan glob rewrite
+        // in [[leafGlobs]] substitutes them literally — the two sides
+        // MUST agree or the shared scan misses the rewritten names and
+        // the result is silently empty. Documented deviation: graphite
+        // re.sub's regex semantics are not honored; the overwhelmingly
+        // common dotted-name search ('req.count') is literal in both.
         val Seq(thrS, search, replace) = args.take(3).map(unquote)
         val thr = thrS.toDouble
         val (df, step) = eval(c)
@@ -1910,7 +1961,9 @@ object RenderTarget {
         val rewritten = df.filter(col("bucket_ts") >= lo)
           .groupBy(col("metric")).agg(max(col("value")).as("max_v"))
           .filter(col("max_v") > thr)
-          .select(regexp_replace(col("metric"), search, replace).as("metric"))
+          .select(regexp_replace(col("metric"),
+            java.util.regex.Pattern.quote(search),
+            java.util.regex.Matcher.quoteReplacement(replace)).as("metric"))
         val agg2 = sharedAgg
           .join(broadcast(rewritten), Seq("metric"), "left_semi")
         val metrics = agg2.select(col("metric")).distinct()

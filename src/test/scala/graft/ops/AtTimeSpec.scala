@@ -68,10 +68,103 @@ class AtTimeSpec extends AnyFunSuite {
     assert(p("01/31/24") == p("01/31/2024"))
   }
 
+  test("am/pm time-of-day forms (graphite 1.1 attime)") {
+    assert(p("8am") == Midnight + 8 * 3600)
+    assert(p("8pm") == Midnight + 20 * 3600)
+    assert(p("11am") == Midnight + 11 * 3600)
+    assert(p("8:30pm") == Midnight + 20 * 3600 + 30 * 60)
+    assert(p("9:15am") == Midnight + 9 * 3600 + 15 * 60)
+    // attime's literal (hour+12)%24 arithmetic: 12pm wraps to 00:00 and
+    // 12:30am stays 12:30 — bug-compatible on purpose
+    assert(p("12pm") == Midnight)
+    assert(p("12:30am") == Midnight + 12 * 3600 + 30 * 60)
+    // time-of-day composes with day references
+    assert(p("8am yesterday") == Midnight - 86400 + 8 * 3600)
+    assert(p("8pm monday") == Midnight - 2 * 86400 + 20 * 3600)
+  }
+
+  test("month-name dates (day required, current year, no year slot)") {
+    val jan8 = Midnight - 23 * 86400 // 2024-01-08 00:00Z
+    assert(p("jan8") == jan8)
+    assert(p("january 8") == jan8)
+    assert(p("8am jan 8") == jan8 + 8 * 3600)
+    assert(p("december25") == p("12/25/24"))
+    assert(p("jan 31") == Midnight)
+    intercept[IllegalArgumentException](p("jan"))      // day required
+    intercept[IllegalArgumentException](p("janx8"))    // typo'd month
+  }
+
+  test("8-digit epoch falls back when the date shape is invalid") {
+    // attime: only year>1900 / month<13 / day<32 reads as YYYYMMDD
+    assert(p("99999999") == 99999999L)  // month 99 → epoch seconds
+    assert(p("19000101") == 19000101L)  // year 1900 not > 1900 → epoch
+    assert(p("20240131") == Midnight)   // valid shape stays a date
+  }
+
   test("malformed strings fail loudly") {
     intercept[IllegalArgumentException](p("lastfullmoon"))
     intercept[IllegalArgumentException](p("now+"))
     intercept[IllegalArgumentException](p("now-1fortnight"))
+    // previously MatchErrors (ADVICE r9): arity/shape violations now
+    // throw the grammar's IllegalArgumentException
+    intercept[IllegalArgumentException](p("16:"))
+    intercept[IllegalArgumentException](p("1/2"))
+    intercept[IllegalArgumentException](p("1/2/3/4"))
+    intercept[IllegalArgumentException](p("25:00"))
+    intercept[IllegalArgumentException](p("12:75"))
+  }
+
+  // --- timezone threading (graphite's &tz=): references resolve in the
+  // request zone, results stay epoch seconds ---
+
+  private val Eastern = java.time.ZoneId.of("US/Eastern")
+  private def pz(s: String, now: Long = Now) = AtTime.parse(s, now, Eastern)
+
+  test("tz: midnight resolves in the caller's zone") {
+    // Now = 2024-01-31T12:30Z = 07:30 EST same day → Eastern midnight
+    // is 2024-01-31T00:00-05:00 = 05:00Z
+    assert(pz("midnight") == Midnight + 5 * 3600)
+    // At 2024-01-31T00:00Z it is still 19:00 of Jan 30 in EST: the
+    // user's midnight is 19h earlier, not 24 or 5 — the exact window a
+    // non-tz resolver gets wrong (and the fetch_relative_tz oracle)
+    assert(pz("midnight", Midnight) == Midnight - 68400)
+    assert(pz("yesterday", Midnight) == Midnight - 68400 - 86400)
+    assert(pz("09:15", Midnight) == Midnight - 68400 + 9 * 3600 + 15 * 60)
+    assert(pz("01/30/24", Midnight) == Midnight - 68400)
+    assert(pz("20240130", Midnight) == Midnight - 68400)
+    // UTC default unchanged
+    assert(p("midnight") == Midnight)
+  }
+
+  test("tz: DST spring-forward day (US/Eastern 2024-03-10)") {
+    val mar10utc = 1710028800L            // 2024-03-10T00:00:00Z
+    val now = mar10utc + 18 * 3600        // 14:00 EDT, after the jump
+    // midnight is still EST (UTC-5); the next midnight is EDT (UTC-4):
+    // the calendar day is 23 real hours long
+    val mid = AtTime.parse("midnight", now, Eastern)
+    val tom = AtTime.parse("tomorrow", now, Eastern)
+    assert(mid == mar10utc + 5 * 3600)
+    assert(tom == mar10utc + 86400 + 4 * 3600)
+    assert(tom - mid == 82800)            // 23h day
+    // offsets are plain seconds (aware-datetime + timedelta, attime's
+    // arithmetic): midnight+1d lands one REAL day later ≠ tomorrow
+    assert(AtTime.parse("midnight+1d", now, Eastern) == mid + 86400)
+    assert(AtTime.parse("midnight+1d", now, Eastern) != tom)
+    // 02:30 does not exist on this day; java.time shifts forward by
+    // the gap → 03:30 EDT
+    assert(AtTime.parse("2:30am", now, Eastern) == mar10utc + 7 * 3600 + 1800)
+  }
+
+  test("tz: DST fall-back day picks the earlier offset (2024-11-03)") {
+    val nov3utc = 1730592000L             // 2024-11-03T00:00:00Z
+    val now = nov3utc + 18 * 3600
+    // 01:30 occurs twice; java.time resolves the overlap to the
+    // EARLIER offset (EDT, -04:00) = 05:30Z
+    assert(AtTime.parse("1:30am", now, Eastern) == nov3utc + 5 * 3600 + 1800)
+    // and the day is 25 real hours long
+    val mid = AtTime.parse("midnight", now, Eastern)
+    val tom = AtTime.parse("tomorrow", now, Eastern)
+    assert(tom - mid == 90000)
   }
 
   test("offset arithmetic is exact for any magnitude and unit") {

@@ -29,6 +29,7 @@ class PlanSpec extends AnyFunSuite {
     // range filter into an expression on unix_timestamp(ts) — correct
     // answers, full-table scans. This test is the tripwire.
     for (q <- Seq(Fetch.fetchDenseSeries(spark, dir),
+                  Fetch.fetchRelativeTz(spark, dir),
                   CoreQueries.fetchRangeFilter(spark, dir))) {
       val p = plan(q)
       assert(p.contains("PushedFilters") &&
@@ -106,6 +107,9 @@ class PlanSpec extends AnyFunSuite {
     assert(scans == 1 || p.contains("ReusedExchange") ||
       p.contains("ReusedQueryStage"),
       s"each leaf still scans the base table:\n$p")
+    // the fence is the explicit OptimizerFence expression, not the old
+    // vacuous rand() guard a smarter optimizer could prove away
+    assert(!p.contains("rand("), s"rand()-based fence resurfaced:\n$p")
   }
 
   test("applyByNode prefix subtrees reuse the shared scan at runtime") {

@@ -36,8 +36,8 @@ class CarbonSpec extends AnyFunSuite {
       ("servers.web2.load", 999L, 7.0)))
   }
 
-  test("malformed lines drop and are counted") {
-    val (pts, dropped) = Carbon.parsedStats(lines(
+  test("malformed lines drop and are counted in a single observed pass") {
+    val (pts, obs) = Carbon.parsedObserved(lines(
       "a.b 1.0 1706659200",
       "only.two.fields 42",            // missing ts
       "a.b not_a_number 1706659200",   // bad value
@@ -45,8 +45,12 @@ class CarbonSpec extends AnyFunSuite {
       "   ",                           // blank — not counted as a line
       "a.b 3.0 1706659260 extra"),     // four fields
       nowS = 0L)
+    // the caller's own action populates the metrics — no extra scan
     assert(pts.count() == 1)
-    assert(dropped == 4)
+    assert(obs.get("dropped") == 4L)
+    assert(obs.get("accepted") == 1L)
+    // the observed frame parses identically to the plain parse path
+    assert(pts.columns.toSeq == Seq("metric", "ts_s", "value"))
   }
 
   test("parse ∘ format is the identity, including hostile doubles") {

@@ -94,6 +94,30 @@ object Bench {
         }
         (name, times.sorted.apply(Runs / 2), times.head)
       }
+    // regression tripwire: diff per-key medians against the newest saved
+    // BENCH_r*.json in the cwd (the driver's previous-round artifact), so
+    // rig-noise vs real regression is visible without a judge re-run.
+    // The saved file's tail may be TRUNCATED mid-map (the driver keeps
+    // only the end of stdout) — parse whatever pairs survive, best-effort.
+    val prevBench: Map[String, Double] = try {
+      val files = Option(new java.io.File(".").listFiles()).getOrElse(Array())
+        .filter(_.getName.matches("BENCH_r\\d+\\.json"))
+        .sortBy(f => f.getName.replaceAll("\\D", "").toInt)
+      files.lastOption.map { f =>
+        val txt = new String(java.nio.file.Files.readAllBytes(f.toPath))
+        val block = txt.indexOf("\"queries\":{") match {
+          case -1 => ""
+          case i => txt.substring(i + 11).takeWhile(_ != '}')
+        }
+        "\"([A-Za-z0-9_]+)\":([0-9.Ee+-]+)".r.findAllMatchIn(block)
+          .map(m => m.group(1) -> m.group(2).toDouble).toMap
+      }.getOrElse(Map.empty)
+    } catch { case _: Throwable => Map.empty }
+    val slower = results.flatMap { case (k, med, _) =>
+      // 0.2 s floor: sub-noise keys flap on scheduler jitter, not plans
+      prevBench.get(k).filter(p => p >= 0.2 && med > p * 1.5)
+        .map(p => (k, p, med))
+    }
     def json(xs: Seq[(String, Double)]): String =
       xs.map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
     val qs = json(results.map(r => (r._1, r._2)))
@@ -102,6 +126,12 @@ object Bench {
     val totalCold = results.map(_._3).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","runs":$Runs,""" +
       s""""queries":$qs,"queries_cold":$cold,"sf":"$sfDir"}""")
+    // between the big map and the final summary so it survives the
+    // driver's keep-the-tail stdout truncation
+    if (slower.nonEmpty)
+      println(slower.map { case (k, p, n) =>
+        f""""$k":{"prev":$p%.2f,"now":$n%.2f}""" }
+        .mkString("""{"metric":"slower_than_prev_round","keys":{""", ",", "}}"))
     // short summary LAST: the driver keeps only the tail of stdout, so the
     // big per-key line above can lose its own headline to truncation
     // (BENCH_r07.json did). total = sum of per-key medians (steady-state);

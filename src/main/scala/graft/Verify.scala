@@ -2,7 +2,17 @@ package graft
 import org.apache.spark.sql.SparkSession
 import java.nio.file.{Files, Paths}
 /** Driver-run correctness dump: each SparkEntry.queries result → parquet,
-  * plus oracle_sql.json, for the driver's DuckDB compare. */
+  * plus oracle_sql.json, for the driver's DuckDB compare.
+  *
+  * Float determinism (SURVEY §2.0 r6): every query rounds doubles to 6
+  * decimals at the output edge, and at the driver's sf0.01 the hashes
+  * match exactly. At sf>=0.1 the avg family can differ from DuckDB by
+  * 1 ulp BEFORE that round (different summation order over 10x the
+  * addends) and flip the 6th decimal at an exact .5 boundary — a
+  * rounding-edge artifact, not a semantic divergence. tools/
+  * check_oracle.py carries the diagnostic fallback (value-equal within
+  * 1e-6 reports `OK~`), so a future driver bump to sf0.1 can be triaged
+  * as edge-vs-real in one local run. */
 object Verify {
   def main(args: Array[String]): Unit = {
     // args: <sfDir> <outDir> [key ...] — extra args restrict the dump to

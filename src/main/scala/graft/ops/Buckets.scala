@@ -107,12 +107,17 @@ object Buckets {
     * [[tsSOf]] handles both encodings; the conf stays set so a nanos
     * regeneration keeps working unchanged.
     */
-  def points(spark: SparkSession, sfDir: String): DataFrame = {
-    // set-once guard: avoid rewriting session conf on every call (a
-    // surprise for shared sessions that watch conf-change events)
+  /** Set-once guard for the nanos-compat read conf: avoid rewriting
+    * session conf on every call (a surprise for shared sessions that
+    * watch conf-change events; hosts can pre-set it at session build).
+    */
+  private[ops] def ensureNanosConf(spark: SparkSession): Unit =
     if (spark.conf.getOption("spark.sql.legacy.parquet.nanosAsLong")
           .forall(_ != "true"))
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+
+  def points(spark: SparkSession, sfDir: String): DataFrame = {
+    ensureNanosConf(spark)
     val raw = spark.read.parquet(s"$sfDir/events.parquet")
     raw.select(col("event_type").as("metric"),
       tsSOf(raw.schema("ts").dataType).as("ts_s"), col("value"))
@@ -125,7 +130,7 @@ object Buckets {
     */
   def pointsInRange(spark: SparkSession, sfDir: String,
       fromS: Long, untilS: Long): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    ensureNanosConf(spark)
     val raw = spark.read.parquet(s"$sfDir/events.parquet")
     val dt = raw.schema("ts").dataType
     raw.filter(tsRange(dt, fromS, untilS))
@@ -139,9 +144,7 @@ object Buckets {
     * oracle SQL applies to them verbatim.
     */
   def pointsStream(spark: SparkSession, sfDir: String): DataFrame = {
-    if (spark.conf.getOption("spark.sql.legacy.parquet.nanosAsLong")
-          .forall(_ != "true"))
-      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    ensureNanosConf(spark)
     val path = s"$sfDir/events.parquet"
     val probe = spark.read.parquet(path)
     val tsS = tsSOf(probe.schema("ts").dataType)
@@ -168,7 +171,7 @@ object Buckets {
     */
   def pointsPathedInRange(spark: SparkSession, sfDir: String,
       fromS: Long, untilS: Long): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    ensureNanosConf(spark)
     val raw = spark.read.parquet(s"$sfDir/events.parquet")
     val dt = raw.schema("ts").dataType
     raw.filter(tsRange(dt, fromS, untilS))
@@ -198,7 +201,7 @@ object Buckets {
     */
   def pointsTaggedInRange(spark: SparkSession, sfDir: String,
       fromS: Long, untilS: Long): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    ensureNanosConf(spark)
     val raw = spark.read.parquet(s"$sfDir/events.parquet")
     val dt = raw.schema("ts").dataType
     raw.filter(tsRange(dt, fromS, untilS))

@@ -43,7 +43,7 @@ object CoreQueries {
     * per-row projection; pushes column pruning to the scan.
     */
   def scanPropsJson(s: SparkSession, dir: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    Buckets.ensureNanosConf(s)
     s.read.parquet(s"$dir/events.parquet")
       .select(col("event_id"),
         get_json_object(col("props"), "$.k").cast("long").as("k"))
@@ -382,6 +382,8 @@ object CoreQueries {
     "render_target_trim" -> ((s, d) => RenderTarget.renderTargetTrim(s, d)),
     "render_target_stdev" -> ((s, d) => RenderTarget.renderTargetStdev(s, d)),
     "render_target_constant" -> ((s, d) => RenderTarget.renderTargetConstant(s, d)),
+    "render_target_gen" -> ((s, d) => RenderTarget.renderTargetGen(s, d)),
+    "render_target_events" -> ((s, d) => RenderTarget.renderTargetEvents(s, d)),
     "render_target_consolidate" -> ((s, d) => RenderTarget.renderTargetConsolidate(s, d)),
     "render_target_diff" -> ((s, d) => RenderTarget.renderTargetDiff(s, d)),
     "render_target_math" -> ((s, d) => RenderTarget.renderTargetMath(s, d)),
@@ -474,6 +476,8 @@ object CoreQueries {
     "render_target_trim" -> RenderTarget.renderTargetTrimSql,
     "render_target_stdev" -> RenderTarget.renderTargetStdevSql,
     "render_target_constant" -> RenderTarget.renderTargetConstantSql,
+    "render_target_gen" -> RenderTarget.renderTargetGenSql,
+    "render_target_events" -> RenderTarget.renderTargetEventsSql,
     "render_target_consolidate" -> RenderTarget.renderTargetConsolidateSql,
     "render_target_diff" -> RenderTarget.renderTargetDiffSql,
     "render_target_math" -> RenderTarget.renderTargetMathSql,

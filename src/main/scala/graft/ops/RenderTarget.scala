@@ -131,7 +131,8 @@ object RenderTarget {
     "aggregateLine", "threshold", "fallbackSeries",
     "removeBetweenPercentile", "mapSeries", "reduceSeries",
     "applyByNode", "useSeriesAbove", "powSeries", "logit",
-    "time", "sin") ++
+    "time", "sin",
+    "randomWalk", "randomWalkFunction", "events") ++
     HoltWintersFuncs ++ PresentationFuncs
 
   /** Parse a target string. Globs may contain commas only inside
@@ -285,6 +286,9 @@ object RenderTarget {
     // nothing a glob-pruning source (or the shared-scan regex union)
     // can use
     case Call("seriesByTag", _, _) => Nil
+    // events counts from the raw point stream with its own pushed
+    // filter — its tag strings are not globs for the shared scan
+    case Call("events", _, _) => Nil
     // applyByNode evaluates its TEMPLATE once per node-prefix: the
     // scan must cover every metric the template can reach, so its
     // globs join the union with `%` widened to an any-prefix wildcard
@@ -1285,6 +1289,52 @@ object RenderTarget {
         (spark.range(fromI, untilI, stepArg).toDF("bucket_ts")
           .select(lit(unquote(name)).as("metric"), col("bucket_ts"),
             round(sin(col("bucket_ts")) * amp, 6).as("value")), stepArg)
+      case Call("randomWalk" | "randomWalkFunction", Seq(Leaf(name)), args) =>
+        // graphite's random walk (value₀ = 0; valueᵢ₊₁ = valueᵢ +
+        // U[−0.5, 0.5)) made DETERMINISTIC: graphite draws from the
+        // wall-clock-seeded global PRNG, which would break the engine's
+        // hash-stable render contract, so the uniform source is a
+        // seeded double Lehmer hash of the bucket index
+        // (x → 48271·x mod (2³¹−1), applied twice — 63-bit-safe integer
+        // arithmetic, exactly reproducible in ANSI SQL). Documented
+        // deviation; optional extra arg `seed` (default 0) picks the
+        // walk.
+        val stepArg = args.headOption.map(_.toLong).getOrElse(60L)
+        val seed = args.lift(1).map(_.toLong).getOrElse(0L)
+        val m = 2147483647L
+        val i = expr(s"(bucket_ts - $fromI) div $stepArg")
+        val h1 = (lit(48271L) * ((lit(seed) + i) % m)) % m
+        val h2 = (lit(48271L) * h1) % m
+        val w = Window.partitionBy(col("metric")).orderBy(col("bucket_ts"))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        (spark.range(fromI, untilI, stepArg).toDF("bucket_ts")
+          .select(lit(unquote(name)).as("metric"), col("bucket_ts"),
+            (h2.cast("double") / m - 0.5).as("inc"))
+          .select(col("metric"), col("bucket_ts"),
+            round(coalesce(sum(col("inc")).over(w), lit(0.0)), 6)
+              .as("value")), stepArg)
+      case Call("events", cs, args) =>
+        // graphite's events(*tags): matching events on the request
+        // grid. Under the engine's §1.3 mapping (metric := event_type)
+        // an event's "tag" is its type; no tags (or '*') = all events.
+        // graphite renders raw event timestamps for drawAsInfinite —
+        // the grid-shaped analog is the per-bucket event COUNT (zeros
+        // where quiet, a count never has gaps); documented deviation.
+        // Counts need the raw point stream, not the shared per-bucket
+        // AVG — a second scan, but tag + time predicates push down and
+        // [[leafGlobs]] keeps these tags out of the shared-scan regex.
+        val tags = (cs.collect { case Leaf(n) => unquote(n) }
+          .filter(t => t.nonEmpty && t != "*") ++ args.map(unquote))
+        val name = s"events(${tags.mkString(",")})"
+        val sel = if (tags.isEmpty) lit(true) else col("metric").isin(tags: _*)
+        val cnt = pts
+          .filter(sel && col("ts_s") >= fromI && col("ts_s") < untilI)
+          .groupBy(Buckets.alignTs(col("ts_s"), spp).as("bucket_ts"))
+          .agg(count(lit(1)).cast("double").as("cnt"))
+        (spark.range(fromI, untilI, spp.toLong).toDF("bucket_ts")
+          .join(cnt, Seq("bucket_ts"), "left")
+          .select(lit(name).as("metric"), col("bucket_ts"),
+            coalesce(col("cnt"), lit(0.0)).as("value")), spp.toLong)
       case Call("smartSummarize", Seq(c), args) =>
         // summarize anchored at the request start — sugar for
         // summarize(…, alignToFrom=true)
@@ -2745,6 +2795,58 @@ object RenderTarget {
        |       42.5 AS value
        |FROM range($stdFromI, $stdUntilI, 60)
        |ORDER BY bucket_ts""".stripMargin
+
+  /** `render_target_gen`: the seeded deterministic random walk —
+    * `randomWalk(name, step, seed)` with the double-Lehmer-hash uniform
+    * source (see the eval case: graphite's wall-clock PRNG replaced by
+    * seedable integer arithmetic both engines reproduce exactly).
+    */
+  val TargetExprGen = "randomWalk('gen.walk', 60, 7)"
+
+  def renderTargetGen(spark: SparkSession, sfDir: String): DataFrame =
+    evalFlat(spark, sfDir, TargetExprGen)
+
+  val renderTargetGenSql: String =
+    s"""WITH grid AS (
+       |  SELECT CAST(range AS BIGINT) AS bucket_ts
+       |  FROM range($stdFromI, $stdUntilI, 60)),
+       |inc AS (
+       |  SELECT bucket_ts,
+       |    (48271 * ((48271 * ((7 + (bucket_ts - $stdFromI) // 60)
+       |      % 2147483647)) % 2147483647)) % 2147483647 AS h
+       |  FROM grid)
+       |SELECT 'gen.walk' AS metric, bucket_ts,
+       |  round(coalesce(sum(h / 2147483647.0 - 0.5) OVER (
+       |    ORDER BY bucket_ts
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0), 6)
+       |    AS value
+       |FROM inc
+       |ORDER BY bucket_ts""".stripMargin
+
+  /** `render_target_events`: graphite's `events(*tags)` as the
+    * per-bucket count of matching events on the request grid (tags
+    * select event types under the §1.3 metric := event_type mapping).
+    */
+  val TargetExprEvents = "events('view', 'click')"
+
+  def renderTargetEvents(spark: SparkSession, sfDir: String): DataFrame =
+    evalFlat(spark, sfDir, TargetExprEvents)
+
+  val renderTargetEventsSql: String =
+    s"""WITH ${Buckets.pointsSql},
+       |cnt AS (
+       |  SELECT (ts_s // 60) * 60 AS bucket_ts,
+       |         CAST(count(*) AS DOUBLE) AS cnt
+       |  FROM pts
+       |  WHERE metric IN ('view', 'click')
+       |    AND ts_s >= $stdFromI AND ts_s < $stdUntilI
+       |  GROUP BY 1),
+       |spine AS (SELECT CAST(range AS BIGINT) AS bucket_ts
+       |          FROM range($stdFromI, $stdUntilI, 60))
+       |SELECT 'events(view,click)' AS metric, s.bucket_ts,
+       |       coalesce(c.cnt, 0) AS value
+       |FROM spine s LEFT JOIN cnt c USING (bucket_ts)
+       |ORDER BY s.bucket_ts""".stripMargin
 
   /** `render_target_consolidate`: the render-frame cap —
     * `consolidateBy(xFilesFactor(glob, 0.3), 'max')` consolidated to

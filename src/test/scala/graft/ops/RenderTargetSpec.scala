@@ -706,6 +706,38 @@ class RenderTargetSpec extends AnyFunSuite {
     assert(ts == Seq(Some(5.0), Some(7.0), None, None))
   }
 
+  test("linearRegression startSourceAt/endSourceAt: the fit ignores data outside the source window") {
+    val rows = (for (i <- 1 to 4) yield ("m.a", i * 60L + 5, 3.0 + 2.0 * i)) :+
+      ("m.a", 305L, 100.0) // outlier AFTER the source window
+    val p = pts(rows: _*)
+    // source = buckets 60..240 (a perfect slope-2 line): the fit must
+    // exclude the bucket-300 outlier and project 13, 15 past it
+    val lr = RenderTarget.evaluate(spark, p,
+      "linearRegression(m.a, '0', '240')", 0L, 360L, 60)
+      .collect().map(_.getDouble(2)).toSeq
+    assert(lr == Seq(5.0, 7.0, 9.0, 11.0, 13.0, 15.0))
+    // a source window BEFORE the display window extends the leaf scan
+    // (historyExtS) — fit on the early line, serve only the display grid
+    val proj = RenderTarget.evaluate(spark, p,
+      "linearRegression(m.a, '0', '240')", 240L, 360L, 60)
+      .collect().map(_.getDouble(2)).toSeq
+    assert(proj == Seq(13.0, 15.0))
+  }
+
+  test("aggregate xFilesFactor gates buckets; strict forms reject it") {
+    val p = pts(("m.a", 65L, 10.0), ("m.b", 65L, 4.0), ("m.c", 65L, 1.0),
+      ("m.a", 125L, 6.0), ("m.b", 125L, 2.0)) // m.c absent at 120: 2/3 known
+    def one(t: String) = RenderTarget.evaluate(spark, p, t, 0L, 120L, 60)
+      .collect().map(r => (r.getLong(1), Option(r.get(2)))).sortBy(_._1).toSeq
+    assert(one("aggregate(m.*, 'sum', 0.7)") ==
+      Seq((60L, Some(15.0)), (120L, None)))       // 0.667 < 0.7 → gated
+    assert(one("aggregate(m.*, 'sum', 0.5)") ==
+      Seq((60L, Some(15.0)), (120L, Some(8.0))))  // over known values
+    // the strict fold has no known-values form to gate — fail loudly,
+    // never silently ignore the argument
+    intercept[IllegalArgumentException](one("aggregate(m.*, 'multiply', 0.5)"))
+  }
+
   test("aggregateLine flattens; fallbackSeries switches on emptiness") {
     val p = pts(("m.a", 65L, 2.0), ("m.a", 125L, 4.0))
     val line = RenderTarget.evaluate(spark, p, "aggregateLine(m.a, 'avg')",

@@ -69,6 +69,22 @@ def main():
         if srows == orows:
             print(f"[ OK ] {key}: {len(srows)} rows")
             continue
+        # float-determinism fallback (SURVEY §2.0 r6): at sf>=0.1 the
+        # avg family can differ by 1 ulp BEFORE the 6-decimal round and
+        # flip the rounded digit at an exact .5 boundary. An exact-hash
+        # miss that is value-equal within 1e-6 absolute on floats (and
+        # exact on everything else) is reported OK~ — a rounding-edge
+        # artifact, not a semantic divergence. The driver's own compare
+        # is stricter; this tells us which kind of failure we have.
+        if len(srows) == len(orows) and all(
+                len(s) == len(o) and all(
+                    (isinstance(a, float) and isinstance(b, float)
+                     and abs(a - b) <= 1e-6) or a == b
+                    for a, b in zip(s, o))
+                for s, o in zip(srows, orows)):
+            print(f"[ OK~ ] {key}: {len(srows)} rows equal within 1e-6 "
+                  f"(rounding-edge, not semantic)")
+            continue
         failed.append(key)
         print(f"[FAIL] {key}: rows spark={len(srows)} oracle={len(orows)}")
         for i, (s, o) in enumerate(zip(srows, orows)):

@@ -428,6 +428,29 @@ final class WhisperTable private (
       .select(col("bucket_ts"), col("value"))
       .orderBy("bucket_ts")
   }
+
+  /** Newer go-whisper's `CheckEmpty(from, until)`: does the clamped
+    * range hold NO live points for the metric? An existence probe, not
+    * a fetch — `LIMIT 1` above the pruned level scan, so the read
+    * short-circuits at the first matching row instead of materializing
+    * the dense series (at 100 TB, the difference between touching one
+    * row group and aggregating a window).
+    */
+  def checkEmpty(metric: String, fromS: Long, untilS: Long,
+      nowS: Long): Boolean = {
+    require(fromS <= untilS, "invalid time interval")
+    val from = math.max(fromS, nowS - maxRetention) // F1 clamp, as fetch
+    val until = math.min(untilS, nowS)
+    val archive = Fetch.selectArchive(schema, nowS, from)
+    val spp = archive.secondsPerPoint
+    val fromI = Buckets.fetchInterval(from, spp)
+    val untilI = Buckets.fetchInterval(until, spp)
+    readLevelRange(archive, fromI, untilI)
+      .filter(col("metric") === metric &&
+        col("bucket_ts") >= fromI && col("bucket_ts") < untilI &&
+        col("value").isNotNull)
+      .limit(1).isEmpty
+  }
 }
 
 object WhisperTable {

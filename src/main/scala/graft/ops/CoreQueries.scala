@@ -354,6 +354,7 @@ object CoreQueries {
     "fetch_dense_series" -> ((s, d) => Fetch.fetchDenseSeries(s, d)),
     "fetch_relative" -> ((s, d) => Fetch.fetchRelative(s, d)),
     "fetch_relative_tz" -> ((s, d) => Fetch.fetchRelativeTz(s, d)),
+    "fetch_check_empty" -> ((s, d) => Fetch.fetchCheckEmpty(s, d)),
     "fetch_many" -> ((s, d) => Fetch.fetchMany(s, d)),
     "fetch_glob" -> ((s, d) => Fetch.fetchGlob(s, d)),
     "metrics_find" -> ((s, d) => Fetch.metricsFindRoot(s, d)),
@@ -448,6 +449,7 @@ object CoreQueries {
     "fetch_dense_series" -> Fetch.fetchDenseSeriesSql,
     "fetch_relative" -> Fetch.fetchRelativeSql,
     "fetch_relative_tz" -> Fetch.fetchRelativeTzSql,
+    "fetch_check_empty" -> Fetch.fetchCheckEmptySql,
     "fetch_many" -> Fetch.fetchManySql,
     "fetch_glob" -> Fetch.fetchGlobSql,
     "metrics_find" -> Fetch.metricsFindRootSql,

@@ -161,6 +161,46 @@ object Fetch {
        |ORDER BY s.bucket_ts""".stripMargin
   }
 
+  /** `fetch_check_empty`: newer go-whisper's `CheckEmpty(from, until)`
+    * range-emptiness probe as an oracle-checked key — one row per
+    * probed window with its verdict. Each probe is an EXISTENCE check
+    * (`LIMIT 1` above the pushed time/metric filter), never a fetch:
+    * the scan short-circuits at the first hit. Probes: the populated
+    * standard window, and a window straddling the data's end (empty).
+    */
+  def fetchCheckEmpty(spark: SparkSession, sfDir: String): DataFrame = {
+    val probes = Seq(
+      ("view", Buckets.FromS, Buckets.UntilS),
+      ("view", Buckets.NowS + 86400L, Buckets.NowS + 2 * 86400L))
+    probes.map { case (m, f, u) =>
+      val fromI = Buckets.fetchInterval(f, 60)
+      val untilI = Buckets.fetchInterval(u, 60)
+      Buckets.pointsInRange(spark, sfDir, fromI, untilI)
+        .filter(col("metric") === m)
+        .limit(1)
+        .agg(count(lit(1)).as("n"))
+        .select(lit(m).as("metric"), lit(fromI).as("from_s"),
+          lit(untilI).as("until_s"), (col("n") === 0).as("is_empty"))
+    }.reduce(_ unionAll _).orderBy("from_s")
+  }
+
+  val fetchCheckEmptySql: String = {
+    def one(m: String, f: Long, u: Long): String = {
+      val fromI = Buckets.fetchInterval(f, 60)
+      val untilI = Buckets.fetchInterval(u, 60)
+      s"""SELECT '$m' AS metric, CAST($fromI AS BIGINT) AS from_s,
+         |  CAST($untilI AS BIGINT) AS until_s,
+         |  NOT EXISTS(SELECT 1 FROM pts
+         |             WHERE metric = '$m'
+         |               AND ts_s >= $fromI AND ts_s < $untilI) AS is_empty""".stripMargin
+    }
+    s"""WITH ${Buckets.pointsSql}
+       |${one("view", Buckets.FromS, Buckets.UntilS)}
+       |UNION ALL
+       |${one("view", Buckets.NowS + 86400L, Buckets.NowS + 2 * 86400L)}
+       |ORDER BY from_s""".stripMargin
+  }
+
   /** `fetch_many`: the batched multi-metric fetch ([[graft.WhisperTable
     * .fetchMany]]'s shape as an oracle-checked key) — ONE query returns
     * the dense series of EVERY metric in the window, instead of one

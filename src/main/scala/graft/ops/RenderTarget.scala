@@ -365,36 +365,37 @@ object RenderTarget {
     * the max over children, so every member of a combine sees the
     * deepest requirement's extension.
     */
-  def historyExtS(e: Expr, spp: Int, fromS: Long = 0L, untilS: Long = 0L): Long = e match {
+  def historyExtS(e: Expr, spp: Int, fromS: Long = 0L, untilS: Long = 0L,
+      tz: java.time.ZoneId = java.time.ZoneOffset.UTC): Long = e match {
     case Leaf(_) => 0L
     case Call(f, Seq(c), args) if MovingFuncs(f) =>
-      historyExtS(c, spp, fromS, untilS) + windowPts(args.head, stepS(c, spp)) * stepS(c, spp)
+      historyExtS(c, spp, fromS, untilS, tz) + windowPts(args.head, stepS(c, spp)) * stepS(c, spp)
     case Call("movingWindow", Seq(c), args) =>
-      historyExtS(c, spp, fromS, untilS) + windowPts(args.head, stepS(c, spp)) * stepS(c, spp)
+      historyExtS(c, spp, fromS, untilS, tz) + windowPts(args.head, stepS(c, spp)) * stepS(c, spp)
     case Call("exponentialMovingAverage", Seq(c), args) =>
-      historyExtS(c, spp, fromS, untilS) + windowPts(args.head, stepS(c, spp)) * stepS(c, spp)
+      historyExtS(c, spp, fromS, untilS, tz) + windowPts(args.head, stepS(c, spp)) * stepS(c, spp)
     case Call(f, Seq(c), args) if HoltWintersFuncs(f) =>
-      historyExtS(c, spp, fromS, untilS) + hwBootstrapS(args)
+      historyExtS(c, spp, fromS, untilS, tz) + hwBootstrapS(args)
     case Call("timeShift", Seq(c), args) =>
-      historyExtS(c, spp, fromS, untilS) + shiftS(args.head)
+      historyExtS(c, spp, fromS, untilS, tz) + shiftS(args.head)
     case Call("timeStack", Seq(c), args) =>
       // deepest copy: shiftEnd × unit back in time
-      historyExtS(c, spp, fromS, untilS) + args(2).toLong * durationS(args.head)
+      historyExtS(c, spp, fromS, untilS, tz) + args(2).toLong * durationS(args.head)
     case Call("linearRegression", Seq(c), args)
         if args.nonEmpty && untilS > 0 =>
       // startSourceAt may reach back before the display window: extend
       // the leaf scan so the fit's source points exist in the frame
       // (request times are threaded only from [[evaluate]]; the
       // time-less overload specs use cannot — and need not — see this)
-      val src = AtTime.parse(unquote(args.head), untilS)
-      historyExtS(c, spp, fromS, untilS) + Math.max(0L, fromS - src)
+      val src = AtTime.parse(unquote(args.head), untilS, tz)
+      historyExtS(c, spp, fromS, untilS, tz) + Math.max(0L, fromS - src)
     case Call("applyByNode", cs, args) =>
       // the template may carry its own history need (a movingAverage
       // inside it); probe it with the widened wildcard prefix
-      (cs.map(historyExtS(_, spp, fromS, untilS)) :+
+      (cs.map(historyExtS(_, spp, fromS, untilS, tz)) :+
         historyExtS(parse(applyTemplate(args).replace("%",
-          Seq.fill(args.head.toInt + 1)("*").mkString("."))), spp, fromS, untilS)).max
-    case Call(_, cs, _) => cs.map(historyExtS(_, spp, fromS, untilS)).max
+          Seq.fill(args.head.toInt + 1)("*").mkString("."))), spp, fromS, untilS, tz)).max
+    case Call(_, cs, _) => cs.map(historyExtS(_, spp, fromS, untilS, tz)).max
   }
 
   /** Output step of the expression (summarize coarsens it; a combine's
@@ -635,12 +636,17 @@ object RenderTarget {
       fromS: Long,
       untilS: Long,
       spp: Int,
-      maxDataPoints: Int = 0): DataFrame = {
+      maxDataPoints: Int = 0,
+      // graphite's `&tz=`: in-target attime strings (timeSlice bounds,
+      // linearRegression source window) resolve day-anchored references
+      // in the REQUEST zone, exactly like the from/until facade
+      // ([[AtTime]]). UTC default keeps every existing call unchanged.
+      tz: java.time.ZoneId = java.time.ZoneOffset.UTC): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val expr0 = parse(target)
     val fromI = Buckets.fetchInterval(fromS, spp)
     val untilI = Buckets.fetchInterval(untilS, spp)
-    val extFromI = fromI - historyExtS(expr0, spp, fromS, untilS)
+    val extFromI = fromI - historyExtS(expr0, spp, fromS, untilS, tz)
 
     // ONE base-table pass shared by every leaf: filter by the UNION of
     // the leaf regexes, aggregate to (metric, bucket) once, and let each
@@ -1817,10 +1823,10 @@ object RenderTarget {
         // 6-decimal result engine-dependent
         val (df, step) = eval(c)
         val lo = args.lift(0).map(unquote).filter(_.nonEmpty)
-          .map(t => Math.floorDiv(AtTime.parse(t, untilS), step) * step)
+          .map(t => Math.floorDiv(AtTime.parse(t, untilS, tz), step) * step)
           .getOrElse(Math.floorDiv(fromI, step) * step)
         val hi = args.lift(1).map(unquote).filter(_.nonEmpty)
-          .map(t => Math.floorDiv(AtTime.parse(t, untilS), step) * step + step)
+          .map(t => Math.floorDiv(AtTime.parse(t, untilS, tz), step) * step + step)
           .getOrElse(untilI)
         require(lo < hi,
           s"linearRegression: empty source window [$lo, $hi)")
@@ -1843,7 +1849,7 @@ object RenderTarget {
         val (df, step) = eval(c)
         def bound(a: String, dflt: Long): Long = {
           val t = a.trim
-          if (t.isEmpty) dflt else AtTime.parse(t, untilS)
+          if (t.isEmpty) dflt else AtTime.parse(t, untilS, tz)
         }
         val startT = bound(args.head, fromS)
         val endT = args.lift(1).map(bound(_, untilS)).getOrElse(untilS)

@@ -293,9 +293,25 @@ final class WspScan(
         else walk(qualified)
         dirCache.keysIterator.filterNot(touched).toSeq
           .foreach(dirCache.remove)
+      } else if (Option(qualified.toUri.getScheme).forall(_ == "file")) {
+        // LOCAL filesystem: `listFiles(recursive)` materializes
+        // LocatedFileStatus, whose permission field forks `ls -ld` PER
+        // FILE on RawLocalFileSystem — measured ~14 ms/file, 70 s to
+        // plan a 5,000-file tree (WspScaleSpec caught it). A plain
+        // listStatus walk keeps the status lazy; this planner touches
+        // only path/len/mtime, so the walk is pure stat traffic.
+        def walk(dir: org.apache.hadoop.fs.Path): Unit =
+          fs.listStatus(dir).foreach { st =>
+            if (st.isDirectory) walk(st.getPath)
+            else emit(st.getPath, st.getLen, st.getModificationTime)
+          }
+        val rootSt = fs.getFileStatus(qualified)
+        if (rootSt.isFile)
+          emit(rootSt.getPath, rootSt.getLen, rootSt.getModificationTime)
+        else walk(qualified)
       } else {
-        // default path: ONE flat recursive listing — on object stores
-        // this is a paged prefix LIST and on HDFS a streamed recursive
+        // remote stores: ONE flat recursive listing — on object stores
+        // a paged prefix LIST and on HDFS a streamed recursive
         // getListing, both far cheaper than a per-directory RPC walk
         val it = fs.listFiles(qualified, true)
         while (it.hasNext) {

@@ -184,6 +184,31 @@ object ExplainDump {
         "tiny frame, and the rewritten names semi-join back into the " +
         "shared aggregate as a BroadcastHashJoin — the second 'fetch' " +
         "never rescans, and no name list touches the driver."),
+    "fetch_check_empty" ->
+      ("go-whisper's CheckEmpty range probe: each window is an " +
+        "EXISTENCE check — CollectLimit(1) directly above the pushed " +
+        "time/metric parquet filter, so the scan stops at the first " +
+        "hit (or reads nothing when row-group pruning proves the " +
+        "window empty). Never a dense fetch."),
+    "fetch_relative_tz" ->
+      ("The tz-aware request layer (from=midnight&tz=US/Eastern): the " +
+        "timezone math happens at PARSE time on the driver — the plan " +
+        "is byte-identical to the UTC fetch (pushed ts bounds on the " +
+        "raw column, broadcast spine join), just with the caller-zone " +
+        "window constants. tz support costs the cluster nothing."),
+    "render_target_gen" ->
+      ("The seeded random-walk generator: a pure range() grid, a " +
+        "codegen'd integer-hash projection, and ONE metric-keyed " +
+        "running-sum window — no table scan at all. The window is " +
+        "per-series (single generator series), bounded by the request " +
+        "grid, never a data-volume operator."),
+    "render_target_events" ->
+      ("events(*tags): a per-bucket COUNT from the raw point stream — " +
+        "the one render function that cannot reuse the shared AVG " +
+        "aggregate. Its own scan pushes the ts range and the " +
+        "event-type IN-list to parquet, aggregates map-side, and " +
+        "broadcast-joins the request spine; leafGlobs keeps the tags " +
+        "out of the shared-scan regex so the two scans stay minimal."),
     "carbon_ingest" ->
       ("The carbon line-protocol ingest: one text scan, a codegen'd " +
         "split/try_cast projection (malformed lines drop in the same " +

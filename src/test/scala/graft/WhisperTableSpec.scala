@@ -50,6 +50,19 @@ class WhisperTableSpec extends AnyFunSuite {
     assert(got.last._2.isEmpty) // bucket at now-3000 never written
   }
 
+  test("checkEmpty: existence probe agrees with fetch, never materializes the series") {
+    import spark.implicits._
+    val t = WhisperTable.create(spark, tmp(), Retentions.std)
+    val pts = (0 until 10).map(i =>
+      TimeSeriesPoint("m", now - 3600 + 60 * i + 5, i.toDouble))
+    t.updateMany(pts.toDS(), now)
+    assert(!t.checkEmpty("m", now - 3600, now - 3000, now))
+    // written window, wrong metric → empty
+    assert(t.checkEmpty("zzz", now - 3600, now - 3000, now))
+    // a window after the last write → empty
+    assert(t.checkEmpty("m", now - 2000, now - 1000, now))
+  }
+
   test("fetch accepts graphite from/until time strings") {
     import spark.implicits._
     val t = WhisperTable.create(spark, tmp(), Retentions.std)

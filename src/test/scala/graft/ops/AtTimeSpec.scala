@@ -167,6 +167,19 @@ class AtTimeSpec extends AnyFunSuite {
     assert(tom - mid == 90000)
   }
 
+  test("offset arithmetic composes over every reference form, any zone") {
+    val anchors = Seq("midnight", "8am", "8:30pm", "jan8", "monday",
+      "20240131", "noon yesterday", "teatime", "01/31/24", "8pm jan 8")
+    for (a <- anchors; n <- Seq(1, 90, 600);
+         (u, mult) <- Seq("min" -> 60L, "h" -> 3600L, "d" -> 86400L)) {
+      assert(p(s"$a-$n$u") == p(a) - n * mult, s"$a-$n$u")
+      assert(p(s"$a+$n$u-$n$u") == p(a), s"cancel $a ±$n$u")
+    }
+    // offsets are plain seconds in ANY zone (attime's timedelta)
+    for (a <- anchors)
+      assert(pz(s"$a-1h") == pz(a) - 3600L, s"tz $a-1h")
+  }
+
   test("offset arithmetic is exact for any magnitude and unit") {
     for (n <- Seq(1, 7, 59, 90, 600, 10079);
          (u, mult) <- Seq("s" -> 1L, "min" -> 60L, "h" -> 3600L,

@@ -738,6 +738,32 @@ class RenderTargetSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](one("aggregate(m.*, 'multiply', 0.5)"))
   }
 
+  test("randomWalk is seeded-deterministic; events counts per bucket") {
+    import spark.implicits._
+    val none = Seq.empty[(String, Long, Double)].toDF("metric", "ts_s", "value")
+    def walk(seed: Int) = RenderTarget.evaluate(spark, none,
+      s"randomWalk('w', 60, $seed)", 0L, 600L, 60)
+      .collect().map(_.getDouble(2)).toSeq
+    val w5 = walk(5)
+    assert(w5.head == 0.0)                 // graphite: value₀ = 0
+    assert(w5 == walk(5))                  // same seed → same walk
+    assert(w5 != walk(6))                  // different seed → different walk
+    // each step moves by U[-0.5, 0.5): increments strictly bounded
+    w5.sliding(2).foreach {
+      // inc ∈ [-0.5, 0.5); +1e-6 slack for the per-value 6-dp round
+      case Seq(a, b) => assert(math.abs(b - a) <= 0.500001, s"step $a -> $b")
+      case _ => ()
+    }
+    // events: per-bucket count of matching event types, zeros not gaps
+    val p = pts(("view", 65L, 1.0), ("view", 70L, 9.0), ("click", 75L, 2.0),
+      ("view", 185L, 3.0))
+    val ev = RenderTarget.evaluate(spark, p, "events('view')", 0L, 240L, 60)
+      .collect().map(r => (r.getLong(1), r.getDouble(2))).sortBy(_._1).toSeq
+    assert(ev == Seq((60L, 2.0), (120L, 0.0), (180L, 1.0), (240L, 0.0)))
+    assert(RenderTarget.evaluate(spark, p, "events('view', 'click')",
+      0L, 120L, 60).collect().map(_.getDouble(2)).toSeq == Seq(3.0, 0.0))
+  }
+
   test("aggregateLine flattens; fallbackSeries switches on emptiness") {
     val p = pts(("m.a", 65L, 2.0), ("m.a", 125L, 4.0))
     val line = RenderTarget.evaluate(spark, p, "aggregateLine(m.a, 'avg')",

@@ -128,12 +128,16 @@ object AtTime {
     val ci = ref.indexOf(':')
     if (ci > 0 && ci < 3) {
       val h = ref.take(ci)
-      require(h.forall(_.isDigit) && ref.length >= ci + 3 &&
-        ref.substring(ci + 1, ci + 3).forall(_.isDigit),
+      // minute = the next up-to-2 characters, exactly attime.py's
+      // int(ref[i+1:i+3]) — a 1-char slice ('0:5') is legal, a slice
+      // with a non-digit ('0:5x') is the grammar's error
+      val mstr = ref.substring(ci + 1).take(2)
+      require(h.forall(_.isDigit) && mstr.nonEmpty &&
+        mstr.forall(_.isDigit),
         s"malformed time-of-day in '$r'")
       hour = h.toInt
-      minute = ref.substring(ci + 1, ci + 3).toInt
-      ref = ref.substring(ci + 3)
+      minute = mstr.toInt
+      ref = ref.substring(ci + 1 + mstr.length)
       if (ref.startsWith("am")) ref = ref.drop(2)
       else if (ref.startsWith("pm")) { hour = (hour + 12) % 24; ref = ref.drop(2) }
     }

@@ -386,9 +386,17 @@ object RenderTarget {
       // startSourceAt may reach back before the display window: extend
       // the leaf scan so the fit's source points exist in the frame
       // (request times are threaded only from [[evaluate]]; the
-      // time-less overload specs use cannot — and need not — see this)
+      // time-less overload specs use cannot — and need not — see this).
+      // The extension is fromI − lo with lo the fit's own step-floored
+      // bound: both are multiples of spp (step is), so extFromI stays
+      // ON the alignTs bucket grid — a raw fromS − src delta would
+      // desync the whole spine — and reaches the fit's first bucket
+      // exactly, not one short.
       val src = AtTime.parse(unquote(args.head), untilS, tz)
-      historyExtS(c, spp, fromS, untilS, tz) + Math.max(0L, fromS - src)
+      val step = stepS(c, spp)
+      val lo = Math.floorDiv(src, step) * step
+      val fromI = Buckets.fetchInterval(fromS, spp)
+      historyExtS(c, spp, fromS, untilS, tz) + Math.max(0L, fromI - lo)
     case Call("applyByNode", cs, args) =>
       // the template may carry its own history need (a movingAverage
       // inside it); probe it with the widened wildcard prefix
@@ -408,6 +416,13 @@ object RenderTarget {
       require(iv % stepS(c, spp) == 0,
         s"summarize interval ${args.head} must be a multiple of the series step")
       iv
+    // generators with their OWN step argument: report exactly what
+    // eval emits, or a combine would pass its same-step require while
+    // unioning misaligned grids (silent 4-of-5-buckets-missing sums)
+    case Call("randomWalk" | "randomWalkFunction", _, args) =>
+      args.headOption.map(_.toLong).getOrElse(60L)
+    case Call("sinFunction" | "sin", _, args) =>
+      args.lift(1).map(_.toLong).getOrElse(spp.toLong)
     case Call(n, cs, _) =>
       val steps = cs.map(stepS(_, spp)).distinct
       require(steps.size == 1,
@@ -1286,13 +1301,13 @@ object RenderTarget {
         // grid (the quoted series name arrives as a quoted Leaf —
         // the grammar's series slot always parses as an expression)
         val _ = f
-        (spark.range(fromI, untilI, spp.toLong).toDF("bucket_ts")
+        (spark.range(extFromI, untilI, spp.toLong).toDF("bucket_ts")
           .select(lit(unquote(name)).as("metric"), col("bucket_ts"),
             col("bucket_ts").cast("double").as("value")), spp.toLong)
       case Call("sinFunction" | "sin", Seq(Leaf(name)), args) =>
         val amp = args.headOption.map(_.toDouble).getOrElse(1.0)
         val stepArg = args.lift(1).map(_.toLong).getOrElse(spp.toLong)
-        (spark.range(fromI, untilI, stepArg).toDF("bucket_ts")
+        (spark.range(extFromI, untilI, stepArg).toDF("bucket_ts")
           .select(lit(unquote(name)).as("metric"), col("bucket_ts"),
             round(sin(col("bucket_ts")) * amp, 6).as("value")), stepArg)
       case Call("randomWalk" | "randomWalkFunction", Seq(Leaf(name)), args) =>
@@ -1308,12 +1323,12 @@ object RenderTarget {
         val stepArg = args.headOption.map(_.toLong).getOrElse(60L)
         val seed = args.lift(1).map(_.toLong).getOrElse(0L)
         val m = 2147483647L
-        val i = expr(s"(bucket_ts - $fromI) div $stepArg")
+        val i = expr(s"(bucket_ts - $extFromI) div $stepArg")
         val h1 = (lit(48271L) * ((lit(seed) + i) % m)) % m
         val h2 = (lit(48271L) * h1) % m
         val w = Window.partitionBy(col("metric")).orderBy(col("bucket_ts"))
           .rowsBetween(Window.unboundedPreceding, -1)
-        (spark.range(fromI, untilI, stepArg).toDF("bucket_ts")
+        (spark.range(extFromI, untilI, stepArg).toDF("bucket_ts")
           .select(lit(unquote(name)).as("metric"), col("bucket_ts"),
             (h2.cast("double") / m - 0.5).as("inc"))
           .select(col("metric"), col("bucket_ts"),
@@ -1334,10 +1349,10 @@ object RenderTarget {
         val name = s"events(${tags.mkString(",")})"
         val sel = if (tags.isEmpty) lit(true) else col("metric").isin(tags: _*)
         val cnt = pts
-          .filter(sel && col("ts_s") >= fromI && col("ts_s") < untilI)
+          .filter(sel && col("ts_s") >= extFromI && col("ts_s") < untilI)
           .groupBy(Buckets.alignTs(col("ts_s"), spp).as("bucket_ts"))
           .agg(count(lit(1)).cast("double").as("cnt"))
-        (spark.range(fromI, untilI, spp.toLong).toDF("bucket_ts")
+        (spark.range(extFromI, untilI, spp.toLong).toDF("bucket_ts")
           .join(cnt, Seq("bucket_ts"), "left")
           .select(lit(name).as("metric"), col("bucket_ts"),
             coalesce(col("cnt"), lit(0.0)).as("value")), spp.toLong)
@@ -1624,7 +1639,7 @@ object RenderTarget {
         // (graphite draws 3 points; a full grid keeps the frame shape
         // uniform so combines over it behave)
         val k = v.toDouble
-        (spark.range(fromI, untilI, spp.toLong).toDF("bucket_ts")
+        (spark.range(extFromI, untilI, spp.toLong).toDF("bucket_ts")
           .select(lit(v).as("metric"), col("bucket_ts"),
             lit(k).as("value")), spp.toLong)
       case Call(f, Seq(c), _) if PresentationFuncs(f) =>
@@ -1874,7 +1889,7 @@ object RenderTarget {
         // line real dashboards overlay
         val name = args.headOption.map(unquote).filter(_.nonEmpty).getOrElse(v)
         val k = v.toDouble
-        (spark.range(fromI, untilI, spp.toLong).toDF("bucket_ts")
+        (spark.range(extFromI, untilI, spp.toLong).toDF("bucket_ts")
           .select(lit(name).as("metric"), col("bucket_ts"),
             lit(k).as("value")), spp.toLong)
       case Call("fallbackSeries", Seq(c, fb), _) =>

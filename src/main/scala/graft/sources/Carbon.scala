@@ -23,28 +23,14 @@ object Carbon {
 
   /** Parse a `text`-sourced frame (one `value` column of raw lines)
     * into points. Whitespace-tolerant; blank and malformed lines drop.
+    * ONE predicate chain owns the accept/drop contract — this is
+    * [[classified]] filtered to the accepted rows, so the plain parse
+    * and the observed variants cannot drift apart.
     */
-  def parse(lines: DataFrame, nowS: Long): DataFrame = {
-    // strip ALL whitespace at the edges, not just spaces: Spark's trim
-    // is 0x20-only, so a leading tab or a CRLF file's trailing \r
-    // would smuggle an empty split token past the arity gate and drop
-    // a VALID line (carbon does line.strip())
-    val f = split(regexp_replace(col("value"), "^\\s+|\\s+$", ""), "\\s+")
-    lines
-      .select(f.as("f"))
-      .filter(size(col("f")) === 3)
-      // try_cast, not cast: under ANSI a malformed number would ABORT
-      // the scan — carbon's contract is drop-and-continue
-      .select(col("f").getItem(0).as("metric"),
-        expr("try_cast(f[2] AS BIGINT)").as("ts_raw"),
-        expr("try_cast(f[1] AS DOUBLE)").as("value"))
-      .filter(col("metric") =!= "" && col("ts_raw").isNotNull &&
-        col("value").isNotNull)
-      .select(col("metric"),
-        when(col("ts_raw") === -1L, nowS).otherwise(col("ts_raw"))
-          .as("ts_s"),
-        col("value"))
-  }
+  def parse(lines: DataFrame, nowS: Long): DataFrame =
+    classified(lines, nowS)
+      .filter(col("ok"))
+      .select(col("metric"), col("ts_s"), col("value"))
 
   /** Accepted points instrumented with a SINGLE-PASS drop counter via
     * `DataFrame.observe`: the `dropped`/`accepted` metrics ride the

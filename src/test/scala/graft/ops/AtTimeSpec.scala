@@ -105,6 +105,11 @@ class AtTimeSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](p("lastfullmoon"))
     intercept[IllegalArgumentException](p("now+"))
     intercept[IllegalArgumentException](p("now-1fortnight"))
+    // attime's int(ref[i+1:i+3]) accepts a 1-char minute slice...
+    assert(p("0:5") == Midnight + 5 * 60)
+    assert(p("9:5-1h") == Midnight + 9 * 3600 + 5 * 60 - 3600)
+    // ...but a non-digit inside the slice is its error
+    intercept[IllegalArgumentException](p("0:5x"))
     // previously MatchErrors (ADVICE r9): arity/shape violations now
     // throw the grammar's IllegalArgumentException
     intercept[IllegalArgumentException](p("16:"))

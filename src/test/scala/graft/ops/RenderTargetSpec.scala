@@ -722,6 +722,31 @@ class RenderTargetSpec extends AnyFunSuite {
       "linearRegression(m.a, '0', '240')", 240L, 360L, 60)
       .collect().map(_.getDouble(2)).toSeq
     assert(proj == Seq(13.0, 15.0))
+    // review r10: an UN-step-aligned request from with an absolute
+    // source start must keep the extended spine on the alignTs grid —
+    // a raw fromS−src extension desynced every bucket join (all-NULL)
+    val odd = RenderTarget.evaluate(spark, p, "linearRegression(m.a, '100')",
+      250L, 360L, 60).collect()
+    assert(odd.nonEmpty && odd.forall(r => !r.isNullAt(2)),
+      "misaligned history extension desynced the render grid")
+  }
+
+  test("generators span the history-extended grid; step args propagate") {
+    import spark.implicits._
+    val none = Seq.empty[(String, Long, Double)].toDF("metric", "ts_s", "value")
+    // movingSum over a generator: the head windows need the generator's
+    // HISTORY buckets — a grid starting at the display edge gave 7, 14
+    // instead of full 21s (review r10)
+    val ms = RenderTarget.evaluate(spark, none,
+      "movingSum(constantLine(7), 3)", 240L, 360L, 60)
+      .collect().map(_.getDouble(2)).toSeq
+    assert(ms == Seq(21.0, 21.0))
+    // a non-default generator step must propagate to stepS: combining
+    // with a 60s leaf is a loud step-mismatch, never a sparse union
+    intercept[IllegalArgumentException] {
+      RenderTarget.evaluate(spark, none,
+        "sumSeries(m.a, randomWalk('w', 300))", 0L, 600L, 60)
+    }
   }
 
   test("aggregate xFilesFactor gates buckets; strict forms reject it") {

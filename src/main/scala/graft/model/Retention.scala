@@ -95,6 +95,15 @@ final case class WhisperSchema(
 
 object Retentions {
 
+  /** Render retentions back to the whisper DSL in its base
+    * seconds:points form (`"60s:1440,300s:8640"`) — the inverse of
+    * [[parseRetentionDefs]] up to unit sugar, so config derived FROM a
+    * schema (e.g. the DSv2 write's `retentions` option) can never
+    * drift from it.
+    */
+  def render(rets: Seq[Retention]): String =
+    rets.map(r => s"${r.secondsPerPoint}s:${r.numberOfPoints}").mkString(",")
+
   /** Unit suffix multipliers (reference: whisper.go → `unitMultiplier`;
     * same table as graphite's retention DSL).
     */

@@ -1,6 +1,6 @@
 package graft.sources
 
-import org.apache.spark.sql.{DataFrame, Observation, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Observation, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Carbon plaintext line protocol — the whisper ecosystem's canonical
@@ -12,7 +12,9 @@ import org.apache.spark.sql.functions._
   * the engine's canonical `(metric, ts_s, value)` points frame.
   *
   * Carbon's tolerances, kept: a timestamp of `-1` means "receive time"
-  * (the caller's pinned `nowS` here — never the wall clock), and
+  * (the caller's pinned `nowS` here — never the wall clock; for live
+  * long-running streams [[parseArrival]] stamps the micro-batch clock
+  * instead), and
   * malformed lines are DROPPED, not fatal (carbon logs and continues;
   * a 100 TB backfill must not die on one bad line). Use
   * [[parsedObserved]] / [[parsedObservedStream]] when the drop count
@@ -72,7 +74,10 @@ object Carbon {
     * arity gap, `try_cast` for malformed numbers) because under ANSI a
     * raw index or cast on a bad line would abort the scan.
     */
-  private def classified(lines: DataFrame, nowS: Long): DataFrame = {
+  private def classified(lines: DataFrame, nowS: Long): DataFrame =
+    classified(lines, lit(nowS))
+
+  private def classified(lines: DataFrame, nowCol: Column): DataFrame = {
     val trimmed = regexp_replace(col("value"), "^\\s+|\\s+$", "")
     lines
       .select(split(trimmed, "\\s+").as("f"), (trimmed =!= "").as("nonblank"))
@@ -83,7 +88,7 @@ object Carbon {
         col("metric") =!= "" && col("ts_raw").isNotNull &&
         col("num").isNotNull)
       .withColumn("ts_s",
-        when(col("ts_raw") === -1L, nowS).otherwise(col("ts_raw")))
+        when(col("ts_raw") === -1L, nowCol).otherwise(col("ts_raw")))
       .withColumn("value", col("num"))
   }
 
@@ -92,7 +97,29 @@ object Carbon {
     * is the identity on values).
     */
   def format(points: DataFrame): DataFrame =
-    points.select(concat_ws(" ",
-      col("metric"), col("value").cast("string"),
-      col("ts_s").cast("string")).as("value"))
+    // fail loudly on null fields: concat_ws SKIPS nulls, so a null
+    // value would silently emit a 2-token line that parse then
+    // silently drops — the roundtrip identity must not leak points
+    // (review r10)
+    points.select(
+      when(col("metric").isNull || col("ts_s").isNull || col("value").isNull,
+        raise_error(lit("carbon format: null metric/ts_s/value — " +
+          "whisper points cannot be null; filter gaps before export")))
+      .otherwise(concat_ws(" ",
+        col("metric"), col("value").cast("string"),
+        col("ts_s").cast("string"))).as("value"))
+
+  /** [[parse]] with carbon's REAL receive-time semantics for
+    * long-running streams: `-1` timestamps stamp the micro-batch's
+    * processing clock (`current_timestamp`), not a query-start pin — a
+    * `-1` line arriving on day 3 of a stream lands on day 3, exactly
+    * what the carbon daemon does. The trade is determinism: an epoch
+    * REPLAY re-stamps with the replay clock, so use the pinned-`nowS`
+    * [[parse]] wherever hash-stable output matters (every oracle path
+    * does) and this only on live arrival-time ingest.
+    */
+  def parseArrival(lines: DataFrame): DataFrame =
+    classified(lines, unix_timestamp(current_timestamp()))
+      .filter(col("ok"))
+      .select(col("metric"), col("ts_s"), col("value"))
 }

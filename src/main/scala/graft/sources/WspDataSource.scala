@@ -275,22 +275,27 @@ final class WspScan(
               globRx.forall(_.matcher(metric).matches))
             out += (((path.toString, len, metric), mtime))
         }
+      // ONE per-directory walk shape, parameterized by how a dir's
+      // children are listed — the cached and plain variants must stay
+      // in lockstep (same root-is-file handling, same emit contract)
+      def walkFrom(children: org.apache.hadoop.fs.Path =>
+          Array[org.apache.hadoop.fs.FileStatus]): Unit = {
+        def walk(dir: org.apache.hadoop.fs.Path): Unit =
+          children(dir).foreach { st =>
+            if (st.isDirectory) walk(st.getPath)
+            else emit(st.getPath, st.getLen, st.getModificationTime)
+          }
+        val rootSt = fs.getFileStatus(qualified)
+        if (rootSt.isFile)
+          emit(rootSt.getPath, rootSt.getLen, rootSt.getModificationTime)
+        else walk(qualified)
+      }
       if (listingCache) {
         // per-directory walk so unchanged dirs can serve from cache;
         // entries not touched this walk are evicted afterwards (deleted
         // subtrees must not pin FileStatus arrays for the stream's life)
         val touched = scala.collection.mutable.Set.empty[String]
-        def walk(dir: org.apache.hadoop.fs.Path): Unit = {
-          touched += dir.toString
-          childrenOf(fs, dir).foreach { st =>
-            if (st.isDirectory) walk(st.getPath)
-            else emit(st.getPath, st.getLen, st.getModificationTime)
-          }
-        }
-        val rootSt = fs.getFileStatus(qualified)
-        if (rootSt.isFile)
-          emit(rootSt.getPath, rootSt.getLen, rootSt.getModificationTime)
-        else walk(qualified)
+        walkFrom { dir => touched += dir.toString; childrenOf(fs, dir) }
         dirCache.keysIterator.filterNot(touched).toSeq
           .foreach(dirCache.remove)
       } else if (Option(qualified.toUri.getScheme).forall(_ == "file")) {
@@ -300,15 +305,7 @@ final class WspScan(
         // plan a 5,000-file tree (WspScaleSpec caught it). A plain
         // listStatus walk keeps the status lazy; this planner touches
         // only path/len/mtime, so the walk is pure stat traffic.
-        def walk(dir: org.apache.hadoop.fs.Path): Unit =
-          fs.listStatus(dir).foreach { st =>
-            if (st.isDirectory) walk(st.getPath)
-            else emit(st.getPath, st.getLen, st.getModificationTime)
-          }
-        val rootSt = fs.getFileStatus(qualified)
-        if (rootSt.isFile)
-          emit(rootSt.getPath, rootSt.getLen, rootSt.getModificationTime)
-        else walk(qualified)
+        walkFrom(fs.listStatus)
       } else {
         // remote stores: ONE flat recursive listing — on object stores
         // a paged prefix LIST and on HDFS a streamed recursive

@@ -40,7 +40,9 @@ object WspQueries {
       // WspWrite library API
       level.withColumn("archive", lit(0))
         .write.format("wsp")
-        .option("retentions", "1m:1d")
+        // derived, not restated: a fixture-schema change cannot leave
+        // this option silently testing a different geometry
+        .option("retentions", graft.model.Retentions.render(schema.retentions))
         .option("aggregationMethod", schema.method.name)
         .option("xFilesFactor", schema.xFilesFactor.toString)
         .mode("overwrite").save(base)

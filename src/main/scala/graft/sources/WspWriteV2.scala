@@ -40,10 +40,11 @@ import org.apache.spark.util.SerializableConfiguration
   * deleting a series is a filesystem operation, not a write).
   *
   * Scale shape: the Write REQUIRES a distribution clustered by
-  * `metric`, so Spark shuffles each series to exactly one task — the
-  * one-writer-per-file contract — and each task holds one
-  * [[WspWrite.RingAccumulator]] per metric it owns (O(ring) memory,
-  * not O(input)). Publishing is per-file atomic replace
+  * `metric` AND a sort by `metric`, so Spark shuffles each series to
+  * exactly one task (the one-writer-per-file contract) and the writer
+  * holds ONE [[WspWrite.RingAccumulator]] at a time, flushing on key
+  * change — O(ring) task memory, independent of both input size and
+  * metrics-per-task. Publishing is per-file atomic replace
   * ([[WspWrite.publish]]); task retries re-publish identical images.
   *
   * `writeStream.format("wsp")` reuses the same writers per micro-batch
@@ -82,12 +83,18 @@ final class WspWrite2(
     inputSchema: StructType,
     mergeExisting: Boolean) extends Write with RequiresDistributionAndOrdering {
 
-  // one writer per series: cluster by metric. No sort requirement —
-  // the writer's per-metric accumulators are order-independent
-  // (slot-level LWW by interval), so Spark may skip the sort entirely.
+  // one writer per series: cluster by metric, SORT by metric. The sort
+  // lets the writer hold ONE ring accumulator at a time and flush on
+  // key change — without it every metric a task owns buffers a full
+  // ring until commit, O(metrics-per-task × ring) live memory: a
+  // million-series tree on ten tasks is gigabytes per task (review
+  // r10). The per-task sort is by the partitioning key, so it is a
+  // cheap co-sorted spill path, not a data reorder.
   override def requiredDistribution(): Distribution =
     Distributions.clustered(Array(Expressions.identity("metric")))
-  override def requiredOrdering(): Array[SortOrder] = Array.empty
+  override def requiredOrdering(): Array[SortOrder] =
+    Array(Expressions.sort(Expressions.column("metric"),
+      org.apache.spark.sql.connector.expressions.SortDirection.ASCENDING))
 
   private def factory(): WspWriterFactory = {
     val session = org.apache.spark.sql.SparkSession.active
@@ -105,12 +112,22 @@ final class WspWrite2(
     override def abort(messages: Array[WriterCommitMessage]): Unit = ()
   }
 
-  override def toStreaming: StreamingWrite = new StreamingWrite {
-    private val f = factory()
-    override def createStreamingWriterFactory(p: PhysicalWriteInfo): StreamingDataWriterFactory =
-      f
-    override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = ()
-    override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit = ()
+  override def toStreaming: StreamingWrite = {
+    // complete output mode arrives as truncate(): whisper has no
+    // tree-wide truncate (files of absent metrics survive any write),
+    // so complete-mode semantics CANNOT be honored — reject loudly
+    // instead of silently merging every epoch (review r10)
+    require(mergeExisting,
+      "wsp writeStream supports append/update output modes only: " +
+        "whisper has no tree-wide truncate, so outputMode(\"complete\") " +
+        "cannot be honored")
+    new StreamingWrite {
+      private val f = factory()
+      override def createStreamingWriterFactory(p: PhysicalWriteInfo): StreamingDataWriterFactory =
+        f
+      override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = ()
+      override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit = ()
+    }
   }
 }
 
@@ -185,10 +202,27 @@ final class WspBatchWriter(
   private val iValue = inputSchema.fieldIndex("value")
   private val retentions = schema.retentions.toArray
 
-  private val accs =
-    scala.collection.mutable.HashMap.empty[String, WspWrite.RingAccumulator]
+  // ONE live accumulator: rows arrive metric-sorted (requiredOrdering),
+  // so a key change flushes the finished series and frees its ring —
+  // task memory is O(ring), independent of how many metrics the task
+  // owns. `flushed` (names only) makes correctness independent of the
+  // sort actually holding: a reappearing metric merges into its own
+  // just-published file instead of truncating it in overwrite mode.
+  private var curMetric: String = null
+  private var curAcc: WspWrite.RingAccumulator = null
+  private var metricsOut = 0L
+  private var pointsOut = 0L
+  private val flushed = scala.collection.mutable.HashSet.empty[String]
 
   override def write(row: InternalRow): Unit = {
+    // whisper slots cannot represent nulls, and ACCEPT_ANY_SCHEMA means
+    // Spark never enforced the read schema's non-null flags: a null
+    // ts_s read as 0 would write interval 0 — whisper's UNWRITTEN
+    // marker — silently erasing a live slot in merge mode (review r10)
+    require(!row.isNullAt(iMetric) && !row.isNullAt(iArchive) &&
+      !row.isNullAt(iTs) && !row.isNullAt(iValue),
+      "wsp write: null metric/archive/ts/value — whisper points cannot " +
+        "be null; filter gap rows out before writing")
     val metric = row.getUTF8String(iMetric).toString
     val a = row.getInt(iArchive)
     require(a >= 0 && a < retentions.length,
@@ -206,21 +240,30 @@ final class WspBatchWriter(
         s"$metric archive $a: row points $pts does not match the retentions " +
           s"option (${r.numberOfPoints}) — wrong retention config for this frame")
     }
-    accs.getOrElseUpdate(metric, new WspWrite.RingAccumulator(schema))
-      .add(metric, a, row.getLong(iTs), row.getDouble(iValue))
+    if (metric != curMetric) {
+      flushCurrent()
+      curMetric = metric
+      curAcc = new WspWrite.RingAccumulator(schema)
+    }
+    curAcc.add(metric, a, row.getLong(iTs), row.getDouble(iValue))
+  }
+
+  private def flushCurrent(): Unit = if (curMetric != null) {
+    val merge = mergeExisting || flushed.contains(curMetric)
+    WspWrite.flushMetric(curMetric, curAcc, outDir, schema, merge, conf.value)
+    if (flushed.add(curMetric)) metricsOut += 1
+    pointsOut += curAcc.n
+    curMetric = null
+    curAcc = null
   }
 
   override def commit(): WriterCommitMessage = {
-    var pts = 0L
-    accs.foreach { case (metric, acc) =>
-      WspWrite.flushMetric(metric, acc, outDir, schema, mergeExisting, conf.value)
-      pts += acc.n
-    }
-    WspCommitMessage(accs.size.toLong, pts)
+    flushCurrent()
+    WspCommitMessage(metricsOut, pointsOut)
   }
 
   // nothing staged outside flushMetric's tmp files (swept by
   // [[WspWrite.vacuumTmp]]); published files are whole consistent images
   override def abort(): Unit = ()
-  override def close(): Unit = accs.clear()
+  override def close(): Unit = { curMetric = null; curAcc = null }
 }

@@ -35,6 +35,13 @@ class RetentionSpec extends AnyFunSuite {
       Seq(Retention(1, 86400), Retention(60, 43200)))
   }
 
+  test("render is parse's inverse (schema-derived options cannot drift)") {
+    for (defs <- Seq("1s:1d,1m:30d", "10s:6,60s:5", "1m:1d")) {
+      val rets = parseRetentionDefs(defs)
+      assert(parseRetentionDefs(Retentions.render(rets)) == rets, defs)
+    }
+  }
+
   test("validate rule 1: empty list rejected") {
     assertThrows[IllegalArgumentException](validate(Seq.empty))
   }

@@ -53,6 +53,27 @@ class CarbonSpec extends AnyFunSuite {
     assert(pts.columns.toSeq == Seq("metric", "ts_s", "value"))
   }
 
+  test("format fails loudly on null fields instead of leaking 2-token lines") {
+    import spark.implicits._
+    val withNull = Seq(("m.a", Some(100L), Some(1.0)), ("m.b", Some(200L), None))
+      .toDF("metric", "ts_s", "value")
+    val e = intercept[Exception](Carbon.format(withNull).collect())
+    val chain = Iterator.iterate(e: Throwable)(_.getCause)
+      .takeWhile(_ != null).map(t => Option(t.getMessage).getOrElse(""))
+      .mkString(" | ")
+    assert(chain.contains("null metric/ts_s/value"), chain)
+  }
+
+  test("parseArrival stamps -1 with the processing clock, not a pinned now") {
+    val before = System.currentTimeMillis() / 1000
+    val got = Carbon.parseArrival(lines("m.a 7 -1", "m.b 8 12345"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    val after = System.currentTimeMillis() / 1000
+    assert(got("m.b") == 12345L)
+    assert(got("m.a") >= before && got("m.a") <= after + 1,
+      s"arrival stamp ${got("m.a")} outside [$before, $after]")
+  }
+
   test("parse ∘ format is the identity, including hostile doubles") {
     import spark.implicits._
     val pts = Seq(

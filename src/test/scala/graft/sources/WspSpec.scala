@@ -331,6 +331,53 @@ class WspSpec extends AnyFunSuite {
       ("mem", 1, 960L, 5.0), ("gpu", 0, 500L, 7.0)))
   }
 
+  test("DSv2 write: null fields fail loudly; many-metric write stays flush-streamed") {
+    import spark.implicits._
+    val dir = tmp()
+    // a null ts_s would write interval 0 — whisper's UNWRITTEN marker —
+    // silently erasing a live slot in merge mode; the writer must
+    // reject it, as the V1 encoder path did
+    val bad = Seq(("cpu", 0, Some(1000L), 1.0), ("cpu", 0, None, 2.0))
+      .toDF("metric", "archive", "ts_s", "value")
+    val e = intercept[Exception] {
+      bad.write.format("wsp").option("retentions", "10s:6")
+        .mode("overwrite").save(dir)
+    }
+    assert(e.getMessage != null)
+    // overwrite with MANY metrics through the sorted flush-on-key-change
+    // path: every file lands complete (one ring live at a time)
+    val many = (0 until 40).map(i => (s"m$i", 0, 1000L + (i % 6) * 10, i.toDouble))
+    many.toDF("metric", "archive", "ts_s", "value")
+      .write.format("wsp").option("retentions", "10s:6")
+      .mode("overwrite").save(dir)
+    val back = spark.read.format("wsp").load(dir)
+      .select("metric").distinct().count()
+    assert(back == 40)
+  }
+
+  test("DSv2 writeStream rejects complete output mode (no tree-wide truncate)") {
+    import spark.implicits._
+    val src = tmp(); val dst = tmp()
+    Seq(("cpu", 0, 1000L, 1.0)).toDF("metric", "archive", "ts_s", "value")
+      .write.parquet(s"$src/in")
+    val stream = spark.readStream
+      .schema(spark.read.parquet(s"$src/in").schema)
+      .parquet(s"$src/in")
+      .groupBy($"metric", $"archive", $"ts_s").agg(org.apache.spark.sql.functions.max($"value").as("value"))
+    val e = intercept[Exception] {
+      stream.writeStream.format("wsp").outputMode("complete")
+        .option("retentions", "10s:6")
+        .option("checkpointLocation", s"$dst/ck")
+        .start(s"$dst/tree")
+        .processAllAvailable()
+    }
+    val chain = Iterator.iterate(e: Throwable)(_.getCause)
+      .takeWhile(_ != null).map(t => Option(t.getMessage).getOrElse(""))
+      .mkString(" | ")
+    assert(chain.contains("no tree-wide truncate"),
+      s"expected the sink's complete-mode rejection, got: $chain")
+  }
+
   test("DSv2 write: the full read schema round-trips through save") {
     import spark.implicits._
     val src = tmp(); val dst = tmp()

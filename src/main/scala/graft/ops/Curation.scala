@@ -113,6 +113,66 @@ object Curation {
        |WHERE d.doc_id >= $BenchmarkDocs
        |ORDER BY d.doc_id""".stripMargin
 
+  /** `decontaminate_frac`: the benchmark-centric leakage report — for
+    * every benchmark document, its worst corpus contaminator by COVERAGE
+    * FRACTION (shared shingles / benchmark shingles, the
+    * fraction-overlap rule contamination audits report, vs
+    * [[decontaminate]]'s corpus-centric ≥1-shingle flag). Ties on the
+    * fraction resolve to the smaller corpus doc_id; benchmark docs with
+    * no overlap (or fewer than 3 tokens — no shingles) report NULLs.
+    *
+    * Scale shape: the benchmark shingle set is broadcast; the corpus
+    * side is one map-side semi-join pass over its shingle index, and the
+    * only shuffles are keyed by (bench_id, doc_id) hit pairs — bounded
+    * by actual overlap, not corpus size.
+    */
+  def decontaminateFrac(s: SparkSession, dir: String): DataFrame = {
+    val u = Dedup.shingleSetShared(s, dir)
+    val bench = u.filter(col("doc_id") < BenchmarkDocs)
+      .select(col("doc_id").as("bench_id"), col("g"))
+    val bsize = bench.groupBy("bench_id").agg(count(lit(1)).as("n_shingles"))
+    val pairs = u.filter(col("doc_id") >= BenchmarkDocs)
+      .join(broadcast(bench), Seq("g"))
+      .groupBy("bench_id", "doc_id").agg(count(lit(1)).as("n_shared"))
+    val worst = pairs.groupBy("bench_id")
+      .agg(max_by(struct(col("doc_id"), col("n_shared")),
+        struct(col("n_shared"), -col("doc_id"))).as("w"))
+      .select(col("bench_id"), col("w.doc_id").as("top_doc"),
+        col("w.n_shared").as("n_shared"))
+    docs(s, dir).filter(col("doc_id") < BenchmarkDocs)
+      .select(col("doc_id").as("bench_id"))
+      .join(bsize, Seq("bench_id"), "left")
+      .join(worst, Seq("bench_id"), "left")
+      .select(col("bench_id"), col("n_shingles"), col("top_doc"), col("n_shared"),
+        round(col("n_shared").cast("double") / col("n_shingles"), 6).as("frac"))
+      .orderBy("bench_id")
+  }
+
+  val decontaminateFracSql: String =
+    s"""WITH ${Dedup.shingleUSql},
+       |bench AS (
+       |  SELECT doc_id AS bench_id, g FROM shingle_u WHERE doc_id < $BenchmarkDocs),
+       |bsize AS (
+       |  SELECT bench_id, count(*) AS n_shingles FROM bench GROUP BY 1),
+       |pairs AS (
+       |  SELECT b.bench_id, u.doc_id, count(*) AS n_shared
+       |  FROM shingle_u u JOIN bench b ON u.g = b.g
+       |  WHERE u.doc_id >= $BenchmarkDocs GROUP BY 1, 2),
+       |worst AS (
+       |  SELECT bench_id, doc_id AS top_doc, n_shared FROM (
+       |    SELECT bench_id, doc_id, n_shared,
+       |           row_number() OVER (PARTITION BY bench_id
+       |             ORDER BY n_shared DESC, doc_id) AS rn
+       |    FROM pairs)
+       |  WHERE rn = 1)
+       |SELECT d.doc_id AS bench_id, s.n_shingles, w.top_doc, w.n_shared,
+       |       round(CAST(w.n_shared AS DOUBLE) / s.n_shingles, 6) AS frac
+       |FROM documents d
+       |LEFT JOIN bsize s ON s.bench_id = d.doc_id
+       |LEFT JOIN worst w ON w.bench_id = d.doc_id
+       |WHERE d.doc_id < $BenchmarkDocs
+       |ORDER BY d.doc_id""".stripMargin
+
   // ------------------------------------------------ repetition scoring
 
   /** `text_repetition`: per-document degenerate-repetition features (the

@@ -26,6 +26,8 @@ object ExtQueries {
     "similarity_topk_agg" -> (Similarity.similarityTopkAgg _),
     "similarity_ann_ivf" -> (Similarity.similarityAnnIvf _),
     "similarity_ann_kmeans" -> (Similarity.similarityAnnKmeans _),
+    "similarity_ann_pq" -> (Similarity.similarityAnnPq _),
+    "embed_quantize" -> (Similarity.embedQuantize _),
     "multimodal_join" -> (Similarity.multimodalJoin _),
     "multimodal_extract" -> (Multimodal.multimodalExtract _),
     "multimodal_resize" -> (Multimodal.multimodalResize _),
@@ -40,6 +42,7 @@ object ExtQueries {
     "doc_fingerprint" -> (TextAnalysis.docFingerprint _),
     "dedup_collapse" -> (Curation.dedupCollapse _),
     "decontaminate" -> (Curation.decontaminate _),
+    "decontaminate_frac" -> (Curation.decontaminateFrac _),
     "text_repetition" -> (Curation.textRepetition _),
     "split_assign" -> (Curation.splitAssign _),
     "split_assign_safe" -> (Curation.splitAssignSafe _),
@@ -73,6 +76,8 @@ object ExtQueries {
     "similarity_topk_agg" -> Similarity.similarityTopkSql,
     "similarity_ann_ivf" -> Similarity.similarityAnnIvfSql,
     "similarity_ann_kmeans" -> Similarity.similarityAnnKmeansSql,
+    "similarity_ann_pq" -> Similarity.similarityAnnPqSql,
+    "embed_quantize" -> Similarity.embedQuantizeSql,
     "multimodal_join" -> Similarity.multimodalJoinSql,
     "multimodal_extract" -> Multimodal.multimodalExtractSql,
     "multimodal_resize" -> Multimodal.multimodalResizeSql,
@@ -87,6 +92,7 @@ object ExtQueries {
     "doc_fingerprint" -> TextAnalysis.docFingerprintSql,
     "dedup_collapse" -> Curation.dedupCollapseSql,
     "decontaminate" -> Curation.decontaminateSql,
+    "decontaminate_frac" -> Curation.decontaminateFracSql,
     "text_repetition" -> Curation.textRepetitionSql,
     "split_assign" -> Curation.splitAssignSql,
     "split_assign_safe" -> Curation.splitAssignSafeSql,

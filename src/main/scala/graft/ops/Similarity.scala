@@ -380,4 +380,297 @@ object Similarity {
        |       round(sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[])), 6) AS norm
        |FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
        |ORDER BY d.doc_id""".stripMargin
+
+  // ------------------------------------------------- product quantization
+
+  /** PQ geometry: [[PqM]] subspaces of [[PqSubDim]] dims each (64 = 4×16),
+    * [[PqK]] codewords per subspace → a vector compresses to 4 one-byte
+    * codes + one stored norm (~12 B vs 256 B raw, 21×). One Lloyd
+    * iteration refines the md5-seeded codebook ([[PqIters]]); queries
+    * shortlist [[PqShortlist]] candidates by ADC before the exact re-rank.
+    */
+  val PqM = 4
+  val PqSubDim = 16
+  val PqK = 16
+  val PqIters = 2
+  val PqShortlist = 50
+
+  /** Per-subspace views of a float vector column: one row per (id, m,
+    * 16-dim float slice). `slice` is a codegen'd collection expression;
+    * the four slices explode from one array literal, so subvectors
+    * materialize in the scan's own stage.
+    */
+  private def pqSubs(e: DataFrame, idCol: String, vecCol: String): DataFrame =
+    e.select(col(idCol),
+      posexplode(array((0 until PqM).map(m =>
+        slice(col(vecCol), m * PqSubDim + 1, PqSubDim)): _*)).as(Seq("m", "sub")))
+
+  /** Nearest codeword per (vector, subspace). L2 argmin dropping the
+    * codeword-independent ‖x_m‖² term: d2 = ‖c‖² − 2·x_m·c (same ordering,
+    * one dot product per pair). `min_by` over the lexicographic
+    * (d2, k) struct ties to the smaller codeword id — a plain hash
+    * aggregation over the broadcast codebook, O(n·K) with no window.
+    */
+  private def pqAssign(subs: DataFrame, cb: DataFrame): DataFrame =
+    subs.join(broadcast(cb), "m")
+      .withColumn("d2", col("cwn2") - lit(2.0) * dot_f(col("sub"), col("cw")))
+      .groupBy("vec_id", "m")
+      .agg(min_by(col("k"), struct(col("d2"), col("k"))).as("code"))
+
+  /** Builds — or reuses — the on-disk PQ index: `<root>/codebook` is
+    * `(m, k, cw float[16])`, `<root>/codes` the encoded corpus
+    * `(vec_id, codes int[4], cn double)` — the PQ memory layout that
+    * makes 100 TB of embeddings ANN-servable from RAM: the candidate
+    * scoring pass reads ~12 B/vector (codes + norm), never the vectors.
+    *
+    * Training mirrors [[annIndexShared]]'s discipline per subspace:
+    * deterministic md5-sample seeds (codeword k = rank in the md5
+    * order), [[PqIters]] Lloyd pass(es) whose per-dimension means round
+    * to 6 decimals and cast to float32 in both engines (bit-identical
+    * codebooks despite summation-order ulps), broadcast-only joins. An
+    * emptied codeword drops out of the means — identically in the
+    * oracle — so ids need no re-packing.
+    */
+  private def pqIndexShared(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    val root = Dedup.sharedIndexPath(s, dir, "embeddings.parquet", "pq") { p =>
+      val e = emb(s, dir)
+      val subs = pqSubs(e, "vec_id", "embedding")
+      val seedW = Window.orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
+      val seeds = e.orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
+        .limit(PqK)
+        .withColumn("k", row_number().over(seedW) - 1)
+      var cb = pqSubs(seeds.withColumnRenamed("vec_id", "seed_id")
+          .withColumnRenamed("k", "vec_id"), "vec_id", "embedding")
+        .select(col("m"), col("vec_id").as("k"), col("sub").as("cw"))
+        .withColumn("cwn2", dot_f(col("cw"), col("cw")))
+      for (_ <- 1 to PqIters) {
+        val a = pqAssign(subs, cb)
+        cb = subs.join(a, Seq("vec_id", "m"))
+          .select(col("m"), col("code").as("k"),
+            posexplode(col("sub")).as(Seq("pos", "v")))
+          .groupBy("m", "k", "pos")
+          .agg(round(sum(col("v").cast("double")) / count(lit(1)), 6).as("cv"))
+          .groupBy("m", "k")
+          .agg(expr("transform(array_sort(collect_list(struct(pos, cv)))," +
+            " x -> CAST(x.cv AS FLOAT))").as("cw"))
+          .withColumn("cwn2", dot_f(col("cw"), col("cw")))
+          .localCheckpoint(true)
+      }
+      cb.select("m", "k", "cw").write.mode("overwrite").parquet(s"$p/codebook")
+      val cbR = s.read.parquet(s"$p/codebook")
+        .withColumn("cwn2", dot_f(col("cw"), col("cw")))
+      pqAssign(subs, cbR)
+        .groupBy("vec_id")
+        .agg(expr("transform(array_sort(collect_list(struct(m, code)))," +
+          " x -> x.code)").as("codes"))
+        .join(e.withColumn("cn", normExpr("embedding"))
+          .select(col("vec_id"), col("cn")), "vec_id")
+        .write.mode("overwrite").parquet(s"$p/codes")
+    }
+    (s.read.parquet(s"$root/codebook"), s.read.parquet(s"$root/codes"))
+  }
+
+  /** `similarity_ann_pq`: product-quantization ANN — ADC shortlist over
+    * the persisted codes, exact cosine re-rank of the shortlist. Per
+    * query: one 16-dim dot per (subspace, codeword) builds the 64-entry
+    * lookup table; every candidate then scores as FOUR table lookups
+    * summed in fixed subspace order (`p0+p1+p2+p3` — explicit
+    * association, so the oracle's sum matches bit-for-bit), normalized
+    * by the STORED norms into an approximate cosine. The top
+    * [[PqShortlist]] by (approx desc, id) fetch their real vectors for
+    * the exact re-rank; output shape matches the other ANN keys.
+    *
+    * At 100 TB: the shortlist pass touches codes + norms only (~12
+    * B/vector, broadcast 640-row LUT, map-side top-k); the vector table
+    * is read for shortlist·|Q| rows, not n. Recall is gated against
+    * brute force in AnnRecallSpec alongside IVF.
+    */
+  def similarityAnnPq(s: SparkSession, dir: String): DataFrame = {
+    val (cb, codes) = pqIndexShared(s, dir)
+    val e = emb(s, dir).withColumn("cn", normExpr("embedding"))
+    val q = e.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
+        col("cn").as("qn"))
+    val qlut = pqSubs(q.withColumnRenamed("query_id", "vec_id"), "vec_id", "qe")
+      .join(broadcast(cb), "m")
+      .select(col("vec_id").as("query_id"), col("m").as("qm"), col("k"),
+        dot_f(col("sub"), col("cw")).as("pd"))
+    val contrib = codes
+      .select(col("vec_id"), col("cn"), posexplode(col("codes")).as(Seq("m", "code")))
+      .join(broadcast(qlut), col("m") === col("qm") && col("code") === col("k"))
+      .drop("qm", "k")
+    val adc = contrib.groupBy("query_id", "vec_id", "cn")
+      .agg(sum(when(col("m") === 0, col("pd"))).as("p0"),
+        sum(when(col("m") === 1, col("pd"))).as("p1"),
+        sum(when(col("m") === 2, col("pd"))).as("p2"),
+        sum(when(col("m") === 3, col("pd"))).as("p3"))
+    val sw = Window.partitionBy("query_id").orderBy(col("approx").desc, col("vec_id"))
+    val short = adc.filter(col("query_id") =!= col("vec_id"))
+      .join(broadcast(q.select(col("query_id"), col("qn"), col("qe"))), "query_id")
+      .withColumn("approx",
+        (col("p0") + col("p1") + col("p2") + col("p3")) / (col("qn") * col("cn")))
+      .withColumn("srn", row_number().over(sw))
+      .filter(col("srn") <= PqShortlist)
+    val rer = short.join(e.select(col("vec_id"), col("embedding"), col("cn").as("ecn")), "vec_id")
+      .withColumn("score", dot_f(col("qe"), col("embedding")) / (col("qn") * col("ecn")))
+    val rw = Window.partitionBy("query_id").orderBy(col("score").desc, col("vec_id"))
+    rer.withColumn("rnk", row_number().over(rw))
+      .filter(col("rnk") <= TopK)
+      .select(col("query_id"), col("vec_id").as("cand_id"),
+        round(col("score"), 6).as("score"), col("rnk"))
+      .orderBy("query_id", "rnk")
+  }
+
+  /** Oracle: the identical train→encode→ADC→re-rank unroll as CTEs —
+    * same seed order, same dropped-‖x‖² L2 argmin, same round-6/float32
+    * codebook cast, same fixed-association ADC sum.
+    */
+  val similarityAnnPqSql: String = {
+    val ms = (0 until PqM).mkString(", ")
+    def sliceSql(v: String): String =
+      s"list_slice($v, t.m * $PqSubDim + 1, t.m * $PqSubDim + $PqSubDim)"
+    def d2Sql(sub: String, cw: String): String =
+      s"(list_dot_product($cw::DOUBLE[], $cw::DOUBLE[]) - " +
+        s"2.0 * list_dot_product($sub::DOUBLE[], $cw::DOUBLE[]))"
+    def assignCte(name: String, cb: String): String =
+      s"""$name AS (
+         |  SELECT vec_id, m, k AS code FROM (
+         |    SELECT s.vec_id, s.m, c.k,
+         |           row_number() OVER (PARTITION BY s.vec_id, s.m
+         |             ORDER BY ${d2Sql("s.sub", "c.cw")}, c.k) AS rn
+         |    FROM subs s JOIN $cb c ON c.m = s.m)
+         |  WHERE rn = 1)""".stripMargin
+    def meansCte(name: String, assign: String): String =
+      s"""$name AS (
+         |  SELECT m, k, list(cv ORDER BY pos)::FLOAT[] AS cw FROM (
+         |    SELECT s.m, a.code AS k, x.pos,
+         |           round(sum(CAST(x.v AS DOUBLE)) / count(*), 6) AS cv
+         |    FROM subs s
+         |    JOIN $assign a ON a.vec_id = s.vec_id AND a.m = s.m,
+         |    LATERAL (SELECT generate_subscripts(s.sub, 1) AS pos,
+         |                    unnest(s.sub) AS v) x
+         |    GROUP BY s.m, a.code, x.pos)
+         |  GROUP BY m, k)""".stripMargin
+    val train = (1 to PqIters).map { t =>
+      assignCte(s"assign$t", s"cb${t - 1}") + ",\n" +
+        meansCte(s"cb$t", s"assign$t")
+    }.mkString(",\n")
+    val cbF = s"cb$PqIters"
+    s"""WITH seeds AS (
+       |  SELECT vec_id, embedding,
+       |         row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS k
+       |  FROM embeddings
+       |  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT $PqK),
+       |subs AS (
+       |  SELECT vec_id, t.m, ${sliceSql("embedding")} AS sub
+       |  FROM embeddings, unnest([$ms]) AS t(m)),
+       |cb0 AS (
+       |  SELECT t.m, k, ${sliceSql("embedding")} AS cw
+       |  FROM seeds, unnest([$ms]) AS t(m)),
+       |$train,
+       |${assignCte("codes", cbF)},
+       |nrm AS (
+       |  SELECT vec_id,
+       |         sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS cn
+       |  FROM embeddings),
+       |q AS (
+       |  SELECT vec_id AS query_id, embedding AS qe,
+       |         sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS qn
+       |  FROM embeddings WHERE vec_id < $NumQueries),
+       |qsubs AS (
+       |  SELECT q.query_id, t.m, ${sliceSql("q.qe")} AS sub
+       |  FROM q, unnest([$ms]) AS t(m)),
+       |qlut AS (
+       |  SELECT s.query_id, c.m, c.k,
+       |         list_dot_product(s.sub::DOUBLE[], c.cw::DOUBLE[]) AS pd
+       |  FROM qsubs s JOIN $cbF c ON c.m = s.m),
+       |adc AS (
+       |  SELECT l.query_id, co.vec_id,
+       |         sum(CASE WHEN co.m = 0 THEN l.pd END) AS p0,
+       |         sum(CASE WHEN co.m = 1 THEN l.pd END) AS p1,
+       |         sum(CASE WHEN co.m = 2 THEN l.pd END) AS p2,
+       |         sum(CASE WHEN co.m = 3 THEN l.pd END) AS p3
+       |  FROM codes co JOIN qlut l ON l.m = co.m AND l.k = co.code
+       |  GROUP BY 1, 2),
+       |short AS (
+       |  SELECT query_id, vec_id FROM (
+       |    SELECT a.query_id, a.vec_id,
+       |           row_number() OVER (PARTITION BY a.query_id
+       |             ORDER BY (a.p0 + a.p1 + a.p2 + a.p3) / (q.qn * n.cn) DESC,
+       |                      a.vec_id) AS srn
+       |    FROM adc a
+       |    JOIN q ON q.query_id = a.query_id
+       |    JOIN nrm n ON n.vec_id = a.vec_id
+       |    WHERE a.vec_id <> a.query_id)
+       |  WHERE srn <= $PqShortlist),
+       |rer AS (
+       |  SELECT s.query_id, s.vec_id AS cand_id,
+       |         round(${cosineSql("q.qe", "e.embedding")}, 6) AS score,
+       |         row_number() OVER (PARTITION BY s.query_id
+       |           ORDER BY ${cosineSql("q.qe", "e.embedding")} DESC, s.vec_id) AS rnk
+       |  FROM short s
+       |  JOIN q ON q.query_id = s.query_id
+       |  JOIN embeddings e ON e.vec_id = s.vec_id)
+       |SELECT query_id, cand_id, score, rnk FROM rer
+       |WHERE rnk <= $TopK ORDER BY query_id, rnk""".stripMargin
+  }
+
+  // --------------------------------------------------- int8 quantization
+
+  /** `embed_quantize`: symmetric per-vector int8 scalar quantization —
+    * scale = max|v|/127, q_i = round(v_i/scale) — with its reconstruction
+    * audit (mse, max abs error, reconstructed-vs-original cosine). The
+    * 4× memory cut (plus exactly-representable dequantization) is the
+    * standard first rung before PQ for serving embeddings at scale.
+    *
+    * Relational shape: one posexplode, two doc-keyed hash aggregations
+    * with map-side combine — no per-element lambda HOFs, no window. The
+    * all-zero vector edge (scale = 0) reconstructs as zeros via the
+    * guarded division IN BOTH ENGINES.
+    */
+  def embedQuantize(s: SparkSession, dir: String): DataFrame = {
+    val ex = emb(s, dir)
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("pos", "v")))
+      .withColumn("v", col("v").cast("double"))
+    val scales = ex.groupBy("vec_id")
+      .agg((max(abs(col("v"))) / 127.0).as("scale"))
+    val rec = ex.join(scales, "vec_id")
+      .withColumn("qv",
+        when(col("scale") === 0.0, lit(0.0))
+          .otherwise(round(col("v") / col("scale")) * col("scale")))
+      .withColumn("err", col("v") - col("qv"))
+    rec.groupBy("vec_id", "scale")
+      .agg(round(sum(col("err") * col("err")) / count(lit(1)), 6).as("mse"),
+        round(max(abs(col("err"))), 6).as("max_abs_err"),
+        sum(col("v") * col("qv")).as("s_vq"),
+        (sqrt(sum(col("v") * col("v"))) * sqrt(sum(col("qv") * col("qv"))))
+          .as("s_den"))
+      // the all-zero vector has a 0 denominator: NULL cosine, matching
+      // DuckDB's x/0 → NULL (Spark ANSI mode would throw instead)
+      .select(col("vec_id"), round(col("scale"), 6).as("scale"),
+        col("mse"), col("max_abs_err"),
+        round(when(col("s_den") === 0.0, lit(null))
+          .otherwise(col("s_vq") / col("s_den")), 6).as("cos_recon"))
+      .orderBy("vec_id")
+  }
+
+  val embedQuantizeSql: String =
+    s"""WITH ex AS (
+       |  SELECT vec_id, x.pos, CAST(x.v AS DOUBLE) AS v
+       |  FROM embeddings,
+       |  LATERAL (SELECT generate_subscripts(embedding, 1) AS pos,
+       |                  unnest(embedding) AS v) x),
+       |scales AS (
+       |  SELECT vec_id, max(abs(v)) / 127.0 AS scale FROM ex GROUP BY 1),
+       |rec AS (
+       |  SELECT e.vec_id, s.scale, e.v,
+       |         CASE WHEN s.scale = 0.0 THEN 0.0
+       |              ELSE round(e.v / s.scale) * s.scale END AS qv
+       |  FROM ex e JOIN scales s ON s.vec_id = e.vec_id)
+       |SELECT vec_id, round(scale, 6) AS scale,
+       |       round(sum((v - qv) * (v - qv)) / count(*), 6) AS mse,
+       |       round(max(abs(v - qv)), 6) AS max_abs_err,
+       |       round(sum(v * qv) /
+       |             (sqrt(sum(v * v)) * sqrt(sum(qv * qv))), 6) AS cos_recon
+       |FROM rec GROUP BY vec_id, scale ORDER BY vec_id""".stripMargin
 }

@@ -83,6 +83,25 @@ object ExplainDump {
         "similarity_ann_ivf — the Lloyd training (broadcast-join " +
         "assignment + map-side partial per-dimension means) runs ONCE " +
         "at index-build time and is absent from the serving plan."),
+    "similarity_ann_pq" ->
+      ("Product-quantization serving: the candidate pass scans the " +
+        "persisted CODES parquet (~12 B/vector — 4 one-byte codes + a " +
+        "stored norm; the raw vectors never stream), joins the " +
+        "broadcast 640-row per-query lookup table, and hash-aggregates " +
+        "the four subspace contributions in fixed order. Only the " +
+        "shortlist (50 ids/query) fetches real vectors for the exact " +
+        "re-rank. Training lives in the one-time index build."),
+    "embed_quantize" ->
+      ("Symmetric int8 quantization audit: one posexplode, two " +
+        "vec-keyed hash aggregations with map-side combine (scale, " +
+        "then reconstruction stats) — no per-element lambda HOFs, no " +
+        "window, no join beyond the scale broadcast."),
+    "decontaminate_frac" ->
+      ("Benchmark-centric coverage fractions: same broadcast-benchmark " +
+        "semi-join as decontaminate; the extra shuffles key on " +
+        "(bench_id, doc_id) HIT pairs — bounded by actual overlap, " +
+        "not corpus size — and the worst-contaminator argmax is a " +
+        "50-group max_by."),
     "decontaminate" ->
       ("The benchmark shingle set is the BROADCAST side; the corpus " +
         "shingle index semi-joins it map-side and partially aggregates " +

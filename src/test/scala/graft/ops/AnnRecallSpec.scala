@@ -38,4 +38,15 @@ class AnnRecallSpec extends AnyFunSuite {
     assert(rIvf >= 0.45, f"seed-codebook IVF recall degraded: $rIvf%.3f")
     assert(rKm >= 0.45, f"trained IVF recall degraded: $rKm%.3f")
   }
+
+  test("PQ ANN keeps usable recall@k vs brute force") {
+    val exact = pairs(Similarity.similarityTopk(spark, dir))
+    val pq = pairs(Similarity.similarityAnnPq(spark, dir))
+    val r = (pq intersect exact).size.toDouble / exact.size
+    info(f"recall@k pq=$r%.3f")
+    // measured 0.46 with shortlist=50 (10% of the 500-vector corpus;
+    // a random shortlist gets ~0.10) — gate below the measurement, far
+    // above what a broken codebook/ADC pass produces
+    assert(r >= 0.35, f"PQ recall degraded: $r%.3f")
+  }
 }

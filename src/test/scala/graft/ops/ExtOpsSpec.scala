@@ -192,6 +192,50 @@ class ExtOpsSpec extends AnyFunSuite {
     assert(new java.io.File(p1).isDirectory && new java.io.File(p2).isDirectory)
   }
 
+  test("embed_quantize: zero vector reconstructs as zeros, unit vector exactly") {
+    import spark.implicits._
+    val d = java.nio.file.Files.createTempDirectory("quant_data").toString
+    Seq(
+      (0L, Array.fill(4)(0.0f), 0),
+      // one hot ±127-representable: quantization is EXACT → mse 0, cos 1
+      (1L, Array(1.0f, 0.0f, 0.0f, 0.0f), 0),
+      (2L, Array(0.5f, -1.0f, 0.25f, 0.125f), 0))
+      .toDF("vec_id", "embedding", "label")
+      .write.parquet(s"$d/embeddings.parquet")
+    val r = Similarity.embedQuantize(spark, d).collect()
+      .map(x => x.getLong(0) -> x).toMap
+    // all-zero vector: scale 0, guarded division → zero reconstruction,
+    // cos undefined (0/0 → NULL in both engines)
+    assert(r(0L).getDouble(1) == 0.0 && r(0L).getDouble(2) == 0.0)
+    assert(r(0L).isNullAt(4) || r(0L).getDouble(4).isNaN)
+    // exact case: scale 1/127, every v_i/scale an integer → zero error
+    assert(r(1L).getDouble(2) == 0.0 && r(1L).getDouble(3) == 0.0)
+    assert(r(1L).getDouble(4) == 1.0)
+    // general case: bounded error (|err| <= scale/2), near-1 cosine
+    assert(r(2L).getDouble(3) <= (1.0 / 127) / 2 + 1e-9)
+    assert(r(2L).getDouble(4) > 0.999)
+  }
+
+  test("decontaminate_frac: planted duplicate yields frac 1, short doc NULLs") {
+    import spark.implicits._
+    val d = java.nio.file.Files.createTempDirectory("frac_data").toString
+    val benchText = "alpha beta gamma delta epsilon"
+    Seq(
+      // benchmark side (doc_id < BenchmarkDocs)
+      (0L, benchText, "en", "web", benchText.length.toLong),
+      (1L, "ab", "en", "web", 2L), // < 3 tokens → no shingles → NULLs
+      // corpus side: an exact copy of bench 0, and an unrelated doc
+      (100L, benchText, "en", "web", benchText.length.toLong),
+      (101L, "zeta eta theta iota kappa", "en", "web", 25L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$d/documents.parquet")
+    val r = Curation.decontaminateFrac(spark, d).collect()
+      .map(x => x.getLong(0) -> x).toMap
+    assert(r(0L).getLong(2) == 100L, "worst contaminator should be the copy")
+    assert(r(0L).getDouble(4) == 1.0, "full-copy coverage fraction must be 1")
+    assert(r(1L).isNullAt(1) && r(1L).isNullAt(2) && r(1L).isNullAt(4))
+  }
+
   test("shared tmp roots: dead-owner siblings are pruned on creation") {
     val name = s"t${System.nanoTime}"
     // a pid that is provably not alive on this host

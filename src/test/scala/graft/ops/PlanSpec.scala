@@ -316,6 +316,23 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("PQ serving is an index read: codes scan + broadcast LUT, no training") {
+    // the Lloyd pass and the encode pass live in pqIndexShared's one-time
+    // build; serving explodes the persisted CODES array (by design — the
+    // ~12 B/vector layout), joins the broadcast 640-row query LUT, and
+    // re-ranks only the shortlist. Training leaks would show up as a
+    // checkpointed frame (ExistingRDD) or a non-broadcast join.
+    val p = plan(Similarity.similarityAnnPq(spark, dir))
+    assert(p.contains("Scan parquet"),
+      s"PQ serving does not read the persisted index:\n$p")
+    assert(!p.contains("ExistingRDD") && !p.contains("LocalTableScan"),
+      s"checkpointed training frame leaked into the PQ serving plan:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"unbounded product in the PQ serving plan:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"PQ serving shuffled a join that must broadcast:\n$p")
+  }
+
   test("similarity_topk_agg aggregates with a map-side partial step") {
     val p = plan(Similarity.similarityTopkAgg(spark, dir))
     assert(p.contains("partial"), s"expected partial top-k buffers:\n$p")

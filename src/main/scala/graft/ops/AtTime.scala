@@ -57,8 +57,10 @@ object AtTime {
 
   def parse(s: String, nowS: Long, tz: ZoneId): Long = {
     // attime.py's normalize: strip whitespace, '_' and ',' — this is
-    // what makes '04:00_20240101' and 'january 8, 2024'-style spacing
-    // parse: the anchored-date '_' is cosmetic, not structural
+    // what makes '04:00_20240101' and 'january 8'-style spacing parse:
+    // the anchored-date '_' is cosmetic, not structural. (A year after
+    // the month-name form — 'january 8, 2024' — is NOT a supported
+    // shape; the month branch rejects it loudly, see `reference`.)
     val t = s.trim.toLowerCase.replaceAll("[\\s_,]+", "")
     if (t.isEmpty) return nowS // graphite: an absent bound is `now`
     // split off trailing signed offsets (the reference itself contains
@@ -125,7 +127,13 @@ object AtTime {
     var minute = 0
     // --- time-of-day prefix (attime.py order: ':' form, bare am/pm,
     // then the named times) ---
+    // the alternatives are MUTUALLY EXCLUSIVE (attime.py's elif chain):
+    // at most one time-of-day form is consumed, so a second suffix like
+    // '8am8pm' stays in `ref` and fails the date match loudly instead
+    // of silently overwriting the hour
     val ci = ref.indexOf(':')
+    val bareAm = ref.indexOf("am")
+    val barePm = ref.indexOf("pm")
     if (ci > 0 && ci < 3) {
       val h = ref.take(ci)
       // minute = the next up-to-2 characters, exactly attime.py's
@@ -140,20 +148,13 @@ object AtTime {
       ref = ref.substring(ci + 1 + mstr.length)
       if (ref.startsWith("am")) ref = ref.drop(2)
       else if (ref.startsWith("pm")) { hour = (hour + 12) % 24; ref = ref.drop(2) }
-    }
-    locally { // 'Xam'/'XXam' bare-hour form
-      val i = ref.indexOf("am")
-      if (i > 0 && i < 3 && ref.take(i).forall(_.isDigit)) {
-        hour = ref.take(i).toInt; minute = 0; ref = ref.drop(i + 2)
-      }
-    }
-    locally { // 'Xpm'/'XXpm'
-      val i = ref.indexOf("pm")
-      if (i > 0 && i < 3 && ref.take(i).forall(_.isDigit)) {
-        hour = (ref.take(i).toInt + 12) % 24; minute = 0; ref = ref.drop(i + 2)
-      }
-    }
-    if (ref.startsWith("noon")) { hour = 12; minute = 0; ref = ref.drop(4) }
+    } else if (bareAm > 0 && bareAm < 3 && ref.take(bareAm).forall(_.isDigit)) {
+      // 'Xam'/'XXam' bare-hour form
+      hour = ref.take(bareAm).toInt; minute = 0; ref = ref.drop(bareAm + 2)
+    } else if (barePm > 0 && barePm < 3 && ref.take(barePm).forall(_.isDigit)) {
+      // 'Xpm'/'XXpm'
+      hour = (ref.take(barePm).toInt + 12) % 24; minute = 0; ref = ref.drop(barePm + 2)
+    } else if (ref.startsWith("noon")) { hour = 12; minute = 0; ref = ref.drop(4) }
     else if (ref.startsWith("midnight")) { hour = 0; minute = 0; ref = ref.drop(8) }
     else if (ref.startsWith("teatime")) { hour = 16; minute = 0; ref = ref.drop(7) }
     require(hour < 24 && minute < 60, s"time-of-day out of range in '$r'")
@@ -180,20 +181,23 @@ object AtTime {
         LocalDate.of(d.take(4).toInt, d.substring(4, 6).toInt,
           d.substring(6, 8).toInt)
       case d if d.length >= 3 && MonthNames.contains(d.take(3)) =>
-        // monthName dayNumber ('jan8'): day = trailing 1-2 digits;
-        // attime ignores the letters in between — we require them to
-        // keep spelling the month so typos fail loudly instead of
-        // silently resolving
-        val day = d.takeRight(2) match {
-          case t if t.forall(_.isDigit) => t.toInt
-          case t if t.takeRight(1).forall(_.isDigit) => t.takeRight(1).toInt
-          case _ => throw new IllegalArgumentException(
-            s"day of month required after month name in '$d'")
-        }
+        // monthName dayNumber ('jan8', 'january 8'): day = trailing 1-2
+        // digits, year = the CURRENT year — attime has no year slot in
+        // this form (attime.py reads int(ref[-2:]), so 'january 8 2024'
+        // there silently resolves to Jan 24). We reject a longer digit
+        // suffix loudly rather than reproduce that misparse, and
+        // require the letters to keep spelling the month so typos fail
+        // instead of silently resolving.
         val letters = d.takeWhile(_.isLetter)
+        val digits = d.drop(letters.length)
+        if (!digits.forall(_.isDigit) || digits.isEmpty)
+          throw new IllegalArgumentException(
+            s"day of month required after month name in '$d'")
+        require(digits.length <= 2,
+          s"month-name dates carry no year slot in attime; got '$d'")
         require(MonthFull(d.take(3)).startsWith(letters),
           s"unparseable month name in '$d'")
-        LocalDate.of(today.getYear, MonthNames(d.take(3)), day)
+        LocalDate.of(today.getYear, MonthNames(d.take(3)), digits.toInt)
       case d if dayOf(d).isDefined =>
         // most recent such day (today qualifies); graphite matches
         // weekday names by their first three letters

@@ -1344,8 +1344,12 @@ object RenderTarget {
         // Counts need the raw point stream, not the shared per-bucket
         // AVG — a second scan, but tag + time predicates push down and
         // [[leafGlobs]] keeps these tags out of the shared-scan regex.
-        val tags = (cs.collect { case Leaf(n) => unquote(n) }
-          .filter(t => t.nonEmpty && t != "*") ++ args.map(unquote))
+        // '*' in ANY position is the all-events wildcard: it clears the
+        // whole tag filter rather than dropping out of the list (else
+        // events('view','*') would silently narrow to just 'view')
+        val named = (cs.collect { case Leaf(n) => unquote(n) } ++
+          args.map(unquote)).filter(_.nonEmpty)
+        val tags = if (named.contains("*")) Seq.empty[String] else named
         val name = s"events(${tags.mkString(",")})"
         val sel = if (tags.isEmpty) lit(true) else col("metric").isin(tags: _*)
         val cnt = pts
@@ -1845,6 +1849,13 @@ object RenderTarget {
           .getOrElse(untilI)
         require(lo < hi,
           s"linearRegression: empty source window [$lo, $hi)")
+        // the child frame ends at the request `until` ([[historyExtS]]
+        // extends it backward only); a source window past that edge
+        // would silently fit on a clipped frame — reject it loudly.
+        // (graphite re-fetches the source range independently, so
+        // endSourceAt>until works there; documented deviation.)
+        require(hi <= untilI, "linearRegression: endSourceAt past the " +
+          s"request until is unsupported (source [$lo, $hi) vs frame end $untilI)")
         val x = col("bucket_ts") - lit(lo)
         val fit = broadcast(df
           .filter(col("bucket_ts") >= lo && col("bucket_ts") < hi)

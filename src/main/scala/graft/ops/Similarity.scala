@@ -645,8 +645,10 @@ object Similarity {
         sum(col("v") * col("qv")).as("s_vq"),
         (sqrt(sum(col("v") * col("v"))) * sqrt(sum(col("qv") * col("qv"))))
           .as("s_den"))
-      // the all-zero vector has a 0 denominator: NULL cosine, matching
-      // DuckDB's x/0 → NULL (Spark ANSI mode would throw instead)
+      // the all-zero vector has a 0 denominator: NULL cosine by
+      // explicit guard in BOTH engines (the oracle mirrors this CASE;
+      // modern DuckDB is IEEE — 0/0 would be NaN there, and Spark ANSI
+      // would throw — so neither side may divide unguarded)
       .select(col("vec_id"), round(col("scale"), 6).as("scale"),
         col("mse"), col("max_abs_err"),
         round(when(col("s_den") === 0.0, lit(null))
@@ -670,7 +672,10 @@ object Similarity {
        |SELECT vec_id, round(scale, 6) AS scale,
        |       round(sum((v - qv) * (v - qv)) / count(*), 6) AS mse,
        |       round(max(abs(v - qv)), 6) AS max_abs_err,
-       |       round(sum(v * qv) /
-       |             (sqrt(sum(v * v)) * sqrt(sum(qv * qv))), 6) AS cos_recon
+       |       round(CASE WHEN sqrt(sum(v * v)) * sqrt(sum(qv * qv)) = 0.0
+       |                  THEN NULL
+       |                  ELSE sum(v * qv) /
+       |                       (sqrt(sum(v * v)) * sqrt(sum(qv * qv))) END,
+       |             6) AS cos_recon
        |FROM rec GROUP BY vec_id, scale ORDER BY vec_id""".stripMargin
 }

@@ -48,9 +48,11 @@ object Carbon {
     val obs = Observation("carbon_parse")
     (classified(lines, nowS)
       .observe(obs,
-        sum(when(col("nonblank") && !col("ok"), 1L).otherwise(0L))
-          .as("dropped"),
-        sum(when(col("ok"), 1L).otherwise(0L)).as("accepted"))
+        // count(when) not sum(when): sum over a zero-row frame is NULL,
+        // and an empty batch must report dropped = accepted = 0, not
+        // NPE the monitoring code reading the metric as a Long
+        count(when(col("nonblank") && !col("ok"), 1L)).as("dropped"),
+        count(when(col("ok"), 1L)).as("accepted"))
       .filter(col("ok"))
       .select(col("metric"), col("ts_s"), col("value")), obs)
   }
@@ -63,9 +65,10 @@ object Carbon {
       name: String = "carbon_parse"): DataFrame =
     classified(lines, nowS)
       .observe(name,
-        sum(when(col("nonblank") && !col("ok"), 1L).otherwise(0L))
-          .as("dropped"),
-        sum(when(col("ok"), 1L).otherwise(0L)).as("accepted"))
+        // count(when), matching [[parsedObserved]]: an empty
+        // micro-batch — routine in streaming — must observe 0, not NULL
+        count(when(col("nonblank") && !col("ok"), 1L)).as("dropped"),
+        count(when(col("ok"), 1L)).as("accepted"))
       .filter(col("ok"))
       .select(col("metric"), col("ts_s"), col("value"))
 

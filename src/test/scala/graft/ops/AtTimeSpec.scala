@@ -81,6 +81,10 @@ class AtTimeSpec extends AnyFunSuite {
     // time-of-day composes with day references
     assert(p("8am yesterday") == Midnight - 86400 + 8 * 3600)
     assert(p("8pm monday") == Midnight - 2 * 86400 + 20 * 3600)
+    // the time-of-day alternatives are mutually exclusive (attime's
+    // elif chain): a second suffix is garbage, not a silent overwrite
+    intercept[IllegalArgumentException](p("8am8pm"))
+    intercept[IllegalArgumentException](p("8:30am8pm"))
   }
 
   test("month-name dates (day required, current year, no year slot)") {
@@ -92,6 +96,11 @@ class AtTimeSpec extends AnyFunSuite {
     assert(p("jan 31") == Midnight)
     intercept[IllegalArgumentException](p("jan"))      // day required
     intercept[IllegalArgumentException](p("janx8"))    // typo'd month
+    // a year after the day has no slot in this form; attime.py reads
+    // int(ref[-2:]) and silently resolves 'january 8 2024' to Jan 24 —
+    // we reject the misparse loudly instead of reproducing it
+    intercept[IllegalArgumentException](p("january 8, 2024"))
+    intercept[IllegalArgumentException](p("jan8x9"))   // garbage between
   }
 
   test("8-digit epoch falls back when the date shape is invalid") {

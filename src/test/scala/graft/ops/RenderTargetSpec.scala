@@ -729,6 +729,17 @@ class RenderTargetSpec extends AnyFunSuite {
       250L, 360L, 60).collect()
     assert(odd.nonEmpty && odd.forall(r => !r.isNullAt(2)),
       "misaligned history extension desynced the render grid")
+    // the frame only extends BACKWARD: a source window past the request
+    // until would silently fit on clipped data — it must throw instead
+    // (review r10; graphite re-fetches the source range, we don't)
+    intercept[IllegalArgumentException] {
+      RenderTarget.evaluate(spark, p,
+        "linearRegression(m.a, '0', '600')", 0L, 360L, 60)
+    }
+    intercept[IllegalArgumentException] { // window entirely after until
+      RenderTarget.evaluate(spark, p,
+        "linearRegression(m.a, '420', '600')", 0L, 360L, 60)
+    }
   }
 
   test("generators span the history-extended grid; step args propagate") {
@@ -787,6 +798,13 @@ class RenderTargetSpec extends AnyFunSuite {
     assert(ev == Seq((60L, 2.0), (120L, 0.0), (180L, 1.0), (240L, 0.0)))
     assert(RenderTarget.evaluate(spark, p, "events('view', 'click')",
       0L, 120L, 60).collect().map(_.getDouble(2)).toSeq == Seq(3.0, 0.0))
+    // '*' is the all-events wildcard in ANY tag position, not just the
+    // first (review r10: the filter bound only to the first parsed tag)
+    val all = RenderTarget.evaluate(spark, p, "events('*')", 0L, 120L, 60)
+      .collect().map(_.getDouble(2)).toSeq
+    assert(all == Seq(3.0, 0.0))
+    assert(RenderTarget.evaluate(spark, p, "events('view', '*')",
+      0L, 120L, 60).collect().map(_.getDouble(2)).toSeq == all)
   }
 
   test("aggregateLine flattens; fallbackSeries switches on emptiness") {

@@ -51,6 +51,13 @@ class CarbonSpec extends AnyFunSuite {
     assert(obs.get("accepted") == 1L)
     // the observed frame parses identically to the plain parse path
     assert(pts.columns.toSeq == Seq("metric", "ts_s", "value"))
+    // a zero-row input must observe 0, not NULL (sum over an empty
+    // frame is NULL; count(when) is not) — empty micro-batches are
+    // routine in the streaming ingest this API serves (review r10)
+    val (nonePts, noneObs) = Carbon.parsedObserved(lines(), nowS = 0L)
+    assert(nonePts.count() == 0)
+    assert(noneObs.get("dropped") == 0L)
+    assert(noneObs.get("accepted") == 0L)
   }
 
   test("format fails loudly on null fields instead of leaking 2-token lines") {

@@ -450,4 +450,88 @@ object Curation {
        |            WHEN bucket < $ValCut THEN 'val'
        |            ELSE 'test' END AS split
        |FROM b ORDER BY doc_id""".stripMargin
+
+  // ------------------------------------------- X32 DSIR importance weight
+
+  /** Hashed-feature bucket count for [[dsirWeight]] — 256 buckets from
+    * the first two md5 nibbles, the same portable hex-nibble arithmetic
+    * as [[splitAssign]] (`position` in Spark, `strpos` in DuckDB).
+    */
+  val DsirBuckets = 256
+
+  /** Sources standing in for the high-quality TARGET distribution
+    * (DSIR's p_target sample — a curated domain like wikipedia in a real
+    * pipeline; two synthetic sources here so the target is a strict,
+    * non-trivial subset of the corpus).
+    */
+  val DsirTargetSources: Seq[String] = Seq("src1", "src2")
+
+  /** `dsir_weight`: Data Selection via Importance Resampling (Xie et
+    * al., NeurIPS 2023) — per-document importance weight
+    * `mean over token instances of ln p_target(bucket) − ln p_raw(bucket)`
+    * under hashed-unigram bag-of-words models with add-one smoothing
+    * over [[DsirBuckets]] buckets. Documents scoring high look like the
+    * target distribution and get up-sampled by the selection step; this
+    * op emits the weight (the resample itself is a keep-filter away, as
+    * with [[PipelineOps.sampleStratified]]).
+    *
+    * Scale shape: the feature hash is map-side arithmetic on each
+    * exploded token; BOTH distributions come out of ONE partial-
+    * aggregated pass over the token stream (`count(*)` and a filtered
+    * count per bucket — no second corpus scan for the target side, it is
+    * a subset); the bucket→weight table is ≤ 256 rows → broadcast back
+    * into the per-doc mean, which is one doc_id-keyed aggregate. At
+    * 100 TB: train the bucket models on a sample, freeze, score the full
+    * corpus in a single pass — identical plan, sampled train input.
+    */
+  def dsirWeight(s: SparkSession, dir: String): DataFrame = {
+    val nibble =
+      "(position(substring(h, 1, 1), '0123456789abcdef') - 1) * 16 + " +
+        "(position(substring(h, 2, 1), '0123456789abcdef') - 1)"
+    val tok = docs(s, dir)
+      .select(col("doc_id"), col("source"), explode(expr(toksExpr)).as("t"))
+      .withColumn("h", md5(col("t")))
+      .withColumn("b", expr(nibble))
+      .drop("h")
+    val isTgt = col("source").isin(DsirTargetSources: _*)
+    // one token-stream pass: raw and target bucket counts together
+    val counts = tok.groupBy("b")
+      .agg(count(lit(1)).as("cr"), count(when(isTgt, 1)).as("ct"))
+    val totals = counts.agg(sum(col("cr")).as("nr"), sum(col("ct")).as("nt"))
+    val w = counts.crossJoin(broadcast(totals))
+      .select(col("b"),
+        (log((col("ct") + 1).cast("double") / (col("nt") + DsirBuckets)) -
+          log((col("cr") + 1).cast("double") / (col("nr") + DsirBuckets)))
+          .as("w"))
+    tok.join(broadcast(w), "b")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        round(avg(col("w")), 6).as("dsir_weight"))
+      .orderBy("doc_id")
+  }
+
+  val dsirWeightSql: String = {
+    val tgt = DsirTargetSources.map(s => s"'$s'").mkString(", ")
+    s"""WITH tok AS (
+       |  SELECT doc_id, source, md5(t) AS h
+       |  FROM (SELECT doc_id, source, unnest($toksSql) AS t FROM documents)),
+       |tb AS (
+       |  SELECT doc_id, source,
+       |         (strpos('0123456789abcdef', substr(h, 1, 1)) - 1) * 16 +
+       |         (strpos('0123456789abcdef', substr(h, 2, 1)) - 1) AS b
+       |  FROM tok),
+       |counts AS (
+       |  SELECT b, count(*) AS cr,
+       |         count(CASE WHEN source IN ($tgt) THEN 1 END) AS ct
+       |  FROM tb GROUP BY 1),
+       |totals AS (SELECT sum(cr) AS nr, sum(ct) AS nt FROM counts),
+       |w AS (
+       |  SELECT b, ln((ct + 1) * 1.0 / (nt + $DsirBuckets)) -
+       |            ln((cr + 1) * 1.0 / (nr + $DsirBuckets)) AS w
+       |  FROM counts CROSS JOIN totals)
+       |SELECT doc_id, count(*) AS n_tokens,
+       |       round(avg(w), 6) AS dsir_weight
+       |FROM tb JOIN w USING (b)
+       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+  }
 }

@@ -1,5 +1,6 @@
 package graft.ops
 
+import graft.functions.BloomMightContain
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -220,6 +221,68 @@ object Dedup {
   val dedupExactSql: String =
     """SELECT min(doc_id) AS doc_id, count(*) AS n
       |FROM documents GROUP BY md5(text) ORDER BY doc_id""".stripMargin
+
+  // ------------------------------------------------ X30 incremental dedup
+
+  /** `dedup_incremental`: dedup a NEW batch against an existing reference
+    * corpus — the daily-crawl-vs-historical-archive shape, where
+    * re-deduplicating the whole corpus per delivery is a non-starter.
+    * Fixture roles are carved deterministically from `documents`:
+    * reference = `doc_id % 3 != 0`; batch = the genuinely-new docs
+    * (`doc_id % 3 = 0`) plus a re-crawl slice (`doc_id % 15 = 1`, always
+    * reference members, re-keyed `+ 10_000_000`) whose text the
+    * reference already holds. Output = batch survivors.
+    *
+    * Scale shape (the reason this is not just [[dedupExact]] over the
+    * union): the reference is summarized ONCE into a Bloom filter over
+    * `xxhash64(text)` — bits ≪ corpus, built distributed by
+    * `DataFrameStatFunctions.bloomFilter`'s treeAggregate — and probed
+    * map-side via [[graft.functions.BloomMightContain]] (native codegen
+    * expression, stays in the scan's WholeStageCodegen). Bloom-NEGATIVE
+    * batch rows are definitely novel: they bypass the join and its
+    * shuffle entirely. Only bloom-positive rows (true dupes + the
+    * filter's fp rate) reach the exact-confirm anti-join on `md5(text)`,
+    * so the shuffle is bounded by hit volume, not batch size — and the
+    * result is exactly the anti-join's (false positives are filtered by
+    * the join; false negatives don't exist). At 100 TB the filter is
+    * built once per corpus epoch and reused across every delivery; the
+    * capacity bound below comes from the corpus row count (a
+    * parquet-footer count — no data scan).
+    */
+  def dedupIncremental(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val ref = d.filter(col("doc_id") % 3 =!= 0)
+    val batch = d.filter(col("doc_id") % 3 === 0)
+      .select(col("doc_id"), col("text"), col("source"))
+      .unionByName(d.filter(col("doc_id") % 15 === 1)
+        .select((col("doc_id") + 10000000L).as("doc_id"), col("text"),
+          col("source")))
+    // capacity from the footer-only total count; over-sizing a Bloom
+    // filter only lowers its fp rate
+    val bloom = ref.select(xxhash64(col("text")).as("h"))
+      .stat.bloomFilter("h", math.max(d.count(), 1L), 0.03)
+    val probed = batch
+      .withColumn("mc", BloomMightContain.probe(xxhash64(col("text")), bloom))
+    val sure = probed.filter(!col("mc"))
+    val confirmed = probed.filter(col("mc"))
+      .withColumn("text_hash", md5(col("text")))
+      .join(ref.select(md5(col("text")).as("text_hash")),
+        Seq("text_hash"), "left_anti")
+    sure.select(col("doc_id"), col("source"))
+      .unionByName(confirmed.select(col("doc_id"), col("source")))
+      .orderBy("doc_id")
+  }
+
+  val dedupIncrementalSql: String =
+    """WITH ref AS (SELECT text FROM documents WHERE doc_id % 3 <> 0),
+      |batch AS (
+      |  SELECT doc_id, text, source FROM documents WHERE doc_id % 3 = 0
+      |  UNION ALL
+      |  SELECT doc_id + 10000000, text, source FROM documents
+      |  WHERE doc_id % 15 = 1)
+      |SELECT b.doc_id, b.source FROM batch b
+      |WHERE NOT EXISTS (SELECT 1 FROM ref r WHERE r.text = b.text)
+      |ORDER BY b.doc_id""".stripMargin
 
   // ----------------------------------------------------- X2 fuzzy (prefix)
 

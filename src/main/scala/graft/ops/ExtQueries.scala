@@ -14,6 +14,7 @@ object ExtQueries {
     "dedup_simhash_pairs" -> (Dedup.dedupSimhashPairs _),
     "dedup_embedding" -> (Dedup.dedupEmbedding _),
     "dedup_cluster" -> (Dedup.dedupCluster _),
+    "dedup_incremental" -> (Dedup.dedupIncremental _),
     "sessionize" -> (PipelineOps.sessionize _),
     "sessionize_scalable" -> (PipelineOps.sessionizeScalable _),
     "sample_stratified" -> (PipelineOps.sampleStratified _),
@@ -46,7 +47,9 @@ object ExtQueries {
     "text_repetition" -> (Curation.textRepetition _),
     "split_assign" -> (Curation.splitAssign _),
     "split_assign_safe" -> (Curation.splitAssignSafe _),
-    "curate" -> (Curation.curate _)
+    "curate" -> (Curation.curate _),
+    "text_boilerplate" -> (TextAnalysis.textBoilerplate _),
+    "dsir_weight" -> (Curation.dsirWeight _)
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -58,6 +61,7 @@ object ExtQueries {
     "dedup_simhash_pairs" -> Dedup.dedupSimhashPairsSql,
     "dedup_embedding" -> Dedup.dedupEmbeddingSql,
     "dedup_cluster" -> Dedup.dedupClusterSql,
+    "dedup_incremental" -> Dedup.dedupIncrementalSql,
     "sessionize" -> PipelineOps.sessionizeSql,
     // the two-pass skew-safe form must match the single-window form
     // byte-for-byte — one oracle covers both
@@ -96,6 +100,8 @@ object ExtQueries {
     "text_repetition" -> Curation.textRepetitionSql,
     "split_assign" -> Curation.splitAssignSql,
     "split_assign_safe" -> Curation.splitAssignSafeSql,
-    "curate" -> Curation.curateSql
+    "curate" -> Curation.curateSql,
+    "text_boilerplate" -> TextAnalysis.textBoilerplateSql,
+    "dsir_weight" -> Curation.dsirWeightSql
   )
 }

@@ -306,4 +306,53 @@ object TextAnalysis {
        |       count(*) AS n_bigrams
        |FROM bi JOIN big USING (t1, t2) JOIN uni USING (t1) CROSS JOIN vsz
        |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  // ------------------------------------------- X31 cross-doc boilerplate
+
+  /** Doc-frequency threshold above which a shingle counts as boilerplate
+    * (it appears in ≥ this many distinct documents).
+    */
+  val BoilerplateDf = 3
+
+  /** `text_boilerplate`: per-document fraction of distinct 3-gram
+    * shingles that are CROSS-document boilerplate — shingles occurring
+    * in ≥ [[BoilerplateDf]] distinct docs. The web-curation signal
+    * behind navigation/footer stripping (RefinedWeb/C4-style): a doc
+    * made of corpus-common spans is template, not content. Distinct
+    * from X15's `text_repetition`, which scores WITHIN-doc repetition;
+    * X14's decontamination flags overlap with a benchmark, not with the
+    * corpus itself.
+    *
+    * Reads the amortized shared shingle index ([[Dedup.shingleSetShared]]
+    * — one build per corpus, every consumer scans it); doc frequency is
+    * one partial-aggregated shuffle keyed by shingle; the join back is
+    * shingle-keyed. At 100 TB the ≥df shingle set (boilerplate is by
+    * construction a tiny head of the distribution) drops out of the
+    * aggregate broadcast-sized, so the join back can run as a map-side
+    * semi-probe; this relational equi-join form is the same plan with
+    * AQE free to pick the broadcast side.
+    */
+  def textBoilerplate(s: SparkSession, dir: String): DataFrame = {
+    val u = Dedup.shingleSetShared(s, dir)
+    // u is distinct per (doc_id, g): count(*) IS the doc frequency
+    val dfq = u.groupBy("g").agg(count(lit(1)).as("df"))
+    u.join(dfq, "g")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_shingles"),
+        count(when(col("df") >= BoilerplateDf, 1)).as("n_common"))
+      .select(col("doc_id"), col("n_shingles"), col("n_common"),
+        round(col("n_common").cast("double") / col("n_shingles"), 6)
+          .as("boilerplate_frac"))
+      .orderBy("doc_id")
+  }
+
+  val textBoilerplateSql: String =
+    s"""WITH ${Dedup.shingleUSql},
+       |dfq AS (SELECT g, count(*) AS df FROM shingle_u GROUP BY 1)
+       |SELECT u.doc_id, count(*) AS n_shingles,
+       |       count(CASE WHEN dfq.df >= ${BoilerplateDf} THEN 1 END) AS n_common,
+       |       round(count(CASE WHEN dfq.df >= ${BoilerplateDf} THEN 1 END)
+       |             * 1.0 / count(*), 6) AS boilerplate_frac
+       |FROM shingle_u u JOIN dfq USING (g)
+       |GROUP BY u.doc_id ORDER BY u.doc_id""".stripMargin
 }

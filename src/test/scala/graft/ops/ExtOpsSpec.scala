@@ -251,4 +251,76 @@ class ExtOpsSpec extends AnyFunSuite {
       name)(p => { new java.io.File(p).mkdirs(); () })
     assert(!orphan.exists(), "dead-pid orphan root should have been pruned")
   }
+
+  test("dedup_incremental: bloom+confirm path is exactly the anti-join") {
+    import spark.implicits._
+    val d = spark.read.parquet(s"$dir/documents.parquet")
+    // the plain anti-join the bloom split must reproduce EXACTLY
+    // (false positives filtered by the confirm join; negatives bypass)
+    val ref = d.filter(col("doc_id") % 3 =!= 0).select(col("text"))
+    val batch = d.filter(col("doc_id") % 3 === 0)
+      .select(col("doc_id"), col("text"))
+      .unionByName(d.filter(col("doc_id") % 15 === 1)
+        .select((col("doc_id") + 10000000L).as("doc_id"), col("text")))
+    val expected = batch.join(ref, Seq("text"), "left_anti")
+      .select("doc_id").as[Long].collect().toSet
+    val got = Dedup.dedupIncremental(spark, dir).select("doc_id")
+      .as[Long].collect().toSet
+    assert(got == expected)
+    // every re-crawled duplicate (+10M ids, text already in the
+    // reference by construction) must have been dropped
+    assert(!got.exists(_ >= 10000000L))
+    assert(got.nonEmpty)
+  }
+
+  test("BloomMightContain: no false negatives, bounded false positives") {
+    import spark.implicits._
+    val items = (0L until 500L).map(_ * 7919L)
+    val src = items.toDF("h")
+    val bf = src.stat.bloomFilter("h", 1000L, 0.03)
+    val probe = graft.functions.BloomMightContain.probe(col("h"), bf)
+    // members: a bloom filter NEVER rejects an inserted item
+    assert(src.filter(probe).count() == items.size)
+    // non-members: fp rate should be near the configured 3%
+    val miss = (1L to 2000L).map(_ * 7919L + 3L).toDF("h")
+    val fp = miss.filter(probe).count()
+    assert(fp < 200, s"false-positive count $fp far above the 3% design point")
+  }
+
+  test("text_boilerplate matches a collect-side recomputation") {
+    val got = TextAnalysis.textBoilerplate(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3))))
+      .toMap
+    // brute-force recompute from the raw corpus on the driver
+    val texts = spark.read.parquet(s"$dir/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).toLowerCase.split(" ").toSeq)
+    val shingles = texts.map { case (id, t) =>
+      id -> t.sliding(3).filter(_.size == 3).map(_.mkString(" ")).toSet
+    }.toMap
+    val df = shingles.values.flatten.groupBy(identity).map { case (g, o) => g -> o.size }
+    for ((id, ss) <- shingles) {
+      val common = ss.count(g => df(g) >= TextAnalysis.BoilerplateDf)
+      val (n, c, f) = got(id)
+      assert(n == ss.size && c == common, s"doc $id")
+      assert(math.abs(f - common.toDouble / ss.size) < 1e-6, s"doc $id frac")
+    }
+  }
+
+  test("dsir_weight: target-source documents score above the rest") {
+    val w = Curation.dsirWeight(spark, dir)
+      .join(spark.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"), col("source")), "doc_id")
+    val isT = col("source").isin(Curation.DsirTargetSources: _*)
+    val Array(tgt, rest) = w.agg(
+      avg(when(isT, col("dsir_weight"))),
+      avg(when(!isT, col("dsir_weight")))).collect().head
+      .toSeq.map(_.asInstanceOf[Double]).toArray
+    // the whole point of the importance weight: documents drawn from the
+    // target distribution must rank above the rest on average
+    assert(tgt > rest, s"target mean $tgt not above non-target mean $rest")
+    // and the weight is a proper log-ratio mean: finite everywhere
+    assert(w.filter(col("dsir_weight").isNull || isnan(col("dsir_weight")))
+      .count() == 0)
+  }
 }

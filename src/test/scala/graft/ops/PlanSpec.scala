@@ -536,4 +536,25 @@ class PlanSpec extends AnyFunSuite {
     assert(!servableFrom(az60, az3600),
       "avg_zero served across a skipped edge (double-divides the window)")
   }
+
+  test("dedup_incremental probes the bloom in-plan; confirm join stays anti") {
+    val p = plan(Dedup.dedupIncremental(spark, dir))
+    // the membership prefilter is the native expression, not a UDF —
+    // its name in the plan is the proof it stayed a codegen'd Filter
+    assert(p.contains("bloom_might_contain"),
+      s"no in-plan bloom probe (did the prefilter fall off?):\n$p")
+    // exactness comes from the anti-join on the bloom-positive slice
+    assert(p.contains("LeftAnti"), s"no exact-confirm anti join:\n$p")
+  }
+
+  test("dsir_weight broadcasts the bucket-weight table, never the tokens") {
+    val p = plan(Curation.dsirWeight(spark, dir))
+    // the <=256-row bucket→weight frame rides a broadcast back onto the
+    // exploded token stream; a shuffle join here would re-shuffle the
+    // full token volume at 100 TB
+    assert(p.contains("BroadcastHashJoin"),
+      s"bucket weights not broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"token stream is being shuffle-joined:\n$p")
+  }
 }

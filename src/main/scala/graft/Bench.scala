@@ -97,20 +97,12 @@ object Bench {
     // regression tripwire: diff per-key medians against the newest saved
     // BENCH_r*.json in the cwd (the driver's previous-round artifact), so
     // rig-noise vs real regression is visible without a judge re-run.
-    // The saved file's tail may be TRUNCATED mid-map (the driver keeps
-    // only the end of stdout) — parse whatever pairs survive, best-effort.
     val prevBench: Map[String, Double] = try {
       val files = Option(new java.io.File(".").listFiles()).getOrElse(Array())
         .filter(_.getName.matches("BENCH_r\\d+\\.json"))
         .sortBy(f => f.getName.replaceAll("\\D", "").toInt)
       files.lastOption.map { f =>
-        val txt = new String(java.nio.file.Files.readAllBytes(f.toPath))
-        val block = txt.indexOf("\"queries\":{") match {
-          case -1 => ""
-          case i => txt.substring(i + 11).takeWhile(_ != '}')
-        }
-        "\"([A-Za-z0-9_]+)\":([0-9.Ee+-]+)".r.findAllMatchIn(block)
-          .map(m => m.group(1) -> m.group(2).toDouble).toMap
+        parsePrevBench(new String(java.nio.file.Files.readAllBytes(f.toPath)))
       }.getOrElse(Map.empty)
     } catch { case _: Throwable => Map.empty }
     val slower = results.flatMap { case (k, med, _) =>
@@ -140,5 +132,33 @@ object Bench {
     println(s"""{"metric":"total","value":$total,"total_cold":$totalCold,""" +
       s""""unit":"sec","runs":$Runs,"keys":${results.size},"sf":"$sfDir"}""")
     spark.stop()
+  }
+
+  /** Best-effort per-key timings from a prior round's BENCH_r*.json.
+    * The driver wraps our stdout in its own JSON (`{n, rc, tail, …}`)
+    * and keeps only the TAIL of the output, so (a) the per-key pairs sit
+    * ESCAPED inside the `tail` string (`\"key\":0.21`), (b) the
+    * `"queries":{` marker — and any prefix of the median map — may be
+    * truncated away, and (c) the surviving text also carries the
+    * `queries_cold` map and summary fields. So: unescape, scan the WHOLE
+    * text for name:number pairs, keep the FIRST occurrence per key
+    * (medians precede cold values in the stream; where the median was
+    * truncated off, the cold value stands in — conservative for a
+    * median-vs-prev comparison), and drop the known non-key fields.
+    * The r10 predecessor required the marker verbatim and unescaped
+    * nothing, which made the tripwire silently vacuous on every real
+    * driver artifact.
+    */
+  private[graft] def parsePrevBench(raw: String): Map[String, Double] = {
+    val txt = raw.replace("\\\"", "\"")
+    val meta = Set("n", "rc", "cpus", "sf", "value", "total_cold", "runs",
+      "keys", "prev", "now")
+    "\"([A-Za-z0-9_]+)\":([0-9]+\\.?[0-9]*(?:[Ee][+-]?[0-9]+)?)".r
+      .findAllMatchIn(txt)
+      .foldLeft(Map.empty[String, Double]) { (m, g) =>
+        val k = g.group(1)
+        if (meta(k) || m.contains(k)) m
+        else m + (k -> g.group(2).toDouble)
+      }
   }
 }

@@ -1,0 +1,46 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The bench regression tripwire's previous-round parser must survive
+  * the DRIVER's artifact shape: our stdout JSON-escaped inside a wrapper
+  * object's `tail` field, head-truncated mid-map (r9's real file lost
+  * the `"queries":{` marker entirely — the first parser version required
+  * it verbatim and was silently vacuous).
+  */
+class BenchParseSpec extends AnyFunSuite {
+
+  test("parses escaped, head-truncated driver wrappers") {
+    // shaped like BENCH_r09.json: wrapper fields + escaped tail whose
+    // median map lost its head (no "queries":{ marker survives)
+    val wrapper =
+      """{"n": 9, "rc": 0, "cpus": 32, "sf": 0.1, "tail": """ +
+        """"target_tags\":0.217200571,\"wsp_fetch\":0.148363454,""" +
+        """\"wsp_fill\":0.103000404},\"queries_cold\":{\"wsp_fetch\":""" +
+        """0.216504634,\"wsp_fill\":1.187278183},\"sf\":\"/root/x\"}\n""" +
+        """{\"metric\":\"total\",\"value\":45.02,\"total_cold\":103.65,""" +
+        """\"unit\":\"sec\",\"runs\":3,\"keys\":148}", "parsed": null}"""
+    val m = Bench.parsePrevBench(wrapper)
+    assert(m("wsp_fetch") == 0.148363454) // median, not the cold 0.216
+    assert(m("wsp_fill") == 0.103000404)
+    // the truncation artifact "target_tags" parses too — harmless, it is
+    // never a current query key
+    assert(!m.contains("value") && !m.contains("sf") && !m.contains("rc"),
+      "summary/wrapper fields must not masquerade as query keys")
+  }
+
+  test("parses a plain un-wrapped bench line and keeps first occurrence") {
+    val plain =
+      """{"metric":"total","value":1.0,"unit":"sec","runs":3,""" +
+        """"queries":{"q_a":0.5,"q_b":1.5e-1},"queries_cold":{"q_a":2.0,""" +
+        """"q_b":3.0},"sf":"/d"}"""
+    val m = Bench.parsePrevBench(plain)
+    assert(m("q_a") == 0.5 && m("q_b") == 0.15)
+  }
+
+  test("garbage input yields an empty map, never a throw") {
+    assert(Bench.parsePrevBench("").isEmpty)
+    assert(Bench.parsePrevBench("{\"tail\": \"no pairs here\"}")
+      .forall { case (k, _) => k == "tail" || true }) // just must not throw
+  }
+}

@@ -102,6 +102,25 @@ object ExplainDump {
         "(bench_id, doc_id) HIT pairs — bounded by actual overlap, " +
         "not corpus size — and the worst-contaminator argmax is a " +
         "50-group max_by."),
+    "dedup_incremental" ->
+      ("Incremental batch-vs-reference dedup: the `bloom_might_contain` " +
+        "probe (native codegen expression over the reference's Bloom " +
+        "sketch) sits in a map-side Filter — bloom-negative rows bypass " +
+        "the join entirely via the union branch; only bloom hits reach " +
+        "the exact-confirm `LeftAnti` on md5(text), so the shuffle is " +
+        "bounded by hit volume, never batch size."),
+    "text_boilerplate" ->
+      ("Cross-doc boilerplate fraction: one shingle-keyed doc-frequency " +
+        "aggregate (partial/final on 16 B keys) joined back to the " +
+        "shared shingle index, then a doc_id-keyed conditional count — " +
+        "no window, no second corpus scan (the index is the amortized " +
+        "build every dedup-family consumer shares)."),
+    "dsir_weight" ->
+      ("DSIR importance weights: the token stream is exploded ONCE; " +
+        "raw+target bucket counts come from a single partial-aggregated " +
+        "pass (filtered count, not a second scan), and the <=256-row " +
+        "bucket->weight table returns via BroadcastHashJoin — the token " +
+        "volume is never shuffle-joined."),
     "decontaminate" ->
       ("The benchmark shingle set is the BROADCAST side; the corpus " +
         "shingle index semi-joins it map-side and partially aggregates " +

@@ -123,6 +123,16 @@ object Buckets {
       tsSOf(raw.schema("ts").dataType).as("ts_s"), col("value"))
   }
 
+  /** The raw events frame with the canonical `ts_s` derivation appended
+    * — for ops that need non-point columns (event_id, user_id) next to
+    * the same epoch-seconds time the whole engine computes on.
+    */
+  private[ops] def eventsRaw(spark: SparkSession, sfDir: String): DataFrame = {
+    ensureNanosConf(spark)
+    val raw = spark.read.parquet(s"$sfDir/events.parquet")
+    raw.withColumn("ts_s", tsSOf(raw.schema("ts").dataType))
+  }
+
   /** [[points]] restricted to `fromS <= ts_s < untilS`, with the range
     * predicate applied to the RAW parquet column via [[tsRange]] so it
     * reaches `PushedFilters` / row-group pruning for every physical

@@ -49,7 +49,8 @@ object ExtQueries {
     "split_assign_safe" -> (Curation.splitAssignSafe _),
     "curate" -> (Curation.curate _),
     "text_boilerplate" -> (TextAnalysis.textBoilerplate _),
-    "dsir_weight" -> (Curation.dsirWeight _)
+    "dsir_weight" -> (Curation.dsirWeight _),
+    "zorder_key" -> (Layout.zorderKey _)
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -102,6 +103,7 @@ object ExtQueries {
     "split_assign_safe" -> Curation.splitAssignSafeSql,
     "curate" -> Curation.curateSql,
     "text_boilerplate" -> TextAnalysis.textBoilerplateSql,
-    "dsir_weight" -> Curation.dsirWeightSql
+    "dsir_weight" -> Curation.dsirWeightSql,
+    "zorder_key" -> Layout.zorderKeySql
   )
 }

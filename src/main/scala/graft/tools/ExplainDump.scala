@@ -121,6 +121,13 @@ object ExplainDump {
         "pass (filtered count, not a second scan), and the <=256-row " +
         "bucket->weight table returns via BroadcastHashJoin — the token " +
         "volume is never shuffle-joined."),
+    "zorder_key" ->
+      ("Z-order (Morton) layout key: the min-max bounds ride ONE " +
+        "broadcast one-row agg (the range-sample pass); quantization + " +
+        "staged bit-spread interleave are pure per-row codegen'd " +
+        "arithmetic — no shuffle beyond the final presentation sort; " +
+        "the clustered rewrite (zorderWrite) adds a single " +
+        "repartitionByRange exchange."),
     "decontaminate" ->
       ("The benchmark shingle set is the BROADCAST side; the corpus " +
         "shingle index semi-joins it map-side and partially aggregates " +

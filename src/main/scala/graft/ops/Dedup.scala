@@ -234,40 +234,52 @@ object Dedup {
     * reference already holds. Output = batch survivors.
     *
     * Scale shape (the reason this is not just [[dedupExact]] over the
-    * union): the reference is summarized ONCE into a Bloom filter over
-    * `xxhash64(text)` — bits ≪ corpus, built distributed by
-    * `DataFrameStatFunctions.bloomFilter`'s treeAggregate — and probed
-    * map-side via [[graft.functions.BloomMightContain]] (native codegen
-    * expression, stays in the scan's WholeStageCodegen). Bloom-NEGATIVE
-    * batch rows are definitely novel: they bypass the join and its
-    * shuffle entirely. Only bloom-positive rows (true dupes + the
-    * filter's fp rate) reach the exact-confirm anti-join on `md5(text)`,
-    * so the shuffle is bounded by hit volume, not batch size — and the
-    * result is exactly the anti-join's (false positives are filtered by
-    * the join; false negatives don't exist). At 100 TB the filter is
-    * built once per corpus epoch and reused across every delivery; the
-    * capacity bound below comes from the corpus row count (a
-    * parquet-footer count — no data scan).
+    * union): the reference text is read ONCE — into a materialized
+    * (md5, xxhash64) hash index via [[sharedIndexPath]], the same
+    * once-per-corpus-epoch amortization as the shingle index. The Bloom
+    * filter (bits ≪ corpus, built distributed by
+    * `DataFrameStatFunctions.bloomFilter`'s treeAggregate over the
+    * index's 8 B column) is probed map-side via
+    * [[graft.functions.BloomMightContain]] (native codegen expression,
+    * stays in the scan's WholeStageCodegen). Bloom-NEGATIVE batch rows
+    * are definitely novel: they bypass the join and its shuffle
+    * entirely. Only bloom-positive rows (true dupes + the filter's fp
+    * rate) reach the exact-confirm anti-join against the index's 16 B
+    * `text_hash` column, so the per-delivery cost is: one batch pass
+    * (twice map-side for the sure/confirm split — trivial next to
+    * caching a delivery), a hit-bounded shuffle, and an index-column
+    * scan — never a reference-text re-read. Results are exactly the
+    * anti-join's (false positives are filtered by the join; false
+    * negatives don't exist). The capacity bound below comes from the
+    * index row count (a parquet-footer count — no data scan).
     */
   def dedupIncremental(s: SparkSession, dir: String): DataFrame = {
     val d = docs(s, dir)
-    val ref = d.filter(col("doc_id") % 3 =!= 0)
     val batch = d.filter(col("doc_id") % 3 === 0)
       .select(col("doc_id"), col("text"), col("source"))
       .unionByName(d.filter(col("doc_id") % 15 === 1)
         .select((col("doc_id") + 10000000L).as("doc_id"), col("text"),
           col("source")))
-    // capacity from the footer-only total count; over-sizing a Bloom
+    // the reference HASH INDEX, materialized once per corpus epoch (the
+    // shingle-index pattern): one text pass emits (md5, xxhash64) per
+    // reference doc, and every later delivery's bloom build + confirm
+    // join read these 16 B/8 B columns — never the reference text again
+    val refIdx = s.read.parquet(sharedIndexPath(
+      s, dir, "documents.parquet", "refhash") { p =>
+      docs(s, dir).filter(col("doc_id") % 3 =!= 0)
+        .select(md5(col("text")).as("text_hash"),
+          xxhash64(col("text")).as("h"))
+        .write.mode("overwrite").parquet(p)
+    })
+    // capacity from the footer-only index row count; over-sizing a Bloom
     // filter only lowers its fp rate
-    val bloom = ref.select(xxhash64(col("text")).as("h"))
-      .stat.bloomFilter("h", math.max(d.count(), 1L), 0.03)
+    val bloom = refIdx.stat.bloomFilter("h", math.max(refIdx.count(), 1L), 0.03)
     val probed = batch
       .withColumn("mc", BloomMightContain.probe(xxhash64(col("text")), bloom))
     val sure = probed.filter(!col("mc"))
     val confirmed = probed.filter(col("mc"))
       .withColumn("text_hash", md5(col("text")))
-      .join(ref.select(md5(col("text")).as("text_hash")),
-        Seq("text_hash"), "left_anti")
+      .join(refIdx.select("text_hash"), Seq("text_hash"), "left_anti")
     sure.select(col("doc_id"), col("source"))
       .unionByName(confirmed.select(col("doc_id"), col("source")))
       .orderBy("doc_id")

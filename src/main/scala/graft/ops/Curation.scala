@@ -248,8 +248,7 @@ object Curation {
     docs(s, dir)
       .withColumn("h", md5(concat(lit("split|"), col("doc_id").cast("string"))))
       .withColumn("bucket",
-        expr("(position(substring(h, 1, 1), '0123456789abcdef') - 1) * 16 + " +
-          "(position(substring(h, 2, 1), '0123456789abcdef') - 1)"))
+        expr(Tokens.byteBucketExpr("h")))
       .select(col("doc_id"), col("bucket"),
         when(col("bucket") < TrainCut, lit("train"))
           .when(col("bucket") < ValCut, lit("val"))
@@ -275,8 +274,7 @@ object Curation {
       .withColumn("group_id", coalesce(col("cluster_id"), col("doc_id")))
       .withColumn("h", md5(concat(lit("split|"), col("group_id").cast("string"))))
       .withColumn("bucket",
-        expr("(position(substring(h, 1, 1), '0123456789abcdef') - 1) * 16 + " +
-          "(position(substring(h, 2, 1), '0123456789abcdef') - 1)"))
+        expr(Tokens.byteBucketExpr("h")))
       .select(col("doc_id"), col("group_id"), col("bucket"),
         when(col("bucket") < TrainCut, lit("train"))
           .when(col("bucket") < ValCut, lit("val"))
@@ -388,8 +386,7 @@ object Curation {
        |  FROM d),
        |sb AS (
        |  SELECT doc_id,
-       |         (strpos('0123456789abcdef', substr(h, 1, 1)) - 1) * 16 +
-       |         (strpos('0123456789abcdef', substr(h, 2, 1)) - 1) AS bucket
+       |         ${Tokens.byteBucketSql("h")} AS bucket
        |  FROM (SELECT doc_id, md5('split|' || CAST(doc_id AS VARCHAR)) AS h
        |        FROM documents))
        |SELECT m.doc_id, rep.n_tokens,
@@ -427,8 +424,7 @@ object Curation {
        |  FROM base),
        |bb AS (
        |  SELECT doc_id, group_id,
-       |         (strpos('0123456789abcdef', substr(h, 1, 1)) - 1) * 16 +
-       |         (strpos('0123456789abcdef', substr(h, 2, 1)) - 1) AS bucket
+       |         ${Tokens.byteBucketSql("h")} AS bucket
        |  FROM hh)
        |SELECT doc_id, group_id, bucket,
        |       CASE WHEN bucket < $TrainCut THEN 'train'
@@ -442,8 +438,7 @@ object Curation {
        |  FROM documents),
        |b AS (
        |  SELECT doc_id,
-       |         (strpos('0123456789abcdef', substr(h, 1, 1)) - 1) * 16 +
-       |         (strpos('0123456789abcdef', substr(h, 2, 1)) - 1) AS bucket
+       |         ${Tokens.byteBucketSql("h")} AS bucket
        |  FROM h)
        |SELECT doc_id, bucket,
        |       CASE WHEN bucket < $TrainCut THEN 'train'
@@ -475,38 +470,49 @@ object Curation {
     * op emits the weight (the resample itself is a keep-filter away, as
     * with [[PipelineOps.sampleStratified]]).
     *
-    * Scale shape: the feature hash is map-side arithmetic on each
-    * exploded token; BOTH distributions come out of ONE partial-
-    * aggregated pass over the token stream (`count(*)` and a filtered
-    * count per bucket — no second corpus scan for the target side, it is
-    * a subset); the bucket→weight table is ≤ 256 rows → broadcast back
-    * into the per-doc mean, which is one doc_id-keyed aggregate. At
-    * 100 TB: train the bucket models on a sample, freeze, score the full
-    * corpus in a single pass — identical plan, sampled train input.
+    * Scale shape — TRAIN once, FREEZE, SCORE in one pass (the persisted-
+    * index pattern of the ANN codebooks, X17/X27): the bucket models are
+    * a ≤256-row weight table materialized via [[Dedup.sharedIndexPath]]
+    * (one amortized token pass: explode → bucket hash → two tiny
+    * aggregates); the SERVING query is a single corpus explode reduced
+    * on the spot to the compact per-`(doc, bucket)` count frame, joined
+    * to the broadcast weight table, reduced per doc — PlanSpec pins the
+    * serving plan to exactly one Generate and no training artifacts.
+    * (The first form derived the model inline and leaned on exchange
+    * reuse that column pruning defeats: the corpus explode ran three
+    * times.) The per-doc score is the count-weighted mean `Σ n·w / Σ n`,
+    * algebraically the per-instance mean the definition states. At
+    * 100 TB: train the buckets on a sample, score the full corpus — the
+    * identical serving plan, cheaper train input.
     */
   def dsirWeight(s: SparkSession, dir: String): DataFrame = {
-    val nibble =
-      "(position(substring(h, 1, 1), '0123456789abcdef') - 1) * 16 + " +
-        "(position(substring(h, 2, 1), '0123456789abcdef') - 1)"
-    val tok = docs(s, dir)
-      .select(col("doc_id"), col("source"), explode(expr(toksExpr)).as("t"))
+    val wPath = Dedup.sharedIndexPath(
+      s, dir, "documents.parquet", "dsirw") { p =>
+      val isTgt = col("source").isin(DsirTargetSources: _*)
+      val counts = docs(s, dir)
+        .select(col("source"), explode(expr(toksExpr)).as("t"))
+        .withColumn("h", md5(col("t")))
+        .withColumn("b", expr(Tokens.byteBucketExpr("h")))
+        .groupBy("b")
+        .agg(count(lit(1)).as("cr"), count(when(isTgt, 1)).as("ct"))
+      counts.crossJoin(broadcast(
+          counts.agg(sum(col("cr")).as("nr"), sum(col("ct")).as("nt"))))
+        .select(col("b"),
+          (log((col("ct") + 1).cast("double") / (col("nt") + DsirBuckets)) -
+            log((col("cr") + 1).cast("double") / (col("nr") + DsirBuckets)))
+            .as("w"))
+        .write.mode("overwrite").parquet(p)
+    }
+    val docb = docs(s, dir)
+      .select(col("doc_id"), explode(expr(toksExpr)).as("t"))
       .withColumn("h", md5(col("t")))
-      .withColumn("b", expr(nibble))
-      .drop("h")
-    val isTgt = col("source").isin(DsirTargetSources: _*)
-    // one token-stream pass: raw and target bucket counts together
-    val counts = tok.groupBy("b")
-      .agg(count(lit(1)).as("cr"), count(when(isTgt, 1)).as("ct"))
-    val totals = counts.agg(sum(col("cr")).as("nr"), sum(col("ct")).as("nt"))
-    val w = counts.crossJoin(broadcast(totals))
-      .select(col("b"),
-        (log((col("ct") + 1).cast("double") / (col("nt") + DsirBuckets)) -
-          log((col("cr") + 1).cast("double") / (col("nr") + DsirBuckets)))
-          .as("w"))
-    tok.join(broadcast(w), "b")
+      .withColumn("b", expr(Tokens.byteBucketExpr("h")))
+      .groupBy("doc_id", "b")
+      .agg(count(lit(1)).as("n"))
+    docb.join(broadcast(s.read.parquet(wPath)), "b")
       .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_tokens"),
-        round(avg(col("w")), 6).as("dsir_weight"))
+      .agg(sum(col("n")).as("n_tokens"),
+        round(sum(col("w") * col("n")) / sum(col("n")), 6).as("dsir_weight"))
       .orderBy("doc_id")
   }
 
@@ -515,23 +521,22 @@ object Curation {
     s"""WITH tok AS (
        |  SELECT doc_id, source, md5(t) AS h
        |  FROM (SELECT doc_id, source, unnest($toksSql) AS t FROM documents)),
-       |tb AS (
-       |  SELECT doc_id, source,
-       |         (strpos('0123456789abcdef', substr(h, 1, 1)) - 1) * 16 +
-       |         (strpos('0123456789abcdef', substr(h, 2, 1)) - 1) AS b
-       |  FROM tok),
+       |docb AS (
+       |  SELECT doc_id, source, ${Tokens.byteBucketSql("h")} AS b,
+       |         count(*) AS n
+       |  FROM tok GROUP BY 1, 2, 3),
        |counts AS (
-       |  SELECT b, count(*) AS cr,
-       |         count(CASE WHEN source IN ($tgt) THEN 1 END) AS ct
-       |  FROM tb GROUP BY 1),
+       |  SELECT b, sum(n) AS cr,
+       |         sum(CASE WHEN source IN ($tgt) THEN n ELSE 0 END) AS ct
+       |  FROM docb GROUP BY 1),
        |totals AS (SELECT sum(cr) AS nr, sum(ct) AS nt FROM counts),
        |w AS (
        |  SELECT b, ln((ct + 1) * 1.0 / (nt + $DsirBuckets)) -
        |            ln((cr + 1) * 1.0 / (nr + $DsirBuckets)) AS w
        |  FROM counts CROSS JOIN totals)
-       |SELECT doc_id, count(*) AS n_tokens,
-       |       round(avg(w), 6) AS dsir_weight
-       |FROM tb JOIN w USING (b)
+       |SELECT doc_id, sum(n) AS n_tokens,
+       |       round(sum(w * n) / sum(n), 6) AS dsir_weight
+       |FROM docb JOIN w USING (b)
        |GROUP BY doc_id ORDER BY doc_id""".stripMargin
   }
 }

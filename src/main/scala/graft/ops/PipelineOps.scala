@@ -146,8 +146,7 @@ object PipelineOps {
     docs(s, dir)
       .withColumn("h", md5(concat(col("lang"), lit("|"), col("doc_id").cast("string"))))
       .withColumn("bucket",
-        expr("(position(substring(h, 1, 1), '0123456789abcdef') - 1) * 16 + " +
-          "(position(substring(h, 2, 1), '0123456789abcdef') - 1)"))
+        expr(Tokens.byteBucketExpr("h")))
       .filter(col("bucket") < SampleBuckets)
       .select(col("doc_id"), col("lang"), col("source"), col("bucket"))
       .orderBy("doc_id")
@@ -158,11 +157,9 @@ object PipelineOps {
        |         md5(lang || '|' || CAST(doc_id AS VARCHAR)) AS h
        |  FROM documents)
        |SELECT doc_id, lang, source,
-       |       (strpos('0123456789abcdef', substr(h, 1, 1)) - 1) * 16 +
-       |       (strpos('0123456789abcdef', substr(h, 2, 1)) - 1) AS bucket
+       |       ${Tokens.byteBucketSql("h")} AS bucket
        |FROM h
-       |WHERE (strpos('0123456789abcdef', substr(h, 1, 1)) - 1) * 16 +
-       |      (strpos('0123456789abcdef', substr(h, 2, 1)) - 1) < $SampleBuckets
+       |WHERE ${Tokens.byteBucketSql("h")} < $SampleBuckets
        |ORDER BY doc_id""".stripMargin
 
   // ----------------------------------------------------------- source mix

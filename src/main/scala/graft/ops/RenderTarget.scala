@@ -1346,7 +1346,10 @@ object RenderTarget {
         // [[leafGlobs]] keeps these tags out of the shared-scan regex.
         // '*' in ANY position is the all-events wildcard: it clears the
         // whole tag filter rather than dropping out of the list (else
-        // events('view','*') would silently narrow to just 'view')
+        // events('view','*') would silently narrow to just 'view').
+        // Empty-string tags are ignored in every position (spec-pinned;
+        // r9 ignored a first-position '' but matched-nothing on later
+        // positions — a position-dependence nobody could want)
         val named = (cs.collect { case Leaf(n) => unquote(n) } ++
           args.map(unquote)).filter(_.nonEmpty)
         val tags = if (named.contains("*")) Seq.empty[String] else named

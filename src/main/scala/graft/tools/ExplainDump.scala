@@ -116,11 +116,12 @@ object ExplainDump {
         "no window, no second corpus scan (the index is the amortized " +
         "build every dedup-family consumer shares)."),
     "dsir_weight" ->
-      ("DSIR importance weights: the token stream is exploded ONCE; " +
-        "raw+target bucket counts come from a single partial-aggregated " +
-        "pass (filtered count, not a second scan), and the <=256-row " +
-        "bucket->weight table returns via BroadcastHashJoin — the token " +
-        "volume is never shuffle-joined."),
+      ("DSIR importance weights: ONE token explode, reduced on the spot " +
+        "to the compact (doc, source, bucket) count frame whose single " +
+        "exchange both consumers share (ReusedExchange — the bucket " +
+        "model does NOT re-scan the corpus), and the <=256-row " +
+        "bucket->weight table returns via BroadcastHashJoin — real " +
+        "volume is never shuffle-joined twice."),
     "zorder_key" ->
       ("Z-order (Morton) layout key: the min-max bounds ride ONE " +
         "broadcast one-row agg (the range-sample pass); quantization + " +

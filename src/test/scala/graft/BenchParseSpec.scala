@@ -40,7 +40,7 @@ class BenchParseSpec extends AnyFunSuite {
 
   test("garbage input yields an empty map, never a throw") {
     assert(Bench.parsePrevBench("").isEmpty)
-    assert(Bench.parsePrevBench("{\"tail\": \"no pairs here\"}")
-      .forall { case (k, _) => k == "tail" || true }) // just must not throw
+    // wrapper fields with string values must not produce entries at all
+    assert(Bench.parsePrevBench("{\"tail\": \"no pairs here\"}").isEmpty)
   }
 }

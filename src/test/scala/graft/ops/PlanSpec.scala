@@ -550,11 +550,21 @@ class PlanSpec extends AnyFunSuite {
   test("dsir_weight broadcasts the bucket-weight table, never the tokens") {
     val p = plan(Curation.dsirWeight(spark, dir))
     // the <=256-row bucket→weight frame rides a broadcast back onto the
-    // exploded token stream; a shuffle join here would re-shuffle the
-    // full token volume at 100 TB
+    // compact per-(doc,bucket) count frame; a shuffle join here would
+    // re-shuffle real volume at 100 TB
     assert(p.contains("BroadcastHashJoin"),
       s"bucket weights not broadcast:\n$p")
     assert(!p.contains("SortMergeJoin"),
-      s"token stream is being shuffle-joined:\n$p")
+      s"count frame is being shuffle-joined:\n$p")
+    // serving = ONE corpus explode against the persisted weight table
+    // (formatted plans list each node twice: tree + detail); the
+    // training aggregates (bucket totals cross join) must be absent —
+    // they live in the amortized index build, not the query (review
+    // r10: the inline-model form executed the corpus explode 3x while
+    // its docs claimed a single pass)
+    assert("Generate".r.findAllIn(p).size <= 2,
+      s"serving plan re-derives the model (extra explode):\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      s"training cross-join leaked into the serving plan:\n$p")
   }
 }

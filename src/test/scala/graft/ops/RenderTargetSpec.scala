@@ -805,6 +805,10 @@ class RenderTargetSpec extends AnyFunSuite {
     assert(all == Seq(3.0, 0.0))
     assert(RenderTarget.evaluate(spark, p, "events('view', '*')",
       0L, 120L, 60).collect().map(_.getDouble(2)).toSeq == all)
+    // empty-string tags are IGNORED in any position (not match-nothing):
+    // events('view','') ≡ events('view'), pinning the uniform rule
+    assert(RenderTarget.evaluate(spark, p, "events('view', '')",
+      0L, 120L, 60).collect().map(_.getDouble(2)).toSeq == Seq(2.0, 0.0))
   }
 
   test("aggregateLine flattens; fallbackSeries switches on emptiness") {

@@ -346,6 +346,55 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  // ---------------------------------------------------- X34 doc chunking
+
+  /** Chunk geometry: 32-token windows every 24 tokens (8-token overlap)
+    * — the overlapping-window shape retrieval-corpus prep uses so no
+    * boundary sentence is lost to a hard cut.
+    */
+  val ChunkTokens = 32
+  val ChunkStride = 24
+
+  /** `doc_chunk`: split every document into overlapping token windows —
+    * the retrieval/embedding-corpus preparation step (each chunk is what
+    * gets embedded and indexed; the hash is its stable chunk key).
+    * Chunk k covers tokens `[k·stride+1, k·stride+size]`, clamped at the
+    * document end; every token is in ≥1 chunk.
+    *
+    * Pure map-side fan-out: `sequence`/`slice`/`concat_ws` are
+    * codegen'd collection expressions evaluated in the scan's own stage
+    * — no shuffle except the presentation sort, and output volume is
+    * input·(1 + overlap/stride), bounded per task.
+    */
+  def docChunk(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .select(col("doc_id"), expr(toksExpr).as("t"))
+      .select(col("doc_id"),
+        explode(expr(s"sequence(0, (size(t) - 1) div $ChunkStride)")).as("k"),
+        col("t"))
+      .select(col("doc_id"), col("k").as("chunk_id"),
+        expr(s"slice(t, k * $ChunkStride + 1, $ChunkTokens)").as("c"))
+      .select(col("doc_id"), col("chunk_id"),
+        size(col("c")).cast("long").as("n_tokens"),
+        md5(concat_ws(" ", col("c"))).as("chunk_hash"))
+      .orderBy("doc_id", "chunk_id")
+
+  val docChunkSql: String =
+    s"""WITH d AS (SELECT doc_id, $toksSql AS t FROM documents),
+       |k AS (
+       |  SELECT doc_id, t,
+       |         unnest(generate_series(0, (len(t) - 1) // $ChunkStride))
+       |           AS chunk_id
+       |  FROM d),
+       |c AS (
+       |  SELECT doc_id, chunk_id,
+       |         list_slice(t, chunk_id * $ChunkStride + 1,
+       |                    chunk_id * $ChunkStride + $ChunkTokens) AS c
+       |  FROM k)
+       |SELECT doc_id, chunk_id, len(c) AS n_tokens,
+       |       md5(array_to_string(c, ' ')) AS chunk_hash
+       |FROM c ORDER BY doc_id, chunk_id""".stripMargin
+
   val textBoilerplateSql: String =
     s"""WITH ${Dedup.shingleUSql},
        |dfq AS (SELECT g, count(*) AS df FROM shingle_u GROUP BY 1)

@@ -122,6 +122,11 @@ object ExplainDump {
         "model does NOT re-scan the corpus), and the <=256-row " +
         "bucket->weight table returns via BroadcastHashJoin — real " +
         "volume is never shuffle-joined twice."),
+    "doc_chunk" ->
+      ("Overlapping token-window chunking (retrieval-corpus prep): " +
+        "sequence/slice/concat_ws are codegen'd collection expressions " +
+        "evaluated inside the scan stage — a pure map-side 1->N fan-out " +
+        "with no exchange before the presentation sort."),
     "zorder_key" ->
       ("Z-order (Morton) layout key: the min-max bounds ride ONE " +
         "broadcast one-row agg (the range-sample pass); quantization + " +

@@ -307,6 +307,33 @@ class ExtOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("doc_chunk covers every token and matches a driver recompute") {
+    val got = TextAnalysis.docChunk(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1).toInt) ->
+        ((r.getLong(2).toInt, r.getString(3)))).toMap
+    val texts = spark.read.parquet(s"$dir/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).toLowerCase.split(" ").toSeq)
+    def hex(b: Array[Byte]) = b.map("%02x".format(_)).mkString
+    var total = 0
+    for ((id, t) <- texts) {
+      val kMax = (t.size - 1) / TextAnalysis.ChunkStride
+      for (k <- 0 to kMax) {
+        val c = t.slice(k * TextAnalysis.ChunkStride,
+          k * TextAnalysis.ChunkStride + TextAnalysis.ChunkTokens)
+        val (n, h) = got((id, k))
+        assert(n == c.size, s"doc $id chunk $k size")
+        assert(h == hex(java.security.MessageDigest.getInstance("MD5")
+          .digest(c.mkString(" ").getBytes("UTF-8"))), s"doc $id chunk $k")
+        total += 1
+      }
+      // coverage: the last chunk reaches the final token
+      assert(kMax * TextAnalysis.ChunkStride + TextAnalysis.ChunkTokens
+        >= t.size || kMax * TextAnalysis.ChunkStride < t.size)
+    }
+    assert(got.size == total, "engine emitted chunks the recompute did not")
+  }
+
   test("dsir_weight: target-source documents score above the rest") {
     val w = Curation.dsirWeight(spark, dir)
       .join(spark.read.parquet(s"$dir/documents.parquet")

@@ -821,4 +821,89 @@ object Dedup {
        |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
        |WHERE ${Similarity.cosineSql("a.embedding", "b.embedding")} >= 0.45
        |ORDER BY vec_a, vec_b""".stripMargin
+
+  // ------------------------------------------ duplicated-substring spans
+
+  /** Span width (tokens) for substring-level dedup. 8 is wide enough
+    * that the synthetic word salad only repeats spans where docs really
+    * share a copied run (the planted fuzzy dups), narrow enough that a
+    * partial copy still overlaps a whole span.
+    */
+  val SubstringW = 8
+
+  /** A doc whose duplicated-span fraction reaches this is flagged. */
+  val SubstringDupFrac = 0.2
+
+  /** `dedup_substring`: substring-level duplication à la Lee et al.
+    * (arXiv:2107.06499, "Deduplicating Training Data Makes Language
+    * Models Better") — their suffix-array exact-substring pass
+    * re-expressed as the Spark-idiomatic rolling-span equivalent: every
+    * [[SubstringW]]-token span is keyed by md5, spans occurring in ≥2
+    * distinct docs are "duplicated", and each doc reports its duplicated
+    * span fraction plus a flag at [[SubstringDupFrac]]. Catches the
+    * partial-copy case document-level dedup misses (a doc that embeds a
+    * copied paragraph inside fresh text).
+    *
+    * At 100 TB: the explode is linear (one row per token position), the
+    * only shuffles are keyed on the 16-byte span hash (groupBy docfreq +
+    * the join back) and on doc_id (the per-doc fold) — never on span
+    * text, never all-pairs. The natural-language Zipf head (stop-word
+    * spans shared by everything) is exactly the AQE-skew-split case; a
+    * production run would also drop spans above a docfreq cap the same
+    * way [[dedupMinhash]] bounds band buckets.
+    */
+  def dedupSubstring(s: SparkSession, dir: String): DataFrame = {
+    val spans = docs(s, dir)
+      .select(col("doc_id"), expr(toksExpr).as("t"))
+      .select(col("doc_id"), explode(expr(
+        s"""CASE WHEN size(t) >= $SubstringW
+           |  THEN transform(sequence(1, size(t) - ${SubstringW - 1}),
+           |                 i -> array_join(slice(t, i, $SubstringW), ' '))
+           |  ELSE CAST(array() AS array<string>) END""".stripMargin))
+        .as("span"))
+      .select(col("doc_id"), md5(col("span")).as("sk"))
+    val dupKeys = spans.groupBy("sk")
+      .agg(countDistinct(col("doc_id")).as("dfreq"))
+      .filter(col("dfreq") >= 2)
+    val per = spans.join(dupKeys, Seq("sk"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_spans"),
+        sum(when(col("dfreq").isNotNull, 1L).otherwise(0L)).as("n_dup"))
+    docs(s, dir).select("doc_id").join(per, Seq("doc_id"), "left")
+      .withColumn("n_spans", coalesce(col("n_spans"), lit(0L)))
+      .withColumn("n_dup", coalesce(col("n_dup"), lit(0L)))
+      .withColumn("dup_frac", round(
+        when(col("n_spans") > 0,
+          col("n_dup").cast("double") / col("n_spans")).otherwise(0.0), 6))
+      .withColumn("flagged",
+        (col("dup_frac") >= SubstringDupFrac).cast("int"))
+      .orderBy("doc_id")
+  }
+
+  val dedupSubstringSql: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, $toksSql AS t FROM documents),
+       |sp AS (
+       |  SELECT doc_id,
+       |         md5(array_to_string(list_slice(t, i, i + ${SubstringW - 1}), ' ')) AS sk
+       |  FROM toks, LATERAL (SELECT unnest(generate_series(1, len(t) - ${SubstringW - 1})) AS i) g
+       |  WHERE len(t) >= $SubstringW),
+       |df AS (
+       |  SELECT sk FROM sp GROUP BY sk HAVING count(DISTINCT doc_id) >= 2),
+       |per AS (
+       |  SELECT s.doc_id, CAST(count(*) AS BIGINT) AS n_spans,
+       |         CAST(sum(CASE WHEN d.sk IS NULL THEN 0 ELSE 1 END) AS BIGINT) AS n_dup
+       |  FROM sp s LEFT JOIN df d USING (sk) GROUP BY s.doc_id)
+       |SELECT doc.doc_id,
+       |       coalesce(n_spans, 0) AS n_spans,
+       |       coalesce(n_dup, 0) AS n_dup,
+       |       round(CASE WHEN coalesce(n_spans, 0) > 0
+       |                  THEN CAST(coalesce(n_dup, 0) AS DOUBLE) / n_spans
+       |                  ELSE 0.0 END, 6) AS dup_frac,
+       |       CASE WHEN round(CASE WHEN coalesce(n_spans, 0) > 0
+       |                            THEN CAST(coalesce(n_dup, 0) AS DOUBLE) / n_spans
+       |                            ELSE 0.0 END, 6) >= $SubstringDupFrac
+       |            THEN 1 ELSE 0 END AS flagged
+       |FROM documents doc LEFT JOIN per USING (doc_id)
+       |ORDER BY doc.doc_id""".stripMargin
 }

@@ -234,6 +234,92 @@ object PipelineOps {
        |  FROM documents)
        |ORDER BY doc_id""".stripMargin
 
+  // --------------------------------------- temperature-scaled source mix
+
+  /** Fraction of the corpus token count the resampled mixture targets. */
+  val MixBudgetFrac = 0.5
+
+  /** `mix_temperature`: temperature-scaled source resampling — the
+    * multilingual-LM mixing rule (Lample & Conneau, arXiv:1901.07291;
+    * also mT5/XLM-R): source i's share of a [[MixBudgetFrac]]·total
+    * token budget is ∝ n_i^α with α = 0.5 (√-temperature flattens the
+    * head so mega-sources stop dominating, exactly what [[sourceCap]]
+    * does bluntly by count). Docs fill each source's budget in salted-
+    * hash order (reproducible uniform sample); a doc is kept while the
+    * budget is unfilled when it starts (so the crossing doc is kept and
+    * every budget is met). One row per doc with its rank and verdict.
+    *
+    * Determinism across engines: per-source token sums are exact
+    * integers; √ and the budget arithmetic are IEEE doubles with an
+    * identical expression tree; the √-sum denominator is a FOLD OVER THE
+    * SOURCE-SORTED list in both engines (Spark `aggregate(array_sort(
+    * collect_list(…)))`, DuckDB `list_reduce(list(… ORDER BY source))`)
+    * so summation order — the one FP hazard — is pinned (the powSeries
+    * trick). 20 sources → the fold is driver-negligible.
+    *
+    * At 100 TB: pass 1 is one map-side-partial aggregation (k sources
+    * shuffle, not n docs); the tiny per-source budget table broadcasts;
+    * pass 2 is one per-source window — same skew note as [[sourceCap]],
+    * same quantile-threshold escape hatch.
+    */
+  def mixTemperature(s: SparkSession, dir: String): DataFrame = {
+    val dt = docs(s, dir).select(col("doc_id"), col("source"),
+      expr(s"size($toksExpr)").cast("long").as("n_toks"))
+    val src = dt.groupBy("source").agg(sum("n_toks").as("src_tokens"))
+    val denom = src.agg(
+      expr("aggregate(transform(array_sort(collect_list(struct(source, " +
+        "sqrt(CAST(src_tokens AS DOUBLE)) AS w))), x -> x.w), " +
+        "CAST(0 AS DOUBLE), (a, x) -> a + x)").as("d"),
+      sum("src_tokens").as("grand"))
+    val tgt = src.crossJoin(broadcast(denom))
+      .withColumn("target_tokens",
+        round(lit(MixBudgetFrac) * col("grand") *
+          sqrt(col("src_tokens").cast("double")) / col("d"), 0).cast("long"))
+      .select("source", "target_tokens")
+    val w = Window.partitionBy("source")
+      .orderBy(md5(concat(lit("mixt|"), col("doc_id").cast("string"))),
+        col("doc_id"))
+    dt.withColumn("rank_in_source", row_number().over(w))
+      .withColumn("cum_before", coalesce(
+        sum("n_toks").over(w.rowsBetween(Window.unboundedPreceding, -1)),
+        lit(0L)))
+      .join(broadcast(tgt), "source")
+      .withColumn("kept", (col("cum_before") < col("target_tokens")).cast("int"))
+      .select("doc_id", "source", "n_toks", "rank_in_source", "kept")
+      .orderBy("doc_id")
+  }
+
+  val mixTemperatureSql: String =
+    s"""WITH dt AS (
+       |  SELECT doc_id, source, CAST(len($toksSql) AS BIGINT) AS n_toks
+       |  FROM documents),
+       |src AS (
+       |  SELECT source, sum(n_toks) AS src_tokens FROM dt GROUP BY source),
+       |denom AS (
+       |  SELECT list_reduce(list(sqrt(CAST(src_tokens AS DOUBLE)) ORDER BY source),
+       |                     (a, b) -> a + b) AS d,
+       |         sum(src_tokens) AS grand FROM src),
+       |tgt AS (
+       |  SELECT s.source,
+       |         CAST(round($MixBudgetFrac * d.grand *
+       |                    sqrt(CAST(s.src_tokens AS DOUBLE)) / d.d) AS BIGINT)
+       |           AS target_tokens
+       |  FROM src s, denom d),
+       |ranked AS (
+       |  SELECT doc_id, source, n_toks,
+       |         row_number() OVER (PARTITION BY source
+       |           ORDER BY md5('mixt|' || CAST(doc_id AS VARCHAR)), doc_id)
+       |           AS rank_in_source,
+       |         coalesce(sum(n_toks) OVER (PARTITION BY source
+       |           ORDER BY md5('mixt|' || CAST(doc_id AS VARCHAR)), doc_id
+       |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+       |           AS cum_before
+       |  FROM dt)
+       |SELECT r.doc_id, r.source, r.n_toks, r.rank_in_source,
+       |       CASE WHEN r.cum_before < t.target_tokens THEN 1 ELSE 0 END AS kept
+       |FROM ranked r JOIN tgt t USING (source)
+       |ORDER BY r.doc_id""".stripMargin
+
   // ----------------------------------------------------------- PII scrub
 
   /** Email-ish addresses or long digit runs — patterns valid in both

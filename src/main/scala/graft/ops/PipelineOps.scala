@@ -246,8 +246,14 @@ object PipelineOps {
     * head so mega-sources stop dominating, exactly what [[sourceCap]]
     * does bluntly by count). Docs fill each source's budget in salted-
     * hash order (reproducible uniform sample); a doc is kept while the
-    * budget is unfilled when it starts (so the crossing doc is kept and
-    * every budget is met). One row per doc with its rank and verdict.
+    * budget is unfilled when it starts, so the crossing doc is kept and
+    * a budget is met whenever the source can cover it. Resampling only
+    * DOWN-samples: a small source whose √-boosted target exceeds its
+    * own token count keeps everything and under-fills — the emitted
+    * `target_tokens` column makes that shortfall visible (an up-sampling
+    * consumer turns it into a repeat factor; this operator does not
+    * duplicate rows). One row per doc with its rank, its source's
+    * target, and the verdict.
     *
     * Determinism across engines: per-source token sums are exact
     * integers; √ and the budget arithmetic are IEEE doubles with an
@@ -285,7 +291,8 @@ object PipelineOps {
         lit(0L)))
       .join(broadcast(tgt), "source")
       .withColumn("kept", (col("cum_before") < col("target_tokens")).cast("int"))
-      .select("doc_id", "source", "n_toks", "rank_in_source", "kept")
+      .select("doc_id", "source", "n_toks", "rank_in_source",
+        "target_tokens", "kept")
       .orderBy("doc_id")
   }
 
@@ -316,6 +323,7 @@ object PipelineOps {
        |           AS cum_before
        |  FROM dt)
        |SELECT r.doc_id, r.source, r.n_toks, r.rank_in_source,
+       |       t.target_tokens,
        |       CASE WHEN r.cum_before < t.target_tokens THEN 1 ELSE 0 END AS kept
        |FROM ranked r JOIN tgt t USING (source)
        |ORDER BY r.doc_id""".stripMargin

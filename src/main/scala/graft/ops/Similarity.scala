@@ -352,8 +352,12 @@ object Similarity {
     * [[similarityAnnKmeans]]; a vector is a duplicate iff some
     * lower-vec_id vector in its cluster has cosine ≥ [[SemDedupTau]]
     * (the deterministic stand-in for the paper's keep-one-per-group
-    * choice). Emits one row per vector: cluster, is_dup, the kept
-    * earlier neighbor it duplicates (highest cosine, ties → lowest id).
+    * choice). Emits one row per vector: cluster, is_dup, and the
+    * CLOSEST earlier in-cluster neighbor (highest cosine, ties →
+    * lowest id). Note `dup_of` may itself be flagged — this is the
+    * greedy-by-index approximation, so A~B~C with A≁C prunes both B
+    * and C; chase chains through [[graft.ops.Dedup.dedupCluster]]'s
+    * contraction when a kept-representative mapping is needed.
     *
     * At 100 TB this is THE scale story for embedding dedup: the
     * quadratic pair scan collapses to within-cluster pairs (n²/k per

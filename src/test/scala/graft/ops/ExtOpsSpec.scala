@@ -294,7 +294,7 @@ class ExtOpsSpec extends AnyFunSuite {
     // brute-force recompute from the raw corpus on the driver
     val texts = spark.read.parquet(s"$dir/documents.parquet")
       .select("doc_id", "text").collect()
-      .map(r => r.getLong(0) -> r.getString(1).toLowerCase.split(" ").toSeq)
+      .map(r => r.getLong(0) -> r.getString(1).toLowerCase(java.util.Locale.ROOT).split(" ").toSeq)
     val shingles = texts.map { case (id, t) =>
       id -> t.sliding(3).filter(_.size == 3).map(_.mkString(" ")).toSet
     }.toMap
@@ -313,7 +313,7 @@ class ExtOpsSpec extends AnyFunSuite {
         ((r.getLong(2).toInt, r.getString(3)))).toMap
     val texts = spark.read.parquet(s"$dir/documents.parquet")
       .select("doc_id", "text").collect()
-      .map(r => r.getLong(0) -> r.getString(1).toLowerCase.split(" ").toSeq)
+      .map(r => r.getLong(0) -> r.getString(1).toLowerCase(java.util.Locale.ROOT).split(" ").toSeq)
     def hex(b: Array[Byte]) = b.map("%02x".format(_)).mkString
     var total = 0
     for ((id, t) <- texts) {
@@ -388,15 +388,17 @@ class ExtOpsSpec extends AnyFunSuite {
 
   test("dedup_substring matches a sliding-window driver recompute") {
     val docs = spark.read.parquet(s"$dir/documents.parquet").collect()
-      .map(r => r.getLong(0) -> r.getString(1).toLowerCase.split(" ", -1).toSeq)
+      .map(r => r.getLong(0) ->
+        r.getString(1).toLowerCase(java.util.Locale.ROOT).split(" ", -1).toSeq)
       .toMap
     val spans = docs.toSeq.flatMap { case (id, t) =>
       t.sliding(Dedup.SubstringW).filter(_.size == Dedup.SubstringW)
         .map(w => (id, w.mkString(" "))).toSeq
     }
-    val docFreq = spans.distinct.groupBy(_._2).view.mapValues(_.size).toMap
+    // suffix-array rule: >= 2 occurrences anywhere, within-doc included
+    val occFreq = spans.groupBy(_._2).view.mapValues(_.size).toMap
     val want = spans.groupBy(_._1).map { case (id, ss) =>
-      val nDup = ss.count(s => docFreq(s._2) >= 2)
+      val nDup = ss.count(s => occFreq(s._2) >= 2)
       id -> ((ss.size.toLong, nDup.toLong))
     }
     val got = Dedup.dedupSubstring(spark, dir).collect()
@@ -414,8 +416,10 @@ class ExtOpsSpec extends AnyFunSuite {
   test("mix_temperature fills each source budget by a hash-prefix rule") {
     val rows = PipelineOps.mixTemperature(spark, dir).collect()
       .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
-        r.getInt(3), r.getInt(4)))
-    // recompute the sqrt-temperature budgets with the same sorted fold
+        r.getInt(3), r.getLong(4), r.getInt(5)))
+    // recompute the sqrt-temperature budgets with the same sorted fold —
+    // the engine's emitted target AND its kept flags must both match, so
+    // dropping the sqrt (or breaking the fold order) fails here
     val bySrc = rows.groupBy(_._2)
     val srcTokens = bySrc.view.mapValues(_.map(_._3).sum).toMap
     val denom = srcTokens.toSeq.sortBy(_._1).map(x => math.sqrt(x._2.toDouble))
@@ -424,21 +428,25 @@ class ExtOpsSpec extends AnyFunSuite {
     for ((src, rs) <- bySrc) {
       val target = math.round(
         PipelineOps.MixBudgetFrac * grand * math.sqrt(srcTokens(src).toDouble) / denom)
+      assert(rs.forall(_._5 == target), s"$src emitted target != recompute")
       val byRank = rs.sortBy(_._4)
       // kept docs form a rank prefix, and the prefix is exactly the one
       // whose before-cumulative token count is still under the target
       var cum = 0L
-      for ((_, _, n, _, kept) <- byRank) {
+      for ((_, _, n, _, _, kept) <- byRank) {
         assert((kept == 1) == (cum < target), s"$src kept rule at cum=$cum")
         cum += n
       }
-      val keptToks = byRank.filter(_._5 == 1).map(_._3).sum
+      val kept = byRank.filter(_._6 == 1)
+      val keptToks = kept.map(_._3).sum
+      // budget met whenever the source can cover it (down-sampling only:
+      // an exhausted source keeps everything and under-fills)
       if (target > 0)
         assert(keptToks >= math.min(target, srcTokens(src)), s"$src unfilled")
+      // and never overshoots by more than the crossing doc
+      if (kept.nonEmpty)
+        assert(keptToks - kept.map(_._3).max < math.max(target, 1),
+          s"$src overshoot: kept=$keptToks target=$target")
     }
-    // temperature flattening: no source's kept tokens exceed twice the
-    // uniform share of the budget (the head is squashed)
-    val budget = rows.filter(_._5 == 1).map(_._3).sum
-    assert(budget > 0)
   }
 }

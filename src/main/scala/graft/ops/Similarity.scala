@@ -773,4 +773,262 @@ object Similarity {
        |                       (sqrt(sum(v * v)) * sqrt(sum(qv * qv))) END,
        |             6) AS cos_recon
        |FROM rec GROUP BY vec_id, scale ORDER BY vec_id""".stripMargin
+
+  // -------------------------------------- X39 Johnson-Lindenstrauss audit
+
+  /** JL projection geometry: 64 input dims → 16 output dims with a ±1
+    * sign matrix (Achlioptas 2003, "Database-friendly random
+    * projections": Rademacher entries preserve pairwise distances with
+    * the same JL guarantee as Gaussians and cost one add per element).
+    * Scaling by 1/√outDim makes the projected norm an unbiased estimate
+    * of the original norm, so `distortion ≈ 1` IS the JL property under
+    * audit.
+    */
+  val JlInDim = 64
+  val JlOutDim = 16
+
+  private def md5Hex(str: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(str.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  /** The sign matrix, derived from md5 parity so BOTH engines can
+    * reconstruct it independently: sign(i, j) = +1 iff the first hex
+    * nibble of md5("jl|i|j") is odd. ±1 is exact in float, and every
+    * product against a float embedding element is exact in double — the
+    * projection arithmetic has NO rounding of its own, only the final
+    * in-order summation.
+    */
+  val JlSigns: IndexedSeq[Array[Float]] = (0 until JlOutDim).map { j =>
+    (0 until JlInDim).map { i =>
+      if ("13579bdf".contains(md5Hex(s"jl|$i|$j").charAt(0))) 1.0f else -1.0f
+    }.toArray
+  }
+
+  /** `embed_project`: JL signed random projection 64 → 16 dims plus its
+    * distortion audit — per vector the first two projected components,
+    * the original and projected L2 norms, and their ratio (≈1 by the JL
+    * lemma; the zero vector reports NULL). The dimensionality-reduction
+    * rung below int8/PQ: 4× fewer floats per vector while approximately
+    * preserving distances, i.e. the cheap first pass for clustering or
+    * coarse ANN over 100 TB of embeddings.
+    *
+    * Scale shape: the matrix is 16 LITERAL 64-float rows baked into the
+    * plan (a constant, not data), each output dim one codegen'd
+    * [[graft.functions.DotProductF]] — a pure map-side pass, zero
+    * shuffle, no groupBy anywhere. The norm accumulates as a fixed
+    * left-associated chain p0²+p1²+…, the same left fold the oracle's
+    * `list_reduce(… ORDER BY j)` performs, so the audit is bit-stable.
+    * The oracle re-derives the matrix from the md5 rule in SQL — a hash
+    * mismatch would catch a drifted matrix, not just drifted arithmetic.
+    */
+  def embedProject(s: SparkSession, dir: String): DataFrame = {
+    val base = emb(s, dir).withColumn("no_", normExpr("embedding"))
+    val withP = (0 until JlOutDim).foldLeft(base) { (df, j) =>
+      df.withColumn(s"p$j",
+        dot_f(col("embedding"), typedlit(JlSigns(j))) / lit(4.0))
+    }
+    val nproj2 = (0 until JlOutDim)
+      .map(j => col(s"p$j") * col(s"p$j")).reduceLeft(_ + _)
+    withP.withColumn("np_", sqrt(nproj2))
+      .select(col("vec_id"),
+        round(col("p0"), 6).as("p0"), round(col("p1"), 6).as("p1"),
+        round(col("no_"), 6).as("norm_orig"),
+        round(col("np_"), 6).as("norm_proj"),
+        round(when(col("no_") === 0.0, lit(null))
+          .otherwise(col("np_") / col("no_")), 6).as("distortion"))
+      .orderBy("vec_id")
+  }
+
+  val embedProjectSql: String =
+    s"""WITH m AS (
+       |  SELECT j, list(CASE WHEN strpos('13579bdf',
+       |                   substr(md5('jl|' || i || '|' || j), 1, 1)) > 0
+       |                 THEN 1.0 ELSE -1.0 END ORDER BY i) AS srow
+       |  FROM generate_series(0, ${JlOutDim - 1}) AS gj(j),
+       |       generate_series(0, ${JlInDim - 1}) AS gi(i)
+       |  GROUP BY j),
+       |pj AS (
+       |  SELECT e.vec_id, m.j,
+       |         list_dot_product(e.embedding::DOUBLE[], m.srow) / 4.0 AS p
+       |  FROM embeddings e CROSS JOIN m),
+       |agg AS (
+       |  SELECT vec_id,
+       |         max(CASE WHEN j = 0 THEN p END) AS p0,
+       |         max(CASE WHEN j = 1 THEN p END) AS p1,
+       |         sqrt(list_reduce(list(p * p ORDER BY j), (a, b) -> a + b))
+       |           AS np_
+       |  FROM pj GROUP BY 1),
+       |base AS (
+       |  SELECT vec_id, sqrt(list_dot_product(embedding::DOUBLE[],
+       |           embedding::DOUBLE[])) AS no_
+       |  FROM embeddings)
+       |SELECT vec_id, round(p0, 6) AS p0, round(p1, 6) AS p1,
+       |       round(no_, 6) AS norm_orig, round(np_, 6) AS norm_proj,
+       |       round(CASE WHEN no_ = 0.0 THEN NULL ELSE np_ / no_ END, 6)
+       |         AS distortion
+       |FROM agg JOIN base USING (vec_id) ORDER BY vec_id""".stripMargin
+
+  // ------------------------------------------------ X40 kNN label audit
+
+  /** kNN-classification parameters: 50 held-out queries, 10 neighbors. */
+  val KnnQueries = 50
+  val KnnK = 10
+
+  private def embWithLabel(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"), col("label"))
+
+  /** `knn_classify`: k-nearest-neighbor label prediction over the
+    * embedding space — per query vector the majority label of its
+    * [[KnnK]] nearest (cosine) neighbors, vote count, and whether it
+    * matches the true label. This is the standard embedding-quality /
+    * weak-supervision primitive of a curation pipeline: propagate labels
+    * from a labeled seed set to unlabeled data (or audit an embedding
+    * model by its leave-one-out kNN accuracy).
+    *
+    * Scale shape: identical to [[similarityTopk]] — the query/seed side
+    * broadcasts, candidates stream through one scored pass, and the vote
+    * is a (query, label) aggregate over k·|Q| rows. In production the
+    * candidate generator swaps to the persisted IVF/PQ index
+    * ([[similarityAnnKmeans]]/[[similarityAnnPq]]) with the vote stage
+    * unchanged. Ties break deterministically: neighbor rank by (score
+    * DESC, vec_id), vote rank by (votes DESC, label).
+    *
+    * Testdata caveat (same as [[TextAnalysis.textLangid]]'s): the
+    * synthetic embeddings are label-independent noise, so leave-one-out
+    * ACCURACY here sits at chance (~1/10) — the deterministic
+    * rank/vote machinery is what the oracle checks and what transfers
+    * to real embedding spaces.
+    */
+  def knnClassify(s: SparkSession, dir: String): DataFrame = {
+    val e = embWithLabel(s, dir).withColumn("cn", normExpr("embedding"))
+    val q = e.filter(col("vec_id") < KnnQueries)
+      .select(col("vec_id").as("query_id"), col("label").as("qlab"),
+        col("embedding").as("qe"), col("cn").as("qn"))
+    val scored = e.join(broadcast(q), col("query_id") =!= col("vec_id"))
+      .withColumn("score",
+        dot_f(col("qe"), col("embedding")) / (col("qn") * col("cn")))
+    val wN = Window.partitionBy("query_id")
+      .orderBy(col("score").desc, col("vec_id"))
+    val votes = scored.withColumn("rnk", row_number().over(wN))
+      .filter(col("rnk") <= KnnK)
+      .groupBy(col("query_id"), col("qlab"), col("label").as("lab"))
+      .agg(count(lit(1)).as("votes"))
+    val wV = Window.partitionBy("query_id")
+      .orderBy(col("votes").desc, col("lab"))
+    votes.withColumn("vr", row_number().over(wV))
+      .filter(col("vr") === 1)
+      .select(col("query_id").as("vec_id"), col("qlab").as("label"),
+        col("lab").as("pred_label"), col("votes"),
+        when(col("lab") === col("qlab"), 1).otherwise(0).as("correct"))
+      .orderBy("vec_id")
+  }
+
+  val knnClassifySql: String =
+    s"""WITH e AS (
+       |  SELECT vec_id, embedding, label,
+       |         sqrt(list_dot_product(embedding::DOUBLE[],
+       |           embedding::DOUBLE[])) AS cn
+       |  FROM embeddings),
+       |q AS (SELECT vec_id AS query_id, label AS qlab, embedding AS qe,
+       |             cn AS qn
+       |      FROM e WHERE vec_id < $KnnQueries),
+       |scored AS (
+       |  SELECT q.query_id, q.qlab, e.vec_id AS cand_id, e.label AS lab,
+       |         list_dot_product(q.qe::DOUBLE[], e.embedding::DOUBLE[]) /
+       |           (q.qn * e.cn) AS score
+       |  FROM q JOIN e ON e.vec_id <> q.query_id),
+       |nn AS (
+       |  SELECT query_id, qlab, lab,
+       |         row_number() OVER (PARTITION BY query_id
+       |                            ORDER BY score DESC, cand_id) AS rnk
+       |  FROM scored),
+       |votes AS (
+       |  SELECT query_id, qlab, lab, count(*) AS votes
+       |  FROM nn WHERE rnk <= $KnnK GROUP BY 1, 2, 3),
+       |best AS (
+       |  SELECT query_id, qlab, lab, votes,
+       |         row_number() OVER (PARTITION BY query_id
+       |                            ORDER BY votes DESC, lab) AS vr
+       |  FROM votes)
+       |SELECT query_id AS vec_id, qlab AS label, lab AS pred_label, votes,
+       |       CASE WHEN lab = qlab THEN 1 ELSE 0 END AS correct
+       |FROM best WHERE vr = 1 ORDER BY vec_id""".stripMargin
+
+  // -------------------------------------- X41 hard-negative mining
+
+  /** `mine_negatives`: triplet mining for contrastive embedding
+    * training — per anchor (the [[NumQueries]] query vectors) the
+    * hardest positive (most-similar same-label vector) and the
+    * [[TopK]] hardest negatives (most-similar different-label vectors),
+    * with the triplet margin `pos_score − neg_score` per negative. Small
+    * or negative margins are exactly the informative triplets batch
+    * construction wants (FaceNet-style semi-hard mining).
+    *
+    * Scale shape: one scored pass with the anchor side broadcast — the
+    * same single-scan plan as [[similarityTopk]], with the label
+    * predicate splitting the window into the positive and negative
+    * streams. In production the candidate set comes from the persisted
+    * ANN index; the mining windows then run over shortlist·|anchors|
+    * rows, not the corpus.
+    */
+  def mineNegatives(s: SparkSession, dir: String): DataFrame = {
+    val e = embWithLabel(s, dir).withColumn("cn", normExpr("embedding"))
+    val q = e.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("query_id"), col("label").as("qlab"),
+        col("embedding").as("qe"), col("cn").as("qn"))
+    val scored = e.join(broadcast(q), col("query_id") =!= col("vec_id"))
+      .withColumn("score",
+        dot_f(col("qe"), col("embedding")) / (col("qn") * col("cn")))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("score").desc, col("vec_id"))
+    val pos = scored.filter(col("label") === col("qlab"))
+      .withColumn("pr", row_number().over(w)).filter(col("pr") === 1)
+      .select(col("query_id"), col("vec_id").as("pos_id"),
+        col("score").as("ps_"))
+    val neg = scored.filter(col("label") =!= col("qlab"))
+      .withColumn("rnk", row_number().over(w)).filter(col("rnk") <= TopK)
+      .select(col("query_id"), col("vec_id").as("neg_id"),
+        col("score").as("ns_"), col("rnk"))
+    neg.join(pos, Seq("query_id"), "left")
+      .select(col("query_id"), col("pos_id"),
+        round(col("ps_"), 6).as("pos_score"),
+        col("neg_id"), round(col("ns_"), 6).as("neg_score"),
+        round(col("ps_") - col("ns_"), 6).as("margin"), col("rnk"))
+      .orderBy("query_id", "rnk")
+  }
+
+  val mineNegativesSql: String =
+    s"""WITH e AS (
+       |  SELECT vec_id, embedding, label,
+       |         sqrt(list_dot_product(embedding::DOUBLE[],
+       |           embedding::DOUBLE[])) AS cn
+       |  FROM embeddings),
+       |q AS (SELECT vec_id AS query_id, label AS qlab, embedding AS qe,
+       |             cn AS qn
+       |      FROM e WHERE vec_id < $NumQueries),
+       |scored AS (
+       |  SELECT q.query_id, q.qlab, e.vec_id AS cand_id, e.label AS lab,
+       |         list_dot_product(q.qe::DOUBLE[], e.embedding::DOUBLE[]) /
+       |           (q.qn * e.cn) AS score
+       |  FROM q JOIN e ON e.vec_id <> q.query_id),
+       |pos AS (
+       |  SELECT query_id, cand_id AS pos_id, score AS ps_
+       |  FROM (SELECT query_id, cand_id, score,
+       |               row_number() OVER (PARTITION BY query_id
+       |                 ORDER BY score DESC, cand_id) AS pr
+       |        FROM scored WHERE lab = qlab)
+       |  WHERE pr = 1),
+       |neg AS (
+       |  SELECT query_id, cand_id AS neg_id, score AS ns_, rnk
+       |  FROM (SELECT query_id, cand_id, score,
+       |               row_number() OVER (PARTITION BY query_id
+       |                 ORDER BY score DESC, cand_id) AS rnk
+       |        FROM scored WHERE lab <> qlab)
+       |  WHERE rnk <= $TopK)
+       |SELECT n.query_id, p.pos_id, round(p.ps_, 6) AS pos_score,
+       |       n.neg_id, round(n.ns_, 6) AS neg_score,
+       |       round(p.ps_ - n.ns_, 6) AS margin, n.rnk
+       |FROM neg n LEFT JOIN pos p ON p.query_id = n.query_id
+       |ORDER BY n.query_id, n.rnk""".stripMargin
 }

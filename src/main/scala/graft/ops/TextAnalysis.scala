@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators over `documents` (SURVEY.md §2.9 X5 plus the
@@ -404,4 +405,136 @@ object TextAnalysis {
        |             * 1.0 / count(*), 6) AS boilerplate_frac
        |FROM shingle_u u JOIN dfq USING (g)
        |GROUP BY u.doc_id ORDER BY u.doc_id""".stripMargin
+
+  // ---------------------------------------------------- X38 BM25 retrieval
+
+  /** Okapi BM25 parameters — the textbook operating point (Robertson &
+    * Zaragoza 2009, "The Probabilistic Relevance Framework"): k1 tunes
+    * term-frequency saturation, b tunes document-length normalization.
+    * Spelled as literal strings so the identical decimal text parses to
+    * the identical double in both engines.
+    */
+  val Bm25K1 = "1.2"
+  val Bm25B = "0.75"
+  val Bm25TopK = 10
+
+  /** The fixed query workload: (query_id, terms). Terms come from the
+    * corpus vocabulary so every query has a non-trivial result.
+    */
+  val Bm25Queries: Seq[(Int, Seq[String])] = Seq(
+    0 -> Seq("join", "filter"),
+    1 -> Seq("window", "agg"),
+    2 -> Seq("stream", "batch", "vector"))
+
+  /** The BM25 term-score formula, shared VERBATIM between `expr(...)`
+    * and the DuckDB oracle (the [[Tokens]] pattern): identical text ⇒
+    * identical parse ⇒ identical IEEE arithmetic. Expects columns
+    * `tf` (term frequency, bigint), `df` (document frequency, bigint),
+    * `dl` (document length, bigint), `n_docs` (corpus size) and `avgdl`
+    * (double) in scope. The idf is the +1-smoothed Lucene form (never
+    * negative for df > n/2).
+    */
+  private val bm25TermScore: String =
+    s"ln(1 + (n_docs - df + 0.5) / (df + 0.5)) * " +
+      s"(tf * ($Bm25K1 + 1)) / " +
+      s"(tf + $Bm25K1 * (1 - $Bm25B + $Bm25B * (dl / avgdl)))"
+
+  /** `bm25_search`: ranked full-text retrieval — top-[[Bm25TopK]]
+    * documents per query under Okapi BM25 over the whitespace token
+    * index. This is the retrieval half of a RAG / data-curation loop
+    * (the lexical complement to the embedding ANN keys): score every
+    * document containing ≥1 query term, rank, cut at k.
+    *
+    * Scale shape: the postings list (`doc, term, tf`) and the df table
+    * are the SAME partial-aggregated token-keyed aggregates the
+    * [[tokenDocfreq]] index builds — at 100 TB both are built once and
+    * persisted, and a query touches only the postings rows of its own
+    * terms. In this self-contained form the query-term `IN` filter is
+    * placed BELOW the postings aggregate (it commutes with a groupBy
+    * keyed on the term), so the corpus explodes map-side but only the
+    * query terms' instances enter any shuffle — the plan's aggregates
+    * all run on a few-terms slice. The per-(query, doc) score sum folds in sorted
+    * term order (the powSeries order pin) so FP association can never
+    * flip a rank, and top-k is a window over only the docs that matched
+    * ≥1 term — a frame bounded by the postings of the query terms, not
+    * the corpus.
+    */
+  def bm25Search(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val d = docs(s, dir)
+      .select(col("doc_id"), expr(toksExpr).as("toks"))
+      .withColumn("dl", size(col("toks")).cast("long"))
+    // corpus stats: one tiny agg broadcast into the plan — no action
+    val stats = d.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
+    // postings distinct per (doc, t): count(*) over it IS the df. The
+    // query-term filter sits BELOW the aggregate (the groupBy key
+    // contains t, so pre-filtering commutes): only the query terms'
+    // token instances ever enter a shuffle, and df over the filtered
+    // postings is identical for those terms. A join with the broadcast
+    // query table could not be pushed through the aggregate by Catalyst,
+    // so the prune is spelled as an explicit IN filter.
+    val allTerms = Bm25Queries.flatMap(_._2).distinct
+    val postings = d
+      .select(col("doc_id"), col("dl"), explode(col("toks")).as("t"))
+      .filter(col("t").isin(allTerms: _*))
+      .groupBy("doc_id", "dl", "t").agg(count(lit(1)).as("tf"))
+    val dfq = postings.groupBy("t").agg(count(lit(1)).as("df"))
+    val q = Bm25Queries
+      .flatMap { case (qid, ts) => ts.map(t => (qid, t)) }
+      .toDF("query_id", "t")
+    val scored = postings
+      .join(broadcast(q), "t")
+      .join(dfq, "t")
+      .crossJoin(broadcast(stats))
+      .withColumn("avgdl", expr("CAST(sum_dl AS DOUBLE) / n_docs"))
+      .withColumn("ts_", expr(bm25TermScore))
+    val perDoc = scored.groupBy("query_id", "doc_id")
+      .agg(
+        expr("aggregate(transform(array_sort(collect_list(struct(t, ts_))), " +
+          "x -> x.ts_), 0D, (a, v) -> a + v)").as("score"),
+        count(lit(1)).as("n_terms"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("score").desc, col("doc_id"))
+    perDoc.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= Bm25TopK)
+      .select(col("query_id"), col("doc_id"),
+        round(col("score"), 6).as("score"), col("n_terms"), col("rnk"))
+      .orderBy("query_id", "rnk")
+  }
+
+  val bm25SearchSql: String = {
+    val values = Bm25Queries
+      .flatMap { case (qid, ts) => ts.map(t => s"($qid, '$t')") }
+      .mkString(", ")
+    val termList = Bm25Queries.flatMap(_._2).distinct
+      .map(t => s"'$t'").mkString(", ")
+    s"""WITH d AS (SELECT doc_id, $toksSql AS toks FROM documents),
+       |dd AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl, toks FROM d),
+       |stats AS (SELECT count(*) AS n_docs, sum(dl) AS sum_dl FROM dd),
+       |p AS (
+       |  SELECT doc_id, dl, t, count(*) AS tf
+       |  FROM (SELECT doc_id, dl, unnest(toks) AS t FROM dd)
+       |  WHERE t IN ($termList)
+       |  GROUP BY 1, 2, 3),
+       |dfq AS (SELECT t, count(*) AS df FROM p GROUP BY 1),
+       |q(query_id, t) AS (VALUES $values),
+       |scored AS (
+       |  SELECT q.query_id, p.doc_id, p.t,
+       |         $bm25TermScore AS ts_
+       |  FROM p JOIN q USING (t) JOIN dfq USING (t)
+       |       CROSS JOIN (SELECT n_docs, CAST(sum_dl AS DOUBLE) / n_docs
+       |                     AS avgdl FROM stats) s),
+       |perdoc AS (
+       |  SELECT query_id, doc_id,
+       |         list_reduce(list(ts_ ORDER BY t), (a, b) -> a + b) AS score,
+       |         count(*) AS n_terms
+       |  FROM scored GROUP BY 1, 2),
+       |ranked AS (
+       |  SELECT query_id, doc_id, score, n_terms,
+       |         row_number() OVER (PARTITION BY query_id
+       |                            ORDER BY score DESC, doc_id) AS rnk
+       |  FROM perdoc)
+       |SELECT query_id, doc_id, round(score, 6) AS score, n_terms, rnk
+       |FROM ranked WHERE rnk <= $Bm25TopK ORDER BY query_id, rnk""".stripMargin
+  }
 }

@@ -449,4 +449,87 @@ class ExtOpsSpec extends AnyFunSuite {
           s"$src overshoot: kept=$keptToks target=$target")
     }
   }
+
+  test("bm25_search returns only docs containing a query term, ranked") {
+    val rows = TextAnalysis.bm25Search(spark, dir).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2), r.getLong(3),
+        r.getInt(4)))
+    assert(rows.nonEmpty)
+    val docs = spark.read.parquet(s"$dir/documents.parquet").collect()
+      .map(r => r.getLong(0) -> r.getString(1).toLowerCase.split(' ').toSet)
+      .toMap
+    val terms = TextAnalysis.Bm25Queries.toMap
+    for ((qid, did, score, nTerms, _) <- rows) {
+      val hit = terms(qid).count(docs(did).contains)
+      assert(hit >= 1, s"q$qid doc $did has no query term")
+      assert(nTerms == hit, s"q$qid doc $did n_terms $nTerms != $hit")
+      assert(score > 0, s"q$qid doc $did non-positive score")
+    }
+    // ranks are contiguous from 1 and scores are non-increasing in rank
+    for ((qid, rs) <- rows.groupBy(_._1)) {
+      val byRank = rs.sortBy(_._5)
+      assert(byRank.map(_._5).toSeq == (1 to byRank.length),
+        s"q$qid ranks not contiguous")
+      assert(byRank.sliding(2).forall {
+        case Array(a, b) => a._3 >= b._3; case _ => true
+      }, s"q$qid scores increase with rank")
+    }
+  }
+
+  test("embed_project preserves norms in the JL sense") {
+    val rows = Similarity.embedProject(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getDouble(3), r.getDouble(4), r.getDouble(5)))
+    val n = spark.read.parquet(s"$dir/embeddings.parquet").count()
+    assert(rows.length == n) // one audit row per vector, zero vectors included
+    // per-vector distortion stays inside loose JL bounds for 64→16 dims,
+    // and the corpus mean concentrates near 1 (the unbiasedness of the
+    // 1/sqrt(outDim) scaling — the property the audit exists to check)
+    for ((id, no, np, d) <- rows) {
+      assert(no > 0, s"vec $id zero norm in testdata?")
+      assert(math.abs(d - np / no) < 2e-6, s"vec $id distortion != ratio")
+      assert(d > 0.2 && d < 2.5, s"vec $id distortion $d outside JL bounds")
+    }
+    val mean = rows.map(_._4).sum / rows.length
+    assert(mean > 0.85 && mean < 1.15, s"mean distortion $mean far from 1")
+  }
+
+  test("knn_classify votes are consistent with the brute top-k neighbors") {
+    val out = Similarity.knnClassify(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getLong(3),
+        r.getInt(4)))
+    assert(out.length == math.min(Similarity.KnnQueries,
+      spark.read.parquet(s"$dir/embeddings.parquet").count()).toInt)
+    val labels = spark.read.parquet(s"$dir/embeddings.parquet").collect()
+      .map(r => r.getLong(0) -> r.getInt(2)).toMap
+    for ((vid, lab, pred, votes, correct) <- out) {
+      assert(lab == labels(vid), s"vec $vid true label mismatch")
+      assert(votes >= 1 && votes <= Similarity.KnnK, s"vec $vid vote count")
+      assert((correct == 1) == (pred == lab), s"vec $vid correct flag")
+    }
+  }
+
+  test("mine_negatives emits true hard negatives with consistent margins") {
+    val labels = spark.read.parquet(s"$dir/embeddings.parquet").collect()
+      .map(r => r.getLong(0) -> r.getInt(2)).toMap
+    val rows = Similarity.mineNegatives(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3),
+        r.getDouble(4), r.getDouble(5), r.getInt(6)))
+    assert(rows.nonEmpty)
+    for ((qid, posId, ps, negId, ns, margin, _) <- rows) {
+      assert(labels(posId) == labels(qid), s"q$qid positive label differs")
+      assert(labels(negId) != labels(qid), s"q$qid negative shares label")
+      assert(posId != qid && negId != qid, s"q$qid mined itself")
+      // margin is the pos/neg score gap (both sides round to 6 at the
+      // edge, so allow one ulp of the rounded grid)
+      assert(math.abs(margin - (ps - ns)) < 2e-6, s"q$qid margin")
+    }
+    // negatives are the TOP different-label scores: rank 1 has the
+    // smallest margin within each query
+    for ((qid, rs) <- rows.groupBy(_._1)) {
+      val byRank = rs.sortBy(_._7)
+      assert(byRank.sliding(2).forall {
+        case Array(a, b) => a._6 <= b._6 + 2e-6; case _ => true
+      }, s"q$qid margins shrink with rank")
+    }
+  }
 }

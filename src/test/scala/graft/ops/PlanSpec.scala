@@ -607,4 +607,53 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("BroadcastNestedLoopJoin"),
       s"training cross-join leaked into the serving plan:\n$p")
   }
+
+  test("embed_project is a pure map-side pass — one presentation shuffle only") {
+    // the JL matrix is 16 literal rows baked into the projection; the
+    // whole audit must stay in the scan's stage. A Generate (explode
+    // form), a join (matrix-as-data form) or a second Exchange (groupBy
+    // form) would all mean the zero-shuffle shape regressed.
+    val p = plan(Similarity.embedProject(spark, dir))
+    assert(!p.contains("Generate") && !p.contains("Join"),
+      s"projection left the map side:\n$p")
+    assert("Exchange".r.findAllIn(p).size <= 2, // tree + detail listing of the one sort
+      s"more than the presentation-sort exchange:\n$p")
+  }
+
+  test("bm25_search prunes the token explode before any aggregation") {
+    import org.apache.spark.sql.catalyst.expressions.{In, InSet}
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter => LFilter}
+    val df = TextAnalysis.bm25Search(spark, dir)
+    // the query-term IN filter must sit below the postings aggregate —
+    // the corpus explodes map-side, but only query-term instances enter
+    // a shuffle. If the filter rides above the aggregate (join-only
+    // pruning), every token of every document gets shuffled at 100 TB.
+    val lp = df.queryExecution.optimizedPlan
+    val filterUnderAgg = lp.collect { case a: Aggregate => a }.exists {
+      _.child.collect { case f: LFilter =>
+        f.condition.exists(e => e.isInstanceOf[In] || e.isInstanceOf[InSet])
+      }.exists(identity)
+    }
+    assert(filterUnderAgg,
+      s"term IN filter did not reach below the postings aggregate:\n$lp")
+    // query table broadcast; top-k via the rank-limit pushdown
+    val p = plan(df)
+    assert(p.contains("BroadcastHashJoin"), s"query terms not broadcast:\n$p")
+    assert(p.contains("WindowGroupLimit"),
+      s"top-k not pushed into a rank limit:\n$p")
+  }
+
+  test("knn_classify and mine_negatives broadcast the anchor side") {
+    for (q <- Seq(Similarity.knnClassify(spark, dir),
+                  Similarity.mineNegatives(spark, dir))) {
+      val p = plan(q)
+      assert(p.contains("BroadcastNestedLoopJoin") ||
+        p.contains("BroadcastHashJoin"),
+        s"anchor side not broadcast — corpus would shuffle:\n$p")
+      assert(!p.contains("CartesianProduct"),
+        s"unbounded cartesian in the scoring pass:\n$p")
+      assert(p.contains("WindowGroupLimit"),
+        s"neighbor top-k not pushed into a rank limit:\n$p")
+    }
+  }
 }

@@ -355,6 +355,7 @@ object CoreQueries {
     "fetch_relative" -> ((s, d) => Fetch.fetchRelative(s, d)),
     "fetch_relative_tz" -> ((s, d) => Fetch.fetchRelativeTz(s, d)),
     "fetch_check_empty" -> ((s, d) => Fetch.fetchCheckEmpty(s, d)),
+    "fetch_asof" -> ((s, d) => Fetch.fetchAsof(s, d)),
     "fetch_many" -> ((s, d) => Fetch.fetchMany(s, d)),
     "fetch_glob" -> ((s, d) => Fetch.fetchGlob(s, d)),
     "metrics_find" -> ((s, d) => Fetch.metricsFindRoot(s, d)),
@@ -450,6 +451,7 @@ object CoreQueries {
     "fetch_relative" -> Fetch.fetchRelativeSql,
     "fetch_relative_tz" -> Fetch.fetchRelativeTzSql,
     "fetch_check_empty" -> Fetch.fetchCheckEmptySql,
+    "fetch_asof" -> Fetch.fetchAsofSql,
     "fetch_many" -> Fetch.fetchManySql,
     "fetch_glob" -> Fetch.fetchGlobSql,
     "metrics_find" -> Fetch.metricsFindRootSql,

@@ -2,6 +2,7 @@ package graft.ops
 
 import graft.model.{Retention, WhisperSchema}
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Read path — whisper's only query, `Fetch(from, until)` (reference:
@@ -90,6 +91,73 @@ object Fetch {
        |FROM spine s LEFT JOIN agg a USING (bucket_ts)
        |ORDER BY s.bucket_ts""".stripMargin
   }
+
+  /** As-of sampling grid step: hourly marks over the [F, U) fetch day. */
+  val AsofStepS = 3600L
+
+  /** `fetch_asof`: as-of join / LOCF sampling — place every metric's
+    * IRREGULAR point stream onto a fixed hourly grid, each mark carrying
+    * the latest observation at or before it plus its staleness. This is
+    * the one time-series join Spark has no native operator for (and
+    * DuckDB ships as `ASOF JOIN` — its oracle here); whisper never needs
+    * it because its ring is dense by construction, but any consumer
+    * joining whisper data to event streams does.
+    *
+    * Built by composition (the SURVEY §2.9 preference order: compose
+    * before custom plan): points and grid marks union into one frame,
+    * one window per metric ordered by `(ts, is_point DESC)` carries the
+    * last non-null observation forward — a point landing exactly ON a
+    * mark sorts before it, giving ASOF's inclusive `grid >= ts` match.
+    * Points pre-reduce to one row per (metric, second) via `max` (a
+    * deterministic tie-break BOTH engines apply, since ASOF ties are
+    * otherwise unspecified). One shuffle keyed by metric, in-partition
+    * sort; volume per partition = that metric's points + 24 marks. At
+    * 100 TB the hot-metric skew answer is the sessionize_scalable
+    * two-pass shape: carry within (metric, day) locally, then stitch
+    * day boundaries over the per-day tails.
+    */
+  def fetchAsof(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val fromS = Buckets.FromS
+    val untilS = Buckets.UntilS
+    val pts = Buckets.pointsInRange(spark, sfDir, fromS, untilS)
+      .groupBy($"metric", $"ts_s").agg(max($"value").as("value"))
+    val spine = pts.select($"metric").distinct()
+      .select($"metric", explode(sequence(
+        lit(fromS), lit(untilS - AsofStepS), lit(AsofStepS))).as("ts_s"))
+    val tagged = pts
+      .select($"metric", $"ts_s", $"value", lit(1).as("is_pt"))
+      .unionByName(spine.select($"metric", $"ts_s",
+        lit(null).cast("double").as("value"), lit(0).as("is_pt")))
+    val w = Window.partitionBy("metric")
+      .orderBy($"ts_s".asc, $"is_pt".desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    tagged
+      .withColumn("av_", last($"value", ignoreNulls = true).over(w))
+      .withColumn("at_",
+        last(when($"is_pt" === 1, $"ts_s"), ignoreNulls = true).over(w))
+      .filter($"is_pt" === 0)
+      .select($"metric", $"ts_s".as("grid_ts"),
+        round($"av_", 6).as("value"), $"at_".as("asof_ts"),
+        ($"ts_s" - $"at_").as("staleness_s"))
+      .orderBy("metric", "grid_ts")
+  }
+
+  val fetchAsofSql: String =
+    s"""WITH ${Buckets.pointsSql},
+       |rp AS (
+       |  SELECT metric, ts_s, max(value) AS value FROM pts
+       |  WHERE ts_s >= ${Buckets.FromS} AND ts_s < ${Buckets.UntilS}
+       |  GROUP BY 1, 2),
+       |spine AS (
+       |  SELECT m.metric, CAST(g.range AS BIGINT) AS grid_ts
+       |  FROM (SELECT DISTINCT metric FROM rp) m,
+       |       range(${Buckets.FromS}, ${Buckets.UntilS}, $AsofStepS) g)
+       |SELECT s.metric, s.grid_ts, round(p.value, 6) AS value,
+       |       p.ts_s AS asof_ts, s.grid_ts - p.ts_s AS staleness_s
+       |FROM spine s ASOF LEFT JOIN rp p
+       |  ON s.metric = p.metric AND s.grid_ts >= p.ts_s
+       |ORDER BY s.metric, s.grid_ts""".stripMargin
 
   /** `fetch_relative`: the graphite REQUEST layer — `from`/`until` as
     * attime strings ([[AtTime]]), the way every dashboard actually asks

@@ -406,6 +406,51 @@ object TextAnalysis {
        |FROM shingle_u u JOIN dfq USING (g)
        |GROUP BY u.doc_id ORDER BY u.doc_id""".stripMargin
 
+  // ------------------------------------------------- X42 token entropy
+
+  /** `text_entropy`: per-document Shannon entropy of the token
+    * distribution plus the type-token ratio — the distribution-shape
+    * quality signals (low entropy = repetitive/degenerate text, low TTR
+    * = template): `H = ln(n) − Σ c·ln(c) / n` over the per-doc token
+    * counts. Complements [[textQuality]]'s surface ratios and
+    * `text_repetition`'s max-token share with the full-distribution
+    * statistic Gopher-style filters gate on.
+    *
+    * Scale shape: one explode → (doc, token) count aggregate (map-side
+    * combined, doc_id-keyed) → per-doc reduce. The `Σ c·ln(c)` term
+    * folds over the counts SORTED BY TOKEN (the powSeries order pin) so
+    * FP association cannot wobble the 6th decimal across runs.
+    */
+  def textEntropy(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .select(col("doc_id"), explode(expr(toksExpr)).as("t"))
+      .groupBy("doc_id", "t").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id")
+      .agg(sum(col("c")).as("n_tokens"), count(lit(1)).as("n_types"),
+        expr("aggregate(transform(array_sort(collect_list(struct(t, c))), " +
+          "x -> CAST(x.c AS DOUBLE) * ln(x.c)), 0D, (a, v) -> a + v)")
+          .as("sum_clnc"))
+      .select(col("doc_id"), col("n_tokens"), col("n_types"),
+        round(expr("ln(n_tokens) - sum_clnc / n_tokens"), 6).as("entropy"),
+        round(col("n_types") * lit(1.0) / col("n_tokens"), 6).as("ttr"))
+      .orderBy("doc_id")
+
+  val textEntropySql: String =
+    s"""WITH cnt AS (
+       |  SELECT doc_id, t, count(*) AS c
+       |  FROM (SELECT doc_id, unnest($toksSql) AS t FROM documents)
+       |  GROUP BY 1, 2),
+       |agg AS (
+       |  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+       |         count(*) AS n_types,
+       |         list_reduce(list(CAST(c AS DOUBLE) * ln(c) ORDER BY t),
+       |                     (a, b) -> a + b) AS sum_clnc
+       |  FROM cnt GROUP BY 1)
+       |SELECT doc_id, n_tokens, n_types,
+       |       round(ln(n_tokens) - sum_clnc / n_tokens, 6) AS entropy,
+       |       round(n_types * 1.0 / n_tokens, 6) AS ttr
+       |FROM agg ORDER BY doc_id""".stripMargin
+
   // ---------------------------------------------------- X38 BM25 retrieval
 
   /** Okapi BM25 parameters — the textbook operating point (Robertson &

@@ -450,6 +450,57 @@ class ExtOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("fetch_asof carries the latest point at-or-before each grid mark") {
+    val pts = Buckets.pointsInRange(spark, dir, Buckets.FromS, Buckets.UntilS)
+      .groupBy("metric", "ts_s").agg(max("value").as("value"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    val out = Fetch.fetchAsof(spark, dir).collect()
+    assert(out.nonEmpty)
+    val byMetric = pts.groupBy(_._1)
+    for (r <- out) {
+      val (m, g) = (r.getString(0), r.getLong(1))
+      val eligible = byMetric(m).filter(_._2 <= g)
+      if (eligible.isEmpty) {
+        assert(r.isNullAt(2) && r.isNullAt(3) && r.isNullAt(4),
+          s"$m@$g carries a value with no preceding point")
+      } else {
+        val lastTs = eligible.map(_._2).max
+        // tie-reduce already applied in pts: one value per (metric, ts)
+        val want = eligible.filter(_._2 == lastTs).head._3
+        assert(r.getLong(3) == lastTs, s"$m@$g asof_ts")
+        assert(math.abs(r.getDouble(2) - want) < 1e-6, s"$m@$g value")
+        assert(r.getLong(4) == g - lastTs, s"$m@$g staleness")
+      }
+    }
+    // full grid: every metric present in the window has all 24 marks
+    val marks = (Buckets.UntilS - Buckets.FromS) / Fetch.AsofStepS
+    for ((m, rs) <- out.groupBy(_.getString(0)))
+      assert(rs.length == marks, s"$m grid incomplete: ${rs.length}")
+  }
+
+  test("text_entropy matches a driver recompute and its bounds") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet").collect()
+      .map(r => r.getLong(0) -> r.getString(1).toLowerCase.split(' ').toSeq)
+      .toMap
+    val out = TextAnalysis.textEntropy(spark, dir).collect()
+    assert(out.length == docs.size)
+    for (r <- out) {
+      val (id, n, types) = (r.getLong(0), r.getLong(1), r.getLong(2))
+      val (h, ttr) = (r.getDouble(3), r.getDouble(4))
+      val toks = docs(id)
+      val counts = toks.groupBy(identity).view.mapValues(_.size).toMap
+      assert(n == toks.length && types == counts.size, s"doc $id counts")
+      val want = math.log(n.toDouble) -
+        counts.toSeq.sortBy(_._1).map { case (_, c) =>
+          c.toDouble * math.log(c.toDouble) }.sum / n
+      assert(math.abs(h - want) < 1e-5, s"doc $id entropy $h != $want")
+      // 0 <= H <= ln(n_types); TTR consistent
+      assert(h >= -1e-6 && h <= math.log(types.toDouble) + 1e-6,
+        s"doc $id entropy out of bounds")
+      assert(math.abs(ttr - types.toDouble / n) < 2e-6, s"doc $id ttr")
+    }
+  }
+
   test("bm25_search returns only docs containing a query term, ranked") {
     val rows = TextAnalysis.bm25Search(spark, dir).collect()
       .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2), r.getLong(3),

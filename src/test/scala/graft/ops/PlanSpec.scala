@@ -30,6 +30,7 @@ class PlanSpec extends AnyFunSuite {
     // answers, full-table scans. This test is the tripwire.
     for (q <- Seq(Fetch.fetchDenseSeries(spark, dir),
                   Fetch.fetchRelativeTz(spark, dir),
+                  Fetch.fetchAsof(spark, dir),
                   CoreQueries.fetchRangeFilter(spark, dir))) {
       val p = plan(q)
       assert(p.contains("PushedFilters") &&

@@ -159,6 +159,97 @@ object Fetch {
        |  ON s.metric = p.metric AND s.grid_ts >= p.ts_s
        |ORDER BY s.metric, s.grid_ts""".stripMargin
 
+  /** Downsample geometry: 15-minute buckets over the [F, U) fetch day —
+    * 1440 per-minute points reduce to ≤96 visually-dominant ones.
+    */
+  val LtobBucketS = 900L
+
+  /** `fetch_downsample`: largest-triangle-one-bucket (LTOB) visual
+    * downsampling — per time bucket keep the point whose triangle with
+    * its immediate neighbors has the largest effective area, plus the
+    * series endpoints (Steinarsson 2013, "Downsampling Time Series for
+    * Visual Representation"). The chart-serving complement to
+    * `fetch_maxdatapoints`: consolidation averages buckets (right for
+    * further math), LTOB keeps the REAL extreme points a human should
+    * see (right for pixels — spikes survive).
+    *
+    * LTOB rather than LTTB deliberately: LTTB's selected-predecessor
+    * recurrence is sequential per series (a mapGroups op, like
+    * Holt-Winters), while LTOB's fixed-neighbor areas are pure window
+    * algebra — lag/lead + one per-bucket rank, fully relational in both
+    * engines, so the oracle can hash-check it. One shuffle keyed by
+    * metric, in-partition sort; per-series state is three rows wide at
+    * any point. Endpoint buckets keep the endpoint itself (rank orders
+    * `is_endpoint` first — endpoints have no triangle).
+    */
+  def fetchDownsample(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val fromS = Buckets.FromS
+    val untilS = Buckets.UntilS
+    // sparse per-minute average of 'view' — the fetch_dense_series agg
+    // without the spine (LTOB runs over observed points, not gaps)
+    val agg = Buckets.pointsInRange(spark, sfDir, fromS, untilS)
+      .filter($"metric" === "view")
+      .groupBy($"metric", Buckets.alignTs($"ts_s", 60).as("ts_s"))
+      .agg(round(avg($"value"), 6).as("value"))
+    val wS = Window.partitionBy("metric").orderBy("ts_s")
+    val wM = Window.partitionBy("metric")
+    val withArea = agg
+      .withColumn("xp", lag($"ts_s", 1).over(wS))
+      .withColumn("yp", lag($"value", 1).over(wS))
+      .withColumn("xn", lead($"ts_s", 1).over(wS))
+      .withColumn("yn", lead($"value", 1).over(wS))
+      .withColumn("is_endpoint",
+        ($"ts_s" === min($"ts_s").over(wM) ||
+          $"ts_s" === max($"ts_s").over(wM)).cast("int"))
+      .withColumn("area", expr(
+        "abs((xp - xn) * (value - yp) - (xp - ts_s) * (yn - yp)) / 2"))
+      // integer division on both sides: CAST(double) would ROUND in
+      // DuckDB but TRUNCATE in Spark — `div` / `//` agree exactly
+      .withColumn("bucket", expr(s"(ts_s - $fromS) div $LtobBucketS"))
+    val wB = Window.partitionBy("metric", "bucket")
+      .orderBy($"is_endpoint".desc, $"area".desc_nulls_last, $"ts_s".asc)
+    withArea.withColumn("rn", row_number().over(wB))
+      .filter($"rn" === 1)
+      .select($"metric", $"bucket", $"ts_s", $"value",
+        round($"area", 6).as("area"))
+      .orderBy("metric", "bucket")
+  }
+
+  val fetchDownsampleSql: String =
+    s"""WITH ${Buckets.pointsSql},
+       |agg AS (
+       |  SELECT metric, (ts_s // 60) * 60 AS ts_s,
+       |         round(avg(value), 6) AS value
+       |  FROM pts
+       |  WHERE metric = 'view' AND ts_s >= ${Buckets.FromS}
+       |    AND ts_s < ${Buckets.UntilS}
+       |  GROUP BY 1, 2),
+       |ar AS (
+       |  SELECT metric, ts_s, value,
+       |         lag(ts_s) OVER w AS xp, lag(value) OVER w AS yp,
+       |         lead(ts_s) OVER w AS xn, lead(value) OVER w AS yn,
+       |         CASE WHEN ts_s = min(ts_s) OVER m
+       |                OR ts_s = max(ts_s) OVER m THEN 1 ELSE 0 END
+       |           AS is_endpoint,
+       |         (ts_s - ${Buckets.FromS}) // $LtobBucketS AS bucket
+       |  FROM agg
+       |  WINDOW w AS (PARTITION BY metric ORDER BY ts_s),
+       |         m AS (PARTITION BY metric)),
+       |scored AS (
+       |  SELECT metric, bucket, ts_s, value, is_endpoint,
+       |         abs((xp - xn) * (value - yp) - (xp - ts_s) * (yn - yp)) / 2
+       |           AS area
+       |  FROM ar),
+       |ranked AS (
+       |  SELECT metric, bucket, ts_s, value, area,
+       |         row_number() OVER (PARTITION BY metric, bucket
+       |           ORDER BY is_endpoint DESC, area DESC NULLS LAST,
+       |                    ts_s ASC) AS rn
+       |  FROM scored)
+       |SELECT metric, bucket, ts_s, value, round(area, 6) AS area
+       |FROM ranked WHERE rn = 1 ORDER BY metric, bucket""".stripMargin
+
   /** `fetch_relative`: the graphite REQUEST layer — `from`/`until` as
     * attime strings ([[AtTime]]), the way every dashboard actually asks
     * (`?from=-1d&until=now`), resolved against the pinned render time

@@ -406,6 +406,82 @@ object TextAnalysis {
        |FROM shingle_u u JOIN dfq USING (g)
        |GROUP BY u.doc_id ORDER BY u.doc_id""".stripMargin
 
+  // ------------------------------------------------- X44 PMI collocations
+
+  /** PMI mining parameters: minimum bigram support (PMI of rare pairs
+    * is noise — the standard Church & Hanks guard) and the report size.
+    */
+  val PmiMinCount = 5
+  val PmiTopK = 50
+
+  /** `token_pmi`: pointwise mutual information over adjacent token
+    * pairs — `PMI(a,b) = ln(c_ab · N / (c_a · c_b))`, the collocation
+    * / multi-word-expression signal (Church & Hanks 1990) behind
+    * phrase vocabularies and tokenizer merge tables. Top
+    * [[PmiTopK]] pairs with support ≥ [[PmiMinCount]], ranked by PMI.
+    *
+    * Scale shape: bigram instances from the same zero-shuffle staggered
+    * slice zip as [[textLmScore]]; unigram and bigram counts are
+    * partial-aggregated token-keyed shuffles; the two count joins are
+    * token-keyed (Zipf-head skew → AQE skew-join, same note as
+    * lm_score); the grand-total N is a 1-row broadcast. The final
+    * ranking is `orderBy.limit` — `TakeOrderedAndProject`, per-partition
+    * top-k with no global sort. PMI is computed from exact integer
+    * counts with the identical expression text in both engines, so
+    * ranking on the raw double cannot diverge.
+    */
+  def tokenPmi(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val n1 = greatest(size(col("t")) - 1, lit(0))
+    val bi = d.select(expr(toksExpr).as("t"))
+      .select(explode(arrays_zip(
+        slice(col("t"), lit(1), n1).as("a"),
+        slice(col("t"), lit(2), n1).as("b"))).as("z"))
+      .select(col("z.a").as("t1"), col("z.b").as("t2"))
+    val big = bi.groupBy("t1", "t2").agg(count(lit(1)).as("c12"))
+      .filter(col("c12") >= PmiMinCount)
+    val uni = d.select(explode(expr(toksExpr)).as("t"))
+      .groupBy("t").agg(count(lit(1)).as("cu"))
+    val tot = bi.agg(count(lit(1)).as("n_bigrams"))
+    big
+      .join(uni.select(col("t").as("t1"), col("cu").as("c1")), "t1")
+      .join(uni.select(col("t").as("t2"), col("cu").as("c2")), "t2")
+      .crossJoin(broadcast(tot))
+      // CAST AS DOUBLE explicitly: a bare `1.0` literal is DOUBLE in
+      // Spark but DECIMAL in DuckDB, and decimal division would not
+      // reproduce IEEE results bit-for-bit
+      .withColumn("pmi_", expr(
+        "ln(CAST(c12 AS DOUBLE) * n_bigrams / (CAST(c1 AS DOUBLE) * c2))"))
+      .orderBy(col("pmi_").desc, col("t1"), col("t2"))
+      .limit(PmiTopK)
+      .select(col("t1"), col("t2"), col("c12"),
+        round(col("pmi_"), 6).as("pmi"))
+  }
+
+  val tokenPmiSql: String =
+    s"""WITH d AS (SELECT $toksSql AS t FROM documents),
+       |bi AS (
+       |  SELECT t[s.i] AS t1, t[s.i + 1] AS t2
+       |  FROM d, unnest(generate_series(1, len(t) - 1)) AS s(i)),
+       |big AS (
+       |  SELECT t1, t2, count(*) AS c12 FROM bi GROUP BY 1, 2
+       |  HAVING count(*) >= $PmiMinCount),
+       |uni AS (SELECT t, count(*) AS cu
+       |        FROM (SELECT unnest(t) AS t FROM d) GROUP BY 1),
+       |tot AS (SELECT count(*) AS n_bigrams FROM bi),
+       |scored AS (
+       |  SELECT b.t1, b.t2, b.c12,
+       |         ln(CAST(b.c12 AS DOUBLE) * n_bigrams /
+       |            (CAST(u1.cu AS DOUBLE) * u2.cu)) AS pmi_
+       |  FROM big b
+       |  JOIN uni u1 ON u1.t = b.t1
+       |  JOIN uni u2 ON u2.t = b.t2
+       |  CROSS JOIN tot)
+       |SELECT t1, t2, c12, round(pmi_, 6) AS pmi
+       |FROM scored
+       |ORDER BY pmi_ DESC, t1, t2
+       |LIMIT $PmiTopK""".stripMargin
+
   // ------------------------------------------------- X42 token entropy
 
   /** `text_entropy`: per-document Shannon entropy of the token

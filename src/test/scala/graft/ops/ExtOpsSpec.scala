@@ -501,6 +501,66 @@ class ExtOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("fetch_downsample keeps per-bucket max-area points and endpoints") {
+    // driver recompute of the LTOB rule over the same per-minute agg
+    val agg = Buckets.pointsInRange(spark, dir, Buckets.FromS, Buckets.UntilS)
+      .filter(col("metric") === "view")
+      .groupBy(Buckets.alignTs(col("ts_s"), 60).as("ts_s"))
+      .agg(round(avg(col("value")), 6).as("value"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).sortBy(_._1)
+    val out = Fetch.fetchDownsample(spark, dir).collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(out.nonEmpty)
+    val (minTs, maxTs) = (agg.head._1, agg.last._1)
+    def area(i: Int): Double = {
+      val (xp, yp) = agg(i - 1); val (x, y) = agg(i); val (xn, yn) = agg(i + 1)
+      math.abs((xp - xn) * (y - yp) - (xp - x).toDouble * (yn - yp)) / 2
+    }
+    val byBucket = agg.zipWithIndex
+      .groupBy { case ((ts, _), _) => (ts - Buckets.FromS) / Fetch.LtobBucketS }
+    assert(out.length == byBucket.size) // exactly one survivor per occupied bucket
+    for ((b, ts, v) <- out) {
+      val members = byBucket(b)
+      val want =
+        members.find { case ((t, _), _) => t == minTs || t == maxTs } match {
+          case Some(((t, _), _)) => t
+          case None =>
+            members.maxBy { case ((t, _), i) => (area(i), -t) }._1._1
+        }
+      assert(ts == want, s"bucket $b picked $ts, recompute wants $want")
+      assert(math.abs(v - agg.find(_._1 == ts).get._2) < 1e-9, s"bucket $b value")
+    }
+  }
+
+  test("token_pmi matches a driver recompute of the Church-Hanks score") {
+    val toks = spark.read.parquet(s"$dir/documents.parquet").collect()
+      .map(_.getString(1).toLowerCase.split(' ').toSeq)
+    val bi = toks.flatMap(t => t.zip(t.drop(1)))
+    val uni = toks.flatten.groupBy(identity).view.mapValues(_.size).toMap
+    val big = bi.groupBy(identity).view.mapValues(_.size).toMap
+    val n = bi.length.toDouble
+    val out = TextAnalysis.tokenPmi(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+    assert(out.nonEmpty && out.length <= TextAnalysis.PmiTopK)
+    var prev = Double.MaxValue
+    for ((t1, t2, c12, pmi) <- out) {
+      assert(c12 == big((t1, t2)) && c12 >= TextAnalysis.PmiMinCount,
+        s"($t1,$t2) support")
+      val want = math.log(c12 * n / (uni(t1).toDouble * uni(t2)))
+      assert(math.abs(pmi - want) < 1e-5, s"($t1,$t2) pmi $pmi != $want")
+      assert(pmi <= prev + 1e-6, s"($t1,$t2) not sorted by pmi")
+      prev = pmi
+    }
+    // the report is the TRUE top-k: no excluded pair scores above the tail
+    val cutoff = out.last._4
+    val excluded = big.collect {
+      case ((t1, t2), c) if c >= TextAnalysis.PmiMinCount &&
+          !out.exists(o => o._1 == t1 && o._2 == t2) =>
+        math.log(c * n / (uni(t1).toDouble * uni(t2)))
+    }
+    assert(excluded.forall(_ <= cutoff + 1e-6), "a higher-PMI pair was dropped")
+  }
+
   test("bm25_search returns only docs containing a query term, ranked") {
     val rows = TextAnalysis.bm25Search(spark, dir).collect()
       .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2), r.getLong(3),

@@ -115,12 +115,19 @@ object Fetch {
     * 100 TB the hot-metric skew answer is the sessionize_scalable
     * two-pass shape: carry within (metric, day) locally, then stitch
     * day boundaries over the per-day tails.
+    *
+    * Null-valued points are dropped BEFORE the carry (both engines):
+    * otherwise the value carry (ignoreNulls) and the timestamp carry
+    * would disagree — a mark after a null point would pair the older
+    * value with the null point's timestamp, and DuckDB's ASOF would
+    * match the null row instead.
     */
   def fetchAsof(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val fromS = Buckets.FromS
     val untilS = Buckets.UntilS
     val pts = Buckets.pointsInRange(spark, sfDir, fromS, untilS)
+      .filter($"value".isNotNull)
       .groupBy($"metric", $"ts_s").agg(max($"value").as("value"))
     val spine = pts.select($"metric").distinct()
       .select($"metric", explode(sequence(
@@ -148,6 +155,7 @@ object Fetch {
        |rp AS (
        |  SELECT metric, ts_s, max(value) AS value FROM pts
        |  WHERE ts_s >= ${Buckets.FromS} AND ts_s < ${Buckets.UntilS}
+       |    AND value IS NOT NULL
        |  GROUP BY 1, 2),
        |spine AS (
        |  SELECT m.metric, CAST(g.range AS BIGINT) AS grid_ts

@@ -804,6 +804,14 @@ object Similarity {
     }.toArray
   }
 
+  /** The 1/√outDim scaling divisor, DERIVED from [[JlOutDim]] (a
+    * hardcoded `4.0` would silently break the unbiased-norm property on
+    * a dimension change while both engines kept agreeing). The shortest
+    * `Double.toString` round-trips to the identical double in DuckDB's
+    * literal parser, so interpolating it into the oracle is exact.
+    */
+  val JlScale: Double = math.sqrt(JlOutDim.toDouble)
+
   /** `embed_project`: JL signed random projection 64 → 16 dims plus its
     * distortion audit — per vector the first two projected components,
     * the original and projected L2 norms, and their ratio (≈1 by the JL
@@ -825,7 +833,7 @@ object Similarity {
     val base = emb(s, dir).withColumn("no_", normExpr("embedding"))
     val withP = (0 until JlOutDim).foldLeft(base) { (df, j) =>
       df.withColumn(s"p$j",
-        dot_f(col("embedding"), typedlit(JlSigns(j))) / lit(4.0))
+        dot_f(col("embedding"), typedlit(JlSigns(j))) / lit(JlScale))
     }
     val nproj2 = (0 until JlOutDim)
       .map(j => col(s"p$j") * col(s"p$j")).reduceLeft(_ + _)
@@ -849,7 +857,8 @@ object Similarity {
        |  GROUP BY j),
        |pj AS (
        |  SELECT e.vec_id, m.j,
-       |         list_dot_product(e.embedding::DOUBLE[], m.srow) / 4.0 AS p
+       |         list_dot_product(e.embedding::DOUBLE[], m.srow) / $JlScale
+       |           AS p
        |  FROM embeddings e CROSS JOIN m),
        |agg AS (
        |  SELECT vec_id,
@@ -878,6 +887,43 @@ object Similarity {
     s.read.parquet(s"$dir/embeddings.parquet")
       .select(col("vec_id"), col("embedding"), col("label"))
 
+  /** The ONE label-aware scored pass [[knnClassify]] and
+    * [[mineNegatives]] share: anchors = the first `nQueries` vectors
+    * (broadcast, with their label as `qlab`), candidates = everything
+    * else, `score` = cosine via the codegen'd dot product. Factored so
+    * a scoring tweak (zero-norm guard, candidate-source swap to the
+    * ANN index) lands in both consumers — and in both oracles via
+    * [[labeledScoredSqlCtes]] — at once.
+    */
+  private def labeledScoredPass(s: SparkSession, dir: String,
+      nQueries: Int): DataFrame = {
+    val e = embWithLabel(s, dir).withColumn("cn", normExpr("embedding"))
+    val q = e.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("label").as("qlab"),
+        col("embedding").as("qe"), col("cn").as("qn"))
+    e.join(broadcast(q), col("query_id") =!= col("vec_id"))
+      .withColumn("score",
+        dot_f(col("qe"), col("embedding")) / (col("qn") * col("cn")))
+  }
+
+  /** DuckDB twin of [[labeledScoredPass]] — `e`/`q`/`scored` CTEs
+    * yielding `scored(query_id, qlab, cand_id, lab, score)`.
+    */
+  private def labeledScoredSqlCtes(nQueries: Int): String =
+    s"""e AS (
+       |  SELECT vec_id, embedding, label,
+       |         sqrt(list_dot_product(embedding::DOUBLE[],
+       |           embedding::DOUBLE[])) AS cn
+       |  FROM embeddings),
+       |q AS (SELECT vec_id AS query_id, label AS qlab, embedding AS qe,
+       |             cn AS qn
+       |      FROM e WHERE vec_id < $nQueries),
+       |scored AS (
+       |  SELECT q.query_id, q.qlab, e.vec_id AS cand_id, e.label AS lab,
+       |         list_dot_product(q.qe::DOUBLE[], e.embedding::DOUBLE[]) /
+       |           (q.qn * e.cn) AS score
+       |  FROM q JOIN e ON e.vec_id <> q.query_id)""".stripMargin
+
   /** `knn_classify`: k-nearest-neighbor label prediction over the
     * embedding space — per query vector the majority label of its
     * [[KnnK]] nearest (cosine) neighbors, vote count, and whether it
@@ -901,13 +947,7 @@ object Similarity {
     * to real embedding spaces.
     */
   def knnClassify(s: SparkSession, dir: String): DataFrame = {
-    val e = embWithLabel(s, dir).withColumn("cn", normExpr("embedding"))
-    val q = e.filter(col("vec_id") < KnnQueries)
-      .select(col("vec_id").as("query_id"), col("label").as("qlab"),
-        col("embedding").as("qe"), col("cn").as("qn"))
-    val scored = e.join(broadcast(q), col("query_id") =!= col("vec_id"))
-      .withColumn("score",
-        dot_f(col("qe"), col("embedding")) / (col("qn") * col("cn")))
+    val scored = labeledScoredPass(s, dir, KnnQueries)
     val wN = Window.partitionBy("query_id")
       .orderBy(col("score").desc, col("vec_id"))
     val votes = scored.withColumn("rnk", row_number().over(wN))
@@ -925,19 +965,7 @@ object Similarity {
   }
 
   val knnClassifySql: String =
-    s"""WITH e AS (
-       |  SELECT vec_id, embedding, label,
-       |         sqrt(list_dot_product(embedding::DOUBLE[],
-       |           embedding::DOUBLE[])) AS cn
-       |  FROM embeddings),
-       |q AS (SELECT vec_id AS query_id, label AS qlab, embedding AS qe,
-       |             cn AS qn
-       |      FROM e WHERE vec_id < $KnnQueries),
-       |scored AS (
-       |  SELECT q.query_id, q.qlab, e.vec_id AS cand_id, e.label AS lab,
-       |         list_dot_product(q.qe::DOUBLE[], e.embedding::DOUBLE[]) /
-       |           (q.qn * e.cn) AS score
-       |  FROM q JOIN e ON e.vec_id <> q.query_id),
+    s"""WITH ${labeledScoredSqlCtes(KnnQueries)},
        |nn AS (
        |  SELECT query_id, qlab, lab,
        |         row_number() OVER (PARTITION BY query_id
@@ -973,13 +1001,7 @@ object Similarity {
     * rows, not the corpus.
     */
   def mineNegatives(s: SparkSession, dir: String): DataFrame = {
-    val e = embWithLabel(s, dir).withColumn("cn", normExpr("embedding"))
-    val q = e.filter(col("vec_id") < NumQueries)
-      .select(col("vec_id").as("query_id"), col("label").as("qlab"),
-        col("embedding").as("qe"), col("cn").as("qn"))
-    val scored = e.join(broadcast(q), col("query_id") =!= col("vec_id"))
-      .withColumn("score",
-        dot_f(col("qe"), col("embedding")) / (col("qn") * col("cn")))
+    val scored = labeledScoredPass(s, dir, NumQueries)
     val w = Window.partitionBy("query_id")
       .orderBy(col("score").desc, col("vec_id"))
     val pos = scored.filter(col("label") === col("qlab"))
@@ -999,19 +1021,7 @@ object Similarity {
   }
 
   val mineNegativesSql: String =
-    s"""WITH e AS (
-       |  SELECT vec_id, embedding, label,
-       |         sqrt(list_dot_product(embedding::DOUBLE[],
-       |           embedding::DOUBLE[])) AS cn
-       |  FROM embeddings),
-       |q AS (SELECT vec_id AS query_id, label AS qlab, embedding AS qe,
-       |             cn AS qn
-       |      FROM e WHERE vec_id < $NumQueries),
-       |scored AS (
-       |  SELECT q.query_id, q.qlab, e.vec_id AS cand_id, e.label AS lab,
-       |         list_dot_product(q.qe::DOUBLE[], e.embedding::DOUBLE[]) /
-       |           (q.qn * e.cn) AS score
-       |  FROM q JOIN e ON e.vec_id <> q.query_id),
+    s"""WITH ${labeledScoredSqlCtes(NumQueries)},
        |pos AS (
        |  SELECT query_id, cand_id AS pos_id, score AS ps_
        |  FROM (SELECT query_id, cand_id, score,

@@ -270,17 +270,42 @@ object TextAnalysis {
     * tokens; AQE skew-join or a salted count table is the standard
     * answer, and a real deployment trains V and the counts on a sample.
     */
-  def textLmScore(s: SparkSession, dir: String): DataFrame = {
-    val d = docs(s, dir)
+  /** Adjacent-pair bigram instances `(doc_id, t1, t2)` — two staggered
+    * slices zipped positionally (codegen, zero shuffle). The ONE bigram
+    * construction [[textLmScore]] and [[tokenPmi]] share, with
+    * [[bigramSqlCtes]] as its oracle twin, so a slice-boundary or
+    * tokenization fix cannot desynchronize the two consumers.
+    */
+  private def bigramInstances(s: SparkSession, dir: String): DataFrame = {
     val n1 = greatest(size(col("t")) - 1, lit(0))
-    val bi = d.select(col("doc_id"), expr(toksExpr).as("t"))
+    docs(s, dir).select(col("doc_id"), expr(toksExpr).as("t"))
       .select(col("doc_id"),
         explode(arrays_zip(
           slice(col("t"), lit(1), n1).as("a"),
           slice(col("t"), lit(2), n1).as("b"))).as("z"))
       .select(col("doc_id"), col("z.a").as("t1"), col("z.b").as("t2"))
-    val uni = d.select(explode(expr(toksExpr)).as("t1"))
+  }
+
+  /** Corpus unigram counts `(t1, cu)` — shared by the same two ops. */
+  private def unigramCounts(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir).select(explode(expr(toksExpr)).as("t1"))
       .groupBy("t1").agg(count(lit(1)).as("cu"))
+
+  /** DuckDB twins of [[bigramInstances]]/[[unigramCounts]]:
+    * `d`/`bi(doc_id, t1, t2)`/`uni(t1, cu)` CTEs.
+    */
+  private val bigramSqlCtes: String =
+    s"""d AS (SELECT doc_id, $toksSql AS t FROM documents),
+       |bi AS (
+       |  SELECT doc_id, t[s.i] AS t1, t[s.i + 1] AS t2
+       |  FROM d, unnest(generate_series(1, len(t) - 1)) AS s(i)),
+       |uni AS (
+       |  SELECT t1, count(*) AS cu
+       |  FROM (SELECT unnest(t) AS t1 FROM d) GROUP BY 1)""".stripMargin
+
+  def textLmScore(s: SparkSession, dir: String): DataFrame = {
+    val bi = bigramInstances(s, dir)
+    val uni = unigramCounts(s, dir)
     val big = bi.groupBy("t1", "t2").agg(count(lit(1)).as("cb"))
     val v = uni.count() // vocabulary size — one small scalar action
     bi.join(big, Seq("t1", "t2")).join(uni, Seq("t1"))
@@ -293,13 +318,7 @@ object TextAnalysis {
   }
 
   val textLmScoreSql: String =
-    s"""WITH d AS (SELECT doc_id, $toksSql AS t FROM documents),
-       |bi AS (
-       |  SELECT doc_id, t[s.i] AS t1, t[s.i + 1] AS t2
-       |  FROM d, unnest(generate_series(1, len(t) - 1)) AS s(i)),
-       |uni AS (
-       |  SELECT t1, count(*) AS cu
-       |  FROM (SELECT unnest(t) AS t1 FROM d) GROUP BY 1),
+    s"""WITH $bigramSqlCtes,
        |big AS (SELECT t1, t2, count(*) AS cb FROM bi GROUP BY 1, 2),
        |vsz AS (SELECT count(*) AS v FROM uni)
        |SELECT doc_id,
@@ -431,21 +450,14 @@ object TextAnalysis {
     * ranking on the raw double cannot diverge.
     */
   def tokenPmi(s: SparkSession, dir: String): DataFrame = {
-    val d = docs(s, dir)
-    val n1 = greatest(size(col("t")) - 1, lit(0))
-    val bi = d.select(expr(toksExpr).as("t"))
-      .select(explode(arrays_zip(
-        slice(col("t"), lit(1), n1).as("a"),
-        slice(col("t"), lit(2), n1).as("b"))).as("z"))
-      .select(col("z.a").as("t1"), col("z.b").as("t2"))
+    val bi = bigramInstances(s, dir)
+    val uni = unigramCounts(s, dir)
     val big = bi.groupBy("t1", "t2").agg(count(lit(1)).as("c12"))
       .filter(col("c12") >= PmiMinCount)
-    val uni = d.select(explode(expr(toksExpr)).as("t"))
-      .groupBy("t").agg(count(lit(1)).as("cu"))
     val tot = bi.agg(count(lit(1)).as("n_bigrams"))
     big
-      .join(uni.select(col("t").as("t1"), col("cu").as("c1")), "t1")
-      .join(uni.select(col("t").as("t2"), col("cu").as("c2")), "t2")
+      .join(uni.select(col("t1"), col("cu").as("c1")), "t1")
+      .join(uni.select(col("t1").as("t2"), col("cu").as("c2")), "t2")
       .crossJoin(broadcast(tot))
       // CAST AS DOUBLE explicitly: a bare `1.0` literal is DOUBLE in
       // Spark but DECIMAL in DuckDB, and decimal division would not
@@ -459,23 +471,18 @@ object TextAnalysis {
   }
 
   val tokenPmiSql: String =
-    s"""WITH d AS (SELECT $toksSql AS t FROM documents),
-       |bi AS (
-       |  SELECT t[s.i] AS t1, t[s.i + 1] AS t2
-       |  FROM d, unnest(generate_series(1, len(t) - 1)) AS s(i)),
+    s"""WITH $bigramSqlCtes,
        |big AS (
        |  SELECT t1, t2, count(*) AS c12 FROM bi GROUP BY 1, 2
        |  HAVING count(*) >= $PmiMinCount),
-       |uni AS (SELECT t, count(*) AS cu
-       |        FROM (SELECT unnest(t) AS t FROM d) GROUP BY 1),
        |tot AS (SELECT count(*) AS n_bigrams FROM bi),
        |scored AS (
        |  SELECT b.t1, b.t2, b.c12,
        |         ln(CAST(b.c12 AS DOUBLE) * n_bigrams /
        |            (CAST(u1.cu AS DOUBLE) * u2.cu)) AS pmi_
        |  FROM big b
-       |  JOIN uni u1 ON u1.t = b.t1
-       |  JOIN uni u2 ON u2.t = b.t2
+       |  JOIN uni u1 ON u1.t1 = b.t1
+       |  JOIN uni u2 ON u2.t1 = b.t2
        |  CROSS JOIN tot)
        |SELECT t1, t2, c12, round(pmi_, 6) AS pmi
        |FROM scored
@@ -548,17 +555,25 @@ object TextAnalysis {
     2 -> Seq("stream", "batch", "vector"))
 
   /** The BM25 term-score formula, shared VERBATIM between `expr(...)`
-    * and the DuckDB oracle (the [[Tokens]] pattern): identical text ⇒
-    * identical parse ⇒ identical IEEE arithmetic. Expects columns
-    * `tf` (term frequency, bigint), `df` (document frequency, bigint),
-    * `dl` (document length, bigint), `n_docs` (corpus size) and `avgdl`
-    * (double) in scope. The idf is the +1-smoothed Lucene form (never
-    * negative for df > n/2).
+    * and the DuckDB oracle (the [[Tokens]] pattern). Identical text is
+    * NOT enough on its own: a bare `0.5` literal parses as DECIMAL in
+    * both engines and each then applies its own decimal-division rules
+    * (Spark divides natively at decimal scale, DuckDB promotes to
+    * DOUBLE), so every fractional constant is explicitly CAST AS
+    * DOUBLE — after that, both engines run the same IEEE arithmetic
+    * tree. Expects columns `tf` (term frequency, bigint), `df`
+    * (document frequency, bigint), `dl` (document length, bigint),
+    * `n_docs` (corpus size) and `avgdl` (double) in scope. The idf is
+    * the +1-smoothed Lucene form (never negative for df > n/2).
     */
-  private val bm25TermScore: String =
-    s"ln(1 + (n_docs - df + 0.5) / (df + 0.5)) * " +
-      s"(tf * ($Bm25K1 + 1)) / " +
-      s"(tf + $Bm25K1 * (1 - $Bm25B + $Bm25B * (dl / avgdl)))"
+  private val bm25TermScore: String = {
+    val half = "CAST(0.5 AS DOUBLE)"
+    val k1 = s"CAST($Bm25K1 AS DOUBLE)"
+    val b = s"CAST($Bm25B AS DOUBLE)"
+    s"ln(1 + (n_docs - df + $half) / (df + $half)) * " +
+      s"(tf * ($k1 + 1)) / " +
+      s"(tf + $k1 * (1 - $b + $b * (dl / avgdl)))"
+  }
 
   /** `bm25_search`: ranked full-text retrieval — top-[[Bm25TopK]]
     * documents per query under Okapi BM25 over the whitespace token

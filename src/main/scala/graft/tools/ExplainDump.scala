@@ -360,7 +360,66 @@ object ExplainDump {
         "only single-partition step — #blocks rows, ~n/512), offsets " +
         "broadcast back, every per-document window keyed by blk. The " +
         "direct global-window form is the oracle and the bottleneck " +
-        "this replaces."))
+        "this replaces."),
+    "bm25_search" ->
+      ("Okapi BM25 ranked retrieval. The decisive shape: the query-term " +
+        "`IN` filter sits BELOW the postings aggregate (Filter directly " +
+        "over the Generate in both the postings and df branches) — the " +
+        "corpus explodes map-side but only the query terms' token " +
+        "instances enter any exchange. The query table and the 1-row " +
+        "corpus-stats aggregate broadcast; the per-(query,doc) sorted " +
+        "term fold is an ObjectHashAggregate; the top-10 cut runs as " +
+        "WindowGroupLimit (partial + final) so no partition ever sorts " +
+        "more than k rows per query."),
+    "embed_project" ->
+      ("Johnson-Lindenstrauss projection audit. The JL sign matrix is " +
+        "16 literal 64-float rows baked into the projection, one " +
+        "codegen'd `dot_f` per output dim — the whole audit is Scan → " +
+        "Project with the ONLY exchange being the presentation sort. At " +
+        "100 TB this is a single map-side pass over the embedding table."),
+    "knn_classify" ->
+      ("kNN label propagation: the 50-anchor side broadcasts " +
+        "(BroadcastNestedLoopJoin on the `query_id <> vec_id` predicate " +
+        "— the request-bounded anchor fan-out, not a corpus cartesian), " +
+        "the neighbor top-10 runs as WindowGroupLimit, and the vote is " +
+        "a hash aggregate over k·|anchors| rows. Swapping the candidate " +
+        "generator to the persisted IVF/PQ index leaves everything " +
+        "above the scored pass unchanged."),
+    "mine_negatives" ->
+      ("Hard-negative triplet mining: one broadcast-anchor scored pass " +
+        "feeds both the positive (rank-1 same-label) and negative " +
+        "(top-5 different-label) windows — each a WindowGroupLimit — " +
+        "and the margin join back to the positives is a broadcast hash " +
+        "join on query_id."),
+    "fetch_asof" ->
+      ("As-of / LOCF grid sampling by composition: points and the " +
+        "hourly grid marks union into one frame, a single per-metric " +
+        "window (ts ASC, is_point DESC) carries the last observation " +
+        "forward. One metric-keyed exchange feeds the window sort; both " +
+        "time bounds reach the parquet scan as PushedFilters (pinned " +
+        "with the other fetch keys). The DuckDB oracle is a NATIVE " +
+        "`ASOF LEFT JOIN` — the composed form is checked against a " +
+        "first-class implementation of the operator."),
+    "text_entropy" ->
+      ("Token-distribution entropy: explode → (doc, token) count " +
+        "aggregate (map-side partial on the doc_id-keyed exchange) → " +
+        "per-doc ObjectHashAggregate folding c·ln(c) over the " +
+        "token-sorted count list. No window, no join; the only " +
+        "exchanges are the two keyed aggregations and the presentation " +
+        "sort."),
+    "fetch_downsample" ->
+      ("LTOB visual downsampling: lag/lead neighbor windows and the " +
+        "per-bucket rank all share the one metric-keyed exchange " +
+        "(HashPartitioning(metric) already clusters (metric, bucket), " +
+        "so the rank window adds a Sort but no shuffle). Both time " +
+        "bounds are pushed into the parquet scan; the minute aggregate " +
+        "is partial-combined before its shuffle. The per-bucket argmax " +
+        "runs as WindowGroupLimit."),
+    "token_pmi" ->
+      ("PMI collocation mining: bigram instances from the " +
+        "staggered-slice zip (codegen, zero shuffle), two token-keyed " +
+        "partial-aggregated count tables, a 1-row total broadcast, and " +
+        "TakeOrderedAndProject for the top-k — no global sort anywhere."))
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.lift(0).getOrElse("/root/testdata/sf0.001")

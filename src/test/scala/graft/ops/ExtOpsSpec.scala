@@ -452,6 +452,7 @@ class ExtOpsSpec extends AnyFunSuite {
 
   test("fetch_asof carries the latest point at-or-before each grid mark") {
     val pts = Buckets.pointsInRange(spark, dir, Buckets.FromS, Buckets.UntilS)
+      .filter(col("value").isNotNull) // the operator's null-point drop
       .groupBy("metric", "ts_s").agg(max("value").as("value"))
       .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
     val out = Fetch.fetchAsof(spark, dir).collect()

@@ -581,46 +581,52 @@ object TextAnalysis {
     * (the lexical complement to the embedding ANN keys): score every
     * document containing ≥1 query term, rank, cut at k.
     *
-    * Scale shape: the postings list (`doc, term, tf`) and the df table
-    * are the SAME partial-aggregated token-keyed aggregates the
-    * [[tokenDocfreq]] index builds — at 100 TB both are built once and
-    * persisted, and a query touches only the postings rows of its own
-    * terms. In this self-contained form the query-term `IN` filter is
-    * placed BELOW the postings aggregate (it commutes with a groupBy
-    * keyed on the term), so the corpus explodes map-side but only the
-    * query terms' instances enter any shuffle — the plan's aggregates
-    * all run on a few-terms slice. The per-(query, doc) score sum folds in sorted
-    * term order (the powSeries order pin) so FP association can never
-    * flip a rank, and top-k is a window over only the docs that matched
-    * ≥1 term — a frame bounded by the postings of the query terms, not
-    * the corpus.
+    * Scale shape — the index/serving split every retrieval engine uses
+    * (this repo's ANN-codebook / DSIR-weight pattern,
+    * [[Dedup.sharedIndexPath]]): the FULL-vocabulary postings list
+    * (`doc, dl, term, tf`), the df table and the 1-row corpus stats are
+    * built ONCE per corpus epoch and persisted; a query reads the index
+    * with its term list as an `In` predicate that reaches the parquet
+    * scan as a PUSHED filter (row-group pruning on the term column — at
+    * 100 TB the scan touches only the query terms' postings blocks, the
+    * build's one corpus explode amortizes across every query, and
+    * nothing re-aggregates at query time; pinned no-Generate +
+    * pushed-In in PlanSpec). The per-(query, doc) score sum folds in
+    * sorted term order (the powSeries order pin) so FP association can
+    * never flip a rank, and top-k is a window over only the docs that
+    * matched ≥1 term — a frame bounded by the query terms' postings,
+    * not the corpus. df over term-restricted postings equals full-vocab
+    * df for those terms, so the self-contained oracle computes
+    * identical numbers.
     */
   def bm25Search(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val d = docs(s, dir)
-      .select(col("doc_id"), expr(toksExpr).as("toks"))
-      .withColumn("dl", size(col("toks")).cast("long"))
-    // corpus stats: one tiny agg broadcast into the plan — no action
-    val stats = d.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
-    // postings distinct per (doc, t): count(*) over it IS the df. The
-    // query-term filter sits BELOW the aggregate (the groupBy key
-    // contains t, so pre-filtering commutes): only the query terms'
-    // token instances ever enter a shuffle, and df over the filtered
-    // postings is identical for those terms. A join with the broadcast
-    // query table could not be pushed through the aggregate by Catalyst,
-    // so the prune is spelled as an explicit IN filter.
+    val root = Dedup.sharedIndexPath(s, dir, "documents.parquet", "bm25") { p =>
+      val d = docs(s, dir)
+        .select(col("doc_id"), expr(toksExpr).as("toks"))
+        .withColumn("dl", size(col("toks")).cast("long"))
+      // postings distinct per (doc, t): count(*) over it IS the df
+      d.select(col("doc_id"), col("dl"), explode(col("toks")).as("t"))
+        .groupBy("doc_id", "dl", "t").agg(count(lit(1)).as("tf"))
+        .write.mode("overwrite").parquet(s"$p/postings")
+      s.read.parquet(s"$p/postings")
+        .groupBy("t").agg(count(lit(1)).as("df"))
+        .write.mode("overwrite").parquet(s"$p/df")
+      d.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
+        .write.mode("overwrite").parquet(s"$p/stats")
+    }
     val allTerms = Bm25Queries.flatMap(_._2).distinct
-    val postings = d
-      .select(col("doc_id"), col("dl"), explode(col("toks")).as("t"))
+    val postings = s.read.parquet(s"$root/postings")
       .filter(col("t").isin(allTerms: _*))
-      .groupBy("doc_id", "dl", "t").agg(count(lit(1)).as("tf"))
-    val dfq = postings.groupBy("t").agg(count(lit(1)).as("df"))
+    val dfq = s.read.parquet(s"$root/df")
+      .filter(col("t").isin(allTerms: _*))
+    val stats = s.read.parquet(s"$root/stats")
     val q = Bm25Queries
       .flatMap { case (qid, ts) => ts.map(t => (qid, t)) }
       .toDF("query_id", "t")
     val scored = postings
       .join(broadcast(q), "t")
-      .join(dfq, "t")
+      .join(broadcast(dfq), "t")
       .crossJoin(broadcast(stats))
       .withColumn("avgdl", expr("CAST(sum_dl AS DOUBLE) / n_docs"))
       .withColumn("ts_", expr(bm25TermScore))

@@ -362,15 +362,15 @@ object ExplainDump {
         "direct global-window form is the oracle and the bottleneck " +
         "this replaces."),
     "bm25_search" ->
-      ("Okapi BM25 ranked retrieval. The decisive shape: the query-term " +
-        "`IN` filter sits BELOW the postings aggregate (Filter directly " +
-        "over the Generate in both the postings and df branches) — the " +
-        "corpus explodes map-side but only the query terms' token " +
-        "instances enter any exchange. The query table and the 1-row " +
-        "corpus-stats aggregate broadcast; the per-(query,doc) sorted " +
-        "term fold is an ObjectHashAggregate; the top-10 cut runs as " +
-        "WindowGroupLimit (partial + final) so no partition ever sorts " +
-        "more than k rows per query."),
+      ("Okapi BM25 served from the PERSISTED postings index (the " +
+        "ANN-codebook/DSIR pattern): no Generate anywhere — the build's " +
+        "one corpus explode is amortized, and the query-term In " +
+        "predicate reaches the postings parquet scan as a pushed filter " +
+        "(row-group pruning on the term column). Query table, df slice " +
+        "and 1-row corpus stats all broadcast; the per-(query,doc) " +
+        "sorted term fold is an ObjectHashAggregate; the top-10 cut " +
+        "runs as WindowGroupLimit (partial + final) so no partition " +
+        "ever sorts more than k rows per query."),
     "embed_project" ->
       ("Johnson-Lindenstrauss projection audit. The JL sign matrix is " +
         "16 literal 64-float rows baked into the projection, one " +

@@ -621,24 +621,17 @@ class PlanSpec extends AnyFunSuite {
       s"more than the presentation-sort exchange:\n$p")
   }
 
-  test("bm25_search prunes the token explode before any aggregation") {
-    import org.apache.spark.sql.catalyst.expressions.{In, InSet}
-    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter => LFilter}
-    val df = TextAnalysis.bm25Search(spark, dir)
-    // the query-term IN filter must sit below the postings aggregate —
-    // the corpus explodes map-side, but only query-term instances enter
-    // a shuffle. If the filter rides above the aggregate (join-only
-    // pruning), every token of every document gets shuffled at 100 TB.
-    val lp = df.queryExecution.optimizedPlan
-    val filterUnderAgg = lp.collect { case a: Aggregate => a }.exists {
-      _.child.collect { case f: LFilter =>
-        f.condition.exists(e => e.isInstanceOf[In] || e.isInstanceOf[InSet])
-      }.exists(identity)
-    }
-    assert(filterUnderAgg,
-      s"term IN filter did not reach below the postings aggregate:\n$lp")
+  test("bm25_search serves from the persisted postings index, terms pushed") {
+    val p = plan(TextAnalysis.bm25Search(spark, dir))
+    // serving must READ the index, not rebuild it: no token explode at
+    // query time (the build's one corpus explode is amortized), and the
+    // query-term In predicate reaches the postings parquet scan as a
+    // pushed filter so row groups prune on the term column at 100 TB
+    assert(!p.contains("Generate"),
+      s"query-time token explode — index rebuild leaked into serving:\n$p")
+    assert(p.contains("PushedFilters") && p.contains("In(t, "),
+      s"term In predicate did not reach the postings scan:\n$p")
     // query table broadcast; top-k via the rank-limit pushdown
-    val p = plan(df)
     assert(p.contains("BroadcastHashJoin"), s"query terms not broadcast:\n$p")
     assert(p.contains("WindowGroupLimit"),
       s"top-k not pushed into a rank limit:\n$p")

@@ -127,7 +127,7 @@ object Buckets {
     * — for ops that need non-point columns (event_id, user_id) next to
     * the same epoch-seconds time the whole engine computes on.
     */
-  private[ops] def eventsRaw(spark: SparkSession, sfDir: String): DataFrame = {
+  private[graft] def eventsRaw(spark: SparkSession, sfDir: String): DataFrame = {
     ensureNanosConf(spark)
     val raw = spark.read.parquet(s"$sfDir/events.parquet")
     raw.withColumn("ts_s", tsSOf(raw.schema("ts").dataType))

@@ -1,0 +1,77 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Dataset, Encoders}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Streaming as-of carry — the streaming form of
+  * [[graft.ops.Fetch.fetchAsof]]'s LOCF rule for a continuously-arriving
+  * point stream: every event is enriched, the moment it arrives, with
+  * the PREVIOUS observation of its own metric (value, timestamp, gap) —
+  * the per-event "as-of self join" a rate/delta/staleness monitor needs
+  * before the point ever lands in storage.
+  *
+  * `flatMapGroupsWithState` keyed by metric holds the MINIMAL carry
+  * state: one `(ts, value)` pair per metric — O(#metrics), not
+  * O(history) (contrast [[StreamDedup]]'s per-distinct-document state).
+  * Within a micro-batch the group's arrivals are processed in event-time
+  * order `(ts, event_id)` — the same total order the batch `lag` window
+  * uses — so as long as arrival waves respect event time ACROSS batches
+  * (the staged-wave fixture guarantees it; a production deployment gets
+  * it from watermarked, source-ordered partitions or accepts
+  * arrival-order semantics), the streamed enrichment is row-identical
+  * to the batch window.
+  *
+  * Scale notes (100 TB firehose): state is one small pair per metric,
+  * hash-partitioned by the group key; each micro-batch shuffles once by
+  * metric and sorts only ITS OWN rows per group (bounded by batch size,
+  * never history). The emitted `gap_s` is exactly the staleness the
+  * batch [[graft.ops.Fetch.fetchAsof]] reports at grid marks — this is
+  * the continuous, per-event view of the same carry.
+  */
+object StreamAsof {
+
+  /** One arriving point, with `event_id` as the event-time tiebreaker
+    * (the batch window's `ORDER BY ts_s, event_id`).
+    */
+  case class PointArrival(event_id: Long, metric: String, ts_s: Long,
+      value: Double)
+
+  /** The enriched arrival: previous observation of the same metric (or
+    * NULLs for the metric's first-ever point) and the gap to it.
+    */
+  case class CarriedPoint(event_id: Long, metric: String, ts_s: Long,
+      value: Double, prev_ts: Option[Long], prev_value: Option[Double],
+      gap_s: Option[Long])
+
+  /** Carry state: the metric's last observation in event-time order. */
+  case class LastObs(ts_s: Long, value: Double)
+
+  private def carry(
+      metric: String,
+      arrivals: Iterator[PointArrival],
+      state: GroupState[LastObs]): Iterator[CarriedPoint] = {
+    // event-time order within the batch — bounded by batch size
+    val batch = arrivals.toArray.sortBy(p => (p.ts_s, p.event_id))
+    var prev = state.getOption
+    val out = Vector.newBuilder[CarriedPoint]
+    for (p <- batch) {
+      out += CarriedPoint(p.event_id, metric, p.ts_s, p.value,
+        prev.map(_.ts_s), prev.map(_.value), prev.map(p.ts_s - _.ts_s))
+      prev = Some(LastObs(p.ts_s, p.value))
+    }
+    prev.foreach(state.update)
+    out.result().iterator
+  }
+
+  /** Enrich every arrival with its metric's previous observation
+    * (Append mode).
+    */
+  def asofStream(points: Dataset[PointArrival]): Dataset[CarriedPoint] = {
+    implicit val ce = Encoders.product[CarriedPoint]
+    implicit val le = Encoders.product[LastObs]
+    points.groupByKey(_.metric)(Encoders.STRING)
+      .flatMapGroupsWithState[LastObs, CarriedPoint](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout())(
+        (m, it, st) => carry(m, it, st))
+  }
+}

@@ -228,12 +228,67 @@ object StreamQueries {
       |FROM events GROUP BY 1, 2
       |ORDER BY 1, 2""".stripMargin
 
+  /** `stream_asof` — [[StreamAsof.asofStream]] driven over the events
+    * stream in two deterministic arrival waves split by ts at the time
+    * range's midpoint: every metric's carry state (its last observation)
+    * crosses a real checkpoint restart between the waves, and because
+    * waves respect event time, the streamed enrichment must equal the
+    * batch `lag` window over `(metric ORDER BY ts_s, event_id)` — which
+    * is exactly what the oracle computes.
+    */
+  private def ensureStreamAsof(s: SparkSession, dir: String): String =
+    Dedup.sharedIndexPath(s, dir, "events.parquet", "stream_asof") { base =>
+      import s.implicits._
+      val stage = s"$base/stage"
+      val pts = Buckets.eventsRaw(s, dir)
+        .select(col("event_id").cast("long").as("event_id"),
+          col("event_type").as("metric"), col("ts_s"), col("value"))
+      val (lo, hi) = pts.agg(min("ts_s"), max("ts_s")).as[(Long, Long)].head()
+      val mid = lo + (hi - lo) / 2
+      def runWave(wave: DataFrame): Unit = {
+        wave.coalesce(1).write.mode("append").parquet(stage)
+        val arrivals = s.readStream.schema(pts.schema).parquet(stage)
+          .as[StreamAsof.PointArrival]
+        StreamAsof.asofStream(arrivals).toDF()
+          .writeStream.outputMode("append")
+          .format("parquet").option("path", s"$base/out")
+          .option("checkpointLocation", s"$base/ckpt")
+          .trigger(Trigger.AvailableNow())
+          .start().awaitTermination()
+      }
+      runWave(pts.filter(col("ts_s") <= mid))
+      runWave(pts.filter(col("ts_s") > mid))
+    }
+
+  def streamAsof(s: SparkSession, dir: String): DataFrame = {
+    val base = ensureStreamAsof(s, dir)
+    s.read.parquet(s"$base/out")
+      .select(col("event_id"), col("metric"), col("ts_s"), col("value"),
+        col("prev_ts"), col("prev_value"), col("gap_s"))
+      .orderBy("event_id")
+  }
+
+  val streamAsofSql: String =
+    """WITH pe AS (
+      |  SELECT event_id, event_type AS metric,
+      |         CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS ts_s,
+      |         value
+      |  FROM events)
+      |SELECT event_id, metric, ts_s, value,
+      |       lag(ts_s) OVER w AS prev_ts,
+      |       lag(value) OVER w AS prev_value,
+      |       ts_s - lag(ts_s) OVER w AS gap_s
+      |FROM pe
+      |WINDOW w AS (PARTITION BY metric ORDER BY ts_s, event_id)
+      |ORDER BY event_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "stream_dedup" -> (streamDedup _),
     "stream_sessionize" -> (streamSessionize _),
     "stream_rollup" -> (streamRollup _),
     "stream_rollup_1h" -> (streamRollup1h _),
-    "stream_fetch_agg" -> (streamFetchAgg _))
+    "stream_fetch_agg" -> (streamFetchAgg _),
+    "stream_asof" -> (streamAsof _))
 
   val oracleSql: Map[String, String] = Map(
     "stream_dedup" -> streamDedupSql,
@@ -242,5 +297,6 @@ object StreamQueries {
     // continuous rollup ≡ batch cascade: literally the same oracles
     "stream_rollup" -> CoreQueries.rollupCascade5mSql,
     "stream_rollup_1h" -> CoreQueries.rollupCascade1hSql,
-    "stream_fetch_agg" -> streamFetchAggSql)
+    "stream_fetch_agg" -> streamFetchAggSql,
+    "stream_asof" -> streamAsofSql)
 }

@@ -354,6 +354,13 @@ object ExplainDump {
         "finalization forced by two sentinel files one batch apart); " +
         "rows equal the batch sessionize operator's, checked by the " +
         "SAME oracle SQL."),
+    "stream_asof" ->
+      ("Streamed as-of enrichment read back: the per-key scalar carry " +
+        "(flatMapGroupsWithState, one (ts, value) pair per metric — " +
+        "O(#metrics) state, never O(history)) ran across two event-time " +
+        "arrival waves and a checkpoint restart upstream; every row " +
+        "equals the batch lag window over (metric ORDER BY ts, " +
+        "event_id), which is exactly the oracle's definition."),
     "shard_pack_scalable" ->
       ("Distributed prefix-sum shard assignment: per-block partial " +
         "sums, a windowed offset pass over the TINY block frame (the " +

@@ -356,6 +356,7 @@ object CoreQueries {
     "fetch_relative_tz" -> ((s, d) => Fetch.fetchRelativeTz(s, d)),
     "fetch_check_empty" -> ((s, d) => Fetch.fetchCheckEmpty(s, d)),
     "fetch_asof" -> ((s, d) => Fetch.fetchAsof(s, d)),
+    "fetch_asof_scalable" -> ((s, d) => Fetch.fetchAsofScalable(s, d)),
     "fetch_downsample" -> ((s, d) => Fetch.fetchDownsample(s, d)),
     "fetch_many" -> ((s, d) => Fetch.fetchMany(s, d)),
     "fetch_glob" -> ((s, d) => Fetch.fetchGlob(s, d)),
@@ -453,6 +454,9 @@ object CoreQueries {
     "fetch_relative_tz" -> Fetch.fetchRelativeTzSql,
     "fetch_check_empty" -> Fetch.fetchCheckEmptySql,
     "fetch_asof" -> Fetch.fetchAsofSql,
+    // the two-pass skew-safe form is pinned row-identical to the
+    // single-window form (ExtOpsSpec), so it shares the ASOF oracle
+    "fetch_asof_scalable" -> Fetch.fetchAsofSql,
     "fetch_downsample" -> Fetch.fetchDownsampleSql,
     "fetch_many" -> Fetch.fetchManySql,
     "fetch_glob" -> Fetch.fetchGlobSql,

@@ -539,4 +539,69 @@ object Curation {
        |FROM docb JOIN w USING (b)
        |GROUP BY doc_id ORDER BY doc_id""".stripMargin
   }
+
+  // --------------------------------------- X47 cross-source overlap matrix
+
+  /** `source_overlap`: the source-pair duplication matrix — for every
+    * pair of sources, how many distinct 3-gram shingles they share and
+    * the Jaccard similarity of their shingle sets. The
+    * which-feeds-duplicate-which diagnostic a corpus curator reads
+    * before deciding dedup ORDER and source priorities (e.g. a crawl
+    * snapshot that 0.9-overlaps last month's adds almost nothing;
+    * [[graft.ops.PipelineOps.sourceCap]] then caps the loser).
+    *
+    * Scale shape: reads the amortized shared shingle index, reduces it
+    * to DISTINCT (source, shingle) — a shuffle on 16 B-ish keys bounded
+    * by Σ per-source vocabulary, not corpus volume — then self-joins by
+    * shingle: a shingle present in k sources yields ≤ k(k−1)/2 pair
+    * rows, so the join output is bounded by #shingles·k², never
+    * corpus². The size table (k rows) broadcasts back onto the k²/2
+    * pair frame. Zero-overlap pairs are reported too (LEFT join from
+    * the full pair lattice) — absence of overlap is the interesting
+    * answer for provenance-disjoint sources.
+    */
+  def sourceOverlap(s: SparkSession, dir: String): DataFrame = {
+    val srcs = s.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), col("source"))
+    val sg = Dedup.shingleSetShared(s, dir)
+      .join(srcs, "doc_id")
+      .select(col("source"), col("g")).distinct()
+    val sz = sg.groupBy("source").agg(count(lit(1)).as("n"))
+    val ov = sg.as("a").join(sg.as("b"),
+        col("a.g") === col("b.g") && col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("source_a"), col("b.source").as("source_b"))
+      .agg(count(lit(1)).as("shared"))
+    val pairs = sz.as("x").join(sz.as("y"), col("x.source") < col("y.source"))
+      .select(col("x.source").as("source_a"), col("y.source").as("source_b"),
+        col("x.n").as("n_a"), col("y.n").as("n_b"))
+    pairs.join(ov, Seq("source_a", "source_b"), "left")
+      .withColumn("shared", coalesce(col("shared"), lit(0L)))
+      .select(col("source_a"), col("source_b"), col("n_a"), col("n_b"),
+        col("shared"),
+        round(expr("CAST(shared AS DOUBLE) / (n_a + n_b - shared)"), 6)
+          .as("jaccard"))
+      .orderBy("source_a", "source_b")
+  }
+
+  val sourceOverlapSql: String =
+    s"""WITH ${Dedup.shingleUSql},
+       |sg AS (
+       |  SELECT DISTINCT d.source, u.g
+       |  FROM shingle_u u JOIN documents d USING (doc_id)),
+       |sz AS (SELECT source, count(*) AS n FROM sg GROUP BY 1),
+       |ov AS (
+       |  SELECT a.source AS source_a, b.source AS source_b,
+       |         count(*) AS shared
+       |  FROM sg a JOIN sg b ON a.g = b.g AND a.source < b.source
+       |  GROUP BY 1, 2),
+       |pairs AS (
+       |  SELECT x.source AS source_a, y.source AS source_b,
+       |         x.n AS n_a, y.n AS n_b
+       |  FROM sz x JOIN sz y ON x.source < y.source)
+       |SELECT p.source_a, p.source_b, p.n_a, p.n_b,
+       |       coalesce(o.shared, 0) AS shared,
+       |       round(CAST(coalesce(o.shared, 0) AS DOUBLE) /
+       |             (p.n_a + p.n_b - coalesce(o.shared, 0)), 6) AS jaccard
+       |FROM pairs p LEFT JOIN ov o USING (source_a, source_b)
+       |ORDER BY p.source_a, p.source_b""".stripMargin
 }

@@ -122,32 +122,94 @@ object Fetch {
     * value with the null point's timestamp, and DuckDB's ASOF would
     * match the null row instead.
     */
-  def fetchAsof(spark: SparkSession, sfDir: String): DataFrame = {
+  /** The shared points-∪-marks frame behind [[fetchAsof]] and
+    * [[fetchAsofScalable]]: tie-reduced non-null points tagged
+    * `is_pt = 1`, grid marks tagged `0`.
+    */
+  private def asofTagged(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    val fromS = Buckets.FromS
-    val untilS = Buckets.UntilS
-    val pts = Buckets.pointsInRange(spark, sfDir, fromS, untilS)
+    val pts = Buckets.pointsInRange(spark, sfDir, Buckets.FromS, Buckets.UntilS)
       .filter($"value".isNotNull)
       .groupBy($"metric", $"ts_s").agg(max($"value").as("value"))
     val spine = pts.select($"metric").distinct()
       .select($"metric", explode(sequence(
-        lit(fromS), lit(untilS - AsofStepS), lit(AsofStepS))).as("ts_s"))
-    val tagged = pts
+        lit(Buckets.FromS), lit(Buckets.UntilS - AsofStepS),
+        lit(AsofStepS))).as("ts_s"))
+    pts
       .select($"metric", $"ts_s", $"value", lit(1).as("is_pt"))
       .unionByName(spine.select($"metric", $"ts_s",
         lit(null).cast("double").as("value"), lit(0).as("is_pt")))
+  }
+
+  /** The output shape both as-of forms share: marks only, carried
+    * value/ts renamed, staleness derived.
+    */
+  private def asofFinish(carried: DataFrame): DataFrame =
+    carried.filter(col("is_pt") === 0)
+      .select(col("metric"), col("ts_s").as("grid_ts"),
+        round(col("av_"), 6).as("value"), col("at_").as("asof_ts"),
+        (col("ts_s") - col("at_")).as("staleness_s"))
+      .orderBy("metric", "grid_ts")
+
+  def fetchAsof(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
     val w = Window.partitionBy("metric")
       .orderBy($"ts_s".asc, $"is_pt".desc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    tagged
+    asofFinish(asofTagged(spark, sfDir)
       .withColumn("av_", last($"value", ignoreNulls = true).over(w))
       .withColumn("at_",
-        last(when($"is_pt" === 1, $"ts_s"), ignoreNulls = true).over(w))
-      .filter($"is_pt" === 0)
-      .select($"metric", $"ts_s".as("grid_ts"),
-        round($"av_", 6).as("value"), $"at_".as("asof_ts"),
-        ($"ts_s" - $"at_").as("staleness_s"))
-      .orderBy("metric", "grid_ts")
+        last(when($"is_pt" === 1, $"ts_s"), ignoreNulls = true).over(w)))
+  }
+
+  /** Block width of the skew-safe carry's pass 1 — four blocks over the
+    * [F, U) day here; at scale, whatever unit spreads the hot key
+    * (sessionize_scalable uses days).
+    */
+  val AsofBlockS = 21600L
+
+  /** `fetch_asof_scalable`: the two-pass skew-safe form of
+    * [[fetchAsof]] — the same shape [[graft.ops.PipelineOps
+    * .sessionizeScalable]] uses for the same reason. A hot metric makes
+    * the single per-metric carry window one giant sorted partition;
+    * here pass 1 carries WITHIN (metric, time-block) — the hot key
+    * spreads across its blocks — and pass 2 stitches block boundaries
+    * by carrying each block's LAST observation (its tail) across the
+    * per-(metric, block) tail frame, whose size is #blocks per metric,
+    * never event volume. A mark's answer is its in-block carry when a
+    * point precedes it in its own block, else the latest earlier
+    * block's tail — exactly the global carry. Pinned row-identical to
+    * [[fetchAsof]] (ExtOpsSpec) and sharing its DuckDB ASOF oracle.
+    */
+  def fetchAsofScalable(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val tagged = asofTagged(spark, sfDir)
+      .withColumn("blk", expr(s"(ts_s - ${Buckets.FromS}) div $AsofBlockS"))
+    // pass 1: carry within (metric, block) — the skew-spreading window
+    val wB = Window.partitionBy("metric", "blk")
+      .orderBy($"ts_s".asc, $"is_pt".desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val local = tagged
+      .withColumn("lv_", last($"value", ignoreNulls = true).over(wB))
+      .withColumn("lt_",
+        last(when($"is_pt" === 1, $"ts_s"), ignoreNulls = true).over(wB))
+    // pass 2: per-(metric, block) tails (struct max = max ts; ties
+    // impossible after the tie-reduce), then the latest STRICTLY
+    // EARLIER block's tail per block — a window over #blocks rows
+    val tails = tagged.filter($"is_pt" === 1)
+      .groupBy($"metric", $"blk")
+      .agg(max(struct($"ts_s", $"value")).as("tail"))
+    val blocks = tagged.select($"metric", $"blk").distinct()
+    val wT = Window.partitionBy("metric").orderBy("blk")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val stitched = blocks
+      .join(tails, Seq("metric", "blk"), "left")
+      .withColumn("ptail", last($"tail", ignoreNulls = true).over(wT))
+      .select($"metric", $"blk", $"ptail")
+    asofFinish(local
+      .join(stitched, Seq("metric", "blk"))
+      .withColumn("av_", coalesce($"lv_", $"ptail.value"))
+      .withColumn("at_", coalesce($"lt_", $"ptail.ts_s")))
   }
 
   val fetchAsofSql: String =

@@ -426,7 +426,20 @@ object ExplainDump {
       ("PMI collocation mining: bigram instances from the " +
         "staggered-slice zip (codegen, zero shuffle), two token-keyed " +
         "partial-aggregated count tables, a 1-row total broadcast, and " +
-        "TakeOrderedAndProject for the top-k — no global sort anywhere."))
+        "TakeOrderedAndProject for the top-k — no global sort anywhere."),
+    "fetch_asof_scalable" ->
+      ("The skew-safe two-pass as-of carry: pass 1's window keys by " +
+        "(metric, block) — the hot metric spreads across its blocks — " +
+        "and pass 2 stitches boundaries over the per-(metric, block) " +
+        "TAIL frame (#blocks rows, broadcast back), never event " +
+        "volume. Row-identical to fetch_asof by pin; same pushed time " +
+        "bounds at the scan."),
+    "source_overlap" ->
+      ("Cross-source duplication matrix: the shared shingle index " +
+        "reduces to DISTINCT (source, shingle), self-joins by shingle " +
+        "(per-shingle pair fan-out bounded by k²/2 for k sources), and " +
+        "the k-row size table returns as a broadcast join onto the " +
+        "k²/2-row pair lattice — the corpus text never moves."))
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.lift(0).getOrElse("/root/testdata/sf0.001")

@@ -479,6 +479,38 @@ class ExtOpsSpec extends AnyFunSuite {
       assert(rs.length == marks, s"$m grid incomplete: ${rs.length}")
   }
 
+  test("fetch_asof_scalable is row-identical to the single-window form") {
+    // the two-pass block-stitched carry must reproduce the global carry
+    // byte-for-byte — the same pin sessionize_scalable carries
+    val direct = Fetch.fetchAsof(spark, dir).collect().map(_.toString)
+    val scalable = Fetch.fetchAsofScalable(spark, dir).collect().map(_.toString)
+    assert(direct.nonEmpty && direct.toSeq == scalable.toSeq)
+  }
+
+  test("source_overlap reports the full pair lattice with true jaccards") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet").collect()
+      .map(r => (r.getLong(0), r.getString(1).toLowerCase.split(' ').toSeq,
+        r.getString(3)))
+    // driver recompute of per-source distinct shingle sets
+    val bySource = docs.groupBy(_._3).view.mapValues(_.flatMap {
+      case (_, toks, _) => toks.sliding(3).filter(_.size == 3).map(_.mkString(" "))
+    }.toSet).toMap
+    val out = Curation.sourceOverlap(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5)))
+    val k = bySource.size
+    assert(out.length == k * (k - 1) / 2, "pair lattice incomplete")
+    for ((a, b, na, nb, shared, j) <- out) {
+      assert(a < b, s"pair ($a,$b) not ordered")
+      assert(na == bySource(a).size && nb == bySource(b).size,
+        s"($a,$b) set sizes")
+      val wantShared = bySource(a).intersect(bySource(b)).size
+      assert(shared == wantShared, s"($a,$b) shared $shared != $wantShared")
+      val wantJ = wantShared.toDouble / (na + nb - wantShared)
+      assert(math.abs(j - wantJ) < 1e-6 && j >= 0 && j <= 1, s"($a,$b) jaccard")
+    }
+  }
+
   test("text_entropy matches a driver recompute and its bounds") {
     val docs = spark.read.parquet(s"$dir/documents.parquet").collect()
       .map(r => r.getLong(0) -> r.getString(1).toLowerCase.split(' ').toSeq)

@@ -1041,4 +1041,65 @@ object Similarity {
        |       round(p.ps_ - n.ns_, 6) AS margin, n.rnk
        |FROM neg n LEFT JOIN pos p ON p.query_id = n.query_id
        |ORDER BY n.query_id, n.rnk""".stripMargin
+
+  // -------------------------------------------- X49 cluster-quality audit
+
+  /** `cluster_stats`: per-cluster quality report over the persisted
+    * trained k-means index — size, corpus fraction, mean and worst
+    * cosine-to-centroid. This is the audit that decides whether the ANN/
+    * SemDeDup partition is healthy: a mega-cluster (high `frac`) says
+    * raise k or sub-cluster before [[dedupSemantic]]'s within-cluster
+    * pair scan blows up; a low `min_cos` tail says the coarse quantizer
+    * is misassigning and IVF recall will sag at that cell.
+    *
+    * Serving reads ONLY the persisted index ([[annIndexShared]]'s two
+    * parquet roots — no Lloyd stage in this plan, same contract as the
+    * ANN serving keys, pinned in PlanSpec): centroids broadcast against
+    * the assignment, one dot product per vector, one hash aggregation
+    * keyed by cent_id (k rows out), the 1-row corpus total broadcast
+    * back for the fraction. At 100 TB: one index scan, k·cols of
+    * shuffle — the report is free relative to any consumer of the index.
+    *
+    * `mean_cos` is `round(sum/count, 6)` — the same absorb-the-ulps rule
+    * the codebook means rely on; `min_cos` is order-exact.
+    */
+  def clusterStats(s: SparkSession, dir: String): DataFrame = {
+    val (cents, assigned) = annIndexShared(s, dir, trained = true)
+    val total = assigned.agg(count(lit(1)).as("n_total"))
+    assigned.join(broadcast(cents), "cent_id")
+      .withColumn("cos",
+        dot_f(col("embedding"), col("ce")) / (col("cn") * col("ce_n")))
+      .groupBy("cent_id")
+      .agg(count(lit(1)).as("n_vecs"),
+        round(sum(col("cos")) / count(lit(1)), 6).as("mean_cos"),
+        round(min(col("cos")), 6).as("min_cos"))
+      .crossJoin(broadcast(total))
+      .select(col("cent_id"), col("n_vecs"),
+        round(col("n_vecs").cast("double") / col("n_total"), 6).as("frac"),
+        col("mean_cos"), col("min_cos"))
+      .orderBy("cent_id")
+  }
+
+  /** Oracle: [[kmeansTrainedCtes]] re-derives the same codebook and
+    * assignment, then mirrors the per-cluster aggregate.
+    */
+  val clusterStatsSql: String = {
+    val cf = KMeansFinalCents
+    s"""WITH $kmeansTrainedCtes,
+       |cosd AS (
+       |  SELECT f.cent_id, ${cosineSql("e.embedding", "c.ce")} AS cos
+       |  FROM assign_f f
+       |  JOIN embeddings e ON e.vec_id = f.vec_id
+       |  JOIN $cf c ON c.cent_id = f.cent_id),
+       |stats AS (
+       |  SELECT cent_id, count(*) AS n_vecs,
+       |         round(sum(cos) / count(*), 6) AS mean_cos,
+       |         round(min(cos), 6) AS min_cos
+       |  FROM cosd GROUP BY 1)
+       |SELECT cent_id, n_vecs,
+       |       round(CAST(n_vecs AS DOUBLE) /
+       |             (SELECT count(*) FROM embeddings), 6) AS frac,
+       |       mean_cos, min_cos
+       |FROM stats ORDER BY cent_id""".stripMargin
+  }
 }

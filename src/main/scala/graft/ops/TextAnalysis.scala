@@ -679,4 +679,176 @@ object TextAnalysis {
        |SELECT query_id, doc_id, round(score, 6) AS score, n_terms, rnk
        |FROM ranked WHERE rnk <= $Bm25TopK ORDER BY query_id, rnk""".stripMargin
   }
+
+  // ------------------------------------------------- X50 blocklist filter
+
+  /** Blocklist terms for [[textBlocklist]]. Drawn from the corpus
+    * vocabulary so the gate actually fires on the synthetic fixture; a
+    * production deployment swaps in a real wordlist (C4 used the public
+    * "List of Dirty, Naughty, Obscene..." list) without touching the
+    * plan shape.
+    */
+  val BlockTokens: Seq[String] = Seq("slow", "big", "merge")
+
+  /** `text_blocklist`: C4-style blocklist document gate (Raffel et al.,
+    * arXiv:1910.10683 §2.2 — docs containing any listed word are
+    * dropped). Emits per document the total blocked-token hits, how many
+    * DISTINCT blocklist entries appear, and the resulting keep flag —
+    * the audit columns a curation run logs before discarding.
+    *
+    * Distinct from [[PipelineOps.textPiiScrub]] (regex REDACTION inside
+    * kept text) — this is the whole-document drop rule.
+    *
+    * At 100 TB: the blocklist is a literal in the plan (a real list
+    * broadcasts); per-doc work is one codegen'd `filter` over the token
+    * array — a pure map-side pass, zero shuffle, nothing but the
+    * presentation sort (pinned in PlanSpec).
+    */
+  def textBlocklist(s: SparkSession, dir: String): DataFrame = {
+    val hitPred = BlockTokens.map(w => s"t = '$w'").mkString(" OR ")
+    val lits = BlockTokens.map(w => s"'$w'").mkString(", ")
+    docs(s, dir).withColumn("toks", expr(toksExpr))
+      .select(col("doc_id"),
+        expr(s"size(filter(toks, t -> $hitPred))").as("n_hits"),
+        expr(s"size(filter(array($lits), b -> array_contains(toks, b)))")
+          .as("n_hit_types"))
+      .withColumn("kept", when(col("n_hits") === 0, 1).otherwise(0))
+      .orderBy("doc_id")
+  }
+
+  val textBlocklistSql: String = {
+    val hitPred = BlockTokens.map(w => s"t = '$w'").mkString(" OR ")
+    val lits = BlockTokens.map(w => s"'$w'").mkString(", ")
+    s"""SELECT doc_id,
+       |       len(list_filter($toksSql, t -> $hitPred)) AS n_hits,
+       |       len(list_filter([$lits],
+       |                       b -> list_contains($toksSql, b))) AS n_hit_types,
+       |       CASE WHEN len(list_filter($toksSql, t -> $hitPred)) = 0
+       |            THEN 1 ELSE 0 END AS kept
+       |FROM documents ORDER BY doc_id""".stripMargin
+  }
+
+  // ------------------------------------------- X48 BPE merge-table train
+
+  /** Unrolled BPE iterations for [[tokenBpeMerges]] — enough to exercise
+    * merge application (iteration 2 can pick a pair containing a merged
+    * symbol), small enough for an exact CTE-unrolled oracle (the Lloyd
+    * pattern).
+    */
+  val BpeIters = 3
+
+  /** Pairs reported per iteration (rank 1 is the merge applied). */
+  val BpeTopN = 10
+
+  /** `token_bpe_merges`: the first [[BpeIters]] iterations of BPE
+    * vocabulary training (Sennrich et al., arXiv:1508.07909) — per
+    * iteration the corpus-weighted count of every adjacent symbol pair,
+    * the top pair becomes a merged symbol applied to every word, and the
+    * next iteration counts pairs over the updated symbol sequences.
+    * Emits each iteration's top-[[BpeTopN]] pairs with counts — the
+    * merge-table prefix a tokenizer build would persist.
+    *
+    * Sennrich's own scale trick IS the plan: BPE never iterates over the
+    * corpus, only over the distinct-WORD table with frequencies. The one
+    * corpus pass builds `(word, freq)` (map-side-combined aggregate,
+    * materialized once via eager localCheckpoint — the Lloyd-loop
+    * pattern, so the final plan re-reads a tiny vocab RDD, never the
+    * documents parquet: pinned in PlanSpec); each iteration is then a
+    * pair explode + aggregate over ~|vocab| rows with the 1-row top pair
+    * broadcast back for the merge rewrite. At 100 TB the vocab table is
+    * MBs — iterations cost seconds regardless of corpus size.
+    *
+    * Merge application is string algebra on the space-delimited symbol
+    * sequence (leading/trailing sentinel spaces): `replace(seq, ' a b ',
+    * ' ab ')` merges exactly the whole-symbol occurrences, leftmost
+    * first, non-overlapping — `replace`'s contract in BOTH engines, and
+    * exactly BPE's greedy rule ('l l l' → 'll l'). Symbols never contain
+    * spaces, so a pattern can never match across a symbol boundary.
+    */
+  def tokenBpeMerges(s: SparkSession, dir: String): DataFrame = {
+    // one corpus pass: distinct words with frequencies, then the initial
+    // symbol sequence ' c1 c2 ... cn ' (boundary spaces make whole-symbol
+    // replace patterns total)
+    var words = docs(s, dir)
+      .select(explode(expr(toksExpr)).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy("w").agg(count(lit(1)).as("f"))
+      .withColumn("seq", expr(
+        "concat(' ', array_join(transform(sequence(1, length(w)), " +
+          "i -> substring(w, i, 1)), ' '), ' ')"))
+      .localCheckpoint(true)
+    def pairCounts(wt: DataFrame): DataFrame =
+      wt.withColumn("syms", split(trim(col("seq")), " "))
+        .filter(size(col("syms")) >= 2)
+        .select(col("f"), explode(expr(
+          "transform(sequence(1, size(syms) - 1), " +
+            "i -> concat(element_at(syms, i), ' ', element_at(syms, i + 1)))"))
+          .as("pair"))
+        .groupBy("pair").agg(sum(col("f")).as("cnt"))
+    val tops = (1 to BpeIters).map { it =>
+      val pairs = pairCounts(words)
+      val top10 = pairs.orderBy(col("cnt").desc, col("pair")).limit(BpeTopN)
+        .select(lit(it).as("it"), col("pair"),
+          expr("replace(pair, ' ', '')").as("merged"), col("cnt"))
+      if (it < BpeIters) {
+        // apply merge #1 in-plan: the winning pair rides a broadcast
+        // 1-row join, never a driver collect
+        val top1 = pairs.orderBy(col("cnt").desc, col("pair")).limit(1)
+          .select(col("pair").as("mp"))
+        words = words.crossJoin(broadcast(top1))
+          .withColumn("seq", expr(
+            "replace(seq, concat(' ', mp, ' '), " +
+              "concat(' ', replace(mp, ' ', ''), ' '))"))
+          .drop("mp")
+          .localCheckpoint(true)
+      }
+      top10
+    }
+    tops.reduce(_.union(_))
+      .orderBy(col("it"), col("cnt").desc, col("pair"))
+  }
+
+  /** Oracle: the Lloyd-unroll pattern (see `Similarity.kmeansTrainedCtes`)
+    * as an exact CTE chain — `w0, p1, t1, w1, p2, …` — with the identical
+    * seq/pair/replace algebra (DuckDB's 1-based list indexing matches
+    * `element_at`; `range(1, n)` is Spark's `sequence(1, n-1)`).
+    */
+  val tokenBpeMergesSql: String = {
+    def pairsCte(name: String, wt: String): String =
+      s"""$name AS (
+         |  SELECT pair, CAST(sum(f) AS BIGINT) AS cnt FROM (
+         |    SELECT f, unnest(list_transform(range(1, len(syms)),
+         |                     i -> syms[i] || ' ' || syms[i + 1])) AS pair
+         |    FROM (SELECT f, string_split(trim(seq), ' ') AS syms FROM $wt)
+         |    WHERE len(syms) >= 2)
+         |  GROUP BY 1)""".stripMargin
+    def mergeCte(wNew: String, wOld: String, p: String): String =
+      s"""t$p AS (SELECT pair FROM $p ORDER BY cnt DESC, pair LIMIT 1),
+         |$wNew AS (
+         |  SELECT w, f, replace(seq, ' ' || t$p.pair || ' ',
+         |                       ' ' || replace(t$p.pair, ' ', '') || ' ') AS seq
+         |  FROM $wOld, t$p)""".stripMargin
+    val iters = (1 to BpeIters).map { it =>
+      val p = pairsCte(s"p$it", s"w${it - 1}")
+      if (it < BpeIters) p + ",\n" + mergeCte(s"w$it", s"w${it - 1}", s"p$it")
+      else p
+    }.mkString(",\n")
+    val branches = (1 to BpeIters).map { it =>
+      s"""SELECT * FROM (
+         |  SELECT $it AS it, pair, replace(pair, ' ', '') AS merged, cnt
+         |  FROM p$it ORDER BY cnt DESC, pair LIMIT $BpeTopN)""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH wf AS (
+       |  SELECT w, count(*) AS f FROM (
+       |    SELECT unnest($toksSql) AS w FROM documents)
+       |  WHERE length(w) > 0 GROUP BY 1),
+       |w0 AS (
+       |  SELECT w, f,
+       |         ' ' || array_to_string(list_transform(range(1, length(w) + 1),
+       |                                i -> substr(w, i, 1)), ' ') || ' ' AS seq
+       |  FROM wf),
+       |$iters
+       |$branches
+       |ORDER BY it, cnt DESC, pair""".stripMargin
+  }
 }

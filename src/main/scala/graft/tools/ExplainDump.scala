@@ -439,7 +439,27 @@ object ExplainDump {
         "reduces to DISTINCT (source, shingle), self-joins by shingle " +
         "(per-shingle pair fan-out bounded by k²/2 for k sources), and " +
         "the k-row size table returns as a broadcast join onto the " +
-        "k²/2-row pair lattice — the corpus text never moves."))
+        "k²/2-row pair lattice — the corpus text never moves."),
+    "token_bpe_merges" ->
+      ("BPE merge training, Sennrich's vocab-table form: the ONE corpus " +
+        "pass lives in the eager localCheckpoint (the ExistingRDD " +
+        "leaves), so every iteration is a pair explode + map-side-" +
+        "combined aggregate over |vocab| rows with the winning pair " +
+        "riding a 1-row broadcast back into the merge rewrite — NO " +
+        "documents scan anywhere in this plan (pinned)."),
+    "cluster_stats" ->
+      ("The k-means partition-health audit: two parquet scans of the " +
+        "persisted index (codebook broadcast onto the assignment), one " +
+        "dot product per vector, one hash aggregate keyed by cent_id " +
+        "(k rows out), and the 1-row corpus total broadcast back for " +
+        "the fraction. No Lloyd stage — the training plan must never " +
+        "leak into an index consumer (pinned)."),
+    "text_blocklist" ->
+      ("The C4 blocklist gate: the wordlist is a literal inside one " +
+        "codegen'd filter lambda over the token array — a pure map-side " +
+        "projection whose only exchange is the presentation sort " +
+        "(pinned). A real wordlist swaps in as a broadcast variable " +
+        "without changing the shape."))
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.lift(0).getOrElse("/root/testdata/sf0.001")

@@ -676,4 +676,74 @@ class ExtOpsSpec extends AnyFunSuite {
       }, s"q$qid margins shrink with rank")
     }
   }
+
+  test("token_bpe_merges matches a full driver recompute of the BPE loop") {
+    // the sequential reference implementation: greedy leftmost
+    // non-overlapping merge application, exactly Sennrich's rule — the
+    // engine's delimited-replace algebra must reproduce it verbatim
+    var words: Map[Vector[String], Long] = spark.read
+      .parquet(s"$dir/documents.parquet")
+      .select("text").collect()
+      .flatMap(_.getString(0).toLowerCase.split(" "))
+      .filter(_.nonEmpty)
+      .groupBy(identity)
+      .map { case (w, a) => (w.map(_.toString).toVector, a.length.toLong) }
+    val exp = scala.collection.mutable.Buffer[(Int, String, String, Long)]()
+    for (it <- 1 to TextAnalysis.BpeIters) {
+      val pc = scala.collection.mutable.Map[(String, String), Long]()
+      for ((syms, f) <- words; i <- 0 until syms.length - 1)
+        pc.updateWith((syms(i), syms(i + 1)))(c => Some(c.getOrElse(0L) + f))
+      val ranked = pc.toSeq.sortBy { case ((a, b), c) => (-c, s"$a $b") }
+      for (((a, b), c) <- ranked.take(TextAnalysis.BpeTopN))
+        exp += ((it, s"$a $b", s"$a$b", c))
+      if (it < TextAnalysis.BpeIters) {
+        val (ta, tb) = ranked.head._1
+        words = words.map { case (syms, f) =>
+          val out = Vector.newBuilder[String]
+          var i = 0
+          while (i < syms.length) {
+            if (i < syms.length - 1 && syms(i) == ta && syms(i + 1) == tb) {
+              out += (ta + tb); i += 2
+            } else { out += syms(i); i += 1 }
+          }
+          (out.result(), f)
+        }
+      }
+    }
+    val got = TextAnalysis.tokenBpeMerges(spark, dir).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+    assert(got.toSeq == exp.toSeq)
+    // 3 iterations actually ran, and iteration 2+ merges can only build
+    // on symbols that exist (merged names are concatenations)
+    assert(got.map(_._1).distinct.sorted.toSeq == (1 to TextAnalysis.BpeIters))
+  }
+
+  test("text_blocklist matches a driver recompute of the C4 gate") {
+    val block = TextAnalysis.BlockTokens.toSet
+    val exp = spark.read.parquet(s"$dir/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map { r =>
+        val toks = r.getString(1).toLowerCase.split(" ").toSeq
+        val hits = toks.count(block)
+        (r.getLong(0), hits, block.count(toks.contains),
+          if (hits == 0) 1 else 0)
+      }.sortBy(_._1)
+    val got = TextAnalysis.textBlocklist(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3)))
+    assert(got.toSeq == exp.toSeq)
+    // the synthetic fixture exercises both branches of the gate
+    assert(exp.exists(_._4 == 1) && exp.exists(_._4 == 0))
+  }
+
+  test("cluster_stats: sizes partition the corpus, cosine bounds hold") {
+    val rows = Similarity.clusterStats(spark, dir).collect()
+    val total = spark.read.parquet(s"$dir/embeddings.parquet").count()
+    assert(rows.map(_.getLong(1)).sum == total)
+    assert(math.abs(rows.map(_.getDouble(2)).sum - 1.0) < 1e-3)
+    // per cluster: worst member <= mean <= 1 (cosine to own centroid)
+    assert(rows.forall(r => r.getDouble(4) <= r.getDouble(3) + 1e-9 &&
+      r.getDouble(3) <= 1.0 + 1e-9))
+    // the trained partition actually spreads the corpus
+    assert(rows.length > 1)
+  }
 }

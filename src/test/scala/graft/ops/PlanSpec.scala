@@ -650,4 +650,42 @@ class PlanSpec extends AnyFunSuite {
         s"neighbor top-k not pushed into a rank limit:\n$p")
     }
   }
+
+  test("token_bpe_merges iterates over the checkpointed vocab, not the corpus") {
+    // Sennrich's scale rule: ONE corpus pass builds (word, freq); every
+    // BPE iteration then runs over the tiny vocab table. The corpus pass
+    // lives in the eager localCheckpoint, so the final plan must read
+    // checkpoint RDDs — never the documents parquet (a documents scan
+    // here means an iteration re-reads the corpus: 3+ full passes at
+    // 100 TB instead of one).
+    val p = plan(TextAnalysis.tokenBpeMerges(spark, dir))
+    assert(!p.contains("documents.parquet"),
+      s"a BPE iteration re-reads the corpus:\n$p")
+    assert(p.contains("ExistingRDD"),
+      s"vocab table is not the checkpointed one-pass build:\n$p")
+  }
+
+  test("text_blocklist is a pure map-side pass — one presentation shuffle only") {
+    // the blocklist is a literal in the filter lambda (a real wordlist
+    // broadcasts); a Join (list-as-data form) or an extra Exchange
+    // (explode+groupBy form) would mean the zero-shuffle shape regressed
+    val p = plan(TextAnalysis.textBlocklist(spark, dir))
+    assert(!p.contains("Join") && !p.contains("Generate"),
+      s"blocklist gate left the map side:\n$p")
+    assert("Exchange".r.findAllIn(p).size <= 2, // tree + detail of the one sort
+      s"more than the presentation-sort exchange:\n$p")
+  }
+
+  test("cluster_stats is an index read — no training stage in the audit") {
+    // same contract as the ANN serving pin: the audit reads the
+    // persisted codebook + assignment and aggregates; the Lloyd/assign
+    // machinery must stay in the one-time index build
+    val p = plan(Similarity.clusterStats(spark, dir))
+    assert(!p.contains("Generate") && !p.contains("posexplode"),
+      s"training-stage explode leaked into the audit plan:\n$p")
+    assert(!p.contains("ExistingRDD"),
+      s"checkpointed training frame leaked into the audit plan:\n$p")
+    assert(p.contains("Scan parquet"),
+      s"audit does not read the persisted index:\n$p")
+  }
 }

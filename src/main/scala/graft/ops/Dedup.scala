@@ -199,6 +199,23 @@ object Dedup {
       .distinct()
   }
 
+  /** [[shingleSet]]'s 3-gram rule as a per-row DISTINCT shingle ARRAY —
+    * no explode, no shuffle: the stateless form a streaming probe needs
+    * (one row in, one row out, so a stream-static join can flag a
+    * document without any streaming aggregation state). The `size >= 3`
+    * guard matters: Spark's `sequence(1, 0)` DESCENDS, so short docs
+    * must take the empty-array branch (`slice(t, 1, 0)` keeps the
+    * element type) rather than produce phantom shingles.
+    */
+  private[graft] def shingleArray(d: DataFrame): DataFrame =
+    d.withColumn("t", expr(toksExpr))
+      .withColumn("shingles", expr(
+        "CASE WHEN size(t) >= 3 THEN array_distinct(transform(" +
+          "sequence(1, size(t) - 2), i -> concat_ws(' ', element_at(t, i), " +
+          "element_at(t, i + 1), element_at(t, i + 2)))) " +
+          "ELSE slice(t, 1, 0) END"))
+      .drop("t")
+
   private[graft] val shingleUSql: String =
     s"""shingle_u AS (
        |  SELECT DISTINCT doc_id, array_to_string(list_slice(toks, i, i + 2), ' ') AS g

@@ -1,6 +1,6 @@
 package graft.streaming
 
-import graft.ops.{Buckets, CoreQueries, Dedup, PipelineOps}
+import graft.ops.{Buckets, CoreQueries, Curation, Dedup, PipelineOps}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
@@ -282,7 +282,50 @@ object StreamQueries {
       |WINDOW w AS (PARTITION BY metric ORDER BY ts_s, event_id)
       |ORDER BY event_id""".stripMargin
 
+  /** `stream_decontaminate` — [[StreamDecontaminate.decontaminateStream]]
+    * over the corpus staged in two doc_id waves. The static side (the
+    * distinct benchmark shingle set collapsed to one sorted array row)
+    * is built from the SAME shared shingle index the batch key uses, so
+    * the stream and batch gates can never disagree on the shingle rule.
+    * Stateless by design — the waves prove multi-batch planning of the
+    * stream-static join, not a state handoff (there is none to prove).
+    */
+  private def ensureStreamDecontaminated(s: SparkSession, dir: String): String =
+    Dedup.sharedIndexPath(s, dir, "documents.parquet", "stream_decon") { base =>
+      import s.implicits._
+      val stage = s"$base/stage"
+      val corpus = s.read.parquet(s"$dir/documents.parquet")
+        .filter(col("doc_id") >= Curation.BenchmarkDocs)
+        .select(col("doc_id").cast("long").as("doc_id"), col("text"))
+      val bench = Dedup.shingleSetShared(s, dir)
+        .filter(col("doc_id") < Curation.BenchmarkDocs)
+        .agg(sort_array(collect_set(col("g"))).as("bench_g"))
+      val (lo, hi) = corpus.agg(min("doc_id"), max("doc_id"))
+        .as[(Long, Long)].head()
+      val mid = lo + (hi - lo) / 2
+      def runWave(wave: DataFrame): Unit = {
+        wave.coalesce(1).write.mode("append").parquet(stage)
+        val arrivals = s.readStream.schema(corpus.schema).parquet(stage)
+        StreamDecontaminate.decontaminateStream(arrivals, bench)
+          .writeStream.outputMode("append")
+          .format("parquet").option("path", s"$base/out")
+          .option("checkpointLocation", s"$base/ckpt")
+          .trigger(Trigger.AvailableNow())
+          .start().awaitTermination()
+      }
+      runWave(corpus.filter(col("doc_id") <= mid))
+      runWave(corpus.filter(col("doc_id") > mid))
+    }
+
+  def streamDecontaminate(s: SparkSession, dir: String): DataFrame = {
+    val base = ensureStreamDecontaminated(s, dir)
+    s.read.parquet(s"$base/out")
+      .select(col("doc_id"), col("n_shared"), col("contaminated"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stream_decontaminate" -> (streamDecontaminate _),
     "stream_dedup" -> (streamDedup _),
     "stream_sessionize" -> (streamSessionize _),
     "stream_rollup" -> (streamRollup _),
@@ -291,6 +334,8 @@ object StreamQueries {
     "stream_asof" -> (streamAsof _))
 
   val oracleSql: Map[String, String] = Map(
+    // stream-static gate ≡ the batch decontaminate key — same oracle
+    "stream_decontaminate" -> Curation.decontaminateSql,
     "stream_dedup" -> streamDedupSql,
     // identical sessions to the batch operator — the whole point
     "stream_sessionize" -> PipelineOps.sessionizeSql,

@@ -604,4 +604,51 @@ object Curation {
        |             (p.n_a + p.n_b - coalesce(o.shared, 0)), 6) AS jaccard
        |FROM pairs p LEFT JOIN ov o USING (source_a, source_b)
        |ORDER BY p.source_a, p.source_b""".stripMargin
+
+  // ------------------------------------------- X52 per-source corpus report
+
+  /** `corpus_report`: the per-source curation dashboard — doc/token
+    * volume, mean length, blocklist-flagged count and exact-duplicate
+    * count per source, in ONE corpus pass. This is the summary a
+    * curation run publishes after every delivery (which source is
+    * bloated, which is dirty, which is self-duplicating) and the input
+    * to the mixing decisions ([[PipelineOps.mixTemperature]],
+    * [[PipelineOps.sourceCap]]) downstream.
+    *
+    * All five aggregates ride one `groupBy(source)`: counts and sums
+    * partial-aggregate map-side; the duplicate count is
+    * `count − count(DISTINCT md5(text))`, whose distinct expansion
+    * shuffles 16-byte hashes keyed by (source, hash) — never text. At
+    * 100 TB this is a single pass emitting k rows; the per-doc
+    * blocklist/token work is the same codegen'd lambda the dedicated
+    * keys use.
+    */
+  def corpusReport(s: SparkSession, dir: String): DataFrame = {
+    val hitPred = TextAnalysis.BlockTokens.map(w => s"t = '$w'").mkString(" OR ")
+    docs(s, dir).withColumn("toks", expr(toksExpr))
+      .groupBy("source").agg(
+        count(lit(1)).as("n_docs"),
+        sum(size(col("toks"))).cast("long").as("n_tokens"),
+        round(sum(col("n_chars")).cast("double") / count(lit(1)), 6)
+          .as("avg_chars"),
+        sum(when(expr(s"size(filter(toks, t -> $hitPred))") > 0, 1L)
+          .otherwise(0L)).as("n_blocked"),
+        (count(lit(1)) - countDistinct(md5(col("text")))).as("n_dup_texts"))
+      .orderBy("source")
+  }
+
+  val corpusReportSql: String = {
+    val hitPred = TextAnalysis.BlockTokens.map(w => s"t = '$w'").mkString(" OR ")
+    s"""SELECT source, count(*) AS n_docs,
+       |       CAST(sum(n_toks) AS BIGINT) AS n_tokens,
+       |       round(CAST(sum(n_chars) AS DOUBLE) / count(*), 6) AS avg_chars,
+       |       CAST(sum(CASE WHEN n_hits > 0 THEN 1 ELSE 0 END) AS BIGINT)
+       |         AS n_blocked,
+       |       count(*) - count(DISTINCT h) AS n_dup_texts
+       |FROM (SELECT source, n_chars, len($toksSql) AS n_toks,
+       |             len(list_filter($toksSql, t -> $hitPred)) AS n_hits,
+       |             md5(text) AS h
+       |      FROM documents)
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+  }
 }

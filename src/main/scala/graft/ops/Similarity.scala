@@ -1042,6 +1042,85 @@ object Similarity {
        |FROM neg n LEFT JOIN pos p ON p.query_id = n.query_id
        |ORDER BY n.query_id, n.rnk""".stripMargin
 
+  // ------------------------------------------------ X51 hybrid rank fusion
+
+  /** RRF smoothing constant — the value the original paper fixed and
+    * every production implementation defaults to (Cormack, Clarke &
+    * Buettcher, SIGIR 2009: k = 60).
+    */
+  val RrfK = 60
+
+  /** Queries fused: BM25 defines exactly 3 query workloads (ids 0–2) and
+    * the embedding side serves vec_id 0–9, so the fusable intersection is
+    * ids 0–2 under the corpus' doc_id ≡ vec_id mapping.
+    */
+  val RrfQueries = 3
+
+  /** `rank_fusion`: hybrid lexical+semantic retrieval via Reciprocal
+    * Rank Fusion — the standard way production search combines a BM25
+    * list with an embedding ANN list without score calibration (ranks
+    * are comparable when raw scores are not). Per query: full-outer join
+    * of the BM25 top-10 and cosine top-5 on doc id, fused score
+    * `Σ 1/(k + rank)` over the lists containing the doc, re-ranked.
+    *
+    * Composes the two PERSISTED index paths end to end: the lexical arm
+    * serves from the BM25 postings index (term predicate pushed), the
+    * semantic arm is the brute-force oracle here and swaps to the
+    * IVF/PQ index at scale with this fusion stage unchanged. The fusion
+    * itself is a join over (queries × top-k) rows — thousands, never
+    * corpus-sized — so at 100 TB its cost is noise; the arms' own scale
+    * stories carry the key.
+    */
+  def rankFusion(s: SparkSession, dir: String): DataFrame = {
+    val bm = TextAnalysis.bm25Search(s, dir)
+      .filter(col("query_id") < RrfQueries)
+      .select(col("query_id").cast("long").as("query_id"),
+        col("doc_id").cast("long").as("doc_id"), col("rnk").as("lex_rnk"))
+    val em = similarityTopk(s, dir)
+      .filter(col("query_id") < RrfQueries)
+      .select(col("query_id").cast("long").as("query_id"),
+        col("cand_id").cast("long").as("doc_id"), col("rnk").as("sem_rnk"))
+    // both 1/(k+r) terms and their sum are the identical IEEE expression
+    // tree in the oracle (integer rank + double literal), so the fused
+    // doubles are bit-equal and the (rrf DESC, doc_id) order total
+    val fused = bm.join(em, Seq("query_id", "doc_id"), "full_outer")
+      .withColumn("rrf", round(
+        coalesce(lit(1.0) / (lit(RrfK) + col("lex_rnk")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(RrfK) + col("sem_rnk")), lit(0.0)), 6))
+    val w = Window.partitionBy("query_id").orderBy(col("rrf").desc, col("doc_id"))
+    fused.withColumn("fused_rnk", row_number().over(w))
+      .select(col("query_id"), col("doc_id"), col("lex_rnk"), col("sem_rnk"),
+        col("rrf"), col("fused_rnk"))
+      .orderBy("query_id", "fused_rnk")
+  }
+
+  /** Oracle: the two arms' own oracle SQLs as derived tables (nested
+    * WITH — DuckDB scopes them cleanly), fused with the identical RRF
+    * arithmetic.
+    */
+  val rankFusionSql: String = {
+    val one = "CAST(1.0 AS DOUBLE)"
+    s"""WITH bm AS (SELECT * FROM (${TextAnalysis.bm25SearchSql})),
+       |em AS (SELECT * FROM ($similarityTopkSql)),
+       |f AS (
+       |  SELECT CAST(coalesce(b.query_id, e.query_id) AS BIGINT) AS query_id,
+       |         CAST(coalesce(b.doc_id, e.cand_id) AS BIGINT) AS doc_id,
+       |         b.rnk AS lex_rnk, e.rnk AS sem_rnk
+       |  FROM bm b FULL JOIN em e
+       |    ON e.query_id = b.query_id AND e.cand_id = b.doc_id
+       |  WHERE coalesce(b.query_id, e.query_id) < $RrfQueries),
+       |r AS (
+       |  SELECT query_id, doc_id, lex_rnk, sem_rnk,
+       |         round(coalesce($one / ($RrfK + lex_rnk), CAST(0 AS DOUBLE)) +
+       |               coalesce($one / ($RrfK + sem_rnk), CAST(0 AS DOUBLE)), 6)
+       |           AS rrf
+       |  FROM f)
+       |SELECT query_id, doc_id, lex_rnk, sem_rnk, rrf,
+       |       row_number() OVER (PARTITION BY query_id
+       |                          ORDER BY rrf DESC, doc_id) AS fused_rnk
+       |FROM r ORDER BY query_id, fused_rnk""".stripMargin
+  }
+
   // -------------------------------------------- X49 cluster-quality audit
 
   /** `cluster_stats`: per-cluster quality report over the persisted

@@ -735,6 +735,54 @@ class ExtOpsSpec extends AnyFunSuite {
     assert(exp.exists(_._4 == 1) && exp.exists(_._4 == 0))
   }
 
+  test("rank_fusion: RRF arithmetic and the dual-list dominance property") {
+    val rows = Similarity.rankFusion(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getInt(2)),
+        if (r.isNullAt(3)) None else Some(r.getInt(3)),
+        r.getDouble(4), r.getInt(5)))
+    assert(rows.nonEmpty)
+    // rrf recomputes from the contributing ranks
+    def term(r: Option[Int]) = r.fold(0.0)(k => 1.0 / (Similarity.RrfK + k))
+    assert(rows.forall { case (_, _, l, e, rrf, _) =>
+      math.abs(rrf - BigDecimal(term(l) + term(e))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-9 })
+    // every row came from at least one list
+    assert(rows.forall { case (_, _, l, e, _, _) => l.isDefined || e.isDefined })
+    // a doc in BOTH lists always outranks any single-list doc:
+    // worst dual rrf = 1/(k+10)+1/(k+5) > best single rrf = 1/(k+1)
+    for ((_, qrows) <- rows.groupBy(_._1)) {
+      val dualWorst = qrows.filter(r => r._3.isDefined && r._4.isDefined)
+        .map(_._6).maxOption
+      val singleBest = qrows.filter(r => r._3.isEmpty || r._4.isEmpty)
+        .map(_._6).minOption
+      for (d <- dualWorst; s <- singleBest) assert(d < s)
+    }
+    // fused rank is dense and starts at 1 per query
+    for ((_, qrows) <- rows.groupBy(_._1))
+      assert(qrows.map(_._6).sorted.toSeq == (1 to qrows.length))
+  }
+
+  test("corpus_report matches a driver recompute of the per-source summary") {
+    val block = TextAnalysis.BlockTokens.toSet
+    val exp = spark.read.parquet(s"$dir/documents.parquet")
+      .select("source", "text", "n_chars").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+      .groupBy(_._1).toSeq.sortBy(_._1)
+      .map { case (src, ds) =>
+        val toks = ds.map(_._2.toLowerCase.split(" ").toSeq)
+        (src, ds.length.toLong, toks.map(_.length.toLong).sum,
+          BigDecimal(ds.map(_._3).sum.toDouble / ds.length)
+            .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble,
+          toks.count(_.exists(block)).toLong,
+          (ds.length - ds.map(_._2).distinct.length).toLong)
+      }
+    val got = Curation.corpusReport(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getLong(4), r.getLong(5)))
+    assert(got.toSeq == exp)
+  }
+
   test("cluster_stats: sizes partition the corpus, cosine bounds hold") {
     val rows = Similarity.clusterStats(spark, dir).collect()
     val total = spark.read.parquet(s"$dir/embeddings.parquet").count()

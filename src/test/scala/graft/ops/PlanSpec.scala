@@ -676,6 +676,30 @@ class PlanSpec extends AnyFunSuite {
       s"more than the presentation-sort exchange:\n$p")
   }
 
+  test("rank_fusion composes index serving — lexical arm stays pushed") {
+    // fusing must not degrade either arm: the BM25 side still serves
+    // from the persisted postings index with the query-term In predicate
+    // pushed (no query-time token explode), and the fusion join runs
+    // over top-k lists, never corpus rows
+    val p = plan(Similarity.rankFusion(spark, dir))
+    assert(!p.contains("Generate"),
+      s"query-time token explode — an index rebuild leaked into fusion:\n$p")
+    assert(p.contains("PushedFilters") && p.contains("In(t, "),
+      s"term In predicate no longer reaches the postings scan:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"unbounded cartesian in the fusion join:\n$p")
+  }
+
+  test("corpus_report is one aggregation pass — no self-joins") {
+    // five summary columns must NOT mean five passes: one groupBy(source)
+    // carries them all (the distinct-count expansion included), with
+    // map-side partial aggregation
+    val p = plan(Curation.corpusReport(spark, dir))
+    assert(!p.contains("Join"), s"summary decomposed into self-joins:\n$p")
+    assert(p.contains("partial_"),
+      s"expected map-side partial aggregation:\n$p")
+  }
+
   test("cluster_stats is an index read — no training stage in the audit") {
     // same contract as the ANN serving pin: the audit reads the
     // persisted codebook + assignment and aggregates; the Lloyd/assign

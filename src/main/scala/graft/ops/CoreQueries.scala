@@ -332,6 +332,57 @@ object CoreQueries {
        |SELECT metric, bucket_ts, round(value, 6) AS value, known, total
        |FROM r1h ORDER BY metric, bucket_ts""".stripMargin
 
+  /** `rollup_drift`: the avg-of-avg bias audit — whisper's cascade
+    * aggregates each archive FROM THE NEXT-FINER ARCHIVE (1m → 5m → 1h),
+    * so an `average` rollup stores the mean of 5-minute means, which
+    * diverges from the true hourly mean wherever 5m buckets hold unequal
+    * point counts. This key quantifies that divergence per (metric, 1h
+    * bucket): the cascaded value, the direct 1m → 1h aggregation, their
+    * drift, and a flag — the data-quality report that tells an operator
+    * which series' coarse archives can be trusted for averages (sum/max/
+    * min/last cascades are associative and never drift; avg is the one
+    * whisper method with this bias, which is why the audit exists).
+    *
+    * Both recomputes share the one lww1m base pass; each is the same
+    * partial-aggregated bucket shuffle as the cascade keys, and the
+    * final join is keyed by (metric, 1h bucket) — rollup-sized, not
+    * point-sized. Drift/flag compare the ROUNDED values, so both
+    * engines decide `biased` on identical doubles.
+    */
+  def rollupDrift(s: SparkSession, dir: String): DataFrame = {
+    val lww = Ingest.lwwAlign(Buckets.points(s, dir), 60)
+      .select("metric", "bucket_ts", "value")
+    val avg5 = Rollup.propagate(lww, 60, 300, AggregationMethod.Average, 0.0)
+      .select("metric", "bucket_ts", "value")
+    val casc = Rollup.propagate(avg5, 300, 3600, AggregationMethod.Average, 0.0)
+      .select(col("metric"), col("bucket_ts"),
+        round(col("value"), 6).as("cascaded"))
+    val direct = Rollup.propagate(lww, 60, 3600, AggregationMethod.Average, 0.0)
+      .select(col("metric"), col("bucket_ts"),
+        round(col("value"), 6).as("direct"))
+    casc.join(direct, Seq("metric", "bucket_ts"))
+      .select(col("metric"), col("bucket_ts"), col("cascaded"), col("direct"),
+        round(col("cascaded") - col("direct"), 6).as("drift"),
+        (col("cascaded") =!= col("direct")).cast("int").as("biased"))
+      .orderBy("metric", "bucket_ts")
+  }
+
+  val rollupDriftSql: String =
+    s"""WITH $pointsSql,
+       |lww1m AS (${Ingest.lwwAlignSql(60)}),
+       |a5 AS (${Rollup.propagateSql("lww1m", 60, 300, AggregationMethod.Average, 0.0)}),
+       |a5v AS (SELECT metric, bucket_ts, value FROM a5),
+       |c1h AS (${Rollup.propagateSql("a5v", 300, 3600, AggregationMethod.Average, 0.0)}),
+       |d1h AS (${Rollup.propagateSql("lww1m", 60, 3600, AggregationMethod.Average, 0.0)}),
+       |r AS (
+       |  SELECT c.metric, c.bucket_ts,
+       |         round(c.value, 6) AS cascaded, round(d.value, 6) AS direct
+       |  FROM c1h c JOIN d1h d USING (metric, bucket_ts))
+       |SELECT metric, bucket_ts, cascaded, direct,
+       |       round(cascaded - direct, 6) AS drift,
+       |       CAST(cascaded <> direct AS INT) AS biased
+       |FROM r ORDER BY metric, bucket_ts""".stripMargin
+
   /** R3 `retention_expiry`: the 1m level after its 1-day ring horizon. */
   def retentionExpiry(s: SparkSession, dir: String): DataFrame =
     Rollup.retentionExpiry(
@@ -436,6 +487,7 @@ object CoreQueries {
     "ingest_retention_filter" -> (ingestRetentionFilter _),
     "rollup_cascade_5m" -> (rollupCascade5m _),
     "rollup_cascade_1h" -> (rollupCascade1h _),
+    "rollup_drift" -> (rollupDrift _),
     "retention_expiry" -> (retentionExpiry _),
     "storage_conf_assign" -> (storageConfAssign _),
     "catalog_info" -> (Materialize.catalogInfo _),
@@ -533,6 +585,7 @@ object CoreQueries {
     "ingest_retention_filter" -> ingestRetentionFilterSql,
     "rollup_cascade_5m" -> rollupCascade5mSql,
     "rollup_cascade_1h" -> rollupCascade1hSql,
+    "rollup_drift" -> rollupDriftSql,
     "retention_expiry" -> retentionExpirySql,
     "storage_conf_assign" -> storageConfAssignSql,
     "catalog_info" -> Materialize.catalogInfoSql,

@@ -1121,6 +1121,58 @@ object Similarity {
        |FROM r ORDER BY query_id, fused_rnk""".stripMargin
   }
 
+  // ---------------------------------------------- X53 isotropy audit
+
+  /** `embed_isotropy`: corpus-level embedding-space health report —
+    * vector count, mean norm, normalized-mean norm, and the EXACT mean
+    * pairwise cosine (the anisotropy measure of Ethayarajh, EMNLP 2019:
+    * values near 0 = directions spread; near 1 = embeddings collapse
+    * into a cone and cosine retrieval/dedup thresholds stop meaning
+    * anything — the audit you run before trusting [[SemDedupTau]]-style
+    * constants on a new embedding model).
+    *
+    * The pairwise mean needs no pair scan: over unit vectors `u_i`,
+    * `mean_{i≠j} cos(u_i,u_j) = (‖Σu‖² − n) / (n(n−1))` — so the whole
+    * audit is two cheap linear passes (the exploded per-dimension sums
+    * of normalized coordinates — a 64-row partial-aggregated shuffle —
+    * and the scalar count/norm pass) plus scalar algebra. At 100 TB:
+    * identical plan, 64 partial sums per partition on the wire, no
+    * candidate generation anywhere. Unordered double sums are absorbed
+    * by the output round-6 (the codebook rule).
+    */
+  def embedIsotropy(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir).withColumn("cn", normExpr("embedding"))
+    val sums = e.select(col("cn"), posexplode(col("embedding")).as(Seq("pos", "v")))
+      .groupBy("pos").agg(sum(col("v") / col("cn")).as("sd"))
+    val s2 = sums.agg(sum(col("sd") * col("sd")).as("s2"))
+    val tot = e.agg(count(lit(1)).as("n_vecs"), sum(col("cn")).as("sumn"))
+    tot.crossJoin(s2)
+      .select(col("n_vecs"),
+        round(col("sumn") / col("n_vecs"), 6).as("mean_norm"),
+        round(sqrt(col("s2")) / col("n_vecs"), 6).as("mu_norm"),
+        round((col("s2") - col("n_vecs")) /
+          (col("n_vecs") * (col("n_vecs") - 1)), 6).as("anisotropy"))
+  }
+
+  val embedIsotropySql: String =
+    s"""WITH e AS (
+       |  SELECT embedding,
+       |         sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))
+       |           AS cn
+       |  FROM embeddings),
+       |d AS (
+       |  SELECT x.pos, x.v / e.cn AS u
+       |  FROM e, LATERAL (SELECT generate_subscripts(e.embedding, 1) AS pos,
+       |                          unnest(e.embedding) AS v) x),
+       |sums AS (SELECT pos, sum(u) AS sd FROM d GROUP BY 1),
+       |s2 AS (SELECT sum(sd * sd) AS s2 FROM sums),
+       |tot AS (SELECT count(*) AS n_vecs, sum(cn) AS sumn FROM e)
+       |SELECT n_vecs,
+       |       round(sumn / n_vecs, 6) AS mean_norm,
+       |       round(sqrt(s2) / n_vecs, 6) AS mu_norm,
+       |       round((s2 - n_vecs) / (n_vecs * (n_vecs - 1)), 6) AS anisotropy
+       |FROM tot, s2""".stripMargin
+
   // -------------------------------------------- X49 cluster-quality audit
 
   /** `cluster_stats`: per-cluster quality report over the persisted

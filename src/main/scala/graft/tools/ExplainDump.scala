@@ -459,7 +459,28 @@ object ExplainDump {
         "codegen'd filter lambda over the token array — a pure map-side " +
         "projection whose only exchange is the presentation sort " +
         "(pinned). A real wordlist swaps in as a broadcast variable " +
-        "without changing the shape."))
+        "without changing the shape."),
+    "rank_fusion" ->
+      ("RRF hybrid retrieval: the BM25 arm still serves from the " +
+        "persisted postings index with the term In predicate pushed " +
+        "(pinned — fusing must not degrade the arms), the cosine arm " +
+        "broadcasts its queries, and the fusion full-outer join runs " +
+        "over top-k lists — thousands of rows at any corpus size."),
+    "corpus_report" ->
+      ("The per-source dashboard: five summary aggregates in ONE " +
+        "groupBy(source) pass (pinned no-join); the count-distinct " +
+        "expansion shuffles 16-byte md5 keys with map-side partials, " +
+        "never document text."),
+    "rollup_drift" ->
+      ("The avg-of-avg bias audit: both hourly recomputes (cascaded " +
+        "via 5m, direct from 1m) branch off the one lww base pass as " +
+        "partial-aggregated bucket shuffles; the final equi-join is " +
+        "keyed by (metric, 1h bucket) — rollup-sized, not points."),
+    "embed_isotropy" ->
+      ("Corpus isotropy in two linear passes: the exploded per-dim " +
+        "normalized sums (64-row partial-agg shuffle) and the scalar " +
+        "count/norm pass, joined by a 1-row broadcast — the ‖Σu‖² " +
+        "identity replaces any pairwise scan."))
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.lift(0).getOrElse("/root/testdata/sf0.001")

@@ -334,4 +334,29 @@ class CoreOpsSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), if (r.isNullAt(1)) None else Some(r.getDouble(1))))
     assert(cons.toSeq == dense.toSeq)
   }
+
+  test("rollup_drift matches a driver recompute; bias ⟺ value divergence") {
+    val dir = "/root/testdata/sf0.001"
+    val lww = Ingest.lwwAlign(Buckets.points(spark, dir), 60)
+      .select("metric", "bucket_ts", "value").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSeq
+    def avgBy(rows: Seq[(String, Long, Double)], spp: Long) =
+      rows.groupBy { case (m, ts, _) => (m, ts / spp * spp) }
+        .map { case (k, v) => (k, v.map(_._3).sum / v.size) }
+    val a5 = avgBy(lww, 300).toSeq.map { case ((m, ts), v) => (m, ts, v) }
+    val c1h = avgBy(a5, 3600)
+    val d1h = avgBy(lww, 3600)
+    val got = CoreQueries.rollupDrift(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getDouble(3),
+        r.getDouble(4), r.getInt(5)))
+    assert(got.length == c1h.size)
+    // the fixture exercises both verdicts (the whole point of the audit)
+    assert(got.exists(_._6 == 1) && got.exists(_._6 == 0))
+    for ((m, ts, casc, direct, drift, biased) <- got) {
+      assert(math.abs(casc - c1h((m, ts))) < 1e-6, s"cascaded $m@$ts")
+      assert(math.abs(direct - d1h((m, ts))) < 1e-6, s"direct $m@$ts")
+      assert(math.abs(drift - (casc - direct)) < 2e-6, s"drift $m@$ts")
+      assert((biased == 1) == (casc != direct), s"flag $m@$ts")
+    }
+  }
 }

@@ -783,6 +783,27 @@ class ExtOpsSpec extends AnyFunSuite {
     assert(got.toSeq == exp)
   }
 
+  test("embed_isotropy: the sum-vector identity equals brute-force pairwise mean") {
+    val vs = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select("embedding").collect()
+      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+    val us = vs.map { v =>
+      val n = math.sqrt(v.map(x => x * x).sum); v.map(_ / n)
+    }
+    var tot = 0.0; var cnt = 0L
+    for (i <- us.indices; j <- i + 1 until us.length) {
+      tot += us(i).lazyZip(us(j)).map(_ * _).sum; cnt += 1
+    }
+    val row = Similarity.embedIsotropy(spark, dir).collect().head
+    assert(row.getLong(0) == us.length.toLong)
+    // symmetric, so the unordered-pair mean IS the i≠j mean the identity
+    // computes — the closed form must agree with the quadratic scan
+    assert(math.abs(row.getDouble(3) - tot / cnt) < 1e-6)
+    val meanNorm = vs.map(v => math.sqrt(v.map(x => x * x).sum)).sum / vs.length
+    assert(math.abs(row.getDouble(1) - meanNorm) < 1e-6)
+    assert(row.getDouble(2) >= 0.0 && row.getDouble(2) <= 1.0 + 1e-9)
+  }
+
   test("cluster_stats: sizes partition the corpus, cosine bounds hold") {
     val rows = Similarity.clusterStats(spark, dir).collect()
     val total = spark.read.parquet(s"$dir/embeddings.parquet").count()

@@ -408,44 +408,56 @@ object Dedup {
   def dedupMinhash(s: SparkSession, dir: String): DataFrame =
     minhashPairsShared(s, dir).orderBy("doc_a", "doc_b")
 
-  private[graft] def minhashPairsImpl(s: SparkSession, dir: String): DataFrame = {
-    // the shingle set is the materialized shared index — every consumer
-    // (signatures, sizes, exact verification) scans the written parquet
-    // instead of racing to recompute one lazy-cached pipeline (measured
-    // 254s vs 30s for identical results before the barrier existed)
-    val u = shingleSetShared(s, dir)
-    // single-pass signatures: project the 16 seed-hashes as COLUMNS in
-    // one codegen'd pass, then one groupBy(doc_id) with 16 plain min
-    // buffers. Two properties matter: (1) no 16× row blowup and one
-    // shuffle of one row per doc, vs two shuffles of 16·|docs| rows in
-    // the exploded form; (2) the md5s live in a whole-stage-codegen
-    // Project, NOT inside the aggregate — string min buffers force a
-    // sort-based aggregate whose update expressions evaluate
-    // interpreted, and re-evaluating md5 there measured 57 s vs 6 s for
-    // the identical result at sf0.1.
+  /** Single-pass MinHash signatures `(doc_id, h0..h15)` over the distinct
+    * shingle index. The 16 seed-hashes are projected as COLUMNS in one
+    * codegen'd pass, then one groupBy(doc_id) with 16 plain min buffers.
+    * Two properties matter: (1) no 16× row blowup and one shuffle of one
+    * row per doc, vs two shuffles of 16·|docs| rows in the exploded
+    * form; (2) the md5s live in a whole-stage-codegen Project, NOT
+    * inside the aggregate — string min buffers force a sort-based
+    * aggregate whose update expressions evaluate interpreted, and
+    * re-evaluating md5 there measured 57 s vs 6 s for the identical
+    * result at sf0.1.
+    */
+  private def minhashSignatures(u: DataFrame): DataFrame = {
     val hashed = u.select(col("doc_id") +:
       (0 until MinhashSeeds).map(i =>
         md5(concat(lit(s"$i|"), col("g"))).as(s"x$i")): _*)
     val minCols = (0 until MinhashSeeds).map(i => min(col(s"x$i")).as(s"h$i"))
-    val mh = hashed.groupBy("doc_id").agg(minCols.head, minCols.tail: _*)
-    // 8 bands of 2 rows, band key = md5(h_{2b} || h_{2b+1}) in seed order
+    hashed.groupBy("doc_id").agg(minCols.head, minCols.tail: _*)
+  }
+
+  /** LSH candidate pairs from the signature table: 8 bands of 2 rows,
+    * band key = md5(h_{2b} || h_{2b+1}) in seed order, then bucket-local
+    * pair generation — aggregate each LSH bucket's doc list and emit
+    * ordered pairs from it, one pass over `bands`, replacing the round-1
+    * self-join that needed a second materialization barrier (two
+    * evaluations of the signature pipeline). Bucket size = docs agreeing
+    * on a full band ≈ near-dup cluster size, so the per-bucket pair
+    * blowup is bounded by actual duplicate groups, not data volume.
+    */
+  private def lshCandidates(mh: DataFrame): DataFrame = {
     val bandCols = (0 until MinhashSeeds / BandRows).map(b =>
       md5(concat(col(s"h${BandRows * b}"), col(s"h${BandRows * b + 1}"))))
     val bands = mh.select(col("doc_id"),
       posexplode(array(bandCols: _*)).as(Seq("band_id", "band_key")))
-    // bucket-local pair generation: aggregate each LSH bucket's doc list
-    // and emit ordered pairs from it — one pass over `bands`, replacing
-    // the round-1 self-join that needed a second materialization barrier
-    // (two evaluations of the signature pipeline). Bucket size = docs
-    // agreeing on a full band ≈ near-dup cluster size, so the per-bucket
-    // pair blowup is bounded by actual duplicate groups, not data volume.
-    val cand = bands.groupBy("band_id", "band_key")
+    bands.groupBy("band_id", "band_key")
       .agg(collect_list(col("doc_id")).as("ids"))
       .filter(size(col("ids")) > 1)
       .select(explode(col("ids")).as("doc_a"), col("ids"))
       .select(col("doc_a"), explode(col("ids")).as("doc_b"))
       .filter(col("doc_a") < col("doc_b"))
       .distinct()
+  }
+
+  private[graft] def minhashPairsImpl(s: SparkSession, dir: String): DataFrame = {
+    // the shingle set is the materialized shared index — every consumer
+    // (signatures, sizes, exact verification) scans the written parquet
+    // instead of racing to recompute one lazy-cached pipeline (measured
+    // 254s vs 30s for identical results before the barrier existed)
+    val u = shingleSetShared(s, dir)
+    val mh = minhashSignatures(u)
+    val cand = lshCandidates(mh)
     // exact Jaccard, but only on LSH candidates — and only over the
     // shingles of docs that actually appear in a candidate pair (a tiny
     // broadcast semi-join): verification cost tracks the duplicate set,
@@ -507,6 +519,175 @@ object Dedup {
        |JOIN sizes nb ON nb.doc_id = doc_b
        |WHERE x * 1.0 / (na.sz + nb.sz - x) >= 0.5
        |ORDER BY doc_a, doc_b""".stripMargin
+
+  // ------------------------------------------------ X54 minhash estimator audit
+
+  /** `minhash_audit`: estimator-quality report for the MinHash path —
+    * for every LSH candidate pair, the SIGNATURE estimate of Jaccard
+    * (matching components / [[MinhashSeeds]] — the unbiased MinHash
+    * estimator, Broder 1997), the exact shingle Jaccard, and their
+    * error. This is the audit that justifies the banding operating
+    * point: it shows directly how tight 16 components bound the
+    * estimate around the true overlap on this corpus, the same way
+    * AnnRecallSpec gates IVF recall and [[graft.ops.Similarity
+    * .embedQuantize]] bounds int8 error.
+    *
+    * Same scale shape as [[dedupMinhash]] itself: signatures one pass,
+    * candidates bucket-local, exact verification only over candidate
+    * docs (broadcast semi-join) — the audit adds one 16-column signature
+    * join on the candidate pairs, bounded by the duplicate set.
+    */
+  def minhashAudit(s: SparkSession, dir: String): DataFrame = {
+    val u = shingleSetShared(s, dir)
+    // one signature pass feeds candidates AND both pair sides
+    val mh = minhashSignatures(u).localCheckpoint(true)
+    val cand = lshCandidates(mh).localCheckpoint(true)
+    val candDocs = cand
+      .select(explode(array(col("doc_a"), col("doc_b"))).as("doc_id"))
+      .distinct()
+    val uc = u.join(broadcast(candDocs), Seq("doc_id"), "left_semi")
+      .localCheckpoint(true)
+    val sizes = uc.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    val inter = cand
+      .join(uc.select(col("doc_id").as("doc_a"), col("g")), "doc_a")
+      .join(uc.select(col("doc_id").as("doc_b"), col("g")), Seq("doc_b", "g"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("x"))
+    val mha = mh.select(col("doc_id").as("doc_a") +:
+      (0 until MinhashSeeds).map(i => col(s"h$i").as(s"ha$i")): _*)
+    val mhb = mh.select(col("doc_id").as("doc_b") +:
+      (0 until MinhashSeeds).map(i => col(s"h$i").as(s"hb$i")): _*)
+    val nMatch = (0 until MinhashSeeds).map(i =>
+      when(col(s"ha$i") === col(s"hb$i"), 1).otherwise(0)).reduce(_ + _)
+    cand.join(mha, "doc_a").join(mhb, "doc_b")
+      .withColumn("n_match", nMatch)
+      .join(inter, Seq("doc_a", "doc_b"))
+      .join(sizes.select(col("doc_id").as("doc_a"), col("sz").as("na")), "doc_a")
+      .join(sizes.select(col("doc_id").as("doc_b"), col("sz").as("nb")), "doc_b")
+      .select(col("doc_a"), col("doc_b"), col("n_match"),
+        round(col("n_match").cast("double") / MinhashSeeds, 6).as("est_jaccard"),
+        round(col("x").cast("double") / (col("na") + col("nb") - col("x")), 6)
+          .as("true_jaccard"))
+      .withColumn("err", round(col("est_jaccard") - col("true_jaccard"), 6))
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** Oracle: [[minhashPairCtes]]' per-(doc, seed) `mh` rows re-aggregate
+    * into the component-match count; est/true/err mirror the engine's
+    * round-then-subtract order exactly.
+    */
+  val minhashAuditSql: String =
+    s"""WITH $shingleUSql,
+       |$minhashPairCtes,
+       |mm AS (
+       |  SELECT c.doc_a, c.doc_b,
+       |         CAST(sum(CASE WHEN a.h = b.h THEN 1 ELSE 0 END) AS INT)
+       |           AS n_match
+       |  FROM cand c
+       |  JOIN mh a ON a.doc_id = c.doc_a
+       |  JOIN mh b ON b.doc_id = c.doc_b AND b.s = a.s
+       |  GROUP BY 1, 2)
+       |SELECT m.doc_a, m.doc_b, m.n_match,
+       |       round(CAST(m.n_match AS DOUBLE) / $MinhashSeeds, 6) AS est_jaccard,
+       |       round(CAST(x AS DOUBLE) / (na.sz + nb.sz - x), 6) AS true_jaccard,
+       |       round(round(CAST(m.n_match AS DOUBLE) / $MinhashSeeds, 6) -
+       |             round(CAST(x AS DOUBLE) / (na.sz + nb.sz - x), 6), 6) AS err
+       |FROM mm m
+       |JOIN inter i ON i.doc_a = m.doc_a AND i.doc_b = m.doc_b
+       |JOIN sizes na ON na.doc_id = m.doc_a
+       |JOIN sizes nb ON nb.doc_id = m.doc_b
+       |ORDER BY m.doc_a, m.doc_b""".stripMargin
+
+  // ------------------------------------------------ X55 HLL cardinality sketch
+
+  /** HLL registers: m = 256 (8-bit bucket index), 24-bit rank window. */
+  val HllBuckets = 256
+
+  /** `sketch_hll`: a fully deterministic HyperLogLog (Flajolet et al.
+    * 2007) over the shingle multiset — estimated distinct-shingle count
+    * next to the exact count and the relative error. This is THE
+    * cardinality primitive a 100 TB corpus runs instead of exact
+    * distinct (`approx_count_distinct` is Spark's own HLL, but its
+    * binary sketch is not oracle-comparable — this one is pure
+    * relational arithmetic, so DuckDB reproduces it bit-for-bit):
+    * per row, a 32-bit value from the md5 prefix splits into an 8-bit
+    * register index and a 24-bit rank window whose leading-zero rank
+    * comes from a 24-term integer comparison ladder (no log, no float);
+    * registers are `max(rho)` — duplicates cannot move a max, which is
+    * the whole trick: NO distinct, NO wide shuffle, just a 256-row
+    * aggregate.
+    *
+    * Determinism notes: every `2^-M` term is an exact power of two, so
+    * the register sum is EXACT in double regardless of order; the
+    * small-range (linear-counting) branch fires via the standard
+    * `E ≤ 5m/2 ∧ V > 0` rule with CASE laziness guarding the ln. At
+    * 100 TB the plan is one linear pass + a 256-row shuffle — compare
+    * the exact arm's count-distinct expansion, which is why sketches
+    * exist.
+    */
+  def sketchHll(s: SparkSession, dir: String): DataFrame = {
+    val u = shingleSetShared(s, dir)
+    // 32-bit value from the first 8 md5 hex chars — the byteBucket
+    // nibble arithmetic (Tokens) widened to 8 digits
+    val vExpr = (1 to 8).map(i =>
+      s"(position(substring(h, $i, 1), '0123456789abcdef') - 1) * " +
+        f"${1L << (4 * (8 - i))}%dL").mkString(" + ")
+    val bitsExpr = (0 until 24).map(k =>
+      s"CASE WHEN w >= ${1L << k}L THEN 1 ELSE 0 END").mkString(" + ")
+    val regs = u.select(md5(col("g")).as("h"))
+      .withColumn("v", expr(vExpr))
+      .withColumn("bucket", expr("v div 16777216"))
+      .withColumn("w", expr("v % 16777216"))
+      .withColumn("rho", expr(s"25 - ($bitsExpr)"))
+      .groupBy("bucket").agg(max(col("rho")).as("m"))
+    val alpha = "CAST(0.7213 AS DOUBLE) / (1 + CAST(1.079 AS DOUBLE) / 256)"
+    val est = regs.agg(count(lit(1)).as("present"),
+        sum(expr("power(CAST(2 AS DOUBLE), -m)")).as("psum"))
+      .withColumn("raw", expr(
+        s"$alpha * 65536 / (psum + ($HllBuckets - present))"))
+      .withColumn("v0", expr(s"$HllBuckets - present"))
+      .withColumn("n_est", round(expr(
+        s"CASE WHEN raw <= 2.5 * $HllBuckets AND v0 > 0 " +
+          s"THEN $HllBuckets * ln(CAST($HllBuckets AS DOUBLE) / v0) " +
+          "ELSE raw END"), 6))
+    val exact = u.agg(countDistinct(col("g")).as("n_exact"))
+    exact.crossJoin(est.select("n_est"))
+      .select(col("n_exact"), col("n_est"),
+        round((col("n_est") - col("n_exact")) / col("n_exact"), 6)
+          .as("rel_err"))
+  }
+
+  /** Oracle: identical integer/IEEE arithmetic; only substring-search
+    * spelling differs (strpos vs position — the [[Tokens]] note).
+    */
+  val sketchHllSql: String = {
+    val vExpr = (1 to 8).map(i =>
+      s"(strpos('0123456789abcdef', substr(h, $i, 1)) - 1) * " +
+        f"${1L << (4 * (8 - i))}%d").mkString(" + ")
+    val bitsExpr = (0 until 24).map(k =>
+      s"CASE WHEN w >= ${1L << k} THEN 1 ELSE 0 END").mkString(" + ")
+    val alpha = "CAST(0.7213 AS DOUBLE) / (1 + CAST(1.079 AS DOUBLE) / 256)"
+    s"""WITH $shingleUSql,
+       |hv AS (
+       |  SELECT (v // 16777216) AS bucket, (v % 16777216) AS w FROM (
+       |    SELECT $vExpr AS v FROM (SELECT md5(g) AS h FROM shingle_u))),
+       |regs AS (
+       |  SELECT bucket, max(25 - ($bitsExpr)) AS m FROM hv GROUP BY 1),
+       |agg AS (
+       |  SELECT count(*) AS present,
+       |         sum(power(CAST(2 AS DOUBLE), -m)) AS psum
+       |  FROM regs),
+       |e AS (
+       |  SELECT round(CASE WHEN raw <= 2.5 * $HllBuckets AND v0 > 0
+       |                    THEN $HllBuckets * ln(CAST($HllBuckets AS DOUBLE) / v0)
+       |                    ELSE raw END, 6) AS n_est
+       |  FROM (SELECT $alpha * 65536 / (psum + ($HllBuckets - present)) AS raw,
+       |               ($HllBuckets - present) AS v0
+       |        FROM agg)),
+       |x AS (SELECT count(DISTINCT g) AS n_exact FROM shingle_u)
+       |SELECT n_exact, n_est,
+       |       round((n_est - n_exact) / n_exact, 6) AS rel_err
+       |FROM x, e""".stripMargin
+  }
 
   // --------------------------------------------- near-dup cluster collapse
 

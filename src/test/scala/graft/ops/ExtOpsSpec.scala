@@ -783,6 +783,59 @@ class ExtOpsSpec extends AnyFunSuite {
     assert(got.toSeq == exp)
   }
 
+  test("minhash_audit: band membership floors n_match, verified pairs covered") {
+    val rows = Dedup.minhashAudit(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3),
+        r.getDouble(4), r.getDouble(5)))
+    assert(rows.nonEmpty)
+    // an LSH candidate shares >= 1 full band = BandRows components
+    // (band keys are md5 of the concatenated mins — collision-free)
+    assert(rows.forall(_._3 >= Dedup.BandRows))
+    assert(rows.forall(r => r._3 <= 16))
+    // est/err recompute from n_match and true_jaccard
+    for ((_, _, m, est, tru, err) <- rows) {
+      assert(math.abs(est - m / 16.0) < 1e-9)
+      assert(math.abs(err - BigDecimal(est - tru)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-9)
+    }
+    // every verified dedup pair (true jaccard >= 0.5) appears in the audit
+    val audited = rows.map(r => (r._1, r._2)).toSet
+    val verified = Dedup.dedupMinhash(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(verified.subsetOf(audited))
+  }
+
+  test("sketch_hll matches a driver recompute of the full HLL") {
+    // sequential reference: same md5-prefix value, same 8/24-bit split,
+    // same comparison-ladder rank, same correction rule
+    val gs = Dedup.shingleSetShared(spark, dir).select("g").collect()
+      .map(_.getString(0))
+    val regs = scala.collection.mutable.Map[Long, Int]()
+    for (g <- gs) {
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(g.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(8)
+      val v = java.lang.Long.parseLong(h, 16)
+      val bucket = v >> 24
+      val w = v & 0xFFFFFF
+      val bits = (0 until 24).count(k => w >= (1L << k))
+      val rho = 25 - bits
+      regs.updateWith(bucket)(o => Some(math.max(o.getOrElse(0), rho)))
+    }
+    val m = Dedup.HllBuckets
+    val alpha = 0.7213 / (1 + 1.079 / m)
+    val psum = regs.values.map(r => math.pow(2.0, -r)).sum
+    val raw = alpha * m * m / (psum + (m - regs.size))
+    val v0 = m - regs.size
+    val expEst =
+      if (raw <= 2.5 * m && v0 > 0) m * math.log(m.toDouble / v0) else raw
+    val row = Dedup.sketchHll(spark, dir).collect().head
+    assert(row.getLong(0) == gs.distinct.length.toLong)
+    assert(math.abs(row.getDouble(1) - expEst) < 1e-4)
+    // the estimate lands inside a generous 4-sigma HLL envelope
+    // (sigma = 1.04/sqrt(m) ~ 6.5% for m = 256)
+    assert(math.abs(row.getDouble(2)) < 4 * 1.04 / math.sqrt(m.toDouble))
+  }
+
   test("embed_isotropy: the sum-vector identity equals brute-force pairwise mean") {
     val vs = spark.read.parquet(s"$dir/embeddings.parquet")
       .select("embedding").collect()

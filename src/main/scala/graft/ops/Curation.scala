@@ -624,7 +624,7 @@ object Curation {
     * keys use.
     */
   def corpusReport(s: SparkSession, dir: String): DataFrame = {
-    val hitPred = TextAnalysis.BlockTokens.map(w => s"t = '$w'").mkString(" OR ")
+    val hitPred = TextAnalysis.blockPred("t")
     docs(s, dir).withColumn("toks", expr(toksExpr))
       .groupBy("source").agg(
         count(lit(1)).as("n_docs"),
@@ -638,7 +638,7 @@ object Curation {
   }
 
   val corpusReportSql: String = {
-    val hitPred = TextAnalysis.BlockTokens.map(w => s"t = '$w'").mkString(" OR ")
+    val hitPred = TextAnalysis.blockPred("t")
     s"""SELECT source, count(*) AS n_docs,
        |       CAST(sum(n_toks) AS BIGINT) AS n_tokens,
        |       round(CAST(sum(n_chars) AS DOUBLE) / count(*), 6) AS avg_chars,

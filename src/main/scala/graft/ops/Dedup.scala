@@ -537,7 +537,12 @@ object Dedup {
     * docs (broadcast semi-join) — the audit adds one 16-column signature
     * join on the candidate pairs, bounded by the duplicate set.
     */
-  def minhashAudit(s: SparkSession, dir: String): DataFrame = {
+  def minhashAudit(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(sharedIndexPath(s, dir, "documents.parquet", "minhash_audit") {
+      p => minhashAuditImpl(s, dir).write.mode("overwrite").parquet(p)
+    }).orderBy("doc_a", "doc_b")
+
+  private def minhashAuditImpl(s: SparkSession, dir: String): DataFrame = {
     val u = shingleSetShared(s, dir)
     // one signature pass feeds candidates AND both pair sides
     val mh = minhashSignatures(u).localCheckpoint(true)
@@ -599,8 +604,21 @@ object Dedup {
 
   // ------------------------------------------------ X55 HLL cardinality sketch
 
-  /** HLL registers: m = 256 (8-bit bucket index), 24-bit rank window. */
-  val HllBuckets = 256
+  /** HLL register-index bits; m = 2^bits registers, and the rank window
+    * is the remaining 32 − bits of the hash value. Every constant in the
+    * sketch (m, m², the window width, the rank ceiling, α's `/m` term)
+    * derives from this ONE value, so re-tuning the sketch is a
+    * single-line change that cannot half-apply.
+    */
+  val HllIndexBits = 8
+  val HllBuckets: Int = 1 << HllIndexBits
+  private val HllWindowBits = 32 - HllIndexBits
+  private val HllWindow = 1L << HllWindowBits
+  /** α_m · m² and the bias constant, from Flajolet et al. 2007 (the
+    * m ≥ 128 approximation of α_m), spelled identically in both engines.
+    */
+  private val HllAlpha =
+    s"CAST(0.7213 AS DOUBLE) / (1 + CAST(1.079 AS DOUBLE) / $HllBuckets)"
 
   /** `sketch_hll`: a fully deterministic HyperLogLog (Flajolet et al.
     * 2007) over the shingle multiset — estimated distinct-shingle count
@@ -628,22 +646,17 @@ object Dedup {
     val u = shingleSetShared(s, dir)
     // 32-bit value from the first 8 md5 hex chars — the byteBucket
     // nibble arithmetic (Tokens) widened to 8 digits
-    val vExpr = (1 to 8).map(i =>
-      s"(position(substring(h, $i, 1), '0123456789abcdef') - 1) * " +
-        f"${1L << (4 * (8 - i))}%dL").mkString(" + ")
-    val bitsExpr = (0 until 24).map(k =>
-      s"CASE WHEN w >= ${1L << k}L THEN 1 ELSE 0 END").mkString(" + ")
     val regs = u.select(md5(col("g")).as("h"))
-      .withColumn("v", expr(vExpr))
-      .withColumn("bucket", expr("v div 16777216"))
-      .withColumn("w", expr("v % 16777216"))
-      .withColumn("rho", expr(s"25 - ($bitsExpr)"))
+      .withColumn("v", expr(Tokens.hexPrefixExpr("h", 8)))
+      .withColumn("bucket", expr(s"v div $HllWindow"))
+      .withColumn("w", expr(s"v % $HllWindow"))
+      .withColumn("rho", expr(s"${HllWindowBits + 1} - (${hllBitsLadder})"))
       .groupBy("bucket").agg(max(col("rho")).as("m"))
-    val alpha = "CAST(0.7213 AS DOUBLE) / (1 + CAST(1.079 AS DOUBLE) / 256)"
     val est = regs.agg(count(lit(1)).as("present"),
         sum(expr("power(CAST(2 AS DOUBLE), -m)")).as("psum"))
       .withColumn("raw", expr(
-        s"$alpha * 65536 / (psum + ($HllBuckets - present))"))
+        s"$HllAlpha * ${HllBuckets.toLong * HllBuckets} / " +
+          s"(psum + ($HllBuckets - present))"))
       .withColumn("v0", expr(s"$HllBuckets - present"))
       .withColumn("n_est", round(expr(
         s"CASE WHEN raw <= 2.5 * $HllBuckets AND v0 > 0 " +
@@ -659,19 +672,15 @@ object Dedup {
   /** Oracle: identical integer/IEEE arithmetic; only substring-search
     * spelling differs (strpos vs position — the [[Tokens]] note).
     */
-  val sketchHllSql: String = {
-    val vExpr = (1 to 8).map(i =>
-      s"(strpos('0123456789abcdef', substr(h, $i, 1)) - 1) * " +
-        f"${1L << (4 * (8 - i))}%d").mkString(" + ")
-    val bitsExpr = (0 until 24).map(k =>
-      s"CASE WHEN w >= ${1L << k} THEN 1 ELSE 0 END").mkString(" + ")
-    val alpha = "CAST(0.7213 AS DOUBLE) / (1 + CAST(1.079 AS DOUBLE) / 256)"
+  val sketchHllSql: String =
     s"""WITH $shingleUSql,
        |hv AS (
-       |  SELECT (v // 16777216) AS bucket, (v % 16777216) AS w FROM (
-       |    SELECT $vExpr AS v FROM (SELECT md5(g) AS h FROM shingle_u))),
+       |  SELECT (v // $HllWindow) AS bucket, (v % $HllWindow) AS w FROM (
+       |    SELECT ${Tokens.hexPrefixSql("h", 8)} AS v
+       |    FROM (SELECT md5(g) AS h FROM shingle_u))),
        |regs AS (
-       |  SELECT bucket, max(25 - ($bitsExpr)) AS m FROM hv GROUP BY 1),
+       |  SELECT bucket, max(${HllWindowBits + 1} - (${hllBitsLadder})) AS m
+       |  FROM hv GROUP BY 1),
        |agg AS (
        |  SELECT count(*) AS present,
        |         sum(power(CAST(2 AS DOUBLE), -m)) AS psum
@@ -680,14 +689,22 @@ object Dedup {
        |  SELECT round(CASE WHEN raw <= 2.5 * $HllBuckets AND v0 > 0
        |                    THEN $HllBuckets * ln(CAST($HllBuckets AS DOUBLE) / v0)
        |                    ELSE raw END, 6) AS n_est
-       |  FROM (SELECT $alpha * 65536 / (psum + ($HllBuckets - present)) AS raw,
+       |  FROM (SELECT $HllAlpha * ${HllBuckets.toLong * HllBuckets} /
+       |               (psum + ($HllBuckets - present)) AS raw,
        |               ($HllBuckets - present) AS v0
        |        FROM agg)),
        |x AS (SELECT count(DISTINCT g) AS n_exact FROM shingle_u)
        |SELECT n_exact, n_est,
        |       round((n_est - n_exact) / n_exact, 6) AS rel_err
        |FROM x, e""".stripMargin
-  }
+
+  /** `bits_needed(w)` as a [[HllWindowBits]]-term integer comparison
+    * ladder — pure arithmetic with identical text in both dialects, so
+    * engine and oracle share the one string. `rho = window+1 − bits`.
+    */
+  private def hllBitsLadder: String =
+    (0 until HllWindowBits).map(k =>
+      s"CASE WHEN w >= ${1L << k} THEN 1 ELSE 0 END").mkString(" + ")
 
   // --------------------------------------------- near-dup cluster collapse
 

@@ -1050,11 +1050,17 @@ object Similarity {
     */
   val RrfK = 60
 
-  /** Queries fused: BM25 defines exactly 3 query workloads (ids 0–2) and
-    * the embedding side serves vec_id 0–9, so the fusable intersection is
-    * ids 0–2 under the corpus' doc_id ≡ vec_id mapping.
+  /** Queries fused: the BM25 workload defines the query ids (0 until its
+    * size) and the embedding side serves vec_id 0–9, so the fusable
+    * intersection is exactly the BM25 id range under the corpus'
+    * doc_id ≡ vec_id mapping. Derived, not hardcoded — growing the BM25
+    * workload grows the fusion with it. LAZY (as is [[rankFusionSql]])
+    * because object init can arrive here mid-TextAnalysis-init via the
+    * TextAnalysis → Dedup → Similarity reference chain — an eager read
+    * of a TextAnalysis val on that path sees null (JVM re-entrant class
+    * init), which a spec touching TextAnalysis first exposed.
     */
-  val RrfQueries = 3
+  lazy val RrfQueries: Int = TextAnalysis.Bm25Queries.length
 
   /** `rank_fusion`: hybrid lexical+semantic retrieval via Reciprocal
     * Rank Fusion — the standard way production search combines a BM25
@@ -1096,9 +1102,9 @@ object Similarity {
 
   /** Oracle: the two arms' own oracle SQLs as derived tables (nested
     * WITH — DuckDB scopes them cleanly), fused with the identical RRF
-    * arithmetic.
+    * arithmetic. Lazy — see [[RrfQueries]]'s init-order note.
     */
-  val rankFusionSql: String = {
+  lazy val rankFusionSql: String = {
     val one = "CAST(1.0 AS DOUBLE)"
     s"""WITH bm AS (SELECT * FROM (${TextAnalysis.bm25SearchSql})),
        |em AS (SELECT * FROM ($similarityTopkSql)),

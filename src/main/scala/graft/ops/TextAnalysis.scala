@@ -690,6 +690,14 @@ object TextAnalysis {
     */
   val BlockTokens: Seq[String] = Seq("slow", "big", "merge")
 
+  /** `t = 'slow' OR …` over [[BlockTokens]] — valid in both Spark SQL
+    * and DuckDB (the [[Tokens.stopPred]] pattern: ONE predicate builder
+    * shared by the gate, the report and both oracles, so a list tweak
+    * cannot desynchronize them).
+    */
+  def blockPred(t: String): String =
+    BlockTokens.map(w => s"$t = '$w'").mkString(" OR ")
+
   /** `text_blocklist`: C4-style blocklist document gate (Raffel et al.,
     * arXiv:1910.10683 §2.2 — docs containing any listed word are
     * dropped). Emits per document the total blocked-token hits, how many
@@ -705,7 +713,7 @@ object TextAnalysis {
     * presentation sort (pinned in PlanSpec).
     */
   def textBlocklist(s: SparkSession, dir: String): DataFrame = {
-    val hitPred = BlockTokens.map(w => s"t = '$w'").mkString(" OR ")
+    val hitPred = blockPred("t")
     val lits = BlockTokens.map(w => s"'$w'").mkString(", ")
     docs(s, dir).withColumn("toks", expr(toksExpr))
       .select(col("doc_id"),
@@ -717,7 +725,7 @@ object TextAnalysis {
   }
 
   val textBlocklistSql: String = {
-    val hitPred = BlockTokens.map(w => s"t = '$w'").mkString(" OR ")
+    val hitPred = blockPred("t")
     val lits = BlockTokens.map(w => s"'$w'").mkString(", ")
     s"""SELECT doc_id,
        |       len(list_filter($toksSql, t -> $hitPred)) AS n_hits,
@@ -758,27 +766,47 @@ object TextAnalysis {
     * broadcast back for the merge rewrite. At 100 TB the vocab table is
     * MBs — iterations cost seconds regardless of corpus size.
     *
-    * Merge application is string algebra on the space-delimited symbol
-    * sequence (leading/trailing sentinel spaces): `replace(seq, ' a b ',
-    * ' ab ')` merges exactly the whole-symbol occurrences, leftmost
-    * first, non-overlapping — `replace`'s contract in BOTH engines, and
-    * exactly BPE's greedy rule ('l l l' → 'll l'). Symbols never contain
-    * spaces, so a pattern can never match across a symbol boundary.
+    * Merge application is string algebra on a DOUBLE-space-delimited
+    * symbol sequence with single-space ends (`' a  b  c '`): the pair
+    * pattern `' a  b '` consumes ONE space from each flanking separator
+    * and the replacement `' ab '` restores them, so adjacent DISJOINT
+    * occurrences keep a full match each (`a b a b` → `ab ab`) while
+    * OVERLAPPING ones merge leftmost-first (`l l l` → `ll l`) — exactly
+    * BPE's greedy rule, with `replace`'s leftmost-non-overlapping
+    * contract identical in both engines. (A single-space encoding fails
+    * the first case: the shared delimiter is consumed by the left match
+    * and `a b a b` mis-merges to `ab a b` — caught in review, pinned by
+    * the constructed-corpus spec.) Symbols never contain spaces, so a
+    * pattern can never match across a symbol boundary.
+    *
+    * Degenerate-corpus edge (unreachable on the fixture contract, where
+    * every doc has ≥ 10 multi-char tokens): if some iteration finds NO
+    * pairs at all, its 1-row top frame is empty and the cross join
+    * empties the vocab — later iterations then report zero rows rather
+    * than inventing merges. The oracle's `FROM w_t, t_p` cross join has
+    * the identical semantics, so the two engines cannot diverge here.
     */
-  def tokenBpeMerges(s: SparkSession, dir: String): DataFrame = {
+  def tokenBpeMerges(s: SparkSession, dir: String): DataFrame =
+    tokenBpeMergesFrom(docs(s, dir))
+
+  /** [[tokenBpeMerges]] over an explicit `documents(text)` frame — split
+    * out so the merge algebra is testable on constructed corpora (the
+    * back-to-back-pair case the fixture happens not to contain).
+    */
+  private[ops] def tokenBpeMergesFrom(d: DataFrame): DataFrame = {
     // one corpus pass: distinct words with frequencies, then the initial
-    // symbol sequence ' c1 c2 ... cn ' (boundary spaces make whole-symbol
-    // replace patterns total)
-    var words = docs(s, dir)
+    // symbol sequence ' c1  c2  ...  cn ' (double-space separators,
+    // single-space ends — see the merge-algebra scaladoc above)
+    var words = d
       .select(explode(expr(toksExpr)).as("w"))
       .filter(length(col("w")) > 0)
       .groupBy("w").agg(count(lit(1)).as("f"))
       .withColumn("seq", expr(
         "concat(' ', array_join(transform(sequence(1, length(w)), " +
-          "i -> substring(w, i, 1)), ' '), ' ')"))
+          "i -> substring(w, i, 1)), '  '), ' ')"))
       .localCheckpoint(true)
     def pairCounts(wt: DataFrame): DataFrame =
-      wt.withColumn("syms", split(trim(col("seq")), " "))
+      wt.withColumn("syms", split(trim(col("seq")), "  "))
         .filter(size(col("syms")) >= 2)
         .select(col("f"), explode(expr(
           "transform(sequence(1, size(syms) - 1), " +
@@ -792,12 +820,14 @@ object TextAnalysis {
           expr("replace(pair, ' ', '')").as("merged"), col("cnt"))
       if (it < BpeIters) {
         // apply merge #1 in-plan: the winning pair rides a broadcast
-        // 1-row join, never a driver collect
+        // 1-row join, never a driver collect. Pattern ' A  B ' eats one
+        // space of each flanking separator; replacement ' AB ' restores
+        // them (disjoint adjacent occurrences each keep a full match).
         val top1 = pairs.orderBy(col("cnt").desc, col("pair")).limit(1)
           .select(col("pair").as("mp"))
         words = words.crossJoin(broadcast(top1))
           .withColumn("seq", expr(
-            "replace(seq, concat(' ', mp, ' '), " +
+            "replace(seq, concat(' ', replace(mp, ' ', '  '), ' '), " +
               "concat(' ', replace(mp, ' ', ''), ' '))"))
           .drop("mp")
           .localCheckpoint(true)
@@ -819,13 +849,13 @@ object TextAnalysis {
          |  SELECT pair, CAST(sum(f) AS BIGINT) AS cnt FROM (
          |    SELECT f, unnest(list_transform(range(1, len(syms)),
          |                     i -> syms[i] || ' ' || syms[i + 1])) AS pair
-         |    FROM (SELECT f, string_split(trim(seq), ' ') AS syms FROM $wt)
+         |    FROM (SELECT f, string_split(trim(seq), '  ') AS syms FROM $wt)
          |    WHERE len(syms) >= 2)
          |  GROUP BY 1)""".stripMargin
     def mergeCte(wNew: String, wOld: String, p: String): String =
       s"""t$p AS (SELECT pair FROM $p ORDER BY cnt DESC, pair LIMIT 1),
          |$wNew AS (
-         |  SELECT w, f, replace(seq, ' ' || t$p.pair || ' ',
+         |  SELECT w, f, replace(seq, ' ' || replace(t$p.pair, ' ', '  ') || ' ',
          |                       ' ' || replace(t$p.pair, ' ', '') || ' ') AS seq
          |  FROM $wOld, t$p)""".stripMargin
     val iters = (1 to BpeIters).map { it =>
@@ -845,7 +875,7 @@ object TextAnalysis {
        |w0 AS (
        |  SELECT w, f,
        |         ' ' || array_to_string(list_transform(range(1, length(w) + 1),
-       |                                i -> substr(w, i, 1)), ' ') || ' ' AS seq
+       |                                i -> substr(w, i, 1)), '  ') || ' ' AS seq
        |  FROM wf),
        |$iters
        |$branches

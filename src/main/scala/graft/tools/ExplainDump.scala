@@ -492,7 +492,18 @@ object ExplainDump {
         "(md5-prefix value, comparison-ladder rank — all codegen'd " +
         "arithmetic), a 256-row register aggregate, and the scalar " +
         "correction algebra. The exact arm's count-distinct expansion " +
-        "is the comparison the sketch exists to avoid."))
+        "is the comparison the sketch exists to avoid."),
+    "sketch_cms" ->
+      ("Count-Min: the build explodes 4 (row, col) pairs per token " +
+        "occurrence into a <=1024-group map-side-combined aggregate — " +
+        "the counter table IS the aggregation state; serving probes " +
+        "the top-k tokens against the broadcast counters with a " +
+        "min-of-rows fold."),
+    "token_bpe_apply" ->
+      ("The BPE encode: the same checkpointed vocab chain as training " +
+        "(no documents scan — Sennrich's frequency-weighted word " +
+        "table), one more merge application, and a single scalar " +
+        "aggregate for the chars-per-token report."))
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.lift(0).getOrElse("/root/testdata/sf0.001")

@@ -892,10 +892,11 @@ class ExtOpsSpec extends AnyFunSuite {
     val toks = spark.read.parquet(s"$dir/documents.parquet")
       .select("text").collect()
       .flatMap(_.getString(0).toLowerCase.split(" ", -1)).filter(_.nonEmpty)
+    // row r's hash = byte pair 2r..2r+1 of ONE md5(token)
     def colFor(r: Int, t: String): Int = {
       val h = java.security.MessageDigest.getInstance("MD5")
-        .digest(s"$r|$t".getBytes("UTF-8")).map("%02x".format(_)).mkString
-      java.lang.Integer.parseInt(h.take(2), 16)
+        .digest(t.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Integer.parseInt(h.substring(2 * r, 2 * r + 2), 16)
     }
     val counters = scala.collection.mutable.Map[(Int, Int), Long]()
     for (t <- toks; r <- 0 until Dedup.CmsDepth)

@@ -201,6 +201,129 @@ object TextAnalysis {
        |       count(*) AS n_docs
        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
 
+  // ------------------------------------------ X58 quantile-sketch audit
+
+  /** Exponential-histogram geometry (HdrHistogram's layout): values
+    * below `2·SubBins` get an EXACT bin each; larger values split each
+    * base-2 octave into [[QuantileSubBins]] linear sub-bins, so a bin's
+    * width is ≤ 1/16 of its value — the bounded-relative-error property
+    * that makes the histogram a quantile sketch rather than a guess.
+    */
+  val QuantileOctaves = 31
+  val QuantileSubBins = 16
+
+  /** `sketch_quantile`: the quantile member of the sketch trio (X55
+    * distinct-count, X57 frequency, this one rank statistics) — per-doc
+    * token-count quantiles estimated from a [[QuantileBins]]-bin
+    * exponential histogram, audited against the exact percentiles.
+    * Estimate = the first bin whose cumulative count reaches the target
+    * rank, linearly interpolated inside the bin's `[2^(b-1), 2^b)`
+    * span; the `rel_err` column is the price of 31 counters vs a full
+    * sort — what a percentile dashboard over 100 TB actually pays.
+    *
+    * Scale shape: the histogram is ONE linear pass whose aggregation
+    * state is ≤31 counters (map-side combined); every window/join after
+    * it runs on ≤31-row or 3-row frames. The exact arm (`percentile`,
+    * mirrored by DuckDB's `quantile_cont` — the proven
+    * [[tokenLenQuantiles]] parity) is the audit comparison, not the
+    * production path. Everything is integer counts + the same IEEE
+    * expression tree in both engines — fully deterministic, no
+    * approx_percentile opacity.
+    */
+  /** The bin layout as one dialect-parameterized expression set (`idiv`
+    * = `div` in Spark, `//` in DuckDB — the byteBucket two-renderings
+    * pattern). Expects column `n`; yields `bin, blo, bhi`.
+    */
+  private def quantileBinExprs(idiv: String): Seq[(String, String)] = {
+    val sb = QuantileSubBins
+    val ladder = (0 until QuantileOctaves).map(k =>
+      s"CASE WHEN n >= ${1L << k} THEN 1 ELSE 0 END").mkString(" + ")
+    val lo = s"CAST(power(CAST(2 AS DOUBLE), ($ladder) - 1) AS BIGINT)"
+    val small = s"n < ${2 * sb}"
+    val sub = s"(((n - $lo) * $sb) $idiv $lo)"
+    val step = s"($lo $idiv $sb)"
+    Seq(
+      "bin" -> s"CASE WHEN $small THEN n ELSE ($ladder) * $sb + $sub END",
+      "blo" -> s"CASE WHEN $small THEN n ELSE $lo + $sub * $step END",
+      "bhi" -> (s"CASE WHEN $small THEN n + 1 " +
+        s"ELSE $lo + $sub * $step + $step END"))
+  }
+
+  def sketchQuantile(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val lens = docs(s, dir)
+      .select(expr(s"size($toksExpr)").cast("long").as("n"))
+    val binned = quantileBinExprs("div").foldLeft(lens) {
+      case (df, (name, e)) => df.withColumn(name, expr(e))
+    }
+    val hist = binned.groupBy("bin", "blo", "bhi").agg(count(lit(1)).as("c"))
+    val w = Window.orderBy("bin")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = hist.withColumn("cumc", sum(col("c")).over(w))
+      .withColumn("prevc", col("cumc") - col("c"))
+    val tot = lens.agg(count(lit(1)).as("n_docs"),
+      expr("round(percentile(n, 0.5D), 6)").as("e50"),
+      expr("round(percentile(n, 0.9D), 6)").as("e90"),
+      expr("round(percentile(n, 0.99D), 6)").as("e99"))
+    val ps = Seq(0.5, 0.9, 0.99).toDF("p")
+    ps.crossJoin(broadcast(tot))
+      .withColumn("rank", expr("CAST(ceil(p * n_docs) AS BIGINT)"))
+      .crossJoin(broadcast(cum))
+      .filter(col("cumc") >= col("rank"))
+      .groupBy("p", "rank", "n_docs", "e50", "e90", "e99")
+      .agg(min_by(struct(col("bin"), col("blo"), col("bhi"), col("c"),
+        col("prevc")), col("bin")).as("pick"))
+      .withColumn("est", round(expr(
+        "CAST(pick.blo AS DOUBLE) + (pick.bhi - pick.blo) * " +
+          "(rank - pick.prevc) / pick.c"), 6))
+      .withColumn("exact", expr(
+        "CASE WHEN p = 0.5 THEN e50 WHEN p = 0.9 THEN e90 ELSE e99 END"))
+      .select(col("p"), col("n_docs"), col("est"), col("exact"),
+        round((col("est") - col("exact")) / col("exact"), 6).as("rel_err"))
+      .orderBy("p")
+  }
+
+  val sketchQuantileSql: String = {
+    val exprs = quantileBinExprs("//").toMap
+    s"""WITH lens AS (
+       |  SELECT CAST(len($toksSql) AS BIGINT) AS n FROM documents),
+       |hist AS (
+       |  SELECT ${exprs("bin")} AS bin, ${exprs("blo")} AS blo,
+       |         ${exprs("bhi")} AS bhi, count(*) AS c
+       |  FROM lens GROUP BY 1, 2, 3),
+       |cum AS (
+       |  SELECT bin, blo, bhi, c,
+       |         sum(c) OVER (ORDER BY bin ROWS UNBOUNDED PRECEDING) AS cumc
+       |  FROM hist),
+       |cum2 AS (SELECT bin, blo, bhi, c, cumc, cumc - c AS prevc FROM cum),
+       |tot AS (
+       |  SELECT count(*) AS n_docs,
+       |         round(quantile_cont(n, 0.5), 6) AS e50,
+       |         round(quantile_cont(n, 0.9), 6) AS e90,
+       |         round(quantile_cont(n, 0.99), 6) AS e99
+       |  FROM lens),
+       |ps(p) AS (VALUES (CAST(0.5 AS DOUBLE)), (CAST(0.9 AS DOUBLE)),
+       |                 (CAST(0.99 AS DOUBLE))),
+       |sel AS (
+       |  SELECT pr.p, pr.n_docs, pr.rank, pr.e50, pr.e90, pr.e99,
+       |         cum2.blo, cum2.bhi, cum2.c, cum2.prevc,
+       |         row_number() OVER (PARTITION BY pr.p ORDER BY cum2.bin) AS rn
+       |  FROM (SELECT ps.p, CAST(ceil(ps.p * t.n_docs) AS BIGINT) AS rank,
+       |               t.n_docs, t.e50, t.e90, t.e99
+       |        FROM ps, tot t) pr
+       |  JOIN cum2 ON cum2.cumc >= pr.rank),
+       |est AS (
+       |  SELECT p, n_docs,
+       |         round(CAST(blo AS DOUBLE) + (bhi - blo) *
+       |               (rank - prevc) / c, 6) AS est,
+       |         CASE WHEN p = 0.5 THEN e50 WHEN p = 0.9 THEN e90
+       |              ELSE e99 END AS exact
+       |  FROM sel WHERE rn = 1)
+       |SELECT p, n_docs, est, exact,
+       |       round((est - exact) / exact, 6) AS rel_err
+       |FROM est ORDER BY p""".stripMargin
+  }
+
   // ------------------------------------------------- document frequency
 
   /** Rows kept in the `token_docfreq` index sample. */

@@ -919,6 +919,32 @@ class ExtOpsSpec extends AnyFunSuite {
     assert(rows.map(_._1).toSeq == expTop)
   }
 
+  test("sketch_quantile: histogram estimate within bin width of a driver recompute") {
+    val lens = spark.read.parquet(s"$dir/documents.parquet")
+      .select("text").collect()
+      .map(_.getString(0).toLowerCase.split(" ", -1).length.toLong)
+      .sorted
+    val rows = TextAnalysis.sketchQuantile(spark, dir).collect()
+      .map(r => (r.getDouble(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4)))
+    assert(rows.map(_._1).toSeq == Seq(0.5, 0.9, 0.99))
+    for ((p, nDocs, est, exact, relErr) <- rows) {
+      assert(nDocs == lens.length.toLong)
+      // the true rank-statistic value this p targets
+      val rank = math.ceil(p * lens.length).toLong.toInt
+      val atRank = lens(rank - 1)
+      // bounded relative error: the bin containing the rank value is at
+      // most 1/SubBins of its magnitude wide (exact below 2*SubBins)
+      val width = if (atRank < 2 * TextAnalysis.QuantileSubBins) 1.0
+        else atRank.toDouble / TextAnalysis.QuantileSubBins + 1
+      assert(math.abs(est - atRank) <= width,
+        s"p=$p est=$est rank-value=$atRank width=$width")
+      // rel_err recomputes from the emitted columns
+      assert(math.abs(relErr - BigDecimal((est - exact) / exact)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-9)
+    }
+  }
+
   test("embed_isotropy: the sum-vector identity equals brute-force pairwise mean") {
     val vs = spark.read.parquet(s"$dir/embeddings.parquet")
       .select("embedding").collect()

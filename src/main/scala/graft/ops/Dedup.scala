@@ -755,29 +755,47 @@ object Dedup {
     * (token counts) exists here as the audit comparison; production
     * keeps only the sketch.
     */
-  def sketchCms(s: SparkSession, dir: String): DataFrame = {
-    val toks = docs(s, dir)
-      .select(explode(expr(Tokens.toksExpr)).as("t"))
+  def sketchCms(s: SparkSession, dir: String): DataFrame =
+    cmsServe(s, dir, cmsCounters(docs(s, dir)))
+
+  private def cmsToks(d: DataFrame): DataFrame =
+    d.select(explode(expr(Tokens.toksExpr)).as("t"))
       .filter(length(col("t")) > 0)
-    // one pass, ONE md5, d counters touched per occurrence: explode the
-    // d (row, col) pairs per token and count — the groupBy state is the
-    // counter table itself (≤ d·w groups)
-    def rowCol(r: Int): String =
-      Tokens.byteBucketExpr(s"substring(h, ${2 * r + 1}, 2)")
+
+  /** Row r's counter column for a token whose md5 is in column `h`. */
+  private def cmsRowCol(r: Int): String =
+    Tokens.byteBucketExpr(s"substring(h, ${2 * r + 1}, 2)")
+
+  /** The counter build from a `documents(text)` frame: one pass, ONE
+    * md5, d counters touched per occurrence — explode the d (row, col)
+    * pairs per token and count; the groupBy state is the counter table
+    * itself (≤ d·w groups). Split out so the STREAMING sum-merge fold
+    * shares it verbatim (CMS counters merge by addition — the other
+    * mergeable-sketch algebra next to HLL's max).
+    */
+  private[graft] def cmsCounters(d: DataFrame): DataFrame = {
     val rowCols = (0 until CmsDepth).map { r =>
-      struct(lit(r).as("r"), expr(rowCol(r)).as("c"))
+      struct(lit(r).as("r"), expr(cmsRowCol(r)).as("c"))
     }
-    val counters = toks.withColumn("h", md5(col("t")))
+    cmsToks(d).withColumn("h", md5(col("t")))
       .select(explode(array(rowCols: _*)).as("rc"))
       .groupBy(col("rc.r").as("r"), col("rc.c").as("c"))
       .agg(count(lit(1)).as("n"))
-    // serving side: the top-k exact tokens (the audit arm), each probing
-    // its d counters against the broadcast counter table
-    val exact = toks.groupBy("t").agg(count(lit(1)).as("n_exact"))
+  }
+
+  /** The serving/audit side over a counter table: the top-k exact
+    * tokens (the audit arm), each probing its d counters against the
+    * broadcast counters with a min-of-rows fold.
+    */
+  private[graft] def cmsServe(s: SparkSession, dir: String,
+      counters: DataFrame): DataFrame = {
+    val exact = cmsToks(docs(s, dir))
+      .groupBy("t").agg(count(lit(1)).as("n_exact"))
       .orderBy(col("n_exact").desc, col("t")).limit(CmsTopK)
     val probes = exact.withColumn("h", md5(col("t")))
       .select(col("t"), col("n_exact"),
-        posexplode(array((0 until CmsDepth).map(r => expr(rowCol(r))): _*))
+        posexplode(array((0 until CmsDepth).map(r =>
+          expr(cmsRowCol(r))): _*))
           .as(Seq("r", "c")))
     probes.join(broadcast(counters), Seq("r", "c"))
       .groupBy("t", "n_exact").agg(min(col("n")).as("n_est"))

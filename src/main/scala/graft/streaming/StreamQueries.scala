@@ -366,7 +366,43 @@ object StreamQueries {
           .as("rel_err"))
   }
 
+  /** `stream_cms` — [[StreamSketch.CounterStore]] fed the corpus in two
+    * doc_id waves; counting is linear, so the summed per-batch counters
+    * equal the batch build exactly and the key emits the identical
+    * top-k audit rows, SHARING the batch oracle (the sum-merge twin of
+    * `stream_sketch`'s max-merge).
+    */
+  private def ensureStreamCms(s: SparkSession, dir: String): String =
+    Dedup.sharedIndexPath(s, dir, "documents.parquet", "stream_cms") { base =>
+      import s.implicits._
+      val stage = s"$base/stage"
+      val corpus = s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id").cast("long").as("doc_id"), col("text"))
+      val (lo, hi) = corpus.agg(min("doc_id"), max("doc_id"))
+        .as[(Long, Long)].head()
+      val mid = lo + (hi - lo) / 2
+      val store = new StreamSketch.CounterStore
+      def runWave(wave: DataFrame): Unit = {
+        wave.coalesce(1).write.mode("append").parquet(stage)
+        s.readStream.schema(corpus.schema).parquet(stage)
+          .writeStream.outputMode("append")
+          .foreachBatch { (b: DataFrame, id: Long) => store.mergeBatch(b, id) }
+          .option("checkpointLocation", s"$base/ckpt")
+          .trigger(Trigger.AvailableNow())
+          .start().awaitTermination()
+      }
+      runWave(corpus.filter(col("doc_id") <= mid))
+      runWave(corpus.filter(col("doc_id") > mid))
+      store.current.get.write.mode("overwrite").parquet(s"$base/counters")
+    }
+
+  def streamCms(s: SparkSession, dir: String): DataFrame = {
+    val base = ensureStreamCms(s, dir)
+    Dedup.cmsServe(s, dir, s.read.parquet(s"$base/counters"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stream_cms" -> (streamCms _),
     "stream_sketch" -> (streamSketch _),
     "stream_decontaminate" -> (streamDecontaminate _),
     "stream_dedup" -> (streamDedup _),
@@ -379,6 +415,8 @@ object StreamQueries {
   val oracleSql: Map[String, String] = Map(
     // register max-merge is order-independent ≡ the batch sketch — same oracle
     "stream_sketch" -> Dedup.sketchHllSql,
+    // counter sum-merge is linear ≡ the batch build — same oracle
+    "stream_cms" -> Dedup.sketchCmsSql,
     // stream-static gate ≡ the batch decontaminate key — same oracle
     "stream_decontaminate" -> Curation.decontaminateSql,
     "stream_dedup" -> streamDedupSql,

@@ -53,4 +53,30 @@ object StreamSketch {
     /** Registers so far: `(bucket, m)`. */
     def current: Option[DataFrame] = regs
   }
+
+  /** Cross-batch Count-Min counter state — the SUM-merge twin of
+    * [[RegisterStore]]'s max-merge: CMS counters over a batch union are
+    * the per-batch counters ADDED (counting is linear), so the streamed
+    * counter table equals the batch build exactly, in any arrival
+    * order. Together the two stores demonstrate both mergeable-sketch
+    * algebras; state is the constant-size counter table either way.
+    */
+  final class CounterStore extends Serializable {
+
+    @volatile private var counters: Option[DataFrame] = None
+
+    def mergeBatch(docs: DataFrame, batchId: Long): Unit = synchronized {
+      val b = Dedup.cmsCounters(docs)
+      val merged = counters match {
+        case None => b
+        case Some(prev) => prev.unionByName(b)
+          .groupBy("r", "c").agg(sum(col("n")).as("n"))
+      }
+      val ck = merged.localCheckpoint(true)
+      counters = Some(ck)
+    }
+
+    /** Counters so far: `(r, c, n)`. */
+    def current: Option[DataFrame] = counters
+  }
 }

@@ -28,4 +28,13 @@ class StreamSketchSpec extends AnyFunSuite {
     // order-independent, so wave splitting cannot move the estimate
     assert(streamed.toSeq == batch.toSeq)
   }
+
+  test("stream_cms reproduces the batch sketch exactly (sum-merge)") {
+    val streamed = StreamQueries.streamCms(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val batch = Dedup.sketchCms(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // counting is linear: summed per-batch counters == one-shot counters
+    assert(streamed.toSeq == batch.toSeq)
+  }
 }

@@ -729,6 +729,10 @@ object Dedup {
     */
   val CmsDepth = 4
   val CmsWidth = 256
+  // each hash row consumes one DISJOINT byte pair of the 32-hex-char
+  // md5 — past 16 rows the substring would silently read '' and
+  // degenerate every extra row to a single shared counter
+  require(CmsDepth * 2 <= 32, "CmsDepth rows exceed the md5 byte pairs")
 
   /** Tokens reported by [[sketchCms]]: the top-k by exact count. */
   val CmsTopK = 20

@@ -214,17 +214,20 @@ object TextAnalysis {
 
   /** `sketch_quantile`: the quantile member of the sketch trio (X55
     * distinct-count, X57 frequency, this one rank statistics) — per-doc
-    * token-count quantiles estimated from a [[QuantileBins]]-bin
-    * exponential histogram, audited against the exact percentiles.
-    * Estimate = the first bin whose cumulative count reaches the target
-    * rank, linearly interpolated inside the bin's `[2^(b-1), 2^b)`
-    * span; the `rel_err` column is the price of 31 counters vs a full
-    * sort — what a percentile dashboard over 100 TB actually pays.
+    * token-count quantiles estimated from the exponential histogram
+    * ([[QuantileOctaves]] octaves × [[QuantileSubBins]] linear sub-bins,
+    * exact bins below `2·SubBins`), audited against the exact
+    * percentiles. Estimate = the first bin whose cumulative count
+    * reaches the target rank, linearly interpolated inside the bin's
+    * `[blo, bhi)` span (≤ 1/16 of the value wide); the `rel_err` column
+    * is the price of a few hundred counters vs a full sort — what a
+    * percentile dashboard over 100 TB actually pays.
     *
     * Scale shape: the histogram is ONE linear pass whose aggregation
-    * state is ≤31 counters (map-side combined); every window/join after
-    * it runs on ≤31-row or 3-row frames. The exact arm (`percentile`,
-    * mirrored by DuckDB's `quantile_cont` — the proven
+    * state is the bin table — ≤ `2·SubBins + Octaves·SubBins` ≈ 530
+    * counters, map-side combined; every window/join after it runs on
+    * that bin table or the 3-row percentile frame. The exact arm
+    * (`percentile`, mirrored by DuckDB's `quantile_cont` — the proven
     * [[tokenLenQuantiles]] parity) is the audit comparison, not the
     * production path. Everything is integer counts + the same IEEE
     * expression tree in both engines — fully deterministic, no

@@ -324,15 +324,16 @@ object StreamQueries {
       .orderBy("doc_id")
   }
 
-  /** `stream_sketch` — [[StreamSketch.RegisterStore]] fed the corpus in
-    * two doc_id waves; the final registers must equal the batch sketch's
-    * (max-merge is order-independent), so the key emits the identical
-    * `(n_exact, n_est, rel_err)` row and SHARES the batch oracle. The
-    * exact arm is the batch comparison side, computed from the same
-    * shared shingle index the batch key reads.
+  /** Stage the documents corpus in two doc_id waves and drive `merge`
+    * through an AvailableNow file stream per wave (shared checkpoint ⇒
+    * deterministic batch boundaries, ids continue across waves);
+    * `finish(base)` persists the folded state under the index root.
+    * The ONE wave harness behind both mergeable-sketch keys — a fix to
+    * the staging/checkpoint machinery lands in both by construction.
     */
-  private def ensureStreamSketch(s: SparkSession, dir: String): String =
-    Dedup.sharedIndexPath(s, dir, "documents.parquet", "stream_sketch") { base =>
+  private def ensureTwoWaveFold(s: SparkSession, dir: String, name: String)(
+      merge: (DataFrame, Long) => Unit)(finish: String => Unit): String =
+    Dedup.sharedIndexPath(s, dir, "documents.parquet", name) { base =>
       import s.implicits._
       val stage = s"$base/stage"
       val corpus = s.read.parquet(s"$dir/documents.parquet")
@@ -340,20 +341,33 @@ object StreamQueries {
       val (lo, hi) = corpus.agg(min("doc_id"), max("doc_id"))
         .as[(Long, Long)].head()
       val mid = lo + (hi - lo) / 2
-      val store = new StreamSketch.RegisterStore
       def runWave(wave: DataFrame): Unit = {
         wave.coalesce(1).write.mode("append").parquet(stage)
         s.readStream.schema(corpus.schema).parquet(stage)
           .writeStream.outputMode("append")
-          .foreachBatch { (b: DataFrame, id: Long) => store.mergeBatch(b, id) }
+          .foreachBatch { (b: DataFrame, id: Long) => merge(b, id) }
           .option("checkpointLocation", s"$base/ckpt")
           .trigger(Trigger.AvailableNow())
           .start().awaitTermination()
       }
       runWave(corpus.filter(col("doc_id") <= mid))
       runWave(corpus.filter(col("doc_id") > mid))
+      finish(base)
+    }
+
+  /** `stream_sketch` — [[StreamSketch.RegisterStore]] fed the corpus in
+    * two doc_id waves; the final registers must equal the batch sketch's
+    * (max-merge is order-independent), so the key emits the identical
+    * `(n_exact, n_est, rel_err)` row and SHARES the batch oracle. The
+    * exact arm is the batch comparison side, computed from the same
+    * shared shingle index the batch key reads.
+    */
+  private def ensureStreamSketch(s: SparkSession, dir: String): String = {
+    val store = new StreamSketch.RegisterStore
+    ensureTwoWaveFold(s, dir, "stream_sketch")(store.mergeBatch) { base =>
       store.current.get.write.mode("overwrite").parquet(s"$base/regs")
     }
+  }
 
   def streamSketch(s: SparkSession, dir: String): DataFrame = {
     val base = ensureStreamSketch(s, dir)
@@ -372,29 +386,12 @@ object StreamQueries {
     * top-k audit rows, SHARING the batch oracle (the sum-merge twin of
     * `stream_sketch`'s max-merge).
     */
-  private def ensureStreamCms(s: SparkSession, dir: String): String =
-    Dedup.sharedIndexPath(s, dir, "documents.parquet", "stream_cms") { base =>
-      import s.implicits._
-      val stage = s"$base/stage"
-      val corpus = s.read.parquet(s"$dir/documents.parquet")
-        .select(col("doc_id").cast("long").as("doc_id"), col("text"))
-      val (lo, hi) = corpus.agg(min("doc_id"), max("doc_id"))
-        .as[(Long, Long)].head()
-      val mid = lo + (hi - lo) / 2
-      val store = new StreamSketch.CounterStore
-      def runWave(wave: DataFrame): Unit = {
-        wave.coalesce(1).write.mode("append").parquet(stage)
-        s.readStream.schema(corpus.schema).parquet(stage)
-          .writeStream.outputMode("append")
-          .foreachBatch { (b: DataFrame, id: Long) => store.mergeBatch(b, id) }
-          .option("checkpointLocation", s"$base/ckpt")
-          .trigger(Trigger.AvailableNow())
-          .start().awaitTermination()
-      }
-      runWave(corpus.filter(col("doc_id") <= mid))
-      runWave(corpus.filter(col("doc_id") > mid))
+  private def ensureStreamCms(s: SparkSession, dir: String): String = {
+    val store = new StreamSketch.CounterStore
+    ensureTwoWaveFold(s, dir, "stream_cms")(store.mergeBatch) { base =>
       store.current.get.write.mode("overwrite").parquet(s"$base/counters")
     }
+  }
 
   def streamCms(s: SparkSession, dir: String): DataFrame = {
     val base = ensureStreamCms(s, dir)

@@ -64,8 +64,15 @@ object StreamSketch {
   final class CounterStore extends Serializable {
 
     @volatile private var counters: Option[DataFrame] = None
+    private var lastBatchId = -1L
 
     def mergeBatch(docs: DataFrame, batchId: Long): Unit = synchronized {
+      // foreachBatch is at-least-once and SUM-merge is NOT idempotent
+      // (unlike RegisterStore's max): a re-delivered batch must be
+      // skipped or its counts double. The batchId guard is exactly the
+      // dedup Spark documents for non-idempotent foreachBatch sinks.
+      if (batchId <= lastBatchId) return
+      lastBatchId = batchId
       val b = Dedup.cmsCounters(docs)
       val merged = counters match {
         case None => b

@@ -503,7 +503,13 @@ object ExplainDump {
       ("The BPE encode: the same checkpointed vocab chain as training " +
         "(no documents scan — Sennrich's frequency-weighted word " +
         "table), one more merge application, and a single scalar " +
-        "aggregate for the chars-per-token report."))
+        "aggregate for the chars-per-token report."),
+    "sketch_quantile" ->
+      ("The quantile sketch: one linear pass folds doc lengths into " +
+        "the ~530-bin exponential histogram (map-side combined); the " +
+        "rank walk, interpolation and exact-percentile audit all run " +
+        "on the bin table and a 3-row percentile frame via 1-row " +
+        "broadcasts."))
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.lift(0).getOrElse("/root/testdata/sf0.001")

@@ -343,15 +343,20 @@ object CoreQueries {
     * min/last cascades are associative and never drift; avg is the one
     * whisper method with this bias, which is why the audit exists).
     *
-    * Both recomputes share the one lww1m base pass; each is the same
-    * partial-aggregated bucket shuffle as the cascade keys, and the
-    * final join is keyed by (metric, 1h bucket) — rollup-sized, not
-    * point-sized. Drift/flag compare the ROUNDED values, so both
-    * engines decide `biased` on identical doubles.
+    * Both recomputes share ONE materialized lww1m base (eager
+    * localCheckpoint — without it each branch re-scanned and
+    * re-shuffled the full point volume, two passes where one suffices;
+    * the 1m level is retention-bounded, so the materialization is
+    * archive-sized, not raw-point-sized; pinned no-events-scan in
+    * PlanSpec). Each recompute is then the same partial-aggregated
+    * bucket shuffle as the cascade keys, and the final join is keyed by
+    * (metric, 1h bucket) — rollup-sized. Drift/flag compare the ROUNDED
+    * values, so both engines decide `biased` on identical doubles.
     */
   def rollupDrift(s: SparkSession, dir: String): DataFrame = {
     val lww = Ingest.lwwAlign(Buckets.points(s, dir), 60)
       .select("metric", "bucket_ts", "value")
+      .localCheckpoint(true)
     val avg5 = Rollup.propagate(lww, 60, 300, AggregationMethod.Average, 0.0)
       .select("metric", "bucket_ts", "value")
     val casc = Rollup.propagate(avg5, 300, 3600, AggregationMethod.Average, 0.0)

@@ -700,6 +700,17 @@ class PlanSpec extends AnyFunSuite {
       s"expected map-side partial aggregation:\n$p")
   }
 
+  test("rollup_drift aggregates both arms off ONE materialized lww base") {
+    // each hourly recompute must read the checkpointed 1m level, not
+    // re-scan + re-shuffle the raw points per branch (two full passes
+    // of the event volume at 100 TB)
+    val p = plan(CoreQueries.rollupDrift(spark, dir))
+    assert(!p.contains("events.parquet"),
+      s"a drift arm re-reads the raw points:\n$p")
+    assert(p.contains("ExistingRDD"),
+      s"lww base is not the materialized one-pass build:\n$p")
+  }
+
   test("cluster_stats is an index read — no training stage in the audit") {
     // same contract as the ANN serving pin: the audit reads the
     // persisted codebook + assignment and aggregates; the Lloyd/assign

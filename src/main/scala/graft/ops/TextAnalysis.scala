@@ -237,7 +237,7 @@ object TextAnalysis {
     * = `div` in Spark, `//` in DuckDB — the byteBucket two-renderings
     * pattern). Expects column `n`; yields `bin, blo, bhi`.
     */
-  private def quantileBinExprs(idiv: String): Seq[(String, String)] = {
+  private[ops] def quantileBinExprs(idiv: String): Seq[(String, String)] = {
     val sb = QuantileSubBins
     val ladder = (0 until QuantileOctaves).map(k =>
       s"CASE WHEN n >= ${1L << k} THEN 1 ELSE 0 END").mkString(" + ")

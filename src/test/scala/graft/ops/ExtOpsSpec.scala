@@ -945,6 +945,38 @@ class ExtOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("quantile bin formula: containing, monotone, bounded width over a wide domain") {
+    // relational property sweep — every n in [1, 200000) must land in a
+    // bin that CONTAINS it, bins must be monotone in n (contiguity
+    // follows with containment), and bin width obeys the 1/SubBins
+    // relative bound (exact below 2*SubBins)
+    val base = spark.range(1, 200000).toDF("n")
+    val binned = TextAnalysis.quantileBinExprs("div").foldLeft(base) {
+      case (df, (name, e)) => df.withColumn(name, expr(e))
+    }
+    val sb = TextAnalysis.QuantileSubBins
+    val violations = binned.filter(
+      !(col("n") >= col("blo") && col("n") < col("bhi")) ||
+        (col("bhi") - col("blo")) >
+          greatest(lit(1L), expr(s"n div $sb") + 1))
+    assert(violations.count() == 0)
+    val disorder = binned
+      .withColumn("next_bin", lead("bin", 1).over(
+        org.apache.spark.sql.expressions.Window.orderBy("n")))
+      .filter(col("next_bin") < col("bin"))
+    assert(disorder.count() == 0)
+  }
+
+  test("hll rho/bucket stay in range and cover all registers over a wide domain") {
+    val g = spark.range(0, 100000).selectExpr("CAST(id AS STRING) AS g")
+    val rho = Dedup.hllRho(g)
+    // rho in [1, windowBits+1], bucket an 8-bit register index
+    assert(rho.filter(col("bucket") < 0 || col("bucket") > 255 ||
+      col("rho") < 1 || col("rho") > 25).count() == 0)
+    // every register is reachable (hash-uniformity smoke over 100k keys)
+    assert(rho.select("bucket").distinct().count() == 256)
+  }
+
   test("embed_isotropy: the sum-vector identity equals brute-force pairwise mean") {
     val vs = spark.read.parquet(s"$dir/embeddings.parquet")
       .select("embedding").collect()

@@ -605,6 +605,92 @@ object Curation {
        |FROM pairs p LEFT JOIN ov o USING (source_a, source_b)
        |ORDER BY p.source_a, p.source_b""".stripMargin
 
+  // ----------------------------------------- X59 constraint validation
+
+  /** Language codes the corpus contract allows ([[dataValidate]]'s
+    * domain constraint — a real deployment loads this from the dataset
+    * card).
+    */
+  val AllowedLangs: Seq[String] = Seq("de", "en", "es", "fr", "zh")
+
+  /** `data_validate`: declarative constraint validation over the corpus
+    * — the Deequ/Great-Expectations stage a pipeline runs BEFORE any
+    * curation math trusts the columns. One row per constraint with its
+    * violation count and pass flag: key uniqueness and non-null,
+    * text present and non-empty, the `n_chars` metadata consistent with
+    * the payload, `lang` inside the allowed domain, `source` non-empty.
+    *
+    * All seven checks ride ONE aggregation pass (conditional sums +
+    * the `count − count(DISTINCT)` uniqueness form — map-side combined,
+    * the distinct expansion shuffles only doc_id); the report is
+    * k-rows-out at any corpus size, and a failed `passed` flag is the
+    * signal to halt the pipeline, not a crash — validation REPORTS,
+    * gates decide.
+    */
+  def dataValidate(s: SparkSession, dir: String): DataFrame =
+    dataValidateFrom(docs(s, dir))
+
+  /** [[dataValidate]] over an explicit frame — split out so specs can
+    * exercise the VIOLATION branches on a deliberately dirty corpus
+    * (the clean fixture passes every constraint).
+    */
+  private[ops] def dataValidateFrom(d: DataFrame): DataFrame = {
+    val langList = AllowedLangs.map(l => s"'$l'").mkString(", ")
+    val agg = d.agg(
+      count(lit(1)).as("n_rows"),
+      sum(when(col("doc_id").isNull, 1L).otherwise(0L)).as("v_id_null"),
+      (count(col("doc_id")) - countDistinct(col("doc_id"))).as("v_id_dup"),
+      sum(when(col("text").isNull || length(col("text")) === 0, 1L)
+        .otherwise(0L)).as("v_text_empty"),
+      sum(when(col("n_chars") =!= length(col("text")), 1L).otherwise(0L))
+        .as("v_chars"),
+      sum(when(!expr(s"lang IN ($langList)"), 1L).otherwise(0L))
+        .as("v_lang"),
+      sum(when(col("source").isNull || length(col("source")) === 0, 1L)
+        .otherwise(0L)).as("v_source"))
+    // unpivot the ONE summary row with stack — a per-constraint union
+    // would re-run the corpus aggregation once per branch
+    agg.select(col("n_rows"), expr(
+        "stack(6, " +
+          "'doc_id_not_null', v_id_null, " +
+          "'doc_id_unique', v_id_dup, " +
+          "'text_not_empty', v_text_empty, " +
+          "'n_chars_consistent', v_chars, " +
+          "'lang_in_domain', v_lang, " +
+          "'source_not_empty', v_source) AS (check_name, n_violations)"))
+      .select(col("check_name"), col("n_rows"), col("n_violations"),
+        (col("n_violations") === 0).cast("int").as("passed"))
+      .orderBy("check_name")
+  }
+
+  val dataValidateSql: String = {
+    val langList = AllowedLangs.map(l => s"'$l'").mkString(", ")
+    s"""WITH a AS (
+       |  SELECT count(*) AS n_rows,
+       |         CAST(sum(CASE WHEN doc_id IS NULL THEN 1 ELSE 0 END)
+       |              AS BIGINT) AS v_id_null,
+       |         count(doc_id) - count(DISTINCT doc_id) AS v_id_dup,
+       |         CAST(sum(CASE WHEN text IS NULL OR length(text) = 0
+       |                       THEN 1 ELSE 0 END) AS BIGINT) AS v_text_empty,
+       |         CAST(sum(CASE WHEN n_chars <> length(text) THEN 1 ELSE 0 END)
+       |              AS BIGINT) AS v_chars,
+       |         CAST(sum(CASE WHEN NOT (lang IN ($langList)) THEN 1 ELSE 0 END)
+       |              AS BIGINT) AS v_lang,
+       |         CAST(sum(CASE WHEN source IS NULL OR length(source) = 0
+       |                       THEN 1 ELSE 0 END) AS BIGINT) AS v_source
+       |  FROM documents)
+       |SELECT check_name, n_rows, n_violations,
+       |       CAST(n_violations = 0 AS INT) AS passed FROM (
+       |  SELECT 'doc_id_not_null' AS check_name, n_rows,
+       |         v_id_null AS n_violations FROM a
+       |  UNION ALL SELECT 'doc_id_unique', n_rows, v_id_dup FROM a
+       |  UNION ALL SELECT 'text_not_empty', n_rows, v_text_empty FROM a
+       |  UNION ALL SELECT 'n_chars_consistent', n_rows, v_chars FROM a
+       |  UNION ALL SELECT 'lang_in_domain', n_rows, v_lang FROM a
+       |  UNION ALL SELECT 'source_not_empty', n_rows, v_source FROM a)
+       |ORDER BY check_name""".stripMargin
+  }
+
   // ------------------------------------------- X52 per-source corpus report
 
   /** `corpus_report`: the per-source curation dashboard — doc/token

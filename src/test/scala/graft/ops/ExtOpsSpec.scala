@@ -977,6 +977,33 @@ class ExtOpsSpec extends AnyFunSuite {
     assert(rho.select("bucket").distinct().count() == 256)
   }
 
+  test("data_validate counts each violation class on a dirty corpus") {
+    import spark.implicits._
+    val dirty = Seq(
+      (Some(1L), "good text", "en", "src0", 9L),     // clean
+      (Some(1L), "dup id", "en", "src0", 6L),        // duplicate doc_id
+      (None: Option[Long], "no id", "en", "src0", 5L), // null doc_id
+      (Some(2L), "", "en", "src0", 0L),              // empty text
+      (Some(3L), "wrong meta", "en", "src0", 99L),   // n_chars mismatch
+      (Some(4L), "bad lang", "xx", "src0", 8L),      // lang out of domain
+      (Some(5L), "no source", "en", "", 9L)          // empty source
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val got = Curation.dataValidateFrom(dirty).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getInt(3)))).toMap
+    val exp = Map(
+      "doc_id_not_null" -> ((7L, 1L, 0)),
+      "doc_id_unique" -> ((7L, 1L, 0)),
+      "text_not_empty" -> ((7L, 1L, 0)),
+      "n_chars_consistent" -> ((7L, 1L, 0)),
+      "lang_in_domain" -> ((7L, 1L, 0)),
+      "source_not_empty" -> ((7L, 1L, 0)))
+    assert(got == exp)
+    // and the real fixture is clean: every constraint passes
+    val clean = Curation.dataValidate(spark, dir).collect()
+    assert(clean.length == 6 && clean.forall(_.getInt(3) == 1))
+  }
+
   test("embed_isotropy: the sum-vector identity equals brute-force pairwise mean") {
     val vs = spark.read.parquet(s"$dir/embeddings.parquet")
       .select("embedding").collect()

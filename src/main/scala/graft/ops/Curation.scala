@@ -605,6 +605,47 @@ object Curation {
        |FROM pairs p LEFT JOIN ov o USING (source_a, source_b)
        |ORDER BY p.source_a, p.source_b""".stripMargin
 
+  // ------------------------------------------------- X60 curation funnel
+
+  /** `curate_funnel`: the drop-accounting report over [[curate]]'s
+    * per-document gate flags — doc and token volumes surviving each
+    * SEQUENTIAL stage (dedup → decontamination → quality) plus the final
+    * token-retention fraction. This is the one-row summary a curation
+    * run publishes ("we kept 61% of documents, 63% of tokens, and
+    * decontamination was the biggest cut") and the first thing an
+    * operator checks when a corpus shrinks unexpectedly.
+    *
+    * Pure composition: one aggregation over the curate manifest —
+    * k-gates of conditional sums, map-side combined; all the heavy
+    * lifting (cluster contraction, broadcast decontamination, the
+    * single-pass features) is [[curate]]'s and amortized with it.
+    */
+  def curateFunnel(s: SparkSession, dir: String): DataFrame =
+    curate(s, dir).agg(
+      count(lit(1)).as("n_docs"),
+      sum(col("keep_dedup")).cast("long").as("n_after_dedup"),
+      sum(col("keep_dedup") * col("keep_clean")).cast("long")
+        .as("n_after_decon"),
+      sum(col("keep")).cast("long").as("n_final"),
+      sum(col("n_tokens")).cast("long").as("tok_docs"),
+      sum(col("n_tokens") * col("keep")).cast("long").as("tok_final"))
+    .withColumn("token_retention",
+      round(col("tok_final").cast("double") / col("tok_docs"), 6))
+
+  /** Oracle: [[curateSql]] as a derived table (nested WITH RECURSIVE),
+    * re-aggregated with the identical conditional sums.
+    */
+  val curateFunnelSql: String =
+    s"""SELECT count(*) AS n_docs,
+       |       CAST(sum(keep_dedup) AS BIGINT) AS n_after_dedup,
+       |       CAST(sum(keep_dedup * keep_clean) AS BIGINT) AS n_after_decon,
+       |       CAST(sum(keep) AS BIGINT) AS n_final,
+       |       CAST(sum(n_tokens) AS BIGINT) AS tok_docs,
+       |       CAST(sum(n_tokens * keep) AS BIGINT) AS tok_final,
+       |       round(CAST(sum(n_tokens * keep) AS DOUBLE) / sum(n_tokens), 6)
+       |         AS token_retention
+       |FROM ($curateSql)""".stripMargin
+
   // ----------------------------------------- X59 constraint validation
 
   /** Language codes the corpus contract allows ([[dataValidate]]'s

@@ -977,6 +977,21 @@ class ExtOpsSpec extends AnyFunSuite {
     assert(rho.select("bucket").distinct().count() == 256)
   }
 
+  test("curate_funnel aggregates curate's own manifest; stages monotone") {
+    val rows = Curation.curate(spark, dir).collect()
+      .map(r => (r.getLong(1), r.getInt(3), r.getInt(4), r.getInt(6)))
+    val f = Curation.curateFunnel(spark, dir).collect().head
+    assert(f.getLong(0) == rows.length.toLong)
+    assert(f.getLong(1) == rows.count(_._2 == 1).toLong)
+    assert(f.getLong(2) == rows.count(r => r._2 == 1 && r._3 == 1).toLong)
+    assert(f.getLong(3) == rows.count(_._4 == 1).toLong)
+    assert(f.getLong(4) == rows.map(_._1).sum)
+    assert(f.getLong(5) == rows.filter(_._4 == 1).map(_._1).sum)
+    // a funnel only narrows
+    assert(f.getLong(0) >= f.getLong(1) && f.getLong(1) >= f.getLong(2) &&
+      f.getLong(2) >= f.getLong(3))
+  }
+
   test("data_validate counts each violation class on a dirty corpus") {
     import spark.implicits._
     val dirty = Seq(

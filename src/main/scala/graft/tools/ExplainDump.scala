@@ -509,7 +509,17 @@ object ExplainDump {
         "the ~530-bin exponential histogram (map-side combined); the " +
         "rank walk, interpolation and exact-percentile audit all run " +
         "on the bin table and a 3-row percentile frame via 1-row " +
-        "broadcasts."))
+        "broadcasts."),
+    "data_validate" ->
+      ("Constraint validation: all six checks ride ONE conditional " +
+        "aggregate over the corpus (the uniqueness distinct-expansion " +
+        "shuffles only doc_id); stack unpivots the summary row, so no " +
+        "per-constraint branch re-aggregates."),
+    "curate_funnel" ->
+      ("The drop-accounting report: one aggregation over the curate " +
+        "manifest's gate flags — the cluster contraction, broadcast " +
+        "decontamination and single-pass features all belong to " +
+        "curate's own plan and amortize with it."))
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.lift(0).getOrElse("/root/testdata/sf0.001")

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Corpus-curation operators — the decisions a training-data pipeline
@@ -314,7 +314,19 @@ object Curation {
     * standalone per-feature ops and their oracles pin the identical
     * values via the hash compare.
     */
-  def curate(s: SparkSession, dir: String): DataFrame = {
+  def curate(s: SparkSession, dir: String): DataFrame =
+    curateGates(s, dir)
+      .join(splitAssign(s, dir).select(col("doc_id"), col("split")), "doc_id")
+      .select("doc_id", "n_tokens", "split",
+        "keep_dedup", "keep_clean", "keep_quality", "keep")
+      .orderBy("doc_id")
+
+  /** The gate-flag frame behind [[curate]] — everything except the
+    * split-assignment join, so [[curateFunnel]] can aggregate the flags
+    * without paying splitAssign's per-doc md5 + join for a column it
+    * never reads (review finding: an inner join is not prunable).
+    */
+  private def curateGates(s: SparkSession, dir: String): DataFrame = {
     val keepd = dedupCollapse(s, dir)
       .select(col("doc_id"), col("keep").as("keep_dedup"))
     val clean = decontaminate(s, dir)
@@ -339,18 +351,14 @@ object Curation {
         round((col("n_distinct").cast("double") / col("n_tokens")) *
           (lit(1.0) - col("stop_cnt").cast("double") / col("n_tokens")), 6)
           .as("quality"))
-    val split = splitAssign(s, dir).select(col("doc_id"), col("split"))
     clean // decontaminate already restricts to corpus docs (>= cut)
-      .join(keepd, "doc_id").join(feats, "doc_id").join(split, "doc_id")
+      .join(keepd, "doc_id").join(feats, "doc_id")
       .withColumn("keep_quality",
         (col("quality") >= CurateMinQuality &&
           col("top_token_share") <= CurateMaxTopShare).cast("int"))
       .withColumn("keep",
         (col("keep_dedup") === 1 && col("keep_clean") === 1 &&
           col("keep_quality") === 1).cast("int"))
-      .select("doc_id", "n_tokens", "split",
-        "keep_dedup", "keep_clean", "keep_quality", "keep")
-      .orderBy("doc_id")
   }
 
   /** Oracle: one WITH RECURSIVE chain reusing the cluster CTEs, plus the
@@ -621,7 +629,7 @@ object Curation {
     * single-pass features) is [[curate]]'s and amortized with it.
     */
   def curateFunnel(s: SparkSession, dir: String): DataFrame =
-    curate(s, dir).agg(
+    curateGates(s, dir).agg(
       count(lit(1)).as("n_docs"),
       sum(col("keep_dedup")).cast("long").as("n_after_dedup"),
       sum(col("keep_dedup") * col("keep_clean")).cast("long")
@@ -657,9 +665,15 @@ object Curation {
   /** `data_validate`: declarative constraint validation over the corpus
     * — the Deequ/Great-Expectations stage a pipeline runs BEFORE any
     * curation math trusts the columns. One row per constraint with its
-    * violation count and pass flag: key uniqueness and non-null,
-    * text present and non-empty, the `n_chars` metadata consistent with
-    * the payload, `lang` inside the allowed domain, `source` non-empty.
+    * violation count and pass flag: the corpus is non-empty, key
+    * uniqueness and non-null, text present and non-empty, the `n_chars`
+    * metadata consistent with the payload, `lang` inside the allowed
+    * domain, `source` non-empty. NULLs COUNT AS VIOLATIONS everywhere a
+    * check inspects a value (three-valued logic would otherwise let a
+    * NULL lang or NULL n_chars sail through the very gate meant to
+    * catch it — review finding), and every sum is coalesced so an
+    * EMPTY corpus yields a definite verdict: `corpus_non_empty` fails,
+    * the rest pass vacuously with 0 violations.
     *
     * All seven checks ride ONE aggregation pass (conditional sums +
     * the `count − count(DISTINCT)` uniqueness form — map-side combined,
@@ -677,22 +691,21 @@ object Curation {
     */
   private[ops] def dataValidateFrom(d: DataFrame): DataFrame = {
     val langList = AllowedLangs.map(l => s"'$l'").mkString(", ")
+    def cnt(c: Column): Column = coalesce(sum(when(c, 1L).otherwise(0L)), lit(0L))
     val agg = d.agg(
       count(lit(1)).as("n_rows"),
-      sum(when(col("doc_id").isNull, 1L).otherwise(0L)).as("v_id_null"),
+      cnt(col("doc_id").isNull).as("v_id_null"),
       (count(col("doc_id")) - countDistinct(col("doc_id"))).as("v_id_dup"),
-      sum(when(col("text").isNull || length(col("text")) === 0, 1L)
-        .otherwise(0L)).as("v_text_empty"),
-      sum(when(col("n_chars") =!= length(col("text")), 1L).otherwise(0L))
-        .as("v_chars"),
-      sum(when(!expr(s"lang IN ($langList)"), 1L).otherwise(0L))
-        .as("v_lang"),
-      sum(when(col("source").isNull || length(col("source")) === 0, 1L)
-        .otherwise(0L)).as("v_source"))
+      cnt(col("text").isNull || length(col("text")) === 0).as("v_text_empty"),
+      cnt(col("n_chars").isNull || col("text").isNull ||
+        col("n_chars") =!= length(col("text"))).as("v_chars"),
+      cnt(col("lang").isNull || !expr(s"lang IN ($langList)")).as("v_lang"),
+      cnt(col("source").isNull || length(col("source")) === 0).as("v_source"))
     // unpivot the ONE summary row with stack — a per-constraint union
     // would re-run the corpus aggregation once per branch
     agg.select(col("n_rows"), expr(
-        "stack(6, " +
+        "stack(7, " +
+          "'corpus_non_empty', CASE WHEN n_rows = 0 THEN 1L ELSE 0L END, " +
           "'doc_id_not_null', v_id_null, " +
           "'doc_id_unique', v_id_dup, " +
           "'text_not_empty', v_text_empty, " +
@@ -708,22 +721,30 @@ object Curation {
     val langList = AllowedLangs.map(l => s"'$l'").mkString(", ")
     s"""WITH a AS (
        |  SELECT count(*) AS n_rows,
-       |         CAST(sum(CASE WHEN doc_id IS NULL THEN 1 ELSE 0 END)
-       |              AS BIGINT) AS v_id_null,
+       |         CAST(coalesce(sum(CASE WHEN doc_id IS NULL THEN 1 ELSE 0 END),
+       |                       0) AS BIGINT) AS v_id_null,
        |         count(doc_id) - count(DISTINCT doc_id) AS v_id_dup,
-       |         CAST(sum(CASE WHEN text IS NULL OR length(text) = 0
-       |                       THEN 1 ELSE 0 END) AS BIGINT) AS v_text_empty,
-       |         CAST(sum(CASE WHEN n_chars <> length(text) THEN 1 ELSE 0 END)
-       |              AS BIGINT) AS v_chars,
-       |         CAST(sum(CASE WHEN NOT (lang IN ($langList)) THEN 1 ELSE 0 END)
-       |              AS BIGINT) AS v_lang,
-       |         CAST(sum(CASE WHEN source IS NULL OR length(source) = 0
-       |                       THEN 1 ELSE 0 END) AS BIGINT) AS v_source
+       |         CAST(coalesce(sum(CASE WHEN text IS NULL OR length(text) = 0
+       |                                THEN 1 ELSE 0 END), 0) AS BIGINT)
+       |           AS v_text_empty,
+       |         CAST(coalesce(sum(CASE WHEN n_chars IS NULL OR text IS NULL
+       |                                  OR n_chars <> length(text)
+       |                                THEN 1 ELSE 0 END), 0) AS BIGINT)
+       |           AS v_chars,
+       |         CAST(coalesce(sum(CASE WHEN lang IS NULL
+       |                                  OR NOT (lang IN ($langList))
+       |                                THEN 1 ELSE 0 END), 0) AS BIGINT)
+       |           AS v_lang,
+       |         CAST(coalesce(sum(CASE WHEN source IS NULL OR length(source) = 0
+       |                                THEN 1 ELSE 0 END), 0) AS BIGINT)
+       |           AS v_source
        |  FROM documents)
        |SELECT check_name, n_rows, n_violations,
        |       CAST(n_violations = 0 AS INT) AS passed FROM (
-       |  SELECT 'doc_id_not_null' AS check_name, n_rows,
-       |         v_id_null AS n_violations FROM a
+       |  SELECT 'corpus_non_empty' AS check_name, n_rows,
+       |         CAST(CASE WHEN n_rows = 0 THEN 1 ELSE 0 END AS BIGINT)
+       |           AS n_violations FROM a
+       |  UNION ALL SELECT 'doc_id_not_null', n_rows, v_id_null FROM a
        |  UNION ALL SELECT 'doc_id_unique', n_rows, v_id_dup FROM a
        |  UNION ALL SELECT 'text_not_empty', n_rows, v_text_empty FROM a
        |  UNION ALL SELECT 'n_chars_consistent', n_rows, v_chars FROM a

@@ -994,29 +994,44 @@ class ExtOpsSpec extends AnyFunSuite {
 
   test("data_validate counts each violation class on a dirty corpus") {
     import spark.implicits._
-    val dirty = Seq(
-      (Some(1L), "good text", "en", "src0", 9L),     // clean
-      (Some(1L), "dup id", "en", "src0", 6L),        // duplicate doc_id
-      (None: Option[Long], "no id", "en", "src0", 5L), // null doc_id
-      (Some(2L), "", "en", "src0", 0L),              // empty text
-      (Some(3L), "wrong meta", "en", "src0", 99L),   // n_chars mismatch
-      (Some(4L), "bad lang", "xx", "src0", 8L),      // lang out of domain
-      (Some(5L), "no source", "en", "", 9L)          // empty source
+    val dirty = Seq[(Option[Long], Option[String], Option[String],
+        Option[String], Option[Long])](
+      (Some(1L), Some("good text"), Some("en"), Some("src0"), Some(9L)),
+      (Some(1L), Some("dup id"), Some("en"), Some("src0"), Some(6L)),
+      (None, Some("no id"), Some("en"), Some("src0"), Some(5L)),
+      (Some(2L), Some(""), Some("en"), Some("src0"), Some(0L)),
+      (Some(3L), Some("wrong meta"), Some("en"), Some("src0"), Some(99L)),
+      (Some(4L), Some("bad lang"), Some("xx"), Some("src0"), Some(8L)),
+      (Some(5L), Some("no source"), Some("en"), Some(""), Some(9L)),
+      // the three-valued-logic traps: NULLs must count as violations
+      (Some(6L), Some("nul lang"), None, Some("src0"), Some(8L)),
+      (Some(7L), Some("nul chars"), Some("en"), Some("src0"), None)
     ).toDF("doc_id", "text", "lang", "source", "n_chars")
     val got = Curation.dataValidateFrom(dirty).collect()
       .map(r => r.getString(0) ->
         ((r.getLong(1), r.getLong(2), r.getInt(3)))).toMap
     val exp = Map(
-      "doc_id_not_null" -> ((7L, 1L, 0)),
-      "doc_id_unique" -> ((7L, 1L, 0)),
-      "text_not_empty" -> ((7L, 1L, 0)),
-      "n_chars_consistent" -> ((7L, 1L, 0)),
-      "lang_in_domain" -> ((7L, 1L, 0)),
-      "source_not_empty" -> ((7L, 1L, 0)))
+      "corpus_non_empty" -> ((9L, 0L, 1)),
+      "doc_id_not_null" -> ((9L, 1L, 0)),
+      "doc_id_unique" -> ((9L, 1L, 0)),
+      "text_not_empty" -> ((9L, 1L, 0)),
+      "n_chars_consistent" -> ((9L, 2L, 0)),
+      "lang_in_domain" -> ((9L, 2L, 0)),
+      "source_not_empty" -> ((9L, 1L, 0)))
     assert(got == exp)
+    // an EMPTY corpus gets a definite verdict: non-emptiness fails,
+    // the value checks pass vacuously with zero (not NULL) violations
+    val empty = Curation.dataValidateFrom(
+      Seq.empty[(Option[Long], Option[String], Option[String],
+          Option[String], Option[Long])]
+        .toDF("doc_id", "text", "lang", "source", "n_chars"))
+      .collect()
+      .map(r => r.getString(0) -> ((r.getLong(2), r.getInt(3)))).toMap
+    assert(empty("corpus_non_empty") == ((1L, 0)))
+    assert((empty - "corpus_non_empty").values.forall(_ == ((0L, 1))))
     // and the real fixture is clean: every constraint passes
     val clean = Curation.dataValidate(spark, dir).collect()
-    assert(clean.length == 6 && clean.forall(_.getInt(3) == 1))
+    assert(clean.length == 7 && clean.forall(_.getInt(3) == 1))
   }
 
   test("embed_isotropy: the sum-vector identity equals brute-force pairwise mean") {

@@ -1127,6 +1127,86 @@ object Similarity {
        |FROM r ORDER BY query_id, fused_rnk""".stripMargin
   }
 
+  // ------------------------------------- X61 dedup threshold sensitivity
+
+  /** Cosine thresholds swept by [[dedupThresholdSweep]] — spelled as
+    * literal strings so both engines parse the identical doubles.
+    */
+  val SweepTaus: Seq[String] = Seq("0.3", "0.35", "0.4", "0.45", "0.5")
+
+  /** `dedup_threshold_sweep`: how sensitive is semantic-dedup volume to
+    * the cosine threshold — for each candidate τ, the number and
+    * fraction of vectors [[dedupSemantic]] would prune. τ is THE knob
+    * a dedup deployment argues about; this one-query sensitivity curve
+    * (run before committing a threshold) shows whether the choice sits
+    * on a plateau or a cliff.
+    *
+    * One pass over the SAME within-cluster pair scan the dedup key uses
+    * (persisted index, cent_id equi-join — never all-pairs), reduced to
+    * each vector's best earlier-neighbor cosine (`max` — order-exact),
+    * then ALL thresholds evaluated as conditional sums over that
+    * per-vector frame and unpivoted with `stack` — the sweep costs ONE
+    * aggregate regardless of how many τ values it reports.
+    */
+  def dedupThresholdSweep(s: SparkSession, dir: String): DataFrame = {
+    val (_, assigned) = annIndexShared(s, dir, trained = true)
+    val a = assigned.select(col("cent_id"), col("vec_id"), col("embedding"),
+      col("cn"))
+    val prev = a.select(col("cent_id").as("pcent"),
+      col("vec_id").as("prev_id"), col("embedding").as("pe"),
+      col("cn").as("pn"))
+    val best = a.join(prev,
+        col("pcent") === col("cent_id") && col("prev_id") < col("vec_id"))
+      .withColumn("cos",
+        dot_f(col("embedding"), col("pe")) / (col("cn") * col("pn")))
+      .groupBy("vec_id").agg(max(col("cos")).as("max_cos"))
+    // dot-free column labels: a '.' in a name breaks stack's resolution
+    def lbl(t: String): String = "d_" + t.replace(".", "_")
+    val sums = SweepTaus.map { t =>
+      sum(when(expr(s"max_cos >= CAST($t AS DOUBLE)"), 1L).otherwise(0L))
+        .as(lbl(t))
+    }
+    val total = a.agg(count(lit(1)).as("n_vecs"))
+    val stacked = SweepTaus.map { t =>
+      s"CAST($t AS DOUBLE), ${lbl(t)}"
+    }.mkString(", ")
+    best.agg(sums.head, sums.tail: _*)
+      .crossJoin(broadcast(total))
+      .select(col("n_vecs"), expr(
+        s"stack(${SweepTaus.size}, $stacked) AS (tau, n_dups)"))
+      .select(col("tau"), col("n_vecs"),
+        coalesce(col("n_dups"), lit(0L)).as("n_dups"))
+      .withColumn("frac",
+        round(col("n_dups").cast("double") / col("n_vecs"), 6))
+      .orderBy("tau")
+  }
+
+  /** Oracle: the dedup key's pair CTEs without the τ filter, reduced to
+    * per-vector best cosine, counted per threshold.
+    */
+  val dedupThresholdSweepSql: String = {
+    val arms = SweepTaus.map { t =>
+      s"""SELECT CAST($t AS DOUBLE) AS tau,
+         |       CAST(coalesce(sum(CASE WHEN max_cos >= CAST($t AS DOUBLE)
+         |                               THEN 1 ELSE 0 END), 0) AS BIGINT)
+         |         AS n_dups
+         |FROM best""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH $kmeansTrainedCtes,
+       |pr AS (
+       |  SELECT a.vec_id, ${cosineSql("a.embedding", "p.embedding")} AS cos
+       |  FROM embeddings a
+       |  JOIN assign_f fa ON fa.vec_id = a.vec_id
+       |  JOIN assign_f fp ON fp.cent_id = fa.cent_id AND fp.vec_id < a.vec_id
+       |  JOIN embeddings p ON p.vec_id = fp.vec_id),
+       |best AS (SELECT vec_id, max(cos) AS max_cos FROM pr GROUP BY 1),
+       |tot AS (SELECT count(*) AS n_vecs FROM embeddings)
+       |SELECT tau, n_vecs, n_dups,
+       |       round(CAST(n_dups AS DOUBLE) / n_vecs, 6) AS frac
+       |FROM ($arms) s, tot
+       |ORDER BY tau""".stripMargin
+  }
+
   // ---------------------------------------------- X53 isotropy audit
 
   /** `embed_isotropy`: corpus-level embedding-space health report —

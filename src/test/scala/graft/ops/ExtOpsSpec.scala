@@ -1034,6 +1034,22 @@ class ExtOpsSpec extends AnyFunSuite {
     assert(clean.length == 7 && clean.forall(_.getInt(3) == 1))
   }
 
+  test("dedup_threshold_sweep agrees with dedup_semantic at its own tau") {
+    val sweep = Similarity.dedupThresholdSweep(spark, dir).collect()
+      .map(r => (r.getDouble(0), r.getLong(2)))
+    // the sweep at tau = SemDedupTau IS the dedup key's prune count —
+    // same pair scan, same unrounded comparison
+    val atTau = sweep.toMap.apply(Similarity.SemDedupTau)
+    val semDups = Similarity.dedupSemantic(spark, dir).collect()
+      .count(_.getInt(2) == 1).toLong
+    assert(atTau == semDups)
+    // pruning can only shrink as the threshold rises
+    val byTau = sweep.sortBy(_._1).map(_._2)
+    assert(byTau.sliding(2).forall {
+      case Array(a, b) => b <= a; case _ => true
+    })
+  }
+
   test("embed_isotropy: the sum-vector identity equals brute-force pairwise mean") {
     val vs = spark.read.parquet(s"$dir/embeddings.parquet")
       .select("embedding").collect()

@@ -613,6 +613,62 @@ object Curation {
        |FROM pairs p LEFT JOIN ov o USING (source_a, source_b)
        |ORDER BY p.source_a, p.source_b""".stripMargin
 
+  // --------------------------------------------- X62 split balance audit
+
+  /** `split_balance`: the check a pipeline runs AFTER [[splitAssign]] —
+    * per (split, lang): document and token volume plus each cell's
+    * within-split document fraction. A deterministic hash split is
+    * uniform in expectation, not by construction; this is the audit
+    * that catches a language (or any stratum) under-represented in
+    * val/test before anyone trusts an eval number from it.
+    *
+    * One pass: assignment is [[splitAssign]]'s map-side hash (no join —
+    * the split derives from doc_id alone), features ride the same row,
+    * and the only shuffle is the (split, lang) aggregate — tens of
+    * groups at any corpus size; the per-split totals return as a
+    * broadcast join onto the cell table.
+    */
+  def splitBalance(s: SparkSession, dir: String): DataFrame = {
+    val assigned = docs(s, dir)
+      .withColumn("h", md5(concat(lit("split|"), col("doc_id").cast("string"))))
+      .withColumn("bucket", expr(Tokens.byteBucketExpr("h")))
+      .withColumn("split",
+        when(col("bucket") < TrainCut, lit("train"))
+          .when(col("bucket") < ValCut, lit("val"))
+          .otherwise(lit("test")))
+      .withColumn("n_toks", size(expr(toksExpr)).cast("long"))
+    val cells = assigned.groupBy("split", "lang").agg(
+      count(lit(1)).as("n_docs"),
+      sum(col("n_toks")).as("n_tokens"))
+    val totals = cells.groupBy("split").agg(sum(col("n_docs")).as("split_docs"))
+    cells.join(broadcast(totals), "split")
+      .select(col("split"), col("lang"), col("n_docs"), col("n_tokens"),
+        round(col("n_docs").cast("double") / col("split_docs"), 6)
+          .as("frac_docs"))
+      .orderBy("split", "lang")
+  }
+
+  val splitBalanceSql: String =
+    s"""WITH sa AS (
+       |  SELECT lang,
+       |         CAST(len($toksSql) AS BIGINT) AS n_toks,
+       |         CASE WHEN b < $TrainCut THEN 'train'
+       |              WHEN b < $ValCut THEN 'val'
+       |              ELSE 'test' END AS split
+       |  FROM (SELECT lang, text,
+       |               ${Tokens.byteBucketSql("md5('split|' || CAST(doc_id AS VARCHAR))")} AS b
+       |        FROM documents)),
+       |cells AS (
+       |  SELECT split, lang, count(*) AS n_docs,
+       |         CAST(sum(n_toks) AS BIGINT) AS n_tokens
+       |  FROM sa GROUP BY 1, 2),
+       |tot AS (SELECT split, CAST(sum(n_docs) AS BIGINT) AS split_docs
+       |        FROM cells GROUP BY 1)
+       |SELECT c.split, c.lang, c.n_docs, c.n_tokens,
+       |       round(CAST(c.n_docs AS DOUBLE) / t.split_docs, 6) AS frac_docs
+       |FROM cells c JOIN tot t USING (split)
+       |ORDER BY c.split, c.lang""".stripMargin
+
   // ------------------------------------------------- X60 curation funnel
 
   /** `curate_funnel`: the drop-accounting report over [[curate]]'s

@@ -1034,6 +1034,26 @@ class ExtOpsSpec extends AnyFunSuite {
     assert(clean.length == 7 && clean.forall(_.getInt(3) == 1))
   }
 
+  test("split_balance cells partition the corpus and agree with split_assign") {
+    val cells = Curation.splitBalance(spark, dir).collect()
+      .map(r => ((r.getString(0), r.getString(1)), (r.getLong(2), r.getLong(3),
+        r.getDouble(4))))
+    val total = spark.read.parquet(s"$dir/documents.parquet").count()
+    assert(cells.map(_._2._1).sum == total)
+    // cell counts recompute from the split_assign key joined to lang
+    val assign = Curation.splitAssign(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getString(2))).toMap
+    val langs = spark.read.parquet(s"$dir/documents.parquet")
+      .select("doc_id", "lang").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val exp = langs.groupBy { case (id, lang) => (assign(id), lang) }
+      .view.mapValues(_.length.toLong).toMap
+    assert(cells.map { case (k, v) => k -> v._1 }.toMap == exp)
+    // fractions sum to ~1 within each split
+    for ((split, rows) <- cells.groupBy(_._1._1))
+      assert(math.abs(rows.map(_._2._3).sum - 1.0) < 1e-3, split)
+  }
+
   test("dedup_threshold_sweep agrees with dedup_semantic at its own tau") {
     val sweep = Similarity.dedupThresholdSweep(spark, dir).collect()
       .map(r => (r.getDouble(0), r.getLong(2)))

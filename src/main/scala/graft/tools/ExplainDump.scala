@@ -519,7 +519,17 @@ object ExplainDump {
       ("The drop-accounting report: one aggregation over the curate " +
         "manifest's gate flags — the cluster contraction, broadcast " +
         "decontamination and single-pass features all belong to " +
-        "curate's own plan and amortize with it."))
+        "curate's own plan and amortize with it."),
+    "dedup_threshold_sweep" ->
+      ("Tau sensitivity in ONE aggregate: the SemDeDup pair scan " +
+        "(persisted-index equi-join, never all-pairs) reduces to " +
+        "per-vector best-neighbor cosine, then every threshold is a " +
+        "conditional sum over that frame, stack-unpivoted."),
+    "split_balance" ->
+      ("The stratification audit: split assignment is the map-side " +
+        "md5 arithmetic inline (no join), features ride the same row, " +
+        "and the only exchanges are the tens-of-groups (split, lang) " +
+        "aggregate plus the broadcast of per-split totals."))
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.lift(0).getOrElse("/root/testdata/sf0.001")

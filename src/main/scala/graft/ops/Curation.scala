@@ -244,15 +244,31 @@ object Curation {
     * salted with a purpose tag so this split is independent of
     * [[PipelineOps.sampleStratified]]'s sampling hash.
     */
+  /** The ONE split arithmetic (salt, md5, nibble bucket, cut thresholds)
+    * shared by [[splitAssign]], [[splitAssignSafe]] and [[splitBalance]]
+    * in BOTH dialects — the audit must never report a different
+    * partition than the assignment it audits (review finding: three
+    * Spark copies and four SQL copies had to stay in sync by hand).
+    */
+  private def splitHashCol(key: Column): Column =
+    md5(concat(lit("split|"), key.cast("string")))
+  private def splitHashSql(keyExpr: String): String =
+    s"md5('split|' || CAST($keyExpr AS VARCHAR))"
+  private def splitCase(bucket: Column): Column =
+    when(bucket < TrainCut, lit("train"))
+      .when(bucket < ValCut, lit("val"))
+      .otherwise(lit("test"))
+  private def splitCaseSql(b: String): String =
+    s"CASE WHEN $b < $TrainCut THEN 'train' " +
+      s"WHEN $b < $ValCut THEN 'val' ELSE 'test' END"
+
   def splitAssign(s: SparkSession, dir: String): DataFrame =
     docs(s, dir)
-      .withColumn("h", md5(concat(lit("split|"), col("doc_id").cast("string"))))
+      .withColumn("h", splitHashCol(col("doc_id")))
       .withColumn("bucket",
         expr(Tokens.byteBucketExpr("h")))
       .select(col("doc_id"), col("bucket"),
-        when(col("bucket") < TrainCut, lit("train"))
-          .when(col("bucket") < ValCut, lit("val"))
-          .otherwise(lit("test")).as("split"))
+        splitCase(col("bucket")).as("split"))
       .orderBy("doc_id")
 
   /** `split_assign_safe`: LEAKAGE-SAFE train/val/test assignment — the
@@ -272,13 +288,11 @@ object Curation {
     docs(s, dir).select(col("doc_id"))
       .join(Dedup.dedupCluster(s, dir), Seq("doc_id"), "left")
       .withColumn("group_id", coalesce(col("cluster_id"), col("doc_id")))
-      .withColumn("h", md5(concat(lit("split|"), col("group_id").cast("string"))))
+      .withColumn("h", splitHashCol(col("group_id")))
       .withColumn("bucket",
         expr(Tokens.byteBucketExpr("h")))
       .select(col("doc_id"), col("group_id"), col("bucket"),
-        when(col("bucket") < TrainCut, lit("train"))
-          .when(col("bucket") < ValCut, lit("val"))
-          .otherwise(lit("test")).as("split"))
+        splitCase(col("bucket")).as("split"))
       .orderBy("doc_id")
 
   // --------------------------------------------------- end-to-end curate
@@ -395,12 +409,10 @@ object Curation {
        |sb AS (
        |  SELECT doc_id,
        |         ${Tokens.byteBucketSql("h")} AS bucket
-       |  FROM (SELECT doc_id, md5('split|' || CAST(doc_id AS VARCHAR)) AS h
+       |  FROM (SELECT doc_id, ${splitHashSql("doc_id")} AS h
        |        FROM documents))
        |SELECT m.doc_id, rep.n_tokens,
-       |       CASE WHEN sb.bucket < $TrainCut THEN 'train'
-       |            WHEN sb.bucket < $ValCut THEN 'val'
-       |            ELSE 'test' END AS split,
+       |       ${splitCaseSql("sb.bucket")} AS split,
        |       CAST(m.doc_id = m.cluster_id AS INT) AS keep_dedup,
        |       CAST(coalesce(h.n_shared, 0) = 0 AS INT) AS keep_clean,
        |       CAST(qual.quality >= $CurateMinQuality AND
@@ -428,30 +440,26 @@ object Curation {
        |  FROM documents d LEFT JOIN comp c ON c.doc_id = d.doc_id),
        |hh AS (
        |  SELECT doc_id, group_id,
-       |         md5('split|' || CAST(group_id AS VARCHAR)) AS h
+       |         ${splitHashSql("group_id")} AS h
        |  FROM base),
        |bb AS (
        |  SELECT doc_id, group_id,
        |         ${Tokens.byteBucketSql("h")} AS bucket
        |  FROM hh)
        |SELECT doc_id, group_id, bucket,
-       |       CASE WHEN bucket < $TrainCut THEN 'train'
-       |            WHEN bucket < $ValCut THEN 'val'
-       |            ELSE 'test' END AS split
+       |       ${splitCaseSql("bucket")} AS split
        |FROM bb ORDER BY doc_id""".stripMargin
 
   val splitAssignSql: String =
     s"""WITH h AS (
-       |  SELECT doc_id, md5('split|' || CAST(doc_id AS VARCHAR)) AS h
+       |  SELECT doc_id, ${splitHashSql("doc_id")} AS h
        |  FROM documents),
        |b AS (
        |  SELECT doc_id,
        |         ${Tokens.byteBucketSql("h")} AS bucket
        |  FROM h)
        |SELECT doc_id, bucket,
-       |       CASE WHEN bucket < $TrainCut THEN 'train'
-       |            WHEN bucket < $ValCut THEN 'val'
-       |            ELSE 'test' END AS split
+       |       ${splitCaseSql("bucket")} AS split
        |FROM b ORDER BY doc_id""".stripMargin
 
   // ------------------------------------------- X32 DSIR importance weight
@@ -630,12 +638,9 @@ object Curation {
     */
   def splitBalance(s: SparkSession, dir: String): DataFrame = {
     val assigned = docs(s, dir)
-      .withColumn("h", md5(concat(lit("split|"), col("doc_id").cast("string"))))
+      .withColumn("h", splitHashCol(col("doc_id")))
       .withColumn("bucket", expr(Tokens.byteBucketExpr("h")))
-      .withColumn("split",
-        when(col("bucket") < TrainCut, lit("train"))
-          .when(col("bucket") < ValCut, lit("val"))
-          .otherwise(lit("test")))
+      .withColumn("split", splitCase(col("bucket")))
       .withColumn("n_toks", size(expr(toksExpr)).cast("long"))
     val cells = assigned.groupBy("split", "lang").agg(
       count(lit(1)).as("n_docs"),
@@ -652,11 +657,9 @@ object Curation {
     s"""WITH sa AS (
        |  SELECT lang,
        |         CAST(len($toksSql) AS BIGINT) AS n_toks,
-       |         CASE WHEN b < $TrainCut THEN 'train'
-       |              WHEN b < $ValCut THEN 'val'
-       |              ELSE 'test' END AS split
+       |         ${splitCaseSql("b")} AS split
        |  FROM (SELECT lang, text,
-       |               ${Tokens.byteBucketSql("md5('split|' || CAST(doc_id AS VARCHAR))")} AS b
+       |               ${Tokens.byteBucketSql(splitHashSql("doc_id"))} AS b
        |        FROM documents)),
        |cells AS (
        |  SELECT split, lang, count(*) AS n_docs,

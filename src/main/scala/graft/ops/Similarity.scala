@@ -369,17 +369,42 @@ object Similarity {
     * the cluster.  [[graft.ops.Dedup.dedupEmbedding]] remains the exact
     * small-scale oracle for the pair semantics.
     */
-  def dedupSemantic(s: SparkSession, dir: String): DataFrame = {
-    val (_, assigned) = annIndexShared(s, dir, trained = true)
+  /** The within-cluster earlier-vs-later pair scan — `(vec_id, prev_id,
+    * cos)` for every pair sharing a cluster with `prev_id < vec_id` —
+    * single-sourced between [[dedupSemantic]] and
+    * [[dedupThresholdSweep]] so the sweep can never report a curve for
+    * different pair semantics than the dedup key deploys (the
+    * [[Tokens]] desync rule applied to a plan fragment).
+    */
+  private def semanticPairs(assigned: DataFrame): DataFrame = {
     val a = assigned.select(col("cent_id"), col("vec_id"), col("embedding"),
       col("cn"))
     val prev = a.select(col("cent_id").as("pcent"),
       col("vec_id").as("prev_id"), col("embedding").as("pe"),
       col("cn").as("pn"))
-    val pairs = a.join(prev,
+    a.join(prev,
         col("pcent") === col("cent_id") && col("prev_id") < col("vec_id"))
       .withColumn("cos",
         dot_f(col("embedding"), col("pe")) / (col("cn") * col("pn")))
+      .select(col("vec_id"), col("prev_id"), col("cos"))
+  }
+
+  /** SQL twin of [[semanticPairs]] as the `pr` CTE body (expects the
+    * [[kmeansTrainedCtes]] chain in scope).
+    */
+  private val semanticPairsCte: String =
+    s"""pr AS (
+       |  SELECT a.vec_id, p.vec_id AS prev_id,
+       |         ${cosineSql("a.embedding", "p.embedding")} AS cos
+       |  FROM embeddings a
+       |  JOIN assign_f fa ON fa.vec_id = a.vec_id
+       |  JOIN assign_f fp ON fp.cent_id = fa.cent_id AND fp.vec_id < a.vec_id
+       |  JOIN embeddings p ON p.vec_id = fp.vec_id)""".stripMargin
+
+  def dedupSemantic(s: SparkSession, dir: String): DataFrame = {
+    val (_, assigned) = annIndexShared(s, dir, trained = true)
+    val a = assigned.select(col("cent_id"), col("vec_id"))
+    val pairs = semanticPairs(assigned)
       .filter(col("cos") >= SemDedupTau)
     val w = Window.partitionBy("vec_id")
       .orderBy(col("cos").desc, col("prev_id"))
@@ -398,13 +423,7 @@ object Similarity {
     */
   val dedupSemanticSql: String =
     s"""WITH $kmeansTrainedCtes,
-       |pr AS (
-       |  SELECT a.vec_id, p.vec_id AS prev_id,
-       |         ${cosineSql("a.embedding", "p.embedding")} AS cos
-       |  FROM embeddings a
-       |  JOIN assign_f fa ON fa.vec_id = a.vec_id
-       |  JOIN assign_f fp ON fp.cent_id = fa.cent_id AND fp.vec_id < a.vec_id
-       |  JOIN embeddings p ON p.vec_id = fp.vec_id),
+       |$semanticPairsCte,
        |best AS (
        |  SELECT vec_id, prev_id AS dup_of, round(cos, 6) AS cosine
        |  FROM (SELECT vec_id, prev_id, cos,
@@ -1150,15 +1169,7 @@ object Similarity {
     */
   def dedupThresholdSweep(s: SparkSession, dir: String): DataFrame = {
     val (_, assigned) = annIndexShared(s, dir, trained = true)
-    val a = assigned.select(col("cent_id"), col("vec_id"), col("embedding"),
-      col("cn"))
-    val prev = a.select(col("cent_id").as("pcent"),
-      col("vec_id").as("prev_id"), col("embedding").as("pe"),
-      col("cn").as("pn"))
-    val best = a.join(prev,
-        col("pcent") === col("cent_id") && col("prev_id") < col("vec_id"))
-      .withColumn("cos",
-        dot_f(col("embedding"), col("pe")) / (col("cn") * col("pn")))
+    val best = semanticPairs(assigned)
       .groupBy("vec_id").agg(max(col("cos")).as("max_cos"))
     // dot-free column labels: a '.' in a name breaks stack's resolution
     def lbl(t: String): String = "d_" + t.replace(".", "_")
@@ -1166,7 +1177,7 @@ object Similarity {
       sum(when(expr(s"max_cos >= CAST($t AS DOUBLE)"), 1L).otherwise(0L))
         .as(lbl(t))
     }
-    val total = a.agg(count(lit(1)).as("n_vecs"))
+    val total = assigned.agg(count(lit(1)).as("n_vecs"))
     val stacked = SweepTaus.map { t =>
       s"CAST($t AS DOUBLE), ${lbl(t)}"
     }.mkString(", ")
@@ -1176,8 +1187,10 @@ object Similarity {
         s"stack(${SweepTaus.size}, $stacked) AS (tau, n_dups)"))
       .select(col("tau"), col("n_vecs"),
         coalesce(col("n_dups"), lit(0L)).as("n_dups"))
-      .withColumn("frac",
-        round(col("n_dups").cast("double") / col("n_vecs"), 6))
+      // empty-table guard: Spark's non-ANSI x/0 is NULL but DuckDB's
+      // IEEE float division is NaN — make both emit NULL explicitly
+      .withColumn("frac", when(col("n_vecs") === 0, lit(null))
+        .otherwise(round(col("n_dups").cast("double") / col("n_vecs"), 6)))
       .orderBy("tau")
   }
 
@@ -1193,16 +1206,12 @@ object Similarity {
          |FROM best""".stripMargin
     }.mkString("\nUNION ALL\n")
     s"""WITH $kmeansTrainedCtes,
-       |pr AS (
-       |  SELECT a.vec_id, ${cosineSql("a.embedding", "p.embedding")} AS cos
-       |  FROM embeddings a
-       |  JOIN assign_f fa ON fa.vec_id = a.vec_id
-       |  JOIN assign_f fp ON fp.cent_id = fa.cent_id AND fp.vec_id < a.vec_id
-       |  JOIN embeddings p ON p.vec_id = fp.vec_id),
+       |$semanticPairsCte,
        |best AS (SELECT vec_id, max(cos) AS max_cos FROM pr GROUP BY 1),
        |tot AS (SELECT count(*) AS n_vecs FROM embeddings)
        |SELECT tau, n_vecs, n_dups,
-       |       round(CAST(n_dups AS DOUBLE) / n_vecs, 6) AS frac
+       |       CASE WHEN n_vecs = 0 THEN NULL
+       |            ELSE round(CAST(n_dups AS DOUBLE) / n_vecs, 6) END AS frac
        |FROM ($arms) s, tot
        |ORDER BY tau""".stripMargin
   }

@@ -700,6 +700,33 @@ class PlanSpec extends AnyFunSuite {
       s"expected map-side partial aggregation:\n$p")
   }
 
+  test("dedup_threshold_sweep shares the index-read pair-scan contract") {
+    // same contract as the dedup_semantic pin: within-cluster pairs via
+    // an equi-join on the persisted assignment — never all-pairs, no
+    // training stage (the 1-row totals broadcast is the only BNLJ)
+    val p = plan(Similarity.dedupThresholdSweep(spark, dir))
+    assert(!p.contains("CartesianProduct"),
+      s"all-pairs scan leaked into the sweep plan:\n$p")
+    // the one allowed Generate is the stack unpivot over the 1-row
+    // summary — a SECOND one would be a training-stage explode
+    assert("Generate".r.findAllIn(p).size <= 2, // tree + detail listing
+      s"training-stage explode leaked into the sweep plan:\n$p")
+    assert(!p.contains("posexplode"),
+      s"training-stage posexplode leaked into the sweep plan:\n$p")
+    assert(!p.contains("ExistingRDD"),
+      s"checkpointed training frame leaked into the plan:\n$p")
+    assert(p.contains("Scan parquet"),
+      s"sweep does not read the persisted index:\n$p")
+  }
+
+  test("split_balance assigns map-side and only broadcasts totals") {
+    val p = plan(Curation.splitBalance(spark, dir))
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      s"assignment left the map side:\n$p")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"),
+      s"per-split totals not broadcast:\n$p")
+  }
+
   test("rollup_drift aggregates both arms off ONE materialized lww base") {
     // each hourly recompute must read the checkpointed 1m level, not
     // re-scan + re-shuffle the raw points per branch (two full passes

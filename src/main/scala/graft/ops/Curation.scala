@@ -528,7 +528,14 @@ object Curation {
     docb.join(broadcast(s.read.parquet(wPath)), "b")
       .groupBy("doc_id")
       .agg(sum(col("n")).as("n_tokens"),
-        round(sum(col("w") * col("n")) / sum(col("n")), 6).as("dsir_weight"))
+        // The per-doc fold Σ w·n runs SORTED BY BUCKET (the textEntropy
+        // order pin): an unordered double sum's merge order varies with
+        // task timing, and a doc sitting on a round-half-at-1e-6
+        // boundary flips the 6th decimal between runs.
+        expr("aggregate(transform(array_sort(collect_list(struct(b, w, n))), " +
+          "x -> x.w * x.n), 0D, (a, v) -> a + v)").as("sum_wn"))
+      .select(col("doc_id"), col("n_tokens"),
+        round(col("sum_wn") / col("n_tokens"), 6).as("dsir_weight"))
       .orderBy("doc_id")
   }
 
@@ -551,7 +558,8 @@ object Curation {
        |            ln((cr + 1) * 1.0 / (nr + $DsirBuckets)) AS w
        |  FROM counts CROSS JOIN totals)
        |SELECT doc_id, sum(n) AS n_tokens,
-       |       round(sum(w * n) / sum(n), 6) AS dsir_weight
+       |       round(list_reduce(list(w * n ORDER BY b), (a, v) -> a + v)
+       |             / sum(n), 6) AS dsir_weight
        |FROM docb JOIN w USING (b)
        |GROUP BY doc_id ORDER BY doc_id""".stripMargin
   }

@@ -565,7 +565,12 @@ object Dedup {
       when(col(s"ha$i") === col(s"hb$i"), 1).otherwise(0)).reduce(_ + _)
     cand.join(mha, "doc_a").join(mhb, "doc_b")
       .withColumn("n_match", nMatch)
-      .join(inter, Seq("doc_a", "doc_b"))
+      // LEFT join: an LSH candidate whose true shingle intersection is
+      // zero (possible only via an md5 minhash/band collision) must
+      // still appear in the estimator-quality report, with
+      // true_jaccard = 0 — the audit covers ALL candidates
+      .join(inter, Seq("doc_a", "doc_b"), "left")
+      .withColumn("x", coalesce(col("x"), lit(0L)))
       .join(sizes.select(col("doc_id").as("doc_a"), col("sz").as("na")), "doc_a")
       .join(sizes.select(col("doc_id").as("doc_b"), col("sz").as("nb")), "doc_b")
       .select(col("doc_a"), col("doc_b"), col("n_match"),
@@ -593,11 +598,13 @@ object Dedup {
        |  GROUP BY 1, 2)
        |SELECT m.doc_a, m.doc_b, m.n_match,
        |       round(CAST(m.n_match AS DOUBLE) / $MinhashSeeds, 6) AS est_jaccard,
-       |       round(CAST(x AS DOUBLE) / (na.sz + nb.sz - x), 6) AS true_jaccard,
+       |       round(CAST(coalesce(i.x, 0) AS DOUBLE) /
+       |             (na.sz + nb.sz - coalesce(i.x, 0)), 6) AS true_jaccard,
        |       round(round(CAST(m.n_match AS DOUBLE) / $MinhashSeeds, 6) -
-       |             round(CAST(x AS DOUBLE) / (na.sz + nb.sz - x), 6), 6) AS err
+       |             round(CAST(coalesce(i.x, 0) AS DOUBLE) /
+       |                   (na.sz + nb.sz - coalesce(i.x, 0)), 6), 6) AS err
        |FROM mm m
-       |JOIN inter i ON i.doc_a = m.doc_a AND i.doc_b = m.doc_b
+       |LEFT JOIN inter i ON i.doc_a = m.doc_a AND i.doc_b = m.doc_b
        |JOIN sizes na ON na.doc_id = m.doc_a
        |JOIN sizes nb ON nb.doc_id = m.doc_b
        |ORDER BY m.doc_a, m.doc_b""".stripMargin
@@ -650,7 +657,10 @@ object Dedup {
     val exact = u.agg(countDistinct(col("g")).as("n_exact"))
     exact.crossJoin(hllEstimate(regs))
       .select(col("n_exact"), col("n_est"),
-        round((col("n_est") - col("n_exact")) / col("n_exact"), 6)
+        // empty-corpus guard (the dedupThresholdSweep rule): x/0 is
+        // NULL in Spark but ±Inf/NaN in DuckDB — pin both to NULL
+        round(when(col("n_exact") > 0,
+          (col("n_est") - col("n_exact")) / col("n_exact")), 6)
           .as("rel_err"))
   }
 
@@ -672,8 +682,13 @@ object Dedup {
     * small-range correction, rounded at the output edge.
     */
   private[graft] def hllEstimate(regs: DataFrame): DataFrame =
+    // psum coalesces to 0 so an EMPTY register frame stays defined:
+    // raw = α·m²/m, v0 = m > 0 → linear counting m·ln(m/m) = 0, the
+    // right answer for zero observed values (sum() alone returns NULL
+    // and the CASE would fall through to a NULL estimate)
     regs.agg(count(lit(1)).as("present"),
-        sum(expr("power(CAST(2 AS DOUBLE), -m)")).as("psum"))
+        coalesce(sum(expr("power(CAST(2 AS DOUBLE), -m)")), lit(0d))
+          .as("psum"))
       .withColumn("raw", expr(
         s"$HllAlpha * ${HllBuckets.toLong * HllBuckets} / " +
           s"(psum + ($HllBuckets - present))"))
@@ -698,7 +713,8 @@ object Dedup {
        |  FROM hv GROUP BY 1),
        |agg AS (
        |  SELECT count(*) AS present,
-       |         sum(power(CAST(2 AS DOUBLE), -m)) AS psum
+       |         coalesce(sum(power(CAST(2 AS DOUBLE), -m)),
+       |                  CAST(0 AS DOUBLE)) AS psum
        |  FROM regs),
        |e AS (
        |  SELECT round(CASE WHEN raw <= 2.5 * $HllBuckets AND v0 > 0
@@ -710,7 +726,8 @@ object Dedup {
        |        FROM agg)),
        |x AS (SELECT count(DISTINCT g) AS n_exact FROM shingle_u)
        |SELECT n_exact, n_est,
-       |       round((n_est - n_exact) / n_exact, 6) AS rel_err
+       |       round(CASE WHEN n_exact > 0
+       |             THEN (n_est - n_exact) / n_exact END, 6) AS rel_err
        |FROM x, e""".stripMargin
 
   /** `bits_needed(w)` as a [[HllWindowBits]]-term integer comparison

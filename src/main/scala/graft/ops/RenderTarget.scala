@@ -94,6 +94,23 @@ object RenderTarget {
     "movingAverage", "movingSum", "movingMin", "movingMax", "movingMedian",
     "stdev")
 
+  /** Functions whose LEADING arguments are all series and whose first
+    * literal argument (if any) is always quoted — i.e. an unquoted
+    * digit-leading token before any literal can only be a metric. For
+    * these, the grammar prefers the series parse even when the token is
+    * a complete numeral (`3e5`, `10e2` — legal graphite node names that
+    * are also well-formed exponents): `averageSeries(a, 3e5, b)` reads
+    * `3e5` as a metric, while `scale(m, 1e3)` (not in this set) still
+    * reads `1e3` as the number. Conservatively excludes every function
+    * with an optional unquoted-numeric parameter (asPercent's total,
+    * interpolate's limit, weightedAverage's node indices, ...).
+    */
+  private val SeriesArgFuncs = CombineFuncs ++ Set(
+    "group", "unique", "powSeries", "diffSeries", "multiplySeries",
+    "divideSeries", "fallbackSeries", "areaBetween",
+    "divideSeriesLists", "sumSeriesLists", "diffSeriesLists",
+    "multiplySeriesLists", "aggregateSeriesLists")
+
   private val Funcs = CombineFuncs ++ MovingFuncs ++ Set(
     "perSecond", "summarize",
     "scale", "offset", "absolute", "derivative", "nonNegativeDerivative",
@@ -161,7 +178,15 @@ object RenderTarget {
       var literalSeen = false
       while (rest.startsWith(",")) {
         val t2 = rest.drop(1).trim
-        val startsLiteral = t2.headOption.exists(c0 =>
+        // In a [[SeriesArgFuncs]] function, a digit-leading token before
+        // any literal is a metric even when it is ALSO a complete
+        // numeral (`3e5`): these functions take no unquoted numerics in
+        // their leading slots, so the series reading is the only one
+        // that can be meant. Quotes and signs keep the literal path
+        // (metrics cannot start with quote/'-'/'+').
+        val seriesDigit = !literalSeen && SeriesArgFuncs.contains(ident) &&
+          t2.headOption.exists(_.isDigit)
+        val startsLiteral = !seriesDigit && t2.headOption.exists(c0 =>
           c0 == '\'' || c0 == '"' || c0 == '-' || c0 == '+' || c0.isDigit)
         if (literalSeen || startsLiteral) {
           val (arg, r2) = parseLiteral(t2)

@@ -1241,12 +1241,17 @@ object Similarity {
       .groupBy("pos").agg(sum(col("v") / col("cn")).as("sd"))
     val s2 = sums.agg(sum(col("sd") * col("sd")).as("s2"))
     val tot = e.agg(count(lit(1)).as("n_vecs"), sum(col("cn")).as("sumn"))
+    // degenerate-corpus guards (the dedupThresholdSweep rule): on 0/1
+    // vectors Spark's non-ANSI x/0 yields NULL while DuckDB's IEEE
+    // division yields NaN/Inf — pin both engines to NULL explicitly
     tot.crossJoin(s2)
       .select(col("n_vecs"),
-        round(col("sumn") / col("n_vecs"), 6).as("mean_norm"),
-        round(sqrt(col("s2")) / col("n_vecs"), 6).as("mu_norm"),
-        round((col("s2") - col("n_vecs")) /
-          (col("n_vecs") * (col("n_vecs") - 1)), 6).as("anisotropy"))
+        round(when(col("n_vecs") > 0, col("sumn") / col("n_vecs")), 6)
+          .as("mean_norm"),
+        round(when(col("n_vecs") > 0, sqrt(col("s2")) / col("n_vecs")), 6)
+          .as("mu_norm"),
+        round(when(col("n_vecs") >= 2, (col("s2") - col("n_vecs")) /
+          (col("n_vecs") * (col("n_vecs") - 1))), 6).as("anisotropy"))
   }
 
   val embedIsotropySql: String =
@@ -1263,9 +1268,13 @@ object Similarity {
        |s2 AS (SELECT sum(sd * sd) AS s2 FROM sums),
        |tot AS (SELECT count(*) AS n_vecs, sum(cn) AS sumn FROM e)
        |SELECT n_vecs,
-       |       round(sumn / n_vecs, 6) AS mean_norm,
-       |       round(sqrt(s2) / n_vecs, 6) AS mu_norm,
-       |       round((s2 - n_vecs) / (n_vecs * (n_vecs - 1)), 6) AS anisotropy
+       |       round(CASE WHEN n_vecs > 0 THEN sumn / n_vecs END, 6)
+       |         AS mean_norm,
+       |       round(CASE WHEN n_vecs > 0 THEN sqrt(s2) / n_vecs END, 6)
+       |         AS mu_norm,
+       |       round(CASE WHEN n_vecs >= 2
+       |             THEN (s2 - n_vecs) / (n_vecs * (n_vecs - 1)) END, 6)
+       |         AS anisotropy
        |FROM tot, s2""".stripMargin
 
   // -------------------------------------------- X49 cluster-quality audit

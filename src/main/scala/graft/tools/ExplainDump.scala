@@ -511,7 +511,7 @@ object ExplainDump {
         "on the bin table and a 3-row percentile frame via 1-row " +
         "broadcasts."),
     "data_validate" ->
-      ("Constraint validation: all six checks ride ONE conditional " +
+      ("Constraint validation: all seven checks ride ONE conditional " +
         "aggregate over the corpus (the uniqueness distinct-expansion " +
         "shuffles only doc_id); stack unpivots the summary row, so no " +
         "per-constraint branch re-aggregates."),

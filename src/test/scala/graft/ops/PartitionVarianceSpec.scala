@@ -1,0 +1,79 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Partitioning-variance tripwire (r10 judge finding): an UNORDERED
+  * floating-point fold is run-order nondeterministic — final-aggregate
+  * merge order varies with task timing and partition count, and a value
+  * sitting on a round-half-at-1e-6 boundary flips the 6th decimal
+  * between runs. `dsir_weight` shipped exactly that way and produced
+  * the first red driver CORRECTNESS row in ten rounds while passing
+  * every local check.
+  *
+  * This spec runs each float-fold-bearing query key under deliberately
+  * DIFFERENT physical layouts — shuffle.partitions=1 (single-task final
+  * aggregate, streaming merge order) vs 32 (multi-partial tree merge)
+  * crossed with a tiny files.maxPartitionBytes (many input splits →
+  * different map-side partial boundaries) — and requires bit-identical
+  * results. An order-pinned fold (array_sort + left fold, the
+  * powSeries/textEntropy rule) passes by construction; an unordered sum
+  * over computed doubles has to get lucky across all addend groupings
+  * to sneak through.
+  */
+class PartitionVarianceSpec extends AnyFunSuite {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  /** The query keys whose output depends on a fold over computed
+    * doubles (per the r11 `sum(` audit in ops/): the order-pinned folds
+    * plus the round-6-absorbed aggregate family this spec keeps honest.
+    */
+  private val FloatFoldKeys = Seq(
+    "dsir_weight",      // Σ w·n / Σ n — order-pinned this round
+    "text_entropy",     // Σ c·ln c — pinned (the original rule)
+    "bm25_search",      // per-(query,doc) term-score fold — pinned
+    "mix_temperature",  // source-share powers — pinned
+    "embed_isotropy",   // per-dim Σ v/‖v‖ then Σ sd² — round-6 absorbed
+    "sketch_hll",       // Σ 2^-m — EXACT in double (powers of two)
+    "cluster_stats",    // per-cluster Σ cos / n — round-6 absorbed
+    "text_lm_score",    // per-doc Σ ln p — pinned
+    "minhash_audit")    // integer folds + ratios — exact
+
+  private def rows(df: DataFrame): Seq[Seq[Any]] = {
+    val cols = df.columns.sorted
+    df.collect().toSeq
+      .map((r: Row) => cols.map(c => r.get(r.fieldIndex(c))).toSeq)
+      .sortBy(_.mkString(""))
+  }
+
+  private def withLayout[A](shuffle: Int, maxBytes: String)(f: => A): A = {
+    val conf = spark.conf
+    val (s0, b0) = (conf.get("spark.sql.shuffle.partitions"),
+      conf.get("spark.sql.files.maxPartitionBytes"))
+    conf.set("spark.sql.shuffle.partitions", shuffle.toString)
+    conf.set("spark.sql.files.maxPartitionBytes", maxBytes)
+    try f finally {
+      conf.set("spark.sql.shuffle.partitions", s0)
+      conf.set("spark.sql.files.maxPartitionBytes", b0)
+    }
+  }
+
+  for (key <- FloatFoldKeys)
+    test(s"$key is invariant under partition-layout changes") {
+      val q = graft.SparkEntry.queries(key)
+      val narrow = withLayout(1, "128m") { rows(q(spark, dir)) }
+      val wide = withLayout(32, "64k") { rows(q(spark, dir)) }
+      assert(narrow.nonEmpty)
+      assert(narrow == wide,
+        s"$key differs between 1-partition and 32-partition layouts — " +
+          "an unordered float fold is leaking run-order into the result")
+    }
+}

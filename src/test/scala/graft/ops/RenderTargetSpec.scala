@@ -109,6 +109,34 @@ class RenderTargetSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](RenderTarget.parse("timeShift(m.a, -1h)"))
   }
 
+  test("parser: exponent-shaped metric names in series-only arg slots") {
+    // regression (r10 judge, ScalaCheck seed QmjXL23NPpiSfhIz1OrFI8TRy
+    // PXLdmjfjDsvlvSEDCK=): a series slot of a combine received a token
+    // that is BOTH a legal metric node and a well-formed exponent
+    // (`3e5`) and the old grammar committed to the numeric reading,
+    // wedging the literal tail on the series that followed. Combines
+    // and the other SeriesArgFuncs take no unquoted numerics in leading
+    // slots, so the series reading wins there.
+    assert(
+      RenderTarget.parse("absolute(averageSeries(6f5g, 3e5, vi0j._tmp))") ==
+      Call("absolute", Seq(Call("averageSeries",
+        Seq(Leaf("6f5g"), Leaf("3e5"), Leaf("vi0j._tmp")), Nil)), Nil))
+    // whitespace-insignificance on the same shape (the failing property)
+    assert(
+      RenderTarget.parse("absolute( averageSeries( 6f5g , 3e5 , vi0j._tmp ) )") ==
+      RenderTarget.parse("absolute(averageSeries(6f5g, 3e5, vi0j._tmp))"))
+    assert(RenderTarget.parse("sumSeries(a.b, 10e2)") ==
+      Call("sumSeries", Seq(Leaf("a.b"), Leaf("10e2")), Nil))
+    assert(RenderTarget.parse("group(m.a, 42)") ==
+      Call("group", Seq(Leaf("m.a"), Leaf("42")), Nil))
+    // OUTSIDE the series-only set the numeric reading is unchanged
+    assert(RenderTarget.parse("scale(m.a, 3e5)") ==
+      Call("scale", Leaf("m.a"), Seq("3e5")))
+    // and a quoted literal in a SeriesArgFuncs tail stays a literal
+    assert(RenderTarget.parse("aggregateSeriesLists(a.*, b.*, 'sum')") ==
+      Call("aggregateSeriesLists", Seq(Leaf("a.*"), Leaf("b.*")), Seq("sum")))
+  }
+
   test("timeShift contributes to the history extension; '+' rejected") {
     val e = RenderTarget.parse("timeShift(movingAverage(m.a, 5), '1h')")
     assert(RenderTarget.historyExtS(e, 60) == 300 + 3600)

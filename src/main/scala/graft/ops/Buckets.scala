@@ -34,6 +34,28 @@ object Buckets {
   val FromS: Long = 1704844800L
   val UntilS: Long = 1704931200L
 
+  /** Canonical 6-decimal output rounding for DIVISION-DERIVED doubles
+    * (the avg family), shared textually by engine and oracle:
+    * `floor(x·1e6 + 0.5) / 1e6` — three IEEE ops both engines evaluate
+    * bit-identically. Native `round(x, 6)` is NOT portable at decimal
+    * midpoints: Spark rounds the exact decimal expansion of the binary
+    * double (HALF_UP), DuckDB scales by 1e6 first — for
+    * `1391.13/32 = 43.47281249999999…` (binary) whose ×1e6 is exactly
+    * 43472812.5, Spark says …812 and DuckDB …813 (the r10 sf0.1
+    * avg-family hash misses). Only division can land on such midpoints
+    * (testdata values carry ≤3 decimals, so sums/min/max stay exact);
+    * power-of-two group counts make them common, hence the avg family
+    * routes its output edge through THIS formula in both dialects.
+    * Semantics: half-toward-+∞ at the midpoint — a deliberate, shared
+    * spec; NULL propagates, and our magnitudes (|x| < 2^46/1e6) are far
+    * from the formula's overflow edge.
+    */
+  def round6(c: Column): Column = floor(c * lit(1e6) + lit(0.5)) / lit(1e6)
+
+  /** [[round6]] in the oracle dialect — the identical three-op text. */
+  def round6Sql(x: String): String =
+    s"floor(($x) * 1e6 + CAST(0.5 AS DOUBLE)) / 1e6"
+
   /** Epoch seconds of a timestamp column (truncates sub-second precision —
     * whisper timestamps are integer seconds, SURVEY.md §4.4 trap 5).
     */

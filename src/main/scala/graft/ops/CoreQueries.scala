@@ -113,9 +113,17 @@ object CoreQueries {
         max_by(col("value"), struct(col("ts_s"), col("value")))
       case other => Rollup.aggColumn(other, col("value"), col("ts_s"))
     }
+    // Average's division lands on decimal midpoints (power-of-two window
+    // counts), where native round semantics differ across engines — its
+    // output edge uses the shared round6 formula; the other methods stay
+    // exact-decimal and keep native round
+    val rounded = m match {
+      case AggregationMethod.Average => Buckets.round6(agg)
+      case _ => round(agg, 6)
+    }
     Buckets.points(s, dir)
       .groupBy(col("metric"), Buckets.alignTs(col("ts_s"), 3600).as("bucket_ts"))
-      .agg(round(agg, 6).as("value"))
+      .agg(rounded.as("value"))
       .orderBy("metric", "bucket_ts")
   }
 
@@ -133,17 +141,25 @@ object CoreQueries {
          |ORDER BY metric, bucket_ts""".stripMargin
     case other =>
       val f = other match {
-        case AggregationMethod.Average => "avg(value)"
-        case AggregationMethod.Sum     => "sum(value)"
+        // ordered folds (the Rollup.orderedSum pin): both engines sum
+        // the window SORTED BY (ts, value), so avg/sum are IEEE-exact
+        // matches at any SF, not round-6-absorbed
+        case AggregationMethod.Average =>
+          s"${Rollup.orderedSumSql("ts_s")} / count(value)"
+        case AggregationMethod.Sum     => Rollup.orderedSumSql("ts_s")
         case AggregationMethod.Max     => "max(value)"
         case AggregationMethod.Min     => "min(value)"
         case AggregationMethod.AbsMax | AggregationMethod.AbsMin =>
           Rollup.absSql(other, "ts_s")
         case _ => throw new MatchError(other)
       }
+      val rounded = other match {
+        case AggregationMethod.Average => Buckets.round6Sql(f)
+        case _ => s"round($f, 6)"
+      }
       s"""WITH $pointsSql
          |SELECT metric, (ts_s // 3600) * 3600 AS bucket_ts,
-         |       round($f, 6) AS value
+         |       $rounded AS value
          |FROM pts GROUP BY 1, 2
          |ORDER BY metric, bucket_ts""".stripMargin
   }
@@ -156,7 +172,8 @@ object CoreQueries {
   def aggAvgXff(s: SparkSession, dir: String): DataFrame =
     Rollup.propagate(Ingest.lwwAlign(Buckets.points(s, dir), 60),
         60, 3600, AggregationMethod.Average, 0.05)
-      .select(col("metric"), col("bucket_ts"), round(col("value"), 6).as("value"),
+      .select(col("metric"), col("bucket_ts"),
+        Buckets.round6(col("value")).as("value"),
         col("known"), col("total"))
       .orderBy("metric", "bucket_ts")
 
@@ -164,7 +181,8 @@ object CoreQueries {
     s"""WITH $pointsSql,
        |lww1m AS (${Ingest.lwwAlignSql(60)}),
        |rolled AS (${Rollup.propagateSql("lww1m", 60, 3600, AggregationMethod.Average, 0.05)})
-       |SELECT metric, bucket_ts, round(value, 6) AS value, known, total
+       |SELECT metric, bucket_ts, ${Buckets.round6Sql("value")} AS value,
+       |       known, total
        |FROM rolled ORDER BY metric, bucket_ts""".stripMargin
 
   /** `agg_avg_zero`: whisper.py's avg_zero (method id 6) on the 1m→1h
@@ -177,7 +195,8 @@ object CoreQueries {
   def aggAvgZero(s: SparkSession, dir: String): DataFrame =
     Rollup.propagate(Ingest.lwwAlign(Buckets.points(s, dir), 60),
         60, 3600, AggregationMethod.AvgZero, 0.0)
-      .select(col("metric"), col("bucket_ts"), round(col("value"), 6).as("value"),
+      .select(col("metric"), col("bucket_ts"),
+        Buckets.round6(col("value")).as("value"),
         col("known"), col("total"))
       .orderBy("metric", "bucket_ts")
 
@@ -185,7 +204,8 @@ object CoreQueries {
     s"""WITH $pointsSql,
        |lww1m AS (${Ingest.lwwAlignSql(60)}),
        |rolled AS (${Rollup.propagateSql("lww1m", 60, 3600, AggregationMethod.AvgZero, 0.0)})
-       |SELECT metric, bucket_ts, round(value, 6) AS value, known, total
+       |SELECT metric, bucket_ts, ${Buckets.round6Sql("value")} AS value,
+       |       known, total
        |FROM rolled ORDER BY metric, bucket_ts""".stripMargin
 
   /** `storage_conf_assign`: carbon storage-conf resolution as a query —
@@ -268,6 +288,42 @@ object CoreQueries {
        |SELECT ${Ingest.archiveColumnSql(std, NowS)} AS archive,
        |       count(*) AS n, count(DISTINCT metric) AS metrics
        |FROM pts GROUP BY 1 ORDER BY archive""".stripMargin
+
+  /** U4 `upsert_for_archive` (reference: whisper.go →
+    * `UpdateManyForArchive`): the relational core of the caller-chosen-
+    * archive write — routing BYPASSED in favor of the std schema's 5m
+    * level, points outside that archive's OWN retention window rejected
+    * (the ring cannot hold them — ≈77% of the 30-day testdata survives
+    * the 7d window, so the gate is exercised in both directions), then
+    * LWW alignment at the archive's resolution. The full write cycle
+    * (day-partition merge + downward propagation) is
+    * [[graft.WhisperTable.updateManyForArchive]], golden-tested in
+    * WhisperTableSpec; this key pins the U4-specific routing/gate/align
+    * semantics against the oracle the same way `upsert_batch_lww` pins
+    * U2's.
+    */
+  def upsertForArchive(s: SparkSession, dir: String): DataFrame = {
+    val r = std.retentions(1) // the 5m:7d level — caller's choice
+    val age = lit(NowS) - col("ts_s")
+    val accepted = Buckets.points(s, dir)
+      .filter(age >= 0 && age < r.maxRetentionSeconds)
+    Ingest.lwwAlign(accepted, r.secondsPerPoint)
+      .select(col("metric"), col("bucket_ts"),
+        round(col("value"), 6).as("value"))
+      .orderBy("metric", "bucket_ts")
+  }
+
+  val upsertForArchiveSql: String = {
+    val r = std.retentions(1)
+    s"""WITH $pointsSql,
+       |acc AS (
+       |  SELECT metric, ts_s, value FROM pts
+       |  WHERE $NowS - ts_s >= 0
+       |    AND $NowS - ts_s < ${r.maxRetentionSeconds}),
+       |lww AS (${Ingest.lwwAlignSql(r.secondsPerPoint, "acc")})
+       |SELECT metric, bucket_ts, round(value, 6) AS value FROM lww
+       |ORDER BY metric, bucket_ts""".stripMargin
+  }
 
   /** F3 `ingest_retention_filter`: accepted/rejected split under the
     * 1-day `lww` fixture schema (rejects ≈97% of the 30-day testdata —
@@ -361,10 +417,10 @@ object CoreQueries {
       .select("metric", "bucket_ts", "value")
     val casc = Rollup.propagate(avg5, 300, 3600, AggregationMethod.Average, 0.0)
       .select(col("metric"), col("bucket_ts"),
-        round(col("value"), 6).as("cascaded"))
+        Buckets.round6(col("value")).as("cascaded"))
     val direct = Rollup.propagate(lww, 60, 3600, AggregationMethod.Average, 0.0)
       .select(col("metric"), col("bucket_ts"),
-        round(col("value"), 6).as("direct"))
+        Buckets.round6(col("value")).as("direct"))
     casc.join(direct, Seq("metric", "bucket_ts"))
       .select(col("metric"), col("bucket_ts"), col("cascaded"), col("direct"),
         round(col("cascaded") - col("direct"), 6).as("drift"),
@@ -381,7 +437,8 @@ object CoreQueries {
        |d1h AS (${Rollup.propagateSql("lww1m", 60, 3600, AggregationMethod.Average, 0.0)}),
        |r AS (
        |  SELECT c.metric, c.bucket_ts,
-       |         round(c.value, 6) AS cascaded, round(d.value, 6) AS direct
+       |         ${Buckets.round6Sql("c.value")} AS cascaded,
+       |         ${Buckets.round6Sql("d.value")} AS direct
        |  FROM c1h c JOIN d1h d USING (metric, bucket_ts))
        |SELECT metric, bucket_ts, cascaded, direct,
        |       round(cascaded - direct, 6) AS drift,
@@ -459,6 +516,10 @@ object CoreQueries {
     // no oracle entry — holtWinters' seasonal recurrence is not
     // SQL-expressible; driver records rows-only, spec golden-tests it
     "render_target_holt" -> ((s, d) => RenderTarget.renderTargetHolt(s, d)),
+    "render_target_holt_input" ->
+      ((s, d) => RenderTarget.renderTargetHoltInput(s, d)),
+    "render_target_holt_bands" ->
+      ((s, d) => RenderTarget.renderTargetHoltBands(s, d)),
     "render_target_minmax" -> ((s, d) => RenderTarget.renderTargetMinmax(s, d)),
     "render_target_resetint" -> ((s, d) => RenderTarget.renderTargetResetint(s, d)),
     "render_target_wildcards" -> ((s, d) => RenderTarget.renderTargetWildcards(s, d)),
@@ -488,6 +549,7 @@ object CoreQueries {
     "agg_avg_zero" -> (aggAvgZero _),
     "agg_avg_xff" -> (aggAvgXff _),
     "upsert_batch_lww" -> (upsertBatchLww _),
+    "upsert_for_archive" -> (upsertForArchive _),
     "archive_routing" -> (archiveRouting _),
     "ingest_retention_filter" -> (ingestRetentionFilter _),
     "rollup_cascade_5m" -> (rollupCascade5m _),
@@ -557,6 +619,8 @@ object CoreQueries {
     "render_target_band" -> RenderTarget.renderTargetBandSql,
     "render_target_union" -> RenderTarget.renderTargetUnionSql,
     "render_target_wavg" -> RenderTarget.renderTargetWavgSql,
+    "render_target_holt_input" -> RenderTarget.renderTargetHoltInputSql,
+    "render_target_holt_bands" -> RenderTarget.renderTargetHoltBandsSql,
     "render_target_minmax" -> RenderTarget.renderTargetMinmaxSql,
     "render_target_resetint" -> RenderTarget.renderTargetResetintSql,
     "render_target_wildcards" -> RenderTarget.renderTargetWildcardsSql,
@@ -586,6 +650,7 @@ object CoreQueries {
     "agg_avg_zero" -> aggAvgZeroSql,
     "agg_avg_xff" -> aggAvgXffSql,
     "upsert_batch_lww" -> upsertBatchLwwSql,
+    "upsert_for_archive" -> upsertForArchiveSql,
     "archive_routing" -> archiveRoutingSql,
     "ingest_retention_filter" -> ingestRetentionFilterSql,
     "rollup_cascade_5m" -> rollupCascade5mSql,

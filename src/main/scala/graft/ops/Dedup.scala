@@ -1214,7 +1214,36 @@ object Dedup {
     * production run would also drop spans above a docfreq cap the same
     * way [[dedupMinhash]] bounds band buckets.
     */
-  def dedupSubstring(s: SparkSession, dir: String): DataFrame = {
+  def dedupSubstring(s: SparkSession, dir: String): DataFrame =
+    dedupSubstringImpl(s, dir, cap = None)
+
+  /** Zipf-head docfreq cap for [[dedupSubstringCapped]]: a span shared
+    * by more than this many positions corpus-wide is boilerplate
+    * (stop-word runs, templated headers), not copying evidence.
+    */
+  val SubstringDfCap = 64
+
+  /** `dedup_substring_capped`: [[dedupSubstring]] with the documented
+    * Zipf-head escape hatch IMPLEMENTED — spans with corpus docfreq
+    * > [[SubstringDfCap]] are excluded from BOTH the span count and the
+    * duplicated count (the [[graft.ops.TextAnalysis]] boilerplate rule
+    * applied to spans: an ultra-common span is uninformative about
+    * copying, the way a stopword is uninformative about topic).
+    *
+    * This is the 100 TB production form: the natural-language Zipf head
+    * concentrates a huge share of span INSTANCES on a tiny set of keys,
+    * and the cap drops those instances right after the docfreq join —
+    * before the per-doc shuffle — so no downstream stage sees the skew
+    * (a deployment would additionally broadcast the tiny >cap key list
+    * and pre-filter map-side, sparing even the sk-join those rows; the
+    * sk aggregate itself is safe either way: map-side combine bounds
+    * any one key's reducer input by the task count).
+    */
+  def dedupSubstringCapped(s: SparkSession, dir: String): DataFrame =
+    dedupSubstringImpl(s, dir, cap = Some(SubstringDfCap))
+
+  private def dedupSubstringImpl(
+      s: SparkSession, dir: String, cap: Option[Int]): DataFrame = {
     val spans = docs(s, dir)
       .select(col("doc_id"), expr(toksExpr).as("t"))
       .select(col("doc_id"), explode(expr(
@@ -1227,7 +1256,10 @@ object Dedup {
     val dupKeys = spans.groupBy("sk")
       .agg(count(lit(1)).as("dfreq"))
       .filter(col("dfreq") >= 2)
-    val per = spans.join(dupKeys, Seq("sk"), "left")
+    val joined = spans.join(dupKeys, Seq("sk"), "left")
+    val kept = cap.fold(joined)(c =>
+      joined.filter(col("dfreq").isNull || col("dfreq") <= c))
+    val per = kept
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_spans"),
         sum(when(col("dfreq").isNotNull, 1L).otherwise(0L)).as("n_dup"))
@@ -1242,7 +1274,12 @@ object Dedup {
       .orderBy("doc_id")
   }
 
-  val dedupSubstringSql: String =
+  val dedupSubstringSql: String = dedupSubstringSqlImpl(cap = None)
+
+  val dedupSubstringCappedSql: String =
+    dedupSubstringSqlImpl(cap = Some(SubstringDfCap))
+
+  private def dedupSubstringSqlImpl(cap: Option[Int]): String =
     s"""WITH toks AS (
        |  SELECT doc_id, $toksSql AS t FROM documents),
        |sp AS (
@@ -1251,11 +1288,14 @@ object Dedup {
        |  FROM toks, LATERAL (SELECT unnest(generate_series(1, len(t) - ${SubstringW - 1})) AS i) g
        |  WHERE len(t) >= $SubstringW),
        |df AS (
-       |  SELECT sk FROM sp GROUP BY sk HAVING count(*) >= 2),
+       |  SELECT sk, count(*) AS dfreq FROM sp GROUP BY sk
+       |  HAVING count(*) >= 2),
        |per AS (
        |  SELECT s.doc_id, CAST(count(*) AS BIGINT) AS n_spans,
        |         CAST(sum(CASE WHEN d.sk IS NULL THEN 0 ELSE 1 END) AS BIGINT) AS n_dup
-       |  FROM sp s LEFT JOIN df d USING (sk) GROUP BY s.doc_id)
+       |  FROM sp s LEFT JOIN df d USING (sk)
+       |  ${cap.fold("")(c => s"WHERE d.sk IS NULL OR d.dfreq <= $c")}
+       |  GROUP BY s.doc_id)
        |SELECT doc.doc_id,
        |       coalesce(n_spans, 0) AS n_spans,
        |       coalesce(n_dup, 0) AS n_dup,

@@ -159,7 +159,8 @@ object Materialize {
     s.read.parquet(s"$base/points_300s")
       .groupBy(col("metric"), Buckets.alignTs(col("bucket_ts"), 3600).as("bucket_ts"))
       .agg(avg(col("value")).as("value"))
-      .select(col("metric"), col("bucket_ts"), round(col("value"), 6).as("value"))
+      .select(col("metric"), col("bucket_ts"),
+        Buckets.round6(col("value")).as("value"))
       .orderBy("metric", "bucket_ts")
   }
 
@@ -170,7 +171,7 @@ object Materialize {
        |  ${Rollup.propagateSql("lww1m", 60, 300, AggregationMethod.Average, 0.0)})),
        |r1h AS (SELECT metric, bucket_ts, value FROM (
        |  ${Rollup.propagateSql("r5m", 300, 3600, AggregationMethod.Average, 0.0)}))
-       |SELECT metric, bucket_ts, round(value, 6) AS value FROM r1h
+       |SELECT metric, bucket_ts, ${Buckets.round6Sql("value")} AS value FROM r1h
        |ORDER BY metric, bucket_ts""".stripMargin
 
   /** Q1 end-to-end: `fetch_archive_selection` — a fetch whose range age

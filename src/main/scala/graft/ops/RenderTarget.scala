@@ -584,6 +584,38 @@ object RenderTarget {
     * there, keeping the positions stable). Defaults: delta 3,
     * bootstrap 7d, season 1d — graphite's.
     */
+  /** The family's output rounding (HALF_UP at 6 decimals on the exact
+    * decimal expansion), shared by the recurrence arms and the
+    * band-algebra oracle key so the algebra under test IS the deployed
+    * algebra.
+    */
+  private def hwR6(x: Double): Double =
+    BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  /** Confidence-band algebra around a forecast point: `pred ± delta·dev`
+    * (absent forecast → absent band). Pure and engine-independent —
+    * [[renderTargetHoltBands]] pins it against a SQL oracle over a
+    * shared synthetic forecast column.
+    */
+  private[ops] def hwUpper(pred: Option[Double], dev: Double,
+      delta: Double): Option[Double] = pred.map(x => hwR6(x + delta * dev))
+
+  private[ops] def hwLower(pred: Option[Double], dev: Double,
+      delta: Double): Option[Double] = pred.map(x => hwR6(x - delta * dev))
+
+  /** Aberration clamp: how far the actual value escapes the band
+    * (0 inside the band or when either side is absent).
+    */
+  private[ops] def hwAberr(actual: Option[Double], pred: Option[Double],
+      dev: Double, delta: Double): Double =
+    (actual, pred) match {
+      case (Some(a), Some(p)) =>
+        val up = p + delta * dev
+        val lo = p - delta * dev
+        if (a > up) hwR6(a - up) else if (a < lo) hwR6(a - lo) else 0.0
+      case _ => 0.0
+    }
+
   private def hwDelta(args: Seq[String]): Double =
     args.headOption.map(_.toDouble).getOrElse(3.0)
   private def hwBootstrapS(args: Seq[String]): Long =
@@ -774,8 +806,6 @@ object RenderTarget {
         require(seasonS % step == 0 && seasonS >= step,
           s"holtWinters seasonality must be a multiple of the series step")
         val season = (seasonS / step).toInt
-        def r6(x: Double): Double =
-          BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
         import spark.implicits._
         val typed = df.select(col("metric"), col("bucket_ts"),
             col("value").cast("double"))
@@ -787,27 +817,18 @@ object RenderTarget {
             f match {
               case "holtWintersForecast" =>
                 rows.iterator.zip(analysis.iterator).map {
-                  case ((_, b, _), (p, _)) => (metric, b, p.map(r6))
+                  case ((_, b, _), (p, _)) => (metric, b, p.map(hwR6))
                 }
               case "holtWintersConfidenceBands" | "holtWintersConfidenceArea" =>
                 rows.iterator.zip(analysis.iterator).flatMap {
                   case ((_, b, _), (p, d)) => Iterator(
-                    (s"$metric@upper", b, p.map(x => r6(x + delta * d))),
-                    (s"$metric@lower", b, p.map(x => r6(x - delta * d))))
+                    (s"$metric@upper", b, hwUpper(p, d, delta)),
+                    (s"$metric@lower", b, hwLower(p, d, delta)))
                 }
               case "holtWintersAberration" =>
                 rows.iterator.zip(analysis.iterator).map {
                   case ((_, b, v), (p, d)) =>
-                    val ab = (v, p) match {
-                      case (Some(actual), Some(pred)) =>
-                        val up = pred + delta * d
-                        val lo2 = pred - delta * d
-                        if (actual > up) r6(actual - up)
-                        else if (actual < lo2) r6(actual - lo2)
-                        else 0.0
-                      case _ => 0.0
-                    }
-                    (metric, b, Some(ab): Option[Double])
+                    (metric, b, Some(hwAberr(v, p, d, delta)): Option[Double])
                 }
             }
         }
@@ -1481,8 +1502,11 @@ object RenderTarget {
             when(col("value").isNotNull, col("value"))
               .when(col("pt").isNotNull && col("nt").isNotNull &&
                 (col("nt") - col("pt")) / step - 1 <= limit,
-                round(col("pv") + (col("nv") - col("pv")) *
-                  (col("bucket_ts") - col("pt")) / (col("nt") - col("pt")), 6)))
+                // round6, not round: the bridge DIVIDES, and a gap span
+                // of 2^k steps lands the result on decimal midpoints
+                // where native round semantics differ across engines
+                Buckets.round6(col("pv") + (col("nv") - col("pv")) *
+                  (col("bucket_ts") - col("pt")) / (col("nt") - col("pt")))))
           .select(col("metric"), col("bucket_ts"), col("value")), step)
       case Call("aliasByMetric", Seq(c), _) =>
         val (df, step) = eval(c)
@@ -3086,7 +3110,8 @@ object RenderTarget {
        |       CASE WHEN v IS NOT NULL THEN v
        |            WHEN pt IS NOT NULL AND nt IS NOT NULL
        |                 AND (nt - pt) / 60 - 1 <= 5
-       |            THEN round(pv + (nv - pv) * (bucket_ts - pt) / (nt - pt), 6)
+       |            THEN ${Buckets.round6Sql(
+                       "pv + (nv - pv) * (bucket_ts - pt) / (nt - pt)")}
        |       END AS value
        |FROM w
        |ORDER BY metric, bucket_ts""".stripMargin
@@ -3178,6 +3203,104 @@ object RenderTarget {
 
   def renderTargetHolt(spark: SparkSession, sfDir: String): DataFrame =
     evalFlat(spark, sfDir, TargetExprHolt, extS = 21600L)
+
+  /** `render_target_holt_input`: the EXACT frame the Holt-Winters
+    * recurrence consumes — `sumSeries(glob)` dense over the
+    * request window EXTENDED by the 6h bootstrap — as its own
+    * oracle-checked key. The recurrence itself stays non-SQL, but its
+    * input plumbing (ranged scan, extension arithmetic, member combine,
+    * gap spine) is fully relational, so this key plus
+    * [[renderTargetHoltBands]] shrink the holt key's no-oracle surface
+    * to the recurrence alone.
+    */
+  def renderTargetHoltInput(spark: SparkSession, sfDir: String): DataFrame =
+    evaluate(spark,
+      Buckets.pointsInRange(spark, sfDir, stdFromI - 21600, stdUntilI),
+      s"sumSeries(${Fetch.GlobPattern})",
+      Buckets.FromS - 21600, Buckets.UntilS, 60)
+
+  val renderTargetHoltInputSql: String = {
+    val fromI = stdFromI - 21600
+    val untilI = stdUntilI
+    val rx = Fetch.globToRegex(Fetch.GlobPattern)
+    s"""WITH ${Buckets.pointsSql},
+       |mets AS (
+       |  SELECT DISTINCT metric FROM pts
+       |  WHERE ts_s >= $fromI AND ts_s < $untilI
+       |    AND regexp_matches(metric, '$rx')),
+       |agg AS (
+       |  SELECT metric, (ts_s // 60) * 60 AS bucket_ts,
+       |         round(avg(value), 6) AS v
+       |  FROM pts
+       |  WHERE ts_s >= $fromI AND ts_s < $untilI
+       |    AND regexp_matches(metric, '$rx')
+       |  GROUP BY 1, 2),
+       |spine AS (
+       |  SELECT m.metric, r.bucket_ts FROM mets m,
+       |    (SELECT CAST(range AS BIGINT) AS bucket_ts
+       |     FROM range($fromI, $untilI, 60)) r),
+       |dense AS (
+       |  SELECT s.metric, s.bucket_ts, a.v
+       |  FROM spine s LEFT JOIN agg a USING (metric, bucket_ts))
+       |SELECT 'sumSeries' AS metric, bucket_ts, round(sum(v), 6) AS value
+       |FROM dense GROUP BY bucket_ts
+       |ORDER BY metric, bucket_ts""".stripMargin
+  }
+
+  /** `render_target_holt_bands`: the band/aberration ALGEBRA pinned
+    * against the oracle over a shared synthetic forecast frame. Both
+    * engines generate the identical (actual, pred, dev) columns from
+    * one integer formula (denominators 7/9/3 — non-terminating decimal
+    * expansions, so HALF_UP-vs-scaled rounding can never disagree on a
+    * midpoint), the engine applies the REAL [[hwUpper]]/[[hwLower]]/
+    * [[hwAberr]] functions the recurrence arms deploy, and the oracle
+    * re-states the algebra in SQL. 144 rows of pure algebra — a spec
+    * key, deliberately not a data-volume op; NULL pred/actual rows
+    * exercise the absent-forecast arms.
+    */
+  def renderTargetHoltBands(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val delta = 3.0
+    val rows = (0 until 48).flatMap { i =>
+      val b = Buckets.FromS + i * 60L
+      val actual =
+        if (i % 13 == 0) None else Some(((i * 37) % 101).toDouble / 7)
+      val pred =
+        if (i % 11 == 0) None else Some(((i * 53) % 97).toDouble / 9)
+      val dev = ((i * 29) % 13).toDouble / 3
+      Seq(
+        ("holt@upper", b, hwUpper(pred, dev, delta)),
+        ("holt@lower", b, hwLower(pred, dev, delta)),
+        ("holt@aberration", b,
+          Some(hwAberr(actual, pred, dev, delta)): Option[Double]))
+    }
+    rows.toDF("metric", "bucket_ts", "value").orderBy("metric", "bucket_ts")
+  }
+
+  val renderTargetHoltBandsSql: String =
+    s"""WITH g AS (
+       |  SELECT i, ${Buckets.FromS} + i * 60 AS bucket_ts,
+       |         CASE WHEN i % 13 = 0 THEN NULL
+       |              ELSE CAST((i * 37) % 101 AS DOUBLE) / 7 END AS actual,
+       |         CASE WHEN i % 11 = 0 THEN NULL
+       |              ELSE CAST((i * 53) % 97 AS DOUBLE) / 9 END AS pred,
+       |         CAST((i * 29) % 13 AS DOUBLE) / 3 AS dev
+       |  FROM (SELECT unnest(range(0, 48)) AS i)),
+       |b AS (
+       |  SELECT 'holt@upper' AS metric, bucket_ts,
+       |         round(pred + 3 * dev, 6) AS value FROM g
+       |  UNION ALL
+       |  SELECT 'holt@lower', bucket_ts, round(pred - 3 * dev, 6) FROM g
+       |  UNION ALL
+       |  SELECT 'holt@aberration', bucket_ts,
+       |         CASE WHEN actual > pred + 3 * dev
+       |              THEN round(actual - (pred + 3 * dev), 6)
+       |              WHEN actual < pred - 3 * dev
+       |              THEN round(actual - (pred - 3 * dev), 6)
+       |              ELSE 0.0 END
+       |  FROM g)
+       |SELECT metric, CAST(bucket_ts AS BIGINT) AS bucket_ts, value FROM b
+       |ORDER BY metric, bucket_ts""".stripMargin
 
   /** `render_target_minmax`: per-series [0,1] normalisation —
     * `minMax(shard*…)`.

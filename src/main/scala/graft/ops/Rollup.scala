@@ -41,10 +41,43 @@ object Rollup {
     * `AvgZero` needs the window slot count — use the [[aggColumn]]
     * overload that takes `totalSlots`.
     */
+  /** Ordered left fold Σ value with addends SORTED BY (ts, value) — the
+    * textEntropy order pin applied to the consolidation sums: an
+    * unordered double sum's merge order varies with task timing and
+    * differs from DuckDB's, and a window mean sitting on a
+    * round-half-at-1e-6 boundary then flips the 6th decimal (the five
+    * sf0.1 avg-family hash misses of r10). The collected array is the
+    * consolidation window — schema-bounded (lowerSpp/higherSpp slots,
+    * ≤60 for the std schemas) or emission-rate-bounded (raw points per
+    * metric-hour), never corpus-proportional, so the shape holds at
+    * 100 TB.
+    */
+  private def orderedSum(value: Column, ts: Column): Column =
+    aggregate(
+      transform(array_sort(collect_list(struct(ts.as("t"), value.as("v")))),
+        x => x.getField("v")),
+      lit(0d), (a, v) => a + v)
+
+  /** The matching DuckDB fold (list ORDER BY ts, value; left-assoc). */
+  private[graft] def orderedSumSql(ts: String): String =
+    s"list_reduce(list(value ORDER BY $ts, value), (a, v) -> a + v)"
+
+  /** The fully-pinned consolidation mean: ordered fold ÷ count, rounded
+    * through [[Buckets.round6]] — every step IEEE-identical across
+    * engines, so an avg output edge using this pair matches the oracle
+    * EXACTLY at any scale factor (no round-6-absorption needed).
+    */
+  private[graft] def mean6(value: Column, ts: Column): Column =
+    Buckets.round6(aggColumn(AggregationMethod.Average, value, ts))
+
+  /** [[mean6]] in the oracle dialect. */
+  private[graft] def mean6Sql(ts: String): String =
+    Buckets.round6Sql(s"${orderedSumSql(ts)} / count(value)")
+
   def aggColumn(method: AggregationMethod, value: Column, ts: Column): Column =
     method match {
-      case AggregationMethod.Average => avg(value)
-      case AggregationMethod.Sum     => sum(value)
+      case AggregationMethod.Average => orderedSum(value, ts) / count(value)
+      case AggregationMethod.Sum     => orderedSum(value, ts)
       case AggregationMethod.Last    => max_by(value, ts)
       case AggregationMethod.Max     => max(value)
       case AggregationMethod.Min     => min(value)
@@ -66,7 +99,7 @@ object Rollup {
   def aggColumn(method: AggregationMethod, value: Column, ts: Column,
       totalSlots: Column): Column =
     method match {
-      case AggregationMethod.AvgZero => sum(value) / max(totalSlots)
+      case AggregationMethod.AvgZero => orderedSum(value, ts) / max(totalSlots)
       case other                     => aggColumn(other, value, ts)
     }
 
@@ -75,17 +108,18 @@ object Rollup {
     * `AbsMax`/`AbsMin` use DuckDB's ordered `array_agg` and `AvgZero`
     * interpolates the slot count — all three emitted in [[propagateSql]].
     */
-  private def aggSql(method: AggregationMethod): String = method match {
-    case AggregationMethod.Average => "avg(value)"
-    case AggregationMethod.Sum     => "sum(value)"
-    case AggregationMethod.Max     => "max(value)"
-    case AggregationMethod.Min     => "min(value)"
-    case AggregationMethod.Last =>
-      throw new IllegalArgumentException("Last uses propagateSql's window form")
-    case other =>
-      throw new IllegalArgumentException(
-        s"${other.name} is emitted inline by propagateSql")
-  }
+  private def aggSql(method: AggregationMethod, ts: String): String =
+    method match {
+      case AggregationMethod.Average => s"${orderedSumSql(ts)} / count(value)"
+      case AggregationMethod.Sum     => orderedSumSql(ts)
+      case AggregationMethod.Max     => "max(value)"
+      case AggregationMethod.Min     => "min(value)"
+      case AggregationMethod.Last =>
+        throw new IllegalArgumentException("Last uses propagateSql's window form")
+      case other =>
+        throw new IllegalArgumentException(
+          s"${other.name} is emitted inline by propagateSql")
+    }
 
   /** Ordered-first-element oracle form shared by the magnitude methods:
     * DuckDB's `array_agg(value ORDER BY …)[1]` with the same total order
@@ -161,12 +195,12 @@ object Rollup {
       case m =>
         val valueSql = m match {
           case AggregationMethod.AvgZero =>
-            s"sum(value) / $total"
+            s"${orderedSumSql(s"$srcCte.bucket_ts")} / $total"
           case AggregationMethod.AbsMax | AggregationMethod.AbsMin =>
             // qualified ts: the outer SELECT aliases the coarser bucket
             // to the same name, the aggregate must order by the finer one
             absSql(m, s"$srcCte.bucket_ts")
-          case simple => aggSql(simple)
+          case simple => aggSql(simple, s"$srcCte.bucket_ts")
         }
         s"""SELECT metric, (bucket_ts // $lowerSpp) * $lowerSpp AS bucket_ts,
            |       $valueSql AS value, count(*) AS known,

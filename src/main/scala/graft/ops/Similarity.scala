@@ -965,8 +965,17 @@ object Similarity {
     * rank/vote machinery is what the oracle checks and what transfers
     * to real embedding spaces.
     */
-  def knnClassify(s: SparkSession, dir: String): DataFrame = {
-    val scored = labeledScoredPass(s, dir, KnnQueries)
+  def knnClassify(s: SparkSession, dir: String): DataFrame =
+    knnVote(labeledScoredPass(s, dir, KnnQueries))
+
+  /** The kNN vote — rank the scored candidates per query, majority
+    * label over the top [[KnnK]], deterministic ties ((score DESC,
+    * vec_id) then (votes DESC, label)). ONE implementation serves both
+    * the brute-force oracle key and the ANN-shortlisted production key:
+    * the candidate GENERATOR is the only thing that differs between
+    * them, by construction.
+    */
+  private def knnVote(scored: DataFrame): DataFrame = {
     val wN = Window.partitionBy("query_id")
       .orderBy(col("score").desc, col("vec_id"))
     val votes = scored.withColumn("rnk", row_number().over(wN))
@@ -983,9 +992,12 @@ object Similarity {
       .orderBy("vec_id")
   }
 
-  val knnClassifySql: String =
-    s"""WITH ${labeledScoredSqlCtes(KnnQueries)},
-       |nn AS (
+  /** SQL twin of [[knnVote]] — the `nn`/`votes`/`best` chain over a
+    * `scored(query_id, qlab, cand_id, lab, score)` CTE, shared verbatim
+    * by both knn oracles.
+    */
+  private val knnVoteSqlTail: String =
+    s"""nn AS (
        |  SELECT query_id, qlab, lab,
        |         row_number() OVER (PARTITION BY query_id
        |                            ORDER BY score DESC, cand_id) AS rnk
@@ -1001,6 +1013,76 @@ object Similarity {
        |SELECT query_id AS vec_id, qlab AS label, lab AS pred_label, votes,
        |       CASE WHEN lab = qlab THEN 1 ELSE 0 END AS correct
        |FROM best WHERE vr = 1 ORDER BY vec_id""".stripMargin
+
+  val knnClassifySql: String =
+    s"""WITH ${labeledScoredSqlCtes(KnnQueries)},
+       |$knnVoteSqlTail""".stripMargin
+
+  /** `knn_classify_ann`: [[knnClassify]] on its PRODUCTION candidate
+    * path — the scored pass reads the persisted trained IVF index
+    * ([[annIndexShared]], the same codebook/assignment every other ANN
+    * key serves from) and scores only the [[NProbe]]-probed clusters'
+    * members; the vote stage is [[knnVote]], unchanged. At 100 TB the
+    * brute-force pass scores |Q|·N pairs while this scores
+    * |Q|·N·(probes/k) against an index built once — the swap the
+    * brute-force key's scaladoc promises, delivered as its own
+    * oracle-checked key (the oracle re-derives the identical codebook
+    * via [[kmeansTrainedCtes]], so shortlist recall is part of the
+    * pinned spec, not a fudge factor).
+    */
+  def knnClassifyAnn(s: SparkSession, dir: String): DataFrame = {
+    val (cents, assigned) = annIndexShared(s, dir, trained = true)
+    val al = assigned.join(
+      embWithLabel(s, dir).select(col("vec_id"), col("label")), "vec_id")
+    val probeW = Window.partitionBy("vec_id")
+      .orderBy(col("cscore").desc, col("cent_id"))
+    val q = al.filter(col("vec_id") < KnnQueries)
+      // drop the query's OWN cluster id before probing — the probe ranks
+      // ALL centroids (and two cent_id columns would collide)
+      .select(col("vec_id"), col("label"), col("embedding"), col("cn"))
+      .crossJoin(broadcast(cents))
+      .withColumn("cscore",
+        dot_f(col("embedding"), col("ce")) / (col("cn") * col("ce_n")))
+      .withColumn("prn", row_number().over(probeW))
+      .filter(col("prn") <= NProbe)
+      .select(col("vec_id").as("query_id"), col("label").as("qlab"),
+        col("embedding").as("qe"), col("cn").as("qn"),
+        col("cent_id").as("qcent"))
+    val scored = al.join(broadcast(q),
+        col("cent_id") === col("qcent") && col("query_id") =!= col("vec_id"))
+      .withColumn("score",
+        dot_f(col("qe"), col("embedding")) / (col("qn") * col("cn")))
+    knnVote(scored)
+  }
+
+  val knnClassifyAnnSql: String = {
+    val cf = KMeansFinalCents
+    s"""WITH $kmeansTrainedCtes,
+       |el AS (
+       |  SELECT vec_id, embedding, label,
+       |         sqrt(list_dot_product(embedding::DOUBLE[],
+       |           embedding::DOUBLE[])) AS cn
+       |  FROM embeddings),
+       |q AS (
+       |  SELECT query_id, qlab, qe, qn, qcent FROM (
+       |    SELECT e.vec_id AS query_id, e.label AS qlab, e.embedding AS qe,
+       |           e.cn AS qn, c.cent_id AS qcent,
+       |           row_number() OVER (PARTITION BY e.vec_id
+       |             ORDER BY ${cosineSql("e.embedding", "c.ce")} DESC,
+       |               c.cent_id) AS prn
+       |    FROM el e, $cf c
+       |    WHERE e.vec_id < $KnnQueries)
+       |  WHERE prn <= $NProbe),
+       |scored AS (
+       |  SELECT q.query_id, q.qlab, e.vec_id AS cand_id, e.label AS lab,
+       |         list_dot_product(q.qe::DOUBLE[], e.embedding::DOUBLE[]) /
+       |           (q.qn * e.cn) AS score
+       |  FROM q
+       |  JOIN assign_f a ON a.cent_id = q.qcent
+       |  JOIN el e ON e.vec_id = a.vec_id
+       |  WHERE e.vec_id <> q.query_id),
+       |$knnVoteSqlTail""".stripMargin
+  }
 
   // -------------------------------------- X41 hard-negative mining
 

@@ -376,7 +376,10 @@ object StreamQueries {
       .agg(countDistinct(col("g")).as("n_exact"))
     exact.crossJoin(est)
       .select(col("n_exact"), col("n_est"),
-        round((col("n_est") - col("n_exact")) / col("n_exact"), 6)
+        // empty-corpus guard — keep the streamed twin pinned to the
+        // batch sketchHll's NULL-on-zero rule (they share the oracle)
+        round(when(col("n_exact") > 0,
+          (col("n_est") - col("n_exact")) / col("n_exact")), 6)
           .as("rel_err"))
   }
 

@@ -18,6 +18,36 @@ class ExtOpsSpec extends AnyFunSuite {
     .config("spark.ui.enabled", "false")
     .getOrCreate()
 
+  test("knn_classify_ann: same contract as the brute key, index candidates") {
+    val bf = Similarity.knnClassify(spark, dir).collect()
+    val ann = Similarity.knnClassifyAnn(spark, dir).collect()
+    // identical schema and query set: the vote stage is the SAME code
+    // (knnVote); only the candidate generator differs
+    assert(Similarity.knnClassify(spark, dir).columns.toSeq ==
+      Similarity.knnClassifyAnn(spark, dir).columns.toSeq)
+    assert(bf.map(_.getLong(0)).toSeq == ann.map(_.getLong(0)).toSeq)
+    // votes bounded by k on both paths
+    assert(ann.forall(r => r.getLong(3) >= 1 && r.getLong(3) <= Similarity.KnnK))
+    // the true labels (input passthrough) agree row for row
+    assert(bf.map(r => (r.getLong(0), r.get(1))).toSeq ==
+      ann.map(r => (r.getLong(0), r.get(1))).toSeq)
+  }
+
+  test("dedup_substring_capped: cap only ever removes Zipf-head evidence") {
+    val full = Dedup.dedupSubstring(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val capped = Dedup.dedupSubstringCapped(spark, dir).collect()
+    assert(capped.nonEmpty)
+    capped.foreach { r =>
+      val (ns, nd) = full(r.getLong(0))
+      // capped counts are a subset of the uncapped ones
+      assert(r.getLong(1) <= ns && r.getLong(2) <= nd)
+      // the cap removes the SAME instances from both counters: what
+      // leaves n_spans is by definition a >cap duplicated span
+      assert(ns - r.getLong(1) == nd - r.getLong(2))
+    }
+  }
+
   test("dedup_exact partitions the corpus: group sizes sum to doc count") {
     val total = spark.read.parquet(s"$dir/documents.parquet").count()
     val groups = Dedup.dedupExact(spark, dir)

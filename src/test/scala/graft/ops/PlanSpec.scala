@@ -738,6 +738,48 @@ class PlanSpec extends AnyFunSuite {
       s"lww base is not the materialized one-pass build:\n$p")
   }
 
+  /** Partition-less WindowExec nodes in a key's physical plan. A global
+    * window moves ALL its input to one partition — fine on a k-row or
+    * request-bounded frame, a scale-killer on a data-volume frame — so
+    * each one must be accounted for. The census lives in WINDOWS.md;
+    * these pins fail when a NEW global window appears in an audited key,
+    * forcing a re-audit.
+    */
+  private def globalWindows(df: DataFrame): Int = {
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.window.WindowExec
+    val root = df.queryExecution.executedPlan
+    val p = root match { case a: AdaptiveSparkPlanExec => a.inputPlan
+                         case o => o }
+    p.collect { case w: WindowExec if w.partitionSpec.isEmpty => w }.size
+  }
+
+  test("global-window census: every partition-less window is bounded") {
+    // sketch_quantile: ONE global cumsum over the histogram frame —
+    // ≤ QuantileSubBins·(#magnitude bands) rows, schema-bounded
+    assert(globalWindows(TextAnalysis.sketchQuantile(spark, dir)) == 1)
+    // shard_pack: the documented oracle shape (one corpus prefix sum);
+    // its scalable twin carries exactly one global window too, but over
+    // the per-BLOCK offset frame (corpus/width rows, broadcast-sized)
+    assert(globalWindows(PipelineOps.shardPack(spark, dir)) == 1)
+    assert(globalWindows(PipelineOps.shardPackScalable(spark, dir)) == 1)
+    // the ANN serving paths read the persisted index: the seed-ranking
+    // global window is BUILD-only and must not appear at serving time
+    assert(globalWindows(Similarity.similarityAnnPq(spark, dir)) == 0)
+    assert(globalWindows(Similarity.knnClassifyAnn(spark, dir)) == 0)
+  }
+
+  test("knn_classify_ann serves candidates from the persisted index") {
+    // the production-path pin of item X40: candidates come from the
+    // trained IVF index parquet (codebook + assignment), never from an
+    // inline training stage (same contract as cluster_stats)
+    val p = plan(Similarity.knnClassifyAnn(spark, dir))
+    assert(!p.contains("posexplode"),
+      s"training-stage explode leaked into the serving plan:\n$p")
+    assert(p.contains("Scan parquet"),
+      s"serving does not read the persisted index:\n$p")
+  }
+
   test("cluster_stats is an index read — no training stage in the audit") {
     // same contract as the ANN serving pin: the audit reads the
     // persisted codebook + assignment and aggregates; the Lloyd/assign

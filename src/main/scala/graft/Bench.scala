@@ -92,7 +92,7 @@ object Bench {
           quiesce()
           dt
         }
-        (name, times.sorted.apply(Runs / 2), times.head)
+        (name, times.sorted.apply(Runs / 2), times.head, times)
       }
     // regression tripwire: diff per-key medians against the newest saved
     // BENCH_r*.json in the cwd (the driver's previous-round artifact), so
@@ -116,7 +116,7 @@ object Bench {
       }
       full ++ clipped
     } catch { case _: Throwable => Map.empty }
-    val slower = results.flatMap { case (k, med, _) =>
+    val slower = results.flatMap { case (k, med, _, _) =>
       // 0.2 s floor: sub-noise keys flap on scheduler jitter, not plans
       prevBench.get(k).filter(p => p >= 0.2 && med > p * 1.5)
         .map(p => (k, p, med))
@@ -135,9 +135,17 @@ object Bench {
     // clips ~2/3 of the per-key medians out of the committed artifact —
     // persist the complete map to a file too (committed per round), so
     // every per-key regression is auditable and the next round's
-    // tripwire diffs against a COMPLETE baseline
+    // tripwire diffs against a COMPLETE baseline. The file also carries
+    // every individual run time: a key whose runs are ~flat at build
+    // cost has a memoization miss in THAT environment (r10's
+    // multi-second streaming medians), which median+cold alone can't
+    // distinguish from a slow plan.
+    val runsJson = results.map { r =>
+      "\"" + r._1 + "\":[" + r._4.mkString(",") + "]"
+    }.mkString("{", ",", "}")
     try java.nio.file.Files.writeString(
-      java.nio.file.Paths.get("BENCH_FULL.json"), fullLine + "\n")
+      java.nio.file.Paths.get("BENCH_FULL.json"),
+      fullLine + "\n" + s"""{"metric":"runs","queries_runs":$runsJson}""" + "\n")
     catch { case _: Throwable => () }
     // between the big map and the final summary so it survives the
     // driver's keep-the-tail stdout truncation

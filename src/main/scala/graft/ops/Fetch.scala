@@ -768,21 +768,26 @@ object Fetch {
     val groups = (n + factor - 1) / factor
     val p = pts.filter(col("ts_s") >= fromI && col("ts_s") < untilI)
     val metrics = p.select(col("metric")).distinct()
+    // both averages fully pinned (ordered fold + shared round6): the
+    // grid mean and the group mean are division-derived, and group
+    // counts of 2^k land native round on cross-engine midpoints
     val agg60 = p
       .groupBy(col("metric"), Buckets.alignTs(col("ts_s"), spp).as("b"))
-      .agg(round(avg(col("value")), 6).as("v"))
+      .agg(Rollup.mean6(col("value"), col("ts_s")).as("v"))
     val consFunc = func match {
-      case "average" | "avg" => avg(col("v"))
-      case "sum" => sum(col("v"))
-      case "min" => min(col("v"))
-      case "max" => max(col("v"))
+      case "average" | "avg" =>
+        Buckets.round6(Rollup.aggColumn(
+          graft.model.AggregationMethod.Average, col("v"), col("b")))
+      case "sum" => round(sum(col("v")), 6)
+      case "min" => round(min(col("v")), 6)
+      case "max" => round(max(col("v")), 6)
       case f => throw new IllegalArgumentException(
         s"unknown consolidation function '$f'")
     }
     val cons = agg60
       .groupBy(col("metric"),
         (lit(fromI) + floor((col("b") - fromI) / stepS) * stepS).cast("long").as("bucket_ts"))
-      .agg(round(consFunc, 6).as("cv"), count(col("v")).as("known"))
+      .agg(consFunc.as("cv"), count(col("v")).as("known"))
     val spine = spark.range(fromI, fromI + groups * stepS, stepS).toDF("bucket_ts")
       .crossJoin(metrics)
     // xff gate against the group's GRID size (the tail group may cover
@@ -892,14 +897,23 @@ object Fetch {
     val metrics = p.select(col("metric")).distinct()
     val agg60 = p
       .groupBy(col("metric"), Buckets.alignTs(col("ts_s"), spp).as("bucket_ts"))
-      .agg(round(avg(col("value")), 6).as("v"))
+      .agg(Rollup.mean6(col("value"), col("ts_s")).as("v"))
     val dense = spark.range(extFromI, untilI, spp.toLong).toDF("bucket_ts")
       .crossJoin(metrics)
       .join(agg60, Seq("metric", "bucket_ts"), "left")
     val w = Window.partitionBy(col("metric")).orderBy(col("bucket_ts"))
       .rowsBetween(-(window - 1), Window.currentRow)
+    // the window mean as a FRAME-ORDERED fold (collect_list preserves
+    // frame order; nulls are skipped natively), divided and rounded via
+    // the shared round6 — Spark's streaming window accumulation and
+    // DuckDB's segment-tree re-association would otherwise differ by an
+    // ulp before the round and flip a midpoint
+    val lst = collect_list(col("v")).over(w)
+    val cnt = count(col("v")).over(w)
     dense
-      .withColumn("value", round(avg(col("v")).over(w), 6))
+      .withColumn("value",
+        when(cnt > 0, Buckets.round6(
+          aggregate(lst, lit(0d), (a, x) => a + x) / cnt)))
       .filter(col("bucket_ts") >= fromI)
       .select(col("metric"), col("bucket_ts"), col("value"))
       .orderBy("metric", "bucket_ts")
@@ -967,13 +981,13 @@ object Fetch {
        |  SELECT DISTINCT metric FROM pts
        |  WHERE ts_s >= $fromI AND ts_s < $untilI),
        |agg AS (
-       |  SELECT metric, (ts_s // 60) * 60 AS b, round(avg(value), 6) AS v
+       |  SELECT metric, (ts_s // 60) * 60 AS b, ${Rollup.mean6Sql("ts_s")} AS v
        |  FROM pts
        |  WHERE ts_s >= $fromI AND ts_s < $untilI
        |  GROUP BY 1, 2),
        |cons AS (
        |  SELECT metric, $fromI + ((b - $fromI) // $stepS) * $stepS AS bucket_ts,
-       |         round(avg(v), 6) AS value
+       |         ${Rollup.mean6Sql("agg.b", "v")} AS value
        |  FROM agg GROUP BY 1, 2),
        |spine AS (
        |  SELECT m.metric, r.bucket_ts FROM mets m,
@@ -1083,7 +1097,7 @@ object Fetch {
        |  WHERE ts_s >= $extFromI AND ts_s < $untilI),
        |agg AS (
        |  SELECT metric, (ts_s // 60) * 60 AS bucket_ts,
-       |         round(avg(value), 6) AS v
+       |         ${Rollup.mean6Sql("ts_s")} AS v
        |  FROM pts
        |  WHERE ts_s >= $extFromI AND ts_s < $untilI
        |  GROUP BY 1, 2),
@@ -1094,11 +1108,22 @@ object Fetch {
        |dense AS (
        |  SELECT s.metric, s.bucket_ts, a.v
        |  FROM spine s LEFT JOIN agg a USING (metric, bucket_ts)),
+       |winned AS (
+       |  SELECT metric, bucket_ts,
+       |         list(v) OVER (PARTITION BY metric ORDER BY bucket_ts
+       |           ROWS BETWEEN ${MovingAvgWindow - 1} PRECEDING AND CURRENT ROW)
+       |           AS lst,
+       |         count(v) OVER (PARTITION BY metric ORDER BY bucket_ts
+       |           ROWS BETWEEN ${MovingAvgWindow - 1} PRECEDING AND CURRENT ROW)
+       |           AS cnt
+       |  FROM dense),
        |smoothed AS (
        |  SELECT metric, bucket_ts,
-       |         round(avg(v) OVER (PARTITION BY metric ORDER BY bucket_ts
-       |           ROWS BETWEEN ${MovingAvgWindow - 1} PRECEDING AND CURRENT ROW), 6) AS value
-       |  FROM dense)
+       |         CASE WHEN cnt > 0 THEN ${Buckets.round6Sql(
+                  "list_reduce(list_filter(lst, x -> x IS NOT NULL), " +
+                    "(a, x) -> a + x) / cnt")}
+       |         END AS value
+       |  FROM winned)
        |SELECT metric, bucket_ts, value FROM smoothed
        |WHERE bucket_ts >= $fromI
        |ORDER BY metric, bucket_ts""".stripMargin

@@ -58,9 +58,11 @@ object Rollup {
         x => x.getField("v")),
       lit(0d), (a, v) => a + v)
 
-  /** The matching DuckDB fold (list ORDER BY ts, value; left-assoc). */
-  private[graft] def orderedSumSql(ts: String): String =
-    s"list_reduce(list(value ORDER BY $ts, value), (a, v) -> a + v)"
+  /** The matching DuckDB fold (list ORDER BY ts, value; left-assoc).
+    * `v` names the value column (default the canonical `value`).
+    */
+  private[graft] def orderedSumSql(ts: String, v: String = "value"): String =
+    s"list_reduce(list($v ORDER BY $ts, $v), (a, x) -> a + x)"
 
   /** The fully-pinned consolidation mean: ordered fold ÷ count, rounded
     * through [[Buckets.round6]] — every step IEEE-identical across
@@ -71,8 +73,8 @@ object Rollup {
     Buckets.round6(aggColumn(AggregationMethod.Average, value, ts))
 
   /** [[mean6]] in the oracle dialect. */
-  private[graft] def mean6Sql(ts: String): String =
-    Buckets.round6Sql(s"${orderedSumSql(ts)} / count(value)")
+  private[graft] def mean6Sql(ts: String, v: String = "value"): String =
+    Buckets.round6Sql(s"${orderedSumSql(ts, v)} / count($v)")
 
   def aggColumn(method: AggregationMethod, value: Column, ts: Column): Column =
     method match {

@@ -22,6 +22,75 @@ import org.apache.spark.sql.streaming.Trigger
   */
 object StreamQueries {
 
+  // ------------------------------------------------ shared staged fixtures
+  //
+  // Every wave harness used to re-derive and re-write its own staged
+  // copy of the corpus — at sf0.1 that is ~2-3 s of identical Spark
+  // work per harness, the dominant share of the streaming keys' cold
+  // bench cost. The two frames every harness stages (time-split event
+  // points, id-split documents) are now built ONCE per (dir, input
+  // digest) under the shared index root and COPIED file-wise into each
+  // harness's private stage directory — a filesystem copy, no Spark
+  // job. Copies get explicit ascending mtimes so the file stream's
+  // timestamp ordering (which decides batch order under
+  // maxFilesPerTrigger) can never tie at clock granularity.
+
+  /** Copy the part files of `src` into `dst` with an explicit mtime:
+    * all copied files get `mtimeMs`, which callers stagger per wave so
+    * wave N always sorts before wave N+1 in the file source.
+    */
+  private def copyParts(src: String, dst: String, mtimeMs: Long): Unit = {
+    val d = new java.io.File(dst)
+    d.mkdirs()
+    Option(new java.io.File(src).listFiles()).getOrElse(Array())
+      .filter(f => f.getName.startsWith("part-") &&
+        f.getName.endsWith(".parquet"))
+      .sortBy(_.getName)
+      .foreach { f =>
+        val out = new java.io.File(d, f.getName)
+        java.nio.file.Files.copy(f.toPath, out.toPath,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        out.setLastModified(mtimeMs)
+        ()
+      }
+  }
+
+  /** Staged event points `(event_id, metric, ts_s, value)` split at the
+    * time-range midpoint into `w1`/`w2` — one build serves the rollup,
+    * as-of, windowed-agg and sessionize harnesses (each declares the
+    * column subset it streams; parquet projects by name).
+    */
+  private def pointsWaveFixture(s: SparkSession, dir: String): String =
+    Dedup.sharedIndexPath(s, dir, "events.parquet", "stage_pts") { base =>
+      import s.implicits._
+      val pts = Buckets.eventsRaw(s, dir)
+        .select(col("event_id").cast("long").as("event_id"),
+          col("event_type").as("metric"), col("ts_s"), col("value"))
+      val (lo, hi) = pts.agg(min("ts_s"), max("ts_s")).as[(Long, Long)].head()
+      val mid = lo + (hi - lo) / 2
+      pts.filter(col("ts_s") <= mid)
+        .coalesce(1).write.mode("overwrite").parquet(s"$base/w1")
+      pts.filter(col("ts_s") > mid)
+        .coalesce(1).write.mode("overwrite").parquet(s"$base/w2")
+    }
+
+  /** Staged documents `(doc_id, text)` split at the id midpoint into
+    * `w1`/`w2` — one build serves both mergeable-sketch harnesses.
+    */
+  private def docsWaveFixture(s: SparkSession, dir: String): String =
+    Dedup.sharedIndexPath(s, dir, "documents.parquet", "stage_docs") { base =>
+      import s.implicits._
+      val corpus = s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id").cast("long").as("doc_id"), col("text"))
+      val (lo, hi) = corpus.agg(min("doc_id"), max("doc_id"))
+        .as[(Long, Long)].head()
+      val mid = lo + (hi - lo) / 2
+      corpus.filter(col("doc_id") <= mid)
+        .coalesce(1).write.mode("overwrite").parquet(s"$base/w1")
+      corpus.filter(col("doc_id") > mid)
+        .coalesce(1).write.mode("overwrite").parquet(s"$base/w2")
+    }
+
   /** `stream_dedup` — [[StreamDedup.dedupStream]] driven over the
     * documents corpus in two deterministic arrival waves split by doc_id
     * at the id range's midpoint: wave 2 re-delivers content whose hash
@@ -81,40 +150,43 @@ object StreamQueries {
   /** `stream_sessionize` — [[StreamSessionize.sessionizeStream]] over
     * the staged event stream. Append-mode session finalization needs the
     * watermark to PASS a session's end, and the watermark used by batch
-    * N is computed from batch N−1 — so the second query feeds two
-    * sentinel files one batch apart (`maxFilesPerTrigger=1`): the first
-    * advances the watermark computation, the second's batch runs with
-    * that advanced watermark and flushes every real session. The staged
-    * corpus is one file = one batch, so no real event is ever late
-    * against the initial watermark.
+    * N is computed from batch N−1 — so the run feeds two sentinel files
+    * one batch apart (`maxFilesPerTrigger=1`): the first advances the
+    * watermark computation, the second's batch runs with that advanced
+    * watermark and flushes every real session. The corpus arrives as
+    * the two TIME-ordered staged waves (session state spans their batch
+    * boundary in-run), so no real event is ever late.
     */
-  private def ensureStreamSessionized(s: SparkSession, dir: String): String =
+  private def ensureStreamSessionized(s: SparkSession, dir: String): String = {
+    val fixture = pointsWaveFixture(s, dir)
     Dedup.sharedIndexPath(s, dir, "events.parquet", "stream_sessionize") { base =>
       import s.implicits._
       val stage = s"$base/stage"
       val pts = Buckets.points(s, dir)
-      def run(extraFilesPerTrigger: Option[Int]): Unit = {
-        val src = s.readStream.schema(pts.schema)
-        val reader = extraFilesPerTrigger
-          .fold(src)(n => src.option("maxFilesPerTrigger", n))
-        StreamSessionize
-          .sessionizeStream(reader.parquet(stage), PipelineOps.SessionGapS, "1 hour")
-          .writeStream.outputMode("append")
-          .format("parquet").option("path", s"$base/out")
-          .option("checkpointLocation", s"$base/ckpt")
-          .trigger(Trigger.AvailableNow())
-          .start().awaitTermination()
-      }
-      pts.coalesce(1).write.mode("append").parquet(stage)
-      run(None)
+      // one AvailableNow run over mtime-ordered corpus waves + the two
+      // sentinel flush files — the ensureStreamFetchAgg shape (see its
+      // note); session state spans the wave batches inside the run, and
+      // the time-ordered waves mean no real event is ever late
+      val t0 = System.currentTimeMillis()
+      copyParts(s"$fixture/w1", stage, t0 - 6000)
+      copyParts(s"$fixture/w2", stage, t0 - 4000)
       Seq((Sentinel, Buckets.NowS + 10 * 86400L, 0.0),
           (Sentinel, Buckets.NowS + 20 * 86400L, 0.0))
-        .zipWithIndex.foreach { case (row, _) =>
+        .foreach { row =>
           Seq(row).toDF("metric", "ts_s", "value")
             .coalesce(1).write.mode("append").parquet(stage)
         }
-      run(Some(1))
+      StreamSessionize
+        .sessionizeStream(
+          s.readStream.schema(pts.schema).option("maxFilesPerTrigger", 1)
+            .parquet(stage), PipelineOps.SessionGapS, "1 hour")
+        .writeStream.outputMode("append")
+        .format("parquet").option("path", s"$base/out")
+        .option("checkpointLocation", s"$base/ckpt")
+        .trigger(Trigger.AvailableNow())
+        .start().awaitTermination()
     }
+  }
 
   def streamSessionize(s: SparkSession, dir: String): DataFrame = {
     val base = ensureStreamSessionized(s, dir)
@@ -134,18 +206,16 @@ object StreamQueries {
     * final coarse level must equal the batch cascade — the oracle IS
     * `rollup_cascade_5m`'s SQL.
     */
-  private def ensureStreamRollup(s: SparkSession, dir: String): String =
+  private def ensureStreamRollup(s: SparkSession, dir: String): String = {
+    val fixture = pointsWaveFixture(s, dir)
     Dedup.sharedIndexPath(s, dir, "events.parquet", "stream_rollup") { base =>
-      import s.implicits._
       val stage = s"$base/stage"
       val pts = Buckets.points(s, dir)
       val store = new StreamRollup.CascadeStore(60, Seq(
         StreamRollup.Level(300, graft.model.AggregationMethod.Sum, 0.0),
         StreamRollup.Level(3600, graft.model.AggregationMethod.Sum, 0.0)))
-      val (lo, hi) = pts.agg(min("ts_s"), max("ts_s")).as[(Long, Long)].head()
-      val mid = lo + (hi - lo) / 2
-      def runWave(wave: DataFrame): Unit = {
-        wave.coalesce(1).write.mode("append").parquet(stage)
+      def runWave(wave: String, mtimeMs: Long): Unit = {
+        copyParts(s"$fixture/$wave", stage, mtimeMs)
         s.readStream.schema(pts.schema).parquet(stage)
           .writeStream.outputMode("update")
           .foreachBatch { (b: DataFrame, id: Long) => store.mergeBatch(b, id) }
@@ -153,8 +223,9 @@ object StreamQueries {
           .trigger(Trigger.AvailableNow())
           .start().awaitTermination()
       }
-      runWave(pts.filter(col("ts_s") <= mid))
-      runWave(pts.filter(col("ts_s") > mid))
+      val t0 = System.currentTimeMillis()
+      runWave("w1", t0 - 4000)
+      runWave("w2", t0 - 2000)
       Seq(300, 3600).foreach { lvl =>
         store.level(lvl).get
           .select(col("metric"), col("bucket_ts"),
@@ -162,6 +233,7 @@ object StreamQueries {
           .coalesce(1).write.mode("overwrite").parquet(s"$base/out$lvl")
       }
     }
+  }
 
   def streamRollup(s: SparkSession, dir: String): DataFrame = {
     val base = ensureStreamRollup(s, dir)
@@ -183,32 +255,38 @@ object StreamQueries {
     * finalization needs the watermark to move past every real bucket —
     * the same two-sentinel flush as `stream_sessionize`.
     */
-  private def ensureStreamFetchAgg(s: SparkSession, dir: String): String =
+  private def ensureStreamFetchAgg(s: SparkSession, dir: String): String = {
+    val fixture = pointsWaveFixture(s, dir)
     Dedup.sharedIndexPath(s, dir, "events.parquet", "stream_fetch_agg") { base =>
       import s.implicits._
       val stage = s"$base/stage"
       val pts = Buckets.points(s, dir)
-      def run(filesPerTrigger: Option[Int]): Unit = {
-        val src = s.readStream.schema(pts.schema)
-        val reader = filesPerTrigger
-          .fold(src)(n => src.option("maxFilesPerTrigger", n))
-        StreamIngest.windowedAgg(reader.parquet(stage), 60, "1 hour")
-          .writeStream.outputMode("append")
-          .format("parquet").option("path", s"$base/out")
-          .option("checkpointLocation", s"$base/ckpt")
-          .trigger(Trigger.AvailableNow())
-          .start().awaitTermination()
-      }
-      pts.coalesce(1).write.mode("append").parquet(stage)
-      run(None)
+      // ONE AvailableNow run, `maxFilesPerTrigger=1`, over the staged
+      // corpus waves plus the two sentinel files (mtime-ordered):
+      // batch N's watermark comes from batch N−1, so sentinel 1
+      // advances the computation and sentinel 2's batch flushes every
+      // real bucket — the r10 shape's second query start (a full
+      // checkpoint restart, ~1.5 s of fixed harness cost) bought only
+      // the restart exercise, which StreamSpec pins separately.
+      val t0 = System.currentTimeMillis()
+      copyParts(s"$fixture/w1", stage, t0 - 6000)
+      copyParts(s"$fixture/w2", stage, t0 - 4000)
       Seq((Sentinel, Buckets.NowS + 10 * 86400L, 0.0),
           (Sentinel, Buckets.NowS + 20 * 86400L, 0.0))
         .foreach { row =>
           Seq(row).toDF("metric", "ts_s", "value")
             .coalesce(1).write.mode("append").parquet(stage)
         }
-      run(Some(1))
+      StreamIngest.windowedAgg(
+          s.readStream.schema(pts.schema).option("maxFilesPerTrigger", 1)
+            .parquet(stage), 60, "1 hour")
+        .writeStream.outputMode("append")
+        .format("parquet").option("path", s"$base/out")
+        .option("checkpointLocation", s"$base/ckpt")
+        .trigger(Trigger.AvailableNow())
+        .start().awaitTermination()
     }
+  }
 
   def streamFetchAgg(s: SparkSession, dir: String): DataFrame = {
     val base = ensureStreamFetchAgg(s, dir)
@@ -236,17 +314,16 @@ object StreamQueries {
     * batch `lag` window over `(metric ORDER BY ts_s, event_id)` — which
     * is exactly what the oracle computes.
     */
-  private def ensureStreamAsof(s: SparkSession, dir: String): String =
+  private def ensureStreamAsof(s: SparkSession, dir: String): String = {
+    val fixture = pointsWaveFixture(s, dir)
     Dedup.sharedIndexPath(s, dir, "events.parquet", "stream_asof") { base =>
       import s.implicits._
       val stage = s"$base/stage"
       val pts = Buckets.eventsRaw(s, dir)
         .select(col("event_id").cast("long").as("event_id"),
           col("event_type").as("metric"), col("ts_s"), col("value"))
-      val (lo, hi) = pts.agg(min("ts_s"), max("ts_s")).as[(Long, Long)].head()
-      val mid = lo + (hi - lo) / 2
-      def runWave(wave: DataFrame): Unit = {
-        wave.coalesce(1).write.mode("append").parquet(stage)
+      def runWave(wave: String, mtimeMs: Long): Unit = {
+        copyParts(s"$fixture/$wave", stage, mtimeMs)
         val arrivals = s.readStream.schema(pts.schema).parquet(stage)
           .as[StreamAsof.PointArrival]
         StreamAsof.asofStream(arrivals).toDF()
@@ -256,9 +333,11 @@ object StreamQueries {
           .trigger(Trigger.AvailableNow())
           .start().awaitTermination()
       }
-      runWave(pts.filter(col("ts_s") <= mid))
-      runWave(pts.filter(col("ts_s") > mid))
+      val t0 = System.currentTimeMillis()
+      runWave("w1", t0 - 4000)
+      runWave("w2", t0 - 2000)
     }
+  }
 
   def streamAsof(s: SparkSession, dir: String): DataFrame = {
     val base = ensureStreamAsof(s, dir)
@@ -332,17 +411,14 @@ object StreamQueries {
     * the staging/checkpoint machinery lands in both by construction.
     */
   private def ensureTwoWaveFold(s: SparkSession, dir: String, name: String)(
-      merge: (DataFrame, Long) => Unit)(finish: String => Unit): String =
+      merge: (DataFrame, Long) => Unit)(finish: String => Unit): String = {
+    val fixture = docsWaveFixture(s, dir)
     Dedup.sharedIndexPath(s, dir, "documents.parquet", name) { base =>
-      import s.implicits._
       val stage = s"$base/stage"
       val corpus = s.read.parquet(s"$dir/documents.parquet")
         .select(col("doc_id").cast("long").as("doc_id"), col("text"))
-      val (lo, hi) = corpus.agg(min("doc_id"), max("doc_id"))
-        .as[(Long, Long)].head()
-      val mid = lo + (hi - lo) / 2
-      def runWave(wave: DataFrame): Unit = {
-        wave.coalesce(1).write.mode("append").parquet(stage)
+      def runWave(wave: String, mtimeMs: Long): Unit = {
+        copyParts(s"$fixture/$wave", stage, mtimeMs)
         s.readStream.schema(corpus.schema).parquet(stage)
           .writeStream.outputMode("append")
           .foreachBatch { (b: DataFrame, id: Long) => merge(b, id) }
@@ -350,10 +426,12 @@ object StreamQueries {
           .trigger(Trigger.AvailableNow())
           .start().awaitTermination()
       }
-      runWave(corpus.filter(col("doc_id") <= mid))
-      runWave(corpus.filter(col("doc_id") > mid))
+      val t0 = System.currentTimeMillis()
+      runWave("w1", t0 - 4000)
+      runWave("w2", t0 - 2000)
       finish(base)
     }
+  }
 
   /** `stream_sketch` — [[StreamSketch.RegisterStore]] fed the corpus in
     * two doc_id waves; the final registers must equal the batch sketch's

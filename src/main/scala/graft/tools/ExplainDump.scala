@@ -213,6 +213,19 @@ object ExplainDump {
         "regexes — one scan + one shuffle, reused), the node-keyed " +
         "dedup reduces each side to one row per (key, bucket), and the " +
         "final Σv·w/Σw is a join of two request-bounded frames."),
+    "render_target_holt_input" ->
+      ("The Holt-Winters recurrence's INPUT frame as its own key: the " +
+        "request window extended by the 6h bootstrap reaches the scan " +
+        "as a pushed ts range, members consolidate per-minute with " +
+        "map-side partials, and the combine is one hash aggregate over " +
+        "the dense spine. Everything relational about the holt key, " +
+        "oracle-checked; only the per-series recurrence stays typed."),
+    "render_target_holt_bands" ->
+      ("The band/aberration algebra over a 48-row synthetic forecast " +
+        "frame both engines generate from one integer formula — a " +
+        "spec key, deliberately tiny: it pins the deployed hwUpper/" +
+        "hwLower/hwAberr functions (shared with the recurrence arms) " +
+        "against SQL, not a data-volume plan."),
     "render_target_apply" ->
       ("applyByNode(shard*.click, 0, 'asPercent(%.click, sumSeries(" +
         "%.*))'): the template evaluates once per node-prefix, but " +
@@ -274,6 +287,26 @@ object ExplainDump {
         "docfreq hash aggregate keyed on the 16-byte span hash with " +
         "map-side partials, the dup-key join back, and a per-doc fold. " +
         "Shuffles carry hashes and counts — span text never moves."),
+    "dedup_substring_capped" ->
+      ("The production twin with the Zipf-head docfreq cap: identical " +
+        "plan plus ONE filter right after the docfreq join, dropping " +
+        "instances of spans shared by >64 positions BEFORE the per-doc " +
+        "shuffle — the stop-word-run skew never reaches a downstream " +
+        "stage."),
+    "upsert_for_archive" ->
+      ("UpdateManyForArchive's relational core: the caller-chosen 5m " +
+        "archive's own retention window as a pushed scan predicate, " +
+        "then the same partial_max_by LWW aggregate as upsert_batch_lww " +
+        "at the archive's resolution — routing bypass costs nothing at " +
+        "plan level, it IS the absence of the routing CASE."),
+    "knn_classify_ann" ->
+      ("knn_classify on its production candidate path: both scans read " +
+        "the PERSISTED trained IVF index, the 50-anchor probe ranks 16 " +
+        "broadcast centroids per anchor, candidates stream cluster-" +
+        "locally through the broadcast probe join, and the unchanged " +
+        "vote stage aggregates k·|anchors| rows. No training stage, no " +
+        "corpus-wide scored pass — the brute-force key keeps that as " +
+        "the small-scale oracle."),
     "mix_temperature" ->
       ("Temperature-scaled source resampling: pass 1 reduces the corpus " +
         "to k per-source token sums (map-side partial aggregation), the " +

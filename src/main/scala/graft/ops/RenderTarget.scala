@@ -739,7 +739,10 @@ object RenderTarget {
         else leafRx.map(col("metric").rlike(_)).reduce(_ || _)
       pts.filter(col("ts_s") >= extFromI && col("ts_s") < untilI && matchesAny)
         .groupBy(col("metric"), Buckets.alignTs(col("ts_s"), spp).as("bucket_ts"))
-        .agg(round(avg(col("value")), 6).as("value"))
+        // the pinned grid mean (ordered fold + shared round6): per-bucket
+        // raw counts grow with data density, and power-of-two counts land
+        // native round on cross-engine decimal midpoints
+        .agg(Rollup.mean6(col("value"), col("ts_s")).as("value"))
     }
 
     // Per-leaf selection over [[sharedAgg]]. Multi-glob targets wrap the
@@ -2215,7 +2218,7 @@ object RenderTarget {
        |    AND regexp_matches(metric, '$rx')),
        |agg AS (
        |  SELECT metric, (ts_s // 60) * 60 AS bucket_ts,
-       |         round(avg(value), 6) AS v
+       |         ${Rollup.mean6Sql("pts.ts_s")} AS v
        |  FROM pts
        |  WHERE ts_s >= $fromI AND ts_s < $untilI
        |    AND regexp_matches(metric, '$rx')
@@ -2369,7 +2372,7 @@ object RenderTarget {
        |    AND regexp_matches(metric, '$rx')),
        |agg AS (
        |  SELECT metric, (ts_s // 60) * 60 AS bucket_ts,
-       |         round(avg(value), 6) AS v
+       |         ${Rollup.mean6Sql("pts.ts_s")} AS v
        |  FROM pts
        |  WHERE ts_s >= $fromI AND ts_s < $untilI
        |    AND regexp_matches(metric, '$rx')
@@ -2400,7 +2403,7 @@ object RenderTarget {
        |    AND regexp_matches(metric, '$rx')),
        |agg AS (
        |  SELECT metric, (ts_s // 60) * 60 AS bucket_ts,
-       |         round(avg(value), 6) AS v
+       |         ${Rollup.mean6Sql("pts.ts_s")} AS v
        |  FROM pts
        |  WHERE ts_s >= $fromI AND ts_s < $untilI
        |    AND regexp_matches(metric, '$rx')
@@ -2431,7 +2434,7 @@ object RenderTarget {
        |    AND regexp_matches(metric, '$rx')),
        |agg AS (
        |  SELECT metric, (ts_s // 60) * 60 AS bucket_ts,
-       |         round(avg(value), 6) AS v
+       |         ${Rollup.mean6Sql("pts.ts_s")} AS v
        |  FROM pts
        |  WHERE ts_s >= $fromI AND ts_s < $untilI
        |    AND regexp_matches(metric, '$rx')
@@ -2465,7 +2468,7 @@ object RenderTarget {
        |    AND regexp_matches(metric, '$rx')),
        |agg AS (
        |  SELECT metric, (ts_s // 60) * 60 AS bucket_ts,
-       |         round(avg(value), 6) AS v
+       |         ${Rollup.mean6Sql("pts.ts_s")} AS v
        |  FROM pts
        |  WHERE ts_s >= $fromI AND ts_s < $untilI
        |    AND regexp_matches(metric, '$rx')
@@ -2495,7 +2498,7 @@ object RenderTarget {
        |    AND regexp_matches(metric, '$rx')),
        |agg AS (
        |  SELECT metric, (ts_s // 60) * 60 AS bucket_ts,
-       |         round(avg(value), 6) AS v
+       |         ${Rollup.mean6Sql("pts.ts_s")} AS v
        |  FROM pts
        |  WHERE ts_s >= $fromI AND ts_s < $untilI
        |    AND regexp_matches(metric, '$rx')
@@ -2528,7 +2531,7 @@ object RenderTarget {
        |    AND regexp_matches(metric, '$rx')),
        |agg AS (
        |  SELECT metric, (ts_s // 60) * 60 AS bucket_ts,
-       |         round(avg(value), 6) AS v
+       |         ${Rollup.mean6Sql("pts.ts_s")} AS v
        |  FROM pts
        |  WHERE ts_s >= $fromI AND ts_s < $untilI
        |    AND regexp_matches(metric, '$rx')
@@ -2562,7 +2565,7 @@ object RenderTarget {
        |    AND regexp_matches(metric, '$rx')),
        |agg AS (
        |  SELECT metric, (ts_s // 60) * 60 AS bucket_ts,
-       |         round(avg(value), 6) AS v
+       |         ${Rollup.mean6Sql("pts.ts_s")} AS v
        |  FROM pts
        |  WHERE ts_s >= $fromI AND ts_s < $untilI
        |    AND regexp_matches(metric, '$rx')
@@ -2610,7 +2613,7 @@ object RenderTarget {
        |    AND regexp_matches(metric, '$rx')),
        |agg AS (
        |  SELECT metric, (ts_s // 60) * 60 AS bucket_ts,
-       |         round(avg(value), 6) AS v
+       |         ${Rollup.mean6Sql("pts.ts_s")} AS v
        |  FROM pts
        |  WHERE ts_s >= $extFromI AND ts_s < $untilI
        |    AND regexp_matches(metric, '$rx')
@@ -2667,7 +2670,7 @@ object RenderTarget {
        |    AND regexp_matches(metric, '$rx')),
        |agg AS (
        |  SELECT metric, (ts_s // 60) * 60 AS bucket_ts,
-       |         round(avg(value), 6) AS v
+       |         ${Rollup.mean6Sql("pts.ts_s")} AS v
        |  FROM pts
        |  WHERE ts_s >= $fromI AND ts_s < $untilI
        |    AND regexp_matches(metric, '$rx')
@@ -2692,7 +2695,7 @@ object RenderTarget {
        |    AND ($cond)),
        |agg AS (
        |  SELECT metric, (ts_s // 60) * 60 AS bucket_ts,
-       |         round(avg(value), 6) AS v
+       |         ${Rollup.mean6Sql("pts.ts_s")} AS v
        |  FROM pts
        |  WHERE ts_s >= $fromI AND ts_s < $untilI
        |    AND ($cond)
@@ -3230,7 +3233,7 @@ object RenderTarget {
        |    AND regexp_matches(metric, '$rx')),
        |agg AS (
        |  SELECT metric, (ts_s // 60) * 60 AS bucket_ts,
-       |         round(avg(value), 6) AS v
+       |         ${Rollup.mean6Sql("pts.ts_s")} AS v
        |  FROM pts
        |  WHERE ts_s >= $fromI AND ts_s < $untilI
        |    AND regexp_matches(metric, '$rx')
@@ -3712,7 +3715,7 @@ object RenderTarget {
        |    AND regexp_matches(metric, '$rx')),
        |agg AS (
        |  SELECT metric, (ts_s // 60) * 60 AS bucket_ts,
-       |         round(avg(value), 6) AS v
+       |         ${Rollup.mean6Sql("pts.ts_s")} AS v
        |  FROM pts
        |  WHERE ts_s >= $extFromI AND ts_s < $untilI
        |    AND regexp_matches(metric, '$rx')

@@ -142,7 +142,7 @@ object WspQueries {
        |    AND regexp_matches(metric, '$rx')),
        |agg AS (
        |  SELECT metric, (ts_s // 60) * 60 AS bucket_ts,
-       |         round(avg(value), 6) AS v
+       |         ${graft.ops.Rollup.mean6Sql("tree.ts_s")} AS v
        |  FROM tree
        |  WHERE ts_s >= $fromI AND ts_s < $untilI
        |    AND regexp_matches(metric, '$rx')

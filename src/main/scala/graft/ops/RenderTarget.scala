@@ -483,6 +483,31 @@ object RenderTarget {
     case f => throw new IllegalArgumentException(s"unknown aggregation '$f'")
   }
 
+  /** [[summarizeAgg]] for OUTPUT-bearing grouped contexts: the one
+    * order-sensitive float case, `avg`, is pinned to the shared ordered
+    * fold ([[Rollup.orderedMean6]], keyed by the universally-unique
+    * `(bucket_ts, metric)` pair) so the group mean is bit-identical
+    * across partitionings and engines — an unordered partial-merge avg
+    * of 6-decimal grid values divides onto a round-half midpoint for
+    * 1/K of buckets when the member count K is even, and the merge
+    * order then decides the 6th decimal (the r10 `dsir_weight` class).
+    * Every other named aggregator is order-insensitive (min/max/count/
+    * median/last sort or select; sums of 6-decimal values have a zero
+    * 7th decimal, never a midpoint), so it stays on the plain form —
+    * as do ranking/filter contexts (sortBy, filterSeries, highest/
+    * lowest: an ulp can only flip a selection on a macroscopically
+    * exact tie between DIFFERENT series) and window contexts
+    * (movingWindow: frame accumulation is deterministic per engine, so
+    * the sf0.1 sweep is conclusive; the fold wrapper also cannot take
+    * `.over`).
+    */
+  private def summarizeAggOrdered(func: String, c: Column): Column =
+    func match {
+      case "avg" | "average" =>
+        Rollup.orderedMean6(c, struct(col("bucket_ts"), col("metric")))
+      case _ => summarizeAgg(func, c)
+    }
+
   /** Shared counter-delta kernel for nonNegativeDerivative/perSecond:
     * per-series lag; None on gaps; a decrease is None UNLESS `maxValue`
     * is given, in which case it is a counter wrap and the recovered
@@ -685,7 +710,12 @@ object RenderTarget {
     * argmin/argmax, so a bucket's value is its first/last KNOWN point.
     */
   private def consolidateAgg(func: String): Column = func match {
-    case "average" | "avg" => avg(col("value"))
+    // the default consolidation mean folds the run's slots in slot
+    // order (bucket_ts is unique within a consolidation run) — same
+    // midpoint hazard as summarizeAggOrdered's avg; the caller's outer
+    // round(…, 6) is idempotent over the round6 result
+    case "average" | "avg" =>
+      Rollup.orderedMean6(col("value"), struct(col("bucket_ts"), col("metric")))
     case "sum" => sum(col("value"))
     case "min" => min(col("value"))
     case "max" => max(col("value"))
@@ -848,8 +878,14 @@ object RenderTarget {
           s"$f: member series must share one step (got ${steps.mkString(", ")})")
         val df = evald.map(_._1).reduce(_ unionByName _)
         val v = f match {
+          // sum of 6-decimal member values: 7th decimal is zero, never a
+          // round-half midpoint — the unordered sum is safe as-is
           case "sumSeries" => round(sum(col("value")), 6)
-          case "averageSeries" => round(avg(col("value")), 6)
+          // mean ÷ member count CAN land on a midpoint → ordered fold
+          // (sorted by the member's metric; bucket_ts is the group key)
+          case "averageSeries" =>
+            Rollup.orderedMean6(col("value"),
+              struct(col("bucket_ts"), col("metric")))
           case "minSeries" => min(col("value"))
           case "maxSeries" => max(col("value"))
           case "countSeries" => count(lit(1)).cast("double")
@@ -889,7 +925,7 @@ object RenderTarget {
         val (df, step) = eval(c)
         (df.groupBy(split(col("metric"), "\\.").getItem(n).as("metric"),
             col("bucket_ts"))
-          .agg(round(summarizeAgg(func, col("value")), 6).as("value")), step)
+          .agg(round(summarizeAggOrdered(func, col("value")), 6).as("value")), step)
       case Call("aliasByNode", Seq(c), args) =>
         val n = args.head.toInt
         val (df, step) = eval(c)
@@ -926,7 +962,7 @@ object RenderTarget {
               .cast("long").as("bucket_ts")
           else (floor(col("bucket_ts") / iv) * iv).cast("long").as("bucket_ts")
         (df.groupBy(col("metric"), bucket)
-          .agg(round(summarizeAgg(func, col("value")), 6).as("value")), iv)
+          .agg(round(summarizeAggOrdered(func, col("value")), 6).as("value")), iv)
       // ------------------------------------------ pointwise transforms:
       // None propagates through null arithmetic for free; each keeps the
       // child's grid and step, so they fuse into the child's projection
@@ -1214,7 +1250,7 @@ object RenderTarget {
         val parts = split(col("metric"), "\\.")
         val key = concat_ws(".", nodes.map(n => parts.getItem(n)): _*)
         (df.groupBy(key.as("metric"), col("bucket_ts"))
-          .agg(round(summarizeAgg(func, col("value")), 6).as("value")), step)
+          .agg(round(summarizeAggOrdered(func, col("value")), 6).as("value")), step)
       case Call("weightedAverage", Seq(cv, cw), args) =>
         // ONE output series: Σ(value·weight)/Σ(weight) per bucket, the
         // value and weight series paired by the n-th dot-node of their
@@ -1231,12 +1267,17 @@ object RenderTarget {
             .groupBy(split(col("metric"), "\\.").getItem(n).as("node"),
               col("bucket_ts"))
             .agg(max_by(col("value"), col("metric")).as(as))
+        // both Σ folds pinned to node order (unique per bucket) and the
+        // quotient rounded via the shared round6: v·w carries a full
+        // mantissa, so the unordered merge + native round could flip a
+        // 6th decimal between engines/runs
         (byNode(dv, "v").join(byNode(dw, "w"), Seq("node", "bucket_ts"))
           .groupBy(col("bucket_ts"))
-          .agg(sum(col("v") * col("w")).as("num"), sum(col("w")).as("den"))
+          .agg(Rollup.orderedSumBy(col("v") * col("w"), col("node")).as("num"),
+            Rollup.orderedSumBy(col("w"), col("node")).as("den"))
           .select(lit("weightedAverage").as("metric"), col("bucket_ts"),
             when(col("den").isNotNull && col("den") =!= 0,
-              round(col("num") / col("den"), 6)).as("value")), sv)
+              Buckets.round6(col("num") / col("den"))).as("value")), sv)
       case Call("filterSeries", Seq(c), args) =>
         // graphite 1.1's general series filter: keep series whose
         // requested-window statistic satisfies `operator threshold` —
@@ -1322,7 +1363,7 @@ object RenderTarget {
           substring_index(col("metric"), ";", 1) +:
             tags.flatMap(t => Seq(lit(s";$t="), tagValue(t))): _*)
         (df.groupBy(key.as("metric"), col("bucket_ts"))
-          .agg(round(summarizeAgg(func, col("value")), 6).as("value")), step)
+          .agg(round(summarizeAggOrdered(func, col("value")), 6).as("value")), step)
       case Call("aliasByTags", Seq(c), args) =>
         require(args.nonEmpty, "aliasByTags needs at least one tag")
         val (df, step) = eval(c)
@@ -1759,14 +1800,14 @@ object RenderTarget {
             }
           case _ if xff > 0.0 =>
             (df.groupBy(col("bucket_ts"))
-              .agg(round(summarizeAgg(func, col("value")), 6).as("cv"),
+              .agg(round(summarizeAggOrdered(func, col("value")), 6).as("cv"),
                 count(col("value")).as("kn"), count(lit(1)).as("tot"))
               .select(lit(s"${func}Series").as("metric"), col("bucket_ts"),
                 when(col("kn").cast("double") >= col("tot") * xff, col("cv"))
                   .as("value")), step)
           case _ =>
             (df.groupBy(col("bucket_ts"))
-              .agg(round(summarizeAgg(func, col("value")), 6).as("value"))
+              .agg(round(summarizeAggOrdered(func, col("value")), 6).as("value"))
               .select(lit(s"${func}Series").as("metric"), col("bucket_ts"),
                 col("value")), step)
         }
@@ -1797,7 +1838,7 @@ object RenderTarget {
           (strictProduct(df, Seq(key, col("bucket_ts")), col("metric")), step)
         else
           (df.groupBy(key, col("bucket_ts"))
-            .agg(round(summarizeAgg(func, col("value")), 6).as("value")), step)
+            .agg(round(summarizeAggOrdered(func, col("value")), 6).as("value")), step)
       case Call("movingWindow", Seq(c), args) =>
         // the general trailing window: any named aggregator over the
         // last n points — the MovingFuncs family's umbrella (same
@@ -1946,7 +1987,7 @@ object RenderTarget {
         val lo = Math.floorDiv(fromI, step) * step
         val stat = broadcast(df.filter(col("bucket_ts") >= lo)
           .groupBy(col("metric"))
-          .agg(round(summarizeAgg(func, col("value")), 6).as("line_v")))
+          .agg(round(summarizeAggOrdered(func, col("value")), 6).as("line_v")))
         (df.join(stat, Seq("metric"), "left")
           .select(col("metric"), col("bucket_ts"),
             col("line_v").as("value")), step)
@@ -2627,7 +2668,7 @@ object RenderTarget {
        |  FROM spine s LEFT JOIN agg a USING (metric, bucket_ts)),
        |coarse AS (
        |  SELECT metric, (bucket_ts // 600) * 600 AS b,
-       |         round(avg(v), 6) AS value
+       |         ${Rollup.orderedMean6Sql("bucket_ts")} AS value
        |  FROM dense GROUP BY 1, 2),
        |shifted AS (
        |  SELECT metric, b + 3600 AS bucket_ts, value FROM coarse)
@@ -2969,7 +3010,8 @@ object RenderTarget {
   val renderTargetDiffSql: String =
     s"""$denseFlatSql,
        |mx AS (SELECT bucket_ts, max(v) AS value FROM dense GROUP BY 1),
-       |av AS (SELECT bucket_ts, round(avg(v), 6) AS value FROM dense GROUP BY 1)
+       |av AS (SELECT bucket_ts, ${Rollup.orderedMean6Sql("metric")} AS value
+       |       FROM dense GROUP BY 1)
        |SELECT 'diffSeries' AS metric, m.bucket_ts,
        |       CASE WHEN m.value IS NULL AND a.value IS NULL THEN NULL
        |            ELSE round(coalesce(m.value, 0) - coalesce(a.value, 0), 6)
@@ -3188,11 +3230,16 @@ object RenderTarget {
        |bn AS (
        |  SELECT split_part(metric, '.', 2) AS node, bucket_ts,
        |         arg_max(v, metric) AS v
-       |  FROM dense WHERE v IS NOT NULL GROUP BY 1, 2)
+       |  FROM dense WHERE v IS NOT NULL GROUP BY 1, 2),
+       |folded AS (
+       |  SELECT bucket_ts,
+       |         ${Rollup.orderedSumSql("node", "v * v")} AS num,
+       |         ${Rollup.orderedSumSql("node", "v")} AS den
+       |  FROM bn GROUP BY bucket_ts)
        |SELECT 'weightedAverage' AS metric, bucket_ts,
-       |       CASE WHEN sum(v) <> 0 THEN round(sum(v * v) / sum(v), 6) END
+       |       CASE WHEN den <> 0 THEN ${Buckets.round6Sql("num / den")} END
        |         AS value
-       |FROM bn GROUP BY bucket_ts
+       |FROM folded
        |ORDER BY bucket_ts""".stripMargin
 
   /** `render_target_holt`: the anomaly panel —
@@ -3544,7 +3591,8 @@ object RenderTarget {
   val renderTargetAgglineSql: String =
     s"""$densePathedSql,
        |stat AS (
-       |  SELECT metric, round(avg(v), 6) AS line_v FROM dense GROUP BY 1)
+       |  SELECT metric, ${Rollup.orderedMean6Sql("bucket_ts")} AS line_v
+       |  FROM dense GROUP BY 1)
        |SELECT d.metric, d.bucket_ts, s.line_v AS value
        |FROM dense d LEFT JOIN stat s USING (metric)
        |ORDER BY 1, 2""".stripMargin

@@ -76,6 +76,39 @@ object Rollup {
   private[graft] def mean6Sql(ts: String, v: String = "value"): String =
     Buckets.round6Sql(s"${orderedSumSql(ts, v)} / count($v)")
 
+  /** [[mean6]] over a NULLABLE column (dense frames carry null gap
+    * slots): nulls are dropped before the sort on the Spark side
+    * (collect_list skips the null-guarded struct) and filtered out of
+    * the ordered list on the oracle side, and an all-null group yields
+    * NULL — exactly `avg`'s null contract, but with the fold order and
+    * the rounding pinned. `key` must be unique within the group (e.g.
+    * `struct(bucket_ts, metric)`) so both engines sort identically.
+    */
+  private[graft] def orderedMean6(value: Column, key: Column): Column = {
+    val vals = transform(
+      array_sort(collect_list(
+        when(value.isNotNull, struct(key.as("k"), value.as("v"))))),
+      x => x.getField("v"))
+    when(count(value) > 0,
+      Buckets.round6(aggregate(vals, lit(0d), (a, v) => a + v) / count(value)))
+  }
+
+  /** [[orderedMean6]] in the oracle dialect; `key` is a comma-joined
+    * ORDER BY list (e.g. `"bucket_ts, metric"`).
+    */
+  private[graft] def orderedMean6Sql(key: String, v: String = "v"): String =
+    s"CASE WHEN count($v) > 0 THEN ${Buckets.round6Sql(
+      s"list_reduce(list_filter(list($v ORDER BY $key), x -> x IS NOT NULL)," +
+        s" (a, x) -> a + x) / count($v)")} END"
+
+  /** The bare ordered sum for caller-assembled quotients (e.g.
+    * weightedAverage's Σ(v·w)/Σ(w)): same (key, value)-sorted left fold
+    * as [[orderedSum]], exposed with a caller-chosen sort key. Inputs
+    * must be non-null.
+    */
+  private[graft] def orderedSumBy(value: Column, key: Column): Column =
+    orderedSum(value, key)
+
   def aggColumn(method: AggregationMethod, value: Column, ts: Column): Column =
     method match {
       case AggregationMethod.Average => orderedSum(value, ts) / count(value)

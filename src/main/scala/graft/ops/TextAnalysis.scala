@@ -406,10 +406,11 @@ object TextAnalysis {
     val n1 = greatest(size(col("t")) - 1, lit(0))
     docs(s, dir).select(col("doc_id"), expr(toksExpr).as("t"))
       .select(col("doc_id"),
-        explode(arrays_zip(
+        posexplode(arrays_zip(
           slice(col("t"), lit(1), n1).as("a"),
-          slice(col("t"), lit(2), n1).as("b"))).as("z"))
-      .select(col("doc_id"), col("z.a").as("t1"), col("z.b").as("t2"))
+          slice(col("t"), lit(2), n1).as("b"))))
+      .select(col("doc_id"), col("pos").as("i"),
+        col("col.a").as("t1"), col("col.b").as("t2"))
   }
 
   /** Corpus unigram counts `(t1, cu)` — shared by the same two ops. */
@@ -423,7 +424,7 @@ object TextAnalysis {
   private val bigramSqlCtes: String =
     s"""d AS (SELECT doc_id, $toksSql AS t FROM documents),
        |bi AS (
-       |  SELECT doc_id, t[s.i] AS t1, t[s.i + 1] AS t2
+       |  SELECT doc_id, s.i AS i, t[s.i] AS t1, t[s.i + 1] AS t2
        |  FROM d, unnest(generate_series(1, len(t) - 1)) AS s(i)),
        |uni AS (
        |  SELECT t1, count(*) AS cu
@@ -434,11 +435,17 @@ object TextAnalysis {
     val uni = unigramCounts(s, dir)
     val big = bi.groupBy("t1", "t2").agg(count(lit(1)).as("cb"))
     val v = uni.count() // vocabulary size — one small scalar action
+    // mean log-probability folded in BIGRAM POSITION order (the full
+    // per-instance mantissas make this the dsir_weight hazard class: an
+    // unordered partial-merge sum can flip the 6th decimal of the mean
+    // between engines/runs), rounded through the shared round6
     bi.join(big, Seq("t1", "t2")).join(uni, Seq("t1"))
       .groupBy("doc_id")
       .agg(
-        round(avg(log((col("cb") + 1).cast("double") /
-          (col("cu") + lit(v)).cast("double"))), 6).as("lm_score"),
+        Buckets.round6(
+          Rollup.orderedSumBy(log((col("cb") + 1).cast("double") /
+            (col("cu") + lit(v)).cast("double")), col("i")) /
+          count(lit(1))).as("lm_score"),
         count(lit(1)).as("n_bigrams"))
       .orderBy("doc_id")
   }
@@ -448,7 +455,9 @@ object TextAnalysis {
        |big AS (SELECT t1, t2, count(*) AS cb FROM bi GROUP BY 1, 2),
        |vsz AS (SELECT count(*) AS v FROM uni)
        |SELECT doc_id,
-       |       round(avg(ln((cb + 1) * 1.0 / (cu + v))), 6) AS lm_score,
+       |       ${Buckets.round6Sql(Rollup.orderedSumSql("i",
+                "ln((cb + 1) * 1.0 / (cu + v))") + " / count(*)")}
+       |         AS lm_score,
        |       count(*) AS n_bigrams
        |FROM bi JOIN big USING (t1, t2) JOIN uni USING (t1) CROSS JOIN vsz
        |GROUP BY doc_id ORDER BY doc_id""".stripMargin

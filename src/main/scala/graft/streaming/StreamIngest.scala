@@ -42,7 +42,16 @@ object StreamIngest {
       .withColumn("ts", timestamp_seconds(col("ts_s")))
       .withWatermark("ts", watermark)
       .groupBy(col("metric"), window(col("ts"), s"$spp seconds"))
-      .agg(avg(col("value")).as("value"), count(lit(1)).as("known"))
+      // the bucket mean folded in (ts_s, value) order at emission — the
+      // micro-batch/task merge order of an incremental (sum, count)
+      // state is timing-dependent, and a bucket mean on a round-half
+      // midpoint would flip its 6th decimal between runs/engines. The
+      // collected state is one consolidation window (emission-rate
+      // bounded per metric-bucket), the same boundedness as the batch
+      // aggColumn fold.
+      .agg(Rollup.aggColumn(graft.model.AggregationMethod.Average,
+          col("value"), col("ts_s")).as("value"),
+        count(lit(1)).as("known"))
       .select(col("metric"),
         unix_timestamp(col("window.start")).as("bucket_ts"),
         col("value"), col("known"))

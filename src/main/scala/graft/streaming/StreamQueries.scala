@@ -297,11 +297,16 @@ object StreamQueries {
       .orderBy("metric", "bucket_ts")
   }
 
+  // bucket mean folded in (second, value) order — the same pin as the
+  // streaming side's windowedAgg, so both engines sum the identical
+  // sequence before the output round
   val streamFetchAggSql: String =
-    """SELECT event_type AS metric,
+    s"""SELECT event_type AS metric,
       |       (CAST(epoch(date_trunc('second', ts)) AS BIGINT) // 60) * 60
       |         AS bucket_ts,
-      |       round(avg(value), 6) AS value,
+      |       round(${graft.ops.Rollup.orderedSumSql(
+               "CAST(epoch(date_trunc('second', ts)) AS BIGINT)")} /
+      |         count(value), 6) AS value,
       |       count(*) AS known
       |FROM events GROUP BY 1, 2
       |ORDER BY 1, 2""".stripMargin

@@ -45,7 +45,15 @@ class PartitionVarianceSpec extends AnyFunSuite {
     "sketch_hll",       // Σ 2^-m — EXACT in double (powers of two)
     "cluster_stats",    // per-cluster Σ cos / n — round-6 absorbed
     "text_lm_score",    // per-doc Σ ln p — pinned
-    "minhash_audit")    // integer folds + ratios — exact
+    "minhash_audit",    // integer folds + ratios — exact
+    // the r11 Wave-B pins: grouped avg-family outputs whose member
+    // values are 6-decimal grid means — the division onto a round-half
+    // midpoint (1/K of buckets for even member count K) made the merge
+    // order observable before the ordered fold
+    "render_target_timeshift",  // summarize(…, 'avg') coarse means
+    "render_target_aggline",    // per-series window mean line
+    "render_target_diff",       // averageSeries member combine
+    "render_target_wavg")       // Σ v·w / Σ w node fold
 
   private def rows(df: DataFrame): Seq[Seq[Any]] = {
     val cols = df.columns.sorted

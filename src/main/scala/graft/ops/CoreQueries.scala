@@ -539,6 +539,9 @@ object CoreQueries {
     "render_target_apply" -> ((s, d) => RenderTarget.renderTargetApply(s, d)),
     "render_target_useabove" -> ((s, d) => RenderTarget.renderTargetUseabove(s, d)),
     "render_target_wrap" -> ((s, d) => RenderTarget.renderTargetWrap(s, d)),
+    "render_target_vertical" -> ((s, d) => RenderTarget.renderTargetVertical(s, d)),
+    "render_target_compress" -> ((s, d) => RenderTarget.renderTargetCompress(s, d)),
+    "render_target_aliasq" -> ((s, d) => RenderTarget.renderTargetAliasq(s, d)),
     "agg_avg" -> aggQuery(AggregationMethod.Average) _,
     "agg_sum" -> aggQuery(AggregationMethod.Sum) _,
     "agg_last" -> aggQuery(AggregationMethod.Last) _,
@@ -640,6 +643,9 @@ object CoreQueries {
     "render_target_apply" -> RenderTarget.renderTargetApplySql,
     "render_target_useabove" -> RenderTarget.renderTargetUseaboveSql,
     "render_target_wrap" -> RenderTarget.renderTargetWrapSql,
+    "render_target_vertical" -> RenderTarget.renderTargetVerticalSql,
+    "render_target_compress" -> RenderTarget.renderTargetCompressSql,
+    "render_target_aliasq" -> RenderTarget.renderTargetAliasqSql,
     "agg_avg" -> aggFamilySql(AggregationMethod.Average),
     "agg_sum" -> aggFamilySql(AggregationMethod.Sum),
     "agg_last" -> aggFamilySql(AggregationMethod.Last),

@@ -149,7 +149,8 @@ object RenderTarget {
     "removeBetweenPercentile", "mapSeries", "reduceSeries",
     "applyByNode", "useSeriesAbove", "powSeries", "logit",
     "time", "sin",
-    "randomWalk", "randomWalkFunction", "events") ++
+    "randomWalk", "randomWalkFunction", "events",
+    "verticalLine", "compressPeriodicGaps", "aliasQuery") ++
     HoltWintersFuncs ++ PresentationFuncs
 
   /** Parse a target string. Globs may contain commas only inside
@@ -248,6 +249,38 @@ object RenderTarget {
       s.substring(1, s.length - 1)
     else s
 
+  /** aliasQuery's legend formatter: the python %-format subset real
+    * dashboards use (`%d`, `%s`, `%f`, `%.Nf`), applied to the
+    * sub-query's current value with CROSS-ENGINE-PINNED rendering:
+    * `%d` truncates toward zero (python's behavior; Spark's
+    * long-cast and DuckDB's `trunc` agree, while a bare DuckDB
+    * BIGINT cast would ROUND), `%.Nf` routes through the pinned
+    * half-up round ([[Buckets.round6]]'s three-op form at N places)
+    * and a DECIMAL(38, N) cast so both engines print identical
+    * digits — `format_string`/`printf` disagree at binary midpoints —
+    * and `%f` is `%.6f` (python's default precision).
+    */
+  private def formatAlias(pattern: String, v: Column): Column = {
+    val m = java.util.regex.Pattern
+      .compile("%(?:\\.(\\d+))?([dsf])").matcher(pattern)
+    require(m.find(),
+      s"aliasQuery newName '$pattern' carries no %d/%s/%f spec")
+    val prefix = pattern.substring(0, m.start)
+    val suffix = pattern.substring(m.end)
+    val rendered = m.group(2) match {
+      case "d" => v.cast("long").cast("string")
+      case "s" => v.cast("string")
+      case _ =>
+        val n = Option(m.group(1)).map(_.toInt).getOrElse(6)
+        require(n >= 0 && n <= 6,
+          "aliasQuery %f precision must be in [0, 6]")
+        val p = math.pow(10, n)
+        (floor(v * lit(p) + lit(0.5)) / lit(p))
+          .cast(s"decimal(38, $n)").cast("string")
+    }
+    concat(lit(prefix), rendered, lit(suffix))
+  }
+
   private def parseLiteral(s: String): (String, String) = s.headOption match {
     case Some(q @ ('\'' | '"')) =>
       val body = s.drop(1).takeWhile(_ != q)
@@ -314,6 +347,10 @@ object RenderTarget {
     // events counts from the raw point stream with its own pushed
     // filter — its tag strings are not globs for the shared scan
     case Call("events", _, _) => Nil
+    // verticalLine's child is an attime STRING, not a glob; aliasQuery's
+    // derived queries fetch from the base points directly (its series
+    // child still contributes normally)
+    case Call("verticalLine", _, _) => Nil
     // applyByNode evaluates its TEMPLATE once per node-prefix: the
     // scan must cover every metric the template can reach, so its
     // globs join the union with `%` widened to an any-prefix wildcard
@@ -448,6 +485,12 @@ object RenderTarget {
       args.headOption.map(_.toLong).getOrElse(60L)
     case Call("sinFunction" | "sin", _, args) =>
       args.lift(1).map(_.toLong).getOrElse(spp.toLong)
+    // the marker series is emitted at step 1 (graphite's two 1-second
+    // points); compressPeriodicGaps reports its CHILD's step — the
+    // per-series detected step is data-dependent (graphite's own
+    // return mixes steps the same way)
+    case Call("verticalLine", _, _) => 1L
+    case Call("compressPeriodicGaps", Seq(c), _) => stepS(c, spp)
     case Call(n, cs, _) =>
       val steps = cs.map(stepS(_, spp)).distinct
       require(steps.size == 1,
@@ -1742,6 +1785,103 @@ object RenderTarget {
         (spark.range(extFromI, untilI, spp.toLong).toDF("bucket_ts")
           .select(lit(v).as("metric"), col("bucket_ts"),
             lit(k).as("value")), spp.toLong)
+      case Call("verticalLine", Seq(Leaf(ts)), args) =>
+        // graphite's event marker: a two-point unit series at the
+        // resolved instant (TimeSeries(label, ts, ts+1, step=1,
+        // [1.0, 1.0]) — graphite-web functions.py verticalLine). The
+        // timestamp is a FULL attime string resolved against the
+        // request's `until` as render-time "now" (timeSlice's rule),
+        // and graphite raises when the instant falls outside the
+        // requested window — kept: silently dropping a deploy marker
+        // defeats its purpose.
+        val tsV = AtTime.parse(unquote(ts), untilS, tz)
+        require(tsV >= fromS && tsV <= untilS,
+          s"verticalLine time $tsV is outside the request " +
+            s"window [$fromS, $untilS]")
+        val label = args.headOption.getOrElse(unquote(ts))
+        (spark.range(tsV, tsV + 2, 1L).toDF("bucket_ts")
+          .select(lit(label).as("metric"), col("bucket_ts"),
+            lit(1.0).as("value")), 1L)
+      case Call("compressPeriodicGaps", Seq(c), _) =>
+        // graphite 1.1.6's gap compressor: a series that reports only
+        // every k-th bucket (a 5-minute exporter fetched on a 1-minute
+        // grid) is re-expressed on its NATIVE step so downstream
+        // consolidation sees a dense series. Reconstruction (the
+        // reference implementation guesses the step from the data):
+        // per series, the new step is the MODAL distance between
+        // consecutive known points (tie → smallest — deterministic in
+        // both engines, unlike a bare mode()), the new grid runs from
+        // the first to the last known point, and values are read at
+        // exact grid hits. A series with <2 known points has no
+        // detectable period and passes through unchanged. Every frame
+        // here is request-bounded (series × buckets), so the per-metric
+        // windows are safe at any corpus size.
+        val (df, step) = eval(c)
+        val nn = df.filter(col("value").isNotNull)
+        // ONE aggregation derives everything the rebuild needs: the
+        // sorted known-timestamp array gives the bounds, and the
+        // staggered-slice zip (the shingle trick) gives the
+        // consecutive deltas without a per-metric window sort; the
+        // modal step falls out of a count + max_by((n, −d)) pass —
+        // no row_number window either, so the op itself adds ZERO
+        // window nodes (a generator child's own global cumsum is the
+        // only one left in the plan, see WINDOWS.md)
+        val deltas = nn.groupBy(col("metric"))
+          .agg(sort_array(collect_list(col("bucket_ts"))).as("tss"))
+          .select(col("metric"),
+            element_at(col("tss"), 1).as("lo"),
+            element_at(col("tss"), -1).as("hi"),
+            explode(expr("zip_with(slice(tss, 2, greatest(size(tss) - 1, 0)), " +
+              "slice(tss, 1, greatest(size(tss) - 1, 0)), (a, b) -> a - b)"))
+              .as("d"))
+        val stepNew = deltas
+          .groupBy(col("metric"), col("lo"), col("hi"), col("d"))
+          .agg(count(lit(1)).as("n"))
+          .groupBy(col("metric"), col("lo"), col("hi"))
+          .agg(max_by(col("d"), struct(col("n"), -col("d"))).as("step_new"))
+        val grid = stepNew.select(col("metric"),
+          explode(sequence(col("lo"), col("hi"), col("step_new")))
+            .as("bucket_ts"))
+        val compressed = grid
+          .join(nn, Seq("metric", "bucket_ts"), "left")
+          .select(col("metric"), col("bucket_ts"), col("value"))
+        val tooSparse = df.join(stepNew.select(col("metric")),
+            Seq("metric"), "left_anti")
+          .select(col("metric"), col("bucket_ts"), col("value"))
+        // the per-series step may now vary; the reported step stays the
+        // child's (graphite's own return mixes steps the same way)
+        (compressed.unionByName(tooSparse), step)
+      case Call("aliasQuery", Seq(c), args) =>
+        // graphite 1.1's legend-by-lookup: for each member series,
+        // regex-rewrite its name into a NEW query, evaluate that query
+        // over the same request window, and format the member's alias
+        // with the sub-query's current (last known) value. The rewrite
+        // and sub-fetch are fully relational: the member-name frame is
+        // request-bounded, the sub-fetch is one extra ranged pass over
+        // the base points joined to the derived names (graphite also
+        // re-fetches), and the "current value" is max_by over the
+        // sub-series' known buckets. Deviation (documented): graphite
+        // raises when a derived query matches nothing; here the member
+        // keeps its original name — a missing lookup shouldn't 500 the
+        // whole dashboard, and the no-match row is visible either way.
+        val (df, step) = eval(c)
+        val (search, replace, newName) = (args(0), args(1), args(2))
+        val sub = pts
+          .filter(col("ts_s") >= fromI && col("ts_s") < untilI)
+          .groupBy(col("metric").as("q"),
+            Buckets.alignTs(col("ts_s"), spp).as("bucket_ts"))
+          .agg(Rollup.mean6(col("value"), col("ts_s")).as("v"))
+        val lastV = sub.filter(col("v").isNotNull)
+          .groupBy(col("q")).agg(max_by(col("v"), col("bucket_ts")).as("cur"))
+        val renamed = df.select(col("metric")).distinct()
+          .withColumn("q", regexp_replace(col("metric"), search, replace))
+          .join(broadcast(lastV), Seq("q"), "left")
+          .select(col("metric"),
+            when(col("cur").isNotNull, formatAlias(newName, col("cur")))
+              .otherwise(col("metric")).as("metric_new"))
+        (df.join(broadcast(renamed), Seq("metric"))
+          .select(col("metric_new").as("metric"), col("bucket_ts"),
+            col("value")), step)
       case Call(f, Seq(c), _) if PresentationFuncs(f) =>
         // style-only: the data frame is unchanged
         eval(c)
@@ -3750,6 +3890,105 @@ object RenderTarget {
        |            WHEN prev <= 1000 THEN round(1000 - prev + value + 1, 6)
        |       END AS value
        |FROM lagged ORDER BY bucket_ts""".stripMargin
+
+  /** `render_target_vertical`: the deploy-marker series —
+    * `verticalLine(ts, label)` with the instant as a full attime
+    * string (graphite's HH:MM_YYYYMMDD form). The oracle derives the
+    * epoch independently from a SQL TIMESTAMP literal, so an [[AtTime]]
+    * resolution defect diverges the hashes.
+    */
+  val TargetExprVertical = "verticalLine('12:00_20240110', 'deploy')"
+
+  def renderTargetVertical(spark: SparkSession, sfDir: String): DataFrame =
+    evalFlat(spark, sfDir, TargetExprVertical)
+
+  val renderTargetVerticalSql: String =
+    """SELECT 'deploy' AS metric,
+      |       CAST(epoch(TIMESTAMP '2024-01-10 12:00:00') AS BIGINT) + t.i
+      |         AS bucket_ts,
+      |       1.0 AS value
+      |FROM range(2) AS t(i) ORDER BY bucket_ts""".stripMargin
+
+  /** `render_target_compress`: `compressPeriodicGaps` over a
+    * deterministically-gapped series — the seeded Lehmer walk with its
+    * negative excursions removed, so the known points sit at irregular
+    * distances and the modal-delta step detection, the per-series grid
+    * rebuild, and the exact-hit value join all do real work. The oracle
+    * reproduces the whole pipeline (walk → gap → lag-deltas →
+    * count-ranked mode with the tie → smallest rule → generate_series
+    * grid → left join) in SQL.
+    */
+  val TargetExprCompress =
+    "compressPeriodicGaps(removeBelowValue(randomWalk('gen.walk', 60, 7), 0))"
+
+  def renderTargetCompress(spark: SparkSession, sfDir: String): DataFrame =
+    evalFlat(spark, sfDir, TargetExprCompress)
+
+  val renderTargetCompressSql: String =
+    s"""WITH grid AS (
+       |  SELECT CAST(range AS BIGINT) AS bucket_ts
+       |  FROM range($stdFromI, $stdUntilI, 60)),
+       |inc AS (
+       |  SELECT bucket_ts,
+       |    (48271 * ((48271 * ((7 + (bucket_ts - $stdFromI) // 60)
+       |      % 2147483647)) % 2147483647)) % 2147483647 AS h
+       |  FROM grid),
+       |walk AS (
+       |  SELECT bucket_ts,
+       |    round(coalesce(sum(h / 2147483647.0 - 0.5) OVER (
+       |      ORDER BY bucket_ts
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0), 6)
+       |      AS value
+       |  FROM inc),
+       |nn AS (SELECT bucket_ts, value FROM walk WHERE value >= 0),
+       |deltas AS (
+       |  SELECT bucket_ts - lag(bucket_ts) OVER (ORDER BY bucket_ts) AS d
+       |  FROM nn),
+       |stepnew AS (
+       |  SELECT d AS step_new FROM (
+       |    SELECT d, row_number() OVER (ORDER BY count(*) DESC, d) AS rk
+       |    FROM deltas WHERE d IS NOT NULL GROUP BY d)
+       |  WHERE rk = 1),
+       |newgrid AS (
+       |  SELECT unnest(generate_series(lo, hi, step_new)) AS bucket_ts
+       |  FROM (SELECT min(bucket_ts) AS lo, max(bucket_ts) AS hi FROM nn),
+       |       stepnew)
+       |SELECT 'gen.walk' AS metric, g.bucket_ts, nn.value
+       |FROM newgrid g LEFT JOIN nn USING (bucket_ts)
+       |ORDER BY g.bucket_ts""".stripMargin
+
+  /** `render_target_aliasq`: `aliasQuery`'s legend-by-lookup — the
+    * `view` series labeled with the CURRENT value of the `click`
+    * series its name rewrites to. The oracle re-derives the lookup
+    * (minute-mean of `click`, last known bucket, `%d`'s
+    * truncate-toward-zero render) from the raw events, so a defect in
+    * the rewrite join, the sub-fetch, or the pinned formatter diverges
+    * the hashes.
+    */
+  val TargetExprAliasq =
+    "aliasQuery(vi*, 'view', 'click', 'views (clicks now: %d)')"
+
+  def renderTargetAliasq(spark: SparkSession, sfDir: String): DataFrame =
+    evalFlat(spark, sfDir, TargetExprAliasq)
+
+  val renderTargetAliasqSql: String =
+    s"""${denseSqlWith(Buckets.pointsSql, Fetch.globToRegex("vi*"),
+        stdFromI, stdUntilI)},
+       |sub AS (
+       |  SELECT (ts_s // 60) * 60 AS bucket_ts,
+       |         ${Rollup.mean6Sql("pts.ts_s")} AS v
+       |  FROM pts
+       |  WHERE metric = 'click' AND ts_s >= $stdFromI AND ts_s < $stdUntilI
+       |  GROUP BY 1),
+       |cur AS (
+       |  SELECT v FROM sub WHERE v IS NOT NULL
+       |  ORDER BY bucket_ts DESC LIMIT 1)
+       |SELECT 'views (clicks now: '
+       |         || CAST(CAST(trunc(cur.v) AS BIGINT) AS VARCHAR) || ')'
+       |         AS metric,
+       |       d.bucket_ts, d.v AS value
+       |FROM dense d, cur
+       |ORDER BY d.bucket_ts""".stripMargin
 
   val renderTargetSmoothSql: String = {
     val fromI = Buckets.fetchInterval(Buckets.FromS, 60)

@@ -767,6 +767,17 @@ class PlanSpec extends AnyFunSuite {
     // global window is BUILD-only and must not appear at serving time
     assert(globalWindows(Similarity.similarityAnnPq(spark, dir)) == 0)
     assert(globalWindows(Similarity.knnClassifyAnn(spark, dir)) == 0)
+    // generator-backed render keys: a generator's partitionBy(metric)
+    // is a CONSTANT the optimizer folds away, so its cumulative-walk
+    // window goes global — on the request-bounded generator grid.
+    // compressPeriodicGaps itself adds ZERO windows (one aggregation
+    // replaces the lag + row_number pair); the 4 are the lazy child
+    // re-evaluated once per consumer. A real (non-generator) child is
+    // partitioned by genuine metric values and contributes none.
+    assert(globalWindows(RenderTarget.renderTargetGen(spark, dir)) == 1)
+    assert(globalWindows(RenderTarget.renderTargetCompress(spark, dir)) == 4)
+    assert(globalWindows(RenderTarget.renderTargetVertical(spark, dir)) == 0)
+    assert(globalWindows(RenderTarget.renderTargetAliasq(spark, dir)) == 0)
   }
 
   test("knn_classify_ann serves candidates from the persisted index") {

@@ -985,4 +985,75 @@ class RenderTargetSpec extends AnyFunSuite {
       .collect().map(_.getString(0)).distinct.sorted.toSeq
     assert(kept == Seq("m.out", "m.q0"))
   }
+
+  test("verticalLine: marker series, attime resolution, window guard") {
+    val p = pts(("m.a", 65L, 1.0))
+    // labeled marker at an epoch attime; two 1-second unit points
+    val rows = RenderTarget.evaluate(spark, p,
+      "verticalLine('120', 'deploy')", 0L, 240L, 60)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(rows == Seq(("deploy", 120L, 1.0), ("deploy", 121L, 1.0)))
+    // label defaults to the attime string itself
+    val unlabeled = RenderTarget.evaluate(spark, p,
+      "verticalLine('120')", 0L, 240L, 60)
+      .collect().map(_.getString(0)).distinct.toSeq
+    assert(unlabeled == Seq("120"))
+    // graphite raises when the instant is outside the request window
+    intercept[IllegalArgumentException] {
+      RenderTarget.evaluate(spark, p, "verticalLine('500')", 0L, 240L, 60)
+    }
+  }
+
+  test("compressPeriodicGaps: modal step rebuild, tie rule, sparse passthrough") {
+    // m.a reports every 3rd minute bucket → deltas all 180 → the new
+    // grid is dense at 180 with no gaps left
+    val pA = pts(("m.a", 65L, 1.0), ("m.a", 245L, 2.0),
+      ("m.a", 425L, 3.0), ("m.a", 605L, 4.0))
+    val a = RenderTarget.evaluate(spark, pA,
+      "compressPeriodicGaps(m.a)", 0L, 660L, 60)
+      .collect().map(r => (r.getLong(1), Option(r.get(2)))).toSeq
+    assert(a == Seq(60L -> Some(1.0), 240L -> Some(2.0),
+      420L -> Some(3.0), 600L -> Some(4.0)))
+    // tied delta counts (120 ×2, 240 ×2) → the SMALLEST wins; grid
+    // points with no exact-hit value stay None
+    val pB = pts(("m.b", 65L, 1.0), ("m.b", 185L, 2.0), ("m.b", 425L, 3.0),
+      ("m.b", 545L, 4.0), ("m.b", 785L, 5.0))
+    val b = RenderTarget.evaluate(spark, pB,
+      "compressPeriodicGaps(m.b)", 0L, 840L, 60)
+      .collect().map(r => (r.getLong(1), Option(r.get(2)))).toSeq
+    assert(b == Seq(60L -> Some(1.0), 180L -> Some(2.0), 300L -> None,
+      420L -> Some(3.0), 540L -> Some(4.0), 660L -> None, 780L -> Some(5.0)))
+    // <2 known points: no detectable period — the series passes through
+    // on its original (gappy) grid
+    val pC = pts(("m.c", 65L, 9.0))
+    val c = RenderTarget.evaluate(spark, pC,
+      "compressPeriodicGaps(m.c)", 0L, 240L, 60)
+      .collect().map(r => (r.getLong(1), Option(r.get(2)))).toSeq
+    assert(c == Seq(60L -> Some(9.0), 120L -> None, 180L -> None,
+      240L -> None))
+  }
+
+  test("aliasQuery: rewrite, sub-fetch current value, pinned %-formats") {
+    val p = pts(("web.view", 65L, 1.0), ("web.view", 125L, 2.0),
+      ("web.click", 65L, 10.0), ("web.click", 125L, 20.5))
+    def name(t: String) = RenderTarget.evaluate(spark, p, t, 0L, 180L, 60)
+      .collect().map(_.getString(0)).distinct.toSeq
+    // %d truncates toward zero (python's int()); current = last known
+    // minute-mean of the REWRITTEN query (web.click at bucket 120)
+    assert(name("aliasQuery(web.view, 'view', 'click', 'v (c: %d)')") ==
+      Seq("v (c: 20)"))
+    // %.1f renders exactly one decimal in both engines
+    assert(name("aliasQuery(web.view, 'view', 'click', 'c=%.1f pct')") ==
+      Seq("c=20.5 pct"))
+    // a derived query matching nothing keeps the original name
+    // (documented deviation from graphite's raise)
+    assert(name("aliasQuery(web.view, 'view', 'nope', 'x %d')") ==
+      Seq("web.view"))
+    // negative current value: %d still truncates TOWARD ZERO
+    val pn = pts(("web.view", 65L, 1.0), ("web.click", 65L, -3.7))
+    val neg = RenderTarget.evaluate(spark, pn,
+      "aliasQuery(web.view, 'view', 'click', 'c: %d')", 0L, 120L, 60)
+      .collect().map(_.getString(0)).distinct.toSeq
+    assert(neg == Seq("c: -3"))
+  }
 }

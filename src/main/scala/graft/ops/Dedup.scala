@@ -1308,4 +1308,106 @@ object Dedup {
        |            THEN 1 ELSE 0 END AS flagged
        |FROM documents doc LEFT JOIN per USING (doc_id)
        |ORDER BY doc.doc_id""".stripMargin
+
+  // ------------------------------------------------ X63 containment dedup
+
+  /** Rare-shingle blocking cap for [[dedupContainment]]: candidate
+    * pairs come only from shingles shared by 2..cap documents, so the
+    * per-shingle pair blowup is ≤ C(cap, 2) and never data-volume
+    * proportional.
+    */
+  val ContainDfCap = 10
+
+  /** Containment threshold (on the smaller document's shingle set). */
+  val ContainTau = 0.8
+
+  /** `dedup_containment`: ASYMMETRIC partial-duplicate detection —
+    * containment C = |S(A) ∩ S(B)| / min(|S(A)|, |S(B)|) (Broder 1997's
+    * second resemblance measure). This is the case the Jaccard family
+    * structurally misses: a short document quoted whole inside a long
+    * one has containment ≈ 1 but Jaccard ≈ |A|/|B| ≈ 0, so neither
+    * MinHash-LSH (which estimates Jaccard) nor the symmetric verified
+    * pairs surface it. Both scores are reported per pair so the audit
+    * shows exactly that asymmetry.
+    *
+    * Scale shape: candidates come from a RARE-SHINGLE inverted index —
+    * pairs sharing at least one shingle with corpus docfreq in
+    * [2, [[ContainDfCap]]] — the standard blocking move: bucket-local
+    * pair generation bounded by C(cap, 2) per shingle, never all-pairs.
+    * Exact verification then runs only over candidate docs (broadcast
+    * semi-join), the [[minhashPairsImpl]] pattern. Recall bound
+    * (documented): a document whose every shingle is ultra-common
+    * (docfreq > cap everywhere) is invisible to the probe — the same
+    * Zipf-head tradeoff as [[dedupSubstringCapped]], acceptable because
+    * an all-stopword document carries no copyable content. Output
+    * ratios route through the pinned [[Buckets.round6]] (division-
+    * derived 6-decimal edges are the exact class the avg family pins).
+    */
+  def dedupContainment(s: SparkSession, dir: String): DataFrame = {
+    val u = shingleSetShared(s, dir)
+    val rareKeys = u.groupBy("g").agg(count(lit(1)).as("dfreq"))
+      .filter(col("dfreq") >= 2 && col("dfreq") <= ContainDfCap)
+      .select("g")
+    val rare = u.join(rareKeys, Seq("g"), "left_semi")
+    // bucket-local pair generation (the lshCandidates shape): one pass,
+    // pairs bounded by actual rare-key co-occurrence, not corpus size
+    val cand = rare.groupBy("g")
+      .agg(collect_list(col("doc_id")).as("ids"))
+      .filter(size(col("ids")) > 1)
+      .select(explode(col("ids")).as("doc_a"), col("ids"))
+      .select(col("doc_a"), explode(col("ids")).as("doc_b"))
+      .filter(col("doc_a") < col("doc_b"))
+      .distinct()
+      .localCheckpoint(true) // 2 consumers: candidate docs + pair join
+    val candDocs = cand
+      .select(explode(array(col("doc_a"), col("doc_b"))).as("doc_id"))
+      .distinct()
+    val uc = u.join(broadcast(candDocs), Seq("doc_id"), "left_semi")
+      .localCheckpoint(true) // 3 consumers: sizes + both pair sides
+    val sizes = uc.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    val inter = cand
+      .join(uc.select(col("doc_id").as("doc_a"), col("g")), "doc_a")
+      .join(uc.select(col("doc_id").as("doc_b"), col("g")), Seq("doc_b", "g"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("x"))
+    inter
+      .join(sizes.select(col("doc_id").as("doc_a"), col("sz").as("na")), "doc_a")
+      .join(sizes.select(col("doc_id").as("doc_b"), col("sz").as("nb")), "doc_b")
+      .withColumn("c", col("x").cast("double") / least(col("na"), col("nb")))
+      .filter(col("c") >= ContainTau)
+      .select(col("doc_a"), col("doc_b"),
+        Buckets.round6(col("c")).as("containment"),
+        Buckets.round6(col("x").cast("double") /
+          (col("na") + col("nb") - col("x"))).as("jaccard"))
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** Oracle: the identical rare-key blocking, exact intersection, and
+    * pinned-round ratio arithmetic over [[shingleUSql]].
+    */
+  val dedupContainmentSql: String =
+    s"""WITH $shingleUSql,
+       |rk AS (
+       |  SELECT g FROM shingle_u GROUP BY g
+       |  HAVING count(*) BETWEEN 2 AND $ContainDfCap),
+       |rare AS (SELECT u.doc_id, u.g FROM shingle_u u JOIN rk USING (g)),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM rare a JOIN rare b ON a.g = b.g AND a.doc_id < b.doc_id),
+       |sizes AS (SELECT doc_id, count(*) AS sz FROM shingle_u GROUP BY 1),
+       |inter AS (
+       |  SELECT doc_a, doc_b, count(*) AS x
+       |  FROM cand
+       |  JOIN shingle_u ua ON ua.doc_id = doc_a
+       |  JOIN shingle_u ub ON ub.doc_id = doc_b AND ub.g = ua.g
+       |  GROUP BY 1, 2)
+       |SELECT doc_a, doc_b,
+       |       ${Buckets.round6Sql(s"x * 1.0 / least(na.sz, nb.sz)")}
+       |         AS containment,
+       |       ${Buckets.round6Sql(s"x * 1.0 / (na.sz + nb.sz - x)")}
+       |         AS jaccard
+       |FROM inter
+       |JOIN sizes na ON na.doc_id = doc_a
+       |JOIN sizes nb ON nb.doc_id = doc_b
+       |WHERE x * 1.0 / least(na.sz, nb.sz) >= $ContainTau
+       |ORDER BY doc_a, doc_b""".stripMargin
 }

@@ -1121,6 +1121,32 @@ class ExtOpsSpec extends AnyFunSuite {
     assert(row.getDouble(2) >= 0.0 && row.getDouble(2) <= 1.0 + 1e-9)
   }
 
+  test("dedup_containment: values match a driver shingle recompute") {
+    val rows = Dedup.dedupContainment(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    assert(rows.nonEmpty)
+    // the asymmetry the key exists for: containment strictly dominates
+    // jaccard on every reported pair (x/min >= x/union, equal only for
+    // identical sets), and the fixture's near-dups are proper
+    // contained-in-longer cases (jaccard < 1 while containment = 1)
+    assert(rows.forall { case (_, _, c, j) => c >= Dedup.ContainTau - 1e-9 &&
+      j <= c + 1e-9 })
+    assert(rows.exists { case (_, _, c, j) => j < c })
+    // exact recompute of both ratios from the shingle sets of the
+    // reported docs (pair-bounded collect)
+    val ids = rows.flatMap(r => Seq(r._1, r._2)).toSet
+    val sets = Dedup.shingleSetShared(spark, dir)
+      .filter(col("doc_id").isin(ids.toSeq: _*)).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+      .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSet }
+    def r6(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+    rows.foreach { case (a, b, c, j) =>
+      val x = (sets(a) intersect sets(b)).size.toDouble
+      assert(c == r6(x / math.min(sets(a).size, sets(b).size)))
+      assert(j == r6(x / (sets(a).size + sets(b).size - x)))
+    }
+  }
+
   test("cluster_stats: sizes partition the corpus, cosine bounds hold") {
     val rows = Similarity.clusterStats(spark, dir).collect()
     val total = spark.read.parquet(s"$dir/embeddings.parquet").count()

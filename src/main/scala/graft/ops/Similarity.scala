@@ -1419,4 +1419,141 @@ object Similarity {
        |       mean_cos, min_cos
        |FROM stats ORDER BY cent_id""".stripMargin
   }
+
+  // ------------------------------------------------ X64 SRP-LSH ANN
+
+  /** Signed-random-projection LSH (Charikar 2002): [[SrpPlanes]]
+    * Rademacher hyperplanes, [[SrpBands]] bands of
+    * [[SrpPlanes]]/[[SrpBands]] sign bits each — the third major ANN
+    * family next to IVF (coarse quantizer) and PQ (compressed re-rank):
+    * candidate generation by HASH BUCKET equality with zero training,
+    * the right pick when the corpus churns too fast to retrain a
+    * codebook.
+    */
+  val SrpPlanes = 16
+  val SrpBands = 4
+  private val SrpBandBits = SrpPlanes / SrpBands
+
+  /** Fixture embedding dimensionality (the plane table's width;
+    * [[graft.functions.DotProductF]] min-lengths, so a narrower vector
+    * degrades gracefully rather than erroring).
+    */
+  val SrpDims = 64
+
+  /** Plane p's dimension-d entry: ±1 by the parity of the first hex
+    * digit of md5("p|d") — a deterministic Rademacher matrix (valid
+    * for SRP by Achlioptas 2003's database-friendly projections) both
+    * engines reproduce exactly; the oracle derives the SAME entries
+    * with DuckDB's md5/strpos.
+    */
+  private def srpSign(p: Int, d: Int): Float = {
+    val hex = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"$p|$d".getBytes("UTF-8")).map("%02x".format(_)).mkString
+    if ("0123456789abcdef".indexOf(hex.charAt(0)) % 2 == 0) 1.0f else -1.0f
+  }
+
+  private def srpPlaneArr(p: Int): Column =
+    array((0 until SrpDims).map(d => lit(srpSign(p, d))): _*)
+      .cast("array<float>")
+
+  /** The persisted SRP index: per vector, its embedding + norm + the
+    * [[SrpBands]] band keys, built in ONE projection pass — the 16
+    * sign bits are [[graft.functions.VectorOps.dot_f]] calls against
+    * LITERAL plane arrays (constants in the codegen'd stage: no plane
+    * join, no explode, no shuffle at all before the write). The bit
+    * rule `dot > 0` is cross-engine exact because both engines fold
+    * the identical (double)float × ±1 products in element order.
+    * At 100 TB this is the canonical LSH deployment shape: signatures
+    * materialized once next to the corpus, every query served from
+    * bucket-equality joins against them.
+    */
+  private def srpIndexShared(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(Dedup.sharedIndexPath(s, dir, "embeddings.parquet",
+        "srp_sigs") { p =>
+      val bitCols = (0 until SrpPlanes).map(i =>
+        when(dot_f(col("embedding"), srpPlaneArr(i)) > 0, 1).otherwise(0)
+          .as(s"b$i"))
+      val bandCols = (0 until SrpBands).map { b =>
+        (0 until SrpBandBits)
+          .map(j => col(s"b${b * SrpBandBits + j}") * lit(1 << j))
+          .reduce(_ + _).as(s"band$b")
+      }
+      emb(s, dir).withColumn("cn", normExpr("embedding"))
+        .select(Seq(col("vec_id"), col("embedding"), col("cn")) ++ bitCols: _*)
+        .select(Seq(col("vec_id"), col("embedding"), col("cn")) ++ bandCols: _*)
+        .write.mode("overwrite").parquet(p)
+    })
+
+  /** `similarity_ann_srp`: SRP-LSH ANN served from the persisted
+    * signature index — candidates are vectors sharing ≥1 band key with
+    * the query (bucket-local equality join, one pass over the exploded
+    * band column against a broadcast of the 10×4 query bands), exact
+    * cosine re-ranks the deduped candidate set. No training, no probe
+    * ranking — band equality IS the probe.
+    */
+  def similarityAnnSrp(s: SparkSession, dir: String): DataFrame = {
+    val sigs = srpIndexShared(s, dir)
+    val bandArr = array((0 until SrpBands).map(b => col(s"band$b")): _*)
+    val sigBands = sigs.select(col("vec_id"),
+      posexplode(bandArr).as(Seq("band_id", "band_key")))
+    val qBands = sigBands.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("query_id"), col("band_id"), col("band_key"))
+    val pairs = sigBands.join(broadcast(qBands), Seq("band_id", "band_key"))
+      .filter(col("query_id") =!= col("vec_id"))
+      .select("query_id", "vec_id").distinct()
+    val e = sigs.select(col("vec_id"), col("embedding"), col("cn"))
+    val q = e.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
+        col("cn").as("qn"))
+    val scored = pairs.join(broadcast(q), "query_id").join(e, "vec_id")
+      .withColumn("score",
+        dot_f(col("qe"), col("embedding")) / (col("qn") * col("cn")))
+    val w = Window.partitionBy("query_id").orderBy(col("score").desc, col("vec_id"))
+    scored.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= TopK)
+      .select(col("query_id"), col("vec_id").as("cand_id"),
+        round(col("score"), 6).as("score"), col("rnk"))
+      .orderBy("query_id", "rnk")
+  }
+
+  /** Oracle: the identical plane derivation (md5-parity Rademacher
+    * entries), sign bits, band keys, bucket-equality candidates, and
+    * exact re-rank, all from the raw parquet.
+    */
+  val similarityAnnSrpSql: String =
+    s"""WITH planes AS (
+       |  SELECT p, list(CASE WHEN strpos('0123456789abcdef',
+       |        substr(md5(p::VARCHAR || '|' || d::VARCHAR), 1, 1)) % 2 = 1
+       |      THEN CAST(1 AS DOUBLE) ELSE CAST(-1 AS DOUBLE) END
+       |      ORDER BY d) AS pe
+       |  FROM range($SrpPlanes) tp(p), range($SrpDims) td(d)
+       |  GROUP BY p),
+       |bits AS (
+       |  SELECT e.vec_id, pl.p,
+       |         CASE WHEN list_dot_product(e.embedding::DOUBLE[], pl.pe) > 0
+       |              THEN 1 ELSE 0 END AS bit
+       |  FROM embeddings e, planes pl),
+       |bands AS (
+       |  SELECT vec_id, p // $SrpBandBits AS band_id,
+       |         sum(bit * (CASE p % $SrpBandBits WHEN 0 THEN 1 WHEN 1 THEN 2
+       |                    WHEN 2 THEN 4 ELSE 8 END)) AS band_key
+       |  FROM bits GROUP BY vec_id, p // $SrpBandBits),
+       |cand AS (
+       |  SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS cand_id
+       |  FROM bands q
+       |  JOIN bands c ON c.band_id = q.band_id AND c.band_key = q.band_key
+       |  WHERE q.vec_id < $NumQueries AND c.vec_id <> q.vec_id),
+       |scored AS (
+       |  SELECT cd.query_id, cd.cand_id,
+       |         ${cosineSql("eq.embedding", "ec.embedding")} AS score
+       |  FROM cand cd
+       |  JOIN embeddings eq ON eq.vec_id = cd.query_id
+       |  JOIN embeddings ec ON ec.vec_id = cd.cand_id),
+       |ranked AS (
+       |  SELECT query_id, cand_id, round(score, 6) AS score,
+       |         row_number() OVER (PARTITION BY query_id
+       |                            ORDER BY score DESC, cand_id) AS rnk
+       |  FROM scored)
+       |SELECT query_id, cand_id, score, rnk FROM ranked
+       |WHERE rnk <= $TopK ORDER BY query_id, rnk""".stripMargin
 }

@@ -778,6 +778,19 @@ class PlanSpec extends AnyFunSuite {
     assert(globalWindows(RenderTarget.renderTargetCompress(spark, dir)) == 4)
     assert(globalWindows(RenderTarget.renderTargetVertical(spark, dir)) == 0)
     assert(globalWindows(RenderTarget.renderTargetAliasq(spark, dir)) == 0)
+    assert(globalWindows(Similarity.similarityAnnSrp(spark, dir)) == 0)
+  }
+
+  test("similarity_ann_srp serves from the persisted signature index") {
+    // the 16 literal-plane dot products live in the one-time index
+    // BUILD; serving must read the signature parquet and join buckets —
+    // a plane literal in the serving plan means the index is being
+    // rebuilt per query
+    val p = plan(Similarity.similarityAnnSrp(spark, dir))
+    assert(p.contains("Scan parquet"),
+      s"serving does not read the persisted signature index:\n$p")
+    assert(!p.contains("dotproductf(embedding"),
+      s"signature bits recomputed in the serving plan:\n$p")
   }
 
   test("knn_classify_ann serves candidates from the persisted index") {

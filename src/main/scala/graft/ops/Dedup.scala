@@ -1343,7 +1343,18 @@ object Dedup {
     * ratios route through the pinned [[Buckets.round6]] (division-
     * derived 6-decimal edges are the exact class the avg family pins).
     */
-  def dedupContainment(s: SparkSession, dir: String): DataFrame = {
+  def dedupContainment(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(sharedIndexPath(s, dir, "documents.parquet",
+        "contain_pairs") { p =>
+      dedupContainmentImpl(s, dir).write.mode("overwrite").parquet(p)
+    }).orderBy("doc_a", "doc_b")
+
+  /** The build behind [[dedupContainment]]'s shared index — same
+    * once-per-(JVM, corpus-epoch) amortization as [[minhashPairsShared]]:
+    * a 100 TB deployment materializes the containment pair report next
+    * to the corpus and every consumer scans it.
+    */
+  private def dedupContainmentImpl(s: SparkSession, dir: String): DataFrame = {
     val u = shingleSetShared(s, dir)
     val rareKeys = u.groupBy("g").agg(count(lit(1)).as("dfreq"))
       .filter(col("dfreq") >= 2 && col("dfreq") <= ContainDfCap)
@@ -1378,7 +1389,6 @@ object Dedup {
         Buckets.round6(col("c")).as("containment"),
         Buckets.round6(col("x").cast("double") /
           (col("na") + col("nb") - col("x"))).as("jaccard"))
-      .orderBy("doc_a", "doc_b")
   }
 
   /** Oracle: the identical rare-key blocking, exact intersection, and

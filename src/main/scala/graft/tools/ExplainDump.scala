@@ -83,6 +83,20 @@ object ExplainDump {
         "similarity_ann_ivf — the Lloyd training (broadcast-join " +
         "assignment + map-side partial per-dimension means) runs ONCE " +
         "at index-build time and is absent from the serving plan."),
+    "similarity_ann_srp" ->
+      ("SRP-LSH serving: the persisted signature parquet (vec, norm, 4 " +
+        "band keys) is the only corpus-sized input — candidates come " +
+        "from a band-equality hash join against the broadcast 40-row " +
+        "query-band table, then the exact re-rank joins real vectors " +
+        "for the deduped pair set only. The 16 literal-plane dot " +
+        "products live in the one-time index build; no dotproductf " +
+        "over raw embeddings appears before the re-rank."),
+    "dedup_containment" ->
+      ("Asymmetric containment pairs served from the materialized pair " +
+        "index (one scan + sort); the build behind it is rare-shingle " +
+        "blocking — docfreq-capped keys bound the bucket pair blowup — " +
+        "with exact intersection only over candidate docs (broadcast " +
+        "semi-join), never all-pairs."),
     "similarity_ann_pq" ->
       ("Product-quantization serving: the candidate pass scans the " +
         "persisted CODES parquet (~12 B/vector — 4 one-byte codes + a " +

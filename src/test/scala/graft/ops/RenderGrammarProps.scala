@@ -67,7 +67,12 @@ object RenderGrammarProps extends Properties("renderGrammar") {
     Shape("sumSeries", 2, Gen.const(Nil)),
     Shape("averageSeries", 3, Gen.const(Nil)),
     Shape("maxSeries", 1, Gen.const(Nil)),
-    Shape("group", 2, Gen.const(Nil)))
+    Shape("group", 2, Gen.const(Nil)),
+    Shape("compressPeriodicGaps", 1, Gen.const(Nil)),
+    Shape("aliasQuery", 1,
+      for (s <- qlit(quotedArg); r <- qlit(quotedArg);
+           n <- qlit(Gen.oneOf("v %d", "c=%.1f pct", "now %s")))
+        yield List(s, r, n)))
 
   /** A random tree (depth-bounded) paired with its printed source. */
   private def treeGen(depth: Int, leaves: Gen[Expr],

@@ -268,8 +268,15 @@ object RenderTarget {
     val prefix = pattern.substring(0, m.start)
     val suffix = pattern.substring(m.end)
     val rendered = m.group(2) match {
-      case "d" => v.cast("long").cast("string")
-      case "s" => v.cast("string")
+      case "d" | "s" =>
+        // python gives %.Nd zero-padding and %.Ns truncation semantics;
+        // silently ignoring the precision would render a WRONG legend,
+        // so reject loudly until someone needs it
+        require(m.group(1) == null,
+          s"aliasQuery %-spec '%${m.group(0).drop(1)}': precision is " +
+            "only supported on %f")
+        if (m.group(2) == "d") v.cast("long").cast("string")
+        else v.cast("string")
       case _ =>
         val n = Option(m.group(1)).map(_.toInt).getOrElse(6)
         require(n >= 0 && n <= 6,
@@ -279,6 +286,30 @@ object RenderTarget {
           .cast(s"decimal(38, $n)").cast("string")
     }
     concat(lit(prefix), rendered, lit(suffix))
+  }
+
+  /** Translate a PYTHON `re.sub` replacement string (what graphite
+    * users write: `\1` = group backreference, `$` = a literal dollar)
+    * into Java `Matcher.replaceAll` syntax (`$1` = backreference,
+    * `\$` = literal dollar), so `aliasQuery('…(\\d+)', 'chan.\\1')`
+    * rewrites names the way graphite documents instead of producing
+    * the literal character `1` (Java reads `\1` as an escaped '1') or
+    * throwing on a `$` in the replacement.
+    */
+  private[ops] def pyReplacement(r: String): String = {
+    val sb = new StringBuilder
+    var i = 0
+    while (i < r.length) {
+      r.charAt(i) match {
+        case '\\' if i + 1 < r.length && r.charAt(i + 1).isDigit =>
+          sb.append('$').append(r.charAt(i + 1)); i += 2
+        case '\\' if i + 1 < r.length && r.charAt(i + 1) == '\\' =>
+          sb.append("\\\\"); i += 2
+        case '$' => sb.append("\\$"); i += 1
+        case c => sb.append(c); i += 1
+      }
+    }
+    sb.toString
   }
 
   private def parseLiteral(s: String): (String, String) = s.headOption match {
@@ -492,10 +523,20 @@ object RenderTarget {
     case Call("verticalLine", _, _) => 1L
     case Call("compressPeriodicGaps", Seq(c), _) => stepS(c, spp)
     case Call(n, cs, _) =>
-      val steps = cs.map(stepS(_, spp)).distinct
-      require(steps.size == 1,
-        s"$n: member series must share one step (got ${steps.mkString(", ")})")
-      steps.head
+      // verticalLine markers are step-exempt: their whole point is to
+      // overlay a data series (`group(cpu.load, verticalLine(…))`), so
+      // they must not trip the shared-step requirement — the marker's
+      // two rows ride along whatever grid the real members agree on
+      val steps = cs.filterNot {
+        case Call("verticalLine", _, _) => true
+        case _ => false
+      }.map(stepS(_, spp)).distinct
+      if (steps.isEmpty) 1L
+      else {
+        require(steps.size == 1,
+          s"$n: member series must share one step (got ${steps.mkString(", ")})")
+        steps.head
+      }
   }
 
   /** graphite 1.1's named-aggregator vocabulary as a per-group Column —
@@ -1277,12 +1318,21 @@ object RenderTarget {
         }
         (copies.reduce(_ unionByName _).filter(col("bucket_ts") < untilI), step)
       case Call("group", cs, _) =>
-        // plain union of series lists, every member keeps its own name
-        val evald = cs.map(eval)
-        val steps = evald.map(_._2).distinct
-        require(steps.size == 1,
+        // plain union of series lists, every member keeps its own name.
+        // verticalLine markers are step-exempt (stepS has the same
+        // rule): overlaying a marker on a data series is the marker's
+        // whole use case, and the union carries its two rows verbatim
+        val evald = cs.zip(cs.map(eval))
+        val steps = evald.collect {
+          case (c0, (_, st)) if (c0 match {
+            case Call("verticalLine", _, _) => false
+            case _ => true
+          }) => st
+        }.distinct
+        require(steps.size <= 1,
           s"group: member series must share one step (got ${steps.mkString(", ")})")
-        (evald.map(_._1).reduce(_ unionByName _), steps.head)
+        (evald.map(_._2._1).reduce(_ unionByName _),
+          steps.headOption.getOrElse(1L))
       case Call("groupByNodes", Seq(c), args) =>
         // groupByNode's multi-node form: key = the selected dot-nodes
         // re-joined, one aggregate per (key, bucket)
@@ -1795,9 +1845,15 @@ object RenderTarget {
         // requested window — kept: silently dropping a deploy marker
         // defeats its purpose.
         val tsV = AtTime.parse(unquote(ts), untilS, tz)
-        require(tsV >= fromS && tsV <= untilS,
-          s"verticalLine time $tsV is outside the request " +
-            s"window [$fromS, $untilS]")
+        // graphite guards [from, until]; here the lower bound is the
+        // RENDERED window's first instant (fromI — whisper's fetch
+        // excludes the partial bucket containing `from`), because the
+        // final trim would otherwise silently drop a marker placed in
+        // [fromS, fromI) — the exact silent loss this guard exists to
+        // prevent
+        require(tsV >= fromI && tsV <= untilS,
+          s"verticalLine time $tsV is outside the rendered " +
+            s"window [$fromI, $untilS]")
         val label = args.headOption.getOrElse(unquote(ts))
         (spark.range(tsV, tsV + 2, 1L).toDF("bucket_ts")
           .select(lit(label).as("metric"), col("bucket_ts"),
@@ -1817,7 +1873,13 @@ object RenderTarget {
         // here is request-bounded (series × buckets), so the per-metric
         // windows are safe at any corpus size.
         val (df, step) = eval(c)
+        // duplicate member rows (group(m.a, m.a), or two series renamed
+        // to one label) consolidate per (metric, bucket) by max BEFORE
+        // the delta derivation: a duplicated timestamp would otherwise
+        // make the modal delta 0 and sequence(lo, hi, 0) throw
         val nn = df.filter(col("value").isNotNull)
+          .groupBy(col("metric"), col("bucket_ts"))
+          .agg(max(col("value")).as("value"))
         // ONE aggregation derives everything the rebuild needs: the
         // sorted known-timestamp array gives the bounds, and the
         // staggered-slice zip (the shingle trick) gives the
@@ -1865,16 +1927,25 @@ object RenderTarget {
         // keeps its original name — a missing lookup shouldn't 500 the
         // whole dashboard, and the no-match row is visible either way.
         val (df, step) = eval(c)
-        val (search, replace, newName) = (args(0), args(1), args(2))
+        val (search, replace, newName) =
+          (args(0), pyReplacement(args(1)), args(2))
+        // member names rewritten to the derived query names (request-
+        // bounded frame); the sub-fetch SEMI-JOINS the raw points to
+        // those few names BEFORE aggregating — without it the minute-
+        // mean shuffle covers every series in the window when only the
+        // handful of derived names is ever read
+        val named = df.select(col("metric")).distinct()
+          .withColumn("q", regexp_replace(col("metric"), search, replace))
         val sub = pts
           .filter(col("ts_s") >= fromI && col("ts_s") < untilI)
+          .join(broadcast(named.select(col("q").as("metric")).distinct()),
+            Seq("metric"), "left_semi")
           .groupBy(col("metric").as("q"),
             Buckets.alignTs(col("ts_s"), spp).as("bucket_ts"))
           .agg(Rollup.mean6(col("value"), col("ts_s")).as("v"))
         val lastV = sub.filter(col("v").isNotNull)
           .groupBy(col("q")).agg(max_by(col("v"), col("bucket_ts")).as("cur"))
-        val renamed = df.select(col("metric")).distinct()
-          .withColumn("q", regexp_replace(col("metric"), search, replace))
+        val renamed = named
           .join(broadcast(lastV), Seq("q"), "left")
           .select(col("metric"),
             when(col("cur").isNotNull, formatAlias(newName, col("cur")))

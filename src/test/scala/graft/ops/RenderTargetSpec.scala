@@ -998,10 +998,22 @@ class RenderTargetSpec extends AnyFunSuite {
       "verticalLine('120')", 0L, 240L, 60)
       .collect().map(_.getString(0)).distinct.toSeq
     assert(unlabeled == Seq("120"))
-    // graphite raises when the instant is outside the request window
+    // graphite raises when the instant is outside the request window;
+    // the lower bound here is the RENDERED window's first instant
+    // (fromI = 60), so a marker in the partial first bucket raises
+    // instead of silently vanishing in the final trim
     intercept[IllegalArgumentException] {
       RenderTarget.evaluate(spark, p, "verticalLine('500')", 0L, 240L, 60)
     }
+    intercept[IllegalArgumentException] {
+      RenderTarget.evaluate(spark, p, "verticalLine('30')", 0L, 240L, 60)
+    }
+    // the overlay use case: a marker riding along a real series through
+    // group() — step-exempt, so the shared-step require must not trip
+    val over = RenderTarget.evaluate(spark, p,
+      "group(m.a, verticalLine('120', 'd'))", 0L, 240L, 60)
+      .collect().map(_.getString(0)).distinct.sorted.toSeq
+    assert(over == Seq("d", "m.a"))
   }
 
   test("compressPeriodicGaps: modal step rebuild, tie rule, sparse passthrough") {
@@ -1031,6 +1043,12 @@ class RenderTargetSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(1), Option(r.get(2)))).toSeq
     assert(c == Seq(60L -> Some(9.0), 120L -> None, 180L -> None,
       240L -> None))
+    // duplicate member rows (group(m.a, m.a)) consolidate instead of
+    // poisoning the modal delta with zeros (sequence(lo, hi, 0) throws)
+    val dup = RenderTarget.evaluate(spark, pA,
+      "compressPeriodicGaps(group(m.a, m.a))", 0L, 660L, 60)
+      .collect().map(r => (r.getLong(1), Option(r.get(2)))).toSeq
+    assert(dup == a)
   }
 
   test("aliasQuery: rewrite, sub-fetch current value, pinned %-formats") {
@@ -1055,5 +1073,26 @@ class RenderTargetSpec extends AnyFunSuite {
       "aliasQuery(web.view, 'view', 'click', 'c: %d')", 0L, 120L, 60)
       .collect().map(_.getString(0)).distinct.toSeq
     assert(neg == Seq("c: -3"))
+    // python re.sub replacement semantics: \1 is a group backreference
+    // (graphite's documented channel.frequency.\1 example shape)
+    val bk = RenderTarget.evaluate(spark, p,
+      """aliasQuery(web.view, '(\w+)\.view', '\1.click', 'c: %d')""",
+      0L, 180L, 60)
+      .collect().map(_.getString(0)).distinct.toSeq
+    assert(bk == Seq("c: 20"))
+    // precision on %d/%s would render a silently-wrong legend → rejected
+    intercept[IllegalArgumentException] {
+      RenderTarget.evaluate(spark, p,
+        "aliasQuery(web.view, 'view', 'click', 'b %.3d')", 0L, 180L, 60)
+        .collect()
+    }
+  }
+
+  test("pyReplacement translates python re.sub syntax to Java") {
+    // \1 → $1 (backreference), $ → \$ (literal), \\ stays an escaped
+    // backslash — so graphite-style replacements work verbatim
+    assert(RenderTarget.pyReplacement("""a\1b""") == """a$1b""")
+    assert(RenderTarget.pyReplacement("""cost$x""") == """cost\$x""")
+    assert(RenderTarget.pyReplacement("""a\\b""") == """a\\b""")
   }
 }

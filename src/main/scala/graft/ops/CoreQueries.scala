@@ -542,6 +542,7 @@ object CoreQueries {
     "render_target_vertical" -> ((s, d) => RenderTarget.renderTargetVertical(s, d)),
     "render_target_compress" -> ((s, d) => RenderTarget.renderTargetCompress(s, d)),
     "render_target_aliasq" -> ((s, d) => RenderTarget.renderTargetAliasq(s, d)),
+    "render_target_pie" -> ((s, d) => RenderTarget.renderTargetPie(s, d)),
     "agg_avg" -> aggQuery(AggregationMethod.Average) _,
     "agg_sum" -> aggQuery(AggregationMethod.Sum) _,
     "agg_last" -> aggQuery(AggregationMethod.Last) _,
@@ -646,6 +647,7 @@ object CoreQueries {
     "render_target_vertical" -> RenderTarget.renderTargetVerticalSql,
     "render_target_compress" -> RenderTarget.renderTargetCompressSql,
     "render_target_aliasq" -> RenderTarget.renderTargetAliasqSql,
+    "render_target_pie" -> RenderTarget.renderTargetPieSql,
     "agg_avg" -> aggFamilySql(AggregationMethod.Average),
     "agg_sum" -> aggFamilySql(AggregationMethod.Sum),
     "agg_last" -> aggFamilySql(AggregationMethod.Last),

@@ -2429,6 +2429,30 @@ object RenderTarget {
     consolidated.orderBy("metric", "bucket_ts")
   }
 
+  /** graphite's PIE mode — the render API's second output form
+    * (`?graphType=pie&pieMode=…`, functions.py's PieFunctions dict next
+    * to SeriesFunctions): every series of the evaluated target reduces
+    * to ONE value per slice. `average` is safeAvg over the known
+    * buckets (the pinned ordered fold, so the slice value is bit-exact
+    * cross-engine), `maximum`/`minimum` the extremes; a series with no
+    * known values yields a NULL slice (graphite drops it at chart
+    * time). One tens-of-rows aggregate on top of the line evaluator —
+    * scan and shuffle shape unchanged.
+    */
+  def evaluatePie(spark: SparkSession, pts: DataFrame, target: String,
+      fromS: Long, untilS: Long, spp: Int,
+      mode: String = "average"): DataFrame = {
+    val df = evaluate(spark, pts, target, fromS, untilS, spp)
+    val agg = mode match {
+      case "average" => Rollup.orderedMean6(col("value"), col("bucket_ts"))
+      case "maximum" => round(max(col("value")), 6)
+      case "minimum" => round(min(col("value")), 6)
+      case m => throw new IllegalArgumentException(
+        s"unknown pieMode '$m' (average, maximum, minimum)")
+    }
+    df.groupBy("metric").agg(agg.as("value")).orderBy("metric")
+  }
+
   // ------------------------------------------------------- fixture keys
 
   /** `render_target`: a composed dashboard target — event rates
@@ -4060,6 +4084,23 @@ object RenderTarget {
        |       d.bucket_ts, d.v AS value
        |FROM dense d, cur
        |ORDER BY d.bucket_ts""".stripMargin
+
+  /** `render_target_pie`: the pie form of the standard glob request —
+    * `?graphType=pie&pieMode=average` over [[Fetch.GlobPattern]]. One
+    * slice per series, value = the ordered-fold mean of its known
+    * minute buckets; the oracle folds the identical (bucket-sorted)
+    * value list.
+    */
+  def renderTargetPie(spark: SparkSession, sfDir: String): DataFrame =
+    evaluatePie(spark,
+      Buckets.pointsInRange(spark, sfDir, stdFromI, stdUntilI),
+      Fetch.GlobPattern, Buckets.FromS, Buckets.UntilS, 60, "average")
+
+  val renderTargetPieSql: String =
+    s"""${denseSqlWith(Buckets.pointsSql, Fetch.globToRegex(Fetch.GlobPattern),
+        stdFromI, stdUntilI)}
+       |SELECT metric, ${Rollup.orderedMean6Sql("bucket_ts")} AS value
+       |FROM dense GROUP BY metric ORDER BY metric""".stripMargin
 
   val renderTargetSmoothSql: String = {
     val fromI = Buckets.fetchInterval(Buckets.FromS, 60)

@@ -1088,6 +1088,26 @@ class RenderTargetSpec extends AnyFunSuite {
     }
   }
 
+  test("evaluatePie reduces each series to one slice value per mode") {
+    val p = pts(("m.a", 65L, 2.0), ("m.a", 125L, 4.0), ("m.b", 65L, 7.0))
+    def pie(mode: String) = RenderTarget.evaluatePie(
+      spark, p, "m.*", 0L, 180L, 60, mode)
+      .collect().map(r => (r.getString(0), Option(r.get(1)))).toSeq
+    // average folds KNOWN buckets only (m.a: (2+4)/2; m.b: 7/1)
+    assert(pie("average") == Seq("m.a" -> Some(3.0), "m.b" -> Some(7.0)))
+    assert(pie("maximum") == Seq("m.a" -> Some(4.0), "m.b" -> Some(7.0)))
+    assert(pie("minimum") == Seq("m.a" -> Some(2.0), "m.b" -> Some(7.0)))
+    intercept[IllegalArgumentException] {
+      RenderTarget.evaluatePie(spark, p, "m.*", 0L, 180L, 60, "median")
+    }
+    // a series with no in-window points never reaches the frame at all
+    // (the leaf fetch derives its member set from in-window rows)
+    val pn = pts(("m.a", 65L, 2.0), ("m.c", 100065L, 9.0))
+    val slices = RenderTarget.evaluatePie(spark, pn, "m.*", 0L, 180L, 60)
+      .collect().map(r => (r.getString(0), Option(r.get(1)))).toSeq
+    assert(slices == Seq("m.a" -> Some(2.0)))
+  }
+
   test("pyReplacement translates python re.sub syntax to Java") {
     // \1 → $1 (backreference), $ → \$ (literal), \\ stays an escaped
     // backslash — so graphite-style replacements work verbatim

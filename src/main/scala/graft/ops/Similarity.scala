@@ -495,6 +495,60 @@ object Similarity {
        |FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
        |ORDER BY d.doc_id""".stripMargin
 
+  /** Bucket count for the co-located layout. At 100 TB this is sized to
+    * executor memory (thousands); the PROPERTY under test — the scan's
+    * bucketing satisfies the join's distribution requirement, so no
+    * Exchange appears — is bucket-count-invariant.
+    */
+  val JoinBuckets = 8
+
+  /** One-time bucketed layout of both join sides, catalog-registered so
+    * the read-back carries the bucket spec (plain parquet loses it).
+    * Same once-per-(session, corpus) amortization as the shared parquet
+    * indexes; external table paths keep the warehouse out of the repo.
+    */
+  private def bucketedTables(s: SparkSession, dir: String): (String, String) = {
+    val tag = java.security.MessageDigest.getInstance("MD5")
+      .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
+    def ensure(name: String, src: String, key: String): String = {
+      val full = s"graft_bkt_${name}_$tag"
+      if (!s.catalog.tableExists(full)) {
+        val path = new java.io.File(
+          sys.props("java.io.tmpdir"), full).getAbsolutePath
+        s.read.parquet(s"$dir/$src").write
+          .bucketBy(JoinBuckets, key).sortBy(key)
+          .option("path", path).mode("overwrite")
+          .format("parquet").saveAsTable(full)
+      }
+      full
+    }
+    (ensure("docs", "documents.parquet", "doc_id"),
+      ensure("embs", "embeddings.parquet", "vec_id"))
+  }
+
+  /** `multimodal_join_bucketed` (X65): the SAME 1:1 join as
+    * [[multimodalJoin]], served SHUFFLE-FREE from a bucketed layout —
+    * both sides written once with `bucketBy(k, id).sortBy(id)`, so the
+    * scans' bucketing satisfies the sort-merge join's distribution
+    * requirement and NO `Exchange hashpartitioning` appears on either
+    * side (PlanSpec pins it; the `merge` hint keeps AQE's broadcast
+    * conversion from masking the property at test scale). This is the
+    * driver brief's bucketing bullet made concrete: at 100 TB both
+    * sides are too big to broadcast, and the clustered write replaces
+    * the per-query shuffle of BOTH tables. Shares [[multimodalJoinSql]]
+    * as its oracle — the layout must not change a single row.
+    */
+  def multimodalJoinBucketed(s: SparkSession, dir: String): DataFrame = {
+    val (dn, en) = bucketedTables(s, dir)
+    val d = s.table(dn)
+    val e = s.table(en)
+    d.hint("merge").join(e, d("doc_id") === e("vec_id"))
+      .select(d("doc_id"), col("lang"), col("source"), col("n_chars"),
+        col("label"), size(col("embedding")).as("dim"),
+        round(normExpr("embedding"), 6).as("norm"))
+      .orderBy("doc_id")
+  }
+
   // ------------------------------------------------- product quantization
 
   /** PQ geometry: [[PqM]] subspaces of [[PqSubDim]] dims each (64 = 4×16),

@@ -781,6 +781,26 @@ class PlanSpec extends AnyFunSuite {
     assert(globalWindows(Similarity.similarityAnnSrp(spark, dir)) == 0)
   }
 
+  test("multimodal_join_bucketed joins shuffle-free off the bucketed layout") {
+    // the whole point of the bucketed twin: the scans' bucketing
+    // satisfies the sort-merge join's distribution requirement, so the
+    // ONLY exchange left is the final orderBy's rangepartitioning —
+    // neither join side shuffles (at 100 TB that is the difference
+    // between a clustered-layout read and re-hashing both tables per
+    // query)
+    val p = plan(Similarity.multimodalJoinBucketed(spark, dir))
+    assert(p.contains("SortMergeJoin"),
+      s"bucketed twin lost its sort-merge join:\n$p")
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"a join side shuffles despite the bucketed layout:\n$p")
+    assert(p.contains("SelectedBucketsCount"),
+      s"scan does not use the bucket spec:\n$p")
+    // and the layout must not change a single row
+    val a = Similarity.multimodalJoin(spark, dir).collect().map(_.toString)
+    val b = Similarity.multimodalJoinBucketed(spark, dir).collect().map(_.toString)
+    assert(a.toSeq == b.toSeq)
+  }
+
   test("similarity_ann_srp serves from the persisted signature index") {
     // the 16 literal-plane dot products live in the one-time index
     // BUILD; serving must read the signature parquet and join buckets —

@@ -1242,8 +1242,28 @@ object Dedup {
   def dedupSubstringCapped(s: SparkSession, dir: String): DataFrame =
     dedupSubstringImpl(s, dir, cap = Some(SubstringDfCap))
 
+  /** Salt fan-out for [[dedupSubstringSalted]]'s skew-spread join. */
+  val SaltBuckets = 16
+
+  /** `dedup_substring_salted`: the EXPLICIT salted-join form of
+    * [[dedupSubstringCapped]] — the driver brief's "salting for skew"
+    * bullet made concrete on the repo's most Zipf-skewed join (span
+    * docfreq back onto span instances: one stopword-run key can carry
+    * a huge share of all instances). The big side salts each row by
+    * `xxhash64(doc_id) mod 16`; the small (per-key) side explodes ×16;
+    * the join key becomes (sk, salt), so a pathological span key
+    * spreads over 16 reducers instead of one. Row-pinned identical to
+    * the capped key (same oracle, and PlanSpec asserts the salted join
+    * keys). AQE's runtime skew split is the usual first answer — this
+    * is the deterministic fallback for when a single KEY (not a
+    * partition) is hot, which AQE cannot subdivide in a hash join.
+    */
+  def dedupSubstringSalted(s: SparkSession, dir: String): DataFrame =
+    dedupSubstringImpl(s, dir, cap = Some(SubstringDfCap), salted = true)
+
   private def dedupSubstringImpl(
-      s: SparkSession, dir: String, cap: Option[Int]): DataFrame = {
+      s: SparkSession, dir: String, cap: Option[Int],
+      salted: Boolean = false): DataFrame = {
     val spans = docs(s, dir)
       .select(col("doc_id"), expr(toksExpr).as("t"))
       .select(col("doc_id"), explode(expr(
@@ -1256,7 +1276,14 @@ object Dedup {
     val dupKeys = spans.groupBy("sk")
       .agg(count(lit(1)).as("dfreq"))
       .filter(col("dfreq") >= 2)
-    val joined = spans.join(dupKeys, Seq("sk"), "left")
+    val joined =
+      if (!salted) spans.join(dupKeys, Seq("sk"), "left")
+      else spans
+        .withColumn("salt", pmod(xxhash64(col("doc_id")), lit(SaltBuckets)))
+        .join(dupKeys.withColumn("salt",
+            explode(array((0 until SaltBuckets).map(i => lit(i.toLong)): _*))),
+          Seq("sk", "salt"), "left")
+        .drop("salt")
     val kept = cap.fold(joined)(c =>
       joined.filter(col("dfreq").isNull || col("dfreq") <= c))
     val per = kept

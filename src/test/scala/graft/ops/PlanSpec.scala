@@ -781,6 +781,19 @@ class PlanSpec extends AnyFunSuite {
     assert(globalWindows(Similarity.similarityAnnSrp(spark, dir)) == 0)
   }
 
+  test("dedup_substring_salted spreads the Zipf-head key over salt buckets") {
+    // the docfreq join must key on (sk, salt): a pathological span key
+    // then lands on 16 reducers instead of one — AQE splits hot
+    // PARTITIONS but cannot subdivide one hot KEY in a hash join
+    val p = plan(Dedup.dedupSubstringSalted(spark, dir))
+    assert(p.contains("salt"),
+      s"salted twin joins without the salt column:\n$p")
+    // row-pinned identical to the capped form (they share one oracle)
+    val a = Dedup.dedupSubstringCapped(spark, dir).collect().map(_.toString)
+    val b = Dedup.dedupSubstringSalted(spark, dir).collect().map(_.toString)
+    assert(a.toSeq == b.toSeq)
+  }
+
   test("multimodal_join_bucketed joins shuffle-free off the bucketed layout") {
     // the whole point of the bucketed twin: the scans' bucketing
     // satisfies the sort-merge join's distribution requirement, so the

@@ -53,7 +53,11 @@ class PartitionVarianceSpec extends AnyFunSuite {
     "render_target_timeshift",  // summarize(…, 'avg') coarse means
     "render_target_aggline",    // per-series window mean line
     "render_target_diff",       // averageSeries member combine
-    "render_target_wavg")       // Σ v·w / Σ w node fold
+    "render_target_wavg",       // Σ v·w / Σ w node fold
+    // r11 Wave-C additions with float-bearing output edges
+    "render_target_pie",        // per-slice mean — the ordered fold
+    "dedup_containment",        // x/min, x/union ratios — single divisions
+    "similarity_ann_srp")       // sign-bit dots + cosine re-rank — pinned fold
 
   private def rows(df: DataFrame): Seq[Seq[Any]] = {
     val cols = df.columns.sorted

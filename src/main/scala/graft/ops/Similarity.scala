@@ -1545,13 +1545,42 @@ object Similarity {
     * cosine re-ranks the deduped candidate set. No training, no probe
     * ranking — band equality IS the probe.
     */
-  def similarityAnnSrp(s: SparkSession, dir: String): DataFrame = {
-    val sigs = srpIndexShared(s, dir)
+  def similarityAnnSrp(s: SparkSession, dir: String): DataFrame =
+    srpServe(srpIndexShared(s, dir), probe = false)
+
+  /** `similarity_ann_srp_probe`: MULTI-PROBE SRP (Lv et al. 2007's
+    * probing idea on the banded signature): each query probes its
+    * exact band key PLUS the [[SrpBandBits]] Hamming-1 flips of it —
+    * 5 keys × 4 bands per query. A near neighbor that disagrees with
+    * the query on exactly one plane of a band (the most likely miss)
+    * still becomes a candidate, so recall rises with ZERO extra
+    * signature planes and no rebuild of the index — the candidate scan
+    * grows by the probed-bucket occupancy only. Same serving plan
+    * shape; the probe table is still a broadcast (10 queries × 4 bands
+    * × 5 keys = 200 rows).
+    */
+  def similarityAnnSrpProbe(s: SparkSession, dir: String): DataFrame =
+    srpServe(srpIndexShared(s, dir), probe = true)
+
+  /** Shared SRP serving tail: band-bucket candidate join (exact keys,
+    * or exact + Hamming-1 flips when probing) → dedup → exact cosine
+    * re-rank top-k.
+    */
+  private def srpServe(sigs: DataFrame, probe: Boolean): DataFrame = {
     val bandArr = array((0 until SrpBands).map(b => col(s"band$b")): _*)
     val sigBands = sigs.select(col("vec_id"),
       posexplode(bandArr).as(Seq("band_id", "band_key")))
-    val qBands = sigBands.filter(col("vec_id") < NumQueries)
+    val exactQ = sigBands.filter(col("vec_id") < NumQueries)
       .select(col("vec_id").as("query_id"), col("band_id"), col("band_key"))
+    val qBands =
+      if (!probe) exactQ
+      else {
+        val flips = array((Seq(0) ++ (0 until SrpBandBits).map(1 << _))
+          .map(lit(_)): _*)
+        exactQ.withColumn("f", explode(flips))
+          .select(col("query_id"), col("band_id"),
+            col("band_key").bitwiseXOR(col("f")).as("band_key"))
+      }
     val pairs = sigBands.join(broadcast(qBands), Seq("band_id", "band_key"))
       .filter(col("query_id") =!= col("vec_id"))
       .select("query_id", "vec_id").distinct()
@@ -1610,4 +1639,54 @@ object Similarity {
        |  FROM scored)
        |SELECT query_id, cand_id, score, rnk FROM ranked
        |WHERE rnk <= $TopK ORDER BY query_id, rnk""".stripMargin
+
+  /** Oracle for the multi-probe variant: identical planes/bits/bands,
+    * the probe cross-join adds the Hamming-1 band-key flips
+    * (`xor(key, {0,1,2,4,8})`), then the same exact re-rank.
+    */
+  val similarityAnnSrpProbeSql: String = {
+    val flips = (Seq(0) ++ (0 until SrpBandBits).map(1 << _))
+      .map(f => s"($f)").mkString(", ")
+    s"""WITH planes AS (
+       |  SELECT p, list(CASE WHEN strpos('0123456789abcdef',
+       |        substr(md5(p::VARCHAR || '|' || d::VARCHAR), 1, 1)) % 2 = 1
+       |      THEN CAST(1 AS DOUBLE) ELSE CAST(-1 AS DOUBLE) END
+       |      ORDER BY d) AS pe
+       |  FROM range($SrpPlanes) tp(p), range($SrpDims) td(d)
+       |  GROUP BY p),
+       |bits AS (
+       |  SELECT e.vec_id, pl.p,
+       |         CASE WHEN list_dot_product(e.embedding::DOUBLE[], pl.pe) > 0
+       |              THEN 1 ELSE 0 END AS bit
+       |  FROM embeddings e, planes pl),
+       |bands AS (
+       |  SELECT vec_id, p // $SrpBandBits AS band_id,
+       |         CAST(sum(bit * (CASE p % $SrpBandBits WHEN 0 THEN 1
+       |                    WHEN 1 THEN 2 WHEN 2 THEN 4 ELSE 8 END))
+       |           AS BIGINT) AS band_key
+       |  FROM bits GROUP BY vec_id, p // $SrpBandBits),
+       |probes AS (
+       |  SELECT q.vec_id AS query_id, q.band_id,
+       |         xor(q.band_key, f.f) AS band_key
+       |  FROM bands q, (VALUES $flips) f(f)
+       |  WHERE q.vec_id < $NumQueries),
+       |cand AS (
+       |  SELECT DISTINCT p.query_id, c.vec_id AS cand_id
+       |  FROM probes p
+       |  JOIN bands c ON c.band_id = p.band_id AND c.band_key = p.band_key
+       |  WHERE c.vec_id <> p.query_id),
+       |scored AS (
+       |  SELECT cd.query_id, cd.cand_id,
+       |         ${cosineSql("eq.embedding", "ec.embedding")} AS score
+       |  FROM cand cd
+       |  JOIN embeddings eq ON eq.vec_id = cd.query_id
+       |  JOIN embeddings ec ON ec.vec_id = cd.cand_id),
+       |ranked AS (
+       |  SELECT query_id, cand_id, round(score, 6) AS score,
+       |         row_number() OVER (PARTITION BY query_id
+       |                            ORDER BY score DESC, cand_id) AS rnk
+       |  FROM scored)
+       |SELECT query_id, cand_id, score, rnk FROM ranked
+       |WHERE rnk <= $TopK ORDER BY query_id, rnk""".stripMargin
+  }
 }

@@ -61,4 +61,18 @@ class AnnRecallSpec extends AnyFunSuite {
     // measurement, far above a broken signature's level
     assert(r >= 0.30, f"SRP recall degraded: $r%.3f")
   }
+
+  test("multi-probe SRP dominates exact-band SRP and reaches high recall") {
+    val exact = pairs(Similarity.similarityTopk(spark, dir))
+    val srp = pairs(Similarity.similarityAnnSrp(spark, dir))
+    val prb = pairs(Similarity.similarityAnnSrpProbe(spark, dir))
+    val rS = (srp intersect exact).size.toDouble / exact.size
+    val rP = (prb intersect exact).size.toDouble / exact.size
+    info(f"recall@k srp=$rS%.3f probe=$rP%.3f")
+    // the Hamming-1 probes can only ADD candidates, so probe recall
+    // dominates by construction; measured 0.46 → 0.98 at sf0.001 —
+    // gate well below the measurement but far above the exact-band form
+    assert(rP >= rS, f"probing lost recall: $rP%.3f < $rS%.3f")
+    assert(rP >= 0.80, f"multi-probe SRP recall degraded: $rP%.3f")
+  }
 }

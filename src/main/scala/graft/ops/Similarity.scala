@@ -1521,20 +1521,30 @@ object Similarity {
     * materialized once next to the corpus, every query served from
     * bucket-equality joins against them.
     */
-  private def srpIndexShared(s: SparkSession, dir: String): DataFrame =
+  /** Append the [[SrpBands]] band-key columns to any frame carrying an
+    * `embedding` column — 16 literal-plane sign bits folded into 4
+    * keys, all map-side codegen'd projection (no join, no shuffle, no
+    * state): exactly the shape a STREAMING probe needs per arriving
+    * row. Shared verbatim by the index build so the stream and batch
+    * sides can never hash differently.
+    */
+  private[graft] def withSrpBands(df: DataFrame): DataFrame = {
+    val bitCols = (0 until SrpPlanes).map(i =>
+      when(dot_f(col("embedding"), srpPlaneArr(i)) > 0, 1).otherwise(0)
+        .as(s"b$i"))
+    val bandCols = (0 until SrpBands).map { b =>
+      (0 until SrpBandBits)
+        .map(j => col(s"b${b * SrpBandBits + j}") * lit(1 << j))
+        .reduce(_ + _).as(s"band$b")
+    }
+    val keep = df.columns.map(col).toSeq
+    df.select(keep ++ bitCols: _*).select(keep ++ bandCols: _*)
+  }
+
+  private[graft] def srpIndexShared(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(Dedup.sharedIndexPath(s, dir, "embeddings.parquet",
         "srp_sigs") { p =>
-      val bitCols = (0 until SrpPlanes).map(i =>
-        when(dot_f(col("embedding"), srpPlaneArr(i)) > 0, 1).otherwise(0)
-          .as(s"b$i"))
-      val bandCols = (0 until SrpBands).map { b =>
-        (0 until SrpBandBits)
-          .map(j => col(s"b${b * SrpBandBits + j}") * lit(1 << j))
-          .reduce(_ + _).as(s"band$b")
-      }
-      emb(s, dir).withColumn("cn", normExpr("embedding"))
-        .select(Seq(col("vec_id"), col("embedding"), col("cn")) ++ bitCols: _*)
-        .select(Seq(col("vec_id"), col("embedding"), col("cn")) ++ bandCols: _*)
+      withSrpBands(emb(s, dir).withColumn("cn", normExpr("embedding")))
         .write.mode("overwrite").parquet(p)
     })
 
@@ -1599,12 +1609,12 @@ object Similarity {
       .orderBy("query_id", "rnk")
   }
 
-  /** Oracle: the identical plane derivation (md5-parity Rademacher
-    * entries), sign bits, band keys, bucket-equality candidates, and
-    * exact re-rank, all from the raw parquet.
+  /** The plane-derivation → sign-bit → band-key CTE chain shared by
+    * every SRP oracle (exact-band, multi-probe, and the streaming
+    * probe), so no two oracles can band differently.
     */
-  val similarityAnnSrpSql: String =
-    s"""WITH planes AS (
+  private[graft] val srpBandsCtes: String =
+    s"""planes AS (
        |  SELECT p, list(CASE WHEN strpos('0123456789abcdef',
        |        substr(md5(p::VARCHAR || '|' || d::VARCHAR), 1, 1)) % 2 = 1
        |      THEN CAST(1 AS DOUBLE) ELSE CAST(-1 AS DOUBLE) END
@@ -1618,9 +1628,17 @@ object Similarity {
        |  FROM embeddings e, planes pl),
        |bands AS (
        |  SELECT vec_id, p // $SrpBandBits AS band_id,
-       |         sum(bit * (CASE p % $SrpBandBits WHEN 0 THEN 1 WHEN 1 THEN 2
-       |                    WHEN 2 THEN 4 ELSE 8 END)) AS band_key
-       |  FROM bits GROUP BY vec_id, p // $SrpBandBits),
+       |         CAST(sum(bit * (CASE p % $SrpBandBits WHEN 0 THEN 1
+       |                    WHEN 1 THEN 2 WHEN 2 THEN 4 ELSE 8 END))
+       |           AS BIGINT) AS band_key
+       |  FROM bits GROUP BY vec_id, p // $SrpBandBits)""".stripMargin
+
+  /** Oracle: the identical plane derivation (md5-parity Rademacher
+    * entries), sign bits, band keys, bucket-equality candidates, and
+    * exact re-rank, all from the raw parquet.
+    */
+  val similarityAnnSrpSql: String =
+    s"""WITH $srpBandsCtes,
        |cand AS (
        |  SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS cand_id
        |  FROM bands q
@@ -1647,24 +1665,7 @@ object Similarity {
   val similarityAnnSrpProbeSql: String = {
     val flips = (Seq(0) ++ (0 until SrpBandBits).map(1 << _))
       .map(f => s"($f)").mkString(", ")
-    s"""WITH planes AS (
-       |  SELECT p, list(CASE WHEN strpos('0123456789abcdef',
-       |        substr(md5(p::VARCHAR || '|' || d::VARCHAR), 1, 1)) % 2 = 1
-       |      THEN CAST(1 AS DOUBLE) ELSE CAST(-1 AS DOUBLE) END
-       |      ORDER BY d) AS pe
-       |  FROM range($SrpPlanes) tp(p), range($SrpDims) td(d)
-       |  GROUP BY p),
-       |bits AS (
-       |  SELECT e.vec_id, pl.p,
-       |         CASE WHEN list_dot_product(e.embedding::DOUBLE[], pl.pe) > 0
-       |              THEN 1 ELSE 0 END AS bit
-       |  FROM embeddings e, planes pl),
-       |bands AS (
-       |  SELECT vec_id, p // $SrpBandBits AS band_id,
-       |         CAST(sum(bit * (CASE p % $SrpBandBits WHEN 0 THEN 1
-       |                    WHEN 1 THEN 2 WHEN 2 THEN 4 ELSE 8 END))
-       |           AS BIGINT) AS band_key
-       |  FROM bits GROUP BY vec_id, p // $SrpBandBits),
+    s"""WITH $srpBandsCtes,
        |probes AS (
        |  SELECT q.vec_id AS query_id, q.band_id,
        |         xor(q.band_key, f.f) AS band_key

@@ -1,6 +1,6 @@
 package graft.streaming
 
-import graft.ops.{Buckets, CoreQueries, Curation, Dedup, PipelineOps}
+import graft.ops.{Buckets, CoreQueries, Curation, Dedup, PipelineOps, Similarity}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
@@ -408,6 +408,61 @@ object StreamQueries {
       .orderBy("doc_id")
   }
 
+  /** `stream_srp_probe` — [[StreamSrpProbe.probeStream]] over the
+    * odd-id embeddings staged in two vec_id waves, probed against the
+    * SAME persisted signature index the batch ANN keys serve from (so
+    * stream and batch can never band differently). Stateless like the
+    * decontamination gate: the waves prove multi-batch planning of the
+    * band-bucket stream-static joins, not a state handoff.
+    */
+  private def ensureStreamSrpProbe(s: SparkSession, dir: String): String =
+    Dedup.sharedIndexPath(s, dir, "embeddings.parquet", "stream_srp") { base =>
+      import s.implicits._
+      val stage = s"$base/stage"
+      val buckets = StreamSrpProbe.bucketTables(Similarity.srpIndexShared(s, dir))
+      val arrivals0 = s.read.parquet(s"$dir/embeddings.parquet")
+        .filter(col("vec_id") % 2 === 1)
+        .select(col("vec_id").cast("long").as("vec_id"), col("embedding"))
+      val (lo, hi) = arrivals0.agg(min("vec_id"), max("vec_id"))
+        .as[(Long, Long)].head()
+      val mid = lo + (hi - lo) / 2
+      def runWave(wave: DataFrame): Unit = {
+        wave.coalesce(1).write.mode("append").parquet(stage)
+        val arrivals = s.readStream.schema(arrivals0.schema).parquet(stage)
+        StreamSrpProbe.probeStream(arrivals, buckets)
+          .writeStream.outputMode("append")
+          .format("parquet").option("path", s"$base/out")
+          .option("checkpointLocation", s"$base/ckpt")
+          .trigger(Trigger.AvailableNow())
+          .start().awaitTermination()
+      }
+      runWave(arrivals0.filter(col("vec_id") <= mid))
+      runWave(arrivals0.filter(col("vec_id") > mid))
+    }
+
+  def streamSrpProbe(s: SparkSession, dir: String): DataFrame = {
+    val base = ensureStreamSrpProbe(s, dir)
+    s.read.parquet(s"$base/out")
+      .select(col("vec_id"), col("n_mates"), col("has_mate"))
+      .orderBy("vec_id")
+  }
+
+  /** Oracle: the shared SRP band CTEs, then per odd-id vector the
+    * distinct index members sharing ≥1 band bucket (self excluded —
+    * arrivals are index members, so n_all always counts them once).
+    */
+  val streamSrpProbeSql: String =
+    s"""WITH ${Similarity.srpBandsCtes},
+       |mates AS (
+       |  SELECT q.vec_id, count(DISTINCT c.vec_id) AS n_all
+       |  FROM bands q
+       |  JOIN bands c ON c.band_id = q.band_id AND c.band_key = q.band_key
+       |  WHERE q.vec_id % 2 = 1
+       |  GROUP BY q.vec_id)
+       |SELECT vec_id, n_all - 1 AS n_mates,
+       |       CASE WHEN n_all > 1 THEN 1 ELSE 0 END AS has_mate
+       |FROM mates ORDER BY vec_id""".stripMargin
+
   /** Stage the documents corpus in two doc_id waves and drive `merge`
     * through an AvailableNow file stream per wave (shared checkpoint ⇒
     * deterministic batch boundaries, ids continue across waves);
@@ -488,6 +543,7 @@ object StreamQueries {
     "stream_cms" -> (streamCms _),
     "stream_sketch" -> (streamSketch _),
     "stream_decontaminate" -> (streamDecontaminate _),
+    "stream_srp_probe" -> (streamSrpProbe _),
     "stream_dedup" -> (streamDedup _),
     "stream_sessionize" -> (streamSessionize _),
     "stream_rollup" -> (streamRollup _),
@@ -502,6 +558,8 @@ object StreamQueries {
     "stream_cms" -> Dedup.sketchCmsSql,
     // stream-static gate ≡ the batch decontaminate key — same oracle
     "stream_decontaminate" -> Curation.decontaminateSql,
+    // stream-static band probe ≡ the relational self-join — same bands
+    "stream_srp_probe" -> streamSrpProbeSql,
     "stream_dedup" -> streamDedupSql,
     // identical sessions to the batch operator — the whole point
     "stream_sessionize" -> PipelineOps.sessionizeSql,

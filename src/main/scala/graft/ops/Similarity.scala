@@ -504,23 +504,24 @@ object Similarity {
 
   /** One-time bucketed layout of both join sides, catalog-registered so
     * the read-back carries the bucket spec (plain parquet loses it).
-    * Same once-per-(session, corpus) amortization as the shared parquet
-    * indexes; external table paths keep the warehouse out of the repo.
+    * The PATHS ride [[Dedup.sharedIndexPath]] — same freshness digest
+    * (a regenerated corpus gets a NEW table, never stale rows), same
+    * pid tag (two JVMs on one dir cannot overwrite-vs-read race one
+    * path), same shutdown-hook cleanup (no orphaned /tmp trees) — and
+    * the catalog table NAME carries the identical (digest, pid) key,
+    * so name resolution and file freshness can never disagree.
     */
   private def bucketedTables(s: SparkSession, dir: String): (String, String) = {
-    val tag = java.security.MessageDigest.getInstance("MD5")
-      .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
-    def ensure(name: String, src: String, key: String): String = {
-      val full = s"graft_bkt_${name}_$tag"
-      if (!s.catalog.tableExists(full)) {
-        val path = new java.io.File(
-          sys.props("java.io.tmpdir"), full).getAbsolutePath
+    def ensure(kind: String, src: String, key: String): String = {
+      val table =
+        s"graft_bkt_${kind}_${Dedup.freshDigest(s, dir, src)}_p${Dedup.jvmTag}"
+      Dedup.sharedIndexPath(s, dir, src, s"bkt_$kind") { p =>
         s.read.parquet(s"$dir/$src").write
           .bucketBy(JoinBuckets, key).sortBy(key)
-          .option("path", path).mode("overwrite")
-          .format("parquet").saveAsTable(full)
+          .option("path", p).mode("overwrite")
+          .format("parquet").saveAsTable(table)
       }
-      full
+      table
     }
     (ensure("docs", "documents.parquet", "doc_id"),
       ensure("embs", "embeddings.parquet", "vec_id"))

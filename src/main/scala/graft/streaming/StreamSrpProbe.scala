@@ -54,8 +54,14 @@ object StreamSrpProbe {
     val union = array_distinct(concat(
       (0 until Similarity.SrpBands).map(b =>
         coalesce(col(s"ids$b"), array().cast("array<bigint>"))): _*))
+    // "self" is subtracted only when the arrival actually IS an index
+    // member — a NOVEL vector's bucket mates all count (the constant −1
+    // would have off-by-one'd exactly the ingest-time case the module
+    // exists for, down to n_mates = −1 on an all-empty probe)
+    val mates = (size(union) -
+      array_contains(union, col("vec_id")).cast("int")).cast("long")
     joined.select(col("vec_id"),
-      (size(union) - 1).cast("long").as("n_mates"),
-      (size(union) > 1).cast("int").as("has_mate"))
+      mates.as("n_mates"),
+      (mates > 0).cast("int").as("has_mate"))
   }
 }

@@ -50,6 +50,29 @@ class StreamSrpProbeSpec extends AnyFunSuite {
     assert(streamed.map(_._2).distinct.length > 1)
   }
 
+  test("a NOVEL arrival (not an index member) gets full mate counts") {
+    // the ingest-time case the module exists for: probeStream must not
+    // subtract a 'self' that is not in the index. A new vector with an
+    // existing vector's embedding lands in that vector's buckets — its
+    // mate count includes the original (no off-by-one, no −1)
+    val sigs = Similarity.srpIndexShared(spark, dir)
+    val buckets = StreamSrpProbe.bucketTables(sigs)
+    val donor = spark.read.parquet(s"$dir/embeddings.parquet")
+      .filter(col("vec_id") === 7)
+      .select(lit(1000000L).as("vec_id"), col("embedding"))
+    val novel = StreamSrpProbe.probeStream(donor, buckets).collect()
+    assert(novel.length == 1)
+    val (mates, flag) = (novel.head.getLong(1), novel.head.getInt(2))
+    assert(mates >= 1 && flag == 1) // at least the donor itself collides
+    // and the member form subtracts exactly one relative to a clone:
+    // vec 7 probed under its own id sees the same buckets minus itself
+    val member = StreamSrpProbe.probeStream(
+      spark.read.parquet(s"$dir/embeddings.parquet")
+        .filter(col("vec_id") === 7).select(col("vec_id"), col("embedding")),
+      buckets).collect()
+    assert(member.head.getLong(1) == mates - 1)
+  }
+
   test("the probe is stateless: each arrival decided once") {
     val out = StreamQueries.streamSrpProbe(spark, dir)
     val n = spark.read.parquet(s"$dir/embeddings.parquet")

@@ -83,6 +83,22 @@ object ExplainDump {
         "similarity_ann_ivf — the Lloyd training (broadcast-join " +
         "assignment + map-side partial per-dimension means) runs ONCE " +
         "at index-build time and is absent from the serving plan."),
+    "multimodal_join_bucketed" ->
+      ("The shuffle-free co-located join: both scans carry the bucket " +
+        "spec (SelectedBucketsCount in the scan nodes), the sort-merge " +
+        "join's distribution requirement is satisfied by the layout, " +
+        "and the ONLY exchange in the plan is the final orderBy's " +
+        "rangepartitioning — neither join side re-hashes."),
+    "dedup_substring_salted" ->
+      ("The explicit skew-salt: the docfreq join keys on (sk, salt) " +
+        "with the per-key side exploded across 16 salts, so one " +
+        "Zipf-head span key spreads over 16 reducers. Output pinned " +
+        "row-identical to dedup_substring_capped."),
+    "similarity_ann_srp_probe" ->
+      ("Multi-probe SRP serving: same signature-index scan, but the " +
+        "broadcast probe table carries each query band key XOR its 4 " +
+        "Hamming-1 flips (200 rows) — recall 0.46 → 0.98 with zero " +
+        "plan-shape change vs the exact-band key."),
     "similarity_ann_srp" ->
       ("SRP-LSH serving: the persisted signature parquet (vec, norm, 4 " +
         "band keys) is the only corpus-sized input — candidates come " +

@@ -143,10 +143,15 @@ object Bench {
     val runsJson = results.map { r =>
       "\"" + r._1 + "\":[" + r._4.mkString(",") + "]"
     }.mkString("{", ",", "}")
-    try java.nio.file.Files.writeString(
-      java.nio.file.Paths.get("BENCH_FULL.json"),
-      fullLine + "\n" + s"""{"metric":"runs","queries_runs":$runsJson}""" + "\n")
-    catch { case _: Throwable => () }
+    // ... but ONLY for a full run: a SPARK_GRAFT_ONLY-restricted
+    // profiling pass must not clobber the complete committed baseline
+    // with a partial map (the tripwire would then silently lose the
+    // other keys' previous medians)
+    if (only.isEmpty)
+      try java.nio.file.Files.writeString(
+        java.nio.file.Paths.get("BENCH_FULL.json"),
+        fullLine + "\n" + s"""{"metric":"runs","queries_runs":$runsJson}""" + "\n")
+      catch { case _: Throwable => () }
     // between the big map and the final summary so it survives the
     // driver's keep-the-tail stdout truncation
     if (slower.nonEmpty)

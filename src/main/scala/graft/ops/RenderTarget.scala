@@ -265,20 +265,34 @@ object RenderTarget {
       .compile("%(?:\\.(\\d+))?([dsf])").matcher(pattern)
     require(m.find(),
       s"aliasQuery newName '$pattern' carries no %d/%s/%f spec")
-    val prefix = pattern.substring(0, m.start)
-    val suffix = pattern.substring(m.end)
-    val rendered = m.group(2) match {
+    val (start, end, prec, spec) =
+      (m.start, m.end, m.group(1), m.group(2))
+    // exactly ONE spec: a second %d would otherwise pass through as
+    // literal text — a silently wrong legend (python raises on the
+    // arg-count mismatch; loud beats quiet)
+    require(!m.find(),
+      s"aliasQuery newName '$pattern' carries more than one %-spec")
+    // python's %% renders a literal percent; any OTHER bare % in the
+    // fixed text is an unsupported spec and must not ship silently
+    def depct(sgm: String): String = {
+      require(!sgm.replace("%%", "").contains("%"),
+        s"aliasQuery newName '$pattern': unsupported %-spec in '$sgm'")
+      sgm.replace("%%", "%")
+    }
+    val prefix = depct(pattern.substring(0, start))
+    val suffix = depct(pattern.substring(end))
+    val rendered = spec match {
       case "d" | "s" =>
         // python gives %.Nd zero-padding and %.Ns truncation semantics;
         // silently ignoring the precision would render a WRONG legend,
         // so reject loudly until someone needs it
-        require(m.group(1) == null,
-          s"aliasQuery %-spec '%${m.group(0).drop(1)}': precision is " +
+        require(prec == null,
+          s"aliasQuery %-spec '%.$prec$spec': precision is " +
             "only supported on %f")
-        if (m.group(2) == "d") v.cast("long").cast("string")
+        if (spec == "d") v.cast("long").cast("string")
         else v.cast("string")
       case _ =>
-        val n = Option(m.group(1)).map(_.toInt).getOrElse(6)
+        val n = Option(prec).map(_.toInt).getOrElse(6)
         require(n >= 0 && n <= 6,
           "aliasQuery %f precision must be in [0, 6]")
         val p = math.pow(10, n)
@@ -527,16 +541,27 @@ object RenderTarget {
       // overlay a data series (`group(cpu.load, verticalLine(…))`), so
       // they must not trip the shared-step requirement — the marker's
       // two rows ride along whatever grid the real members agree on
-      val steps = cs.filterNot {
-        case Call("verticalLine", _, _) => true
-        case _ => false
-      }.map(stepS(_, spp)).distinct
+      val steps = cs.filterNot(isMarker).map(stepS(_, spp)).distinct
       if (steps.isEmpty) 1L
       else {
         require(steps.size == 1,
           s"$n: member series must share one step (got ${steps.mkString(", ")})")
         steps.head
       }
+  }
+
+  /** A subtree that evaluates to a verticalLine marker series —
+    * possibly styled or relabeled (`alias(verticalLine(…), 'deploy')`,
+    * `color(…)`, any presentation wrapper: the NORMAL way a marker is
+    * drawn). Step-exemption must see through those wrappers, or the
+    * exemption only covers the bare form nobody writes.
+    */
+  private def isMarker(e: Expr): Boolean = e match {
+    case Call("verticalLine", _, _) => true
+    case Call(f, Seq(c), _)
+        if PresentationFuncs(f) || f == "alias" || f == "aliasSub" =>
+      isMarker(c)
+    case _ => false
   }
 
   /** graphite 1.1's named-aggregator vocabulary as a per-group Column —
@@ -1324,10 +1349,7 @@ object RenderTarget {
         // whole use case, and the union carries its two rows verbatim
         val evald = cs.zip(cs.map(eval))
         val steps = evald.collect {
-          case (c0, (_, st)) if (c0 match {
-            case Call("verticalLine", _, _) => false
-            case _ => true
-          }) => st
+          case (c0, (_, st)) if !isMarker(c0) => st
         }.distinct
         require(steps.size <= 1,
           s"group: member series must share one step (got ${steps.mkString(", ")})")

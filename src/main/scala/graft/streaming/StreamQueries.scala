@@ -293,20 +293,25 @@ object StreamQueries {
     s.read.parquet(s"$base/out")
       .filter(col("metric") =!= Sentinel)
       .select(col("metric"), col("bucket_ts"),
-        round(col("value"), 6).as("value"), col("known"))
+        Buckets.round6(col("value")).as("value"), col("known"))
       .orderBy("metric", "bucket_ts")
   }
 
   // bucket mean folded in (second, value) order — the same pin as the
   // streaming side's windowedAgg, so both engines sum the identical
-  // sequence before the output round
+  // sequence — and rounded through the SHARED pinned formula
+  // (Buckets.round6): the identical pre-round double would still split
+  // across the two engines' NATIVE rounds at a decimal midpoint
+  // (Spark HALF_UP on the decimal expansion vs DuckDB scale-first —
+  // the 1391.13/32 case in round6's doc), the one avg-family edge this
+  // key had left un-pinned
   val streamFetchAggSql: String =
     s"""SELECT event_type AS metric,
       |       (CAST(epoch(date_trunc('second', ts)) AS BIGINT) // 60) * 60
       |         AS bucket_ts,
-      |       round(${graft.ops.Rollup.orderedSumSql(
-               "CAST(epoch(date_trunc('second', ts)) AS BIGINT)")} /
-      |         count(value), 6) AS value,
+      |       ${Buckets.round6Sql(graft.ops.Rollup.orderedSumSql(
+               "CAST(epoch(date_trunc('second', ts)) AS BIGINT)") +
+               " / count(value)")} AS value,
       |       count(*) AS known
       |FROM events GROUP BY 1, 2
       |ORDER BY 1, 2""".stripMargin

@@ -1014,6 +1014,13 @@ class RenderTargetSpec extends AnyFunSuite {
       "group(m.a, verticalLine('120', 'd'))", 0L, 240L, 60)
       .collect().map(_.getString(0)).distinct.sorted.toSeq
     assert(over == Seq("d", "m.a"))
+    // ... including STYLED markers — the normal way one is drawn
+    // (alias/presentation wrappers must stay step-exempt)
+    val styled = RenderTarget.evaluate(spark, p,
+      "group(m.a, alias(color(verticalLine('120'), 'red'), 'deploy'))",
+      0L, 240L, 60)
+      .collect().map(_.getString(0)).distinct.sorted.toSeq
+    assert(styled == Seq("deploy", "m.a"))
   }
 
   test("compressPeriodicGaps: modal step rebuild, tie rule, sparse passthrough") {
@@ -1086,6 +1093,17 @@ class RenderTargetSpec extends AnyFunSuite {
         "aliasQuery(web.view, 'view', 'click', 'b %.3d')", 0L, 180L, 60)
         .collect()
     }
+    // a SECOND spec would pass through as literal text → rejected
+    intercept[IllegalArgumentException] {
+      RenderTarget.evaluate(spark, p,
+        "aliasQuery(web.view, 'view', 'click', '%d of %d')", 0L, 180L, 60)
+        .collect()
+    }
+    // python's %% renders a literal percent in the fixed text
+    val pct = RenderTarget.evaluate(spark, p,
+      "aliasQuery(web.view, 'view', 'click', 'c=%.1f%%')", 0L, 180L, 60)
+      .collect().map(_.getString(0)).distinct.toSeq
+    assert(pct == Seq("c=20.5%"))
   }
 
   test("evaluatePie reduces each series to one slice value per mode") {

@@ -89,7 +89,7 @@ def main():
                      and abs(a - b) <= 1.05e-6) or a == b
                     for a, b in zip(s, o))
                 for s, o in zip(srows, orows)):
-            print(f"[ OK~ ] {key}: {len(srows)} rows equal within 1e-6 "
+            print(f"[ OK~ ] {key}: {len(srows)} rows equal within 1.05e-6 "
                   f"(rounding-edge, not semantic)")
             continue
         failed.append(key)

@@ -535,7 +535,11 @@ object Curation {
         expr("aggregate(transform(array_sort(collect_list(struct(b, w, n))), " +
           "x -> x.w * x.n), 0D, (a, v) -> a + v)").as("sum_wn"))
       .select(col("doc_id"), col("n_tokens"),
-        round(col("sum_wn") / col("n_tokens"), 6).as("dsir_weight"))
+        // pinned output round (Buckets.round6, shared op-for-op with the
+        // oracle text) — native round(x, 6) is not portable at 1e-6
+        // midpoints and dsir's irrational ln() quotients sit exactly in
+        // that hazard class
+        Buckets.round6(col("sum_wn") / col("n_tokens")).as("dsir_weight"))
       .orderBy("doc_id")
   }
 
@@ -554,12 +558,13 @@ object Curation {
        |  FROM docb GROUP BY 1),
        |totals AS (SELECT sum(cr) AS nr, sum(ct) AS nt FROM counts),
        |w AS (
-       |  SELECT b, ln((ct + 1) * 1.0 / (nt + $DsirBuckets)) -
-       |            ln((cr + 1) * 1.0 / (nr + $DsirBuckets)) AS w
+       |  SELECT b, ln(CAST(ct + 1 AS DOUBLE) / CAST(nt + $DsirBuckets AS DOUBLE)) -
+       |            ln(CAST(cr + 1 AS DOUBLE) / CAST(nr + $DsirBuckets AS DOUBLE)) AS w
        |  FROM counts CROSS JOIN totals)
        |SELECT doc_id, sum(n) AS n_tokens,
-       |       round(list_reduce(list(w * n ORDER BY b), (a, v) -> a + v)
-       |             / sum(n), 6) AS dsir_weight
+       |       ${Buckets.round6Sql(
+                 "list_reduce(list(w * n ORDER BY b), (a, v) -> a + v)" +
+                 " / CAST(sum(n) AS DOUBLE)")} AS dsir_weight
        |FROM docb JOIN w USING (b)
        |GROUP BY doc_id ORDER BY doc_id""".stripMargin
   }

@@ -351,7 +351,8 @@ object Dedup {
       .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sz", "nb"), "doc_b")
       .withColumn("jaccard", col("x").cast("double") / (col("na") + col("nb") - col("x")))
       .filter(col("jaccard") >= 0.5)
-      .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"))
+      .select(col("doc_a"), col("doc_b"),
+        Buckets.round6(col("jaccard")).as("jaccard"))
       .orderBy("doc_a", "doc_b")
   }
 
@@ -363,11 +364,12 @@ object Dedup {
        |  FROM shingle_u a JOIN shingle_u b ON a.g = b.g AND a.doc_id < b.doc_id
        |  GROUP BY 1, 2)
        |SELECT doc_a, doc_b,
-       |       round(x * 1.0 / (na.sz + nb.sz - x), 6) AS jaccard
+       |       ${Buckets.round6Sql("CAST(x AS DOUBLE) / (na.sz + nb.sz - x)")}
+       |         AS jaccard
        |FROM inter
        |JOIN sizes na ON na.doc_id = doc_a
        |JOIN sizes nb ON nb.doc_id = doc_b
-       |WHERE x * 1.0 / (na.sz + nb.sz - x) >= 0.5
+       |WHERE CAST(x AS DOUBLE) / (na.sz + nb.sz - x) >= 0.5
        |ORDER BY doc_a, doc_b""".stripMargin
 
   // ------------------------------------------------------ X2 MinHash + LSH
@@ -480,7 +482,8 @@ object Dedup {
       .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sz", "nb"), "doc_b")
       .withColumn("jaccard", col("x").cast("double") / (col("na") + col("nb") - col("x")))
       .filter(col("jaccard") >= 0.5)
-      .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"))
+      .select(col("doc_a"), col("doc_b"),
+        Buckets.round6(col("jaccard")).as("jaccard"))
   }
 
   /** The LSH candidate + verification CTEs (shared by the minhash and
@@ -513,11 +516,12 @@ object Dedup {
     s"""WITH $shingleUSql,
        |$minhashPairCtes
        |SELECT doc_a, doc_b,
-       |       round(x * 1.0 / (na.sz + nb.sz - x), 6) AS jaccard
+       |       ${Buckets.round6Sql("CAST(x AS DOUBLE) / (na.sz + nb.sz - x)")}
+       |         AS jaccard
        |FROM inter
        |JOIN sizes na ON na.doc_id = doc_a
        |JOIN sizes nb ON nb.doc_id = doc_b
-       |WHERE x * 1.0 / (na.sz + nb.sz - x) >= 0.5
+       |WHERE CAST(x AS DOUBLE) / (na.sz + nb.sz - x) >= 0.5
        |ORDER BY doc_a, doc_b""".stripMargin
 
   // ------------------------------------------------ X54 minhash estimator audit
@@ -694,7 +698,7 @@ object Dedup {
           s"(psum + ($HllBuckets - present))"))
       .withColumn("v0", expr(s"$HllBuckets - present"))
       .withColumn("n_est", round(expr(
-        s"CASE WHEN raw <= 2.5 * $HllBuckets AND v0 > 0 " +
+        s"CASE WHEN raw <= CAST(2.5 AS DOUBLE) * $HllBuckets AND v0 > 0 " +
           s"THEN $HllBuckets * ln(CAST($HllBuckets AS DOUBLE) / v0) " +
           "ELSE raw END"), 6))
       .select("n_est")
@@ -717,7 +721,7 @@ object Dedup {
        |                  CAST(0 AS DOUBLE)) AS psum
        |  FROM regs),
        |e AS (
-       |  SELECT round(CASE WHEN raw <= 2.5 * $HllBuckets AND v0 > 0
+       |  SELECT round(CASE WHEN raw <= CAST(2.5 AS DOUBLE) * $HllBuckets AND v0 > 0
        |                    THEN $HllBuckets * ln(CAST($HllBuckets AS DOUBLE) / v0)
        |                    ELSE raw END, 6) AS n_est
        |  FROM (SELECT $HllAlpha * ${HllBuckets.toLong * HllBuckets} /
@@ -979,7 +983,7 @@ object Dedup {
        |  SELECT doc_a, doc_b FROM inter
        |  JOIN sizes na ON na.doc_id = doc_a
        |  JOIN sizes nb ON nb.doc_id = doc_b
-       |  WHERE x * 1.0 / (na.sz + nb.sz - x) >= 0.5),
+       |  WHERE CAST(x AS DOUBLE) / (na.sz + nb.sz - x) >= 0.5),
        |edges AS (
        |  SELECT doc_a AS u, doc_b AS v FROM pairs
        |  UNION ALL SELECT doc_b, doc_a FROM pairs),
@@ -1438,13 +1442,13 @@ object Dedup {
        |  JOIN shingle_u ub ON ub.doc_id = doc_b AND ub.g = ua.g
        |  GROUP BY 1, 2)
        |SELECT doc_a, doc_b,
-       |       ${Buckets.round6Sql(s"x * 1.0 / least(na.sz, nb.sz)")}
+       |       ${Buckets.round6Sql("CAST(x AS DOUBLE) / least(na.sz, nb.sz)")}
        |         AS containment,
-       |       ${Buckets.round6Sql(s"x * 1.0 / (na.sz + nb.sz - x)")}
+       |       ${Buckets.round6Sql("CAST(x AS DOUBLE) / (na.sz + nb.sz - x)")}
        |         AS jaccard
        |FROM inter
        |JOIN sizes na ON na.doc_id = doc_a
        |JOIN sizes nb ON nb.doc_id = doc_b
-       |WHERE x * 1.0 / least(na.sz, nb.sz) >= $ContainTau
+       |WHERE CAST(x AS DOUBLE) / least(na.sz, nb.sz) >= $ContainTau
        |ORDER BY doc_a, doc_b""".stripMargin
 }

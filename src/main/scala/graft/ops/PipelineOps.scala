@@ -308,7 +308,7 @@ object PipelineOps {
        |         sum(src_tokens) AS grand FROM src),
        |tgt AS (
        |  SELECT s.source,
-       |         CAST(round($MixBudgetFrac * d.grand *
+       |         CAST(round(CAST($MixBudgetFrac AS DOUBLE) * d.grand *
        |                    sqrt(CAST(s.src_tokens AS DOUBLE)) / d.d) AS BIGINT)
        |           AS target_tokens
        |  FROM src s, denom d),

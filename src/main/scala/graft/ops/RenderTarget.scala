@@ -3201,7 +3201,7 @@ object RenderTarget {
        |      % 2147483647)) % 2147483647)) % 2147483647 AS h
        |  FROM grid)
        |SELECT 'gen.walk' AS metric, bucket_ts,
-       |  round(coalesce(sum(h / 2147483647.0 - 0.5) OVER (
+       |  round(coalesce(sum(h / CAST(2147483647.0 AS DOUBLE) - 0.5) OVER (
        |    ORDER BY bucket_ts
        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0), 6)
        |    AS value
@@ -3249,7 +3249,7 @@ object RenderTarget {
        |SELECT metric,
        |       CAST($stdFromI + ((bucket_ts - $stdFromI) // 900) * 900
        |         AS BIGINT) AS bucket_ts,
-       |       CASE WHEN count(v) >= count(*) * 0.3
+       |       CASE WHEN count(v) >= count(*) * CAST(0.3 AS DOUBLE)
        |            THEN round(max(v), 6) END AS value
        |FROM dense
        |GROUP BY 1, 2
@@ -3288,10 +3288,10 @@ object RenderTarget {
   val renderTargetMathSql: String =
     s"""$denseFlatSql,
        |s1 AS (
-       |  SELECT metric, bucket_ts, round(v * 5.0, 6) AS v FROM dense),
+       |  SELECT metric, bucket_ts, round(v * CAST(5.0 AS DOUBLE), 6) AS v FROM dense),
        |s2 AS (
        |  SELECT metric, bucket_ts,
-       |         CASE WHEN v <> 0 THEN round(1.0 / v, 6) END AS v FROM s1)
+       |         CASE WHEN v <> 0 THEN round(CAST(1.0 AS DOUBLE) / v, 6) END AS v FROM s1)
        |SELECT metric, bucket_ts,
        |       CASE WHEN v >= 0 THEN round(sqrt(v), 6) END AS value
        |FROM s2
@@ -4052,7 +4052,7 @@ object RenderTarget {
        |  FROM grid),
        |walk AS (
        |  SELECT bucket_ts,
-       |    round(coalesce(sum(h / 2147483647.0 - 0.5) OVER (
+       |    round(coalesce(sum(h / CAST(2147483647.0 AS DOUBLE) - 0.5) OVER (
        |      ORDER BY bucket_ts
        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0), 6)
        |      AS value

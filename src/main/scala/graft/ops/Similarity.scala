@@ -700,7 +700,7 @@ object Similarity {
       s"list_slice($v, t.m * $PqSubDim + 1, t.m * $PqSubDim + $PqSubDim)"
     def d2Sql(sub: String, cw: String): String =
       s"(list_dot_product($cw::DOUBLE[], $cw::DOUBLE[]) - " +
-        s"2.0 * list_dot_product($sub::DOUBLE[], $cw::DOUBLE[]))"
+        s"CAST(2.0 AS DOUBLE) * list_dot_product($sub::DOUBLE[], $cw::DOUBLE[]))"
     def assignCte(name: String, cb: String): String =
       s"""$name AS (
          |  SELECT vec_id, m, k AS code FROM (
@@ -832,7 +832,7 @@ object Similarity {
        |  LATERAL (SELECT generate_subscripts(embedding, 1) AS pos,
        |                  unnest(embedding) AS v) x),
        |scales AS (
-       |  SELECT vec_id, max(abs(v)) / 127.0 AS scale FROM ex GROUP BY 1),
+       |  SELECT vec_id, max(abs(v)) / CAST(127.0 AS DOUBLE) AS scale FROM ex GROUP BY 1),
        |rec AS (
        |  SELECT e.vec_id, s.scale, e.v,
        |         CASE WHEN s.scale = 0.0 THEN 0.0
@@ -931,7 +931,7 @@ object Similarity {
        |  GROUP BY j),
        |pj AS (
        |  SELECT e.vec_id, m.j,
-       |         list_dot_product(e.embedding::DOUBLE[], m.srow) / $JlScale
+       |         list_dot_product(e.embedding::DOUBLE[], m.srow) / CAST($JlScale AS DOUBLE)
        |           AS p
        |  FROM embeddings e CROSS JOIN m),
        |agg AS (

@@ -456,7 +456,7 @@ object TextAnalysis {
        |vsz AS (SELECT count(*) AS v FROM uni)
        |SELECT doc_id,
        |       ${Buckets.round6Sql(Rollup.orderedSumSql("i",
-                "ln((cb + 1) * 1.0 / (cu + v))") + " / count(*)")}
+                "ln(CAST(cb + 1 AS DOUBLE) / CAST(cu + v AS DOUBLE))") + " / count(*)")}
        |         AS lm_score,
        |       count(*) AS n_bigrams
        |FROM bi JOIN big USING (t1, t2) JOIN uni USING (t1) CROSS JOIN vsz
@@ -496,7 +496,7 @@ object TextAnalysis {
       .agg(count(lit(1)).as("n_shingles"),
         count(when(col("df") >= BoilerplateDf, 1)).as("n_common"))
       .select(col("doc_id"), col("n_shingles"), col("n_common"),
-        round(col("n_common").cast("double") / col("n_shingles"), 6)
+        Buckets.round6(col("n_common").cast("double") / col("n_shingles"))
           .as("boilerplate_frac"))
       .orderBy("doc_id")
   }
@@ -555,8 +555,9 @@ object TextAnalysis {
        |dfq AS (SELECT g, count(*) AS df FROM shingle_u GROUP BY 1)
        |SELECT u.doc_id, count(*) AS n_shingles,
        |       count(CASE WHEN dfq.df >= ${BoilerplateDf} THEN 1 END) AS n_common,
-       |       round(count(CASE WHEN dfq.df >= ${BoilerplateDf} THEN 1 END)
-       |             * 1.0 / count(*), 6) AS boilerplate_frac
+       |       ${Buckets.round6Sql(
+                 s"CAST(count(CASE WHEN dfq.df >= $BoilerplateDf THEN 1 END)" +
+                 " AS DOUBLE) / count(*)")} AS boilerplate_frac
        |FROM shingle_u u JOIN dfq USING (g)
        |GROUP BY u.doc_id ORDER BY u.doc_id""".stripMargin
 
@@ -649,8 +650,8 @@ object TextAnalysis {
           "x -> CAST(x.c AS DOUBLE) * ln(x.c)), 0D, (a, v) -> a + v)")
           .as("sum_clnc"))
       .select(col("doc_id"), col("n_tokens"), col("n_types"),
-        round(expr("ln(n_tokens) - sum_clnc / n_tokens"), 6).as("entropy"),
-        round(col("n_types") * lit(1.0) / col("n_tokens"), 6).as("ttr"))
+        Buckets.round6(expr("ln(n_tokens) - sum_clnc / n_tokens")).as("entropy"),
+        Buckets.round6(col("n_types").cast("double") / col("n_tokens")).as("ttr"))
       .orderBy("doc_id")
 
   val textEntropySql: String =
@@ -665,8 +666,8 @@ object TextAnalysis {
        |                     (a, b) -> a + b) AS sum_clnc
        |  FROM cnt GROUP BY 1)
        |SELECT doc_id, n_tokens, n_types,
-       |       round(ln(n_tokens) - sum_clnc / n_tokens, 6) AS entropy,
-       |       round(n_types * 1.0 / n_tokens, 6) AS ttr
+       |       ${Buckets.round6Sql("ln(n_tokens) - sum_clnc / n_tokens")} AS entropy,
+       |       ${Buckets.round6Sql("CAST(n_types AS DOUBLE) / n_tokens")} AS ttr
        |FROM agg ORDER BY doc_id""".stripMargin
 
   // ---------------------------------------------------- X38 BM25 retrieval

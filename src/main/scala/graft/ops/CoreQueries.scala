@@ -141,12 +141,13 @@ object CoreQueries {
          |ORDER BY metric, bucket_ts""".stripMargin
     case other =>
       val f = other match {
-        // ordered folds (the Rollup.orderedSum pin): both engines sum
-        // the window SORTED BY (ts, value), so avg/sum are IEEE-exact
-        // matches at any SF, not round-6-absorbed
+        // exact fixed-point partial sums (the Rollup.fixedSum pin): both
+        // engines sum the same scaled integers, so avg/sum are IEEE-exact
+        // matches at any SF and any partition layout — and the Spark plan
+        // keeps map-side partial aggregation (plain HashAggregate)
         case AggregationMethod.Average =>
-          s"${Rollup.orderedSumSql("ts_s")} / count(value)"
-        case AggregationMethod.Sum     => Rollup.orderedSumSql("ts_s")
+          s"${Rollup.fixedSumSql()} / count(value)"
+        case AggregationMethod.Sum     => Rollup.fixedSumSql()
         case AggregationMethod.Max     => "max(value)"
         case AggregationMethod.Min     => "min(value)"
         case AggregationMethod.AbsMax | AggregationMethod.AbsMin =>
@@ -623,6 +624,7 @@ object CoreQueries {
     "render_target_band" -> RenderTarget.renderTargetBandSql,
     "render_target_union" -> RenderTarget.renderTargetUnionSql,
     "render_target_wavg" -> RenderTarget.renderTargetWavgSql,
+    "render_target_holt" -> RenderTarget.renderTargetHoltSql,
     "render_target_holt_input" -> RenderTarget.renderTargetHoltInputSql,
     "render_target_holt_bands" -> RenderTarget.renderTargetHoltBandsSql,
     "render_target_minmax" -> RenderTarget.renderTargetMinmaxSql,

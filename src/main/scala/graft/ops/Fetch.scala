@@ -58,7 +58,7 @@ object Fetch {
     val agg = pts
       .filter($"metric" === metric && $"ts_s" >= fromI && $"ts_s" < untilI)
       .groupBy(Buckets.alignTs($"ts_s", spp).as("bucket_ts"))
-      .agg(Rollup.mean6($"value", $"ts_s").as("value"))
+      .agg(Rollup.mean6($"value").as("value"))
     spine.join(agg, Seq("bucket_ts"), "left")
       .select($"bucket_ts", $"value")
       .orderBy($"bucket_ts")
@@ -81,7 +81,7 @@ object Fetch {
     val untilI = Buckets.fetchInterval(Buckets.UntilS, 60)
     s"""WITH ${Buckets.pointsSql},
        |agg AS (
-       |  SELECT (ts_s // 60) * 60 AS bucket_ts, ${Rollup.mean6Sql("pts.ts_s")} AS value
+       |  SELECT (ts_s // 60) * 60 AS bucket_ts, ${Rollup.mean6Sql()} AS value
        |  FROM pts
        |  WHERE metric = 'view' AND ts_s >= $fromI AND ts_s < $untilI
        |  GROUP BY 1
@@ -261,7 +261,7 @@ object Fetch {
     val agg = Buckets.pointsInRange(spark, sfDir, fromS, untilS)
       .filter($"metric" === "view")
       .groupBy($"metric", Buckets.alignTs($"ts_s", 60).as("ts_s"))
-      .agg(Rollup.mean6($"value", $"ts_s").as("value"))
+      .agg(Rollup.mean6($"value").as("value"))
     val wS = Window.partitionBy("metric").orderBy("ts_s")
     val wM = Window.partitionBy("metric")
     val withArea = agg
@@ -290,7 +290,7 @@ object Fetch {
     s"""WITH ${Buckets.pointsSql},
        |agg AS (
        |  SELECT metric, (ts_s // 60) * 60 AS ts_s,
-       |         ${Rollup.mean6Sql("pts.ts_s")} AS value
+       |         ${Rollup.mean6Sql()} AS value
        |  FROM pts
        |  WHERE metric = 'view' AND ts_s >= ${Buckets.FromS}
        |    AND ts_s < ${Buckets.UntilS}
@@ -342,7 +342,7 @@ object Fetch {
     val untilI = Buckets.fetchInterval(Buckets.NowS, 60)
     s"""WITH ${Buckets.pointsSql},
        |agg AS (
-       |  SELECT (ts_s // 60) * 60 AS bucket_ts, ${Rollup.mean6Sql("pts.ts_s")} AS value
+       |  SELECT (ts_s // 60) * 60 AS bucket_ts, ${Rollup.mean6Sql()} AS value
        |  FROM pts
        |  WHERE metric = 'view' AND ts_s >= $fromI AND ts_s < $untilI
        |  GROUP BY 1
@@ -379,7 +379,7 @@ object Fetch {
     val untilI = Buckets.fetchInterval(Buckets.NowS - 68400L + 6 * 3600L, 60)
     s"""WITH ${Buckets.pointsSql},
        |agg AS (
-       |  SELECT (ts_s // 60) * 60 AS bucket_ts, ${Rollup.mean6Sql("pts.ts_s")} AS value
+       |  SELECT (ts_s // 60) * 60 AS bucket_ts, ${Rollup.mean6Sql()} AS value
        |  FROM pts
        |  WHERE metric = 'view' AND ts_s >= $fromI AND ts_s < $untilI
        |  GROUP BY 1
@@ -448,7 +448,7 @@ object Fetch {
       .crossJoin(metrics)
     val agg = pts
       .groupBy(col("metric"), Buckets.alignTs(col("ts_s"), 60).as("bucket_ts"))
-      .agg(Rollup.mean6(col("value"), col("ts_s")).as("value"))
+      .agg(Rollup.mean6(col("value")).as("value"))
     spine.join(agg, Seq("metric", "bucket_ts"), "left")
       .select(col("metric"), col("bucket_ts"), col("value"))
       .orderBy("metric", "bucket_ts")
@@ -512,7 +512,7 @@ object Fetch {
       .crossJoin(metrics)
     val agg = pts
       .groupBy(col("metric"), Buckets.alignTs(col("ts_s"), 60).as("bucket_ts"))
-      .agg(Rollup.mean6(col("value"), col("ts_s")).as("value"))
+      .agg(Rollup.mean6(col("value")).as("value"))
     spine.join(agg, Seq("metric", "bucket_ts"), "left")
       .select(col("metric"), col("bucket_ts"), col("value"))
       .orderBy("metric", "bucket_ts")
@@ -529,7 +529,7 @@ object Fetch {
        |    AND regexp_matches(metric, '$rx')),
        |agg AS (
        |  SELECT metric, (ts_s // 60) * 60 AS bucket_ts,
-       |         ${Rollup.mean6Sql("pts.ts_s")} AS value
+       |         ${Rollup.mean6Sql()} AS value
        |  FROM pts
        |  WHERE ts_s >= $fromI AND ts_s < $untilI
        |    AND regexp_matches(metric, '$rx')
@@ -655,7 +655,7 @@ object Fetch {
        |  WHERE ts_s >= $fromI AND ts_s < $untilI),
        |agg AS (
        |  SELECT metric, (ts_s // 60) * 60 AS bucket_ts,
-       |         ${Rollup.mean6Sql("pts.ts_s")} AS value
+       |         ${Rollup.mean6Sql()} AS value
        |  FROM pts
        |  WHERE ts_s >= $fromI AND ts_s < $untilI
        |  GROUP BY 1, 2),
@@ -712,7 +712,7 @@ object Fetch {
     val metrics = p.select(col("metric")).distinct()
     val agg60 = p
       .groupBy(col("metric"), Buckets.alignTs(col("ts_s"), spp).as("b"))
-      .agg(Rollup.mean6(col("value"), col("ts_s")).as("v"))
+      .agg(Rollup.mean6(col("value")).as("v"))
     val coarse = agg60
       .groupBy(col("metric"), Buckets.alignTs(col("b"), intervalS).as("bucket_ts"))
       .agg(round(sum(col("v")), 6).as("value"))
@@ -773,7 +773,7 @@ object Fetch {
     // counts of 2^k land native round on cross-engine midpoints
     val agg60 = p
       .groupBy(col("metric"), Buckets.alignTs(col("ts_s"), spp).as("b"))
-      .agg(Rollup.mean6(col("value"), col("ts_s")).as("v"))
+      .agg(Rollup.mean6(col("value")).as("v"))
     val consFunc = func match {
       case "average" | "avg" =>
         Buckets.round6(Rollup.aggColumn(
@@ -819,7 +819,7 @@ object Fetch {
     val untilI = Buckets.fetchInterval(untilS, spp)
     val agg60 = pts.filter(col("ts_s") >= fromI && col("ts_s") < untilI)
       .groupBy(col("metric"), Buckets.alignTs(col("ts_s"), spp).as("bucket_ts"))
-      .agg(Rollup.mean6(col("value"), col("ts_s")).as("v"))
+      .agg(Rollup.mean6(col("value")).as("v"))
     val summed = agg60.groupBy(col("bucket_ts"))
       .agg(round(sum(col("v")), 6).as("value"))
     spark.range(fromI, untilI, spp.toLong).toDF("bucket_ts")
@@ -854,7 +854,7 @@ object Fetch {
     val metrics = p.select(col("metric")).distinct()
     val agg60 = p
       .groupBy(col("metric"), Buckets.alignTs(col("ts_s"), spp).as("bucket_ts"))
-      .agg(Rollup.mean6(col("value"), col("ts_s")).as("v"))
+      .agg(Rollup.mean6(col("value")).as("v"))
     val dense = spark.range(fromI, untilI, spp.toLong).toDF("bucket_ts")
       .crossJoin(metrics)
       .join(agg60, Seq("metric", "bucket_ts"), "left")
@@ -897,7 +897,7 @@ object Fetch {
     val metrics = p.select(col("metric")).distinct()
     val agg60 = p
       .groupBy(col("metric"), Buckets.alignTs(col("ts_s"), spp).as("bucket_ts"))
-      .agg(Rollup.mean6(col("value"), col("ts_s")).as("v"))
+      .agg(Rollup.mean6(col("value")).as("v"))
     val dense = spark.range(extFromI, untilI, spp.toLong).toDF("bucket_ts")
       .crossJoin(metrics)
       .join(agg60, Seq("metric", "bucket_ts"), "left")
@@ -941,7 +941,7 @@ object Fetch {
        |  SELECT DISTINCT metric FROM pts
        |  WHERE ts_s >= $fromI AND ts_s < $untilI),
        |agg AS (
-       |  SELECT metric, (ts_s // 60) * 60 AS b, ${Rollup.mean6Sql("pts.ts_s")} AS v
+       |  SELECT metric, (ts_s // 60) * 60 AS b, ${Rollup.mean6Sql()} AS v
        |  FROM pts
        |  WHERE ts_s >= $fromI AND ts_s < $untilI
        |  GROUP BY 1, 2),
@@ -981,13 +981,13 @@ object Fetch {
        |  SELECT DISTINCT metric FROM pts
        |  WHERE ts_s >= $fromI AND ts_s < $untilI),
        |agg AS (
-       |  SELECT metric, (ts_s // 60) * 60 AS b, ${Rollup.mean6Sql("ts_s")} AS v
+       |  SELECT metric, (ts_s // 60) * 60 AS b, ${Rollup.mean6Sql()} AS v
        |  FROM pts
        |  WHERE ts_s >= $fromI AND ts_s < $untilI
        |  GROUP BY 1, 2),
        |cons AS (
        |  SELECT metric, $fromI + ((b - $fromI) // $stepS) * $stepS AS bucket_ts,
-       |         ${Rollup.mean6Sql("agg.b", "v")} AS value
+       |         ${Rollup.mean6Sql("v")} AS value
        |  FROM agg GROUP BY 1, 2),
        |spine AS (
        |  SELECT m.metric, r.bucket_ts FROM mets m,
@@ -1014,7 +1014,7 @@ object Fetch {
     s"""WITH ${Buckets.pointsSql},
        |agg AS (
        |  SELECT metric, (ts_s // 60) * 60 AS bucket_ts,
-       |         ${Rollup.mean6Sql("pts.ts_s")} AS v
+       |         ${Rollup.mean6Sql()} AS v
        |  FROM pts
        |  WHERE ts_s >= $fromI AND ts_s < $untilI
        |  GROUP BY 1, 2),
@@ -1048,7 +1048,7 @@ object Fetch {
        |  WHERE ts_s >= $fromI AND ts_s < $untilI),
        |agg AS (
        |  SELECT metric, (ts_s // 60) * 60 AS bucket_ts,
-       |         ${Rollup.mean6Sql("pts.ts_s")} AS v
+       |         ${Rollup.mean6Sql()} AS v
        |  FROM pts
        |  WHERE ts_s >= $fromI AND ts_s < $untilI
        |  GROUP BY 1, 2),
@@ -1097,7 +1097,7 @@ object Fetch {
        |  WHERE ts_s >= $extFromI AND ts_s < $untilI),
        |agg AS (
        |  SELECT metric, (ts_s // 60) * 60 AS bucket_ts,
-       |         ${Rollup.mean6Sql("ts_s")} AS v
+       |         ${Rollup.mean6Sql()} AS v
        |  FROM pts
        |  WHERE ts_s >= $extFromI AND ts_s < $untilI
        |  GROUP BY 1, 2),

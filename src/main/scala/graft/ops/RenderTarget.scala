@@ -613,7 +613,7 @@ object RenderTarget {
   private def summarizeAggOrdered(func: String, c: Column): Column =
     func match {
       case "avg" | "average" =>
-        Rollup.orderedMean6(c, struct(col("bucket_ts"), col("metric")))
+        Rollup.gridMean6(c)
       case _ => summarizeAgg(func, c)
     }
 
@@ -718,13 +718,15 @@ object RenderTarget {
     * there, keeping the positions stable). Defaults: delta 3,
     * bootstrap 7d, season 1d — graphite's.
     */
-  /** The family's output rounding (HALF_UP at 6 decimals on the exact
-    * decimal expansion), shared by the recurrence arms and the
-    * band-algebra oracle key so the algebra under test IS the deployed
-    * algebra.
+  /** The family's output rounding: the SHARED pinned 6-decimal formula
+    * ([[Buckets.round6]]'s `floor(x·1e6 + 0.5)/1e6` three-op form),
+    * used by the recurrence arms and the band-algebra key so the
+    * algebra under test IS the deployed algebra — and so the
+    * recursive-CTE oracle ([[renderTargetHoltSql]]) can restate the
+    * round op-for-op instead of relying on native round agreement.
     */
   private def hwR6(x: Double): Double =
-    BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    math.floor(x * 1e6 + 0.5) / 1e6
 
   /** Confidence-band algebra around a forecast point: `pred ± delta·dev`
     * (absent forecast → absent band). Pure and engine-independent —
@@ -824,7 +826,7 @@ object RenderTarget {
     // midpoint hazard as summarizeAggOrdered's avg; the caller's outer
     // round(…, 6) is idempotent over the round6 result
     case "average" | "avg" =>
-      Rollup.orderedMean6(col("value"), struct(col("bucket_ts"), col("metric")))
+      Rollup.gridMean6(col("value"))
     case "sum" => sum(col("value"))
     case "min" => min(col("value"))
     case "max" => max(col("value"))
@@ -881,7 +883,7 @@ object RenderTarget {
         // the pinned grid mean (ordered fold + shared round6): per-bucket
         // raw counts grow with data density, and power-of-two counts land
         // native round on cross-engine decimal midpoints
-        .agg(Rollup.mean6(col("value"), col("ts_s")).as("value"))
+        .agg(Rollup.mean6(col("value")).as("value"))
     }
 
     // Per-leaf selection over [[sharedAgg]]. Multi-glob targets wrap the
@@ -993,8 +995,7 @@ object RenderTarget {
           // mean ÷ member count CAN land on a midpoint → ordered fold
           // (sorted by the member's metric; bucket_ts is the group key)
           case "averageSeries" =>
-            Rollup.orderedMean6(col("value"),
-              struct(col("bucket_ts"), col("metric")))
+            Rollup.gridMean6(col("value"))
           case "minSeries" => min(col("value"))
           case "maxSeries" => max(col("value"))
           case "countSeries" => count(lit(1)).cast("double")
@@ -1964,7 +1965,7 @@ object RenderTarget {
             Seq("metric"), "left_semi")
           .groupBy(col("metric").as("q"),
             Buckets.alignTs(col("ts_s"), spp).as("bucket_ts"))
-          .agg(Rollup.mean6(col("value"), col("ts_s")).as("v"))
+          .agg(Rollup.mean6(col("value")).as("v"))
         val lastV = sub.filter(col("v").isNotNull)
           .groupBy(col("q")).agg(max_by(col("v"), col("bucket_ts")).as("cur"))
         val renamed = named
@@ -2466,7 +2467,7 @@ object RenderTarget {
       mode: String = "average"): DataFrame = {
     val df = evaluate(spark, pts, target, fromS, untilS, spp)
     val agg = mode match {
-      case "average" => Rollup.orderedMean6(col("value"), col("bucket_ts"))
+      case "average" => Rollup.gridMean6(col("value"))
       case "maximum" => round(max(col("value")), 6)
       case "minimum" => round(min(col("value")), 6)
       case m => throw new IllegalArgumentException(
@@ -2516,7 +2517,7 @@ object RenderTarget {
        |    AND regexp_matches(metric, '$rx')),
        |agg AS (
        |  SELECT metric, (ts_s // 60) * 60 AS bucket_ts,
-       |         ${Rollup.mean6Sql("pts.ts_s")} AS v
+       |         ${Rollup.mean6Sql()} AS v
        |  FROM pts
        |  WHERE ts_s >= $fromI AND ts_s < $untilI
        |    AND regexp_matches(metric, '$rx')
@@ -2670,7 +2671,7 @@ object RenderTarget {
        |    AND regexp_matches(metric, '$rx')),
        |agg AS (
        |  SELECT metric, (ts_s // 60) * 60 AS bucket_ts,
-       |         ${Rollup.mean6Sql("pts.ts_s")} AS v
+       |         ${Rollup.mean6Sql()} AS v
        |  FROM pts
        |  WHERE ts_s >= $fromI AND ts_s < $untilI
        |    AND regexp_matches(metric, '$rx')
@@ -2701,7 +2702,7 @@ object RenderTarget {
        |    AND regexp_matches(metric, '$rx')),
        |agg AS (
        |  SELECT metric, (ts_s // 60) * 60 AS bucket_ts,
-       |         ${Rollup.mean6Sql("pts.ts_s")} AS v
+       |         ${Rollup.mean6Sql()} AS v
        |  FROM pts
        |  WHERE ts_s >= $fromI AND ts_s < $untilI
        |    AND regexp_matches(metric, '$rx')
@@ -2732,7 +2733,7 @@ object RenderTarget {
        |    AND regexp_matches(metric, '$rx')),
        |agg AS (
        |  SELECT metric, (ts_s // 60) * 60 AS bucket_ts,
-       |         ${Rollup.mean6Sql("pts.ts_s")} AS v
+       |         ${Rollup.mean6Sql()} AS v
        |  FROM pts
        |  WHERE ts_s >= $fromI AND ts_s < $untilI
        |    AND regexp_matches(metric, '$rx')
@@ -2766,7 +2767,7 @@ object RenderTarget {
        |    AND regexp_matches(metric, '$rx')),
        |agg AS (
        |  SELECT metric, (ts_s // 60) * 60 AS bucket_ts,
-       |         ${Rollup.mean6Sql("pts.ts_s")} AS v
+       |         ${Rollup.mean6Sql()} AS v
        |  FROM pts
        |  WHERE ts_s >= $fromI AND ts_s < $untilI
        |    AND regexp_matches(metric, '$rx')
@@ -2796,7 +2797,7 @@ object RenderTarget {
        |    AND regexp_matches(metric, '$rx')),
        |agg AS (
        |  SELECT metric, (ts_s // 60) * 60 AS bucket_ts,
-       |         ${Rollup.mean6Sql("pts.ts_s")} AS v
+       |         ${Rollup.mean6Sql()} AS v
        |  FROM pts
        |  WHERE ts_s >= $fromI AND ts_s < $untilI
        |    AND regexp_matches(metric, '$rx')
@@ -2829,7 +2830,7 @@ object RenderTarget {
        |    AND regexp_matches(metric, '$rx')),
        |agg AS (
        |  SELECT metric, (ts_s // 60) * 60 AS bucket_ts,
-       |         ${Rollup.mean6Sql("pts.ts_s")} AS v
+       |         ${Rollup.mean6Sql()} AS v
        |  FROM pts
        |  WHERE ts_s >= $fromI AND ts_s < $untilI
        |    AND regexp_matches(metric, '$rx')
@@ -2863,7 +2864,7 @@ object RenderTarget {
        |    AND regexp_matches(metric, '$rx')),
        |agg AS (
        |  SELECT metric, (ts_s // 60) * 60 AS bucket_ts,
-       |         ${Rollup.mean6Sql("pts.ts_s")} AS v
+       |         ${Rollup.mean6Sql()} AS v
        |  FROM pts
        |  WHERE ts_s >= $fromI AND ts_s < $untilI
        |    AND regexp_matches(metric, '$rx')
@@ -2911,7 +2912,7 @@ object RenderTarget {
        |    AND regexp_matches(metric, '$rx')),
        |agg AS (
        |  SELECT metric, (ts_s // 60) * 60 AS bucket_ts,
-       |         ${Rollup.mean6Sql("pts.ts_s")} AS v
+       |         ${Rollup.mean6Sql()} AS v
        |  FROM pts
        |  WHERE ts_s >= $extFromI AND ts_s < $untilI
        |    AND regexp_matches(metric, '$rx')
@@ -2925,7 +2926,7 @@ object RenderTarget {
        |  FROM spine s LEFT JOIN agg a USING (metric, bucket_ts)),
        |coarse AS (
        |  SELECT metric, (bucket_ts // 600) * 600 AS b,
-       |         ${Rollup.orderedMean6Sql("bucket_ts")} AS value
+       |         ${Rollup.gridMean6Sql()} AS value
        |  FROM dense GROUP BY 1, 2),
        |shifted AS (
        |  SELECT metric, b + 3600 AS bucket_ts, value FROM coarse)
@@ -2968,7 +2969,7 @@ object RenderTarget {
        |    AND regexp_matches(metric, '$rx')),
        |agg AS (
        |  SELECT metric, (ts_s // 60) * 60 AS bucket_ts,
-       |         ${Rollup.mean6Sql("pts.ts_s")} AS v
+       |         ${Rollup.mean6Sql()} AS v
        |  FROM pts
        |  WHERE ts_s >= $fromI AND ts_s < $untilI
        |    AND regexp_matches(metric, '$rx')
@@ -2993,7 +2994,7 @@ object RenderTarget {
        |    AND ($cond)),
        |agg AS (
        |  SELECT metric, (ts_s // 60) * 60 AS bucket_ts,
-       |         ${Rollup.mean6Sql("pts.ts_s")} AS v
+       |         ${Rollup.mean6Sql()} AS v
        |  FROM pts
        |  WHERE ts_s >= $fromI AND ts_s < $untilI
        |    AND ($cond)
@@ -3267,7 +3268,7 @@ object RenderTarget {
   val renderTargetDiffSql: String =
     s"""$denseFlatSql,
        |mx AS (SELECT bucket_ts, max(v) AS value FROM dense GROUP BY 1),
-       |av AS (SELECT bucket_ts, ${Rollup.orderedMean6Sql("metric")} AS value
+       |av AS (SELECT bucket_ts, ${Rollup.gridMean6Sql()} AS value
        |       FROM dense GROUP BY 1)
        |SELECT 'diffSeries' AS metric, m.bucket_ts,
        |       CASE WHEN m.value IS NULL AND a.value IS NULL THEN NULL
@@ -3500,16 +3501,83 @@ object RenderTarget {
        |ORDER BY bucket_ts""".stripMargin
 
   /** `render_target_holt`: the anomaly panel —
-    * `holtWintersAberration(sumSeries(g), 3, '6h', '1h')`. No DuckDB
-    * twin (the seasonal recurrence is not SQL-expressible); the driver
-    * records the rows-only check and RenderTargetSpec golden-tests the
-    * family's semantics.
+    * `holtWintersAberration(sumSeries(g), 3, '6h', '1h')`. Oracle: the
+    * seasonal recurrence IS SQL-expressible as a single-row recursive
+    * CTE state machine ([[renderTargetHoltSql]]) — one iteration per
+    * grid slot carrying (intercept, slope, pending prediction) as
+    * scalars and the per-slot seasonal/deviation history as growing
+    * DOUBLE lists (the season lookback reads `list[i − season]`), every
+    * arithmetic step spelled in the same IEEE op order as
+    * [[hwAnalysis]]. The grid is request-bounded (360 bootstrap + 1440
+    * window slots at any SF), so the recursion depth is constant — a
+    * spec-shaped oracle, not a data-volume one.
     */
   val TargetExprHolt =
     s"holtWintersAberration(sumSeries(${Fetch.GlobPattern}), 3, '6h', '1h')"
 
   def renderTargetHolt(spark: SparkSession, sfDir: String): DataFrame =
     evalFlat(spark, sfDir, TargetExprHolt, extS = 21600L)
+
+  // lazy: closes over holtInputCtes, declared below with the input key
+  lazy val renderTargetHoltSql: String = {
+    // season = 1h / 60s-step; the state lists are 1-indexed, i counts
+    // consumed slots, so slot i+1's season lookback is list[i + 1 - S]
+    val S = 3600 / 60
+    val a = "vs[i + 1]"
+    val gap = s"$a IS NULL"
+    val li = s"CASE WHEN i = 0 OR intercept IS NULL THEN $a ELSE intercept END"
+    val pout = s"CASE WHEN i = 0 AND $a IS NOT NULL THEN $a ELSE nextpred END"
+    val lseas =
+      s"CASE WHEN i + 1 - $S >= 1 THEN seasonals[i + 1 - $S] ELSE CAST(0 AS DOUBLE) END"
+    val ldev =
+      s"CASE WHEN i + 1 - $S >= 1 THEN devs[i + 1 - $S] ELSE CAST(0 AS DOUBLE) END"
+    // α, β, γ spelled as the identical literals hwAnalysis binds; the
+    // (1 − x) complements are computed IEEE-identically in both engines
+    val al = "CAST(0.1 AS DOUBLE)"
+    val be = "CAST(0.0035 AS DOUBLE)"
+    val ga = "CAST(0.1 AS DOUBLE)"
+    val intc = s"($al * ($a - $lseas) + (1 - $al) * (($li) + slope))"
+    val slp = s"($be * ($intc - ($li)) + (1 - $be) * slope)"
+    val seas = s"($ga * ($a - $intc) + (1 - $ga) * ($lseas))"
+    val dev =
+      s"($ga * abs($a - COALESCE($pout, CAST(0 AS DOUBLE))) + (1 - $ga) * ($ldev))"
+    // nextPred reads the NEXT slot's seasonal — already in the appended
+    // list (hwAnalysis's seasonalAt(i + 1) over the just-written array)
+    val seasNext = s"CASE WHEN i + 2 - $S >= 1 " +
+      s"THEN list_append(seasonals, $seas)[i + 2 - $S] ELSE CAST(0 AS DOUBLE) END"
+    s"""WITH RECURSIVE $holtInputCtes,
+       |arr AS (
+       |  SELECT list(value ORDER BY bucket_ts) AS vs,
+       |         list(bucket_ts ORDER BY bucket_ts) AS bs,
+       |         count(*) AS n FROM inp),
+       |hw(i, intercept, slope, nextpred, seasonals, devs, preds, odevs) AS (
+       |  SELECT 0, CAST(NULL AS DOUBLE), CAST(0 AS DOUBLE), CAST(NULL AS DOUBLE),
+       |         CAST([] AS DOUBLE[]), CAST([] AS DOUBLE[]),
+       |         CAST([] AS DOUBLE[]), CAST([] AS DOUBLE[])
+       |  UNION ALL
+       |  SELECT i + 1,
+       |         CASE WHEN $gap THEN NULL ELSE $intc END,
+       |         CASE WHEN $gap THEN CAST(0 AS DOUBLE) ELSE $slp END,
+       |         CASE WHEN $gap THEN NULL ELSE $intc + $slp + $seasNext END,
+       |         list_append(seasonals, CASE WHEN $gap THEN CAST(0 AS DOUBLE) ELSE $seas END),
+       |         list_append(devs, CASE WHEN $gap THEN CAST(0 AS DOUBLE) ELSE $dev END),
+       |         list_append(preds, $pout),
+       |         list_append(odevs, CASE WHEN $gap THEN CAST(0 AS DOUBLE) ELSE $dev END)
+       |  FROM hw, arr WHERE i < n),
+       |fin AS (SELECT vs, bs, preds, odevs, n FROM hw, arr WHERE i = n),
+       |idx AS (SELECT unnest(range(1, n + 1)) AS j FROM fin)
+       |SELECT 'sumSeries' AS metric, bs[j] AS bucket_ts,
+       |       CASE WHEN vs[j] IS NOT NULL AND preds[j] IS NOT NULL THEN
+       |         CASE WHEN vs[j] > preds[j] + 3 * odevs[j]
+       |              THEN ${Buckets.round6Sql("vs[j] - (preds[j] + 3 * odevs[j])")}
+       |              WHEN vs[j] < preds[j] - 3 * odevs[j]
+       |              THEN ${Buckets.round6Sql("vs[j] - (preds[j] - 3 * odevs[j])")}
+       |              ELSE CAST(0 AS DOUBLE) END
+       |       ELSE CAST(0 AS DOUBLE) END AS value
+       |FROM fin, idx
+       |WHERE bs[j] >= $stdFromI
+       |ORDER BY metric, bucket_ts""".stripMargin
+  }
 
   /** `render_target_holt_input`: the EXACT frame the Holt-Winters
     * recurrence consumes — `sumSeries(glob)` dense over the
@@ -3526,18 +3594,23 @@ object RenderTarget {
       s"sumSeries(${Fetch.GlobPattern})",
       Buckets.FromS - 21600, Buckets.UntilS, 60)
 
-  val renderTargetHoltInputSql: String = {
+  /** The holt input frame as a CTE chain ending in `inp` — shared
+    * verbatim by the input key's oracle and the recurrence oracle
+    * ([[renderTargetHoltSql]]), so the recurrence provably consumes the
+    * independently-green input frame.
+    */
+  private val holtInputCtes: String = {
     val fromI = stdFromI - 21600
     val untilI = stdUntilI
     val rx = Fetch.globToRegex(Fetch.GlobPattern)
-    s"""WITH ${Buckets.pointsSql},
+    s"""${Buckets.pointsSql},
        |mets AS (
        |  SELECT DISTINCT metric FROM pts
        |  WHERE ts_s >= $fromI AND ts_s < $untilI
        |    AND regexp_matches(metric, '$rx')),
        |agg AS (
        |  SELECT metric, (ts_s // 60) * 60 AS bucket_ts,
-       |         ${Rollup.mean6Sql("pts.ts_s")} AS v
+       |         ${Rollup.mean6Sql()} AS v
        |  FROM pts
        |  WHERE ts_s >= $fromI AND ts_s < $untilI
        |    AND regexp_matches(metric, '$rx')
@@ -3548,11 +3621,16 @@ object RenderTarget {
        |     FROM range($fromI, $untilI, 60)) r),
        |dense AS (
        |  SELECT s.metric, s.bucket_ts, a.v
-       |  FROM spine s LEFT JOIN agg a USING (metric, bucket_ts))
-       |SELECT 'sumSeries' AS metric, bucket_ts, round(sum(v), 6) AS value
-       |FROM dense GROUP BY bucket_ts
-       |ORDER BY metric, bucket_ts""".stripMargin
+       |  FROM spine s LEFT JOIN agg a USING (metric, bucket_ts)),
+       |inp AS (
+       |  SELECT 'sumSeries' AS metric, bucket_ts, round(sum(v), 6) AS value
+       |  FROM dense GROUP BY bucket_ts)""".stripMargin
   }
+
+  val renderTargetHoltInputSql: String =
+    s"""WITH $holtInputCtes
+       |SELECT metric, bucket_ts, value FROM inp
+       |ORDER BY metric, bucket_ts""".stripMargin
 
   /** `render_target_holt_bands`: the band/aberration ALGEBRA pinned
     * against the oracle over a shared synthetic forecast frame. Both
@@ -3595,15 +3673,16 @@ object RenderTarget {
        |  FROM (SELECT unnest(range(0, 48)) AS i)),
        |b AS (
        |  SELECT 'holt@upper' AS metric, bucket_ts,
-       |         round(pred + 3 * dev, 6) AS value FROM g
+       |         ${Buckets.round6Sql("pred + 3 * dev")} AS value FROM g
        |  UNION ALL
-       |  SELECT 'holt@lower', bucket_ts, round(pred - 3 * dev, 6) FROM g
+       |  SELECT 'holt@lower', bucket_ts,
+       |         ${Buckets.round6Sql("pred - 3 * dev")} FROM g
        |  UNION ALL
        |  SELECT 'holt@aberration', bucket_ts,
        |         CASE WHEN actual > pred + 3 * dev
-       |              THEN round(actual - (pred + 3 * dev), 6)
+       |              THEN ${Buckets.round6Sql("actual - (pred + 3 * dev)")}
        |              WHEN actual < pred - 3 * dev
-       |              THEN round(actual - (pred - 3 * dev), 6)
+       |              THEN ${Buckets.round6Sql("actual - (pred - 3 * dev)")}
        |              ELSE 0.0 END
        |  FROM g)
        |SELECT metric, CAST(bucket_ts AS BIGINT) AS bucket_ts, value FROM b
@@ -3848,7 +3927,7 @@ object RenderTarget {
   val renderTargetAgglineSql: String =
     s"""$densePathedSql,
        |stat AS (
-       |  SELECT metric, ${Rollup.orderedMean6Sql("bucket_ts")} AS line_v
+       |  SELECT metric, ${Rollup.gridMean6Sql()} AS line_v
        |  FROM dense GROUP BY 1)
        |SELECT d.metric, d.bucket_ts, s.line_v AS value
        |FROM dense d LEFT JOIN stat s USING (metric)
@@ -4093,7 +4172,7 @@ object RenderTarget {
         stdFromI, stdUntilI)},
        |sub AS (
        |  SELECT (ts_s // 60) * 60 AS bucket_ts,
-       |         ${Rollup.mean6Sql("pts.ts_s")} AS v
+       |         ${Rollup.mean6Sql()} AS v
        |  FROM pts
        |  WHERE metric = 'click' AND ts_s >= $stdFromI AND ts_s < $stdUntilI
        |  GROUP BY 1),
@@ -4121,7 +4200,7 @@ object RenderTarget {
   val renderTargetPieSql: String =
     s"""${denseSqlWith(Buckets.pointsSql, Fetch.globToRegex(Fetch.GlobPattern),
         stdFromI, stdUntilI)}
-       |SELECT metric, ${Rollup.orderedMean6Sql("bucket_ts")} AS value
+       |SELECT metric, ${Rollup.gridMean6Sql()} AS value
        |FROM dense GROUP BY metric ORDER BY metric""".stripMargin
 
   val renderTargetSmoothSql: String = {
@@ -4136,7 +4215,7 @@ object RenderTarget {
        |    AND regexp_matches(metric, '$rx')),
        |agg AS (
        |  SELECT metric, (ts_s // 60) * 60 AS bucket_ts,
-       |         ${Rollup.mean6Sql("pts.ts_s")} AS v
+       |         ${Rollup.mean6Sql()} AS v
        |  FROM pts
        |  WHERE ts_s >= $extFromI AND ts_s < $untilI
        |    AND regexp_matches(metric, '$rx')

@@ -41,78 +41,89 @@ object Rollup {
     * `AvgZero` needs the window slot count — use the [[aggColumn]]
     * overload that takes `totalSlots`.
     */
-  /** Ordered left fold Σ value with addends SORTED BY (ts, value) — the
-    * textEntropy order pin applied to the consolidation sums: an
-    * unordered double sum's merge order varies with task timing and
-    * differs from DuckDB's, and a window mean sitting on a
-    * round-half-at-1e-6 boundary then flips the 6th decimal (the five
-    * sf0.1 avg-family hash misses of r10). The collected array is the
-    * consolidation window — schema-bounded (lowerSpp/higherSpp slots,
-    * ≤60 for the std schemas) or emission-rate-bounded (raw points per
-    * metric-hour), never corpus-proportional, so the shape holds at
-    * 100 TB.
+  /** Exact ORDER-INDEPENDENT Σ value for GRID-QUANTIZED inputs — the
+    * consolidation hot path. Every value on the engine's point/render
+    * grid carries ≤6 decimals (testdata values have ≤3; every
+    * division-derived edge rounds through [[Buckets.round6]]), so
+    * `round(v·1e6)` recovers the exact scaled integer (the double sits
+    * within ~1e-9 of it — far from any rounding midpoint, and far from
+    * the 2^52 exactness edge for |v| < 4·10⁹). Summing those integers
+    * as DECIMAL(38,0) is exact and associative, so Spark keeps
+    * map-side partial aggregation (codegen'd HashAggregate, one partial
+    * sum per group through the shuffle) instead of shipping every raw
+    * point in a `collect_list` — at a 1s→5m consolidation that is 300×
+    * fewer shuffled bytes on the engine's signature operator. The
+    * DuckDB oracle sums the identical integers as HUGEINT; both engines
+    * then convert the SAME exact integer to double (identical IEEE
+    * nearest-even if it ever exceeds 2^53) and unscale by 1e6 — every
+    * step bit-identical across engines AND across any partition layout
+    * or merge order.
+    *
+    * For inputs that are NOT grid-quantized (full-mantissa doubles:
+    * ln() scores, v·w products), use [[orderedSumBy]] — fixed-point
+    * would silently quantize them.
     */
-  private def orderedSum(value: Column, ts: Column): Column =
+  private def fixedSum(value: Column): Column =
+    sum(round(value * lit(1e6)).cast("decimal(38,0)"))
+      .cast("double") / lit(1e6)
+
+  /** [[fixedSum]] in the oracle dialect: the same scale → round →
+    * integer-sum → double → unscale pipeline (`1e6` is a DOUBLE literal
+    * in both dialects; HUGEINT is DuckDB's exact 128-bit integer).
+    */
+  private[graft] def fixedSumSql(v: String = "value"): String =
+    s"CAST(sum(CAST(round($v * 1e6) AS HUGEINT)) AS DOUBLE) / 1e6"
+
+  /** The fully-pinned consolidation mean over grid-quantized values:
+    * exact fixed-point sum ÷ count, rounded through [[Buckets.round6]]
+    * — bit-identical across engines at any scale factor, and partial-
+    * aggregable (plain HashAggregate plan).
+    */
+  private[graft] def mean6(value: Column): Column =
+    Buckets.round6(fixedSum(value) / count(value))
+
+  /** [[mean6]] in the oracle dialect. */
+  private[graft] def mean6Sql(v: String = "value"): String =
+    Buckets.round6Sql(s"${fixedSumSql(v)} / count($v)")
+
+  /** [[mean6]] over a NULLABLE column (dense frames carry null gap
+    * slots): `sum`/`count` skip nulls identically in both engines, and
+    * an all-null group yields NULL — exactly `avg`'s null contract,
+    * with the arithmetic and the rounding pinned.
+    */
+  private[graft] def gridMean6(value: Column): Column =
+    when(count(value) > 0, Buckets.round6(fixedSum(value) / count(value)))
+
+  /** [[gridMean6]] in the oracle dialect. */
+  private[graft] def gridMean6Sql(v: String = "v"): String =
+    s"CASE WHEN count($v) > 0 THEN ${Buckets.round6Sql(
+      s"${fixedSumSql(v)} / count($v)")} END"
+
+  /** Ordered left fold Σ value with addends SORTED BY (key, value) —
+    * for NON-grid-quantized inputs (full-mantissa doubles: lm_score's
+    * ln() terms, weightedAverage's v·w products) where [[fixedSum]]
+    * would quantize. An unordered double sum's merge order varies with
+    * task timing and differs from DuckDB's; sorting pins it. The
+    * collected array is a consolidation window or per-doc term list —
+    * schema- or document-bounded, never corpus-proportional. Inputs
+    * must be non-null.
+    */
+  private[graft] def orderedSumBy(value: Column, key: Column): Column =
     aggregate(
-      transform(array_sort(collect_list(struct(ts.as("t"), value.as("v")))),
+      transform(array_sort(collect_list(struct(key.as("t"), value.as("v")))),
         x => x.getField("v")),
       lit(0d), (a, v) => a + v)
 
-  /** The matching DuckDB fold (list ORDER BY ts, value; left-assoc).
-    * `v` names the value column (default the canonical `value`).
+  /** The matching DuckDB fold (list ORDER BY key, value; left-assoc).
+    * `v` names the value expression (default the canonical `value`).
     */
   private[graft] def orderedSumSql(ts: String, v: String = "value"): String =
     s"list_reduce(list($v ORDER BY $ts, $v), (a, x) -> a + x)"
 
-  /** The fully-pinned consolidation mean: ordered fold ÷ count, rounded
-    * through [[Buckets.round6]] — every step IEEE-identical across
-    * engines, so an avg output edge using this pair matches the oracle
-    * EXACTLY at any scale factor (no round-6-absorption needed).
-    */
-  private[graft] def mean6(value: Column, ts: Column): Column =
-    Buckets.round6(aggColumn(AggregationMethod.Average, value, ts))
-
-  /** [[mean6]] in the oracle dialect. */
-  private[graft] def mean6Sql(ts: String, v: String = "value"): String =
-    Buckets.round6Sql(s"${orderedSumSql(ts, v)} / count($v)")
-
-  /** [[mean6]] over a NULLABLE column (dense frames carry null gap
-    * slots): nulls are dropped before the sort on the Spark side
-    * (collect_list skips the null-guarded struct) and filtered out of
-    * the ordered list on the oracle side, and an all-null group yields
-    * NULL — exactly `avg`'s null contract, but with the fold order and
-    * the rounding pinned. `key` must be unique within the group (e.g.
-    * `struct(bucket_ts, metric)`) so both engines sort identically.
-    */
-  private[graft] def orderedMean6(value: Column, key: Column): Column = {
-    val vals = transform(
-      array_sort(collect_list(
-        when(value.isNotNull, struct(key.as("k"), value.as("v"))))),
-      x => x.getField("v"))
-    when(count(value) > 0,
-      Buckets.round6(aggregate(vals, lit(0d), (a, v) => a + v) / count(value)))
-  }
-
-  /** [[orderedMean6]] in the oracle dialect; `key` is a comma-joined
-    * ORDER BY list (e.g. `"bucket_ts, metric"`).
-    */
-  private[graft] def orderedMean6Sql(key: String, v: String = "v"): String =
-    s"CASE WHEN count($v) > 0 THEN ${Buckets.round6Sql(
-      s"list_reduce(list_filter(list($v ORDER BY $key), x -> x IS NOT NULL)," +
-        s" (a, x) -> a + x) / count($v)")} END"
-
-  /** The bare ordered sum for caller-assembled quotients (e.g.
-    * weightedAverage's Σ(v·w)/Σ(w)): same (key, value)-sorted left fold
-    * as [[orderedSum]], exposed with a caller-chosen sort key. Inputs
-    * must be non-null.
-    */
-  private[graft] def orderedSumBy(value: Column, key: Column): Column =
-    orderedSum(value, key)
-
   def aggColumn(method: AggregationMethod, value: Column, ts: Column): Column =
     method match {
-      case AggregationMethod.Average => orderedSum(value, ts) / count(value)
-      case AggregationMethod.Sum     => orderedSum(value, ts)
+      case AggregationMethod.Average => fixedSum(value) / count(value)
+      case AggregationMethod.Sum     => fixedSum(value)
       case AggregationMethod.Last    => max_by(value, ts)
       case AggregationMethod.Max     => max(value)
       case AggregationMethod.Min     => min(value)
@@ -134,7 +145,7 @@ object Rollup {
   def aggColumn(method: AggregationMethod, value: Column, ts: Column,
       totalSlots: Column): Column =
     method match {
-      case AggregationMethod.AvgZero => orderedSum(value, ts) / max(totalSlots)
+      case AggregationMethod.AvgZero => fixedSum(value) / max(totalSlots)
       case other                     => aggColumn(other, value, ts)
     }
 
@@ -145,8 +156,8 @@ object Rollup {
     */
   private def aggSql(method: AggregationMethod, ts: String): String =
     method match {
-      case AggregationMethod.Average => s"${orderedSumSql(ts)} / count(value)"
-      case AggregationMethod.Sum     => orderedSumSql(ts)
+      case AggregationMethod.Average => s"${fixedSumSql()} / count(value)"
+      case AggregationMethod.Sum     => fixedSumSql()
       case AggregationMethod.Max     => "max(value)"
       case AggregationMethod.Min     => "min(value)"
       case AggregationMethod.Last =>
@@ -230,7 +241,7 @@ object Rollup {
       case m =>
         val valueSql = m match {
           case AggregationMethod.AvgZero =>
-            s"${orderedSumSql(s"$srcCte.bucket_ts")} / $total"
+            s"${fixedSumSql()} / $total"
           case AggregationMethod.AbsMax | AggregationMethod.AbsMin =>
             // qualified ts: the outer SELECT aliases the coarser bucket
             // to the same name, the aggregate must order by the finer one

@@ -142,7 +142,7 @@ object WspQueries {
        |    AND regexp_matches(metric, '$rx')),
        |agg AS (
        |  SELECT metric, (ts_s // 60) * 60 AS bucket_ts,
-       |         ${graft.ops.Rollup.mean6Sql("tree.ts_s")} AS v
+       |         ${graft.ops.Rollup.mean6Sql()} AS v
        |  FROM tree
        |  WHERE ts_s >= $fromI AND ts_s < $untilI
        |    AND regexp_matches(metric, '$rx')
@@ -295,7 +295,8 @@ object WspQueries {
       val tree = s"$base/tree"
       Seq(col("ts_s") < StreamMidS, col("ts_s") >= StreamMidS)
         .zipWithIndex.foreach { case (band, i) =>
-          val pts = Buckets.pointsStream(s, dir)
+          val pts = Buckets.pointsStream(
+            graft.streaming.StreamQueries.narrowSession(s), dir)
             .filter(band && col("ts_s") < NowS)
           graft.streaming.StreamIngest.wspWriter(pts, tree, schema, NowS)
             .option("checkpointLocation", s"$base/ckpt$i")

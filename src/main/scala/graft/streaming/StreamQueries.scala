@@ -35,6 +35,27 @@ object StreamQueries {
   // timestamp ordering (which decides batch order under
   // maxFilesPerTrigger) can never tie at clock granularity.
 
+  /** Session clone for the harnesses' short-lived streaming runs, with
+    * micro-batch shuffle / state-store width 4 instead of the caller's
+    * 32. Each AvailableNow query here lives a few seconds over a few
+    * staged single-digit-MB files, but at width 32 every one of its
+    * micro-batches pays 32 state-store providers' open/commit/snapshot
+    * churn and 32-task shuffles for state that fits in one — measured
+    * as the dominant share of the streaming keys' cold bench cost
+    * (~45 s/round at r11). Results are width-independent by
+    * construction: every streamed state machine is key-local, the
+    * consolidation sums are exact fixed-point ([[graft.ops.Rollup]]),
+    * and PartitionVarianceSpec pins the float-bearing keys across
+    * layouts. The width is baked into each checkpoint at first run and
+    * every run in a JVM shares the memoized checkpoint, so it stays
+    * consistent per fixture.
+    */
+  private[graft] def narrowSession(s: SparkSession): SparkSession = {
+    val ns = s.newSession()
+    ns.conf.set("spark.sql.shuffle.partitions", "4")
+    ns
+  }
+
   /** Copy the part files of `src` into `dst` with an explicit mtime:
     * all copied files get `mtimeMs`, which callers stagger per wave so
     * wave N always sorts before wave N+1 in the file source.
@@ -112,7 +133,7 @@ object StreamQueries {
       val mid = lo + (hi - lo) / 2
       def runWave(wave: DataFrame): Unit = {
         wave.coalesce(1).write.mode("append").parquet(stage)
-        val arrivals = s.readStream.schema(docs.schema).parquet(stage)
+        val arrivals = narrowSession(s).readStream.schema(docs.schema).parquet(stage)
           .as[StreamDedup.DocArrival]
         StreamDedup.dedupStream(arrivals).toDF()
           .writeStream.outputMode("append")
@@ -178,7 +199,7 @@ object StreamQueries {
         }
       StreamSessionize
         .sessionizeStream(
-          s.readStream.schema(pts.schema).option("maxFilesPerTrigger", 1)
+          narrowSession(s).readStream.schema(pts.schema).option("maxFilesPerTrigger", 1)
             .parquet(stage), PipelineOps.SessionGapS, "1 hour")
         .writeStream.outputMode("append")
         .format("parquet").option("path", s"$base/out")
@@ -216,7 +237,7 @@ object StreamQueries {
         StreamRollup.Level(3600, graft.model.AggregationMethod.Sum, 0.0)))
       def runWave(wave: String, mtimeMs: Long): Unit = {
         copyParts(s"$fixture/$wave", stage, mtimeMs)
-        s.readStream.schema(pts.schema).parquet(stage)
+        narrowSession(s).readStream.schema(pts.schema).parquet(stage)
           .writeStream.outputMode("update")
           .foreachBatch { (b: DataFrame, id: Long) => store.mergeBatch(b, id) }
           .option("checkpointLocation", s"$base/ckpt")
@@ -278,7 +299,7 @@ object StreamQueries {
             .coalesce(1).write.mode("append").parquet(stage)
         }
       StreamIngest.windowedAgg(
-          s.readStream.schema(pts.schema).option("maxFilesPerTrigger", 1)
+          narrowSession(s).readStream.schema(pts.schema).option("maxFilesPerTrigger", 1)
             .parquet(stage), 60, "1 hour")
         .writeStream.outputMode("append")
         .format("parquet").option("path", s"$base/out")
@@ -297,20 +318,18 @@ object StreamQueries {
       .orderBy("metric", "bucket_ts")
   }
 
-  // bucket mean folded in (second, value) order — the same pin as the
-  // streaming side's windowedAgg, so both engines sum the identical
-  // sequence — and rounded through the SHARED pinned formula
-  // (Buckets.round6): the identical pre-round double would still split
-  // across the two engines' NATIVE rounds at a decimal midpoint
-  // (Spark HALF_UP on the decimal expansion vs DuckDB scale-first —
-  // the 1391.13/32 case in round6's doc), the one avg-family edge this
-  // key had left un-pinned
+  // bucket mean as the exact fixed-point sum (the Rollup.fixedSum pin,
+  // the same arithmetic the streaming side's windowedAgg consolidation
+  // uses) — order-independent across arrival waves AND engines — and
+  // rounded through the SHARED pinned formula (Buckets.round6): the
+  // identical pre-round double would still split across the two engines'
+  // NATIVE rounds at a decimal midpoint (Spark HALF_UP on the decimal
+  // expansion vs DuckDB scale-first — the 1391.13/32 case in round6's doc)
   val streamFetchAggSql: String =
     s"""SELECT event_type AS metric,
       |       (CAST(epoch(date_trunc('second', ts)) AS BIGINT) // 60) * 60
       |         AS bucket_ts,
-      |       ${Buckets.round6Sql(graft.ops.Rollup.orderedSumSql(
-               "CAST(epoch(date_trunc('second', ts)) AS BIGINT)") +
+      |       ${Buckets.round6Sql(graft.ops.Rollup.fixedSumSql() +
                " / count(value)")} AS value,
       |       count(*) AS known
       |FROM events GROUP BY 1, 2
@@ -334,7 +353,7 @@ object StreamQueries {
           col("event_type").as("metric"), col("ts_s"), col("value"))
       def runWave(wave: String, mtimeMs: Long): Unit = {
         copyParts(s"$fixture/$wave", stage, mtimeMs)
-        val arrivals = s.readStream.schema(pts.schema).parquet(stage)
+        val arrivals = narrowSession(s).readStream.schema(pts.schema).parquet(stage)
           .as[StreamAsof.PointArrival]
         StreamAsof.asofStream(arrivals).toDF()
           .writeStream.outputMode("append")
@@ -394,7 +413,7 @@ object StreamQueries {
       val mid = lo + (hi - lo) / 2
       def runWave(wave: DataFrame): Unit = {
         wave.coalesce(1).write.mode("append").parquet(stage)
-        val arrivals = s.readStream.schema(corpus.schema).parquet(stage)
+        val arrivals = narrowSession(s).readStream.schema(corpus.schema).parquet(stage)
         StreamDecontaminate.decontaminateStream(arrivals, bench)
           .writeStream.outputMode("append")
           .format("parquet").option("path", s"$base/out")
@@ -433,7 +452,7 @@ object StreamQueries {
       val mid = lo + (hi - lo) / 2
       def runWave(wave: DataFrame): Unit = {
         wave.coalesce(1).write.mode("append").parquet(stage)
-        val arrivals = s.readStream.schema(arrivals0.schema).parquet(stage)
+        val arrivals = narrowSession(s).readStream.schema(arrivals0.schema).parquet(stage)
         StreamSrpProbe.probeStream(arrivals, buckets)
           .writeStream.outputMode("append")
           .format("parquet").option("path", s"$base/out")
@@ -484,7 +503,7 @@ object StreamQueries {
         .select(col("doc_id").cast("long").as("doc_id"), col("text"))
       def runWave(wave: String, mtimeMs: Long): Unit = {
         copyParts(s"$fixture/$wave", stage, mtimeMs)
-        s.readStream.schema(corpus.schema).parquet(stage)
+        narrowSession(s).readStream.schema(corpus.schema).parquet(stage)
           .writeStream.outputMode("append")
           .foreachBatch { (b: DataFrame, id: Long) => merge(b, id) }
           .option("checkpointLocation", s"$base/ckpt")

@@ -237,6 +237,27 @@ class PlanSpec extends AnyFunSuite {
       s"cap plan grew a join or aggregate:\n$p")
   }
 
+  test("consolidation means partial-aggregate — no collect_list on the hot path") {
+    // The r11 ordered-fold regression pin: Average/Sum consolidation and
+    // the dense-fetch grid mean must plan as codegen'd HashAggregate with
+    // a map-side partial_sum (one partial per group through the shuffle),
+    // NOT as ObjectHashAggregate building a collect_list — the latter
+    // ships every raw point through the shuffle, spp-ratio× more bytes
+    // (300× for 1s→5m) on the engine's signature operator at 100 TB.
+    for ((name, q) <- Seq(
+        "agg_avg" -> CoreQueries.aggQuery(
+          graft.model.AggregationMethod.Average)(spark, dir),
+        "agg_sum" -> CoreQueries.aggQuery(
+          graft.model.AggregationMethod.Sum)(spark, dir),
+        "fetch_dense_series" -> Fetch.fetchDenseSeries(spark, dir))) {
+      val p = plan(q)
+      assert(p.contains("partial_sum"),
+        s"$name lost map-side partial aggregation:\n$p")
+      assert(!p.contains("collect_list") && !p.contains("ObjectHashAggregate"),
+        s"$name consolidates via a collected list again:\n$p")
+    }
+  }
+
   test("wsp_diff joins trees by slot key — no product, both sides pruned scans") {
     val p = plan(graft.sources.WspQueries.wspDiff(spark, dir))
     assert(!p.contains("CartesianProduct"), s"diff degenerated to a product:\n$p")

@@ -127,9 +127,14 @@ object Bench {
     val cold = json(results.map(r => (r._1, r._3)))
     val total = results.map(_._2).sum
     val totalCold = results.map(_._3).sum
+    // cold map FIRST, medians LAST: the driver artifact keeps only the
+    // TAIL of stdout, so whatever survives truncation should be the
+    // steady-state medians — r11's artifact surfaced cold-run times as
+    // if they were per-key cost (streaming keys read 11.8 s when their
+    // steady-state median was 0.1-0.3 s)
     val fullLine =
       s"""{"metric":"total","value":$total,"unit":"sec","runs":$Runs,""" +
-        s""""queries":$qs,"queries_cold":$cold,"sf":"$sfDir"}"""
+        s""""queries_cold":$cold,"queries":$qs,"sf":"$sfDir"}"""
     println(fullLine)
     // the driver's BENCH_r{N}.json keeps only the TAIL of stdout, which
     // clips ~2/3 of the per-key medians out of the committed artifact —
@@ -171,28 +176,37 @@ object Bench {
   /** Best-effort per-key timings from a prior round's BENCH_r*.json.
     * The driver wraps our stdout in its own JSON (`{n, rc, tail, …}`)
     * and keeps only the TAIL of the output, so (a) the per-key pairs sit
-    * ESCAPED inside the `tail` string (`\"key\":0.21`), (b) the
-    * `"queries":{` marker — and any prefix of the median map — may be
-    * truncated away, and (c) the surviving text also carries the
-    * `queries_cold` map and summary fields. So: unescape, scan the WHOLE
-    * text for name:number pairs, keep the FIRST occurrence per key
-    * (medians precede cold values in the stream; where the median was
-    * truncated off, the cold value stands in — conservative for a
-    * median-vs-prev comparison), and drop the known non-key fields.
-    * The r10 predecessor required the marker verbatim and unescaped
-    * nothing, which made the tripwire silently vacuous on every real
-    * driver artifact.
+    * ESCAPED inside the `tail` string (`\"key\":0.21`), (b) map
+    * markers — and any prefix of the stream — may be truncated away,
+    * and (c) the surviving text also carries the other map and summary
+    * fields. So: unescape, then (1) if the `"queries":{` MEDIAN-map
+    * marker survived, parse that section alone — since r12 the medians
+    * print LAST precisely so tail-truncation preserves them; (2) with
+    * no marker (deep truncation, or a pre-r12 artifact whose leading
+    * median map lost its header), scan the whole text for name:number
+    * pairs keeping the FIRST occurrence per key — in both stream
+    * layouts that prefers whichever complete map survived — and drop
+    * the known non-key fields. The r10 predecessor required the marker
+    * verbatim and unescaped nothing, which made the tripwire silently
+    * vacuous on every real driver artifact.
     */
   private[graft] def parsePrevBench(raw: String): Map[String, Double] = {
     val txt = raw.replace("\\\"", "\"")
     val meta = Set("n", "rc", "cpus", "sf", "value", "total_cold", "runs",
       "keys", "prev", "now")
-    "\"([A-Za-z0-9_]+)\":([0-9]+\\.?[0-9]*(?:[Ee][+-]?[0-9]+)?)".r
-      .findAllMatchIn(txt)
-      .foldLeft(Map.empty[String, Double]) { (m, g) =>
-        val k = g.group(1)
-        if (meta(k) || m.contains(k)) m
-        else m + (k -> g.group(2).toDouble)
-      }
+    val pair = "\"([A-Za-z0-9_]+)\":([0-9]+\\.?[0-9]*(?:[Ee][+-]?[0-9]+)?)".r
+    def scan(section: String): Map[String, Double] =
+      pair.findAllMatchIn(section)
+        .foldLeft(Map.empty[String, Double]) { (m, g) =>
+          val k = g.group(1)
+          if (meta(k) || m.contains(k)) m
+          else m + (k -> g.group(2).toDouble)
+        }
+    // scanning from the marker keeps FIRST-occurrence semantics inside
+    // the section: medians head it in both stream layouts (pre-r12 the
+    // cold map follows the medians; since r12 the medians are the last
+    // map), so the median wins wherever both survived truncation
+    val marker = txt.indexOf("\"queries\":{")
+    scan(if (marker >= 0) txt.substring(marker) else txt)
   }
 }

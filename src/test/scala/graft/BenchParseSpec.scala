@@ -38,6 +38,19 @@ class BenchParseSpec extends AnyFunSuite {
     assert(m("q_a") == 0.5 && m("q_b") == 0.15)
   }
 
+  test("r12+ layout: cold map first, medians last — marker section wins") {
+    // since r12 the median map prints LAST so tail-truncation keeps it;
+    // a truncated artifact then holds a cold-map SUFFIX plus the full
+    // median map. The parser must take medians, not the cold survivors.
+    val truncated =
+      """{"n": 9, "rc": 0, "tail": """ +
+        """"q_b\":3.0},\"queries\":{\"q_a\":0.5,\"q_b\":0.15},""" +
+        """\"sf\":\"/d\"}\n{\"metric\":\"total\",\"value\":1.0}", "x": 0}"""
+    val m = Bench.parsePrevBench(truncated)
+    assert(m("q_a") == 0.5 && m("q_b") == 0.15,
+      "cold survivors must not shadow the median map")
+  }
+
   test("garbage input yields an empty map, never a throw") {
     assert(Bench.parsePrevBench("").isEmpty)
     // wrapper fields with string values must not produce entries at all

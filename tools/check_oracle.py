@@ -35,6 +35,11 @@ def rows_of(rel, cols):
 def main():
     sf_dir, out_dir = Path(sys.argv[1]), Path(sys.argv[2])
     only = set(sys.argv[3:])
+    # the oracle DIALECT is version-sensitive (DECIMAL promotion rules
+    # changed across DuckDB releases — the dsir_weight r10/r11 driver
+    # red); stamp every sweep so "green locally" is attributable to an
+    # exact dialect version
+    print(f"[oracle] duckdb {duckdb.__version__}")
     con = duckdb.connect()
     for p in sorted(sf_dir.glob("*.parquet")):
         con.execute(

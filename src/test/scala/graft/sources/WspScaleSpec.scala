@@ -82,4 +82,76 @@ class WspScaleSpec extends AnyFunSuite {
       assert(one.count() == 1)
     } finally spark.conf.set("spark.sql.files.maxPartitionBytes", prev)
   }
+
+  test("100,000-file tree: planning stays seconds-scale and memory-bounded; the listing cache makes replans near-free") {
+    // The r11 open question on the source: WspScaleSpec proved 5k files,
+    // a real deployment is millions. This pins the next decade: 100k
+    // files (100 shards x 100 hosts x 10 metrics — 10k directories) must
+    // PLAN driver-side in seconds, carry only (path, len, metric, mtime)
+    // per file (~100 MB/M files — driver-memory-bounded at 1M), and a
+    // REPLAN over an unchanged tree with listingCache on must serve from
+    // per-directory mtime cache. The 1M-file route beyond this is the
+    // manifest/catalog note in SURVEY.md §2.1.
+    val dir = Files.createTempDirectory("wsp_scale100k").toString
+    val info = WspCodec.archiveInfos(schema).head
+    val bytes = WspCodec.emptyFile(schema)
+    WspCodec.writeArchive(bytes, info, Seq((1000L, 1.0)))
+    val nFiles = 100000
+    for (s <- 0 until 100; h <- 0 until 100) {
+      val d = Paths.get(dir, s"shard$s", s"host$h")
+      Files.createDirectories(d)
+      for (m <- 0 until 10) Files.write(d.resolve(s"m$m.wsp"), bytes)
+    }
+    val prev = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    try {
+      spark.conf.set("spark.sql.files.maxPartitionBytes", (1 << 20).toString)
+
+      def planned(options: Map[String, String]): (Int, Long) = {
+        val t0 = System.nanoTime()
+        val reader = options.foldLeft(spark.read.format("wsp")) {
+          case (r, (k, v)) => r.option(k, v)
+        }
+        val parts = reader.load(dir).rdd.getNumPartitions
+        (parts, (System.nanoTime() - t0) / 1000000L)
+      }
+
+      // cold plan: the full driver-side walk of 10k dirs / 100k files.
+      // Generous wall bound — shared CI boxes jitter — but an O(files)
+      // pathology (per-file stat storms, quadratic listing) lands far
+      // beyond it, and the 5k test already pins the packing arithmetic.
+      val (parts1, coldMs) = planned(Map.empty)
+      val expect = math.ceil(nFiles.toDouble * FileBytes / (1 << 20)).toInt
+      assert(parts1 >= expect && parts1 <= expect + 2,
+        s"task count $parts1 does not track bytes at 100k files (~$expect)")
+      assert(coldMs < 60000L,
+        s"cold planning took ${coldMs} ms for 100k files — listing regressed")
+
+      // warm replan with the per-directory mtime cache: unchanged dirs
+      // cost one stat each (10k stats, no 100k-child listings). Pin an
+      // ORDER, not a constant: cache-on replan must beat the cold walk.
+      // Sleep past QuiescenceMs first — a directory modified inside the
+      // mtime quantum is deliberately re-listed, which would make the
+      // cache pass vacuous on a fast enough box.
+      Thread.sleep(WspScan.QuiescenceMs + 200)
+      val (_, seed) = planned(Map("listingCache" -> "true"))
+      val (parts3, warmMs) = planned(Map("listingCache" -> "true"))
+      assert(parts3 == parts1)
+      assert(warmMs < coldMs,
+        s"cached replan ($warmMs ms) did not beat the cold walk ($coldMs ms; seed $seed ms)")
+
+      // the plan itself must stay file-count-free: a glob over one shard
+      // prunes 99% of the tree at listing time, before any task exists
+      val pruned = spark.read.format("wsp")
+        .option("metricGlob", "shard42.*.*").load(dir)
+      assert(pruned.select("metric").distinct().count() == 1000)
+    } finally {
+      spark.conf.set("spark.sql.files.maxPartitionBytes", prev)
+      // 100k files: sweep eagerly, not at JVM exit
+      def rm(f: java.io.File): Unit = {
+        val kids = f.listFiles(); if (kids != null) kids.foreach(rm)
+        f.delete(); ()
+      }
+      rm(new java.io.File(dir))
+    }
+  }
 }

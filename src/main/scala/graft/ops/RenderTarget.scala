@@ -593,10 +593,10 @@ object RenderTarget {
   }
 
   /** [[summarizeAgg]] for OUTPUT-bearing grouped contexts: the one
-    * order-sensitive float case, `avg`, is pinned to the shared ordered
-    * fold ([[Rollup.orderedMean6]], keyed by the universally-unique
-    * `(bucket_ts, metric)` pair) so the group mean is bit-identical
-    * across partitionings and engines — an unordered partial-merge avg
+    * order-sensitive float case, `avg`, is pinned to the shared exact
+    * fixed-point mean ([[Rollup.gridMean6]]) so the group mean is
+    * bit-identical across partitionings and engines — an unordered
+    * partial-merge avg over raw doubles
     * of 6-decimal grid values divides onto a round-half midpoint for
     * 1/K of buckets when the member count K is even, and the merge
     * order then decides the 6th decimal (the r10 `dsir_weight` class).
@@ -880,9 +880,9 @@ object RenderTarget {
         else leafRx.map(col("metric").rlike(_)).reduce(_ || _)
       pts.filter(col("ts_s") >= extFromI && col("ts_s") < untilI && matchesAny)
         .groupBy(col("metric"), Buckets.alignTs(col("ts_s"), spp).as("bucket_ts"))
-        // the pinned grid mean (ordered fold + shared round6): per-bucket
-        // raw counts grow with data density, and power-of-two counts land
-        // native round on cross-engine decimal midpoints
+        // the pinned grid mean (exact fixed-point sum + shared round6):
+        // per-bucket raw counts grow with data density, and power-of-two
+        // counts land native round on cross-engine decimal midpoints
         .agg(Rollup.mean6(col("value")).as("value"))
     }
 
@@ -992,8 +992,8 @@ object RenderTarget {
           // sum of 6-decimal member values: 7th decimal is zero, never a
           // round-half midpoint — the unordered sum is safe as-is
           case "sumSeries" => round(sum(col("value")), 6)
-          // mean ÷ member count CAN land on a midpoint → ordered fold
-          // (sorted by the member's metric; bucket_ts is the group key)
+          // mean ÷ member count CAN land on a midpoint → the pinned
+          // fixed-point mean + shared round6 (gridMean6)
           case "averageSeries" =>
             Rollup.gridMean6(col("value"))
           case "minSeries" => min(col("value"))
@@ -2456,7 +2456,7 @@ object RenderTarget {
     * (`?graphType=pie&pieMode=…`, functions.py's PieFunctions dict next
     * to SeriesFunctions): every series of the evaluated target reduces
     * to ONE value per slice. `average` is safeAvg over the known
-    * buckets (the pinned ordered fold, so the slice value is bit-exact
+    * buckets (the pinned fixed-point mean, so the slice value is bit-exact
     * cross-engine), `maximum`/`minimum` the extremes; a series with no
     * known values yields a NULL slice (graphite drops it at chart
     * time). One tens-of-rows aggregate on top of the line evaluator —
@@ -3550,10 +3550,9 @@ object RenderTarget {
        |  SELECT list(value ORDER BY bucket_ts) AS vs,
        |         list(bucket_ts ORDER BY bucket_ts) AS bs,
        |         count(*) AS n FROM inp),
-       |hw(i, intercept, slope, nextpred, seasonals, devs, preds, odevs) AS (
+       |hw(i, intercept, slope, nextpred, seasonals, devs, preds) AS (
        |  SELECT 0, CAST(NULL AS DOUBLE), CAST(0 AS DOUBLE), CAST(NULL AS DOUBLE),
-       |         CAST([] AS DOUBLE[]), CAST([] AS DOUBLE[]),
-       |         CAST([] AS DOUBLE[]), CAST([] AS DOUBLE[])
+       |         CAST([] AS DOUBLE[]), CAST([] AS DOUBLE[]), CAST([] AS DOUBLE[])
        |  UNION ALL
        |  SELECT i + 1,
        |         CASE WHEN $gap THEN NULL ELSE $intc END,
@@ -3561,17 +3560,16 @@ object RenderTarget {
        |         CASE WHEN $gap THEN NULL ELSE $intc + $slp + $seasNext END,
        |         list_append(seasonals, CASE WHEN $gap THEN CAST(0 AS DOUBLE) ELSE $seas END),
        |         list_append(devs, CASE WHEN $gap THEN CAST(0 AS DOUBLE) ELSE $dev END),
-       |         list_append(preds, $pout),
-       |         list_append(odevs, CASE WHEN $gap THEN CAST(0 AS DOUBLE) ELSE $dev END)
+       |         list_append(preds, $pout)
        |  FROM hw, arr WHERE i < n),
-       |fin AS (SELECT vs, bs, preds, odevs, n FROM hw, arr WHERE i = n),
+       |fin AS (SELECT vs, bs, preds, devs, n FROM hw, arr WHERE i = n),
        |idx AS (SELECT unnest(range(1, n + 1)) AS j FROM fin)
        |SELECT 'sumSeries' AS metric, bs[j] AS bucket_ts,
        |       CASE WHEN vs[j] IS NOT NULL AND preds[j] IS NOT NULL THEN
-       |         CASE WHEN vs[j] > preds[j] + 3 * odevs[j]
-       |              THEN ${Buckets.round6Sql("vs[j] - (preds[j] + 3 * odevs[j])")}
-       |              WHEN vs[j] < preds[j] - 3 * odevs[j]
-       |              THEN ${Buckets.round6Sql("vs[j] - (preds[j] - 3 * odevs[j])")}
+       |         CASE WHEN vs[j] > preds[j] + 3 * devs[j]
+       |              THEN ${Buckets.round6Sql("vs[j] - (preds[j] + 3 * devs[j])")}
+       |              WHEN vs[j] < preds[j] - 3 * devs[j]
+       |              THEN ${Buckets.round6Sql("vs[j] - (preds[j] - 3 * devs[j])")}
        |              ELSE CAST(0 AS DOUBLE) END
        |       ELSE CAST(0 AS DOUBLE) END AS value
        |FROM fin, idx

@@ -42,13 +42,14 @@ object StreamIngest {
       .withColumn("ts", timestamp_seconds(col("ts_s")))
       .withWatermark("ts", watermark)
       .groupBy(col("metric"), window(col("ts"), s"$spp seconds"))
-      // the bucket mean folded in (ts_s, value) order at emission — the
-      // micro-batch/task merge order of an incremental (sum, count)
-      // state is timing-dependent, and a bucket mean on a round-half
-      // midpoint would flip its 6th decimal between runs/engines. The
-      // collected state is one consolidation window (emission-rate
-      // bounded per metric-bucket), the same boundedness as the batch
-      // aggColumn fold.
+      // the bucket mean as the exact fixed-point sum (Rollup.aggColumn
+      // = Rollup.fixedSum / count): the micro-batch/task merge order of
+      // an incremental raw-double (sum, count) state is timing-dependent
+      // and a bucket mean on a round-half midpoint would flip its 6th
+      // decimal between runs/engines — integer partial sums make the
+      // state merge order-independent by construction, with a constant
+      // (sum, count) state per window, the same shape as batch
+      // aggColumn.
       .agg(Rollup.aggColumn(graft.model.AggregationMethod.Average,
           col("value"), col("ts_s")).as("value"),
         count(lit(1)).as("known"))

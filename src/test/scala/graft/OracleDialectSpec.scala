@@ -33,13 +33,12 @@ class OracleDialectSpec extends AnyFunSuite {
         bareDecimal.findAllMatchIn(sql).flatMap { m =>
           val pre  = sql.substring(math.max(0, m.start - 32), m.start)
           val post = sql.substring(m.end, math.min(sql.length, m.end + 32))
-          val castWrapped =
-            pre.toUpperCase.replaceAll("\\s+", "").endsWith("CAST(") &&
-            post.toUpperCase.replaceAll("\\s+", " ").trim
-              .startsWith("AS DOUBLE)")
+          // the CAST(… AS DOUBLE) convention passes by construction:
+          // wrapping the literal puts "CAST(" / " AS DOUBLE)" between it
+          // and any * or /, so the adjacency test below cannot fire
           val isArithOperand =
             pre.matches("(?s).*[*/]\\s*") || post.matches("(?s)\\s*[*/].*")
-          if (isArithOperand && !castWrapped)
+          if (isArithOperand)
             Some(s"$key: …${pre.takeRight(20)}⟦${m.matched}⟧${post.take(20)}…")
           else None
         }

@@ -75,6 +75,33 @@ class SparkPropsSpec extends AnyFunSuite {
     }
   }
 
+  test("property: consolidation over off-grid inputs equals consolidation over their grid projection") {
+    // fixedSum's contract for inputs OFF the 6-decimal grid, stated as a
+    // property instead of left implicit: each addend is rounded to the
+    // grid before summing, so propagate(Sum) over raw full-mantissa
+    // doubles equals propagate(Sum) over the explicitly pre-quantized
+    // frame EXACTLY — quantization is the documented semantics of the
+    // consolidation domain, not silent drift. A caller with genuinely
+    // full-mantissa addends (ln() scores, v·w products) must use
+    // orderedSumBy, which this equality would NOT hold for.
+    import spark.implicits._
+    val rng = new Random(97)
+    for (_ <- 1 to 3) {
+      val raw = (1 to 300).map { _ =>
+        (if (rng.nextBoolean()) "m" else "n",
+          rng.between(0L, 50000L), rng.between(-100.0, 100.0))
+      }.toDF("metric", "ts_s", "value")
+      val lww = Ingest.lwwAlign(raw, 60)
+      val quant = lww.withColumn("value",
+        org.apache.spark.sql.functions.expr("round(value * 1e6) / 1e6"))
+      def rows(df: org.apache.spark.sql.DataFrame) =
+        Rollup.propagate(df, 60, 600, AggregationMethod.Sum, 0.0)
+          .orderBy("metric", "bucket_ts").collect()
+          .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSeq
+      assert(rows(lww) == rows(quant))
+    }
+  }
+
   test("property: two-pass sessionize equals single-window sessionize") {
     import spark.implicits._
     val rng = new Random(31)

@@ -57,7 +57,13 @@ class PartitionVarianceSpec extends AnyFunSuite {
     // r11 Wave-C additions with float-bearing output edges
     "render_target_pie",        // per-slice mean — the ordered fold
     "dedup_containment",        // x/min, x/union ratios — single divisions
-    "similarity_ann_srp")       // sign-bit dots + cosine re-rank — pinned fold
+    "similarity_ann_srp",       // sign-bit dots + cosine re-rank — pinned fold
+    // r12 additions: the fixed-point consolidation representative (must
+    // be exactly layout-independent by construction, not just absorbed)
+    // and the newly oracle-checked Holt-Winters recurrence, whose long
+    // double chain amplifies any layout dependence in its input frame
+    "agg_avg",                  // fixed-point Σ/count — exact at any width
+    "render_target_holt")       // sequential recurrence over the grid mean
 
   private def rows(df: DataFrame): Seq[Seq[Any]] = {
     val cols = df.columns.sorted

@@ -3202,7 +3202,7 @@ object RenderTarget {
        |      % 2147483647)) % 2147483647)) % 2147483647 AS h
        |  FROM grid)
        |SELECT 'gen.walk' AS metric, bucket_ts,
-       |  round(coalesce(sum(h / CAST(2147483647.0 AS DOUBLE) - 0.5) OVER (
+       |  round(coalesce(sum(h / CAST(2147483647.0 AS DOUBLE) - CAST(0.5 AS DOUBLE)) OVER (
        |    ORDER BY bucket_ts
        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0), 6)
        |    AS value
@@ -4129,7 +4129,7 @@ object RenderTarget {
        |  FROM grid),
        |walk AS (
        |  SELECT bucket_ts,
-       |    round(coalesce(sum(h / CAST(2147483647.0 AS DOUBLE) - 0.5) OVER (
+       |    round(coalesce(sum(h / CAST(2147483647.0 AS DOUBLE) - CAST(0.5 AS DOUBLE)) OVER (
        |      ORDER BY bucket_ts
        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0), 6)
        |      AS value

@@ -198,12 +198,26 @@ object Rollup {
       xff: Double): DataFrame = {
     require(lowerSpp % higherSpp == 0, s"$lowerSpp not a multiple of $higherSpp")
     val total = lowerSpp / higherSpp
+    val agg = aggColumn(method, col("value"), col("bucket_ts"),
+      lit(total.toLong))
+    // a level's Average/AvgZero value is rounded to the engine's
+    // 6-decimal grid AT EMISSION — a propagated level is a stored level
+    // (whisper writes it into the coarser archive), and every stored
+    // value in this engine lives on the grid. This also makes
+    // [[fixedSum]]'s grid premise true by construction when the NEXT
+    // cascade hop consolidates this output: without it, an
+    // avg-of-avg chain would feed full-mantissa quotients into the
+    // fixed-point sum and quantize them implicitly there instead of
+    // at the level boundary. Sum/Max/Min/Last/Abs* outputs of grid
+    // inputs are already exactly on the grid — left unrounded.
+    val value = method match {
+      case AggregationMethod.Average | AggregationMethod.AvgZero =>
+        Buckets.round6(agg)
+      case _ => agg
+    }
     level
       .groupBy(col("metric"), Buckets.alignTs(col("bucket_ts"), lowerSpp).as("bucket_ts"))
-      .agg(
-        aggColumn(method, col("value"), col("bucket_ts"),
-          lit(total.toLong)).as("value"),
-        count(lit(1)).as("known"))
+      .agg(value.as("value"), count(lit(1)).as("known"))
       .withColumn("total", lit(total.toLong))
       // float32 compare, as whisper (the header stores xff as float32):
       // the known/total quotient is rounded to float32 before comparing
@@ -241,7 +255,10 @@ object Rollup {
       case m =>
         val valueSql = m match {
           case AggregationMethod.AvgZero =>
-            s"${fixedSumSql()} / $total"
+            // grid-rounded at emission, as the Spark side (see propagate)
+            Buckets.round6Sql(s"${fixedSumSql()} / $total")
+          case AggregationMethod.Average =>
+            Buckets.round6Sql(aggSql(m, s"$srcCte.bucket_ts"))
           case AggregationMethod.AbsMax | AggregationMethod.AbsMin =>
             // qualified ts: the outer SELECT aliases the coarser bucket
             // to the same name, the aggregate must order by the finer one

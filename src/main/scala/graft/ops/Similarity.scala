@@ -925,7 +925,7 @@ object Similarity {
     s"""WITH m AS (
        |  SELECT j, list(CASE WHEN strpos('13579bdf',
        |                   substr(md5('jl|' || i || '|' || j), 1, 1)) > 0
-       |                 THEN 1.0 ELSE -1.0 END ORDER BY i) AS srow
+       |                 THEN CAST(1.0 AS DOUBLE) ELSE -CAST(1.0 AS DOUBLE) END ORDER BY i) AS srow
        |  FROM generate_series(0, ${JlOutDim - 1}) AS gj(j),
        |       generate_series(0, ${JlInDim - 1}) AS gi(i)
        |  GROUP BY j),

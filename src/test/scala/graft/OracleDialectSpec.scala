@@ -35,9 +35,15 @@ class OracleDialectSpec extends AnyFunSuite {
           val post = sql.substring(m.end, math.min(sql.length, m.end + 32))
           // the CAST(… AS DOUBLE) convention passes by construction:
           // wrapping the literal puts "CAST(" / " AS DOUBLE)" between it
-          // and any * or /, so the adjacency test below cannot fire
+          // and any operator, so the adjacency test below cannot fire.
+          // + and - count too: `(ct + 1.5) / nt` runs DECIMAL addition
+          // and then version-dependent DECIMAL division even though the
+          // literal never touches the `/` — the dsir bug class through a
+          // parenthesis. Comparisons (`>= 0.5`) are preceded by =/<,> or
+          // a comma and stay out of scope.
           val isArithOperand =
-            pre.matches("(?s).*[*/]\\s*") || post.matches("(?s)\\s*[*/].*")
+            pre.matches("(?s).*(?<![<>=!])[*/+-]\\s*") ||
+            post.matches("(?s)\\s*[*/+-].*")
           if (isArithOperand)
             Some(s"$key: …${pre.takeRight(20)}⟦${m.matched}⟧${post.take(20)}…")
           else None

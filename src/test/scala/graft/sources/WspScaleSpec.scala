@@ -134,10 +134,18 @@ class WspScaleSpec extends AnyFunSuite {
       // cache pass vacuous on a fast enough box.
       Thread.sleep(WspScan.QuiescenceMs + 200)
       val (_, seed) = planned(Map("listingCache" -> "true"))
-      val (parts3, warmMs) = planned(Map("listingCache" -> "true"))
-      assert(parts3 == parts1)
+      // best-of-two warm replans vs the one cold walk: a single A<B
+      // wall-clock comparison flakes when one warm replan absorbs a GC
+      // pause or a neighbor suite's IO stall on a shared box — the
+      // best-of-two keeps the ordering claim while shedding one-shot
+      // scheduler noise (the bench-drift lesson applied to a test)
+      val (parts3, warm1) = planned(Map("listingCache" -> "true"))
+      val (parts4, warm2) = planned(Map("listingCache" -> "true"))
+      val warmMs = math.min(warm1, warm2)
+      assert(parts3 == parts1 && parts4 == parts1)
       assert(warmMs < coldMs,
-        s"cached replan ($warmMs ms) did not beat the cold walk ($coldMs ms; seed $seed ms)")
+        s"cached replan (best of $warm1/$warm2 ms) did not beat the " +
+          s"cold walk ($coldMs ms; seed $seed ms)")
 
       // the plan itself must stay file-count-free: a glob over one shard
       // prunes 99% of the tree at listing time, before any task exists

@@ -23,9 +23,11 @@ import scala.util.Random
   * as a mismatch.
   *
   * Values are multiples of 0.25 with |v| ≤ 500, so raw double sums are
-  * EXACT under any association; only re-aggregated quotients (avg of
-  * avg at level ≥ 2) can differ by ulps between Spark's partial-agg
-  * order and the model's fold — absorbed by a 1e-9 tolerance.
+  * EXACT under any association, and propagated Average/AvgZero values
+  * are grid-rounded at level emission in BOTH formulations (the r12
+  * Rollup.propagate contract) — residual ulps between Spark's
+  * partial-agg order and the model's fold are absorbed by a 1e-9
+  * tolerance.
   */
 class WhisperLifecycleModelSpec extends AnyFunSuite {
 
@@ -51,7 +53,11 @@ class WhisperLifecycleModelSpec extends AnyFunSuite {
     private def agg(m: AggregationMethod, w: Seq[(Long, Double)], total: Long): Double = {
       val vs = w.map(_._2)
       m match {
-        case AggregationMethod.Average => vs.sum / vs.size
+        // Average/AvgZero round to the 6-decimal grid AT LEVEL EMISSION,
+        // as Rollup.propagate does (r12): a propagated level is a stored
+        // level, and stored values live on the engine's grid
+        case AggregationMethod.Average =>
+          math.floor(vs.sum / vs.size * 1e6 + 0.5) / 1e6
         case AggregationMethod.Sum     => vs.sum
         case AggregationMethod.Last    => w.maxBy(_._1)._2
         case AggregationMethod.Max     => vs.max
@@ -60,7 +66,8 @@ class WhisperLifecycleModelSpec extends AnyFunSuite {
           w.sortBy { case (t, v) => (-math.abs(v), t, v) }.head._2
         case AggregationMethod.AbsMin  =>
           w.sortBy { case (t, v) => (math.abs(v), t, v) }.head._2
-        case AggregationMethod.AvgZero => vs.sum / total
+        case AggregationMethod.AvgZero =>
+          math.floor(vs.sum / total * 1e6 + 0.5) / 1e6
       }
     }
 

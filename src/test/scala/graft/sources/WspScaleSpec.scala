@@ -126,26 +126,32 @@ class WspScaleSpec extends AnyFunSuite {
       assert(coldMs < 60000L,
         s"cold planning took ${coldMs} ms for 100k files — listing regressed")
 
-      // warm replan with the per-directory mtime cache: unchanged dirs
-      // cost one stat each (10k stats, no 100k-child listings). Pin an
-      // ORDER, not a constant: cache-on replan must beat the cold walk.
-      // Sleep past QuiescenceMs first — a directory modified inside the
-      // mtime quantum is deliberately re-listed, which would make the
-      // cache pass vacuous on a fast enough box.
+      // the listing cache is PER-SCAN state (it pays down a streaming
+      // query's per-micro-batch re-walks, not separate batch reads), so
+      // exercise it on one scan instance and assert the MECHANISM — the
+      // second walk must perform zero real child listings — instead of
+      // a wall-clock ordering that page cache and GC jitter can flip
+      // either way on a shared box. Sleep past QuiescenceMs first: a
+      // directory listed inside its mtime quantum is deliberately
+      // re-listed, which would make this pass vacuous on a fast box.
       Thread.sleep(WspScan.QuiescenceMs + 200)
-      val (_, seed) = planned(Map("listingCache" -> "true"))
-      // best-of-two warm replans vs the one cold walk: a single A<B
-      // wall-clock comparison flakes when one warm replan absorbs a GC
-      // pause or a neighbor suite's IO stall on a shared box — the
-      // best-of-two keeps the ordering claim while shedding one-shot
-      // scheduler noise (the bench-drift lesson applied to a test)
-      val (parts3, warm1) = planned(Map("listingCache" -> "true"))
-      val (parts4, warm2) = planned(Map("listingCache" -> "true"))
-      val warmMs = math.min(warm1, warm2)
-      assert(parts3 == parts1 && parts4 == parts1)
-      assert(warmMs < coldMs,
-        s"cached replan (best of $warm1/$warm2 ms) did not beat the " +
-          s"cold walk ($coldMs ms; seed $seed ms)")
+      val spark2 = spark // stable reference for the conf below
+      val scan = new WspScan(Seq(dir), None, Long.MinValue, Long.MaxValue,
+        graft.sources.WspTable.Schema,
+        new org.apache.spark.util.SerializableConfiguration(
+          spark2.sessionState.newHadoopConf()),
+        1L << 20, listingCache = true)
+      val firstWalk = scan.listFilesWithMtime()
+      assert(firstWalk.size == nFiles)
+      val callsAfterSeed = scan.listStatusCalls
+      assert(callsAfterSeed >= 10000L, // 10k dirs + the 100 shard parents
+        s"seed walk listed only $callsAfterSeed directories")
+      val secondWalk = scan.listFilesWithMtime()
+      assert(secondWalk.size == nFiles)
+      assert(scan.listStatusCalls == callsAfterSeed,
+        s"unchanged-tree re-walk re-listed " +
+          s"${scan.listStatusCalls - callsAfterSeed} directories — the " +
+          "per-directory mtime cache is not serving")
 
       // the plan itself must stay file-count-free: a glob over one shard
       // prunes 99% of the tree at listing time, before any task exists

@@ -67,13 +67,27 @@ final class WhisperTable private (
 
   private def levelPath(r: Retention) = s"$path/points_${r.secondsPerPoint}s"
 
+  /** An absent level directory — or one holding no parquet files yet
+    * (dynamic overwrite of zero rows leaves the dir with only markers)
+    * — reads as empty: a table created but not yet written at this
+    * resolution (whisper pre-allocates, parquet materializes lazily).
+    * Every OTHER analysis failure (missing or renamed column, ambiguous
+    * foreign schema) is real corruption and must surface, not read as
+    * "no data".
+    */
+  private def missingPath(e: org.apache.spark.sql.AnalysisException): Boolean =
+    Option(e.getCondition).exists(c =>
+      c.contains("PATH_NOT_FOUND") || c.contains("UNABLE_TO_INFER_SCHEMA")) ||
+      e.getMessage.contains("Path does not exist")
+
   private def readLevel(r: Retention): DataFrame = {
     val p = levelPath(r)
     try {
       val df = spark.read.parquet(p)
       df.select(col("metric"), col("bucket_ts"), col("value"))
     } catch {
-      case _: org.apache.spark.sql.AnalysisException => emptyLevel
+      case e: org.apache.spark.sql.AnalysisException if missingPath(e) =>
+        emptyLevel
     }
   }
 
@@ -90,7 +104,8 @@ final class WhisperTable private (
         .filter(col("day").cast("string").isin(days: _*))
         .select(col("metric"), col("bucket_ts"), col("value"))
     } catch {
-      case _: org.apache.spark.sql.AnalysisException => emptyLevel
+      case e: org.apache.spark.sql.AnalysisException if missingPath(e) =>
+        emptyLevel
     }
   }
 
@@ -107,7 +122,8 @@ final class WhisperTable private (
           to_date(timestamp_seconds(lit(untilI)))))
         .select(col("metric"), col("bucket_ts"), col("value"))
     } catch {
-      case _: org.apache.spark.sql.AnalysisException => emptyLevel
+      case e: org.apache.spark.sql.AnalysisException if missingPath(e) =>
+        emptyLevel
     }
   }
 
@@ -284,13 +300,20 @@ final class WhisperTable private (
       val mergeDays = (touchedDays ++ srcDays).distinct
       val existing =
         if (mergeDays.isEmpty) emptyLevel else readLevelDays(r, mergeDays)
-      // whisper write order in one update cycle: direct slot write, then
-      // propagation overwrites — so propagated values win on conflict,
-      // then direct, then prior content (max_by on a priority column)
+      // whisper write order in one update cycle (whisper.py
+      // file_update_many, mirrored by go-whisper's UpdateMany): the
+      // FINEST archive is written and propagated into the coarser rings
+      // FIRST, and only then are the older points packed DIRECTLY into
+      // the coarser archive — so on a contested coarse slot (a batch
+      // whose fresh and just-too-old points align to one coarse bucket,
+      // possible exactly when the finer retention boundary cuts through
+      // it) the DIRECT write lands last and wins; propagation beats only
+      // prior content (max_by on a priority column). The r12 review
+      // caught the previous inverted order.
       val merged = Seq(
         existing.withColumn("prio", lit(0)),
-        direct.withColumn("prio", lit(1)),
-        propDf.withColumn("prio", lit(2)))
+        propDf.withColumn("prio", lit(1)),
+        direct.withColumn("prio", lit(2)))
         .reduce(_ unionAll _)
         .groupBy("metric", "bucket_ts")
         .agg(max_by(col("value"), col("prio")).as("value"))
@@ -325,15 +348,25 @@ final class WhisperTable private (
     * against the reference = N file opens; here = one query). Output:
     * (metric, bucket_ts, value) dense per metric with NULL gaps.
     */
-  def fetchMany(metrics: Seq[String], fromS: Long, untilS: Long, nowS: Long): DataFrame = {
+  /** Shared fetch prologue — the reference's fetch endpoint semantics
+    * stated ONCE for fetch/fetchMany/fetchGlob/checkEmpty (SURVEY §4.4
+    * trap 1: the range require, the F1 clamp, archive selection and the
+    * +step interval pair must never diverge between the four surfaces).
+    */
+  private def fetchWindow(
+      fromS: Long, untilS: Long, nowS: Long): (Retention, Long, Long) = {
     require(fromS <= untilS, "invalid time interval")
-    require(metrics.nonEmpty, "no metrics requested")
     val from = math.max(fromS, nowS - maxRetention) // F1 clamp
     val until = math.min(untilS, nowS)
     val archive = Fetch.selectArchive(schema, nowS, from)
     val spp = archive.secondsPerPoint
-    val fromI = Buckets.fetchInterval(from, spp)
-    val untilI = Buckets.fetchInterval(until, spp)
+    (archive, Buckets.fetchInterval(from, spp), Buckets.fetchInterval(until, spp))
+  }
+
+  def fetchMany(metrics: Seq[String], fromS: Long, untilS: Long, nowS: Long): DataFrame = {
+    require(metrics.nonEmpty, "no metrics requested")
+    val (archive, fromI, untilI) = fetchWindow(fromS, untilS, nowS)
+    val spp = archive.secondsPerPoint
     import spark.implicits._
     val spine = spark.range(fromI, untilI, spp.toLong).toDF("bucket_ts")
       .crossJoin(broadcast(metrics.toDF("metric")))
@@ -356,16 +389,16 @@ final class WhisperTable private (
     * filesystem tree and opens one file per match.
     */
   def fetchGlob(pattern: String, fromS: Long, untilS: Long, nowS: Long): DataFrame = {
-    require(fromS <= untilS, "invalid time interval")
-    val from = math.max(fromS, nowS - maxRetention) // F1 clamp
-    val until = math.min(untilS, nowS)
-    val archive = Fetch.selectArchive(schema, nowS, from)
+    val (archive, fromI, untilI) = fetchWindow(fromS, untilS, nowS)
     val spp = archive.secondsPerPoint
-    val fromI = Buckets.fetchInterval(from, spp)
-    val untilI = Buckets.fetchInterval(until, spp)
+    // pinned: the filtered scan has TWO consumers (the matched-metric
+    // distinct and the join side) and the two subplans differ, so
+    // exchange reuse cannot dedupe them — without the pin every glob
+    // fetch paid the partition-pruned scan + rlike twice
     val agg = readLevelRange(archive, fromI, untilI)
       .filter(col("metric").rlike(Fetch.globToRegex(pattern)) &&
         col("bucket_ts") >= fromI && col("bucket_ts") < untilI)
+      .localCheckpoint(true)
     val mets = agg.select(col("metric")).distinct()
     val spine = spark.range(fromI, untilI, spp.toLong).toDF("bucket_ts")
       .crossJoin(broadcast(mets))
@@ -409,13 +442,8 @@ final class WhisperTable private (
     * return the dense fixed-step series with NULL gaps.
     */
   def fetch(metric: String, fromS: Long, untilS: Long, nowS: Long): DataFrame = {
-    require(fromS <= untilS, "invalid time interval")
-    val from = math.max(fromS, nowS - maxRetention) // F1 clamp
-    val until = math.min(untilS, nowS)
-    val archive = Fetch.selectArchive(schema, nowS, from)
+    val (archive, fromI, untilI) = fetchWindow(fromS, untilS, nowS)
     val spp = archive.secondsPerPoint
-    val fromI = Buckets.fetchInterval(from, spp)
-    val untilI = Buckets.fetchInterval(until, spp)
     val spine = spark.range(fromI, untilI, spp.toLong).toDF("bucket_ts")
     // day-partition pruning: the range reaches the scan as a filter on
     // the PARTITION column, so only the overlapping day directories are
@@ -430,7 +458,9 @@ final class WhisperTable private (
   }
 
   /** Newer go-whisper's `CheckEmpty(from, until)`: does the clamped
-    * range hold NO live points for the metric? An existence probe, not
+    * range hold NO live points for the metric? Polarity (true = range
+    * EMPTY) is the SURVEY reconstruction — confirm against the real
+    * signature on §0 reference re-verification. An existence probe, not
     * a fetch — `LIMIT 1` above the pruned level scan, so the read
     * short-circuits at the first matching row instead of materializing
     * the dense series (at 100 TB, the difference between touching one
@@ -438,13 +468,7 @@ final class WhisperTable private (
     */
   def checkEmpty(metric: String, fromS: Long, untilS: Long,
       nowS: Long): Boolean = {
-    require(fromS <= untilS, "invalid time interval")
-    val from = math.max(fromS, nowS - maxRetention) // F1 clamp, as fetch
-    val until = math.min(untilS, nowS)
-    val archive = Fetch.selectArchive(schema, nowS, from)
-    val spp = archive.secondsPerPoint
-    val fromI = Buckets.fetchInterval(from, spp)
-    val untilI = Buckets.fetchInterval(until, spp)
+    val (archive, fromI, untilI) = fetchWindow(fromS, untilS, nowS)
     readLevelRange(archive, fromI, untilI)
       .filter(col("metric") === metric &&
         col("bucket_ts") >= fromI && col("bucket_ts") < untilI &&
@@ -610,7 +634,10 @@ object WhisperTable {
     val schema = schemaFromWspFile(spark,
       first.getOrElse(throw new IllegalStateException(s"no .wsp files under $treeDir")))
     val t = create(spark, tablePath, schema)
-    val pts = spark.read.format("wsp").load(treeDir)
+    // pinned: one byte-decode of every file — the per-level archive
+    // filter cannot prune inside a file, so an unpinned plan re-decoded
+    // the whole tree once per retention level
+    val pts = spark.read.format("wsp").load(treeDir).localCheckpoint(true)
     schema.retentions.zipWithIndex.foreach { case (r, i) =>
       t.writeLevelFull(r, pts.filter(col("archive") === i)
         .select(col("metric"), col("ts_s").as("bucket_ts"), col("value")))

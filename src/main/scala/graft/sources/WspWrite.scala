@@ -95,7 +95,13 @@ object WspWrite {
       val cls = java.lang.Math.floorMod(
         ts / r.secondsPerPoint, r.numberOfPoints.toLong)
       val prev = byArchive(a).getOrNull(cls)
-      if (prev == null || ts > prev._1) byArchive(a)(cls) = (ts, v)
+      // the engine-wide LWW total order (Ingest.lwwKey: max_by(value,
+      // struct(ts, value))) — ties on ts break by LARGER value, never by
+      // row-arrival order, so a task retry or shuffled iteration order
+      // publishes the identical file image and the slot winner matches
+      // the relational U2 path and the DuckDB oracle
+      if (prev == null || ts > prev._1 || (ts == prev._1 && v > prev._2))
+        byArchive(a)(cls) = (ts, v)
       n += 1
     }
   }
@@ -114,7 +120,15 @@ object WspWrite {
       mergeExisting: Boolean,
       conf: org.apache.hadoop.conf.Configuration): (String, Long, Long) = {
     val expectedLen = WspCodec.fileSize(schema)
-    val path = new org.apache.hadoop.fs.Path(outDir, s"$metric.wsp")
+    // graphite tree layout: metric path components become DIRECTORIES
+    // (`a.b.c` → `a/b/c.wsp`), the inverse of the read side's
+    // [[WspTable.metricFor]] ('/'→'.'), so an exported tree is what a
+    // stock graphite-web/go-carbon stack resolves — a flat `a.b.c.wsp`
+    // file is invisible to their finder. Round-trips through THIS
+    // engine's source are unaffected (metricFor recovers the same
+    // dotted name from either layout).
+    val path = new org.apache.hadoop.fs.Path(
+      outDir, s"${metric.replace('.', '/')}.wsp")
     val fs = path.getFileSystem(conf)
     val file =
       if (mergeExisting && fs.exists(path)) {

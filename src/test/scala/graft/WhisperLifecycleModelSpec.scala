@@ -106,8 +106,10 @@ class WhisperLifecycleModelSpec extends AnyFunSuite {
           .map { case (k, ps) => k -> ps.maxBy(p => (p.time, p.value)).value }
         val touched = direct.keySet ++ propagated.keySet
         val lvl = levels(i)
+        // whisper order: finest written+propagated first, coarse DIRECT
+        // points packed last — direct wins a contested coarse slot
+        propagated.foreach { case (k, v) => lvl(k) = v }
         direct.foreach { case (k, v) => lvl(k) = v }
-        propagated.foreach { case (k, v) => lvl(k) = v } // propagation wins
         lvl.filterInPlace { case ((_, b), _) => b >= nowS - r.maxRetentionSeconds }
         propagated = schema.retentions.lift(i + 1) match {
           case Some(next) =>

@@ -83,13 +83,25 @@ object Materialize {
   def createRollupTables(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val base = rollupBase(s, dir)
-    materialized.getOrElseUpdate(base, {
+    val rows = materialized.getOrElseUpdate(base, {
       // same lifecycle as the dedup-family shared indexes: swept at JVM
       // exit, and creating under a fresh key prunes superseded/dead-pid
       // siblings of the graft_rollups family
       Dedup.registerTmpRoot(base)
       materializeLevels(s, dir, base, AggregationMethod.Average, 0.0)
-    }).toDF("level", "spp", "rows", "day_partitions").orderBy("spp")
+    })
+    // re-register OUTSIDE the memo (idempotent): a memo hit skips the
+    // build thunk, so a RollupCatalog.clear() since the build would
+    // otherwise leave the rewrite silently disabled for this dir — and
+    // the serving keys' plans pinned on the rewrite would quietly fall
+    // back to the unrewritten aggregation
+    rows.map(_._2).sorted.foldLeft(0) { (parentSpp, spp) =>
+      graft.plans.RollupCatalog.register(graft.plans.RollupCatalog.LevelInfo(
+        spp, parentSpp, s"$base/points_${spp}s", base,
+        AggregationMethod.Average, 0.0))
+      spp
+    }
+    rows.toDF("level", "spp", "rows", "day_partitions").orderBy("spp")
   }
 
   /** The materialization engine behind [[createRollupTables]],
@@ -155,14 +167,24 @@ object Materialize {
     if (!s.experimental.extraOptimizations.contains(graft.plans.RollupRewrite))
       s.experimental.extraOptimizations =
         s.experimental.extraOptimizations :+ graft.plans.RollupRewrite
-    val base = rollupBase(s, dir)
+    serve1hQuery(s, rollupBase(s, dir))
+  }
+
+  /** The serving aggregation itself — the PINNED mean
+    * (round6(fixedSum/count)), not native avg: if the rewrite ever
+    * fails to fire (catalog cleared, matcher drift), the fallback
+    * aggregation must still hash-match the DuckDB oracle — native
+    * double avg diverges at round6 midpoints (the r10 class).
+    * [[graft.plans.RollupRewrite]] recognizes this exact shape
+    * (fixedMeanPair) and serves it from the 1h level; the surviving
+    * round6 wrapper is idempotent over the stored values. Exposed so
+    * the spec can pin rewritten ≡ fallback on the SAME query.
+    */
+  private[graft] def serve1hQuery(s: SparkSession, base: String): DataFrame =
     s.read.parquet(s"$base/points_300s")
       .groupBy(col("metric"), Buckets.alignTs(col("bucket_ts"), 3600).as("bucket_ts"))
-      .agg(avg(col("value")).as("value"))
-      .select(col("metric"), col("bucket_ts"),
-        Buckets.round6(col("value")).as("value"))
+      .agg(Rollup.mean6(col("value")).as("value"))
       .orderBy("metric", "bucket_ts")
-  }
 
   val rollupServe1hSql: String =
     s"""WITH ${Buckets.pointsSql},

@@ -38,10 +38,19 @@ object RollupCatalog {
   def lookup(base: String, spp: Long): Option[LevelInfo] =
     if (spp.isValidInt) levels.get((base, spp.toInt)) else None
 
-  /** The level whose storage path equals `uriPath` (URI-normalized). */
-  def levelAtPath(uriPath: String): Option[LevelInfo] =
-    levels.values.find(i =>
-      new org.apache.hadoop.fs.Path(i.path).toUri.getPath == uriPath)
+  /** The level whose storage location equals `root`: URI paths must
+    * match AND schemes must agree when both sides carry one — a remote
+    * filesystem mirroring the local tmp layout must never be served the
+    * local materialized table.
+    */
+  def levelAtPath(root: org.apache.hadoop.fs.Path): Option[LevelInfo] =
+    levels.values.find { i =>
+      val reg = new org.apache.hadoop.fs.Path(i.path).toUri
+      val got = root.toUri
+      reg.getPath == got.getPath &&
+        (reg.getScheme == null || got.getScheme == null ||
+          reg.getScheme == got.getScheme)
+    }
 
   /** Whether `target` can legally serve a `target.method`-aggregation of
     * level `finer` at `target.spp` resolution.
@@ -92,11 +101,18 @@ object RollupCatalog {
   *       over scan(points_Ps)                       // P = finer level
   *   ==> scan(points_Ss)                            // iff S derived from P }}}
   *
-  * The substitution is EXACT, not approximate: level S was materialized by
+  * The substitution is EXACT for Sum/Max/Min/Last/Abs* and for the
+  * engine's pinned mean shape (round6(fixedSum/count) — fixedMeanPair):
+  * level S was materialized by
   * [[graft.ops.Materialize.materializeLevels]] as precisely this
-  * aggregation of level P (xff = 0, same method), so serving the scan of
-  * the coarser table returns the identical rows while skipping both the
-  * (spp-ratio×) larger scan and the whole shuffle — at 100 TB this is the
+  * aggregation of level P (xff = 0, same method). A BARE `avg(value)`
+  * with no rounding wrapper is also rewritten, and there the served
+  * value is the level's GRID-QUANTIZED mean (stored values round to 6
+  * decimals at emission — the engine's canonical average semantics at
+  * every output edge), which can differ from the full-mantissa double
+  * mean by ≤5e-7: callers needing unquantized means must not register
+  * the catalog for those tables. Serving the scan of the coarser table
+  * skips both the (spp-ratio×) larger scan and the whole shuffle — at 100 TB this is the
   * difference between reading the 1h archive (~0.03% of raw) and
   * re-shuffling the 5m archive. For DECOMPOSABLE methods (max, min, and
   * sum under xff = 0) the rewrite also fires across skipped levels —
@@ -199,10 +215,46 @@ object RollupRewrite extends Rule[LogicalPlan] {
     rel.relation match {
       case h: HadoopFsRelation =>
         h.location.rootPaths.toSeq match {
-          case Seq(root) => RollupCatalog.levelAtPath(root.toUri.getPath)
+          case Seq(root) => RollupCatalog.levelAtPath(root)
           case _ => None
         }
       case _ => None
+    }
+
+  /** Match `round(value · 1e6)` — the scaled-integer leaf of
+    * [[graft.ops.Rollup]]'s exact fixed-point sums (`fixedSum`).
+    */
+  private def fixedScaledLeaf(e: Expression): Boolean = strip(e) match {
+    case r: Round =>
+      literalLong(r.scale).contains(0L) && (strip(r.child) match {
+        case m: Multiply =>
+          attrNamed(m.left, "value") &&
+            literalLong(m.right).contains(1000000L)
+        case _ => false
+      })
+    case _ => false
+  }
+
+  /** Match the pinned fixed-point mean's aggregate PAIR —
+    * `sum(cast(round(value·1e6) as decimal))` and `count(value)` — the
+    * shape [[graft.ops.Rollup.mean6]] emits. Serving it from the stored
+    * level is exact BY CONSTRUCTION: the level's value IS
+    * round6(fixedSum/count) of its parent, and the surviving round6
+    * wrapper is idempotent over it.
+    */
+  private def fixedMeanPair(aggs: Seq[AggregateExpression]): Boolean =
+    aggs match {
+      case Seq(s, c) =>
+        (s.aggregateFunction, c.aggregateFunction) match {
+          case (sf: Sum, cf: Count) =>
+            fixedScaledLeaf(sf.child) &&
+              (cf.children.map(strip) match {
+                case Seq(a) => attrNamed(a, "value")
+                case _ => false
+              })
+          case _ => false
+        }
+      case _ => false
     }
 
   private def methodMatches(fn: AggregateFunction, m: AggregationMethod): Boolean =
@@ -286,7 +338,15 @@ object RollupRewrite extends Rule[LogicalPlan] {
       mapped <- mapResults(agg.aggregateExpressions, binds, metricAttr,
         alignedSpp, coarser)
     } yield {
-      val scan = SparkSession.active.read.parquet(coarser.path)
+      // resolve the substituted scan under the SESSION THAT OWNS the
+      // matched relation, never the thread-local active one — in a
+      // multi-session JVM the singleton rule can run while another
+      // session (with different conf/catalog) is active
+      val session = rel.relation match {
+        case h: HadoopFsRelation => h.sparkSession
+        case _ => SparkSession.active
+      }
+      val scan = session.read.parquet(coarser.path)
         .select("metric", "bucket_ts", "value")
         .queryExecution.analyzed
       val Seq(sMetric, sBucket, sValue) = scan.output
@@ -305,13 +365,28 @@ object RollupRewrite extends Rule[LogicalPlan] {
       val projected = mapped.map {
         case (orig, MetricCol) => Alias(sMetric, orig.name)(exprId = orig.exprId)
         case (orig, BucketCol) => Alias(sBucket, orig.name)(exprId = orig.exprId)
-        case (orig @ Alias(c, name), ValueCol) =>
-          // keep any scalar wrapper (e.g. round(avg(x), 6) after
-          // CollapseProject) — substitute the rollup value column for the
-          // aggregate call inside it
-          val rebuilt = c.transform { case _: AggregateExpression => sValue }
-          Alias(rebuilt, name)(exprId = orig.exprId)
-        case (orig, ValueCol) => Alias(sValue, orig.name)(exprId = orig.exprId)
+        case (orig, ValueCol(inlined, pinnedMean)) =>
+          // keep any scalar wrapper (e.g. round6 after CollapseProject),
+          // rebuilding from the INLINED form the shape checks validated
+          // (the raw alias child may reference the discarded child
+          // Project). The pinned mean substitutes its whole quotient —
+          // Divide(fixedSum, count) — so the surviving round6 wrapper
+          // applies to the stored value (idempotent over it); the single
+          // aggregate case substitutes the aggregate call itself.
+          val rebuilt =
+            if (pinnedMean) inlined.transform {
+              case d: Divide if d.right.collectFirst {
+                    case ae: AggregateExpression
+                        if ae.aggregateFunction.isInstanceOf[Count] => ae
+                  }.isDefined &&
+                  d.left.collectFirst {
+                    case ae: AggregateExpression
+                        if ae.aggregateFunction.isInstanceOf[Sum] => ae
+                  }.isDefined =>
+                sValue
+            }
+            else inlined.transform { case _: AggregateExpression => sValue }
+          Alias(rebuilt, orig.name)(exprId = orig.exprId)
       }
       Project(projected, filtered)
     }
@@ -320,7 +395,16 @@ object RollupRewrite extends Rule[LogicalPlan] {
   private sealed trait RollupCol
   private case object MetricCol extends RollupCol
   private case object BucketCol extends RollupCol
-  private case object ValueCol extends RollupCol
+
+  /** A value-result expression: `inlined` is the bind-substituted form
+    * the shape checks validated (rebuilding from the RAW alias child
+    * would resurrect references to the discarded child Project), and
+    * `pinnedMean` marks [[graft.ops.Rollup.mean6]]'s aggregate pair,
+    * whose whole quotient — not a single aggregate call — substitutes
+    * to the stored column.
+    */
+  private final case class ValueCol(
+    inlined: Expression, pinnedMean: Boolean) extends RollupCol
 
   /** Pair each Aggregate result expression with the rollup column that
     * replaces it, or None if any result is outside the rewritable shape.
@@ -350,13 +434,20 @@ object RollupRewrite extends Rule[LogicalPlan] {
         val wrapperRefs = inlined
           .transform { case _: AggregateExpression => Literal(0.0) }
           .references
+        val plain = aggs.forall(ae => !ae.isDistinct && ae.filter.isEmpty)
         aggs match {
           case Seq(ae)
-              if !ae.isDistinct && ae.filter.isEmpty &&
-                methodMatches(ae.aggregateFunction, info.method) &&
+              if plain && methodMatches(ae.aggregateFunction, info.method) &&
                 wrapperRefs.isEmpty && !sawAgg =>
             sawAgg = true
-            Some((ne, ValueCol))
+            Some((ne, ValueCol(inlined, pinnedMean = false)))
+          // the engine's own pinned mean (round6(fixedSum/count)) — two
+          // aggregate calls forming one exact quotient
+          case pair
+              if plain && info.method == AggregationMethod.Average &&
+                fixedMeanPair(pair) && wrapperRefs.isEmpty && !sawAgg =>
+            sawAgg = true
+            Some((ne, ValueCol(inlined, pinnedMean = true)))
           case _ => None
         }
       }

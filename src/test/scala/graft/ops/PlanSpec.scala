@@ -432,6 +432,25 @@ class PlanSpec extends AnyFunSuite {
     assert(served.collect().toSeq == direct.collect().toSeq)
   }
 
+  test("rollup_serve_1h: rewritten plan ≡ raw fallback aggregation, exactly") {
+    // The serving key's correctness must NOT depend on the optimizer
+    // rule firing: the query aggregates with the PINNED mean
+    // (round6(fixedSum/count)), so the unrewritten plan hash-matches the
+    // oracle too. Run the identical query with the rule removed and
+    // compare row-for-row against the rewritten result.
+    val served = Materialize.rollupServe1h(spark, dir).collect().toSeq
+    val base = Materialize.rollupBase(spark, dir)
+    val saved = spark.experimental.extraOptimizations
+    spark.experimental.extraOptimizations =
+      saved.filterNot(_ == graft.plans.RollupRewrite)
+    try {
+      val fallback = Materialize.serve1hQuery(spark, base)
+      assert(hasAggregate(fallback), "rule removed — plan must aggregate")
+      assert(fallback.collect().toSeq == served,
+        "fallback aggregation diverged from the rewritten serve")
+    } finally spark.experimental.extraOptimizations = saved
+  }
+
   test("RollupRewrite serves transitively for decomposable methods (Max chain)") {
     import org.apache.spark.sql.functions._
     val base = s"${System.getProperty("java.io.tmpdir")}/graft_rollups_max"

@@ -15,11 +15,15 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * O(history) (contrast [[StreamDedup]]'s per-distinct-document state).
   * Within a micro-batch the group's arrivals are processed in event-time
   * order `(ts, event_id)` — the same total order the batch `lag` window
-  * uses — so as long as arrival waves respect event time ACROSS batches
-  * (the staged-wave fixture guarantees it; a production deployment gets
-  * it from watermarked, source-ordered partitions or accepts
-  * arrival-order semantics), the streamed enrichment is row-identical
-  * to the batch window.
+  * uses — so as long as arrival waves respect that FULL total order
+  * ACROSS batches (a later batch never delivers a row ordered before an
+  * already-processed one — including the equal-`ts` case, where the
+  * carry state keeps only `(ts, value)` and could not detect an
+  * out-of-order `event_id` retroactively), the streamed enrichment is
+  * row-identical to the batch window. The staged-wave fixture
+  * guarantees this by splitting waves at a timestamp midpoint; a
+  * production deployment gets it from watermarked, source-ordered
+  * partitions or accepts arrival-order semantics.
   *
   * Scale notes (100 TB firehose): state is one small pair per metric,
   * hash-partitioned by the group key; each micro-batch shuffles once by

@@ -95,7 +95,12 @@ object StreamIngest {
       // R3 ring expiry keeps state bounded by retention
       val expired = Rollup.retentionExpiry(
         merged, schema.retentions.head.maxRetentionSeconds, nowS)
+      val prev = state
       state = Some(expired.localCheckpoint(true))
+      // release the superseded checkpoint's blocks NOW — the new state
+      // is already eagerly materialized, and waiting for GC-driven
+      // cleanup accumulates one dead full-state generation per batch
+      prev.foreach(_.unpersist())
     }
 
     /** Current winners: (metric, bucket_ts, value, ts_s). */

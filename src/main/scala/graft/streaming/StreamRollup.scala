@@ -32,15 +32,27 @@ import org.apache.spark.sql.functions._
 object StreamRollup {
 
   /** One cascade step: consolidate to `spp` seconds per point by
-    * `method` under the `xff` quality gate.
+    * `method` under the `xff` quality gate. `retentionS`, when set,
+    * applies whisper's R3 ring expiry to this level after each batch.
     */
-  final case class Level(spp: Int, method: AggregationMethod, xff: Double)
+  final case class Level(spp: Int, method: AggregationMethod, xff: Double,
+      retentionS: Option[Long] = None)
 
   /** Cross-batch state: the fine LWW level plus the incrementally
     * maintained coarse levels of the whole cascade (each derived from
     * the level above it, exactly whisper's archive chain).
+    *
+    * State lifecycle: `fineRetentionS`/`Level.retentionS` bound each
+    * level by whisper's R3 ring expiry against the per-batch `clock`
+    * (a long-running deployment MUST set them — an unbounded fine level
+    * re-checkpoints its entire history every batch); the defaults keep
+    * everything, which the oracle keys rely on (their DuckDB twin
+    * aggregates the full staged corpus). Superseded checkpoints are
+    * unpersisted as soon as their replacement materializes.
     */
-  final class CascadeStore(spp: Int, levels: Seq[Level])
+  final class CascadeStore(spp: Int, levels: Seq[Level],
+      fineRetentionS: Option[Long] = None,
+      clock: () => Long = () => System.currentTimeMillis() / 1000)
       extends Serializable {
     def this(spp: Int, coarseSpp: Int, method: AggregationMethod,
         xff: Double) = this(spp, Seq(Level(coarseSpp, method, xff)))
@@ -70,8 +82,13 @@ object StreamRollup {
           prev.select(col("metric"), col("ts_s"), col("value"))
             .unionAll(pts), spp)
       }
-      val fineCk = mergedFine.localCheckpoint(true)
+      val nowS = clock()
+      val keptFine = fineRetentionS.fold(mergedFine)(
+        Rollup.retentionExpiry(mergedFine, _, nowS))
+      val fineCk = keptFine.localCheckpoint(true)
+      val prevFine = fine
       fine = Some(fineCk)
+      prevFine.foreach(_.unpersist())
       // whisper's propagate scope cascades: the batch's touched buckets
       // at level N realign to the touched set of level N+1
       var touched = pts.select(col("metric"),
@@ -97,8 +114,12 @@ object StreamRollup {
                 "left_anti")
               .unionByName(rederived)
         }
-        val ck = merged.localCheckpoint(true)
+        val kept = lvl.retentionS.fold(merged)(
+          Rollup.retentionExpiry(merged, _, nowS))
+        val ck = kept.localCheckpoint(true)
+        val prevLvl = states(i)
         states(i) = Some(ck)
+        prevLvl.foreach(_.unpersist())
         src = ck.select(col("metric"), col("bucket_ts"), col("value"))
         srcSpp = lvl.spp
         levels.lift(i + 1).foreach { next =>
@@ -110,12 +131,20 @@ object StreamRollup {
     }
 
     /** A coarse level so far: (metric, bucket_ts, value, known, total).
-      * Equals the batch cascade over everything streamed.
+      * Equals the batch cascade over everything streamed (minus any
+      * configured expiry). Synchronized: the states buffer is written
+      * on the micro-batch thread, and an unsynchronized read from a
+      * monitor thread has no happens-before edge to those writes.
       */
-    def level(coarseSpp: Int): Option[DataFrame] =
-      states(levels.indexWhere(_.spp == coarseSpp))
+    def level(coarseSpp: Int): Option[DataFrame] = synchronized {
+      val i = levels.indexWhere(_.spp == coarseSpp)
+      require(i >= 0,
+        s"no cascade level at ${coarseSpp}s — levels: " +
+          levels.map(_.spp).mkString(", "))
+      states(i)
+    }
 
     /** The first coarse level (single-step convenience). */
-    def currentCoarse: Option[DataFrame] = states.head
+    def currentCoarse: Option[DataFrame] = synchronized { states.head }
   }
 }

@@ -85,4 +85,31 @@ class StreamRollupSpec extends AnyFunSuite {
     assert(rows.length == 1 && rows.head.getDouble(2) == 6.0 &&
       rows.head.getLong(3) == 3L)
   }
+
+  test("configured retention expires state per batch — R3 on the stream") {
+    // fine keeps 600 s, coarse keeps 1200 s, clock pinned to 1300:
+    // the wave's oldest minutes fall off the fine level immediately,
+    // and a later clock advance expires coarse rows on the NEXT merge
+    var nowS = 1300L
+    val store = new StreamRollup.CascadeStore(60,
+      Seq(StreamRollup.Level(300, AggregationMethod.Sum, 0.0,
+        retentionS = Some(1200L))),
+      fineRetentionS = Some(600L), clock = () => nowS)
+    store.mergeBatch(pts(("m", 130L, 1.0), ("m", 700L, 2.0),
+      ("m", 800L, 3.0), ("m", 1210L, 4.0)), 0L)
+    // fine horizon 1300-600=700: the points at 130 (bucket 120) and 700
+    // (bucket 660 < 700) expire; 800 (bucket 780) and 1210 survive
+    val coarse1 = coarseRows(store.currentCoarse.get)
+    assert(coarse1.map(_._2) == Seq(600L, 1200L),
+      s"coarse after batch 0: $coarse1")
+    // bucket 600 aggregates only the surviving minute (780 → 3.0)
+    assert(coarse1.head._3 == 3.0 && coarse1.head._4 == 1L)
+    // advance the clock past bucket 600's coarse horizon: the next
+    // merge expires it even though the batch never touches it
+    nowS = 2000L
+    store.mergeBatch(pts(("m", 1950L, 9.0)), 1L)
+    val coarse2 = coarseRows(store.currentCoarse.get)
+    assert(coarse2.map(_._2) == Seq(1200L, 1800L),
+      s"coarse after batch 1: $coarse2")
+  }
 }

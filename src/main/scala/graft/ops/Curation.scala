@@ -500,10 +500,52 @@ object Curation {
     * algebraically the per-instance mean the definition states. At
     * 100 TB: train the buckets on a sample, score the full corpus — the
     * identical serving plan, cheaper train input.
+    *
+    * Float determinism (the r10-r12 driver hash-miss, closed here
+    * structurally rather than dialectally):
+    *  - the 256 bucket weights are computed with [[PortableMath]]'s
+    *    fixed-op-sequence ln — bit-identical in Spark and DuckDB, no
+    *    libm in the path (`Math.log` vs libm `log` may differ by 1 ulp
+    *    on the SAME input; three rounds of CAST hardening could not
+    *    close that);
+    *  - each weight is quantized to the 1e-6 grid AT EMISSION and
+    *    stored as integer micro-units `wq = floor(w·1e6 + 0.5)`;
+    *  - the serving fold is then EXACT integer arithmetic
+    *    `Σ wq·n` (BIGINT — order-independent, no collect_list order
+    *    pin needed, map-side-combinable HashAggregate), and the only
+    *    doubles on the output edge are two correctly-rounded divisions
+    *    both engines must evaluate identically.
+    * The [[dsirModelSql]] diagnostic key (`dsir_model`) emits the weight
+    * table itself so any future divergence localizes to train vs serve.
     */
   def dsirWeight(s: SparkSession, dir: String): DataFrame = {
+    val docb = docs(s, dir)
+      .select(col("doc_id"), explode(expr(toksExpr)).as("t"))
+      .withColumn("h", md5(col("t")))
+      .withColumn("b", expr(Tokens.byteBucketExpr("h")))
+      .groupBy("doc_id", "b")
+      .agg(count(lit(1)).as("n"))
+    docb.join(broadcast(dsirModel(s, dir).select(col("b"), col("wq"))), "b")
+      .groupBy("doc_id")
+      .agg(sum(col("n")).as("n_tokens"),
+        sum(col("wq") * col("n")).as("sum_wqn"))
+      .select(col("doc_id"), col("n_tokens"),
+        Buckets.round6(
+          expr("CAST(sum_wqn AS DOUBLE) / 1e6 / CAST(n_tokens AS DOUBLE)"))
+          .as("dsir_weight"))
+      .orderBy("doc_id")
+  }
+
+  /** The frozen DSIR bucket model (see [[dsirWeight]]): 256 rows of
+    * `(b, wq, w)` where `wq` is the weight in integer micro-units and
+    * `w = wq/1e6` its double form. Materialized once per input via
+    * [[Dedup.sharedIndexPath]]; every double op in the weight formula
+    * is portable (correctly-rounded IEEE arithmetic or [[PortableMath]]
+    * CASE selection), so the table is bit-identical across engines.
+    */
+  def dsirModel(s: SparkSession, dir: String): DataFrame = {
     val wPath = Dedup.sharedIndexPath(
-      s, dir, "documents.parquet", "dsirw") { p =>
+      s, dir, "documents.parquet", "dsirwq") { p =>
       val isTgt = col("source").isin(DsirTargetSources: _*)
       val counts = docs(s, dir)
         .select(col("source"), explode(expr(toksExpr)).as("t"))
@@ -513,39 +555,51 @@ object Curation {
         .agg(count(lit(1)).as("cr"), count(when(isTgt, 1)).as("ct"))
       counts.crossJoin(broadcast(
           counts.agg(sum(col("cr")).as("nr"), sum(col("ct")).as("nt"))))
+        // ln(p_t/p_r) as ONE portable ln of the probability ratio —
+        // three correctly-rounded divisions then the fixed op sequence;
+        // mathematically ln(a)−ln(b) to ~5e-12, bit-identical per engine
+        .withColumn("q", expr(dsirQSql))
+        .withColumn("sgn", expr(PortableMath.sgnSql("q")))
+        .withColumn("x0", expr(PortableMath.x0Sql("q")))
+        .withColumn("e0", expr(PortableMath.e0Sql("x0")))
+        .withColumn("m0", expr(PortableMath.m0Sql("x0")))
+        .withColumn("e1", expr(PortableMath.e1Sql("e0", "m0")))
+        .withColumn("m1", expr(PortableMath.m1Sql("m0")))
+        .withColumn("z", expr(PortableMath.zSql("m1")))
+        .withColumn("lnq", expr(PortableMath.lnFromPartsSql("sgn", "e1", "z")))
         .select(col("b"),
-          (log((col("ct") + 1).cast("double") / (col("nt") + DsirBuckets)) -
-            log((col("cr") + 1).cast("double") / (col("nr") + DsirBuckets)))
-            .as("w"))
+          expr(s"CAST($dsirWqSql AS BIGINT)").as("wq"),
+          expr("CAST(floor(lnq * 1e6 + CAST(0.5 AS DOUBLE)) AS BIGINT)" +
+            " / CAST(1000000 AS DOUBLE)").as("w"))
         .write.mode("overwrite").parquet(p)
     }
-    val docb = docs(s, dir)
-      .select(col("doc_id"), explode(expr(toksExpr)).as("t"))
-      .withColumn("h", md5(col("t")))
-      .withColumn("b", expr(Tokens.byteBucketExpr("h")))
-      .groupBy("doc_id", "b")
-      .agg(count(lit(1)).as("n"))
-    docb.join(broadcast(s.read.parquet(wPath)), "b")
-      .groupBy("doc_id")
-      .agg(sum(col("n")).as("n_tokens"),
-        // The per-doc fold Σ w·n runs SORTED BY BUCKET (the textEntropy
-        // order pin): an unordered double sum's merge order varies with
-        // task timing, and a doc sitting on a round-half-at-1e-6
-        // boundary flips the 6th decimal between runs.
-        expr("aggregate(transform(array_sort(collect_list(struct(b, w, n))), " +
-          "x -> x.w * x.n), 0D, (a, v) -> a + v)").as("sum_wn"))
-      .select(col("doc_id"), col("n_tokens"),
-        // pinned output round (Buckets.round6, shared op-for-op with the
-        // oracle text) — native round(x, 6) is not portable at 1e-6
-        // midpoints and dsir's irrational ln() quotients sit exactly in
-        // that hazard class
-        Buckets.round6(col("sum_wn") / col("n_tokens")).as("dsir_weight"))
-      .orderBy("doc_id")
+    s.read.parquet(wPath)
   }
 
-  val dsirWeightSql: String = {
+  /** The `dsir_model` registered form — the table ordered by bucket. */
+  def dsirModelQuery(s: SparkSession, dir: String): DataFrame =
+    dsirModel(s, dir).orderBy("b")
+
+  /** Smoothed probability ratio `p_target(b) / p_raw(b)` — the shared
+    * text of three correctly-rounded divisions over exact integers.
+    */
+  private val dsirQSql: String =
+    s"(CAST(ct + 1 AS DOUBLE) / CAST(nt + $DsirBuckets AS DOUBLE)) / " +
+      s"(CAST(cr + 1 AS DOUBLE) / CAST(nr + $DsirBuckets AS DOUBLE))"
+
+  /** Micro-unit quantization of the portable ln — `round6`'s floor form
+    * BEFORE the /1e6, so the stored integer IS the grid coordinate.
+    */
+  private val dsirWqSql: String =
+    "floor(lnq * 1e6 + CAST(0.5 AS DOUBLE))"
+
+  /** The weight-model CTE chain shared by [[dsirWeightSql]] and
+    * [[dsirModelSql]] — every step text is the IDENTICAL string the
+    * Spark side evaluates via `expr(...)`.
+    */
+  private def dsirModelCtes: String = {
     val tgt = DsirTargetSources.map(s => s"'$s'").mkString(", ")
-    s"""WITH tok AS (
+    s"""tok AS (
        |  SELECT doc_id, source, md5(t) AS h
        |  FROM (SELECT doc_id, source, unnest($toksSql) AS t FROM documents)),
        |docb AS (
@@ -557,17 +611,43 @@ object Curation {
        |         sum(CASE WHEN source IN ($tgt) THEN n ELSE 0 END) AS ct
        |  FROM docb GROUP BY 1),
        |totals AS (SELECT sum(cr) AS nr, sum(ct) AS nt FROM counts),
-       |w AS (
-       |  SELECT b, ln(CAST(ct + 1 AS DOUBLE) / CAST(nt + $DsirBuckets AS DOUBLE)) -
-       |            ln(CAST(cr + 1 AS DOUBLE) / CAST(nr + $DsirBuckets AS DOUBLE)) AS w
-       |  FROM counts CROSS JOIN totals)
+       |q0 AS (
+       |  SELECT b, $dsirQSql AS q
+       |  FROM counts CROSS JOIN totals),
+       |l1 AS (SELECT b, ${PortableMath.sgnSql("q")} AS sgn,
+       |              ${PortableMath.x0Sql("q")} AS x0 FROM q0),
+       |l2 AS (SELECT b, sgn, ${PortableMath.e0Sql("x0")} AS e0,
+       |              ${PortableMath.m0Sql("x0")} AS m0 FROM l1),
+       |l3 AS (SELECT b, sgn, ${PortableMath.e1Sql("e0", "m0")} AS e1,
+       |              ${PortableMath.m1Sql("m0")} AS m1 FROM l2),
+       |l4 AS (SELECT b, sgn, e1, ${PortableMath.zSql("m1")} AS z FROM l3),
+       |l5 AS (SELECT b,
+       |         ${PortableMath.lnFromPartsSql("sgn", "e1", "z")} AS lnq
+       |       FROM l4),
+       |wt AS (
+       |  SELECT b, CAST($dsirWqSql AS BIGINT) AS wq,
+       |         CAST(floor(lnq * 1e6 + CAST(0.5 AS DOUBLE)) AS BIGINT)
+       |           / CAST(1000000 AS DOUBLE) AS w
+       |  FROM l5)""".stripMargin
+  }
+
+  val dsirWeightSql: String =
+    s"""WITH ${dsirModelCtes}
        |SELECT doc_id, sum(n) AS n_tokens,
        |       ${Buckets.round6Sql(
-                 "list_reduce(list(w * n ORDER BY b), (a, v) -> a + v)" +
-                 " / CAST(sum(n) AS DOUBLE)")} AS dsir_weight
-       |FROM docb JOIN w USING (b)
+                 "CAST(sum(wq * n) AS DOUBLE) / 1e6 / CAST(sum(n) AS DOUBLE)")
+               } AS dsir_weight
+       |FROM docb JOIN wt USING (b)
        |GROUP BY doc_id ORDER BY doc_id""".stripMargin
-  }
+
+  /** `dsir_model` diagnostic oracle: the weight table itself, ordered by
+    * bucket — if this key and `dsir_weight` ever disagree with the
+    * oracle TOGETHER the divergence is in training; `dsir_model` green
+    * with `dsir_weight` red localizes it to serving.
+    */
+  val dsirModelSql: String =
+    s"""WITH ${dsirModelCtes}
+       |SELECT b, wq, w FROM wt ORDER BY b""".stripMargin
 
   // --------------------------------------- X47 cross-source overlap matrix
 

@@ -37,7 +37,7 @@ class PartitionVarianceSpec extends AnyFunSuite {
     * plus the round-6-absorbed aggregate family this spec keeps honest.
     */
   private val FloatFoldKeys = Seq(
-    "dsir_weight",      // Σ w·n / Σ n — order-pinned this round
+    "dsir_weight",      // Σ wq·n / Σ n — exact integer fold (r13)
     "text_entropy",     // Σ c·ln c — pinned (the original rule)
     "bm25_search",      // per-(query,doc) term-score fold — pinned
     "mix_temperature",  // source-share powers — pinned

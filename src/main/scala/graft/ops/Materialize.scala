@@ -141,6 +141,11 @@ object Materialize {
       lvl.withColumn("day", to_date(timestamp_seconds(col("bucket_ts"))))
         .repartition(col("day"))
         .write.mode("overwrite").partitionBy("day").parquet(path)
+      // the rewrite rule and the serving keys cache resolved relations
+      // per level path (write-once dirs); this write is the one same-JVM
+      // event that changes a path's files, so drop those entries here
+      graft.plans.RollupRewrite.invalidateScan(path)
+      serveSrc.filterInPlace { case ((_, p), _) => p != path }
       val written = s.read.parquet(path)
       val (rows, days) = written
         .agg(count(lit(1)), countDistinct(col("day"))).as[(Long, Long)].head()
@@ -181,10 +186,22 @@ object Materialize {
     * the spec can pin rewritten ≡ fallback on the SAME query.
     */
   private[graft] def serve1hQuery(s: SparkSession, base: String): DataFrame =
-    s.read.parquet(s"$base/points_300s")
+    serveSrc.getOrElseUpdate((s, s"$base/points_300s"),
+        s.read.parquet(s"$base/points_300s"))
       .groupBy(col("metric"), Buckets.alignTs(col("bucket_ts"), 3600).as("bucket_ts"))
       .agg(Rollup.mean6(col("value")).as("value"))
       .orderBy("metric", "bucket_ts")
+
+  /** Source DataFrames for the serving keys, per (session, level path):
+    * `spark.read.parquet` re-lists and re-infers the level directory on
+    * every call (~0.13 s at sf0.1 — the larger half of the r12
+    * `rollup_serve_1h` driver regression, alongside the rewrite rule's
+    * own in-rule read, cached in [[graft.plans.RollupRewrite]]). Level
+    * dirs are write-once per content-addressed root; the same-JVM
+    * rewrite case invalidates at the write site above.
+    */
+  private val serveSrc =
+    new scala.collection.concurrent.TrieMap[(SparkSession, String), DataFrame]
 
   val rollupServe1hSql: String =
     s"""WITH ${Buckets.pointsSql},

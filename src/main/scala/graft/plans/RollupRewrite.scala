@@ -39,17 +39,20 @@ object RollupCatalog {
     if (spp.isValidInt) levels.get((base, spp.toInt)) else None
 
   /** The level whose storage location equals `root`: URI paths must
-    * match AND schemes must agree when both sides carry one — a remote
-    * filesystem mirroring the local tmp layout must never be served the
-    * local materialized table.
+    * match AND schemes AND authorities must agree when both sides carry
+    * one — a remote filesystem mirroring the local tmp layout
+    * (scheme), or a different bucket/namenode with the same layout
+    * (authority: `s3://bucketA/x` vs `s3://bucketB/x`), must never be
+    * served the local materialized table.
     */
   def levelAtPath(root: org.apache.hadoop.fs.Path): Option[LevelInfo] =
     levels.values.find { i =>
       val reg = new org.apache.hadoop.fs.Path(i.path).toUri
       val got = root.toUri
+      def agree(a: String, b: String) = a == null || b == null || a == b
       reg.getPath == got.getPath &&
-        (reg.getScheme == null || got.getScheme == null ||
-          reg.getScheme == got.getScheme)
+        agree(reg.getScheme, got.getScheme) &&
+        agree(reg.getAuthority, got.getAuthority)
     }
 
   /** Whether `target` can legally serve a `target.method`-aggregation of
@@ -139,6 +142,43 @@ object RollupRewrite extends Rule[LogicalPlan] {
     else plan.transformUp {
       case agg: Aggregate => tryRewrite(agg).getOrElse(agg)
     }
+
+  /** Resolved relation for a level path, cached per (session, path).
+    *
+    * The substituted scan used to be built with `session.read.parquet`
+    * INSIDE the rule — a full file listing + schema inference of the
+    * level directory on EVERY optimizer pass over a matching plan (and
+    * `df.count()` plans again), which the r12 driver measured as a
+    * consistent ~0.3 s/query regression on `rollup_serve_1h`. Level
+    * directories are write-once per materialization root (roots are
+    * content-addressed by input digest), so the resolved
+    * `LogicalRelation` — whose `HadoopFsRelation` owns the expensive
+    * `InMemoryFileIndex` — is safely reusable; the one same-JVM rewrite
+    * case ([[graft.ops.Materialize.materializeLevels]] overwriting a
+    * path it wrote before) invalidates explicitly at write time.
+    *
+    * Each USE goes through `newInstance()` for fresh output ExprIds: a
+    * single query may rewrite several aggregates onto the same level
+    * (e.g. a union of re-aggregations), and duplicate attribute ids in
+    * one tree corrupt resolution after analysis has already run.
+    */
+  private val scanCache = new scala.collection.concurrent.TrieMap[
+    (SparkSession, String), LogicalRelation]
+
+  private def cachedRelation(
+      session: SparkSession, path: String): LogicalRelation =
+    scanCache.getOrElseUpdate((session, path),
+      session.read.parquet(path).queryExecution.analyzed.collectFirst {
+        case l: LogicalRelation => l
+      }.getOrElse(sys.error(s"level read did not analyze to a relation: $path")))
+
+  /** Drop cached relations for a level path whose files just changed —
+    * called by the materializer after (re)writing a level directory.
+    */
+  def invalidateScan(path: String): Unit = {
+    scanCache.filterInPlace { case ((_, p), _) => p != path }
+    ()
+  }
 
   // ---- matching helpers -------------------------------------------------
 
@@ -334,9 +374,14 @@ object RollupRewrite extends Rule[LogicalPlan] {
       }
       coarser <- RollupCatalog.lookup(finer.base, alignedSpp)
       if RollupCatalog.servableFrom(finer, coarser)
-      // result exprs: the two groupings plus ONE matching aggregate
-      mapped <- mapResults(agg.aggregateExpressions, binds, metricAttr,
-        alignedSpp, coarser)
+      // result exprs: the two groupings plus AT MOST one matching
+      // aggregate — zero is the column-pruned shape `df.count()` leaves
+      // behind (grouping keys only), which the coarser level also
+      // serves exactly: an xff = 0 level emits one row per parent
+      // window with ≥1 point, so its key set IS the distinct coarse
+      // key set of the finer level
+      (mapped, sawAgg) <- mapResults(agg.aggregateExpressions, binds,
+        metricAttr, alignedSpp, coarser)
     } yield {
       // resolve the substituted scan under the SESSION THAT OWNS the
       // matched relation, never the thread-local active one — in a
@@ -346,10 +391,11 @@ object RollupRewrite extends Rule[LogicalPlan] {
         case h: HadoopFsRelation => h.sparkSession
         case _ => SparkSession.active
       }
-      val scan = session.read.parquet(coarser.path)
-        .select("metric", "bucket_ts", "value")
-        .queryExecution.analyzed
-      val Seq(sMetric, sBucket, sValue) = scan.output
+      val level = cachedRelation(session, coarser.path).newInstance()
+      val byName = level.output.map(a => a.name -> a).toMap
+      val (sMetric, sBucket, sValue) =
+        (byName("metric"), byName("bucket_ts"), byName("value"))
+      val scan: LogicalPlan = Project(Seq(sMetric, sBucket, sValue), level)
       // re-anchor collected metric filters onto the substituted scan's
       // metric attribute and keep them above it (they still prune —
       // Catalyst pushes them into the coarser parquet scan). Rebind ONLY
@@ -388,6 +434,13 @@ object RollupRewrite extends Rule[LogicalPlan] {
             else inlined.transform { case _: AggregateExpression => sValue }
           Alias(rebuilt, orig.name)(exprId = orig.exprId)
       }
+      // both shapes substitute to a pure Project — no re-group: a
+      // level's (metric, bucket_ts) rows are key-UNIQUE by construction
+      // (each written from a groupBy on exactly those keys by
+      // [[graft.ops.Materialize.materializeLevels]], the only writer of
+      // catalog-registered paths), so the original Aggregate's distinct
+      // key set IS the level's row set and a re-group would re-shuffle
+      // the whole level for nothing
       Project(projected, filtered)
     }
   }
@@ -408,13 +461,16 @@ object RollupRewrite extends Rule[LogicalPlan] {
 
   /** Pair each Aggregate result expression with the rollup column that
     * replaces it, or None if any result is outside the rewritable shape.
+    * The second element reports whether a value aggregate was present —
+    * false is the column-pruned (`count()`) grouping-keys-only shape.
     */
   private def mapResults(
       results: Seq[NamedExpression],
       binds: Map[ExprId, Expression],
       metricAttr: Attribute,
       alignedSpp: Long,
-      info: RollupCatalog.LevelInfo): Option[Seq[(NamedExpression, RollupCol)]] = {
+      info: RollupCatalog.LevelInfo)
+      : Option[(Seq[(NamedExpression, RollupCol)], Boolean)] = {
     var sawAgg = false
     val mapped: Seq[Option[(NamedExpression, RollupCol)]] = results.map { ne =>
       val inlined = ne match {
@@ -452,7 +508,7 @@ object RollupRewrite extends Rule[LogicalPlan] {
         }
       }
     }
-    if (mapped.forall(_.isDefined) && sawAgg) Some(mapped.flatten)
+    if (mapped.forall(_.isDefined)) Some((mapped.flatten, sawAgg))
     else None
   }
 }

@@ -432,6 +432,30 @@ class PlanSpec extends AnyFunSuite {
     assert(served.collect().toSeq == direct.collect().toSeq)
   }
 
+  test("RollupRewrite serves the column-pruned count() shape with no re-group") {
+    // df.count() prunes the aggregate expressions, leaving a
+    // groupings-only Aggregate — the shape the r12 bench actually
+    // measured, which fell back to scanning + shuffling the full 5m
+    // level (the driver's 2.4x rollup_serve_1h regression). It must now
+    // substitute to a bare Project over the 1h level: key-unique by
+    // construction, so no distinct re-group (a full-level shuffle at
+    // 100 TB) may survive.
+    val served = Materialize.rollupServe1h(spark, dir)
+    val counted = served.groupBy().count()
+    assert(scannedPaths(counted).exists(_.contains("points_3600s")),
+      s"count() path not served from the level: ${scannedPaths(counted)}")
+    val aggs = counted.queryExecution.optimizedPlan.collect {
+      case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate => a
+    }
+    // exactly the global count aggregate — the grouping Aggregate gone
+    assert(aggs.size == 1 && aggs.head.groupingExpressions.isEmpty,
+      s"grouping re-aggregate survived the count() rewrite:\n${counted.queryExecution.optimizedPlan}")
+    // and the count equals the level's row count (= the group count)
+    val base = Materialize.rollupBase(spark, dir)
+    assert(counted.head().getLong(0) ==
+      spark.read.parquet(s"$base/points_3600s").count())
+  }
+
   test("rollup_serve_1h: rewritten plan ≡ raw fallback aggregation, exactly") {
     // The serving key's correctness must NOT depend on the optimizer
     // rule firing: the query aggregates with the PINNED mean

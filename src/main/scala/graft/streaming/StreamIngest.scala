@@ -97,10 +97,11 @@ object StreamIngest {
         merged, schema.retentions.head.maxRetentionSeconds, nowS)
       val prev = state
       state = Some(expired.localCheckpoint(true))
-      // release the superseded checkpoint's blocks NOW — the new state
-      // is already eagerly materialized, and waiting for GC-driven
-      // cleanup accumulates one dead full-state generation per batch
-      prev.foreach(_.unpersist())
+      // release the superseded checkpoint's BLOCKS now — the new state
+      // is already eagerly materialized; this must go through
+      // CheckpointRelease (Dataset.unpersist is a no-op on local
+      // checkpoint blocks — they live on the RDD, not the CacheManager)
+      prev.foreach(CheckpointRelease.release)
     }
 
     /** Current winners: (metric, bucket_ts, value, ts_s). */

@@ -88,7 +88,10 @@ object StreamRollup {
       val fineCk = keptFine.localCheckpoint(true)
       val prevFine = fine
       fine = Some(fineCk)
-      prevFine.foreach(_.unpersist())
+      // CheckpointRelease, not Dataset.unpersist — the latter is a
+      // no-op on local checkpoint blocks (RDD-persisted, CacheManager-
+      // unknown); the superseded generation must be dropped explicitly
+      prevFine.foreach(CheckpointRelease.release)
       // whisper's propagate scope cascades: the batch's touched buckets
       // at level N realign to the touched set of level N+1
       var touched = pts.select(col("metric"),
@@ -119,7 +122,7 @@ object StreamRollup {
         val ck = kept.localCheckpoint(true)
         val prevLvl = states(i)
         states(i) = Some(ck)
-        prevLvl.foreach(_.unpersist())
+        prevLvl.foreach(CheckpointRelease.release)
         src = ck.select(col("metric"), col("bucket_ts"), col("value"))
         srcSpp = lvl.spp
         levels.lift(i + 1).foreach { next =>

@@ -47,7 +47,11 @@ object StreamSketch {
           .groupBy("bucket").agg(max(col("m")).as("m"))
       }
       val ck = merged.localCheckpoint(true)
+      val prev = regs
       regs = Some(ck)
+      // drop the superseded (constant-size, but still one per batch)
+      // register generation's blocks via the RDD — see CheckpointRelease
+      prev.foreach(CheckpointRelease.release)
     }
 
     /** Registers so far: `(bucket, m)`. */
@@ -80,7 +84,9 @@ object StreamSketch {
           .groupBy("r", "c").agg(sum(col("n")).as("n"))
       }
       val ck = merged.localCheckpoint(true)
+      val prev = counters
       counters = Some(ck)
+      prev.foreach(CheckpointRelease.release)
     }
 
     /** Counters so far: `(r, c, n)`. */

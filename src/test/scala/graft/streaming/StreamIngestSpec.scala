@@ -208,4 +208,33 @@ class StreamIngestSpec extends AnyFunSuite {
     assert(rows.contains(("m", 60L, 2.0, 2L)))  // avg(1,3), two known slots
     assert(rows.contains(("m", 120L, 5.0, 1L)))
   }
+
+  test("superseded checkpoint generations are actually released") {
+    // Dataset.unpersist is a NO-OP on localCheckpoint blocks (they are
+    // persisted on the underlying RDD, never registered with the
+    // CacheManager) — the r12 advice finding. State stores must release
+    // via CheckpointRelease; the observable contract is that the
+    // persistent-RDD registry does not grow by one dead full-state
+    // generation per micro-batch.
+    import spark.implicits._
+    val nowS = 1000000L
+    val store = new StreamIngest.LwwStore(Retentions.lww, nowS)
+    def persisted = spark.sparkContext.getPersistentRDDs.size
+    val before = persisted
+    var sawRegistered = false
+    for (i <- 1 to 5) {
+      val batch = Seq(("m", nowS - 100 + i, i.toDouble))
+        .toDF("metric", "ts_s", "value")
+      store.mergeBatch(batch, i.toLong)
+      sawRegistered ||= persisted > before
+    }
+    // teeth check: local checkpoints DO register persistent RDDs — if
+    // this stops holding, the leak assertion below is vacuous
+    assert(sawRegistered, "no checkpoint RDD ever registered; test is vacuous")
+    // one LIVE generation may remain registered; five would mean the
+    // superseded ones leaked (the pre-fix behavior)
+    assert(persisted - before <= 1,
+      s"superseded checkpoint generations leaked: $before -> $persisted")
+    assert(store.current.get.count() == 1L)
+  }
 }

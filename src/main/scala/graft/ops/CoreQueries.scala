@@ -67,7 +67,12 @@ object CoreQueries {
   def carbonIngest(s: SparkSession, dir: String): DataFrame = {
     val base = graft.ops.Dedup.sharedIndexPath(
       s, dir, "events.parquet", "carbon") { root =>
+      // stage as MANY line files, like a real carbon backfill tree: the
+      // parquet source is one split, and a single text file caps the
+      // parse at one task — the r12 key spent ~1 s of its 1.55 s median
+      // running the regex chain single-threaded while 31 cores idled
       graft.sources.Carbon.format(Buckets.points(s, dir))
+        .repartition(s.sparkContext.defaultParallelism)
         .write.mode("overwrite").text(s"$root/lines")
     }
     val parsed = graft.sources.Carbon.parse(
@@ -108,23 +113,29 @@ object CoreQueries {
     * A3: deterministic, unlike Spark's order-dependent `last()`.
     */
   private def aggFamily(s: SparkSession, dir: String, m: AggregationMethod): DataFrame = {
-    val agg = m match {
-      case AggregationMethod.Last =>
-        max_by(col("value"), struct(col("ts_s"), col("value")))
-      case other => Rollup.aggColumn(other, col("value"), col("ts_s"))
-    }
-    // Average's division lands on decimal midpoints (power-of-two window
-    // counts), where native round semantics differ across engines — its
-    // output edge uses the shared round6 formula; the other methods stay
-    // exact-decimal and keep native round
-    val rounded = m match {
-      case AggregationMethod.Average => Buckets.round6(agg)
-      case _ => round(agg, 6)
-    }
-    Buckets.points(s, dir)
+    val grouped = Buckets.points(s, dir)
       .groupBy(col("metric"), Buckets.alignTs(col("ts_s"), 3600).as("bucket_ts"))
-      .agg(rounded.as("value"))
-      .orderBy("metric", "bucket_ts")
+    m match {
+      // Last rides lww_max (flat-primitive-buffer argmax — the
+      // hash-aggregable form; a struct-keyed max_by plans SortAggregate)
+      case AggregationMethod.Last =>
+        grouped.agg(graft.functions.LwwMax.lwwMax(
+            col("ts_s"), col("value")).as("w"))
+          .select(col("metric"), col("bucket_ts"),
+            round(col("w.value"), 6).as("value"))
+          .orderBy("metric", "bucket_ts")
+      case other =>
+        val agg = Rollup.aggColumn(other, col("value"), col("ts_s"))
+        // Average's division lands on decimal midpoints (power-of-two
+        // window counts), where native round semantics differ across
+        // engines — its output edge uses the shared round6 formula; the
+        // other methods stay exact-decimal and keep native round
+        val rounded = other match {
+          case AggregationMethod.Average => Buckets.round6(agg)
+          case _ => round(agg, 6)
+        }
+        grouped.agg(rounded.as("value")).orderBy("metric", "bucket_ts")
+    }
   }
 
   def aggQuery(m: AggregationMethod)(s: SparkSession, dir: String): DataFrame =

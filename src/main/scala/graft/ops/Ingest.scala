@@ -12,24 +12,25 @@ import org.apache.spark.sql.functions._
   * that archive's resolution, and overwrite the slot — last write wins
   * (U2). This engine expresses the same as a batch dedup: one winner per
   * (metric, aligned bucket), standardized (SURVEY.md §7.4 risk 3) as
-  * latest-raw-timestamp-wins with larger-value tiebreak, i.e.
-  * `max_by(value, struct(ts_s, value))`.
+  * latest-raw-timestamp-wins with larger-value tiebreak — argmax under
+  * the lexicographic key `(ts_s, value)`.
   *
   * Scale notes (100 TB): LWW dedup is an aggregation keyed on
-  * (metric, bucket) — map-side `partial_max_by` collapses duplicates
-  * before the shuffle, so shuffle volume is bounded by distinct buckets,
-  * not input rows. (The struct ordering key makes Spark pick
-  * SortAggregate over HashAggregate, but the partial/final split — the
-  * property that matters at scale — is preserved; a `row_number` window
-  * formulation would shuffle and sort ALL raw rows instead.)
+  * (metric, bucket) — map-side partial max collapses duplicates before
+  * the shuffle, so shuffle volume is bounded by distinct buckets, not
+  * input rows. The argmax runs as [[graft.functions.LwwMax]] — the same
+  * total order as `max_by(value, struct(ts_s, value))` over two
+  * FLATTENED PRIMITIVE buffer slots, because the struct-buffered
+  * `max_by`/`max(struct)` forms are not UnsafeRow-mutable and plan as
+  * partial/final SortAggregate (two extra sorts on every ingest-shaped
+  * query — the r12 `carbon_ingest` finding). With the flat buffer the
+  * plan is codegen'd HashAggregate (PlanSpec pins the whole family). A
+  * `row_number` window formulation would be worse still — it shuffles
+  * and sorts ALL raw rows.
   */
 object Ingest {
 
-  /** The LWW tie-break pair: later raw timestamp wins, then larger value.
-    * Total order per (metric, bucket) — deterministic under any
-    * partitioning.
-    */
-  private def lwwKey: Column = struct(col("ts_s"), col("value"))
+  import graft.functions.LwwMax.lwwMax
 
   /** U2 `alignPoints`: floor to the archive step and dedupe per interval,
     * last write wins. Input `(metric, ts_s, value)` → output
@@ -37,7 +38,8 @@ object Ingest {
     */
   def lwwAlign(pts: DataFrame, spp: Int): DataFrame =
     pts.groupBy(col("metric"), Buckets.alignTs(col("ts_s"), spp).as("bucket_ts"))
-      .agg(max_by(col("value"), lwwKey).as("value"))
+      .agg(lwwMax(col("ts_s"), col("value")).as("w"))
+      .select(col("metric"), col("bucket_ts"), col("w.value").as("value"))
 
   /** [[lwwAlign]] that also keeps the winning point's RAW timestamp.
     * Needed wherever winners are merged with later arrivals (streaming
@@ -46,7 +48,7 @@ object Ingest {
     */
   def lwwAlignKeepTs(pts: DataFrame, spp: Int): DataFrame =
     pts.groupBy(col("metric"), Buckets.alignTs(col("ts_s"), spp).as("bucket_ts"))
-      .agg(max_by(struct(col("ts_s"), col("value")), lwwKey).as("w"))
+      .agg(lwwMax(col("ts_s"), col("value")).as("w"))
       .select(col("metric"), col("bucket_ts"),
         col("w.value").as("value"), col("w.ts_s").as("ts_s"))
 

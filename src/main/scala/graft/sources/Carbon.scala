@@ -81,9 +81,14 @@ object Carbon {
     classified(lines, lit(nowS))
 
   private def classified(lines: DataFrame, nowCol: Column): DataFrame = {
-    val trimmed = regexp_replace(col("value"), "^\\s+|\\s+$", "")
+    // ONE regex pass per line: the maximal non-whitespace runs ARE the
+    // fields (r12 plan finding: the trim-then-split form ran two regex
+    // passes, and filter pushdown re-inlined them per consumer — the
+    // dominant per-row cost of the whole ingest key). Blankness falls
+    // out as the empty token array.
+    val toks = regexp_extract_all(col("value"), lit("\\S+"), lit(0))
     lines
-      .select(split(trimmed, "\\s+").as("f"), (trimmed =!= "").as("nonblank"))
+      .select(toks.as("f"), (size(toks) =!= 0).as("nonblank"))
       .withColumn("metric", expr("try_element_at(f, 1)"))
       .withColumn("ts_raw", expr("try_cast(try_element_at(f, 3) AS BIGINT)"))
       .withColumn("num", expr("try_cast(try_element_at(f, 2) AS DOUBLE)"))

@@ -432,6 +432,22 @@ class PlanSpec extends AnyFunSuite {
     assert(served.collect().toSeq == direct.collect().toSeq)
   }
 
+  test("the LWW family plans as HashAggregate — no sort-based aggregation") {
+    // the r12 carbon_ingest finding: struct-keyed max_by buffers are not
+    // UnsafeRow-mutable, so every LWW aggregate planned as partial/final
+    // SortAggregate (two extra sorts per ingest-shaped query at 100x
+    // volume). The packed DECIMAL(38,0) key restores HashAggregate with
+    // map-side partial max; this pin keeps the whole family there.
+    val lwwShaped = Seq(
+      "carbon_ingest", "upsert_batch_lww", "upsert_for_archive", "agg_last")
+    for (k <- lwwShaped) {
+      val p = plan(graft.SparkEntry.queries(k)(spark, dir))
+      assert(!p.contains("SortAggregate"),
+        s"$k regressed to sort-based aggregation:\n$p")
+      assert(p.contains("HashAggregate"), s"$k lost HashAggregate:\n$p")
+    }
+  }
+
   test("RollupRewrite serves the column-pruned count() shape with no re-group") {
     // df.count() prunes the aggregate expressions, leaving a
     // groupings-only Aggregate — the shape the r12 bench actually

@@ -127,7 +127,8 @@ final class WspTable(roots: Seq[String]) extends Table
     new WspScanBuilder(roots, options.getBoolean("listingCache", false),
       Option(options.get("metricRoot")),
       options.getInt("readRetries", 0),
-      Option(options.get("metricGlob")))
+      Option(options.get("metricGlob")),
+      options.getBoolean("manifest", false))
 }
 
 final class WspScanBuilder(
@@ -148,7 +149,12 @@ final class WspScanBuilder(
     // million-file tree opens only the matching files. A read OPTION
     // (not a pushed filter) because DSv2's Filter vocabulary has no
     // regex/LIKE member to push an `rlike` through.
-    metricGlob: Option[String] = None)
+    metricGlob: Option[String] = None,
+    // `manifest` read option: plan from the tree's `_wsp_manifest`
+    // parquet table ([[WspManifest]]) instead of walking the
+    // filesystem — the ≥1M-file path. Opt-in; fails loudly when the
+    // manifest is absent (never a silent fallback to the walk).
+    manifest: Boolean = false)
     extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
 
   private var pushed: Array[Filter] = Array.empty
@@ -202,7 +208,7 @@ final class WspScanBuilder(
     new WspScan(roots, metrics, tsLo, tsHi, required,
       new SerializableConfiguration(spark.sessionState.newHadoopConf()),
       spark.sessionState.conf.filesMaxPartitionBytes, listingCache,
-      metricRoot, readRetries, metricGlob)
+      metricRoot, readRetries, metricGlob, manifest)
   }
 }
 
@@ -223,7 +229,8 @@ final class WspScan(
     // tree) and still get the tree's dotted metric names
     metricRoot: Option[String] = None,
     readRetries: Int = 0,
-    metricGlob: Option[String] = None) extends Scan with Batch {
+    metricGlob: Option[String] = None,
+    manifest: Boolean = false) extends Scan with Batch {
 
   // compiled once, applied driver-side during the listing walk
   private lazy val globRx: Option[java.util.regex.Pattern] =
@@ -261,7 +268,9 @@ final class WspScan(
     * you don't write.
     */
   private[sources] def listFilesWithMtime(): Seq[((String, Long, String), Long)] =
-    roots.flatMap { r =>
+    if (manifest) manifestListing()
+    else roots.flatMap { r =>
+      treeWalks += 1
       val root = new org.apache.hadoop.fs.Path(r)
       val fs = root.getFileSystem(conf.value)
       val qualified = fs.makeQualified(root)
@@ -329,6 +338,39 @@ final class WspScan(
     .empty[String, (Long, Long, Array[org.apache.hadoop.fs.FileStatus])]
   /** Observability for tests: number of real child listings performed. */
   private[sources] var listStatusCalls: Long = 0L
+  /** Observability for tests: number of filesystem TREE walks started —
+    * stays zero under the `manifest` option (the planning contract the
+    * option exists to provide). */
+  private[sources] var treeWalks: Long = 0L
+
+  /** Manifest-backed planning (`manifest` read option, [[WspManifest]]):
+    * one pruned columnar scan per root instead of a filesystem walk.
+    * Metric equality/`In` pushes into the manifest's parquet reader;
+    * the glob applies as a distributed `rlike` on the same pass; only
+    * matching rows are collected. Runs on the driver (planning / the
+    * streaming `latestOffset`), like every DSv2 planner.
+    *
+    * `metricRoot` is a WALK concept (re-rooting names when ROOTS are a
+    * file subset of a tree) and is rejected here — manifest rows carry
+    * their tree-relative metric names already.
+    */
+  private def manifestListing(): Seq[((String, Long, String), Long)] = {
+    require(metricRoot.isEmpty,
+      "wsp: the manifest option plans whole trees; metricRoot does not apply")
+    val spark = SparkSession.active
+    roots.flatMap { r =>
+      var df = WspManifest.read(spark, r)
+      metrics.foreach(ms =>
+        df = df.filter(org.apache.spark.sql.functions.col("metric")
+          .isin(ms.toSeq: _*)))
+      metricGlob.foreach(g =>
+        df = df.filter(org.apache.spark.sql.functions.col("metric")
+          .rlike(graft.ops.Fetch.globToRegex(g))))
+      df.select("path", "len", "metric", "mtime").collect().map { row =>
+        ((row.getString(0), row.getLong(1), row.getString(2)), row.getLong(3))
+      }
+    }
+  }
 
   private def childrenOf(
       fs: org.apache.hadoop.fs.FileSystem,

@@ -69,7 +69,13 @@ object WspWrite {
         flushMetric(metric, acc, outDir, schema, mergeExisting, conf.value)
       }
       .toDF("metric", "n_points", "bytes")
-    manifest.localCheckpoint(true) // run the write NOW, exactly once
+    val done = manifest.localCheckpoint(true) // run the write NOW, exactly once
+    // keep an EXISTING tree manifest fresh (WspManifest's incremental
+    // contract): one small distributed stat+append job per WRITE JOB —
+    // never per file — and only when the tree opted into a manifest
+    if (WspManifest.exists(s, outDir))
+      WspManifest.appendForMetrics(s, outDir, schema, done.select("metric"))
+    done
   }
 
   /** One metric's pending ring state: one-pass slot-level LWW, O(ring)

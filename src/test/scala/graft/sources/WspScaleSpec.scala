@@ -168,4 +168,86 @@ class WspScaleSpec extends AnyFunSuite {
       rm(new java.io.File(dir))
     }
   }
+
+  test("manifest planning: pruned columnar plan, zero tree walks, writer-maintained") {
+    // The ≥1M-file route (SURVEY §2.1, r12 action #4): planning must be
+    // able to run off the parquet manifest with ZERO filesystem tree
+    // walks — metric pruning as parquet pushdown, the streaming offset
+    // as max(mtime) over the manifest — and a WspWrite publish against
+    // a manifested tree must keep it fresh without a rebuild.
+    val dir = Files.createTempDirectory("wsp_manifest").toString
+    val info = WspCodec.archiveInfos(schema).head
+    val n = 2000
+    for (s <- 0 until 20; h <- 0 until 100) {
+      val d = Paths.get(dir, s"shard$s", s"host$h")
+      Files.createDirectories(d)
+      val bytes = WspCodec.emptyFile(schema)
+      WspCodec.writeArchive(bytes, info, Seq((1000L, 1.0)))
+      Files.write(d.resolve("cpu.wsp"), bytes)
+    }
+    try {
+      // absent manifest fails loudly — never a silent walk fallback
+      val err = intercept[Exception] {
+        spark.read.format("wsp").option("manifest", "true").load(dir).count()
+      }
+      assert(err.getMessage.contains("manifest"), s"wrong error: $err")
+
+      assert(WspManifest.rebuild(spark, dir) == n.toLong)
+
+      def manifestScan(metrics: Option[Set[String]] = None,
+          glob: Option[String] = None): WspScan =
+        new WspScan(Seq(dir), metrics, Long.MinValue, Long.MaxValue,
+          WspTable.Schema,
+          new org.apache.spark.util.SerializableConfiguration(
+            spark.sessionState.newHadoopConf()),
+          1L << 20, metricGlob = glob, manifest = true)
+
+      // full plan off the manifest: all files, ZERO tree walks
+      val scan = manifestScan()
+      val files = scan.listFilesWithMtime()
+      assert(files.size == n)
+      assert(scan.treeWalks == 0L,
+        s"manifest planning walked the tree ${scan.treeWalks} times")
+
+      // metric/glob pruning happens in the manifest scan
+      val one = manifestScan(metrics = Some(Set("shard3.host42.cpu")))
+      assert(one.listFilesWithMtime().map(_._1._3) == Seq("shard3.host42.cpu"))
+      val globbed = manifestScan(glob = Some("shard7.*.cpu"))
+      assert(globbed.listFilesWithMtime().size == 100)
+      assert(one.treeWalks + globbed.treeWalks == 0L)
+
+      // end-to-end read correctness through the DSv2 option
+      val df = spark.read.format("wsp").option("manifest", "true").load(dir)
+      assert(df.count() == n) // one live point per file
+      assert(df.filter(col("metric") === "shard3.host42.cpu").count() == 1)
+
+      // streaming latestOffset rides the same manifest listing
+      val stream = new WspMicroBatchStream(manifestScan())
+      val expectMax = files.map(_._2).max
+      assert(stream.latestOffset() == WspOffset(expectMax))
+
+      // writer maintenance: a merge against the manifested tree appends
+      // rows — the NEW metric appears and the touched one does not
+      // duplicate, all still without a walk or rebuild
+      import spark.implicits._
+      val pts = Seq(("shardnew.hostx.cpu", 0, 1000L, 2.0),
+          ("shard3.host42.cpu", 0, 1010L, 3.0))
+        .toDF("metric", "archive", "bucket_ts", "value")
+      WspWrite.merge(pts, dir, schema)
+      val after = manifestScan()
+      val listed = after.listFilesWithMtime()
+      assert(listed.size == n + 1, s"expected ${n + 1} files, got ${listed.size}")
+      assert(listed.map(_._1._3).count(_ == "shard3.host42.cpu") == 1,
+        "re-published metric duplicated in the manifest view")
+      assert(after.treeWalks == 0L)
+      val df2 = spark.read.format("wsp").option("manifest", "true").load(dir)
+      assert(df2.filter(col("metric") === "shardnew.hostx.cpu").count() == 1)
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        val kids = f.listFiles(); if (kids != null) kids.foreach(rm)
+        f.delete(); ()
+      }
+      rm(new java.io.File(dir))
+    }
+  }
 }

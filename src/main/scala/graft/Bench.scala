@@ -21,6 +21,20 @@ object Bench {
     for (t <- Seq("events", "documents", "embeddings"))
       try spark.read.parquet(s"$sfDir/$t.parquet").count()
       catch { case _: Throwable => () }
+    // sorted order: deterministic run-to-run and across rounds (Map
+    // iteration order is hash-based and changes as keys are added).
+    // SPARK_GRAFT_ONLY (comma-separated keys) restricts the run — a
+    // local profiling aid; the driver never sets it. Parsed BEFORE the
+    // warm-up/staging phases so a restricted profiling run doesn't pay
+    // the full suite's warm-up and index builds.
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
+    def selected(k: String): Boolean = only.forall(_.contains(k))
+    // streaming keys run a per-key harness whose cold cost is the real
+    // first ingest of the TIMED corpus into the memoized state stores —
+    // measured (r13), a sibling-dir warm run does not cut it, so
+    // warming/staging them would only run every harness twice
+    def warmable(k: String): Boolean =
+      !k.startsWith("stream_") && k != "wsp_stream_ingest"
     // codegen warm-up: run the hot plan SHAPES on tiny inputs so the
     // first query of each family doesn't absorb whole-stage-codegen
     // compilation (generated code is cached by source text, which
@@ -38,19 +52,6 @@ object Bench {
         val sib = new java.io.File(new java.io.File(sfDir).getParent, "sf0.001")
         if (sib.isDirectory) sib.getPath else sfDir
       }
-      // dedup_simhash{,_pairs} join the list for the same reason: their
-      // timed cost was 2/3 cold codegen of the md5-token pipeline plus
-      // first-touch parquet-writer JIT for the tiny fingerprint index —
-      // fixed JVM costs, not plan work. Warmed ONLY when a distinct
-      // sibling dir exists: on the timed dir itself the warm-up would
-      // memoize the shared fingerprint index and the timed run would
-      // silently stop measuring the index build.
-      // streaming keys excluded: measured (r13), a sibling-dir warm run
-      // does NOT cut their timed cold — that cost is the real first
-      // ingest of the TIMED corpus into the memoized state stores, not
-      // codegen — so warming would only run every harness twice
-      def warmable(k: String): Boolean =
-        !k.startsWith("stream_") && k != "wsp_stream_ingest"
       val warmKeys: Seq[String] =
         if (warmDir != sfDir)
           // a distinct sibling exists: warm EVERY batch key's generated
@@ -58,16 +59,18 @@ object Bench {
           // codegen cache key) — r12's cold total carried ~0.2-0.8 s of
           // first-compile per key across ~180 keys. Memoized indexes
           // build against the SIBLING digest, so the timed dir's builds
-          // stay measurable (the dedup_simhash rule, now generalized).
+          // stay measurable (the earlier dedup_simhash-specific rule,
+          // generalized in r13).
           SparkEntry.queries.keys.filter(warmable).toSeq.sorted
         else
-          // no sibling: warm only the keys whose plans are input-free
-          // (generated walks) or whose indexes the timed run must keep
-          // measuring is moot — the hand list predating the general rule
+          // no sibling: warm only the input-free generated-walk plans
+          // and the agg family — on the timed dir itself a broad warm-up
+          // would memoize shared indexes and the timed run would
+          // silently stop measuring them
           Seq("agg_avg", "agg_avg_xff", "agg_avg_zero", "agg_last",
             "agg_max", "agg_min", "agg_sum", "agg_absmax", "agg_absmin",
             "render_target_compress", "render_target_reduce")
-      for (k <- warmKeys)
+      for (k <- warmKeys.filter(selected))
         try { SparkEntry.queries(k)(spark, warmDir).count(); () }
         catch { case _: Throwable => () }
       val docs = spark.read.parquet(s"$sfDir/documents.parquet").limit(64)
@@ -86,7 +89,7 @@ object Bench {
     // construction would trigger that same build pre-timing.
     val stagingStart = System.nanoTime()
     val staged = SparkEntry.queries.keys.toSeq.sorted
-      .filter(k => !k.startsWith("stream_") && k != "wsp_stream_ingest" &&
+      .filter(k => warmable(k) && selected(k) &&
         k != "create_rollup_tables" && k != "rollup_serve_1h")
       .count { k =>
         try { SparkEntry.queries(k)(spark, sfDir); true }
@@ -94,19 +97,15 @@ object Bench {
       }
     println(s"""{"metric":"staging","value":${
       (System.nanoTime() - stagingStart) / 1e9},"unit":"sec","keys":$staged}""")
-    // sorted order: deterministic run-to-run and across rounds (Map
-    // iteration order is hash-based and changes as keys are added).
-    // SPARK_GRAFT_ONLY (comma-separated keys) restricts the run — a
-    // local profiling aid; the driver never sets it
-    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
     // per-key MEDIAN of Runs timings: one-shot timing rode ±15-50%
     // environment/JIT noise across rounds (r6 verdict: ~30 untouched
     // keys drifted 1.3-1.5x with no plan change), which made
     // round-over-round grading unreliable. The first (cold) run is
-    // reported separately — keys that build a shared memoized index
-    // (Dedup.sharedIndexPath) or run a streaming ingest pay that one-time
-    // cost in run 1, so the median reflects steady-state plan cost and
-    // `queries_cold` keeps the amortized build visible.
+    // reported separately. Since r13's staging phase, shared index
+    // builds land in the `staging` metric line, NOT in run 1: for
+    // batch keys `queries_cold` measures the query's own first
+    // EXECUTION (codegen, scans), while streaming keys' run 1 still
+    // carries their real first corpus ingest (unstaged by design).
     val Runs = 3
     def quiesce(): Unit = {
       // drop caches a query may have pinned so later timings don't pay
@@ -213,8 +212,11 @@ object Bench {
     // short summary LAST: the driver keeps only the tail of stdout, so the
     // big per-key line above can lose its own headline to truncation
     // (BENCH_r07.json did). total = sum of per-key medians (steady-state);
-    // total_cold = sum of first runs (carries amortized index builds and
-    // streaming-harness cost for memoized keys).
+    // total_cold = sum of first runs — since r13 batch keys' shared
+    // index builds are pre-staged (reported in the `staging` line), so
+    // this is first-EXECUTION cost plus the streaming keys' real first
+    // corpus ingest. Cross-round comparisons against pre-r13 artifacts
+    // must add the staging line back.
     println(s"""{"metric":"total","value":$total,"total_cold":$totalCold,""" +
       s""""unit":"sec","runs":$Runs,"keys":${results.size},"sf":"$sfDir"}""")
     spark.stop()

@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{And, AttributeReference, CreateNamedStruct, EqualTo, Expression, GreaterThan, If, IsNull, Literal, Not, Or}
+import org.apache.spark.sql.catalyst.expressions.{And, AttributeReference, CreateNamedStruct, EqualTo, Expression, GreaterThan, If, ImplicitCastInputTypes, IsNull, Literal, Not, Or}
 import org.apache.spark.sql.catalyst.expressions.aggregate.DeclarativeAggregate
 import org.apache.spark.sql.graftbridge
 import org.apache.spark.sql.types.{DataType, DoubleType, LongType, StructType}
@@ -25,15 +25,27 @@ import org.apache.spark.sql.types.{DataType, DoubleType, LongType, StructType}
   * every update/merge is a primitive comparison.
   *
   * Declarative (pure expression algebra, like Spark's own `Max`): the
-  * comparisons are Catalyst `GreaterThan` on long/double, so NaN/null
-  * semantics match the engine's native ordering (NaN greatest, null
-  * input rows skipped). Both buffer slots start null; an all-null group
-  * evaluates to a null struct field pair, exactly like `max_by`.
+  * comparisons are Catalyst `GreaterThan` on long/double, so NaN
+  * ordering matches the engine's native comparisons (NaN greatest).
+  * Null contract, stated plainly: a row with a NULL ts or value is
+  * IGNORED — whisper points cannot be null (the write paths require
+  * non-null and carbon parse drops malformed lines), so a null row
+  * must never displace a real winner. This deliberately differs from
+  * `max_by(value, struct(ts, value))`, whose non-null struct key lets
+  * a (ts, null) row WIN and emit null. Both buffer slots start null;
+  * an all-null/empty group evaluates to a null struct pair. Input
+  * types coerce like any numeric function (`ImplicitCastInputTypes` —
+  * an INT ts or FLOAT value casts up instead of failing analysis, as
+  * the max_by form this replaced accepted them).
   */
 case class LwwMax(tsExpr: Expression, valueExpr: Expression)
-    extends DeclarativeAggregate {
+    extends DeclarativeAggregate with ImplicitCastInputTypes {
 
   override def children: Seq[Expression] = Seq(tsExpr, valueExpr)
+
+  // AbstractDataType is private[sql]; DataType is its public subtype and
+  // a covariant override result is legal
+  override def inputTypes: Seq[DataType] = Seq(LongType, DoubleType)
 
   override def nullable: Boolean = true
 

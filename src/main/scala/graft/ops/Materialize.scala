@@ -145,7 +145,7 @@ object Materialize {
       // per level path (write-once dirs); this write is the one same-JVM
       // event that changes a path's files, so drop those entries here
       graft.plans.RollupRewrite.invalidateScan(path)
-      serveSrc.filterInPlace { case ((_, p), _) => p != path }
+      invalidateServe(path)
       val written = s.read.parquet(path)
       val (rows, days) = written
         .agg(count(lit(1)), countDistinct(col("day"))).as[(Long, Long)].head()
@@ -186,7 +186,7 @@ object Materialize {
     * the spec can pin rewritten ≡ fallback on the SAME query.
     */
   private[graft] def serve1hQuery(s: SparkSession, base: String): DataFrame =
-    serveSrc.getOrElseUpdate((s, s"$base/points_300s"),
+    serveSrcFor(s).getOrElseUpdate(s"$base/points_300s",
         s.read.parquet(s"$base/points_300s"))
       .groupBy(col("metric"), Buckets.alignTs(col("bucket_ts"), 3600).as("bucket_ts"))
       .agg(Rollup.mean6(col("value")).as("value"))
@@ -198,10 +198,26 @@ object Materialize {
     * `rollup_serve_1h` driver regression, alongside the rewrite rule's
     * own in-rule read, cached in [[graft.plans.RollupRewrite]]). Level
     * dirs are write-once per content-addressed root; the same-JVM
-    * rewrite case invalidates at the write site above.
+    * rewrite case invalidates at the write site above. Weak per-session
+    * outer map: a stopped session must not stay pinned by this object.
     */
-  private val serveSrc =
-    new scala.collection.concurrent.TrieMap[(SparkSession, String), DataFrame]
+  private val serveSrc = new java.util.WeakHashMap[
+    SparkSession, scala.collection.concurrent.TrieMap[String, DataFrame]]
+
+  private def serveSrcFor(s: SparkSession)
+      : scala.collection.concurrent.TrieMap[String, DataFrame] =
+    serveSrc.synchronized {
+      var m = serveSrc.get(s)
+      if (m == null) {
+        m = new scala.collection.concurrent.TrieMap[String, DataFrame]
+        serveSrc.put(s, m)
+      }
+      m
+    }
+
+  private def invalidateServe(path: String): Unit = serveSrc.synchronized {
+    serveSrc.values.forEach(m => { m.remove(path); () })
+  }
 
   val rollupServe1hSql: String =
     s"""WITH ${Buckets.pointsSql},

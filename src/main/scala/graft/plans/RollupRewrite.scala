@@ -162,22 +162,32 @@ object RollupRewrite extends Rule[LogicalPlan] {
     * (e.g. a union of re-aggregations), and duplicate attribute ids in
     * one tree corrupt resolution after analysis has already run.
     */
-  private val scanCache = new scala.collection.concurrent.TrieMap[
-    (SparkSession, String), LogicalRelation]
+  // weak per-session outer map: a stopped-and-dropped SparkSession must
+  // not stay pinned (with its InMemoryFileIndex) by this singleton rule
+  private val scanCache = new java.util.WeakHashMap[
+    SparkSession, scala.collection.concurrent.TrieMap[String, LogicalRelation]]
 
   private def cachedRelation(
-      session: SparkSession, path: String): LogicalRelation =
-    scanCache.getOrElseUpdate((session, path),
+      session: SparkSession, path: String): LogicalRelation = {
+    val perSession = scanCache.synchronized {
+      var m = scanCache.get(session)
+      if (m == null) {
+        m = new scala.collection.concurrent.TrieMap[String, LogicalRelation]
+        scanCache.put(session, m)
+      }
+      m
+    }
+    perSession.getOrElseUpdate(path,
       session.read.parquet(path).queryExecution.analyzed.collectFirst {
         case l: LogicalRelation => l
       }.getOrElse(sys.error(s"level read did not analyze to a relation: $path")))
+  }
 
   /** Drop cached relations for a level path whose files just changed —
     * called by the materializer after (re)writing a level directory.
     */
-  def invalidateScan(path: String): Unit = {
-    scanCache.filterInPlace { case ((_, p), _) => p != path }
-    ()
+  def invalidateScan(path: String): Unit = scanCache.synchronized {
+    scanCache.values.forEach(m => { m.remove(path); () })
   }
 
   // ---- matching helpers -------------------------------------------------

@@ -345,10 +345,13 @@ final class WspScan(
 
   /** Manifest-backed planning (`manifest` read option, [[WspManifest]]):
     * one pruned columnar scan per root instead of a filesystem walk.
-    * Metric equality/`In` pushes into the manifest's parquet reader;
-    * the glob applies as a distributed `rlike` on the same pass; only
-    * matching rows are collected. Runs on the driver (planning / the
-    * streaming `latestOffset`), like every DSv2 planner.
+    * Metric equality/`In` and the glob filter the RAW manifest rows —
+    * BELOW the per-path supersede-dedup, where the equality predicates
+    * reach the parquet reader (a filter above that aggregate cannot
+    * push; metric is a pure function of path, so pre-filtering
+    * commutes) — and only the matching live rows are collected. Runs on
+    * the driver (planning), like every DSv2 planner; the streaming
+    * offset path never comes here at all ([[maxMtime]]).
     *
     * `metricRoot` is a WALK concept (re-rooting names when ROOTS are a
     * file subset of a tree) and is rejected here — manifest rows carry
@@ -359,18 +362,49 @@ final class WspScan(
       "wsp: the manifest option plans whole trees; metricRoot does not apply")
     val spark = SparkSession.active
     roots.flatMap { r =>
-      var df = WspManifest.read(spark, r)
+      var df = WspManifest.raw(spark, r)
       metrics.foreach(ms =>
         df = df.filter(org.apache.spark.sql.functions.col("metric")
           .isin(ms.toSeq: _*)))
       metricGlob.foreach(g =>
         df = df.filter(org.apache.spark.sql.functions.col("metric")
           .rlike(graft.ops.Fetch.globToRegex(g))))
-      df.select("path", "len", "metric", "mtime").collect().map { row =>
-        ((row.getString(0), row.getLong(1), row.getString(2)), row.getLong(3))
-      }
+      WspManifest.live(df)
+        .select("path", "len", "metric", "mtime").collect().map { row =>
+          ((row.getString(0), row.getLong(1), row.getString(2)), row.getLong(3))
+        }
     }
   }
+
+  /** Max file mtime over the selected tree — the streaming offset.
+    * Manifest mode answers with ONE distributed `max(mtime)` aggregate
+    * (nothing but the scalar reaches the driver — the whole point of
+    * the manifest at 1M files, where the listing-based form would haul
+    * every row back per micro-batch poll); walk mode keeps the listing
+    * (the walk is the cost either way, and metric pruning applies).
+    */
+  private[sources] def maxMtime(): Long =
+    if (manifest) {
+      // metric/glob pruning applies to the RAW rows before the max —
+      // superseded rows of a matching path still match (metric is a
+      // function of path), so max(filtered raw) == max(filtered live)
+      val spark = SparkSession.active
+      roots.map { r =>
+        var df = WspManifest.raw(spark, r)
+        metrics.foreach(ms =>
+          df = df.filter(org.apache.spark.sql.functions.col("metric")
+            .isin(ms.toSeq: _*)))
+        metricGlob.foreach(g =>
+          df = df.filter(org.apache.spark.sql.functions.col("metric")
+            .rlike(graft.ops.Fetch.globToRegex(g))))
+        val row = df.agg(org.apache.spark.sql.functions.max(
+          org.apache.spark.sql.functions.col("mtime"))).head()
+        if (row.isNullAt(0)) Long.MinValue else row.getLong(0)
+      }.foldLeft(Long.MinValue)(math.max)
+    } else {
+      val ms = listFilesWithMtime().map(_._2)
+      if (ms.isEmpty) Long.MinValue else ms.max
+    }
 
   private def childrenOf(
       fs: org.apache.hadoop.fs.FileSystem,
@@ -488,10 +522,7 @@ final class WspMicroBatchStream(scan: WspScan)
 
   override def initialOffset(): Offset = WspOffset(Long.MinValue)
 
-  override def latestOffset(): Offset = {
-    val ms = scan.listFilesWithMtime().map(_._2)
-    WspOffset(if (ms.isEmpty) Long.MinValue else ms.max)
-  }
+  override def latestOffset(): Offset = WspOffset(scan.maxMtime())
 
   // Trigger.AvailableNow: pin the end offset ONCE at query start, then
   // serve it until the runner catches up — without this Spark falls back

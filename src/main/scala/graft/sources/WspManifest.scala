@@ -147,10 +147,12 @@ object WspManifest {
     import spark.implicits._
     val rows = metrics.select(col("metric").cast("string")).as[String]
       .mapPartitions { ms =>
-        val fsByScheme = scala.collection.mutable.Map.empty[String, FileSystem]
+        // one FileSystem per partition — every path shares the root's
+        // scheme, so a single handle serves the whole iterator
+        var fs: FileSystem = null
         ms.map { m =>
           val p = new Path(rootStr, s"${m.replace('.', '/')}.wsp")
-          val fs = fsByScheme.getOrElseUpdate("", p.getFileSystem(conf.value))
+          if (fs == null) fs = p.getFileSystem(conf.value)
           val st = fs.getFileStatus(p)
           (m, fs.makeQualified(p).toString, st.getLen,
             st.getModificationTime, digest)
@@ -160,22 +162,39 @@ object WspManifest {
     rows.write.mode("append").parquet(pathFor(root))
   }
 
-  /** The live view: latest row per path (max mtime; appends supersede).
-    * This is what the planner scans — filters on `metric` push into the
-    * parquet read before the per-path reduce.
+  /** The RAW manifest rows (appends included). Callers filter on
+    * `metric` HERE — below the per-path dedupe — so the predicates push
+    * into the parquet scan; metric is a pure function of path, so
+    * pre-filtering commutes with supersede-dedup. Fails loudly when the
+    * manifest is absent.
     */
-  def read(spark: SparkSession, root: String): DataFrame = {
+  def raw(spark: SparkSession, root: String): DataFrame = {
     val p = pathFor(root)
     require(exists(spark, root),
       s"wsp manifest not found at $p — build it first: " +
         "graft.sources.WspManifest.rebuild(spark, root)")
     spark.read.parquet(p)
-      .groupBy(col("path"))
+  }
+
+  /** Latest row per path (max mtime; appends supersede). Apply AFTER
+    * any metric filters on the [[raw]] frame — a filter placed above
+    * this aggregate cannot reach the parquet scan.
+    */
+  def live(rows: DataFrame): DataFrame =
+    rows.groupBy(col("path"))
       .agg(max_by(
         struct(col("metric"), col("len"), col("mtime"), col("schema_digest")),
         col("mtime")).as("w"))
       .select(col("w.metric").as("metric"), col("path"),
         col("w.len").as("len"), col("w.mtime").as("mtime"),
         col("w.schema_digest").as("schema_digest"))
-  }
+
+  /** The full live view (no pruning) — convenience over [[raw]]+[[live]].
+    * The streaming offset does NOT come through here: [[WspScan.maxMtime]]
+    * aggregates `max(mtime)` over the (pruned) raw rows directly — exact
+    * because appended rows only ever carry newer mtimes for their path —
+    * so nothing but the scalar reaches the driver per poll.
+    */
+  def read(spark: SparkSession, root: String): DataFrame =
+    live(raw(spark, root))
 }

@@ -436,8 +436,9 @@ class PlanSpec extends AnyFunSuite {
     // the r12 carbon_ingest finding: struct-keyed max_by buffers are not
     // UnsafeRow-mutable, so every LWW aggregate planned as partial/final
     // SortAggregate (two extra sorts per ingest-shaped query at 100x
-    // volume). The packed DECIMAL(38,0) key restores HashAggregate with
-    // map-side partial max; this pin keeps the whole family there.
+    // volume). LwwMax (flat primitive buffer slots) restores
+    // HashAggregate with map-side partial max; this pin keeps the whole
+    // family there.
     val lwwShaped = Seq(
       "carbon_ingest", "upsert_batch_lww", "upsert_for_archive", "agg_last")
     for (k <- lwwShaped) {

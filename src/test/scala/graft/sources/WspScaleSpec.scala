@@ -221,10 +221,25 @@ class WspScaleSpec extends AnyFunSuite {
       assert(df.count() == n) // one live point per file
       assert(df.filter(col("metric") === "shard3.host42.cpu").count() == 1)
 
-      // streaming latestOffset rides the same manifest listing
+      // streaming latestOffset: ONE distributed max(mtime) aggregate —
+      // nothing but the scalar reaches the driver, no walk, no collect
       val stream = new WspMicroBatchStream(manifestScan())
       val expectMax = files.map(_._2).max
       assert(stream.latestOffset() == WspOffset(expectMax))
+      // ... and metric pruning applies to the offset too
+      val prunedScan = manifestScan(metrics = Some(Set("shard3.host42.cpu")))
+      assert(prunedScan.maxMtime() ==
+        one.listFilesWithMtime().map(_._2).max)
+
+      // the metric predicate reaches the manifest's PARQUET SCAN: it
+      // must sit below the per-path supersede-dedup aggregate (a filter
+      // above that groupBy cannot push — the r13 review finding)
+      val prunedPlan = WspManifest.live(
+        WspManifest.raw(spark, dir)
+          .filter(col("metric") === "shard3.host42.cpu"))
+        .queryExecution.executedPlan.toString
+      assert(prunedPlan.contains("PushedFilters: [IsNotNull(metric), EqualTo(metric,shard3.host42.cpu)]"),
+        s"metric filter did not reach the manifest scan:\n$prunedPlan")
 
       // writer maintenance: a merge against the manifested tree appends
       // rows — the NEW metric appears and the touched one does not

@@ -54,25 +54,32 @@ object PortableMath {
     */
   val MaxExp = 64
 
-  /** CASE ladder selecting floor(log2(x)) for a positive double `x`
-    * already ≥ 1 (the caller inverts first), as an INT-typed expression.
+  /** Balanced CASE tree over the exponent range: `floor(log2(x))` for
+    * `x ≥ 1` resolves in ⌈log2(MaxExp)⌉ = 7 comparisons instead of a
+    * linear ladder's ~MaxExp (the r13 `text_entropy` finding: the
+    * ladder runs per corpus row there, and small inputs walked ~60
+    * dead branches). `leaf(k)` renders the selected value.
     */
-  private def expCase(x: String): String = {
-    val whens = (MaxExp to 1 by -1)
-      .map(k => s"WHEN $x >= ${pow2Literal(k)} THEN $k")
-      .mkString(" ")
-    s"(CASE $whens ELSE 0 END)"
+  private def expTree(x: String, leaf: Int => String): String = {
+    def tree(lo: Int, hi: Int): String =
+      if (lo == hi) leaf(lo)
+      else {
+        val mid = (lo + hi + 1) / 2
+        s"(CASE WHEN $x >= ${pow2Literal(mid)} THEN ${tree(mid, hi)} " +
+          s"ELSE ${tree(lo, mid - 1)} END)"
+      }
+    tree(0, MaxExp)
   }
 
-  /** CASE ladder selecting the EXACT literal 2^-floor(log2(x)) for a
-    * positive double `x ≥ 1`, as a DOUBLE-typed expression.
+  /** floor(log2(x)) for a positive double `x ≥ 1` (the caller inverts
+    * first), as an INT-typed expression.
     */
-  private def scaleCase(x: String): String = {
-    val whens = (MaxExp to 1 by -1)
-      .map(k => s"WHEN $x >= ${pow2Literal(k)} THEN ${pow2Literal(-k)}")
-      .mkString(" ")
-    s"(CASE $whens ELSE 1e0 END)"
-  }
+  private def expCase(x: String): String = expTree(x, _.toString)
+
+  /** The EXACT literal 2^-floor(log2(x)) for a positive double `x ≥ 1`,
+    * as a DOUBLE-typed expression.
+    */
+  private def scaleCase(x: String): String = expTree(x, k => pow2Literal(-k))
 
   /** Step texts for the chained (withColumn / CTE) form. The caller
     * binds each step to a named column so no CASE is ever duplicated:
@@ -111,4 +118,57 @@ object PortableMath {
       s"$u * (1e0/15e0))))))))"
     s"($sgn * (CAST($e1 AS DOUBLE) * $Ln2Literal + 2e0 * $z * $p))"
   }
+
+  /** DataFrame form: bind each step to a column (no CASE duplication)
+    * and emit `out = portable_ln(qExpr)`; the scratch columns are
+    * dropped. `qExpr` must be a DOUBLE-typed deterministic expression
+    * over the frame's columns with identical text in the oracle twin.
+    */
+  def lnColumn(df: org.apache.spark.sql.DataFrame,
+      qExpr: String, out: String): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions.expr
+    df.withColumn("pm_q", expr(qExpr))
+      .withColumn("pm_sgn", expr(sgnSql("pm_q")))
+      .withColumn("pm_x0", expr(x0Sql("pm_q")))
+      .withColumn("pm_e0", expr(e0Sql("pm_x0")))
+      .withColumn("pm_m0", expr(m0Sql("pm_x0")))
+      .withColumn("pm_e1", expr(e1Sql("pm_e0", "pm_m0")))
+      .withColumn("pm_m1", expr(m1Sql("pm_m0")))
+      .withColumn("pm_z", expr(zSql("pm_m1")))
+      .withColumn(out, expr(lnFromPartsSql("pm_sgn", "pm_e1", "pm_z")))
+      .drop("pm_q", "pm_sgn", "pm_x0", "pm_e0", "pm_m0", "pm_e1",
+        "pm_m1", "pm_z")
+  }
+
+  /** Oracle-CTE form: the chain of CTE definitions computing
+    * `out = portable_ln(qExpr)` FROM the `from` CTE, carrying the
+    * `carry` columns through every step; the final CTE is named
+    * `${prefix}ln`. Each step text is the IDENTICAL string the Spark
+    * side evaluates via [[lnColumn]], just bound to CTE columns instead
+    * of withColumn names.
+    */
+  def lnCtesSql(from: String, carry: Seq[String], qExpr: String,
+      out: String, prefix: String): String = {
+    val c = carry.mkString(", ")
+    s"""${prefix}q AS (SELECT $c, $qExpr AS pm_q FROM $from),
+       |${prefix}l1 AS (SELECT $c, ${sgnSql("pm_q")} AS pm_sgn,
+       |                ${x0Sql("pm_q")} AS pm_x0 FROM ${prefix}q),
+       |${prefix}l2 AS (SELECT $c, pm_sgn, ${e0Sql("pm_x0")} AS pm_e0,
+       |                ${m0Sql("pm_x0")} AS pm_m0 FROM ${prefix}l1),
+       |${prefix}l3 AS (SELECT $c, pm_sgn,
+       |                ${e1Sql("pm_e0", "pm_m0")} AS pm_e1,
+       |                ${m1Sql("pm_m0")} AS pm_m1 FROM ${prefix}l2),
+       |${prefix}l4 AS (SELECT $c, pm_sgn, pm_e1,
+       |                ${zSql("pm_m1")} AS pm_z FROM ${prefix}l3),
+       |${prefix}ln AS (SELECT $c,
+       |  ${lnFromPartsSql("pm_sgn", "pm_e1", "pm_z")} AS $out
+       |  FROM ${prefix}l4)""".stripMargin
+  }
+
+  /** The shared micro-unit quantization text: `floor(x·1e6 + 0.5)` —
+    * [[graft.ops.Buckets.round6]]'s floor form BEFORE the /1e6, so the
+    * stored integer IS the 1e-6 grid coordinate.
+    */
+  def microUnitsSql(x: String): String =
+    s"CAST(floor($x * 1e6 + CAST(0.5 AS DOUBLE)) AS BIGINT)"
 }

@@ -435,31 +435,46 @@ object TextAnalysis {
     val uni = unigramCounts(s, dir)
     val big = bi.groupBy("t1", "t2").agg(count(lit(1)).as("cb"))
     val v = uni.count() // vocabulary size — one small scalar action
-    // mean log-probability folded in BIGRAM POSITION order (the full
-    // per-instance mantissas make this the dsir_weight hazard class: an
-    // unordered partial-merge sum can flip the 6th decimal of the mean
-    // between engines/runs), rounded through the shared round6
-    bi.join(big, Seq("t1", "t2")).join(uni, Seq("t1"))
+    // Bigram LM MODEL table (the dsir r13 pattern): one PORTABLE-ln
+    // log-probability per observed bigram TYPE — no libm anywhere, so
+    // the weights are bit-identical across engines — quantized to
+    // integer micro-units at emission. The CASE-ladder ln runs per
+    // bigram type, never per instance; the per-doc mean then folds as
+    // an EXACT BIGINT sum (order-free, map-side-combinable
+    // HashAggregate — r12's ordered collect_list fold shipped every
+    // instance through the shuffle and carried the dsir libm hazard).
+    val model = PortableMath.lnColumn(
+        big.join(uni, "t1").withColumn("vsz", lit(v)),
+        "CAST(cb + 1 AS DOUBLE) / CAST(cu + vsz AS DOUBLE)", "lnp")
+      .select(col("t1"), col("t2"),
+        expr(PortableMath.microUnitsSql("lnp")).as("wq"))
+    bi.join(model, Seq("t1", "t2"))
       .groupBy("doc_id")
-      .agg(
-        Buckets.round6(
-          Rollup.orderedSumBy(log((col("cb") + 1).cast("double") /
-            (col("cu") + lit(v)).cast("double")), col("i")) /
-          count(lit(1))).as("lm_score"),
-        count(lit(1)).as("n_bigrams"))
+      .agg(sum(col("wq")).as("sum_wq"), count(lit(1)).as("n_bigrams"))
+      .select(col("doc_id"),
+        Buckets.round6(expr(
+          "CAST(sum_wq AS DOUBLE) / 1e6 / CAST(n_bigrams AS DOUBLE)"))
+          .as("lm_score"),
+        col("n_bigrams"))
       .orderBy("doc_id")
   }
 
   val textLmScoreSql: String =
     s"""WITH $bigramSqlCtes,
        |big AS (SELECT t1, t2, count(*) AS cb FROM bi GROUP BY 1, 2),
-       |vsz AS (SELECT count(*) AS v FROM uni)
+       |vsz0 AS (SELECT count(*) AS vsz FROM uni),
+       |bm AS (SELECT t1, t2, cb, cu, vsz
+       |       FROM big JOIN uni USING (t1) CROSS JOIN vsz0),
+       |${PortableMath.lnCtesSql("bm", Seq("t1", "t2"),
+           "CAST(cb + 1 AS DOUBLE) / CAST(cu + vsz AS DOUBLE)", "lnp", "lm")},
+       |model AS (SELECT t1, t2,
+       |  ${PortableMath.microUnitsSql("lnp")} AS wq FROM lmln)
        |SELECT doc_id,
-       |       ${Buckets.round6Sql(Rollup.orderedSumSql("i",
-                "ln(CAST(cb + 1 AS DOUBLE) / CAST(cu + v AS DOUBLE))") + " / count(*)")}
+       |       ${Buckets.round6Sql(
+                 "CAST(sum(wq) AS DOUBLE) / 1e6 / CAST(count(*) AS DOUBLE)")}
        |         AS lm_score,
        |       count(*) AS n_bigrams
-       |FROM bi JOIN big USING (t1, t2) JOIN uni USING (t1) CROSS JOIN vsz
+       |FROM bi JOIN model USING (t1, t2)
        |GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
   // ------------------------------------------- X31 cross-doc boilerplate
@@ -640,35 +655,57 @@ object TextAnalysis {
     * folds over the counts SORTED BY TOKEN (the powSeries order pin) so
     * FP association cannot wobble the 6th decimal across runs.
     */
-  def textEntropy(s: SparkSession, dir: String): DataFrame =
-    docs(s, dir)
+  def textEntropy(s: SparkSession, dir: String): DataFrame = {
+    val cnt = docs(s, dir)
       .select(col("doc_id"), explode(expr(toksExpr)).as("t"))
       .groupBy("doc_id", "t").agg(count(lit(1)).as("c"))
+    // PORTABLE-ln per (doc, term) row, quantized to micro-units, so
+    // Σ c·ln(c) folds as an EXACT BIGINT sum — order-free HashAggregate
+    // with map-side partials, where r12's collect_list fold shipped
+    // every (term, count) pair through the shuffle AND leaned on libm
+    // (the dsir cross-engine ulp class, r13-closed). The ladder runs
+    // INLINE in cnt's own stage: a distinct-count lookup table would be
+    // tinier per evaluation but costs a SECOND corpus explode (measured
+    // — no exchange reuse reaches the lookup subtree) plus a join
+    // barrier; branchy-but-linear codegen on one pass wins at any scale.
+    val perDoc = PortableMath.lnColumn(cnt, "CAST(c AS DOUBLE)", "lnc")
+      .withColumn("wq", expr(PortableMath.microUnitsSql("lnc")))
       .groupBy("doc_id")
       .agg(sum(col("c")).as("n_tokens"), count(lit(1)).as("n_types"),
-        expr("aggregate(transform(array_sort(collect_list(struct(t, c))), " +
-          "x -> CAST(x.c AS DOUBLE) * ln(x.c)), 0D, (a, v) -> a + v)")
-          .as("sum_clnc"))
+        sum(col("c") * col("wq")).as("sum_cwq"))
+    // ln(n_tokens) through the same portable chain — one ladder per doc
+    PortableMath.lnColumn(perDoc, "CAST(n_tokens AS DOUBLE)", "lnn")
       .select(col("doc_id"), col("n_tokens"), col("n_types"),
-        Buckets.round6(expr("ln(n_tokens) - sum_clnc / n_tokens")).as("entropy"),
+        Buckets.round6(expr(
+          "lnn - CAST(sum_cwq AS DOUBLE) / 1e6 / CAST(n_tokens AS DOUBLE)"))
+          .as("entropy"),
         Buckets.round6(col("n_types").cast("double") / col("n_tokens")).as("ttr"))
       .orderBy("doc_id")
+  }
 
   val textEntropySql: String =
     s"""WITH cnt AS (
        |  SELECT doc_id, t, count(*) AS c
        |  FROM (SELECT doc_id, unnest($toksSql) AS t FROM documents)
        |  GROUP BY 1, 2),
+       |${PortableMath.lnCtesSql("cnt", Seq("doc_id", "c"),
+           "CAST(c AS DOUBLE)", "lnc", "ec")},
+       |wqr AS (SELECT doc_id, c,
+       |        ${PortableMath.microUnitsSql("lnc")} AS wq FROM ecln),
        |agg AS (
        |  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
        |         count(*) AS n_types,
-       |         list_reduce(list(CAST(c AS DOUBLE) * ln(c) ORDER BY t),
-       |                     (a, b) -> a + b) AS sum_clnc
-       |  FROM cnt GROUP BY 1)
+       |         CAST(sum(c * wq) AS BIGINT) AS sum_cwq
+       |  FROM wqr GROUP BY 1),
+       |${PortableMath.lnCtesSql("agg",
+           Seq("doc_id", "n_tokens", "n_types", "sum_cwq"),
+           "CAST(n_tokens AS DOUBLE)", "lnn", "en")}
        |SELECT doc_id, n_tokens, n_types,
-       |       ${Buckets.round6Sql("ln(n_tokens) - sum_clnc / n_tokens")} AS entropy,
+       |       ${Buckets.round6Sql(
+                 "lnn - CAST(sum_cwq AS DOUBLE) / 1e6 / CAST(n_tokens AS DOUBLE)")
+               } AS entropy,
        |       ${Buckets.round6Sql("CAST(n_types AS DOUBLE) / n_tokens")} AS ttr
-       |FROM agg ORDER BY doc_id""".stripMargin
+       |FROM enln ORDER BY doc_id""".stripMargin
 
   // ---------------------------------------------------- X38 BM25 retrieval
 

@@ -38,13 +38,13 @@ class PartitionVarianceSpec extends AnyFunSuite {
     */
   private val FloatFoldKeys = Seq(
     "dsir_weight",      // Σ wq·n / Σ n — exact integer fold (r13)
-    "text_entropy",     // Σ c·ln c — pinned (the original rule)
+    "text_entropy",     // Σ c·wq — exact integer fold (r13 portable ln)
     "bm25_search",      // per-(query,doc) term-score fold — pinned
     "mix_temperature",  // source-share powers — pinned
     "embed_isotropy",   // per-dim Σ v/‖v‖ then Σ sd² — round-6 absorbed
     "sketch_hll",       // Σ 2^-m — EXACT in double (powers of two)
     "cluster_stats",    // per-cluster Σ cos / n — round-6 absorbed
-    "text_lm_score",    // per-doc Σ ln p — pinned
+    "text_lm_score",    // per-doc Σ wq — exact integer fold (r13)
     "minhash_audit",    // integer folds + ratios — exact
     // the r11 Wave-B pins: grouped avg-family outputs whose member
     // values are 6-decimal grid means — the division onto a round-half

@@ -432,6 +432,20 @@ class PlanSpec extends AnyFunSuite {
     assert(served.collect().toSeq == direct.collect().toSeq)
   }
 
+  test("lm_score/entropy fold as exact integer HashAggregates — no collect_list") {
+    // r13: both keys moved from ordered collect_list folds (every
+    // instance through the shuffle, ObjectHashAggregate, libm ln in the
+    // addends) to portable-ln model tables quantized to micro-units +
+    // exact BIGINT sums — the dsir pattern. This pin keeps them there.
+    for (k <- Seq("text_lm_score", "text_entropy")) {
+      val p = plan(graft.SparkEntry.queries(k)(spark, dir))
+      assert(!p.contains("collect_list"), s"$k refolds via collect_list:\n$p")
+      assert(!p.contains("ObjectHashAggregate"),
+        s"$k lost codegen'd hash aggregation:\n$p")
+      assert(p.contains("HashAggregate"), s"$k lost HashAggregate:\n$p")
+    }
+  }
+
   test("the LWW family plans as HashAggregate — no sort-based aggregation") {
     // the r12 carbon_ingest finding: struct-keyed max_by buffers are not
     // UnsafeRow-mutable, so every LWW aggregate planned as partial/final

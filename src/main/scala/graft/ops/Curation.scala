@@ -553,23 +553,18 @@ object Curation {
         .withColumn("b", expr(Tokens.byteBucketExpr("h")))
         .groupBy("b")
         .agg(count(lit(1)).as("cr"), count(when(isTgt, 1)).as("ct"))
-      counts.crossJoin(broadcast(
-          counts.agg(sum(col("cr")).as("nr"), sum(col("ct")).as("nt"))))
-        // ln(p_t/p_r) as ONE portable ln of the probability ratio —
-        // three correctly-rounded divisions then the fixed op sequence;
-        // mathematically ln(a)−ln(b) to ~5e-12, bit-identical per engine
-        .withColumn("q", expr(dsirQSql))
-        .withColumn("sgn", expr(PortableMath.sgnSql("q")))
-        .withColumn("x0", expr(PortableMath.x0Sql("q")))
-        .withColumn("e0", expr(PortableMath.e0Sql("x0")))
-        .withColumn("m0", expr(PortableMath.m0Sql("x0")))
-        .withColumn("e1", expr(PortableMath.e1Sql("e0", "m0")))
-        .withColumn("m1", expr(PortableMath.m1Sql("m0")))
-        .withColumn("z", expr(PortableMath.zSql("m1")))
-        .withColumn("lnq", expr(PortableMath.lnFromPartsSql("sgn", "e1", "z")))
+      // ln(p_t/p_r) as ONE portable ln of the probability ratio —
+      // three correctly-rounded divisions then the shared fixed op
+      // sequence (PortableMath.lnColumn — the ONE place the chain
+      // lives; lm_score/entropy ride the same helper); mathematically
+      // ln(a)−ln(b) to ~1e-13, bit-identical per engine
+      PortableMath.lnColumn(
+          counts.crossJoin(broadcast(
+            counts.agg(sum(col("cr")).as("nr"), sum(col("ct")).as("nt")))),
+          dsirQSql, "lnq")
         .select(col("b"),
-          expr(s"CAST($dsirWqSql AS BIGINT)").as("wq"),
-          expr("CAST(floor(lnq * 1e6 + CAST(0.5 AS DOUBLE)) AS BIGINT)" +
+          expr(PortableMath.microUnitsSql("lnq")).as("wq"),
+          expr(s"${PortableMath.microUnitsSql("lnq")}" +
             " / CAST(1000000 AS DOUBLE)").as("w"))
         .write.mode("overwrite").parquet(p)
     }
@@ -587,15 +582,10 @@ object Curation {
     s"(CAST(ct + 1 AS DOUBLE) / CAST(nt + $DsirBuckets AS DOUBLE)) / " +
       s"(CAST(cr + 1 AS DOUBLE) / CAST(nr + $DsirBuckets AS DOUBLE))"
 
-  /** Micro-unit quantization of the portable ln — `round6`'s floor form
-    * BEFORE the /1e6, so the stored integer IS the grid coordinate.
-    */
-  private val dsirWqSql: String =
-    "floor(lnq * 1e6 + CAST(0.5 AS DOUBLE))"
-
   /** The weight-model CTE chain shared by [[dsirWeightSql]] and
     * [[dsirModelSql]] — every step text is the IDENTICAL string the
-    * Spark side evaluates via `expr(...)`.
+    * Spark side evaluates (the ln chain through the one shared
+    * [[PortableMath.lnCtesSql]] generator).
     */
   private def dsirModelCtes: String = {
     val tgt = DsirTargetSources.map(s => s"'$s'").mkString(", ")
@@ -611,24 +601,13 @@ object Curation {
        |         sum(CASE WHEN source IN ($tgt) THEN n ELSE 0 END) AS ct
        |  FROM docb GROUP BY 1),
        |totals AS (SELECT sum(cr) AS nr, sum(ct) AS nt FROM counts),
-       |q0 AS (
-       |  SELECT b, $dsirQSql AS q
-       |  FROM counts CROSS JOIN totals),
-       |l1 AS (SELECT b, ${PortableMath.sgnSql("q")} AS sgn,
-       |              ${PortableMath.x0Sql("q")} AS x0 FROM q0),
-       |l2 AS (SELECT b, sgn, ${PortableMath.e0Sql("x0")} AS e0,
-       |              ${PortableMath.m0Sql("x0")} AS m0 FROM l1),
-       |l3 AS (SELECT b, sgn, ${PortableMath.e1Sql("e0", "m0")} AS e1,
-       |              ${PortableMath.m1Sql("m0")} AS m1 FROM l2),
-       |l4 AS (SELECT b, sgn, e1, ${PortableMath.zSql("m1")} AS z FROM l3),
-       |l5 AS (SELECT b,
-       |         ${PortableMath.lnFromPartsSql("sgn", "e1", "z")} AS lnq
-       |       FROM l4),
+       |cm AS (SELECT b, ct, cr, nt, nr FROM counts CROSS JOIN totals),
+       |${PortableMath.lnCtesSql("cm", Seq("b"), dsirQSql, "lnq", "dw")},
        |wt AS (
-       |  SELECT b, CAST($dsirWqSql AS BIGINT) AS wq,
-       |         CAST(floor(lnq * 1e6 + CAST(0.5 AS DOUBLE)) AS BIGINT)
+       |  SELECT b, ${PortableMath.microUnitsSql("lnq")} AS wq,
+       |         ${PortableMath.microUnitsSql("lnq")}
        |           / CAST(1000000 AS DOUBLE) AS w
-       |  FROM l5)""".stripMargin
+       |  FROM dwln)""".stripMargin
   }
 
   val dsirWeightSql: String =

@@ -36,8 +36,11 @@ package graft.ops
   * All literals are exponent-form (`…e…` is DOUBLE in both dialects —
   * OracleDialectSpec's allowed class) and all powers of two are emitted
   * as EXACT decimal expansions (`2^-j = 5^j·10^-j`), so parsing cannot
-  * round. Cost: one ~130-branch CASE pair per call — this is for tiny
-  * model tables (≤256 rows), never a corpus hot path.
+  * round. Cost per evaluation: ~2·7 comparisons (the balanced exponent
+  * CASE tree) plus ~25 double ops — cheap enough that `text_entropy`
+  * runs the chain inline per (doc, term) corpus row; model-table
+  * callers (dsir, the bigram LM) evaluate it once per model row and
+  * amortize further.
   */
 object PortableMath {
 
@@ -55,8 +58,8 @@ object PortableMath {
   val MaxExp = 64
 
   /** Balanced CASE tree over the exponent range: `floor(log2(x))` for
-    * `x ≥ 1` resolves in ⌈log2(MaxExp)⌉ = 7 comparisons instead of a
-    * linear ladder's ~MaxExp (the r13 `text_entropy` finding: the
+    * `x ≥ 1` resolves in ⌈log2(MaxExp + 1)⌉ = 7 comparisons instead of
+    * a linear ladder's ~MaxExp (the r13 `text_entropy` finding: the
     * ladder runs per corpus row there, and small inputs walked ~60
     * dead branches). `leaf(k)` renders the selected value.
     */

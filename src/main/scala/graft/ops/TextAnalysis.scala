@@ -386,15 +386,19 @@ object TextAnalysis {
     * Degenerate/boilerplate text scores high (its bigrams dominate the
     * corpus), dissimilar-to-corpus text scores low — filter both tails.
     *
-    * Scale shape: bigram instances come from two staggered slices zipped
-    * positionally (codegen, zero shuffle — the [[graft.ops.Dedup
-    * .shingleSet]] trick at width 2); the model is two partial-aggregated
-    * count tables keyed by token; scoring joins instances to counts by
-    * token and reduces per doc_id. Every shuffle key is a token or a
-    * doc_id — nothing corpus-wide ever sits on one node. At 100 TB the
-    * count tables are Zipf-concentrated and join-skewed on the head
-    * tokens; AQE skew-join or a salted count table is the standard
-    * answer, and a real deployment trains V and the counts on a sample.
+    * Scale shape (r13): bigram instances come from two staggered slices
+    * zipped positionally (codegen, zero shuffle — the [[graft.ops.Dedup
+    * .shingleSet]] trick at width 2); the MODEL is a persisted
+    * `(t1, t2, wq)` table — one portable-ln log-probability per
+    * observed bigram type, quantized to integer micro-units — trained
+    * once per corpus into the shared index store (the ANN-codebook
+    * lifecycle; the two training explodes and the vocabulary action run
+    * at build, never per query). Scoring joins instances to the model
+    * by (t1, t2) and reduces per doc_id as an exact BIGINT sum. Every
+    * shuffle key is a bigram or a doc_id — nothing corpus-wide ever
+    * sits on one node. At 100 TB the model is Zipf-concentrated and
+    * join-skewed on the head bigrams; AQE skew-join is the standard
+    * answer, and a real deployment trains the model on a sample.
     */
   /** Adjacent-pair bigram instances `(doc_id, t1, t2)` — two staggered
     * slices zipped positionally (codegen, zero shuffle). The ONE bigram
@@ -662,10 +666,12 @@ object TextAnalysis {
     * `text_repetition`'s max-token share with the full-distribution
     * statistic Gopher-style filters gate on.
     *
-    * Scale shape: one explode → (doc, token) count aggregate (map-side
-    * combined, doc_id-keyed) → per-doc reduce. The `Σ c·ln(c)` term
-    * folds over the counts SORTED BY TOKEN (the powSeries order pin) so
-    * FP association cannot wobble the 6th decimal across runs.
+    * Scale shape (r13): one explode → (doc, token) count aggregate
+    * (map-side combined, doc_id-keyed) → per-doc reduce. The `Σ c·ln(c)`
+    * term is an EXACT BIGINT sum of `c·wq` where `wq` is the portable-ln
+    * of the count quantized to integer micro-units — order-free at any
+    * layout, no libm, map-side-combinable (the r12 sorted collect_list
+    * fold shipped every (term, count) pair through the shuffle).
     */
   def textEntropy(s: SparkSession, dir: String): DataFrame = {
     val cnt = docs(s, dir)

@@ -380,9 +380,10 @@ object ExplainDump {
         "on candidates only — no CartesianProduct anywhere."),
     "text_lm_score" ->
       ("Bigram LM scoring: instances from zipped slices in the scan's " +
-        "codegen stage (no window, no extra shuffle), two " +
-        "partial-aggregated count tables keyed by token, instance->" +
-        "count hash joins, per-doc partial/final aggregate."),
+        "codegen stage (no window, no extra shuffle), joined to the " +
+        "PERSISTED quantized model table (trained once per corpus - " +
+        "no training aggregate in the serving plan), per-doc exact " +
+        "integer partial/final HashAggregate."),
     "wsp_fill" ->
       ("whisper-fill as a plan: shown is the filled tree's scan-back; " +
         "the fill itself is a slot-keyed left join + interval compare " +

@@ -17,9 +17,10 @@ import org.scalatest.funsuite.AnyFunSuite
   * crossed with a tiny files.maxPartitionBytes (many input splits →
   * different map-side partial boundaries) — and requires bit-identical
   * results. An order-pinned fold (array_sort + left fold, the
-  * powSeries/textEntropy rule) passes by construction; an unordered sum
-  * over computed doubles has to get lucky across all addend groupings
-  * to sneak through.
+  * powSeries/render-wavg rule) or an exact integer fold (fixedSum and
+  * the r13 portable-ln micro-unit keys) passes by construction; an
+  * unordered sum over computed doubles has to get lucky across all
+  * addend groupings to sneak through.
   */
 class PartitionVarianceSpec extends AnyFunSuite {
 

@@ -158,6 +158,29 @@ class WspScaleSpec extends AnyFunSuite {
       val pruned = spark.read.format("wsp")
         .option("metricGlob", "shard42.*.*").load(dir)
       assert(pruned.select("metric").distinct().count() == 1000)
+
+      // manifest route at the same scale: the distributed rebuild must
+      // index all 100k files, and manifest planning must select the
+      // IDENTICAL (path, len, metric) set the walk selects — equivalence
+      // at real scale, not just the 2k-file mechanism test. (Timing is
+      // reported, never asserted — shared boxes jitter.)
+      val t0 = System.nanoTime()
+      assert(WspManifest.rebuild(spark, dir) == nFiles.toLong)
+      val rebuildMs = (System.nanoTime() - t0) / 1000000L
+      val mScan = new WspScan(Seq(dir), None, Long.MinValue, Long.MaxValue,
+        WspTable.Schema,
+        new org.apache.spark.util.SerializableConfiguration(
+          spark.sessionState.newHadoopConf()),
+        1L << 20, manifest = true)
+      val t1 = System.nanoTime()
+      val viaManifest = mScan.listFilesWithMtime().map(_._1).toSet
+      val manifestMs = (System.nanoTime() - t1) / 1000000L
+      // (`info` is shadowed by the archive-info val in this scope)
+      println(s"[wsp-scale] 100k files: rebuild ${rebuildMs} ms, " +
+        s"manifest plan ${manifestMs} ms, walk ${coldMs} ms")
+      assert(mScan.treeWalks == 0L)
+      assert(viaManifest == scan.listFilesWithMtime().map(_._1).toSet,
+        "manifest planning selected a different file set than the walk")
     } finally {
       spark.conf.set("spark.sql.files.maxPartitionBytes", prev)
       // 100k files: sweep eagerly, not at JVM exit

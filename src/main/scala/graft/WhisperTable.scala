@@ -360,7 +360,12 @@ final class WhisperTable private (
     val until = math.min(untilS, nowS)
     val archive = Fetch.selectArchive(schema, nowS, from)
     val spp = archive.secondsPerPoint
-    (archive, Buckets.fetchInterval(from, spp), Buckets.fetchInterval(until, spp))
+    val fromI = Buckets.fetchInterval(from, spp)
+    val untilI0 = Buckets.fetchInterval(until, spp)
+    // whisper fetch: "if fromInterval == untilInterval, untilInterval
+    // += step — always include the next point" — a range inside one
+    // step bucket returns THAT bucket, never an empty series
+    (archive, fromI, if (untilI0 == fromI) untilI0 + spp else untilI0)
   }
 
   def fetchMany(metrics: Seq[String], fromS: Long, untilS: Long, nowS: Long): DataFrame = {

@@ -63,6 +63,12 @@ object AtTime {
     // shape; the month branch rejects it loudly, see `reference`.)
     val t = s.trim.toLowerCase.replaceAll("[\\s_,]+", "")
     if (t.isEmpty) return nowS // graphite: an absent bound is `now`
+    // epoch seconds: attime checks this on the WHOLE string before the
+    // grammar splits anything — '123456' is an epoch, but '123456-1d'
+    // is NOT (its reference '123456' must then parse as a day reference
+    // and fails loudly, exactly attime's behavior); the 8-digit
+    // YYYYMMDD shape stays a date either way
+    if (t.forall(_.isDigit) && !looksLikeDate(t)) return t.toLong
     // split off trailing signed offsets (the reference itself contains
     // no '+', and '-' only inside MM/DD/YY never follows a letter/digit
     // boundary we'd cut: offsets are scanned from the LEFT edge of the
@@ -92,16 +98,31 @@ object AtTime {
     * calendar approximations — months are 30 days, years 365 (exactly
     * attime.py's constants). 'mon…' must be checked before the
     * delegation or it would be rejected ('min' stays minutes).
+    *
+    * attime's `parseTimeOffset` consumes (number, unit) PAIRS in a loop
+    * under one sign — '-1d12h' is 36 hours back and '-1mon2w' is
+    * 30 + 14 days (the r13 review: the single-pair form silently
+    * swallowed everything after a 'mon' unit and rejected other legal
+    * compounds).
     */
   private def offsetS(tok: String): Long = {
-    val digits = tok.takeWhile(_.isDigit)
-    require(digits.nonEmpty, s"invalid offset '$tok'")
-    val n = digits.toLong
-    tok.drop(digits.length) match {
-      case u if u.startsWith("mon") => n * 30L * 86400L
-      case "y" | "year" | "years" => n * 365L * 86400L
-      case _ => RenderTarget.durationS(tok)
+    var rest = tok
+    var total = 0L
+    require(rest.nonEmpty && rest.head.isDigit, s"invalid offset '$tok'")
+    while (rest.nonEmpty) {
+      val digits = rest.takeWhile(_.isDigit)
+      require(digits.nonEmpty, s"invalid offset '$tok'")
+      rest = rest.drop(digits.length)
+      val unit = rest.takeWhile(_.isLetter)
+      rest = rest.drop(unit.length)
+      val n = digits.toLong
+      total += (unit match {
+        case u if u.startsWith("mon") => n * 30L * 86400L
+        case "y" | "year" | "years" => n * 365L * 86400L
+        case _ => RenderTarget.durationS(s"$digits$unit")
+      })
     }
+    total
   }
 
   /** attime.py's timestamp-vs-YYYYMMDD disambiguation for an all-digit
@@ -118,9 +139,11 @@ object AtTime {
 
   private def reference(r: String, nowS: Long, tz: ZoneId): Long = {
     if (r == "" || r == "now") return nowS
-    // epoch seconds: attime checks this on the WHOLE string before the
-    // grammar, so digits after a time-of-day prefix are NOT an epoch
-    if (r.forall(_.isDigit) && !looksLikeDate(r)) return r.toLong
+    // NOT an epoch branch: epochs are recognized on the WHOLE input
+    // string in [[parse]], before the offset split — an all-digit
+    // reference reaching here is either a YYYYMMDD date (below) or
+    // attime's "Unknown day reference" error (e.g. '123456-1d', which
+    // graphite rejects rather than inventing 1970 semantics)
 
     var ref = r
     var hour = 0

@@ -53,7 +53,12 @@ object Fetch {
     import spark.implicits._
     require(fromS <= untilS, "invalid time interval") // F1 clamp/validate
     val fromI = Buckets.fetchInterval(fromS, spp)
-    val untilI = Buckets.fetchInterval(untilS, spp)
+    val untilI0 = Buckets.fetchInterval(untilS, spp)
+    // whisper fetch: "if fromInterval == untilInterval, untilInterval
+    // += step — always include the next point" (r13 review: a range
+    // inside one step bucket returned an empty frame where whisper
+    // returns that single bucket)
+    val untilI = if (untilI0 == fromI) untilI0 + spp else untilI0
     val spine = spark.range(fromI, untilI, spp.toLong).toDF("bucket_ts")
     val agg = pts
       .filter($"metric" === metric && $"ts_s" >= fromI && $"ts_s" < untilI)
@@ -282,7 +287,7 @@ object Fetch {
     withArea.withColumn("rn", row_number().over(wB))
       .filter($"rn" === 1)
       .select($"metric", $"bucket", $"ts_s", $"value",
-        round($"area", 6).as("area"))
+        Buckets.round6($"area").as("area"))
       .orderBy("metric", "bucket")
   }
 
@@ -317,7 +322,7 @@ object Fetch {
        |           ORDER BY is_endpoint DESC, area DESC NULLS LAST,
        |                    ts_s ASC) AS rn
        |  FROM scored)
-       |SELECT metric, bucket, ts_s, value, round(area, 6) AS area
+       |SELECT metric, bucket, ts_s, value, floor(area * 1e6 + CAST(0.5 AS DOUBLE)) / 1e6 AS area
        |FROM ranked WHERE rn = 1 ORDER BY metric, bucket""".stripMargin
 
   /** `fetch_relative`: the graphite REQUEST layer — `from`/`until` as
@@ -439,10 +444,20 @@ object Fetch {
     * serving shape a 100 TB dashboard fan-out needs: metric count scales
     * the spine linearly while the scan stays one pass.
     */
-  def fetchMany(spark: SparkSession, sfDir: String): DataFrame = {
+  def fetchMany(spark: SparkSession, sfDir: String): DataFrame =
+    denseMany(spark, sfDir, metricRx = None)
+
+  /** ONE dense multi-metric fetch shape behind [[fetchMany]] and
+    * [[fetchGlob]] (they differed only by the glob pre-filter, stated
+    * twice — the r13 review's drift warning: a fetch-semantics fix
+    * applied to one copy silently skips the other).
+    */
+  private def denseMany(
+      spark: SparkSession, sfDir: String, metricRx: Option[String]): DataFrame = {
     val fromI = Buckets.fetchInterval(Buckets.FromS, 60)
     val untilI = Buckets.fetchInterval(Buckets.UntilS, 60)
-    val pts = Buckets.pointsInRange(spark, sfDir, fromI, untilI)
+    val all = Buckets.pointsInRange(spark, sfDir, fromI, untilI)
+    val pts = metricRx.fold(all)(rx => all.filter(col("metric").rlike(rx)))
     val metrics = pts.select(col("metric")).distinct()
     val spine = spark.range(fromI, untilI, 60L).toDF("bucket_ts")
       .crossJoin(metrics)
@@ -470,17 +485,24 @@ object Fetch {
     // semantics
     val sb = new StringBuilder("^(")
     var inClass = false
+    var classOpened = false // just consumed '[' — '!' here is negation
     glob.foreach {
       case '*' if !inClass => sb.append("[^.]*")
       case '?' if !inClass => sb.append("[^.]")
       case '{' if !inClass => sb.append('(')
       case '}' if !inClass => sb.append(')')
       case ',' if !inClass => sb.append('|')
-      case '[' => inClass = true; sb.append('[')
-      case ']' => inClass = false; sb.append(']')
+      case '[' => inClass = true; classOpened = true; sb.append('[')
+      case '!' if classOpened =>
+        // fnmatch negation (graphite's finders match via fnmatch):
+        // '[!abc]' means NOT-in-set — regex spells it '[^abc]'; a
+        // literal-looking '[!...]' class would instead match '!' plus
+        // the listed chars, the exact inverse (r13 review)
+        classOpened = false; sb.append('^')
+      case ']' => inClass = false; classOpened = false; sb.append(']')
       case c if !inClass && "\\.(){}*+?^$|".indexOf(c.toInt) >= 0 =>
-        sb.append('\\').append(c)
-      case c => sb.append(c)
+        classOpened = false; sb.append('\\').append(c)
+      case c => classOpened = false; sb.append(c)
     }
     require(!inClass, s"unclosed '[' class in metric glob '$glob'")
     sb.append(")$").toString
@@ -501,22 +523,8 @@ object Fetch {
     * opening one file per match; here one pruned scan serves every
     * matching series — the `servers.*.cpu.load` dashboard query shape.
     */
-  def fetchGlob(spark: SparkSession, sfDir: String): DataFrame = {
-    val rx = globToRegex(GlobPattern)
-    val fromI = Buckets.fetchInterval(Buckets.FromS, 60)
-    val untilI = Buckets.fetchInterval(Buckets.UntilS, 60)
-    val pts = Buckets.pointsInRange(spark, sfDir, fromI, untilI)
-      .filter(col("metric").rlike(rx))
-    val metrics = pts.select(col("metric")).distinct()
-    val spine = spark.range(fromI, untilI, 60L).toDF("bucket_ts")
-      .crossJoin(metrics)
-    val agg = pts
-      .groupBy(col("metric"), Buckets.alignTs(col("ts_s"), 60).as("bucket_ts"))
-      .agg(Rollup.mean6(col("value")).as("value"))
-    spine.join(agg, Seq("metric", "bucket_ts"), "left")
-      .select(col("metric"), col("bucket_ts"), col("value"))
-      .orderBy("metric", "bucket_ts")
-  }
+  def fetchGlob(spark: SparkSession, sfDir: String): DataFrame =
+    denseMany(spark, sfDir, metricRx = Some(globToRegex(GlobPattern)))
 
   val fetchGlobSql: String = {
     val rx = globToRegex(GlobPattern)
@@ -564,17 +572,71 @@ object Fetch {
     * single-column aggregate, where the reference layout pays a
     * filesystem walk per request.
     */
+  /** Expand braces into alternative globs — graphite's finders expand
+    * braces BEFORE matching (fnmatch has no brace syntax), so a DOTTED
+    * alternative (`servers.{cpu.load,mem}`) addresses a different node
+    * depth per alternative; computing one depth from the raw query
+    * counted dots inside braces and dropped valid shallower nodes (r13
+    * review). Nested braces expand recursively; commas split at the top
+    * nesting level only.
+    */
+  private[graft] def expandBraces(q: String): Seq[String] = {
+    val open = q.indexOf('{')
+    if (open < 0) return Seq(q)
+    var depth = 0
+    var close = -1
+    var i = open
+    while (i < q.length && close < 0) {
+      q(i) match {
+        case '{' => depth += 1
+        case '}' => depth -= 1; if (depth == 0) close = i
+        case _ => ()
+      }
+      i += 1
+    }
+    require(close > open, s"unbalanced braces in metric glob '$q'")
+    val (head, body, tail) =
+      (q.substring(0, open), q.substring(open + 1, close), q.substring(close + 1))
+    val alts = {
+      val out = Seq.newBuilder[String]
+      var d = 0
+      val sb = new StringBuilder
+      body.foreach { c =>
+        if (c == ',' && d == 0) { out += sb.toString; sb.clear() }
+        else {
+          if (c == '{') d += 1 else if (c == '}') d -= 1
+          sb.append(c)
+        }
+      }
+      out += sb.toString
+      out.result()
+    }
+    alts.flatMap(a => expandBraces(head + a + tail)).distinct
+  }
+
   def metricsFind(metrics: DataFrame, query: String): DataFrame = {
-    val depth = query.count(_ == '.') + 1
-    val rx = globToRegex(query)
     val parts = split(col("metric"), "\\.")
-    metrics
-      .select(concat_ws(".", slice(parts, 1, depth)).as("node"),
-        size(parts).as("nseg"))
-      .filter(col("nseg") >= depth && col("node").rlike(rx))
-      .groupBy(col("node"))
-      .agg(max(when(col("nseg") === depth, 1).otherwise(0)).as("leaf"),
-        max(when(col("nseg") > depth, 1).otherwise(0)).as("expandable"))
+    def findOne(g: String): DataFrame = {
+      val depth = g.count(_ == '.') + 1
+      val rx = globToRegex(g)
+      metrics
+        .select(concat_ws(".", slice(parts, 1, depth)).as("node"),
+          size(parts).as("nseg"))
+        .filter(col("nseg") >= depth && col("node").rlike(rx))
+        .groupBy(col("node"))
+        .agg(max(when(col("nseg") === depth, 1).otherwise(0)).as("leaf"),
+          max(when(col("nseg") > depth, 1).otherwise(0)).as("expandable"))
+    }
+    expandBraces(query).map(findOne) match {
+      case Seq(one) => one
+      case many =>
+        // per-alternative depths may coincide on a node (e.g. 'a.{b,c}');
+        // merge with OR'd flags, like graphite's finder result union
+        many.reduce(_ unionByName _)
+          .groupBy(col("node"))
+          .agg(max(col("leaf")).as("leaf"),
+            max(col("expandable")).as("expandable"))
+    }
   }
 
   /** `metrics_find`: the root browse (`query=*`) over the union of the
@@ -863,7 +925,11 @@ object Fetch {
       .withColumn("prev", lag(col("v"), 1).over(w))
       .withColumn("value",
         when(col("v").isNotNull && col("prev").isNotNull && col("v") >= col("prev"),
-          round((col("v") - col("prev")) / spp, 6)))
+          // the rate is DIVISION-derived (grid deltas / spp land on
+          // 7th-decimal midpoints whenever v−prev = (60m+30)·1e-6), so
+          // the output edge must round through the shared portable
+          // formula, not native round (the r10/r12 midpoint class)
+          Buckets.round6((col("v") - col("prev")) / spp)))
       .select(col("metric"), col("bucket_ts"), col("value"))
       .orderBy("metric", "bucket_ts")
   }
@@ -901,8 +967,15 @@ object Fetch {
     val dense = spark.range(extFromI, untilI, spp.toLong).toDF("bucket_ts")
       .crossJoin(metrics)
       .join(agg60, Seq("metric", "bucket_ts"), "left")
+    // graphite's movingWindow slice is `bootstrap[i+offset-windowPoints
+    // : i+offset]` — the N points strictly BEFORE each point, current
+    // EXCLUDED (the r13 review found the inclusive form shifted every
+    // value one bucket vs graphite, invisible to the oracle because the
+    // twin shared the frame). This is also why the pre-fetch reaches
+    // exactly window·spp back: the first output bucket's window is
+    // fully inside it.
     val w = Window.partitionBy(col("metric")).orderBy(col("bucket_ts"))
-      .rowsBetween(-(window - 1), Window.currentRow)
+      .rowsBetween(-window, -1)
     // the window mean as a FRAME-ORDERED fold (collect_list preserves
     // frame order; nulls are skipped natively), divided and rounded via
     // the shared round6 — Spark's streaming window accumulation and
@@ -1065,7 +1138,7 @@ object Fetch {
        |  FROM dense)
        |SELECT metric, bucket_ts,
        |       CASE WHEN v IS NOT NULL AND prev IS NOT NULL AND v >= prev
-       |            THEN round((v - prev) / 60, 6) END AS value
+       |            THEN floor(((v - prev) / 60) * 1e6 + CAST(0.5 AS DOUBLE)) / 1e6 END AS value
        |FROM lagged
        |ORDER BY metric, bucket_ts""".stripMargin
   }
@@ -1111,10 +1184,10 @@ object Fetch {
        |winned AS (
        |  SELECT metric, bucket_ts,
        |         list(v) OVER (PARTITION BY metric ORDER BY bucket_ts
-       |           ROWS BETWEEN ${MovingAvgWindow - 1} PRECEDING AND CURRENT ROW)
+       |           ROWS BETWEEN ${MovingAvgWindow} PRECEDING AND 1 PRECEDING)
        |           AS lst,
        |         count(v) OVER (PARTITION BY metric ORDER BY bucket_ts
-       |           ROWS BETWEEN ${MovingAvgWindow - 1} PRECEDING AND CURRENT ROW)
+       |           ROWS BETWEEN ${MovingAvgWindow} PRECEDING AND 1 PRECEDING)
        |           AS cnt
        |  FROM dense),
        |smoothed AS (

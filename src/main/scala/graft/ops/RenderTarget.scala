@@ -919,15 +919,21 @@ object RenderTarget {
         val (df, step) = eval(c)
         (counterDelta(df, args.headOption.map(_.toDouble), lit(step)), step)
       case Call(f, Seq(c), args) if MovingFuncs(f) =>
-        // trailing window of the last n points (current included), one
-        // metric-partitioned sort shared by the whole family; nulls are
-        // skipped natively (all-null window → null). stdev is the
-        // population form, graphite's running-deviation line.
+        // trailing window, one metric-partitioned sort shared by the
+        // whole family; nulls are skipped natively (all-null window →
+        // null). Frame edges are graphite's own, which DIFFER inside
+        // the family (r13 review): the moving* functions slice
+        // `bootstrap[i+offset-windowPoints : i+offset]` — the n points
+        // strictly BEFORE each point, current EXCLUDED — while stdev
+        // (a separate lineage in functions.py) accumulates the last n
+        // values INCLUDING the current one, population form.
         val (df, step) = eval(c)
         val n = windowPts(args.head, step).toInt
         require(n > 0, s"$f window must be positive")
-        val w = Window.partitionBy(col("metric")).orderBy(col("bucket_ts"))
-          .rowsBetween(-(n - 1), Window.currentRow)
+        val base = Window.partitionBy(col("metric")).orderBy(col("bucket_ts"))
+        val w =
+          if (f == "stdev") base.rowsBetween(-(n - 1), Window.currentRow)
+          else base.rowsBetween(-n, -1)
         val v = f match {
           case "movingAverage" => avg(col("value"))
           case "movingSum" => sum(col("value"))
@@ -2081,8 +2087,10 @@ object RenderTarget {
         val n = windowPts(args.head, step).toInt
         require(n > 0, "movingWindow window must be positive")
         val func = args.lift(1).getOrElse("average")
+        // graphite's movingWindow slice excludes the current point —
+        // the same frame as the named moving* wrappers above
         val w = Window.partitionBy(col("metric")).orderBy(col("bucket_ts"))
-          .rowsBetween(-(n - 1), Window.currentRow)
+          .rowsBetween(-n, -1)
         // `count` and `range` come out of summarizeAgg WRAPPED (a cast /
         // a subtraction); `.over` must attach to the aggregates
         // themselves, not the wrapper, or Catalyst sees a bare
@@ -3069,7 +3077,7 @@ object RenderTarget {
        |smoothed AS (
        |  SELECT bucket_ts,
        |         round(median(value) OVER (ORDER BY bucket_ts
-       |           ROWS BETWEEN 9 PRECEDING AND CURRENT ROW), 6) AS value
+       |           ROWS BETWEEN 10 PRECEDING AND 1 PRECEDING), 6) AS value
        |  FROM summed)
        |SELECT 'sumSeries' AS metric, bucket_ts, value FROM smoothed
        |WHERE bucket_ts >= $stdFromI
@@ -3817,7 +3825,7 @@ object RenderTarget {
        |smoothed AS (
        |  SELECT bucket_ts,
        |         round(sum(value) OVER (ORDER BY bucket_ts
-       |           ROWS BETWEEN 9 PRECEDING AND CURRENT ROW), 6) AS value
+       |           ROWS BETWEEN 10 PRECEDING AND 1 PRECEDING), 6) AS value
        |  FROM summed)
        |SELECT 'sumSeries' AS metric, bucket_ts, value FROM smoothed
        |WHERE bucket_ts >= $stdFromI
@@ -4231,7 +4239,7 @@ object RenderTarget {
        |smoothed AS (
        |  SELECT bucket_ts,
        |         round(avg(value) OVER (ORDER BY bucket_ts
-       |           ROWS BETWEEN 9 PRECEDING AND CURRENT ROW), 6) AS value
+       |           ROWS BETWEEN 10 PRECEDING AND 1 PRECEDING), 6) AS value
        |  FROM summed)
        |SELECT 'sumSeries' AS metric, bucket_ts, value FROM smoothed
        |WHERE bucket_ts >= $fromI

@@ -33,6 +33,25 @@ class AtTimeSpec extends AnyFunSuite {
     assert(p(" now - 1h ") == Now - 3600)
   }
 
+  test("compound offsets under one sign (attime's parseTimeOffset loop)") {
+    // (number, unit) pairs chain: '-1d12h' is 36 h back, '-1mon2w' is
+    // 30 + 14 days (the r13 review: the old single-pair parser silently
+    // dropped the '2w' after a 'mon' unit and rejected '-1d12h')
+    assert(p("now-1d12h") == Now - 36 * 3600)
+    assert(p("now-1mon2w") == Now - (30 + 14) * 86400)
+    assert(p("now+1h30min") == Now + 5400)
+  }
+
+  test("epoch is whole-string only — epoch+offset is attime's error") {
+    // attime epoch-checks the FULL string before the grammar; graphite
+    // raises for '123456-1d' (parseTimeReference('123456') has no day
+    // shape) instead of inventing a 1970 window
+    assert(p("123456") == 123456L)
+    intercept[Exception] { p("123456-1d") }
+    // the 8-digit date shape still composes with offsets
+    assert(p("20240131-1d") == Midnight - 86400)
+  }
+
   test("absolute dates and epochs") {
     assert(p("20240131") == Midnight)
     assert(p("20240101") == Midnight - 30 * 86400)

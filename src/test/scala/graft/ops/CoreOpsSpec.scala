@@ -213,6 +213,35 @@ class CoreOpsSpec extends AnyFunSuite {
     assert(!m("a.b", "aXb"))
     assert(m("rate(+)", "rate(+)") && !m("rate(+)", "rate("))
     assert(m("a|b", "a|b") && !m("a|b", "a"))
+    // fnmatch negated classes: '[!...]' is NOT-in-set (r13 review: the
+    // verbatim passthrough matched the exact inverse)
+    assert(m("servers[!0].cpu", "servers1.cpu"))
+    assert(!m("servers[!0].cpu", "servers0.cpu"))
+    // any-but-'0' includes '!' itself, exactly as fnmatch has it
+    assert(m("servers[!0].cpu", "servers!.cpu"))
+    // '!' outside a class, and not first-in-class, stays literal
+    assert(m("a!b", "a!b"))
+    assert(m("x[a!]y", "x!y") && m("x[a!]y", "xay"))
+  }
+
+  test("metricsFind expands dotted brace alternatives per-depth (r13 review)") {
+    import spark.implicits._
+    val mets = Seq("servers.cpu.load", "servers.mem", "servers.mem.used",
+      "servers.disk").toDF("metric")
+    val got = Fetch.metricsFind(mets, "servers.{cpu.load,mem}")
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getInt(2))).toSet
+    // 'mem' is a depth-2 alternative (leaf AND expandable via mem.used),
+    // 'cpu.load' a depth-3 one — graphite brace-expands before matching
+    assert(got == Set(("servers.cpu.load", 1, 0), ("servers.mem", 1, 1)))
+  }
+
+  test("denseSeries: a range inside one step bucket returns that bucket") {
+    // whisper fetch: fromInterval == untilInterval → untilInterval +=
+    // step ("always include the next point"), never an empty series
+    val df = Fetch.denseSeries(spark, pts(("m", 125L, 4.0)), "m",
+      100L, 110L, 60).collect()
+    assert(df.map(_.getLong(0)).toSeq == Seq(120L))
+    assert(df(0).getDouble(1) == 4.0)
   }
 
   test("summarizeSeries: epoch-aligned buckets, null-skipping sum, partial edges") {
@@ -307,23 +336,27 @@ class CoreOpsSpec extends AnyFunSuite {
     assert(r2(1).isNullAt(2))
   }
 
-  test("movingAverageSeries: trailing window spans the pre-fetched history") {
-    // window 2, range [120, 240): output buckets 180, 240. The point at
-    // ts 125 (bucket 120) is OUTSIDE the requested range but inside the
-    // trailing window of bucket 180 — graphite's extra-history fetch.
+  test("movingAverageSeries: exclusive trailing window over pre-fetched history") {
+    // window 2, range [120, 240): output buckets 180, 240. Graphite's
+    // movingWindow averages the N points strictly BEFORE each point
+    // (current excluded — the r13 review fix): bucket 180 sees buckets
+    // {60, 120} and bucket 240 sees {120, 180}. The point at ts 125
+    // (bucket 120) is OUTSIDE the requested range but inside both
+    // windows — graphite's extra-history fetch.
     val df = Fetch.movingAverageSeries(spark,
       pts(("m", 125L, 6.0), ("m", 185L, 2.0), ("m", 245L, 10.0)),
       120L, 240L, 60, 2).collect()
     assert(df.map(_.getLong(1)).toSeq == Seq(180L, 240L))
-    assert(df(0).getDouble(2) == 4.0) // avg(6.0@120, 2.0@180)
-    assert(df(1).getDouble(2) == 6.0) // avg(2.0@180, 10.0@240)
+    assert(df(0).getDouble(2) == 6.0) // avg of preceding {6.0@120}
+    assert(df(1).getDouble(2) == 4.0) // avg of preceding {6.0@120, 2.0@180}
     // None members are skipped, not zero-filled; all-None window → None
-    // buckets 120, 180, 240: the 8.0@60 history point feeds bucket 120's
-    // window only; later all-None windows stay None
+    // output buckets 120, 180, 240: the 8.0@60 history point feeds
+    // bucket 120's window (preceding {0, 60}); later windows with no
+    // valid points stay None
     val g = Fetch.movingAverageSeries(spark,
       pts(("m", 65L, 8.0)), 60L, 240L, 60, 2).collect()
     assert(g.map(r => if (r.isNullAt(2)) None else Some(r.getDouble(2))).toSeq ==
-      Seq(Some(8.0), None, None))
+      Seq(Some(8.0), Some(8.0), None))
   }
 
   test("consolidateSeries under budget is the identity on the dense fetch") {

@@ -181,13 +181,16 @@ class RenderTargetSpec extends AnyFunSuite {
     val p = pts(("m.a", 65L, 1.0), ("m.a", 125L, 9.0), ("m.a", 185L, 2.0))
     val med = RenderTarget.evaluate(spark, p, "movingMedian(m.a, 2)",
       120L, 180L, 60).collect().map(r => Option(r.get(2)))
-    // bucket 180: window {9, 2} → continuous median 5.5
-    assert(med.last == Some(5.5))
+    // graphite's movingWindow EXCLUDES the current point: bucket 180
+    // sees the two PRECEDING buckets {60:1, 120:9} → median 5.0
+    assert(med.last == Some(5.0))
     val ms = RenderTarget.evaluate(spark, p, "movingSum(m.a, 3)",
       120L, 180L, 60).collect().map(r => Option(r.get(2)))
-    assert(ms.last == Some(12.0))
+    // preceding {0:∅, 60:1, 120:9} → 10.0
+    assert(ms.last == Some(10.0))
     val sd = RenderTarget.evaluate(spark, p, "stdev(m.a, 2)",
       120L, 180L, 60).collect().map(r => Option(r.get(2)))
+    // stdev is graphite's OTHER lineage — current point INCLUDED:
     // population stddev of {9, 2} = 3.5
     assert(sd.last == Some(3.5))
   }
@@ -671,13 +674,15 @@ class RenderTargetSpec extends AnyFunSuite {
       "movingWindow(m.a, '3min', 'max')", 240L, 600L, 60)
       .collect().map(_.getDouble(2)).toSeq
     // grid (240, 600] = buckets 300..600 holding values 5..10; the
-    // trailing 3-bucket max at bucket 60i is i (full windows, history
-    // pre-fetched)
-    assert(mw == Seq(5.0, 6.0, 7.0, 8.0, 9.0, 10.0))
+    // trailing 3-bucket max at bucket 60i EXCLUDES the current point
+    // (graphite's movingWindow slice) → max{i-3, i-2, i-1} = i-1
+    // (full windows, history pre-fetched)
+    assert(mw == Seq(4.0, 5.0, 6.0, 7.0, 8.0, 9.0))
     val ma = RenderTarget.evaluate(spark, p,
       "movingAverage(m.a, '2min')", 240L, 600L, 60)
       .collect().map(_.getDouble(2)).toSeq
-    assert(ma == Seq(4.5, 5.5, 6.5, 7.5, 8.5, 9.5))
+    // avg of the two PRECEDING points {i-2, i-1} = i - 1.5
+    assert(ma == Seq(3.5, 4.5, 5.5, 6.5, 7.5, 8.5))
     // the WRAPPED aggregators (count's cast, range's subtraction) must
     // window correctly too — the fuzz-found MISSING_GROUP_BY regression
     val mc = RenderTarget.evaluate(spark, p,

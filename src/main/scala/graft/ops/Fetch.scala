@@ -526,30 +526,7 @@ object Fetch {
   def fetchGlob(spark: SparkSession, sfDir: String): DataFrame =
     denseMany(spark, sfDir, metricRx = Some(globToRegex(GlobPattern)))
 
-  val fetchGlobSql: String = {
-    val rx = globToRegex(GlobPattern)
-    val fromI = Buckets.fetchInterval(Buckets.FromS, 60)
-    val untilI = Buckets.fetchInterval(Buckets.UntilS, 60)
-    s"""WITH ${Buckets.pointsSql},
-       |mets AS (
-       |  SELECT DISTINCT metric FROM pts
-       |  WHERE ts_s >= $fromI AND ts_s < $untilI
-       |    AND regexp_matches(metric, '$rx')),
-       |agg AS (
-       |  SELECT metric, (ts_s // 60) * 60 AS bucket_ts,
-       |         ${Rollup.mean6Sql()} AS value
-       |  FROM pts
-       |  WHERE ts_s >= $fromI AND ts_s < $untilI
-       |    AND regexp_matches(metric, '$rx')
-       |  GROUP BY 1, 2),
-       |spine AS (
-       |  SELECT m.metric, r.bucket_ts FROM mets m,
-       |    (SELECT CAST(range AS BIGINT) AS bucket_ts
-       |     FROM range($fromI, $untilI, 60)) r)
-       |SELECT s.metric, s.bucket_ts, a.value
-       |FROM spine s LEFT JOIN agg a USING (metric, bucket_ts)
-       |ORDER BY s.metric, s.bucket_ts""".stripMargin
-  }
+  val fetchGlobSql: String = denseManySql(Some(globToRegex(GlobPattern)))
 
   // ------------------------------------------- graphite /metrics/find
 
@@ -708,18 +685,24 @@ object Fetch {
        |ORDER BY node""".stripMargin
   }
 
-  val fetchManySql: String = {
+  /** The dense multi-metric fetch as oracle text — ONE builder for both
+    * [[fetchManySql]] and [[fetchGlobSql]], mirroring [[denseMany]]
+    * (same r13 drift rationale as the Scala side).
+    */
+  private def denseManySql(metricRx: Option[String]): String = {
     val fromI = Buckets.fetchInterval(Buckets.FromS, 60)
     val untilI = Buckets.fetchInterval(Buckets.UntilS, 60)
+    val rxAnd = metricRx.fold("")(rx =>
+      s"\n    AND regexp_matches(metric, '$rx')")
     s"""WITH ${Buckets.pointsSql},
        |mets AS (
        |  SELECT DISTINCT metric FROM pts
-       |  WHERE ts_s >= $fromI AND ts_s < $untilI),
+       |  WHERE ts_s >= $fromI AND ts_s < $untilI$rxAnd),
        |agg AS (
        |  SELECT metric, (ts_s // 60) * 60 AS bucket_ts,
        |         ${Rollup.mean6Sql()} AS value
        |  FROM pts
-       |  WHERE ts_s >= $fromI AND ts_s < $untilI
+       |  WHERE ts_s >= $fromI AND ts_s < $untilI$rxAnd
        |  GROUP BY 1, 2),
        |spine AS (
        |  SELECT m.metric, r.bucket_ts FROM mets m,
@@ -729,6 +712,8 @@ object Fetch {
        |FROM spine s LEFT JOIN agg a USING (metric, bucket_ts)
        |ORDER BY s.metric, s.bucket_ts""".stripMargin
   }
+
+  val fetchManySql: String = denseManySql(None)
 
   // ------------------------------------- render-layer consolidation ops
 

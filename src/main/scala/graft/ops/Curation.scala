@@ -501,24 +501,45 @@ object Curation {
     * 100 TB: train the buckets on a sample, score the full corpus — the
     * identical serving plan, cheaper train input.
     *
-    * Float determinism (the r10-r12 driver hash-miss, closed here
+    * Float determinism (the r10-r13 driver hash-miss, closed here
     * structurally rather than dialectally):
     *  - the 256 bucket weights are computed with [[PortableMath]]'s
     *    fixed-op-sequence ln — bit-identical in Spark and DuckDB, no
     *    libm in the path (`Math.log` vs libm `log` may differ by 1 ulp
     *    on the SAME input; three rounds of CAST hardening could not
-    *    close that);
+    *    close that); `dsir_model` went GREEN at the r13 driver, pinning
+    *    the table bit-identical;
     *  - each weight is quantized to the 1e-6 grid AT EMISSION and
     *    stored as integer micro-units `wq = floor(w·1e6 + 0.5)`;
-    *  - the serving fold is then EXACT integer arithmetic
-    *    `Σ wq·n` (BIGINT — order-independent, no collect_list order
-    *    pin needed, map-side-combinable HashAggregate), and the only
-    *    doubles on the output edge are two correctly-rounded divisions
-    *    both engines must evaluate identically.
-    * The [[dsirModelSql]] diagnostic key (`dsir_model`) emits the weight
-    * table itself so any future divergence localizes to train vs serve.
+    *  - the serving fold is EXACT integer arithmetic `Σ wq·n` (BIGINT —
+    *    order-independent, no collect_list order pin needed,
+    *    map-side-combinable HashAggregate);
+    *  - (r14) the per-doc mean itself is now computed in pure BIGINT:
+    *    `micro = ⌊S/n + 1/2⌋ = ⌊(2S+n)/(2n)⌋` via
+    *    [[PortableMath.halfUpDivSql]] — the identical half-toward-+∞
+    *    midpoint spec [[Buckets.round6]] states, with ZERO
+    *    engine-evaluated double ops; the emitted weight is ONE
+    *    correctly-rounded `CAST(micro AS DOUBLE)/1e6`. The r13 form
+    *    still ran `CAST(S)/1e6/CAST(n)` then round6 in doubles and
+    *    stayed red at the driver even though `dsir_model` was green.
+    * The `dsir_model` diagnostic pins training; the r14
+    * `dsir_serve_parts` diagnostic ([[dsirServeParts]]) emits the pure-
+    * integer serve fold `(doc_id, n_tokens, sum_wqn)` — no doubles, no
+    * divisions — so a future red localizes to: parts red → per-doc
+    * counts differ; parts green + weight red → the driver diverges on
+    * formatting/hashing ONE exactly-derived double.
     */
-  def dsirWeight(s: SparkSession, dir: String): DataFrame = {
+  def dsirWeight(s: SparkSession, dir: String): DataFrame =
+    dsirServe(s, dir)
+      .select(col("doc_id"), col("n_tokens"),
+        expr("CAST(" + PortableMath.halfUpDivSql("sum_wqn", "n_tokens") +
+          " AS DOUBLE) / 1e6").as("dsir_weight"))
+      .orderBy("doc_id")
+
+  /** The shared exact serve fold: per-document token total and the
+    * BIGINT weighted sum `Σ wq·n` against the frozen bucket model.
+    */
+  private def dsirServe(s: SparkSession, dir: String): DataFrame = {
     val docb = docs(s, dir)
       .select(col("doc_id"), explode(expr(toksExpr)).as("t"))
       .withColumn("h", md5(col("t")))
@@ -529,12 +550,17 @@ object Curation {
       .groupBy("doc_id")
       .agg(sum(col("n")).as("n_tokens"),
         sum(col("wq") * col("n")).as("sum_wqn"))
-      .select(col("doc_id"), col("n_tokens"),
-        Buckets.round6(
-          expr("CAST(sum_wqn AS DOUBLE) / 1e6 / CAST(n_tokens AS DOUBLE)"))
-          .as("dsir_weight"))
-      .orderBy("doc_id")
   }
+
+  /** `dsir_serve_parts`: the serve fold as pure integers — the r14
+    * triangulation rung prescribed by the r13 verdict. Output schema is
+    * `(doc_id, n_tokens BIGINT, sum_wqn BIGINT)`: zero doubles, zero
+    * divisions anywhere on the output edge.
+    */
+  def dsirServeParts(s: SparkSession, dir: String): DataFrame =
+    dsirServe(s, dir)
+      .select(col("doc_id"), col("n_tokens"), col("sum_wqn"))
+      .orderBy("doc_id")
 
   /** The frozen DSIR bucket model (see [[dsirWeight]]): 256 rows of
     * `(b, wq, w)` where `wq` is the weight in integer micro-units and
@@ -610,14 +636,32 @@ object Curation {
        |  FROM dwln)""".stripMargin
   }
 
+  /** The serve-fold CTE shared by [[dsirWeightSql]] and
+    * [[dsirServePartsSql]] — explicit BIGINT casts because DuckDB types
+    * `sum(BIGINT)` as HUGEINT (the r13 verdict's surviving suspect (a):
+    * a driver DuckDB may promote the fold differently; pinning the CTE
+    * output type removes the variable in every downstream op).
+    */
+  private val dsirServeCte: String =
+    """serve AS (
+      |  SELECT doc_id, CAST(sum(n) AS BIGINT) AS n_tokens,
+      |         CAST(sum(wq * n) AS BIGINT) AS sum_wqn
+      |  FROM docb JOIN wt USING (b)
+      |  GROUP BY doc_id)""".stripMargin
+
   val dsirWeightSql: String =
-    s"""WITH ${dsirModelCtes}
-       |SELECT doc_id, sum(n) AS n_tokens,
-       |       ${Buckets.round6Sql(
-                 "CAST(sum(wq * n) AS DOUBLE) / 1e6 / CAST(sum(n) AS DOUBLE)")
-               } AS dsir_weight
-       |FROM docb JOIN wt USING (b)
-       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+    s"""WITH ${dsirModelCtes},
+       |${dsirServeCte}
+       |SELECT doc_id, n_tokens,
+       |       CAST(${PortableMath.halfUpDivSql("sum_wqn", "n_tokens")}
+       |         AS DOUBLE) / 1e6 AS dsir_weight
+       |FROM serve ORDER BY doc_id""".stripMargin
+
+  /** `dsir_serve_parts` oracle — the identical pure-integer fold. */
+  val dsirServePartsSql: String =
+    s"""WITH ${dsirModelCtes},
+       |${dsirServeCte}
+       |SELECT doc_id, n_tokens, sum_wqn FROM serve ORDER BY doc_id""".stripMargin
 
   /** `dsir_model` diagnostic oracle: the weight table itself, ordered by
     * bucket — if this key and `dsir_weight` ever disagree with the

@@ -174,4 +174,29 @@ object PortableMath {
     */
   def microUnitsSql(x: String): String =
     s"CAST(floor($x * 1e6 + CAST(0.5 AS DOUBLE)) AS BIGINT)"
+
+  /** Portable BIGINT floor division `⌊a / b⌋` for a POSITIVE divisor,
+    * one shared text in both dialects with zero float hazard:
+    * `(a − pmod(a, b)) / b` where `pmod = ((a % b) + b) % b` lifts the
+    * dividend-sign remainder (identical C-style `%` in Spark/JVM and
+    * DuckDB, verified against DuckDB 1.0.0) to the positive residue.
+    * The interior `/` types as DOUBLE in both dialects but its operand
+    * is an EXACT multiple of `b` with quotient far inside 2^53, so the
+    * division is exact and the final CAST is lossless.
+    *
+    * Main client: `dsir_weight`'s half-up integer mean
+    * `⌊(2S + n) / (2n)⌋ = ⌊S/n + 1/2⌋` — the r14 close of the four-round
+    * driver hash miss: after r13 proved the weight TABLE bit-identical
+    * (`dsir_model` green), this removes the last engine-evaluated
+    * doubles from the serving edge; the emitted weight becomes ONE
+    * correctly-rounded `CAST(int AS DOUBLE)/1e6` of an exact integer.
+    */
+  def floorDivSql(a: String, b: String): String =
+    s"CAST(((($a)) - (((($a) % ($b)) + ($b)) % ($b))) / ($b) AS BIGINT)"
+
+  /** Half-up integer division `⌊s/n + 1/2⌋` (positive n) — [[Buckets
+    * .round6]]'s half-toward-+∞ midpoint spec in pure BIGINT arithmetic.
+    */
+  def halfUpDivSql(s: String, n: String): String =
+    floorDivSql(s"2 * ($s) + ($n)", s"2 * ($n)")
 }

@@ -381,6 +381,26 @@ class ExtOpsSpec extends AnyFunSuite {
       .count() == 0)
   }
 
+  test("dsir_serve_parts is pure BIGINT and derives dsir_weight exactly") {
+    val parts = Curation.dsirServeParts(spark, dir)
+    // the r14 triangulation contract: zero doubles on the output edge
+    assert(parts.schema.fields.map(f => f.name -> f.dataType.typeName)
+      .toSeq == Seq("doc_id" -> "long", "n_tokens" -> "long",
+        "sum_wqn" -> "long"))
+    // the emitted weight is EXACTLY floor(S/n + 1/2)/1e6 of the parts —
+    // recomputed here in BigInt so the test itself has no float hazard
+    val w = Curation.dsirWeight(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    parts.collect().foreach { r =>
+      val (id, n, sw) = (r.getLong(0), BigInt(r.getLong(1)),
+        BigInt(r.getLong(2)))
+      val micro = (2 * sw + n).mod(2 * n) match {
+        case pm => (2 * sw + n - pm) / (2 * n)
+      }
+      assert(w(id) == micro.toDouble / 1e6, s"doc $id")
+    }
+  }
+
   test("dedup_semantic equals a brute-force within-cluster recompute") {
     val out = Similarity.dedupSemantic(spark, dir).collect().map { r =>
       r.getLong(0) -> ((r.getLong(1), r.getInt(2),

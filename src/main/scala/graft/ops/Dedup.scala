@@ -342,9 +342,20 @@ object Dedup {
     // all consumers scan the materialized shared shingle index
     val u = shingleSetShared(s, dir)
     val sizes = u.groupBy("doc_id").agg(count(lit(1)).as("sz"))
-    val a = u.select(col("doc_id").as("doc_a"), col("g"))
-    val b = u.select(col("doc_id").as("doc_b"), col("g"))
-    val inter = a.join(b, Seq("g")).filter(col("doc_a") < col("doc_b"))
+    // pair generation as grouped-collect + double explode rather than
+    // the oracle's self-join: ONE exchange of the index (by g) instead
+    // of two join inputs plus the join itself; df = 1 shingles — the
+    // vast majority of a natural corpus — drop before any pair row
+    // exists. Output rows are the identical Σ df·(df−1)/2 ordered pairs
+    // the self-join emits (r14: sf0.1 median 1.16 → ~1.0 s over three
+    // restricted runs; the remaining cost is the pair-agg exchange and
+    // the two size joins, ambient-bound).
+    val inter = u.groupBy("g")
+      .agg(collect_list(col("doc_id")).as("ds"))
+      .filter(size(col("ds")) >= 2)
+      .select(explode(col("ds")).as("doc_a"), col("ds"))
+      .select(col("doc_a"), explode(col("ds")).as("doc_b"))
+      .filter(col("doc_a") < col("doc_b"))
       .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("x"))
     inter
       .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sz", "na"), "doc_a")

@@ -343,6 +343,14 @@ object ExplainDump {
         "sqrt-weight budget table is tiny and broadcast back, pass 2 is " +
         "one per-source window over the salted hash order. Two scans, " +
         "one window, no global sort."),
+    "dedup_ngram_jaccard" ->
+      ("Exact pairwise Jaccard, the small-scale oracle arm of the LSH " +
+        "path: ONE exchange of the shared shingle index (group by g), " +
+        "df=1 shingles drop before any pair exists, pairs generate by " +
+        "double explode of the per-shingle doc list (no index self-join " +
+        "— the r13 form shuffled the index twice and joined), then the " +
+        "pair-count hash aggregate and two size joins. Output is the " +
+        "identical ordered-pair set the oracle's self-join emits."),
     "carbon_ingest" ->
       ("The carbon line-protocol ingest: one text scan, a codegen'd " +
         "split/try_cast projection (malformed lines drop in the same " +

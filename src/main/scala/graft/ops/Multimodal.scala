@@ -118,6 +118,119 @@ object Multimodal {
        |       substr(md5(substr(text, 1, $ResizeBytes)), 1, 8) AS out_sig8
        |FROM documents ORDER BY doc_id""".stripMargin
 
+  // --------------------------------------------- real image codec (opt-in)
+
+  /** REAL image decode behind the identical 1→1 partition-wise contract
+    * as [[fakeDecode]] — the opt-in codec arm (r13 verdict "What's
+    * missing" #1). `javax.imageio` ships in every JDK, so this adds no
+    * dependency; `width`/`height` come from the DECODED pixels instead
+    * of the stub's metadata arithmetic. Payloads ImageIO cannot decode
+    * are DROPPED, carbon-parse style — a 100 TB media crawl must not
+    * die on one truncated JPEG; pair with an `observe` counter when the
+    * drop rate must be monitored. The registered `multimodal_*` query
+    * keys stay on the byte-stub arm: the synthetic corpus carries no
+    * real images, and the stub is what DuckDB can re-derive —
+    * MultimodalCodecSpec pins THIS path on generated PNG/BMP bytes.
+    */
+  def imageDecode(rows: Iterator[MediaRow]): Iterator[MediaFeatures] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    rows.flatMap { r =>
+      decodeImage(r.payload).map { im =>
+        md.reset()
+        val hex = md.digest(r.payload).map("%02x".format(_)).mkString
+        MediaFeatures(r.doc_id, r.payload.length.toLong, hex.substring(0, 8),
+          im.getWidth.toLong, im.getHeight.toLong)
+      }
+    }
+  }
+
+  /** Thumbnail box for [[imageResize]] (longest side after fit). */
+  val ThumbPx = 32
+
+  /** REAL resize behind [[multimodalResize]]'s 1→1 contract: decode,
+    * area-average downscale into a [[ThumbPx]]-fit box (aspect
+    * preserved), PNG re-encode; `out_len`/`out_sig8` describe the
+    * encoded thumbnail. Area-average is computed in pure integer
+    * arithmetic over floor-partitioned pixel boxes — deterministic
+    * across JVMs, unlike `Graphics2D` interpolation whose rendering
+    * hints are implementation-defined. Undecodable payloads drop, as in
+    * [[imageDecode]].
+    */
+  def imageResize(rows: Iterator[MediaRow]): Iterator[ResizedMedia] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    rows.flatMap { r =>
+      decodeImage(r.payload).map { im =>
+        val (ow, oh) = fitBox(im.getWidth, im.getHeight, ThumbPx)
+        val thumb = areaAverage(im, ow, oh)
+        val baos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(thumb, "png", baos)
+        val out = baos.toByteArray
+        md.reset()
+        val hex = md.digest(out).map("%02x".format(_)).mkString
+        ResizedMedia(r.doc_id, r.payload.length.toLong, out.length.toLong,
+          hex.substring(0, 8))
+      }
+    }
+  }
+
+  /** Null-safe ImageIO decode: `None` for bytes no installed reader
+    * accepts (ImageIO.read returns null then) or that throw mid-decode
+    * (truncated files).
+    */
+  private[ops] def decodeImage(
+      payload: Array[Byte]): Option[java.awt.image.BufferedImage] =
+    try Option(javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(payload)))
+    catch { case _: Exception => None }
+
+  /** Fit (w, h) inside a square box of side `px`, preserving aspect via
+    * integer arithmetic, never below 1 px, never upscaling.
+    */
+  private[ops] def fitBox(w: Int, h: Int, px: Int): (Int, Int) =
+    if (w <= px && h <= px) (w, h)
+    else if (w >= h) (px, math.max(1, (h.toLong * px / w).toInt))
+    else (math.max(1, (w.toLong * px / h).toInt), px)
+
+  /** Deterministic area-average downscale: output pixel (ox, oy) is the
+    * per-channel integer mean of the input box
+    * `[⌊ox·W/ow⌋, ⌊(ox+1)·W/ow⌋) × [⌊oy·H/oh⌋, ⌊(oy+1)·H/oh⌋)` (floor
+    * partition — boxes tile the input exactly; a degenerate box widens
+    * to one pixel). All sums and divisions are integer ops.
+    */
+  private[ops] def areaAverage(im: java.awt.image.BufferedImage,
+      ow: Int, oh: Int): java.awt.image.BufferedImage = {
+    val (w, h) = (im.getWidth, im.getHeight)
+    val out = new java.awt.image.BufferedImage(
+      ow, oh, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var oy = 0
+    while (oy < oh) {
+      val y0 = oy * h / oh
+      val y1 = math.max(y0 + 1, (oy + 1) * h / oh)
+      var ox = 0
+      while (ox < ow) {
+        val x0 = ox * w / ow
+        val x1 = math.max(x0 + 1, (ox + 1) * w / ow)
+        var (rs, gs, bs) = (0L, 0L, 0L)
+        var y = y0
+        while (y < y1) {
+          var x = x0
+          while (x < x1) {
+            val p = im.getRGB(x, y)
+            rs += (p >> 16) & 0xff; gs += (p >> 8) & 0xff; bs += p & 0xff
+            x += 1
+          }
+          y += 1
+        }
+        val n = (x1 - x0).toLong * (y1 - y0)
+        out.setRGB(ox, oy,
+          (((rs / n) << 16) | ((gs / n) << 8) | (bs / n)).toInt)
+        ox += 1
+      }
+      oy += 1
+    }
+    out
+  }
+
   // -------------------------------------------------------- frame sample
 
   /** Stub "video" geometry: the payload is a frame sequence of

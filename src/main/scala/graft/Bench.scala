@@ -156,14 +156,17 @@ object Bench {
     } catch { case _: Throwable => Map.empty }
     val slower = results.flatMap { case (k, med, _, times) =>
       // 0.2 s floor: sub-noise keys flap on scheduler jitter, not plans.
-      // Consistency gate (r12 verdict #5): flag only when EVERY run
-      // exceeds 1.5x the previous median — a real plan regression is
-      // slow in all runs (r12's rollup_serve_1h: 0.54/0.56/0.51 vs prev
-      // 0.22), while a warmup slope has a fast tail run (r12's
-      // render_target_compress: 0.98/0.64/0.53 vs prev 0.40). The run
-      // spread is emitted alongside so the judge can re-grade the call.
+      // Consistency gate (r12 verdict #5, tightened r14 per ADVICE):
+      // flag when a MAJORITY of runs exceed 1.5x the previous median —
+      // a real plan regression is slow in (almost) all runs (r12's
+      // rollup_serve_1h: 0.54/0.56/0.51 vs prev 0.22), while a warmup
+      // slope has fast tail runs (r12's render_target_compress:
+      // 0.98/0.64/0.53 vs prev 0.40). The r13 every-run form let a
+      // genuine regression hide behind ONE lucky scheduler draw; the
+      // run spread is emitted alongside so warmup-slope false positives
+      // can still be re-graded.
       prevBench.get(k)
-        .filter(p => p >= 0.2 && times.forall(_ > p * 1.5))
+        .filter(p => p >= 0.2 && times.count(_ > p * 1.5) * 2 > times.size)
         .map(p => (k, p, med, times))
     }
     def json(xs: Seq[(String, Double)]): String =

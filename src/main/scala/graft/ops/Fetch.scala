@@ -500,6 +500,13 @@ object Fetch {
         // the listed chars, the exact inverse (r13 review)
         classOpened = false; sb.append('^')
       case ']' => inClass = false; classOpened = false; sb.append(']')
+      case '^' if classOpened =>
+        // fnmatch treats a leading in-class '^' as the LITERAL caret —
+        // negation is spelled only '[!...]' — but raw '^' right after
+        // '[' is regex negation, the exact inverse (r13 ADVICE); escape
+        // it ('^' later in a class is already literal in both Java
+        // regex and RE2)
+        classOpened = false; sb.append("\\^")
       case c if !inClass && "\\.(){}*+?^$|".indexOf(c.toInt) >= 0 =>
         classOpened = false; sb.append('\\').append(c)
       case c => classOpened = false; sb.append(c)

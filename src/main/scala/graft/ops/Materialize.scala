@@ -198,26 +198,18 @@ object Materialize {
     * `rollup_serve_1h` driver regression, alongside the rewrite rule's
     * own in-rule read, cached in [[graft.plans.RollupRewrite]]). Level
     * dirs are write-once per content-addressed root; the same-JVM
-    * rewrite case invalidates at the write site above. Weak per-session
-    * outer map: a stopped session must not stay pinned by this object.
+    * rewrite case invalidates at the write site above. Per-session via
+    * [[SessionCache]] — a cached DataFrame strongly references its
+    * session, so weak keys alone leaked stopped sessions (r13 ADVICE);
+    * the cache evicts on application end instead.
     */
-  private val serveSrc = new java.util.WeakHashMap[
-    SparkSession, scala.collection.concurrent.TrieMap[String, DataFrame]]
+  private val serveSrc = new SessionCache[DataFrame]
 
   private def serveSrcFor(s: SparkSession)
       : scala.collection.concurrent.TrieMap[String, DataFrame] =
-    serveSrc.synchronized {
-      var m = serveSrc.get(s)
-      if (m == null) {
-        m = new scala.collection.concurrent.TrieMap[String, DataFrame]
-        serveSrc.put(s, m)
-      }
-      m
-    }
+    serveSrc.forSession(s)
 
-  private def invalidateServe(path: String): Unit = serveSrc.synchronized {
-    serveSrc.values.forEach(m => { m.remove(path); () })
-  }
+  private def invalidateServe(path: String): Unit = serveSrc.invalidate(path)
 
   val rollupServe1hSql: String =
     s"""WITH ${Buckets.pointsSql},

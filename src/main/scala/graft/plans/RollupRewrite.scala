@@ -162,33 +162,23 @@ object RollupRewrite extends Rule[LogicalPlan] {
     * (e.g. a union of re-aggregations), and duplicate attribute ids in
     * one tree corrupt resolution after analysis has already run.
     */
-  // weak per-session outer map: a stopped-and-dropped SparkSession must
-  // not stay pinned (with its InMemoryFileIndex) by this singleton rule
-  private val scanCache = new java.util.WeakHashMap[
-    SparkSession, scala.collection.concurrent.TrieMap[String, LogicalRelation]]
+  // per-session outer map with EXPLICIT application-end eviction
+  // (graft.ops.SessionCache): the cached LogicalRelation strongly
+  // references its session through HadoopFsRelation, so a bare weak-key
+  // map could never collect a stopped session (r13 ADVICE)
+  private val scanCache = new graft.ops.SessionCache[LogicalRelation]
 
   private def cachedRelation(
-      session: SparkSession, path: String): LogicalRelation = {
-    val perSession = scanCache.synchronized {
-      var m = scanCache.get(session)
-      if (m == null) {
-        m = new scala.collection.concurrent.TrieMap[String, LogicalRelation]
-        scanCache.put(session, m)
-      }
-      m
-    }
-    perSession.getOrElseUpdate(path,
+      session: SparkSession, path: String): LogicalRelation =
+    scanCache.forSession(session).getOrElseUpdate(path,
       session.read.parquet(path).queryExecution.analyzed.collectFirst {
         case l: LogicalRelation => l
       }.getOrElse(sys.error(s"level read did not analyze to a relation: $path")))
-  }
 
   /** Drop cached relations for a level path whose files just changed —
     * called by the materializer after (re)writing a level directory.
     */
-  def invalidateScan(path: String): Unit = scanCache.synchronized {
-    scanCache.values.forEach(m => { m.remove(path); () })
-  }
+  def invalidateScan(path: String): Unit = scanCache.invalidate(path)
 
   // ---- matching helpers -------------------------------------------------
 

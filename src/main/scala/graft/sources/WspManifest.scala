@@ -179,12 +179,24 @@ object WspManifest {
   /** Latest row per path (max mtime; appends supersede). Apply AFTER
     * any metric filters on the [[raw]] frame — a filter placed above
     * this aggregate cannot reach the parquet scan.
+    *
+    * Ordered by `(mtime, len)`, not mtime alone: coarse filesystem
+    * mtime granularity (or a rebuild overlapping a writer append) can
+    * publish two rows for one path with EQUAL mtimes, and a bare
+    * max_by tie is ARBITRARY between runs — a reader could plan with a
+    * stale file length on one run and not the next (r13 ADVICE). The
+    * common tie (writer in-place point update racing a rebuild) carries
+    * the SAME len on both rows — whisper files are fixed-size rings —
+    * so any pick is correct; the rare different-len tie (a resize
+    * inside one mtime tick) has no ordering information left, and the
+    * lexicographic struct makes the pick at least deterministic, with
+    * the larger file winning.
     */
   def live(rows: DataFrame): DataFrame =
     rows.groupBy(col("path"))
       .agg(max_by(
         struct(col("metric"), col("len"), col("mtime"), col("schema_digest")),
-        col("mtime")).as("w"))
+        struct(col("mtime"), col("len"))).as("w"))
       .select(col("w.metric").as("metric"), col("path"),
         col("w.len").as("len"), col("w.mtime").as("mtime"),
         col("w.schema_digest").as("schema_digest"))

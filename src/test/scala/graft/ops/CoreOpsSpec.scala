@@ -222,6 +222,13 @@ class CoreOpsSpec extends AnyFunSuite {
     // '!' outside a class, and not first-in-class, stays literal
     assert(m("a!b", "a!b"))
     assert(m("x[a!]y", "x!y") && m("x[a!]y", "xay"))
+    // a leading in-class '^' is the LITERAL caret under fnmatch —
+    // negation is spelled only '[!...]' (r13 ADVICE: raw passthrough
+    // made it regex negation, the exact inverse)
+    assert(m("x[^a]y", "x^y") && m("x[^a]y", "xay"))
+    assert(!m("x[^a]y", "xby"))
+    // '^' later in a class was already literal; unchanged
+    assert(m("x[a^]y", "x^y") && m("x[a^]y", "xay") && !m("x[a^]y", "xby"))
   }
 
   test("metricsFind expands dotted brace alternatives per-depth (r13 review)") {

@@ -173,6 +173,75 @@ object Multimodal {
     }
   }
 
+  /** Extracted audio features leaving [[audioDecode]]: container
+    * geometry plus `mean_abs`, the integer mean absolute 16-bit PCM
+    * amplitude over the first [[AudioProbeFrames]] frames of channel 0
+    * — a loudness probe computed in pure integer arithmetic (sum of
+    * |sample| then one integer division), so it is deterministic and
+    * cheap enough for a first-pass corpus filter (silence / clipped
+    * uploads).
+    */
+  final case class AudioFeatures(
+      doc_id: Long, sample_rate: Long, channels: Long, n_frames: Long,
+      mean_abs: Long)
+
+  val AudioProbeFrames = 1024
+
+  /** REAL audio decode behind the same 1→1 partition-wise contract —
+    * the audio sibling of [[imageDecode]]. `javax.sound.sampled` ships
+    * in every JDK (WAV/AIFF/AU containers, PCM codecs), so this too
+    * adds no dependency; geometry comes from the DECODED stream, and
+    * non-audio or truncated payloads drop carbon-style. Compressed
+    * formats (MP3 etc.) have no JDK service provider — a deployment
+    * drops a JavaSound SPI jar on the executor classpath and this code
+    * path is unchanged, which is the point of the contract.
+    */
+  def audioDecode(rows: Iterator[MediaRow]): Iterator[AudioFeatures] =
+    rows.flatMap { r =>
+      decodeWav(r.payload).map { case (fmt, frames, pcm) =>
+        // mean |amplitude| over channel-0 16-bit little-endian samples
+        val bytesPerFrame = fmt.getFrameSize
+        val n = math.min(AudioProbeFrames, pcm.length / math.max(1, bytesPerFrame))
+        var sum = 0L
+        var i = 0
+        while (i < n) {
+          val off = i * bytesPerFrame
+          val s = ((pcm(off + 1) << 8) | (pcm(off) & 0xff)).toShort
+          sum += math.abs(s.toLong)
+          i += 1
+        }
+        AudioFeatures(r.doc_id, fmt.getSampleRate.toLong,
+          fmt.getChannels.toLong, frames,
+          if (n == 0) 0L else sum / n)
+      }
+    }
+
+  /** Null-safe JavaSound decode to (format, frameLength, leading PCM
+    * bytes): `None` when no installed reader accepts the bytes or the
+    * stream is not 16-bit PCM (the probe's sample math assumes it — a
+    * real deployment converts via `AudioSystem.getAudioInputStream
+    * (targetFormat, in)` first).
+    */
+  private[ops] def decodeWav(
+      payload: Array[Byte]): Option[(javax.sound.sampled.AudioFormat, Long, Array[Byte])] =
+    try {
+      val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(payload))
+      val fmt = in.getFormat
+      if (fmt.getSampleSizeInBits != 16 || fmt.isBigEndian) None
+      else {
+        val want = AudioProbeFrames * fmt.getFrameSize
+        val buf = new Array[Byte](want)
+        var got = 0
+        var r = 0
+        while (got < want && r >= 0) {
+          r = in.read(buf, got, want - got)
+          if (r > 0) got += r
+        }
+        Some((fmt, in.getFrameLength, java.util.Arrays.copyOf(buf, got)))
+      }
+    } catch { case _: Exception => None }
+
   /** Null-safe ImageIO decode: `None` for bytes no installed reader
     * accepts (ImageIO.read returns null then) or that throw mid-decode
     * (truncated files).

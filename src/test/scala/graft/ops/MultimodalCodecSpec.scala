@@ -125,6 +125,50 @@ class MultimodalCodecSpec extends AnyFunSuite {
     assert(Multimodal.fitBox(32, 32, 32) == (32, 32))
   }
 
+  /** Synthesize a 16-bit little-endian PCM WAV: `n` frames of a square
+    * wave of amplitude `amp` (alternating +amp/−amp per frame — the
+    * mean |sample| is exactly `amp`, making the probe's integer math
+    * checkable without float audio DSP).
+    */
+  private def wav(n: Int, amp: Short, rate: Float = 8000f,
+      channels: Int = 1): Array[Byte] = {
+    val fmt = new javax.sound.sampled.AudioFormat(rate, 16, channels, true, false)
+    val pcm = new Array[Byte](n * 2 * channels)
+    for (i <- 0 until n; c <- 0 until channels) {
+      val v: Short = if (i % 2 == 0) amp else (-amp).toShort
+      val off = (i * channels + c) * 2
+      pcm(off) = (v & 0xff).toByte
+      pcm(off + 1) = ((v >> 8) & 0xff).toByte
+    }
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(
+      new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(pcm), fmt, n.toLong),
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, baos)
+    baos.toByteArray
+  }
+
+  test("audioDecode reads WAV geometry and the integer loudness probe") {
+    import spark.implicits._
+    val a = wav(2000, 1000)           // longer than the 1024-frame probe
+    val b = wav(100, 7, channels = 2) // shorter than the probe window
+    val junk = "definitely not audio".getBytes("UTF-8")
+    val rows = Seq(
+      Multimodal.MediaRow(1L, a, 0L),
+      Multimodal.MediaRow(2L, b, 0L),
+      Multimodal.MediaRow(3L, junk, 0L))
+    val out = spark.createDataset(rows).repartition(2)
+      .mapPartitions(Multimodal.audioDecode)
+      .collect().map(f => f.doc_id -> f).toMap
+    assert(out.keySet == Set(1L, 2L)) // junk DROPPED, not fatal
+    assert(out(1L).sample_rate == 8000L && out(1L).channels == 1L)
+    assert(out(1L).n_frames == 2000L)
+    // square wave of amplitude 1000: mean |sample| is exactly 1000
+    assert(out(1L).mean_abs == 1000L)
+    assert(out(2L).channels == 2L && out(2L).n_frames == 100L)
+    assert(out(2L).mean_abs == 7L)
+  }
+
   test("stub keys unchanged: the codec arm does not touch the oracle arm") {
     // the registered queries still run the byte stub (dims from
     // metadata arithmetic, not pixels) — pin one representative value

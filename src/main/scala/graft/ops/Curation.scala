@@ -672,6 +672,88 @@ object Curation {
     s"""WITH ${dsirModelCtes}
        |SELECT b, wq, w FROM wt ORDER BY b""".stripMargin
 
+  // ---------------------------------------------- X32b DSIR resampling
+
+  /** Documents kept by [[dsirSelect]] — the DSIR paper's selection
+    * budget (k of N proportional-to-weight, without replacement).
+    */
+  val DsirSelectK = 100
+
+  /** `dsir_select`: the RESAMPLING step DSIR's weights exist for (Xie
+    * et al. §2: sample k documents without replacement with probability
+    * ∝ exp(weight)) — implemented as deterministic Gumbel-top-k
+    * (Vieira 2014, "Gumbel-max trick"): per document draw
+    * `g = −ln(−ln(u))` from a doc-keyed hash uniform and keep the k
+    * largest `weight + g`. Every float op is portable: `u` comes from
+    * 48 md5 bits as `(h + 1/2) / 2^48` (exact scaling), both `ln`s run
+    * the [[PortableMath]] fixed-op chain, and the Gumbel noise is
+    * quantized to micro-units and ADDED to the integer micro-unit
+    * weight — the ranking key `score_q` is a BIGINT, so rank and the
+    * keep flag are exact in both engines.
+    *
+    * Scale shape: everything to `score_q` is map-side over the serve
+    * fold. The global rank is a window here (exact, and the corpus is
+    * small); at 100 TB the keep flag comes from the k-th score
+    * threshold — `TakeOrdered(k)` (orderBy+limit, per-partition top-k
+    * then a k-row merge, no global sort) broadcast back as one scalar —
+    * with only the ties AT the threshold needing the rank tie-break.
+    */
+  def dsirSelect(s: SparkSession, dir: String): DataFrame = {
+    val parts = dsirServe(s, dir)
+      .select(col("doc_id"),
+        expr(PortableMath.halfUpDivSql("sum_wqn", "n_tokens")).as("wq_doc"))
+      .withColumn("gh", md5(concat(lit("gumbel|"), col("doc_id").cast("string"))))
+      .withColumn("u48", expr(Tokens.hexPrefixExpr("gh", 12)))
+      .withColumn("u", expr(dsirUSql("u48")))
+    val lnu = PortableMath.lnColumn(parts, "u", "lnu")
+      .withColumn("nlu", expr("0e0 - lnu"))
+    val scored = PortableMath.lnColumn(lnu, "nlu", "lnv")
+      .withColumn("score_q",
+        col("wq_doc") + expr(PortableMath.microUnitsSql("(0e0 - lnv)")))
+    scored
+      .withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("score_q").desc, col("doc_id"))))
+      .select(col("doc_id"), col("score_q"),
+        (col("rk") <= DsirSelectK).cast("int").as("keep"))
+      .orderBy("doc_id")
+  }
+
+  /** The hash uniform `u ∈ (0, 1)`: 48 md5 bits offset to the bucket
+    * midpoint then scaled by the exact power-of-two 2^48 — both ops
+    * exact in IEEE doubles, so `u` is bit-identical across engines and
+    * never 0 or 1 (min ≈ 1.8e-15, inside [[PortableMath.MaxExp]]'s
+    * clamp).
+    */
+  private def dsirUSql(u48: String): String =
+    s"(CAST($u48 AS DOUBLE) + 5e-1) / 281474976710656e0"
+
+  val dsirSelectSql: String =
+    s"""WITH ${dsirModelCtes},
+       |${dsirServeCte},
+       |pw AS (
+       |  SELECT doc_id, ${PortableMath.halfUpDivSql("sum_wqn", "n_tokens")}
+       |           AS wq_doc,
+       |         md5('gumbel|' || CAST(doc_id AS VARCHAR)) AS gh
+       |  FROM serve),
+       |gu AS (
+       |  SELECT doc_id, wq_doc,
+       |         ${dsirUSql(Tokens.hexPrefixSql("gh", 12))} AS u
+       |  FROM pw),
+       |${PortableMath.lnCtesSql("gu", Seq("doc_id", "wq_doc"), "u", "lnu", "g1")},
+       |gv AS (SELECT doc_id, wq_doc, 0e0 - lnu AS nlu FROM g1ln),
+       |${PortableMath.lnCtesSql("gv", Seq("doc_id", "wq_doc"), "nlu", "lnv", "g2")},
+       |sc AS (
+       |  SELECT doc_id,
+       |         wq_doc + ${PortableMath.microUnitsSql("(0e0 - lnv)")} AS score_q
+       |  FROM g2ln),
+       |rk AS (
+       |  SELECT doc_id, score_q,
+       |         row_number() OVER (ORDER BY score_q DESC, doc_id) AS rk
+       |  FROM sc)
+       |SELECT doc_id, score_q, CAST(rk <= $DsirSelectK AS INT) AS keep
+       |FROM rk ORDER BY doc_id""".stripMargin
+
   // --------------------------------------- X47 cross-source overlap matrix
 
   /** `source_overlap`: the source-pair duplication matrix — for every

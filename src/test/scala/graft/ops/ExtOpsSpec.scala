@@ -401,6 +401,31 @@ class ExtOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("dsir_select keeps exactly K docs, biased toward target sources") {
+    // sf0.01 (500 docs), not the suite's sf0.001: K = 100 must be a
+    // strict subset for the selection to exercise anything
+    val selDir = "/root/testdata/sf0.01"
+    val sel = Curation.dsirSelect(spark, selDir)
+    val rows = sel.collect()
+    assert(rows.map(_.getLong(0)).distinct.length == rows.length)
+    assert(rows.map(_.getInt(2)).sum == Curation.DsirSelectK)
+    // Gumbel-top-k with importance weights must OVERSAMPLE the target
+    // distribution relative to its corpus share — the whole point of
+    // the resample (kept target fraction > corpus target fraction)
+    val src = spark.read.parquet(s"$selDir/documents.parquet")
+      .select(col("doc_id"), col("source")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val isT = (id: Long) => Curation.DsirTargetSources.contains(src(id))
+    val keptT = rows.filter(_.getInt(2) == 1).count(r => isT(r.getLong(0)))
+    val corpusT = src.keys.count(isT)
+    assert(keptT.toDouble / Curation.DsirSelectK >
+      corpusT.toDouble / src.size,
+      s"kept target share $keptT/${Curation.DsirSelectK} not above " +
+        s"corpus share $corpusT/${src.size}")
+    // the ranking key is exact integer micro-units: no NaN/null anywhere
+    assert(rows.forall(!_.isNullAt(1)))
+  }
+
   test("dedup_semantic equals a brute-force within-cluster recompute") {
     val out = Similarity.dedupSemantic(spark, dir).collect().map { r =>
       r.getLong(0) -> ((r.getLong(1), r.getInt(2),

@@ -151,7 +151,16 @@ object ExplainDump {
         "exchange both consumers share (ReusedExchange — the bucket " +
         "model does NOT re-scan the corpus), and the <=256-row " +
         "bucket->weight table returns via BroadcastHashJoin — real " +
-        "volume is never shuffle-joined twice."),
+        "volume is never shuffle-joined twice. Since r14 the output " +
+        "edge is pure BIGINT arithmetic (half-up integer division) " +
+        "plus ONE final CAST/1e6 — no engine-evaluated double ops."),
+    "dsir_select" ->
+      ("The DSIR resampling step: Gumbel noise (two portable-ln chains " +
+        "over a doc-keyed md5 uniform) lands as codegen'd projections " +
+        "over the serve fold — everything up to score_q is map-side; " +
+        "the only additions past dsir_weight's plan are the global " +
+        "row_number window (exact top-k; threshold-broadcast at scale) " +
+        "and the keep projection."),
     "doc_chunk" ->
       ("Overlapping token-window chunking (retrieval-corpus prep): " +
         "sequence/slice/concat_ws are codegen'd collection expressions " +

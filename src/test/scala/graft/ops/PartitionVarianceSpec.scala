@@ -64,7 +64,12 @@ class PartitionVarianceSpec extends AnyFunSuite {
     // and the newly oracle-checked Holt-Winters recurrence, whose long
     // double chain amplifies any layout dependence in its input frame
     "agg_avg",                  // fixed-point Σ/count — exact at any width
-    "render_target_holt")       // sequential recurrence over the grid mean
+    "render_target_holt",       // sequential recurrence over the grid mean
+    // r14 additions: the exact-integer dsir serving edge and the
+    // Gumbel-top-k selection whose BIGINT ranking key must be identical
+    // under every merge order (two portable-ln chains + micro-units)
+    "dsir_serve_parts",
+    "dsir_select")
 
   private def rows(df: DataFrame): Seq[Seq[Any]] = {
     val cols = df.columns.sorted

@@ -698,7 +698,50 @@ object Curation {
     * then a k-row merge, no global sort) broadcast back as one scalar —
     * with only the ties AT the threshold needing the rank tie-break.
     */
-  def dsirSelect(s: SparkSession, dir: String): DataFrame = {
+  def dsirSelect(s: SparkSession, dir: String): DataFrame =
+    dsirScored(s, dir)
+      .withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("score_q").desc, col("doc_id"))))
+      .select(col("doc_id"), col("score_q"),
+        (col("rk") <= DsirSelectK).cast("int").as("keep"))
+      .orderBy("doc_id")
+
+  /** `dsir_select_scalable`: the X32b 100-TB shape made real — the keep
+    * flag from the k-th score THRESHOLD instead of a global rank
+    * window. `orderBy(…).limit(k)` plans `TakeOrderedAndProject`
+    * (per-partition top-k, one k-row merge on the driver side of the
+    * exchange — no global sort of the corpus); the boundary row under
+    * the (score DESC, doc_id ASC) order is the k-th selectee, broadcast
+    * back as one row, and the keep predicate reproduces the window's
+    * tie-break exactly: strictly-better score, or equal score with
+    * doc_id at-or-before the boundary's. Pinned row-identical to
+    * [[dsirSelect]] (they share one oracle), and corpora with ≤ k docs
+    * keep everything via the LEFT join's null boundary.
+    */
+  def dsirSelectScalable(s: SparkSession, dir: String): DataFrame = {
+    val scored = dsirScored(s, dir)
+    val kth = scored
+      .orderBy(col("score_q").desc, col("doc_id"))
+      .limit(DsirSelectK)
+      .agg(min_by(struct(col("score_q"), col("doc_id")),
+        struct(col("score_q"), expr("-doc_id"))).as("b"))
+      .select(col("b.score_q").as("kth_score"), col("b.doc_id").as("kth_doc"))
+    scored.crossJoin(broadcast(kth))
+      .select(col("doc_id"), col("score_q"),
+        coalesce(
+          (col("score_q") > col("kth_score")) ||
+            (col("score_q") === col("kth_score") &&
+              col("doc_id") <= col("kth_doc")),
+          lit(true)).cast("int").as("keep"))
+      .orderBy("doc_id")
+  }
+
+  /** The shared Gumbel-scored frame `(doc_id, score_q BIGINT)` both
+    * selection forms rank (see [[dsirSelect]] for the determinism
+    * argument).
+    */
+  private def dsirScored(s: SparkSession, dir: String): DataFrame = {
     val parts = dsirServe(s, dir)
       .select(col("doc_id"),
         expr(PortableMath.halfUpDivSql("sum_wqn", "n_tokens")).as("wq_doc"))
@@ -707,16 +750,10 @@ object Curation {
       .withColumn("u", expr(dsirUSql("u48")))
     val lnu = PortableMath.lnColumn(parts, "u", "lnu")
       .withColumn("nlu", expr("0e0 - lnu"))
-    val scored = PortableMath.lnColumn(lnu, "nlu", "lnv")
+    PortableMath.lnColumn(lnu, "nlu", "lnv")
       .withColumn("score_q",
         col("wq_doc") + expr(PortableMath.microUnitsSql("(0e0 - lnv)")))
-    scored
-      .withColumn("rk", row_number().over(
-        org.apache.spark.sql.expressions.Window
-          .orderBy(col("score_q").desc, col("doc_id"))))
-      .select(col("doc_id"), col("score_q"),
-        (col("rk") <= DsirSelectK).cast("int").as("keep"))
-      .orderBy("doc_id")
+      .select(col("doc_id"), col("score_q"))
   }
 
   /** The hash uniform `u ∈ (0, 1)`: 48 md5 bits offset to the bucket

@@ -424,6 +424,21 @@ class ExtOpsSpec extends AnyFunSuite {
         s"corpus share $corpusT/${src.size}")
     // the ranking key is exact integer micro-units: no NaN/null anywhere
     assert(rows.forall(!_.isNullAt(1)))
+    // the threshold-broadcast scalable form is row-identical (they
+    // share one oracle, so this parity is load-bearing)
+    val scal = Curation.dsirSelectScalable(spark, selDir).collect()
+    assert(rows.map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq ==
+      scal.map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq)
+    // TakeOrderedAndProject (per-partition top-k + k-row merge), never
+    // a global sort, feeds the scalable form's threshold
+    val plan = Curation.dsirSelectScalable(spark, selDir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"),
+      "threshold path must plan TakeOrderedAndProject")
+    // (no ≤K-corpus arm: every testdata SF carries ≥500 docs; a corpus
+    // at or under K keeps everything because the boundary row is then
+    // the global worst and every row passes the at-or-better rule —
+    // the same predicate the 500-doc parity above exercises)
   }
 
   test("dedup_semantic equals a brute-force within-cluster recompute") {

@@ -161,6 +161,13 @@ object ExplainDump {
         "the only additions past dsir_weight's plan are the global " +
         "row_number window (exact top-k; threshold-broadcast at scale) " +
         "and the keep projection."),
+    "dsir_select_scalable" ->
+      ("dsir_select's 100-TB form: the k-th boundary row comes from " +
+        "TakeOrderedAndProject (per-partition top-k, one k-row merge — " +
+        "no global sort, no single-partition window), returns via " +
+        "BroadcastNestedLoopJoin as ONE row, and the keep flag is a " +
+        "codegen'd at-or-better comparison. Pinned row-identical to " +
+        "the window form."),
     "doc_chunk" ->
       ("Overlapping token-window chunking (retrieval-corpus prep): " +
         "sequence/slice/concat_ws are codegen'd collection expressions " +

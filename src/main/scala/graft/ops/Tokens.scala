@@ -6,7 +6,7 @@ package graft.ops
   * curate's gates all join on values derived from them, so a tokenization
   * tweak applied to a single copy would silently desynchronize them.
   */
-private[ops] object Tokens {
+private[graft] object Tokens {
   val toksExpr = "split(lower(text), ' ')"
   val toksSql = "string_split(lower(text), ' ')"
 

@@ -563,7 +563,49 @@ object StreamQueries {
     Dedup.cmsServe(s, dir, s.read.parquet(s"$base/counters"))
   }
 
+  /** `stream_dsir` — [[StreamDsir.scoreStream]] over the corpus staged
+    * in two doc_id waves, scored against the SAME persisted weight
+    * table the batch dsir keys serve from (collapsed to a 1-row
+    * broadcast map), so stream and batch can never score under
+    * different models. Stateless like the decontamination gate: the
+    * waves prove multi-batch planning of the stream-static broadcast
+    * and that a document's score is arrival-batch-independent — pinned
+    * by SHARING the batch `dsir_weight` oracle, integer fold and all.
+    */
+  private def ensureStreamDsir(s: SparkSession, dir: String): String = {
+    val fixture = docsWaveFixture(s, dir)
+    Dedup.sharedIndexPath(s, dir, "documents.parquet", "stream_dsir") { base =>
+      val stage = s"$base/stage"
+      val corpus = s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id").cast("long").as("doc_id"), col("text"))
+      val model = StreamDsir.modelMap(
+        Curation.dsirModel(s, dir).select(col("b"), col("wq")))
+      def runWave(wave: String, mtimeMs: Long): Unit = {
+        copyParts(s"$fixture/$wave", stage, mtimeMs)
+        val arrivals =
+          narrowSession(s).readStream.schema(corpus.schema).parquet(stage)
+        StreamDsir.scoreStream(arrivals, model)
+          .writeStream.outputMode("append")
+          .format("parquet").option("path", s"$base/out")
+          .option("checkpointLocation", s"$base/ckpt")
+          .trigger(Trigger.AvailableNow())
+          .start().awaitTermination()
+      }
+      val t0 = System.currentTimeMillis()
+      runWave("w1", t0 - 4000)
+      runWave("w2", t0 - 2000)
+    }
+  }
+
+  def streamDsir(s: SparkSession, dir: String): DataFrame = {
+    val base = ensureStreamDsir(s, dir)
+    s.read.parquet(s"$base/out")
+      .select(col("doc_id"), col("n_tokens"), col("dsir_weight"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stream_dsir" -> (streamDsir _),
     "stream_cms" -> (streamCms _),
     "stream_sketch" -> (streamSketch _),
     "stream_decontaminate" -> (streamDecontaminate _),
@@ -576,6 +618,9 @@ object StreamQueries {
     "stream_asof" -> (streamAsof _))
 
   val oracleSql: Map[String, String] = Map(
+    // stateless stream-static scoring ≡ the batch serve fold — the
+    // stream key shares dsir_weight's oracle, exact integers and all
+    "stream_dsir" -> Curation.dsirWeightSql,
     // register max-merge is order-independent ≡ the batch sketch — same oracle
     "stream_sketch" -> Dedup.sketchHllSql,
     // counter sum-merge is linear ≡ the batch build — same oracle

@@ -716,8 +716,11 @@ object Curation {
     * back as one row, and the keep predicate reproduces the window's
     * tie-break exactly: strictly-better score, or equal score with
     * doc_id at-or-before the boundary's. Pinned row-identical to
-    * [[dsirSelect]] (they share one oracle), and corpora with ≤ k docs
-    * keep everything via the LEFT join's null boundary.
+    * [[dsirSelect]] (they share one oracle). A corpus with ≤ k docs
+    * keeps everything because the boundary is then the GLOBAL worst row
+    * and every row passes the at-or-better predicate (an empty corpus
+    * emits zero rows from the cross join — there is no null-boundary
+    * path to handle).
     */
   def dsirSelectScalable(s: SparkSession, dir: String): DataFrame = {
     val scored = dsirScored(s, dir)
@@ -729,11 +732,9 @@ object Curation {
       .select(col("b.score_q").as("kth_score"), col("b.doc_id").as("kth_doc"))
     scored.crossJoin(broadcast(kth))
       .select(col("doc_id"), col("score_q"),
-        coalesce(
-          (col("score_q") > col("kth_score")) ||
-            (col("score_q") === col("kth_score") &&
-              col("doc_id") <= col("kth_doc")),
-          lit(true)).cast("int").as("keep"))
+        ((col("score_q") > col("kth_score")) ||
+          (col("score_q") === col("kth_score") &&
+            col("doc_id") <= col("kth_doc"))).cast("int").as("keep"))
       .orderBy("doc_id")
   }
 

@@ -349,7 +349,13 @@ object Dedup {
     // exists. Output rows are the identical Σ df·(df−1)/2 ordered pairs
     // the self-join emits (r14: sf0.1 median 1.16 → ~1.0 s over three
     // restricted runs; the remaining cost is the pair-agg exchange and
-    // the two size joins, ambient-bound).
+    // the two size joins, ambient-bound). MEMORY CEILING, deliberate:
+    // collect_list holds one O(df) array per shingle in a single
+    // aggregation buffer and double-explodes df² pairs from one row —
+    // fine here because this key IS the small-scale exact-oracle arm
+    // (scaladoc above); the production paths (minhash/simhash/substring
+    // keys) band or cap the Zipf head instead and never build a
+    // per-shingle doc list.
     val inter = u.groupBy("g")
       .agg(collect_list(col("doc_id")).as("ds"))
       .filter(size(col("ds")) >= 2)

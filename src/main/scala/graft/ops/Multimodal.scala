@@ -149,12 +149,17 @@ object Multimodal {
 
   /** REAL resize behind [[multimodalResize]]'s 1→1 contract: decode,
     * area-average downscale into a [[ThumbPx]]-fit box (aspect
-    * preserved), PNG re-encode; `out_len`/`out_sig8` describe the
-    * encoded thumbnail. Area-average is computed in pure integer
-    * arithmetic over floor-partitioned pixel boxes — deterministic
-    * across JVMs, unlike `Graphics2D` interpolation whose rendering
-    * hints are implementation-defined. Undecodable payloads drop, as in
-    * [[imageDecode]].
+    * preserved), PNG re-encode. Area-average is computed in pure
+    * integer arithmetic over floor-partitioned pixel boxes —
+    * deterministic across JVMs, unlike `Graphics2D` interpolation whose
+    * rendering hints are implementation-defined. `out_sig8` is
+    * therefore the md5 of the thumbnail's PIXELS (dims + RGB bytes, via
+    * [[pixelSig8]]) — NOT of the encoded PNG, whose chunk layout and
+    * compression are JDK-implementation-defined and would split any
+    * signature-keyed dedup across a heterogeneous cluster (review r14).
+    * `out_len` reports the encoded size — the storage cost on THIS JVM,
+    * informational rather than identity. Undecodable payloads drop, as
+    * in [[imageDecode]].
     */
   def imageResize(rows: Iterator[MediaRow]): Iterator[ResizedMedia] = {
     val md = java.security.MessageDigest.getInstance("MD5")
@@ -164,13 +169,36 @@ object Multimodal {
         val thumb = areaAverage(im, ow, oh)
         val baos = new java.io.ByteArrayOutputStream()
         javax.imageio.ImageIO.write(thumb, "png", baos)
-        val out = baos.toByteArray
-        md.reset()
-        val hex = md.digest(out).map("%02x".format(_)).mkString
-        ResizedMedia(r.doc_id, r.payload.length.toLong, out.length.toLong,
-          hex.substring(0, 8))
+        ResizedMedia(r.doc_id, r.payload.length.toLong,
+          baos.size().toLong, pixelSig8(thumb, md))
       }
     }
+  }
+
+  /** Deterministic image identity: md5 over `(width, height, row-major
+    * RGB triples)` of the decoded pixels — stable wherever the pixel
+    * math is, unlike encoder output bytes.
+    */
+  private[ops] def pixelSig8(im: java.awt.image.BufferedImage,
+      md: java.security.MessageDigest): String = {
+    md.reset()
+    val (w, h) = (im.getWidth, im.getHeight)
+    md.update(java.nio.ByteBuffer.allocate(8).putInt(w).putInt(h).array())
+    val rowBuf = new Array[Byte](w * 3)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val p = im.getRGB(x, y)
+        rowBuf(x * 3) = ((p >> 16) & 0xff).toByte
+        rowBuf(x * 3 + 1) = ((p >> 8) & 0xff).toByte
+        rowBuf(x * 3 + 2) = (p & 0xff).toByte
+        x += 1
+      }
+      md.update(rowBuf)
+      y += 1
+    }
+    md.digest().map("%02x".format(_)).mkString.substring(0, 8)
   }
 
   /** Extracted audio features leaving [[audioDecode]]: container
@@ -228,9 +256,20 @@ object Multimodal {
       val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
         new java.io.ByteArrayInputStream(payload))
       val fmt = in.getFormat
-      if (fmt.getSampleSizeInBits != 16 || fmt.isBigEndian) None
+      // the probe math assumes SIGNED 16-bit little-endian PCM — gate
+      // on the encoding too (an SPI-provided PCM_UNSIGNED stream would
+      // pass a bits/endian-only check and read 32768-offset garbage)
+      if (fmt.getSampleSizeInBits != 16 || fmt.isBigEndian ||
+        fmt.getEncoding != javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED ||
+        fmt.getFrameSize <= 0) None
       else {
-        val want = AudioProbeFrames * fmt.getFrameSize
+        // cap the read buffer by the PAYLOAD size: frameSize comes from
+        // an untrusted header (a crafted channels=65535 would otherwise
+        // size this at ~134 MB per row, and the resulting OOM is an
+        // Error the catch below does not stop — review r14); decoded
+        // PCM cannot exceed the container's own byte length
+        val want = math.min(
+          AudioProbeFrames.toLong * fmt.getFrameSize, payload.length.toLong).toInt
         val buf = new Array[Byte](want)
         var got = 0
         var r = 0

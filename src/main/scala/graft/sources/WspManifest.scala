@@ -180,23 +180,26 @@ object WspManifest {
     * any metric filters on the [[raw]] frame — a filter placed above
     * this aggregate cannot reach the parquet scan.
     *
-    * Ordered by `(mtime, len)`, not mtime alone: coarse filesystem
-    * mtime granularity (or a rebuild overlapping a writer append) can
-    * publish two rows for one path with EQUAL mtimes, and a bare
-    * max_by tie is ARBITRARY between runs — a reader could plan with a
-    * stale file length on one run and not the next (r13 ADVICE). The
-    * common tie (writer in-place point update racing a rebuild) carries
-    * the SAME len on both rows — whisper files are fixed-size rings —
-    * so any pick is correct; the rare different-len tie (a resize
-    * inside one mtime tick) has no ordering information left, and the
-    * lexicographic struct makes the pick at least deterministic, with
-    * the larger file winning.
+    * Ordered by `(mtime, len, schema_digest)` — a TOTAL order over the
+    * payload — not mtime alone: coarse filesystem mtime granularity (or
+    * a rebuild overlapping a writer append) can publish two rows for
+    * one path with EQUAL mtimes, and a bare max_by tie is ARBITRARY
+    * between runs — a reader could plan with a stale file length on one
+    * run and not the next (r13 ADVICE). The common tie (writer in-place
+    * point update racing a rebuild) carries the SAME len AND digest —
+    * whisper files are fixed-size rings — so any pick is correct; ties
+    * that differ in len (a resize inside one mtime tick) or in digest
+    * alone (a same-size header rewrite, e.g. an aggregation-method
+    * change) have no ordering information left, and the full
+    * lexicographic struct at least makes the pick DETERMINISTIC across
+    * runs — the property the fix is for (r14 review: the (mtime, len)
+    * form still left the same-len/different-digest tie arbitrary).
     */
   def live(rows: DataFrame): DataFrame =
     rows.groupBy(col("path"))
       .agg(max_by(
         struct(col("metric"), col("len"), col("mtime"), col("schema_digest")),
-        struct(col("mtime"), col("len"))).as("w"))
+        struct(col("mtime"), col("len"), col("schema_digest"))).as("w"))
       .select(col("w.metric").as("metric"), col("path"),
         col("w.len").as("len"), col("w.mtime").as("mtime"),
         col("w.schema_digest").as("schema_digest"))

@@ -39,17 +39,25 @@ object StreamDsir {
     */
   def scoreStream(arrivals: DataFrame, model: DataFrame): DataFrame = {
     // per-token micro-weight lookup: bucket = first md5 byte, the same
-    // Tokens.byteBucket arithmetic as training — every serving bucket
-    // exists in the map because training counted EVERY corpus token
-    val perTok =
-      s"transform(${Tokens.toksExpr}, t -> " +
-        s"element_at(wmap, ${Tokens.byteBucketExpr("md5(t)")}))"
+    // Tokens.byteBucket arithmetic as training. A bucket ABSENT from
+    // the model (trained on a sample, or a new arrival with unseen
+    // content) yields a NULL lookup — those tokens must vanish from
+    // BOTH the sum and the token count, exactly like the batch serve's
+    // inner join `docb JOIN wt USING (b)` (an unfiltered fold would
+    // instead NULL the whole sum on ONE unseen token — review r14)
+    val matched =
+      s"filter(transform(${Tokens.toksExpr}, t -> " +
+        s"element_at(wmap, ${Tokens.byteBucketExpr("md5(t)")})), " +
+        "x -> x IS NOT NULL)"
     arrivals
       .crossJoin(broadcast(model))
-      .withColumn("n_tokens", size(expr(Tokens.toksExpr)).cast("long"))
+      .withColumn("mw", expr(matched))
+      .withColumn("n_tokens", size(col("mw")).cast("long"))
+      // no matched token ⇒ no (doc, bucket) row in the batch join ⇒
+      // the doc is absent from the batch output too
       .filter(col("n_tokens") > 0)
       .withColumn("sum_wqn",
-        expr(s"aggregate($perTok, CAST(0 AS BIGINT), (acc, x) -> acc + x)"))
+        expr("aggregate(mw, CAST(0 AS BIGINT), (acc, x) -> acc + x)"))
       .select(col("doc_id"), col("n_tokens"),
         expr("CAST(" + PortableMath.halfUpDivSql("sum_wqn", "n_tokens") +
           " AS DOUBLE) / 1e6").as("dsir_weight"))

@@ -87,17 +87,19 @@ class MultimodalCodecSpec extends AnyFunSuite {
     assert(dims(1L, wide) == (32, 24))
     assert(dims(2L, tall) == (1, 32))
     assert(dims(3L, tiny) == (5, 7))
-    // out_sig8/out_len describe a REAL PNG: re-encode independently and
-    // compare — the codec path must be bit-deterministic end-to-end
+    // out_len is the encoded PNG's size (same-JVM recompute matches);
+    // out_sig8 is the md5 of the PIXELS — the JVM-independent identity
+    // (PNG encoder bytes are implementation-defined, so hashing them
+    // would split signature-keyed dedup across JDK builds)
     val im = Multimodal.decodeImage(wide).get
     val thumb = Multimodal.areaAverage(im, 32, 24)
     val baos = new java.io.ByteArrayOutputStream()
     javax.imageio.ImageIO.write(thumb, "png", baos)
-    val expect = baos.toByteArray
-    assert(out(1L).out_len == expect.length.toLong)
+    assert(out(1L).out_len == baos.size().toLong)
     val md = java.security.MessageDigest.getInstance("MD5")
-    assert(out(1L).out_sig8 ==
-      md.digest(expect).map("%02x".format(_)).mkString.substring(0, 8))
+    assert(out(1L).out_sig8 == Multimodal.pixelSig8(thumb, md))
+    // pixel identity distinguishes different thumbnails
+    assert(out(1L).out_sig8 != out(2L).out_sig8)
   }
 
   test("areaAverage equals an independent integer-box recompute") {

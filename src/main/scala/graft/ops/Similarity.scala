@@ -437,6 +437,140 @@ object Similarity {
        |FROM assign_f f LEFT JOIN best b USING (vec_id)
        |ORDER BY f.vec_id""".stripMargin
 
+  // ------------------------------------------- X67 IVF nprobe sweep
+
+  /** Probe counts swept by [[annNprobeSweep]] — powers of two up to
+    * [[NumCentroids]] (the last rung scans every cluster, so its recall
+    * is 1.0 by construction: the built-in self-check).
+    */
+  val SweepNProbes: Seq[Int] = Seq(1, 2, 4, 8, 16)
+
+  /** `ann_nprobe_sweep`: the IVF operating-point evidence — recall@k
+    * and candidates-scanned at every probe count in [[SweepNProbes]],
+    * against the brute-force top-k ground truth. The tuning curve an
+    * ANN deployment reads BEFORE committing `nprobe` (the X61
+    * threshold-sweep pattern applied to the retrieval knob): fixture
+    * shows the recall/cost knee so the default [[NProbe]] = 4 is a
+    * measured choice, not folklore.
+    *
+    * Shape: ONE scored pass — every (query, candidate) pair exists in
+    * exactly one cluster, so tagging each pair with the PRN of the
+    * candidate's cluster for that query lets all sweep arms share it:
+    * arm `np` is just `prn <= np` + the per-(np, query) top-k window,
+    * and brute force is the same frame un-filtered (prn ≤ k covers the
+    * whole corpus). Hits and candidate counts are integers; the only
+    * division is one `hits / (|Q|·k)` recall per arm on the pinned
+    * round6 — cross-engine exact because the underlying scores are the
+    * ANN keys' already-hash-matched cosines.
+    *
+    * At 100 TB the scored pass IS the expensive arm (it is deliberately
+    * the brute-force audit, run on a sample); production serving keeps
+    * the prn ≤ nprobe filter INSIDE the probe join as the ANN keys do,
+    * never materializing the full lattice.
+    */
+  def annNprobeSweep(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val (cents, assigned) = annIndexShared(s, dir, trained = false)
+    val probeW = Window.partitionBy("vec_id")
+      .orderBy(col("cscore").desc, col("cent_id"))
+    val q = assigned.select(col("vec_id"), col("embedding"), col("cn"))
+      .filter(col("vec_id") < NumQueries)
+      .crossJoin(broadcast(cents))
+      .withColumn("cscore",
+        dot_f(col("embedding"), col("ce")) / (col("cn") * col("ce_n")))
+      .withColumn("prn", row_number().over(probeW))
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
+        col("cn").as("qn"), col("cent_id").as("qcent"), col("prn"))
+    val scored = assigned.join(broadcast(q),
+        col("cent_id") === col("qcent") && col("query_id") =!= col("vec_id"))
+      .withColumn("score",
+        dot_f(col("qe"), col("embedding")) / (col("qn") * col("cn")))
+      .select(col("query_id"), col("vec_id").as("cand_id"),
+        col("score"), col("prn"))
+    val bw = Window.partitionBy("query_id")
+      .orderBy(col("score").desc, col("cand_id"))
+    val brute = scored.withColumn("brnk", row_number().over(bw))
+      .filter(col("brnk") <= TopK)
+      .select(col("query_id"), col("cand_id"))
+    val arms = scored
+      .crossJoin(broadcast(SweepNProbes.toDF("nprobe")))
+      .filter(col("prn") <= col("nprobe"))
+    val aw = Window.partitionBy("nprobe", "query_id")
+      .orderBy(col("score").desc, col("cand_id"))
+    val hits = arms.withColumn("rnk", row_number().over(aw))
+      .filter(col("rnk") <= TopK)
+      .join(brute, Seq("query_id", "cand_id"))
+      .groupBy("nprobe").agg(count(lit(1)).as("hits"))
+    arms.groupBy("nprobe").agg(count(lit(1)).as("candidates"))
+      .join(hits, Seq("nprobe"), "left")
+      .withColumn("hits", coalesce(col("hits"), lit(0L)))
+      .select(col("nprobe"), col("candidates"), col("hits"),
+        Buckets.round6(expr(
+          s"CAST(hits AS DOUBLE) / CAST(${NumQueries * TopK} AS DOUBLE)"))
+          .as("recall"))
+      .orderBy("nprobe")
+  }
+
+  /** Oracle: the IVF seed-codebook CTEs with the probe rank CARRIED
+    * (not filtered), the same one scored lattice, and the sweep arms as
+    * a VALUES cross join — window/tie-break text identical to the
+    * engine's.
+    */
+  val annNprobeSweepSql: String =
+    s"""WITH cents AS (
+       |  SELECT vec_id AS cent_id, embedding AS ce
+       |  FROM embeddings
+       |  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT $NumCentroids),
+       |assign AS (
+       |  SELECT vec_id, cent_id FROM (
+       |    SELECT e.vec_id, c.cent_id,
+       |           row_number() OVER (PARTITION BY e.vec_id
+       |             ORDER BY ${cosineSql("e.embedding", "c.ce")} DESC, c.cent_id) AS arn
+       |    FROM embeddings e, cents c)
+       |  WHERE arn = 1),
+       |q AS (
+       |  SELECT e.vec_id AS query_id, e.embedding AS qe, c.cent_id AS qcent,
+       |         row_number() OVER (PARTITION BY e.vec_id
+       |           ORDER BY ${cosineSql("e.embedding", "c.ce")} DESC, c.cent_id) AS prn
+       |  FROM embeddings e, cents c
+       |  WHERE e.vec_id < $NumQueries),
+       |scored AS (
+       |  SELECT q.query_id, e.vec_id AS cand_id,
+       |         ${cosineSql("q.qe", "e.embedding")} AS score, q.prn
+       |  FROM q
+       |  JOIN assign a ON a.cent_id = q.qcent
+       |  JOIN embeddings e ON e.vec_id = a.vec_id
+       |  WHERE e.vec_id <> q.query_id),
+       |brute AS (
+       |  SELECT query_id, cand_id FROM (
+       |    SELECT query_id, cand_id,
+       |           row_number() OVER (PARTITION BY query_id
+       |             ORDER BY score DESC, cand_id) AS brnk
+       |    FROM scored)
+       |  WHERE brnk <= $TopK),
+       |arms AS (
+       |  SELECT s.*, np.nprobe
+       |  FROM scored s
+       |  CROSS JOIN (VALUES ${SweepNProbes.map(n => s"($n)").mkString(", ")})
+       |    AS np(nprobe)
+       |  WHERE s.prn <= np.nprobe),
+       |hits AS (
+       |  SELECT nprobe, count(*) AS hits FROM (
+       |    SELECT a.nprobe, a.query_id, a.cand_id,
+       |           row_number() OVER (PARTITION BY a.nprobe, a.query_id
+       |             ORDER BY a.score DESC, a.cand_id) AS rnk
+       |    FROM arms a)
+       |  JOIN brute b USING (query_id, cand_id)
+       |  WHERE rnk <= $TopK
+       |  GROUP BY nprobe),
+       |cand AS (SELECT nprobe, count(*) AS candidates FROM arms GROUP BY nprobe)
+       |SELECT c.nprobe, c.candidates, coalesce(h.hits, 0) AS hits,
+       |       ${Buckets.round6Sql(
+                 s"CAST(coalesce(h.hits, 0) AS DOUBLE) / " +
+                   s"CAST(${NumQueries * TopK} AS DOUBLE)")} AS recall
+       |FROM cand c LEFT JOIN hits h USING (nprobe)
+       |ORDER BY c.nprobe""".stripMargin
+
   val similarityAnnIvfSql: String =
     s"""WITH cents AS (
        |  SELECT vec_id AS cent_id, embedding AS ce

@@ -75,4 +75,22 @@ class AnnRecallSpec extends AnyFunSuite {
     assert(rP >= rS, f"probing lost recall: $rP%.3f < $rS%.3f")
     assert(rP >= 0.80, f"multi-probe SRP recall degraded: $rP%.3f")
   }
+
+  test("ann_nprobe_sweep: recall/cost monotone, exhaustive arm exact") {
+    val rows = Similarity.annNprobeSweep(spark, dir).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(rows.map(_._1).toSeq == Similarity.SweepNProbes)
+    // more probed clusters can only ADD candidates and hits
+    assert(rows.sliding(2).forall { case Array(a, b) =>
+      b._2 >= a._2 && b._3 >= a._3 && b._4 >= a._4 })
+    // nprobe = NumCentroids scans every cluster: recall 1.0 BY
+    // CONSTRUCTION (the arm's candidate set IS the brute-force set) —
+    // a failure here means the sweep's ground truth diverged from its
+    // own lattice
+    assert(rows.last._4 == 1.0, s"exhaustive arm recall ${rows.last._4}")
+    // and the curve actually discriminates on this fixture
+    assert(rows.head._4 < 1.0)
+    // hits bounded by the possible total
+    assert(rows.forall(_._3 <= Similarity.NumQueries.toLong * Similarity.TopK))
+  }
 }

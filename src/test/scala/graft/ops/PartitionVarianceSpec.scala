@@ -69,7 +69,9 @@ class PartitionVarianceSpec extends AnyFunSuite {
     // Gumbel-top-k selection whose BIGINT ranking key must be identical
     // under every merge order (two portable-ln chains + micro-units)
     "dsir_serve_parts",
-    "dsir_select")
+    "dsir_select",
+    "dsir_select_scalable", // threshold twin: TakeOrdered boundary + BIGINT keys
+    "ann_nprobe_sweep")     // cosine-ranked windows + integer hit counts
 
   private def rows(df: DataFrame): Seq[Seq[Any]] = {
     val cols = df.columns.sorted

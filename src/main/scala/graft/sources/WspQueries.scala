@@ -620,7 +620,88 @@ object WspQueries {
        |ORDER BY r.metric, r.bucket_ts""".stripMargin
   }
 
+  // ----------------------- whisper-set-aggregation-method / xfilesfactor
+
+  /** The patched xFilesFactor for [[wspSetAgg]] — distinct from the
+    * fixture schema's 0.5 so a silently-dropped xff patch also reddens
+    * the hash, not only the method flip.
+    */
+  private val SetAggXff = 0.25
+
+  /** `wsp_set_agg`: the `whisper-set-aggregation-method` /
+    * `whisper-set-xfilesfactor` contrib tools END-TO-END — a private
+    * copy of the exported tree is binary-patched in place
+    * ([[WspTools.rewriteHeaders]]: Last/0.5 → Max/0.25), the schema is
+    * then RE-ADOPTED from the patched header bytes
+    * ([[graft.WhisperTable.schemaFromWspFile]] — the exact "switch to
+    * this library" motion an importing user runs), and the key serves
+    * the 1m→5m consolidation UNDER THE ADOPTED method and xff. The
+    * oracle consolidates with LITERAL max/0.25: if the 4-byte patch,
+    * the header decode, or the schema adoption dropped either change,
+    * the engine consolidates Last/0.5 and the hash reddens — the whole
+    * patch→decode→adopt→serve chain is the thing under test.
+    */
+  private def ensureSetAgg(s: SparkSession, dir: String): String =
+    Dedup.sharedIndexPath(s, dir, "events.parquet", "wsp_setagg") { base =>
+      // a PRIVATE tree copy — rewriteHeaders patches in place
+      Ingest.lwwAlign(Buckets.points(s, dir), 60)
+        .filter(col("bucket_ts") >= FromB && col("bucket_ts") < NowS)
+        .withColumn("archive", lit(0))
+        .write.format("wsp")
+        .option("retentions", graft.model.Retentions.render(schema.retentions))
+        .option("aggregationMethod", schema.method.name)
+        .option("xFilesFactor", schema.xFilesFactor.toString)
+        .mode("overwrite").save(s"$base/tree")
+      val manifest = WspTools.rewriteHeaders(s, s"$base/tree",
+        method = Some(graft.model.AggregationMethod.Max),
+        xff = Some(SetAggXff))
+      // the fixture starts Last/0.5 everywhere, so every file must have
+      // been rewritten by THIS run — an unpatched row means the export
+      // or the patch drifted
+      require(manifest.filter(!col("patched")).count() == 0,
+        "wsp_set_agg fixture: a file skipped the header patch")
+    }
+
+  /** First `.wsp` under the tree — the file the schema re-adoption
+    * decodes (trees are homogeneous here, as in [[graft.WhisperTable
+    * .importWsp]]).
+    */
+  private def firstWsp(s: SparkSession, treeDir: String): String = {
+    val root = new org.apache.hadoop.fs.Path(treeDir)
+    val fs = root.getFileSystem(s.sessionState.newHadoopConf())
+    val it = fs.listFiles(fs.makeQualified(root), true)
+    while (it.hasNext) {
+      val st = it.next()
+      if (st.isFile && st.getPath.getName.endsWith(".wsp"))
+        return st.getPath.toString
+    }
+    throw new IllegalStateException(s"no .wsp files under $treeDir")
+  }
+
+  def wspSetAgg(s: SparkSession, dir: String): DataFrame = {
+    val base = ensureSetAgg(s, dir)
+    // re-adopt the schema from the PATCHED binary header — not from the
+    // constants this file wrote; the adoption IS the test
+    val adopted = graft.WhisperTable.schemaFromWspFile(
+      s, firstWsp(s, s"$base/tree"))
+    val pts = s.read.format("wsp").load(s"$base/tree")
+      .select(col("metric"), col("ts_s").as("bucket_ts"), col("value"))
+    graft.ops.Rollup.propagate(pts, 60, 300, adopted.method,
+        adopted.xFilesFactor)
+      .select(col("metric"), col("bucket_ts"),
+        round(col("value"), 6).as("value"))
+      .orderBy("metric", "bucket_ts")
+  }
+
+  val wspSetAggSql: String =
+    s"""WITH $winCtes,
+       |r5 AS (${graft.ops.Rollup.propagateSql(
+                  "win", 60, 300, graft.model.AggregationMethod.Max, SetAggXff)})
+       |SELECT metric, bucket_ts, round(value, 6) AS value FROM r5
+       |ORDER BY metric, bucket_ts""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "wsp_set_agg" -> (wspSetAgg _),
     "wsp_roundtrip" -> (wspRoundtrip _),
     "wsp_roundtrip_multi" -> (wspRoundtripMulti _),
     "wsp_fetch" -> (wspFetch _),
@@ -635,6 +716,7 @@ object WspQueries {
     "wsp_fill_resample" -> (wspFillResample _))
 
   val oracleSql: Map[String, String] = Map(
+    "wsp_set_agg" -> wspSetAggSql,
     "wsp_roundtrip" -> wspRoundtripSql,
     "wsp_roundtrip_multi" -> wspRoundtripMultiSql,
     "wsp_fetch" -> wspFetchSql,

@@ -288,4 +288,29 @@ class WspScaleSpec extends AnyFunSuite {
       rm(new java.io.File(dir))
     }
   }
+
+  test("manifest live(): equal-mtime re-publishes resolve by a total order") {
+    // the r13 ADVICE tie-break, pinned: coarse-mtime ties pick the row
+    // that is max under (mtime, len, schema_digest) — deterministic
+    // across runs, larger payload winning — never max_by's arbitrary
+    // equal-key choice
+    import spark.implicits._
+    val rows = Seq(
+      // path a: four rows in ONE mtime tick — len breaks first, then
+      // digest among equal (mtime, len)
+      ("m.a", "/t/a.wsp", 100L, 5000L, "dig1"),
+      ("m.a", "/t/a.wsp", 164L, 5000L, "dig0"),
+      ("m.a", "/t/a.wsp", 160L, 5000L, "dig9"),
+      ("m.a", "/t/a.wsp", 164L, 5000L, "dig7"),
+      // path b: a strictly newer mtime wins regardless of len/digest
+      ("m.b", "/t/b.wsp", 9000L, 4000L, "zz"),
+      ("m.b", "/t/b.wsp", 10L, 6000L, "aa")
+    ).toDF("metric", "path", "len", "mtime", "schema_digest")
+    val live = WspManifest.live(rows).collect()
+      .map(r => r.getAs[String]("path") ->
+        ((r.getAs[Long]("len"), r.getAs[Long]("mtime"),
+          r.getAs[String]("schema_digest")))).toMap
+    assert(live("/t/a.wsp") == ((164L, 5000L, "dig7")))
+    assert(live("/t/b.wsp") == ((10L, 6000L, "aa")))
+  }
 }

@@ -627,17 +627,23 @@ object WhisperTable {
     * storage-schemas.conf pattern; import each such subtree separately);
     * files with a different ring geometry fail loudly in the scan.
     */
-  def importWsp(spark: SparkSession, treeDir: String, tablePath: String): WhisperTable = {
+  /** First `.wsp` under a tree — the file schema adoption decodes.
+    * Shared by [[importWsp]] and the `wsp_set_agg` fixture so the
+    * walk's skip rules can never diverge between them.
+    */
+  private[graft] def firstWspFile(spark: SparkSession, treeDir: String): String = {
     val (fs, dir) = fsOf(spark, treeDir)
     val it = fs.listFiles(fs.makeQualified(dir), true)
-    var first: Option[String] = None
-    while (first.isEmpty && it.hasNext) {
+    while (it.hasNext) {
       val st = it.next()
       if (st.isFile && st.getPath.getName.endsWith(".wsp"))
-        first = Some(st.getPath.toString)
+        return st.getPath.toString
     }
-    val schema = schemaFromWspFile(spark,
-      first.getOrElse(throw new IllegalStateException(s"no .wsp files under $treeDir")))
+    throw new IllegalStateException(s"no .wsp files under $treeDir")
+  }
+
+  def importWsp(spark: SparkSession, treeDir: String, tablePath: String): WhisperTable = {
+    val schema = schemaFromWspFile(spark, firstWspFile(spark, treeDir))
     val t = create(spark, tablePath, schema)
     // pinned: one byte-decode of every file — the per-level archive
     // filter cannot prune inside a file, so an unpinned plan re-decoded

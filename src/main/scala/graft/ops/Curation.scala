@@ -723,7 +723,13 @@ object Curation {
     * path to handle).
     */
   def dsirSelectScalable(s: SparkSession, dir: String): DataFrame = {
-    val scored = dsirScored(s, dir)
+    // eager checkpoint: the scored frame feeds BOTH the boundary
+    // TakeOrdered and the keep projection — without it the serve fold +
+    // Gumbel chains run twice (A/B at sf0.1 restricted: 1.77 → 1.38 s;
+    // the annNprobeSweep lattice pattern). At 100 TB the equivalent is
+    // materializing scores once and running both passes over the
+    // stored table.
+    val scored = dsirScored(s, dir).localCheckpoint(true)
     val kth = scored
       .orderBy(col("score_q").desc, col("doc_id"))
       .limit(DsirSelectK)

@@ -166,8 +166,23 @@ object ExplainDump {
         "TakeOrderedAndProject (per-partition top-k, one k-row merge — " +
         "no global sort, no single-partition window), returns via " +
         "BroadcastNestedLoopJoin as ONE row, and the keep flag is a " +
-        "codegen'd at-or-better comparison. Pinned row-identical to " +
-        "the window form."),
+        "codegen'd at-or-better comparison. The scored frame is " +
+        "eagerly checkpointed (it feeds both the boundary and the keep " +
+        "pass), so the plan shows scans of the materialized scores. " +
+        "Pinned row-identical to the window form."),
+    "ann_nprobe_sweep" ->
+      ("The IVF tuning curve: ONE scored (query, candidate) lattice — " +
+        "eagerly checkpointed because three subtrees consume it (brute " +
+        "truth, arm hits, arm candidate counts) — then per-arm " +
+        "windows over prn<=np slices and two tiny aggregates. The " +
+        "expensive pass is deliberate: this key IS the brute-force " +
+        "audit, run on a sample at scale."),
+    "wsp_set_agg" ->
+      ("whisper-set-aggregation-method end-to-end: the plan is the " +
+        "standard 1m->5m consolidation (BatchScan wsp -> partial/final " +
+        "hash aggregate with the xff gate) — the point is WHICH method " +
+        "the aggregate applies: Max/0.25 adopted from the binary-" +
+        "patched header, checked against a literal-Max oracle."),
     "doc_chunk" ->
       ("Overlapping token-window chunking (retrieval-corpus prep): " +
         "sequence/slice/concat_ws are codegen'd collection expressions " +

@@ -794,6 +794,25 @@ object Similarity {
     * brute force in AnnRecallSpec alongside IVF.
     */
   def similarityAnnPq(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir).withColumn("cn", normExpr("embedding"))
+    val short = pqAdcRanked(s, dir).filter(col("srn") <= PqShortlist)
+    val rer = short.join(e.select(col("vec_id"), col("embedding"), col("cn").as("ecn")), "vec_id")
+      .withColumn("score", dot_f(col("qe"), col("embedding")) / (col("qn") * col("ecn")))
+    val rw = Window.partitionBy("query_id").orderBy(col("score").desc, col("vec_id"))
+    rer.withColumn("rnk", row_number().over(rw))
+      .filter(col("rnk") <= TopK)
+      .select(col("query_id"), col("vec_id").as("cand_id"),
+        round(col("score"), 6).as("score"), col("rnk"))
+      .orderBy("query_id", "rnk")
+  }
+
+  /** The ADC-ranked (query, candidate) lattice shared by
+    * [[similarityAnnPq]] (which cuts it at [[PqShortlist]]) and
+    * [[annShortlistSweep]] (which carries `srn` into every arm): per
+    * pair, the four-lookup fixed-association ADC approximation ranked
+    * per query, plus the columns the exact re-rank needs.
+    */
+  private def pqAdcRanked(s: SparkSession, dir: String): DataFrame = {
     val (cb, codes) = pqIndexShared(s, dir)
     val e = emb(s, dir).withColumn("cn", normExpr("embedding"))
     val q = e.filter(col("vec_id") < NumQueries)
@@ -813,27 +832,76 @@ object Similarity {
         sum(when(col("m") === 2, col("pd"))).as("p2"),
         sum(when(col("m") === 3, col("pd"))).as("p3"))
     val sw = Window.partitionBy("query_id").orderBy(col("approx").desc, col("vec_id"))
-    val short = adc.filter(col("query_id") =!= col("vec_id"))
+    adc.filter(col("query_id") =!= col("vec_id"))
       .join(broadcast(q.select(col("query_id"), col("qn"), col("qe"))), "query_id")
       .withColumn("approx",
         (col("p0") + col("p1") + col("p2") + col("p3")) / (col("qn") * col("cn")))
       .withColumn("srn", row_number().over(sw))
-      .filter(col("srn") <= PqShortlist)
-    val rer = short.join(e.select(col("vec_id"), col("embedding"), col("cn").as("ecn")), "vec_id")
+  }
+
+  /** Shortlist sizes swept by [[annShortlistSweep]] — up to 2× the
+    * production [[PqShortlist]] so the curve shows both sides of the
+    * committed operating point.
+    */
+  val SweepShortlists: Seq[Int] = Seq(5, 10, 25, 50, 100)
+
+  /** `ann_shortlist_sweep`: the PQ tuning curve — recall@k vs the exact
+    * top-k at every ADC shortlist size in [[SweepShortlists]] — the
+    * [[annNprobeSweep]] pattern applied to the OTHER retrieval knob (how
+    * many ADC-approximate candidates get the exact re-rank). One
+    * exact-scored lattice tagged with each pair's ADC rank serves every
+    * arm (`srn ≤ S` + the per-(S, query) re-rank window) AND the brute
+    * truth (the same lattice unfiltered); eagerly checkpointed for its
+    * three consumers. Integers throughout; one round6 recall per arm.
+    * At 100 TB the lattice pass is the deliberate brute-force audit run
+    * on a sample — production serving keeps the shortlist cut inside
+    * the window as [[similarityAnnPq]] does.
+    */
+  def annShortlistSweep(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = emb(s, dir).withColumn("cn", normExpr("embedding"))
+    val lat = pqAdcRanked(s, dir)
+      .join(e.select(col("vec_id"), col("embedding"), col("cn").as("ecn")), "vec_id")
       .withColumn("score", dot_f(col("qe"), col("embedding")) / (col("qn") * col("ecn")))
-    val rw = Window.partitionBy("query_id").orderBy(col("score").desc, col("vec_id"))
-    rer.withColumn("rnk", row_number().over(rw))
+      .select(col("query_id"), col("vec_id").as("cand_id"), col("srn"),
+        col("score"))
+      .localCheckpoint(true)
+    val bw = Window.partitionBy("query_id")
+      .orderBy(col("score").desc, col("cand_id"))
+    val brute = lat.withColumn("brnk", row_number().over(bw))
+      .filter(col("brnk") <= TopK)
+      .select(col("query_id"), col("cand_id"))
+    val arms = lat
+      .crossJoin(broadcast(SweepShortlists.toDF("shortlist")))
+      .filter(col("srn") <= col("shortlist"))
+    val aw = Window.partitionBy("shortlist", "query_id")
+      .orderBy(col("score").desc, col("cand_id"))
+    val hits = arms.withColumn("rnk", row_number().over(aw))
       .filter(col("rnk") <= TopK)
-      .select(col("query_id"), col("vec_id").as("cand_id"),
-        round(col("score"), 6).as("score"), col("rnk"))
-      .orderBy("query_id", "rnk")
+      .join(brute, Seq("query_id", "cand_id"))
+      .groupBy("shortlist").agg(count(lit(1)).as("hits"))
+    arms.groupBy("shortlist").agg(count(lit(1)).as("candidates"))
+      .join(hits, Seq("shortlist"), "left")
+      .withColumn("hits", coalesce(col("hits"), lit(0L)))
+      .select(col("shortlist"), col("candidates"), col("hits"),
+        Buckets.round6(expr(
+          s"CAST(hits AS DOUBLE) / CAST(${NumQueries * TopK} AS DOUBLE)"))
+          .as("recall"))
+      .orderBy("shortlist")
   }
 
   /** Oracle: the identical train→encode→ADC→re-rank unroll as CTEs —
     * same seed order, same dropped-‖x‖² L2 argmin, same round-6/float32
     * codebook cast, same fixed-association ADC sum.
     */
-  val similarityAnnPqSql: String = {
+  /** The PQ train→encode→ADC-rank CTE chain shared by
+    * [[similarityAnnPqSql]] and [[annShortlistSweepSql]] — same seed
+    * order, same dropped-‖x‖² L2 argmin, same round-6/float32 codebook
+    * cast, same fixed-association ADC sum; the final `ranked` CTE
+    * carries the shortlist rank `srn` UN-filtered so each consumer cuts
+    * it where its own key does.
+    */
+  private val pqRankedCtes: String = {
     val ms = (0 until PqM).mkString(", ")
     def sliceSql(v: String): String =
       s"list_slice($v, t.m * $PqSubDim + 1, t.m * $PqSubDim + $PqSubDim)"
@@ -864,7 +932,7 @@ object Similarity {
         meansCte(s"cb$t", s"assign$t")
     }.mkString(",\n")
     val cbF = s"cb$PqIters"
-    s"""WITH seeds AS (
+    s"""seeds AS (
        |  SELECT vec_id, embedding,
        |         row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS k
        |  FROM embeddings
@@ -900,17 +968,21 @@ object Similarity {
        |         sum(CASE WHEN co.m = 3 THEN l.pd END) AS p3
        |  FROM codes co JOIN qlut l ON l.m = co.m AND l.k = co.code
        |  GROUP BY 1, 2),
+       |ranked AS (
+       |  SELECT a.query_id, a.vec_id,
+       |         row_number() OVER (PARTITION BY a.query_id
+       |           ORDER BY (a.p0 + a.p1 + a.p2 + a.p3) / (q.qn * n.cn) DESC,
+       |                    a.vec_id) AS srn
+       |  FROM adc a
+       |  JOIN q ON q.query_id = a.query_id
+       |  JOIN nrm n ON n.vec_id = a.vec_id
+       |  WHERE a.vec_id <> a.query_id)""".stripMargin
+  }
+
+  val similarityAnnPqSql: String =
+    s"""WITH $pqRankedCtes,
        |short AS (
-       |  SELECT query_id, vec_id FROM (
-       |    SELECT a.query_id, a.vec_id,
-       |           row_number() OVER (PARTITION BY a.query_id
-       |             ORDER BY (a.p0 + a.p1 + a.p2 + a.p3) / (q.qn * n.cn) DESC,
-       |                      a.vec_id) AS srn
-       |    FROM adc a
-       |    JOIN q ON q.query_id = a.query_id
-       |    JOIN nrm n ON n.vec_id = a.vec_id
-       |    WHERE a.vec_id <> a.query_id)
-       |  WHERE srn <= $PqShortlist),
+       |  SELECT query_id, vec_id FROM ranked WHERE srn <= $PqShortlist),
        |rer AS (
        |  SELECT s.query_id, s.vec_id AS cand_id,
        |         round(${cosineSql("q.qe", "e.embedding")}, 6) AS score,
@@ -921,7 +993,48 @@ object Similarity {
        |  JOIN embeddings e ON e.vec_id = s.vec_id)
        |SELECT query_id, cand_id, score, rnk FROM rer
        |WHERE rnk <= $TopK ORDER BY query_id, rnk""".stripMargin
-  }
+
+  /** Oracle for the shortlist sweep: the shared PQ chain with `srn`
+    * carried, the exact-scored lattice, arms as a VALUES cross join —
+    * window/tie-break text identical to the engine's.
+    */
+  val annShortlistSweepSql: String =
+    s"""WITH $pqRankedCtes,
+       |lat AS (
+       |  SELECT r.query_id, r.vec_id AS cand_id, r.srn,
+       |         ${cosineSql("q.qe", "e.embedding")} AS score
+       |  FROM ranked r
+       |  JOIN q ON q.query_id = r.query_id
+       |  JOIN embeddings e ON e.vec_id = r.vec_id),
+       |brute AS (
+       |  SELECT query_id, cand_id FROM (
+       |    SELECT query_id, cand_id,
+       |           row_number() OVER (PARTITION BY query_id
+       |             ORDER BY score DESC, cand_id) AS brnk
+       |    FROM lat)
+       |  WHERE brnk <= $TopK),
+       |arms AS (
+       |  SELECT l.*, sl.shortlist
+       |  FROM lat l
+       |  CROSS JOIN (VALUES ${SweepShortlists.map(n => s"($n)").mkString(", ")})
+       |    AS sl(shortlist)
+       |  WHERE l.srn <= sl.shortlist),
+       |hits AS (
+       |  SELECT shortlist, count(*) AS hits FROM (
+       |    SELECT a.shortlist, a.query_id, a.cand_id,
+       |           row_number() OVER (PARTITION BY a.shortlist, a.query_id
+       |             ORDER BY a.score DESC, a.cand_id) AS rnk
+       |    FROM arms a)
+       |  JOIN brute b USING (query_id, cand_id)
+       |  WHERE rnk <= $TopK
+       |  GROUP BY shortlist),
+       |cand AS (SELECT shortlist, count(*) AS candidates FROM arms GROUP BY shortlist)
+       |SELECT c.shortlist, c.candidates, coalesce(h.hits, 0) AS hits,
+       |       ${Buckets.round6Sql(
+                 s"CAST(coalesce(h.hits, 0) AS DOUBLE) / " +
+                   s"CAST(${NumQueries * TopK} AS DOUBLE)")} AS recall
+       |FROM cand c LEFT JOIN hits h USING (shortlist)
+       |ORDER BY c.shortlist""".stripMargin
 
   // --------------------------------------------------- int8 quantization
 

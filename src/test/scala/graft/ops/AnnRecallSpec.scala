@@ -93,4 +93,22 @@ class AnnRecallSpec extends AnyFunSuite {
     // hits bounded by the possible total
     assert(rows.forall(_._3 <= Similarity.NumQueries.toLong * Similarity.TopK))
   }
+
+  test("ann_shortlist_sweep: recall/cost monotone, arms sized exactly") {
+    val rows = Similarity.annShortlistSweep(spark, dir).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(rows.map(_._1).toSeq == Similarity.SweepShortlists)
+    // a larger shortlist can only ADD re-rank candidates and hits
+    assert(rows.sliding(2).forall { case Array(a, b) =>
+      b._2 >= a._2 && b._3 >= a._3 && b._4 >= a._4 })
+    // arm S re-ranks exactly min(S, corpus−1) candidates per query
+    val n = spark.read.parquet(s"$dir/embeddings.parquet").count()
+    assert(rows.forall(r =>
+      r._2 == math.min(r._1.toLong, n - 1) * Similarity.NumQueries))
+    // the curve discriminates on this fixture, and the committed
+    // PqShortlist operating point sits on it
+    assert(rows.head._4 < rows.last._4)
+    assert(rows.map(_._1).contains(Similarity.PqShortlist))
+    assert(rows.forall(_._3 <= Similarity.NumQueries.toLong * Similarity.TopK))
+  }
 }

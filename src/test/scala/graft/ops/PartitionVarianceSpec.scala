@@ -71,7 +71,8 @@ class PartitionVarianceSpec extends AnyFunSuite {
     "dsir_serve_parts",
     "dsir_select",
     "dsir_select_scalable", // threshold twin: TakeOrdered boundary + BIGINT keys
-    "ann_nprobe_sweep")     // cosine-ranked windows + integer hit counts
+    "ann_nprobe_sweep",     // cosine-ranked windows + integer hit counts
+    "ann_shortlist_sweep")  // ADC-ranked lattice + exact re-rank windows
 
   private def rows(df: DataFrame): Seq[Seq[Any]] = {
     val cols = df.columns.sorted

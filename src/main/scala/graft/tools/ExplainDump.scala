@@ -177,6 +177,12 @@ object ExplainDump {
         "windows over prn<=np slices and two tiny aggregates. The " +
         "expensive pass is deliberate: this key IS the brute-force " +
         "audit, run on a sample at scale."),
+    "ann_shortlist_sweep" ->
+      ("The PQ re-rank budget curve: the shared ADC-ranked lattice " +
+        "joined to real vectors for exact scores, eagerly checkpointed " +
+        "(three consumers), then per-arm re-rank windows and two tiny " +
+        "aggregates — the same audit shape as the nprobe sweep, on the " +
+        "other knob."),
     "wsp_set_agg" ->
       ("whisper-set-aggregation-method end-to-end: the plan is the " +
         "standard 1m->5m consolidation (BatchScan wsp -> partial/final " +

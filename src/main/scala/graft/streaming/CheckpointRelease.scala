@@ -15,14 +15,34 @@ import org.apache.spark.sql.execution.LogicalRDD
   * fix is to unpersist the checkpointed RDD itself: an eagerly
   * checkpointed Dataset's analyzed plan IS a [[LogicalRDD]] holding it.
   *
-  * Dropping the parent generation is safe once its replacement has
-  * materialized (our stores checkpoint eagerly): a local checkpoint
-  * cannot recompute lost partitions by design, and the superseded
-  * generation is no longer reachable from any live plan.
+  * Dropping a generation is safe only once no consumer can still be
+  * scanning it — a local checkpoint cannot recompute lost partitions by
+  * design, so a release under a live scan is a hard job failure, not a
+  * slowdown. The stores therefore retire generations through
+  * [[Retired]], which delays the physical release by ONE batch: a
+  * snapshot taken from `current`/`level` stays scannable through the
+  * NEXT micro-batch's merge (the advertised mid-stream-estimate use;
+  * the r14 review caught the immediate-release race). Consumers that
+  * hold a snapshot across MORE than one subsequent batch must copy it
+  * out (collect/write) — that boundary is the stores' documented
+  * contract, and transient state is bounded at two generations.
   */
 private[streaming] object CheckpointRelease {
 
   def release(df: DataFrame): Unit =
     df.queryExecution.analyzed.collectFirst { case l: LogicalRDD => l.rdd }
       .foreach { r => r.unpersist(blocking = false); () }
+
+  /** Per-store delayed-release queue: `supersede(g)` releases the
+    * generation retired one call EARLIER and parks `g`. Not
+    * thread-safe on its own — every store calls it inside its
+    * `synchronized` merge.
+    */
+  final class Retired extends Serializable {
+    private var pending: Option[DataFrame] = None
+    def supersede(df: DataFrame): Unit = {
+      pending.foreach(release)
+      pending = Some(df)
+    }
+  }
 }

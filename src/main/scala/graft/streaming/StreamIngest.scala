@@ -97,12 +97,15 @@ object StreamIngest {
         merged, schema.retentions.head.maxRetentionSeconds, nowS)
       val prev = state
       state = Some(expired.localCheckpoint(true))
-      // release the superseded checkpoint's BLOCKS now — the new state
-      // is already eagerly materialized; this must go through
-      // CheckpointRelease (Dataset.unpersist is a no-op on local
-      // checkpoint blocks — they live on the RDD, not the CacheManager)
-      prev.foreach(CheckpointRelease.release)
+      // retire the superseded checkpoint — physically released one
+      // batch LATER so a consumer's mid-stream snapshot of `current`
+      // survives this merge; must go through CheckpointRelease either
+      // way (Dataset.unpersist is a no-op on local checkpoint blocks —
+      // they live on the RDD, not the CacheManager)
+      prev.foreach(retired.supersede)
     }
+
+    private val retired = new CheckpointRelease.Retired
 
     /** Current winners: (metric, bucket_ts, value, ts_s). */
     def current: Option[DataFrame] = state
@@ -131,14 +134,6 @@ object StreamIngest {
       .foreachBatch { (batch: DataFrame, id: Long) => store.mergeBatch(batch, id) }
       .trigger(Trigger.AvailableNow())
 
-  /** Production-shaped sink: merge each micro-batch into a persistent
-    * [[graft.WhisperTable]] through the batch U2/U3 write path —
-    * streaming and batch share one implementation (semantics cannot
-    * drift), and the state IS the partitioned table (incremental per-day
-    * overwrite + cascade over touched buckets), not driver memory. F3
-    * rejects are counted per batch by `updateMany`'s lenient mode;
-    * replays are idempotent, so at-least-once delivery is safe.
-    */
   /** Carbon-daemon-shaped sink: write a point stream into a live tree of
     * whisper `.wsp` files. Each micro-batch is F3-gated, U3-routed to
     * its level, LWW-aligned per level, then slot-merged into the tree
@@ -185,6 +180,15 @@ object StreamIngest {
       nowS: Long): DataStreamWriter[Row] =
     wspWriter(points, outDir, schema, () => nowS)
 
+  /** Production-shaped sink: merge each micro-batch into a persistent
+    * [[graft.WhisperTable]] through the batch U2/U3 write path —
+    * streaming and batch share one implementation (semantics cannot
+    * drift), and the state IS the partitioned table (incremental per-day
+    * overwrite + cascade over touched buckets), not driver memory. F3
+    * rejects are counted per batch by `updateMany`'s lenient mode;
+    * replays are idempotent, so at-least-once delivery is safe. (This
+    * scaladoc sat stranded above [[wspWriter]] until the r14 review.)
+    */
   def tableWriter(
       points: DataFrame,
       table: graft.WhisperTable,

@@ -6,19 +6,25 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
 
 /** Oracle-checked STREAMING query keys — the [[graft.sources.WspQueries
-  * .wspStreamIngest]] pattern (stream → state → relational scan-back vs a
-  * batch oracle) applied to the two remaining streaming surfaces,
-  * [[StreamDedup]] and [[StreamSessionize]]. Their specs pin
-  * streaming ≡ batch in-JVM; these keys pin the same equivalence against
-  * the external DuckDB oracle, which knows nothing about micro-batches:
-  * a hash match proves the streamed state machine computes exactly the
+  * .wspStreamIngest]] pattern (stream → state → relational scan-back vs
+  * a batch oracle) applied across the streaming surface: the stateful
+  * state machines ([[StreamDedup]], [[StreamSessionize]],
+  * [[StreamRollup]]'s continuous cascade, [[StreamAsof]]'s scalar
+  * carry, the windowed agg), the mergeable-sketch folds
+  * ([[StreamSketch]]'s HLL max-merge and CMS sum-merge), and the
+  * stateless stream-static broadcast gates ([[StreamDecontaminate]],
+  * [[StreamSrpProbe]], [[StreamDsir]]). Per-key specs pin streaming ≡
+  * batch in-JVM; these keys pin the same equivalence against the
+  * external DuckDB oracle, which knows nothing about micro-batches: a
+  * hash match proves the streamed state machine computes exactly the
   * relational answer.
   *
-  * Both fixtures stage their input as parquet and run Trigger
+  * Every fixture stages its input as parquet and runs Trigger
   * .AvailableNow queries over a file stream with a shared checkpoint, so
-  * batch boundaries are DETERMINISTIC (the second query only sees files
-  * staged after the first ran) — the cross-batch state handoff is
-  * exercised by construction, not by scheduler luck.
+  * batch boundaries are DETERMINISTIC (a later query only sees files
+  * staged after the earlier ran; mtime staggering orders waves within a
+  * run) — cross-batch state handoffs are exercised by construction, not
+  * by scheduler luck.
   */
 object StreamQueries {
 
@@ -63,16 +69,43 @@ object StreamQueries {
   private def copyParts(src: String, dst: String, mtimeMs: Long): Unit = {
     val d = new java.io.File(dst)
     d.mkdirs()
-    Option(new java.io.File(src).listFiles()).getOrElse(Array())
+    val parts = Option(new java.io.File(src).listFiles()).getOrElse(Array())
       .filter(f => f.getName.startsWith("part-") &&
         f.getName.endsWith(".parquet"))
       .sortBy(_.getName)
-      .foreach { f =>
-        val out = new java.io.File(d, f.getName)
-        java.nio.file.Files.copy(f.toPath, out.toPath,
-          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-        out.setLastModified(mtimeMs)
-        ()
+    // fail LOUDLY on a missing/emptied fixture (a /tmp sweeper, a stale
+    // prune): silently copying zero files would surface only as an
+    // inscrutable empty-result oracle mismatch far from the cause (r14
+    // review)
+    require(parts.nonEmpty, s"stage fixture has no part files: $src")
+    parts.foreach { f =>
+      val out = new java.io.File(d, f.getName)
+      java.nio.file.Files.copy(f.toPath, out.toPath,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      out.setLastModified(mtimeMs)
+      ()
+    }
+  }
+
+  /** Stage the two corpus waves (mtime-ordered so wave 1's batch runs
+    * first) plus TWO far-future [[Sentinel]] flush files — the shared
+    * prefix of the sessionize and windowed-agg harnesses. Append-mode
+    * finalization uses batch N−1's watermark, so sentinel 1 advances
+    * the watermark computation and sentinel 2's batch flushes every
+    * real session/bucket; one definition so the flush machinery (mtime
+    * offsets, sentinel spacing) cannot drift between the two keys.
+    */
+  private def stageWavesWithSentinels(
+      s: SparkSession, fixture: String, stage: String): Unit = {
+    import s.implicits._
+    val t0 = System.currentTimeMillis()
+    copyParts(s"$fixture/w1", stage, t0 - 6000)
+    copyParts(s"$fixture/w2", stage, t0 - 4000)
+    Seq((Sentinel, Buckets.NowS + 10 * 86400L, 0.0),
+        (Sentinel, Buckets.NowS + 20 * 86400L, 0.0))
+      .foreach { row =>
+        Seq(row).toDF("metric", "ts_s", "value")
+          .coalesce(1).write.mode("append").parquet(stage)
       }
   }
 
@@ -185,18 +218,10 @@ object StreamQueries {
       val stage = s"$base/stage"
       val pts = Buckets.points(s, dir)
       // one AvailableNow run over mtime-ordered corpus waves + the two
-      // sentinel flush files — the ensureStreamFetchAgg shape (see its
-      // note); session state spans the wave batches inside the run, and
-      // the time-ordered waves mean no real event is ever late
-      val t0 = System.currentTimeMillis()
-      copyParts(s"$fixture/w1", stage, t0 - 6000)
-      copyParts(s"$fixture/w2", stage, t0 - 4000)
-      Seq((Sentinel, Buckets.NowS + 10 * 86400L, 0.0),
-          (Sentinel, Buckets.NowS + 20 * 86400L, 0.0))
-        .foreach { row =>
-          Seq(row).toDF("metric", "ts_s", "value")
-            .coalesce(1).write.mode("append").parquet(stage)
-        }
+      // sentinel flush files — the shared stageWavesWithSentinels shape;
+      // session state spans the wave batches inside the run, and the
+      // time-ordered waves mean no real event is ever late
+      stageWavesWithSentinels(s, fixture, stage)
       StreamSessionize
         .sessionizeStream(
           narrowSession(s).readStream.schema(pts.schema).option("maxFilesPerTrigger", 1)
@@ -283,21 +308,12 @@ object StreamQueries {
       val stage = s"$base/stage"
       val pts = Buckets.points(s, dir)
       // ONE AvailableNow run, `maxFilesPerTrigger=1`, over the staged
-      // corpus waves plus the two sentinel files (mtime-ordered):
-      // batch N's watermark comes from batch N−1, so sentinel 1
-      // advances the computation and sentinel 2's batch flushes every
-      // real bucket — the r10 shape's second query start (a full
-      // checkpoint restart, ~1.5 s of fixed harness cost) bought only
-      // the restart exercise, which StreamSpec pins separately.
-      val t0 = System.currentTimeMillis()
-      copyParts(s"$fixture/w1", stage, t0 - 6000)
-      copyParts(s"$fixture/w2", stage, t0 - 4000)
-      Seq((Sentinel, Buckets.NowS + 10 * 86400L, 0.0),
-          (Sentinel, Buckets.NowS + 20 * 86400L, 0.0))
-        .foreach { row =>
-          Seq(row).toDF("metric", "ts_s", "value")
-            .coalesce(1).write.mode("append").parquet(stage)
-        }
+      // corpus waves plus the two sentinel files — the shared
+      // stageWavesWithSentinels shape (the r10 two-query form's second
+      // start, a full checkpoint restart at ~1.5 s of fixed harness
+      // cost, bought only the restart exercise, which StreamSpec pins
+      // separately).
+      stageWavesWithSentinels(s, fixture, stage)
       StreamIngest.windowedAgg(
           narrowSession(s).readStream.schema(pts.schema).option("maxFilesPerTrigger", 1)
             .parquet(stage), 60, "1 hour")

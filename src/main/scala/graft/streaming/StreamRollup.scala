@@ -72,6 +72,10 @@ object StreamRollup {
       scala.collection.mutable.ArrayBuffer.fill[Option[DataFrame]](
         levels.size)(None)
 
+    private val retiredFine = new CheckpointRelease.Retired
+    private val retiredLevels =
+      IndexedSeq.fill(levels.size)(new CheckpointRelease.Retired)
+
     def mergeBatch(batch: DataFrame, batchId: Long): Unit = synchronized {
       val pts = batch.select(col("metric"), col("ts_s"), col("value"))
       // fine level: re-dedup (previous winners ∪ batch) on raw ts —
@@ -88,10 +92,11 @@ object StreamRollup {
       val fineCk = keptFine.localCheckpoint(true)
       val prevFine = fine
       fine = Some(fineCk)
-      // CheckpointRelease, not Dataset.unpersist — the latter is a
-      // no-op on local checkpoint blocks (RDD-persisted, CacheManager-
-      // unknown); the superseded generation must be dropped explicitly
-      prevFine.foreach(CheckpointRelease.release)
+      // retire via CheckpointRelease.Retired, not Dataset.unpersist —
+      // the latter is a no-op on local checkpoint blocks (RDD-persisted,
+      // CacheManager-unknown); the delayed release keeps a consumer's
+      // mid-stream level() snapshot scannable through this merge
+      prevFine.foreach(retiredFine.supersede)
       // whisper's propagate scope cascades: the batch's touched buckets
       // at level N realign to the touched set of level N+1
       var touched = pts.select(col("metric"),
@@ -122,7 +127,7 @@ object StreamRollup {
         val ck = kept.localCheckpoint(true)
         val prevLvl = states(i)
         states(i) = Some(ck)
-        prevLvl.foreach(CheckpointRelease.release)
+        prevLvl.foreach(retiredLevels(i).supersede)
         src = ck.select(col("metric"), col("bucket_ts"), col("value"))
         srcSpp = lvl.spp
         levels.lift(i + 1).foreach { next =>

@@ -49,10 +49,13 @@ object StreamSketch {
       val ck = merged.localCheckpoint(true)
       val prev = regs
       regs = Some(ck)
-      // drop the superseded (constant-size, but still one per batch)
-      // register generation's blocks via the RDD — see CheckpointRelease
-      prev.foreach(CheckpointRelease.release)
+      // retire the superseded (constant-size, but still one per batch)
+      // register generation — released one batch LATER so a mid-stream
+      // snapshot stays scannable (see CheckpointRelease.Retired)
+      prev.foreach(retired.supersede)
     }
+
+    private val retired = new CheckpointRelease.Retired
 
     /** Registers so far: `(bucket, m)`. */
     def current: Option[DataFrame] = regs
@@ -76,7 +79,6 @@ object StreamSketch {
       // skipped or its counts double. The batchId guard is exactly the
       // dedup Spark documents for non-idempotent foreachBatch sinks.
       if (batchId <= lastBatchId) return
-      lastBatchId = batchId
       val b = Dedup.cmsCounters(docs)
       val merged = counters match {
         case None => b
@@ -86,8 +88,16 @@ object StreamSketch {
       val ck = merged.localCheckpoint(true)
       val prev = counters
       counters = Some(ck)
-      prev.foreach(CheckpointRelease.release)
+      // record the id ONLY after the merge materialized (Spark's
+      // documented order: process, then mark). The r14 review caught
+      // the inverted form: marking first meant a batch whose
+      // checkpoint THREW was skipped on its at-least-once retry and
+      // its counts were lost forever.
+      lastBatchId = batchId
+      prev.foreach(retired.supersede)
     }
+
+    private val retired = new CheckpointRelease.Retired
 
     /** Counters so far: `(r, c, n)`. */
     def current: Option[DataFrame] = counters

@@ -231,9 +231,11 @@ class StreamIngestSpec extends AnyFunSuite {
     // teeth check: local checkpoints DO register persistent RDDs — if
     // this stops holding, the leak assertion below is vacuous
     assert(sawRegistered, "no checkpoint RDD ever registered; test is vacuous")
-    // one LIVE generation may remain registered; five would mean the
-    // superseded ones leaked (the pre-fix behavior)
-    assert(persisted - before <= 1,
+    // the LIVE generation plus ONE retired-but-not-yet-released one may
+    // remain registered (CheckpointRelease.Retired delays the physical
+    // release by a batch so mid-stream snapshots stay scannable — r14);
+    // five would mean the superseded ones leaked (the pre-fix behavior)
+    assert(persisted - before <= 2,
       s"superseded checkpoint generations leaked: $before -> $persisted")
     assert(store.current.get.count() == 1L)
   }

@@ -154,6 +154,43 @@ object Bench {
       }
       full ++ clipped
     } catch { case _: Throwable => Map.empty }
+    def json(xs: Seq[(String, Double)]): String =
+      xs.map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
+    // Canary normalization (r14 verdict #1): r14's driver medians rose
+    // 13% across keys whose code was UNTOUCHED — the tripwire could not
+    // distinguish "rig ran hot" from "plan regressed". A small set of
+    // plan-frozen keys (code untouched for >=5 rounds, spanning the
+    // parquet-scan, wsp-decode, hash-agg and join shapes) measures the
+    // rig itself: their median now/prev ratio is this round's ambient
+    // factor, and the tripwire threshold scales by it. The set mixes
+    // the three sub-0.2s keys the r14 verdict named with two mid-weight
+    // keys above the tripwire's own 0.2s noise floor so one jittery
+    // sub-noise draw cannot swing the median of five.
+    val CanaryKeys =
+      Seq("scan_points", "wsp_roundtrip", "doc_fingerprint", "agg_sum",
+        "fetch_many")
+    val canaryRatios = CanaryKeys.flatMap { k =>
+      for {
+        p <- prevBench.get(k) if p > 0
+        r <- results.find(_._1 == k)
+      } yield (k, r._2 / p)
+    }
+    val canaryRatio =
+      if (canaryRatios.isEmpty) 1.0
+      else canaryRatios.map(_._2).sorted.apply(canaryRatios.size / 2)
+    // floor 1.0: a lucky fast rig must not tighten the gate and
+    // manufacture regressions; cap 2.0: past that the rig is too noisy
+    // to grade AND a real regression inside a canary key itself must
+    // not relax the whole round's gate unboundedly
+    val canaryNorm = math.max(1.0, math.min(2.0, canaryRatio))
+    // printed AFTER the big per-key line (below) so it survives the
+    // driver's keep-the-tail stdout truncation
+    // per-key ratios print under a `canary_` prefix so a tail-truncated
+    // artifact can never feed a RATIO into next round's parsePrevBench
+    // as if it were that key's previous MEDIAN
+    val canaryLine = s"""{"metric":"canary","ratio":$canaryRatio,""" +
+      s""""norm":$canaryNorm,"keys":${
+        json(canaryRatios.map { case (k, v) => ("canary_" + k, v) })}}"""
     val slower = results.flatMap { case (k, med, _, times) =>
       // 0.2 s floor: sub-noise keys flap on scheduler jitter, not plans.
       // Consistency gate (r12 verdict #5, tightened r14 per ADVICE):
@@ -164,13 +201,14 @@ object Bench {
       // 0.98/0.64/0.53 vs prev 0.40). The r13 every-run form let a
       // genuine regression hide behind ONE lucky scheduler draw; the
       // run spread is emitted alongside so warmup-slope false positives
-      // can still be re-graded.
+      // can still be re-graded. Since r15 the 1.5x threshold scales by
+      // the canary norm above, so an ambient-hot rig doesn't flag
+      // untouched keys (r14's false-positive cluster).
       prevBench.get(k)
-        .filter(p => p >= 0.2 && times.count(_ > p * 1.5) * 2 > times.size)
+        .filter(p => p >= 0.2 &&
+          times.count(_ > p * 1.5 * canaryNorm) * 2 > times.size)
         .map(p => (k, p, med, times))
     }
-    def json(xs: Seq[(String, Double)]): String =
-      xs.map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
     val qs = json(results.map(r => (r._1, r._2)))
     val cold = json(results.map(r => (r._1, r._3)))
     val total = results.map(_._2).sum
@@ -203,10 +241,12 @@ object Bench {
     if (only.isEmpty)
       try java.nio.file.Files.writeString(
         java.nio.file.Paths.get("BENCH_FULL.json"),
-        fullLine + "\n" + s"""{"metric":"runs","queries_runs":$runsJson}""" + "\n")
+        fullLine + "\n" + s"""{"metric":"runs","queries_runs":$runsJson}""" +
+          "\n" + canaryLine + "\n")
       catch { case _: Throwable => () }
     // between the big map and the final summary so it survives the
     // driver's keep-the-tail stdout truncation
+    println(canaryLine)
     if (slower.nonEmpty)
       println(slower.map { case (k, p, n, ts) =>
         f""""$k":{"prev":$p%.2f,"now":$n%.2f,"runs":[""" +
@@ -245,7 +285,7 @@ object Bench {
   private[graft] def parsePrevBench(raw: String): Map[String, Double] = {
     val txt = raw.replace("\\\"", "\"")
     val meta = Set("n", "rc", "cpus", "sf", "value", "total_cold", "runs",
-      "keys", "prev", "now")
+      "keys", "prev", "now", "ratio", "norm")
     val pair = "\"([A-Za-z0-9_]+)\":([0-9]+\\.?[0-9]*(?:[Ee][+-]?[0-9]+)?)".r
     def scan(section: String): Map[String, Double] =
       pair.findAllMatchIn(section)

@@ -51,6 +51,23 @@ class BenchParseSpec extends AnyFunSuite {
       "cold survivors must not shadow the median map")
   }
 
+  test("r15+ canary line cannot shadow medians or inject fake keys") {
+    // since r15 a canary line (`{"metric":"canary","ratio":…,"norm":…,
+    // "keys":{"canary_<key>":ratio,…}}`) prints AFTER the median map and
+    // is persisted in BENCH_FULL.json. The parser must (a) not let a
+    // canary RATIO masquerade as a key's previous MEDIAN — guaranteed by
+    // the canary_ name prefix — and (b) drop the ratio/norm meta fields.
+    val withCanary =
+      """{"metric":"total","queries":{"scan_points":0.11,"q_b":0.5},""" +
+        """"sf":"/d"}""" + "\n" +
+        """{"metric":"canary","ratio":1.4,"norm":1.4,""" +
+        """"keys":{"canary_scan_points":1.4,"canary_q_b":1.3}}"""
+    val m = Bench.parsePrevBench(withCanary)
+    assert(m("scan_points") == 0.11, "canary ratio must not shadow a median")
+    assert(!m.contains("ratio") && !m.contains("norm"),
+      "canary meta fields must not masquerade as query keys")
+  }
+
   test("garbage input yields an empty map, never a throw") {
     assert(Bench.parsePrevBench("").isEmpty)
     // wrapper fields with string values must not produce entries at all

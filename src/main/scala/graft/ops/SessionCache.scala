@@ -12,17 +12,32 @@ import org.apache.spark.sql.SparkSession
   * ever be collected: a stopped session plus its `InMemoryFileIndex`
   * leaked for the JVM lifetime (r13 ADVICE). Weak keys alone cannot fix
   * a value→key strong reference; this helper evicts EXPLICITLY instead,
-  * via a `SparkListener` fired on application end. The listener itself
-  * is owned by the context's listener bus and is released when the
-  * context stops, so it adds no pin of its own. (`SparkSession.stop()`
-  * stops the underlying context, so application end IS session end for
-  * every lifecycle this engine runs; sibling `newSession()` clones die
-  * with the same context.)
+  * two ways:
+  *
+  *   - on application end, via a `SparkListener` (the listener itself is
+  *     owned by the context's listener bus and is released when the
+  *     context stops, so it adds no pin of its own; `SparkSession.stop()`
+  *     stops the underlying context, so application end covers every
+  *     whole-JVM lifecycle this engine runs);
+  *   - by an LRU cap of [[SessionCache.MaxSessions]] session entries —
+  *     sibling `newSession()` clones have no close event while the
+  *     shared context lives (r14 ADVICE: a long-lived multi-session
+  *     server discarding clones would pin their caches forever), so the
+  *     map is access-ordered and the eldest session's entry drops when a
+  *     new one would exceed the cap. Eviction only costs a rebuild on
+  *     the (unlikely) next use of an evicted-but-live session; values
+  *     are derived caches, never state.
   */
 final class SessionCache[V] {
 
-  private val cache = new java.util.WeakHashMap[
-    SparkSession, scala.collection.concurrent.TrieMap[String, V]]
+  private val cache = new java.util.LinkedHashMap[
+      SparkSession, scala.collection.concurrent.TrieMap[String, V]](
+      16, 0.75f, /* accessOrder = */ true) {
+    override def removeEldestEntry(
+        e: java.util.Map.Entry[
+          SparkSession, scala.collection.concurrent.TrieMap[String, V]])
+        : Boolean = size > SessionCache.MaxSessions
+  }
 
   /** The session's path-keyed map, creating (and wiring eviction) on
     * first access.
@@ -56,4 +71,16 @@ final class SessionCache[V] {
   def invalidate(path: String): Unit = cache.synchronized {
     cache.values.forEach(m => { m.remove(path); () })
   }
+
+  /** Live session entries — test/introspection hook for the LRU cap. */
+  private[ops] def size: Int = cache.synchronized(cache.size)
+}
+
+object SessionCache {
+  /** Per-JVM bound on session entries per cache instance. Generous for
+    * this engine's lifecycles (one root session + one narrow clone per
+    * streaming key ⇒ well under 20) while bounding a server that churns
+    * clones.
+    */
+  val MaxSessions = 64
 }

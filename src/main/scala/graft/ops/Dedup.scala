@@ -348,8 +348,8 @@ object Dedup {
     // vast majority of a natural corpus — drop before any pair row
     // exists. Output rows are the identical Σ df·(df−1)/2 ordered pairs
     // the self-join emits (r14: sf0.1 median 1.16 → ~1.0 s over three
-    // restricted runs; the remaining cost is the pair-agg exchange and
-    // the two size joins, ambient-bound). MEMORY CEILING, deliberate:
+    // restricted runs; r15 removed the two shuffled size joins — see the
+    // broadcast note below). MEMORY CEILING, deliberate:
     // collect_list holds one O(df) array per shingle in a single
     // aggregation buffer and double-explodes df² pairs from one row —
     // fine here because this key IS the small-scale exact-oracle arm
@@ -363,9 +363,19 @@ object Dedup {
       .select(col("doc_a"), explode(col("ds")).as("doc_b"))
       .filter(col("doc_a") < col("doc_b"))
       .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("x"))
+    // sizes is ONE row per document — broadcast both lookups (r14
+    // verdict #4) so the pair frame is never re-shuffled by doc_a/doc_b:
+    // the plan is now one exchange of the shingle index (the grouped
+    // collect), one pair-agg exchange, and two broadcast hash joins. At
+    // full corpus scale a per-doc table stops broadcasting and the
+    // shuffled joins return — acceptable, because this key IS the
+    // small-scale exact-oracle arm (scaladoc above); the production
+    // paths never materialize per-pair rows at all.
     inter
-      .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sz", "na"), "doc_a")
-      .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sz", "nb"), "doc_b")
+      .join(broadcast(sizes.withColumnRenamed("doc_id", "doc_a")
+        .withColumnRenamed("sz", "na")), "doc_a")
+      .join(broadcast(sizes.withColumnRenamed("doc_id", "doc_b")
+        .withColumnRenamed("sz", "nb")), "doc_b")
       .withColumn("jaccard", col("x").cast("double") / (col("na") + col("nb") - col("x")))
       .filter(col("jaccard") >= 0.5)
       .select(col("doc_a"), col("doc_b"),

@@ -386,8 +386,22 @@ object ExplainDump {
         "df=1 shingles drop before any pair exists, pairs generate by " +
         "double explode of the per-shingle doc list (no index self-join " +
         "— the r13 form shuffled the index twice and joined), then the " +
-        "pair-count hash aggregate and two size joins. Output is the " +
-        "identical ordered-pair set the oracle's self-join emits."),
+        "pair-count hash aggregate and two BROADCAST size joins (one " +
+        "row per doc; the r14 form re-shuffled the pair frame twice). " +
+        "Output is the identical ordered-pair set the oracle's " +
+        "self-join emits."),
+    "multimodal_decode_real" ->
+      ("The real-codec oracle gate: BMP fixture synthesis, the REAL " +
+        "javax.imageio decode and the REAL integer area-average " +
+        "thumbnail all run inside ONE partition-wise object map over " +
+        "the documents scan — zero shuffles before the final doc_id " +
+        "output sort; cost is linear in payload bytes and parallelizes " +
+        "per file split."),
+    "multimodal_audio_real" ->
+      ("The audio sibling of the real-codec gate: WAV synthesis, the " +
+        "REAL JavaSound header/PCM decode and the integer loudness " +
+        "probe in ONE partition-wise object map after the 8-byte id " +
+        "fan-out; no joins, no aggregates, output sort only."),
     "carbon_ingest" ->
       ("The carbon line-protocol ingest: one text scan, a codegen'd " +
         "split/try_cast projection (malformed lines drop in the same " +

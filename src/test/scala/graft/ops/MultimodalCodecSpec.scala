@@ -171,6 +171,141 @@ class MultimodalCodecSpec extends AnyFunSuite {
     assert(out(2L).mean_abs == 7L)
   }
 
+  test("multimodal_decode_real: BMP fixture round-trips the REAL decoder") {
+    // the oracle-gated key (r15): synthesized uncompressed BMP → REAL
+    // javax.imageio decode → REAL integer area-average thumbnail. Pin
+    // (a) a full independent recompute for every doc — straight from
+    // fixturePixel, floor boxes, integer means, NOT through areaAverage
+    // or the BMP bytes — and (b) two rows against values computed by a
+    // SEPARATE engine (DuckDB, running multimodalDecodeRealSql), so the
+    // spec fails if either engine's arithmetic drifts.
+    val out = Multimodal.multimodalDecodeReal(spark, "/root/testdata/sf0.001")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getLong(5), r.getLong(6), r.getLong(7))).toMap
+    assert(out.size == 500)
+    assert(out(0L) == ((40L, 33L, 32L, 26L, 104360L, 109448L, 28664L)))
+    assert(out(123L) == ((43L, 34L, 32L, 25L, 102849L, 116623L, 103446L)))
+    for ((id, (w, h, tw, th, rs, gs, bs)) <- out) {
+      val (ew, eh) = Multimodal.fixtureDims(id)
+      assert((w, h) == ((ew.toLong, eh.toLong)), s"dims doc $id")
+      val (etw, eth) = Multimodal.fitBox(ew, eh, Multimodal.ThumbPx)
+      assert((tw, th) == ((etw.toLong, eth.toLong)), s"thumb dims doc $id")
+      var (ers, egs, ebs) = (0L, 0L, 0L)
+      for (oy <- 0 until eth; ox <- 0 until etw) {
+        val (x0, x1) = (ox * ew / etw, (ox + 1) * ew / etw)
+        val (y0, y1) = (oy * eh / eth, (oy + 1) * eh / eth)
+        var (sr, sg, sb, n) = (0L, 0L, 0L, 0L)
+        for (y <- y0 until y1; x <- x0 until x1) {
+          val (r, g, b) = Multimodal.fixturePixel(id, x, y)
+          sr += r; sg += g; sb += b; n += 1
+        }
+        ers += sr / n; egs += sg / n; ebs += sb / n
+      }
+      assert((rs, gs, bs) == ((ers, egs, ebs)), s"channel sums doc $id")
+    }
+  }
+
+  test("bmp24 payload bytes are the documented raw layout") {
+    // 2×2 image with distinct channel values; row stride pads 6 → 8
+    val b = Multimodal.bmp24(2, 2, (x, y) => (10 * (x + 1), 20 * (y + 1), x + y))
+    assert(b.length == 54 + 16)
+    assert(b(0) == 'B'.toByte && b(1) == 'M'.toByte)
+    // bottom-up: first stored row is y=1 → pixel (0,1) = (10, 40, 1) as BGR
+    assert((b(54), b(55), b(56)) == ((1.toByte, 40.toByte, 10.toByte)))
+    // and ImageIO agrees with the formula at every pixel
+    val im = Multimodal.decodeImage(b).get
+    for (y <- 0 until 2; x <- 0 until 2) {
+      val p = im.getRGB(x, y)
+      assert((((p >> 16) & 0xff), ((p >> 8) & 0xff), (p & 0xff)) ==
+        ((10 * (x + 1), 20 * (y + 1), x + y)), s"pixel ($x,$y)")
+    }
+  }
+
+  test("mjpegFrameDecode samples and really decodes generated MJPEG") {
+    import spark.implicits._
+    // 8 JPEG frames of distinct sizes, concatenated — a valid MJPEG
+    // stream; plus inter-frame garbage and a truncated final frame
+    def jpeg(w: Int, h: Int): Array[Byte] = {
+      val baos = new java.io.ByteArrayOutputStream()
+      assert(javax.imageio.ImageIO.write(gradient(w, h), "jpg", baos))
+      baos.toByteArray
+    }
+    val frames = (0 until 8).map(i => jpeg(16 + 2 * i, 12 + i))
+    val clean = frames.reduce(_ ++ _)
+    val messy = "junk".getBytes("UTF-8") ++ frames(0) ++
+      "pad".getBytes("UTF-8") ++ frames(1) ++
+      frames(2).dropRight(4) // truncated tail: no EOI → dropped
+    val rows = Seq(
+      Multimodal.MediaRow(1L, clean, 0L),
+      Multimodal.MediaRow(2L, messy, 0L),
+      Multimodal.MediaRow(3L, "not video".getBytes("UTF-8"), 0L))
+    val out = spark.createDataset(rows).repartition(2)
+      .mapPartitions(Multimodal.mjpegFrameDecode)
+      .collect().groupBy(_.doc_id)
+    // doc 1: 8 frames, stride 3 → indices 0, 3, 6; REAL decoded dims
+    val d1 = out(1L).sortBy(_.frame_idx)
+    assert(d1.map(_.frame_idx).toSeq == Seq(0L, 3L, 6L))
+    assert(d1.map(f => (f.width, f.height)).toSeq ==
+      Seq((16L, 12L), (22L, 15L), (28L, 18L)))
+    // distinct content → distinct pixel signatures
+    assert(d1.map(_.sig8).distinct.length == 3)
+    // doc 2: garbage skipped, truncated tail dropped → 2 whole frames,
+    // sampled at stride 3 → only index 0 survives
+    assert(out(2L).map(_.frame_idx).toSeq == Seq(0L))
+    assert((out(2L).head.width, out(2L).head.height) == ((16L, 12L)))
+    // doc 3: no SOI/EOI at all → no frames, row-wise drop, no failure
+    assert(!out.contains(3L))
+  }
+
+  test("splitMjpeg is exact on marker boundaries") {
+    val f0 = {
+      val baos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(gradient(8, 8), "jpg", baos)
+      baos.toByteArray
+    }
+    // frames re-split to the exact original byte spans
+    val got = Multimodal.splitMjpeg(f0 ++ f0 ++ f0).toSeq
+    assert(got.length == 3 && got.forall(_.sameElements(f0)))
+    assert(Multimodal.splitMjpeg(Array[Byte]()).isEmpty)
+    assert(Multimodal.splitMjpeg("no markers".getBytes("UTF-8")).isEmpty)
+  }
+
+  test("multimodal_audio_real: WAV fixture round-trips the REAL decoder") {
+    // the audio sibling of the BMP gate: hand-rolled canonical WAV →
+    // REAL javax.sound.sampled decode → integer probe. Pin (a) a full
+    // independent recompute per doc straight from audioFixtureSample —
+    // not through the WAV bytes or audioDecode — and (b) rows against
+    // values computed by DuckDB running multimodalAudioRealSql.
+    val out = Multimodal.multimodalAudioReal(spark, "/root/testdata/sf0.001")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(out.size == 500)
+    assert(out(0L) == ((8000L, 1L, 800L, 1012L)))
+    assert(out(123L) == ((8000L, 2L, 1161L, 981L)))
+    for ((id, (rate, ch, frames, meanAbs)) <- out) {
+      val (ech, efr) = Multimodal.audioFixtureGeo(id)
+      assert((rate, ch, frames) == ((8000L, ech.toLong, efr.toLong)),
+        s"geometry doc $id")
+      val n = math.min(Multimodal.AudioProbeFrames, efr)
+      val want = (0 until n)
+        .map(i => math.abs(Multimodal.audioFixtureSample(id, i, 0)).toLong)
+        .sum / n
+      assert(meanAbs == want, s"probe doc $id")
+    }
+  }
+
+  test("wav16 payload bytes are the documented canonical layout") {
+    val b = Multimodal.wav16(8000, 2, 3, (i, c) => 100 * i + c - 50)
+    assert(b.length == 44 + 3 * 2 * 2)
+    assert(new String(b, 0, 4, "US-ASCII") == "RIFF")
+    assert(new String(b, 8, 8, "US-ASCII") == "WAVEfmt ")
+    assert(new String(b, 36, 4, "US-ASCII") == "data")
+    // frame 1, channel 1 = 51 → little-endian at offset 44 + (1*2+1)*2
+    val off = 44 + 3 * 2
+    assert(((b(off) & 0xff) | (b(off + 1) << 8)).toShort == 51.toShort)
+  }
+
   test("stub keys unchanged: the codec arm does not touch the oracle arm") {
     // the registered queries still run the byte stub (dims from
     // metadata arithmetic, not pixels) — pin one representative value

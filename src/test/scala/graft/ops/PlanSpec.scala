@@ -932,6 +932,34 @@ class PlanSpec extends AnyFunSuite {
       s"serving does not read the persisted index:\n$p")
   }
 
+  test("dedup_ngram_jaccard size lookups broadcast — pairs never re-shuffle") {
+    // r15: sizes is one row per document, so both size joins must be
+    // broadcast hash joins; a SortMergeJoin/ShuffledHashJoin here means
+    // the Σdf(df−1)/2 pair frame is being exchanged twice for a lookup
+    // a few KB wide (the r14 shape this replaced)
+    val p = plan(Dedup.dedupNgramJaccard(spark, dir))
+    assert(p.contains("BroadcastHashJoin"),
+      s"size lookups lost their broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      s"pair frame re-shuffled for a per-doc size lookup:\n$p")
+  }
+
+  test("multimodal_decode_real is one shuffle-free codec map + output sort") {
+    // the real-codec oracle key: fixture synthesis, imageio decode and
+    // the integer thumbnail all live in ONE partition-wise object map;
+    // the only exchange is the final doc_id output ordering, and there
+    // is no join anywhere
+    val p = plan(Multimodal.multimodalDecodeReal(spark, dir))
+    assert(!p.contains("Join"), s"unexpected join in the codec plan:\n$p")
+    // exactly two exchanges: the 8-byte id fan-out BEFORE the codec map
+    // (one small split would otherwise serialize the whole decode on a
+    // single core) and the final doc_id output ordering
+    assert("(?m)^\\(\\d+\\) Exchange".r.findAllIn(p).size <= 2,
+      s"codec plan shuffles more than fan-out + output sort:\n$p")
+    assert(p.contains("MapPartitions"),
+      s"partition-wise codec stage missing:\n$p")
+  }
+
   test("cluster_stats is an index read — no training stage in the audit") {
     // same contract as the ANN serving pin: the audit reads the
     // persisted codebook + assignment and aggregates; the Lloyd/assign

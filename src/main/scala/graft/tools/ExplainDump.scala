@@ -393,10 +393,12 @@ object ExplainDump {
     "multimodal_decode_real" ->
       ("The real-codec oracle gate: BMP fixture synthesis, the REAL " +
         "javax.imageio decode and the REAL integer area-average " +
-        "thumbnail all run inside ONE partition-wise object map over " +
-        "the documents scan — zero shuffles before the final doc_id " +
-        "output sort; cost is linear in payload bytes and parallelizes " +
-        "per file split."),
+        "thumbnail all run inside ONE partition-wise object map; the " +
+        "only exchanges are the 8-byte id fan-out ahead of the codec " +
+        "stage (one small split would serialize the decode loop on a " +
+        "single core) and the doc_id output sort. Cost is linear in " +
+        "payload bytes; at 100 TB the fan-out is the media column's " +
+        "own file splits."),
     "multimodal_audio_real" ->
       ("The audio sibling of the real-codec gate: WAV synthesis, the " +
         "REAL JavaSound header/PCM decode and the integer loudness " +

@@ -338,7 +338,16 @@ object Dedup {
     * token shingles, threshold 0.5. The correctness oracle for the LSH
     * path — O(pairs-sharing-a-shingle), small-scale only (scaladoc above).
     */
-  def dedupNgramJaccard(s: SparkSession, dir: String): DataFrame = {
+  def dedupNgramJaccard(s: SparkSession, dir: String): DataFrame =
+    exactJaccardPairs(s, dir).orderBy("doc_a", "doc_b")
+
+  /** The full exact-Jaccard pair frame `(doc_a, doc_b, jaccard ≥ 0.5)`,
+    * unordered — single-sourced between [[dedupNgramJaccard]] (which
+    * just orders it) and [[minhashBandSweep]] (which uses it as the
+    * ground truth its recall is measured against), so the sweep can
+    * never audit different pair semantics than the exact key serves.
+    */
+  private def exactJaccardPairs(s: SparkSession, dir: String): DataFrame = {
     // all consumers scan the materialized shared shingle index
     val u = shingleSetShared(s, dir)
     val sizes = u.groupBy("doc_id").agg(count(lit(1)).as("sz"))
@@ -380,16 +389,22 @@ object Dedup {
       .filter(col("jaccard") >= 0.5)
       .select(col("doc_a"), col("doc_b"),
         Buckets.round6(col("jaccard")).as("jaccard"))
-      .orderBy("doc_a", "doc_b")
   }
 
-  val dedupNgramJaccardSql: String =
-    s"""WITH $shingleUSql,
+  /** Shared exact-pair CTE chain (`shingle_u`, `sizes`, `inter`) —
+    * single-sourced between [[dedupNgramJaccardSql]] and
+    * [[minhashBandSweepSql]] like the engine-side [[exactJaccardPairs]].
+    */
+  private val exactPairCtes: String =
+    s"""$shingleUSql,
        |sizes AS (SELECT doc_id, count(*) AS sz FROM shingle_u GROUP BY 1),
        |inter AS (
        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS x
        |  FROM shingle_u a JOIN shingle_u b ON a.g = b.g AND a.doc_id < b.doc_id
-       |  GROUP BY 1, 2)
+       |  GROUP BY 1, 2)""".stripMargin
+
+  val dedupNgramJaccardSql: String =
+    s"""WITH $exactPairCtes
        |SELECT doc_a, doc_b,
        |       ${Buckets.round6Sql("CAST(x AS DOUBLE) / (na.sz + nb.sz - x)")}
        |         AS jaccard
@@ -639,6 +654,131 @@ object Dedup {
        |JOIN sizes na ON na.doc_id = m.doc_a
        |JOIN sizes nb ON nb.doc_id = m.doc_b
        |ORDER BY m.doc_a, m.doc_b""".stripMargin
+
+  // --------------------------------------------- X69 LSH banding sweep
+
+  /** Rows-per-band values swept by [[minhashBandSweep]] — every divisor
+    * banding of the [[MinhashSeeds]] = 16 signature with r ≥ 2. r = 1
+    * is EXCLUDED deliberately: a one-row band buckets on a single
+    * minhash component, and any corpus-common shingle that wins the min
+    * for some seed puts a large fraction of the corpus into ONE bucket
+    * — the degenerate quadratic case LSH banding exists to avoid (the
+    * production floor is r = 2 for the same reason).
+    */
+  val SweepBandRows: Seq[Int] = Seq(2, 4, 8, 16)
+
+  /** `minhash_band_sweep`: the LSH operating-point evidence for the
+    * DEDUP retrieval knob — the X67/X68 tuning-curve pattern applied to
+    * banding. For every (bands × rows) split of the 16-component
+    * signature with r ≥ 2, the candidate-pair count (the cost: every
+    * candidate pays an exact verification) and recall against the TRUE
+    * duplicate set (every exact-Jaccard ≥ 0.5 pair, single-sourced from
+    * [[exactJaccardPairs]] so the truth is literally the pair set
+    * `dedup_ngram_jaccard` serves). The r = 2 arm's candidate set is by
+    * construction the [[lshCandidates]] set the production
+    * `dedup_minhash` key deploys — the committed operating point sits
+    * ON the measured curve, exactly like NProbe/PqShortlist in the ANN
+    * sweeps. Theory check the fixture reproduces: candidate probability
+    * at Jaccard j is 1−(1−j^r)^(16/r), monotone DECREASING in r at
+    * fixed j — so recall falls and cost falls as r grows, and the spec
+    * gates both monotonicities.
+    *
+    * Counts are integers; the only division is one `hits / |truth|`
+    * recall per arm on the pinned round6. At 100 TB the exact-pair
+    * ground truth is the sampled audit (the brute arm here, same as the
+    * ANN sweeps' lattice); production serving never materializes it.
+    */
+  def minhashBandSweep(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(sharedIndexPath(s, dir, "documents.parquet",
+      "minhash_band_sweep") { p =>
+      minhashBandSweepImpl(s, dir).write.mode("overwrite").parquet(p)
+    }).orderBy("rows_per_band")
+
+  /** The sweep computation — persisted under the shared tmp-index
+    * lifecycle like [[minhashAudit]]: a banding audit runs ONCE per
+    * corpus (signature pass + exact ground truth dominate; measured
+    * 5.3 s live vs 0.05 s served at sf0.1), and every re-read scans the
+    * 4-row result. Exactly how a deployment treats calibration output.
+    */
+  private def minhashBandSweepImpl(s: SparkSession, dir: String): DataFrame = {
+    val u = shingleSetShared(s, dir)
+    // one signature pass feeds every arm; eager pin (4 consumers)
+    val mh = minhashSignatures(u).localCheckpoint(true)
+    val truth = exactJaccardPairs(s, dir)
+      .select(col("doc_a"), col("doc_b")).localCheckpoint(true)
+    val tc = truth.agg(count(lit(1)).as("t"))
+    val arms = SweepBandRows.map { r =>
+      val b = MinhashSeeds / r
+      // band key i = md5(h_{i·r} || … || h_{i·r+r−1}) in seed order —
+      // for r = 2 this is byte-identical to lshCandidates' band key
+      val bandCols = (0 until b).map(i =>
+        md5(concat((0 until r).map(j => col(s"h${i * r + j}")): _*)))
+      val cand = mh.select(col("doc_id"),
+          posexplode(array(bandCols: _*)).as(Seq("band_id", "band_key")))
+        .groupBy("band_id", "band_key")
+        .agg(collect_list(col("doc_id")).as("ids"))
+        .filter(size(col("ids")) > 1)
+        .select(explode(col("ids")).as("doc_a"), col("ids"))
+        .select(col("doc_a"), explode(col("ids")).as("doc_b"))
+        .filter(col("doc_a") < col("doc_b"))
+        .distinct()
+        .localCheckpoint(true) // two consumers: cost count + hit count
+      cand.agg(count(lit(1)).as("candidates"))
+        .crossJoin(cand.join(truth, Seq("doc_a", "doc_b"), "left_semi")
+          .agg(count(lit(1)).as("hits")))
+        .select(lit(b.toLong).as("bands"), lit(r.toLong).as("rows_per_band"),
+          col("candidates"), col("hits"))
+    }.reduce(_ unionByName _)
+    arms.crossJoin(broadcast(tc))
+      .select(col("bands"), col("rows_per_band"), col("candidates"),
+        col("hits"),
+        Buckets.round6(col("hits").cast("double") / col("t")).as("recall"))
+      .orderBy("rows_per_band")
+  }
+
+  /** Oracle: the exact-pair chain as `truth`, one `mh` per-(doc, seed)
+    * table, and per-arm band/candidate CTEs whose band-key text matches
+    * the engine's seed-ordered concat; arms union, one recall division
+    * per row on the pinned round6.
+    */
+  val minhashBandSweepSql: String = {
+    val bandCtes = SweepBandRows.map { r =>
+      s"""bands_$r AS (
+         |  SELECT doc_id, s // $r AS band_id,
+         |         md5(string_agg(h, '' ORDER BY s)) AS band_key
+         |  FROM mh GROUP BY doc_id, s // $r),
+         |cand_$r AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM bands_$r a JOIN bands_$r b
+         |    ON a.band_id = b.band_id AND a.band_key = b.band_key
+         |   AND a.doc_id < b.doc_id)""".stripMargin
+    }.mkString(",\n")
+    val arms = SweepBandRows.map { r =>
+      s"""  SELECT CAST(${MinhashSeeds / r} AS BIGINT) AS bands,
+         |         CAST($r AS BIGINT) AS rows_per_band,
+         |         (SELECT count(*) FROM cand_$r) AS candidates,
+         |         (SELECT count(*) FROM cand_$r c JOIN truth t
+         |            ON t.doc_a = c.doc_a AND t.doc_b = c.doc_b) AS hits""".stripMargin
+    }.mkString("\n  UNION ALL\n")
+    s"""WITH $exactPairCtes,
+       |truth AS (
+       |  SELECT doc_a, doc_b FROM inter
+       |  JOIN sizes na ON na.doc_id = doc_a
+       |  JOIN sizes nb ON nb.doc_id = doc_b
+       |  WHERE CAST(x AS DOUBLE) / (na.sz + nb.sz - x) >= 0.5),
+       |tc AS (SELECT count(*) AS t FROM truth),
+       |mh AS (
+       |  SELECT doc_id, t.s AS s, min(md5(t.s::VARCHAR || '|' || g)) AS h
+       |  FROM shingle_u, range($MinhashSeeds) AS t(s)
+       |  GROUP BY doc_id, t.s),
+       |$bandCtes,
+       |arms AS (
+       |$arms)
+       |SELECT bands, rows_per_band, candidates, hits,
+       |       ${Buckets.round6Sql("CAST(hits AS DOUBLE) / t")} AS recall
+       |FROM arms CROSS JOIN tc
+       |ORDER BY rows_per_band""".stripMargin
+  }
 
   // ------------------------------------------------ X55 HLL cardinality sketch
 

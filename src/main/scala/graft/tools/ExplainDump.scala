@@ -645,6 +645,14 @@ object ExplainDump {
         "manifest's gate flags — the cluster contraction, broadcast " +
         "decontamination and single-pass features all belong to " +
         "curate's own plan and amortize with it."),
+    "minhash_band_sweep" ->
+      ("The LSH banding tuning curve, served from the shared persisted " +
+        "index like minhash_audit (a calibration runs once per corpus; " +
+        "5.3 s live vs 0.05 s served at sf0.1). The BUILD is one " +
+        "checkpointed signature pass feeding all four banding arms — " +
+        "band-key explode, bucket collect, two counts each — plus the " +
+        "exact-Jaccard ground truth on the ngram pair frame's single " +
+        "exchange; no all-pairs stage anywhere."),
     "dedup_threshold_sweep" ->
       ("Tau sensitivity in ONE aggregate: the SemDeDup pair scan " +
         "(persisted-index equi-join, never all-pairs) reduces to " +

@@ -1144,6 +1144,35 @@ class ExtOpsSpec extends AnyFunSuite {
       assert(math.abs(rows.map(_._2._3).sum - 1.0) < 1e-3, split)
   }
 
+  test("minhash_band_sweep: monotone curve, production arm on it") {
+    val rows = Dedup.minhashBandSweep(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4)))
+    assert(rows.map(x => (x._1, x._2)).toSeq ==
+      Seq((8L, 2L), (4L, 4L), (2L, 8L), (1L, 16L)))
+    // cross-engine pin: values computed independently by DuckDB running
+    // minhashBandSweepSql on the same corpus
+    assert(rows.toSeq == Seq(
+      (8L, 2L, 38L, 28L, 1.0), (4L, 4L, 28L, 28L, 1.0),
+      (2L, 8L, 26L, 26L, 0.928571), (1L, 16L, 19L, 19L, 0.678571)))
+    // the theory the curve must reproduce: candidate prob 1−(1−j^r)^b
+    // is monotone decreasing in r at fixed j — so BOTH cost (candidate
+    // count) and recall fall (weakly) as rows-per-band grow
+    assert(rows.map(_._3).sliding(2).forall(p => p(0) >= p(1)),
+      "candidate cost must fall as bands tighten")
+    assert(rows.map(_._5).sliding(2).forall(p => p(0) >= p(1)),
+      "recall must fall as bands tighten")
+    // hits can never exceed candidates or the truth size
+    assert(rows.forall(x => x._4 <= x._3))
+    // the r=2 arm IS the production lshCandidates banding, so its hit
+    // count (candidates ∩ truth) must equal dedup_minhash's verified
+    // pair count exactly — the committed operating point sits ON the
+    // measured curve by construction, and this pins it
+    val prodPairs = Dedup.dedupMinhash(spark, dir).count()
+    assert(rows.head._4 == prodPairs,
+      "production banding no longer sits on the measured curve")
+  }
+
   test("dedup_threshold_sweep agrees with dedup_semantic at its own tau") {
     val sweep = Similarity.dedupThresholdSweep(spark, dir).collect()
       .map(r => (r.getDouble(0), r.getLong(2)))

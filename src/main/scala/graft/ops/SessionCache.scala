@@ -39,6 +39,17 @@ final class SessionCache[V] {
         : Boolean = size > SessionCache.MaxSessions
   }
 
+  /** Contexts whose application-end listener is already wired. ONE
+    * listener per CONTEXT, not per session: a per-session listener
+    * would itself accumulate on the shared listener bus as clones churn
+    * (the same unbounded-growth class the LRU cap bounds), and the bus
+    * pays every registered listener on every event. Weak set — a
+    * stopped context's entry vanishes with it; guarded by the cache
+    * lock.
+    */
+  private val wired = java.util.Collections.newSetFromMap(
+    new java.util.WeakHashMap[org.apache.spark.SparkContext, java.lang.Boolean])
+
   /** The session's path-keyed map, creating (and wiring eviction) on
     * first access.
     */
@@ -48,18 +59,26 @@ final class SessionCache[V] {
       if (m == null) {
         m = new scala.collection.concurrent.TrieMap[String, V]
         cache.put(s, m)
-        try s.sparkContext.addSparkListener(
-          new org.apache.spark.scheduler.SparkListener {
-            override def onApplicationEnd(
-                e: org.apache.spark.scheduler.SparkListenerApplicationEnd)
-                : Unit = {
-              cache.synchronized { cache.remove(s) }
-              ()
-            }
-          })
-        catch {
-          // context already stopped: nothing will ever fire — don't cache
-          case _: IllegalStateException => cache.remove(s)
+        val sc = s.sparkContext
+        if (!wired.contains(sc)) {
+          // application end covers every session of the context — clear
+          // the lot (Spark runs one active context per JVM)
+          try {
+            sc.addSparkListener(
+              new org.apache.spark.scheduler.SparkListener {
+                override def onApplicationEnd(
+                    e: org.apache.spark.scheduler.SparkListenerApplicationEnd)
+                    : Unit = {
+                  cache.synchronized { cache.clear() }
+                  ()
+                }
+              })
+            wired.add(sc)
+            ()
+          } catch {
+            // context already stopped: nothing will ever fire — don't cache
+            case _: IllegalStateException => cache.remove(s)
+          }
         }
       }
       m

@@ -72,7 +72,16 @@ class PartitionVarianceSpec extends AnyFunSuite {
     "dsir_select",
     "dsir_select_scalable", // threshold twin: TakeOrdered boundary + BIGINT keys
     "ann_nprobe_sweep",     // cosine-ranked windows + integer hit counts
-    "ann_shortlist_sweep")  // ADC-ranked lattice + exact re-rank windows
+    "ann_shortlist_sweep",  // ADC-ranked lattice + exact re-rank windows
+    // r15 additions: the real-codec keys — pure integer pixel/sample
+    // folds inside partition-wise object maps, fed through an id
+    // fan-out whose partition boundaries must not be observable in any
+    // output value (minhash_band_sweep is EXCLUDED: it serves a
+    // persisted 4-row index built once per (JVM, dir), so both layouts
+    // would read the same parquet — its integer counts are instead
+    // pinned cross-engine in ExtOpsSpec)
+    "multimodal_decode_real",
+    "multimodal_audio_real")
 
   private def rows(df: DataFrame): Seq[Seq[Any]] = {
     val cols = df.columns.sorted

@@ -181,8 +181,15 @@ object Bench {
     // floor 1.0: a lucky fast rig must not tighten the gate and
     // manufacture regressions; cap 2.0: past that the rig is too noisy
     // to grade AND a real regression inside a canary key itself must
-    // not relax the whole round's gate unboundedly
-    val canaryNorm = math.max(1.0, math.min(2.0, canaryRatio))
+    // not relax the whole round's gate unboundedly. QUORUM: with fewer
+    // than 3 canary baselines (deep artifact truncation, fresh
+    // checkout) the "median of five" jitter protection is gone — one
+    // sub-noise key's lucky draw would set the whole round's gate — so
+    // the tripwire falls back to unnormalized (norm 1.0, the strictest
+    // form) rather than trusting a 1-2 key sample.
+    val canaryNorm =
+      if (canaryRatios.size < 3) 1.0
+      else math.max(1.0, math.min(2.0, canaryRatio))
     // printed AFTER the big per-key line (below) so it survives the
     // driver's keep-the-tail stdout truncation
     // per-key ratios print under a `canary_` prefix so a tail-truncated

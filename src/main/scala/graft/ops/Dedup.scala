@@ -375,11 +375,13 @@ object Dedup {
     // sizes is ONE row per document — broadcast both lookups (r14
     // verdict #4) so the pair frame is never re-shuffled by doc_a/doc_b:
     // the plan is now one exchange of the shingle index (the grouped
-    // collect), one pair-agg exchange, and two broadcast hash joins. At
-    // full corpus scale a per-doc table stops broadcasting and the
-    // shuffled joins return — acceptable, because this key IS the
-    // small-scale exact-oracle arm (scaladoc above); the production
-    // paths never materialize per-pair rows at all.
+    // collect), one pair-agg exchange, and two broadcast hash joins.
+    // NOTE the hint is MANDATORY, not advisory: past Spark's broadcast
+    // limits a corpus-scale per-doc table would fail the job rather
+    // than fall back to shuffled joins — fine here because this key IS
+    // the deliberately small-scale exact-oracle arm (scaladoc above);
+    // a scale-sensitive path must size the table first and DROP the
+    // hint (restoring the shuffled joins) rather than copy this.
     inter
       .join(broadcast(sizes.withColumnRenamed("doc_id", "doc_a")
         .withColumnRenamed("sz", "na")), "doc_a")

@@ -423,17 +423,54 @@ object Multimodal {
   final case class DecodedFrame(
       doc_id: Long, frame_idx: Long, width: Long, height: Long, sig8: String)
 
+  /** Index just past a JPEG frame's EOI, walking the MARKER STRUCTURE
+    * from the SOI at `start` — or −1 for a truncated/invalid frame.
+    * Length-delimited segments (DQT/DHT/COM/APPn/SOF/…) are skipped by
+    * their declared length, because their payloads may LEGALLY contain
+    * the FF D9 byte pair (a quantization value 255 followed by 217, an
+    * EXIF thumbnail's own EOI, arbitrary comment bytes) — a naive EOI
+    * byte scan splits such frames early. Only inside entropy-coded scan
+    * data is FF always stuffing (FF 00), a restart (FF D0–D7), or a
+    * real marker, so there the byte scan IS exact; a non-restart marker
+    * in scan data hands control back to segment parsing (progressive
+    * JPEGs interleave further DHT/SOS segments).
+    */
+  private[ops] def jpegEnd(p: Array[Byte], start: Int): Int = {
+    var i = start + 2 // past SOI
+    var inScan = false
+    while (i + 1 < p.length) {
+      if (!inScan) {
+        if (p(i) != 0xff.toByte) return -1
+        val m = p(i + 1) & 0xff
+        if (m == 0xd9) return i + 2                      // EOI
+        else if (m == 0xd8) return -1                    // nested SOI: invalid
+        else if (m == 0xff) i += 1                       // fill byte
+        else if (m == 0x01 || (m >= 0xd0 && m <= 0xd7)) i += 2 // standalone
+        else {
+          if (i + 3 >= p.length) return -1
+          val len = ((p(i + 2) & 0xff) << 8) | (p(i + 3) & 0xff)
+          if (len < 2) return -1
+          if (m == 0xda) inScan = true                   // SOS: scan follows
+          i += 2 + len
+        }
+      } else if (p(i) == 0xff.toByte) {
+        val n = p(i + 1) & 0xff
+        if (n == 0xd9) return i + 2                      // EOI
+        else if (n == 0x00 || n == 0xff ||
+          (n >= 0xd0 && n <= 0xd7)) i += 2               // stuffing/fill/RST
+        else inScan = false                              // next segment starts
+      } else i += 1
+    }
+    -1
+  }
+
   /** Split an MJPEG byte stream into its JPEG frames: each frame spans
-    * SOI (FF D8) … EOI (FF D9) inclusive. Inside entropy-coded JPEG
-    * data a 0xFF byte is always followed by 0x00 stuffing or a marker,
-    * so EOI cannot occur as payload and the linear scan is exact for
-    * baseline JPEG. Garbage between frames (padding, truncated tails)
-    * is skipped — the next SOI starts the next frame; an unterminated
-    * final frame is dropped, carbon-style. KNOWN LIMIT: a frame whose
-    * APP1 segment embeds an EXIF *thumbnail* carries a nested SOI/EOI
-    * and would split early — camera MJPEG (AVI/MOV-contained) does not
-    * embed EXIF per frame, and a container-aware reader replaces this
-    * splitter wholesale when frame offsets come from the index anyway.
+    * SOI (FF D8) … EOI (FF D9) inclusive, with the frame's END located
+    * by [[jpegEnd]]'s marker walk (exact for baseline and progressive
+    * JPEG — see there for why a plain EOI byte scan is not). Garbage
+    * between frames (padding, truncated tails) is skipped — the next
+    * SOI starts the next frame; an unterminated or structurally invalid
+    * frame is dropped, carbon-style, and scanning resumes past its SOI.
     */
   private[ops] def splitMjpeg(payload: Array[Byte]): Iterator[Array[Byte]] =
     new Iterator[Array[Byte]] {
@@ -441,18 +478,19 @@ object Multimodal {
       private var nextFrame: Array[Byte] = null
       private def advance(): Unit = {
         nextFrame = null
-        // find SOI
-        var s = pos
-        while (s + 1 < payload.length &&
-          !(payload(s) == 0xff.toByte && payload(s + 1) == 0xd8.toByte)) s += 1
-        if (s + 1 >= payload.length) { pos = payload.length; return }
-        // find EOI after it
-        var e = s + 2
-        while (e + 1 < payload.length &&
-          !(payload(e) == 0xff.toByte && payload(e + 1) == 0xd9.toByte)) e += 1
-        if (e + 1 >= payload.length) { pos = payload.length; return }
-        nextFrame = java.util.Arrays.copyOfRange(payload, s, e + 2)
-        pos = e + 2
+        while (nextFrame == null && pos + 1 < payload.length) {
+          // find the next SOI
+          var s = pos
+          while (s + 1 < payload.length &&
+            !(payload(s) == 0xff.toByte && payload(s + 1) == 0xd8.toByte)) s += 1
+          if (s + 1 >= payload.length) { pos = payload.length; return }
+          val e = jpegEnd(payload, s)
+          if (e < 0) pos = s + 2 // invalid/truncated: resume past this SOI
+          else {
+            nextFrame = java.util.Arrays.copyOfRange(payload, s, e)
+            pos = e
+          }
+        }
       }
       override def hasNext: Boolean = {
         if (nextFrame == null && pos < payload.length) advance()

@@ -69,7 +69,7 @@ final class SessionCache[V] {
                 override def onApplicationEnd(
                     e: org.apache.spark.scheduler.SparkListenerApplicationEnd)
                     : Unit = {
-                  cache.synchronized { cache.clear() }
+                  cache.synchronized { cache.clear(); wired.remove(sc) }
                   ()
                 }
               })
@@ -79,6 +79,13 @@ final class SessionCache[V] {
             // context already stopped: nothing will ever fire — don't cache
             case _: IllegalStateException => cache.remove(s)
           }
+        } else if (sc.isStopped) {
+          // the context was wired but has since ended: a late forSession
+          // on a stopped session must not insert an entry with no
+          // eviction path left (the listener also un-wires on fire, so
+          // this branch is a belt-and-braces probe against the race
+          // between a caller and the bus delivering application end)
+          cache.remove(s)
         }
       }
       m

@@ -271,6 +271,31 @@ class MultimodalCodecSpec extends AnyFunSuite {
     assert(Multimodal.splitMjpeg("no markers".getBytes("UTF-8")).isEmpty)
   }
 
+  test("splitMjpeg survives FF D9 bytes inside marker-segment payloads") {
+    // a length-delimited segment may LEGALLY contain the EOI byte pair
+    // (quant value 255,217; comment text; an EXIF thumbnail's own EOI).
+    // Inject a COM segment whose payload embeds FF D9 right after SOI:
+    // the marker walk must skip it by length and return the WHOLE
+    // frame; the r15 naive byte scan split here and dropped the frame.
+    val f0 = {
+      val baos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(gradient(8, 8), "jpg", baos)
+      baos.toByteArray
+    }
+    val payload = Array[Byte](1, 0xff.toByte, 0xd9.toByte, 2) // FF D9 inside
+    val com = Array[Byte](0xff.toByte, 0xfe.toByte, 0, (2 + payload.length).toByte) ++ payload
+    val poisoned = f0.take(2) ++ com ++ f0.drop(2) // SOI, COM, rest
+    val got = Multimodal.splitMjpeg(poisoned ++ f0).toSeq
+    assert(got.length == 2, s"expected 2 frames, got ${got.length}")
+    assert(got.head.sameElements(poisoned) && got(1).sameElements(f0))
+    // and the poisoned frame still REALLY decodes (ImageIO skips COM)
+    assert(Multimodal.decodeImage(got.head).exists(im =>
+      im.getWidth == 8 && im.getHeight == 8))
+    // a structurally truncated frame is dropped, later frames survive
+    val got2 = Multimodal.splitMjpeg(f0.dropRight(6) ++ f0).toSeq
+    assert(got2.length == 1 && got2.head.sameElements(f0))
+  }
+
   test("multimodal_audio_real: WAV fixture round-trips the REAL decoder") {
     // the audio sibling of the BMP gate: hand-rolled canonical WAV →
     // REAL javax.sound.sampled decode → integer probe. Pin (a) a full

@@ -33,12 +33,16 @@ class SessionCacheSpec extends AnyFunSuite {
     val c = new SessionCache[String]
     val hot = spark.newSession()
     c.forSession(hot).put("p", "hot")
-    for (_ <- 1 to SessionCache.MaxSessions - 1) {
+    // churn PAST the cap so eviction actually fires (MaxSessions + 10
+    // clones on top of the hot entry — at exactly MaxSessions nothing
+    // evicts and the assertion would be vacuous); touching the hot
+    // session each round marks it most-recently-used, so the evictions
+    // must all land on cold clones
+    for (_ <- 1 to SessionCache.MaxSessions + 10) {
       c.forSession(spark.newSession()).put("p", "x")
-      // touching the hot session marks it most-recently-used
       assert(c.forSession(hot).get("p").contains("hot"))
     }
-    // cap's worth of churn later, the hot session's map survived
+    assert(c.size <= SessionCache.MaxSessions, "eviction never fired")
     assert(c.forSession(hot).get("p").contains("hot"))
   }
 

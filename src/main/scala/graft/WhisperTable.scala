@@ -80,16 +80,24 @@ final class WhisperTable private (
       c.contains("PATH_NOT_FOUND") || c.contains("UNABLE_TO_INFER_SCHEMA")) ||
       e.getMessage.contains("Path does not exist")
 
-  private def readLevel(r: Retention): DataFrame = {
-    val p = levelPath(r)
-    try {
-      val df = spark.read.parquet(p)
-      df.select(col("metric"), col("bucket_ts"), col("value"))
-    } catch {
+  /** The shared read scaffold: open the level, apply the caller's
+    * partition filter BEFORE the column projection (so `day` predicates
+    * prune directories), and map a missing/empty level to the empty
+    * frame. Single-sourced so the missing-path recovery — which has
+    * already changed condition strings once (PATH_NOT_FOUND vs
+    * UNABLE_TO_INFER_SCHEMA) — is stated exactly once.
+    */
+  private def readLevelWith(r: Retention)(
+      f: DataFrame => DataFrame): DataFrame =
+    try f(spark.read.parquet(levelPath(r)))
+      .select(col("metric"), col("bucket_ts"), col("value"))
+    catch {
       case e: org.apache.spark.sql.AnalysisException if missingPath(e) =>
         emptyLevel
     }
-  }
+
+  private def readLevel(r: Retention): DataFrame =
+    readLevelWith(r)(identity)
 
   /** [[readLevel]] restricted to a set of day partitions — the filter is
     * on the PARTITION column, so Spark prunes the day directories before
@@ -97,35 +105,17 @@ final class WhisperTable private (
     * know the derived day from it). At 100 TB this is the difference
     * between touching a batch's days and touching the archive.
     */
-  private def readLevelDays(r: Retention, days: Seq[String]): DataFrame = {
-    val p = levelPath(r)
-    try {
-      spark.read.parquet(p)
-        .filter(col("day").cast("string").isin(days: _*))
-        .select(col("metric"), col("bucket_ts"), col("value"))
-    } catch {
-      case e: org.apache.spark.sql.AnalysisException if missingPath(e) =>
-        emptyLevel
-    }
-  }
+  private def readLevelDays(r: Retention, days: Seq[String]): DataFrame =
+    readLevelWith(r)(_.filter(col("day").cast("string").isin(days: _*)))
 
   /** [[readLevel]] restricted to the day partitions overlapping a bucket
     * range (both endpoints inclusive, in session-timezone days — the same
     * derivation the writer used).
     */
-  private def readLevelRange(r: Retention, fromI: Long, untilI: Long): DataFrame = {
-    val p = levelPath(r)
-    try {
-      spark.read.parquet(p)
-        .filter(col("day").between(
-          to_date(timestamp_seconds(lit(fromI))),
-          to_date(timestamp_seconds(lit(untilI)))))
-        .select(col("metric"), col("bucket_ts"), col("value"))
-    } catch {
-      case e: org.apache.spark.sql.AnalysisException if missingPath(e) =>
-        emptyLevel
-    }
-  }
+  private def readLevelRange(r: Retention, fromI: Long, untilI: Long): DataFrame =
+    readLevelWith(r)(_.filter(col("day").between(
+      to_date(timestamp_seconds(lit(fromI))),
+      to_date(timestamp_seconds(lit(untilI))))))
 
   private def emptyLevel: DataFrame = {
     import spark.implicits._
@@ -288,13 +278,18 @@ final class WhisperTable private (
       // the full source windows of the coarse buckets re-derived below
       // (identical to touchedDays while windows stay within one day;
       // wider only for super-day resolutions)
+      // collected as STRINGS via date_format, like touchedDays above —
+      // Row.getDate on a DateType column throws under
+      // spark.sql.datetime.java8API.enabled=true (LocalDate external
+      // type), and this path runs on every multi-level write
       val srcDays = (nextOpt, coarseKeys) match {
         case (Some(next), Some(ck)) =>
           ck.select(explode(sequence(
               to_date(timestamp_seconds(col("ck_bucket"))),
               to_date(timestamp_seconds(col("ck_bucket") + next.secondsPerPoint - 1))))
               .as("day"))
-            .distinct().collect().map(_.getDate(0).toString).toSeq
+            .select(date_format(col("day"), "yyyy-MM-dd").as("day"))
+            .distinct().collect().map(_.getString(0)).toSeq
         case _ => Nil
       }
       val mergeDays = (touchedDays ++ srcDays).distinct
@@ -364,23 +359,43 @@ final class WhisperTable private (
     val untilI0 = Buckets.fetchInterval(until, spp)
     // whisper fetch: "if fromInterval == untilInterval, untilInterval
     // += step — always include the next point" — a range inside one
-    // step bucket returns THAT bucket, never an empty series
-    (archive, fromI, if (untilI0 == fromI) untilI0 + spp else untilI0)
+    // step bucket returns THAT bucket, never an empty series. The bump
+    // applies ONLY when the clamps left a forward range: a fully-expired
+    // or fully-future request clamps to until < from (go-whisper returns
+    // nil there), and bumping on the aligned intervals' accidental
+    // equality would return a bucket OUTSIDE the requested range — the
+    // empty spine must stand.
+    val untilI =
+      if (untilI0 == fromI && until >= from) untilI0 + spp else untilI0
+    (archive, fromI, untilI)
+  }
+
+  /** The one dense-fetch shape behind fetch/fetchMany/fetchGlob: spine ×
+    * requested metrics, left-joined to the partition-pruned, range- and
+    * metric-filtered level scan. Stated ONCE so an endpoint or
+    * null-handling fix can never reach one surface and skip another (the
+    * drift class the r13 note fixed in ops/Fetch.denseMany; the r15
+    * review found this facade had re-grown three copies).
+    */
+  private def denseFetch(
+      archive: Retention, fromI: Long, untilI: Long,
+      mets: DataFrame, agg: DataFrame): DataFrame = {
+    val spine = spark.range(fromI, untilI, archive.secondsPerPoint.toLong)
+      .toDF("bucket_ts")
+      .crossJoin(broadcast(mets))
+    spine.join(agg, Seq("metric", "bucket_ts"), "left")
+      .select(col("metric"), col("bucket_ts"), col("value"))
+      .orderBy("metric", "bucket_ts")
   }
 
   def fetchMany(metrics: Seq[String], fromS: Long, untilS: Long, nowS: Long): DataFrame = {
     require(metrics.nonEmpty, "no metrics requested")
     val (archive, fromI, untilI) = fetchWindow(fromS, untilS, nowS)
-    val spp = archive.secondsPerPoint
     import spark.implicits._
-    val spine = spark.range(fromI, untilI, spp.toLong).toDF("bucket_ts")
-      .crossJoin(broadcast(metrics.toDF("metric")))
     val agg = readLevelRange(archive, fromI, untilI)
       .filter(col("metric").isin(metrics: _*) &&
         col("bucket_ts") >= fromI && col("bucket_ts") < untilI)
-    spine.join(agg, Seq("metric", "bucket_ts"), "left")
-      .select(col("metric"), col("bucket_ts"), col("value"))
-      .orderBy("metric", "bucket_ts")
+    denseFetch(archive, fromI, untilI, metrics.toDF("metric"), agg)
   }
 
   /** Q1 glob: graphite's metric-find surface over ONE table —
@@ -395,7 +410,6 @@ final class WhisperTable private (
     */
   def fetchGlob(pattern: String, fromS: Long, untilS: Long, nowS: Long): DataFrame = {
     val (archive, fromI, untilI) = fetchWindow(fromS, untilS, nowS)
-    val spp = archive.secondsPerPoint
     // pinned: the filtered scan has TWO consumers (the matched-metric
     // distinct and the join side) and the two subplans differ, so
     // exchange reuse cannot dedupe them — without the pin every glob
@@ -404,12 +418,7 @@ final class WhisperTable private (
       .filter(col("metric").rlike(Fetch.globToRegex(pattern)) &&
         col("bucket_ts") >= fromI && col("bucket_ts") < untilI)
       .localCheckpoint(true)
-    val mets = agg.select(col("metric")).distinct()
-    val spine = spark.range(fromI, untilI, spp.toLong).toDF("bucket_ts")
-      .crossJoin(broadcast(mets))
-    spine.join(agg, Seq("metric", "bucket_ts"), "left")
-      .select(col("metric"), col("bucket_ts"), col("value"))
-      .orderBy("metric", "bucket_ts")
+    denseFetch(archive, fromI, untilI, agg.select(col("metric")).distinct(), agg)
   }
 
   /** Export every archive level as whisper `.wsp` binary files — one
@@ -448,18 +457,15 @@ final class WhisperTable private (
     */
   def fetch(metric: String, fromS: Long, untilS: Long, nowS: Long): DataFrame = {
     val (archive, fromI, untilI) = fetchWindow(fromS, untilS, nowS)
-    val spp = archive.secondsPerPoint
-    val spine = spark.range(fromI, untilI, spp.toLong).toDF("bucket_ts")
+    import spark.implicits._
     // day-partition pruning: the range reaches the scan as a filter on
     // the PARTITION column, so only the overlapping day directories are
     // listed (a bucket_ts predicate alone cannot prune them)
     val agg = readLevelRange(archive, fromI, untilI)
       .filter(col("metric") === metric &&
         col("bucket_ts") >= fromI && col("bucket_ts") < untilI)
+    denseFetch(archive, fromI, untilI, Seq(metric).toDF("metric"), agg)
       .select(col("bucket_ts"), col("value"))
-    spine.join(agg, Seq("bucket_ts"), "left")
-      .select(col("bucket_ts"), col("value"))
-      .orderBy("bucket_ts")
   }
 
   /** Newer go-whisper's `CheckEmpty(from, until)`: does the clamped
@@ -491,21 +497,38 @@ object WhisperTable {
     */
   val HeaderFile = "_whisper.json"
 
-  private def headerJson(schema: WhisperSchema): String = {
+  private def headerJson(spark: SparkSession, schema: WhisperSchema): String = {
     val rets = schema.retentions
       .map(r => s"${r.secondsPerPoint}:${r.numberOfPoints}").mkString(",")
-    s"""{"retentions":"$rets","method":"${schema.method.name}","xff":${schema.xFilesFactor}}"""
+    // the day-partition layout is derived in the WRITER's session
+    // timezone (to_date over bucket_ts) — persist it, so open() can
+    // refuse a session whose different zone would mis-prune fetch
+    // ranges, duplicate buckets across day dirs, and vacuum live data
+    // (r15 review finding #1)
+    val tz = spark.conf.get("spark.sql.session.timeZone")
+    s"""{"retentions":"$rets","method":"${schema.method.name}",""" +
+      s""""xff":${schema.xFilesFactor},"tz":"$tz"}"""
   }
 
-  private def parseHeader(s: String): WhisperSchema = {
+  private def parseHeader(s: String): (WhisperSchema, Option[String]) = {
     import org.json4s._
     import org.json4s.jackson.JsonMethods
     implicit val formats: Formats = DefaultFormats
     val j = JsonMethods.parse(s)
-    WhisperSchema(
+    (WhisperSchema(
       Retentions.parseRetentionDefs((j \ "retentions").extract[String]),
       AggregationMethod.fromName((j \ "method").extract[String]),
-      (j \ "xff").extract[Double])
+      (j \ "xff").extract[Double]),
+      // absent in pre-r15 headers: no zone recorded, validation skipped
+      (j \ "tz").extractOpt[String])
+  }
+
+  /** Zone equality up to normalization ("UTC" ≡ "Etc/UTC" ≡ "+00:00");
+    * short ids accepted, matching Spark's own session-timezone parsing.
+    */
+  private def sameZone(a: String, b: String): Boolean = {
+    def z(s: String) = java.time.ZoneId.of(s, java.time.ZoneId.SHORT_IDS).normalized()
+    try z(a) == z(b) catch { case _: java.time.DateTimeException => a == b }
   }
 
   /** The table path's filesystem — Hadoop `FileSystem`, so `file:`,
@@ -526,14 +549,26 @@ object WhisperTable {
     val (fs, dir) = fsOf(spark, path)
     if (fs.exists(dir)) throw new IllegalStateException(s"file already exists: $path")
     val t = new WhisperTable(spark, path, schema)
+    // header FIRST, via temp + rename: the reference's O_CREAT|O_EXCL
+    // has no partial-create window, but a multi-file create does — if
+    // the header landed last, a failure between the level writes and
+    // the header left a path neither create() ("file already exists")
+    // nor open() ("no such table") could use. Header-first makes any
+    // partial state openable (missing level dirs read as empty), and
+    // the rename keeps a torn header write from half-existing.
+    val headerP = new org.apache.hadoop.fs.Path(dir, HeaderFile)
+    val tmpP = new org.apache.hadoop.fs.Path(dir, s".$HeaderFile.tmp")
+    val out = fs.create(tmpP, false)
+    try out.write(headerJson(spark, schema)
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    if (!fs.rename(tmpP, headerP))
+      throw new IllegalStateException(s"cannot commit header: $headerP")
     import spark.implicits._
     schema.retentions.foreach { r =>
       t.writeLevelFull(r, Seq.empty[(String, Long, Double)]
         .toDF("metric", "bucket_ts", "value"))
     }
-    val out = fs.create(new org.apache.hadoop.fs.Path(dir, HeaderFile), false)
-    try out.write(headerJson(schema).getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    finally out.close()
     t
   }
 
@@ -566,7 +601,19 @@ object WhisperTable {
     val json =
       try scala.io.Source.fromInputStream(in, "UTF-8").mkString
       finally in.close()
-    new WhisperTable(spark, path, parseHeader(json))
+    val (schema, tz) = parseHeader(json)
+    val sessionTz = spark.conf.get("spark.sql.session.timeZone")
+    // a session whose timezone differs from the writer's would derive a
+    // DIFFERENT day for the same bucket_ts: fetch pruning misses edge
+    // days, writes fork duplicate day dirs, and vacuum deletes
+    // partitions still holding in-retention rows — refuse loudly
+    // instead (headers from before the tz field skip the check)
+    for (t <- tz if !sameZone(t, sessionTz))
+      throw new IllegalStateException(
+        s"table $path was written under session timezone '$t' but this " +
+          s"session uses '$sessionTz'; day partitioning would corrupt — " +
+          "set spark.sql.session.timeZone to the writer's zone")
+    new WhisperTable(spark, path, schema)
   }
 
   /** S1 `Open` with a caller-supplied schema — for attaching to bare
@@ -627,19 +674,32 @@ object WhisperTable {
     * storage-schemas.conf pattern; import each such subtree separately);
     * files with a different ring geometry fail loudly in the scan.
     */
+  /** The one recursive `.wsp` walk (file-only, `.wsp` suffix) — shared
+    * by [[firstWspFile]] and [[importWspGrouped]] so a future skip rule
+    * (hidden dirs, tmp-image names) can never apply to one walk and not
+    * the other (r15 review: the import had re-grown its own copy).
+    * Returns the statuses lazily with the qualified root.
+    */
+  private def wspWalk(spark: SparkSession, treeDir: String)
+      : (org.apache.hadoop.fs.Path, Iterator[org.apache.hadoop.fs.LocatedFileStatus]) = {
+    val (fs, dir) = fsOf(spark, treeDir)
+    val qualified = fs.makeQualified(dir)
+    val it = fs.listFiles(qualified, true)
+    val files = new Iterator[org.apache.hadoop.fs.LocatedFileStatus] {
+      override def hasNext: Boolean = it.hasNext
+      override def next(): org.apache.hadoop.fs.LocatedFileStatus = it.next()
+    }.filter(st => st.isFile && st.getPath.getName.endsWith(".wsp"))
+    (qualified, files)
+  }
+
   /** First `.wsp` under a tree — the file schema adoption decodes.
     * Shared by [[importWsp]] and the `wsp_set_agg` fixture so the
     * walk's skip rules can never diverge between them.
     */
   private[graft] def firstWspFile(spark: SparkSession, treeDir: String): String = {
-    val (fs, dir) = fsOf(spark, treeDir)
-    val it = fs.listFiles(fs.makeQualified(dir), true)
-    while (it.hasNext) {
-      val st = it.next()
-      if (st.isFile && st.getPath.getName.endsWith(".wsp"))
-        return st.getPath.toString
-    }
-    throw new IllegalStateException(s"no .wsp files under $treeDir")
+    val (_, files) = wspWalk(spark, treeDir)
+    if (files.hasNext) files.next().getPath.toString
+    else throw new IllegalStateException(s"no .wsp files under $treeDir")
   }
 
   def importWsp(spark: SparkSession, treeDir: String, tablePath: String): WhisperTable = {
@@ -678,16 +738,8 @@ object WhisperTable {
       spark: SparkSession,
       treeDir: String,
       tablePath: String): Map[String, WhisperTable] = {
-    val (fs, dir) = fsOf(spark, treeDir)
-    val qualified = fs.makeQualified(dir)
-    val it = fs.listFiles(qualified, true)
-    val files = Seq.newBuilder[(String, Long)]
-    while (it.hasNext) {
-      val st = it.next()
-      if (st.isFile && st.getPath.getName.endsWith(".wsp"))
-        files += ((st.getPath.toString, st.getLen))
-    }
-    val all = files.result()
+    val (qualified, walk) = wspWalk(spark, treeDir)
+    val all = walk.map(st => (st.getPath.toString, st.getLen)).toSeq
     require(all.nonEmpty, s"no .wsp files under $treeDir")
 
     val conf = new org.apache.spark.util.SerializableConfiguration(
@@ -729,7 +781,11 @@ object WhisperTable {
     // staging is deleted in the finally: a failure mid-load (bad schema
     // spec, create() collision, writeLevelFull error) must not leak the
     // staging tree — a rerun's mode("overwrite") could interleave its
-    // partitions with the leftover's
+    // partitions with the leftover's. Schema tables created BY THE
+    // FAILING RUN are rolled back too (r15 review: leaving them made
+    // the rerun deterministically die on create()'s exists check —
+    // exactly the wedge the finally existed to prevent).
+    val createdThisRun = Seq.newBuilder[String]
     try {
       val stagingDf = spark.read.parquet(staging)
       // K distinct schemas reach the driver — K is the storage-schemas.conf
@@ -744,7 +800,9 @@ object WhisperTable {
             Retention(spp.toInt, n.toInt)
           },
           AggregationMethod.fromId(methodId.toInt), xff.toDouble)
-        val t = create(spark, s"$tablePath/schema_$dig", schema)
+        val tableDir = s"$tablePath/schema_$dig"
+        val t = create(spark, tableDir, schema)
+        createdThisRun += tableDir
         val pts = stagingDf.filter(col("dig") === dig) // partition-pruned
         schema.retentions.zipWithIndex.foreach { case (r, i) =>
           t.writeLevelFull(r, pts.filter(col("archive") === i)
@@ -752,6 +810,12 @@ object WhisperTable {
         }
         dig -> t
       }.toMap
+    } catch {
+      case e: Throwable =>
+        for (p <- createdThisRun.result())
+          try fsOf(spark, p)._1.delete(new org.apache.hadoop.fs.Path(p), true)
+          catch { case _: java.io.IOException => () } // best-effort rollback
+        throw e
     } finally {
       fsOf(spark, staging)._1.delete(new org.apache.hadoop.fs.Path(staging), true)
     }

@@ -37,6 +37,47 @@ class WhisperTableSpec extends AnyFunSuite {
     assert(reopened.maxRetention == 86400L)
   }
 
+  test("fully-expired and fully-future ranges fetch EMPTY, never a bucket") {
+    // r15 review: after the F1 clamp a fully-expired (or all-future)
+    // request has until < from; when both align to the SAME interval the
+    // single-bucket bump used to fire and return a bucket OUTSIDE the
+    // requested range — go-whisper returns nil there
+    val t = WhisperTable.create(spark, tmp(), Retentions.std)
+    import spark.implicits._
+    t.updateMany(Seq(TimeSeriesPoint("m", now - 60, 1.0)).toDS(), now)
+    val horizon = now - t.maxRetention
+    // entirely before the retention horizon, inside one coarse bucket
+    assert(t.fetch("m", horizon - 3000, horizon - 2900, now).count() == 0)
+    assert(t.fetchMany(Seq("m"), horizon - 3000, horizon - 2900, now).count() == 0)
+    assert(t.fetchGlob("m", horizon - 3000, horizon - 2900, now).count() == 0)
+    // entirely in the future
+    assert(t.fetch("m", now + 100, now + 200, now).count() == 0)
+    // checkEmpty agrees: an empty window holds no live points
+    assert(t.checkEmpty("m", horizon - 3000, horizon - 2900, now))
+    // the legitimate single-bucket bump still works inside retention
+    assert(t.fetch("m", now - 65, now - 61, now).count() == 1)
+  }
+
+  test("open refuses a session timezone different from the writer's") {
+    // the day-partition layout is derived in the writer's session zone;
+    // a different zone would mis-prune fetches and vacuum live days —
+    // the header now records the zone and open() validates it
+    val p = tmp()
+    WhisperTable.create(spark, p, Retentions.std)
+    assert(WhisperTable.open(spark, p).maxRetention ==
+      Retentions.std.maxRetentionSeconds) // same zone: fine
+    spark.conf.set("spark.sql.session.timeZone", "Pacific/Kiritimati")
+    try {
+      val e = intercept[IllegalStateException](WhisperTable.open(spark, p))
+      assert(e.getMessage.contains("timezone"))
+    } finally spark.conf.set("spark.sql.session.timeZone", "UTC")
+    // normalization: an equivalent spelling of the same zone passes
+    spark.conf.set("spark.sql.session.timeZone", "Etc/UTC")
+    try assert(WhisperTable.open(spark, p).maxRetention ==
+      Retentions.std.maxRetentionSeconds)
+    finally spark.conf.set("spark.sql.session.timeZone", "UTC")
+  }
+
   test("round trip: updateMany then fetch returns the exact dense series") {
     import spark.implicits._
     val t = WhisperTable.create(spark, tmp(), Retentions.std)

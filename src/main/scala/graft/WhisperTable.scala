@@ -680,7 +680,7 @@ object WhisperTable {
     * the other (r15 review: the import had re-grown its own copy).
     * Returns the statuses lazily with the qualified root.
     */
-  private def wspWalk(spark: SparkSession, treeDir: String)
+  private[graft] def wspWalk(spark: SparkSession, treeDir: String)
       : (org.apache.hadoop.fs.Path, Iterator[org.apache.hadoop.fs.LocatedFileStatus]) = {
     val (fs, dir) = fsOf(spark, treeDir)
     val qualified = fs.makeQualified(dir)

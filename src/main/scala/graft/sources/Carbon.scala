@@ -44,8 +44,13 @@ object Carbon {
     * (`try_element_at`/`try_cast`) BEFORE the filter so rejected rows
     * are still countable.
     */
-  def parsedObserved(lines: DataFrame, nowS: Long): (DataFrame, Observation) = {
-    val obs = Observation("carbon_parse")
+  def parsedObserved(lines: DataFrame, nowS: Long,
+      name: String = "carbon_parse"): (DataFrame, Observation) = {
+    // the name is caller-overridable like the streaming variant's:
+    // observed-metric names must be unique per query, and a batch that
+    // unions two ingest sources would otherwise fail with 'multiple
+    // definitions of observed metrics named carbon_parse' (r15 review)
+    val obs = Observation(name)
     (classified(lines, nowS)
       .observe(obs,
         // count(when) not sum(when): sum over a zero-row frame is NULL,

@@ -269,7 +269,14 @@ final class WspScan(
     */
   private[sources] def listFilesWithMtime(): Seq[((String, Long, String), Long)] =
     if (manifest) manifestListing()
-    else roots.flatMap { r =>
+    else {
+    // touched accumulates ACROSS roots and the eviction sweep runs ONCE
+    // after every root is walked: a per-root sweep evicted every OTHER
+    // root's entries on each walk (r15 review — a multi-root stream
+    // re-listed all trees in full every micro-batch, zero cache hits,
+    // and a file-root walk that touches no directory wiped the cache)
+    val touched = scala.collection.mutable.Set.empty[String]
+    val result = roots.flatMap { r =>
       treeWalks += 1
       val root = new org.apache.hadoop.fs.Path(r)
       val fs = root.getFileSystem(conf.value)
@@ -300,13 +307,8 @@ final class WspScan(
         else walk(qualified)
       }
       if (listingCache) {
-        // per-directory walk so unchanged dirs can serve from cache;
-        // entries not touched this walk are evicted afterwards (deleted
-        // subtrees must not pin FileStatus arrays for the stream's life)
-        val touched = scala.collection.mutable.Set.empty[String]
+        // per-directory walk so unchanged dirs can serve from cache
         walkFrom { dir => touched += dir.toString; childrenOf(fs, dir) }
-        dirCache.keysIterator.filterNot(touched).toSeq
-          .foreach(dirCache.remove)
       } else if (Option(qualified.toUri.getScheme).forall(_ == "file")) {
         // LOCAL filesystem: `listFiles(recursive)` materializes
         // LocatedFileStatus, whose permission field forks `ls -ld` PER
@@ -328,6 +330,13 @@ final class WspScan(
       }
       out.result()
     }
+    // evict entries no walk touched (deleted subtrees must not pin
+    // FileStatus arrays for the stream's life)
+    if (listingCache)
+      dirCache.keysIterator.filterNot(touched).toSeq
+        .foreach(dirCache.remove)
+    result
+  }
 
   /** Listing cache (see [[listFilesWithMtime]]): dir path → (dir mtime,
     * listing wall-clock ms, children). Driver-side state scoped to this
@@ -357,19 +366,31 @@ final class WspScan(
     * file subset of a tree) and is rejected here — manifest rows carry
     * their tree-relative metric names already.
     */
+  /** The metric/glob-pruned RAW manifest frame for one root — the ONE
+    * statement of the pruning contract (equality/`In` and the glob
+    * filter BELOW the supersede-dedup, where they reach the parquet
+    * reader; sound because metric is a pure function of path). Shared
+    * by [[manifestListing]] and [[maxMtime]] so the streaming offset
+    * and the batch plan can never diverge in which files they consider.
+    */
+  private def prunedRaw(spark: SparkSession, root: String)
+      : org.apache.spark.sql.DataFrame = {
+    var df = WspManifest.raw(spark, root)
+    metrics.foreach(ms =>
+      df = df.filter(org.apache.spark.sql.functions.col("metric")
+        .isin(ms.toSeq: _*)))
+    metricGlob.foreach(g =>
+      df = df.filter(org.apache.spark.sql.functions.col("metric")
+        .rlike(graft.ops.Fetch.globToRegex(g))))
+    df
+  }
+
   private def manifestListing(): Seq[((String, Long, String), Long)] = {
     require(metricRoot.isEmpty,
       "wsp: the manifest option plans whole trees; metricRoot does not apply")
     val spark = SparkSession.active
     roots.flatMap { r =>
-      var df = WspManifest.raw(spark, r)
-      metrics.foreach(ms =>
-        df = df.filter(org.apache.spark.sql.functions.col("metric")
-          .isin(ms.toSeq: _*)))
-      metricGlob.foreach(g =>
-        df = df.filter(org.apache.spark.sql.functions.col("metric")
-          .rlike(graft.ops.Fetch.globToRegex(g))))
-      WspManifest.live(df)
+      WspManifest.live(prunedRaw(spark, r))
         .select("path", "len", "metric", "mtime").collect().map { row =>
           ((row.getString(0), row.getLong(1), row.getString(2)), row.getLong(3))
         }
@@ -390,15 +411,9 @@ final class WspScan(
       // function of path), so max(filtered raw) == max(filtered live)
       val spark = SparkSession.active
       roots.map { r =>
-        var df = WspManifest.raw(spark, r)
-        metrics.foreach(ms =>
-          df = df.filter(org.apache.spark.sql.functions.col("metric")
-            .isin(ms.toSeq: _*)))
-        metricGlob.foreach(g =>
-          df = df.filter(org.apache.spark.sql.functions.col("metric")
-            .rlike(graft.ops.Fetch.globToRegex(g))))
-        val row = df.agg(org.apache.spark.sql.functions.max(
-          org.apache.spark.sql.functions.col("mtime"))).head()
+        val row = prunedRaw(spark, r)
+          .agg(org.apache.spark.sql.functions.max(
+            org.apache.spark.sql.functions.col("mtime"))).head()
         if (row.isNullAt(0)) Long.MinValue else row.getLong(0)
       }.foldLeft(Long.MinValue)(math.max)
     } else {
@@ -425,8 +440,14 @@ final class WspScan(
         kids
       case _ =>
         listStatusCalls += 1
+        // clock taken BEFORE the listing: the quiescence guard must
+        // bound when the listing BEGAN — a slow listStatus that starts
+        // inside the dir's mtime quantum can miss a same-quantum
+        // rewrite, and stamping its END time would let the guard trust
+        // exactly that incomplete listing forever (r15 review)
+        val startedAt = System.currentTimeMillis()
         val kids = fs.listStatus(dir)
-        dirCache.put(key, (mtime, System.currentTimeMillis(), kids))
+        dirCache.put(key, (mtime, startedAt, kids))
         kids
     }
   }

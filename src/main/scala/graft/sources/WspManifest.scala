@@ -73,11 +73,27 @@ object WspManifest {
     val fs = rootPath.getFileSystem(conf.value)
     val qualified = fs.makeQualified(rootPath)
     val rootStr = qualified.toString
-    // shards: the root's immediate children (minus the manifest itself).
-    // Top-level .wsp files ride along as single-file shards.
-    val shards = fs.listStatus(qualified)
-      .filterNot(_.getPath.getName == DirName)
-      .map(_.getPath.toString).toSeq
+    // shards: the root's children (minus the manifest itself), expanded
+    // BREADTH-FIRST until there are enough to occupy the cluster — a
+    // carbon tree routinely has ONE dominant top-level directory
+    // (`servers/`), and sharding only one level deep would put the
+    // whole 1M-file walk on a single executor core (r15 review), the
+    // exact driver-adjacent bottleneck the manifest exists to remove.
+    // Each expansion level costs one driver listStatus per directory
+    // shard, bounded by the depth cap. Files ride along as single-file
+    // shards at every level.
+    val target = math.max(1, spark.sparkContext.defaultParallelism)
+    var shardSts = fs.listStatus(qualified)
+      .filterNot(_.getPath.getName == DirName).toSeq
+    var depth = 1
+    while (shardSts.size < target && depth < 4 &&
+      shardSts.exists(_.isDirectory)) {
+      shardSts = shardSts.flatMap { st =>
+        if (st.isDirectory) fs.listStatus(st.getPath).toSeq else Seq(st)
+      }
+      depth += 1
+    }
+    val shards = shardSts.map(_.getPath.toString)
     import spark.implicits._
     val rows =
       if (shards.isEmpty) spark.emptyDataset[(String, String, Long, Long, String)]

@@ -30,24 +30,24 @@ object WspTools {
     * whisper's own create-time invariant.
     */
   def treeHeader(spark: SparkSession, dir: String): WspHeader = {
-    val root = new org.apache.hadoop.fs.Path(dir)
-    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
-    val it = fs.listFiles(fs.makeQualified(root), true)
-    while (it.hasNext) {
-      val st = it.next()
-      if (st.isFile && st.getPath.getName.endsWith(".wsp")) {
-        val h = graft.WhisperTable.headerOf(
-          fs, st.getPath, st.getLen, st.getPath.toString)
-        val rets = h.archives.map(a =>
-          a.secondsPerPoint.toLong * a.numberOfPoints)
-        require(rets.zip(rets.tail).forall { case (a, b) => a < b } &&
-            h.archives.map(_.secondsPerPoint).sliding(2).forall(
-              s => s.size < 2 || s(0) < s(1)),
-          s"${st.getPath}: archives $h not finest-to-coarsest with growing retention")
-        return h
-      }
-    }
-    throw new IllegalArgumentException(s"$dir: no .wsp files found")
+    // the shared .wsp walk (graft.WhisperTable.wspWalk) — one statement
+    // of the skip rules for every tree consumer (r15 review: this had
+    // its own copy)
+    val (_, files) = graft.WhisperTable.wspWalk(spark, dir)
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    if (!files.hasNext)
+      throw new IllegalArgumentException(s"$dir: no .wsp files found")
+    val st = files.next()
+    val h = graft.WhisperTable.headerOf(
+      fs, st.getPath, st.getLen, st.getPath.toString)
+    val rets = h.archives.map(a =>
+      a.secondsPerPoint.toLong * a.numberOfPoints)
+    require(rets.zip(rets.tail).forall { case (a, b) => a < b } &&
+        h.archives.map(_.secondsPerPoint).sliding(2).forall(
+          s => s.size < 2 || s(0) < s(1)),
+      s"${st.getPath}: archives $h not finest-to-coarsest with growing retention")
+    h
   }
 
   /** Validate a scanned tree row-by-row against an expected per-archive
@@ -360,16 +360,10 @@ object WspTools {
       "rewriteHeaders: nothing to rewrite — pass method and/or xff")
     xff.foreach(x => require(x >= 0.0 && x <= 1.0,
       s"rewriteHeaders: xFilesFactor $x outside [0, 1]"))
-    val root = new org.apache.hadoop.fs.Path(treeDir)
-    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
-    val it = fs.listFiles(fs.makeQualified(root), true)
-    val files = Seq.newBuilder[(String, Long)]
-    while (it.hasNext) {
-      val st = it.next()
-      if (st.isFile && st.getPath.getName.endsWith(".wsp"))
-        files += ((st.getPath.toString, st.getLen))
-    }
-    val all = files.result()
+    // the shared .wsp walk, not a private copy (r15 review): a skip
+    // rule added there must also govern which files get patched
+    val all = graft.WhisperTable.wspWalk(spark, treeDir)._2
+      .map(st => (st.getPath.toString, st.getLen)).toSeq
     val conf = new org.apache.spark.util.SerializableConfiguration(
       spark.sessionState.newHadoopConf())
     val methodId = method.map(_.id)

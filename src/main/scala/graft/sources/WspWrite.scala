@@ -125,6 +125,11 @@ object WspWrite {
       schema: WhisperSchema,
       mergeExisting: Boolean,
       conf: org.apache.hadoop.conf.Configuration): (String, Long, Long) = {
+    // same named guard as the DSv2 writer and Carbon.format (review
+    // r10): a null metric (a left-join artifact in the caller's frame)
+    // must fail with the column named, not as a bare executor NPE from
+    // metric.replace below
+    require(metric != null, "whisper points cannot have a null metric")
     val expectedLen = WspCodec.fileSize(schema)
     // graphite tree layout: metric path components become DIRECTORIES
     // (`a.b.c` → `a/b/c.wsp`), the inverse of the read side's

@@ -427,6 +427,18 @@ object RenderTarget {
     case Call(_, cs, _) => cs.exists(hasTagSelection)
   }
 
+  /** Number of `seriesByTag` selections in the tree — counted with the
+    * glob leaves toward the shared-scan fence decision (see leafSelect):
+    * a target mixing ONE glob with ONE tag selection still has two
+    * consumers of the shared aggregate, and an unfenced predicate on
+    * either side splits them back into two scans.
+    */
+  private def tagSelectionCount(e: Expr): Int = e match {
+    case Leaf(_) => 0
+    case Call("seriesByTag", _, _) => 1
+    case Call(_, cs, _) => cs.map(tagSelectionCount).sum
+  }
+
   /** Compile one graphite tag expression (`tag=value`, `tag!=value`,
     * `tag=~regex`, `tag!=~regex`; `name` is the pseudo-tag for the
     * metric's name part) into a predicate over the
@@ -482,12 +494,23 @@ object RenderTarget {
     case Call("exponentialMovingAverage", Seq(c), args) =>
       historyExtS(c, spp, fromS, untilS, tz) + windowPts(args.head, stepS(c, spp)) * stepS(c, spp)
     case Call(f, Seq(c), args) if HoltWintersFuncs(f) =>
-      historyExtS(c, spp, fromS, untilS, tz) + hwBootstrapS(args)
+      // bootstrap rounded UP to the child's step: a non-multiple (e.g.
+      // '90s' over a 60s leaf) would shift extFromI off the alignTs
+      // bucket grid, the dense spine would match nothing, and the
+      // render would be silently all-null (r15 review)
+      val st = stepS(c, spp)
+      val boot = hwBootstrapS(args)
+      historyExtS(c, spp, fromS, untilS, tz) + ((boot + st - 1) / st) * st
     case Call("timeShift", Seq(c), args) =>
       historyExtS(c, spp, fromS, untilS, tz) + shiftS(args.head)
     case Call("timeStack", Seq(c), args) =>
-      // deepest copy: shiftEnd × unit back in time
-      historyExtS(c, spp, fromS, untilS, tz) + args(2).toLong * durationS(args.head)
+      // deepest copy: shiftEnd × unit back in time. All three args are
+      // optional in graphite (defaults '1d', 0, 7) — a bare
+      // timeStack(series) must render the default stack, not throw an
+      // index error before evaluation (r15 review)
+      historyExtS(c, spp, fromS, untilS, tz) +
+        args.lift(2).map(_.toLong).getOrElse(7L) *
+        durationS(args.headOption.getOrElse("1d"))
     case Call("linearRegression", Seq(c), args)
         if args.nonEmpty && untilS > 0 =>
       // startSourceAt may reach back before the display window: extend
@@ -523,6 +546,14 @@ object RenderTarget {
       require(iv % stepS(c, spp) == 0,
         s"summarize interval ${args.head} must be a multiple of the series step")
       iv
+    case Call("hitcount", Seq(c), args) =>
+      // hitcount coarsens exactly like summarize (eval emits
+      // iv-aligned buckets) — without this case a movingAverage above
+      // hitcount pre-fetched n×LEAF-step of history instead of
+      // n×interval, and a combine over hitcount + summarize members
+      // failed the shared-step require despite agreeing grids (r15
+      // review)
+      durationS(args.head)
     // generators with their OWN step argument: report exactly what
     // eval emits, or a combine would pass its same-step require while
     // unioning misaligned grids (silent 4-of-5-buckets-missing sums)
@@ -897,10 +928,16 @@ object RenderTarget {
     // scan + one shuffle (PlanSpec pins the ReusedExchange, and pins
     // the plan rand()-free). Single-glob targets keep the fully-pushed
     // plan: there is nothing to share.
+    // fence whenever the shared aggregate has >= 2 consumers of ANY
+    // kind — glob leaves AND seriesByTag selections both count: one
+    // glob plus one tag selection unfenced split back into two full
+    // scans (r15 review), exactly the cost the fence exists to prevent
+    val selectorCount = leafRx.size + tagSelectionCount(expr0)
+    def fenced(pred: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      if (selectorCount < 2) pred
+      else graft.functions.OptimizerFence.fence(pred)
     def leafSelect(rx: String): DataFrame =
-      if (leafRx.size < 2) sharedAgg.filter(col("metric").rlike(rx))
-      else sharedAgg.filter(
-        graft.functions.OptimizerFence.fence(col("metric").rlike(rx)))
+      sharedAgg.filter(fenced(col("metric").rlike(rx)))
 
     // (dense series frame, step): every bucket of the node's grid has a
     // row; gaps are NULL values — graphite's None
@@ -1043,9 +1080,14 @@ object RenderTarget {
             col("bucket_ts"))
           .agg(round(summarizeAggOrdered(func, col("value")), 6).as("value")), step)
       case Call("aliasByNode", Seq(c), args) =>
-        val n = args.head.toInt
+        // graphite's signature is aliasByNode(seriesList, *nodes): ALL
+        // node indices join with '.' — using only the first silently
+        // collapsed distinct series to one legend name (r15 review)
+        val nodes = args.map(_.toInt)
         val (df, step) = eval(c)
-        (df.withColumn("metric", split(col("metric"), "\\.").getItem(n)), step)
+        val parts = split(col("metric"), "\\.")
+        (df.withColumn("metric",
+          concat_ws(".", nodes.map(parts.getItem): _*)), step)
       case Call(f @ ("highestMax" | "highestAverage"), Seq(c), args) =>
         // keep the n series ranking highest by max/avg over the
         // REQUESTED window (history-extension rows excluded from the
@@ -1335,10 +1377,11 @@ object RenderTarget {
         // the N-copies week-over-week overlay: shifted copies of the
         // child for i in [start, end], each re-stamped forward by
         // i × unit and suffixed `@-i` — the deepest copy's history was
-        // already pre-fetched via historyExtS
-        val delta = durationS(args(0))
-        val start = args(1).toInt
-        val end = args(2).toInt
+        // already pre-fetched via historyExtS. Args optional, graphite
+        // defaults ('1d', 0, 7) — keep in lockstep with historyExtS
+        val delta = durationS(args.headOption.getOrElse("1d"))
+        val start = args.lift(1).map(_.toInt).getOrElse(0)
+        val end = args.lift(2).map(_.toInt).getOrElse(7)
         require(start >= 0 && end >= start,
           "timeStack needs 0 <= shiftStart <= shiftEnd")
         val (df, step) = eval(c)
@@ -1393,13 +1436,23 @@ object RenderTarget {
         // quotient rounded via the shared round6: v·w carries a full
         // mantissa, so the unordered merge + native round could flip a
         // 6th decimal between engines/runs
-        (byNode(dv, "v").join(byNode(dw, "w"), Seq("node", "bucket_ts"))
+        val sparse = byNode(dv, "v").join(byNode(dw, "w"), Seq("node", "bucket_ts"))
           .groupBy(col("bucket_ts"))
           .agg(Rollup.orderedSumBy(col("v") * col("w"), col("node")).as("num"),
             Rollup.orderedSumBy(col("w"), col("node")).as("den"))
-          .select(lit("weightedAverage").as("metric"), col("bucket_ts"),
+          .select(col("bucket_ts"),
             when(col("den").isNotNull && col("den") =!= 0,
-              Buckets.round6(col("num") / col("den"))).as("value")), sv)
+              Buckets.round6(col("num") / col("den"))).as("value"))
+        // re-densify onto the child's grid: the isNotNull pre-filter +
+        // inner pair join DROP buckets where every member is a gap, and
+        // a sparse frame breaks the dense-grid invariant every combine
+        // and rows-window stage above relies on (r15 review — a
+        // movingAverage over this silently spanned the gap). The value
+        // side is dense per metric, so its distinct buckets ARE the grid.
+        (dv.select(col("bucket_ts")).distinct()
+          .join(sparse, Seq("bucket_ts"), "left")
+          .select(lit("weightedAverage").as("metric"), col("bucket_ts"),
+            col("value")), sv)
       case Call("filterSeries", Seq(c), args) =>
         // graphite 1.1's general series filter: keep series whose
         // requested-window statistic satisfies `operator threshold` —
@@ -1466,7 +1519,9 @@ object RenderTarget {
         require(exprs.nonEmpty && cs.forall(_.isInstanceOf[Leaf]),
           "seriesByTag takes quoted tag expressions, e.g. " +
             "seriesByTag('name=cpu', 'dc=~us-.*')")
-        val agg = sharedAgg.filter(exprs.map(tagPredicate).reduce(_ && _))
+        // fenced like leafSelect: an unfenced deterministic predicate
+        // would push below the shared aggregate and fork the scan
+        val agg = sharedAgg.filter(fenced(exprs.map(tagPredicate).reduce(_ && _)))
         val metrics = agg.select(col("metric")).distinct()
         val dense = spark.range(extFromI, untilI, spp.toLong).toDF("bucket_ts")
           .crossJoin(metrics)
@@ -1519,7 +1574,13 @@ object RenderTarget {
       case Call("sinFunction" | "sin", Seq(Leaf(name)), args) =>
         val amp = args.headOption.map(_.toDouble).getOrElse(1.0)
         val stepArg = args.lift(1).map(_.toLong).getOrElse(spp.toLong)
-        (spark.range(extFromI, untilI, stepArg).toDF("bucket_ts")
+        // epoch-aligned spine (ceil of extFromI onto the step grid, a
+        // no-op when already aligned): generator buckets must sit on
+        // the SAME k·step grid as summarize/alignTs buckets, or an
+        // equal-step combine pairs nothing and sums interleave on two
+        // offset grids (r15 review)
+        val genFrom = -Math.floorDiv(-extFromI, stepArg) * stepArg
+        (spark.range(genFrom, untilI, stepArg).toDF("bucket_ts")
           .select(lit(unquote(name)).as("metric"), col("bucket_ts"),
             round(sin(col("bucket_ts")) * amp, 6).as("value")), stepArg)
       case Call("randomWalk" | "randomWalkFunction", Seq(Leaf(name)), args) =>
@@ -1535,12 +1596,15 @@ object RenderTarget {
         val stepArg = args.headOption.map(_.toLong).getOrElse(60L)
         val seed = args.lift(1).map(_.toLong).getOrElse(0L)
         val m = 2147483647L
-        val i = expr(s"(bucket_ts - $extFromI) div $stepArg")
+        // epoch-aligned spine, like sinFunction above (no-op when
+        // extFromI is already a step multiple — the oracle keys' case)
+        val genFrom = -Math.floorDiv(-extFromI, stepArg) * stepArg
+        val i = expr(s"(bucket_ts - $genFrom) div $stepArg")
         val h1 = (lit(48271L) * ((lit(seed) + i) % m)) % m
         val h2 = (lit(48271L) * h1) % m
         val w = Window.partitionBy(col("metric")).orderBy(col("bucket_ts"))
           .rowsBetween(Window.unboundedPreceding, -1)
-        (spark.range(extFromI, untilI, stepArg).toDF("bucket_ts")
+        (spark.range(genFrom, untilI, stepArg).toDF("bucket_ts")
           .select(lit(unquote(name)).as("metric"), col("bucket_ts"),
             (h2.cast("double") / m - 0.5).as("inc"))
           .select(col("metric"), col("bucket_ts"),
@@ -1625,8 +1689,12 @@ object RenderTarget {
         val n = windowPts(args.head, step).toInt
         require(n > 0, "exponentialMovingAverage window must be positive")
         val alpha = 2.0 / (n + 1)
-        def r6(x: Double): Double =
-          BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+        // the file's ONE pinned 6-decimal rounding FORM (hwR6's
+        // floor(x·1e6 + 0.5)/1e6 three ops, inlined: the executor
+        // closure must not capture the enclosing object) — a local
+        // BigDecimal HALF_UP disagreed on binary near-midpoints and
+        // would desync any future EMA oracle (r15 review)
+        def r6(x: Double): Double = math.floor(x * 1e6 + 0.5) / 1e6
         import spark.implicits._
         val typed = df.select(col("metric"), col("bucket_ts"),
             col("value").cast("double"))
@@ -1720,9 +1788,13 @@ object RenderTarget {
         val (df, step) = eval(c)
         (df.filter(col("metric").rlike(args.head)), step)
       case Call("aliasSub", Seq(c), args) =>
+        // the replacement is PYTHON re.sub syntax in graphite (\1 =
+        // backreference) — route through pyReplacement like aliasQuery,
+        // or Java's replaceAll reads \1 as a literal '1' and throws on
+        // a bare '$' (r15 review)
         val (df, step) = eval(c)
         (df.withColumn("metric",
-          regexp_replace(col("metric"), args(0), args(1))), step)
+          regexp_replace(col("metric"), args(0), pyReplacement(args(1)))), step)
       case Call("asPercent", cs, args) =>
         // one-series-list form: each member as a percent of the
         // per-bucket total across ALL members; explicit-total form:
@@ -3502,11 +3574,12 @@ object RenderTarget {
        |         ${Rollup.orderedSumSql("node", "v * v")} AS num,
        |         ${Rollup.orderedSumSql("node", "v")} AS den
        |  FROM bn GROUP BY bucket_ts)
-       |SELECT 'weightedAverage' AS metric, bucket_ts,
-       |       CASE WHEN den <> 0 THEN ${Buckets.round6Sql("num / den")} END
-       |         AS value
-       |FROM folded
-       |ORDER BY bucket_ts""".stripMargin
+       |SELECT 'weightedAverage' AS metric, g.bucket_ts,
+       |       CASE WHEN den IS NOT NULL AND den <> 0
+       |            THEN ${Buckets.round6Sql("num / den")} END AS value
+       |FROM (SELECT DISTINCT bucket_ts FROM dense) g
+       |LEFT JOIN folded f ON f.bucket_ts = g.bucket_ts
+       |ORDER BY g.bucket_ts""".stripMargin
 
   /** `render_target_holt`: the anomaly panel —
     * `holtWintersAberration(sumSeries(g), 3, '6h', '1h')`. Oracle: the

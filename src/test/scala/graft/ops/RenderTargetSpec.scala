@@ -44,6 +44,62 @@ class RenderTargetSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](RenderTarget.durationS("10mon"))
   }
 
+  test("r15 review pins: hitcount step, timeStack defaults, py-replacement") {
+    // hitcount coarsens the step like summarize — history above it must
+    // extend by n×interval, and combines with summarize members agree
+    val e = RenderTarget.parse("movingAverage(hitcount(m.a, '1h'), 3)")
+    assert(RenderTarget.stepS(e, 60) == 3600)
+    assert(RenderTarget.historyExtS(e, 60) == 3 * 3600)
+    val mixed = RenderTarget.parse(
+      "group(hitcount(m.a, '1h'), summarize(m.b, '1h', 'sum'))")
+    assert(RenderTarget.stepS(mixed, 60) == 3600)
+    // timeStack's three args are optional (graphite defaults 1d, 0, 7)
+    val bare = RenderTarget.parse("timeStack(m.a)")
+    assert(RenderTarget.historyExtS(bare, 60) == 7L * 86400)
+    val one = RenderTarget.parse("timeStack(m.a, '1h')")
+    assert(RenderTarget.historyExtS(one, 60) == 7L * 3600)
+    // Holt-Winters bootstrap rounds UP onto the child's step grid
+    val hw = RenderTarget.parse("holtWintersForecast(m.a, 3, '90s')")
+    assert(RenderTarget.historyExtS(hw, 60) == 120)
+    // aliasSub replacement is python re.sub syntax: \1 = backreference
+    val p = pts(("ip-1-2-3TCP42", 65L, 1.0))
+    val out = RenderTarget.evaluate(spark, p,
+      """aliasSub(ip*TCP*, '^.*TCP(\d+)', '\1')""", 0L, 120L, 60)
+      .collect().map(_.getString(0)).distinct.toSeq
+    assert(out == Seq("42"),
+      s"python backreference must rename to the captured group, got $out")
+  }
+
+  test("r15 review pins: bare timeStack renders the default stack") {
+    val p = pts(("m.a", 65L, 1.0))
+    val rows = RenderTarget.evaluate(spark, p, "timeStack(m.a)", 0L, 120L, 60)
+      .collect()
+    // 8 shifted copies (i in 0..7), each the dense 2-bucket window
+    assert(rows.map(_.getString(0)).distinct.length == 8)
+  }
+
+  test("r15 review pins: weightedAverage is dense, aliasByNode multi-node") {
+    // a bucket where every member is a gap must emit a NULL row, not
+    // vanish (dense-grid invariant); metric layout: node 1 pairs sides
+    val p = pts(("v.x", 65L, 10.0), ("w.x", 65L, 2.0),
+      ("v.x", 245L, 30.0), ("w.x", 245L, 3.0)) // bucket 120/180: gaps
+    val rows = RenderTarget.evaluate(spark, p,
+      "weightedAverage(v.*, w.*, 1)", 0L, 300L, 60)
+      .collect().map(r => (r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getDouble(2))))
+      .sortBy(_._1).toSeq
+    assert(rows.map(_._1) == Seq(60L, 120L, 180L, 240L, 300L),
+      s"gap buckets must stay on the grid as NULL rows, got $rows")
+    assert(rows(0)._2.contains(10.0) && rows(3)._2.contains(30.0))
+    assert(rows(1)._2.isEmpty && rows(2)._2.isEmpty && rows(4)._2.isEmpty)
+    // aliasByNode joins ALL requested nodes with '.'
+    val p2 = pts(("servers.dc1.web01.cpu", 65L, 1.0))
+    val named = RenderTarget.evaluate(spark, p2,
+      "aliasByNode(servers.*.*.cpu, 1, 2)", 0L, 120L, 60)
+      .collect().map(_.getString(0)).distinct.toSeq
+    assert(named == Seq("dc1.web01"), s"got $named")
+  }
+
   test("history extension and step propagate through nesting") {
     val e = RenderTarget.parse("movingAverage(summarize(m.a, '5min'), 4)")
     // summarize coarsens step to 300; the window then needs 4×300

@@ -814,7 +814,10 @@ object WhisperTable {
       case e: Throwable =>
         for (p <- createdThisRun.result())
           try fsOf(spark, p)._1.delete(new org.apache.hadoop.fs.Path(p), true)
-          catch { case _: java.io.IOException => () } // best-effort rollback
+          // best-effort rollback: NonFatal, not just IOException — an
+          // object-store FS throwing RuntimeException from delete must
+          // not mask the original failure being rethrown (r15 advice)
+          catch { case scala.util.control.NonFatal(_) => () }
         throw e
     } finally {
       fsOf(spark, staging)._1.delete(new org.apache.hadoop.fs.Path(staging), true)

@@ -734,7 +734,13 @@ object Dedup {
     arms.crossJoin(broadcast(tc))
       .select(col("bands"), col("rows_per_band"), col("candidates"),
         col("hits"),
-        Buckets.round6(col("hits").cast("double") / col("t")).as("recall"))
+        // duplicate-free corpus ⇒ t = 0: pin recall to NULL explicitly
+        // on BOTH sides — Spark's non-ANSI 0-division is NULL but the
+        // oracle's float division is IEEE, so an unguarded hash would
+        // desync exactly when the fixture degenerates (r15 advice)
+        when(col("t") =!= 0,
+          Buckets.round6(col("hits").cast("double") / col("t")))
+          .as("recall"))
       .orderBy("rows_per_band")
   }
 
@@ -777,7 +783,9 @@ object Dedup {
        |arms AS (
        |$arms)
        |SELECT bands, rows_per_band, candidates, hits,
-       |       ${Buckets.round6Sql("CAST(hits AS DOUBLE) / t")} AS recall
+       |       CASE WHEN t = 0 THEN NULL
+       |            ELSE ${Buckets.round6Sql("CAST(hits AS DOUBLE) / t")}
+       |       END AS recall
        |FROM arms CROSS JOIN tc
        |ORDER BY rows_per_band""".stripMargin
   }

@@ -249,6 +249,18 @@ object RenderTarget {
       s.substring(1, s.length - 1)
     else s
 
+  /** The n-th dot-node of a split metric name under PYTHON list
+    * semantics: node -1 is the LAST component (ubiquitous in graphite
+    * dashboards: `aliasByNode(..., -1)` legends the leaf name).
+    * `try_element_at` is 1-based and counts negatives from the end, so
+    * n >= 0 maps to n+1 and n < 0 passes through; the try_ form returns
+    * NULL (the plain one ERRORS) past either end, matching getItem's
+    * out-of-range behavior that positive indices always had.
+    */
+  private def nodeAt(parts: Column, n: Int): Column =
+    if (n >= 0) try_element_at(parts, lit(n + 1))
+    else try_element_at(parts, lit(n))
+
   /** aliasQuery's legend formatter: the python %-format subset real
     * dashboards use (`%d`, `%s`, `%f`, `%.Nf`), applied to the
     * sub-query's current value with CROSS-ENGINE-PINNED rendering:
@@ -1076,18 +1088,21 @@ object RenderTarget {
         val n = args.head.toInt
         val func = args.lift(1).getOrElse("avg")
         val (df, step) = eval(c)
-        (df.groupBy(split(col("metric"), "\\.").getItem(n).as("metric"),
+        (df.groupBy(nodeAt(split(col("metric"), "\\."), n).as("metric"),
             col("bucket_ts"))
           .agg(round(summarizeAggOrdered(func, col("value")), 6).as("value")), step)
       case Call("aliasByNode", Seq(c), args) =>
         // graphite's signature is aliasByNode(seriesList, *nodes): ALL
         // node indices join with '.' — using only the first silently
-        // collapsed distinct series to one legend name (r15 review)
+        // collapsed distinct series to one legend name (r15 review).
+        // Nodes use Python list semantics: -1 is the LAST dot-node
+        // (ubiquitous in dashboards) — nodeAt resolves negatives from
+        // the end instead of silently dropping them (r15 advice)
         val nodes = args.map(_.toInt)
         val (df, step) = eval(c)
         val parts = split(col("metric"), "\\.")
         (df.withColumn("metric",
-          concat_ws(".", nodes.map(parts.getItem): _*)), step)
+          concat_ws(".", nodes.map(nodeAt(parts, _)): _*)), step)
       case Call(f @ ("highestMax" | "highestAverage"), Seq(c), args) =>
         // keep the n series ranking highest by max/avg over the
         // REQUESTED window (history-extension rows excluded from the
@@ -1413,7 +1428,7 @@ object RenderTarget {
         require(nodes.nonEmpty, "groupByNodes needs at least one node index")
         val (df, step) = eval(c)
         val parts = split(col("metric"), "\\.")
-        val key = concat_ws(".", nodes.map(n => parts.getItem(n)): _*)
+        val key = concat_ws(".", nodes.map(n => nodeAt(parts, n)): _*)
         (df.groupBy(key.as("metric"), col("bucket_ts"))
           .agg(round(summarizeAggOrdered(func, col("value")), 6).as("value")), step)
       case Call("weightedAverage", Seq(cv, cw), args) =>
@@ -1429,7 +1444,7 @@ object RenderTarget {
         require(sv == sw, "weightedAverage operands must share one step")
         def byNode(d: DataFrame, as: String): DataFrame =
           d.filter(col("value").isNotNull)
-            .groupBy(split(col("metric"), "\\.").getItem(n).as("node"),
+            .groupBy(nodeAt(split(col("metric"), "\\."), n).as("node"),
               col("bucket_ts"))
             .agg(max_by(col("value"), col("metric")).as(as))
         // both Σ folds pinned to node order (unique per bucket) and the
@@ -2367,8 +2382,13 @@ object RenderTarget {
           "reduceSeries supports exactly two reduce matchers")
         val (df, step) = eval(c)
         val parts = split(col("metric"), "\\.")
-        val keyCol = array_join(filter(parts, (_, i) => i =!= node), ".")
-        val tag = parts.getItem(node)
+        // python node semantics: a negative node resolves from the end,
+        // so the key filter drops position size+node and the tag reads
+        // via nodeAt (both agree with the positive form for node >= 0)
+        val nodePos =
+          if (node >= 0) lit(node) else size(parts) + node
+        val keyCol = array_join(filter(parts, (_, i) => i =!= nodePos), ".")
+        val tag = nodeAt(parts, node)
         val g = df.groupBy(keyCol.as("metric"), col("bucket_ts"))
           .agg(max(when(tag === matchers(0), col("value"))).as("v1"),
             max(when(tag === matchers(1), col("value"))).as("v2"))

@@ -638,6 +638,43 @@ class RenderTargetSpec extends AnyFunSuite {
     assert(a.sorted == Seq("s0", "s0", "s1"))
   }
 
+  test("node indices follow python list semantics: negatives from the end") {
+    // -1 = last dot-node, the most common dashboard form (r15 advice);
+    // all four node-addressed functions share the one resolver
+    val p = pts(("servers.dc1.web01.cpu", 65L, 1.0),
+      ("servers.dc2.web02.cpu", 65L, 3.0))
+    val a = RenderTarget.evaluate(spark, p,
+      "aliasByNode(servers.*.*.cpu, -3, -2)", 0L, 60L, 60)
+      .collect().map(_.getString(0)).sorted.toSeq
+    assert(a == Seq("dc1.web01", "dc2.web02"), s"got $a")
+    val g = RenderTarget.evaluate(spark, p,
+      "groupByNode(servers.*.*.cpu, -1, 'sum')", 0L, 60L, 60)
+      .collect().map(r => (r.getString(0), Option(r.get(2)))).toSeq
+    assert(g == Seq(("cpu", Some(4.0))), s"got $g")
+    val gn = RenderTarget.evaluate(spark, p,
+      "groupByNodes(servers.*.*.cpu, 'sum', 0, -1)", 0L, 60L, 60)
+      .collect().map(r => (r.getString(0), Option(r.get(2)))).toSeq
+    assert(gn == Seq(("servers.cpu", Some(4.0))), s"got $gn")
+    // an index past either end resolves to NULL, same as positive form
+    val oob = RenderTarget.evaluate(spark, p,
+      "aliasByNode(servers.*.*.cpu, -9)", 0L, 60L, 60)
+      .collect().map(_.getString(0)).distinct.toSeq
+    assert(oob == Seq(""), s"got $oob")
+    // reduceSeries: the tag node addressed from the end, key = the rest
+    val rp = pts(("s0.click", 65L, 30.0), ("s0.view", 65L, 60.0))
+    val red = RenderTarget.evaluate(spark, rp,
+      "reduceSeries(mapSeries(s*.*, 0), 'asPercent', -1, 'click', 'view')",
+      0L, 60L, 60).collect()
+      .map(r => (r.getString(0), Option(r.get(2)))).toSeq
+    assert(red == Seq(("s0", Some(50.0))), s"got $red")
+    // weightedAverage pairs sides by a negative node too
+    val wp = pts(("v.x", 65L, 10.0), ("w.x", 65L, 2.0))
+    val wa = RenderTarget.evaluate(spark, wp,
+      "weightedAverage(v.*, w.*, -1)", 0L, 60L, 60)
+      .collect().map(r => Option(r.get(2))).toSeq
+    assert(wa == Seq(Some(10.0)), s"got $wa")
+  }
+
   test("highestAverage keeps top-n by requested-window mean, ties by name") {
     val rows = Seq(("p.a", 65L, 1.0), ("p.b", 65L, 9.0), ("p.c", 65L, 5.0),
       ("p.d", 65L, 9.0))

@@ -456,8 +456,13 @@ object Multimodal {
       } else if (p(i) == 0xff.toByte) {
         val n = p(i + 1) & 0xff
         if (n == 0xd9) return i + 2                      // EOI
-        else if (n == 0x00 || n == 0xff ||
-          (n >= 0xd0 && n <= 0xd7)) i += 2               // stuffing/fill/RST
+        else if (n == 0x00 ||
+          (n >= 0xd0 && n <= 0xd7)) i += 2               // stuffing/RST
+        // FF FF: advance ONE byte so the second FF can itself start a
+        // marker — the spec allows any run of FF fill bytes before a
+        // marker (FF FF D9 is a fill byte + EOI), and the former +2
+        // skipped the real marker, misclassifying the frame (r15 advice)
+        else if (n == 0xff) i += 1
         else inScan = false                              // next segment starts
       } else i += 1
     }
@@ -473,12 +478,24 @@ object Multimodal {
     * frame is dropped, carbon-style, and scanning resumes past its SOI.
     */
   private[ops] def splitMjpeg(payload: Array[Byte]): Iterator[Array[Byte]] =
-    new Iterator[Array[Byte]] {
+    mjpegFrameSpans(payload).map { case (s, e) =>
+      java.util.Arrays.copyOfRange(payload, s, e)
+    }
+
+  /** The marker walk behind [[splitMjpeg]], emitting each valid frame's
+    * `(start, end)` byte span instead of the bytes — the geometry form
+    * the oracle-gated `multimodal_video_geometry` key re-derives
+    * arithmetically (offsets and lengths ARE pure marker arithmetic on
+    * a synthesized fixture, unlike pixel content behind JPEG entropy
+    * coding).
+    */
+  private[ops] def mjpegFrameSpans(payload: Array[Byte]): Iterator[(Int, Int)] =
+    new Iterator[(Int, Int)] {
       private var pos = 0
-      private var nextFrame: Array[Byte] = null
+      private var nextSpan: (Int, Int) = null
       private def advance(): Unit = {
-        nextFrame = null
-        while (nextFrame == null && pos + 1 < payload.length) {
+        nextSpan = null
+        while (nextSpan == null && pos + 1 < payload.length) {
           // find the next SOI
           var s = pos
           while (s + 1 < payload.length &&
@@ -487,18 +504,18 @@ object Multimodal {
           val e = jpegEnd(payload, s)
           if (e < 0) pos = s + 2 // invalid/truncated: resume past this SOI
           else {
-            nextFrame = java.util.Arrays.copyOfRange(payload, s, e)
+            nextSpan = (s, e)
             pos = e
           }
         }
       }
       override def hasNext: Boolean = {
-        if (nextFrame == null && pos < payload.length) advance()
-        nextFrame != null
+        if (nextSpan == null && pos < payload.length) advance()
+        nextSpan != null
       }
-      override def next(): Array[Byte] = {
+      override def next(): (Int, Int) = {
         if (!hasNext) throw new NoSuchElementException
-        val f = nextFrame; nextFrame = null; f
+        val f = nextSpan; nextSpan = null; f
       }
     }
 
@@ -785,4 +802,113 @@ object Multimodal {
        |       CAST(sum(bm) AS BIGINT) AS b_sum
        |FROM means GROUP BY doc_id, w, h, tw, th
        |ORDER BY doc_id""".stripMargin
+
+  // ----------------- video frame GEOMETRY under the oracle gate (r16)
+
+  /** Per-doc MJPEG fixture geometry (r15 verdict "missing" #2): frame
+    * count 1..7, per-frame COM-payload / scan-data / inter-frame-gap
+    * byte counts — all affine mods of (doc_id, frame index), so the
+    * oracle re-derives every offset in closed form. Frame i's total
+    * length is `14 + com + scan` (SOI 2, COM 4+com, SOS 6, scan, EOI 2).
+    */
+  private[ops] def videoFixtureFrames(id: Long): Int = (1 + id % 7).toInt
+  private[ops] def videoFixtureCom(id: Long, i: Int): Int =
+    ((id * 11 + i * 5) % 40 + 4).toInt
+  private[ops] def videoFixtureScan(id: Long, i: Int): Int =
+    ((id * 3 + i * 17) % 60 + 8).toInt
+  private[ops] def videoFixtureGap(id: Long, i: Int): Int =
+    ((id + i * 13) % 9).toInt
+
+  /** Hand-rolled structurally-valid MJPEG stream: each frame a marker
+    * SKELETON (SOI, a COM segment, a minimal SOS, scan bytes, EOI) that
+    * [[mjpegFrameSpans]]' walk parses exactly, separated by zero-byte
+    * garbage gaps and a trailing tail. Frames are NOT decodable images
+    * — JPEG entropy coding is not SQL-re-derivable, so this fixture
+    * gates frame GEOMETRY (count, offsets, lengths, which frames the
+    * stride samples) and pixel checks stay with MultimodalCodecSpec's
+    * real-decode specs. All payload bytes are < 0x7F, so no fake SOI or
+    * marker can arise outside the written structure.
+    */
+  private[ops] def mjpegFixture(id: Long): Array[Byte] = {
+    val n = videoFixtureFrames(id)
+    val out = new java.io.ByteArrayOutputStream()
+    for (i <- 0 until n) {
+      for (_ <- 0 until videoFixtureGap(id, i)) out.write(0x00)
+      out.write(0xff); out.write(0xd8)                    // SOI
+      val p = videoFixtureCom(id, i)
+      out.write(0xff); out.write(0xfe)                    // COM, len = p+2
+      out.write((p + 2) >> 8); out.write((p + 2) & 0xff)
+      for (j <- 0 until p) out.write(((id + i * 7 + j) % 0x7f).toInt)
+      out.write(0xff); out.write(0xda)                    // SOS, len 4
+      out.write(0); out.write(4)
+      out.write(1); out.write(2)
+      for (j <- 0 until videoFixtureScan(id, i)) out.write((j * 31 + i) % 0x7f)
+      out.write(0xff); out.write(0xd9)                    // EOI
+    }
+    for (_ <- 0 until (id % 5).toInt) out.write(0x00)     // trailing tail
+    out.toByteArray
+  }
+
+  /** One sampled frame's geometry leaving [[multimodalVideoGeometry]]. */
+  final case class FrameGeo(doc_id: Long, n_frames: Long, frame_idx: Long,
+    byte_offset: Long, frame_len: Long)
+
+  /** `multimodal_video_geometry`: the video sibling of the image/audio
+    * real-codec gates — the MJPEG marker walk's frame count, sampled
+    * frame indexes (the X25 1→[[FrameStride]] contract), byte offsets
+    * and lengths, all re-derived arithmetically by the oracle from the
+    * [[mjpegFixture]] closed forms. A walk defect (a mis-skipped
+    * segment, an off-by-one span, a wrong stride) is a hash mismatch at
+    * the driver. Same 8-byte id fan-out as the other codec keys; at
+    * 100 TB the synthesis is replaced by the media column and the walk
+    * stays a partition-wise 1→N flatMap with no shuffle.
+    */
+  def multimodalVideoGeometry(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ids = s.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"))
+      .repartition(s.sparkContext.defaultParallelism).as[Long]
+    ids.mapPartitions { it =>
+      it.flatMap { id =>
+        val payload = mjpegFixture(id)
+        val spans = mjpegFrameSpans(payload).toArray
+        spans.iterator.zipWithIndex
+          .filter(_._2 % FrameStride == 0)
+          .map { case ((st, en), i) =>
+            FrameGeo(id, spans.length.toLong, i.toLong, st.toLong,
+              (en - st).toLong)
+          }
+      }
+    }.toDF()
+      .select(col("doc_id"), col("n_frames"), col("frame_idx"),
+        col("byte_offset"), col("frame_len"))
+      .orderBy("doc_id", "frame_idx")
+  }
+
+  /** Oracle: the fixture arithmetic verbatim — per-frame lengths
+    * `14 + com + scan`, offsets as the running sum of prior frames and
+    * gaps plus the frame's own leading gap, count from the inclusive
+    * series, stride by `i % FrameStride`.
+    */
+  val multimodalVideoGeometrySql: String =
+    s"""WITH f AS (
+       |  SELECT d.doc_id, CAST(gi.i AS BIGINT) AS i,
+       |         (d.doc_id * 11 + gi.i * 5) % 40 + 4 AS com,
+       |         (d.doc_id * 3 + gi.i * 17) % 60 + 8 AS scan,
+       |         (d.doc_id + gi.i * 13) % 9 AS gap
+       |  FROM documents d,
+       |       unnest(generate_series(0, d.doc_id % 7)) AS gi(i)),
+       |geo AS (
+       |  SELECT doc_id, i, 14 + com + scan AS len, gap,
+       |         coalesce(sum(14 + com + scan + gap) OVER (
+       |           PARTITION BY doc_id ORDER BY i
+       |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+       |           AS prior,
+       |         count(*) OVER (PARTITION BY doc_id) AS n_frames
+       |  FROM f)
+       |SELECT doc_id, CAST(n_frames AS BIGINT) AS n_frames, i AS frame_idx,
+       |       CAST(prior + gap AS BIGINT) AS byte_offset,
+       |       CAST(len AS BIGINT) AS frame_len
+       |FROM geo WHERE i % $FrameStride = 0
+       |ORDER BY doc_id, frame_idx""".stripMargin
 }

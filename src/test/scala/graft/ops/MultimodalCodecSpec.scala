@@ -296,6 +296,58 @@ class MultimodalCodecSpec extends AnyFunSuite {
     assert(got2.length == 1 && got2.head.sameElements(f0))
   }
 
+  test("splitMjpeg handles FF fill bytes before a marker in scan data") {
+    // the spec allows any run of FF fill bytes before a marker, so
+    // FF FF D9 inside entropy-coded data is a fill byte + EOI. The r15
+    // in-scan walk advanced TWO bytes on FF FF, skipping the real
+    // marker start and dropping the frame (r15 advice); advancing one
+    // byte lets the second FF begin the EOI pair.
+    val f0 = {
+      val baos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(gradient(8, 8), "jpg", baos)
+      baos.toByteArray
+    }
+    val filled = f0.dropRight(2) ++ Array(0xff.toByte) ++ f0.takeRight(2)
+    val got = Multimodal.splitMjpeg(filled ++ f0).toSeq
+    assert(got.length == 2, s"expected 2 frames, got ${got.length}")
+    assert(got.head.sameElements(filled) && got(1).sameElements(f0))
+    // decoders skip fill bytes: the filled frame still REALLY decodes
+    assert(Multimodal.decodeImage(got.head).exists(im =>
+      im.getWidth == 8 && im.getHeight == 8))
+    // a LONE trailing FF (no marker after) stays an unterminated frame
+    val got3 = Multimodal.splitMjpeg(f0.dropRight(2) :+ 0xff.toByte).toSeq
+    assert(got3.isEmpty)
+  }
+
+  test("mjpegFixture geometry: walk spans equal the closed forms") {
+    // the multimodal_video_geometry oracle re-derives offsets/lengths
+    // arithmetically; this pins the ENGINE walk to the same closed
+    // forms across ids covering every frame-count residue 1..7
+    for (id <- 0L until 32L) {
+      val payload = Multimodal.mjpegFixture(id)
+      val spans = Multimodal.mjpegFrameSpans(payload).toSeq
+      val n = Multimodal.videoFixtureFrames(id)
+      assert(spans.length == n, s"id=$id frames=${spans.length} want $n")
+      var cursor = 0
+      for (i <- 0 until n) {
+        val start = cursor + Multimodal.videoFixtureGap(id, i)
+        val len = 14 + Multimodal.videoFixtureCom(id, i) +
+          Multimodal.videoFixtureScan(id, i)
+        assert(spans(i) == ((start, start + len)),
+          s"id=$id frame=$i span=${spans(i)} want ($start, ${start + len})")
+        cursor = start + len
+      }
+      // every frame is a structurally valid marker skeleton the split
+      // reproduces byte-identically
+      val frames = Multimodal.splitMjpeg(payload).toSeq
+      assert(frames.length == n &&
+        frames.zip(spans).forall { case (f, (s, e)) =>
+          java.util.Arrays.equals(f,
+            java.util.Arrays.copyOfRange(payload, s, e))
+        })
+    }
+  }
+
   test("multimodal_audio_real: WAV fixture round-trips the REAL decoder") {
     // the audio sibling of the BMP gate: hand-rolled canonical WAV →
     // REAL javax.sound.sampled decode → integer probe. Pin (a) a full

@@ -64,8 +64,12 @@ object CoreQueries {
     * a dropped line — diverges the hashes. Java double↔string
     * round-trips exactly; that is the property under test.
     */
-  def carbonIngest(s: SparkSession, dir: String): DataFrame = {
-    val base = graft.ops.Dedup.sharedIndexPath(
+  /** Shared staged carbon line tree ([[carbonIngest]] and the frozen
+    * `carbon_canary` read the SAME staging, so the canary adds no
+    * build cost).
+    */
+  def carbonLinesPath(s: SparkSession, dir: String): String =
+    graft.ops.Dedup.sharedIndexPath(
       s, dir, "events.parquet", "carbon") { root =>
       // stage as MANY line files, like a real carbon backfill tree: the
       // parquet source is one split, and a single text file caps the
@@ -75,6 +79,9 @@ object CoreQueries {
         .repartition(s.sparkContext.defaultParallelism)
         .write.mode("overwrite").text(s"$root/lines")
     }
+
+  def carbonIngest(s: SparkSession, dir: String): DataFrame = {
+    val base = carbonLinesPath(s, dir)
     val parsed = graft.sources.Carbon.parse(
       s.read.text(s"$base/lines"), NowS)
     Ingest.lwwAlign(parsed, 60)
@@ -578,7 +585,11 @@ object CoreQueries {
     "fetch_archive_selection" -> (Materialize.fetchArchiveSelection _),
     "rollup_serve_1h" -> (Materialize.rollupServe1h _),
     "scan_props_json" -> (scanPropsJson _),
-    "carbon_ingest" -> (carbonIngest _)
+    "carbon_ingest" -> (carbonIngest _),
+    // FROZEN bench canaries (ops/CanaryQueries.scala — do not edit)
+    "render_target_canary" ->
+      ((s, d) => CanaryQueries.renderTargetCanary(s, d)),
+    "carbon_canary" -> ((s, d) => CanaryQueries.carbonCanary(s, d))
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -683,7 +694,9 @@ object CoreQueries {
     "fetch_archive_selection" -> Materialize.fetchArchiveSelectionSql,
     "rollup_serve_1h" -> Materialize.rollupServe1hSql,
     "scan_props_json" -> scanPropsJsonSql,
-    "carbon_ingest" -> carbonIngestSql
+    "carbon_ingest" -> carbonIngestSql,
+    "render_target_canary" -> CanaryQueries.renderTargetCanarySql,
+    "carbon_canary" -> CanaryQueries.carbonCanarySql
     // create_rollup_tables: intentionally no oracle — the parquet write
     // IS the operator; driver records the rows-only check (SURVEY.md §2.1)
   )

@@ -113,6 +113,39 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("rand("), s"rand()-based fence resurfaced:\n$p")
   }
 
+  test("render_target_canary: the FROZEN canary plan stays pinned") {
+    // the bench tripwire's render-shaped ambient reference
+    // (ops/CanaryQueries.scala): 2 leaves off one ranged scan, pushed
+    // ts bounds, broadcast joins only, leaf subtrees deduped by AQE
+    // stage reuse at runtime. Any drift here silently re-bases the
+    // driver's ambient measurements — this pin makes drift loud.
+    val q = CanaryQueries.renderTargetCanary(spark, dir)
+    q.collect()
+    val p = plan(q)
+    assert(p.contains("PushedFilters") && p.contains("LessThan(ts"),
+      s"time bounds did not reach the canary's scan:\n$p")
+    assert(p.contains("ReusedExchange") || p.contains("ReusedQueryStage") ||
+      "Scan parquet".r.findAllIn(p).size == 1,
+      s"canary leaves stopped sharing the base scan:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      s"canary gained a non-broadcast join:\n$p")
+    assert(!p.contains("rand("), s"rand()-based fence in the canary:\n$p")
+  }
+
+  test("carbon_canary shares carbon_ingest's staged lines and LWW shape") {
+    // the carbon-shaped ambient reference must never add staging cost:
+    // both keys resolve to the SAME shared tmp root, and the canary's
+    // plan is the same text scan + projection + hash aggregate
+    val canary = CanaryQueries.carbonCanary(spark, dir)
+    val p = plan(canary)
+    assert(p.contains("Scan text"), s"canary lost the text-parse leg:\n$p")
+    assert(p.contains("max_by") || p.contains("lww"),
+      s"canary lost the LWW aggregate:\n$p")
+    assert(CoreQueries.carbonLinesPath(spark, dir) ==
+      CoreQueries.carbonLinesPath(spark, dir),
+      "staged carbon lines must memoize to one shared root")
+  }
+
   test("applyByNode prefix subtrees reuse the shared scan at runtime") {
     // the template evaluates once per node prefix; every prefix
     // subtree re-filters the one shared aggregate, so AQE stage reuse

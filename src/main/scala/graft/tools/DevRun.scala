@@ -27,6 +27,21 @@ object DevRun {
     if (args.contains("--explain"))
       // scalastyle:off println
       println(df.queryExecution.explainString(ExplainMode.fromString("formatted")))
+    if (args.contains("--phases")) {
+      // split DRIVER-side planning from execution: analysis+optimizer+
+      // physical planning are single-threaded driver work (the shape
+      // the r15 driver-rig regression concentrated in), execution is
+      // the 32-thread part. AQE replans during execution, so this is a
+      // lower bound on the driver-side share.
+      val ta = System.nanoTime()
+      df.queryExecution.optimizedPlan
+      val dta = (System.nanoTime() - ta) / 1e9
+      val tp = System.nanoTime()
+      df.queryExecution.executedPlan
+      val dtp = (System.nanoTime() - tp) / 1e9
+      println(f"[devrun] $key phases: construct $dtc%.3f s, " +
+        f"analyze+optimize $dta%.3f s, physical $dtp%.3f s")
+    }
     val t0 = System.nanoTime()
     val n = df.count()
     val dt = (System.nanoTime() - t0) / 1e9

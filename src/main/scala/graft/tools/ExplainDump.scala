@@ -404,6 +404,14 @@ object ExplainDump {
         "REAL JavaSound header/PCM decode and the integer loudness " +
         "probe in ONE partition-wise object map after the 8-byte id " +
         "fan-out; no joins, no aggregates, output sort only."),
+    "multimodal_video_geometry" ->
+      ("The video GEOMETRY gate (r16): MJPEG fixture synthesis and the " +
+        "marker-walk frame spans in ONE partition-wise 1→N flatMap " +
+        "after the 8-byte id fan-out — same shape as the image/audio " +
+        "gates, no joins, no aggregates, output sort only. Frame " +
+        "count/offsets/lengths are pure marker arithmetic the oracle " +
+        "re-derives; pixel content stays spec-gated (JPEG entropy " +
+        "coding is not SQL-re-derivable)."),
     "carbon_ingest" ->
       ("The carbon line-protocol ingest: one text scan, a codegen'd " +
         "split/try_cast projection (malformed lines drop in the same " +
@@ -411,6 +419,18 @@ object ExplainDump {
         "hash aggregate. Text parsing adds NOTHING to the plan beyond " +
         "the projection; the shuffle is the same bounded per-(metric, " +
         "bucket) reduction as the parquet ingest path."),
+    "render_target_canary" ->
+      ("FROZEN render-shaped bench canary (r16): the 2-leaf " +
+        "divideSeries(sumSeries, sumSeries) target — ONE ranged parquet " +
+        "scan feeding both leaf evaluations, dense spines, and the " +
+        "broadcast one-row-per-bucket divisor join. The plan must " +
+        "never change: it is the tripwire's ambient reference for the " +
+        "render-evaluator shape."),
+    "carbon_canary" ->
+      ("FROZEN carbon-shaped bench canary (r16): the SAME staged line " +
+        "tree as carbon_ingest re-parsed (codegen'd split/try_cast " +
+        "projection) and LWW-aligned at the 5m level — the tripwire's " +
+        "ambient reference for the text-parse + LWW-agg shape."),
     "wsp_roundtrip" ->
       ("The .wsp DataSource V2 scan: `BatchScan wsp` with the pushed " +
         "metric/ts bounds in the scan description — metric predicates " +
@@ -664,6 +684,37 @@ object ExplainDump {
         "and the only exchanges are the tens-of-groups (split, lang) " +
         "aggregate plus the broadcast of per-split totals."))
 
+  /** Make a formatted plan diff-stable (r15 verdict #5): Catalyst
+    * expression ids and plan_ids are JVM-global counters, so a
+    * regeneration with ZERO plan changes used to rewrite every id in
+    * the file (the r15 close produced a 7,692-line diff for no intended
+    * change, making plan-regression review by diff impossible).
+    * Renumber both id families by FIRST APPEARANCE within each plan —
+    * deterministic for an unchanged plan shape, still distinct within
+    * a plan — and mask the run-local components of shared-index tmp
+    * roots (content digest changes with testdata regeneration, pid
+    * with every JVM).
+    */
+  private[tools] def normalizePlan(plan: String): String = {
+    def renumber(s: String, pat: scala.util.matching.Regex,
+        fmt: Int => String): String = {
+      val ids = scala.collection.mutable.LinkedHashMap[String, Int]()
+      pat.replaceAllIn(s, m =>
+        scala.util.matching.Regex.quoteReplacement(
+          fmt(ids.getOrElseUpdate(m.group(1), ids.size + 1))))
+    }
+    val exprIds = renumber(plan, "#(\\d+)".r, n => s"#$n")
+    val planIds = renumber(exprIds, "plan_id=(\\d+)".r, n => s"plan_id=$n")
+    planIds
+      .replaceAll("(graft_[A-Za-z0-9_]+?)_[0-9a-f]{32}_p[0-9]+",
+        "$1_DIGEST_pPID")
+      .replaceAll("rdd_[0-9]+", "rdd_N")
+      // JVM object identities: typed-aggregate instances, broadcast
+      // byte arrays, ObjectMapPartitions lambdas
+      .replaceAll("\\$\\$Lambda\\$[0-9]+/0x[0-9a-fA-F]+", "\\$\\$Lambda")
+      .replaceAll("([\\w\\]])@[0-9a-fA-F]{1,16}\\b", "$1@HASH")
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = args.lift(0).getOrElse("/root/testdata/sf0.001")
     val out = args.lift(1).getOrElse("EXPLAIN.md")
@@ -682,7 +733,8 @@ object ExplainDump {
       "properties `PlanSpec` asserts in CI.\n")
     for ((key, note) <- Keys) {
       val df = SparkEntry.queries(key)(spark, sfDir)
-      val plan = df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+      val plan = normalizePlan(
+        df.queryExecution.explainString(ExplainMode.fromString("formatted")))
       sb.append(s"\n## $key\n\n$note\n\n```\n$plan```\n")
     }
     java.nio.file.Files.write(java.nio.file.Paths.get(out),

@@ -1,0 +1,39 @@
+package graft.tools
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The EXPLAIN.md normalizer (r15 verdict #5): a regeneration with no
+  * plan change must produce a byte-identical dump even though Catalyst
+  * expression ids / plan_ids are JVM-global counters and the shared
+  * tmp index roots carry a content digest + pid.
+  */
+class ExplainNormalizeSpec extends AnyFunSuite {
+
+  test("expression ids renumber by first appearance, consistently") {
+    val a = "Output [2]: [bucket_ts#910L, value#911]\n" +
+      "Input [1]: [bucket_ts#910L]\nplan_id=4711"
+    val b = "Output [2]: [bucket_ts#13L, value#27]\n" +
+      "Input [1]: [bucket_ts#13L]\nplan_id=35"
+    assert(ExplainDump.normalizePlan(a) == ExplainDump.normalizePlan(b))
+    // same id → same number everywhere; distinct ids stay distinct
+    val n = ExplainDump.normalizePlan(a)
+    assert(n.contains("bucket_ts#1L") && n.contains("value#2") &&
+      n.contains("Input [1]: [bucket_ts#1L]") && n.contains("plan_id=1"))
+  }
+
+  test("normalization is idempotent") {
+    val p = "x#42L y#7 plan_id=99 plan_id=99 x#42L"
+    val once = ExplainDump.normalizePlan(p)
+    assert(ExplainDump.normalizePlan(once) == once)
+  }
+
+  test("run-local tmp root components mask; stable parts survive") {
+    val p = "Location: InMemoryFileIndex [file:/tmp/" +
+      "graft_carbon_0123456789abcdef0123456789abcdef_p4242/lines]"
+    val n = ExplainDump.normalizePlan(p)
+    assert(n.contains("graft_carbon_DIGEST_pPID/lines"), n)
+    // a real testdata path is NOT masked
+    val q = "file:/root/testdata/sf0.001/events.parquet"
+    assert(ExplainDump.normalizePlan(q) == q)
+  }
+}

@@ -140,10 +140,12 @@ object Bench {
           dt
         }
         val steady = if (warmable(name)) times else times.tail
-        // 4th element keeps ALL runs (the runs file diagnoses
-        // memoization misses by the ingest run's size); median and the
-        // tripwire below use the steady view
-        (name, steady.sorted.apply(steady.size / 2), times.head, times)
+        // `times` keeps ALL runs (the runs file diagnoses memoization
+        // misses by the ingest run's size); `steady` is the ONE served
+        // view the median here and the tripwire below both judge —
+        // carried in the tuple so the rule cannot fork between them
+        (name, steady.sorted.apply(steady.size / 2), times.head, times,
+          steady)
       }
     // regression tripwire: diff per-key medians against the newest saved
     // BENCH_r*.json in the cwd (the driver's previous-round artifact), so
@@ -217,7 +219,7 @@ object Bench {
     val canaryLine = s"""{"metric":"canary","ratio":$canaryRatio,""" +
       s""""norm":$canaryNorm,"keys":${
         json(canaryRatios.map { case (k, v) => ("canary_" + k, v) })}}"""
-    val slower = results.flatMap { case (k, med, _, times) =>
+    val slower = results.flatMap { case (k, med, _, times, steady) =>
       // 0.2 s floor: sub-noise keys flap on scheduler jitter, not plans.
       // Consistency gate (r12 verdict #5, tightened r14 per ADVICE):
       // flag when a MAJORITY of runs exceed 1.5x the previous median —
@@ -230,9 +232,9 @@ object Bench {
       // can still be re-graded. Since r15 the 1.5x threshold scales by
       // the canary norm above, so an ambient-hot rig doesn't flag
       // untouched keys (r14's false-positive cluster).
-      // streaming keys: judge the SERVED runs only — the ingest run is
-      // structurally huge and would count as one "slow" vote
-      val steady = if (warmable(k)) times else times.tail
+      // streaming keys: judge the SERVED runs only (the tuple's steady
+      // view — the ingest run is structurally huge and would count as
+      // one "slow" vote)
       prevBench.get(k)
         .filter(p => p >= 0.2 &&
           steady.count(_ > p * 1.5 * canaryNorm) * 2 > steady.size)
@@ -249,6 +251,7 @@ object Bench {
     // steady-state median was 0.1-0.3 s)
     val fullLine =
       s"""{"metric":"total","value":$total,"unit":"sec","runs":$Runs,""" +
+        s""""stream_runs":${Runs + 1},""" +
         s""""queries_cold":$cold,"queries":$qs,"sf":"$sfDir"}"""
     println(fullLine)
     // the driver's BENCH_r{N}.json keeps only the TAIL of stdout, which
@@ -289,8 +292,12 @@ object Bench {
     // this is first-EXECUTION cost plus the streaming keys' real first
     // corpus ingest. Cross-round comparisons against pre-r13 artifacts
     // must add the staging line back.
+    // runs = steady samples per key; streaming keys execute one extra
+    // (the ingest run, reported in cold + the runs file), recorded as
+    // stream_runs so the artifact cannot contradict its own run arrays
     println(s"""{"metric":"total","value":$total,"total_cold":$totalCold,""" +
-      s""""unit":"sec","runs":$Runs,"keys":${results.size},"sf":"$sfDir"}""")
+      s""""unit":"sec","runs":$Runs,"stream_runs":${Runs + 1},""" +
+      s""""keys":${results.size},"sf":"$sfDir"}""")
     spark.stop()
   }
 
@@ -314,7 +321,7 @@ object Bench {
   private[graft] def parsePrevBench(raw: String): Map[String, Double] = {
     val txt = raw.replace("\\\"", "\"")
     val meta = Set("n", "rc", "cpus", "sf", "value", "total_cold", "runs",
-      "keys", "prev", "now", "ratio", "norm")
+      "stream_runs", "keys", "prev", "now", "ratio", "norm")
     val pair = "\"([A-Za-z0-9_]+)\":([0-9]+\\.?[0-9]*(?:[Ee][+-]?[0-9]+)?)".r
     def scan(section: String): Map[String, Double] =
       pair.findAllMatchIn(section)

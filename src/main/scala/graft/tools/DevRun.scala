@@ -24,9 +24,9 @@ object DevRun {
     val tc = System.nanoTime()
     val df = SparkEntry.queries(key)(spark, sfDir)
     val dtc = (System.nanoTime() - tc) / 1e9
-    if (args.contains("--explain"))
-      // scalastyle:off println
-      println(df.queryExecution.explainString(ExplainMode.fromString("formatted")))
+    // phases BEFORE --explain: explainString forces the whole
+    // queryExecution pipeline (analyzed→optimized→executed lazy vals),
+    // so timing after it would read 0.000 s for both planning phases
     if (args.contains("--phases")) {
       // split DRIVER-side planning from execution: analysis+optimizer+
       // physical planning are single-threaded driver work (the shape
@@ -42,6 +42,9 @@ object DevRun {
       println(f"[devrun] $key phases: construct $dtc%.3f s, " +
         f"analyze+optimize $dta%.3f s, physical $dtp%.3f s")
     }
+    if (args.contains("--explain"))
+      // scalastyle:off println
+      println(df.queryExecution.explainString(ExplainMode.fromString("formatted")))
     val t0 = System.nanoTime()
     val n = df.count()
     val dt = (System.nanoTime() - t0) / 1e9

@@ -705,10 +705,13 @@ object ExplainDump {
     }
     val exprIds = renumber(plan, "#(\\d+)".r, n => s"#$n")
     val planIds = renumber(exprIds, "plan_id=(\\d+)".r, n => s"plan_id=$n")
-    planIds
+    // rdd ids renumber like the other families (NOT a single mask:
+    // two distinct checkpointed RDDs must stay distinguishable so a
+    // subtree switching sources still shows up in the diff)
+    val rddIds = renumber(planIds, "rdd_([0-9]+)".r, n => s"rdd_$n")
+    rddIds
       .replaceAll("(graft_[A-Za-z0-9_]+?)_[0-9a-f]{32}_p[0-9]+",
         "$1_DIGEST_pPID")
-      .replaceAll("rdd_[0-9]+", "rdd_N")
       // JVM object identities: typed-aggregate instances, broadcast
       // byte arrays, ObjectMapPartitions lambdas
       .replaceAll("\\$\\$Lambda\\$[0-9]+/0x[0-9a-fA-F]+", "\\$\\$Lambda")

@@ -141,9 +141,12 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("Scan text"), s"canary lost the text-parse leg:\n$p")
     assert(p.contains("max_by") || p.contains("lww"),
       s"canary lost the LWW aggregate:\n$p")
-    assert(CoreQueries.carbonLinesPath(spark, dir) ==
-      CoreQueries.carbonLinesPath(spark, dir),
-      "staged carbon lines must memoize to one shared root")
+    // the canary's text scan must read the SAME staged root
+    // carbon_ingest stages — a canary staging its own copy would add
+    // exactly the cost the shared root exists to avoid
+    val sharedRoot = CoreQueries.carbonLinesPath(spark, dir)
+    assert(p.contains(sharedRoot),
+      s"canary does not scan the shared staged lines at $sharedRoot:\n$p")
   }
 
   test("applyByNode prefix subtrees reuse the shared scan at runtime") {

@@ -48,16 +48,7 @@ object Similarity {
     */
   val NProbe = 4
 
-  /** Cosine similarity of two float-array columns, accumulated in double
-    * in deterministic element order. Uses the native codegen'd
-    * [[graft.functions.DotProductF]] (same summation order as the
-    * `zip_with`/`aggregate` composition it replaced — see its scaladoc).
-    */
   import graft.functions.VectorOps.dot_f
-
-  def cosineExpr(a: String, b: String): Column =
-    dot_f(col(a), col(b)) /
-      (sqrt(dot_f(col(a), col(a))) * sqrt(dot_f(col(b), col(b))))
 
   /** Vector L2 norm — precompute once per row before a pair join so each
     * candidate pair costs ONE dot product, not three.
@@ -210,18 +201,41 @@ object Similarity {
     * cluster, so the probe join yields each (query, candidate) pair at
     * most once — no dedup needed.
     */
-  private def serveAnn(cents: DataFrame, assigned: DataFrame): DataFrame = {
+  /** The IVF probe lattice shared verbatim by [[serveAnn]],
+    * [[annNprobeSweep]] and [[knnClassifyAnn]] (r16 review — three
+    * near-identical inline copies risked a scoring or tie-break tweak
+    * desyncing the sweep curve / classifier from the serving path they
+    * audit): every query row in `queries` (vec_id, embedding, cn +
+    * any carry columns, pre-filtered to the query set) is scored
+    * against the broadcast centroid table and probe-ranked by
+    * (cscore DESC, cent_id). `maxProbe = Some(n)` keeps the n nearest
+    * cells and drops the rank (the serving form); `None` carries the
+    * FULL lattice with its `prn` column (the sweep form, which filters
+    * per arm downstream).
+    */
+  private def probeLattice(queries: DataFrame, cents: DataFrame,
+      maxProbe: Option[Int]): DataFrame = {
     val probeW = Window.partitionBy("vec_id")
       .orderBy(col("cscore").desc, col("cent_id"))
-    val q = assigned.select(col("vec_id"), col("embedding"), col("cn"))
-      .filter(col("vec_id") < NumQueries)
+    val ranked = queries
       .crossJoin(broadcast(cents))
       .withColumn("cscore",
         dot_f(col("embedding"), col("ce")) / (col("cn") * col("ce_n")))
       .withColumn("prn", row_number().over(probeW))
-      .filter(col("prn") <= NProbe)
-      .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
-        col("cn").as("qn"), col("cent_id").as("qcent"))
+    val cut = maxProbe.fold(ranked)(n => ranked.filter(col("prn") <= n))
+    val carries = queries.columns
+      .filterNot(Set("vec_id", "embedding", "cn")).map(col).toSeq
+    cut.select(Seq(col("vec_id").as("query_id"),
+      col("embedding").as("qe"), col("cn").as("qn"),
+      col("cent_id").as("qcent")) ++ carries ++
+      (if (maxProbe.isEmpty) Seq(col("prn")) else Nil): _*)
+  }
+
+  private def serveAnn(cents: DataFrame, assigned: DataFrame): DataFrame = {
+    val q = probeLattice(
+      assigned.select(col("vec_id"), col("embedding"), col("cn"))
+        .filter(col("vec_id") < NumQueries),
+      cents, Some(NProbe))
     val scored = assigned.join(broadcast(q),
         col("cent_id") === col("qcent") && col("query_id") =!= col("vec_id"))
       .withColumn("score", dot_f(col("qe"), col("embedding")) / (col("qn") * col("cn")))
@@ -346,29 +360,6 @@ object Similarity {
     */
   val SemDedupTau = 0.4
 
-  /** `dedup_semantic`: SemDeDup (Abbas et al., arXiv:2303.09540) —
-    * semantic dedup via k-means clustering + within-cluster cosine.
-    * Reuses the SAME persisted trained codebook/assignment as
-    * [[similarityAnnKmeans]]; a vector is a duplicate iff some
-    * lower-vec_id vector in its cluster has cosine ≥ [[SemDedupTau]]
-    * (the deterministic stand-in for the paper's keep-one-per-group
-    * choice). Emits one row per vector: cluster, is_dup, and the
-    * CLOSEST earlier in-cluster neighbor (highest cosine, ties →
-    * lowest id). Note `dup_of` may itself be flagged — this is the
-    * greedy-by-index approximation, so A~B~C with A≁C prunes both B
-    * and C; chase chains through [[graft.ops.Dedup.dedupCluster]]'s
-    * contraction when a kept-representative mapping is needed.
-    *
-    * At 100 TB this is THE scale story for embedding dedup: the
-    * quadratic pair scan collapses to within-cluster pairs (n²/k per
-    * cluster in expectation) behind one equi-join keyed on cent_id —
-    * no all-pairs stage anywhere, and the index is built once and
-    * persisted, so re-runs pay only the join. A pathological mega
-    * cluster re-splits by raising k (or sub-clustering recursively);
-    * the join itself is AQE-skew-splittable since only the JOIN key is
-    * the cluster.  [[graft.ops.Dedup.dedupEmbedding]] remains the exact
-    * small-scale oracle for the pair semantics.
-    */
   /** The within-cluster earlier-vs-later pair scan — `(vec_id, prev_id,
     * cos)` for every pair sharing a cluster with `prev_id < vec_id` —
     * single-sourced between [[dedupSemantic]] and
@@ -401,6 +392,29 @@ object Similarity {
        |  JOIN assign_f fp ON fp.cent_id = fa.cent_id AND fp.vec_id < a.vec_id
        |  JOIN embeddings p ON p.vec_id = fp.vec_id)""".stripMargin
 
+  /** `dedup_semantic`: SemDeDup (Abbas et al., arXiv:2303.09540) —
+    * semantic dedup via k-means clustering + within-cluster cosine.
+    * Reuses the SAME persisted trained codebook/assignment as
+    * [[similarityAnnKmeans]]; a vector is a duplicate iff some
+    * lower-vec_id vector in its cluster has cosine ≥ [[SemDedupTau]]
+    * (the deterministic stand-in for the paper's keep-one-per-group
+    * choice). Emits one row per vector: cluster, is_dup, and the
+    * CLOSEST earlier in-cluster neighbor (highest cosine, ties →
+    * lowest id). Note `dup_of` may itself be flagged — this is the
+    * greedy-by-index approximation, so A~B~C with A≁C prunes both B
+    * and C; chase chains through [[graft.ops.Dedup.dedupCluster]]'s
+    * contraction when a kept-representative mapping is needed.
+    *
+    * At 100 TB this is THE scale story for embedding dedup: the
+    * quadratic pair scan collapses to within-cluster pairs (n²/k per
+    * cluster in expectation) behind one equi-join keyed on cent_id —
+    * no all-pairs stage anywhere, and the index is built once and
+    * persisted, so re-runs pay only the join. A pathological mega
+    * cluster re-splits by raising k (or sub-clustering recursively);
+    * the join itself is AQE-skew-splittable since only the JOIN key is
+    * the cluster.  [[graft.ops.Dedup.dedupEmbedding]] remains the exact
+    * small-scale oracle for the pair semantics.
+    */
   def dedupSemantic(s: SparkSession, dir: String): DataFrame = {
     val (_, assigned) = annIndexShared(s, dir, trained = true)
     val a = assigned.select(col("cent_id"), col("vec_id"))
@@ -445,6 +459,43 @@ object Similarity {
     */
   val SweepNProbes: Seq[Int] = Seq(1, 2, 4, 8, 16)
 
+  /** The sweep tail shared by [[annNprobeSweep]] and
+    * [[annShortlistSweep]] (r16 review — the brute/arms/hits/recall
+    * chain was duplicated verbatim with only the knob column renamed,
+    * so a denominator or tie-break fix had four edit sites): from a
+    * checkpointed scored lattice `(query_id, cand_id, <rankCol>,
+    * score)`, derive the brute-force top-[[TopK]] truth over the FULL
+    * lattice, cut one arm per knob value by `rankCol <= knob`, and emit
+    * `(knob, candidates, hits, recall)` with recall = hits /
+    * (NumQueries·TopK) on the shared round6.
+    */
+  private def sweepTail(s: SparkSession, lat: DataFrame, rankCol: String,
+      knobCol: String, knobValues: Seq[Int]): DataFrame = {
+    import s.implicits._
+    val bw = Window.partitionBy("query_id")
+      .orderBy(col("score").desc, col("cand_id"))
+    val brute = lat.withColumn("brnk", row_number().over(bw))
+      .filter(col("brnk") <= TopK)
+      .select(col("query_id"), col("cand_id"))
+    val arms = lat
+      .crossJoin(broadcast(knobValues.toDF(knobCol)))
+      .filter(col(rankCol) <= col(knobCol))
+    val aw = Window.partitionBy(knobCol, "query_id")
+      .orderBy(col("score").desc, col("cand_id"))
+    val hits = arms.withColumn("rnk", row_number().over(aw))
+      .filter(col("rnk") <= TopK)
+      .join(brute, Seq("query_id", "cand_id"))
+      .groupBy(knobCol).agg(count(lit(1)).as("hits"))
+    arms.groupBy(knobCol).agg(count(lit(1)).as("candidates"))
+      .join(hits, Seq(knobCol), "left")
+      .withColumn("hits", coalesce(col("hits"), lit(0L)))
+      .select(col(knobCol), col("candidates"), col("hits"),
+        Buckets.round6(expr(
+          s"CAST(hits AS DOUBLE) / CAST(${NumQueries * TopK} AS DOUBLE)"))
+          .as("recall"))
+      .orderBy(knobCol)
+  }
+
   /** `ann_nprobe_sweep`: the IVF operating-point evidence — recall@k
     * and candidates-scanned at every probe count in [[SweepNProbes]],
     * against the brute-force top-k ground truth. The tuning curve an
@@ -471,16 +522,10 @@ object Similarity {
   def annNprobeSweep(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val (cents, assigned) = annIndexShared(s, dir, trained = false)
-    val probeW = Window.partitionBy("vec_id")
-      .orderBy(col("cscore").desc, col("cent_id"))
-    val q = assigned.select(col("vec_id"), col("embedding"), col("cn"))
-      .filter(col("vec_id") < NumQueries)
-      .crossJoin(broadcast(cents))
-      .withColumn("cscore",
-        dot_f(col("embedding"), col("ce")) / (col("cn") * col("ce_n")))
-      .withColumn("prn", row_number().over(probeW))
-      .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
-        col("cn").as("qn"), col("cent_id").as("qcent"), col("prn"))
+    val q = probeLattice(
+      assigned.select(col("vec_id"), col("embedding"), col("cn"))
+        .filter(col("vec_id") < NumQueries),
+      cents, maxProbe = None)
     // eager checkpoint: the lattice feeds THREE subtrees (brute truth,
     // arm hits, arm candidate counts) — without it Spark recomputes the
     // broadcast join + scoring pass per subtree (the importWsp pin
@@ -492,28 +537,7 @@ object Similarity {
       .select(col("query_id"), col("vec_id").as("cand_id"),
         col("score"), col("prn"))
       .localCheckpoint(true)
-    val bw = Window.partitionBy("query_id")
-      .orderBy(col("score").desc, col("cand_id"))
-    val brute = scored.withColumn("brnk", row_number().over(bw))
-      .filter(col("brnk") <= TopK)
-      .select(col("query_id"), col("cand_id"))
-    val arms = scored
-      .crossJoin(broadcast(SweepNProbes.toDF("nprobe")))
-      .filter(col("prn") <= col("nprobe"))
-    val aw = Window.partitionBy("nprobe", "query_id")
-      .orderBy(col("score").desc, col("cand_id"))
-    val hits = arms.withColumn("rnk", row_number().over(aw))
-      .filter(col("rnk") <= TopK)
-      .join(brute, Seq("query_id", "cand_id"))
-      .groupBy("nprobe").agg(count(lit(1)).as("hits"))
-    arms.groupBy("nprobe").agg(count(lit(1)).as("candidates"))
-      .join(hits, Seq("nprobe"), "left")
-      .withColumn("hits", coalesce(col("hits"), lit(0L)))
-      .select(col("nprobe"), col("candidates"), col("hits"),
-        Buckets.round6(expr(
-          s"CAST(hits AS DOUBLE) / CAST(${NumQueries * TopK} AS DOUBLE)"))
-          .as("recall"))
-      .orderBy("nprobe")
+    sweepTail(s, scored, "prn", "nprobe", SweepNProbes)
   }
 
   /** Oracle: the IVF seed-codebook CTEs with the probe rank CARRIED
@@ -826,16 +850,21 @@ object Similarity {
       .select(col("vec_id"), col("cn"), posexplode(col("codes")).as(Seq("m", "code")))
       .join(broadcast(qlut), col("m") === col("qm") && col("code") === col("k"))
       .drop("qm", "k")
+    // the per-subspace pivot + fixed-order re-add pins the float
+    // addition order across engines; columns DERIVE from PqM (a knob
+    // change used to silently truncate the score to the first four
+    // subspaces in BOTH engines — hash-green, recall quietly sagging;
+    // r16 review)
+    val pCols = (0 until PqM)
+      .map(m => sum(when(col("m") === m, col("pd"))).as(s"p$m"))
     val adc = contrib.groupBy("query_id", "vec_id", "cn")
-      .agg(sum(when(col("m") === 0, col("pd"))).as("p0"),
-        sum(when(col("m") === 1, col("pd"))).as("p1"),
-        sum(when(col("m") === 2, col("pd"))).as("p2"),
-        sum(when(col("m") === 3, col("pd"))).as("p3"))
+      .agg(pCols.head, pCols.tail: _*)
     val sw = Window.partitionBy("query_id").orderBy(col("approx").desc, col("vec_id"))
     adc.filter(col("query_id") =!= col("vec_id"))
       .join(broadcast(q.select(col("query_id"), col("qn"), col("qe"))), "query_id")
       .withColumn("approx",
-        (col("p0") + col("p1") + col("p2") + col("p3")) / (col("qn") * col("cn")))
+        (0 until PqM).map(m => col(s"p$m")).reduce(_ + _) /
+          (col("qn") * col("cn")))
       .withColumn("srn", row_number().over(sw))
   }
 
@@ -866,34 +895,9 @@ object Similarity {
       .select(col("query_id"), col("vec_id").as("cand_id"), col("srn"),
         col("score"))
       .localCheckpoint(true)
-    val bw = Window.partitionBy("query_id")
-      .orderBy(col("score").desc, col("cand_id"))
-    val brute = lat.withColumn("brnk", row_number().over(bw))
-      .filter(col("brnk") <= TopK)
-      .select(col("query_id"), col("cand_id"))
-    val arms = lat
-      .crossJoin(broadcast(SweepShortlists.toDF("shortlist")))
-      .filter(col("srn") <= col("shortlist"))
-    val aw = Window.partitionBy("shortlist", "query_id")
-      .orderBy(col("score").desc, col("cand_id"))
-    val hits = arms.withColumn("rnk", row_number().over(aw))
-      .filter(col("rnk") <= TopK)
-      .join(brute, Seq("query_id", "cand_id"))
-      .groupBy("shortlist").agg(count(lit(1)).as("hits"))
-    arms.groupBy("shortlist").agg(count(lit(1)).as("candidates"))
-      .join(hits, Seq("shortlist"), "left")
-      .withColumn("hits", coalesce(col("hits"), lit(0L)))
-      .select(col("shortlist"), col("candidates"), col("hits"),
-        Buckets.round6(expr(
-          s"CAST(hits AS DOUBLE) / CAST(${NumQueries * TopK} AS DOUBLE)"))
-          .as("recall"))
-      .orderBy("shortlist")
+    sweepTail(s, lat, "srn", "shortlist", SweepShortlists)
   }
 
-  /** Oracle: the identical train→encode→ADC→re-rank unroll as CTEs —
-    * same seed order, same dropped-‖x‖² L2 argmin, same round-6/float32
-    * codebook cast, same fixed-association ADC sum.
-    */
   /** The PQ train→encode→ADC-rank CTE chain shared by
     * [[similarityAnnPqSql]] and [[annShortlistSweepSql]] — same seed
     * order, same dropped-‖x‖² L2 argmin, same round-6/float32 codebook
@@ -962,16 +966,16 @@ object Similarity {
        |  FROM qsubs s JOIN $cbF c ON c.m = s.m),
        |adc AS (
        |  SELECT l.query_id, co.vec_id,
-       |         sum(CASE WHEN co.m = 0 THEN l.pd END) AS p0,
-       |         sum(CASE WHEN co.m = 1 THEN l.pd END) AS p1,
-       |         sum(CASE WHEN co.m = 2 THEN l.pd END) AS p2,
-       |         sum(CASE WHEN co.m = 3 THEN l.pd END) AS p3
+       |         ${(0 until PqM).map(m =>
+                  s"sum(CASE WHEN co.m = $m THEN l.pd END) AS p$m")
+                  .mkString(",\n         ")}
        |  FROM codes co JOIN qlut l ON l.m = co.m AND l.k = co.code
        |  GROUP BY 1, 2),
        |ranked AS (
        |  SELECT a.query_id, a.vec_id,
        |         row_number() OVER (PARTITION BY a.query_id
-       |           ORDER BY (a.p0 + a.p1 + a.p2 + a.p3) / (q.qn * n.cn) DESC,
+       |           ORDER BY (${(0 until PqM).map(m => s"a.p$m")
+                  .mkString(" + ")}) / (q.qn * n.cn) DESC,
        |                    a.vec_id) AS srn
        |  FROM adc a
        |  JOIN q ON q.query_id = a.query_id
@@ -979,6 +983,10 @@ object Similarity {
        |  WHERE a.vec_id <> a.query_id)""".stripMargin
   }
 
+  /** Oracle: the identical train→encode→ADC→re-rank unroll as CTEs —
+    * same seed order, same dropped-‖x‖² L2 argmin, same round-6/float32
+    * codebook cast, same fixed-association ADC sum.
+    */
   val similarityAnnPqSql: String =
     s"""WITH $pqRankedCtes,
        |short AS (
@@ -1341,20 +1349,14 @@ object Similarity {
     val (cents, assigned) = annIndexShared(s, dir, trained = true)
     val al = assigned.join(
       embWithLabel(s, dir).select(col("vec_id"), col("label")), "vec_id")
-    val probeW = Window.partitionBy("vec_id")
-      .orderBy(col("cscore").desc, col("cent_id"))
-    val q = al.filter(col("vec_id") < KnnQueries)
-      // drop the query's OWN cluster id before probing — the probe ranks
-      // ALL centroids (and two cent_id columns would collide)
-      .select(col("vec_id"), col("label"), col("embedding"), col("cn"))
-      .crossJoin(broadcast(cents))
-      .withColumn("cscore",
-        dot_f(col("embedding"), col("ce")) / (col("cn") * col("ce_n")))
-      .withColumn("prn", row_number().over(probeW))
-      .filter(col("prn") <= NProbe)
-      .select(col("vec_id").as("query_id"), col("label").as("qlab"),
-        col("embedding").as("qe"), col("cn").as("qn"),
-        col("cent_id").as("qcent"))
+    // drop the query's OWN cluster id before probing — the probe ranks
+    // ALL centroids (and two cent_id columns would collide); the label
+    // rides the lattice as a carry column
+    val q = probeLattice(
+      al.filter(col("vec_id") < KnnQueries)
+        .select(col("vec_id"), col("label").as("qlab"),
+          col("embedding"), col("cn")),
+      cents, Some(NProbe))
     val scored = al.join(broadcast(q),
         col("cent_id") === col("qcent") && col("query_id") =!= col("vec_id"))
       .withColumn("score",
@@ -1626,10 +1628,20 @@ object Similarity {
     */
   def embedIsotropy(s: SparkSession, dir: String): DataFrame = {
     val e = emb(s, dir).withColumn("cn", normExpr("embedding"))
-    val sums = e.select(col("cn"), posexplode(col("embedding")).as(Seq("pos", "v")))
+    // zero-norm guard (the embedQuantize/embedProject rule, closed
+    // r16): a zero vector has no direction, so it joins the corpus
+    // counts but is EXCLUDED from the unit-vector statistics — without
+    // the filter Spark NULL-skips its u = v/cn terms (non-ANSI x/0)
+    // while DuckDB's 0.0/0.0 is NaN and poisons every per-pos sum,
+    // desyncing the engines on exactly the edge the siblings support.
+    // The cosine identity below therefore runs over n_unit, not n_vecs.
+    val unit = e.filter(col("cn") =!= 0)
+    val sums = unit
+      .select(col("cn"), posexplode(col("embedding")).as(Seq("pos", "v")))
       .groupBy("pos").agg(sum(col("v") / col("cn")).as("sd"))
     val s2 = sums.agg(sum(col("sd") * col("sd")).as("s2"))
-    val tot = e.agg(count(lit(1)).as("n_vecs"), sum(col("cn")).as("sumn"))
+    val tot = e.agg(count(lit(1)).as("n_vecs"), sum(col("cn")).as("sumn"),
+      count(when(col("cn") =!= 0, 1)).as("n_unit"))
     // degenerate-corpus guards (the dedupThresholdSweep rule): on 0/1
     // vectors Spark's non-ANSI x/0 yields NULL while DuckDB's IEEE
     // division yields NaN/Inf — pin both engines to NULL explicitly
@@ -1637,10 +1649,10 @@ object Similarity {
       .select(col("n_vecs"),
         round(when(col("n_vecs") > 0, col("sumn") / col("n_vecs")), 6)
           .as("mean_norm"),
-        round(when(col("n_vecs") > 0, sqrt(col("s2")) / col("n_vecs")), 6)
+        round(when(col("n_unit") > 0, sqrt(col("s2")) / col("n_unit")), 6)
           .as("mu_norm"),
-        round(when(col("n_vecs") >= 2, (col("s2") - col("n_vecs")) /
-          (col("n_vecs") * (col("n_vecs") - 1))), 6).as("anisotropy"))
+        round(when(col("n_unit") >= 2, (col("s2") - col("n_unit")) /
+          (col("n_unit") * (col("n_unit") - 1))), 6).as("anisotropy"))
   }
 
   val embedIsotropySql: String =
@@ -1652,17 +1664,20 @@ object Similarity {
        |d AS (
        |  SELECT x.pos, x.v / e.cn AS u
        |  FROM e, LATERAL (SELECT generate_subscripts(e.embedding, 1) AS pos,
-       |                          unnest(e.embedding) AS v) x),
+       |                          unnest(e.embedding) AS v) x
+       |  WHERE e.cn <> 0),
        |sums AS (SELECT pos, sum(u) AS sd FROM d GROUP BY 1),
        |s2 AS (SELECT sum(sd * sd) AS s2 FROM sums),
-       |tot AS (SELECT count(*) AS n_vecs, sum(cn) AS sumn FROM e)
+       |tot AS (SELECT count(*) AS n_vecs, sum(cn) AS sumn,
+       |               sum(CASE WHEN cn <> 0 THEN 1 ELSE 0 END) AS n_unit
+       |        FROM e)
        |SELECT n_vecs,
        |       round(CASE WHEN n_vecs > 0 THEN sumn / n_vecs END, 6)
        |         AS mean_norm,
-       |       round(CASE WHEN n_vecs > 0 THEN sqrt(s2) / n_vecs END, 6)
+       |       round(CASE WHEN n_unit > 0 THEN sqrt(s2) / n_unit END, 6)
        |         AS mu_norm,
-       |       round(CASE WHEN n_vecs >= 2
-       |             THEN (s2 - n_vecs) / (n_vecs * (n_vecs - 1)) END, 6)
+       |       round(CASE WHEN n_unit >= 2
+       |             THEN (s2 - n_unit) / (n_unit * (n_unit - 1)) END, 6)
        |         AS anisotropy
        |FROM tot, s2""".stripMargin
 
@@ -1763,17 +1778,6 @@ object Similarity {
     array((0 until SrpDims).map(d => lit(srpSign(p, d))): _*)
       .cast("array<float>")
 
-  /** The persisted SRP index: per vector, its embedding + norm + the
-    * [[SrpBands]] band keys, built in ONE projection pass — the 16
-    * sign bits are [[graft.functions.VectorOps.dot_f]] calls against
-    * LITERAL plane arrays (constants in the codegen'd stage: no plane
-    * join, no explode, no shuffle at all before the write). The bit
-    * rule `dot > 0` is cross-engine exact because both engines fold
-    * the identical (double)float × ±1 products in element order.
-    * At 100 TB this is the canonical LSH deployment shape: signatures
-    * materialized once next to the corpus, every query served from
-    * bucket-equality joins against them.
-    */
   /** Append the [[SrpBands]] band-key columns to any frame carrying an
     * `embedding` column — 16 literal-plane sign bits folded into 4
     * keys, all map-side codegen'd projection (no join, no shuffle, no
@@ -1794,6 +1798,17 @@ object Similarity {
     df.select(keep ++ bitCols: _*).select(keep ++ bandCols: _*)
   }
 
+  /** The persisted SRP index: per vector, its embedding + norm + the
+    * [[SrpBands]] band keys, built in ONE projection pass — the 16
+    * sign bits are [[graft.functions.VectorOps.dot_f]] calls against
+    * LITERAL plane arrays (constants in the codegen'd stage: no plane
+    * join, no explode, no shuffle at all before the write). The bit
+    * rule `dot > 0` is cross-engine exact because both engines fold
+    * the identical (double)float × ±1 products in element order.
+    * At 100 TB this is the canonical LSH deployment shape: signatures
+    * materialized once next to the corpus, every query served from
+    * bucket-equality joins against them.
+    */
   private[graft] def srpIndexShared(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(Dedup.sharedIndexPath(s, dir, "embeddings.parquet",
         "srp_sigs") { p =>
@@ -1881,8 +1896,9 @@ object Similarity {
        |  FROM embeddings e, planes pl),
        |bands AS (
        |  SELECT vec_id, p // $SrpBandBits AS band_id,
-       |         CAST(sum(bit * (CASE p % $SrpBandBits WHEN 0 THEN 1
-       |                    WHEN 1 THEN 2 WHEN 2 THEN 4 ELSE 8 END))
+       |         CAST(sum(bit * (CASE p % $SrpBandBits ${(0 until SrpBandBits)
+                  .map(j => s"WHEN $j THEN ${1 << j}").mkString(" ")}
+       |                    ELSE 0 END))
        |           AS BIGINT) AS band_key
        |  FROM bits GROUP BY vec_id, p // $SrpBandBits)""".stripMargin
 

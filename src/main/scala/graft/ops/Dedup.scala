@@ -64,11 +64,17 @@ object Dedup {
     */
   private[graft] def freshDigest(s: SparkSession, dir: String, file: String): String = {
     val p = new org.apache.hadoop.fs.Path(dir, file)
+    // freshness = (mtime ms, length). Caveat: a regeneration landing in
+    // the same mtime granule with an identical byte length is invisible
+    // — acceptable for the ms-granularity filesystems this runs on;
+    // do not point it at a store with coarser stat granularity.
+    // NonFatal only: an OOM/interrupt during the stat must propagate,
+    // not mis-key the cache as "absent" (r16 review).
     val st = try {
       val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
       val x = fs.getFileStatus(fs.makeQualified(p))
       s"${x.getModificationTime}|${x.getLen}"
-    } catch { case _: Throwable => "absent" }
+    } catch { case scala.util.control.NonFatal(_) => "absent" }
     dirDigest(s"$dir|$file").take(16) + dirDigest(st).take(16)
   }
   /** Per-process suffix for shared tmp roots: [[freshDigest]] is
@@ -97,16 +103,36 @@ object Dedup {
     */
   private val indexCache =
     new scala.collection.concurrent.TrieMap[String, String]
+  // per-key build monitors: TrieMap.getOrElseUpdate evaluates its
+  // by-name op OUTSIDE any lock, so two concurrent first-touch callers
+  // would BOTH run build(p) against the same tmp path (overwrite-delete
+  // racing commit — r16 review). One monitor per key serializes the
+  // build; nested builds (minhash → shingles) take DIFFERENT keys and
+  // the build graph is acyclic, so no deadlock; same-thread re-entry is
+  // safe because monitors are re-entrant.
+  private val buildLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]
   private[graft] def sharedIndexPath(
       s: SparkSession, dir: String, file: String, name: String)(
       build: String => Unit): String = {
     val key = freshDigest(s, dir, file)
-    indexCache.getOrElseUpdate(s"$name|$key", {
-      val p = s"${System.getProperty("java.io.tmpdir")}/graft_${name}_${key}_p$jvmTag"
-      registerTmpRoot(p)
-      build(p)
-      p
-    })
+    val cacheKey = s"$name|$key"
+    val lock = buildLocks.computeIfAbsent(cacheKey, _ => new Object)
+    lock.synchronized {
+      indexCache.getOrElseUpdate(cacheKey, {
+        val p = s"${System.getProperty("java.io.tmpdir")}/graft_${name}_${key}_p$jvmTag"
+        // prune stale siblings ONLY while this registration still
+        // reflects the CURRENT input state: a registrant whose stat
+        // raced a regeneration must not delete the fresh root another
+        // thread just built and cached (the prune is directionless by
+        // key alone — r16 review); its own stale root stays for the
+        // exit hook / the next fresh registrant instead
+        registerTmpRoot(p,
+          pruneSuperseded = freshDigest(s, dir, file) == key)
+        build(p)
+        p
+      })
+    }
   }
 
   /** Tmp roots this JVM created, swept on exit. */
@@ -145,7 +171,8 @@ object Dedup {
     * dir at storage shared across containers/hosts, where a foreign
     * owner's pid is not visible and its live root would read as dead.
     */
-  private[graft] def registerTmpRoot(path: String): Unit = {
+  private[graft] def registerTmpRoot(path: String,
+      pruneSuperseded: Boolean = true): Unit = {
     require(cleanupHookInstalled)
     createdRoots.put(path, ())
     val f = new java.io.File(path)
@@ -156,7 +183,7 @@ object Dedup {
           s.getName match {
             case RootName(`name`, key, pid) if s.getPath != path =>
               val mine = pid == jvmTag
-              val superseded =
+              val superseded = pruneSuperseded &&
                 key.take(16) == myKey.take(16) && key != myKey
               lazy val owner = ProcessHandle.of(pid.toLong)
               lazy val ownerDead = !(owner.isPresent && owner.get.isAlive)
@@ -482,18 +509,56 @@ object Dedup {
     * on a full band ≈ near-dup cluster size, so the per-bucket pair
     * blowup is bounded by actual duplicate groups, not data volume.
     */
-  private def lshCandidates(mh: DataFrame): DataFrame = {
-    val bandCols = (0 until MinhashSeeds / BandRows).map(b =>
-      md5(concat(col(s"h${BandRows * b}"), col(s"h${BandRows * b + 1}"))))
-    val bands = mh.select(col("doc_id"),
-      posexplode(array(bandCols: _*)).as(Seq("band_id", "band_key")))
-    bands.groupBy("band_id", "band_key")
-      .agg(collect_list(col("doc_id")).as("ids"))
+  /** Ordered pairs from each bucket's collected doc list — the tail
+    * every bucket-local pair generator shares (LSH bands, rare-shingle
+    * containment blocks): keep buckets with ≥ 2 docs, double-explode,
+    * `doc_a < doc_b`, distinct. Single-sourced (r16 review) so the
+    * pair semantics cannot drift between the generators.
+    */
+  private def bucketPairs(buckets: DataFrame): DataFrame =
+    buckets
       .filter(size(col("ids")) > 1)
       .select(explode(col("ids")).as("doc_a"), col("ids"))
       .select(col("doc_a"), explode(col("ids")).as("doc_b"))
       .filter(col("doc_a") < col("doc_b"))
       .distinct()
+
+  /** Exact-verification inputs for a pinned candidate pair set: the
+    * shingle index restricted to candidate docs (broadcast semi-join,
+    * eagerly pinned — sizes and both pair sides consume it), per-doc
+    * shingle sizes, and per-pair intersection counts. Single-sourced
+    * (r16 review): the minhash pair, minhash audit and containment
+    * paths carried three hand-maintained copies of this chain, so an
+    * optimization landed on one could silently leave the audit
+    * verifying different pair semantics than production serves.
+    */
+  private def pairVerification(u: DataFrame,
+      cand: DataFrame): (DataFrame, DataFrame) = {
+    val candDocs = cand
+      .select(explode(array(col("doc_a"), col("doc_b"))).as("doc_id"))
+      .distinct()
+    val uc = u.join(broadcast(candDocs), Seq("doc_id"), "left_semi")
+      .localCheckpoint(true) // 3 consumers: sizes + both pair sides
+    val sizes = uc.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    val inter = cand
+      .join(uc.select(col("doc_id").as("doc_a"), col("g")), "doc_a")
+      .join(uc.select(col("doc_id").as("doc_b"), col("g")), Seq("doc_b", "g"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("x"))
+    (sizes, inter)
+  }
+
+  private def lshCandidates(mh: DataFrame,
+      rows: Int = BandRows): DataFrame = {
+    // generalized over rows-per-band (r16 review): the band sweep's
+    // arms now CALL this instead of re-spelling the banding inline, so
+    // its r = [[BandRows]] arm is the production path by construction,
+    // not by a comment that could drift
+    val bandCols = (0 until MinhashSeeds / rows).map(b =>
+      md5(concat((0 until rows).map(j => col(s"h${rows * b + j}")): _*)))
+    val bands = mh.select(col("doc_id"),
+      posexplode(array(bandCols: _*)).as(Seq("band_id", "band_key")))
+    bucketPairs(bands.groupBy("band_id", "band_key")
+      .agg(collect_list(col("doc_id")).as("ids")))
   }
 
   private[graft] def minhashPairsImpl(s: SparkSession, dir: String): DataFrame = {
@@ -511,16 +576,7 @@ object Dedup {
     // (candidate docs + the intersection join) that would otherwise each
     // recompute the signature pipeline.
     val candCk = cand.localCheckpoint(true)
-    val candDocs = candCk
-      .select(explode(array(col("doc_a"), col("doc_b"))).as("doc_id"))
-      .distinct()
-    val uc = u.join(broadcast(candDocs), Seq("doc_id"), "left_semi")
-      .localCheckpoint(true) // 3 consumers below
-    val sizes = uc.groupBy("doc_id").agg(count(lit(1)).as("sz"))
-    val inter = candCk
-      .join(uc.select(col("doc_id").as("doc_a"), col("g")), "doc_a")
-      .join(uc.select(col("doc_id").as("doc_b"), col("g")), Seq("doc_b", "g"))
-      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("x"))
+    val (sizes, inter) = pairVerification(u, candCk)
     inter
       .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sz", "na"), "doc_a")
       .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sz", "nb"), "doc_b")
@@ -595,16 +651,7 @@ object Dedup {
     // one signature pass feeds candidates AND both pair sides
     val mh = minhashSignatures(u).localCheckpoint(true)
     val cand = lshCandidates(mh).localCheckpoint(true)
-    val candDocs = cand
-      .select(explode(array(col("doc_a"), col("doc_b"))).as("doc_id"))
-      .distinct()
-    val uc = u.join(broadcast(candDocs), Seq("doc_id"), "left_semi")
-      .localCheckpoint(true)
-    val sizes = uc.groupBy("doc_id").agg(count(lit(1)).as("sz"))
-    val inter = cand
-      .join(uc.select(col("doc_id").as("doc_a"), col("g")), "doc_a")
-      .join(uc.select(col("doc_id").as("doc_b"), col("g")), Seq("doc_b", "g"))
-      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("x"))
+    val (sizes, inter) = pairVerification(u, cand)
     val mha = mh.select(col("doc_id").as("doc_a") +:
       (0 until MinhashSeeds).map(i => col(s"h$i").as(s"ha$i")): _*)
     val mhb = mh.select(col("doc_id").as("doc_b") +:
@@ -622,11 +669,17 @@ object Dedup {
       .join(sizes.select(col("doc_id").as("doc_a"), col("sz").as("na")), "doc_a")
       .join(sizes.select(col("doc_id").as("doc_b"), col("sz").as("nb")), "doc_b")
       .select(col("doc_a"), col("doc_b"), col("n_match"),
+        // est = n/16 has an exact 4-digit decimal expansion (native
+        // round is identity there); true is a COUNT-RATIO division —
+        // the midpoint class Buckets.round6 exists to pin (r16 review)
         round(col("n_match").cast("double") / MinhashSeeds, 6).as("est_jaccard"),
-        round(col("x").cast("double") / (col("na") + col("nb") - col("x")), 6)
+        Buckets.round6(
+          col("x").cast("double") / (col("na") + col("nb") - col("x")))
           .as("true_jaccard"))
       .withColumn("err", round(col("est_jaccard") - col("true_jaccard"), 6))
-      .orderBy("doc_a", "doc_b")
+      // no inner orderBy: the ordering would be discarded by the
+      // parquet write/read round-trip and re-imposed by the reader's
+      // orderBy — a wasted global sort per cold build (r16 review)
   }
 
   /** Oracle: [[minhashPairCtes]]' per-(doc, seed) `mh` rows re-aggregate
@@ -646,11 +699,13 @@ object Dedup {
        |  GROUP BY 1, 2)
        |SELECT m.doc_a, m.doc_b, m.n_match,
        |       round(CAST(m.n_match AS DOUBLE) / $MinhashSeeds, 6) AS est_jaccard,
-       |       round(CAST(coalesce(i.x, 0) AS DOUBLE) /
-       |             (na.sz + nb.sz - coalesce(i.x, 0)), 6) AS true_jaccard,
+       |       ${Buckets.round6Sql(
+                 "CAST(coalesce(i.x, 0) AS DOUBLE) / " +
+                 "(na.sz + nb.sz - coalesce(i.x, 0))")} AS true_jaccard,
        |       round(round(CAST(m.n_match AS DOUBLE) / $MinhashSeeds, 6) -
-       |             round(CAST(coalesce(i.x, 0) AS DOUBLE) /
-       |                   (na.sz + nb.sz - coalesce(i.x, 0)), 6), 6) AS err
+       |             ${Buckets.round6Sql(
+                 "CAST(coalesce(i.x, 0) AS DOUBLE) / " +
+                 "(na.sz + nb.sz - coalesce(i.x, 0))")}, 6) AS err
        |FROM mm m
        |LEFT JOIN inter i ON i.doc_a = m.doc_a AND i.doc_b = m.doc_b
        |JOIN sizes na ON na.doc_id = m.doc_a
@@ -711,19 +766,9 @@ object Dedup {
     val tc = truth.agg(count(lit(1)).as("t"))
     val arms = SweepBandRows.map { r =>
       val b = MinhashSeeds / r
-      // band key i = md5(h_{i·r} || … || h_{i·r+r−1}) in seed order —
-      // for r = 2 this is byte-identical to lshCandidates' band key
-      val bandCols = (0 until b).map(i =>
-        md5(concat((0 until r).map(j => col(s"h${i * r + j}")): _*)))
-      val cand = mh.select(col("doc_id"),
-          posexplode(array(bandCols: _*)).as(Seq("band_id", "band_key")))
-        .groupBy("band_id", "band_key")
-        .agg(collect_list(col("doc_id")).as("ids"))
-        .filter(size(col("ids")) > 1)
-        .select(explode(col("ids")).as("doc_a"), col("ids"))
-        .select(col("doc_a"), explode(col("ids")).as("doc_b"))
-        .filter(col("doc_a") < col("doc_b"))
-        .distinct()
+      // each arm IS production lshCandidates at that rows-per-band —
+      // the r = 2 arm is the deployed banding by construction
+      val cand = lshCandidates(mh, r)
         .localCheckpoint(true) // two consumers: cost count + hit count
       cand.agg(count(lit(1)).as("candidates"))
         .crossJoin(cand.join(truth, Seq("doc_a", "doc_b"), "left_semi")
@@ -1102,6 +1147,22 @@ object Dedup {
     * per-component stars centered at the minimum doc_id; round count is
     * O(log²) in component size.
     */
+  /** Best-effort release of a localCheckpoint's storage blocks.
+    * `Dataset.unpersist` only uncaches catalog-cache entries — the
+    * checkpoint RDD lives OUTSIDE it (the Bench quiesce note), behind
+    * the plan's LogicalRDD leaf, which is `private[sql]`; reflection
+    * reaches its `rdd` without tracking persistent-RDD ids globally
+    * (a global sweep could release a concurrent session's blocks).
+    */
+  private def releaseLocalCheckpoint(df: DataFrame): Unit =
+    try df.queryExecution.analyzed.foreach { node =>
+      if (node.getClass.getSimpleName == "LogicalRDD")
+        node.getClass.getMethod("rdd").invoke(node) match {
+          case r: org.apache.spark.rdd.RDD[_] => r.unpersist(false); ()
+          case _ => ()
+        }
+    } catch { case scala.util.control.NonFatal(_) => () }
+
   private[graft] def distributedCluster(pairs: DataFrame): DataFrame = {
     val nodes = pairs.select(col("doc_a").as("doc_id"))
       .unionAll(pairs.select(col("doc_b").as("doc_id")))
@@ -1136,6 +1197,11 @@ object Dedup {
       // cost tracks the (shrinking) pair graph, not the corpus
       val changed =
         next.exceptAll(edges).count() + edges.exceptAll(next).count()
+      // release the superseded round's checkpoint blocks NOW: the
+      // O(log²) rounds would otherwise pin every generation in block
+      // storage for the life of the job — peak = SUM of all rounds'
+      // edge sets instead of two (r16 review)
+      releaseLocalCheckpoint(edges)
       edges = next
       converged = changed == 0
     }
@@ -1347,6 +1413,11 @@ object Dedup {
       // within a diagonal tile keep each unordered pair once; across
       // tiles the block inequality already de-duplicates
       .filter(col("ba") < col("bb") || col("id_a") < col("id_b"))
+      // zero-norm guard on BOTH sides (the embedIsotropy rule, r16
+      // review): Spark's NULL cosine silently drops the pair while
+      // DuckDB's 0/0 is NaN, which its comparison orders ABOVE the
+      // threshold — an all-zero vector would desync the row sets
+      .filter(col("na") =!= 0 && col("nb") =!= 0)
       .withColumn("cosine",
         graft.functions.VectorOps.dot_f(col("ea"), col("eb")) / (col("na") * col("nb")))
       .filter(col("cosine") >= 0.45)
@@ -1360,7 +1431,9 @@ object Dedup {
     s"""SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
        |       round(${Similarity.cosineSql("a.embedding", "b.embedding")}, 6) AS cosine
        |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-       |WHERE ${Similarity.cosineSql("a.embedding", "b.embedding")} >= 0.45
+       |WHERE list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]) <> 0
+       |  AND list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]) <> 0
+       |  AND ${Similarity.cosineSql("a.embedding", "b.embedding")} >= 0.45
        |ORDER BY vec_a, vec_b""".stripMargin
 
   // ------------------------------------------ duplicated-substring spans
@@ -1474,9 +1547,12 @@ object Dedup {
     docs(s, dir).select("doc_id").join(per, Seq("doc_id"), "left")
       .withColumn("n_spans", coalesce(col("n_spans"), lit(0L)))
       .withColumn("n_dup", coalesce(col("n_dup"), lit(0L)))
-      .withColumn("dup_frac", round(
+      // count-ratio division through the pinned round6 on BOTH sides
+      // (native round's midpoint behavior differs between the engines
+      // — the Buckets.scala r10 class; r16 review)
+      .withColumn("dup_frac", Buckets.round6(
         when(col("n_spans") > 0,
-          col("n_dup").cast("double") / col("n_spans")).otherwise(0.0), 6))
+          col("n_dup").cast("double") / col("n_spans")).otherwise(0.0)))
       .withColumn("flagged",
         (col("dup_frac") >= SubstringDupFrac).cast("int"))
       .orderBy("doc_id")
@@ -1507,12 +1583,14 @@ object Dedup {
        |SELECT doc.doc_id,
        |       coalesce(n_spans, 0) AS n_spans,
        |       coalesce(n_dup, 0) AS n_dup,
-       |       round(CASE WHEN coalesce(n_spans, 0) > 0
-       |                  THEN CAST(coalesce(n_dup, 0) AS DOUBLE) / n_spans
-       |                  ELSE 0.0 END, 6) AS dup_frac,
-       |       CASE WHEN round(CASE WHEN coalesce(n_spans, 0) > 0
-       |                            THEN CAST(coalesce(n_dup, 0) AS DOUBLE) / n_spans
-       |                            ELSE 0.0 END, 6) >= $SubstringDupFrac
+       |       ${Buckets.round6Sql(
+                 "CASE WHEN coalesce(n_spans, 0) > 0 " +
+                 "THEN CAST(coalesce(n_dup, 0) AS DOUBLE) / n_spans " +
+                 "ELSE 0.0 END")} AS dup_frac,
+       |       CASE WHEN ${Buckets.round6Sql(
+                 "CASE WHEN coalesce(n_spans, 0) > 0 " +
+                 "THEN CAST(coalesce(n_dup, 0) AS DOUBLE) / n_spans " +
+                 "ELSE 0.0 END")} >= $SubstringDupFrac
        |            THEN 1 ELSE 0 END AS flagged
        |FROM documents doc LEFT JOIN per USING (doc_id)
        |ORDER BY doc.doc_id""".stripMargin
@@ -1570,24 +1648,10 @@ object Dedup {
     val rare = u.join(rareKeys, Seq("g"), "left_semi")
     // bucket-local pair generation (the lshCandidates shape): one pass,
     // pairs bounded by actual rare-key co-occurrence, not corpus size
-    val cand = rare.groupBy("g")
-      .agg(collect_list(col("doc_id")).as("ids"))
-      .filter(size(col("ids")) > 1)
-      .select(explode(col("ids")).as("doc_a"), col("ids"))
-      .select(col("doc_a"), explode(col("ids")).as("doc_b"))
-      .filter(col("doc_a") < col("doc_b"))
-      .distinct()
+    val cand = bucketPairs(
+        rare.groupBy("g").agg(collect_list(col("doc_id")).as("ids")))
       .localCheckpoint(true) // 2 consumers: candidate docs + pair join
-    val candDocs = cand
-      .select(explode(array(col("doc_a"), col("doc_b"))).as("doc_id"))
-      .distinct()
-    val uc = u.join(broadcast(candDocs), Seq("doc_id"), "left_semi")
-      .localCheckpoint(true) // 3 consumers: sizes + both pair sides
-    val sizes = uc.groupBy("doc_id").agg(count(lit(1)).as("sz"))
-    val inter = cand
-      .join(uc.select(col("doc_id").as("doc_a"), col("g")), "doc_a")
-      .join(uc.select(col("doc_id").as("doc_b"), col("g")), Seq("doc_b", "g"))
-      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("x"))
+    val (sizes, inter) = pairVerification(u, cand)
     inter
       .join(sizes.select(col("doc_id").as("doc_a"), col("sz").as("na")), "doc_a")
       .join(sizes.select(col("doc_id").as("doc_b"), col("sz").as("nb")), "doc_b")

@@ -42,15 +42,23 @@ object Curation {
     */
   def dedupCollapse(s: SparkSession, dir: String): DataFrame = {
     // the cluster assignment covers only docs that appear in a verified
-    // near-dup pair — far smaller than the corpus; Spark broadcasts it
+    // near-dup pair — far smaller than the corpus; Spark broadcasts it.
+    // n_members comes from THAT small frame, not a corpus-wide groupBy:
+    // every doc absent from it is provably a singleton (component
+    // minima are always pair members), so the count re-joined to the
+    // manifest with coalesce(_, 1) is identical while the corpus side
+    // stays ONE scan — the r16 review found the old corpus-keyed
+    // aggregate + join added two full manifest shuffles the header's
+    // own scale note said this operator must not have
     val cl = Dedup.dedupCluster(s, dir)
-    val full = docs(s, dir).select(col("doc_id"))
-      .join(cl, Seq("doc_id"), "left")
-      .withColumn("cluster_id", coalesce(col("cluster_id"), col("doc_id")))
-    val mem = full.groupBy("cluster_id").agg(count(lit(1)).as("n_members"))
-    full.join(mem, "cluster_id")
-      .select(col("doc_id"), col("cluster_id"), col("n_members"),
-        (col("doc_id") === col("cluster_id")).cast("int").as("keep"))
+    val mem = cl.groupBy("cluster_id").agg(count(lit(1)).as("n_members"))
+    docs(s, dir).select(col("doc_id"))
+      .join(broadcast(cl.join(mem, "cluster_id")), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"),
+        coalesce(col("n_members"), lit(1L)).as("n_members"),
+        (col("doc_id") === coalesce(col("cluster_id"), col("doc_id")))
+          .cast("int").as("keep"))
       .orderBy("doc_id")
   }
 
@@ -144,7 +152,12 @@ object Curation {
       .join(bsize, Seq("bench_id"), "left")
       .join(worst, Seq("bench_id"), "left")
       .select(col("bench_id"), col("n_shingles"), col("top_doc"), col("n_shared"),
-        round(col("n_shared").cast("double") / col("n_shingles"), 6).as("frac"))
+        // count-ratio divisions route through the PINNED round6 in both
+        // engines (native round's midpoint behavior differs between
+        // them — the documented Buckets.scala r10 class; r16 review);
+        // same pin applied to every division-derived output in the file
+        Buckets.round6(col("n_shared").cast("double") / col("n_shingles"))
+          .as("frac"))
       .orderBy("bench_id")
   }
 
@@ -166,7 +179,8 @@ object Curation {
        |    FROM pairs)
        |  WHERE rn = 1)
        |SELECT d.doc_id AS bench_id, s.n_shingles, w.top_doc, w.n_shared,
-       |       round(CAST(w.n_shared AS DOUBLE) / s.n_shingles, 6) AS frac
+       |       ${Buckets.round6Sql(
+                 "CAST(w.n_shared AS DOUBLE) / s.n_shingles")} AS frac
        |FROM documents d
        |LEFT JOIN bsize s ON s.bench_id = d.doc_id
        |LEFT JOIN worst w ON w.bench_id = d.doc_id
@@ -201,11 +215,12 @@ object Curation {
     // (zero 3-gram slots), mirrored in the oracle SQL
     agg.join(g3, Seq("doc_id"), "left")
       .select(col("doc_id"), col("n_tokens"),
-        round(col("top_cnt").cast("double") / col("n_tokens"), 6)
+        Buckets.round6(col("top_cnt").cast("double") / col("n_tokens"))
           .as("top_token_share"),
         when(col("n_tokens") >= 3,
-          round(lit(1.0) - coalesce(col("n3d"), lit(0L)).cast("double") /
-            (col("n_tokens") - 2), 6)).as("dup_3gram_frac"))
+          Buckets.round6(
+            lit(1.0) - coalesce(col("n3d"), lit(0L)).cast("double") /
+              (col("n_tokens") - 2))).as("dup_3gram_frac"))
       .orderBy("doc_id")
   }
 
@@ -221,10 +236,12 @@ object Curation {
        |  FROM tf GROUP BY doc_id),
        |g3 AS (SELECT doc_id, count(*) AS n3d FROM shingle_u GROUP BY 1)
        |SELECT a.doc_id, a.n_tokens,
-       |       round(CAST(top_cnt AS DOUBLE) / n_tokens, 6) AS top_token_share,
+       |       ${Buckets.round6Sql(
+                 "CAST(top_cnt AS DOUBLE) / n_tokens")} AS top_token_share,
        |       CASE WHEN n_tokens >= 3
-       |            THEN round(1 - CAST(coalesce(n3d, 0) AS DOUBLE) /
-       |                       (n_tokens - 2), 6) END AS dup_3gram_frac
+       |            THEN ${Buckets.round6Sql(
+                 "1 - CAST(coalesce(n3d, 0) AS DOUBLE) / (n_tokens - 2)")}
+       |       END AS dup_3gram_frac
        |FROM agg a LEFT JOIN g3 USING (doc_id)
        |ORDER BY a.doc_id""".stripMargin
 
@@ -341,8 +358,18 @@ object Curation {
     * never reads (review finding: an inner join is not prunable).
     */
   private def curateGates(s: SparkSession, dir: String): DataFrame = {
-    val keepd = dedupCollapse(s, dir)
-      .select(col("doc_id"), col("keep").as("keep_dedup"))
+    // keep_dedup straight from the SMALL cluster frame (a doc is kept
+    // iff it is absent — a singleton — or its own cluster minimum);
+    // going through dedupCollapse paid its n_members aggregate + join
+    // for a column this frame never reads, and the inner join is not
+    // prunable by the optimizer (the same rationale as the splitAssign
+    // split below; r16 review)
+    val cl = Dedup.dedupCluster(s, dir)
+    val keepd = docs(s, dir).select(col("doc_id"))
+      .join(broadcast(cl), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        (col("cluster_id").isNull || col("cluster_id") === col("doc_id"))
+          .cast("int").as("keep_dedup"))
     val clean = decontaminate(s, dir)
       .select(col("doc_id"),
         (col("contaminated") === 0).cast("int").as("keep_clean"))
@@ -360,10 +387,10 @@ object Curation {
         sum(when(Tokens.stopTokens.map(col("t") === _).reduce(_ || _), col("c"))
           .otherwise(0L)).as("stop_cnt"))
       .select(col("doc_id"), col("n_tokens"),
-        round(col("top_cnt").cast("double") / col("n_tokens"), 6)
+        Buckets.round6(col("top_cnt").cast("double") / col("n_tokens"))
           .as("top_token_share"),
-        round((col("n_distinct").cast("double") / col("n_tokens")) *
-          (lit(1.0) - col("stop_cnt").cast("double") / col("n_tokens")), 6)
+        Buckets.round6((col("n_distinct").cast("double") / col("n_tokens")) *
+          (lit(1.0) - col("stop_cnt").cast("double") / col("n_tokens")))
           .as("quality"))
     clean // decontaminate already restricts to corpus docs (>= cut)
       .join(keepd, "doc_id").join(feats, "doc_id")
@@ -397,14 +424,16 @@ object Curation {
        |  GROUP BY doc_id, t),
        |rep AS (
        |  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
-       |         round(CAST(max(c) AS DOUBLE) / CAST(sum(c) AS BIGINT), 6)
+       |         ${Buckets.round6Sql(
+                 "CAST(max(c) AS DOUBLE) / CAST(sum(c) AS BIGINT)")}
        |           AS top_token_share
        |  FROM tf GROUP BY doc_id),
        |qual AS (
        |  SELECT doc_id,
-       |         round((len(list_distinct(toks)) / CAST(len(toks) AS DOUBLE)) *
-       |               (1 - len(list_filter(toks, t -> ${Tokens.stopPred("t")})) /
-       |                    CAST(len(toks) AS DOUBLE)), 6) AS quality
+       |         ${Buckets.round6Sql(
+                 s"(len(list_distinct(toks)) / CAST(len(toks) AS DOUBLE)) * " +
+                 s"(1 - len(list_filter(toks, t -> ${Tokens.stopPred("t")})) / " +
+                 "CAST(len(toks) AS DOUBLE))")} AS quality
        |  FROM d),
        |sb AS (
        |  SELECT doc_id,
@@ -723,13 +752,12 @@ object Curation {
     * path to handle).
     */
   def dsirSelectScalable(s: SparkSession, dir: String): DataFrame = {
-    // eager checkpoint: the scored frame feeds BOTH the boundary
-    // TakeOrdered and the keep projection — without it the serve fold +
-    // Gumbel chains run twice (A/B at sf0.1 restricted: 1.77 → 1.38 s;
-    // the annNprobeSweep lattice pattern). At 100 TB the equivalent is
+    // the scored frame feeds BOTH the boundary TakeOrdered and the keep
+    // projection; it is a materialized shared index (dsirScored), so
+    // both passes are scans of one small parquet — the 100 TB shape of
     // materializing scores once and running both passes over the
-    // stored table.
-    val scored = dsirScored(s, dir).localCheckpoint(true)
+    // stored table, with no per-invocation checkpoint to leak.
+    val scored = dsirScored(s, dir)
     val kth = scored
       .orderBy(col("score_q").desc, col("doc_id"))
       .limit(DsirSelectK)
@@ -748,7 +776,21 @@ object Curation {
     * selection forms rank (see [[dsirSelect]] for the determinism
     * argument).
     */
-  private def dsirScored(s: SparkSession, dir: String): DataFrame = {
+  private def dsirScored(s: SparkSession, dir: String): DataFrame =
+    // materialized like every other shared index (tmp parquet via
+    // sharedIndexPath, built once per (JVM, data), exit-swept) instead
+    // of a per-invocation localCheckpoint: the checkpoint pinned its
+    // blocks in executor storage with NO release path, so repeated
+    // invocations in a long-lived session accumulated a generation per
+    // call (r16 review — the distributedCluster leak class); both
+    // selection forms now scan one small parquet, and the build lands
+    // in the bench's staging phase like the other indexes
+    s.read.parquet(Dedup.sharedIndexPath(
+        s, dir, "documents.parquet", "dsir_scored") { p =>
+      dsirScoredImpl(s, dir).write.mode("overwrite").parquet(p)
+    })
+
+  private def dsirScoredImpl(s: SparkSession, dir: String): DataFrame = {
     val parts = dsirServe(s, dir)
       .select(col("doc_id"),
         expr(PortableMath.halfUpDivSql("sum_wqn", "n_tokens")).as("wq_doc"))
@@ -819,12 +861,20 @@ object Curation {
     * answer for provenance-disjoint sources.
     */
   def sourceOverlap(s: SparkSession, dir: String): DataFrame = {
-    val srcs = s.read.parquet(s"$dir/documents.parquet")
-      .select(col("doc_id"), col("source"))
+    val srcs = docs(s, dir).select(col("doc_id"), col("source"))
     val sg = Dedup.shingleSetShared(s, dir)
       .join(srcs, "doc_id")
       .select(col("source"), col("g")).distinct()
-    val sz = sg.groupBy("source").agg(count(lit(1)).as("n"))
+    // the pair lattice enumerates EVERY source from the manifest, not
+    // just sources that produced shingles — a source whose documents
+    // are all under 3 tokens must still appear in every pair row with
+    // shared = 0 (absence of overlap IS the answer the report
+    // promises; r16 review), with n = 0 via the left join below
+    val allSrcs = srcs.select("source").distinct()
+    val sz = allSrcs
+      .join(sg.groupBy("source").agg(count(lit(1)).as("n")),
+        Seq("source"), "left")
+      .select(col("source"), coalesce(col("n"), lit(0L)).as("n"))
     val ov = sg.as("a").join(sg.as("b"),
         col("a.g") === col("b.g") && col("a.source") < col("b.source"))
       .groupBy(col("a.source").as("source_a"), col("b.source").as("source_b"))
@@ -836,7 +886,11 @@ object Curation {
       .withColumn("shared", coalesce(col("shared"), lit(0L)))
       .select(col("source_a"), col("source_b"), col("n_a"), col("n_b"),
         col("shared"),
-        round(expr("CAST(shared AS DOUBLE) / (n_a + n_b - shared)"), 6)
+        // two shingle-free sources make the denominator 0: pin NULL in
+        // both engines (Spark's 0/0 is NULL, DuckDB's is NaN)
+        when(col("n_a") + col("n_b") - col("shared") =!= 0,
+          Buckets.round6(
+            expr("CAST(shared AS DOUBLE) / (n_a + n_b - shared)")))
           .as("jaccard"))
       .orderBy("source_a", "source_b")
   }
@@ -846,7 +900,12 @@ object Curation {
        |sg AS (
        |  SELECT DISTINCT d.source, u.g
        |  FROM shingle_u u JOIN documents d USING (doc_id)),
-       |sz AS (SELECT source, count(*) AS n FROM sg GROUP BY 1),
+       |all_srcs AS (SELECT DISTINCT source FROM documents),
+       |sz AS (
+       |  SELECT a.source, coalesce(c.n, 0) AS n
+       |  FROM all_srcs a LEFT JOIN
+       |    (SELECT source, count(*) AS n FROM sg GROUP BY 1) c
+       |    USING (source)),
        |ov AS (
        |  SELECT a.source AS source_a, b.source AS source_b,
        |         count(*) AS shared
@@ -858,8 +917,11 @@ object Curation {
        |  FROM sz x JOIN sz y ON x.source < y.source)
        |SELECT p.source_a, p.source_b, p.n_a, p.n_b,
        |       coalesce(o.shared, 0) AS shared,
-       |       round(CAST(coalesce(o.shared, 0) AS DOUBLE) /
-       |             (p.n_a + p.n_b - coalesce(o.shared, 0)), 6) AS jaccard
+       |       CASE WHEN p.n_a + p.n_b - coalesce(o.shared, 0) <> 0
+       |            THEN ${Buckets.round6Sql(
+                 "CAST(coalesce(o.shared, 0) AS DOUBLE) / " +
+                 "(p.n_a + p.n_b - coalesce(o.shared, 0))")}
+       |       END AS jaccard
        |FROM pairs p LEFT JOIN ov o USING (source_a, source_b)
        |ORDER BY p.source_a, p.source_b""".stripMargin
 
@@ -890,7 +952,7 @@ object Curation {
     val totals = cells.groupBy("split").agg(sum(col("n_docs")).as("split_docs"))
     cells.join(broadcast(totals), "split")
       .select(col("split"), col("lang"), col("n_docs"), col("n_tokens"),
-        round(col("n_docs").cast("double") / col("split_docs"), 6)
+        Buckets.round6(col("n_docs").cast("double") / col("split_docs"))
           .as("frac_docs"))
       .orderBy("split", "lang")
   }
@@ -910,9 +972,15 @@ object Curation {
        |tot AS (SELECT split, CAST(sum(n_docs) AS BIGINT) AS split_docs
        |        FROM cells GROUP BY 1)
        |SELECT c.split, c.lang, c.n_docs, c.n_tokens,
-       |       round(CAST(c.n_docs AS DOUBLE) / t.split_docs, 6) AS frac_docs
+       |       ${Buckets.round6Sql(
+                 "CAST(c.n_docs AS DOUBLE) / t.split_docs")} AS frac_docs
        |FROM cells c JOIN tot t USING (split)
-       |ORDER BY c.split, c.lang""".stripMargin
+       |ORDER BY c.split, c.lang NULLS FIRST""".stripMargin
+  // NULLS FIRST: lang is the one NULLABLE presentation sort key in the
+  // file (dataValidate deliberately only REPORTS null langs), and the
+  // engines' defaults differ — Spark ascending sorts NULLs first,
+  // DuckDB last — so a null-lang corpus would emit the cell at a
+  // different row position per engine (r16 review)
 
   // ------------------------------------------------- X60 curation funnel
 
@@ -939,7 +1007,7 @@ object Curation {
       sum(col("n_tokens")).cast("long").as("tok_docs"),
       sum(col("n_tokens") * col("keep")).cast("long").as("tok_final"))
     .withColumn("token_retention",
-      round(col("tok_final").cast("double") / col("tok_docs"), 6))
+      Buckets.round6(col("tok_final").cast("double") / col("tok_docs")))
 
   /** Oracle: [[curateSql]] as a derived table (nested WITH RECURSIVE),
     * re-aggregated with the identical conditional sums.
@@ -951,7 +1019,8 @@ object Curation {
        |       CAST(sum(keep) AS BIGINT) AS n_final,
        |       CAST(sum(n_tokens) AS BIGINT) AS tok_docs,
        |       CAST(sum(n_tokens * keep) AS BIGINT) AS tok_final,
-       |       round(CAST(sum(n_tokens * keep) AS DOUBLE) / sum(n_tokens), 6)
+       |       ${Buckets.round6Sql(
+                 "CAST(sum(n_tokens * keep) AS DOUBLE) / sum(n_tokens)")}
        |         AS token_retention
        |FROM ($curateSql)""".stripMargin
 
@@ -1078,7 +1147,7 @@ object Curation {
       .groupBy("source").agg(
         count(lit(1)).as("n_docs"),
         sum(size(col("toks"))).cast("long").as("n_tokens"),
-        round(sum(col("n_chars")).cast("double") / count(lit(1)), 6)
+        Buckets.round6(sum(col("n_chars")).cast("double") / count(lit(1)))
           .as("avg_chars"),
         sum(when(expr(s"size(filter(toks, t -> $hitPred))") > 0, 1L)
           .otherwise(0L)).as("n_blocked"),
@@ -1090,7 +1159,8 @@ object Curation {
     val hitPred = TextAnalysis.blockPred("t")
     s"""SELECT source, count(*) AS n_docs,
        |       CAST(sum(n_toks) AS BIGINT) AS n_tokens,
-       |       round(CAST(sum(n_chars) AS DOUBLE) / count(*), 6) AS avg_chars,
+       |       ${Buckets.round6Sql(
+                 "CAST(sum(n_chars) AS DOUBLE) / count(*)")} AS avg_chars,
        |       CAST(sum(CASE WHEN n_hits > 0 THEN 1 ELSE 0 END) AS BIGINT)
        |         AS n_blocked,
        |       count(*) - count(DISTINCT h) AS n_dup_texts

@@ -29,15 +29,20 @@ object TextAnalysis {
   /** `text_token_stats`: per-language corpus summary. */
   def textTokenStats(s: SparkSession, dir: String): DataFrame = {
     val d = docs(s, dir).withColumn("toks", expr(toksExpr))
-    // averages as round(CAST(sum AS DOUBLE)/count, 6) with the identical
+    // averages as round6(CAST(sum AS DOUBLE)/count) with the identical
     // expression shape in the oracle SQL: both engines then perform the
-    // same single IEEE division on the same exact integers, where a
-    // native avg() may accumulate differently below the rounding epsilon
+    // same single IEEE division on the same exact integers (a native
+    // avg() may accumulate differently below the rounding epsilon), and
+    // the shared round6 pins the midpoint decision both ways — native
+    // round(x, 6) differs between the engines exactly there (the
+    // Buckets.scala r10 class; r16 review, applied file-wide)
     val perLang = d.groupBy("lang").agg(
       count(lit(1)).as("n_docs"),
       sum(size(col("toks"))).as("n_tokens"),
-      round(sum(size(col("toks"))).cast("double") / count(lit(1)), 6).as("avg_tokens"),
-      round(sum(col("n_chars")).cast("double") / count(lit(1)), 6).as("avg_chars"))
+      Buckets.round6(sum(size(col("toks"))).cast("double") / count(lit(1)))
+        .as("avg_tokens"),
+      Buckets.round6(sum(col("n_chars")).cast("double") / count(lit(1)))
+        .as("avg_chars"))
     val distinctToks = d.select(col("lang"), explode(col("toks")).as("t"))
       .groupBy("lang").agg(countDistinct(col("t")).as("n_distinct_tokens"))
     perLang.join(distinctToks, "lang")
@@ -49,8 +54,10 @@ object TextAnalysis {
     s"""WITH d AS (SELECT lang, n_chars, $toksSql AS toks FROM documents),
        |per_lang AS (
        |  SELECT lang, count(*) AS n_docs, CAST(sum(len(toks)) AS BIGINT) AS n_tokens,
-       |         round(CAST(sum(len(toks)) AS DOUBLE) / count(*), 6) AS avg_tokens,
-       |         round(CAST(sum(n_chars) AS DOUBLE) / count(*), 6) AS avg_chars
+       |         ${Buckets.round6Sql(
+                 "CAST(sum(len(toks)) AS DOUBLE) / count(*)")} AS avg_tokens,
+       |         ${Buckets.round6Sql(
+                 "CAST(sum(n_chars) AS DOUBLE) / count(*)")} AS avg_chars
        |  FROM d GROUP BY lang),
        |dt AS (
        |  SELECT lang, count(DISTINCT t) AS n_distinct_tokens
@@ -70,24 +77,32 @@ object TextAnalysis {
       .select(
         col("doc_id"),
         size(col("toks")).as("n_tokens"),
-        round(expr("size(array_distinct(toks)) / CAST(size(toks) AS DOUBLE)"), 6).as("ttr"),
-        round(expr(s"size(filter(toks, t -> ${Tokens.stopPred("t")})) / CAST(size(toks) AS DOUBLE)"), 6)
+        Buckets.round6(
+          expr("size(array_distinct(toks)) / CAST(size(toks) AS DOUBLE)")).as("ttr"),
+        Buckets.round6(
+          expr(s"size(filter(toks, t -> ${Tokens.stopPred("t")})) / CAST(size(toks) AS DOUBLE)"))
           .as("stop_ratio"),
-        round(expr("aggregate(toks, 0, (acc, t) -> acc + length(t)) / CAST(size(toks) AS DOUBLE)"), 6)
+        Buckets.round6(
+          expr("aggregate(toks, 0, (acc, t) -> acc + length(t)) / CAST(size(toks) AS DOUBLE)"))
           .as("avg_token_len"),
-        round(expr("(size(array_distinct(toks)) / CAST(size(toks) AS DOUBLE)) * " +
-          s"(1 - size(filter(toks, t -> ${Tokens.stopPred("t")})) / CAST(size(toks) AS DOUBLE))"), 6)
+        Buckets.round6(
+          expr("(size(array_distinct(toks)) / CAST(size(toks) AS DOUBLE)) * " +
+          s"(1 - size(filter(toks, t -> ${Tokens.stopPred("t")})) / CAST(size(toks) AS DOUBLE))"))
           .as("quality"))
       .orderBy("doc_id")
 
   val textQualitySql: String =
     s"""WITH d AS (SELECT doc_id, $toksSql AS toks FROM documents)
        |SELECT doc_id, len(toks) AS n_tokens,
-       |       round(len(list_distinct(toks)) / CAST(len(toks) AS DOUBLE), 6) AS ttr,
-       |       round(len(list_filter(toks, t -> ${Tokens.stopPred("t")})) / CAST(len(toks) AS DOUBLE), 6) AS stop_ratio,
-       |       round(list_sum(list_transform(toks, t -> length(t))) / CAST(len(toks) AS DOUBLE), 6) AS avg_token_len,
-       |       round((len(list_distinct(toks)) / CAST(len(toks) AS DOUBLE)) *
-       |             (1 - len(list_filter(toks, t -> ${Tokens.stopPred("t")})) / CAST(len(toks) AS DOUBLE)), 6) AS quality
+       |       ${Buckets.round6Sql(
+                 "len(list_distinct(toks)) / CAST(len(toks) AS DOUBLE)")} AS ttr,
+       |       ${Buckets.round6Sql(
+                 s"len(list_filter(toks, t -> ${Tokens.stopPred("t")})) / CAST(len(toks) AS DOUBLE)")} AS stop_ratio,
+       |       ${Buckets.round6Sql(
+                 "list_sum(list_transform(toks, t -> length(t))) / CAST(len(toks) AS DOUBLE)")} AS avg_token_len,
+       |       ${Buckets.round6Sql(
+                 "(len(list_distinct(toks)) / CAST(len(toks) AS DOUBLE)) * " +
+                 s"(1 - len(list_filter(toks, t -> ${Tokens.stopPred("t")})) / CAST(len(toks) AS DOUBLE))")} AS quality
        |FROM d ORDER BY doc_id""".stripMargin
 
   // --------------------------------------------------------- language ID
@@ -187,17 +202,17 @@ object TextAnalysis {
     docs(s, dir).withColumn("n", expr(s"size($toksExpr)"))
       .groupBy("lang")
       .agg(
-        expr("round(percentile(n, 0.5D), 6)").as("p50"),
-        expr("round(percentile(n, 0.9D), 6)").as("p90"),
-        expr("round(percentile(n, 0.99D), 6)").as("p99"),
+        Buckets.round6(expr("percentile(n, 0.5D)")).as("p50"),
+        Buckets.round6(expr("percentile(n, 0.9D)")).as("p90"),
+        Buckets.round6(expr("percentile(n, 0.99D)")).as("p99"),
         count(lit(1)).as("n_docs"))
       .orderBy("lang")
 
   val tokenLenQuantilesSql: String =
     s"""SELECT lang,
-       |       round(quantile_cont(len($toksSql), 0.5), 6) AS p50,
-       |       round(quantile_cont(len($toksSql), 0.9), 6) AS p90,
-       |       round(quantile_cont(len($toksSql), 0.99), 6) AS p99,
+       |       ${Buckets.round6Sql(s"quantile_cont(len($toksSql), 0.5)")} AS p50,
+       |       ${Buckets.round6Sql(s"quantile_cont(len($toksSql), 0.9)")} AS p90,
+       |       ${Buckets.round6Sql(s"quantile_cont(len($toksSql), 0.99)")} AS p99,
        |       count(*) AS n_docs
        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
 
@@ -265,9 +280,9 @@ object TextAnalysis {
     val cum = hist.withColumn("cumc", sum(col("c")).over(w))
       .withColumn("prevc", col("cumc") - col("c"))
     val tot = lens.agg(count(lit(1)).as("n_docs"),
-      expr("round(percentile(n, 0.5D), 6)").as("e50"),
-      expr("round(percentile(n, 0.9D), 6)").as("e90"),
-      expr("round(percentile(n, 0.99D), 6)").as("e99"))
+      Buckets.round6(expr("percentile(n, 0.5D)")).as("e50"),
+      Buckets.round6(expr("percentile(n, 0.9D)")).as("e90"),
+      Buckets.round6(expr("percentile(n, 0.99D)")).as("e99"))
     val ps = Seq(0.5, 0.9, 0.99).toDF("p")
     ps.crossJoin(broadcast(tot))
       .withColumn("rank", expr("CAST(ceil(p * n_docs) AS BIGINT)"))
@@ -276,13 +291,14 @@ object TextAnalysis {
       .groupBy("p", "rank", "n_docs", "e50", "e90", "e99")
       .agg(min_by(struct(col("bin"), col("blo"), col("bhi"), col("c"),
         col("prevc")), col("bin")).as("pick"))
-      .withColumn("est", round(expr(
+      .withColumn("est", Buckets.round6(expr(
         "CAST(pick.blo AS DOUBLE) + (pick.bhi - pick.blo) * " +
-          "(rank - pick.prevc) / pick.c"), 6))
+          "(rank - pick.prevc) / pick.c")))
       .withColumn("exact", expr(
         "CASE WHEN p = 0.5 THEN e50 WHEN p = 0.9 THEN e90 ELSE e99 END"))
       .select(col("p"), col("n_docs"), col("est"), col("exact"),
-        round((col("est") - col("exact")) / col("exact"), 6).as("rel_err"))
+        Buckets.round6((col("est") - col("exact")) / col("exact"))
+          .as("rel_err"))
       .orderBy("p")
   }
 
@@ -301,9 +317,9 @@ object TextAnalysis {
        |cum2 AS (SELECT bin, blo, bhi, c, cumc, cumc - c AS prevc FROM cum),
        |tot AS (
        |  SELECT count(*) AS n_docs,
-       |         round(quantile_cont(n, 0.5), 6) AS e50,
-       |         round(quantile_cont(n, 0.9), 6) AS e90,
-       |         round(quantile_cont(n, 0.99), 6) AS e99
+       |         ${Buckets.round6Sql("quantile_cont(n, 0.5)")} AS e50,
+       |         ${Buckets.round6Sql("quantile_cont(n, 0.9)")} AS e90,
+       |         ${Buckets.round6Sql("quantile_cont(n, 0.99)")} AS e99
        |  FROM lens),
        |ps(p) AS (VALUES (CAST(0.5 AS DOUBLE)), (CAST(0.9 AS DOUBLE)),
        |                 (CAST(0.99 AS DOUBLE))),
@@ -317,13 +333,14 @@ object TextAnalysis {
        |  JOIN cum2 ON cum2.cumc >= pr.rank),
        |est AS (
        |  SELECT p, n_docs,
-       |         round(CAST(blo AS DOUBLE) + (bhi - blo) *
-       |               (rank - prevc) / c, 6) AS est,
+       |         ${Buckets.round6Sql(
+                 "CAST(blo AS DOUBLE) + (bhi - blo) * (rank - prevc) / c")}
+       |           AS est,
        |         CASE WHEN p = 0.5 THEN e50 WHEN p = 0.9 THEN e90
        |              ELSE e99 END AS exact
        |  FROM sel WHERE rn = 1)
        |SELECT p, n_docs, est, exact,
-       |       round((est - exact) / exact, 6) AS rel_err
+       |       ${Buckets.round6Sql("(est - exact) / exact")} AS rel_err
        |FROM est ORDER BY p""".stripMargin
   }
 
@@ -634,7 +651,7 @@ object TextAnalysis {
       .orderBy(col("pmi_").desc, col("t1"), col("t2"))
       .limit(PmiTopK)
       .select(col("t1"), col("t2"), col("c12"),
-        round(col("pmi_"), 6).as("pmi"))
+        Buckets.round6(col("pmi_")).as("pmi"))
   }
 
   val tokenPmiSql: String =
@@ -651,7 +668,7 @@ object TextAnalysis {
        |  JOIN uni u1 ON u1.t1 = b.t1
        |  JOIN uni u2 ON u2.t1 = b.t2
        |  CROSS JOIN tot)
-       |SELECT t1, t2, c12, round(pmi_, 6) AS pmi
+       |SELECT t1, t2, c12, ${Buckets.round6Sql("pmi_")} AS pmi
        |FROM scored
        |ORDER BY pmi_ DESC, t1, t2
        |LIMIT $PmiTopK""".stripMargin
@@ -831,7 +848,7 @@ object TextAnalysis {
     perDoc.withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= Bm25TopK)
       .select(col("query_id"), col("doc_id"),
-        round(col("score"), 6).as("score"), col("n_terms"), col("rnk"))
+        Buckets.round6(col("score")).as("score"), col("n_terms"), col("rnk"))
       .orderBy("query_id", "rnk")
   }
 
@@ -867,7 +884,7 @@ object TextAnalysis {
        |         row_number() OVER (PARTITION BY query_id
        |                            ORDER BY score DESC, doc_id) AS rnk
        |  FROM perdoc)
-       |SELECT query_id, doc_id, round(score, 6) AS score, n_terms, rnk
+       |SELECT query_id, doc_id, ${Buckets.round6Sql("score")} AS score, n_terms, rnk
        |FROM ranked WHERE rnk <= $Bm25TopK ORDER BY query_id, rnk""".stripMargin
   }
 
@@ -1054,7 +1071,7 @@ object TextAnalysis {
         sum(col("f") * length(col("w"))).cast("long").as("n_chars"),
         sum(col("f") * col("n_syms")).cast("long").as("n_tokens"))
       .select(col("n_words"), col("n_chars"), col("n_tokens"),
-        round(col("n_chars").cast("double") / col("n_tokens"), 6)
+        Buckets.round6(col("n_chars").cast("double") / col("n_tokens"))
           .as("chars_per_token"))
 
   /** Oracle: the Lloyd-unroll pattern (see `Similarity.kmeansTrainedCtes`)
@@ -1115,8 +1132,9 @@ object TextAnalysis {
        |       CAST(sum(f * length(w)) AS BIGINT) AS n_chars,
        |       CAST(sum(f * len(string_split(trim(seq), '  '))) AS BIGINT)
        |         AS n_tokens,
-       |       round(CAST(sum(f * length(w)) AS DOUBLE) /
-       |             sum(f * len(string_split(trim(seq), '  '))), 6)
+       |       ${Buckets.round6Sql(
+                 "CAST(sum(f * length(w)) AS DOUBLE) / " +
+                 "sum(f * len(string_split(trim(seq), '  ')))")}
        |         AS chars_per_token
        |FROM w$BpeIters""".stripMargin
 }

@@ -69,21 +69,40 @@ object Fetch {
       .orderBy($"bucket_ts")
   }
 
+  /** The whisper fetch window in ALIGNED seconds, including the
+    * equal-interval bump (fromI == untilI → one bucket, §4.4 trap /
+    * r13 review). Callers that pre-restrict the scan MUST take the
+    * until bound from here: computing the bump only inside
+    * [[denseSeries]] is too late when the pre-restriction already
+    * excluded that bucket's rows — pointsInRange(x, x) is the EMPTY
+    * range, so an equal-interval fetch returned the bucket as NULL
+    * where whisper returns its stored value (r16 review; the facade's
+    * fetchWindow bumps before restricting, which is the contract).
+    */
+  private[ops] def fetchWindow(fromS: Long, untilS: Long,
+      spp: Int): (Long, Long) = {
+    val fromI = Buckets.fetchInterval(fromS, spp)
+    val u0 = Buckets.fetchInterval(untilS, spp)
+    (fromI, if (u0 == fromI) u0 + spp else u0)
+  }
+
   /** Query key `fetch_dense_series`: 1-minute average dense series for
     * metric 'view' over the fixed window [F, U] (FIXTURES.md §2). The
     * input is pre-restricted via [[Buckets.pointsInRange]] so the time
     * bounds reach the Parquet scan as pushed filters.
     */
   def fetchDenseSeries(spark: SparkSession, sfDir: String): DataFrame = {
-    val fromI = Buckets.fetchInterval(Buckets.FromS, 60)
-    val untilI = Buckets.fetchInterval(Buckets.UntilS, 60)
+    val (fromI, untilI) = fetchWindow(Buckets.FromS, Buckets.UntilS, 60)
     denseSeries(spark, Buckets.pointsInRange(spark, sfDir, fromI, untilI),
       "view", Buckets.FromS, Buckets.UntilS, 60)
   }
 
-  val fetchDenseSeriesSql: String = {
-    val fromI = Buckets.fetchInterval(Buckets.FromS, 60)
-    val untilI = Buckets.fetchInterval(Buckets.UntilS, 60)
+  /** The one dense-series oracle body (spine left-join over the ranged
+    * per-minute mean) — shared by the fixed and both relative fetch
+    * keys, which used to carry three verbatim copies (r16 review; the
+    * denseManySql factoring note's drift warning applied here too).
+    */
+  private def denseSeriesSql(fromI: Long, untilI: Long): String =
     s"""WITH ${Buckets.pointsSql},
        |agg AS (
        |  SELECT (ts_s // 60) * 60 AS bucket_ts, ${Rollup.mean6Sql()} AS value
@@ -95,6 +114,10 @@ object Fetch {
        |SELECT s.bucket_ts, a.value
        |FROM spine s LEFT JOIN agg a USING (bucket_ts)
        |ORDER BY s.bucket_ts""".stripMargin
+
+  val fetchDenseSeriesSql: String = {
+    val (fromI, untilI) = fetchWindow(Buckets.FromS, Buckets.UntilS, 60)
+    denseSeriesSql(fromI, untilI)
   }
 
   /** As-of sampling grid step: hourly marks over the [F, U) fetch day. */
@@ -322,7 +345,7 @@ object Fetch {
        |           ORDER BY is_endpoint DESC, area DESC NULLS LAST,
        |                    ts_s ASC) AS rn
        |  FROM scored)
-       |SELECT metric, bucket, ts_s, value, floor(area * 1e6 + CAST(0.5 AS DOUBLE)) / 1e6 AS area
+       |SELECT metric, bucket, ts_s, value, ${Buckets.round6Sql("area")} AS area
        |FROM ranked WHERE rn = 1 ORDER BY metric, bucket""".stripMargin
 
   /** `fetch_relative`: the graphite REQUEST layer — `from`/`until` as
@@ -336,26 +359,15 @@ object Fetch {
   def fetchRelative(spark: SparkSession, sfDir: String): DataFrame = {
     val fromS = AtTime.parse("-1d", Buckets.NowS)
     val untilS = AtTime.parse("now", Buckets.NowS)
-    val fromI = Buckets.fetchInterval(fromS, 60)
-    val untilI = Buckets.fetchInterval(untilS, 60)
+    val (fromI, untilI) = fetchWindow(fromS, untilS, 60)
     denseSeries(spark, Buckets.pointsInRange(spark, sfDir, fromI, untilI),
       "view", fromS, untilS, 60)
   }
 
   val fetchRelativeSql: String = {
-    val fromI = Buckets.fetchInterval(Buckets.NowS - 86400L, 60)
-    val untilI = Buckets.fetchInterval(Buckets.NowS, 60)
-    s"""WITH ${Buckets.pointsSql},
-       |agg AS (
-       |  SELECT (ts_s // 60) * 60 AS bucket_ts, ${Rollup.mean6Sql()} AS value
-       |  FROM pts
-       |  WHERE metric = 'view' AND ts_s >= $fromI AND ts_s < $untilI
-       |  GROUP BY 1
-       |),
-       |spine AS (SELECT CAST(range AS BIGINT) AS bucket_ts FROM range($fromI, $untilI, 60))
-       |SELECT s.bucket_ts, a.value
-       |FROM spine s LEFT JOIN agg a USING (bucket_ts)
-       |ORDER BY s.bucket_ts""".stripMargin
+    val (fromI, untilI) =
+      fetchWindow(Buckets.NowS - 86400L, Buckets.NowS, 60)
+    denseSeriesSql(fromI, untilI)
   }
 
   /** `fetch_relative_tz`: graphite's `&tz=` request parameter —
@@ -372,27 +384,16 @@ object Fetch {
     val tz = java.time.ZoneId.of("US/Eastern")
     val fromS = AtTime.parse("midnight", Buckets.NowS, tz)
     val untilS = AtTime.parse("midnight+6h", Buckets.NowS, tz)
-    val fromI = Buckets.fetchInterval(fromS, 60)
-    val untilI = Buckets.fetchInterval(untilS, 60)
+    val (fromI, untilI) = fetchWindow(fromS, untilS, 60)
     denseSeries(spark, Buckets.pointsInRange(spark, sfDir, fromI, untilI),
       "view", fromS, untilS, 60)
   }
 
   val fetchRelativeTzSql: String = {
     // hand-derived: US/Eastern midnight of 2024-01-30 = NowS − 68400
-    val fromI = Buckets.fetchInterval(Buckets.NowS - 68400L, 60)
-    val untilI = Buckets.fetchInterval(Buckets.NowS - 68400L + 6 * 3600L, 60)
-    s"""WITH ${Buckets.pointsSql},
-       |agg AS (
-       |  SELECT (ts_s // 60) * 60 AS bucket_ts, ${Rollup.mean6Sql()} AS value
-       |  FROM pts
-       |  WHERE metric = 'view' AND ts_s >= $fromI AND ts_s < $untilI
-       |  GROUP BY 1
-       |),
-       |spine AS (SELECT CAST(range AS BIGINT) AS bucket_ts FROM range($fromI, $untilI, 60))
-       |SELECT s.bucket_ts, a.value
-       |FROM spine s LEFT JOIN agg a USING (bucket_ts)
-       |ORDER BY s.bucket_ts""".stripMargin
+    val (fromI, untilI) = fetchWindow(Buckets.NowS - 68400L,
+      Buckets.NowS - 68400L + 6 * 3600L, 60)
+    denseSeriesSql(fromI, untilI)
   }
 
   /** `fetch_check_empty`: newer go-whisper's `CheckEmpty(from, until)`
@@ -458,12 +459,19 @@ object Fetch {
     val untilI = Buckets.fetchInterval(Buckets.UntilS, 60)
     val all = Buckets.pointsInRange(spark, sfDir, fromI, untilI)
     val pts = metricRx.fold(all)(rx => all.filter(col("metric").rlike(rx)))
-    val metrics = pts.select(col("metric")).distinct()
-    val spine = spark.range(fromI, untilI, 60L).toDF("bucket_ts")
-      .crossJoin(metrics)
     val agg = pts
       .groupBy(col("metric"), Buckets.alignTs(col("ts_s"), 60).as("bucket_ts"))
       .agg(Rollup.mean6(col("value")).as("value"))
+    // the metric list comes off the AGGREGATE, not the raw scan: the
+    // two consumers are then canonically identical below the one
+    // aggregation exchange and AQE stage reuse runs the scan + partial
+    // aggregate ONCE — a raw-scan distinct was a second full pass over
+    // the ranged parquet (r16 review; the RenderTarget.evaluate
+    // shared-leaf shape). Same set either way: a metric is listed iff
+    // it has a point in range.
+    val metrics = agg.select(col("metric")).distinct()
+    val spine = spark.range(fromI, untilI, 60L).toDF("bucket_ts")
+      .crossJoin(metrics)
     spine.join(agg, Seq("metric", "bucket_ts"), "left")
       .select(col("metric"), col("bucket_ts"), col("value"))
       .orderBy("metric", "bucket_ts")
@@ -492,6 +500,11 @@ object Fetch {
       case '{' if !inClass => sb.append('(')
       case '}' if !inClass => sb.append(')')
       case ',' if !inClass => sb.append('|')
+      case '[' if inClass =>
+        // a raw '[' INSIDE a class is Java class-union syntax but an
+        // RE2 literal — escape it so both engines read the literal,
+        // and do not re-arm the '!'-negation lookahead (r16 review)
+        classOpened = false; sb.append("\\[")
       case '[' => inClass = true; classOpened = true; sb.append('[')
       case '!' if classOpened =>
         // fnmatch negation (graphite's finders match via fnmatch):
@@ -499,7 +512,17 @@ object Fetch {
         // literal-looking '[!...]' class would instead match '!' plus
         // the listed chars, the exact inverse (r13 review)
         classOpened = false; sb.append('^')
+      case ']' if classOpened =>
+        // fnmatch: ']' FIRST in a class (or right after '[!') is a
+        // LITERAL — unescaped it closes an empty class, which Java
+        // REJECTS (engine crash) while RE2 accepts it first-in-class
+        // (r16 review); the escaped form is a literal in both
+        classOpened = false; sb.append("\\]")
       case ']' => inClass = false; classOpened = false; sb.append(']')
+      case '&' if inClass =>
+        // '&&' inside a Java class is set INTERSECTION; RE2 reads a
+        // literal — escape to pin the literal meaning in both
+        classOpened = false; sb.append("\\&")
       case '^' if classOpened =>
         // fnmatch treats a leading in-class '^' as the LITERAL caret —
         // negation is spelled only '[!...]' — but raw '^' right after
@@ -584,11 +607,19 @@ object Fetch {
     val alts = {
       val out = Seq.newBuilder[String]
       var d = 0
+      // track character-class state too: a comma inside '[1,2]' is a
+      // class member, not an alternative separator — the depth-only
+      // splitter broke 'x.{a[1,2],b}' into invalid half-globs that
+      // globToRegex then rejected (r16 review)
+      var cls = false
       val sb = new StringBuilder
       body.foreach { c =>
-        if (c == ',' && d == 0) { out += sb.toString; sb.clear() }
+        if (c == ',' && d == 0 && !cls) { out += sb.toString; sb.clear() }
         else {
-          if (c == '{') d += 1 else if (c == '}') d -= 1
+          if (!cls && c == '{') d += 1
+          else if (!cls && c == '}') d -= 1
+          else if (c == '[') cls = true
+          else if (c == ']') cls = false
           sb.append(c)
         }
       }
@@ -763,10 +794,12 @@ object Fetch {
     val fromI = Buckets.fetchInterval(fromS, spp)
     val untilI = Buckets.fetchInterval(untilS, spp)
     val p = pts.filter(col("ts_s") >= fromI && col("ts_s") < untilI)
-    val metrics = p.select(col("metric")).distinct()
     val agg60 = p
       .groupBy(col("metric"), Buckets.alignTs(col("ts_s"), spp).as("b"))
       .agg(Rollup.mean6(col("value")).as("v"))
+    // metric list off the aggregate → AQE stage reuse runs the scan +
+    // partial aggregate once (the denseMany note; r16 review)
+    val metrics = agg60.select(col("metric")).distinct()
     val coarse = agg60
       .groupBy(col("metric"), Buckets.alignTs(col("b"), intervalS).as("bucket_ts"))
       .agg(round(sum(col("v")), 6).as("value"))
@@ -821,13 +854,15 @@ object Fetch {
     val stepS = spp.toLong * factor
     val groups = (n + factor - 1) / factor
     val p = pts.filter(col("ts_s") >= fromI && col("ts_s") < untilI)
-    val metrics = p.select(col("metric")).distinct()
     // both averages fully pinned (ordered fold + shared round6): the
     // grid mean and the group mean are division-derived, and group
     // counts of 2^k land native round on cross-engine midpoints
     val agg60 = p
       .groupBy(col("metric"), Buckets.alignTs(col("ts_s"), spp).as("b"))
       .agg(Rollup.mean6(col("value")).as("v"))
+    // metric list off the aggregate → AQE stage reuse runs the scan +
+    // partial aggregate once (the denseMany note; r16 review)
+    val metrics = agg60.select(col("metric")).distinct()
     val consFunc = func match {
       case "average" | "avg" =>
         Buckets.round6(Rollup.aggColumn(
@@ -905,10 +940,12 @@ object Fetch {
     val fromI = Buckets.fetchInterval(fromS, spp)
     val untilI = Buckets.fetchInterval(untilS, spp)
     val p = pts.filter(col("ts_s") >= fromI && col("ts_s") < untilI)
-    val metrics = p.select(col("metric")).distinct()
     val agg60 = p
       .groupBy(col("metric"), Buckets.alignTs(col("ts_s"), spp).as("bucket_ts"))
       .agg(Rollup.mean6(col("value")).as("v"))
+    // metric list off the aggregate → AQE stage reuse runs the scan +
+    // partial aggregate once (the denseMany note; r16 review)
+    val metrics = agg60.select(col("metric")).distinct()
     val dense = spark.range(fromI, untilI, spp.toLong).toDF("bucket_ts")
       .crossJoin(metrics)
       .join(agg60, Seq("metric", "bucket_ts"), "left")
@@ -952,10 +989,12 @@ object Fetch {
     val untilI = Buckets.fetchInterval(untilS, spp)
     val extFromI = fromI - window.toLong * spp
     val p = pts.filter(col("ts_s") >= extFromI && col("ts_s") < untilI)
-    val metrics = p.select(col("metric")).distinct()
     val agg60 = p
       .groupBy(col("metric"), Buckets.alignTs(col("ts_s"), spp).as("bucket_ts"))
       .agg(Rollup.mean6(col("value")).as("v"))
+    // metric list off the aggregate → AQE stage reuse runs the scan +
+    // partial aggregate once (the denseMany note; r16 review)
+    val metrics = agg60.select(col("metric")).distinct()
     val dense = spark.range(extFromI, untilI, spp.toLong).toDF("bucket_ts")
       .crossJoin(metrics)
       .join(agg60, Seq("metric", "bucket_ts"), "left")
@@ -1130,7 +1169,7 @@ object Fetch {
        |  FROM dense)
        |SELECT metric, bucket_ts,
        |       CASE WHEN v IS NOT NULL AND prev IS NOT NULL AND v >= prev
-       |            THEN floor(((v - prev) / 60) * 1e6 + CAST(0.5 AS DOUBLE)) / 1e6 END AS value
+       |            THEN ${Buckets.round6Sql("(v - prev) / 60")} END AS value
        |FROM lagged
        |ORDER BY metric, bucket_ts""".stripMargin
   }

@@ -251,6 +251,42 @@ class CoreOpsSpec extends AnyFunSuite {
     assert(df(0).getDouble(1) == 4.0)
   }
 
+  test("fetchWindow carries the equal-interval bump to the scan range") {
+    // callers pre-restrict the scan by the window; computing the bump
+    // only inside denseSeries is too late — pointsInRange(x, x) is the
+    // EMPTY range and the single bucket came back NULL where whisper
+    // returns its value (r16 review)
+    val (f, u) = Fetch.fetchWindow(100L, 110L, 60)
+    assert(f == 120L && u == 180L, s"got ($f, $u)")
+    // distinct intervals: no bump
+    val (f2, u2) = Fetch.fetchWindow(100L, 200L, 60)
+    assert(f2 == 120L && u2 == 240L)
+    // end-to-end: a pre-restricted equal-interval fetch keeps the value
+    val pre = pts(("m", 125L, 4.0)).filter(col("ts_s") >= f && col("ts_s") < u)
+    val df = Fetch.denseSeries(spark, pre, "m", 100L, 110L, 60).collect()
+    assert(df.map(_.getLong(0)).toSeq == Seq(120L) && df(0).getDouble(1) == 4.0)
+  }
+
+  test("globToRegex class edges: leading ']', inner '[', '&&' (r16)") {
+    def m(glob: String, s: String): Boolean = s.matches(Fetch.globToRegex(glob))
+    // fnmatch: ']' FIRST in a class is a literal member (unescaped it
+    // closed an empty class — Java threw PatternSyntaxException)
+    assert(m("[]]x", "]x") && !m("[]]x", "ax"))
+    assert(m("[!]]x", "ax") && !m("[!]]x", "]x"))
+    // a raw '[' inside a class is a literal, never Java class-union
+    assert(m("x[[a]y", "x[y") && m("x[[a]y", "xay") && !m("x[[a]y", "xby"))
+    // '&&' inside a class is two literal members, never intersection
+    assert(m("x[a&&b]y", "x&y") && m("x[a&&b]y", "xay"))
+  }
+
+  test("expandBraces: a comma inside a class is not an alternative split") {
+    assert(Fetch.expandBraces("x.{a[1,2],b}").toSet == Set("x.a[1,2]", "x.b"))
+    // and the expanded class still compiles and matches per fnmatch
+    def m(glob: String, s: String): Boolean = s.matches(Fetch.globToRegex(glob))
+    assert(m("x.a[1,2]", "x.a1") && m("x.a[1,2]", "x.a,") &&
+      !m("x.a[1,2]", "x.a3"))
+  }
+
   test("summarizeSeries: epoch-aligned buckets, null-skipping sum, partial edges") {
     // window [0, 1200): fetch minutes 60..1200; interval 600 → epoch
     // buckets 0 (minutes 60..540 — PARTIAL: excludes the from-bucket 0),

@@ -462,14 +462,18 @@ object Fetch {
     val agg = pts
       .groupBy(col("metric"), Buckets.alignTs(col("ts_s"), 60).as("bucket_ts"))
       .agg(Rollup.mean6(col("value")).as("value"))
-    // the metric list comes off the AGGREGATE, not the raw scan: the
-    // two consumers are then canonically identical below the one
-    // aggregation exchange and AQE stage reuse runs the scan + partial
-    // aggregate ONCE — a raw-scan distinct was a second full pass over
-    // the ranged parquet (r16 review; the RenderTarget.evaluate
-    // shared-leaf shape). Same set either way: a metric is listed iff
-    // it has a point in range.
-    val metrics = agg.select(col("metric")).distinct()
+    // metric list on the RAW scan, deliberately (r16 review finding
+    // evaluated and REJECTED with plan evidence): deriving it from the
+    // aggregate does NOT enable AQE stage reuse — column pruning
+    // rewrites the metrics branch's aggregate (the mean drops out), so
+    // the subtrees stop being canonically identical and BOTH run, now
+    // at full width. The raw distinct is a NARROW columnar pass
+    // (metric column + pushed ts bounds), far cheaper than a second
+    // full aggregate; the one true single-scan form (an eager
+    // localCheckpoint, the facade fetchGlob's) buys one scan at the
+    // cost of an unreleased block per invocation — the leak class the
+    // DSIR path dropped this round.
+    val metrics = pts.select(col("metric")).distinct()
     val spine = spark.range(fromI, untilI, 60L).toDF("bucket_ts")
       .crossJoin(metrics)
     spine.join(agg, Seq("metric", "bucket_ts"), "left")
@@ -797,9 +801,9 @@ object Fetch {
     val agg60 = p
       .groupBy(col("metric"), Buckets.alignTs(col("ts_s"), spp).as("b"))
       .agg(Rollup.mean6(col("value")).as("v"))
-    // metric list off the aggregate → AQE stage reuse runs the scan +
-    // partial aggregate once (the denseMany note; r16 review)
-    val metrics = agg60.select(col("metric")).distinct()
+    // metric list on the raw scan — a narrow columnar pass (see the
+    // denseMany rejection note)
+    val metrics = p.select(col("metric")).distinct()
     val coarse = agg60
       .groupBy(col("metric"), Buckets.alignTs(col("b"), intervalS).as("bucket_ts"))
       .agg(round(sum(col("v")), 6).as("value"))
@@ -860,9 +864,9 @@ object Fetch {
     val agg60 = p
       .groupBy(col("metric"), Buckets.alignTs(col("ts_s"), spp).as("b"))
       .agg(Rollup.mean6(col("value")).as("v"))
-    // metric list off the aggregate → AQE stage reuse runs the scan +
-    // partial aggregate once (the denseMany note; r16 review)
-    val metrics = agg60.select(col("metric")).distinct()
+    // metric list on the raw scan — a narrow columnar pass (see the
+    // denseMany rejection note)
+    val metrics = p.select(col("metric")).distinct()
     val consFunc = func match {
       case "average" | "avg" =>
         Buckets.round6(Rollup.aggColumn(
@@ -943,9 +947,9 @@ object Fetch {
     val agg60 = p
       .groupBy(col("metric"), Buckets.alignTs(col("ts_s"), spp).as("bucket_ts"))
       .agg(Rollup.mean6(col("value")).as("v"))
-    // metric list off the aggregate → AQE stage reuse runs the scan +
-    // partial aggregate once (the denseMany note; r16 review)
-    val metrics = agg60.select(col("metric")).distinct()
+    // metric list on the raw scan — a narrow columnar pass (see the
+    // denseMany rejection note)
+    val metrics = p.select(col("metric")).distinct()
     val dense = spark.range(fromI, untilI, spp.toLong).toDF("bucket_ts")
       .crossJoin(metrics)
       .join(agg60, Seq("metric", "bucket_ts"), "left")
@@ -992,9 +996,9 @@ object Fetch {
     val agg60 = p
       .groupBy(col("metric"), Buckets.alignTs(col("ts_s"), spp).as("bucket_ts"))
       .agg(Rollup.mean6(col("value")).as("v"))
-    // metric list off the aggregate → AQE stage reuse runs the scan +
-    // partial aggregate once (the denseMany note; r16 review)
-    val metrics = agg60.select(col("metric")).distinct()
+    // metric list on the raw scan — a narrow columnar pass (see the
+    // denseMany rejection note)
+    val metrics = p.select(col("metric")).distinct()
     val dense = spark.range(extFromI, untilI, spp.toLong).toDF("bucket_ts")
       .crossJoin(metrics)
       .join(agg60, Seq("metric", "bucket_ts"), "left")

@@ -149,6 +149,19 @@ class PlanSpec extends AnyFunSuite {
       s"canary does not scan the shared staged lines at $sharedRoot:\n$p")
   }
 
+  test("multi-series fetches keep the metric list a NARROW scan") {
+    // the one-scan variant (metric list derived from the aggregate) was
+    // evaluated and rejected: column pruning rewrites the metrics
+    // branch's aggregate so stage reuse never fires and both passes run
+    // at full width (denseMany's rejection note). This pin asserts the
+    // raw-distinct branch stays narrow: the metrics pass must NOT read
+    // the value column.
+    val p = plan(Fetch.fetchGlob(spark, dir))
+    val metricOnlyScan = "ReadSchema: struct<ts:[^,>]+,event_type:string>".r
+    assert(metricOnlyScan.findFirstIn(p).isDefined,
+      s"the metric-list pass widened beyond (ts, metric):\n$p")
+  }
+
   test("applyByNode prefix subtrees reuse the shared scan at runtime") {
     // the template evaluates once per node prefix; every prefix
     // subtree re-filters the one shared aggregate, so AQE stage reuse

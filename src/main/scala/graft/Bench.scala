@@ -147,27 +147,28 @@ object Bench {
         (name, steady.sorted.apply(steady.size / 2), times.head, times,
           steady)
       }
-    // regression tripwire: diff per-key medians against the newest saved
-    // BENCH_r*.json in the cwd (the driver's previous-round artifact), so
-    // rig-noise vs real regression is visible without a judge re-run.
+    // regression tripwire: diff per-key medians against the rolling BEST
+    // (per-key MIN) over the last three driver artifacts (BENCH_r*.json)
+    // plus the committed BENCH_FULL.json. The r16 predecessor compared
+    // against "newest driver artifact, BENCH_FULL fills the clipped
+    // tail" — which let a regression POISON ITS OWN BASELINE: a key that
+    // regressed in the builder's close-out run entered the next round's
+    // committed baseline pre-elevated and the driver diff read ~1.1x
+    // (r16 verdict: multimodal_decode_real ran 2.8x its r15 driver
+    // median, invisible because the committed baseline was itself
+    // elevated). Min over a 3-round window defeats single-round
+    // poisoning while aging out stale medians from keys whose workload
+    // was later legitimately re-scoped to do strictly more.
     val prevBench: Map[String, Double] = try {
       val files = Option(new java.io.File(".").listFiles()).getOrElse(Array())
         .filter(_.getName.matches("BENCH_r\\d+\\.json"))
         .sortBy(f => f.getName.replaceAll("\\D", "").toInt)
-      val clipped = files.lastOption.map { f =>
-        parsePrevBench(new String(java.nio.file.Files.readAllBytes(f.toPath)))
-      }.getOrElse(Map.empty[String, Double])
-      // the committed BENCH_FULL.json carries the COMPLETE previous
-      // per-key map (the driver artifact is tail-clipped); keys present
-      // in the newer driver artifact win, BENCH_FULL fills the clipped
-      // two-thirds
-      val full = {
-        val f = new java.io.File("BENCH_FULL.json")
-        if (f.isFile)
-          parsePrevBench(new String(java.nio.file.Files.readAllBytes(f.toPath)))
-        else Map.empty[String, Double]
+        .takeRight(3)
+      val full = new java.io.File("BENCH_FULL.json")
+      val texts = (files ++ (if (full.isFile) Seq(full) else Nil)).map { f =>
+        new String(java.nio.file.Files.readAllBytes(f.toPath))
       }
-      full ++ clipped
+      bestBaseline(texts)
     } catch { case _: Throwable => Map.empty }
     def json(xs: Seq[(String, Double)]): String =
       xs.map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
@@ -176,8 +177,12 @@ object Bench {
     // distinguish "rig ran hot" from "plan regressed". A small set of
     // plan-frozen keys (code untouched for >=5 rounds, spanning the
     // parquet-scan, wsp-decode, hash-agg and join shapes) measures the
-    // rig itself: their median now/prev ratio is this round's ambient
-    // factor, and the tripwire threshold scales by it. The set mixes
+    // rig itself: their median now/baseline ratio is this round's
+    // ambient factor, and the tripwire threshold scales by it. Since
+    // r17 the baseline is the rolling-best map above, so canary ratios
+    // read "this rig vs the best rig in the window" — self-consistent
+    // with the per-key diffs, which use the same window, so rig effects
+    // still cancel in the flag rule. The set mixes
     // the three sub-0.2s keys the r14 verdict named with two mid-weight
     // keys above the tripwire's own 0.2s noise floor so one jittery
     // sub-noise draw cannot swing the median of five.
@@ -300,6 +305,19 @@ object Bench {
       s""""keys":${results.size},"sf":"$sfDir"}""")
     spark.stop()
   }
+
+  /** Per-key rolling-best baseline: parse each artifact text and keep
+    * the MINIMUM positive median seen for every key. Zero/negative
+    * entries (a key that errored that round times near 0 or -1) are
+    * dropped so they can never become an unbeatable baseline.
+    */
+  private[graft] def bestBaseline(artifacts: Seq[String]): Map[String, Double] =
+    artifacts.map(parsePrevBench)
+      .foldLeft(Map.empty[String, Double]) { (acc, m) =>
+        m.foldLeft(acc) { case (a, (k, v)) =>
+          if (v <= 0) a else a + (k -> math.min(a.getOrElse(k, v), v))
+        }
+      }
 
   /** Best-effort per-key timings from a prior round's BENCH_r*.json.
     * The driver wraps our stdout in its own JSON (`{n, rc, tail, …}`)

@@ -91,9 +91,29 @@ object Carbon {
     // passes, and filter pushdown re-inlined them per consumer — the
     // dominant per-row cost of the whole ingest key). Blankness falls
     // out as the empty token array.
-    val toks = regexp_extract_all(col("value"), lit("\\S+"), lit(0))
+    //
+    // The tokenizer is FENCED (r16 verdict #2): unfenced, the consumers'
+    // `ok` filter pushes below this projection — PushDownPredicates
+    // moves a filter through a Project whenever the PROJECT FIELDS are
+    // deterministic, regardless of the condition (so fencing the filter
+    // condition itself does nothing) — and alias substitution re-inlines
+    // the regex into each of the five `ok` conjuncts. FilterExec codegen
+    // does not subexpression-eliminate across conjuncts (verified on the
+    // generated code: six distinct regexp evaluation sites per line,
+    // zero filter-side subExpr functions; only HashAggregate CSEs), so
+    // every line paid SIX regex passes. A fenced (non-deterministic)
+    // field pins the filter above this projection and CollapseProject
+    // leaves the alias uninlined, so each line tokenizes exactly once.
+    val toks = graft.functions.OptimizerFence.fence(
+      regexp_extract_all(col("value"), lit("\\S+"), lit(0)))
     lines
-      .select(toks.as("f"), (size(toks) =!= 0).as("nonblank"))
+      .select(toks.as("f"))
+      // nonblank derives from the `f` ATTRIBUTE, not the tokenizer
+      // expression: the fence is non-deterministic, which also excludes
+      // it from projection-side subexpression elimination — a same-level
+      // `size(toks)` alias would evaluate the tokenizer a SECOND time
+      // per line (PlanSpec pins the single site)
+      .withColumn("nonblank", size(col("f")) =!= 0)
       .withColumn("metric", expr("try_element_at(f, 1)"))
       .withColumn("ts_raw", expr("try_cast(try_element_at(f, 3) AS BIGINT)"))
       .withColumn("num", expr("try_cast(try_element_at(f, 2) AS DOUBLE)"))

@@ -49,6 +49,19 @@ object DevRun {
     val n = df.count()
     val dt = (System.nanoTime() - t0) / 1e9
     println(f"[devrun] $key: $n rows in $dt%.2f s (+ $dtc%.2f s construction)")
+    if (args.contains("--codegen")) {
+      // dump the whole-stage generated Java: the ground truth for
+      // whether codegen subexpression elimination actually collapsed a
+      // repeated expression (a Filter condition that inlines the same
+      // regexp five times reads as ONE subExpr function iff CSE fired —
+      // the optimized-plan text cannot answer that, only this can).
+      // Execute THIS df's own plan first: count() above plans a
+      // separate query execution, so this one's AdaptiveSparkPlan would
+      // still report "Found 0 WholeStageCodegen subtrees" un-finalized
+      val plan = df.queryExecution.executedPlan
+      plan.execute().count()
+      println(org.apache.spark.sql.execution.debug.codegenString(plan))
+    }
     // scalastyle:on println
     spark.stop()
   }

@@ -68,6 +68,29 @@ class BenchParseSpec extends AnyFunSuite {
       "canary meta fields must not masquerade as query keys")
   }
 
+  test("r17 rolling-best baseline: per-key MIN across artifacts") {
+    // the r16 tripwire compared against "newest artifact wins, committed
+    // map fills gaps" — a key that regressed in the builder's close-out
+    // run entered the committed baseline pre-elevated and a 2.8x driver
+    // regression read as 1.19x (r16 verdict #1: multimodal_decode_real).
+    // The rolling-best form must keep the FASTEST median seen per key.
+    val older = """{"metric":"total","queries":{"decode":0.49,"only_old":0.2},"sf":"/d"}"""
+    val newer = """{"metric":"total","queries":{"decode":1.16,"only_new":0.3},"sf":"/d"}"""
+    val m = Bench.bestBaseline(Seq(older, newer))
+    assert(m("decode") == 0.49, "elevated newer median must not mask the best")
+    assert(m("only_old") == 0.2 && m("only_new") == 0.3,
+      "keys present in only one artifact must survive")
+  }
+
+  test("rolling-best baseline drops zero entries and tolerates garbage") {
+    // a key that errored one round (timed ~0) must not become an
+    // unbeatable baseline; a garbage artifact must not poison the fold
+    val errored = """{"metric":"total","queries":{"q":0.0},"sf":"/d"}"""
+    val good = """{"metric":"total","queries":{"q":0.4},"sf":"/d"}"""
+    val m = Bench.bestBaseline(Seq(errored, "not json at all", good))
+    assert(m("q") == 0.4, "a zero median must not win the min")
+  }
+
   test("garbage input yields an empty map, never a throw") {
     assert(Bench.parsePrevBench("").isEmpty)
     // wrapper fields with string values must not produce entries at all

@@ -149,6 +149,21 @@ class PlanSpec extends AnyFunSuite {
       s"canary does not scan the shared staged lines at $sharedRoot:\n$p")
   }
 
+  test("carbon parse tokenizes each line exactly ONCE") {
+    // r16 verdict #2: unfenced, the `ok` filter pushed below the token
+    // projection and alias substitution re-inlined the regex into each
+    // of its five conjuncts; FilterExec codegen does not CSE across
+    // conjuncts (verified on the generated Java: six distinct regexp
+    // evaluation sites per line), so every line paid SIX regex passes.
+    // The fenced tokenizer (Carbon.classified) pins the filter above
+    // the projection: the optimized plan must carry exactly one
+    // regexp_extract_all, with the filter referencing the token ARRAY
+    // attribute, not re-deriving it.
+    val p = plan(CoreQueries.carbonIngest(spark, dir))
+    val n = "regexp_extract_all".r.findAllIn(p).size
+    assert(n == 1, s"expected exactly 1 tokenization site, got $n:\n$p")
+  }
+
   test("multi-series fetches keep the metric list a NARROW scan") {
     // the one-scan variant (metric list derived from the aggregate) was
     // evaluated and rejected: column pruning rewrites the metrics

@@ -192,9 +192,14 @@ object Bench {
     // driver-heavy planning profile or carbon's text-parse profile.
     // Ratios only contribute once a key has a previous-round median, so
     // adding them never destabilizes the quorum rule below.
+    // r17 adds the codec-shape canary (multimodal_codec_canary): the
+    // mapPartitions-JVM-codec shape (per-row synthesis + javax.imageio
+    // decode + pixel fold) had no ambient instrument and was exactly
+    // the shape of r16's unadjudicated multimodal_decode_real elevation
     val CanaryKeys =
       Seq("scan_points", "wsp_roundtrip", "doc_fingerprint", "agg_sum",
-        "fetch_many", "render_target_canary", "carbon_canary")
+        "fetch_many", "render_target_canary", "carbon_canary",
+        "multimodal_codec_canary")
     val canaryRatios = CanaryKeys.flatMap { k =>
       for {
         p <- prevBench.get(k) if p > 0

@@ -33,8 +33,11 @@ import org.apache.spark.sql.functions._
   *    shape as `carbon_ingest` (it reads the SAME shared staged lines,
   *    so it adds no staging cost), but a different level so the two
   *    keys stay distinguishable in the bench output.
+  *  - `multimodal_codec_canary` (r17, r16 verdict "missing" #2): the
+  *    mapPartitions-JVM-codec shape — constant-pixel BMPs through the
+  *    REAL javax.imageio decode with closed-form channel sums.
   *
-  * Both are registered oracle keys like any other, and both appear in
+  * All are registered oracle keys like any other, and all appear in
   * [[graft.Bench]]'s CanaryKeys, so from r16 on the driver's per-round
   * canary line carries a measured ambient factor for the render and
   * carbon shapes alongside the scan/agg/join ones.
@@ -110,4 +113,58 @@ object CanaryQueries {
        |lww5m AS (${Ingest.lwwAlignSql(300)})
        |SELECT metric, bucket_ts, round(value, 6) AS value FROM lww5m
        |ORDER BY metric, bucket_ts""".stripMargin
+
+  /** Frozen codec-shaped canary (r16 verdict "missing" #2): the
+    * mapPartitions-JVM-codec shape — id fan-out repartition, per-row
+    * BMP synthesis, a REAL javax.imageio decode, a per-pixel integer
+    * fold — was the ONE suite shape with no ambient instrument, and
+    * exactly the shape whose full-suite elevation r16 could not
+    * adjudicate. Semantically trivial by construction: every pixel of
+    * the fixed 48x32 BMP is the SAME per-doc constant, so the decoded
+    * channel sums are closed-form (1536 * channel) and no future
+    * codec-semantics fix can ever need to edit this key. The decode
+    * path (bmp24 synthesis, ImageIO read) is the SAME production code
+    * `multimodal_decode_real` runs — the point is measuring that
+    * shape's ambient, like `render_target_canary` reuses the real
+    * render evaluator.
+    */
+  def multimodalCodecCanary(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ids = s.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"))
+      .repartition(s.sparkContext.defaultParallelism).as[Long]
+    ids.mapPartitions { it =>
+      it.flatMap { id =>
+        val bytes = Multimodal.bmp24(48, 32, (_, _) =>
+          ((id % 256).toInt, ((id * 3) % 256).toInt, ((id * 7) % 256).toInt))
+        Multimodal.decodeImage(bytes).map { im =>
+          var (rs, gs, bs) = (0L, 0L, 0L)
+          var y = 0
+          while (y < im.getHeight) {
+            var x = 0
+            while (x < im.getWidth) {
+              val p = im.getRGB(x, y)
+              rs += (p >> 16) & 0xff; gs += (p >> 8) & 0xff; bs += p & 0xff
+              x += 1
+            }
+            y += 1
+          }
+          (id, im.getWidth.toLong, im.getHeight.toLong, rs, gs, bs)
+        }
+      }
+    }.toDF("doc_id", "width", "height", "r_sum", "g_sum", "b_sum")
+      .orderBy("doc_id")
+  }
+
+  /** Oracle: constant geometry, channel sums in closed form — 48x32 =
+    * 1536 identical pixels per channel.
+    */
+  val multimodalCodecCanarySql: String =
+    """SELECT doc_id,
+      |       CAST(48 AS BIGINT) AS width, CAST(32 AS BIGINT) AS height,
+      |       CAST(1536 * (doc_id % 256) AS BIGINT) AS r_sum,
+      |       CAST(1536 * ((doc_id * 3) % 256) AS BIGINT) AS g_sum,
+      |       CAST(1536 * ((doc_id * 7) % 256) AS BIGINT) AS b_sum
+      |FROM documents
+      |ORDER BY doc_id""".stripMargin
 }

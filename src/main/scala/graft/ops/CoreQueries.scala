@@ -589,7 +589,9 @@ object CoreQueries {
     // FROZEN bench canaries (ops/CanaryQueries.scala — do not edit)
     "render_target_canary" ->
       ((s, d) => CanaryQueries.renderTargetCanary(s, d)),
-    "carbon_canary" -> ((s, d) => CanaryQueries.carbonCanary(s, d))
+    "carbon_canary" -> ((s, d) => CanaryQueries.carbonCanary(s, d)),
+    "multimodal_codec_canary" ->
+      ((s, d) => CanaryQueries.multimodalCodecCanary(s, d))
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -696,7 +698,8 @@ object CoreQueries {
     "scan_props_json" -> scanPropsJsonSql,
     "carbon_ingest" -> carbonIngestSql,
     "render_target_canary" -> CanaryQueries.renderTargetCanarySql,
-    "carbon_canary" -> CanaryQueries.carbonCanarySql
+    "carbon_canary" -> CanaryQueries.carbonCanarySql,
+    "multimodal_codec_canary" -> CanaryQueries.multimodalCodecCanarySql
     // create_rollup_tables: intentionally no oracle — the parquet write
     // IS the operator; driver records the rows-only check (SURVEY.md §2.1)
   )

@@ -22,6 +22,21 @@ import org.apache.spark.sql.functions._
   */
 object Multimodal {
 
+  // JVM-wide, on first touch of any codec path (the mapPartitions
+  // closures reference this object, so executors initialize it before
+  // decoding): ImageIO's DEFAULT stream cache is file-backed —
+  // ImageIO.read(InputStream) wraps the payload in a
+  // FileCacheImageInputStream that writes EVERY payload to a temp file
+  // and reads it back (ImageIO.write symmetrically). Per-decode disk
+  // I/O is invisible on a quiet rig but couples the codec keys to
+  // ambient I/O pressure: multimodal_decode_real measured 2.4-2.8x
+  // elevated inside the full bench suite (shuffle spills + parquet
+  // writes churning the page cache) while a restricted same-rig run sat
+  // at 0.54 s — the r16 verdict's open anomaly. Our payloads are
+  // in-memory byte arrays already; memory-cached streams are strictly
+  // better at any scale (one bounded payload buffered at a time).
+  javax.imageio.ImageIO.setUseCache(false)
+
   /** One media row entering the decode stage: payload + typed metadata. */
   final case class MediaRow(doc_id: Long, payload: Array[Byte], n_chars: Long)
 

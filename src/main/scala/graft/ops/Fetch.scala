@@ -498,6 +498,7 @@ object Fetch {
     val sb = new StringBuilder("^(")
     var inClass = false
     var classOpened = false // just consumed '[' — '!' here is negation
+    var negOpened = false // just consumed '[!' — ']' here is STILL literal
     glob.foreach {
       case '*' if !inClass => sb.append("[^.]*")
       case '?' if !inClass => sb.append("[^.]")
@@ -508,35 +509,39 @@ object Fetch {
         // a raw '[' INSIDE a class is Java class-union syntax but an
         // RE2 literal — escape it so both engines read the literal,
         // and do not re-arm the '!'-negation lookahead (r16 review)
-        classOpened = false; sb.append("\\[")
+        classOpened = false; negOpened = false; sb.append("\\[")
       case '[' => inClass = true; classOpened = true; sb.append('[')
       case '!' if classOpened =>
         // fnmatch negation (graphite's finders match via fnmatch):
         // '[!abc]' means NOT-in-set — regex spells it '[^abc]'; a
         // literal-looking '[!...]' class would instead match '!' plus
-        // the listed chars, the exact inverse (r13 review)
-        classOpened = false; sb.append('^')
-      case ']' if classOpened =>
-        // fnmatch: ']' FIRST in a class (or right after '[!') is a
-        // LITERAL — unescaped it closes an empty class, which Java
-        // REJECTS (engine crash) while RE2 accepts it first-in-class
-        // (r16 review); the escaped form is a literal in both
-        classOpened = false; sb.append("\\]")
+        // the listed chars, the exact inverse (r13 review). Hand the
+        // just-opened state to negOpened so a ']' RIGHT AFTER '[!'
+        // still takes the literal branch below (r16 ADVICE: the old
+        // clear-here form emitted '[^]]', which both engines happen to
+        // parse but only by relying on ']'-after-'[^' leniency)
+        classOpened = false; negOpened = true; sb.append('^')
+      case ']' if classOpened || negOpened =>
+        // fnmatch: ']' FIRST in a class ('[' or '[!') is a LITERAL —
+        // unescaped it closes an empty class, which Java REJECTS
+        // (engine crash) while RE2 accepts it first-in-class (r16
+        // review); the escaped form is a literal in both
+        classOpened = false; negOpened = false; sb.append("\\]")
       case ']' => inClass = false; classOpened = false; sb.append(']')
       case '&' if inClass =>
         // '&&' inside a Java class is set INTERSECTION; RE2 reads a
         // literal — escape to pin the literal meaning in both
-        classOpened = false; sb.append("\\&")
+        classOpened = false; negOpened = false; sb.append("\\&")
       case '^' if classOpened =>
         // fnmatch treats a leading in-class '^' as the LITERAL caret —
         // negation is spelled only '[!...]' — but raw '^' right after
         // '[' is regex negation, the exact inverse (r13 ADVICE); escape
-        // it ('^' later in a class is already literal in both Java
-        // regex and RE2)
+        // it ('^' later in a class — including right after '[!' — is
+        // already literal in both Java regex and RE2)
         classOpened = false; sb.append("\\^")
       case c if !inClass && "\\.(){}*+?^$|".indexOf(c.toInt) >= 0 =>
         classOpened = false; sb.append('\\').append(c)
-      case c => classOpened = false; sb.append(c)
+      case c => classOpened = false; negOpened = false; sb.append(c)
     }
     require(!inClass, s"unclosed '[' class in metric glob '$glob'")
     sb.append(")$").toString
@@ -614,16 +619,30 @@ object Fetch {
       // track character-class state too: a comma inside '[1,2]' is a
       // class member, not an alternative separator — the depth-only
       // splitter broke 'x.{a[1,2],b}' into invalid half-globs that
-      // globToRegex then rejected (r16 review)
+      // globToRegex then rejected (r16 review). The class tracker
+      // mirrors globToRegex's fnmatch lookahead exactly (r16 ADVICE):
+      // a ']' right after '[' or '[!' is a literal MEMBER, not the
+      // class close — without it 'x.{a[],]y,b}' split mid-class into
+      // the half-glob 'x.a[]' that globToRegex then rejects
       var cls = false
+      var clsOpened = false // just consumed '['
+      var negOpened = false // just consumed '[!'
       val sb = new StringBuilder
       body.foreach { c =>
         if (c == ',' && d == 0 && !cls) { out += sb.toString; sb.clear() }
         else {
-          if (!cls && c == '{') d += 1
-          else if (!cls && c == '}') d -= 1
-          else if (c == '[') cls = true
-          else if (c == ']') cls = false
+          if (!cls) {
+            if (c == '{') d += 1
+            else if (c == '}') d -= 1
+            else if (c == '[') { cls = true; clsOpened = true }
+          } else if (c == '!' && clsOpened) {
+            clsOpened = false; negOpened = true
+          } else if (c == ']' && (clsOpened || negOpened)) {
+            clsOpened = false; negOpened = false // literal member
+          } else {
+            if (c == ']') cls = false
+            clsOpened = false; negOpened = false
+          }
           sb.append(c)
         }
       }

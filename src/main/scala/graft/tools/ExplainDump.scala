@@ -413,12 +413,14 @@ object ExplainDump {
         "re-derives; pixel content stays spec-gated (JPEG entropy " +
         "coding is not SQL-re-derivable)."),
     "carbon_ingest" ->
-      ("The carbon line-protocol ingest: one text scan, a codegen'd " +
-        "split/try_cast projection (malformed lines drop in the same " +
-        "stage — no second pass, no UDF), then the standard U2 LWW " +
-        "hash aggregate. Text parsing adds NOTHING to the plan beyond " +
-        "the projection; the shuffle is the same bounded per-(metric, " +
-        "bucket) reduction as the parquet ingest path."),
+      ("The carbon line-protocol ingest: one text scan, ONE fenced " +
+        "tokenization per line (r17: the drop-filter must reference the " +
+        "token array as an ATTRIBUTE — unfenced, pushdown re-inlined " +
+        "the regex into all five filter conjuncts, which FilterExec " +
+        "codegen does not CSE, six regex passes per line), then the " +
+        "standard U2 LWW hash aggregate. The shuffle is the same " +
+        "bounded per-(metric, bucket) reduction as the parquet ingest " +
+        "path."),
     "render_target_canary" ->
       ("FROZEN render-shaped bench canary (r16): the 2-leaf " +
         "divideSeries(sumSeries, sumSeries) target — ONE ranged parquet " +
@@ -428,9 +430,17 @@ object ExplainDump {
         "render-evaluator shape."),
     "carbon_canary" ->
       ("FROZEN carbon-shaped bench canary (r16): the SAME staged line " +
-        "tree as carbon_ingest re-parsed (codegen'd split/try_cast " +
-        "projection) and LWW-aligned at the 5m level — the tripwire's " +
-        "ambient reference for the text-parse + LWW-agg shape."),
+        "tree as carbon_ingest re-parsed (one fenced tokenization per " +
+        "line, like the ingest key) and LWW-aligned at the 5m level — " +
+        "the tripwire's ambient reference for the text-parse + LWW-agg " +
+        "shape."),
+    "multimodal_codec_canary" ->
+      ("FROZEN codec-shaped bench canary (r17): constant-pixel 48x32 " +
+        "BMPs through the REAL javax.imageio decode inside one " +
+        "partition-wise object map — id fan-out exchange, codec map, " +
+        "output sort, nothing else. The tripwire's ambient reference " +
+        "for the mapPartitions-JVM-codec shape (the r16 decode_real " +
+        "elevation had no instrument of this shape)."),
     "wsp_roundtrip" ->
       ("The .wsp DataSource V2 scan: `BatchScan wsp` with the pushed " +
         "metric/ts bounds in the scan description — metric predicates " +
@@ -715,7 +725,17 @@ object ExplainDump {
       // JVM object identities: typed-aggregate instances, broadcast
       // byte arrays, ObjectMapPartitions lambdas
       .replaceAll("\\$\\$Lambda\\$[0-9]+/0x[0-9a-fA-F]+", "\\$\\$Lambda")
-      .replaceAll("([\\w\\]])@[0-9a-fA-F]{1,16}\\b", "$1@HASH")
+      // identity hashes, anchored to contexts that actually look like
+      // JVM `toString` output (r16 ADVICE: the bare `\w@hex` form also
+      // rewrote legitimate plan text such as a string literal 'a@cafe'
+      // in a filter, silently corrupting the dump): either the token
+      // before '@' is package/inner-class-qualified (contains '.' or
+      // '$' — every Spark plan identity we mask prints an FQCN or a
+      // lambda/anon suffix), or the hex run is 6+ digits (a short
+      // all-hex WORD like 'cafe' no longer qualifies on its own)
+      .replaceAll("([\\w$.\\]]*[.$][\\w$\\]]*)@[0-9a-fA-F]{1,16}\\b",
+        "$1@HASH")
+      .replaceAll("([\\w\\]])@[0-9a-fA-F]{6,16}\\b", "$1@HASH")
   }
 
   def main(args: Array[String]): Unit = {

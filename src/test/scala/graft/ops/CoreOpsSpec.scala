@@ -279,12 +279,37 @@ class CoreOpsSpec extends AnyFunSuite {
     assert(m("x[a&&b]y", "x&y") && m("x[a&&b]y", "xay"))
   }
 
+  test("globToRegex negated-class edges: '[!]]', '[!!]', '[!^]' (r17)") {
+    def m(glob: String, s: String): Boolean = s.matches(Fetch.globToRegex(glob))
+    // ']' right after '[!' is a literal member — the emitted escape
+    // must be unambiguous in BOTH engines, not rely on Java/RE2
+    // leniency for ']'-after-'[^' (r16 ADVICE); pin the emission too
+    assert(Fetch.globToRegex("[!]]x") == "^([^\\]]x)$")
+    assert(m("[!]ab]x", "cx") && !m("[!]ab]x", "]x") && !m("[!]ab]x", "ax"))
+    // a second '!' is an ordinary member of a negated class
+    assert(m("[!!a]x", "bx") && !m("[!!a]x", "!x") && !m("[!!a]x", "ax"))
+    // '^' right after '[!' is a literal member (fnmatch has no '^')
+    assert(m("[!^a]x", "bx") && !m("[!^a]x", "^x") && !m("[!^a]x", "ax"))
+  }
+
   test("expandBraces: a comma inside a class is not an alternative split") {
     assert(Fetch.expandBraces("x.{a[1,2],b}").toSet == Set("x.a[1,2]", "x.b"))
     // and the expanded class still compiles and matches per fnmatch
     def m(glob: String, s: String): Boolean = s.matches(Fetch.globToRegex(glob))
     assert(m("x.a[1,2]", "x.a1") && m("x.a[1,2]", "x.a,") &&
       !m("x.a[1,2]", "x.a3"))
+  }
+
+  test("expandBraces: leading ']' in a class is a member, not the close (r17)") {
+    // r16 ADVICE: the splitter's class tracker closed on the FIRST ']'
+    // even where fnmatch (and globToRegex) read a leading ']' as a
+    // literal member — 'x.{a[],]y,b}' split mid-class into the
+    // half-glob 'x.a[]' that globToRegex rejects via require(!inClass)
+    assert(Fetch.expandBraces("x.{a[],]y,b}").toSet == Set("x.a[],]y", "x.b"))
+    assert(Fetch.expandBraces("x.{a[!],]y,b}").toSet == Set("x.a[!],]y", "x.b"))
+    def m(glob: String, s: String): Boolean = s.matches(Fetch.globToRegex(glob))
+    assert(m("x.a[],]y", "x.a]y") && m("x.a[],]y", "x.a,y") &&
+      !m("x.a[],]y", "x.aby"))
   }
 
   test("summarizeSeries: epoch-aligned buckets, null-skipping sum, partial edges") {

@@ -27,6 +27,21 @@ class ExplainNormalizeSpec extends AnyFunSuite {
     assert(ExplainDump.normalizePlan(once) == once)
   }
 
+  test("identity hashes mask only in JVM-toString contexts (r17)") {
+    // qualified names (FQCN / inner-class / lambda suffix) mask at any
+    // hex length; bare words mask only on 6+ hex digits — so a literal
+    // like 'a@cafe' in a pushed filter survives untouched (r16 ADVICE:
+    // the old bare \w@hex mask silently corrupted such plans)
+    val p = "agg=graft.functions.TopKAgg@cafe, " +
+      "obj=SomeClass$$anon$1@3f, buf=[J@1a2b3c4d, lit=a@cafe, m=x@beef"
+    val n = ExplainDump.normalizePlan(p)
+    assert(n.contains("graft.functions.TopKAgg@HASH"), n)
+    assert(n.contains("SomeClass$$anon$1@HASH"), n)
+    assert(n.contains("[J@HASH"), n) // bare array type, but 8 hex digits
+    assert(n.contains("lit=a@cafe"), "short bare-word hex must survive: " + n)
+    assert(n.contains("m=x@beef"), "4-hex bare word must survive: " + n)
+  }
+
   test("run-local tmp root components mask; stable parts survive") {
     val p = "Location: InMemoryFileIndex [file:/tmp/" +
       "graft_carbon_0123456789abcdef0123456789abcdef_p4242/lines]"

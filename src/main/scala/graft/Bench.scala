@@ -165,8 +165,14 @@ object Bench {
         .sortBy(f => f.getName.replaceAll("\\D", "").toInt)
         .takeRight(3)
       val full = new java.io.File("BENCH_FULL.json")
-      val texts = (files ++ (if (full.isFile) Seq(full) else Nil)).map { f =>
-        new String(java.nio.file.Files.readAllBytes(f.toPath))
+      // per-file reads: ONE unreadable artifact must degrade the
+      // baseline to the remaining files, not silently collapse the
+      // whole map to empty and make the tripwire + canary vacuous for
+      // the round (r17 review; parsePrevBench already tolerates garbage
+      // CONTENT, this tolerates read failures)
+      val texts = (files ++ (if (full.isFile) Seq(full) else Nil)).flatMap { f =>
+        try Some(new String(java.nio.file.Files.readAllBytes(f.toPath)))
+        catch { case _: Throwable => None }
       }
       bestBaseline(texts)
     } catch { case _: Throwable => Map.empty }

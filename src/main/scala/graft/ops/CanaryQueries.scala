@@ -138,17 +138,7 @@ object CanaryQueries {
         val bytes = Multimodal.bmp24(48, 32, (_, _) =>
           ((id % 256).toInt, ((id * 3) % 256).toInt, ((id * 7) % 256).toInt))
         Multimodal.decodeImage(bytes).map { im =>
-          var (rs, gs, bs) = (0L, 0L, 0L)
-          var y = 0
-          while (y < im.getHeight) {
-            var x = 0
-            while (x < im.getWidth) {
-              val p = im.getRGB(x, y)
-              rs += (p >> 16) & 0xff; gs += (p >> 8) & 0xff; bs += p & 0xff
-              x += 1
-            }
-            y += 1
-          }
+          val (rs, gs, bs) = Multimodal.channelSums(im)
           (id, im.getWidth.toLong, im.getHeight.toLong, rs, gs, bs)
         }
       }

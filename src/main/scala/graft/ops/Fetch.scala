@@ -597,19 +597,37 @@ object Fetch {
     * nesting level only.
     */
   private[graft] def expandBraces(q: String): Seq[String] = {
-    val open = q.indexOf('{')
-    if (open < 0) return Seq(q)
-    var depth = 0
+    // the OUTER brace matcher is class-aware too (r17 review): a '{' or
+    // '}' inside a character class is a literal member under fnmatch —
+    // the indexOf-based form paired the opening '{' of 'x.{a[}],b}'
+    // with the '}' that is a class member (slicing an invalid
+    // half-glob), and threw 'unbalanced braces' on 'x.[{]y', a legal
+    // class-literal '{' with no braces to expand at all. Same fnmatch
+    // lookahead as the splitter below: ']' right after '[' / '[!' is a
+    // literal member, not the class close.
+    var open = -1
     var close = -1
-    var i = open
+    var depth = 0
+    var cls = false
+    var clsOpened = false
+    var negOpened = false
+    var i = 0
     while (i < q.length && close < 0) {
-      q(i) match {
-        case '{' => depth += 1
-        case '}' => depth -= 1; if (depth == 0) close = i
-        case _ => ()
+      val c = q(i)
+      if (!cls) {
+        if (c == '[') { cls = true; clsOpened = true }
+        else if (c == '{') { depth += 1; if (open < 0) open = i }
+        else if (c == '}' && open >= 0) { depth -= 1; if (depth == 0) close = i }
+      } else if (c == '!' && clsOpened) { clsOpened = false; negOpened = true }
+      else if (c == ']' && (clsOpened || negOpened)) {
+        clsOpened = false; negOpened = false // literal member
+      } else {
+        if (c == ']') cls = false
+        clsOpened = false; negOpened = false
       }
       i += 1
     }
+    if (open < 0) return Seq(q)
     require(close > open, s"unbalanced braces in metric glob '$q'")
     val (head, body, tail) =
       (q.substring(0, open), q.substring(open + 1, close), q.substring(close + 1))

@@ -575,22 +575,32 @@ object Multimodal {
     * integer channel sums of the thumbnail. Undecodable payloads drop
     * carbon-style like the other real arms.
     */
+  /** Per-channel integer sums over ALL pixels of `im` — the one shared
+    * getRGB shift-and-mask fold ([[imageThumbStats]] runs it on the
+    * thumbnail, the frozen codec canary on the full decode; r17 review
+    * removed the hand-rolled copies).
+    */
+  private[ops] def channelSums(
+      im: java.awt.image.BufferedImage): (Long, Long, Long) = {
+    var (rs, gs, bs) = (0L, 0L, 0L)
+    var y = 0
+    while (y < im.getHeight) {
+      var x = 0
+      while (x < im.getWidth) {
+        val p = im.getRGB(x, y)
+        rs += (p >> 16) & 0xff; gs += (p >> 8) & 0xff; bs += p & 0xff
+        x += 1
+      }
+      y += 1
+    }
+    (rs, gs, bs)
+  }
+
   def imageThumbStats(rows: Iterator[MediaRow]): Iterator[ThumbStats] =
     rows.flatMap { r =>
       decodeImage(r.payload).map { im =>
         val (tw, th) = fitBox(im.getWidth, im.getHeight, ThumbPx)
-        val t = areaAverage(im, tw, th)
-        var (rs, gs, bs) = (0L, 0L, 0L)
-        var y = 0
-        while (y < th) {
-          var x = 0
-          while (x < tw) {
-            val p = t.getRGB(x, y)
-            rs += (p >> 16) & 0xff; gs += (p >> 8) & 0xff; bs += p & 0xff
-            x += 1
-          }
-          y += 1
-        }
+        val (rs, gs, bs) = channelSums(areaAverage(im, tw, th))
         ThumbStats(r.doc_id, im.getWidth.toLong, im.getHeight.toLong,
           tw.toLong, th.toLong, rs, gs, bs)
       }

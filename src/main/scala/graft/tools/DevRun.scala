@@ -9,8 +9,12 @@ import org.apache.spark.sql.execution.ExplainMode
   */
 object DevRun {
   def main(args: Array[String]): Unit = {
-    val key = args(0)
-    val sfDir = args.lift(1).getOrElse("/root/testdata/sf0.1")
+    // flags never occupy positional slots: 'DevRun <key> --codegen'
+    // must not read sfDir="--codegen" and crash on a path that does
+    // not exist (r17 review — three flags deep, the footgun compounds)
+    val pos = args.filterNot(_.startsWith("--"))
+    val key = pos(0)
+    val sfDir = pos.lift(1).getOrElse("/root/testdata/sf0.1")
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")}]")
       .config("spark.sql.shuffle.partitions", sys.env.getOrElse("SPARK_GRAFT_CPUS", "4"))

@@ -735,6 +735,11 @@ object ExplainDump {
       // all-hex WORD like 'cafe' no longer qualifies on its own)
       .replaceAll("([\\w$.\\]]*[.$][\\w$\\]]*)@[0-9a-fA-F]{1,16}\\b",
         "$1@HASH")
+      // JVM array-type toStrings ('[B@4a2f', '[[J@ff') are bare (no
+      // dot/$) and ~0.05% of identities hash under 6 hex digits — mask
+      // them at ANY length or a zero-change regeneration can still
+      // produce a spurious one-line diff (r17 review)
+      .replaceAll("(\\[+[BCDFIJSZ])@[0-9a-fA-F]{1,16}\\b", "$1@HASH")
       .replaceAll("([\\w\\]])@[0-9a-fA-F]{6,16}\\b", "$1@HASH")
   }
 

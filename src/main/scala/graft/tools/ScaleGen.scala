@@ -38,6 +38,13 @@ object ScaleGen {
     val src = args.lift(0).getOrElse("/root/testdata/sf0.1")
     val out = args.lift(1).getOrElse("/tmp/graft_sf1")
     val copies = args.lift(2).map(_.toInt).getOrElse(10)
+    // the caesar rotation wraps at 26: copy 26 would be byte-identical
+    // to copy 0, giving every document an exact cross-copy duplicate —
+    // the output-blowup artifact the rotation exists to prevent (r17
+    // review). Scaling past 26x needs a second perturbation dimension.
+    require(copies >= 1 && copies <= 26,
+      s"copies must be in 1..26 (got $copies): the per-copy letter " +
+        "rotation wraps at 26 and copies would collide byte-identically")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")

@@ -300,6 +300,17 @@ class CoreOpsSpec extends AnyFunSuite {
       !m("x.a[1,2]", "x.a3"))
   }
 
+  test("expandBraces: braces inside a class are literals, not expansion (r17)") {
+    // the OUTER matcher must not pair '{' with a '}' that is a class
+    // member, and a class-literal '{' with no real braces must not
+    // throw 'unbalanced braces' (r17 review — fnmatch accepts both)
+    assert(Fetch.expandBraces("x.{a[}],b}").toSet == Set("x.a[}]", "x.b"))
+    assert(Fetch.expandBraces("x.[{]y") == Seq("x.[{]y"))
+    def m(glob: String, s: String): Boolean = s.matches(Fetch.globToRegex(glob))
+    assert(m("x.a[}]", "x.a}") && !m("x.a[}]", "x.ab"))
+    assert(m("x.[{]y", "x.{y") && !m("x.[{]y", "x.ay"))
+  }
+
   test("expandBraces: leading ']' in a class is a member, not the close (r17)") {
     // r16 ADVICE: the splitter's class tracker closed on the FIRST ']'
     // even where fnmatch (and globToRegex) read a leading ']' as a

@@ -40,6 +40,11 @@ class ExplainNormalizeSpec extends AnyFunSuite {
     assert(n.contains("[J@HASH"), n) // bare array type, but 8 hex digits
     assert(n.contains("lit=a@cafe"), "short bare-word hex must survive: " + n)
     assert(n.contains("m=x@beef"), "4-hex bare word must survive: " + n)
+    // array-type toStrings mask at ANY hex length — ~0.05% of
+    // identities hash under 6 digits and would otherwise produce a
+    // spurious diff on a zero-change regeneration (r17 review)
+    val arr = ExplainDump.normalizePlan("buf=[B@4a2f, mat=[[J@ff")
+    assert(arr == "buf=[B@HASH, mat=[[J@HASH", arr)
   }
 
   test("run-local tmp root components mask; stable parts survive") {

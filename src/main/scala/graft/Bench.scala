@@ -120,6 +120,29 @@ object Bench {
       System.runFinalization()
       System.gc()
     }
+    // SPARK_GRAFT_PROBE: per-run attribution deltas for the two
+    // same-JVM context mechanisms the r15/r16/r17 "untouched keys ran
+    // 1.4-3x hot in SOME full-suite runs" episodes could hide behind —
+    // GC time inside the timed window (driver planning is allocation-
+    // heavy; an 8g heap shared with 200 keys' leftover state makes
+    // planning-heavy keys pay mixed-collection pauses) and Janino
+    // recompilation (the generated-class cache holds 100 entries
+    // JVM-wide — spark.sql.codegen.cache.maxEntries — so a steady rep
+    // whose classes were evicted recompiles silently; compile_n > 0 on
+    // rep 2+ IS the thrash signature, bypassing the shape warm-up
+    // above). Deltas are read BEFORE quiesce() so its forced full GCs
+    // don't pollute the attribution. Off (default): zero extra work in
+    // the timed path beyond two env-checked branches. A local
+    // diagnostic like SPARK_GRAFT_ONLY — the driver never sets it.
+    val probe = sys.env.contains("SPARK_GRAFT_PROBE")
+    def gcMs(): Long = {
+      import scala.jdk.CollectionConverters._
+      java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
+        .asScala.map(_.getCollectionTime).sum
+    }
+    def compileCount(): Long =
+      org.apache.spark.metrics.source.CodegenMetrics
+        .METRIC_COMPILATION_TIME.getCount
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
       .map { case (name, fn) =>
@@ -132,13 +155,22 @@ object Bench {
         // served medians the same 3-sample jitter protection batch
         // keys get; run 1 still reports separately as the cold time.
         val n = if (warmable(name)) Runs else Runs + 1
-        val times = (0 until n).map { _ =>
+        val samples = (0 until n).map { _ =>
+          val g0 = if (probe) gcMs() else 0L
+          val c0 = if (probe) compileCount() else 0L
           val t0 = System.nanoTime()
           try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
           val dt = (System.nanoTime() - t0) / 1e9
+          val gd = if (probe) gcMs() - g0 else 0L
+          val cd = if (probe) compileCount() - c0 else 0L
           quiesce()
-          dt
+          (dt, gd, cd)
         }
+        val times = samples.map(_._1)
+        if (probe)
+          println(s"""{"metric":"probe","key":"$name","gc_ms":[${
+            samples.map(_._2).mkString(",")}],"compile_n":[${
+            samples.map(_._3).mkString(",")}]}""")
         val steady = if (warmable(name)) times else times.tail
         // `times` keeps ALL runs (the runs file diagnoses memoization
         // misses by the ingest run's size); `steady` is the ONE served

@@ -30,23 +30,47 @@ object Similarity {
   /** Number of query vectors (vec_id < 10) and neighbors per query. */
   val NumQueries = 10
   val TopK = 5
-  /** Fixed IVF centroid count. Real IVF trains k centroids with k fixed
+  /** IVF centroid count k. Real IVF trains k centroids with k fixed
     * (or ~sqrt(n) capped); the round-1 every-50th-vector rule made k grow
-    * O(n) and assignment cost O(n²/50). Here: the 16 vectors with the
+    * O(n) and assignment cost O(n²/50). Here: the k vectors with the
     * smallest md5(vec_id) — a deterministic pseudo-random sample both
-    * engines compute identically, with O(n·k) assignment. At 100 TB, k
-    * would be sized ~sqrt(n); [[similarityAnnKmeans]] is the trained
-    * variant (Lloyd iterations from this same seed sample); the plan
-    * shape — broadcast centroids, one assignment pass, per-cluster
-    * probe — is unchanged.
+    * engines compute identically, with O(n·k) assignment.
+    *
+    * k is THE scale knob for the within-cluster quadratics downstream
+    * ([[dedupSemantic]] and its sweep scan n²/k pairs in expectation, so
+    * holding k fixed while n grows 10× grows the pair work ~100× — the
+    * r17 full-suite sf1 sweep measured exactly that as exponents of
+    * 1.2–1.3 on the three SemDeDup-family keys). A deployment sizes
+    * k ∝ n (or ~sqrt(n) when only ANN probe cost matters, not pair
+    * enumeration); `SPARK_GRAFT_CENTROIDS` overrides it for scale
+    * experiments so the k∝n prescription is MEASURABLE, not just a
+    * design note (SCALING.md). Default 16 — the round-to-round
+    * correctness fixture — and every oracle SQL interpolates this same
+    * value, so engine and DuckDB agree at ANY k. The persisted codebook
+    * lives under a per-JVM tmp root ([[Dedup.sharedIndexPath]] appends
+    * the pid), so runs at different k can never share an index.
     */
-  val NumCentroids = 16
+  val NumCentroids: Int = {
+    val k = sys.env.get("SPARK_GRAFT_CENTROIDS").map(_.toInt).getOrElse(16)
+    require(k >= 4, s"SPARK_GRAFT_CENTROIDS must be >= 4 " +
+      s"(the NProbe floor would exceed k): $k")
+    // 2^20 cap: far above any useful k for these corpora, and it keeps
+    // the SweepNProbes power ladder safely inside Int (past 2^30 the
+    // doubling iterator would overflow negative and never terminate)
+    require(k <= (1 << 20), s"SPARK_GRAFT_CENTROIDS too large: $k")
+    k
+  }
 
   /** Clusters probed per query. nprobe > 1 is standard IVF practice:
     * recall grows with the probed fraction while the candidate scan stays
-    * nprobe/k of the corpus.
+    * nprobe/k of the corpus. Derived as k/4 (floor 4) rather than a
+    * fixed count because the PROBED FRACTION is the recall invariant: a
+    * `SPARK_GRAFT_CENTROIDS` scale experiment that grew k with nprobe
+    * fixed would silently shrink the probed fraction and read a recall
+    * drop that is really a mis-held knob (AnnRecallSpec's floor holds
+    * at any k this way). Default k=16 → the historical nprobe 4.
     */
-  val NProbe = 4
+  val NProbe: Int = math.max(4, NumCentroids / 4)
 
   import graft.functions.VectorOps.dot_f
 
@@ -453,11 +477,17 @@ object Similarity {
 
   // ------------------------------------------- X67 IVF nprobe sweep
 
-  /** Probe counts swept by [[annNprobeSweep]] — powers of two up to
-    * [[NumCentroids]] (the last rung scans every cluster, so its recall
-    * is 1.0 by construction: the built-in self-check).
+  /** Probe counts swept by [[annNprobeSweep]] — powers of two strictly
+    * below [[NumCentroids]], then NumCentroids itself as the final rung
+    * (so the last arm scans every cluster and its recall is 1.0 by
+    * construction: the built-in self-check, pinned by AnnRecallSpec).
+    * Derived, not listed, so a `SPARK_GRAFT_CENTROIDS` override keeps
+    * the exhaustive-arm invariant; at the default k=16 this is exactly
+    * the historical Seq(1, 2, 4, 8, 16).
     */
-  val SweepNProbes: Seq[Int] = Seq(1, 2, 4, 8, 16)
+  val SweepNProbes: Seq[Int] =
+    (Iterator.iterate(1)(_ * 2).takeWhile(_ < NumCentroids) ++
+      Iterator(NumCentroids)).toSeq
 
   /** The sweep tail shared by [[annNprobeSweep]] and
     * [[annShortlistSweep]] (r16 review — the brute/arms/hits/recall

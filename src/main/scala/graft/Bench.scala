@@ -134,7 +134,10 @@ object Bench {
     // don't pollute the attribution. Off (default): zero extra work in
     // the timed path beyond two env-checked branches. A local
     // diagnostic like SPARK_GRAFT_ONLY — the driver never sets it.
-    val probe = sys.env.contains("SPARK_GRAFT_PROBE")
+    // value semantics, not presence: SPARK_GRAFT_PROBE=0 (or empty, or
+    // 'false' left over from a prior shell) must mean OFF
+    val probe = sys.env.get("SPARK_GRAFT_PROBE")
+      .exists(v => v.nonEmpty && v != "0" && !v.equalsIgnoreCase("false"))
     def gcMs(): Long = {
       import scala.jdk.CollectionConverters._
       java.lang.management.ManagementFactory.getGarbageCollectorMXBeans

@@ -51,7 +51,15 @@ object Similarity {
     * the pid), so runs at different k can never share an index.
     */
   val NumCentroids: Int = {
-    val k = sys.env.get("SPARK_GRAFT_CENTROIDS").map(_.toInt).getOrElse(16)
+    val k = sys.env.get("SPARK_GRAFT_CENTROIDS").map { v =>
+      // name the knob in the failure: a bare toInt here would surface
+      // as an opaque ExceptionInInitializerError on the whole object
+      try v.trim.toInt
+      catch { case _: NumberFormatException =>
+        throw new IllegalArgumentException(
+          s"SPARK_GRAFT_CENTROIDS must be an integer, got '$v'")
+      }
+    }.getOrElse(16)
     require(k >= 4, s"SPARK_GRAFT_CENTROIDS must be >= 4 " +
       s"(the NProbe floor would exceed k): $k")
     // 2^20 cap: far above any useful k for these corpora, and it keeps
@@ -219,7 +227,8 @@ object Similarity {
 
   /** Serving path shared by both ANN variants: each query probes its
     * [[NProbe]] nearest clusters (the probe ranking is a window over
-    * k=16 centroid scores per query — 10 queries × 16 rows), candidates
+    * [[NumCentroids]] centroid scores per query — NumQueries × k rows,
+    * 10 × 16 at the default config), candidates
     * are scanned cluster-locally via a broadcast join on the probed
     * cent_id, exact cosine re-ranks. A candidate lives in exactly one
     * cluster, so the probe join yields each (query, candidate) pair at

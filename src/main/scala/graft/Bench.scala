@@ -134,10 +134,7 @@ object Bench {
     // don't pollute the attribution. Off (default): zero extra work in
     // the timed path beyond two env-checked branches. A local
     // diagnostic like SPARK_GRAFT_ONLY — the driver never sets it.
-    // value semantics, not presence: SPARK_GRAFT_PROBE=0 (or empty, or
-    // 'false' left over from a prior shell) must mean OFF
-    val probe = sys.env.get("SPARK_GRAFT_PROBE")
-      .exists(v => v.nonEmpty && v != "0" && !v.equalsIgnoreCase("false"))
+    val probe = probeEnabled(sys.env.get("SPARK_GRAFT_PROBE"))
     def gcMs(): Long = {
       import scala.jdk.CollectionConverters._
       java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
@@ -357,6 +354,13 @@ object Bench {
     * entries (a key that errored that round times near 0 or -1) are
     * dropped so they can never become an unbeatable baseline.
     */
+  /** Value semantics for SPARK_GRAFT_PROBE, not presence: `=0`, empty,
+    * or `false` (any case, e.g. exported-but-disabled in a prior shell)
+    * mean OFF — extracted pure for the unit pin (r17 review #3).
+    */
+  private[graft] def probeEnabled(v: Option[String]): Boolean =
+    v.exists(s => s.nonEmpty && s != "0" && !s.equalsIgnoreCase("false"))
+
   private[graft] def bestBaseline(artifacts: Seq[String]): Map[String, Double] =
     artifacts.map(parsePrevBench)
       .foldLeft(Map.empty[String, Double]) { (acc, m) =>

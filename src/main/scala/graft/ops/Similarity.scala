@@ -494,9 +494,16 @@ object Similarity {
     * the exhaustive-arm invariant; at the default k=16 this is exactly
     * the historical Seq(1, 2, 4, 8, 16).
     */
-  val SweepNProbes: Seq[Int] =
-    (Iterator.iterate(1)(_ * 2).takeWhile(_ < NumCentroids) ++
-      Iterator(NumCentroids)).toSeq
+  val SweepNProbes: Seq[Int] = probeLadder(NumCentroids)
+
+  /** The sweep ladder for a given centroid count: powers of two
+    * strictly below k, then k itself — extracted pure so the k-generic
+    * invariants (last rung exhaustive, strictly increasing, no
+    * duplicate when k is itself a power of two) are unit-pinnable
+    * without forking a JVM per `SPARK_GRAFT_CENTROIDS` value.
+    */
+  private[graft] def probeLadder(k: Int): Seq[Int] =
+    (Iterator.iterate(1)(_ * 2).takeWhile(_ < k) ++ Iterator(k)).toSeq
 
   /** The sweep tail shared by [[annNprobeSweep]] and
     * [[annShortlistSweep]] (r16 review — the brute/arms/hits/recall

@@ -96,4 +96,31 @@ class BenchParseSpec extends AnyFunSuite {
     // wrapper fields with string values must not produce entries at all
     assert(Bench.parsePrevBench("{\"tail\": \"no pairs here\"}").isEmpty)
   }
+
+  test("r17 probe gate: value semantics, not presence") {
+    // SPARK_GRAFT_PROBE=0 / empty / 'false' must mean OFF — a var
+    // exported-but-disabled in a prior shell silently enabling ~216
+    // extra output lines is the r17 review finding this pins
+    assert(!Bench.probeEnabled(None))
+    assert(!Bench.probeEnabled(Some("")))
+    assert(!Bench.probeEnabled(Some("0")))
+    assert(!Bench.probeEnabled(Some("false")) && !Bench.probeEnabled(Some("FALSE")))
+    assert(Bench.probeEnabled(Some("1")) && Bench.probeEnabled(Some("true")))
+  }
+
+  test("r17 probe ladder: exhaustive last rung at any centroid count") {
+    import graft.ops.Similarity.probeLadder
+    // the historical default must be byte-identical
+    assert(probeLadder(16) == Seq(1, 2, 4, 8, 16))
+    // non-power k appends itself once; power-of-two k must NOT duplicate
+    assert(probeLadder(160) == Seq(1, 2, 4, 8, 16, 32, 64, 128, 160))
+    assert(probeLadder(4) == Seq(1, 2, 4))
+    assert(probeLadder(5) == Seq(1, 2, 4, 5))
+    // the invariants AnnRecallSpec's recall-1.0 pin rides on
+    for (k <- Seq(4, 5, 16, 31, 160, 1 << 20)) {
+      val l = probeLadder(k)
+      assert(l.last == k, s"last rung must scan every cluster (k=$k)")
+      assert(l == l.distinct && l == l.sorted, s"strictly increasing (k=$k)")
+    }
+  }
 }

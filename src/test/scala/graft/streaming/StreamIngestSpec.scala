@@ -219,14 +219,21 @@ class StreamIngestSpec extends AnyFunSuite {
     import spark.implicits._
     val nowS = 1000000L
     val store = new StreamIngest.LwwStore(Retentions.lww, nowS)
-    def persisted = spark.sparkContext.getPersistentRDDs.size
-    val before = persisted
+    // track registrations by RDD-ID SET, not by registry size: the
+    // async ContextCleaner can unpersist garbage-collected RDDs from
+    // EARLIER suites at any moment, and a concurrent removal offsets
+    // this store's own +1 in a size comparison — the r17 full-suite
+    // flake ("no checkpoint RDD ever registered; test is vacuous"
+    // while the store registered fine). New ids minus the baseline
+    // ids cannot be masked by unrelated removals.
+    def persistedIds = spark.sparkContext.getPersistentRDDs.keySet
+    val before = persistedIds
     var sawRegistered = false
     for (i <- 1 to 5) {
       val batch = Seq(("m", nowS - 100 + i, i.toDouble))
         .toDF("metric", "ts_s", "value")
       store.mergeBatch(batch, i.toLong)
-      sawRegistered ||= persisted > before
+      sawRegistered ||= (persistedIds -- before).nonEmpty
     }
     // teeth check: local checkpoints DO register persistent RDDs — if
     // this stops holding, the leak assertion below is vacuous
@@ -235,8 +242,9 @@ class StreamIngestSpec extends AnyFunSuite {
     // remain registered (CheckpointRelease.Retired delays the physical
     // release by a batch so mid-stream snapshots stay scannable — r14);
     // five would mean the superseded ones leaked (the pre-fix behavior)
-    assert(persisted - before <= 2,
-      s"superseded checkpoint generations leaked: $before -> $persisted")
+    val leftover = persistedIds -- before
+    assert(leftover.size <= 2,
+      s"superseded checkpoint generations leaked: ${leftover.size} new ids")
     assert(store.current.get.count() == 1L)
   }
 }

@@ -741,6 +741,13 @@ object ExplainDump {
       // produce a spurious one-line diff (r17 review)
       .replaceAll("(\\[+[BCDFIJSZ])@[0-9a-fA-F]{1,16}\\b", "$1@HASH")
       .replaceAll("([\\w\\]])@[0-9a-fA-F]{6,16}\\b", "$1@HASH")
+      // RDD creation-site annotations ('MapPartitionsRDD[534] at
+      // localCheckpoint at Similarity.scala:539'): the LINE NUMBER
+      // moves with every edit ABOVE the call site — a scaladoc-only
+      // change to the file produced a 6-hunk spurious diff at the r17
+      // close. The file name stays (a subtree switching sources must
+      // still diff); only the line is masked.
+      .replaceAll("(at [A-Za-z0-9_]+\\.scala):\\d+", "$1:LINE")
   }
 
   def main(args: Array[String]): Unit = {

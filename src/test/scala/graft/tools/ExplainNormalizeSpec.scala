@@ -56,4 +56,19 @@ class ExplainNormalizeSpec extends AnyFunSuite {
     val q = "file:/root/testdata/sf0.001/events.parquet"
     assert(ExplainDump.normalizePlan(q) == q)
   }
+
+  test("RDD creation-site line numbers mask; the file name survives") {
+    // a scaladoc-only edit above a localCheckpoint call site shifts the
+    // line number baked into the RDD's toString and produced a 6-hunk
+    // spurious diff at the r17 close — the line masks, the FILE stays
+    // so a subtree switching sources still shows in the diff
+    val p = "Arguments: [q#1L], MapPartitionsRDD[534] at " +
+      "localCheckpoint at Similarity.scala:539, ExistingRDD"
+    val n = ExplainDump.normalizePlan(p)
+    assert(n.contains("at Similarity.scala:LINE,"), n)
+    assert(!n.contains(":539"), n)
+    // parquet paths and plain text with colons are untouched
+    val q = "file:/root/testdata/sf0.001/events.parquet"
+    assert(ExplainDump.normalizePlan(q) == q)
+  }
 }

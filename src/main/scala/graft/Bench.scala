@@ -155,7 +155,13 @@ object Bench {
         // served medians the same 3-sample jitter protection batch
         // keys get; run 1 still reports separately as the cold time.
         val n = if (warmable(name)) Runs else Runs + 1
-        val samples = (0 until n).map { _ =>
+        val samples = (0 until n).map { i =>
+          // label the jobs this rep submits (guide §1.5): any UI or
+          // event-log session maps stages back to "<key>#<rep>" instead
+          // of an anonymous count() — sets one thread-local property,
+          // nanosecond-scale, identical on every rep so timings across
+          // reps stay comparable
+          spark.sparkContext.setJobDescription(s"bench:$name#$i")
           val g0 = if (probe) gcMs() else 0L
           val c0 = if (probe) compileCount() else 0L
           val t0 = System.nanoTime()
@@ -166,6 +172,7 @@ object Bench {
           quiesce()
           (dt, gd, cd)
         }
+        spark.sparkContext.setJobDescription(null)
         val times = samples.map(_._1)
         if (probe)
           println(s"""{"metric":"probe","key":"$name","gc_ms":[${

@@ -4,8 +4,11 @@ import graft.SparkEntry
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.execution.ExplainMode
 
-/** Dev harness: time one registered query and dump its formatted plan.
-  * Usage: runMain graft.tools.DevRun <queryKey> [sfDir] [--explain]
+/** Dev harness: time registered queries and dump formatted plans.
+  * Usage: runMain graft.tools.DevRun <key[,key...]> [sfDir]
+  *        [--explain] [--phases] [--codegen]
+  * Repeating a key in the list re-runs it codegen-warm — the cheap way
+  * to split first-execution compilation from steady-state cost.
   */
 object DevRun {
   def main(args: Array[String]): Unit = {
@@ -13,7 +16,12 @@ object DevRun {
     // must not read sfDir="--codegen" and crash on a path that does
     // not exist (r17 review — three flags deep, the footgun compounds)
     val pos = args.filterNot(_.startsWith("--"))
-    val key = pos(0)
+    // comma-separated keys share ONE JVM/session: a serial profiling
+    // loop over N keys pays Spark startup once (fork := true makes
+    // per-key sbt invocations cost ~40 s each) and mirrors the bench's
+    // one-JVM context; later keys run JIT-warm, which is the bench's
+    // steady-state too
+    val keys = pos(0).split(",").toSeq
     val sfDir = pos.lift(1).getOrElse("/root/testdata/sf0.1")
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")}]")
@@ -22,6 +30,7 @@ object DevRun {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    for (key <- keys) {
     // construction is timed too: queries with eager barriers
     // (localCheckpoint / iterative loops / writes) do most of their work
     // while the DataFrame is being BUILT, not in the final count
@@ -65,6 +74,7 @@ object DevRun {
       val plan = df.queryExecution.executedPlan
       plan.execute().count()
       println(org.apache.spark.sql.execution.debug.codegenString(plan))
+    }
     }
     // scalastyle:on println
     spark.stop()

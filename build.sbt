@@ -23,6 +23,16 @@ val jdk17AddOpens = Seq(
   "java.base/sun.nio.ch", "java.base/sun.nio.cs",
   "java.base/sun.security.action", "java.base/sun.util.calendar",
 ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
+// sbt's default LoggedOutput re-logs every forked-process stdout line
+// with an "[info] " prefix, which makes each bench/verify JSON line
+// non-parseable as a bare JSON document (BENCH_r01..r17 all carry
+// `parsed: null` — a line-oriented json.loads can never succeed on
+// "[info] {...}"). StdoutOutput wires the forked process's stdio
+// straight through to this process's stdio: same JVM, same flags, same
+// timing — only the log decoration disappears. The run-scoped key also
+// governs runMain (verified: a runMain-scoped copy lints as unused);
+// `sbt test` output is untouched.
+Compile / run / outputStrategy := Some(StdoutOutput)
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",

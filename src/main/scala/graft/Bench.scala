@@ -354,6 +354,43 @@ object Bench {
       s""""unit":"sec","runs":$Runs,"stream_runs":${Runs + 1},""" +
       s""""keys":${results.size},"sf":"$sfDir"}""")
     spark.stop()
+    // driver-parseable contract line, printed LAST (r18; r17 verdict #1):
+    // the driver's BENCH_r*.json keeps only a ~2 KB stdout TAIL and its
+    // per-key parse has read `parsed: null` in every round — the full
+    // medians line above is ~13 KB and prints early enough that the tail
+    // always beheads it mid-map. This line repeats the SAME medians
+    // (3-decimal — sub-millisecond precision carries no signal across
+    // reps anyway) with the map FIRST and the summary fields LAST, and
+    // sorts the map by ASCENDING median, so however the 2 KB window cuts
+    // the line its surviving suffix holds (a) the most EXPENSIVE keys —
+    // the ones a perf differ must see — and (b) the total + canary
+    // fields, which close the line. A parser reading the complete stdout
+    // (post-StdoutOutput, build.sbt) gets all keys in one json.loads.
+    // Printed AFTER spark.stop() so no late executor/stop logging can
+    // interleave into the final window. Additions-only: every line above
+    // is byte-identical to r17 and the timed region ended long ago.
+    // Double.toString is locale-independent (an f"%.3f" would follow the
+    // JVM default locale and could emit comma decimals — invalid JSON)
+    def f3(v: Double): Double = math.round(v * 1000).toDouble / 1000
+    val qsCompact = json(results.sortBy(_._2).map(r => (r._1, f3(r._2))))
+    val canaryCompact = s"""{"ratio":${f3(canaryRatio)},"norm":${
+      f3(canaryNorm)},"keys":${json(canaryRatios.map {
+        case (k, v) => ("canary_" + k, f3(v)) })}}"""
+    val lastLine = s"""{"metric":"total","queries":$qsCompact,""" +
+      s""""canary":$canaryCompact,"value":$total,"total_cold":$totalCold,""" +
+      s""""unit":"sec","runs":$Runs,"stream_runs":${Runs + 1},""" +
+      s""""keys":${results.size},"sf":"$sfDir"}"""
+    println(lastLine)
+    // mirror it into the committed artifact so the repo copy matches the
+    // stdout stream exactly; parsePrevBench keeps FIRST occurrence from
+    // the first `"queries":{` marker, which in this file is the
+    // full-precision line above, so baselines are unaffected
+    if (only.isEmpty)
+      try java.nio.file.Files.writeString(
+        java.nio.file.Paths.get("BENCH_FULL.json"), lastLine + "\n",
+        java.nio.file.StandardOpenOption.CREATE,
+        java.nio.file.StandardOpenOption.APPEND)
+      catch { case _: Throwable => () }
   }
 
   /** Per-key rolling-best baseline: parse each artifact text and keep

@@ -91,6 +91,30 @@ class BenchParseSpec extends AnyFunSuite {
     assert(m("q") == 0.4, "a zero median must not win the min")
   }
 
+  test("r18 final compact contract line: parses whole or truncated, no poison") {
+    // since r18 the LAST stdout line repeats the medians compactly
+    // (ascending, 3-decimal) with the summary fields closing the line so
+    // a ~2 KB tail keeps total+canary plus the most expensive keys. The
+    // parser must read its pairs as medians and keep every summary and
+    // canary field out of the baseline map.
+    val lastLine =
+      """{"metric":"total","queries":{"agg_sum":0.061,"scan_points":0.085,""" +
+        """"dedup_ngram_jaccard":1.44},"canary":{"ratio":0.94,"norm":1.0,""" +
+        """"keys":{"canary_scan_points":0.85,"canary_agg_sum":0.79}},""" +
+        """"value":67.94,"total_cold":132.4,"unit":"sec","runs":3,""" +
+        """"stream_runs":4,"keys":216,"sf":"/d"}"""
+    val m = Bench.parsePrevBench(lastLine)
+    assert(m("agg_sum") == 0.061 && m("dedup_ngram_jaccard") == 1.44)
+    assert(!m.contains("value") && !m.contains("ratio") && !m.contains("norm")
+      && !m.contains("keys"), "summary/canary meta must not become keys")
+    // head-truncated mid-map (the driver tail's usual cut): the marker is
+    // gone, the surviving suffix pairs must still parse as medians
+    val cut = lastLine.substring(lastLine.indexOf("\"scan_points\""))
+    val m2 = Bench.parsePrevBench(cut)
+    assert(m2("scan_points") == 0.085 && m2("dedup_ngram_jaccard") == 1.44)
+    assert(!m2.contains("value") && !m2.contains("total_cold"))
+  }
+
   test("garbage input yields an empty map, never a throw") {
     assert(Bench.parsePrevBench("").isEmpty)
     // wrapper fields with string values must not produce entries at all

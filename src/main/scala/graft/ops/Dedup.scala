@@ -1002,8 +1002,22 @@ object Dedup {
     * (token counts) exists here as the audit comparison; production
     * keeps only the sketch.
     */
-  def sketchCms(s: SparkSession, dir: String): DataFrame =
-    cmsServe(s, dir, cmsCounters(docs(s, dir)))
+  def sketchCms(s: SparkSession, dir: String): DataFrame = {
+    // ONE corpus pass (guide §2.4 "share one exchange"; r17 verdict #4):
+    // the counter build and the exact audit arm both hang off the SAME
+    // (token → count) aggregate, so ReuseExchange computes the
+    // scan+tokenize once (was: two independent corpus passes, one per
+    // arm). Counters derive by SUMMING token counts into their (row,
+    // col) buckets — identical integers to counting occurrences
+    // directly, and one md5 per DISTINCT token instead of per
+    // occurrence. The exact arm stays the declared audit comparison;
+    // only its plumbing is shared.
+    val tokCounts = cmsToks(docs(s, dir))
+      .groupBy("t").agg(count(lit(1)).as("tn"))
+    val exact = tokCounts.select(col("t"), col("tn").as("n_exact"))
+      .orderBy(col("n_exact").desc, col("t")).limit(CmsTopK)
+    cmsProbe(exact, cmsCountersFromCounts(tokCounts))
+  }
 
   private def cmsToks(d: DataFrame): DataFrame =
     d.select(explode(expr(Tokens.toksExpr)).as("t"))
@@ -1020,14 +1034,25 @@ object Dedup {
     * shares it verbatim (CMS counters merge by addition — the other
     * mergeable-sketch algebra next to HLL's max).
     */
-  private[graft] def cmsCounters(d: DataFrame): DataFrame = {
+  private[graft] def cmsCounters(d: DataFrame): DataFrame =
+    cmsCountersFromCounts(
+      cmsToks(d).groupBy("t").agg(count(lit(1)).as("tn")))
+
+  /** Counter build from a pre-aggregated `(t, tn)` token-count table:
+    * summing counts into the (row, col) buckets yields the identical
+    * counter integers as counting raw occurrences, with one md5 per
+    * DISTINCT token. Shared by [[sketchCms]] (which reuses the count
+    * table for its exact arm) and [[cmsCounters]] (the raw-frame form
+    * the streaming sum-merge fold consumes per batch).
+    */
+  private[graft] def cmsCountersFromCounts(tc: DataFrame): DataFrame = {
     val rowCols = (0 until CmsDepth).map { r =>
       struct(lit(r).as("r"), expr(cmsRowCol(r)).as("c"))
     }
-    cmsToks(d).withColumn("h", md5(col("t")))
-      .select(explode(array(rowCols: _*)).as("rc"))
+    tc.withColumn("h", md5(col("t")))
+      .select(explode(array(rowCols: _*)).as("rc"), col("tn"))
       .groupBy(col("rc.r").as("r"), col("rc.c").as("c"))
-      .agg(count(lit(1)).as("n"))
+      .agg(sum(col("tn")).as("n"))
   }
 
   /** The serving/audit side over a counter table: the top-k exact
@@ -1039,6 +1064,14 @@ object Dedup {
     val exact = cmsToks(docs(s, dir))
       .groupBy("t").agg(count(lit(1)).as("n_exact"))
       .orderBy(col("n_exact").desc, col("t")).limit(CmsTopK)
+    cmsProbe(exact, counters)
+  }
+
+  /** The probe tail shared by [[cmsServe]] and [[sketchCms]]: each
+    * top-k exact token probes its d counters against the broadcast
+    * counter table with a min-of-rows fold.
+    */
+  private def cmsProbe(exact: DataFrame, counters: DataFrame): DataFrame = {
     val probes = exact.withColumn("h", md5(col("t")))
       .select(col("t"), col("n_exact"),
         posexplode(array((0 until CmsDepth).map(r =>

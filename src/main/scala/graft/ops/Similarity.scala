@@ -1544,8 +1544,28 @@ object Similarity {
         col("cand_id").cast("long").as("doc_id"), col("rnk").as("sem_rnk"))
     // both 1/(k+r) terms and their sum are the identical IEEE expression
     // tree in the oracle (integer rank + double literal), so the fused
-    // doubles are bit-equal and the (rrf DESC, doc_id) order total
-    val fused = bm.join(em, Seq("query_id", "doc_id"), "full_outer")
+    // doubles are bit-equal and the (rrf DESC, doc_id) order total.
+    // FULL OUTER spelled as UNION + per-pair aggregate (guide §2.4
+    // "remove shuffles outright", §3.1; r17 verdict #5): Spark ≤4.1
+    // cannot broadcast an equi full-outer join — the hint is ignored and
+    // the two ≤|Q|·k-row arms pay a SortMergeJoin with one
+    // exchange+sort EACH; a LEFT∪ANTI broadcast rewrite (tried first)
+    // computes each arm TWICE. Instead: pad each arm with a null twin
+    // column, union, and group by the pair — max() over (value, null)
+    // is the value, and each arm contributes at most one row per
+    // (query_id, doc_id) (row_number output, keys non-null), so the
+    // aggregate rebuilds exactly the full outer's rows: both ranks on
+    // matches, one rank + null otherwise. Each arm computes ONCE, the
+    // join disappears, and the only new exchange is one ≤2|Q|·k-row
+    // hash aggregate (oracle hash unchanged).
+    val fused = bm
+      .select(col("query_id"), col("doc_id"), col("lex_rnk"),
+        lit(null).cast("int").as("sem_rnk"))
+      .unionByName(em.select(col("query_id"), col("doc_id"),
+        lit(null).cast("int").as("lex_rnk"), col("sem_rnk")))
+      .groupBy("query_id", "doc_id")
+      .agg(max(col("lex_rnk")).as("lex_rnk"),
+        max(col("sem_rnk")).as("sem_rnk"))
       .withColumn("rrf", round(
         coalesce(lit(1.0) / (lit(RrfK) + col("lex_rnk")), lit(0.0)) +
           coalesce(lit(1.0) / (lit(RrfK) + col("sem_rnk")), lit(0.0)), 6))

@@ -271,18 +271,31 @@ object TextAnalysis {
     import s.implicits._
     val lens = docs(s, dir)
       .select(expr(s"size($toksExpr)").cast("long").as("n"))
-    val binned = quantileBinExprs("div").foldLeft(lens) {
+    // ONE corpus pass shared by the histogram AND the exact audit arm
+    // (guide §2.4 "share one exchange", §2.3 "aggregate before you
+    // shuffle"; r17 verdict #4): aggregate to distinct (n, cnt) first.
+    // Both consumers below hang off this SAME groupBy(n) aggregate, so
+    // ReuseExchange computes the scan+tokenize once — the r17 phase
+    // split measured the two independent corpus passes as the key's
+    // dominant cost. The histogram re-groups the ≤|distinct n| rows;
+    // the exact arm uses percentile's FREQUENCY form, which buffers a
+    // value→count map exactly like the row-at-a-time form (bit-identical
+    // doubles, pinned by the unchanged oracle hash). The exact
+    // percentile stays the declared audit arm — r15 adjudication — only
+    // its input encoding changed.
+    val nvals = lens.groupBy("n").agg(count(lit(1)).as("cnt"))
+    val binned = quantileBinExprs("div").foldLeft(nvals) {
       case (df, (name, e)) => df.withColumn(name, expr(e))
     }
-    val hist = binned.groupBy("bin", "blo", "bhi").agg(count(lit(1)).as("c"))
+    val hist = binned.groupBy("bin", "blo", "bhi").agg(sum(col("cnt")).as("c"))
     val w = Window.orderBy("bin")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val cum = hist.withColumn("cumc", sum(col("c")).over(w))
       .withColumn("prevc", col("cumc") - col("c"))
-    val tot = lens.agg(count(lit(1)).as("n_docs"),
-      Buckets.round6(expr("percentile(n, 0.5D)")).as("e50"),
-      Buckets.round6(expr("percentile(n, 0.9D)")).as("e90"),
-      Buckets.round6(expr("percentile(n, 0.99D)")).as("e99"))
+    val tot = nvals.agg(sum(col("cnt")).as("n_docs"),
+      Buckets.round6(expr("percentile(n, 0.5D, cnt)")).as("e50"),
+      Buckets.round6(expr("percentile(n, 0.9D, cnt)")).as("e90"),
+      Buckets.round6(expr("percentile(n, 0.99D, cnt)")).as("e99"))
     val ps = Seq(0.5, 0.9, 0.99).toDF("p")
     ps.crossJoin(broadcast(tot))
       .withColumn("rank", expr("CAST(ceil(p * n_docs) AS BIGINT)"))

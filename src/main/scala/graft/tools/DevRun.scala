@@ -21,7 +21,14 @@ object DevRun {
     // per-key sbt invocations cost ~40 s each) and mirrors the bench's
     // one-JVM context; later keys run JIT-warm, which is the bench's
     // steady-state too
-    val keys = pos(0).split(",").toSeq
+    // drop empty segments (',key' / 'a,,b') and validate every key UP
+    // FRONT: an unknown key used to throw a bare NoSuchElementException
+    // mid-loop, after Spark startup cost was already paid (r17 advice)
+    val keys = pos(0).split(",").toSeq.filter(_.nonEmpty)
+    val unknown = keys.filterNot(SparkEntry.queries.keySet)
+    require(keys.nonEmpty, "no query keys given")
+    require(unknown.isEmpty,
+      s"unknown query key(s): ${unknown.mkString(", ")} — see SparkEntry.queries")
     val sfDir = pos.lift(1).getOrElse("/root/testdata/sf0.1")
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")}]")
@@ -75,6 +82,12 @@ object DevRun {
       plan.execute().count()
       println(org.apache.spark.sql.execution.debug.codegenString(plan))
     }
+    // mirror Bench.quiesce between keys: a key that persists or
+    // localCheckpoints RDDs must not leave blocks pinned to skew the
+    // NEXT key's timing in long multi-key profiling loops (r17 advice)
+    spark.catalog.clearCache()
+    spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
+    System.gc()
     }
     // scalastyle:on println
     spark.stop()

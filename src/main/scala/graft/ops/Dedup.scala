@@ -392,12 +392,34 @@ object Dedup {
     // (scaladoc above); the production paths (minhash/simhash/substring
     // keys) band or cap the Zipf head instead and never build a
     // per-shingle doc list.
+    // Two explicit-count repartitions around the pair explosion (guide
+    // §2.2/§2.5; r18, measured via the --metrics operator dump): AQE
+    // sizes post-shuffle stages by the EXCHANGE's bytes, so it coalesced
+    // the ~4 MB grouped-list stage to 3 tasks and the ~13 MB pair-agg
+    // stage to 10 — but the df² explode below runs ~100× bigger than
+    // the exchange AQE measured (2.79 M generated rows on THREE tasks of
+    // a 32-core host), and the pair aggregate then built ~113 k keys
+    // per task against the 65 k-slot codegen fast hash map
+    // (avgHashProbe=310 — every miss walks a full probe chain).
+    // Explicit-count repartitions are exempt from AQE coalescing;
+    // defaultParallelism keeps them scale-adaptive (r17 §9 rule). The
+    // second one pre-clusters by the aggregation key, so the pair agg
+    // reuses it instead of adding its own exchange (partial+final run
+    // back-to-back on the pinned 32-way partitioning). Measured
+    // back-to-back warm minima at sf0.1: 1.12 → 0.85 s. Two rejected
+    // variants, for the record: dense-int ids + packed single-long pair
+    // key (a dict broadcast probe on every index row cost more than the
+    // narrower types saved — 1.29 s), and an xxhash64 salt column in the
+    // grouping key to fix the fast-map probe clustering (0.96 s).
+    val par = s.sparkContext.defaultParallelism
     val inter = u.groupBy("g")
       .agg(collect_list(col("doc_id")).as("ds"))
       .filter(size(col("ds")) >= 2)
+      .repartition(par, col("g"))
       .select(explode(col("ds")).as("doc_a"), col("ds"))
       .select(col("doc_a"), explode(col("ds")).as("doc_b"))
       .filter(col("doc_a") < col("doc_b"))
+      .repartition(par, col("doc_a"), col("doc_b"))
       .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("x"))
     // sizes is ONE row per document — broadcast both lookups (r14
     // verdict #4) so the pair frame is never re-shuffled by doc_a/doc_b:
@@ -1143,9 +1165,22 @@ object Dedup {
     // the shared materialized pair index: both component paths read it
     // repeatedly, each read is a cheap parquet scan
     val pairs = minhashPairsShared(s, dir).select(col("doc_a"), col("doc_b"))
-    if (pairs.count() <= driverMaxPairs) {
+    // ONE driver job instead of two (r18, guide §1.2 "don't compute
+    // things you throw away"): collecting cap+1 rows answers the size
+    // gate AND supplies the edges — the previous count()-then-collect()
+    // ran two jobs over the pair index per construction. The decision
+    // boundary is identical (|pairs| ≤ cap ⟺ a cap+1-row limit returns
+    // ≤ cap rows) up to Int.MaxValue−1, past which the distributed path
+    // is taken unconditionally — the regime where the old code would
+    // have attempted a >2³¹-row driver collect; both component paths
+    // are pinned result-equal by spec, so the gate shift cannot change
+    // results. The capped collect is bounded (~16 MB of long pairs at
+    // the default gate) even when the distributed path is about to win.
+    val cap = math.min(driverMaxPairs, Int.MaxValue - 1L).toInt
+    val capped = pairs.limit(cap + 1).collect()
+    if (capped.length <= cap) {
       import s.implicits._
-      val edgeArr = pairs.collect().map(r => (r.getLong(0), r.getLong(1)))
+      val edgeArr = capped.map(r => (r.getLong(0), r.getLong(1)))
       val parent = scala.collection.mutable.Map.empty[Long, Long]
       // iterative two-pass find (walk to root, then compress): a chain-
       // shaped pair ordering near the 2^20 gate must not overflow the

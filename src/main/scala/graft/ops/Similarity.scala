@@ -509,15 +509,25 @@ object Similarity {
     * [[annShortlistSweep]] (r16 review — the brute/arms/hits/recall
     * chain was duplicated verbatim with only the knob column renamed,
     * so a denominator or tie-break fix had four edit sites): from a
-    * checkpointed scored lattice `(query_id, cand_id, <rankCol>,
+    * scored lattice (persisted here, lazily) `(query_id, cand_id, <rankCol>,
     * score)`, derive the brute-force top-[[TopK]] truth over the FULL
     * lattice, cut one arm per knob value by `rankCol <= knob`, and emit
     * `(knob, candidates, hits, recall)` with recall = hits /
     * (NumQueries·TopK) on the shared round6.
     */
-  private def sweepTail(s: SparkSession, lat: DataFrame, rankCol: String,
+  private def sweepTail(s: SparkSession, lat0: DataFrame, rankCol: String,
       knobCol: String, knobValues: Seq[Int]): DataFrame = {
     import s.implicits._
+    // LAZY persist, not an eager localCheckpoint (r18; r17 verdict #3):
+    // the lattice feeds THREE subtrees (brute truth, arm hits, arm
+    // candidate counts), so it must be shared — but the r16 eager
+    // checkpoint ran the whole scoring job at query CONSTRUCTION, which
+    // the bench pays again on every rep (measured ~0.5 s per
+    // construction on both sweep keys). persist() defers the one
+    // materialization into the query's own execution and the cache
+    // serves the other two subtrees; Bench.quiesce / callers' cache
+    // clears release the blocks as before.
+    val lat = lat0.persist()
     val bw = Window.partitionBy("query_id")
       .orderBy(col("score").desc, col("cand_id"))
     val brute = lat.withColumn("brnk", row_number().over(bw))
@@ -572,17 +582,14 @@ object Similarity {
       assigned.select(col("vec_id"), col("embedding"), col("cn"))
         .filter(col("vec_id") < NumQueries),
       cents, maxProbe = None)
-    // eager checkpoint: the lattice feeds THREE subtrees (brute truth,
-    // arm hits, arm candidate counts) — without it Spark recomputes the
-    // broadcast join + scoring pass per subtree (the importWsp pin
-    // pattern; the block is released by the caller's cache clear)
+    // shared across sweepTail's three subtrees via its lazy persist
+    // (was an eager construct-time localCheckpoint — r18, verdict #3)
     val scored = assigned.join(broadcast(q),
         col("cent_id") === col("qcent") && col("query_id") =!= col("vec_id"))
       .withColumn("score",
         dot_f(col("qe"), col("embedding")) / (col("qn") * col("cn")))
       .select(col("query_id"), col("vec_id").as("cand_id"),
         col("score"), col("prn"))
-      .localCheckpoint(true)
     sweepTail(s, scored, "prn", "nprobe", SweepNProbes)
   }
 
@@ -926,8 +933,8 @@ object Similarity {
     * many ADC-approximate candidates get the exact re-rank). One
     * exact-scored lattice tagged with each pair's ADC rank serves every
     * arm (`srn ≤ S` + the per-(S, query) re-rank window) AND the brute
-    * truth (the same lattice unfiltered); eagerly checkpointed for its
-    * three consumers. Integers throughout; one round6 recall per arm.
+    * truth (the same lattice unfiltered); lazily persisted for its
+    * three consumers inside [[sweepTail]]. Integers throughout; one round6 recall per arm.
     * At 100 TB the lattice pass is the deliberate brute-force audit run
     * on a sample — production serving keeps the shortlist cut inside
     * the window as [[similarityAnnPq]] does.
@@ -940,7 +947,6 @@ object Similarity {
       .withColumn("score", dot_f(col("qe"), col("embedding")) / (col("qn") * col("ecn")))
       .select(col("query_id"), col("vec_id").as("cand_id"), col("srn"),
         col("score"))
-      .localCheckpoint(true)
     sweepTail(s, lat, "srn", "shortlist", SweepShortlists)
   }
 

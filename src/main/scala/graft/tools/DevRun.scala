@@ -69,6 +69,35 @@ object DevRun {
     val n = df.count()
     val dt = (System.nanoTime() - t0) / 1e9
     println(f"[devrun] $key: $n rows in $dt%.2f s (+ $dtc%.2f s construction)")
+    if (args.contains("--metrics")) {
+      // per-operator SQLMetrics of the plan just executed (rows, timing)
+      // — the stage-level attribution the UI would show, with the UI off.
+      // count() above executes its OWN query execution, so re-execute
+      // this df's plan and read the final (AQE-replanned) tree.
+      val qe = df.queryExecution
+      qe.executedPlan.execute().count()
+      def finalPlan(p: org.apache.spark.sql.execution.SparkPlan)
+          : org.apache.spark.sql.execution.SparkPlan = p match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          a.executedPlan
+        case other => other
+      }
+      def walk(p: org.apache.spark.sql.execution.SparkPlan, d: Int): Unit = {
+        val ms = p.metrics.toSeq
+          .filter { case (_, m) => m.value > 0 }
+          .sortBy(_._1)
+          .map { case (k, m) => s"$k=${m.value}" }
+          .mkString(", ")
+        println(s"[metrics] ${"  " * d}${p.nodeName}: $ms")
+        p.children.foreach(walk(_, d + 1))
+        p match {
+          case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+            walk(finalPlan(q.plan), d + 1)
+          case _ => ()
+        }
+      }
+      walk(finalPlan(qe.executedPlan), 0)
+    }
     if (args.contains("--codegen")) {
       // dump the whole-stage generated Java: the ground truth for
       // whether codegen subexpression elimination actually collapsed a

@@ -1020,22 +1020,19 @@ object TextAnalysis {
     // one corpus pass: distinct words with frequencies, then the initial
     // symbol sequence ' c1  c2  ...  cn ' (double-space separators,
     // single-space ends — see the merge-algebra scaladoc above).
-    // Construction-cost trims (r18; r17 verdict #3), measured against
-    // the r17 all-eager form (0.91 s construct + 0.18 s execute):
-    //  - the INITIAL vocab is persisted LAZILY — iteration 1's
-    //    checkpoint job materializes it into the cache, which then
-    //    serves the top-10 reports at execution; its own eager
-    //    localCheckpoint was one extra driver-blocking corpus job per
-    //    construction.
-    //  - the LAST iteration's merge rewrite + checkpoint are skipped
-    //    when the caller never reads the final vocab ([[needFinalVocab]]
-    //    = false for the merges key: its last report reads the
-    //    second-to-last vocab).
-    //  - a fully-lazy chain was tried and REJECTED: pushing all four
-    //    jobs into the final action read 0.36 construct + 0.76 execute
-    //    (the broadcast-merge chain serializes stage-by-stage either
-    //    way, and the per-level pair aggregates stopped sharing work) —
-    //    worse than eager in total.
+    // Construction-cost trim (r18; r17 verdict #3), measured against
+    // the r17 form (0.91 s construct + 0.18 s execute): the LAST
+    // iteration's merge rewrite + checkpoint are skipped when the
+    // caller never reads the final vocab ([[needFinalVocab]] = false
+    // for the merges key: its last report reads the second-to-last
+    // vocab) — one fewer driver-blocking job per construction. Two
+    // rejected variants, for the record: a fully-lazy chain (all jobs
+    // pushed into the final action) read 0.36 construct + 0.76 execute
+    // — worse in total, the broadcast-merge chain serializes
+    // stage-by-stage either way; and a lazily-persisted initial vocab
+    // leaks the corpus-scan lineage into the final plan, breaking the
+    // pinned "iterations never re-read the corpus" contract that the
+    // eager checkpoint's lineage truncation guarantees.
     var words = d
       .select(explode(expr(toksExpr)).as("w"))
       .filter(length(col("w")) > 0)
@@ -1043,7 +1040,7 @@ object TextAnalysis {
       .withColumn("seq", expr(
         "concat(' ', array_join(transform(sequence(1, length(w)), " +
           "i -> substring(w, i, 1)), '  '), ' ')"))
-      .persist()
+      .localCheckpoint(true)
     def pairCounts(wt: DataFrame): DataFrame =
       wt.withColumn("syms", split(trim(col("seq")), "  "))
         .filter(size(col("syms")) >= 2)

@@ -172,17 +172,20 @@ object ExplainDump {
         "Pinned row-identical to the window form."),
     "ann_nprobe_sweep" ->
       ("The IVF tuning curve: ONE scored (query, candidate) lattice — " +
-        "eagerly checkpointed because three subtrees consume it (brute " +
-        "truth, arm hits, arm candidate counts) — then per-arm " +
-        "windows over prn<=np slices and two tiny aggregates. The " +
-        "expensive pass is deliberate: this key IS the brute-force " +
-        "audit, run on a sample at scale."),
+        "lazily persisted (r18) because three subtrees consume it " +
+        "(brute truth, arm hits, arm candidate counts); the one " +
+        "materialization now runs inside the query's own action " +
+        "instead of at construction — then per-arm windows over " +
+        "prn<=np slices and two tiny aggregates. The expensive pass is " +
+        "deliberate: this key IS the brute-force audit, run on a " +
+        "sample at scale."),
     "ann_shortlist_sweep" ->
       ("The PQ re-rank budget curve: the shared ADC-ranked lattice " +
-        "joined to real vectors for exact scores, eagerly checkpointed " +
-        "(three consumers), then per-arm re-rank windows and two tiny " +
-        "aggregates — the same audit shape as the nprobe sweep, on the " +
-        "other knob."),
+        "joined to real vectors for exact scores, lazily persisted " +
+        "(three consumers; r18 — the eager construct-time checkpoint " +
+        "moved into the action), then per-arm re-rank windows and two " +
+        "tiny aggregates — the same audit shape as the nprobe sweep, " +
+        "on the other knob."),
     "wsp_set_agg" ->
       ("whisper-set-aggregation-method end-to-end: the plan is the " +
         "standard 1m->5m consolidation (BatchScan wsp -> partial/final " +
@@ -619,8 +622,11 @@ object ExplainDump {
       ("RRF hybrid retrieval: the BM25 arm still serves from the " +
         "persisted postings index with the term In predicate pushed " +
         "(pinned — fusing must not degrade the arms), the cosine arm " +
-        "broadcasts its queries, and the fusion full-outer join runs " +
-        "over top-k lists — thousands of rows at any corpus size."),
+        "broadcasts its queries, and the fusion is a UNION + per-pair " +
+        "max aggregate over the top-k lists (r18 — Spark cannot " +
+        "broadcast an equi full-outer join, so the old form paid a " +
+        "SortMergeJoin with an exchange+sort per arm; the aggregate " +
+        "rebuilds the identical rows with each arm computed once)."),
     "corpus_report" ->
       ("The per-source dashboard: five summary aggregates in ONE " +
         "groupBy(source) pass (pinned no-join); the count-distinct " +

@@ -1006,6 +1006,15 @@ class PlanSpec extends AnyFunSuite {
       s"size lookups lost their broadcast:\n$p")
     assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
       s"pair frame re-shuffled for a per-doc size lookup:\n$p")
+    // r18: the df² explode and the pair aggregate run on EXPLICIT-count
+    // repartitions (exempt from AQE coalescing) — AQE sized those stages
+    // by their exchanges' bytes (4/13 MB → 3/10 tasks) while the explode
+    // ran ~100× bigger than the bytes AQE measured, and the pair agg
+    // thrashed the codegen fast map at ~113k keys/task (probe chains of
+    // ~300). Two REPARTITION_BY_NUM exchanges pin the fix in place.
+    assert("REPARTITION_BY_NUM".r.findAllIn(p).size >= 2,
+      s"explode/pair-agg parallelism no longer pinned against AQE " +
+        s"coalescing:\n$p")
   }
 
   test("multimodal_decode_real is one shuffle-free codec map + output sort") {

@@ -16,24 +16,47 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame =
     Fetch.fetchDenseSeries(spark, "/root/testdata/sf0.001")
 
-  /** One entry per implemented operator from SURVEY.md §2.
-    *
-    * The render family's entries are wrapped in [[PlanCache.memo]]
-    * (r18; r17 verdict #7): the evaluator compiles a parsed target into
-    * a 40–100-operator DataFrame whose eager per-Dataset analysis costs
-    * 2–5× the query's sf0.1 execution, re-paid per invocation with no
-    * data dependence — the memo re-serves the analyzed plan while every
-    * action still computes from the parquet inputs (see PlanCache's
-    * scaladoc for the freshness/session keying and why the scope is
-    * exactly the pure-DAG render family and nothing stateful).
+  /** Keys whose construction is NOT a pure DAG build and therefore can
+    * never be served a memoized plan handle (see PlanCache's scaladoc
+    * for the failure mode behind each class):
     */
+  private val planCacheExclude: Set[String] = Set(
+    // rollup materialization: construction-time writes / the eager lww
+    // localCheckpoint (create_rollup_tables IS the write under test and
+    // rollup_serve_1h's construction triggers that same build)
+    "create_rollup_tables", "rollup_serve_1h", "rollup_cascade_5m",
+    "rollup_cascade_1h", "rollup_drift",
+    // eager per-iteration localCheckpoints: a cache clear between bench
+    // reps would evict blocks whose TRUNCATED lineage cannot recompute
+    "token_bpe_merges", "token_bpe_apply",
+    // construction collects the verified-pair graph for the driver
+    // union-find — a memoized handle would embed that RESULT across
+    // invocations, which is result caching, not plan caching
+    "dedup_cluster", "dedup_collapse", "curate", "curate_funnel",
+    "split_assign_safe",
+    // construction sizes blocks from an observed-id-range head() — the
+    // same embedded-result concern
+    "shard_pack_scalable")
+
+  /** Pure-DAG keys get their analyzed plan memoized ([[PlanCache]];
+    * r18, r17 verdict #7 — prototyped on the render family at a
+    * measured 100 % planning cut with byte-identical plans, then
+    * extended to every key that passes the purity audit above).
+    * Streaming keys hold per-invocation state and the wsp family's
+    * datasource resolution collects manifests — both stay unwrapped.
+    */
+  private def planCacheable(k: String): Boolean =
+    !k.startsWith("stream_") && !k.startsWith("wsp_") &&
+      !planCacheExclude(k)
+
+  /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = {
     val base = CoreQueries.queries ++ ExtQueries.queries ++
       graft.sources.WspQueries.queries ++ graft.streaming.StreamQueries.queries
     base.map {
-      case (k, fn) if k.startsWith("render_target") =>
+      case (k, fn) if planCacheable(k) =>
         k -> ((s: SparkSession, d: String) =>
-          PlanCache.memo(s, d, "events.parquet", k)(fn(s, d)))
+          PlanCache.memo(s, d, k)(fn(s, d)))
       case other => other
     }
   }

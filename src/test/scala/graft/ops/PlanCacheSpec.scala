@@ -28,12 +28,14 @@ class PlanCacheSpec extends AnyFunSuite {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("plancache").toFile.getPath
     Seq(1L, 2L, 3L).toDF("v").coalesce(1)
-      .write.mode("overwrite").parquet(s"$dir/t.parquet")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
     var builds = 0
-    def build(s: SparkSession) = { builds += 1; s.read.parquet(s"$dir/t.parquet") }
+    def build(s: SparkSession) = {
+      builds += 1; s.read.parquet(s"$dir/documents.parquet")
+    }
 
-    val a = PlanCache.memo(spark, dir, "t.parquet", "k")(build(spark))
-    val b = PlanCache.memo(spark, dir, "t.parquet", "k")(build(spark))
+    val a = PlanCache.memo(spark, dir, "k")(build(spark))
+    val b = PlanCache.memo(spark, dir, "k")(build(spark))
     assert(a eq b, "same (session, dir, freshness) must serve one handle")
     assert(builds == 1)
     // the handle is a PLAN: every action computes rows from the file
@@ -41,15 +43,15 @@ class PlanCacheSpec extends AnyFunSuite {
 
     // a different session must not be served a foreign session's plan
     val s2 = spark.newSession()
-    val c = PlanCache.memo(s2, dir, "t.parquet", "k")(build(s2))
+    val c = PlanCache.memo(s2, dir, "k")(build(s2))
     assert(!(c eq a), "sessions must not share handles")
 
     // regenerating the input under the same path must invalidate — the
     // memo can never pin a stale file listing (nor, a fortiori, results)
     Thread.sleep(20) // distinct mtime granule for the freshness digest
     Seq(1L, 2L, 3L, 4L, 5L).toDF("v").coalesce(1)
-      .write.mode("overwrite").parquet(s"$dir/t.parquet")
-    val d = PlanCache.memo(spark, dir, "t.parquet", "k")(build(spark))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val d = PlanCache.memo(spark, dir, "k")(build(spark))
     assert(!(d eq a), "regenerated input must rebuild the plan")
     assert(d.count() == 5, "the rebuilt plan must see the new data")
   }

@@ -411,11 +411,18 @@ object Dedup {
     // key (a dict broadcast probe on every index row cost more than the
     // narrower types saved — 1.29 s), and an xxhash64 salt column in the
     // grouping key to fix the fast-map probe clustering (0.96 s).
+    // round-robin, NOT repartition(par, g): hash-repartitioning on g
+    // re-creates the child aggregate's own partitioning, so the
+    // optimizer elides it as redundant and AQE coalesces the collect
+    // exchange again (observed in the plan dump). Round-robin survives
+    // (different partitioning), its explicit count is AQE-exempt, and
+    // Spark's sort-before-repartition keeps it retry-deterministic over
+    // the 27 k grouped rows.
     val par = s.sparkContext.defaultParallelism
     val inter = u.groupBy("g")
       .agg(collect_list(col("doc_id")).as("ds"))
       .filter(size(col("ds")) >= 2)
-      .repartition(par, col("g"))
+      .repartition(par)
       .select(explode(col("ds")).as("doc_a"), col("ds"))
       .select(col("doc_a"), explode(col("ds")).as("doc_b"))
       .filter(col("doc_a") < col("doc_b"))
